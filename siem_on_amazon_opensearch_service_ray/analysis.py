@@ -1,0 +1,113 @@
+"""Analyzers: deterministic, pure tokenization functions.
+
+The reference configures no custom analyzer anywhere (grep over
+reference: source/lambda/deploy_es/command_index.txt -> 0 hits for
+``analyzer``), so its searchable ``text`` fields use Lucene's *standard*
+analyzer: UAX#29 word-break tokenization + lowercase.  Our ``base``
+analyzer reproduces the behaviour that matters for the corpus at hand
+with a pinned, documented rule: maximal runs of ``[A-Za-z0-9_]`` are one
+token (UAX#29 treats ``_`` as ExtendNumLet, i.e. ``snake_case`` is a
+single token in Lucene's standard analyzer), lowercased, truncated to
+32,766 utf-8 bytes (Lucene term limit; reference truncation parity:
+siem/__init__.py:1131-1147).
+
+The ``code`` analyzer (the flagship per BASELINE.json north_star) adds
+code-aware sub-tokens: each base token is additionally split on ``_``,
+camelCase boundaries and letter<->digit boundaries, and every distinct
+expansion is emitted *in addition to* the base token (so both
+``getHttpResponse`` and ``http`` match).  When the split yields exactly
+the base token (plain lowercase word), no duplicate is emitted --
+therefore on plain-word corpora ``code`` == ``base``, which is what the
+DuckDB SQL oracles rely on.
+
+The ``path`` analyzer tokenizes file paths: segments split on
+``/ . - _`` plus the code-aware sub-splits.
+
+All analyzers are pure functions of their input string: no locale, no
+randomness, no state.  Determinism is golden-file tested.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from . import MAX_TERM_BYTES
+
+# Maximal [A-Za-z0-9_]+ runs; ASCII-pinned on purpose (deterministic
+# across Python/Unicode versions; the corpus is source code).
+_BASE_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
+
+# camelCase + letter/digit boundary splitter, applied per '_'-piece:
+#   getHTTPResponse2 -> get, HTTP, Response, 2
+_CAMEL_RE = re.compile(r"[A-Z]+(?=[A-Z][a-z])|[A-Z]?[a-z]+|[A-Z]+|[0-9]+")
+
+_PATH_SEG_RE = re.compile(r"[^/\\.]+")
+
+
+def _truncate_term(tok: str) -> str:
+    """utf-8-safe truncation to MAX_TERM_BYTES (parity with reference
+    siem/__init__.py:1131-1147, which cuts at 32,766 bytes)."""
+    if len(tok) <= MAX_TERM_BYTES // 4:
+        return tok
+    raw = tok.encode("utf-8")
+    if len(raw) <= MAX_TERM_BYTES:
+        return tok
+    return raw[:MAX_TERM_BYTES].decode("utf-8", errors="ignore")
+
+
+def base_tokens(text: str) -> list[str]:
+    """Lucene-standard-compatible: [A-Za-z0-9_]+ runs, lowercased."""
+    return [_truncate_term(t.lower()) for t in _BASE_TOKEN_RE.findall(text)]
+
+
+def subtokens(token: str) -> list[str]:
+    """Code-aware expansion of one (original-case) base token."""
+    out: list[str] = []
+    for piece in token.split("_"):
+        if piece:
+            out.extend(_CAMEL_RE.findall(piece))
+    return out
+
+
+def code_tokens(text: str) -> list[str]:
+    """Flagship analyzer: base token + code-aware sub-tokens.
+
+    Sub-tokens are emitted only when the expansion differs from the base
+    token itself, so plain lowercase words contribute exactly one token.
+    """
+    out: list[str] = []
+    for raw in _BASE_TOKEN_RE.findall(text):
+        low = raw.lower()
+        out.append(_truncate_term(low))
+        subs = subtokens(raw)
+        if len(subs) != 1 or subs[0].lower() != low:
+            out.extend(_truncate_term(s.lower()) for s in subs)
+    return out
+
+
+def path_tokens(path: str) -> list[str]:
+    """Path analyzer: ``src/pkg_3/mod_7.py`` -> [src, pkg_3, pkg, 3,
+    mod_7, mod, 7, py]."""
+    out: list[str] = []
+    for seg in _PATH_SEG_RE.findall(path):
+        out.extend(code_tokens(seg))
+    return out
+
+
+ANALYZERS = {
+    "base": base_tokens,
+    "code": code_tokens,
+    "path": path_tokens,
+}
+
+
+def analyze(text: str, analyzer: str = "code") -> list[str]:
+    return ANALYZERS[analyzer](text)
+
+
+def term_freqs(text: str, analyzer: str = "code") -> Counter:
+    """Per-document term frequencies; ``sum(values)`` is the BM25 doc
+    length under the same analyzer (one pinned length policy for both
+    the index path and the flat oracle — SURVEY.md §7.5.1)."""
+    return Counter(ANALYZERS[analyzer](text))

@@ -1,0 +1,187 @@
+"""Posting-list codec: delta + LEB128 varint in blocks of 128 with
+skip / block-max metadata.
+
+Replaces the Lucene segment postings format the reference delegates to
+OpenSearch (reference: source/lambda/deploy_es/command_index.txt — index
+templates only; no in-repo postings code).  Layout per term:
+
+- ``docs`` blob:  sorted doc ids, delta-encoded (first delta from 0,
+  block-initial delta from the previous block's last id) then LEB128
+  varint — a full decode is a vectorized varint-decode + cumsum.
+- ``tfs`` blob:   term frequencies, LEB128 varint, same block split.
+- ``norms`` blob: 1 byte per posting (Lucene SmallFloat byte4 of the
+  doc length — ``norms.encode_norm``).
+- ``skip`` blob:  per 128-posting block, fixed-width arrays:
+  last_doc_id (u64), doc-blob end offset (u32), tf-blob end offset
+  (u32), max_tf (u32), min_norm (u8).  ``last_doc_id`` is the skip
+  pointer; ``(max_tf, min_norm)`` gives the block-max score bound for
+  WAND (see ``norms.tf_norm_upper_bound``).
+
+Doc ids are the engine's stable 63-bit content-derived ids (sparse).
+Deltas within a posting list scale with 2^63/df, so exactly the long
+(hot-term) lists compress well; the documented upgrade path is dense
+per-range ordinals.  All codecs are numpy-vectorized — no per-posting
+Python loops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+BLOCK = 128
+
+_SKIP_DTYPE = np.dtype([
+    ("last_doc", "<u8"),
+    ("doc_end", "<u4"),
+    ("tf_end", "<u4"),
+    ("max_tf", "<u4"),
+    ("min_norm", "u1"),
+])
+
+
+# ---------------------------------------------------------------------------
+# LEB128 varint, vectorized
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Vectorized LEB128 encode of a uint64 array."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    # number of 7-bit groups per value
+    lengths = np.ones(a.size, dtype=np.int64)
+    t = a >> np.uint64(7)
+    while t.any():
+        lengths += (t > 0)
+        t >>= np.uint64(7)
+    starts = np.zeros(a.size, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    out = np.zeros(int(lengths.sum()), dtype=np.uint8)
+    rem = a.copy()
+    g = 0
+    mask = lengths > g
+    while mask.any():
+        byte = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (lengths[mask] > g + 1).astype(np.uint8) << 7
+        out[starts[mask] + g] = byte | cont
+        rem >>= np.uint64(7)
+        g += 1
+        mask = lengths > g
+    return out.tobytes()
+
+
+def varint_decode(blob: bytes, count: int | None = None) -> np.ndarray:
+    """Vectorized LEB128 decode -> uint64 array."""
+    raw = np.frombuffer(blob, dtype=np.uint8)
+    if raw.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    ends = np.flatnonzero((raw & 0x80) == 0)  # terminator byte per value
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    vals = np.zeros(ends.size, dtype=np.uint64)
+    g = 0
+    mask = lengths > g
+    while mask.any():
+        vals[mask] |= (raw[starts[mask] + g] & np.uint64(0x7F)).astype(np.uint64) << np.uint64(7 * g)
+        g += 1
+        mask = lengths > g
+    if count is not None and vals.size != count:
+        raise ValueError(f"varint stream held {vals.size} values, expected {count}")
+    return vals
+
+
+# ---------------------------------------------------------------------------
+# Term postings
+
+
+@dataclass
+class TermPostings:
+    doc_ids: np.ndarray   # uint64, sorted ascending, unique
+    tfs: np.ndarray       # uint32
+    norms: np.ndarray     # uint8 (SmallFloat byte4 of doc length)
+
+    @property
+    def df(self) -> int:
+        return int(self.doc_ids.size)
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray
+                    ) -> tuple[bytes, bytes, bytes, bytes]:
+    """-> (docs_blob, tfs_blob, norms_blob, skip_blob).
+
+    ``doc_ids`` must be sorted ascending and unique (canonical order;
+    enforced by the shard builder)."""
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint32)
+    norms = np.ascontiguousarray(norms, dtype=np.uint8)
+    n = doc_ids.size
+    deltas = np.empty(n, dtype=np.uint64)
+    if n:
+        deltas[0] = doc_ids[0]
+        np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
+    n_blocks = (n + BLOCK - 1) // BLOCK
+    skip = np.zeros(n_blocks, dtype=_SKIP_DTYPE)
+    doc_parts: list[bytes] = []
+    tf_parts: list[bytes] = []
+    doc_off = 0
+    tf_off = 0
+    for j in range(n_blocks):
+        lo, hi = j * BLOCK, min((j + 1) * BLOCK, n)
+        db = varint_encode(deltas[lo:hi])
+        tb = varint_encode(tfs[lo:hi].astype(np.uint64))
+        doc_off += len(db)
+        tf_off += len(tb)
+        doc_parts.append(db)
+        tf_parts.append(tb)
+        skip[j]["last_doc"] = doc_ids[hi - 1]
+        skip[j]["doc_end"] = doc_off
+        skip[j]["tf_end"] = tf_off
+        skip[j]["max_tf"] = tfs[lo:hi].max()
+        skip[j]["min_norm"] = norms[lo:hi].min()
+    return b"".join(doc_parts), b"".join(tf_parts), norms.tobytes(), skip.tobytes()
+
+
+def decode_postings(docs_blob: bytes, tfs_blob: bytes, norms_blob: bytes,
+                    df: int) -> TermPostings:
+    """Full vectorized decode (term-at-a-time scoring path)."""
+    deltas = varint_decode(docs_blob, df)
+    doc_ids = np.cumsum(deltas, dtype=np.uint64)
+    tfs = varint_decode(tfs_blob, df).astype(np.uint32)
+    norms = np.frombuffer(norms_blob, dtype=np.uint8)
+    return TermPostings(doc_ids, tfs, norms)
+
+
+def decode_skip(skip_blob: bytes) -> np.ndarray:
+    return np.frombuffer(skip_blob, dtype=_SKIP_DTYPE)
+
+
+def decode_block(docs_blob: bytes, tfs_blob: bytes, norms_blob: bytes,
+                 skip: np.ndarray, j: int, df: int
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a single 128-posting block (WAND skipping path)."""
+    doc_lo = int(skip[j - 1]["doc_end"]) if j else 0
+    tf_lo = int(skip[j - 1]["tf_end"]) if j else 0
+    base = np.uint64(skip[j - 1]["last_doc"]) if j else np.uint64(0)
+    lo, hi = j * BLOCK, min((j + 1) * BLOCK, df)
+    deltas = varint_decode(docs_blob[doc_lo:int(skip[j]["doc_end"])], hi - lo)
+    doc_ids = base + np.cumsum(deltas, dtype=np.uint64)
+    tfs = varint_decode(tfs_blob[tf_lo:int(skip[j]["tf_end"])], hi - lo).astype(np.uint32)
+    norms = np.frombuffer(norms_blob, dtype=np.uint8)[lo:hi]
+    return doc_ids, tfs, norms
+
+
+def merge_postings(runs: list[TermPostings]) -> TermPostings:
+    """Merge salted runs of one term (disjoint doc sets, each sorted)
+    into one canonical sorted posting list — used when hot-term salting
+    (SURVEY.md §7.4) split a term's postings across segments."""
+    if len(runs) == 1:
+        return runs[0]
+    doc_ids = np.concatenate([r.doc_ids for r in runs])
+    tfs = np.concatenate([r.tfs for r in runs])
+    norms = np.concatenate([r.norms for r in runs])
+    order = np.argsort(doc_ids, kind="stable")
+    return TermPostings(doc_ids[order], tfs[order], norms[order])

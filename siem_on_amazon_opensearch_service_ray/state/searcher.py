@@ -1,0 +1,373 @@
+"""Query execution: BM25 top-k over the term-partitioned index.
+
+The index is term-partitioned (``crc32(field:term) % P``, SURVEY.md
+§7.4), so a query's terms each live in exactly one part.  Execution:
+
+1. the driver routes each analyzed query term to its owning part,
+2. stateful ``PartActor``s (one per part, ShardReader loaded once in
+   ``__init__`` — the actor-pool equivalent of a warm OpenSearch shard,
+   SURVEY.md §7.3) return the term's postings rows,
+3. the scorer runs document-at-a-time **block-max WAND** (Ding & Suel,
+   SIGIR'11) or vectorized term-at-a-time scoring over the gathered
+   postings; both produce identical top-k (tested).
+
+Ranking contract (reference: Lucene defaults, BASELINE.md): BM25
+k1=1.2 b=0.75, idf = ln(1+(N-df+0.5)/(df+0.5)), doc length quantized
+through the SmallFloat byte4 norm, ties broken (score desc, doc_id
+asc).  Keyword filters (lang/repo) intersect sorted filter posting
+lists before ranking.
+
+Scale notes: postings travel from part actors to the scorer once per
+(query, term) — the payload is the compressed blobs, not documents.
+Hot-term salted runs are merged (sorted) and re-blocked in memory; the
+block-max metadata then drives WAND skipping.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections import Counter
+from dataclasses import dataclass
+
+import numpy as np
+
+import ray
+
+from .. import B, K1
+from ..analysis import ANALYZERS
+from ..norms import decode_norm, idf as idf_fn, tf_norm
+from ..postings import BLOCK, decode_postings, merge_postings
+from .shard import ShardReader
+
+
+@dataclass
+class TermData:
+    qidx: int              # position in the (deduped, ordered) query term list
+    weight: float          # query-term multiplicity
+    idf: float
+    doc_ids: np.ndarray    # uint64 sorted
+    tfs: np.ndarray
+    lens: np.ndarray       # effective (norm-decoded) doc lengths
+    blk_last: np.ndarray   # per-128-block last doc id
+    blk_ub: np.ndarray     # per-block upper bound of idf*tfn (excl. weight)
+
+
+def _blocks_from_arrays(doc_ids: np.ndarray, tfs: np.ndarray,
+                        lens: np.ndarray, idf: float, avgdl: float,
+                        k1: float, b: float) -> tuple[np.ndarray, np.ndarray]:
+    n = doc_ids.size
+    n_blocks = (n + BLOCK - 1) // BLOCK
+    pad = n_blocks * BLOCK - n
+    if pad:
+        tfs_p = np.concatenate([tfs, np.zeros(pad, tfs.dtype)])
+        lens_p = np.concatenate([lens, np.full(pad, lens.max() if n else 1)])
+    else:
+        tfs_p, lens_p = tfs, lens
+    max_tf = tfs_p.reshape(n_blocks, BLOCK).max(axis=1)
+    min_len = lens_p.reshape(n_blocks, BLOCK).min(axis=1)
+    blk_last = doc_ids[np.minimum(np.arange(1, n_blocks + 1) * BLOCK - 1, n - 1)]
+    blk_ub = idf * tf_norm(max_tf, min_len, avgdl, k1, b)
+    return blk_last, blk_ub
+
+
+def prepare_terms(query_terms: list[str], rows_by_term: dict[str, list[tuple]],
+                  n_docs: int, avgdl: float, k1: float = K1, b: float = B
+                  ) -> list[TermData]:
+    """Dedup query terms (keeping first-seen order; multiplicity becomes
+    the clause weight, Lucene boolean-clause parity), decode + merge
+    salted runs, attach block-max metadata."""
+    counts = Counter(query_terms)
+    ordered = list(dict.fromkeys(query_terms))
+    out: list[TermData] = []
+    for qidx, term in enumerate(ordered):
+        rows = rows_by_term.get(term) or []
+        runs = [decode_postings(docs, tfs, norms, df)
+                for df, docs, tfs, norms, _skip in rows]
+        if not runs:
+            out.append(TermData(qidx, float(counts[term]), 0.0,
+                                np.zeros(0, np.uint64), np.zeros(0, np.uint32),
+                                np.zeros(0, np.int64), np.zeros(0, np.uint64),
+                                np.zeros(0, np.float64)))
+            continue
+        tp = merge_postings(runs)
+        lens = decode_norm(tp.norms)
+        w = float(counts[term])
+        t_idf = float(idf_fn(tp.df, n_docs))
+        blk_last, blk_ub = _blocks_from_arrays(tp.doc_ids, tp.tfs, lens,
+                                               t_idf, avgdl, k1, b)
+        out.append(TermData(qidx, w, t_idf, tp.doc_ids, tp.tfs, lens.astype(np.int64),
+                            blk_last, blk_ub))
+    return out
+
+
+def _apply_filter(doc_ids: np.ndarray, filter_ids: np.ndarray | None) -> np.ndarray:
+    """Boolean mask of doc_ids present in the sorted filter list."""
+    if filter_ids is None:
+        return np.ones(doc_ids.size, dtype=bool)
+    if filter_ids.size == 0:
+        return np.zeros(doc_ids.size, dtype=bool)
+    pos = np.minimum(np.searchsorted(filter_ids, doc_ids), filter_ids.size - 1)
+    return filter_ids[pos] == doc_ids
+
+
+def score_taat(terms: list[TermData], k: int, mode: str, avgdl: float,
+               filter_ids: np.ndarray | None = None,
+               k1: float = K1, b: float = B) -> list[tuple[float, int]]:
+    """Vectorized term-at-a-time scoring (exact; also the in-memory
+    oracle for WAND).  Returns [(score, doc_id)] sorted (score desc,
+    doc_id asc), length <= k."""
+    live = [t for t in terms if t.doc_ids.size]
+    n_required = len(terms)
+    if not live or (mode == "and" and len(live) < n_required):
+        return []
+    all_docs = np.concatenate([t.doc_ids for t in live])
+    contribs = np.concatenate([
+        t.weight * t.idf * tf_norm(t.tfs, t.lens, avgdl, k1, b) for t in live])
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.bincount(inv, weights=contribs, minlength=uniq.size)
+    mask = np.ones(uniq.size, dtype=bool)
+    if mode == "and":
+        hits = np.bincount(inv, minlength=uniq.size)
+        mask &= hits == n_required
+    mask &= _apply_filter(uniq, filter_ids)
+    uniq, scores = uniq[mask], scores[mask]
+    if uniq.size == 0:
+        return []
+    kk = min(k, uniq.size)
+    if uniq.size > 4096:
+        # candidate pruning: everything scoring >= the kth score stays
+        # eligible so (score desc, doc_id asc) ties resolve exactly
+        thresh = np.partition(scores, uniq.size - kk)[uniq.size - kk]
+        cand = np.flatnonzero(scores >= thresh)
+    else:
+        cand = np.arange(uniq.size)
+    order = cand[np.lexsort((uniq[cand], -scores[cand]))][:kk]
+    return [(float(scores[i]), int(uniq[i])) for i in order]
+
+
+class _Cursor:
+    __slots__ = ("t", "pos", "n")
+
+    def __init__(self, t: TermData):
+        self.t = t
+        self.pos = 0
+        self.n = t.doc_ids.size
+
+    @property
+    def doc(self) -> int:
+        return int(self.t.doc_ids[self.pos]) if self.pos < self.n else 1 << 63
+
+    def advance_to(self, target: int) -> None:
+        # np.uint64() keeps the compare integral — a Python-int target
+        # would promote the uint64 ids to float64 and lose 63-bit precision
+        target = min(target, (1 << 64) - 1)
+        self.pos += int(np.searchsorted(self.t.doc_ids[self.pos:],
+                                        np.uint64(target), side="left"))
+
+    def bound_for(self, target: int) -> tuple[int, float]:
+        """BMW shallow advance: (last doc, ub) of the block that contains
+        ``target`` — the true per-block upper bound for scoring target.
+        (inf, 0) when the posting list ends before target."""
+        j = int(np.searchsorted(self.t.blk_last, np.uint64(target), side="left"))
+        if j >= self.t.blk_last.size:
+            return 1 << 63, 0.0
+        return int(self.t.blk_last[j]), float(self.t.blk_ub[j]) * self.t.weight
+
+    def max_ub(self) -> float:
+        return float(self.t.blk_ub.max()) * self.t.weight if self.n else 0.0
+
+    def contrib(self, avgdl: float, k1: float, b: float) -> float:
+        i = self.pos
+        return self.t.weight * self.t.idf * float(
+            tf_norm(self.t.tfs[i:i + 1], self.t.lens[i:i + 1], avgdl, k1, b)[0])
+
+
+def score_wand(terms: list[TermData], k: int, mode: str, avgdl: float,
+               filter_ids: np.ndarray | None = None,
+               k1: float = K1, b: float = B) -> list[tuple[float, int]]:
+    """Document-at-a-time block-max WAND top-k.
+
+    Maintains a (score, -doc_id) min-heap of size k; a pivot is the
+    first cursor (sorted by current doc) where the prefix sum of term
+    upper bounds reaches the heap threshold; block-max metadata then
+    either certifies a deep skip past the shortest covered block or the
+    pivot doc is fully evaluated.  ``mode='and'`` sets the required
+    match count to all terms (conjunction iterator parity — SURVEY.md
+    §2.5).  Exactness vs score_taat is pytest-asserted.
+    """
+    live = [t for t in terms if t.doc_ids.size]
+    n_required = len(terms) if mode == "and" else 1
+    if not live or len(live) < n_required:
+        return []
+    cursors = [_Cursor(t) for t in live]
+    ubs = {id(c): c.max_ub() for c in cursors}
+    heap: list[tuple[float, int]] = []  # (score, -doc_id); weakest first
+    theta = -np.inf
+
+    while True:
+        cursors.sort(key=lambda c: c.doc)
+        if cursors[0].doc == 1 << 63:
+            break
+        # pivot: first index where prefix ub sum could beat theta AND
+        # at least n_required terms can align
+        acc = 0.0
+        pivot = None
+        for i, c in enumerate(cursors):
+            if c.doc == 1 << 63:
+                break
+            acc += ubs[id(c)]
+            if i + 1 >= n_required and (acc >= theta or len(heap) < k):
+                pivot = i
+                break
+        if pivot is None:
+            break
+        pivot_doc = cursors[pivot].doc
+        # widen the pivot to every cursor already sitting on pivot_doc so
+        # the block-max sum is a true upper bound for that doc
+        while pivot + 1 < len(cursors) and cursors[pivot + 1].doc == pivot_doc:
+            pivot += 1
+        # block-max refinement over cursors[0..pivot]
+        blocksum = 0.0
+        min_blk_last = 1 << 63
+        for c in cursors[:pivot + 1]:
+            bl, bub = c.bound_for(pivot_doc)
+            blocksum += bub
+            min_blk_last = min(min_blk_last, bl)
+        if len(heap) >= k and blocksum < theta:
+            nxt = min_blk_last + 1
+            if pivot + 1 < len(cursors):
+                nxt = min(nxt, cursors[pivot + 1].doc)
+            nxt = max(nxt, pivot_doc + 1)
+            for c in cursors[:pivot + 1]:
+                c.advance_to(nxt)
+            continue
+        if cursors[0].doc == pivot_doc:
+            # fully evaluate pivot_doc
+            matched = [c for c in cursors if c.doc == pivot_doc]
+            ok = len(matched) >= n_required and (
+                mode != "and" or len(matched) == len(terms))
+            if ok and filter_ids is not None:
+                ok = bool(_apply_filter(np.array([pivot_doc], np.uint64),
+                                        filter_ids)[0])
+            if ok:
+                # fp determinism: accumulate in query-term order
+                matched.sort(key=lambda c: c.t.qidx)
+                score = 0.0
+                for c in matched:
+                    score += c.contrib(avgdl, k1, b)
+                item = (score, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                else:
+                    heapq.heappushpop(heap, item)
+                if len(heap) == k:
+                    theta = heap[0][0]
+            for c in matched:
+                c.advance_to(pivot_doc + 1)
+        else:
+            for c in cursors[:pivot]:
+                c.advance_to(pivot_doc)
+    out = sorted(heap, key=lambda x: (-x[0], -x[1]))
+    return [(s, -nd) for s, nd in out]
+
+
+# ---------------------------------------------------------------------------
+# actors + driver
+
+
+@ray.remote
+class PartActor:
+    """One term-partition's warm shard (state loaded once, SURVEY §7.3)."""
+
+    def __init__(self, index_dir: str, part: int):
+        self.reader = ShardReader(index_dir, part)
+
+    def get_terms(self, field: str, terms: list[str]) -> dict[str, list[tuple]]:
+        return {t: self.reader.raw_rows(field, t) for t in terms
+                if self.reader.raw_rows(field, t)}
+
+    def ping(self) -> bool:
+        return True
+
+
+class Searcher:
+    """Driver-side coordinator: routes query terms to part actors,
+    gathers postings, scores with WAND (default) or TAAT."""
+
+    def __init__(self, index_dir: str, use_actors: bool = True):
+        import json as _json
+        import os as _os
+        import zlib as _zlib
+        with open(_os.path.join(index_dir, "INDEX_MANIFEST.json")) as f:
+            self.manifest = _json.load(f)
+        self.index_dir = index_dir
+        self.P = int(self.manifest["config"]["num_partitions"])
+        self.stats = self.manifest["stats"]
+        self._crc = _zlib.crc32
+        self.use_actors = use_actors and ray.is_initialized()
+        if self.use_actors:
+            self.actors = [PartActor.remote(index_dir, p) for p in range(self.P)]
+        else:
+            self.readers = {p: ShardReader(index_dir, p) for p in range(self.P)}
+        self._filter_cache: dict[tuple[str, str], np.ndarray] = {}
+
+    def close(self) -> None:
+        if self.use_actors:
+            for a in self.actors:
+                ray.kill(a)
+
+    def _gather(self, field: str, terms: list[str]) -> dict[str, list[tuple]]:
+        by_part: dict[int, list[str]] = {}
+        for t in dict.fromkeys(terms):
+            p = self._crc(f"{field}\x1f{t}".encode()) % self.P
+            by_part.setdefault(p, []).append(t)
+        rows: dict[str, list[tuple]] = {}
+        if self.use_actors:
+            futs = [self.actors[p].get_terms.remote(field, ts)
+                    for p, ts in by_part.items()]
+            for d in ray.get(futs):
+                rows.update(d)
+        else:
+            for p, ts in by_part.items():
+                for t in ts:
+                    r = self.readers[p].raw_rows(field, t)
+                    if r:
+                        rows[t] = r
+        return rows
+
+    def _filter_ids(self, field: str, value: str) -> np.ndarray:
+        key = (field, value)
+        if key not in self._filter_cache:
+            import os as _os
+            import pyarrow.parquet as _pq
+            path = _os.path.join(self.index_dir, f"filter-{field}.parquet")
+            ids = np.zeros(0, dtype=np.uint64)
+            if _os.path.exists(path):
+                t = _pq.read_table(path)
+                vals = t.column("value").to_pylist()
+                if value in vals:
+                    ids = np.frombuffer(t.column("docs")[vals.index(value)].as_py(),
+                                        dtype="<u8")
+            self._filter_cache[key] = ids
+        return self._filter_cache[key]
+
+    def search(self, query: str, field: str = "content", k: int = 10,
+               mode: str = "or", method: str = "wand",
+               filter_field: str | None = None, filter_value: str | None = None,
+               analyzer: str | None = None,
+               k1: float = K1, b: float = B) -> list[tuple[float, int]]:
+        if analyzer is None:
+            analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
+                             if f == field), "code")
+        q_terms = ANALYZERS[analyzer](query)
+        if not q_terms:
+            return []
+        rows = self._gather(field, q_terms)
+        avgdl = float(self.stats["avgdl"][field])
+        n_docs = int(self.stats["n_docs"])
+        terms = prepare_terms(q_terms, rows, n_docs, avgdl, k1, b)
+        filt = None
+        if filter_field is not None:
+            filt = self._filter_ids(filter_field, filter_value)
+        fn = score_wand if method == "wand" else score_taat
+        return fn(terms, k, mode, avgdl, filt, k1, b)

@@ -1,0 +1,85 @@
+"""Shard reader: loads one term-partition's segments and serves merged
+posting lists.
+
+A *part* owns all terms with ``crc32(field:term) % P == part``; its
+directory holds one segment parquet per salt value (hot terms were
+split by ``doc_id % n_salts`` at build — pipelines.build_index).  The
+reader merges a term's salted runs into one canonical doc_id-sorted
+posting list at access time (score-identical by construction; tested).
+
+This is the warm-shard state the reference holds inside OpenSearch data
+nodes — here it is the ``__init__``-loaded state of a Ray actor
+(SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from ..postings import TermPostings, decode_postings, decode_skip, merge_postings
+
+
+class ShardReader:
+    def __init__(self, index_dir: str, part: int):
+        self.index_dir = index_dir
+        self.part = part
+        part_dir = os.path.join(index_dir, "parts", f"part-{part:04d}")
+        # (field, term) -> list of raw rows (df, docs, tfs, norms, skip)
+        self.terms: dict[tuple[str, str], list[tuple]] = {}
+        if os.path.isdir(part_dir):
+            for seg in sorted(os.listdir(part_dir)):
+                if not seg.endswith(".parquet"):
+                    continue
+                t = pq.read_table(os.path.join(part_dir, seg))
+                cols = [t.column(c) for c in
+                        ("field", "term", "df", "docs", "tfs", "norms", "skip")]
+                for i in range(t.num_rows):
+                    key = (cols[0][i].as_py(), cols[1][i].as_py())
+                    row = (cols[2][i].as_py(), cols[3][i].as_py(),
+                           cols[4][i].as_py(), cols[5][i].as_py(),
+                           cols[6][i].as_py())
+                    self.terms.setdefault(key, []).append(row)
+        with open(os.path.join(index_dir, "INDEX_MANIFEST.json")) as f:
+            self.manifest = json.load(f)
+        self.stats = self.manifest["stats"]
+        self._filters: dict[str, dict[str, np.ndarray]] = {}
+
+    def df(self, field: str, term: str) -> int:
+        rows = self.terms.get((field, term))
+        return sum(r[0] for r in rows) if rows else 0
+
+    def postings(self, field: str, term: str) -> TermPostings | None:
+        rows = self.terms.get((field, term))
+        if not rows:
+            return None
+        runs = [decode_postings(docs, tfs, norms, df)
+                for df, docs, tfs, norms, _skip in rows]
+        return merge_postings(runs)
+
+    def raw_rows(self, field: str, term: str) -> list[tuple]:
+        """Raw (df, docs, tfs, norms, skip) rows — the WAND path decodes
+        per-block via the skip metadata instead of fully."""
+        return self.terms.get((field, term), [])
+
+    def skip_for(self, row: tuple) -> np.ndarray:
+        return decode_skip(row[4])
+
+    def filter_docs(self, field: str, value: str) -> np.ndarray:
+        """Sorted doc ids matching keyword field == value (loaded lazily,
+        cached per reader)."""
+        cache = self._filters.setdefault(field, {})
+        if value not in cache:
+            path = os.path.join(self.index_dir, f"filter-{field}.parquet")
+            ids = np.zeros(0, dtype=np.uint64)
+            if os.path.exists(path):
+                t = pq.read_table(path)
+                vals = t.column("value").to_pylist()
+                if value in vals:
+                    blob = t.column("docs")[vals.index(value)].as_py()
+                    ids = np.frombuffer(blob, dtype="<u8")
+            cache[value] = ids
+        return cache[value]

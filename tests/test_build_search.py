@@ -1,0 +1,177 @@
+"""End-to-end: index build -> WAND/TAAT search, rank-identical to the
+flat BM25 oracle (FIXTURES.md F2 query classes); resume; invariants."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
+    IndexConfig, build_index)
+from siem_on_amazon_opensearch_service_ray.pipelines.search import flat_bm25_topk
+from siem_on_amazon_opensearch_service_ray.state.searcher import Searcher
+
+CFG = IndexConfig(num_partitions=4, sample_mod=1, hot_df_threshold=500,
+                  salt_unit=300, max_salts=4)
+
+# F2 query classes: rare term, hot term, multi-term, camelCase ident,
+# snake_case ident, zero-hit, matches-everything-ish
+QUERIES = [
+    "needle_137",
+    "def",
+    "return import class",
+    "getHttpResponse",
+    "content_sha256",
+    "zz_no_such_term_zz",
+    "def return",
+]
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, small_corpus, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("index") / "idx")
+    manifest = build_index(small_corpus, index_dir, CFG)
+    return small_corpus, index_dir, manifest
+
+
+def test_manifest_and_salting(built):
+    _, index_dir, manifest = built
+    assert manifest["stats"]["n_docs"] > 1000
+    assert manifest["stats"]["avgdl"]["content"] > 10
+    # 'def' is planted hot: salting must have kicked in
+    assert manifest["metrics"]["hot_terms"] >= 1
+    parts = os.listdir(os.path.join(index_dir, "parts"))
+    assert len(parts) == CFG.num_partitions
+    # at least one part has >1 segment (salted runs)
+    seg_counts = [len([s for s in os.listdir(os.path.join(index_dir, "parts", p))
+                       if s.endswith(".parquet")]) for p in parts]
+    assert max(seg_counts) > 1
+
+
+def test_docstore_dedup_and_sha_invariant(built, small_corpus):
+    import hashlib
+
+    import pyarrow.parquet as pq
+    _, index_dir, manifest = built
+    store = os.path.join(index_dir, "docstore")
+    tables = [pq.read_table(os.path.join(store, f))
+              for f in sorted(os.listdir(store)) if f.endswith(".parquet")]
+    ids = np.concatenate([t.column("doc_id").to_numpy() for t in tables])
+    assert ids.size == np.unique(ids).size  # exact dedup happened
+    assert ids.size == manifest["stats"]["n_docs"]
+    # content sha256 end-to-end: recompute from the input for a sample
+    import pyarrow.parquet as pq2
+    from siem_on_amazon_opensearch_service_ray.corpus import corpus_paths
+    src = pq2.read_table(corpus_paths(small_corpus)[0]).to_pylist()
+    stored = {}
+    for t in tables:
+        for r in t.select(["doc_id", "content_sha256"]).to_pylist():
+            stored[r["doc_id"]] = r["content_sha256"]
+    from siem_on_amazon_opensearch_service_ray.stages.docprep import _doc_id_from_key
+    for row in src[:50]:
+        did = _doc_id_from_key((row["repo"], row["path"], row["commit"]))
+        assert stored[did] == hashlib.sha256(row["content"].encode()).hexdigest()
+
+
+def _index_stats_for(searcher, field, terms):
+    """(n_docs, avgdl, df) taken from the index — the deduped truth."""
+    rows = searcher._gather(field, terms)
+    df = {t: sum(r[0] for r in rows.get(t, [])) for t in terms}
+    return (int(searcher.stats["n_docs"]),
+            float(searcher.stats["avgdl"][field]), df)
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_rank_identity_wand_taat_flat(built, query):
+    corpus, index_dir, _ = built
+    searcher = Searcher(index_dir, use_actors=False)
+    from siem_on_amazon_opensearch_service_ray.analysis import code_tokens
+    stats = _index_stats_for(searcher, "content", list(dict.fromkeys(code_tokens(query))))
+    wand = searcher.search(query, k=20, method="wand")
+    taat = searcher.search(query, k=20, method="taat")
+    flat = flat_bm25_topk(corpus, query, CFG, k=20,
+                          stats_override=stats).to_pandas()
+    assert [d for _, d in wand] == [d for _, d in taat]
+    np.testing.assert_allclose([s for s, _ in wand], [s for s, _ in taat],
+                               rtol=1e-9)
+    assert [d for _, d in wand] == flat["doc_id"].tolist(), query
+    np.testing.assert_allclose([s for s, _ in wand], flat["score"].to_numpy(),
+                               rtol=1e-9)
+
+
+def test_and_mode(built):
+    _, index_dir, _ = built
+    s = Searcher(index_dir, use_actors=False)
+    res_or = s.search("def needle_137", k=50, mode="or")
+    res_and = s.search("def needle_137", k=50, mode="and", method="wand")
+    res_and_t = s.search("def needle_137", k=50, mode="and", method="taat")
+    assert [d for _, d in res_and] == [d for _, d in res_and_t]
+    assert len(res_and) <= len(res_or)
+    and_docs = {d for _, d in res_and}
+    assert and_docs <= {d for _, d in res_or}
+
+
+def test_zero_hits(built):
+    _, index_dir, _ = built
+    s = Searcher(index_dir, use_actors=False)
+    # note: an underscore token would split into subtokens that may hit
+    assert s.search("qqxyzzyq") == []
+    assert s.search("") == []
+
+
+def test_path_field_search(built):
+    _, index_dir, _ = built
+    s = Searcher(index_dir, use_actors=False)
+    res = s.search("pkg_3", field="path", k=10)
+    assert res  # corpus plants pkg_0..39 paths
+
+
+def test_lang_filter(built):
+    import pyarrow.parquet as pq
+    _, index_dir, _ = built
+    s = Searcher(index_dir, use_actors=False)
+    res = s.search("def", k=30, filter_field="lang", filter_value="go")
+    assert res
+    store = os.path.join(index_dir, "docstore")
+    lang_by_id = {}
+    for f in sorted(os.listdir(store)):
+        if f.endswith(".parquet"):
+            for r in pq.read_table(os.path.join(store, f),
+                                   columns=["doc_id", "lang"]).to_pylist():
+                lang_by_id[r["doc_id"]] = r["lang"]
+    assert all(lang_by_id[d] == "go" for _, d in res)
+
+
+def test_actor_search_matches_local(built):
+    _, index_dir, _ = built
+    s_local = Searcher(index_dir, use_actors=False)
+    s_act = Searcher(index_dir, use_actors=True)
+    try:
+        for q in ("def return", "needle_137"):
+            assert s_act.search(q, k=10) == s_local.search(q, k=10)
+    finally:
+        s_act.close()
+
+
+def test_resume_skips_completed_segments(built):
+    corpus, index_dir, manifest = built
+    # full short-circuit: same fingerprint -> immediate return
+    m2 = build_index(corpus, index_dir, CFG)
+    assert m2["fingerprint"] == manifest["fingerprint"]
+    # delete the top-level manifest, rerun: segments are skipped
+    os.unlink(os.path.join(index_dir, "INDEX_MANIFEST.json"))
+    m3 = build_index(corpus, index_dir, CFG)
+    assert m3["metrics"]["skipped_segments"] == m3["metrics"]["n_segments"]
+    assert m3["stats"] == manifest["stats"]
+
+
+def test_segment_manifests_carry_lineage(built):
+    _, index_dir, manifest = built
+    mdir = os.path.join(index_dir, "manifest")
+    segs = [f for f in os.listdir(mdir) if f.startswith("seg-")]
+    assert segs
+    with open(os.path.join(mdir, segs[0])) as f:
+        m = json.load(f)
+    assert m["fingerprint"] == manifest["fingerprint"]
+    assert {"n_terms", "n_postings", "bytes", "path"} <= set(m)
