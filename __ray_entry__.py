@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (inverted-index build + BM25
+WAND query set over the sf0.001 documents corpus); ``queries()`` /
+``oracle_sql()`` expose the operator registry checked against DuckDB
+at sf0.01 (see siem_on_amazon_opensearch_service_ray/pipelines/queries.py).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()`` / ``ray.shutdown()`` happens here or in the library.
 """
 
 from __future__ import annotations
@@ -18,27 +14,45 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over sf0.001 documents, run a
+    representative query set through the WAND searcher, return the
+    hits as a DataFrame (query, rank, doc_id, score_e4)."""
+    import pandas as pd
+
+    from siem_on_amazon_opensearch_service_ray.pipelines.queries import (
+        _docs_index_cfg, _docs_index_dir, _docs_source)
+    from siem_on_amazon_opensearch_service_ray.pipelines.build_index import build_index
+    from siem_on_amazon_opensearch_service_ray.state.searcher import Searcher
+
+    idx = _docs_index_dir(SF0001)
+    build_index(_docs_source(SF0001), idx, _docs_index_cfg(), resume=True)
+    searcher = Searcher(idx, use_actors=True)
+    try:
+        rows = []
+        for q in ["spark join", "window", "hash merge sort", "customer",
+                  "vector batch"]:
+            for rank, (score, doc_id) in enumerate(
+                    searcher.search(q, field="content", k=10, method="wand")):
+                rows.append((q, rank, doc_id, round(score * 10000)))
+    finally:
+        searcher.close()
+    return pd.DataFrame(rows, columns=["query", "rank", "doc_id", "score_e4"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from siem_on_amazon_opensearch_service_ray.pipelines import queries as q
+    return q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from siem_on_amazon_opensearch_service_ray.pipelines import queries as q
+    return q.oracle_sql()

@@ -1,0 +1,156 @@
+"""Bench harness (driver contract): one JSON line on stdout.
+
+Headline = wall seconds of the flagship suite:
+  - inverted-index build over a deterministic synthetic code corpus
+    (FIXTURES.md F5; fresh index dir every run),
+  - the F2-style query set through the WAND searcher,
+  - representative data ops over $GRAFT_SF_DIR tables (TPC-H-ish agg,
+    term stats, exact dedup, brute-force ANN).
+
+``--scaling`` runs the same suite in two fresh processes at
+num_cpus=8 and num_cpus=32 and reports throughputs + efficiency plus
+an index-content determinism hash (FIXTURES.md F5: byte-identical
+shards at both parallelism levels).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_DOCS = int(os.environ.get("GRAFT_CORPUS_DOCS", "20000"))
+CORPUS_DIR = f"/tmp/sosr_bench_corpus_{CORPUS_DOCS}"
+
+QUERY_SET = ["needle_137", "def", "return import class", "getHttpResponse",
+             "content_sha256", "def return", "parse json body",
+             "block_max_wand", "shard builder merge", "qqxyzzyq"]
+
+
+def index_content_hash(index_dir: str) -> str:
+    """sha256 over every segment/docstore parquet's bytes, path-ordered —
+    the determinism fingerprint for N-vs-4N builds."""
+    h = hashlib.sha256()
+    for root, _, files in sorted(os.walk(index_dir)):
+        for fn in sorted(files):
+            if fn.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(root, fn), index_dir)
+                h.update(rel.encode())
+                with open(os.path.join(root, fn), "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def run_suite() -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from siem_on_amazon_opensearch_service_ray.corpus import generate_corpus
+    from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
+        IndexConfig, build_index)
+    from siem_on_amazon_opensearch_service_ray.pipelines import queries as Q
+    from siem_on_amazon_opensearch_service_ray.state.searcher import Searcher
+
+    timings: dict[str, float] = {}
+    generate_corpus(CORPUS_DIR, CORPUS_DOCS, seed=42)
+    # warm the page cache so we measure compute + shuffle, not cold reads
+    for root, _, files in os.walk(CORPUS_DIR):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                with open(os.path.join(root, fn), "rb") as f:
+                    f.read()
+
+    idx_dir = f"/tmp/sosr_bench_index_{NUM_CPUS}_{os.getpid()}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    cfg = IndexConfig(num_partitions=16, sample_mod=8,
+                      hot_df_threshold=5000, salt_unit=5000, max_salts=8)
+    t0 = time.monotonic()
+    manifest = build_index(CORPUS_DIR, idx_dir, cfg, resume=False)
+    timings["index_build"] = time.monotonic() - t0
+    n_docs = manifest["stats"]["n_docs"]
+
+    searcher = Searcher(idx_dir, use_actors=True)
+    searcher.search("def", k=10)          # warm the actor pool untimed
+    t0 = time.monotonic()
+    lat = []
+    for q in QUERY_SET:
+        tq = time.monotonic()
+        searcher.search(q, field="content", k=10, method="wand")
+        lat.append(time.monotonic() - tq)
+    searcher.close()
+    timings["query_set"] = time.monotonic() - t0
+    lat_sorted = sorted(lat)
+    p50 = lat_sorted[len(lat) // 2]
+    p99 = lat_sorted[min(len(lat) - 1, int(len(lat) * 0.99))]
+
+    for name in ["q1_pricing_summary", "tf_top_terms", "dedup_exact_docs",
+                 "knn_cosine", "events_hourly", "user_stats"]:
+        t0 = time.monotonic()
+        Q.queries()[name](SF_DIR)
+        timings[name] = time.monotonic() - t0
+
+    content_hash = index_content_hash(idx_dir)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    ray.shutdown()
+    total = sum(timings.values())
+    return {
+        "metric": "flagship_suite_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "corpus_docs": CORPUS_DOCS,
+        "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "index_postings": manifest["metrics"]["n_postings"],
+        "index_bytes": manifest["metrics"]["bytes"],
+        "query_p50_sec": round(p50, 4),
+        "query_p99_sec": round(p99, 4),
+        "index_content_hash": content_hash,
+    }
+
+
+def run_child(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                         capture_output=True, text=True, check=True).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = run_child(lo)
+        r_hi = run_child(hi)
+        t_lo = r_lo["queries"]["index_build"]
+        t_hi = r_hi["queries"]["index_build"]
+        eff = (t_lo / t_hi) / (hi / lo)
+        print(json.dumps({
+            "metric": "scaling",
+            "index_build_sec_8": t_lo,
+            "index_build_sec_32": t_hi,
+            "suite_sec_8": r_lo["value"],
+            "suite_sec_32": r_hi["value"],
+            "scaling_efficiency": round(eff, 3),
+            "deterministic_across_parallelism":
+                r_lo["index_content_hash"] == r_hi["index_content_hash"],
+            "index_content_hash": r_hi["index_content_hash"],
+        }))
+        return
+    print(json.dumps(run_suite()))
+
+
+if __name__ == "__main__":
+    main()

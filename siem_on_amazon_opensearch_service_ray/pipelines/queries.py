@@ -1,0 +1,708 @@
+"""Driver-contract query registry: every entry is a Ray Data pipeline
+over the testdata tables with (where SQL-expressible) a DuckDB oracle
+whose column names and value scaling match exactly.
+
+Design rules for oracle parity (avoiding float-hash flakes):
+- money/value sums are scaled to integers per row *before* summing
+  (integer sums are order-independent; double sums are not);
+- ratios use integer arithmetic (``(a*scale)//b``) on both sides;
+- genuinely transcendental outputs (BM25, cosine) round to a scale
+  where last-ulp float noise cannot flip the value.
+
+Tokenization in SQL is ``regexp_extract_all(lower(text),
+'[a-z0-9_]+')`` — exactly the engine's ``base`` analyzer, so BM25
+oracles hold end-to-end (analysis.py docstring).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..analysis import base_tokens
+from ..norms import idf as idf_fn
+from ..stages import dedup as dedup_ops
+from ..stages import knn as knn_ops
+from ..stages import textops
+from ..stages.exclude import ExclusionRule, Excluder
+from .build_index import IndexConfig, build_index
+from .search import flat_bm25_topk
+from ..state.searcher import Searcher
+
+_STOP10 = ("the", "and", "of", "to", "a", "in", "is", "that", "for", "it")
+BM25_QUERY = "spark join"
+BM25_K = 20
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _concurrency() -> int:
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(2, cpus - 2)
+
+
+# ---------------------------------------------------------------------------
+# 1. TPC-H Q1-style pricing summary — partial pre-agg then small groupby
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_linestatus", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        qty_e2 = np.round(df["l_quantity"].to_numpy() * 100).astype(np.int64)
+        price_e2 = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_e2 = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"], "l_linestatus": df["l_linestatus"],
+            "sum_qty_e2": qty_e2, "sum_base_e2": price_e2,
+            "sum_disc_e4": price_e2 * (100 - disc_e2), "count_order": 1})
+        return pa.Table.from_pandas(
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum(),
+            preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("sum_qty_e2", alias_name="sum_qty_e2"),
+                        Sum("sum_base_e2", alias_name="sum_base_e2"),
+                        Sum("sum_disc_e4", alias_name="sum_disc_e4"),
+                        Sum("count_order", alias_name="count_order")))
+    return out.to_pandas()
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(cast(round(l_quantity*100) AS BIGINT)) AS sum_qty_e2,
+       sum(cast(round(l_extendedprice*100) AS BIGINT)) AS sum_base_e2,
+       sum(cast(round(l_extendedprice*100) AS BIGINT)
+           * (100 - cast(round(l_discount*100) AS BIGINT))) AS sum_disc_e4,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. events hourly rollup (M4 timestamp normalize + groupby)
+
+
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hours = pc.floor_temporal(batch.column("ts"), unit="hour")
+        epoch = pc.divide(pc.cast(hours, pa.int64()), 1_000_000)
+        val_e2 = pc.round(pc.multiply(batch.column("value"), 100.0))
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "hour_epoch": epoch,
+            "value_e2": pc.cast(val_e2, pa.int64()),
+        })
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby(["event_type", "hour_epoch"])
+             .aggregate(Count(alias_name="n"),
+                        Sum("value_e2", alias_name="sum_value_e2")))
+    return out.to_pandas()
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type,
+       cast(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       count(*) AS n,
+       sum(cast(round(value*100) AS BIGINT)) AS sum_value_e2
+FROM events GROUP BY event_type, hour_epoch
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. JSON field extract (M1/S5) + conditional aggregate
+
+
+_K_RE = re.compile(r'"k": (\d+)')
+
+
+def events_json_extract(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        types = batch.column("event_type").to_pylist()
+        ks = [int(m.group(1)) if (m := _K_RE.search(p or "")) else None
+              for p in batch.column("props").to_pylist()]
+        df = pd.DataFrame({"event_type": types, "k": ks})
+        df["n_low"] = (df["k"] < 50).astype(np.int64)
+        df["n_high"] = (df["k"] >= 50).astype(np.int64)
+        g = df.groupby("event_type", as_index=False)[["n_low", "n_high"]].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("n_low", alias_name="n_low"),
+                        Sum("n_high", alias_name="n_high")))
+    return out.to_pandas()
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       sum(CASE WHEN k < 50 THEN 1 ELSE 0 END) AS n_low,
+       sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS n_high
+FROM (SELECT event_type,
+             cast(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. exact dedup (A7/T7) on documents text
+
+
+def dedup_exact_docs(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = dedup_ops.exact_dedup(ds, text_col="text")
+    return out.to_pandas()
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5/6/7. term stats: tf top-k, df, corpus stats (A4 partial+final)
+
+
+class _TermCounts:
+    """Per-batch partial (term, tf, df) — docs are unique per batch so
+    per-batch df partials sum correctly (partial+final, SURVEY A4)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tf: Counter = Counter()
+        df: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            toks = base_tokens(text or "")
+            tf.update(toks)
+            df.update(set(toks))
+        terms = sorted(tf)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array([tf[t] for t in terms], pa.int64()),
+            "df": pa.array([df[t] for t in terms], pa.int64()),
+        })
+
+
+def _term_stats_ds(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    return (ds.map_batches(_TermCounts, batch_format="pyarrow",
+                           concurrency=_concurrency())
+              .groupby("term")
+              .aggregate(Sum("tf", alias_name="tf"),
+                         Sum("df", alias_name="df")))
+
+
+def tf_top_terms(sf_dir: str) -> pd.DataFrame:
+    out = _term_stats_ds(sf_dir).sort(["tf", "term"], descending=[True, False]) \
+        .limit(50).to_pandas()
+    return out[["term", "tf"]]
+
+
+TF_TOP_SQL = """
+WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+             FROM documents)
+SELECT term, count(*) AS tf FROM tok GROUP BY term
+ORDER BY tf DESC, term LIMIT 50
+"""
+
+
+def df_terms(sf_dir: str) -> pd.DataFrame:
+    out = _term_stats_ds(sf_dir).to_pandas()
+    out = out[out["df"] >= 5][["term", "df"]]
+    return out
+
+
+DF_TERMS_SQL = """
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+             FROM documents)
+SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+HAVING count(DISTINCT doc_id) >= 5
+"""
+
+
+def corpus_stats(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dls = [len(base_tokens(t or "")) for t in batch.column("text").to_pylist()]
+        return pa.table({"n_docs": pa.array([len(dls)], pa.int64()),
+                         "total_tokens": pa.array([int(np.sum(dls))], pa.int64())})
+
+    n_docs = 0
+    total = 0
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        n_docs += int(np.sum(b.column("n_docs").to_numpy(zero_copy_only=False)))
+        total += int(np.sum(b.column("total_tokens").to_numpy(zero_copy_only=False)))
+    return pd.DataFrame({"n_docs": [n_docs], "total_tokens": [total],
+                         "avgdl_e4": [(total * 10000) // n_docs]})
+
+
+CORPUS_STATS_SQL = """
+WITH t AS (SELECT len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS dl
+           FROM documents)
+SELECT count(*) AS n_docs, cast(sum(dl) AS BIGINT) AS total_tokens,
+       (cast(sum(dl) AS BIGINT) * 10000) // count(*) AS avgdl_e4
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8/9. BM25 top-k: flat oracle path and indexed WAND path, same SQL
+
+
+def _docs_index_cfg() -> IndexConfig:
+    return IndexConfig(num_partitions=4,
+                       fields=(("content", "text", "base"),),
+                       keyword_fields=("lang",),
+                       doc_id_col="doc_id", sha_col="text",
+                       sample_mod=16, hot_df_threshold=1000, salt_unit=1000,
+                       max_salts=4)
+
+
+def _docs_index_dir(sf_dir: str) -> str:
+    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    return f"/tmp/sosr_docs_index_{key}"
+
+
+def _docs_source(sf_dir: str) -> list[str]:
+    return [_t(sf_dir, "documents")]
+
+
+def bm25_topk(sf_dir: str) -> pd.DataFrame:
+    out = flat_bm25_topk(_docs_source(sf_dir), BM25_QUERY,
+                         cfg=_docs_index_cfg(), field="content", k=BM25_K,
+                         length_policy="lucene").to_pandas()
+    out["score_e4"] = np.array(
+        [round(s * 10000) for s in out["score"]], dtype=np.int64)
+    return out[["doc_id", "score_e4"]]
+
+
+def search_topk(sf_dir: str) -> pd.DataFrame:
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.search(BM25_QUERY, field="content", k=BM25_K, method="wand")
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d in hits],
+        "score_e4": np.array([round(sc * 10000) for sc, _ in hits], dtype=np.int64),
+    })
+
+
+def _bm25_sql(query_terms: list[str], k: int) -> str:
+    vals = ", ".join(f"('{t}')" for t in dict.fromkeys(query_terms))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+dl AS (SELECT d.doc_id, count(t.term) AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+dlq AS (SELECT doc_id, dl,
+               CASE WHEN dl < 8 THEN dl
+                    ELSE (dl >> (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3))
+                         << (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3) END AS dl_quant
+        FROM dl),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+q(term) AS (VALUES {vals}),
+tf AS (SELECT t.doc_id, t.term, count(*) AS tf
+       FROM tok t JOIN q USING(term) GROUP BY t.doc_id, t.term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2*(1 - 0.75 + 0.75*dlq.dl_quant/s.avgdl)) ) AS score
+  FROM tf JOIN df USING(term) JOIN dlq USING(doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, cast(round(score*10000) AS BIGINT) AS score_e4
+FROM scores ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+BM25_SQL = _bm25_sql(base_tokens(BM25_QUERY), BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# 10. ANN: brute-force cosine top-k (float64 for oracle parity)
+
+
+def knn_cosine_q(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "=", 0)])
+    q = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        qn = np.linalg.norm(q[0])
+        cos = (m @ q[0]) / (np.where(norms == 0, 1, norms) * (qn or 1))
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "cosine": pa.array(cos, pa.float64())})
+
+    out = (ds.map_batches(score, batch_format="pyarrow")
+             .sort(["cosine", "vec_id"], descending=[True, False])
+             .limit(10).to_pandas())
+    out["cos_e6"] = np.array([round(c * 1e6) for c in out["cosine"]],
+                             dtype=np.int64)
+    return out[["vec_id", "cos_e6"]]
+
+
+KNN_SQL = """
+SELECT e.vec_id,
+       cast(round(list_cosine_similarity(
+           cast(e.embedding AS DOUBLE[]),
+           cast(q.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS cos_e6
+FROM embeddings e,
+     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY list_cosine_similarity(cast(e.embedding AS DOUBLE[]),
+                                cast(q.embedding AS DOUBLE[])) DESC, e.vec_id
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# 11. broadcast join (T1-T5 pattern): revenue per region
+
+
+def region_revenue(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+    cust = pq.read_table(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat = pq.read_table(_t(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = pq.read_table(_t(sf_dir, "region")).to_pandas()
+    m = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey") \
+            .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    cust_to_region = dict(zip(m["c_custkey"], m["r_name"]))
+    ref = ray.put(cust_to_region) if ray.is_initialized() else cust_to_region
+
+    class JoinAgg:
+        def __init__(self, lookup_ref):
+            self.lookup = ray.get(lookup_ref) if isinstance(
+                lookup_ref, ray.ObjectRef) else lookup_ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["r_name"] = df["o_custkey"].map(self.lookup)
+            df["revenue_e2"] = np.round(
+                df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+            g = df.groupby("r_name", as_index=False).agg(
+                n_orders=("o_custkey", "size"), revenue_e2=("revenue_e2", "sum"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_custkey", "o_totalprice"])
+    out = (ds.map_batches(JoinAgg, fn_constructor_kwargs={"lookup_ref": ref},
+                          batch_format="pyarrow", concurrency=_concurrency())
+             .groupby("r_name")
+             .aggregate(Sum("n_orders", alias_name="n_orders"),
+                        Sum("revenue_e2", alias_name="revenue_e2")))
+    return out.to_pandas()
+
+
+REGION_REVENUE_SQL = """
+SELECT r_name, count(*) AS n_orders,
+       sum(cast(round(o_totalprice*100) AS BIGINT)) AS revenue_e2
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# 12. sort + limit (top-k rows)
+
+
+def top_events(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "value"])
+    out = ds.sort(["value", "event_id"], descending=[True, False]) \
+        .limit(100).to_pandas()
+    out["value_e2"] = np.array([round(v * 100) for v in out["value"]],
+                               dtype=np.int64)
+    return out[["event_id", "value_e2"]]
+
+
+TOP_EVENTS_SQL = """
+SELECT event_id, cast(round(value*100) AS BIGINT) AS value_e2
+FROM events ORDER BY value DESC, event_id LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# 13. filter + projection with read-time pruning
+
+
+def filter_project(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "n_chars"])
+    out = ds.map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t.column("lang"), "en"),
+                                   pc.greater_equal(t.column("n_chars"), 200))),
+        batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_chars"]).to_pandas()
+
+
+FILTER_PROJECT_SQL = """
+SELECT doc_id, n_chars FROM documents WHERE lang = 'en' AND n_chars >= 200
+"""
+
+
+# ---------------------------------------------------------------------------
+# 14. token counting per doc
+
+
+def token_count_docs(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: textops.count_tokens(b, "text"), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_tokens"]).to_pandas()
+
+
+TOKEN_COUNT_SQL = """
+SELECT doc_id, cast(len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS BIGINT)
+       AS n_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# 15. quality scoring (integer-ratio scheme)
+
+
+def quality_docs(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    stop = frozenset(_STOP10)
+    punct_re = re.compile(r"[^\w\s]")
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_tok, mean_e4, punct_e6, stop_e6 = [], [], [], []
+        for t in batch.column("text").to_pylist():
+            t = t or ""
+            toks = textops.TOKEN_RE.findall(t.lower())
+            n = len(toks)
+            n_tok.append(n)
+            mean_e4.append((sum(map(len, toks)) * 10000) // n if n else 0)
+            punct_e6.append((len(punct_re.findall(t)) * 1000000) // len(t)
+                            if t else 0)
+            stop_e6.append((sum(1 for x in toks if x in stop) * 1000000) // n
+                           if n else 0)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "mean_len_e4": pa.array(mean_e4, pa.int64()),
+            "punct_e6": pa.array(punct_e6, pa.int64()),
+            "stop_e6": pa.array(stop_e6, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow").to_pandas()
+
+
+QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, text,
+                  regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+           FROM documents)
+SELECT doc_id,
+  cast(len(toks) AS BIGINT) AS n_tokens,
+  CASE WHEN len(toks) = 0 THEN 0
+       ELSE (coalesce(list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0)
+             * 10000) // len(toks) END AS mean_len_e4,
+  CASE WHEN length(text) = 0 THEN 0
+       ELSE (length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1000000)
+            // length(text) END AS punct_e6,
+  CASE WHEN len(toks) = 0 THEN 0
+       ELSE (len(list_filter(toks, x -> list_contains(
+                 {list(_STOP10)}, x))) * 1000000) // len(toks) END AS stop_e6
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# 16. exclusion filter (F2/F3)
+
+
+def exclude_events(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type"])
+    rules = [ExclusionRule("event_type", "error", "text", action="EXCLUDE")]
+    out = ds.map_batches(Excluder, fn_constructor_kwargs={"rules": rules},
+                         batch_format="pyarrow", concurrency=_concurrency())
+    return out.select_columns(["event_id", "event_type"]).to_pandas()
+
+
+EXCLUDE_EVENTS_SQL = """
+SELECT event_id, event_type FROM events WHERE event_type <> 'error'
+"""
+
+
+# ---------------------------------------------------------------------------
+# 17. per-user aggregate (dedup-by-id flavored rollup)
+
+
+def user_stats(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch.column("ts"), pa.int64())
+        val_e2 = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)),
+                         pa.int64())
+        return pa.table({"user_id": batch.column("user_id"),
+                         "ts_us": ts_us, "value_e2": val_e2})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("user_id")
+             .aggregate(Count(alias_name="n_events"),
+                        Min("ts_us", alias_name="first_ts_us"),
+                        Sum("value_e2", alias_name="sum_value_e2")))
+    df = out.to_pandas()
+    df["first_ts_epoch"] = df["first_ts_us"] // 1_000_000
+    return df[["user_id", "n_events", "first_ts_epoch", "sum_value_e2"]]
+
+
+USER_STATS_SQL = """
+SELECT user_id, count(*) AS n_events,
+       cast(floor(epoch(min(ts))) AS BIGINT) AS first_ts_epoch,
+       sum(cast(round(value*100) AS BIGINT)) AS sum_value_e2
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only entries (no SQL oracle; golden-file / pytest coverage instead)
+
+
+def minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    pairs = dedup_ops.minhash_candidate_pairs(
+        ds, "text", "doc_id", num_perm=64, bands=16,
+        concurrency=_concurrency()).to_pandas()
+    texts = rd.read_parquet(_t(sf_dir, "documents"),
+                            columns=["doc_id", "text"]).to_pandas()
+    verified = dedup_ops.verify_pairs_jaccard(
+        pairs, dict(zip(texts["doc_id"], texts["text"])), threshold=0.8)
+    verified["jaccard_e6"] = (verified["jaccard"] * 1e6).astype(np.int64)
+    return verified[["doc_a", "doc_b", "jaccard_e6"]]
+
+
+def simhash_docs(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(dedup_ops.SimHashStage,
+                         fn_constructor_kwargs={"text_col": "text"},
+                         batch_format="pyarrow", concurrency=_concurrency())
+    return out.select_columns(["doc_id", "simhash"]).to_pandas()
+
+
+def langid_docs(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(textops.LangId, batch_format="pyarrow",
+                         concurrency=_concurrency())
+    return out.select_columns(["doc_id", "pred_lang"]).to_pandas()
+
+
+def fingerprint_docs(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(textops.Fingerprint, batch_format="pyarrow",
+                         concurrency=_concurrency())
+    df = out.select_columns(["doc_id", "fingerprint"]).to_pandas()
+    df["fp0"] = [fp[0] if len(fp) else 0 for fp in df["fingerprint"]]
+    return df[["doc_id", "fp0"]]
+
+
+def knn_lsh(sf_dir: str) -> pd.DataFrame:
+    """LSH-bucketed ANN scale path (rows-only: bucket histogram)."""
+    import pyarrow.parquet as pq
+    dim_probe = pq.read_table(_t(sf_dir, "embeddings"),
+                              columns=["embedding"]).column("embedding")[0]
+    planes = knn_ops.lsh_planes(len(dim_probe.as_py()), n_bits=8)
+    ref = ray.put(planes) if ray.is_initialized() else planes
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = (ds.map_batches(knn_ops.LshBucketStage,
+                          fn_constructor_kwargs={"planes_ref": ref},
+                          batch_format="pyarrow", concurrency=_concurrency())
+             .groupby("lsh_bucket").aggregate(Count(alias_name="n")))
+    return out.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+
+def queries() -> dict:
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "events_hourly": events_hourly,
+        "events_json_extract": events_json_extract,
+        "dedup_exact_docs": dedup_exact_docs,
+        "tf_top_terms": tf_top_terms,
+        "df_terms": df_terms,
+        "corpus_stats": corpus_stats,
+        "bm25_topk": bm25_topk,
+        "search_topk": search_topk,
+        "knn_cosine": knn_cosine_q,
+        "region_revenue": region_revenue,
+        "top_events": top_events,
+        "filter_project": filter_project,
+        "token_count_docs": token_count_docs,
+        "quality_docs": quality_docs,
+        "exclude_events": exclude_events,
+        "user_stats": user_stats,
+        # rows-only (non-SQL-expressible)
+        "minhash_pairs": minhash_pairs,
+        "simhash_docs": simhash_docs,
+        "langid_docs": langid_docs,
+        "fingerprint_docs": fingerprint_docs,
+        "knn_lsh": knn_lsh,
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "q1_pricing_summary": Q1_SQL,
+        "events_hourly": EVENTS_HOURLY_SQL,
+        "events_json_extract": EVENTS_JSON_SQL,
+        "dedup_exact_docs": DEDUP_EXACT_SQL,
+        "tf_top_terms": TF_TOP_SQL,
+        "df_terms": DF_TERMS_SQL,
+        "corpus_stats": CORPUS_STATS_SQL,
+        "bm25_topk": BM25_SQL,
+        "search_topk": BM25_SQL,
+        "knn_cosine": KNN_SQL,
+        "region_revenue": REGION_REVENUE_SQL,
+        "top_events": TOP_EVENTS_SQL,
+        "filter_project": FILTER_PROJECT_SQL,
+        "token_count_docs": TOKEN_COUNT_SQL,
+        "quality_docs": QUALITY_SQL,
+        "exclude_events": EXCLUDE_EVENTS_SQL,
+        "user_stats": USER_STATS_SQL,
+    }

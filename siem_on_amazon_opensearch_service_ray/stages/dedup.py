@@ -1,0 +1,222 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard verification.
+
+Exact dedup generalizes the reference's id-based suppression (AOSS
+``docid_set`` / OpenSearch ``_id`` upsert — reference index.py:332-336,
+SURVEY.md A7/T7) to content hashing; the near-dup family is the
+standard training-data-curation stack, built Ray-Data-first:
+
+  exact:    hash column (map_batches) -> groupby(hash) -> first-wins
+  minhash:  shingle -> minhash sig (map_batches, vectorized)
+            -> explode (band_id, band_hash, doc_id) rows
+            -> groupby(band) -> candidate pairs -> Jaccard verify
+  simhash:  64-bit simhash per doc; near-dup = hamming distance <= t
+
+Scale notes: only hashes/signatures shuffle, never text; candidate
+verification re-reads just the candidate docs' shingle sets (carried
+in the pair rows at small scale; at 100 TB you'd re-join against a
+shingle store — documented trade-off).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+_WORD_RE = re.compile(r"[a-z0-9_]+")
+
+# fixed random odd multipliers/addends for the universal-hash family
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _hash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 61, size=num_perm).astype(np.uint64) | np.uint64(1)
+    b = rng.randint(0, 1 << 61, size=num_perm).astype(np.uint64)
+    return a, b
+
+
+def shingles(text: str, k: int = 3) -> np.ndarray:
+    """Word k-shingles -> stable 64-bit hashes (blake2b-8)."""
+    toks = _WORD_RE.findall((text or "").lower())
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+    return np.unique(out)
+
+
+def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized (a*x+b) mod p minhash over the shingle set."""
+    if sh.size == 0:
+        return np.full(a.size, np.iinfo(np.uint64).max, dtype=np.uint64)
+    # (num_perm, n_shingles) without materializing when large: chunk
+    vals = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    inter = np.intersect1d(a, b).size
+    union = a.size + b.size - inter
+    return inter / union if union else 0.0
+
+
+class MinHashStage:
+    """map_batches actor: emit (doc_id, band_id, band_hash) rows —
+    num_perm minhashes split into bands of rows-per-band; docs sharing
+    any (band_id, band_hash) bucket are near-dup candidates."""
+
+    def __init__(self, text_col: str, id_col: str, num_perm: int = 64,
+                 bands: int = 16, shingle_k: int = 3):
+        assert num_perm % bands == 0
+        self.text_col, self.id_col = text_col, id_col
+        self.num_perm, self.bands, self.k = num_perm, bands, shingle_k
+        self.rows_per_band = num_perm // bands
+        self.a, self.b = _hash_params(num_perm)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        out_id, out_band, out_hash = [], [], []
+        for i, t in enumerate(batch.column(self.text_col).to_pylist()):
+            sig = minhash_signature(shingles(t, self.k), self.a, self.b)
+            for band in range(self.bands):
+                seg = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
+                h = hashlib.blake2b(seg.tobytes(), digest_size=8).digest()
+                out_id.append(ids[i])
+                out_band.append(band)
+                out_hash.append(int.from_bytes(h, "big") >> 1)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "band_id": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.int64()),
+        })
+
+
+def minhash_candidate_pairs(ds: rd.Dataset, text_col: str, id_col: str,
+                            num_perm: int = 64, bands: int = 16,
+                            shingle_k: int = 3,
+                            concurrency: int = 4) -> rd.Dataset:
+    """Dataset -> Dataset[(doc_a, doc_b)] candidate near-dup pairs
+    (doc_a < doc_b), deduplicated."""
+    sig = ds.map_batches(MinHashStage,
+                         fn_constructor_kwargs=dict(
+                             text_col=text_col, id_col=id_col,
+                             num_perm=num_perm, bands=bands,
+                             shingle_k=shingle_k),
+                         batch_format="pyarrow", concurrency=concurrency)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())
+        if ids.size < 2 or ids.size > 200:   # cap pathological buckets
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        ii, jj = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]})
+
+    pairs = sig.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+
+    def dedup_batchwise(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    # global pair dedup: groupby both keys, keep one row
+    return (pairs.map_batches(dedup_batchwise, batch_format="pandas")
+            .groupby(["doc_a", "doc_b"])
+            .map_groups(lambda g: g.head(1), batch_format="pandas"))
+
+
+def verify_pairs_jaccard(pairs_df: pd.DataFrame, texts_by_id: dict[int, str],
+                         shingle_k: int = 3, threshold: float = 0.8
+                         ) -> pd.DataFrame:
+    """Driver-side verification of candidate pairs against true n-gram
+    Jaccard (candidate sets are small after LSH; at larger scale this
+    becomes a map_batches over pair rows joined to a shingle store)."""
+    rows = []
+    cache: dict[int, np.ndarray] = {}
+
+    def sh(i: int) -> np.ndarray:
+        if i not in cache:
+            cache[i] = shingles(texts_by_id[i], shingle_k)
+        return cache[i]
+
+    for a, b in zip(pairs_df["doc_a"], pairs_df["doc_b"]):
+        j = jaccard(sh(int(a)), sh(int(b)))
+        if j >= threshold:
+            rows.append((int(a), int(b), j))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word-unigram hashes."""
+    toks = _WORD_RE.findall((text or "").lower())
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for t in toks:
+        h = np.uint64(int.from_bytes(
+            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"))
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= (1 << i)
+    return out
+
+
+class SimHashStage:
+    def __init__(self, text_col: str, out_col: str = "simhash"):
+        self.text_col, self.out_col = text_col, out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = [simhash64(t) >> 1  # 63-bit, int64-safe
+                for t in batch.column(self.text_col).to_pylist()]
+        return batch.append_column(self.out_col, pa.array(vals, pa.int64()))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup pipeline
+
+
+def exact_dedup(ds: rd.Dataset, text_col: str | None = None,
+                key_col: str | None = None) -> rd.Dataset:
+    """Exact dedup: by content hash of ``text_col`` (or an existing
+    ``key_col``); survivor = min doc ordering within the group
+    (hash-partition + per-group first — SURVEY.md A7)."""
+    assert (text_col is None) != (key_col is None)
+    if text_col is not None:
+        def add_hash(batch: pa.Table) -> pa.Table:
+            hs = [int.from_bytes(
+                hashlib.sha256((t or "").encode()).digest()[:8], "big") >> 1
+                for t in batch.column(text_col).to_pylist()]
+            return batch.append_column("_content_hash", pa.array(hs, pa.int64()))
+        ds = ds.map_batches(add_hash, batch_format="pyarrow")
+        key_col = "_content_hash"
+
+    def first_row(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(list(g.columns)).head(1)
+
+    out = ds.groupby(key_col).map_groups(first_row, batch_format="pandas")
+    if text_col is not None:
+        out = out.drop_columns(["_content_hash"])
+    return out

@@ -1,0 +1,89 @@
+"""Record-exclusion operators (SURVEY.md F1-F6).
+
+Reference semantics:
+- s3-key / own-log / CSV-driven exclusion are (field, regex,
+  pattern-type) rules over nested fields (reference:
+  siem/utils.py:752-810, 872-889, 1041-1099; applied
+  siem/__init__.py:579-593);
+- SSM condition exclusion carries an action EXCLUDE | COUNT — COUNT
+  only counts matches without dropping (reference:
+  siem/utils.py:670-719, siem/__init__.py:997-1033).
+
+Our engine expresses rules over Arrow columns (dotted names are plain
+column names post-flatten); a rule set compiles once per actor.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+
+@dataclass(frozen=True)
+class ExclusionRule:
+    field: str
+    pattern: str
+    pattern_type: str = "regex"       # "regex" | "text" (exact), reference CSV column
+    action: str = "EXCLUDE"           # "EXCLUDE" | "COUNT"
+
+
+class Excluder:
+    """map_batches actor: apply exclusion rules; EXCLUDE rules drop
+    matching rows, COUNT rules annotate a ``_counted`` column (the
+    reference increments a counter and keeps the record — A6)."""
+
+    def __init__(self, rules: list[ExclusionRule]):
+        self.rules = []
+        for r in rules:
+            if r.pattern_type == "text":
+                rx = re.compile(re.escape(r.pattern) + r"\Z")
+            else:
+                rx = re.compile(r.pattern)
+            self.rules.append((r, rx))
+
+    def _matches(self, batch: pa.Table, rule: ExclusionRule,
+                 rx: re.Pattern) -> np.ndarray:
+        if rule.field not in batch.column_names:
+            return np.zeros(batch.num_rows, dtype=bool)
+        vals = batch.column(rule.field).to_pylist()
+        return np.array([v is not None and rx.match(str(v)) is not None
+                         for v in vals], dtype=bool)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        drop = np.zeros(batch.num_rows, dtype=bool)
+        counted = np.zeros(batch.num_rows, dtype=bool)
+        for rule, rx in self.rules:
+            m = self._matches(batch, rule, rx)
+            if rule.action == "COUNT":
+                counted |= m
+            else:
+                drop |= m
+        out = batch.filter(pa.array(~drop))
+        return out.append_column("_counted", pa.array(counted[~drop]))
+
+
+def match_exclusion(doc: dict, rules: list[ExclusionRule]) -> bool:
+    """Dict-level twin for reference-doctest parity
+    (siem/utils.py:1041-1099 nested-field matching).
+
+    >>> from siem_on_amazon_opensearch_service_ray.stages.cleanup import get_dotted
+    >>> r = ExclusionRule('user.name', 'svc-.*')
+    >>> match_exclusion({'user': {'name': 'svc-backup'}}, [r])
+    True
+    >>> match_exclusion({'user': {'name': 'alice'}}, [r])
+    False
+    """
+    from .cleanup import get_dotted
+    for r in rules:
+        v = get_dotted(doc, r.field)
+        if v is None:
+            continue
+        if r.pattern_type == "text":
+            if str(v) == r.pattern:
+                return True
+        elif re.match(r.pattern, str(v)):
+            return True
+    return False

@@ -1,0 +1,102 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(baseline) and an LSH-bucketed variant (scale path).
+
+Baseline: the query matrix is broadcast once (``ray.put``); every
+batch does one numpy matmul against it; per-batch partial top-k rows
+flow to a tiny global ``sort + limit`` — the classic
+scatter-gather ANN layout (no shuffle of the embedding table).
+
+Scale path: random-hyperplane LSH buckets (map_batches adds a bucket
+id; queries probe only matching buckets), trading recall for a
+pruned scan — bucket signature length configurable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _as_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    lists = col.to_pylist()
+    return np.asarray(lists, dtype=np.float32)
+
+
+class BruteForceCosine:
+    """map_batches actor: per batch, cosine of every row against the
+    broadcast query matrix; emits (row id, query idx, cosine) for the
+    per-batch top ``k`` per query (partial top-k pushdown)."""
+
+    def __init__(self, query_ref, id_col: str, vec_col: str, k: int):
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        self.q = np.asarray(q, dtype=np.float32)
+        qn = np.linalg.norm(self.q, axis=1, keepdims=True)
+        self.qn = np.where(qn == 0, 1, qn)
+        self.id_col, self.vec_col, self.k = id_col, vec_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        m = _as_matrix(batch.column(self.vec_col))
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms = np.where(norms == 0, 1, norms)
+        sims = (m / norms) @ (self.q / self.qn).T          # (rows, n_queries)
+        out_id, out_q, out_cos = [], [], []
+        kk = min(self.k, sims.shape[0])
+        for qi in range(sims.shape[1]):
+            top = np.argpartition(-sims[:, qi], kk - 1)[:kk]
+            out_id.extend(int(i) for i in ids[top])
+            out_q.extend([qi] * kk)
+            out_cos.extend(float(s) for s in sims[top, qi])
+        return pa.table({
+            "vec_id": pa.array(out_id, pa.int64()),
+            "query_idx": pa.array(out_q, pa.int32()),
+            "cosine": pa.array(out_cos, pa.float64()),
+        })
+
+
+def knn_cosine(ds: rd.Dataset, queries: np.ndarray, id_col: str = "vec_id",
+               vec_col: str = "embedding", k: int = 10,
+               concurrency: int = 4) -> rd.Dataset:
+    """Exact top-k via scatter-gather: per-batch partial top-k, global
+    sort + limit per query (ties: cosine desc, vec_id asc)."""
+    q_ref = ray.put(np.asarray(queries, dtype=np.float32))
+    partial = ds.map_batches(BruteForceCosine,
+                             fn_constructor_kwargs=dict(
+                                 query_ref=q_ref, id_col=id_col,
+                                 vec_col=vec_col, k=k),
+                             batch_format="pyarrow", concurrency=concurrency)
+    import pandas as pd
+
+    def topk_per_query(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        return g
+
+    return partial.groupby("query_idx").map_groups(topk_per_query,
+                                                   batch_format="pandas")
+
+
+class LshBucketStage:
+    """Scale path: random-hyperplane signature as a bucket id column —
+    co-bucketed vectors are ANN candidates; queries probe only their
+    own bucket (and optionally neighboring signatures)."""
+
+    def __init__(self, planes_ref, vec_col: str = "embedding",
+                 out_col: str = "lsh_bucket"):
+        p = ray.get(planes_ref) if isinstance(planes_ref, ray.ObjectRef) else planes_ref
+        self.planes = np.asarray(p, dtype=np.float32)   # (n_bits, dim)
+        self.vec_col, self.out_col = vec_col, out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch.column(self.vec_col))
+        bits = (m @ self.planes.T) > 0                     # (rows, n_bits)
+        weights = (1 << np.arange(bits.shape[1], dtype=np.int64))
+        buckets = (bits.astype(np.int64) * weights).sum(axis=1)
+        return batch.append_column(self.out_col, pa.array(buckets, pa.int64()))
+
+
+def lsh_planes(dim: int, n_bits: int = 8, seed: int = 11) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_bits, dim)).astype(np.float32)

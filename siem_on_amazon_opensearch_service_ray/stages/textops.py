@@ -1,0 +1,151 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+These extend the reference's per-record field derivations (the sf_*
+transform mechanism, reference siem/sf_*.py / SURVEY.md M8) with the
+operators a 100 TB corpus-curation pipeline needs.  All run as
+vectorized ``map_batches`` stages; stateful pieces (compiled regexes,
+stopword tables) live in actor ``__init__``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+TOKEN_RE = re.compile(r"[a-z0-9_]+")
+# BPE-ish sub-word split: word pieces, digits, punctuation runs
+BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
+PUNCT_RE = re.compile(r"[^\w\s]")
+
+# tiny per-language stopword profiles (n-gram heuristic input);
+# deterministic, self-contained — no external models in this container
+STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "es", "no", "por"},
+    "fr": {"le", "la", "de", "et", "un", "est", "pas", "pour", "que"},
+}
+
+
+class LangId:
+    """Heuristic language ID: stopword-hit ratio per language profile +
+    character-class fallback (CJK detection). Rows-only oracle (no SQL
+    equivalent) — scored in pytest on synthetic profiles."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "pred_lang"):
+        self.text_col, self.out_col = text_col, out_col
+        self.profiles = {k: frozenset(v) for k, v in STOPWORDS.items()}
+
+    def _predict(self, text: str) -> str:
+        if not text:
+            return "und"
+        if any("一" <= ch <= "鿿" for ch in text[:200]):
+            return "zh"
+        toks = TOKEN_RE.findall(text.lower())
+        if not toks:
+            return "und"
+        best, best_hits = "und", 0
+        for lang, stop in sorted(self.profiles.items()):
+            hits = sum(1 for t in toks if t in stop)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self._predict(t or "")
+                 for t in batch.column(self.text_col).to_pylist()]
+        return batch.append_column(self.out_col, pa.array(preds, pa.string()))
+
+
+class QualityScore:
+    """Quality heuristics per doc: token count, mean token length,
+    punctuation ratio, stopword ratio, uppercase ratio.  All ratios are
+    deterministic pure functions; SQL-expressible subset is
+    oracle-checked via DuckDB."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.stop = frozenset(STOPWORDS["en"])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_tokens, mean_len, punct_ratio, stop_ratio = [], [], [], []
+        for t in batch.column(self.text_col).to_pylist():
+            t = t or ""
+            toks = TOKEN_RE.findall(t.lower())
+            n = len(toks)
+            n_tokens.append(n)
+            mean_len.append(sum(map(len, toks)) / n if n else 0.0)
+            punct_ratio.append(len(PUNCT_RE.findall(t)) / len(t) if t else 0.0)
+            stop_ratio.append(sum(1 for x in toks if x in self.stop) / n if n else 0.0)
+        return (batch
+                .append_column("n_tokens", pa.array(n_tokens, pa.int64()))
+                .append_column("mean_token_len", pa.array(mean_len, pa.float64()))
+                .append_column("punct_ratio", pa.array(punct_ratio, pa.float64()))
+                .append_column("stopword_ratio", pa.array(stop_ratio, pa.float64())))
+
+
+def count_tokens(batch: pa.Table, text_col: str = "text",
+                 out_col: str = "n_tokens", kind: str = "word") -> pa.Table:
+    """Token counting: ``word`` = [a-z0-9_]+ runs (SQL-oracle
+    compatible); ``bpe`` = BPE-ish regex pieces (letters / digits /
+    punct runs — approximates sub-word tokenizer counts)."""
+    rx = TOKEN_RE if kind == "word" else BPE_RE
+    texts = batch.column(text_col).to_pylist()
+    if kind == "word":
+        counts = [len(rx.findall((t or "").lower())) for t in texts]
+    else:
+        counts = [len(rx.findall(t or "")) for t in texts]
+    return batch.append_column(out_col, pa.array(counts, pa.int64()))
+
+
+_FP_BASE = np.uint64(1_000_003)
+_FP_MOD_MASK = np.uint64(0x7FFF_FFFF_FFFF_FFFF)  # 63-bit: int64-safe
+
+
+def rolling_fingerprints(text: str, window: int = 8) -> np.ndarray:
+    """Rolling (polynomial) hash fingerprints over byte windows —
+    document fingerprinting primitive (winnowing-style selection takes
+    the per-window minimum downstream)."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = data.size
+    if n < window:
+        return np.zeros(0, dtype=np.uint64)
+    mask = int(_FP_MOD_MASK)
+    base = int(_FP_BASE)
+    pows = np.empty(window, dtype=np.uint64)
+    p = 1
+    for i in range(window):
+        pows[i] = p
+        p = (p * base) & mask
+    # vectorized: hash(w) = sum(byte[i] * base^(window-1-i)); uint64
+    # wraparound is the hash — silence numpy's overflow warning
+    out = np.zeros(n - window + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(window):
+            out = (out + data[i:n - window + 1 + i] * pows[window - 1 - i]) \
+                & _FP_MOD_MASK
+    return out
+
+
+class Fingerprint:
+    """map_batches stage: winnowed document fingerprint — the minimum
+    rolling hash per position-window, then the doc's k smallest distinct
+    fingerprints as a sketch column (list<uint64> as int64)."""
+
+    def __init__(self, text_col: str = "text", window: int = 8, k: int = 16):
+        self.text_col, self.window, self.k = text_col, window, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sketches = []
+        for t in batch.column(self.text_col).to_pylist():
+            fps = rolling_fingerprints(t or "", self.window)
+            if fps.size == 0:
+                sketches.append([])
+                continue
+            smallest = np.unique(fps)[: self.k]
+            sketches.append([int(x) for x in smallest.astype(np.int64)])
+        return batch.append_column(
+            "fingerprint", pa.array(sketches, pa.list_(pa.int64())))

@@ -1,0 +1,84 @@
+"""Driver-shaped oracle parity: run every SQL-backed queries() entry
+over /root/testdata/sf0.001 and compare with DuckDB — row count,
+column names, and order-insensitive values (the CORRECTNESS gate's
+local twin)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def registry(ray_session):
+    from siem_on_amazon_opensearch_service_ray.pipelines import queries as q
+    return q.queries(), q.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+              f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _to_df(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
+              "dedup_exact_docs", "tf_top_terms", "df_terms", "corpus_stats",
+              "bm25_topk", "search_topk", "knn_cosine", "region_revenue",
+              "top_events", "filter_project", "token_count_docs",
+              "quality_docs", "exclude_events", "user_stats"]
+
+
+@pytest.mark.parametrize("name", SQL_BACKED)
+def test_sql_parity(registry, con, name):
+    qs, oracles = registry
+    got = _canon(_to_df(qs[name](SF_DIR)))
+    want = _canon(con.sql(oracles[name]).df())
+    assert list(got.columns) == list(want.columns), \
+        f"{name}: cols {list(got.columns)} vs {list(want.columns)}"
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    for c in got.columns:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        if np.issubdtype(g.dtype, np.floating) or np.issubdtype(w.dtype, np.floating):
+            np.testing.assert_allclose(
+                g.astype(float), w.astype(float), rtol=1e-9,
+                err_msg=f"{name}.{c}")
+        else:
+            assert (g == w).all() if g.dtype != object else list(g) == list(w), \
+                f"{name}.{c} mismatch"
+
+
+ROWS_ONLY = ["minhash_pairs", "simhash_docs", "langid_docs",
+             "fingerprint_docs", "knn_lsh"]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_entries_run(registry, name):
+    qs, oracles = registry
+    assert name not in oracles
+    df = _to_df(qs[name](SF_DIR))
+    assert df is not None and len(df) >= 0
+    if name in ("simhash_docs", "langid_docs", "fingerprint_docs"):
+        assert len(df) == 500  # one row per document at sf0.001

@@ -1,0 +1,135 @@
+"""Training-data operators: dedup family, ANN, text analysis."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from siem_on_amazon_opensearch_service_ray.stages import dedup, knn, textops
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    texts = [
+        "the quick brown fox jumps over the lazy dog every single day",
+        "the quick brown fox jumps over the lazy dog every single day",   # exact dup
+        "the quick brown fox leaps over the lazy dog every single day",   # near dup
+        "completely different content about spark and ray data engines",
+        "der schnelle braune fuchs und die faulen hunde sind nicht da",
+        "el rapido zorro marron salta sobre el perro perezoso cada dia es que",
+    ]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })), texts
+
+
+def test_exact_dedup(docs_ds):
+    ds, texts = docs_ds
+    out = dedup.exact_dedup(ds, text_col="text").to_pandas()
+    assert len(out) == len(texts) - 1          # one exact dup removed
+    assert 0 in out["doc_id"].values and 1 not in out["doc_id"].values
+
+
+def test_minhash_lsh_finds_near_dup(docs_ds):
+    ds, texts = docs_ds
+    pairs = dedup.minhash_candidate_pairs(
+        ds, "text", "doc_id", num_perm=64, bands=16, concurrency=2).to_pandas()
+    cand = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    assert (0, 1) in cand                      # exact dup always a candidate
+    assert (0, 2) in cand or (1, 2) in cand    # near dup found
+    verified = dedup.verify_pairs_jaccard(
+        pairs, dict(enumerate(texts)), threshold=0.6)
+    vset = set(map(tuple, verified[["doc_a", "doc_b"]].to_numpy()))
+    assert (0, 1) in vset
+    # unrelated docs must not survive verification
+    assert not any(3 in p for p in vset)
+
+
+def test_jaccard_and_shingles():
+    a = dedup.shingles("a b c d e")
+    b = dedup.shingles("a b c d e")
+    assert dedup.jaccard(a, b) == 1.0
+    c = dedup.shingles("x y z w v")
+    assert dedup.jaccard(a, c) == 0.0
+
+
+def test_simhash_near_dup(docs_ds):
+    _, texts = docs_ds
+    h = [dedup.simhash64(t) for t in texts]
+    assert h[0] == h[1]
+    d_near = dedup.hamming64(h[0], h[2])
+    d_far = dedup.hamming64(h[0], h[3])
+    assert d_near < d_far
+
+
+def test_simhash_stage(docs_ds):
+    ds, _ = docs_ds
+    out = ds.map_batches(dedup.SimHashStage, batch_format="pyarrow",
+                         fn_constructor_kwargs={"text_col": "text"},
+                         concurrency=2).to_pandas()
+    assert out["simhash"].iloc[0] == out["simhash"].iloc[1]
+
+
+def test_knn_cosine_exact(ray_session):
+    rng = np.random.RandomState(5)
+    mat = rng.normal(size=(200, 16)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    }))
+    q = mat[17:18]
+    out = knn.knn_cosine(ds, q, k=5, concurrency=2).to_pandas()
+    assert out.iloc[0]["vec_id"] == 17          # self is nearest
+    assert out.iloc[0]["cosine"] == pytest.approx(1.0, abs=1e-5)
+    # oracle: numpy brute force
+    sims = (mat / np.linalg.norm(mat, axis=1, keepdims=True)) @ \
+        (q[0] / np.linalg.norm(q[0]))
+    expect = np.argsort(-sims, kind="stable")[:5]
+    assert out["vec_id"].tolist() == expect.tolist()
+
+
+def test_lsh_bucket_groups_similar(ray_session):
+    planes = knn.lsh_planes(8, n_bits=6)
+    base = np.random.RandomState(3).normal(size=(1, 8)).astype(np.float32)
+    near = base + 1e-3
+    far = -base
+    st = knn.LshBucketStage(planes, vec_col="embedding")
+    out = st(pa.table({"embedding": pa.array(
+        [list(map(float, v[0])) for v in (base, near, far)],
+        pa.list_(pa.float32()))}))
+    b = out.column("lsh_bucket").to_pylist()
+    assert b[0] == b[1] and b[0] != b[2]
+
+
+def test_langid_and_quality():
+    st = textops.LangId()
+    out = st(pa.table({"text": [
+        "the cat is in the house and it is lazy",
+        "der hund ist nicht in der stadt und das ist gut",
+        "el perro es un animal que no es el gato",
+        "漢字のテキストです 一二三", ""]}))
+    assert out.column("pred_lang").to_pylist() == ["en", "de", "es", "zh", "und"]
+    q = textops.QualityScore()
+    out2 = q(pa.table({"text": ["the dog!!!", ""]}))
+    assert out2.column("n_tokens").to_pylist() == [2, 0]
+    assert out2.column("punct_ratio").to_pylist()[0] > 0.2
+    assert out2.column("stopword_ratio").to_pylist()[0] == 0.5
+
+
+def test_token_count_and_fingerprint():
+    out = textops.count_tokens(pa.table({"text": ["a b c", ""]}))
+    assert out.column("n_tokens").to_pylist() == [3, 0]
+    out2 = textops.count_tokens(pa.table({"text": ["fooBar, baz!"]}), kind="bpe")
+    # fooBar -> fooBar; ", " -> ","; baz; "!"
+    assert out2.column("n_tokens").to_pylist() == [4]
+    fp = textops.Fingerprint()
+    t = fp(pa.table({"text": ["hello world hello world hello", "hi", ""]}))
+    s = t.column("fingerprint").to_pylist()
+    assert len(s[0]) > 0 and s[2] == []
+    # determinism
+    t2 = fp(pa.table({"text": ["hello world hello world hello"]}))
+    assert t2.column("fingerprint").to_pylist()[0] == s[0]
