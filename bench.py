@@ -122,8 +122,13 @@ def run_suite() -> dict:
     }
 
 
-def run_child(ncpu: int) -> dict:
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "200000"))
+
+
+def run_child(ncpu: int, ndocs: int | None = None) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    if ndocs:
+        env["GRAFT_CORPUS_DOCS"] = str(ndocs)
     out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                          capture_output=True, text=True, check=True).stdout
     return json.loads(out.strip().splitlines()[-1])
@@ -131,9 +136,12 @@ def run_child(ncpu: int) -> dict:
 
 def main() -> None:
     if "--scaling" in sys.argv:
+        # a compute-dominated input size: at the default 20k-doc corpus
+        # the fixed Ray session/pipeline constants (~5 s) swamp the
+        # compute and no parallelism level can show its true throughput
         lo, hi = 8, 32
-        r_lo = run_child(lo)
-        r_hi = run_child(hi)
+        r_lo = run_child(lo, SCALING_DOCS)
+        r_hi = run_child(hi, SCALING_DOCS)
         t_lo = r_lo["queries"]["index_build"]
         t_hi = r_hi["queries"]["index_build"]
         eff = (t_lo / t_hi) / (hi / lo)

@@ -56,9 +56,28 @@ def _truncate_term(tok: str) -> str:
     return raw[:MAX_TERM_BYTES].decode("utf-8", errors="ignore")
 
 
+# Per-unique-raw-token memo caches: code corpora repeat identifiers
+# heavily, so amortizing the lower/split/camel work per *distinct* token
+# (instead of per occurrence) is a ~5x tokenizer speedup.  The caches
+# hold pure-function results, so determinism is unaffected; they are
+# bounded to keep long-lived actors from growing without limit.
+_CACHE_LIMIT = 2_000_000
+_BASE_CACHE: dict[str, str] = {}
+_CODE_CACHE: dict[str, tuple[str, ...]] = {}
+
+
+def _base_one(raw: str) -> str:
+    tok = _BASE_CACHE.get(raw)
+    if tok is None:
+        tok = _truncate_term(raw.lower())
+        if len(_BASE_CACHE) < _CACHE_LIMIT:
+            _BASE_CACHE[raw] = tok
+    return tok
+
+
 def base_tokens(text: str) -> list[str]:
     """Lucene-standard-compatible: [A-Za-z0-9_]+ runs, lowercased."""
-    return [_truncate_term(t.lower()) for t in _BASE_TOKEN_RE.findall(text)]
+    return [_base_one(t) for t in _BASE_TOKEN_RE.findall(text)]
 
 
 def subtokens(token: str) -> list[str]:
@@ -70,19 +89,30 @@ def subtokens(token: str) -> list[str]:
     return out
 
 
+def _code_expand(raw: str) -> tuple[str, ...]:
+    low = raw.lower()
+    out = [_truncate_term(low)]
+    subs = subtokens(raw)
+    if len(subs) != 1 or subs[0].lower() != low:
+        out.extend(_truncate_term(s.lower()) for s in subs)
+    return tuple(out)
+
+
 def code_tokens(text: str) -> list[str]:
     """Flagship analyzer: base token + code-aware sub-tokens.
 
     Sub-tokens are emitted only when the expansion differs from the base
     token itself, so plain lowercase words contribute exactly one token.
     """
+    cache = _CODE_CACHE
     out: list[str] = []
     for raw in _BASE_TOKEN_RE.findall(text):
-        low = raw.lower()
-        out.append(_truncate_term(low))
-        subs = subtokens(raw)
-        if len(subs) != 1 or subs[0].lower() != low:
-            out.extend(_truncate_term(s.lower()) for s in subs)
+        e = cache.get(raw)
+        if e is None:
+            e = _code_expand(raw)
+            if len(cache) < _CACHE_LIMIT:
+                cache[raw] = e
+        out.extend(e)
     return out
 
 

@@ -91,15 +91,33 @@ def generate_corpus(out_dir: str, n_docs: int, seed: int = 42) -> str:
     directory already holds the expected files."""
     os.makedirs(out_dir, exist_ok=True)
     n_chunks = (n_docs + CHUNK - 1) // CHUNK
-    done_marker = os.path.join(out_dir, f".done-{n_docs}-{seed}")
+    done_marker = os.path.join(out_dir, f".done-v2-{n_docs}-{seed}")
     if os.path.exists(done_marker):
         return out_dir
-    for c in range(n_chunks):
-        n = min(CHUNK, n_docs - c * CHUNK)
+
+    def _write_chunk(c: int, n: int) -> None:
         tbl = _gen_chunk(c, n, seed)
         tmp = os.path.join(out_dir, f".tmp-chunk-{c:05d}.parquet")
-        pq.write_table(tbl, tmp)
+        # small row groups so ray.data can split file reads for
+        # parallelism (one block per row group)
+        pq.write_table(tbl, tmp, row_group_size=256)
         os.replace(tmp, os.path.join(out_dir, f"chunk-{c:05d}.parquet"))
+
+    chunks = [(c, min(CHUNK, n_docs - c * CHUNK)) for c in range(n_chunks)]
+    # chunk seeds are index-derived, so parallel generation is
+    # deterministic; use Ray when a session is live and the corpus is big
+    try:
+        import ray
+        use_ray = ray.is_initialized() and n_chunks >= 16
+    except ImportError:
+        use_ray = False
+    if use_ray:
+        import ray
+        fn = ray.remote(lambda c, n: _write_chunk(c, n))
+        ray.get([fn.remote(c, n) for c, n in chunks])
+    else:
+        for c, n in chunks:
+            _write_chunk(c, n)
     with open(done_marker, "w") as f:
         f.write("ok")
     return out_dir

@@ -61,9 +61,9 @@ from ray.data.aggregate import Sum
 from ..analysis import ANALYZERS
 from ..norms import encode_norm
 from ..postings import encode_postings
-from ..stages.docprep import add_ids_and_sha, compute_doc_ids
+from ..stages.docprep import compute_doc_ids, content_shas
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 
 
 @dataclass(frozen=True)
@@ -92,14 +92,17 @@ def _term_part(field: str, term: str, p: int) -> int:
 
 
 def tokenize_concurrency(cfg: "IndexConfig") -> int:
-    """Actor-pool size for tokenize stages: leave headroom for the read
-    and shuffle stages so the pipeline doesn't serialize (ray_guide:
-    a pool that reserves every CPU starves the other stages)."""
+    """Actor-pool size for tokenize stages: a FIXED pool of half the
+    CPUs.  A pool of ~all CPUs reserves them for the pipeline's whole
+    lifetime and starves the shuffle + encode stages (measured:
+    identical build walls at 8 and 32 CPUs until capped); an
+    autoscaling (1, n) pool measured 2x slower than fixed n on the same
+    input (repeated cold actor starts)."""
     if cfg.tokenize_concurrency:
         return cfg.tokenize_concurrency
     import ray
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return max(2, cpus - 2)
+    return max(2, cpus // 2)
 
 
 def _atomic_write_table(tbl: pa.Table, path: str) -> None:
@@ -145,70 +148,258 @@ def _read_source(source) -> rd.Dataset:
             os.path.join(root, fn)
             for root, _, files in os.walk(source) for fn in files
             if fn.endswith(".parquet"))
-        return rd.read_parquet(paths)
-    return rd.read_parquet(list(source))
+    else:
+        paths = sorted(source)
+    # Block-count control: Ray's default splits small files into many
+    # tiny blocks, and every extra block multiplies sort-shuffle
+    # intermediate objects (measured 2x slower at 200 blocks vs 50).
+    # One block per file once there are >= cpus files; otherwise split
+    # up to the cpu count (sources are written with 256-row groups so
+    # splits stay row-group-aligned — corpus.py).
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return rd.read_parquet(paths, override_num_blocks=max(len(paths), cpus))
 
 
 # ---------------------------------------------------------------------------
 # hot-term estimation (sampling pre-pass)
 
 
-class _SampleDf:
+def _sample_df_batch(batch: pa.Table, cfg: IndexConfig) -> pa.Table:
     """Per-batch partial df over a deterministic doc_id-hash sample.
     Emits (field, term, df_partial) only for terms seen >= 2 times in
     the batch sample — rare terms can never reach the hot threshold, so
-    the partial-aggregate stream stays small (SURVEY.md §4 skew row)."""
-
-    def __init__(self, cfg: IndexConfig):
-        self.cfg = cfg
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
+    the partial-aggregate stream stays small (SURVEY.md §4 skew row).
+    Stateless task (not an actor pool): there is no per-worker state to
+    amortize, and task pools start instantly."""
+    if cfg.sample_mod > 1:
         ids = compute_doc_ids(batch, cfg.id_cols, cfg.doc_id_col)
         keep = np.nonzero(ids % cfg.sample_mod == 0)[0]
-        counts: Counter = Counter()
-        for fname, col, analyzer in cfg.fields:
-            an = ANALYZERS[analyzer]
-            texts = batch.column(col).take(pa.array(keep)).to_pylist()
-            for text in texts:
-                for t in set(an(text)):
-                    counts[(fname, t)] += 1
-        items = [(f, t, c) for (f, t), c in counts.items() if c >= 2]
-        return pa.table({
-            "field": pa.array([x[0] for x in items], pa.string()),
-            "term": pa.array([x[1] for x in items], pa.string()),
-            "df_partial": pa.array([x[2] for x in items], pa.int64()),
-        })
+    else:
+        keep = np.arange(batch.num_rows)
+    counts: Counter = Counter()
+    for fname, col, analyzer in cfg.fields:
+        an = ANALYZERS[analyzer]
+        texts = batch.column(col).take(pa.array(keep)).to_pylist()
+        for text in texts:
+            for t in set(an(text)):
+                counts[(fname, t)] += 1
+    items = [(f, t, c) for (f, t), c in counts.items() if c >= 2]
+    return pa.table({
+        "field": pa.array([x[0] for x in items], pa.string()),
+        "term": pa.array([x[1] for x in items], pa.string()),
+        "df_partial": pa.array([x[2] for x in items], pa.int64()),
+    })
+
+
+def _sample_source(source, cfg: IndexConfig) -> tuple[rd.Dataset, int]:
+    """File-level sampling for the hot-term pre-pass: read every
+    ``sample_mod``-th input file instead of row-filtering all of them —
+    at 100 TB a row-level sample still reads every byte; a file-level
+    sample prunes at the read.  Falls back to row-level (mod applied on
+    doc_id inside _SampleDf) for few-file sources.
+
+    Returns (dataset, row_mod): row_mod == 1 means every row of the
+    sampled files is tokenized and the file fraction supplies the
+    scale-up; otherwise rows are doc_id-sampled too."""
+    if isinstance(source, rd.Dataset):
+        return source, cfg.sample_mod
+    if isinstance(source, str):
+        paths = sorted(
+            os.path.join(root, fn)
+            for root, _, files in os.walk(source) for fn in files
+            if fn.endswith(".parquet"))
+    else:
+        paths = sorted(source)
+    if len(paths) >= 4 * cfg.sample_mod:
+        return rd.read_parquet(paths[::cfg.sample_mod]), 1
+    return rd.read_parquet(paths), cfg.sample_mod
 
 
 def estimate_hot_terms(source, cfg: IndexConfig) -> dict[str, int]:
     """-> {"field\\x1fterm": n_salts} for estimated-hot terms."""
-    ds = _read_source(source)
-    partials = ds.map_batches(_SampleDf, fn_constructor_kwargs={"cfg": cfg},
-                              batch_format="pyarrow",
-                              batch_size=cfg.tokenize_batch_size,
-                              concurrency=tokenize_concurrency(cfg))
-    agg = partials.groupby(["field", "term"]).aggregate(
-        Sum("df_partial", alias_name="df_sample"))
-    hot: dict[str, int] = {}
-    for b in agg.iter_batches(batch_format="pyarrow"):
+    import functools
+    ds, row_mod = _sample_source(source, cfg)
+    sample_cfg = cfg if row_mod == cfg.sample_mod else \
+        IndexConfig(**dict(cfg.fingerprint_dict(), sample_mod=row_mod))
+    partials = ds.map_batches(
+        functools.partial(_sample_df_batch, cfg=sample_cfg),
+        batch_format="pyarrow", batch_size=cfg.tokenize_batch_size)
+    # the pre-filtered partial stream is tiny (candidate hot terms
+    # only), so the final reduce is a driver-side Counter — no shuffle
+    agg: Counter = Counter()
+    for b in partials.iter_batches(batch_format="pyarrow"):
         fields = b.column("field").to_pylist()
         terms = b.column("term").to_pylist()
-        dfs = b.column("df_sample").to_numpy(zero_copy_only=False)
-        est = dfs * cfg.sample_mod
-        for f, t, e in zip(fields, terms, est):
-            if e >= cfg.hot_df_threshold:
-                n_salts = int(min(cfg.max_salts, max(2, -(-int(e) // cfg.salt_unit))))
-                hot[f"{f}\x1f{t}"] = n_salts
+        dfs = b.column("df_partial").to_numpy(zero_copy_only=False)
+        for f, t, d in zip(fields, terms, dfs):
+            agg[(f, t)] += int(d)
+    hot: dict[str, int] = {}
+    for (f, t), df_sample in agg.items():
+        e = df_sample * cfg.sample_mod
+        if e >= cfg.hot_df_threshold:
+            n_salts = int(min(cfg.max_salts, max(2, -(-int(e) // cfg.salt_unit))))
+            hot[f"{f}\x1f{t}"] = n_salts
     return hot
 
 
 # ---------------------------------------------------------------------------
-# PASS A — docstore
+# PASS B — postings + docstore (single corpus read)
 
 
-def _write_docstore_group(group: pa.Table, index_dir: str, fp: str) -> pa.Table:
-    dpart = int(group.column("dpart")[0].as_py())
+DOC_SENTINEL = "\x00doc"
+
+
+class TokenizeFlatten:
+    """Actor-pool stage: analyzers compiled once per actor; per batch,
+    tokenize every configured field and flatten to posting rows.
+    Mirrors the reference LogParser per-record pipeline position
+    (reference: siem/__init__.py:519-574) but columnar + code-aware.
+
+    Single-read design: the stage ALSO emits one docstore row per input
+    row (field = DOC_SENTINEL, term = packed meta + content sha256,
+    part = P + doc_id % P), so the document store rides the same
+    groupby exchange and the corpus is read exactly once — at 100 TB
+    the second full read a separate docstore pass would cost is the
+    single biggest avoidable I/O."""
+
+    def __init__(self, cfg: IndexConfig, hot: dict[str, int],
+                 docstore_cols: list[str]):
+        self.cfg = cfg
+        self.hot = hot
+        self.docstore_cols = docstore_cols
+        self.analyzers = {f: ANALYZERS[a] for f, _, a in cfg.fields}
+        # per-field term interning: term -> tid, plus tid-indexed route
+        # tables (partition, n_salts) grown as vocabulary appears.  The
+        # emit loop then touches Python once per *token* (a dict get)
+        # and everything per-posting is numpy.
+        self._vocab: dict[str, dict[str, int]] = {f: {} for f, _, _ in cfg.fields}
+        self._terms: dict[str, list[str]] = {f: [] for f, _, _ in cfg.fields}
+        self._parts: dict[str, list[int]] = {f: [] for f, _, _ in cfg.fields}
+        self._nsalts: dict[str, list[int]] = {f: [] for f, _, _ in cfg.fields}
+
+    def _field_postings(self, fname: str, texts: list, ids: np.ndarray
+                        ) -> tuple[np.ndarray, ...]:
+        an = self.analyzers[fname]
+        vocab = self._vocab[fname]
+        terms_l = self._terms[fname]
+        parts_l = self._parts[fname]
+        nsalts_l = self._nsalts[fname]
+        p = self.cfg.num_partitions
+        hot = self.hot
+        get = vocab.get
+        tid_chunks: list[np.ndarray] = []
+        cnt_chunks: list[np.ndarray] = []
+        did_chunks: list[np.ndarray] = []
+        norm_chunks: list[np.ndarray] = []
+        dls = np.zeros(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            toks = an(text)
+            if not toks:
+                continue
+            dls[i] = len(toks)
+            tl = []
+            append = tl.append
+            for t in toks:
+                tid = get(t)
+                if tid is None:
+                    tid = len(terms_l)
+                    vocab[t] = tid
+                    terms_l.append(t)
+                    parts_l.append(_term_part(fname, t, p))
+                    nsalts_l.append(hot.get(f"{fname}\x1f{t}", 1))
+                append(tid)
+            u, c = np.unique(np.asarray(tl, dtype=np.int64), return_counts=True)
+            tid_chunks.append(u)
+            cnt_chunks.append(c)
+            did_chunks.append(np.full(u.size, ids[i], dtype=np.int64))
+            norm_chunks.append(np.empty(u.size, dtype=np.int64))  # filled below
+        if not tid_chunks:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z, z, z, z
+        norms_per_doc = encode_norm(dls).astype(np.int64)
+        j = 0
+        for i, text in enumerate(texts):
+            if dls[i]:
+                norm_chunks[j].fill(norms_per_doc[i])
+                j += 1
+        tids = np.concatenate(tid_chunks)
+        cnts = np.concatenate(cnt_chunks)
+        dids = np.concatenate(did_chunks)
+        nrm = np.concatenate(norm_chunks)
+        part_lut = np.asarray(parts_l, dtype=np.int64)
+        nsalt_lut = np.asarray(nsalts_l, dtype=np.int64)
+        parts = part_lut[tids]
+        ns = nsalt_lut[tids]
+        salts = np.where(ns > 1, dids % np.maximum(ns, 1), 0)
+        return tids, cnts, dids, nrm, parts, salts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        p = cfg.num_partitions
+        ids = compute_doc_ids(batch, cfg.id_cols, cfg.doc_id_col)
+        col_parts: list[np.ndarray] = []
+        col_salts: list[np.ndarray] = []
+        col_fields: list = []
+        col_terms: list = []
+        col_dids: list[np.ndarray] = []
+        col_tfs: list[np.ndarray] = []
+        col_norms: list[np.ndarray] = []
+        for fname, col, _ in cfg.fields:
+            texts = batch.column(col).to_pylist()
+            tids, cnts, dids, nrm, parts, salts = \
+                self._field_postings(fname, texts, ids)
+            if tids.size == 0:
+                continue
+            term_arr = np.asarray(self._terms[fname], dtype=object)[tids]
+            col_parts.append(parts)
+            col_salts.append(salts)
+            col_fields.extend([fname] * tids.size)
+            col_terms.extend(term_arr.tolist())
+            col_dids.append(dids)
+            col_tfs.append(cnts)
+            col_norms.append(nrm)
+        # docstore rows: one per input row, routed to sentinel parts
+        # P..2P-1 by doc range (content sha256 invariant computed here,
+        # on the only pass that touches content)
+        shas = content_shas(batch, cfg.sha_col)
+        meta_cols = [batch.column(c).to_pylist() for c in self.docstore_cols]
+        col_parts.append(p + ids % p)
+        col_salts.append(np.zeros(batch.num_rows, dtype=np.int64))
+        col_fields.extend([DOC_SENTINEL] * batch.num_rows)
+        col_terms.extend(
+            "\x1f".join([str(mc[i]) for mc in meta_cols] + [shas[i]])
+            for i in range(batch.num_rows))
+        col_dids.append(ids.astype(np.int64))
+        col_tfs.append(np.zeros(batch.num_rows, dtype=np.int64))
+        col_norms.append(np.zeros(batch.num_rows, dtype=np.int64))
+        return pa.table({
+            "part": pa.array(np.concatenate(col_parts).astype(np.int32)),
+            "salt": pa.array(np.concatenate(col_salts).astype(np.int32)),
+            "field": pa.array(col_fields, pa.string()),
+            "term": pa.array(col_terms, pa.string()),
+            "doc_id": pa.array(np.concatenate(col_dids)),
+            "tf": pa.array(np.concatenate(col_tfs).astype(np.int32)),
+            "norm": pa.array(np.concatenate(col_norms).astype(np.int32)),
+        })
+
+
+def _metrics_row(part: int, salt: int, n_terms: int, n_postings: int,
+                 nbytes: int, n_docs: int, skipped: bool) -> pa.Table:
+    return pa.table({"part": [part], "salt": [salt], "n_terms": [n_terms],
+                     "n_postings": [n_postings], "bytes": [nbytes],
+                     "n_docs": [n_docs], "skipped": [skipped]})
+
+
+def _write_docstore_group(group: pa.Table, index_dir: str, fp: str,
+                          cfg: IndexConfig, docstore_cols: list[str]
+                          ) -> pa.Table:
+    """Sentinel-part group -> docstore parquet: unpack the meta string,
+    canonical (doc_id, sha) sort, exact first-wins dedup (reference
+    parity: AOSS docid_set, index.py:332-336).  Meta columns are stored
+    as strings (they ride the packed shuffle row)."""
+    part = int(group.column("part")[0].as_py())
+    dpart = part - cfg.num_partitions
     os.makedirs(os.path.join(index_dir, "docstore"), exist_ok=True)
     os.makedirs(os.path.join(index_dir, "manifest"), exist_ok=True)
     out = os.path.join(index_dir, "docstore", f"part-{dpart:04d}.parquet")
@@ -217,118 +408,39 @@ def _write_docstore_group(group: pa.Table, index_dir: str, fp: str) -> pa.Table:
         with open(man) as f:
             m = json.load(f)
         if m.get("fingerprint") == fp:
-            return pa.table({"dpart": [dpart], "rows": [m["rows"]],
-                             "skipped": [True]})
-    # canonical order + exact first-wins dedup (min sha as tiebreak)
-    idx = pa.compute.sort_indices(group, sort_keys=[("doc_id", "ascending"),
-                                                    ("content_sha256", "ascending")])
-    group = group.take(idx)
+            return _metrics_row(part, 0, 0, 0, m.get("bytes", 0),
+                                m["rows"], True)
     ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-    _, first = np.unique(ids, return_index=True)
-    group = group.take(np.sort(first)).drop_columns(["dpart"])
-    _atomic_write_table(group, out)
+    metas = group.column("term").to_pylist()
+    cols = docstore_cols + ["content_sha256"]
+    unpacked = [m.split("\x1f") for m in metas]
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        **{c: pa.array([u[j] for u in unpacked], pa.string())
+           for j, c in enumerate(cols)},
+    })
+    idx = pa.compute.sort_indices(tbl, sort_keys=[
+        ("doc_id", "ascending"), ("content_sha256", "ascending")])
+    tbl = tbl.take(idx)
+    sorted_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    _, first = np.unique(sorted_ids, return_index=True)
+    tbl = tbl.take(np.sort(first))
+    _atomic_write_table(tbl, out)
     sha_xor = 0
-    for s in group.column("content_sha256").to_pylist():
+    for s in tbl.column("content_sha256").to_pylist():
         sha_xor ^= int(s[:16], 16)
-    _atomic_write_json({"fingerprint": fp, "rows": group.num_rows,
-                        "sha_xor_hi64": sha_xor, "path": out}, man)
-    return pa.table({"dpart": [dpart], "rows": [group.num_rows], "skipped": [False]})
+    nbytes = os.stat(out).st_size
+    _atomic_write_json({"fingerprint": fp, "rows": tbl.num_rows,
+                        "sha_xor_hi64": sha_xor, "bytes": nbytes,
+                        "path": out}, man)
+    return _metrics_row(part, 0, 0, 0, nbytes, tbl.num_rows, False)
 
 
-def build_docstore(source, index_dir: str, cfg: IndexConfig, fp: str) -> int:
-    ds = _read_source(source)
-    p = cfg.num_partitions
-
-    text_cols = {col for _, col, _ in cfg.fields}
-
-    def prep(batch: pa.Table) -> pa.Table:
-        batch = add_ids_and_sha(batch, cfg.id_cols, cfg.sha_col, cfg.doc_id_col)
-        keep = [c for c in batch.column_names if c not in text_cols]
-        batch = batch.select(keep)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "dpart", pa.array((ids % p).astype(np.int32), pa.int32()))
-
-    rows = (ds.map_batches(prep, batch_format="pyarrow",
-                           batch_size=cfg.tokenize_batch_size)
-              .groupby("dpart")
-              .map_groups(lambda g: _write_docstore_group(g, index_dir, fp),
-                          batch_format="pyarrow"))
-    total = 0
-    for b in rows.iter_batches(batch_format="pyarrow"):
-        total += int(np.sum(b.column("rows").to_numpy(zero_copy_only=False)))
-    return total
-
-
-# ---------------------------------------------------------------------------
-# PASS B — postings
-
-
-class TokenizeFlatten:
-    """Actor-pool stage: analyzers compiled once per actor; per batch,
-    tokenize every configured field and flatten to posting rows.
-    Mirrors the reference LogParser per-record pipeline position
-    (reference: siem/__init__.py:519-574) but columnar + code-aware."""
-
-    def __init__(self, cfg: IndexConfig, hot: dict[str, int]):
-        self.cfg = cfg
-        self.hot = hot
-        self.analyzers = {f: ANALYZERS[a] for f, _, a in cfg.fields}
-        self._route_cache: dict[tuple, tuple] = {}
-
-    def _route(self, fname: str, term: str) -> tuple[int, int]:
-        key = (fname, term)
-        r = self._route_cache.get(key)
-        if r is None:
-            part = _term_part(fname, term, self.cfg.num_partitions)
-            n_salts = self.hot.get(f"{fname}\x1f{term}", 1)
-            r = (part, n_salts)
-            if len(self._route_cache) < 2_000_000:
-                self._route_cache[key] = r
-        return r
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
-        ids = compute_doc_ids(batch, cfg.id_cols, cfg.doc_id_col)
-        parts: list[int] = []
-        salts: list[int] = []
-        fields: list[str] = []
-        terms: list[str] = []
-        doc_ids: list[int] = []
-        tfs: list[int] = []
-        norms: list[int] = []
-        for fname, col, _ in cfg.fields:
-            an = self.analyzers[fname]
-            texts = batch.column(col).to_pylist()
-            for i, text in enumerate(texts):
-                tf = Counter(an(text))
-                if not tf:
-                    continue
-                dl = sum(tf.values())
-                norm = int(encode_norm(np.array([dl]))[0])
-                did = int(ids[i])
-                for term, cnt in tf.items():
-                    part, n_salts = self._route(fname, term)
-                    parts.append(part)
-                    salts.append(did % n_salts if n_salts > 1 else 0)
-                    fields.append(fname)
-                    terms.append(term)
-                    doc_ids.append(did)
-                    tfs.append(cnt)
-                    norms.append(norm)
-        return pa.table({
-            "part": pa.array(parts, pa.int32()),
-            "salt": pa.array(salts, pa.int32()),
-            "field": pa.array(fields, pa.string()),
-            "term": pa.array(terms, pa.string()),
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "tf": pa.array(tfs, pa.int32()),
-            "norm": pa.array(norms, pa.int32()),
-        })
-
-
-def _encode_segment(group: pa.Table, index_dir: str, fp: str) -> pa.Table:
+def _encode_segment(group: pa.Table, index_dir: str, fp: str,
+                    cfg: IndexConfig, docstore_cols: list[str]) -> pa.Table:
     part = int(group.column("part")[0].as_py())
+    if part >= cfg.num_partitions:          # sentinel range: docstore
+        return _write_docstore_group(group, index_dir, fp, cfg, docstore_cols)
     salt = int(group.column("salt")[0].as_py())
     part_dir = os.path.join(index_dir, "parts", f"part-{part:04d}")
     os.makedirs(part_dir, exist_ok=True)
@@ -339,25 +451,28 @@ def _encode_segment(group: pa.Table, index_dir: str, fp: str) -> pa.Table:
         with open(man) as f:
             m = json.load(f)
         if m.get("fingerprint") == fp:
-            return pa.table({"part": [part], "salt": [salt],
-                             "n_terms": [m["n_terms"]],
-                             "n_postings": [m["n_postings"]],
-                             "bytes": [m["bytes"]], "skipped": [True]})
+            return _metrics_row(part, salt, m["n_terms"], m["n_postings"],
+                                m["bytes"], 0, True)
     t0 = time.monotonic()
     idx = pa.compute.sort_indices(group, sort_keys=[
         ("field", "ascending"), ("term", "ascending"), ("doc_id", "ascending")])
     group = group.take(idx)
-    f_arr = np.asarray(group.column("field").to_pylist(), dtype=object)
-    t_arr = np.asarray(group.column("term").to_pylist(), dtype=object)
+    f_col = group.column("field").combine_chunks()
+    t_col = group.column("term").combine_chunks()
     d_arr = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
     tf_arr = group.column("tf").to_numpy(zero_copy_only=False).astype(np.uint32)
     nm_arr = group.column("norm").to_numpy(zero_copy_only=False).astype(np.uint8)
-    # term boundaries over the canonically sorted run
-    keys = np.array([f + "\x1f" + t for f, t in zip(f_arr, t_arr)], dtype=object)
-    boundary = np.ones(len(keys), dtype=bool)
-    boundary[1:] = keys[1:] != keys[:-1]
+    # term boundaries over the canonically sorted run (vectorized Arrow
+    # compares — no per-posting Python string building)
+    n = len(group)
+    boundary = np.ones(n, dtype=bool)
+    if n > 1:
+        neq = pa.compute.or_(
+            pa.compute.not_equal(f_col.slice(1), f_col.slice(0, n - 1)),
+            pa.compute.not_equal(t_col.slice(1), t_col.slice(0, n - 1)))
+        boundary[1:] = neq.to_numpy(zero_copy_only=False)
     starts = np.flatnonzero(boundary)
-    ends = np.append(starts[1:], len(keys))
+    ends = np.append(starts[1:], n)
     o_field, o_term, o_df, o_ttf = [], [], [], []
     o_docs, o_tfs, o_norms, o_skip = [], [], [], []
     n_postings = 0
@@ -371,8 +486,8 @@ def _encode_segment(group: pa.Table, index_dir: str, fp: str) -> pa.Table:
         if uniq.size != dids.size:
             dids, tfs, nms = uniq, tfs[np.sort(first)], nms[np.sort(first)]
         docs_b, tfs_b, norms_b, skip_b = encode_postings(dids, tfs, nms)
-        o_field.append(f_arr[s])
-        o_term.append(t_arr[s])
+        o_field.append(f_col[int(s)].as_py())
+        o_term.append(t_col[int(s)].as_py())
         o_df.append(int(dids.size))
         o_ttf.append(int(tfs.sum()))
         o_docs.append(docs_b)
@@ -397,30 +512,41 @@ def _encode_segment(group: pa.Table, index_dir: str, fp: str) -> pa.Table:
         "n_terms": len(o_field), "n_postings": n_postings, "bytes": nbytes,
         "encode_sec": round(time.monotonic() - t0, 3), "path": out,
     }, man)
-    return pa.table({"part": [part], "salt": [salt], "n_terms": [len(o_field)],
-                     "n_postings": [n_postings], "bytes": [nbytes],
-                     "skipped": [False]})
+    return _metrics_row(part, salt, len(o_field), n_postings, nbytes, 0, False)
 
 
 def build_postings(source, index_dir: str, cfg: IndexConfig, fp: str,
-                   hot: dict[str, int]) -> dict:
+                   hot: dict[str, int]) -> tuple[dict, int]:
+    """Single-read pass: tokenize + flatten -> groupby(part, salt) ->
+    per-group encode (postings segments for parts < P, docstore files
+    for the sentinel range).  Returns (metrics, n_docs)."""
     ds = _read_source(source)
+    text_cols = {col for _, col, _ in cfg.fields}
+    docstore_cols = [c for c in ds.schema().names
+                     if c not in text_cols and c != "doc_id"]
     flat = ds.map_batches(TokenizeFlatten,
-                          fn_constructor_kwargs={"cfg": cfg, "hot": hot},
+                          fn_constructor_kwargs={"cfg": cfg, "hot": hot,
+                                                 "docstore_cols": docstore_cols},
                           batch_format="pyarrow",
                           batch_size=cfg.tokenize_batch_size,
                           concurrency=tokenize_concurrency(cfg))
     res = flat.groupby(["part", "salt"]).map_groups(
-        lambda g: _encode_segment(g, index_dir, fp), batch_format="pyarrow")
+        lambda g: _encode_segment(g, index_dir, fp, cfg, docstore_cols),
+        batch_format="pyarrow")
     metrics = {"n_segments": 0, "n_terms": 0, "n_postings": 0, "bytes": 0,
                "skipped_segments": 0}
+    n_docs = 0
     for b in res.iter_batches(batch_format="pyarrow"):
-        metrics["n_segments"] += b.num_rows
+        parts_a = b.column("part").to_numpy(zero_copy_only=False)
+        seg_mask = parts_a < cfg.num_partitions
+        metrics["n_segments"] += int(seg_mask.sum())
         metrics["n_terms"] += int(np.sum(b.column("n_terms").to_numpy(zero_copy_only=False)))
         metrics["n_postings"] += int(np.sum(b.column("n_postings").to_numpy(zero_copy_only=False)))
         metrics["bytes"] += int(np.sum(b.column("bytes").to_numpy(zero_copy_only=False)))
-        metrics["skipped_segments"] += int(np.sum(b.column("skipped").to_numpy(zero_copy_only=False)))
-    return metrics
+        skipped = b.column("skipped").to_numpy(zero_copy_only=False)
+        metrics["skipped_segments"] += int(skipped[seg_mask].sum())
+        n_docs += int(np.sum(b.column("n_docs").to_numpy(zero_copy_only=False)))
+    return metrics, n_docs
 
 
 # ---------------------------------------------------------------------------
@@ -428,28 +554,50 @@ def build_postings(source, index_dir: str, cfg: IndexConfig, fp: str,
 
 
 def build_filters(index_dir: str, cfg: IndexConfig) -> None:
+    """One pipeline for every keyword field: explode (field, value,
+    doc_id) rows from the docstore, groupby (field, value), encode the
+    sorted doc list per value; the encoded rows (one per distinct
+    value — bounded for keyword fields) are collected and written as
+    one filter parquet per field."""
+    if not cfg.keyword_fields:
+        return
     store_dir = os.path.join(index_dir, "docstore")
     files = sorted(os.path.join(store_dir, f) for f in os.listdir(store_dir)
                    if f.endswith(".parquet"))
-    for fname in cfg.keyword_fields:
-        ds = rd.read_parquet(files, columns=["doc_id", fname])
+    fields = [f for f in cfg.keyword_fields]
+    ds = rd.read_parquet(files, columns=["doc_id"] + fields)
 
-        def enc(group: pa.Table, fname=fname) -> pa.Table:
-            val = group.column(fname)[0].as_py()
-            ids = np.sort(group.column("doc_id").to_numpy(zero_copy_only=False)
-                          .astype(np.uint64))
-            ids = np.unique(ids)
-            return pa.table({
-                "value": pa.array([val], pa.string()),
-                "df": pa.array([int(ids.size)], pa.int64()),
-                "docs": pa.array([ids.astype("<u8").tobytes()], pa.large_binary()),
-            })
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_f, out_v, out_d = [], [], []
+        for f in fields:
+            vals = batch.column(f).to_pylist()
+            out_f.extend([f] * len(vals))
+            out_v.extend(str(v) for v in vals)
+            out_d.extend(int(i) for i in ids)
+        return pa.table({"field": pa.array(out_f, pa.string()),
+                         "value": pa.array(out_v, pa.string()),
+                         "doc_id": pa.array(out_d, pa.int64())})
 
-        out_tbl = pa.concat_tables(
-            [b for b in ds.groupby(fname).map_groups(enc, batch_format="pyarrow")
-             .iter_batches(batch_format="pyarrow")])
-        idx = pa.compute.sort_indices(out_tbl, sort_keys=[("value", "ascending")])
-        _atomic_write_table(out_tbl.take(idx),
+    def enc(group: pa.Table) -> pa.Table:
+        ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False)
+                        .astype(np.uint64))
+        return pa.table({
+            "field": pa.array([group.column("field")[0].as_py()], pa.string()),
+            "value": pa.array([group.column("value")[0].as_py()], pa.string()),
+            "df": pa.array([int(ids.size)], pa.int64()),
+            "docs": pa.array([ids.astype("<u8").tobytes()], pa.large_binary()),
+        })
+
+    rows = pa.concat_tables(
+        b for b in ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["field", "value"]).map_groups(enc, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))
+    for fname in fields:
+        sub = rows.filter(pa.compute.equal(rows.column("field"), fname))
+        sub = sub.drop_columns(["field"])
+        idx = pa.compute.sort_indices(sub, sort_keys=[("value", "ascending")])
+        _atomic_write_table(sub.take(idx),
                             os.path.join(index_dir, f"filter-{fname}.parquet"))
 
 
@@ -507,8 +655,7 @@ def build_index(source, index_dir: str, cfg: IndexConfig | None = None,
         for f in os.listdir(mdir):
             os.unlink(os.path.join(mdir, f))
     hot = estimate_hot_terms(source, cfg) if cfg.salting else {}
-    n_docs = build_docstore(source, index_dir, cfg, fp)
-    metrics = build_postings(source, index_dir, cfg, fp, hot)
+    metrics, n_docs = build_postings(source, index_dir, cfg, fp, hot)
     build_filters(index_dir, cfg)
     metrics["hot_terms"] = len(hot)
     return finalize(index_dir, cfg, fp, n_docs, metrics,

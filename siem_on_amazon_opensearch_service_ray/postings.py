@@ -45,17 +45,17 @@ _SKIP_DTYPE = np.dtype([
 # LEB128 varint, vectorized
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """Vectorized LEB128 encode of a uint64 array."""
-    a = np.ascontiguousarray(values, dtype=np.uint64)
-    if a.size == 0:
-        return b""
-    # number of 7-bit groups per value
+def _varint_lengths(a: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 byte counts (vectorized)."""
     lengths = np.ones(a.size, dtype=np.int64)
     t = a >> np.uint64(7)
     while t.any():
         lengths += (t > 0)
         t >>= np.uint64(7)
+    return lengths
+
+
+def _varint_encode_arr(a: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     starts = np.zeros(a.size, dtype=np.int64)
     np.cumsum(lengths[:-1], out=starts[1:])
     out = np.zeros(int(lengths.sum()), dtype=np.uint8)
@@ -69,7 +69,15 @@ def varint_encode(values: np.ndarray) -> bytes:
         rem >>= np.uint64(7)
         g += 1
         mask = lengths > g
-    return out.tobytes()
+    return out
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Vectorized LEB128 encode of a uint64 array."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    return _varint_encode_arr(a, _varint_lengths(a)).tobytes()
 
 
 def varint_decode(blob: bytes, count: int | None = None) -> np.ndarray:
@@ -109,40 +117,47 @@ class TermPostings:
         return int(self.doc_ids.size)
 
 
+def _block_reduce(a: np.ndarray, n_blocks: int, pad_val, op) -> np.ndarray:
+    pad = n_blocks * BLOCK - a.size
+    if pad:
+        a = np.concatenate([a, np.full(pad, pad_val, dtype=a.dtype)])
+    return op(a.reshape(n_blocks, BLOCK), axis=1)
+
+
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray
                     ) -> tuple[bytes, bytes, bytes, bytes]:
     """-> (docs_blob, tfs_blob, norms_blob, skip_blob).
 
     ``doc_ids`` must be sorted ascending and unique (canonical order;
-    enforced by the shard builder)."""
+    enforced by the shard builder).  Fully vectorized: the delta stream
+    is encoded in one shot (a block's first delta is the gap from the
+    previous block's last id, so the concatenation of per-block streams
+    equals the global delta stream) and per-block byte offsets come
+    from a cumsum of the per-value varint lengths."""
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
     tfs = np.ascontiguousarray(tfs, dtype=np.uint32)
     norms = np.ascontiguousarray(norms, dtype=np.uint8)
     n = doc_ids.size
+    if n == 0:
+        return b"", b"", b"", b""
     deltas = np.empty(n, dtype=np.uint64)
-    if n:
-        deltas[0] = doc_ids[0]
-        np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
+    deltas[0] = doc_ids[0]
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
     n_blocks = (n + BLOCK - 1) // BLOCK
+    d_len = _varint_lengths(deltas)
+    docs_blob = _varint_encode_arr(deltas, d_len)
+    tfs64 = tfs.astype(np.uint64)
+    t_len = _varint_lengths(tfs64)
+    tfs_blob = _varint_encode_arr(tfs64, t_len)
+    block_last_idx = np.minimum(np.arange(1, n_blocks + 1) * BLOCK, n) - 1
     skip = np.zeros(n_blocks, dtype=_SKIP_DTYPE)
-    doc_parts: list[bytes] = []
-    tf_parts: list[bytes] = []
-    doc_off = 0
-    tf_off = 0
-    for j in range(n_blocks):
-        lo, hi = j * BLOCK, min((j + 1) * BLOCK, n)
-        db = varint_encode(deltas[lo:hi])
-        tb = varint_encode(tfs[lo:hi].astype(np.uint64))
-        doc_off += len(db)
-        tf_off += len(tb)
-        doc_parts.append(db)
-        tf_parts.append(tb)
-        skip[j]["last_doc"] = doc_ids[hi - 1]
-        skip[j]["doc_end"] = doc_off
-        skip[j]["tf_end"] = tf_off
-        skip[j]["max_tf"] = tfs[lo:hi].max()
-        skip[j]["min_norm"] = norms[lo:hi].min()
-    return b"".join(doc_parts), b"".join(tf_parts), norms.tobytes(), skip.tobytes()
+    skip["last_doc"] = doc_ids[block_last_idx]
+    skip["doc_end"] = np.cumsum(d_len)[block_last_idx]
+    skip["tf_end"] = np.cumsum(t_len)[block_last_idx]
+    skip["max_tf"] = _block_reduce(tfs, n_blocks, 0, np.max)
+    skip["min_norm"] = _block_reduce(norms, n_blocks, 255, np.min)
+    return (docs_blob.tobytes(), tfs_blob.tobytes(), norms.tobytes(),
+            skip.tobytes())
 
 
 def decode_postings(docs_blob: bytes, tfs_blob: bytes, norms_blob: bytes,
