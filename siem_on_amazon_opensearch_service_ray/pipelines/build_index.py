@@ -74,8 +74,19 @@ class IndexConfig:
     id_cols: tuple = ("repo", "path", "commit")
     doc_id_col: str | None = None    # explicit int64 id column (else hash of id_cols)
     sha_col: str = "content"         # column whose sha256 is the e2e invariant
-    tokenize_batch_size: int = 256   # content rows can be MBs
+    # None = one batch per block (enables read->tokenize fusion and
+    # fewer Python batch boundaries; block size already bounds memory).
+    # Set a row count only for corpora with multi-MB rows where even one
+    # block is too wide for the 3x tokenize expansion.
+    tokenize_batch_size: int | None = None
     tokenize_concurrency: int | None = None
+    # "tasks": stateless task pool with worker-global analyzer state —
+    # Ray reuses worker processes, so caches amortize like an actor's,
+    # but no CPUs are reserved and the scheduler interleaves tokenize
+    # with shuffle work (measured: a fixed actor pool either starves
+    # the shuffle or idles half the cluster).  "actors": classic
+    # actor-pool stage (tokenize_concurrency workers).
+    tokenize_mode: str = "tasks"
     # hot-term salting
     salting: bool = True
     sample_mod: int = 64             # deterministic sample: doc_id % mod == 0
@@ -153,12 +164,13 @@ def _read_source(source) -> rd.Dataset:
     # Block-count control: Ray's default splits small files into many
     # tiny blocks, and every extra block multiplies sort-shuffle
     # intermediate objects (measured 2x slower at 200 blocks vs 50).
-    # One block per file once there are >= cpus files; otherwise split
-    # up to the cpu count (sources are written with 256-row groups so
-    # splits stay row-group-aligned — corpus.py).
+    # Target ~4 blocks per CPU, coalescing many-small-file sources and
+    # splitting few-file ones (sources are written with 256-row groups
+    # so splits stay row-group-aligned — corpus.py).
     import ray
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return rd.read_parquet(paths, override_num_blocks=max(len(paths), cpus))
+    blocks = min(max(len(paths), cpus), 4 * cpus)
+    return rd.read_parquet(paths, override_num_blocks=blocks)
 
 
 # ---------------------------------------------------------------------------
@@ -384,11 +396,29 @@ class TokenizeFlatten:
         })
 
 
+# worker-global tokenizer state for the "tasks" execution mode: the
+# module (hence this dict) lives for the worker process's lifetime, so
+# interned vocab/route caches amortize across tasks exactly like actor
+# state — without reserving CPUs for a pool.
+_TOKENIZER_STATE: dict[str, "TokenizeFlatten"] = {}
+
+
+def _tokenize_task(batch: pa.Table, cfg: IndexConfig, hot: dict,
+                   docstore_cols: list[str], key: str) -> pa.Table:
+    st = _TOKENIZER_STATE.get(key)
+    if st is None:
+        _TOKENIZER_STATE.clear()
+        st = _TOKENIZER_STATE[key] = TokenizeFlatten(cfg, hot, docstore_cols)
+    return st(batch)
+
+
 def _metrics_row(part: int, salt: int, n_terms: int, n_postings: int,
-                 nbytes: int, n_docs: int, skipped: bool) -> pa.Table:
+                 nbytes: int, n_docs: int, skipped: bool,
+                 field_tf: dict | None = None) -> pa.Table:
     return pa.table({"part": [part], "salt": [salt], "n_terms": [n_terms],
                      "n_postings": [n_postings], "bytes": [nbytes],
-                     "n_docs": [n_docs], "skipped": [skipped]})
+                     "n_docs": [n_docs], "skipped": [skipped],
+                     "field_tf": [json.dumps(field_tf or {}, sort_keys=True)]})
 
 
 def _write_docstore_group(group: pa.Table, index_dir: str, fp: str,
@@ -452,7 +482,7 @@ def _encode_segment(group: pa.Table, index_dir: str, fp: str,
             m = json.load(f)
         if m.get("fingerprint") == fp:
             return _metrics_row(part, salt, m["n_terms"], m["n_postings"],
-                                m["bytes"], 0, True)
+                                m["bytes"], 0, True, m.get("field_tf"))
     t0 = time.monotonic()
     idx = pa.compute.sort_indices(group, sort_keys=[
         ("field", "ascending"), ("term", "ascending"), ("doc_id", "ascending")])
@@ -507,12 +537,17 @@ def _encode_segment(group: pa.Table, index_dir: str, fp: str,
     })
     _atomic_write_table(seg, out)
     nbytes = os.stat(out).st_size
+    field_tf = {}
+    for f, t in zip(o_field, o_ttf):
+        field_tf[f] = field_tf.get(f, 0) + t
     _atomic_write_json({
         "fingerprint": fp, "part": part, "salt": salt,
         "n_terms": len(o_field), "n_postings": n_postings, "bytes": nbytes,
+        "field_tf": field_tf,
         "encode_sec": round(time.monotonic() - t0, 3), "path": out,
     }, man)
-    return _metrics_row(part, salt, len(o_field), n_postings, nbytes, 0, False)
+    return _metrics_row(part, salt, len(o_field), n_postings, nbytes, 0,
+                        False, field_tf)
 
 
 def build_postings(source, index_dir: str, cfg: IndexConfig, fp: str,
@@ -524,18 +559,27 @@ def build_postings(source, index_dir: str, cfg: IndexConfig, fp: str,
     text_cols = {col for _, col, _ in cfg.fields}
     docstore_cols = [c for c in ds.schema().names
                      if c not in text_cols and c != "doc_id"]
-    flat = ds.map_batches(TokenizeFlatten,
-                          fn_constructor_kwargs={"cfg": cfg, "hot": hot,
-                                                 "docstore_cols": docstore_cols},
-                          batch_format="pyarrow",
-                          batch_size=cfg.tokenize_batch_size,
-                          concurrency=tokenize_concurrency(cfg))
+    if cfg.tokenize_mode == "actors":
+        flat = ds.map_batches(TokenizeFlatten,
+                              fn_constructor_kwargs={"cfg": cfg, "hot": hot,
+                                                     "docstore_cols": docstore_cols},
+                              batch_format="pyarrow",
+                              batch_size=cfg.tokenize_batch_size,
+                              concurrency=tokenize_concurrency(cfg))
+    else:
+        import functools
+        key = fp + str(hash(tuple(sorted(hot.items()))))
+        task = functools.partial(_tokenize_task, cfg=cfg, hot=hot,
+                                 docstore_cols=docstore_cols, key=key)
+        flat = ds.map_batches(task, batch_format="pyarrow",
+                              batch_size=cfg.tokenize_batch_size)
     res = flat.groupby(["part", "salt"]).map_groups(
         lambda g: _encode_segment(g, index_dir, fp, cfg, docstore_cols),
         batch_format="pyarrow")
     metrics = {"n_segments": 0, "n_terms": 0, "n_postings": 0, "bytes": 0,
                "skipped_segments": 0}
     n_docs = 0
+    field_tf: dict[str, int] = {}
     for b in res.iter_batches(batch_format="pyarrow"):
         parts_a = b.column("part").to_numpy(zero_copy_only=False)
         seg_mask = parts_a < cfg.num_partitions
@@ -546,6 +590,10 @@ def build_postings(source, index_dir: str, cfg: IndexConfig, fp: str,
         skipped = b.column("skipped").to_numpy(zero_copy_only=False)
         metrics["skipped_segments"] += int(skipped[seg_mask].sum())
         n_docs += int(np.sum(b.column("n_docs").to_numpy(zero_copy_only=False)))
+        for ft in b.column("field_tf").to_pylist():
+            for f, t in json.loads(ft).items():
+                field_tf[f] = field_tf.get(f, 0) + int(t)
+    metrics["field_tf"] = field_tf
     return metrics, n_docs
 
 
@@ -607,18 +655,10 @@ def build_filters(index_dir: str, cfg: IndexConfig) -> None:
 
 def finalize(index_dir: str, cfg: IndexConfig, fp: str, n_docs: int,
              pass_metrics: dict, wall_sec: float) -> dict:
+    # per-field total_tf was accumulated from the encode metrics rows —
+    # no driver-side re-read of segment files
     total_tf: dict[str, int] = {f: 0 for f, _, _ in cfg.fields}
-    parts_dir = os.path.join(index_dir, "parts")
-    for part in sorted(os.listdir(parts_dir)):
-        pd_ = os.path.join(parts_dir, part)
-        for seg in sorted(os.listdir(pd_)):
-            if not seg.endswith(".parquet"):
-                continue
-            t = pq.read_table(os.path.join(pd_, seg), columns=["field", "total_tf"])
-            fl = t.column("field").to_pylist()
-            tt = t.column("total_tf").to_numpy(zero_copy_only=False)
-            for f, v in zip(fl, tt):
-                total_tf[f] = total_tf.get(f, 0) + int(v)
+    total_tf.update(pass_metrics.pop("field_tf", {}))
     stats = {
         "n_docs": n_docs,
         "avgdl": {f: (total_tf[f] / n_docs if n_docs else 0.0) for f in total_tf},

@@ -1,0 +1,165 @@
+"""Document-preparation ETL pipeline: the reference es-loader's
+per-record flow, Ray-Data-first.
+
+Reference order (siem/__init__.py:519-574, LogParser.__call__):
+  skip-check -> rename_fields -> get_timestamp -> add_basic_field
+  (@id/@message/...) -> clean_multi_type -> transform_to_ecs ->
+  transform_by_script (sf_* module) -> enrich (xff -> geoip -> ioc ->
+  ua) -> exclude_logs_by_conditions
+
+Here each step is a vectorized batch stage over Arrow tables; the
+per-logtype script mechanism (reference: 58 sf_*.py modules loaded via
+importlib, siem/utils.py:722-749) becomes a registry of batch
+transforms keyed by logtype, with two exemplar transforms ported for
+parity tests (outcome derivation ~ sf_cloudtrail.py:73-84; protocol
+name mapping ~ sf_vpcflowlogs.py:24-42).  Index routing (reference
+siem/__init__.py:617-656: index name + rotation suffix) becomes a
+partition-key column used by partitioned parquet output.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..stages.cleanup import clean_empty_strings, rename_columns
+from ..stages.exclude import ExclusionRule, Excluder
+from ..stages.timestamps import parse_timestamp_column
+
+# ---------------------------------------------------------------------------
+# per-logtype script-transform registry (M8 mechanism)
+
+_TRANSFORMS: dict[str, callable] = {}
+
+
+def register_transform(logtype: str):
+    """Decorator: register a batch transform for a logtype (the Ray
+    analogue of dropping an sf_<logtype>.py module into /opt/siem —
+    reference siem/utils.py:736-749)."""
+    def deco(fn):
+        _TRANSFORMS[logtype] = fn
+        return fn
+    return deco
+
+
+def get_transform(logtype: str):
+    return _TRANSFORMS.get(logtype)
+
+
+@register_transform("cloudtrail_like")
+def _tf_outcome(batch: pa.Table) -> pa.Table:
+    """Outcome derivation (reference sf_cloudtrail.py:73-84: an
+    errorCode present => failure, else success)."""
+    if "error_code" not in batch.column_names:
+        return batch
+    err = batch.column("error_code")
+    outcome = pc.if_else(pc.is_null(err), pa.scalar("success"),
+                         pa.scalar("failure"))
+    return batch.append_column("event_outcome", outcome)
+
+
+_PROTO_NAMES = {1: "icmp", 6: "tcp", 17: "udp", 41: "ipv6", 47: "gre",
+                50: "esp", 58: "ipv6-icmp", 132: "sctp"}
+
+
+@register_transform("vpcflow_like")
+def _tf_protocol(batch: pa.Table) -> pa.Table:
+    """IANA protocol number -> transport name (reference
+    sf_vpcflowlogs.py:24-42)."""
+    if "protocol" not in batch.column_names:
+        return batch
+    nums = batch.column("protocol").to_pylist()
+    names = [_PROTO_NAMES.get(n) for n in nums]
+    return batch.append_column("network_transport",
+                               pa.array(names, pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# index routing (M11)
+
+_ROTATIONS = {"daily": "%Y-%m-%d", "weekly": "%Y-w%W", "monthly": "%Y-%m",
+              "yearly": "%Y"}
+
+
+def route_index(batch: pa.Table, index_name: str, rotation: str = "monthly",
+                ts_col: str = "@timestamp") -> pa.Table:
+    """Append the target partition key ``__index`` = index_name +
+    rotation suffix from the event timestamp (reference
+    siem/__init__.py:617-656; aws.ini index_rotation).  Late data lands
+    in the (older) partition its own timestamp names — the reference's
+    exact late-data semantics (SURVEY.md §2.10)."""
+    fmt = _ROTATIONS.get(rotation)
+    if fmt is None:
+        names = [index_name] * batch.num_rows
+    else:
+        ts = batch.column(ts_col).to_pylist()
+        names = [f"{index_name}-{t.strftime(fmt)}" if t is not None
+                 else f"{index_name}-unknown" for t in ts]
+    return batch.append_column("__index", pa.array(names, pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# pipeline
+
+
+@dataclass
+class EtlConfig:
+    """Declarative per-logtype spec — the engine's aws.ini section
+    (reference es_loader/aws.ini: one ini section per logtype with
+    regex/timestamp/ECS/exclusion keys)."""
+    logtype: str
+    timestamp_col: str | None = None
+    timestamp_kind: str = "iso8601"       # epoch | syslog | iso8601 | strptime
+    timestamp_formats: list = field(default_factory=list)
+    timestamp_tz_hours: float = 0.0
+    syslog_ref: dt.datetime | None = None
+    renames: dict = field(default_factory=dict)
+    static_fields: dict = field(default_factory=dict)
+    exclusion_rules: list = field(default_factory=list)
+    index_name: str = "log"
+    index_rotation: str = "monthly"
+
+
+def prepare_batch(batch: pa.Table, cfg: EtlConfig) -> pa.Table:
+    """One-batch version of the LogParser flow (stage order mirrors
+    reference siem/__init__.py:519-574)."""
+    if cfg.renames:
+        batch = rename_columns(batch, cfg.renames)
+    if cfg.timestamp_col is not None:
+        batch = parse_timestamp_column(
+            batch, cfg.timestamp_col, cfg.timestamp_kind,
+            formats=cfg.timestamp_formats, ref=cfg.syslog_ref,
+            tz_offset_hours=cfg.timestamp_tz_hours)
+    batch = clean_empty_strings(batch)
+    for k, v in cfg.static_fields.items():
+        batch = batch.append_column(k, pa.array([v] * batch.num_rows))
+    tf = get_transform(cfg.logtype)
+    if tf is not None:
+        batch = tf(batch)
+    if "@timestamp" in batch.column_names:
+        batch = route_index(batch, cfg.index_name, cfg.index_rotation)
+    return batch
+
+
+def run_etl(ds: rd.Dataset, cfg: EtlConfig,
+            out_dir: str | None = None) -> rd.Dataset:
+    """Full ETL: prepare (map_batches) -> exclusions (actor stage) ->
+    optionally write parquet partitioned by the ``__index`` routing key
+    (one directory per index family+period = the reference's index
+    rotation as partition layout)."""
+    out = ds.map_batches(lambda b: prepare_batch(b, cfg),
+                         batch_format="pyarrow")
+    if cfg.exclusion_rules:
+        out = out.map_batches(Excluder,
+                              fn_constructor_kwargs={"rules": cfg.exclusion_rules},
+                              batch_format="pyarrow", concurrency=2)
+    if out_dir is not None:
+        out.write_parquet(out_dir, partition_cols=["__index"])
+        return out
+    return out

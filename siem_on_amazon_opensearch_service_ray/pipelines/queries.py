@@ -315,7 +315,67 @@ def search_topk(sf_dir: str) -> pd.DataFrame:
     })
 
 
-def _bm25_sql(query_terms: list[str], k: int) -> str:
+def search_and_topk(sf_dir: str) -> pd.DataFrame:
+    """Conjunctive (AND) BM25 top-k — the Lucene conjunction-iterator
+    semantics (SURVEY.md §2.5), via WAND with mode='and'."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.search(BM25_QUERY, field="content", k=BM25_K, mode="and",
+                        method="wand")
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d in hits],
+        "score_e4": np.array([round(sc * 10000) for sc, _ in hits],
+                             dtype=np.int64),
+    })
+
+
+def events_sessions(sf_dir: str) -> pd.DataFrame:
+    """Sessionization (30-min gap) per user over events — windowed /
+    session semantics with an exact SQL-window-function oracle."""
+    from ..stages.windows import sessionize
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    sess = sessionize(ds, "user_id", "ts", gap_sec=1800)
+
+    def agg(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["_us"] = df["ts"].astype("int64")
+        g = df.groupby(["user_id", "session_id"], as_index=False).agg(
+            n_events=("ts", "size"), start_us=("_us", "min"),
+            end_us=("_us", "max"))
+        g["duration_us"] = g["end_us"] - g["start_us"]
+        return pa.Table.from_pandas(
+            g[["user_id", "session_id", "n_events", "duration_us"]],
+            preserve_index=False)
+
+    return sess.map_batches(agg, batch_format="pyarrow").to_pandas()
+
+
+EVENTS_SESSIONS_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN prev IS NULL
+                    OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM o)
+SELECT user_id, session_id, count(*) AS n_events,
+       max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def _bm25_sql(query_terms: list[str], k: int, mode: str = "or") -> str:
+    n_distinct = len(dict.fromkeys(query_terms))
+    having = (f"HAVING count(*) = {n_distinct}" if mode == "and" else "")
     vals = ", ".join(f"('{t}')" for t in dict.fromkeys(query_terms))
     return f"""
 WITH tok AS (
@@ -340,13 +400,14 @@ scores AS (
               * tf.tf * 2.2
               / (tf.tf + 1.2*(1 - 0.75 + 0.75*dlq.dl_quant/s.avgdl)) ) AS score
   FROM tf JOIN df USING(term) JOIN dlq USING(doc_id) CROSS JOIN stats s
-  GROUP BY tf.doc_id)
+  GROUP BY tf.doc_id {having})
 SELECT doc_id, cast(round(score*10000) AS BIGINT) AS score_e4
 FROM scores ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
 BM25_SQL = _bm25_sql(base_tokens(BM25_QUERY), BM25_K)
+BM25_AND_SQL = _bm25_sql(base_tokens(BM25_QUERY), BM25_K, mode="and")
 
 
 # ---------------------------------------------------------------------------
@@ -669,6 +730,8 @@ def queries() -> dict:
         "corpus_stats": corpus_stats,
         "bm25_topk": bm25_topk,
         "search_topk": search_topk,
+        "search_and_topk": search_and_topk,
+        "events_sessions": events_sessions,
         "knn_cosine": knn_cosine_q,
         "region_revenue": region_revenue,
         "top_events": top_events,
@@ -697,6 +760,8 @@ def oracle_sql() -> dict:
         "corpus_stats": CORPUS_STATS_SQL,
         "bm25_topk": BM25_SQL,
         "search_topk": BM25_SQL,
+        "search_and_topk": BM25_AND_SQL,
+        "events_sessions": EVENTS_SESSIONS_SQL,
         "knn_cosine": KNN_SQL,
         "region_revenue": REGION_REVENUE_SQL,
         "top_events": TOP_EVENTS_SQL,

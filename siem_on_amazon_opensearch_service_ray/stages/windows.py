@@ -1,0 +1,117 @@
+"""Windowed aggregates over event streams.
+
+The reference has no windows (its streaming semantics are
+at-least-once, unordered, doc-per-event — SURVEY.md §2.10); dashboards
+get date-histogram panels from OpenSearch (SURVEY.md A5).  These
+operators provide those date-histogram / session semantics natively:
+
+- ``tumbling``: fixed buckets = floor(ts / size) — a groupby, no
+  ordering requirement;
+- ``sliding``: each event lands in every window covering it (explode
+  then groupby);
+- ``sessionize``: per-key sessions split on gaps > timeout — needs
+  per-key time order, expressed as groupby(key).map_groups with an
+  in-group sort (the guide's streaming-shaped pattern: partition by
+  key, sort within partition).
+
+All window bounds are computed from the event's own timestamp, so like
+the reference's index routing, late data simply lands in the (older)
+bucket it names — no watermarks needed for batch semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def add_tumbling_window(batch: pa.Table, ts_col: str, size_sec: int,
+                        out_col: str = "window_start") -> pa.Table:
+    """Window start epoch-seconds = ts floored to the window size."""
+    us = pc.cast(batch.column(ts_col), pa.int64())
+    size_us = size_sec * 1_000_000
+    start = pc.multiply(pc.divide(us, size_us), size_us)
+    return batch.append_column(out_col, pc.divide(start, 1_000_000))
+
+
+def tumbling_aggregate(ds: rd.Dataset, ts_col: str, size_sec: int,
+                       key_cols: list[str], value_col: str) -> rd.Dataset:
+    """count + sum/min/max of ``value_col`` per (keys, window)."""
+    win = ds.map_batches(
+        lambda b: add_tumbling_window(b, ts_col, size_sec),
+        batch_format="pyarrow")
+    return win.groupby(key_cols + ["window_start"]).aggregate(
+        Count(alias_name="n"),
+        Sum(value_col, alias_name="sum_value"),
+        Min(value_col, alias_name="min_value"),
+        Max(value_col, alias_name="max_value"),
+        Mean(value_col, alias_name="mean_value"))
+
+
+def explode_sliding_windows(batch: pa.Table, ts_col: str, size_sec: int,
+                            step_sec: int) -> pa.Table:
+    """Each row replicated into every sliding window covering it."""
+    assert size_sec % step_sec == 0
+    k = size_sec // step_sec
+    us = pc.cast(batch.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+    step_us = step_sec * 1_000_000
+    last_start = (us // step_us) * step_us
+    idx = np.repeat(np.arange(batch.num_rows), k)
+    offs = np.tile(np.arange(k, dtype=np.int64) * step_us, batch.num_rows)
+    starts = last_start[idx] - offs
+    out = batch.take(pa.array(idx))
+    return out.append_column("window_start",
+                             pa.array(starts // 1_000_000, pa.int64()))
+
+
+def sliding_aggregate(ds: rd.Dataset, ts_col: str, size_sec: int,
+                      step_sec: int, key_cols: list[str],
+                      value_col: str) -> rd.Dataset:
+    ex = ds.map_batches(
+        lambda b: explode_sliding_windows(b, ts_col, size_sec, step_sec),
+        batch_format="pyarrow")
+    return ex.groupby(key_cols + ["window_start"]).aggregate(
+        Count(alias_name="n"), Sum(value_col, alias_name="sum_value"))
+
+
+def sessionize(ds: rd.Dataset, key_col: str, ts_col: str,
+               gap_sec: float) -> rd.Dataset:
+    """Per-key session assignment: a new session starts when the gap
+    from the previous event exceeds ``gap_sec``.  Partitioning
+    assumption: one group = one key's full history (groupby delivers
+    that); order restored by an in-group sort."""
+    gap_us = int(gap_sec * 1_000_000)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col).reset_index(drop=True)
+        us = g[ts_col].astype("int64")
+        new_sess = (us.diff().fillna(gap_us + 1) > gap_us).astype("int64")
+        g["session_id"] = new_sess.cumsum() - 1
+        return g
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def session_stats(ds: rd.Dataset, key_col: str, ts_col: str,
+                  gap_sec: float) -> rd.Dataset:
+    """Session table: (key, session_id) -> n_events, duration."""
+    sess = sessionize(ds, key_col, ts_col, gap_sec)
+
+    def agg(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        us = df[ts_col].astype("int64")
+        df = df.assign(_us=us)
+        g = df.groupby([key_col, "session_id"], as_index=False).agg(
+            n_events=(ts_col, "size"), start_us=("_us", "min"),
+            end_us=("_us", "max"))
+        g["duration_sec"] = (g["end_us"] - g["start_us"]) / 1e6
+        return pa.Table.from_pandas(g[[key_col, "session_id", "n_events",
+                                       "duration_sec"]], preserve_index=False)
+
+    # sessionize already co-located each key in one group/block
+    return sess.map_batches(agg, batch_format="pyarrow")

@@ -166,6 +166,27 @@ def test_resume_skips_completed_segments(built):
     assert m3["stats"] == manifest["stats"]
 
 
+def test_wide_rows_indexed(built):
+    """Multi-MB rows (corpus plants ~2 MB docs) index and match."""
+    _, index_dir, _ = built
+    s = Searcher(index_dir, use_actors=False)
+    res = s.search("padToken", k=5)
+    assert res  # the planted wide docs contain padToken 250k times
+
+
+def test_salting_is_score_transparent(built, small_corpus, tmp_path_factory):
+    """Salted and unsalted indexes return identical top-k (salting
+    changes layout, never scores — SURVEY.md §7.5.3)."""
+    _, salted_dir, _ = built
+    plain_dir = str(tmp_path_factory.mktemp("plain") / "idx")
+    cfg = IndexConfig(num_partitions=4, salting=False)
+    build_index(small_corpus, plain_dir, cfg)
+    s_salt = Searcher(salted_dir, use_actors=False)
+    s_plain = Searcher(plain_dir, use_actors=False)
+    for q in ("def", "def return import", "needle_137"):
+        assert s_salt.search(q, k=15) == s_plain.search(q, k=15), q
+
+
 def test_segment_manifests_carry_lineage(built):
     _, index_dir, manifest = built
     mdir = os.path.join(index_dir, "manifest")

@@ -1,0 +1,82 @@
+"""Flagship ETL pipeline (LogParser-order) + routing + registry."""
+
+import datetime as dt
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from siem_on_amazon_opensearch_service_ray.pipelines import etl
+from siem_on_amazon_opensearch_service_ray.stages.exclude import ExclusionRule
+
+
+def _log_table():
+    return pa.table({
+        "ts": ["2024-05-01T12:00:00Z", "2024-06-01T01:00:00+02:00",
+               "2023-12-31T23:59:59Z"],
+        "src": ["10.0.0.1", "-", "203.0.113.9"],
+        "error_code": [None, "AccessDenied", None],
+        "user": ["alice", "svc-backup", "bob"],
+    })
+
+
+def test_prepare_batch_order_and_routing():
+    cfg = etl.EtlConfig(logtype="cloudtrail_like", timestamp_col="ts",
+                        renames={"src": "source_ip"},
+                        static_fields={"event_kind": "event"},
+                        index_name="log-aws", index_rotation="monthly")
+    out = etl.prepare_batch(_log_table(), cfg)
+    assert "source_ip" in out.column_names          # M2 rename
+    assert out.column("source_ip").to_pylist()[1] is None  # M12 cleanup of '-'
+    assert out.column("event_kind").to_pylist() == ["event"] * 3  # M6 static
+    assert out.column("event_outcome").to_pylist() == \
+        ["success", "failure", "success"]            # M8 sf transform
+    assert out.column("__index").to_pylist() == \
+        ["log-aws-2024-05", "log-aws-2024-05", "log-aws-2023-12"]  # M11 + tz
+
+
+def test_rotation_kinds():
+    batch = pa.table({"ts": ["2024-05-01T12:00:00Z"]})
+    cfg = etl.EtlConfig(logtype="x", timestamp_col="ts")
+    b = etl.prepare_batch(batch, cfg)
+    for rot, expect in [("daily", "log-2024-05-01"), ("yearly", "log-2024"),
+                        ("aoss", "log")]:
+        out = etl.route_index(b.drop_columns(["__index"]), "log", rot)
+        assert out.column("__index").to_pylist() == [expect]
+
+
+def test_protocol_transform():
+    out = etl.get_transform("vpcflow_like")(pa.table({"protocol": [6, 17, 999]}))
+    assert out.column("network_transport").to_pylist() == ["tcp", "udp", None]
+
+
+def test_run_etl_with_exclusion_and_partitioned_write(ray_session, tmp_path):
+    ds = rd.from_arrow(_log_table())
+    cfg = etl.EtlConfig(logtype="cloudtrail_like", timestamp_col="ts",
+                        exclusion_rules=[ExclusionRule("user", "svc-.*")],
+                        index_name="log-aws")
+    out_dir = str(tmp_path / "etl_out")
+    out = etl.run_etl(ds, cfg, out_dir=out_dir)
+    df = out.to_pandas()
+    assert set(df["user"]) == {"alice", "bob"}       # exclusion applied
+    import os
+    parts = [d for d in os.listdir(out_dir) if d.startswith("__index=")]
+    assert len(parts) == 2                           # monthly partition dirs
+
+
+def test_fetch_docs_roundtrip(ray_session, small_corpus, tmp_path):
+    from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
+        IndexConfig, build_index)
+    from siem_on_amazon_opensearch_service_ray.state.docstore import fetch_docs
+    from siem_on_amazon_opensearch_service_ray.state.searcher import Searcher
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(num_partitions=4, salting=False)
+    build_index(small_corpus, idx, cfg)
+    s = Searcher(idx, use_actors=False)
+    hits = s.search("needle_137", k=3)
+    ids = [d for _, d in hits]
+    docs = fetch_docs(idx, ids)
+    assert docs.num_rows == len(ids)
+    assert set(docs.column("doc_id").to_pylist()) == set(ids)
+    assert all(len(s_) == 64 for s_ in docs.column("content_sha256").to_pylist())
