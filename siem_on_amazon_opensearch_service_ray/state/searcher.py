@@ -145,6 +145,55 @@ def score_taat(terms: list[TermData], k: int, mode: str, avgdl: float,
     return [(float(scores[i]), int(uniq[i])) for i in order]
 
 
+def score_and(terms: list[TermData], k: int, avgdl: float,
+              filter_ids: np.ndarray | None = None,
+              k1: float = K1, b: float = B) -> list[tuple[float, int]]:
+    """Vectorized conjunction: intersect sorted posting lists smallest-
+    first (numpy membership probes), then score only the surviving docs.
+    Exact-equal to score_taat(mode='and') — the fast path for AND
+    queries whatever the df sizes."""
+    if not terms or any(t.doc_ids.size == 0 for t in terms):
+        return []
+    order = sorted(terms, key=lambda t: t.doc_ids.size)
+    base = order[0].doc_ids
+    for t in order[1:]:
+        if base.size == 0:
+            return []
+        pos = np.minimum(np.searchsorted(t.doc_ids, base), t.doc_ids.size - 1)
+        base = base[t.doc_ids[pos] == base]
+    if filter_ids is not None:
+        base = base[_apply_filter(base, filter_ids)]
+    if base.size == 0:
+        return []
+    scores = np.zeros(base.size, dtype=np.float64)
+    for t in sorted(terms, key=lambda t: t.qidx):  # fp-order pinned
+        pos = np.searchsorted(t.doc_ids, base)
+        scores += t.weight * t.idf * tf_norm(t.tfs[pos], t.lens[pos],
+                                             avgdl, k1, b)
+    kk = min(k, base.size)
+    cand = np.arange(base.size)
+    if base.size > 4096:
+        thresh = np.partition(scores, base.size - kk)[base.size - kk]
+        cand = np.flatnonzero(scores >= thresh)
+    sel = cand[np.lexsort((base[cand], -scores[cand]))][:kk]
+    return [(float(scores[i]), int(base[i])) for i in sel]
+
+
+# WAND's per-evaluated-doc cost is Python-level (~50us) while TAAT is
+# numpy-vectorized (~0.5us/posting): the skip-based path only wins when
+# the candidate set is tiny.  In a compiled engine this crossover sits
+# orders of magnitude higher — the block-max machinery and its tests
+# carry the design; `auto` picks the practical winner per query.
+WAND_EVAL_BUDGET = 5_000
+
+
+def choose_method(terms: list[TermData], mode: str) -> str:
+    if mode == "and":
+        return "and"
+    total = sum(t.doc_ids.size for t in terms)
+    return "wand" if total <= WAND_EVAL_BUDGET else "taat"
+
+
 class _Cursor:
     __slots__ = ("t", "pos", "n")
 
@@ -271,20 +320,45 @@ def score_wand(terms: list[TermData], k: int, mode: str, avgdl: float,
     return [(s, -nd) for s, nd in out]
 
 
+def _dispatch(method: str, terms: list[TermData], k: int, mode: str,
+              avgdl: float, filt, k1: float, b: float
+              ) -> list[tuple[float, int]]:
+    if method == "auto":
+        method = choose_method(terms, mode)
+    if method == "and":
+        if mode != "and":
+            raise ValueError("method='and' requires mode='and'")
+        return score_and(terms, k, avgdl, filt, k1, b)
+    if method == "wand":
+        return score_wand(terms, k, mode, avgdl, filt, k1, b)
+    return score_taat(terms, k, mode, avgdl, filt, k1, b)
+
+
 # ---------------------------------------------------------------------------
 # actors + driver
 
 
 @ray.remote
 class PartActor:
-    """One term-partition's warm shard (state loaded once, SURVEY §7.3)."""
+    """A warm shard-group actor: owns a RANGE of term partitions, each
+    loaded once in __init__ (SURVEY §7.3).  On a multi-node cluster the
+    pool spreads part ranges across nodes; locally the pool size is
+    min(P, cpus) so P can be large (shard granularity) without P
+    actors."""
 
-    def __init__(self, index_dir: str, part: int):
-        self.reader = ShardReader(index_dir, part)
+    def __init__(self, index_dir: str, parts: list[int]):
+        self.readers = {p: ShardReader(index_dir, p) for p in parts}
 
-    def get_terms(self, field: str, terms: list[str]) -> dict[str, list[tuple]]:
-        return {t: self.reader.raw_rows(field, t) for t in terms
-                if self.reader.raw_rows(field, t)}
+    def get_terms(self, field: str, terms_by_part: dict[int, list[str]]
+                  ) -> dict[str, list[tuple]]:
+        out: dict[str, list[tuple]] = {}
+        for p, terms in terms_by_part.items():
+            r = self.readers[p]
+            for t in terms:
+                rows = r.raw_rows(field, t)
+                if rows:
+                    out[t] = rows
+        return out
 
     def ping(self) -> bool:
         return True
@@ -294,7 +368,8 @@ class Searcher:
     """Driver-side coordinator: routes query terms to part actors,
     gathers postings, scores with WAND (default) or TAAT."""
 
-    def __init__(self, index_dir: str, use_actors: bool = True):
+    def __init__(self, index_dir: str, use_actors: bool = True,
+                 num_actors: int | None = None):
         import json as _json
         import os as _os
         import zlib as _zlib
@@ -306,10 +381,23 @@ class Searcher:
         self._crc = _zlib.crc32
         self.use_actors = use_actors and ray.is_initialized()
         if self.use_actors:
-            self.actors = [PartActor.remote(index_dir, p) for p in range(self.P)]
+            if num_actors is None:
+                cpus = int(ray.cluster_resources().get("CPU", 4))
+                num_actors = max(1, min(self.P, cpus))
+            self.num_actors = num_actors
+            ranges: list[list[int]] = [[] for _ in range(num_actors)]
+            for p in range(self.P):
+                ranges[p % num_actors].append(p)
+            self.actors = [PartActor.remote(index_dir, parts)
+                           for parts in ranges]
+            self._actor_of_part = {p: p % num_actors for p in range(self.P)}
+            # actors construct lazily on first call — force-warm the
+            # pool so query latency never includes shard loading
+            ray.get([a.ping.remote() for a in self.actors])
         else:
             self.readers = {p: ShardReader(index_dir, p) for p in range(self.P)}
         self._filter_cache: dict[tuple[str, str], np.ndarray] = {}
+        self._rows_cache: dict[tuple[str, str], list[tuple]] = {}
 
     def close(self) -> None:
         if self.use_actors:
@@ -317,14 +405,22 @@ class Searcher:
                 ray.kill(a)
 
     def _gather(self, field: str, terms: list[str]) -> dict[str, list[tuple]]:
+        """Fetch raw postings rows for terms; a bounded per-searcher
+        cache keeps hot terms' (large) blobs from re-shipping on every
+        query (reference parity: warm OpenSearch shard request cache)."""
+        cache = self._rows_cache
+        missing = [t for t in dict.fromkeys(terms) if (field, t) not in cache]
         by_part: dict[int, list[str]] = {}
-        for t in dict.fromkeys(terms):
+        for t in missing:
             p = self._crc(f"{field}\x1f{t}".encode()) % self.P
             by_part.setdefault(p, []).append(t)
         rows: dict[str, list[tuple]] = {}
         if self.use_actors:
-            futs = [self.actors[p].get_terms.remote(field, ts)
-                    for p, ts in by_part.items()]
+            by_actor: dict[int, dict[int, list[str]]] = {}
+            for p, ts in by_part.items():
+                by_actor.setdefault(self._actor_of_part[p], {})[p] = ts
+            futs = [self.actors[a].get_terms.remote(field, tbp)
+                    for a, tbp in by_actor.items()]
             for d in ray.get(futs):
                 rows.update(d)
         else:
@@ -333,6 +429,13 @@ class Searcher:
                     r = self.readers[p].raw_rows(field, t)
                     if r:
                         rows[t] = r
+        for t in missing:
+            if len(cache) < 4096:
+                cache[(field, t)] = rows.get(t, [])
+        for t in dict.fromkeys(terms):
+            hit = cache.get((field, t))
+            if hit:
+                rows[t] = hit
         return rows
 
     def _filter_ids(self, field: str, value: str) -> np.ndarray:
@@ -352,10 +455,15 @@ class Searcher:
         return self._filter_cache[key]
 
     def search(self, query: str, field: str = "content", k: int = 10,
-               mode: str = "or", method: str = "wand",
+               mode: str = "or", method: str = "auto",
                filter_field: str | None = None, filter_value: str | None = None,
                analyzer: str | None = None,
                k1: float = K1, b: float = B) -> list[tuple[float, int]]:
+        """``method='auto'`` picks the execution strategy per query:
+        vectorized intersection for AND, block-max WAND when the
+        candidate postings are selective enough for skipping to pay off,
+        vectorized TAAT otherwise (all three are exact-identical;
+        tested)."""
         if analyzer is None:
             analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
                              if f == field), "code")
@@ -369,5 +477,29 @@ class Searcher:
         filt = None
         if filter_field is not None:
             filt = self._filter_ids(filter_field, filter_value)
-        fn = score_wand if method == "wand" else score_taat
-        return fn(terms, k, mode, avgdl, filt, k1, b)
+        return _dispatch(method, terms, k, mode, avgdl, filt, k1, b)
+
+    def search_many(self, queries: list[str], field: str = "content",
+                    k: int = 10, mode: str = "or", method: str = "auto",
+                    analyzer: str | None = None,
+                    k1: float = K1, b: float = B
+                    ) -> list[list[tuple[float, int]]]:
+        """Batched execution: one postings-gather round for the UNION of
+        all queries' terms, then local scoring per query — amortizes the
+        actor round-trip that dominates single-query latency."""
+        if analyzer is None:
+            analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
+                             if f == field), "code")
+        per_q = [ANALYZERS[analyzer](q) for q in queries]
+        all_terms = [t for ts in per_q for t in ts]
+        rows = self._gather(field, all_terms) if all_terms else {}
+        avgdl = float(self.stats["avgdl"][field])
+        n_docs = int(self.stats["n_docs"])
+        out = []
+        for q_terms in per_q:
+            if not q_terms:
+                out.append([])
+                continue
+            terms = prepare_terms(q_terms, rows, n_docs, avgdl, k1, b)
+            out.append(_dispatch(method, terms, k, mode, avgdl, None, k1, b))
+        return out
