@@ -63,7 +63,7 @@ from ..norms import encode_norm
 from ..postings import encode_postings
 from ..stages.docprep import compute_doc_ids, content_shas
 
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
 
 
 @dataclass(frozen=True)
@@ -556,9 +556,11 @@ def build_postings(source, index_dir: str, cfg: IndexConfig, fp: str,
     per-group encode (postings segments for parts < P, docstore files
     for the sentinel range).  Returns (metrics, n_docs)."""
     ds = _read_source(source)
-    text_cols = {col for _, col, _ in cfg.fields}
+    # the docstore keeps every identity/metadata column — including
+    # small indexed-field sources like ``path`` — and drops only the
+    # wide content column (cfg.sha_col)
     docstore_cols = [c for c in ds.schema().names
-                     if c not in text_cols and c != "doc_id"]
+                     if c != cfg.sha_col and c != "doc_id"]
     if cfg.tokenize_mode == "actors":
         flat = ds.map_batches(TokenizeFlatten,
                               fn_constructor_kwargs={"cfg": cfg, "hot": hot,

@@ -700,6 +700,16 @@ def fingerprint_docs(sf_dir: str) -> pd.DataFrame:
     return df[["doc_id", "fp0"]]
 
 
+def embedding_near_dups(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs over the embeddings table
+    (LSH-bucketed + exact verify; rows-only — quadratic SQL oracle is
+    intentionally out of scope)."""
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return dedup_ops.embedding_near_dup_pairs(
+        ds, "embedding", "vec_id", threshold=0.95, n_bits=6,
+        concurrency=_concurrency()).to_pandas()
+
+
 def knn_lsh(sf_dir: str) -> pd.DataFrame:
     """LSH-bucketed ANN scale path (rows-only: bucket histogram)."""
     import pyarrow.parquet as pq
@@ -746,6 +756,7 @@ def queries() -> dict:
         "langid_docs": langid_docs,
         "fingerprint_docs": fingerprint_docs,
         "knn_lsh": knn_lsh,
+        "embedding_near_dups": embedding_near_dups,
     }
 
 

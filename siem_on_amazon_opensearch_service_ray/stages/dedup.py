@@ -195,6 +195,63 @@ def hamming64(a: int, b: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+
+
+def embedding_near_dup_pairs(ds: rd.Dataset, vec_col: str, id_col: str,
+                             threshold: float = 0.95, n_bits: int = 8,
+                             seed: int = 11, max_bucket: int = 500,
+                             concurrency: int = 4) -> rd.Dataset:
+    """Embedding-cosine near-duplicate pairs: random-hyperplane LSH
+    buckets (map_batches) -> per-bucket exact cosine verification
+    (groupby) -> (id_a, id_b, cos_e6) rows with cos >= threshold.
+
+    Same-bucket requirement trades recall for a pruned O(bucket^2)
+    verify — the standard scale path; raise recall with fewer bits or
+    multiple probe tables."""
+    import ray
+
+    from .knn import LshBucketStage, lsh_planes, _as_matrix
+
+    first = ds.take(1)[0]
+    dim = len(first[vec_col])
+    planes = lsh_planes(dim, n_bits=n_bits, seed=seed)
+    ref = ray.put(planes) if ray.is_initialized() else planes
+    bucketed = ds.map_batches(LshBucketStage,
+                              fn_constructor_kwargs={"planes_ref": ref,
+                                                     "vec_col": vec_col},
+                              batch_format="pyarrow", concurrency=concurrency)
+
+    def verify(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2 or n > max_bucket:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cos_e6": pa.array([], pa.int64())})
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        m = _as_matrix(group.column(vec_col)).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        m = m / np.where(norms == 0, 1, norms)
+        sims = m @ m.T
+        ii, jj = np.triu_indices(n, k=1)
+        keep = sims[ii, jj] >= threshold
+        order = np.argsort(ids)
+        rank = np.empty_like(order)
+        rank[order] = np.arange(n)
+        a = np.minimum(ids[ii[keep]], ids[jj[keep]])
+        b = np.maximum(ids[ii[keep]], ids[jj[keep]])
+        return pa.table({
+            "id_a": pa.array(a, pa.int64()),
+            "id_b": pa.array(b, pa.int64()),
+            "cos_e6": pa.array(np.round(sims[ii[keep], jj[keep]] * 1e6)
+                               .astype(np.int64), pa.int64()),
+        })
+
+    return bucketed.groupby("lsh_bucket").map_groups(verify,
+                                                     batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # exact dedup pipeline
 
 

@@ -187,6 +187,49 @@ def test_salting_is_score_transparent(built, small_corpus, tmp_path_factory):
         assert s_salt.search(q, k=15) == s_plain.search(q, k=15), q
 
 
+def test_partial_failure_resume(ray_session, small_corpus, tmp_path_factory):
+    """Simulated mid-build crash: some segments + the top-level manifest
+    are lost; a resumed build re-encodes ONLY the lost segments and
+    reproduces byte-identical output (SURVEY.md §7.5.6)."""
+    import hashlib
+
+    def tree_hash(d):
+        h = hashlib.sha256()
+        for root, _, files in sorted(os.walk(d)):
+            for fn in sorted(files):
+                if fn.endswith(".parquet"):
+                    with open(os.path.join(root, fn), "rb") as f:
+                        h.update(fn.encode() + f.read())
+        return h.hexdigest()
+
+    idx = str(tmp_path_factory.mktemp("resume") / "idx")
+    cfg = IndexConfig(num_partitions=4, sample_mod=1, hot_df_threshold=500,
+                      salt_unit=300, max_salts=4)
+    build_index(small_corpus, idx, cfg)
+    full_hash = tree_hash(idx)
+    # crash simulation: drop 2 segments, 1 docstore part, the manifest
+    victims = [os.path.join(idx, "parts", "part-0001", "seg-00.parquet"),
+               os.path.join(idx, "docstore", "part-0002.parquet")]
+    for v in victims:
+        os.unlink(v)
+        part = os.path.basename(v).split("-")[1].split(".")[0]
+        kind = "seg-0001-00" if "parts" in v else "docstore-0002"
+        os.unlink(os.path.join(idx, "manifest", f"{kind}.json"))
+    os.unlink(os.path.join(idx, "INDEX_MANIFEST.json"))
+    survivors_mtime = {
+        p: os.stat(os.path.join(idx, "parts", "part-0000", p)).st_mtime_ns
+        for p in os.listdir(os.path.join(idx, "parts", "part-0000"))}
+    m2 = build_index(small_corpus, idx, cfg, resume=True)
+    # only the victims were rewritten
+    assert m2["metrics"]["skipped_segments"] > 0
+    for p, mt in survivors_mtime.items():
+        assert os.stat(os.path.join(
+            idx, "parts", "part-0000", p)).st_mtime_ns == mt
+    for v in victims:
+        assert os.path.exists(v)
+    assert tree_hash(idx) == full_hash   # byte-identical reconstruction
+
+
 def test_segment_manifests_carry_lineage(built):
     _, index_dir, manifest = built
     mdir = os.path.join(index_dir, "manifest")

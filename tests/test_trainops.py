@@ -133,3 +133,27 @@ def test_token_count_and_fingerprint():
     # determinism
     t2 = fp(pa.table({"text": ["hello world hello world hello"]}))
     assert t2.column("fingerprint").to_pylist()[0] == s[0]
+
+
+def test_embedding_near_dup(ray_session):
+    import pyarrow as pa
+    rng = np.random.RandomState(9)
+    base = rng.normal(size=(30, 12)).astype(np.float32)
+    # plant near-dups: rows 40..44 are tiny perturbations of rows 0..4
+    near = base[:5] + rng.normal(scale=1e-3, size=(5, 12)).astype(np.float32)
+    mat = np.vstack([base, near])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(mat)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    }))
+    pairs = dedup.embedding_near_dup_pairs(ds, "embedding", "vec_id",
+                                           threshold=0.999, n_bits=4,
+                                           concurrency=2).to_pandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    planted = {(i, 30 + i) for i in range(5)}
+    # LSH same-bucket recall: at 4 bits nearly-identical vectors share
+    # buckets; expect most planted pairs found, no false positives
+    assert len(planted & found) >= 4
+    assert all(a < b for a, b in found)
+    assert (pairs["cos_e6"] >= 999000).all()
