@@ -125,10 +125,47 @@ def path_tokens(path: str) -> list[str]:
     return out
 
 
+def code_tokens_with_positions(text: str) -> tuple[list[str], list[int]]:
+    """Code analyzer with term positions: each base token occupies one
+    position; its sub-token expansions share that position (Lucene
+    synonym semantics, position-increment 0) — so phrases match across
+    either surface or split forms."""
+    cache = _CODE_CACHE
+    toks: list[str] = []
+    poss: list[int] = []
+    pos = 0
+    for raw in _BASE_TOKEN_RE.findall(text):
+        e = cache.get(raw)
+        if e is None:
+            e = _code_expand(raw)
+            if len(cache) < _CACHE_LIMIT:
+                cache[raw] = e
+        toks.extend(e)
+        poss.extend([pos] * len(e))
+        pos += 1
+    return toks, poss
+
+
+def base_tokens_with_positions(text: str) -> tuple[list[str], list[int]]:
+    toks = base_tokens(text)
+    return toks, list(range(len(toks)))
+
+
+def path_tokens_with_positions(path: str) -> tuple[list[str], list[int]]:
+    toks = path_tokens(path)
+    return toks, list(range(len(toks)))
+
+
 ANALYZERS = {
     "base": base_tokens,
     "code": code_tokens,
     "path": path_tokens,
+}
+
+POSITIONAL_ANALYZERS = {
+    "base": base_tokens_with_positions,
+    "code": code_tokens_with_positions,
+    "path": path_tokens_with_positions,
 }
 
 

@@ -58,9 +58,9 @@ import pyarrow.parquet as pq
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-from ..analysis import ANALYZERS
+from ..analysis import ANALYZERS, POSITIONAL_ANALYZERS
 from ..norms import encode_norm
-from ..postings import encode_postings
+from ..postings import encode_positions, encode_postings
 from ..stages.docprep import compute_doc_ids, content_shas
 
 FORMAT_VERSION = 3
@@ -87,6 +87,8 @@ class IndexConfig:
     # the shuffle or idles half the cluster).  "actors": classic
     # actor-pool stage (tokenize_concurrency workers).
     tokenize_mode: str = "tasks"
+    # store term positions (enables phrase queries; ~2x postings bytes)
+    store_positions: bool = False
     # hot-term salting
     salting: bool = True
     sample_mod: int = 64             # deterministic sample: doc_id % mod == 0
@@ -289,9 +291,12 @@ class TokenizeFlatten:
         self._terms: dict[str, list[str]] = {f: [] for f, _, _ in cfg.fields}
         self._parts: dict[str, list[int]] = {f: [] for f, _, _ in cfg.fields}
         self._nsalts: dict[str, list[int]] = {f: [] for f, _, _ in cfg.fields}
+        if cfg.store_positions:
+            self.pos_analyzers = {f: POSITIONAL_ANALYZERS[a]
+                                  for f, _, a in cfg.fields}
 
     def _field_postings(self, fname: str, texts: list, ids: np.ndarray
-                        ) -> tuple[np.ndarray, ...]:
+                        ) -> tuple:
         an = self.analyzers[fname]
         vocab = self._vocab[fname]
         terms_l = self._terms[fname]
@@ -304,9 +309,15 @@ class TokenizeFlatten:
         cnt_chunks: list[np.ndarray] = []
         did_chunks: list[np.ndarray] = []
         norm_chunks: list[np.ndarray] = []
+        with_pos = self.cfg.store_positions
+        pos_an = self.pos_analyzers[fname] if with_pos else None
+        pos_chunks: list[list[bytes]] = []
         dls = np.zeros(len(texts), dtype=np.int64)
         for i, text in enumerate(texts):
-            toks = an(text)
+            if with_pos:
+                toks, poss = pos_an(text)
+            else:
+                toks = an(text)
             if not toks:
                 continue
             dls[i] = len(toks)
@@ -321,14 +332,28 @@ class TokenizeFlatten:
                     parts_l.append(_term_part(fname, t, p))
                     nsalts_l.append(hot.get(f"{fname}\x1f{t}", 1))
                 append(tid)
-            u, c = np.unique(np.asarray(tl, dtype=np.int64), return_counts=True)
+            tids_doc = np.asarray(tl, dtype=np.int64)
+            u, c = np.unique(tids_doc, return_counts=True)
             tid_chunks.append(u)
             cnt_chunks.append(c)
             did_chunks.append(np.full(u.size, ids[i], dtype=np.int64))
             norm_chunks.append(np.empty(u.size, dtype=np.int64))  # filled below
+            if with_pos:
+                # positions grouped per unique term (stable sort keeps
+                # token order, which is ascending in position)
+                order = np.argsort(tids_doc, kind="stable")
+                parr = np.asarray(poss, dtype=np.uint64)[order]
+                ends = np.cumsum(c)
+                lo = 0
+                blobs = []
+                from ..postings import encode_positions as _encp
+                for hi in ends:
+                    blobs.append(_encp([parr[lo:int(hi)]]))
+                    lo = int(hi)
+                pos_chunks.append(blobs)
         if not tid_chunks:
             z = np.zeros(0, dtype=np.int64)
-            return z, z, z, z, z, z
+            return z, z, z, z, z, z, []
         norms_per_doc = encode_norm(dls).astype(np.int64)
         j = 0
         for i, text in enumerate(texts):
@@ -344,7 +369,9 @@ class TokenizeFlatten:
         parts = part_lut[tids]
         ns = nsalt_lut[tids]
         salts = np.where(ns > 1, dids % np.maximum(ns, 1), 0)
-        return tids, cnts, dids, nrm, parts, salts
+        pos_flat = [b for blobs in pos_chunks for b in blobs] \
+            if with_pos else []
+        return tids, cnts, dids, nrm, parts, salts, pos_flat
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -357,9 +384,10 @@ class TokenizeFlatten:
         col_dids: list[np.ndarray] = []
         col_tfs: list[np.ndarray] = []
         col_norms: list[np.ndarray] = []
+        col_pos: list[bytes] = []
         for fname, col, _ in cfg.fields:
             texts = batch.column(col).to_pylist()
-            tids, cnts, dids, nrm, parts, salts = \
+            tids, cnts, dids, nrm, parts, salts, pos_flat = \
                 self._field_postings(fname, texts, ids)
             if tids.size == 0:
                 continue
@@ -371,6 +399,8 @@ class TokenizeFlatten:
             col_dids.append(dids)
             col_tfs.append(cnts)
             col_norms.append(nrm)
+            if cfg.store_positions:
+                col_pos.extend(pos_flat if pos_flat else [b""] * tids.size)
         # docstore rows: one per input row, routed to sentinel parts
         # P..2P-1 by doc range (content sha256 invariant computed here,
         # on the only pass that touches content)
@@ -385,7 +415,7 @@ class TokenizeFlatten:
         col_dids.append(ids.astype(np.int64))
         col_tfs.append(np.zeros(batch.num_rows, dtype=np.int64))
         col_norms.append(np.zeros(batch.num_rows, dtype=np.int64))
-        return pa.table({
+        cols = {
             "part": pa.array(np.concatenate(col_parts).astype(np.int32)),
             "salt": pa.array(np.concatenate(col_salts).astype(np.int32)),
             "field": pa.array(col_fields, pa.string()),
@@ -393,7 +423,14 @@ class TokenizeFlatten:
             "doc_id": pa.array(np.concatenate(col_dids)),
             "tf": pa.array(np.concatenate(col_tfs).astype(np.int32)),
             "norm": pa.array(np.concatenate(col_norms).astype(np.int32)),
-        })
+        }
+        if cfg.store_positions:
+            # only positional builds pay the extra shuffle column — an
+            # always-present empty large_binary column costs 8 B/row of
+            # offsets across the exchange (measured ~15% build slowdown)
+            col_pos.extend([b""] * batch.num_rows)
+            cols["pos"] = pa.array(col_pos, pa.large_binary())
+        return pa.table(cols)
 
 
 # worker-global tokenizer state for the "tasks" execution mode: the
@@ -503,19 +540,27 @@ def _encode_segment(group: pa.Table, index_dir: str, fp: str,
         boundary[1:] = neq.to_numpy(zero_copy_only=False)
     starts = np.flatnonzero(boundary)
     ends = np.append(starts[1:], n)
+    with_pos = bool(cfg.store_positions) and "pos" in group.column_names
+    pos_col = group.column("pos") if with_pos else None
     o_field, o_term, o_df, o_ttf = [], [], [], []
-    o_docs, o_tfs, o_norms, o_skip = [], [], [], []
+    o_docs, o_tfs, o_norms, o_skip, o_pos = [], [], [], [], []
     n_postings = 0
     for s, e in zip(starts, ends):
         dids = d_arr[s:e]
         tfs = tf_arr[s:e]
         nms = nm_arr[s:e]
+        sel = None
         # duplicate (term, doc) rows can only come from duplicate input
         # rows with identical content (same doc_id) — keep first
         uniq, first = np.unique(dids, return_index=True)
         if uniq.size != dids.size:
-            dids, tfs, nms = uniq, tfs[np.sort(first)], nms[np.sort(first)]
+            sel = np.sort(first)
+            dids, tfs, nms = uniq, tfs[sel], nms[sel]
         docs_b, tfs_b, norms_b, skip_b = encode_postings(dids, tfs, nms)
+        if with_pos:
+            rows_idx = sel if sel is not None else np.arange(int(e) - int(s))
+            o_pos.append(b"".join(pos_col[int(s) + int(i)].as_py()
+                                  for i in rows_idx))
         o_field.append(f_col[int(s)].as_py())
         o_term.append(t_col[int(s)].as_py())
         o_df.append(int(dids.size))
@@ -534,6 +579,8 @@ def _encode_segment(group: pa.Table, index_dir: str, fp: str,
         "tfs": pa.array(o_tfs, pa.large_binary()),
         "norms": pa.array(o_norms, pa.large_binary()),
         "skip": pa.array(o_skip, pa.large_binary()),
+        "pos": pa.array(o_pos if with_pos else [b""] * len(o_field),
+                        pa.large_binary()),
     })
     _atomic_write_table(seg, out)
     nbytes = os.stat(out).st_size

@@ -373,6 +373,39 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def _docs_index_cfg_pos() -> IndexConfig:
+    import dataclasses
+    return dataclasses.replace(_docs_index_cfg(), store_positions=True)
+
+
+def phrase_docs(sf_dir: str) -> pd.DataFrame:
+    """Exact phrase query ("spark join") over a positional index —
+    every matching doc with its phrase frequency."""
+    idx = _docs_index_dir(sf_dir) + "_pos"
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg_pos(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.phrase_search(BM25_QUERY, field="content", k=1_000_000)
+    finally:
+        s.close()
+    return pd.DataFrame({"doc_id": [d for _, d in hits],
+                         "phrase_tf": [tf for tf, _ in hits]})
+
+
+PHRASE_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1)
+           AS pos
+  FROM documents)
+SELECT a.doc_id, count(*) AS phrase_tf
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'spark' AND b.term = 'join'
+GROUP BY a.doc_id
+"""
+
+
 def _bm25_sql(query_terms: list[str], k: int, mode: str = "or") -> str:
     n_distinct = len(dict.fromkeys(query_terms))
     having = (f"HAVING count(*) = {n_distinct}" if mode == "and" else "")
@@ -741,6 +774,7 @@ def queries() -> dict:
         "bm25_topk": bm25_topk,
         "search_topk": search_topk,
         "search_and_topk": search_and_topk,
+        "phrase_docs": phrase_docs,
         "events_sessions": events_sessions,
         "knn_cosine": knn_cosine_q,
         "region_revenue": region_revenue,
@@ -772,6 +806,7 @@ def oracle_sql() -> dict:
         "bm25_topk": BM25_SQL,
         "search_topk": BM25_SQL,
         "search_and_topk": BM25_AND_SQL,
+        "phrase_docs": PHRASE_SQL,
         "events_sessions": EVENTS_SESSIONS_SQL,
         "knn_cosine": KNN_SQL,
         "region_revenue": REGION_REVENUE_SQL,

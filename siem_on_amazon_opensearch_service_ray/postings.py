@@ -189,6 +189,35 @@ def decode_block(docs_blob: bytes, tfs_blob: bytes, norms_blob: bytes,
     return doc_ids, tfs, norms
 
 
+def encode_positions(pos_lists: list[np.ndarray]) -> bytes:
+    """Per-posting ascending position arrays -> one delta-varint stream
+    (counts are the tf values, so no length prefix is stored)."""
+    if not pos_lists:
+        return b""
+    deltas = []
+    for p in pos_lists:
+        p = np.asarray(p, dtype=np.uint64)
+        d = np.empty(p.size, dtype=np.uint64)
+        if p.size:
+            d[0] = p[0]
+            np.subtract(p[1:], p[:-1], out=d[1:])
+        deltas.append(d)
+    return varint_encode(np.concatenate(deltas))
+
+
+def decode_positions(blob: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """-> per-posting position arrays (len(out[i]) == tfs[i])."""
+    total = int(np.sum(tfs))
+    vals = varint_decode(blob, total)
+    out: list[np.ndarray] = []
+    ends = np.cumsum(np.asarray(tfs, dtype=np.int64))
+    lo = 0
+    for hi in ends:
+        out.append(np.cumsum(vals[lo:int(hi)], dtype=np.uint64))
+        lo = int(hi)
+    return out
+
+
 def merge_postings(runs: list[TermPostings]) -> TermPostings:
     """Merge salted runs of one term (disjoint doc sets, each sorted)
     into one canonical sorted posting list — used when hot-term salting

@@ -34,9 +34,9 @@ import numpy as np
 import ray
 
 from .. import B, K1
-from ..analysis import ANALYZERS
+from ..analysis import ANALYZERS, POSITIONAL_ANALYZERS
 from ..norms import decode_norm, idf as idf_fn, tf_norm
-from ..postings import BLOCK, decode_postings, merge_postings
+from ..postings import BLOCK, decode_positions, decode_postings, merge_postings
 from .shard import ShardReader
 
 
@@ -82,7 +82,7 @@ def prepare_terms(query_terms: list[str], rows_by_term: dict[str, list[tuple]],
     for qidx, term in enumerate(ordered):
         rows = rows_by_term.get(term) or []
         runs = [decode_postings(docs, tfs, norms, df)
-                for df, docs, tfs, norms, _skip in rows]
+                for df, docs, tfs, norms, *_rest in rows]
         if not runs:
             out.append(TermData(qidx, float(counts[term]), 0.0,
                                 np.zeros(0, np.uint64), np.zeros(0, np.uint32),
@@ -320,6 +320,59 @@ def score_wand(terms: list[TermData], k: int, mode: str, avgdl: float,
     return [(s, -nd) for s, nd in out]
 
 
+def _decode_with_positions(rows: list[tuple]
+                           ) -> tuple[np.ndarray, list[np.ndarray]]:
+    """-> (sorted doc_ids, aligned per-posting position arrays), merging
+    salted runs (the run-merge permutation is applied to the position
+    lists too)."""
+    docs_parts: list[np.ndarray] = []
+    pos_parts: list[np.ndarray] = []
+    for row in rows:
+        df, docs_b, tfs_b, norms_b = row[0], row[1], row[2], row[3]
+        pos_b = row[5] if len(row) > 5 else b""
+        tp = decode_postings(docs_b, tfs_b, norms_b, df)
+        docs_parts.append(tp.doc_ids)
+        pos_parts.extend(decode_positions(pos_b, tp.tfs))
+    doc_ids = np.concatenate(docs_parts) if docs_parts else np.zeros(0, np.uint64)
+    order = np.argsort(doc_ids, kind="stable")
+    return doc_ids[order], [pos_parts[i] for i in order]
+
+
+def phrase_match(term_positions: list[tuple[int, np.ndarray, list[np.ndarray]]],
+                 ) -> dict[int, int]:
+    """Exact phrase matching over positional postings.
+
+    ``term_positions``: per query token, (query_offset, sorted doc_ids,
+    aligned per-posting position arrays).  A doc matches when some
+    anchor p satisfies (p + offset_i) in positions_i for every token —
+    Lucene exact PhraseQuery semantics (sub-tokens share their base
+    token's position, so split identifiers participate).  Returns
+    {doc_id: phrase_tf}."""
+    if not term_positions:
+        return {}
+    # intersect doc sets smallest-first
+    ordered = sorted(term_positions, key=lambda x: x[1].size)
+    base = ordered[0][1]
+    for _, docs, _ in ordered[1:]:
+        if base.size == 0:
+            return {}
+        pos = np.minimum(np.searchsorted(docs, base), max(docs.size - 1, 0))
+        base = base[docs[pos] == base] if docs.size else base[:0]
+    out: dict[int, int] = {}
+    for d in base:
+        anchors: np.ndarray | None = None
+        for off, docs, plists in term_positions:
+            i = int(np.searchsorted(docs, d))
+            cand = plists[i].astype(np.int64) - off
+            anchors = cand if anchors is None else \
+                np.intersect1d(anchors, cand, assume_unique=False)
+            if anchors.size == 0:
+                break
+        if anchors is not None and anchors.size:
+            out[int(d)] = int(anchors.size)
+    return out
+
+
 def _dispatch(method: str, terms: list[TermData], k: int, mode: str,
               avgdl: float, filt, k1: float, b: float
               ) -> list[tuple[float, int]]:
@@ -478,6 +531,34 @@ class Searcher:
         if filter_field is not None:
             filt = self._filter_ids(filter_field, filter_value)
         return _dispatch(method, terms, k, mode, avgdl, filt, k1, b)
+
+    def phrase_search(self, query: str, field: str = "content",
+                      k: int = 10, analyzer: str | None = None
+                      ) -> list[tuple[int, int]]:
+        """Exact phrase top-k: [(phrase_tf, doc_id)] sorted
+        (phrase_tf desc, doc_id asc).  Requires an index built with
+        ``store_positions=True``."""
+        if not self.manifest["config"].get("store_positions"):
+            raise ValueError(
+                "index was built without positions (IndexConfig."
+                "store_positions=True required for phrase queries)")
+        if analyzer is None:
+            analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
+                             if f == field), "code")
+        toks, poss = POSITIONAL_ANALYZERS[analyzer](query)
+        if not toks:
+            return []
+        rows = self._gather(field, toks)
+        term_positions = []
+        for tok, off in zip(toks, poss):
+            r = rows.get(tok)
+            if not r:
+                return []           # a missing token can never phrase-match
+            docs, plists = _decode_with_positions(r)
+            term_positions.append((off, docs, plists))
+        matches = phrase_match(term_positions)
+        ranked = sorted(matches.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [(tf, d) for d, tf in ranked]
 
     def search_many(self, queries: list[str], field: str = "content",
                     k: int = 10, mode: str = "or", method: str = "auto",

@@ -35,13 +35,16 @@ class ShardReader:
                 if not seg.endswith(".parquet"):
                     continue
                 t = pq.read_table(os.path.join(part_dir, seg))
+                has_pos = "pos" in t.column_names
                 cols = [t.column(c) for c in
                         ("field", "term", "df", "docs", "tfs", "norms", "skip")]
+                pos_c = t.column("pos") if has_pos else None
                 for i in range(t.num_rows):
                     key = (cols[0][i].as_py(), cols[1][i].as_py())
                     row = (cols[2][i].as_py(), cols[3][i].as_py(),
                            cols[4][i].as_py(), cols[5][i].as_py(),
-                           cols[6][i].as_py())
+                           cols[6][i].as_py(),
+                           pos_c[i].as_py() if has_pos else b"")
                     self.terms.setdefault(key, []).append(row)
         with open(os.path.join(index_dir, "INDEX_MANIFEST.json")) as f:
             self.manifest = json.load(f)
@@ -57,7 +60,7 @@ class ShardReader:
         if not rows:
             return None
         runs = [decode_postings(docs, tfs, norms, df)
-                for df, docs, tfs, norms, _skip in rows]
+                for df, docs, tfs, norms, *_rest in rows]
         return merge_postings(runs)
 
     def raw_rows(self, field: str, term: str) -> list[tuple]:

@@ -239,3 +239,47 @@ def test_segment_manifests_carry_lineage(built):
         m = json.load(f)
     assert m["fingerprint"] == manifest["fingerprint"]
     assert {"n_terms", "n_postings", "bytes", "path"} <= set(m)
+
+
+def test_phrase_search(ray_session, small_corpus, tmp_path_factory):
+    """Positional index + exact phrase query, brute-force verified."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from siem_on_amazon_opensearch_service_ray.corpus import corpus_paths
+    from siem_on_amazon_opensearch_service_ray.analysis import (
+        code_tokens_with_positions)
+
+    idx = str(tmp_path_factory.mktemp("pos") / "idx")
+    cfg = IndexConfig(num_partitions=4, salting=False, store_positions=True)
+    build_index(small_corpus, idx, cfg)
+    s = Searcher(idx, use_actors=False)
+    phrase = "def return"
+    hits = dict((d, tf) for tf, d in s.phrase_search(phrase, k=100000))
+    # brute-force oracle over the corpus
+    from siem_on_amazon_opensearch_service_ray.stages.docprep import _doc_id_from_key
+    expect = {}
+    for p in corpus_paths(small_corpus):
+        for row in pq.read_table(p).to_pylist():
+            toks, poss = code_tokens_with_positions(row["content"])
+            pos_by_term = {}
+            for t, po in zip(toks, poss):
+                pos_by_term.setdefault(t, set()).add(po)
+            a = pos_by_term.get("def", set())
+            b = pos_by_term.get("return", set())
+            n = sum(1 for p0 in a if p0 + 1 in b)
+            if n:
+                did = _doc_id_from_key((row["repo"], row["path"], row["commit"]))
+                expect[did] = n
+    assert hits == expect
+    assert len(hits) > 0
+    # a phrase with a missing token matches nothing
+    assert s.phrase_search("def qqxyzzyq") == []
+
+
+def test_phrase_on_unpositioned_index_errors(built):
+    _, index_dir, _ = built
+    s = Searcher(index_dir, use_actors=False)
+    with pytest.raises(ValueError, match="store_positions"):
+        s.phrase_search("def return")

@@ -49,7 +49,7 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "bm25_topk", "search_topk", "search_and_topk", "knn_cosine",
               "region_revenue", "top_events", "filter_project",
               "token_count_docs", "quality_docs", "exclude_events",
-              "user_stats", "events_sessions"]
+              "user_stats", "events_sessions", "phrase_docs"]
 
 
 @pytest.mark.parametrize("name", SQL_BACKED)

@@ -80,3 +80,16 @@ def test_merge_salted_runs():
     assert np.array_equal(merged.doc_ids, doc_ids)
     assert np.array_equal(merged.tfs, tfs)
     assert np.array_equal(merged.norms, norms)
+
+
+def test_positions_roundtrip():
+    from siem_on_amazon_opensearch_service_ray.postings import (
+        decode_positions, encode_positions)
+    pls = [np.array([0, 3, 3, 7], dtype=np.uint64),
+           np.array([2], dtype=np.uint64),
+           np.array([1, 1, 1], dtype=np.uint64)]
+    tfs = np.array([4, 1, 3], dtype=np.uint32)
+    blob = encode_positions(pls)
+    out = decode_positions(blob, tfs)
+    for a, b in zip(out, pls):
+        assert np.array_equal(a, b)
