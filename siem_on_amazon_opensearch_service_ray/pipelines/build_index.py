@@ -724,6 +724,41 @@ def finalize(index_dir: str, cfg: IndexConfig, fp: str, n_docs: int,
     return manifest
 
 
+def _purge_stale_outputs(index_dir: str, fp: str) -> None:
+    """Remove every segment/docstore output whose manifest is missing or
+    carries a different input fingerprint, plus orphan parquet files
+    with no manifest at all.  Rebuilding into an existing directory
+    with a changed config/corpus could otherwise leave orphan segments
+    that a ShardReader would happily serve (wrong results).  Current-
+    fingerprint artifacts survive, which is exactly the resume set."""
+    mdir = os.path.join(index_dir, "manifest")
+    manifested: set[str] = set()
+    for fn in list(os.listdir(mdir)) if os.path.isdir(mdir) else []:
+        path = os.path.join(mdir, fn)
+        try:
+            with open(path) as f:
+                m = json.load(f)
+        except (ValueError, OSError):
+            os.unlink(path)
+            continue
+        if m.get("fingerprint") != fp:
+            target = m.get("path")
+            if target and os.path.exists(target):
+                os.unlink(target)
+            os.unlink(path)
+        elif m.get("path"):
+            manifested.add(os.path.abspath(m["path"]))
+    for sub in ("parts", "docstore"):
+        root_dir = os.path.join(index_dir, sub)
+        for root, _, files in os.walk(root_dir):
+            for fn in files:
+                p = os.path.abspath(os.path.join(root, fn))
+                if fn.endswith(".parquet") and p not in manifested:
+                    os.unlink(p)
+                elif fn.endswith(".tmp"):
+                    os.unlink(p)
+
+
 def build_index(source, index_dir: str, cfg: IndexConfig | None = None,
                 resume: bool = True) -> dict:
     """Full build. Returns the index manifest dict."""
@@ -743,6 +778,7 @@ def build_index(source, index_dir: str, cfg: IndexConfig | None = None,
         mdir = os.path.join(index_dir, "manifest")
         for f in os.listdir(mdir):
             os.unlink(os.path.join(mdir, f))
+    _purge_stale_outputs(index_dir, fp)
     hot = estimate_hot_terms(source, cfg) if cfg.salting else {}
     metrics, n_docs = build_postings(source, index_dir, cfg, fp, hot)
     build_filters(index_dir, cfg)

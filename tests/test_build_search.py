@@ -283,3 +283,31 @@ def test_phrase_on_unpositioned_index_errors(built):
     s = Searcher(index_dir, use_actors=False)
     with pytest.raises(ValueError, match="store_positions"):
         s.phrase_search("def return")
+
+
+def test_rebuild_with_changed_config_purges_orphans(
+        ray_session, small_corpus, tmp_path_factory):
+    """Rebuilding into the same dir with a different config must not
+    leave orphan segments from the old layout (they would be served)."""
+    idx = str(tmp_path_factory.mktemp("orphan") / "idx")
+    cfg_a = IndexConfig(num_partitions=8, sample_mod=1, hot_df_threshold=500,
+                        salt_unit=300, max_salts=4)   # salted, 8 parts
+    build_index(small_corpus, idx, cfg_a)
+    cfg_b = IndexConfig(num_partitions=4, salting=False)
+    build_index(small_corpus, idx, cfg_b)
+    # no part dirs beyond P=4 may contain parquet, and no salted segs
+    for p in os.listdir(os.path.join(idx, "parts")):
+        part_no = int(p.split("-")[1])
+        files = [f for f in os.listdir(os.path.join(idx, "parts", p))
+                 if f.endswith(".parquet")]
+        if part_no >= 4:
+            assert files == [], f"orphan files in {p}: {files}"
+        else:
+            assert files == ["seg-00.parquet"]
+    # and the rebuilt index searches identically to a fresh one
+    fresh = str(tmp_path_factory.mktemp("fresh") / "idx")
+    build_index(small_corpus, fresh, cfg_b)
+    s_a = Searcher(idx, use_actors=False)
+    s_b = Searcher(fresh, use_actors=False)
+    for q in ("def", "needle_137", "def return import"):
+        assert s_a.search(q, k=10) == s_b.search(q, k=10), q
