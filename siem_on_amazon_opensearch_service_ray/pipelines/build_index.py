@@ -56,7 +56,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 from ..analysis import ANALYZERS, POSITIONAL_ANALYZERS
 from ..norms import encode_norm

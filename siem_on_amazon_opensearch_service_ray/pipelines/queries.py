@@ -28,10 +28,9 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 from ..analysis import base_tokens
-from ..norms import idf as idf_fn
 from ..stages import dedup as dedup_ops
 from ..stages import knn as knn_ops
 from ..stages import textops
