@@ -79,6 +79,38 @@ def _tf_protocol(batch: pa.Table) -> pa.Table:
                                pa.array(names, pa.string()))
 
 
+@register_transform("alb_like")
+def _tf_url_full(batch: pa.Table) -> pa.Table:
+    """url.full assembly from scheme/host/path parts (reference
+    sf_alb.py:11-13 builds url.full out of request components)."""
+    needed = {"scheme", "host", "url_path"}
+    if not needed <= set(batch.column_names):
+        return batch
+    full = [f"{s}://{h}{p or ''}" if s and h else None
+            for s, h, p in zip(batch.column("scheme").to_pylist(),
+                               batch.column("host").to_pylist(),
+                               batch.column("url_path").to_pylist())]
+    return batch.append_column("url_full", pa.array(full, pa.string()))
+
+
+_OCSF_CATEGORY_INDEX = {
+    1: "log-ocsf-system", 2: "log-ocsf-findings", 3: "log-ocsf-iam",
+    4: "log-ocsf-network", 5: "log-ocsf-discovery", 6: "log-ocsf-application",
+}
+
+
+@register_transform("securitylake_like")
+def _tf_ocsf_route(batch: pa.Table) -> pa.Table:
+    """Index re-routing by OCSF category (reference
+    sf_securitylake.py:13-40 routes category_uid into log-ocsf-*
+    index families) — an sf transform that OVERRIDES the routing key."""
+    if "category_uid" not in batch.column_names:
+        return batch
+    idx = [_OCSF_CATEGORY_INDEX.get(c, "log-ocsf-other")
+           for c in batch.column("category_uid").to_pylist()]
+    return batch.append_column("__index_override", pa.array(idx, pa.string()))
+
+
 # ---------------------------------------------------------------------------
 # index routing (M11)
 
@@ -143,6 +175,17 @@ def prepare_batch(batch: pa.Table, cfg: EtlConfig) -> pa.Table:
         batch = tf(batch)
     if "@timestamp" in batch.column_names:
         batch = route_index(batch, cfg.index_name, cfg.index_rotation)
+    if "__index_override" in batch.column_names:
+        # sf transforms may re-route (reference __index_name override,
+        # siem/__init__.py:627-633)
+        ov = batch.column("__index_override")
+        if "__index" in batch.column_names:
+            merged = pc.if_else(pc.is_null(ov), batch.column("__index"), ov)
+            batch = batch.set_column(
+                batch.column_names.index("__index"), "__index", merged)
+        else:
+            batch = batch.append_column("__index", ov)
+        batch = batch.drop_columns(["__index_override"])
     return batch
 
 

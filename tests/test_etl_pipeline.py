@@ -80,3 +80,42 @@ def test_fetch_docs_roundtrip(ray_session, small_corpus, tmp_path):
     assert docs.num_rows == len(ids)
     assert set(docs.column("doc_id").to_pylist()) == set(ids)
     assert all(len(s_) == 64 for s_ in docs.column("content_sha256").to_pylist())
+
+
+def test_url_full_and_ocsf_routing():
+    out = etl.get_transform("alb_like")(pa.table({
+        "scheme": ["https", None], "host": ["x.io", "y.io"],
+        "url_path": ["/a", "/b"]}))
+    assert out.column("url_full").to_pylist() == ["https://x.io/a", None]
+    cfg = etl.EtlConfig(logtype="securitylake_like", timestamp_col="ts",
+                        index_name="log-base")
+    batch = pa.table({"ts": ["2024-05-01T00:00:00Z"] * 2,
+                      "category_uid": [4, 99]})
+    out2 = etl.prepare_batch(batch, cfg)
+    # sf transform overrides the routing key (reference __index_name)
+    assert out2.column("__index").to_pylist() == \
+        ["log-ocsf-network", "log-ocsf-other"]
+    assert "__index_override" not in out2.column_names
+
+
+def test_broadcast_enrich_through_ray(ray_session):
+    """T1/T2 analogue exercised the real way: interval table broadcast
+    via ray.put once, looked up inside an actor-pool map_batches."""
+    import ray
+
+    from siem_on_amazon_opensearch_service_ray.stages.enrich import (
+        IntervalEnrich, build_interval_table)
+    table = build_interval_table([
+        ("10.0.0.0/8", "private"), ("203.0.113.0/24", "testnet")])
+    ref = ray.put(table)
+    ds = rd.from_arrow(pa.table({
+        "ip": ["10.1.2.3", "8.8.8.8", "203.0.113.9", "10.9.9.9"] * 50}))
+    out = ds.map_batches(IntervalEnrich,
+                         fn_constructor_kwargs={"table_ref": ref,
+                                                "ip_column": "ip",
+                                                "out_column": "net"},
+                         batch_format="pyarrow", batch_size=32,
+                         concurrency=2).to_pandas()
+    got = dict(zip(out["ip"], out["net"]))
+    assert got == {"10.1.2.3": "private", "8.8.8.8": None,
+                   "203.0.113.9": "testnet", "10.9.9.9": "private"}
