@@ -311,3 +311,33 @@ def test_rebuild_with_changed_config_purges_orphans(
     s_b = Searcher(fresh, use_actors=False)
     for q in ("def", "needle_137", "def return import"):
         assert s_a.search(q, k=10) == s_b.search(q, k=10), q
+
+
+def test_build_deterministic_across_concurrency(
+        ray_session, small_corpus, tmp_path_factory):
+    """Same input, different tokenize concurrency -> byte-identical
+    output trees (the in-process twin of the bench's N-vs-4N
+    determinism hash)."""
+    import hashlib
+
+    def tree_hash(d):
+        h = hashlib.sha256()
+        for root, _, files in sorted(os.walk(d)):
+            for fn in sorted(files):
+                if fn.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(root, fn), d)
+                    with open(os.path.join(root, fn), "rb") as f:
+                        h.update(rel.encode() + f.read())
+        return h.hexdigest()
+
+    hashes = []
+    for conc in (1, 3):
+        idx = str(tmp_path_factory.mktemp(f"det{conc}") / "idx")
+        cfg = IndexConfig(num_partitions=4, sample_mod=1, hot_df_threshold=500,
+                          salt_unit=300, max_salts=4,
+                          tokenize_concurrency=conc, tokenize_mode="actors")
+        build_index(small_corpus, idx, cfg)
+        # hash only layout-stable artifacts (manifest config differs by
+        # the concurrency field, which is intentional)
+        hashes.append(tree_hash(idx))
+    assert hashes[0] == hashes[1]
