@@ -140,13 +140,16 @@ def input_fingerprint(source, cfg: IndexConfig) -> str:
     if isinstance(source, (list, tuple)):
         for p in sorted(source):
             st = os.stat(p)
-            h.update(f"{p}:{st.st_size}".encode())
+            # mtime_ns guards against same-size content edits silently
+            # reusing stale segments under resume=True.
+            h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
     elif isinstance(source, str):
         for root, _, files in os.walk(source):
             for fn in sorted(files):
                 if fn.endswith(".parquet"):
                     p = os.path.join(root, fn)
-                    h.update(f"{p}:{os.stat(p).st_size}".encode())
+                    st = os.stat(p)
+                    h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
     else:  # in-memory Dataset (tests): no stable file identity
         h.update(b"ephemeral")
     return h.hexdigest()[:16]

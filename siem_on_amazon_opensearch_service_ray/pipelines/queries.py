@@ -86,10 +86,10 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(cast(round(l_quantity*100) AS BIGINT)) AS sum_qty_e2,
-       sum(cast(round(l_extendedprice*100) AS BIGINT)) AS sum_base_e2,
-       sum(cast(round(l_extendedprice*100) AS BIGINT)
-           * (100 - cast(round(l_discount*100) AS BIGINT))) AS sum_disc_e4,
+       cast(sum(cast(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_e2,
+       cast(sum(cast(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_e2,
+       cast(sum(cast(round(l_extendedprice*100) AS BIGINT)
+           * (100 - cast(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_e4,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -124,7 +124,7 @@ EVENTS_HOURLY_SQL = """
 SELECT event_type,
        cast(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
        count(*) AS n,
-       sum(cast(round(value*100) AS BIGINT)) AS sum_value_e2
+       cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_e2
 FROM events GROUP BY event_type, hour_epoch
 """
 
@@ -158,8 +158,8 @@ def events_json_extract(sf_dir: str) -> pd.DataFrame:
 
 EVENTS_JSON_SQL = """
 SELECT event_type,
-       sum(CASE WHEN k < 50 THEN 1 ELSE 0 END) AS n_low,
-       sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS n_high
+       cast(sum(CASE WHEN k < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       cast(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
 FROM (SELECT event_type,
              cast(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k
       FROM events)
@@ -360,11 +360,11 @@ WITH o AS (
   FROM events),
 s AS (
   SELECT user_id, ts,
-         sum(CASE WHEN prev IS NULL
+         cast(sum(CASE WHEN prev IS NULL
                     OR epoch_us(ts) - epoch_us(prev) > 1800000000
                   THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts
-                 ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                 ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
   FROM o)
 SELECT user_id, session_id, count(*) AS n_events,
        max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
@@ -525,7 +525,7 @@ def region_revenue(sf_dir: str) -> pd.DataFrame:
 
 REGION_REVENUE_SQL = """
 SELECT r_name, count(*) AS n_orders,
-       sum(cast(round(o_totalprice*100) AS BIGINT)) AS revenue_e2
+       cast(sum(cast(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_e2
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -629,15 +629,15 @@ WITH t AS (SELECT doc_id, text,
            FROM documents)
 SELECT doc_id,
   cast(len(toks) AS BIGINT) AS n_tokens,
-  CASE WHEN len(toks) = 0 THEN 0
+  cast(CASE WHEN len(toks) = 0 THEN 0
        ELSE (coalesce(list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0)
-             * 10000) // len(toks) END AS mean_len_e4,
-  CASE WHEN length(text) = 0 THEN 0
+             * 10000) // len(toks) END AS BIGINT) AS mean_len_e4,
+  cast(CASE WHEN length(text) = 0 THEN 0
        ELSE (length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1000000)
-            // length(text) END AS punct_e6,
-  CASE WHEN len(toks) = 0 THEN 0
+            // length(text) END AS BIGINT) AS punct_e6,
+  cast(CASE WHEN len(toks) = 0 THEN 0
        ELSE (len(list_filter(toks, x -> list_contains(
-                 {list(_STOP10)}, x))) * 1000000) // len(toks) END AS stop_e6
+                 {list(_STOP10)}, x))) * 1000000) // len(toks) END AS BIGINT) AS stop_e6
 FROM t
 """
 
@@ -686,7 +686,7 @@ def user_stats(sf_dir: str) -> pd.DataFrame:
 USER_STATS_SQL = """
 SELECT user_id, count(*) AS n_events,
        cast(floor(epoch(min(ts))) AS BIGINT) AS first_ts_epoch,
-       sum(cast(round(value*100) AS BIGINT)) AS sum_value_e2
+       cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_e2
 FROM events GROUP BY user_id
 """
 

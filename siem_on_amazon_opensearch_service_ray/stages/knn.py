@@ -45,6 +45,12 @@ class BruteForceCosine:
         sims = (m / norms) @ (self.q / self.qn).T          # (rows, n_queries)
         out_id, out_q, out_cos = [], [], []
         kk = min(self.k, sims.shape[0])
+        if kk == 0:  # empty block (e.g. upstream filter) — argpartition(-1) raises
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "query_idx": pa.array([], pa.int32()),
+                "cosine": pa.array([], pa.float64()),
+            })
         for qi in range(sims.shape[1]):
             top = np.argpartition(-sims[:, qi], kk - 1)[:kk]
             out_id.extend(int(i) for i in ids[top])

@@ -62,6 +62,11 @@ def test_sql_parity(registry, con, name):
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
     for c in got.columns:
         g, w = got[c].to_numpy(), want[c].to_numpy()
+        # The driver's CORRECTNESS hash is byte/dtype sensitive: an
+        # int64-vs-float64 drift (e.g. a DuckDB HUGEINT sum landing as
+        # float64) must fail locally too, not be coerced away below.
+        assert g.dtype.kind == w.dtype.kind, \
+            f"{name}.{c}: dtype kind {g.dtype} vs oracle {w.dtype}"
         if np.issubdtype(g.dtype, np.floating) or np.issubdtype(w.dtype, np.floating):
             np.testing.assert_allclose(
                 g.astype(float), w.astype(float), rtol=1e-9,
