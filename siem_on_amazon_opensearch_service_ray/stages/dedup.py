@@ -136,6 +136,143 @@ def minhash_candidate_pairs(ds: rd.Dataset, text_col: str, id_col: str,
             .map_groups(lambda g: g.head(1), batch_format="pandas"))
 
 
+class _CandidateSketchStage:
+    """map_batches stage for the distributed verify pass: keep only
+    candidate docs (broadcast id set — ``ray.put`` once, read per
+    actor), shingle them, and emit (doc_id, sketch) where sketch is
+    the doc's uint64 shingle-hash set serialized to bytes. Only
+    LSH-candidate docs are ever shingled or shuffled — the corpus
+    text never leaves its read tasks."""
+
+    def __init__(self, ids_ref, text_col: str, id_col: str, shingle_k: int):
+        import ray
+        ids = (ray.get(ids_ref)
+               if isinstance(ids_ref, ray.ObjectRef) else ids_ref)
+        self.ids = np.sort(np.asarray(ids, dtype=np.int64))
+        self.text_col, self.id_col, self.k = text_col, id_col, shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        mask = np.isin(ids.astype(np.int64), self.ids)
+        if not mask.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "sketch": pa.array([], pa.large_binary())})
+        sub = batch.filter(pa.array(mask))
+        out_sk = [shingles(t, self.k).tobytes()
+                  for t in sub.column(self.text_col).to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(sub.column(self.id_col).to_numpy(
+                zero_copy_only=False), pa.int64()),
+            "sketch": pa.array(out_sk, pa.large_binary()),
+        })
+
+
+def minhash_verified_pairs(ds: rd.Dataset, text_col: str, id_col: str,
+                           num_perm: int = 64, bands: int = 16,
+                           shingle_k: int = 3, threshold: float = 0.8,
+                           concurrency: int = 4) -> rd.Dataset:
+    """End-to-end distributed MinHash near-dup: LSH candidate pairs ->
+    exact n-gram Jaccard verification, with NO driver-side corpus
+    materialization.
+
+    Verification is a shuffle join expressed with groupby (Ray Data's
+    hash-join backend hangs on this Ray version; sort-shuffle groupby
+    is the stable exchange):
+
+      1. candidate pairs (doc_a, doc_b) from the band buckets;
+      2. the driver collects only the candidate *id pairs* (8 B/doc —
+         the planner's small side, not the corpus) and broadcasts the
+         id set;
+      3. a second streaming pass shingles only candidate docs into
+         (doc_id, sketch bytes);
+      4. union(sketches, exploded pair-requests) -> groupby(doc_id)
+         attaches each doc's sketch to its requests;
+      5. groupby(doc_a, doc_b) computes exact Jaccard from the two
+         sketches and filters by ``threshold``.
+
+    Returns Dataset[(doc_a, doc_b, jaccard_e6)].
+    """
+    import ray
+
+    pairs_df = minhash_candidate_pairs(
+        ds, text_col, id_col, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, concurrency=concurrency).to_pandas()
+    if pairs_df.empty:
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard_e6": pa.array([], pa.int64())}))
+    cand_ids = np.union1d(pairs_df["doc_a"].to_numpy(np.int64),
+                          pairs_df["doc_b"].to_numpy(np.int64))
+    ids_ref = ray.put(cand_ids) if ray.is_initialized() else cand_ids
+
+    sketches = ds.map_batches(
+        _CandidateSketchStage,
+        fn_constructor_kwargs=dict(ids_ref=ids_ref, text_col=text_col,
+                                   id_col=id_col, shingle_k=shingle_k),
+        batch_format="pyarrow", concurrency=concurrency)
+
+    # pair-requests: two rows per pair, one per side
+    a = pairs_df["doc_a"].to_numpy(np.int64)
+    b = pairs_df["doc_b"].to_numpy(np.int64)
+    req = pa.table({
+        "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+        "pair_a": pa.array(np.concatenate([a, a]), pa.int64()),
+        "pair_b": pa.array(np.concatenate([b, b]), pa.int64()),
+        "sketch": pa.array([None] * (2 * len(a)), pa.large_binary()),
+    })
+
+    def pad(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "pair_a": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "pair_b": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "sketch": batch.column("sketch"),
+        })
+
+    unioned = sketches.map_batches(pad, batch_format="pyarrow") \
+        .union(rd.from_arrow(req))
+
+    def attach(g: pa.Table) -> pa.Table:
+        pa_a = g.column("pair_a").to_numpy(zero_copy_only=False)
+        sk_rows = np.where(pa_a == -1)[0]
+        if sk_rows.size == 0:  # no sketch (doc absent) — drop requests
+            return pa.table({"pair_a": pa.array([], pa.int64()),
+                             "pair_b": pa.array([], pa.int64()),
+                             "sketch": pa.array([], pa.large_binary())})
+        sketch = g.column("sketch")[int(sk_rows[0])]
+        keep = np.where(pa_a != -1)[0]
+        return pa.table({
+            "pair_a": pa.array(pa_a[keep], pa.int64()),
+            "pair_b": pa.array(g.column("pair_b").to_numpy(
+                zero_copy_only=False)[keep], pa.int64()),
+            "sketch": pa.array([sketch.as_py()] * keep.size, pa.large_binary()),
+        })
+
+    def judge(g: pa.Table) -> pa.Table:
+        if g.num_rows != 2:  # one side's doc was missing
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "jaccard_e6": pa.array([], pa.int64())})
+        s0 = np.frombuffer(g.column("sketch")[0].as_py() or b"", np.uint64)
+        s1 = np.frombuffer(g.column("sketch")[1].as_py() or b"", np.uint64)
+        j = jaccard(s0, s1)
+        if j < threshold:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "jaccard_e6": pa.array([], pa.int64())})
+        return pa.table({
+            "doc_a": pa.array([g.column("pair_a")[0].as_py()], pa.int64()),
+            "doc_b": pa.array([g.column("pair_b")[0].as_py()], pa.int64()),
+            "jaccard_e6": pa.array([int(j * 1e6)], pa.int64()),
+        })
+
+    return (unioned.groupby("doc_id").map_groups(attach, batch_format="pyarrow")
+            .groupby(["pair_a", "pair_b"])
+            .map_groups(judge, batch_format="pyarrow"))
+
+
 def verify_pairs_jaccard(pairs_df: pd.DataFrame, texts_by_id: dict[int, str],
                          shingle_k: int = 3, threshold: float = 0.8
                          ) -> pd.DataFrame:
@@ -249,6 +386,32 @@ def embedding_near_dup_pairs(ds: rd.Dataset, vec_col: str, id_col: str,
 
     return bucketed.groupby("lsh_bucket").map_groups(verify,
                                                      batch_format="pyarrow")
+
+
+def plant_embedding_dups(ds: rd.Dataset, id_col: str, vec_col: str,
+                         n: int = 32, noise: float = 0.01,
+                         seed: int = 5, id_offset: int = 1_000_000_000
+                         ) -> rd.Dataset:
+    """Deterministic planted near-duplicates: take the ``n`` lowest-id
+    vectors, add small seeded Gaussian noise, re-id as id+``id_offset``.
+    Makes near-dup entries falsifiable — a correct detector must
+    recover the planted (id, id+offset) pairs."""
+    from .knn import _as_matrix
+
+    head = ds.sort(id_col).limit(n)
+    tbl = pa.concat_tables(head.iter_batches(batch_format="pyarrow"))
+    m = _as_matrix(tbl.column(vec_col)).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    pert = m + noise * rng.standard_normal(m.shape) * \
+        np.linalg.norm(m, axis=1, keepdims=True) / max(1, m.shape[1]) ** 0.5
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    out = pa.table({
+        id_col: pa.array(ids + id_offset, pa.int64()),
+        vec_col: pa.array([row.tolist() for row in
+                           pert.astype(np.float32)],
+                          type=tbl.schema.field(vec_col).type),
+    })
+    return rd.from_arrow(out)
 
 
 # ---------------------------------------------------------------------------

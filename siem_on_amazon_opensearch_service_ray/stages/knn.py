@@ -21,8 +21,24 @@ import ray.data as rd
 
 
 def _as_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    lists = col.to_pylist()
-    return np.asarray(lists, dtype=np.float32)
+    """Arrow list<float> / fixed_size_list<float> column -> (n, dim)
+    float32 matrix via the flattened values buffer (no per-row Python
+    lists). Assumes equal-length rows (embedding columns)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float32)
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+        flat = col.flatten().to_numpy(zero_copy_only=False)  # slice-aware
+        return np.asarray(flat, dtype=np.float32).reshape(n, dim)
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        if flat.size % n:
+            return np.asarray(col.to_pylist(), dtype=np.float32)  # ragged fallback
+        return np.asarray(flat, dtype=np.float32).reshape(n, flat.size // n)
+    return np.asarray(col.to_pylist(), dtype=np.float32)
 
 
 class BruteForceCosine:

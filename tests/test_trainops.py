@@ -48,6 +48,43 @@ def test_minhash_lsh_finds_near_dup(docs_ds):
     assert not any(3 in p for p in vset)
 
 
+def test_minhash_verified_pairs_distributed(docs_ds):
+    """Distributed verify (sketch join) matches the driver-side verify
+    exactly — same pairs, same jaccard values."""
+    ds, texts = docs_ds
+    out = dedup.minhash_verified_pairs(
+        ds, "text", "doc_id", num_perm=64, bands=16, threshold=0.6,
+        concurrency=2).to_pandas().sort_values(["doc_a", "doc_b"])
+    pairs = dedup.minhash_candidate_pairs(
+        ds, "text", "doc_id", num_perm=64, bands=16, concurrency=2).to_pandas()
+    want = dedup.verify_pairs_jaccard(pairs, dict(enumerate(texts)),
+                                      threshold=0.6)
+    want["jaccard_e6"] = (want["jaccard"] * 1e6).astype(np.int64)
+    want = want[["doc_a", "doc_b", "jaccard_e6"]].sort_values(
+        ["doc_a", "doc_b"])
+    assert out.reset_index(drop=True).equals(want.reset_index(drop=True))
+    vset = set(map(tuple, out[["doc_a", "doc_b"]].to_numpy()))
+    assert (0, 1) in vset
+
+
+def test_plant_embedding_dups_recovered(ray_session):
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((64, 16)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(64), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    planted = dedup.plant_embedding_dups(ds, "vec_id", "embedding",
+                                         n=8, noise=0.01, seed=5)
+    out = dedup.embedding_near_dup_pairs(
+        ds.union(planted), "embedding", "vec_id", threshold=0.95,
+        n_bits=4, concurrency=2).to_pandas()
+    recovered = out[(out["id_b"] >= 1_000_000_000)
+                    & (out["id_b"] - 1_000_000_000 == out["id_a"])]
+    assert len(recovered) >= 4   # LSH may split a few across buckets
+
+
 def test_jaccard_and_shingles():
     a = dedup.shingles("a b c d e")
     b = dedup.shingles("a b c d e")
