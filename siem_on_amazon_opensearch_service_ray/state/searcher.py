@@ -494,17 +494,9 @@ class Searcher:
     def _filter_ids(self, field: str, value: str) -> np.ndarray:
         key = (field, value)
         if key not in self._filter_cache:
-            import os as _os
-            import pyarrow.parquet as _pq
-            path = _os.path.join(self.index_dir, f"filter-{field}.parquet")
-            ids = np.zeros(0, dtype=np.uint64)
-            if _os.path.exists(path):
-                t = _pq.read_table(path)
-                vals = t.column("value").to_pylist()
-                if value in vals:
-                    ids = np.frombuffer(t.column("docs")[vals.index(value)].as_py(),
-                                        dtype="<u8")
-            self._filter_cache[key] = ids
+            from .shard import load_filter_ids
+            self._filter_cache[key] = load_filter_ids(
+                self.index_dir, field, value)
         return self._filter_cache[key]
 
     def search(self, query: str, field: str = "content", k: int = 10,

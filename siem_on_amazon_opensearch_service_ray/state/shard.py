@@ -23,6 +23,33 @@ import pyarrow.parquet as pq
 from ..postings import TermPostings, decode_postings, decode_skip, merge_postings
 
 
+def load_filter_ids(index_dir: str, field: str, value: str,
+                    dparts: list[int] | None = None) -> np.ndarray:
+    """Sorted doc ids with keyword ``field == value`` from the
+    doc-range-partitioned filter layout (filters/<field>/part-XXXX
+    .parquet, one file per docstore part — build_index PASS C).
+    ``dparts`` restricts to specific doc partitions (the per-shard
+    intersection path); None reads every part."""
+    fdir = os.path.join(index_dir, "filters", field)
+    if not os.path.isdir(fdir):
+        return np.zeros(0, dtype=np.uint64)
+    names = sorted(f for f in os.listdir(fdir) if f.endswith(".parquet"))
+    if dparts is not None:
+        want = {f"part-{p:04d}.parquet" for p in dparts}
+        names = [f for f in names if f in want]
+    chunks: list[np.ndarray] = []
+    for fn in names:
+        t = pq.read_table(os.path.join(fdir, fn), columns=["value", "docs"])
+        vals = t.column("value").to_pylist()
+        if value in vals:
+            chunks.append(np.frombuffer(
+                t.column("docs")[vals.index(value)].as_py(), dtype="<u8"))
+    if not chunks:
+        return np.zeros(0, dtype=np.uint64)
+    # parts are doc_id % P buckets, not contiguous ranges — re-sort
+    return np.sort(np.concatenate(chunks))
+
+
 class ShardReader:
     def __init__(self, index_dir: str, part: int):
         self.index_dir = index_dir
@@ -71,18 +98,13 @@ class ShardReader:
     def skip_for(self, row: tuple) -> np.ndarray:
         return decode_skip(row[4])
 
-    def filter_docs(self, field: str, value: str) -> np.ndarray:
+    def filter_docs(self, field: str, value: str,
+                    dparts: list[int] | None = None) -> np.ndarray:
         """Sorted doc ids matching keyword field == value (loaded lazily,
-        cached per reader)."""
+        cached per reader).  ``dparts`` restricts to specific doc-range
+        filter parts."""
         cache = self._filters.setdefault(field, {})
-        if value not in cache:
-            path = os.path.join(self.index_dir, f"filter-{field}.parquet")
-            ids = np.zeros(0, dtype=np.uint64)
-            if os.path.exists(path):
-                t = pq.read_table(path)
-                vals = t.column("value").to_pylist()
-                if value in vals:
-                    blob = t.column("docs")[vals.index(value)].as_py()
-                    ids = np.frombuffer(blob, dtype="<u8")
-            cache[value] = ids
-        return cache[value]
+        key = value if dparts is None else (value, tuple(dparts))
+        if key not in cache:
+            cache[key] = load_filter_ids(self.index_dir, field, value, dparts)
+        return cache[key]
