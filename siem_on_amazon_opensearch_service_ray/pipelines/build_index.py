@@ -88,6 +88,15 @@ class IndexConfig:
     tokenize_mode: str = "tasks"
     # store term positions (enables phrase queries; ~2x postings bytes)
     store_positions: bool = False
+    # "term": postings partitioned by crc32(field:term) % P — each query
+    #   term lives in exactly one part; scoring is driver-centralized.
+    # "doc": postings partitioned by doc_id % P — every part is a
+    #   complete mini-index over its doc range (OpenSearch doc-shard
+    #   parity, SURVEY.md §7.1); scoring runs per-shard with global df
+    #   (dfs_query_then_fetch) and a high-df term never ships its full
+    #   postings to one process.  Salting is moot (hot terms split
+    #   naturally across doc shards).
+    partition_by: str = "term"
     # hot-term salting
     salting: bool = True
     sample_mod: int = 64             # deterministic sample: doc_id % mod == 0
@@ -366,11 +375,15 @@ class TokenizeFlatten:
         cnts = np.concatenate(cnt_chunks)
         dids = np.concatenate(did_chunks)
         nrm = np.concatenate(norm_chunks)
-        part_lut = np.asarray(parts_l, dtype=np.int64)
-        nsalt_lut = np.asarray(nsalts_l, dtype=np.int64)
-        parts = part_lut[tids]
-        ns = nsalt_lut[tids]
-        salts = np.where(ns > 1, dids % np.maximum(ns, 1), 0)
+        if self.cfg.partition_by == "doc":
+            parts = dids % p
+            salts = np.zeros(dids.size, dtype=np.int64)
+        else:
+            part_lut = np.asarray(parts_l, dtype=np.int64)
+            nsalt_lut = np.asarray(nsalts_l, dtype=np.int64)
+            parts = part_lut[tids]
+            ns = nsalt_lut[tids]
+            salts = np.where(ns > 1, dids % np.maximum(ns, 1), 0)
         pos_flat = [b for blobs in pos_chunks for b in blobs] \
             if with_pos else []
         return tids, cnts, dids, nrm, parts, salts, pos_flat
@@ -822,7 +835,8 @@ def build_index(source, index_dir: str, cfg: IndexConfig | None = None,
         for f in os.listdir(mdir):
             os.unlink(os.path.join(mdir, f))
     _purge_stale_outputs(index_dir, fp)
-    hot = estimate_hot_terms(source, cfg) if cfg.salting else {}
+    hot = estimate_hot_terms(source, cfg) \
+        if cfg.salting and cfg.partition_by == "term" else {}
     metrics, n_docs = build_postings(source, index_dir, cfg, fp, hot)
     build_filters(index_dir, cfg, fp)
     metrics["hot_terms"] = len(hot)

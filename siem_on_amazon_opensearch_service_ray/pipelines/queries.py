@@ -332,6 +332,27 @@ def search_and_topk(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def search_doc_sharded(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-k over a DOC-partitioned index: per-shard scoring with
+    global df (dfs_query_then_fetch), driver merges P*k rows — the
+    scale path where high-df postings never centralize.  Same oracle
+    and identical ranks as search_topk."""
+    import dataclasses
+    idx = _docs_index_dir(sf_dir) + "_doc"
+    cfg = dataclasses.replace(_docs_index_cfg(), partition_by="doc")
+    build_index(_docs_source(sf_dir), idx, cfg, resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.search_doc_sharded(BM25_QUERY, field="content", k=BM25_K)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d in hits],
+        "score_e4": np.array([round(sc * 10000) for sc, _ in hits],
+                             dtype=np.int64),
+    })
+
+
 def events_sessions(sf_dir: str) -> pd.DataFrame:
     """Sessionization (30-min gap) per user over events — windowed /
     session semantics with an exact SQL-window-function oracle."""
@@ -781,6 +802,7 @@ def queries() -> dict:
         "bm25_topk": bm25_topk,
         "search_topk": search_topk,
         "search_and_topk": search_and_topk,
+        "search_doc_sharded": search_doc_sharded,
         "phrase_docs": phrase_docs,
         "events_sessions": events_sessions,
         "knn_cosine": knn_cosine_q,
@@ -813,6 +835,7 @@ def oracle_sql() -> dict:
         "bm25_topk": BM25_SQL,
         "search_topk": BM25_SQL,
         "search_and_topk": BM25_AND_SQL,
+        "search_doc_sharded": BM25_SQL,
         "phrase_docs": PHRASE_SQL,
         "events_sessions": EVENTS_SESSIONS_SQL,
         "knn_cosine": KNN_SQL,

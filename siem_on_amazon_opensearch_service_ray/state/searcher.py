@@ -71,11 +71,14 @@ def _blocks_from_arrays(doc_ids: np.ndarray, tfs: np.ndarray,
 
 
 def prepare_terms(query_terms: list[str], rows_by_term: dict[str, list[tuple]],
-                  n_docs: int, avgdl: float, k1: float = K1, b: float = B
+                  n_docs: int, avgdl: float, k1: float = K1, b: float = B,
+                  idf_by_term: dict[str, float] | None = None
                   ) -> list[TermData]:
     """Dedup query terms (keeping first-seen order; multiplicity becomes
     the clause weight, Lucene boolean-clause parity), decode + merge
-    salted runs, attach block-max metadata."""
+    salted runs, attach block-max metadata.  ``idf_by_term`` injects
+    externally computed (global) idf — the doc-sharded path's
+    dfs_query_then_fetch round, where local df must not drive idf."""
     counts = Counter(query_terms)
     ordered = list(dict.fromkeys(query_terms))
     out: list[TermData] = []
@@ -92,7 +95,8 @@ def prepare_terms(query_terms: list[str], rows_by_term: dict[str, list[tuple]],
         tp = merge_postings(runs)
         lens = decode_norm(tp.norms)
         w = float(counts[term])
-        t_idf = float(idf_fn(tp.df, n_docs))
+        t_idf = (float(idf_by_term[term]) if idf_by_term is not None
+                 else float(idf_fn(tp.df, n_docs)))
         blk_last, blk_ub = _blocks_from_arrays(tp.doc_ids, tp.tfs, lens,
                                                t_idf, avgdl, k1, b)
         out.append(TermData(qidx, w, t_idf, tp.doc_ids, tp.tfs, lens.astype(np.int64),
@@ -416,6 +420,41 @@ class PartActor:
     def ping(self) -> bool:
         return True
 
+    # --- doc-sharded execution (dfs_query_then_fetch; SURVEY §7.1) ---
+
+    def get_dfs(self, field: str, terms: list[str]) -> dict[str, int]:
+        """Round 1: local df per query term, summed over this actor's
+        parts — the driver sums across actors into global df."""
+        out: dict[str, int] = {}
+        for r in self.readers.values():
+            for t in terms:
+                d = r.df(field, t)
+                if d:
+                    out[t] = out.get(t, 0) + d
+        return out
+
+    def score_local(self, field: str, q_terms: list[str],
+                    idf_by_term: dict[str, float], n_docs: int, avgdl: float,
+                    k: int, mode: str, method: str,
+                    filter_field: str | None, filter_value: str | None,
+                    k1: float, b: float) -> list[tuple[float, int]]:
+        """Round 2: score this actor's doc shards with GLOBAL stats and
+        return the local top-k — postings never leave the actor.  Each
+        part is a complete mini-index over its doc range, so parts score
+        independently and merge by (score desc, doc_id asc)."""
+        hits: list[tuple[float, int]] = []
+        for p, r in self.readers.items():
+            rows = {t: r.raw_rows(field, t) for t in dict.fromkeys(q_terms)}
+            rows = {t: v for t, v in rows.items() if v}
+            terms = prepare_terms(q_terms, rows, n_docs, avgdl, k1, b,
+                                  idf_by_term=idf_by_term)
+            filt = None
+            if filter_field is not None:
+                filt = r.filter_docs(filter_field, filter_value, dparts=[p])
+            hits.extend(_dispatch(method, terms, k, mode, avgdl, filt, k1, b))
+        hits.sort(key=lambda sd: (-sd[0], sd[1]))
+        return hits[:k]
+
 
 class Searcher:
     """Driver-side coordinator: routes query terms to part actors,
@@ -551,6 +590,72 @@ class Searcher:
         matches = phrase_match(term_positions)
         ranked = sorted(matches.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         return [(tf, d) for d, tf in ranked]
+
+    def search_doc_sharded(self, query: str, field: str = "content",
+                           k: int = 10, mode: str = "or",
+                           method: str = "auto",
+                           filter_field: str | None = None,
+                           filter_value: str | None = None,
+                           analyzer: str | None = None,
+                           k1: float = K1, b: float = B
+                           ) -> list[tuple[float, int]]:
+        """Scatter-gather execution over a doc-partitioned index
+        (IndexConfig(partition_by='doc')): round 1 collects per-shard df
+        and sums it into global df; round 2 has every shard score its
+        own docs with global idf/avgdl/N and return its local top-k;
+        the driver merges P*k rows.  OpenSearch dfs_query_then_fetch
+        parity (3 doc shards, reference command_index.txt:8) — a
+        high-df term's postings never leave their shard, so query cost
+        at the driver is O(P*k), independent of df (verdict round 1,
+        item 4)."""
+        if self.manifest["config"].get("partition_by") != "doc":
+            raise ValueError("index is term-partitioned; build with "
+                             "IndexConfig(partition_by='doc')")
+        if analyzer is None:
+            analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
+                             if f == field), "code")
+        q_terms = ANALYZERS[analyzer](query)
+        if not q_terms:
+            return []
+        uniq_terms = list(dict.fromkeys(q_terms))
+        n_docs = int(self.stats["n_docs"])
+        avgdl = float(self.stats["avgdl"][field])
+        if self.use_actors:
+            df_parts = ray.get([a.get_dfs.remote(field, uniq_terms)
+                                for a in self.actors])
+        else:
+            df_parts = []
+            for r in self.readers.values():
+                d = {t: r.df(field, t) for t in uniq_terms}
+                df_parts.append({t: v for t, v in d.items() if v})
+        global_df: dict[str, int] = {}
+        for d in df_parts:
+            for t, v in d.items():
+                global_df[t] = global_df.get(t, 0) + int(v)
+        idf_by_term = {t: float(idf_fn(global_df.get(t, 0), n_docs))
+                       for t in uniq_terms}
+        if self.use_actors:
+            shard_hits = ray.get([
+                a.score_local.remote(field, q_terms, idf_by_term, n_docs,
+                                     avgdl, k, mode, method, filter_field,
+                                     filter_value, k1, b)
+                for a in self.actors])
+        else:
+            shard_hits = []
+            for p, r in self.readers.items():
+                rows = {t: r.raw_rows(field, t) for t in uniq_terms}
+                rows = {t: v for t, v in rows.items() if v}
+                terms = prepare_terms(q_terms, rows, n_docs, avgdl, k1, b,
+                                      idf_by_term=idf_by_term)
+                filt = None
+                if filter_field is not None:
+                    filt = r.filter_docs(filter_field, filter_value,
+                                         dparts=[p])
+                shard_hits.append(
+                    _dispatch(method, terms, k, mode, avgdl, filt, k1, b))
+        merged = [h for hs in shard_hits for h in hs]
+        merged.sort(key=lambda sd: (-sd[0], sd[1]))
+        return merged[:k]
 
     def search_many(self, queries: list[str], field: str = "content",
                     k: int = 10, mode: str = "or", method: str = "auto",

@@ -341,3 +341,41 @@ def test_build_deterministic_across_concurrency(
         # the concurrency field, which is intentional)
         hashes.append(tree_hash(idx))
     assert hashes[0] == hashes[1]
+
+
+def test_doc_sharded_rank_identity(built, small_corpus, tmp_path_factory):
+    """Doc-partitioned index + dfs_query_then_fetch scoring is
+    rank-AND-score identical to the term-partitioned path (global idf
+    makes per-doc scores equal; merge preserves the tie-break)."""
+    import dataclasses
+    _, term_dir, _ = built
+    doc_dir = str(tmp_path_factory.mktemp("docidx") / "idx")
+    cfg = dataclasses.replace(CFG, partition_by="doc")
+    build_index(small_corpus, doc_dir, cfg)
+    s_term = Searcher(term_dir, use_actors=False)
+    s_doc = Searcher(doc_dir, use_actors=False)
+    for q in QUERIES:
+        want = s_term.search(q, k=20)
+        got = s_doc.search_doc_sharded(q, k=20)
+        assert [d for _, d in got] == [d for _, d in want], q
+        np.testing.assert_allclose([s for s, _ in got],
+                                   [s for s, _ in want], rtol=1e-12)
+    # AND mode + filter path
+    want = s_term.search("def needle_137", k=20, mode="and")
+    got = s_doc.search_doc_sharded("def needle_137", k=20, mode="and")
+    assert [d for _, d in got] == [d for _, d in want]
+    want = s_term.search("def", k=30, filter_field="lang", filter_value="go")
+    got = s_doc.search_doc_sharded("def", k=30, filter_field="lang",
+                                   filter_value="go")
+    assert [d for _, d in got] == [d for _, d in want]
+    # actor path matches local path
+    s_act = Searcher(doc_dir, use_actors=True)
+    try:
+        for q in ("def return", "needle_137"):
+            assert s_act.search_doc_sharded(q, k=10) == \
+                s_doc.search_doc_sharded(q, k=10)
+    finally:
+        s_act.close()
+    # term-partitioned index must refuse the doc-sharded entry point
+    with pytest.raises(ValueError):
+        s_term.search_doc_sharded("def")
