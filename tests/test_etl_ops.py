@@ -203,3 +203,45 @@ def test_doctests():
     from siem_on_amazon_opensearch_service_ray.sources import readers as r
     assert doctest.testmod(c).failed == 0
     assert doctest.testmod(r).failed == 0
+
+
+def test_geoip_shaped_enrich():
+    t = enrich.build_interval_table(
+        [("203.0.113.0/24", "net-a"), ("2001:db8::/32", "net-b")],
+        meta=[{"city": "Tokyo", "country": "JP", "lat": 35.68, "lon": 139.69,
+               "asn": 64500, "as_org": "ExampleNet"},
+              {"city": "Osaka", "country": "JP", "lat": 34.69, "lon": 135.5,
+               "asn": 64501, "as_org": "V6Net"}])
+    batch = pa.table({"ip": ["203.0.113.9", "2001:db8::1", "8.8.8.8", None]})
+    out = enrich.GeoIpEnrich(t, "ip")(batch)
+    assert out.column("source.geo.city_name").to_pylist() == \
+        ["Tokyo", "Osaka", None, None]
+    assert out.column("source.as.number").to_pylist() == \
+        [64500, 64501, None, None]
+    assert out.column("source.geo.location.lat").to_pylist() == \
+        [35.68, 34.69, None, None]
+
+
+def test_interval_lookup_vectorized_batch():
+    """100k probes (1k distinct) complete in well under a second —
+    the per-row-probe regression guard (verdict round 1, item 5)."""
+    import time
+    cidrs = [(f"10.{i}.0.0/16", f"net{i}") for i in range(256)]
+    t = enrich.build_interval_table(cidrs)
+    ips = [f"10.{i % 200}.{i % 256}.{(i * 7) % 256}" for i in range(1000)] * 100
+    t0 = time.monotonic()
+    idx = enrich.interval_match_indices(t, ips)
+    wall = time.monotonic() - t0
+    assert idx.size == 100_000 and (idx >= 0).all()
+    labels = enrich.interval_lookup(t, ips[:1000])
+    assert labels[0] == "net0" and labels[1] == "net1"
+    assert wall < 1.0, wall
+
+
+def test_interval_lookup_ipv6_and_edges():
+    t = enrich.build_interval_table([("10.0.0.0/8", "v4"),
+                                     ("2001:db8::/32", "v6")])
+    got = enrich.interval_lookup(
+        t, ["10.255.255.255", "11.0.0.0", "2001:db8:ffff::1",
+            "2001:db9::", "not-an-ip", None, ""])
+    assert got == ["v4", None, "v6", None, None, None, None]
