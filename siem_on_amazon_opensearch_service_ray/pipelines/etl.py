@@ -112,6 +112,105 @@ def _tf_ocsf_route(batch: pa.Table) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# fan-out: envelope list explode + ASFF finding split (one -> many)
+
+import json as _json
+import re as _re
+
+# GuardDuty/Macie finding-type grammar (the public ASFF
+# "Namespace/Category/Purpose:Resource-Family.Mechanism!Artifact"
+# format; reference sf_securityhub.py:17-26 parses the same grammar)
+_RE_ASFF_TYPE = _re.compile(
+    r"(?P<namespace>[^/]*)(/(?P<category>[^/]*))?/"
+    r"((?P<ThreatPurpose>\w*):)?(?P<ResourceTypeAffected>\w*)"
+    r"(/|-|\.)(?P<ThreatFamilyName>[\w&]*)"
+    r"(\.(?P<DetectionMechanism>\w*))?(!(?P<Artifact>\w*))?")
+_RE_ORG_TYPE = _re.compile(
+    r"(?P<ThreatPurpose>\w*):(?P<ResourceTypeAffected>\w*)/"
+    r"(?P<ThreatFamilyName>[\w&]*)(\.(?P<DetectionMechanism>\w*))?"
+    r"(!(?P<Artifact>\w*))?")
+
+
+def explode_json_list(batch: pa.Table, list_col: str,
+                      out_col: str = "record") -> pa.Table:
+    """One envelope row -> one row per element of the JSON array in
+    ``list_col`` (the reference's ``json_delimiter`` fan-out: an ASFF
+    export's ``findings`` list, CloudTrail's ``Records``, Config's
+    ``configurationItems`` — aws.ini json_delimiter keys +
+    fileformat_json.py:23-64).  Other columns are repeated; each
+    element lands re-serialized in ``out_col``."""
+    if list_col not in batch.column_names:
+        return batch
+    raw = batch.column(list_col).to_pylist()
+    keep_cols = [c for c in batch.column_names if c != list_col]
+    idx: list[int] = []
+    recs: list[str | None] = []
+    for i, v in enumerate(raw):
+        items = None
+        if isinstance(v, str) and v:
+            try:
+                items = _json.loads(v)
+            except ValueError:
+                items = None
+        elif isinstance(v, list):
+            items = v
+        if not isinstance(items, list):
+            idx.append(i)
+            recs.append(None)   # malformed/absent envelope -> error sentinel
+            continue
+        for item in items:
+            idx.append(i)
+            recs.append(_json.dumps(item, sort_keys=True))
+    take = pa.array(idx, pa.int64())
+    out = batch.select(keep_cols).take(take) if keep_cols else \
+        pa.table({}).take(take)
+    return out.append_column(out_col, pa.array(recs, pa.string()))
+
+
+@register_transform("securityhub_like")
+def _tf_asff_split(batch: pa.Table) -> pa.Table:
+    """ASFF finding-type decomposition (reference
+    sf_securityhub.py:35-63 ``split_findings_type``): the slash/colon
+    structured ``finding_type`` string becomes namespace/category/
+    threat columns, falling back to the legacy org form."""
+    if "finding_type" not in batch.column_names:
+        return batch
+    cols: dict[str, list] = {k: [] for k in (
+        "asff_type_namespace", "asff_type_category", "threat_purpose",
+        "resource_type_affected", "threat_family_name")}
+    memo: dict[str, tuple] = {}
+    for ft in batch.column("finding_type").to_pylist():
+        if ft in memo:
+            vals = memo[ft]
+        elif not ft:
+            vals = (None, None, None, None, None)
+        else:
+            # ASFF slash grammar first, legacy org colon form as the
+            # fallback (reference sf_securityhub.py:36-47 order)
+            m = _RE_ASFF_TYPE.match(ft) if "/" in ft else None
+            if m is not None:
+                ns = m.group("namespace")
+                cat = m.group("category") or m.group("ThreatPurpose")
+                tp = m.group("ThreatPurpose") or (cat or "").replace(" ", "")
+                vals = (ns, cat, tp, m.group("ResourceTypeAffected") or None,
+                        m.group("ThreatFamilyName") or None)
+            elif ":" in ft and (m := _RE_ORG_TYPE.match(ft)) is not None:
+                vals = (None, m.group("ThreatPurpose"),
+                        m.group("ThreatPurpose"),
+                        m.group("ResourceTypeAffected"),
+                        m.group("ThreatFamilyName") or None)
+            else:
+                vals = (None, None, None, None, None)
+        if ft is not None:
+            memo[ft] = vals
+        for k, v in zip(cols, vals):
+            cols[k].append(v)
+    for k, v in cols.items():
+        batch = batch.append_column(k, pa.array(v, pa.string()))
+    return batch
+
+
+# ---------------------------------------------------------------------------
 # index routing (M11)
 
 _ROTATIONS = {"daily": "%Y-%m-%d", "weekly": "%Y-w%W", "monthly": "%Y-%m",
@@ -155,11 +254,17 @@ class EtlConfig:
     exclusion_rules: list = field(default_factory=list)
     index_name: str = "log"
     index_rotation: str = "monthly"
+    # envelope fan-out: explode the JSON array in this column into one
+    # row per element BEFORE the per-record stages (reference
+    # json_delimiter, aws.ini; fileformat_json.py:23-64)
+    json_delimiter: str | None = None
 
 
 def prepare_batch(batch: pa.Table, cfg: EtlConfig) -> pa.Table:
     """One-batch version of the LogParser flow (stage order mirrors
     reference siem/__init__.py:519-574)."""
+    if cfg.json_delimiter:
+        batch = explode_json_list(batch, cfg.json_delimiter)
     if cfg.renames:
         batch = rename_columns(batch, cfg.renames)
     if cfg.timestamp_col is not None:
