@@ -65,6 +65,80 @@ class Excluder:
         return out.append_column("_counted", pa.array(counted[~drop]))
 
 
+@dataclass(frozen=True)
+class ExclusionCondition:
+    """JMESPath EXCLUDE|COUNT condition (reference F4: SSM
+    ``/siem/exclude-logs/<logtype>/<name>`` parameters holding
+    ``{"expression": <jmespath>, "action": "EXCLUDE"|"COUNT"}``,
+    siem/utils.py:670-719)."""
+    name: str
+    expression: str
+    action: str = "EXCLUDE"
+
+
+def parse_exclusion_conditions(params: dict[str, str]
+                               ) -> dict[str, list[ExclusionCondition]]:
+    """{(logtype/name): json-string} -> {logtype: [conditions]},
+    mirroring the reference's validation: names need a logtype prefix,
+    values must be JSON with ``action`` + ``expression``, ``disable``
+    skips, uncompilable expressions and unknown actions are dropped
+    (reference siem/utils.py:670-719)."""
+    import json as _json
+
+    import jmespath
+    out: dict[str, list[ExclusionCondition]] = {}
+    for name, raw in params.items():
+        if "/" not in name:
+            continue
+        try:
+            p = _json.loads(raw)
+        except ValueError:
+            continue
+        if "action" not in p or "expression" not in p:
+            continue
+        action = str(p["action"]).lower()
+        if action == "disable":
+            continue
+        if action not in ("exclude", "count"):
+            continue
+        try:
+            jmespath.compile(p["expression"])
+        except Exception:
+            continue
+        logtype = name.split("/")[0]
+        out.setdefault(logtype, []).append(ExclusionCondition(
+            name=name, expression=p["expression"], action=action.upper()))
+    return out
+
+
+class ConditionExcluder:
+    """map_batches actor: evaluate compiled JMESPath conditions per
+    record (rows -> nested dicts, so dotted/nested expressions see the
+    reference's document shape).  EXCLUDE conditions drop matches,
+    COUNT conditions keep them and mark ``_counted`` (reference
+    siem/__init__.py:997-1033 counts without dropping)."""
+
+    def __init__(self, conditions: list[ExclusionCondition]):
+        import jmespath
+        self.compiled = [(c, jmespath.compile(c.expression))
+                         for c in conditions]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        drop = np.zeros(len(rows), dtype=bool)
+        counted = np.zeros(len(rows), dtype=bool)
+        for i, doc in enumerate(rows):
+            for cond, expr in self.compiled:
+                if expr.search(doc):
+                    if cond.action == "COUNT":
+                        counted[i] = True
+                    else:
+                        drop[i] = True
+                        break
+        out = batch.filter(pa.array(~drop))
+        return out.append_column("_counted", pa.array(counted[~drop]))
+
+
 def match_exclusion(doc: dict, rules: list[ExclusionRule]) -> bool:
     """Dict-level twin for reference-doctest parity
     (siem/utils.py:1041-1099 nested-field matching).

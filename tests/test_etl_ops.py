@@ -245,3 +245,48 @@ def test_interval_lookup_ipv6_and_edges():
         t, ["10.255.255.255", "11.0.0.0", "2001:db8:ffff::1",
             "2001:db9::", "not-an-ip", None, ""])
     assert got == ["v4", None, "v6", None, None, None, None]
+
+
+# --- F4 expression-based exclusions ---------------------------------------
+
+def test_parse_exclusion_conditions_validation():
+    conds = exclude.parse_exclusion_conditions({
+        "cloudtrail/skip-describe":
+            '{"expression": "eventName == `DescribeInstances`",'
+            ' "action": "EXCLUDE"}',
+        "cloudtrail/count-console":
+            '{"expression": "user.type == `Root`", "action": "COUNT"}',
+        "cloudtrail/disabled":
+            '{"expression": "a", "action": "disable"}',
+        "cloudtrail/bad-json": 'not json',
+        "cloudtrail/bad-action": '{"expression": "a", "action": "DROP"}',
+        "cloudtrail/bad-expr": '{"expression": "][", "action": "EXCLUDE"}',
+        "no-logtype-prefix": '{"expression": "a", "action": "EXCLUDE"}',
+        "vpcflow/rej": '{"expression": "action == `REJECT`",'
+                       ' "action": "EXCLUDE"}',
+    })
+    assert sorted(conds) == ["cloudtrail", "vpcflow"]
+    assert len(conds["cloudtrail"]) == 2
+    assert {c.action for c in conds["cloudtrail"]} == {"EXCLUDE", "COUNT"}
+
+
+def test_condition_excluder_nested_and_count():
+    conds = [
+        exclude.ExclusionCondition(
+            "t/a", "user.name == `svc-backup` && event.outcome == `failure`"),
+        exclude.ExclusionCondition(
+            "t/b", "value > `100`", action="COUNT"),
+    ]
+    batch = pa.table({
+        "user": [{"name": "svc-backup"}, {"name": "alice"},
+                 {"name": "svc-backup"}],
+        "event": [{"outcome": "failure"}, {"outcome": "failure"},
+                  {"outcome": "success"}],
+        "value": [5, 500, 50],
+    })
+    out = exclude.ConditionExcluder(conds)(batch)
+    # row 0 dropped (nested AND matched); rows 1-2 kept
+    assert out.num_rows == 2
+    names = [u["name"] for u in out.column("user").to_pylist()]
+    assert names == ["alice", "svc-backup"]
+    assert out.column("_counted").to_pylist() == [True, False]
