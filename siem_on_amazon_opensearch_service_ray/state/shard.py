@@ -20,7 +20,10 @@ import os
 import numpy as np
 import pyarrow.parquet as pq
 
-from ..postings import TermPostings, decode_postings, decode_skip, merge_postings
+from ..postings import (TermPostings, decode_postings, decode_skip,
+                        merge_postings)
+from ..postings import encode_postings as _enc_postings
+from ..postings import varint_decode as _vdec
 
 
 def load_filter_ids(index_dir: str, field: str, value: str,
@@ -62,21 +65,47 @@ class ShardReader:
                 if not seg.endswith(".parquet"):
                     continue
                 t = pq.read_table(os.path.join(part_dir, seg))
+                lut = self._segment_lut(t)
                 has_pos = "pos" in t.column_names
                 cols = [t.column(c) for c in
                         ("field", "term", "df", "docs", "tfs", "norms", "skip")]
                 pos_c = t.column("pos") if has_pos else None
                 for i in range(t.num_rows):
                     key = (cols[0][i].as_py(), cols[1][i].as_py())
-                    row = (cols[2][i].as_py(), cols[3][i].as_py(),
-                           cols[4][i].as_py(), cols[5][i].as_py(),
-                           cols[6][i].as_py(),
+                    df_i = cols[2][i].as_py()
+                    docs_b = cols[3][i].as_py()
+                    tfs_b = cols[4][i].as_py()
+                    norms_b = cols[5][i].as_py()
+                    skip_b = cols[6][i].as_py()
+                    if lut is not None:
+                        # on-disk postings are dense ordinals into the
+                        # segment LUT — remap to real ids once at load
+                        # so every downstream decode path is untouched
+                        ords = np.cumsum(
+                            _vdec(docs_b, df_i), dtype=np.uint64)
+                        real = lut[ords.astype(np.int64)]
+                        tfs = _vdec(tfs_b, df_i).astype(np.uint32)
+                        norms = np.frombuffer(norms_b, dtype=np.uint8)
+                        docs_b, tfs_b, norms_b, skip_b = \
+                            _enc_postings(real, tfs, norms)
+                    row = (df_i, docs_b, tfs_b, norms_b, skip_b,
                            pos_c[i].as_py() if has_pos else b"")
                     self.terms.setdefault(key, []).append(row)
         with open(os.path.join(index_dir, "INDEX_MANIFEST.json")) as f:
             self.manifest = json.load(f)
         self.stats = self.manifest["stats"]
         self._filters: dict[str, dict[str, np.ndarray]] = {}
+
+    @staticmethod
+    def _segment_lut(t) -> np.ndarray | None:
+        """Decode the segment's doc-id LUT from the parquet footer
+        metadata (None for pre-LUT segments)."""
+        meta = t.schema.metadata or {}
+        blob = meta.get(b"doc_lut")
+        if blob is None:
+            return None
+        n = int(meta.get(b"doc_lut_n", b"0"))
+        return np.cumsum(_vdec(blob, n), dtype=np.uint64)
 
     def df(self, field: str, term: str) -> int:
         rows = self.terms.get((field, term))
