@@ -218,6 +218,28 @@ def decode_positions(blob: bytes, tfs: np.ndarray) -> list[np.ndarray]:
     return out
 
 
+class LazyPositions:
+    """Per-run lazy position access: the varint stream decodes once
+    (vectorized) on FIRST access, and per-posting arrays materialize
+    only for requested postings — the phrase path's surviving
+    candidates, not every posting (round-1 documented gap: eager
+    decode built Python lists for the whole posting list)."""
+
+    __slots__ = ("blob", "ends", "_vals")
+
+    def __init__(self, blob: bytes, tfs: np.ndarray):
+        self.blob = blob
+        self.ends = np.cumsum(np.asarray(tfs, dtype=np.int64))
+        self._vals: np.ndarray | None = None
+
+    def for_posting(self, i: int) -> np.ndarray:
+        if self._vals is None:
+            total = int(self.ends[-1]) if self.ends.size else 0
+            self._vals = varint_decode(self.blob, total)
+        lo = 0 if i == 0 else int(self.ends[i - 1])
+        return np.cumsum(self._vals[lo:int(self.ends[i])], dtype=np.uint64)
+
+
 def merge_postings(runs: list[TermPostings]) -> TermPostings:
     """Merge salted runs of one term (disjoint doc sets, each sorted)
     into one canonical sorted posting list — used when hot-term salting

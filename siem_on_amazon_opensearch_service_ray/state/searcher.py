@@ -36,7 +36,8 @@ import ray
 from .. import B, K1
 from ..analysis import ANALYZERS, POSITIONAL_ANALYZERS
 from ..norms import decode_norm, idf as idf_fn, tf_norm
-from ..postings import BLOCK, decode_positions, decode_postings, merge_postings
+from ..postings import (BLOCK, LazyPositions, decode_positions,
+                        decode_postings, merge_postings)
 from .shard import ShardReader
 
 
@@ -328,7 +329,8 @@ def _decode_with_positions(rows: list[tuple]
                            ) -> tuple[np.ndarray, list[np.ndarray]]:
     """-> (sorted doc_ids, aligned per-posting position arrays), merging
     salted runs (the run-merge permutation is applied to the position
-    lists too)."""
+    lists too).  Eager — kept for tests/compat; the query path uses
+    :class:`_PhraseTerm` (lazy)."""
     docs_parts: list[np.ndarray] = []
     pos_parts: list[np.ndarray] = []
     for row in rows:
@@ -340,6 +342,58 @@ def _decode_with_positions(rows: list[tuple]
     doc_ids = np.concatenate(docs_parts) if docs_parts else np.zeros(0, np.uint64)
     order = np.argsort(doc_ids, kind="stable")
     return doc_ids[order], [pos_parts[i] for i in order]
+
+
+class _PhraseTerm:
+    """One query token's postings with LAZY positions: doc ids / tfs /
+    norms decode vectorized up front (cheap); position streams decode
+    per RUN only when a surviving candidate doc needs them, and
+    per-posting arrays materialize per candidate (SURVEY §2.7 round-1
+    gap: the eager path built every posting's position list before
+    intersection)."""
+
+    def __init__(self, offset: int, rows: list[tuple]):
+        self.offset = offset
+        self.run_docs: list[np.ndarray] = []
+        self.run_tfs: list[np.ndarray] = []
+        self.run_norms: list[np.ndarray] = []
+        self.run_pos: list[LazyPositions] = []
+        for row in rows:
+            df, docs_b, tfs_b, norms_b = row[0], row[1], row[2], row[3]
+            pos_b = row[5] if len(row) > 5 else b""
+            tp = decode_postings(docs_b, tfs_b, norms_b, df)
+            self.run_docs.append(tp.doc_ids)
+            self.run_tfs.append(tp.tfs)
+            self.run_norms.append(tp.norms)
+            self.run_pos.append(LazyPositions(pos_b, tp.tfs))
+        self.df = int(sum(d.size for d in self.run_docs))
+
+    def all_docs(self) -> np.ndarray:
+        if not self.run_docs:
+            return np.zeros(0, np.uint64)
+        return np.sort(np.concatenate(self.run_docs)) \
+            if len(self.run_docs) > 1 else self.run_docs[0]
+
+    def _locate(self, d: np.uint64) -> tuple[int, int] | None:
+        for r, docs in enumerate(self.run_docs):
+            i = int(np.searchsorted(docs, d))
+            if i < docs.size and docs[i] == d:
+                return r, i
+        return None
+
+    def positions_for(self, d: np.uint64) -> np.ndarray | None:
+        loc = self._locate(d)
+        if loc is None:
+            return None
+        r, i = loc
+        return self.run_pos[r].for_posting(i)
+
+    def norm_for(self, d: np.uint64) -> int | None:
+        loc = self._locate(d)
+        if loc is None:
+            return None
+        r, i = loc
+        return int(self.run_norms[r][i])
 
 
 def phrase_match(term_positions: list[tuple[int, np.ndarray, list[np.ndarray]]],
@@ -563,12 +617,13 @@ class Searcher:
             filt = self._filter_ids(filter_field, filter_value)
         return _dispatch(method, terms, k, mode, avgdl, filt, k1, b)
 
-    def phrase_search(self, query: str, field: str = "content",
-                      k: int = 10, analyzer: str | None = None
-                      ) -> list[tuple[int, int]]:
-        """Exact phrase top-k: [(phrase_tf, doc_id)] sorted
-        (phrase_tf desc, doc_id asc).  Requires an index built with
-        ``store_positions=True``."""
+    def _phrase_candidates(self, query: str, field: str,
+                           analyzer: str | None
+                           ) -> tuple[list[_PhraseTerm], dict[int, int]]:
+        """Shared phrase machinery: analyze, gather, intersect doc sets
+        (ids only — no position bytes touched), then lazily decode
+        positions for surviving candidates and anchor-match.
+        -> (per-token terms, {doc_id: phrase_tf})."""
         if not self.manifest["config"].get("store_positions"):
             raise ValueError(
                 "index was built without positions (IndexConfig."
@@ -578,18 +633,76 @@ class Searcher:
                              if f == field), "code")
         toks, poss = POSITIONAL_ANALYZERS[analyzer](query)
         if not toks:
-            return []
+            return [], {}
         rows = self._gather(field, toks)
-        term_positions = []
+        terms: list[_PhraseTerm] = []
         for tok, off in zip(toks, poss):
             r = rows.get(tok)
             if not r:
-                return []           # a missing token can never phrase-match
-            docs, plists = _decode_with_positions(r)
-            term_positions.append((off, docs, plists))
-        matches = phrase_match(term_positions)
+                return [], {}       # a missing token can never phrase-match
+            terms.append(_PhraseTerm(off, r))
+        # intersect candidate docs smallest-first — ids only
+        ordered = sorted(terms, key=lambda t: t.df)
+        base = ordered[0].all_docs()
+        for t in ordered[1:]:
+            if base.size == 0:
+                return terms, {}
+            docs = t.all_docs()
+            pos = np.minimum(np.searchsorted(docs, base),
+                             max(docs.size - 1, 0))
+            base = base[docs[pos] == base] if docs.size else base[:0]
+        matches: dict[int, int] = {}
+        for d in base:
+            anchors: np.ndarray | None = None
+            for t in terms:
+                p = t.positions_for(d)
+                if p is None:
+                    anchors = np.zeros(0, np.int64)
+                    break
+                cand = p.astype(np.int64) - t.offset
+                anchors = cand if anchors is None else \
+                    np.intersect1d(anchors, cand, assume_unique=False)
+                if anchors.size == 0:
+                    break
+            if anchors is not None and anchors.size:
+                matches[int(d)] = int(anchors.size)
+        return terms, matches
+
+    def phrase_search(self, query: str, field: str = "content",
+                      k: int = 10, analyzer: str | None = None
+                      ) -> list[tuple[int, int]]:
+        """Exact phrase top-k: [(phrase_tf, doc_id)] sorted
+        (phrase_tf desc, doc_id asc).  Requires an index built with
+        ``store_positions=True``.  Positions decode lazily — only for
+        docs surviving the doc-set intersection."""
+        _, matches = self._phrase_candidates(query, field, analyzer)
         ranked = sorted(matches.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         return [(tf, d) for d, tf in ranked]
+
+    def phrase_search_scored(self, query: str, field: str = "content",
+                             k: int = 10, analyzer: str | None = None,
+                             k1: float = K1, b: float = B
+                             ) -> list[tuple[float, int]]:
+        """BM25-weighted phrase top-k: [(score, doc_id)] with
+        score = (sum of the phrase tokens' idf) * tf_norm(phrase_tf,
+        dl, avgdl) — Lucene PhraseQuery scoring shape (phraseFreq
+        through the term-frequency saturation, idf summed over the
+        phrase's terms), ties (score desc, doc_id asc)."""
+        terms, matches = self._phrase_candidates(query, field, analyzer)
+        if not matches:
+            return []
+        n_docs = int(self.stats["n_docs"])
+        avgdl = float(self.stats["avgdl"][field])
+        idf_sum = float(sum(idf_fn(t.df, n_docs) for t in terms))
+        out: list[tuple[float, int]] = []
+        for d, ptf in matches.items():
+            nrm = terms[0].norm_for(np.uint64(d))
+            dl = float(decode_norm(np.array([nrm], np.uint8))[0])
+            s = idf_sum * float(tf_norm(np.array([ptf], np.uint32),
+                                        np.array([dl]), avgdl, k1, b)[0])
+            out.append((s, d))
+        out.sort(key=lambda sd: (-sd[0], sd[1]))
+        return out[:k]
 
     def search_doc_sharded(self, query: str, field: str = "content",
                            k: int = 10, mode: str = "or",

