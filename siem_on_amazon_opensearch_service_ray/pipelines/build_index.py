@@ -273,6 +273,9 @@ def estimate_hot_terms(source, cfg: IndexConfig) -> dict[str, int]:
 
 
 DOC_SENTINEL = "\x00doc"
+# segment row carrying the per-segment doc-id LUT (never a real field
+# name — analyzers cannot emit NUL bytes)
+LUT_SENTINEL = "\x00lut"
 
 
 class TokenizeFlatten:
@@ -557,25 +560,32 @@ def _encode_segment(group: pa.Table, index_dir: str, fp: str,
     ends = np.append(starts[1:], n)
     with_pos = bool(cfg.store_positions) and "pos" in group.column_names
     pos_col = group.column("pos") if with_pos else None
-    # Per-segment doc LUT: the sorted unique doc ids across ALL the
-    # segment's terms, delta-varint encoded ONCE in the file footer;
-    # every term's posting list stores dense ordinals into it.  Doc ids
-    # are sparse 63-bit hashes whose raw gaps average ~63-log2(df)
-    # bits; ordinals' gaps average log2(n_seg_docs/df) bits, and the
-    # sparse ids are paid for once per segment instead of once per
-    # term (measured ~2.5x delta-compression recovery).  ShardReader
-    # remaps ordinals back to ids at load, so query paths are
-    # untouched.
+    # Per-segment doc LUT (adaptive): the sorted unique doc ids across
+    # ALL the segment's terms, delta-varint encoded ONCE in the file
+    # footer, with every term's posting list storing dense ordinals
+    # into it.  Doc ids are sparse 63-bit hashes whose raw gaps average
+    # ~63-log2(df) bits; ordinals' gaps average log2(n_seg_docs/df)
+    # bits, so the sparse ids are paid for once per segment instead of
+    # once per term.  The LUT only wins when terms SHARE docs — a
+    # many-parts-few-docs segment would duplicate nearly the whole id
+    # set per part — AND the arbiter is the on-disk (snappy-compressed
+    # parquet page) size, not raw blob length: sparse high-byte deltas
+    # compress well under snappy while the footer LUT is stored
+    # uncompressed.  Both docs streams are therefore snappy-measured
+    # and the smaller representation is written.  ShardReader remaps
+    # ordinals back to ids at load, so query paths are untouched
+    # either way.
+    from ..postings import varint_encode as _venc
     seg_lut = np.unique(d_arr)
     lut_deltas = np.empty(seg_lut.size, dtype=np.uint64)
     if seg_lut.size:
         lut_deltas[0] = seg_lut[0]
         np.subtract(seg_lut[1:], seg_lut[:-1], out=lut_deltas[1:])
-    from ..postings import varint_encode as _venc
     lut_blob = _venc(lut_deltas)
-    o_field, o_term, o_df, o_ttf = [], [], [], []
-    o_docs, o_tfs, o_norms, o_skip, o_pos = [], [], [], [], []
-    n_postings = 0
+
+    runs: list[tuple] = []      # (s, e, dids, tfs, nms, sel)
+    raw_parts: list[bytes] = []
+    ord_parts: list[bytes] = []
     for s, e in zip(starts, ends):
         dids = d_arr[s:e]
         tfs = tf_arr[s:e]
@@ -587,14 +597,41 @@ def _encode_segment(group: pa.Table, index_dir: str, fp: str,
         if uniq.size != dids.size:
             sel = np.sort(first)
             dids, tfs, nms = uniq, tfs[sel], nms[sel]
-        ords = np.searchsorted(seg_lut, dids).astype(np.uint64)
-        docs_b, tfs_b, norms_b, skip_b = encode_postings(ords, tfs, nms)
+        if dids.size:
+            d = np.empty(dids.size, dtype=np.uint64)
+            d[0] = dids[0]
+            np.subtract(dids[1:], dids[:-1], out=d[1:])
+            raw_parts.append(_venc(d))
+            ords = np.searchsorted(seg_lut, dids).astype(np.uint64)
+            od = np.empty(ords.size, dtype=np.uint64)
+            od[0] = ords[0]
+            np.subtract(ords[1:], ords[:-1], out=od[1:])
+            ord_parts.append(_venc(od))
+        runs.append((int(s), int(e), dids, tfs, nms, sel))
+
+    def _disk_cost(parts: list[bytes]) -> int:
+        return len(pa.compress(b"".join(parts), codec="snappy",
+                               asbytes=True)) if parts else 0
+
+    # the LUT rides as a sentinel ROW (field="\x00lut") so it gets the
+    # same page compression as the posting blobs — parquet footer
+    # metadata would be stored base64-inflated ~2.3x (measured)
+    use_lut = (_disk_cost(ord_parts) + _disk_cost([lut_blob])) \
+        < _disk_cost(raw_parts)
+
+    o_field, o_term, o_df, o_ttf = [], [], [], []
+    o_docs, o_tfs, o_norms, o_skip, o_pos = [], [], [], [], []
+    n_postings = 0
+    for s, e, dids, tfs, nms, sel in runs:
+        enc_ids = np.searchsorted(seg_lut, dids).astype(np.uint64) \
+            if use_lut else dids
+        docs_b, tfs_b, norms_b, skip_b = encode_postings(enc_ids, tfs, nms)
         if with_pos:
-            rows_idx = sel if sel is not None else np.arange(int(e) - int(s))
-            o_pos.append(b"".join(pos_col[int(s) + int(i)].as_py()
+            rows_idx = sel if sel is not None else np.arange(e - s)
+            o_pos.append(b"".join(pos_col[s + int(i)].as_py()
                                   for i in rows_idx))
-        o_field.append(f_col[int(s)].as_py())
-        o_term.append(t_col[int(s)].as_py())
+        o_field.append(f_col[s].as_py())
+        o_term.append(t_col[s].as_py())
         o_df.append(int(dids.size))
         o_ttf.append(int(tfs.sum()))
         o_docs.append(docs_b)
@@ -602,6 +639,18 @@ def _encode_segment(group: pa.Table, index_dir: str, fp: str,
         o_norms.append(norms_b)
         o_skip.append(skip_b)
         n_postings += int(dids.size)
+    n_terms = len(o_field)
+    if use_lut:
+        o_field.append(LUT_SENTINEL)
+        o_term.append("")
+        o_df.append(int(seg_lut.size))
+        o_ttf.append(0)
+        o_docs.append(lut_blob)
+        o_tfs.append(b"")
+        o_norms.append(b"")
+        o_skip.append(b"")
+        if with_pos:
+            o_pos.append(b"")
     seg = pa.table({
         "field": pa.array(o_field, pa.string()),
         "term": pa.array(o_term, pa.string()),
@@ -614,20 +663,18 @@ def _encode_segment(group: pa.Table, index_dir: str, fp: str,
         "pos": pa.array(o_pos if with_pos else [b""] * len(o_field),
                         pa.large_binary()),
     })
-    seg = seg.replace_schema_metadata({
-        b"doc_lut": lut_blob, b"doc_lut_n": str(seg_lut.size).encode()})
     _atomic_write_table(seg, out)
     nbytes = os.stat(out).st_size
     field_tf = {}
-    for f, t in zip(o_field, o_ttf):
+    for f, t in zip(o_field[:n_terms], o_ttf[:n_terms]):
         field_tf[f] = field_tf.get(f, 0) + t
     _atomic_write_json({
         "fingerprint": fp, "part": part, "salt": salt,
-        "n_terms": len(o_field), "n_postings": n_postings, "bytes": nbytes,
+        "n_terms": n_terms, "n_postings": n_postings, "bytes": nbytes,
         "field_tf": field_tf,
         "encode_sec": round(time.monotonic() - t0, 3), "path": out,
     }, man)
-    return _metrics_row(part, salt, len(o_field), n_postings, nbytes, 0,
+    return _metrics_row(part, salt, n_terms, n_postings, nbytes, 0,
                         False, field_tf)
 
 

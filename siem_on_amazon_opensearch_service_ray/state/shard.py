@@ -72,6 +72,8 @@ class ShardReader:
                 pos_c = t.column("pos") if has_pos else None
                 for i in range(t.num_rows):
                     key = (cols[0][i].as_py(), cols[1][i].as_py())
+                    if key[0] == "\x00lut":
+                        continue
                     df_i = cols[2][i].as_py()
                     docs_b = cols[3][i].as_py()
                     tfs_b = cols[4][i].as_py()
@@ -98,13 +100,17 @@ class ShardReader:
 
     @staticmethod
     def _segment_lut(t) -> np.ndarray | None:
-        """Decode the segment's doc-id LUT from the parquet footer
-        metadata (None for pre-LUT segments)."""
-        meta = t.schema.metadata or {}
-        blob = meta.get(b"doc_lut")
-        if blob is None:
+        """Decode the segment's doc-id LUT from its sentinel row
+        (field == "\\x00lut", docs = delta-varint ids, df = count);
+        None when the segment was written raw (adaptive encoder chose
+        sparse ids)."""
+        fields = t.column("field").to_pylist()
+        try:
+            i = fields.index("\x00lut")
+        except ValueError:
             return None
-        n = int(meta.get(b"doc_lut_n", b"0"))
+        n = int(t.column("df")[i].as_py())
+        blob = t.column("docs")[i].as_py()
         return np.cumsum(_vdec(blob, n), dtype=np.uint64)
 
     def df(self, field: str, term: str) -> int:
