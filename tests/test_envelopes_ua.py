@@ -101,3 +101,63 @@ def test_index_stats(ray_session, small_corpus, tmp_path):
     summary = build_summary(idx)
     assert summary["n_docs"] == ds["rows"].sum()
     assert summary["n_postings"] == st["n_postings"].sum()
+
+
+# --- S8 generic XML reader -------------------------------------------------
+
+def test_xml_to_dict_shapes():
+    from siem_on_amazon_opensearch_service_ray.sources.readers import xml_to_dict
+    d = xml_to_dict(
+        '<Event xmlns="http://x"><System><EventID Qualifiers="0">4624'
+        '</EventID><Level>0</Level></System></Event>')
+    assert d["Event"]["System"]["EventID"]["#text"] == "4624"
+    assert d["Event"]["System"]["EventID"]["@Qualifiers"] == "0"
+    assert d["Event"]["System"]["Level"] == "0"
+
+
+def test_xml_multiline_reader():
+    import json as _json
+    import pyarrow as pa
+    from siem_on_amazon_opensearch_service_ray.sources.readers import XmlMultilineReader
+    raw = ("<Event xmlns='http://x'>\n  <A>1</A>\n</Event>\n"
+           "<Event xmlns='http://x'>\n  <A>2</A>\n</Event>\n"
+           "<Event xmlns='http://x'>\n  <A>broken\n").encode()
+    batch = pa.table({"bytes": pa.array([raw], pa.large_binary()),
+                      "path": ["f.xml"]})
+    out = XmlMultilineReader()(batch)
+    assert out.num_rows == 3
+    parsed = out.column("record_json").to_pylist()
+    assert _json.loads(parsed[0])["Event"]["A"] == "1"
+    assert _json.loads(parsed[1])["Event"]["A"] == "2"
+    assert parsed[2] is None
+    assert out.column("parse_error").to_pylist()[2].startswith("parse_error")
+
+
+# --- S13 Firelens + M7 cloud context ---------------------------------------
+
+def test_firelens_reader_meta_and_stderr():
+    import json as _json
+    import pyarrow as pa
+    from siem_on_amazon_opensearch_service_ray.sources.readers import FirelensReader
+    lines = [
+        _json.dumps({"container_id": "c1", "container_name": "app",
+                     "source": "stdout", "ecs_cluster": "prod",
+                     "ecs_task_arn":
+                         "arn:aws:ecs:us-east-1:111122223333:task/prod/t1",
+                     "ecs_task_definition": "app:3",
+                     "log": '{"msg": "hello"}'}),
+        _json.dumps({"container_id": "c2", "container_name": "app",
+                     "source": "stderr", "log": "panic!"}),
+        "not json at all",
+    ]
+    batch = pa.table({"text": pa.array(lines, pa.string())})
+    out = FirelensReader(ignore_stderr=True)(batch).to_pylist()
+    r0 = out[0]
+    assert r0["cloud.region"] == "us-east-1"
+    assert r0["cloud.account.id"] == "111122223333"
+    assert r0["container.id"] == "c1" and r0["container.name"] == "app"
+    assert r0["log"] == '{"msg": "hello"}'
+    r1 = out[1]
+    assert r1["is_ignored"] and "stderr" in r1["ignored_reason"]
+    r2 = out[2]
+    assert r2["__skip_normalization"] and r2["log"] == "not json at all"
