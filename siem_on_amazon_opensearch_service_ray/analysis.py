@@ -116,6 +116,48 @@ def code_tokens(text: str) -> list[str]:
     return out
 
 
+# Unicode word analyzer: \w+ runs (all scripts) with CJK ideographs
+# and hiragana emitted one-per-character (Lucene's standard UAX#29
+# tokenizer emits Han and Hiragana singly; Katakana runs stay
+# together) — the behaviors that matter for multilingual text fields.
+# A documented approximation, not a full UAX#29 implementation.
+_UNI_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+_HAN = "\u3400-\u4dbf\u4e00-\u9fff\uf900-\ufaff\u3040-\u309f"
+_HAN_SPLIT_RE = re.compile(f"[{_HAN}]|[^{_HAN}]+")
+_UNI_CACHE: dict[str, tuple[str, ...]] = {}
+
+
+def _unicode_expand(raw: str) -> tuple[str, ...]:
+    pieces = (_HAN_SPLIT_RE.findall(raw)
+              if _HAN_SPLIT_RE.search(raw) and len(raw) > 1 else [raw])
+    return tuple(_truncate_term(p.lower()) for p in pieces if p)
+
+
+def unicode_tokens(text: str) -> list[str]:
+    """Unicode analyzer (SURVEY missing item: non-ASCII text fields):
+    script-aware \\w+ runs, lowercased (Unicode-aware), each CJK
+    ideograph its own token.
+
+    >>> unicode_tokens("Café Straße работает 日本語です")
+    ['café', 'straße', 'работает', '日', '本', '語', 'で', 'す']
+    """
+    cache = _UNI_CACHE
+    out: list[str] = []
+    for raw in _UNI_TOKEN_RE.findall(text):
+        e = cache.get(raw)
+        if e is None:
+            e = _unicode_expand(raw)
+            if len(cache) < _CACHE_LIMIT:
+                cache[raw] = e
+        out.extend(e)
+    return out
+
+
+def unicode_tokens_with_positions(text: str) -> tuple[list[str], list[int]]:
+    toks = unicode_tokens(text)
+    return toks, list(range(len(toks)))
+
+
 def path_tokens(path: str) -> list[str]:
     """Path analyzer: ``src/pkg_3/mod_7.py`` -> [src, pkg_3, pkg, 3,
     mod_7, mod, 7, py]."""
@@ -160,12 +202,14 @@ ANALYZERS = {
     "base": base_tokens,
     "code": code_tokens,
     "path": path_tokens,
+    "unicode": unicode_tokens,
 }
 
 POSITIONAL_ANALYZERS = {
     "base": base_tokens_with_positions,
     "code": code_tokens_with_positions,
     "path": path_tokens_with_positions,
+    "unicode": unicode_tokens_with_positions,
 }
 
 

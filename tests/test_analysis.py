@@ -57,3 +57,37 @@ def test_truncation_multibyte_safe():
 def test_determinism():
     text = "Spark getHttpResponse doc_id mod7 needle_42 x" * 10
     assert code_tokens(text) == code_tokens(text)
+
+
+def test_unicode_analyzer():
+    from siem_on_amazon_opensearch_service_ray.analysis import unicode_tokens
+    assert unicode_tokens("Café Straße работает") == \
+        ["café", "straße", "работает"]
+    # CJK ideographs one per character; kana runs stay together
+    assert unicode_tokens("日本語のドキュメント") == \
+        ["日", "本", "語", "の", "ドキュメント"]
+    # ascii identifiers stay single tokens (no code splitting)
+    assert unicode_tokens("snake_case getHttp") == ["snake_case", "gethttp"]
+    assert unicode_tokens("") == []
+
+
+def test_unicode_analyzer_indexable(ray_session, tmp_path):
+    """End-to-end: a unicode-field index finds non-ASCII terms."""
+    import pyarrow as pa
+    import ray.data as rd
+    from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
+        IndexConfig, build_index)
+    from siem_on_amazon_opensearch_service_ray.state.searcher import Searcher
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["Die schnelle Straße", "日本語のテキストです",
+                 "plain english words"],
+    })
+    cfg = IndexConfig(num_partitions=2, fields=(("text", "text", "unicode"),),
+                      keyword_fields=(), doc_id_col="doc_id", sha_col="text",
+                      salting=False)
+    idx = str(tmp_path / "uidx")
+    build_index(rd.from_arrow(docs), idx, cfg)
+    s = Searcher(idx, use_actors=False)
+    assert [d for _, d in s.search("straße", field="text")] == [1]
+    assert [d for _, d in s.search("日本", field="text")] == [2]
