@@ -112,6 +112,95 @@ def _tf_ocsf_route(batch: pa.Table) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# sub-parser dispatch exemplar: linux syslog secure-channel transform
+
+import re as _re2
+
+# first-match-wins chains per process (behavior mirror of reference
+# sf_linux_os_syslog.py:15-32 RE_LIST_SSHD/RE_LIST_SUDO; subset of
+# patterns covering the accept/fail/invalid/disconnect/session shapes)
+_SSHD_RES = [
+    _re2.compile(
+        r"(?P<action>Accepted|Failed|Invalid user)\s.*?"
+        r"((publickey|password|none) for )?(invalid user )?(?P<user>\S+)"
+        r"(\s+from\s+(?P<source_ip>\d{1,3}(?:\.\d{1,3}){3}))?"
+        r"(\s+port\s+(?P<source_port>\d+))?"),
+    _re2.compile(r"^(?P<action>Disconnected|Received disconnect) from "
+                 r"(?P<source_ip>\S+) port (?P<source_port>\d+)"),
+    _re2.compile(r"^pam_unix\S*: (?P<action>session (closed|opened)) "
+                 r"for user (?P<user>\S+)"),
+    _re2.compile(r"^(?P<action>Connection (reset|closed))\s+by\s+"
+                 r"(?P<source_ip>\d{1,3}(?:\.\d{1,3}){3})\s+port\s+"
+                 r"(?P<source_port>\d+)"),
+]
+_SUDO_RES = [
+    _re2.compile(r"^(?P<user>\S+) : .*COMMAND=(?P<action>.*)"),
+    _re2.compile(r"^pam_unix\S*: (?P<action>session (closed|opened)) "
+                 r"for user (?P<user>\S+)"),
+]
+
+
+def _sshd_outcome(action: str) -> str | None:
+    a = action.lower()
+    if "accept" in a or "opened" in a:
+        return "success"
+    if "fail" in a or "invalid" in a or "err" in a:
+        return "failure"
+    if "disconnect" in a or "reset" in a or "close" in a:
+        return None
+    return "unknown"
+
+
+@register_transform("linux_syslog_like")
+def _tf_linux_syslog(batch: pa.Table) -> pa.Table:
+    """Sub-parser dispatch (the M8 'hard shape': one logtype, many
+    per-process parsers — reference sf_linux_os_syslog.py:100-121
+    routes on ``proc`` to sshd/sudo extractors and re-routes the index
+    to log-linux-secure)."""
+    needed = {"proc", "syslog_message"}
+    if not needed <= set(batch.column_names):
+        return batch
+    procs = batch.column("proc").to_pylist()
+    msgs = batch.column("syslog_message").to_pylist()
+    users, ips, ports, actions, outcomes, cats, idx_ov = \
+        [], [], [], [], [], [], []
+    for proc, msg in zip(procs, msgs):
+        proc, msg = proc or "", msg or ""
+        data: dict = {}
+        chain = _SSHD_RES if "sshd" in proc else \
+            _SUDO_RES if "sudo" in proc else []
+        for rx in chain:
+            m = rx.search(msg)
+            if m:
+                data = {k: v for k, v in m.groupdict().items()
+                        if v is not None}
+                break
+        secure = bool(chain) or proc == "su"
+        idx_ov.append("log-linux-secure" if secure else None)
+        users.append(data.get("user"))
+        ips.append(data.get("source_ip"))
+        ports.append(data.get("source_port"))
+        action = data.get("action")
+        actions.append(action)
+        if "sshd" in proc:
+            cats.append("authentication" if action else None)
+            outcomes.append(_sshd_outcome(action) if action else None)
+        elif "sudo" in proc:
+            cats.append(None)
+            outcomes.append("success" if action else None)
+        else:
+            cats.append(None)
+            outcomes.append(None)
+    for name, vals in (("user_name", users), ("source_ip", ips),
+                       ("source_port", ports), ("event_action", actions),
+                       ("event_outcome", outcomes),
+                       ("event_category", cats),
+                       ("__index_override", idx_ov)):
+        batch = batch.append_column(name, pa.array(vals, pa.string()))
+    return batch
+
+
+# ---------------------------------------------------------------------------
 # fan-out: envelope list explode + ASFF finding split (one -> many)
 
 import json as _json

@@ -158,3 +158,34 @@ def test_etl_pipeline_with_fanout(ray_session):
     out = etl.run_etl(ds, cfg).to_pandas()
     assert len(out) == 2
     assert set(out["account"]) == {"123456789012"}
+
+
+def test_linux_syslog_subparser_dispatch():
+    tf = etl.get_transform("linux_syslog_like")
+    batch = pa.table({
+        "proc": ["sshd", "sshd", "sudo", "cron", "su", "sshd"],
+        "syslog_message": [
+            "Accepted publickey for deploy from 203.0.113.9 port 52311",
+            "Failed password for invalid user admin from 198.51.100.7 port 40022",
+            "alice : TTY=pts/0 ; PWD=/home/alice ; COMMAND=/bin/ls /root",
+            "(root) CMD (run-parts /etc/cron.hourly)",
+            "pam_unix(su:session): session opened for user root",
+            "Disconnected from 203.0.113.9 port 52311",
+        ],
+    })
+    out = tf(batch)
+    users = out.column("user_name").to_pylist()
+    outcomes = out.column("event_outcome").to_pylist()
+    ips = out.column("source_ip").to_pylist()
+    ov = out.column("__index_override").to_pylist()
+    assert users[0] == "deploy" and outcomes[0] == "success"
+    assert users[1] == "admin" and outcomes[1] == "failure"
+    assert ips[1] == "198.51.100.7"
+    assert users[2] == "alice" and outcomes[2] == "success"
+    assert out.column("event_action").to_pylist()[2] == "/bin/ls /root"
+    assert ov[0] == ov[1] == ov[2] == "log-linux-secure"
+    assert ov[3] is None            # cron not secure-routed
+    assert ov[4] == "log-linux-secure"   # bare su
+    assert outcomes[5] is None      # disconnect -> no outcome
+    # sshd category only on matched auth events
+    assert out.column("event_category").to_pylist()[0] == "authentication"
