@@ -62,7 +62,10 @@ from ..norms import encode_norm
 from ..postings import encode_positions, encode_postings
 from ..stages.docprep import compute_doc_ids, content_shas
 
-FORMAT_VERSION = 4
+# bump whenever the on-disk segment representation changes — resume
+# fingerprints include this, so stale-format segments can never be
+# silently reused (v5: sentinel-row doc LUT)
+FORMAT_VERSION = 5
 
 
 @dataclass(frozen=True)
