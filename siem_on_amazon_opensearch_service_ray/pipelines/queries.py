@@ -788,6 +788,23 @@ def embedding_near_dups(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def knn_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF ANN: deterministic k-means coarse centroids, probe the 4
+    nearest of 16 cells, exact cosine within probed cells (rows-only:
+    approximate by design; recall >= 0.8 vs brute force is
+    pytest-asserted)."""
+    import pyarrow.parquet as pq
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    cents = knn_ops.train_ivf_centroids(ds, "embedding", n_cells=16)
+    tbl = pq.read_table(_t(sf_dir, "embeddings"), columns=["embedding"],
+                        filters=[("vec_id", "=", 0)])
+    q = np.asarray(tbl.column("embedding").to_pylist()[0], dtype=np.float32)
+    out = knn_ops.ivf_topk(ds, q, cents, k=10, n_probe=4,
+                           concurrency=_concurrency()).to_pandas()
+    out["cos_e6"] = np.round(out["cosine"] * 1e6).astype(np.int64)
+    return out[["vec_id", "cos_e6"]]
+
+
 def knn_lsh(sf_dir: str) -> pd.DataFrame:
     """LSH-bucketed ANN scale path (rows-only: bucket histogram)."""
     import pyarrow.parquet as pq
@@ -836,6 +853,7 @@ def queries() -> dict:
         "langid_docs": langid_docs,
         "fingerprint_docs": fingerprint_docs,
         "knn_lsh": knn_lsh,
+        "knn_ivf": knn_ivf,
         "embedding_near_dups": embedding_near_dups,
     }
 

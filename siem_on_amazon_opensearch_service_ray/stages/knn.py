@@ -122,3 +122,118 @@ class LshBucketStage:
 def lsh_planes(dim: int, n_bits: int = 8, seed: int = 11) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.normal(size=(n_bits, dim)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse centroids + probed-cell search
+
+
+def train_ivf_centroids(ds: rd.Dataset, vec_col: str = "embedding",
+                        n_cells: int = 16, n_iter: int = 5,
+                        sample_rows: int = 4096, seed: int = 13
+                        ) -> np.ndarray:
+    """Deterministic coarse quantizer: k-means (Lloyd) over a bounded
+    driver-side sample — the centroid set is tiny (n_cells x dim) and
+    broadcasts; the FULL dataset is never pulled to the driver.  At
+    100 TB the sample stays O(sample_rows) via limit()."""
+    sample = pa.concat_tables(
+        ds.limit(sample_rows).iter_batches(batch_format="pyarrow"))
+    x = _as_matrix(sample.column(vec_col)).astype(np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms == 0, 1, norms)
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(x.shape[0], size=min(n_cells, x.shape[0]),
+                         replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(x @ cents.T, axis=1)      # cosine on unit vectors
+        for c in range(cents.shape[0]):
+            members = x[assign == c]
+            if members.shape[0]:
+                mu = members.mean(axis=0)
+                n = np.linalg.norm(mu)
+                cents[c] = mu / (n or 1)
+    return cents.astype(np.float32)
+
+
+class IvfAssignStage:
+    """map_batches stage: nearest-centroid cell id per vector — the
+    IVF partitioning column.  Writing the dataset partitioned by
+    ``ivf_cell`` gives the probed-read layout: a query scans only its
+    top ``n_probe`` cells' partitions."""
+
+    def __init__(self, centroids_ref, vec_col: str = "embedding",
+                 out_col: str = "ivf_cell"):
+        c = ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef) \
+            else centroids_ref
+        self.cents = np.asarray(c, dtype=np.float32)
+        self.vec_col, self.out_col = vec_col, out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch.column(self.vec_col))
+        if m.shape[0] == 0:
+            return batch.append_column(self.out_col,
+                                       pa.array([], pa.int32()))
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        mn = m / np.where(norms == 0, 1, norms)
+        cells = np.argmax(mn @ self.cents.T, axis=1).astype(np.int32)
+        return batch.append_column(self.out_col, pa.array(cells, pa.int32()))
+
+
+def ivf_topk(ds: rd.Dataset, query: np.ndarray, centroids: np.ndarray,
+             k: int = 10, n_probe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding", concurrency: int = 4) -> rd.Dataset:
+    """IVF probe search: score ONLY vectors whose cell is among the
+    query's ``n_probe`` nearest centroids (filter inside map_batches —
+    no shuffle), then exact per-batch partial top-k + tiny global
+    sort.  Recall grows with n_probe; n_probe == n_cells is exact
+    (brute force).  Returns Dataset[(vec_id, cosine)] of <= k rows."""
+    q = np.asarray(query, dtype=np.float32).reshape(-1)
+    qn = np.linalg.norm(q)
+    qu = q / (qn or 1)
+    cents = np.asarray(centroids, dtype=np.float32)
+    probe = set(np.argsort(-(cents @ qu))[:n_probe].tolist())
+    cents_ref = ray.put(cents) if ray.is_initialized() else cents
+    q_ref = ray.put(qu) if ray.is_initialized() else qu
+
+    class ProbeScore:
+        def __init__(self, cents_ref, q_ref, probe, id_col, vec_col, k):
+            self.cents = np.asarray(
+                ray.get(cents_ref) if isinstance(cents_ref, ray.ObjectRef)
+                else cents_ref, np.float32)
+            self.q = np.asarray(
+                ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef)
+                else q_ref, np.float32)
+            self.probe = np.array(sorted(probe), dtype=np.int64)
+            self.id_col, self.vec_col, self.k = id_col, vec_col, k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                              "cosine": pa.array([], pa.float64())})
+            m = _as_matrix(batch.column(self.vec_col))
+            if m.shape[0] == 0:
+                return empty
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            mn = m / np.where(norms == 0, 1, norms)
+            cells = np.argmax(mn @ self.cents.T, axis=1)
+            keep = np.isin(cells, self.probe)
+            if not keep.any():
+                return empty
+            ids = batch.column(self.id_col).to_numpy(
+                zero_copy_only=False)[keep]
+            sims = (mn[keep].astype(np.float64) @
+                    self.q.astype(np.float64))
+            kk = min(self.k, sims.size)
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            return pa.table({
+                "vec_id": pa.array(ids[top].astype(np.int64), pa.int64()),
+                "cosine": pa.array(sims[top], pa.float64()),
+            })
+
+    partial = ds.map_batches(
+        ProbeScore,
+        fn_constructor_kwargs=dict(cents_ref=cents_ref, q_ref=q_ref,
+                                   probe=probe, id_col=id_col,
+                                   vec_col=vec_col, k=k),
+        batch_format="pyarrow", concurrency=concurrency)
+    return partial.sort(["cosine", "vec_id"],
+                        descending=[True, False]).limit(k)

@@ -78,7 +78,8 @@ def test_sql_parity(registry, con, name):
 
 
 ROWS_ONLY = ["minhash_pairs", "simhash_docs", "langid_docs",
-             "fingerprint_docs", "knn_lsh", "embedding_near_dups"]
+             "fingerprint_docs", "knn_lsh", "knn_ivf",
+             "embedding_near_dups"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

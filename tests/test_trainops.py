@@ -194,3 +194,29 @@ def test_embedding_near_dup(ray_session):
     assert len(planted & found) >= 4
     assert all(a < b for a, b in found)
     assert (pairs["cos_e6"] >= 999000).all()
+
+
+def test_ivf_recall_and_determinism(ray_session):
+    """IVF probe search: deterministic centroids; recall@10 >= 0.8 vs
+    brute force at n_probe=4/16; exact at n_probe=n_cells."""
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((512, 24)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(512), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    c1 = knn.train_ivf_centroids(ds, n_cells=16, seed=13)
+    c2 = knn.train_ivf_centroids(ds, n_cells=16, seed=13)
+    assert np.array_equal(c1, c2)
+    q = vecs[0]
+    exact = knn.knn_cosine(ds, q.reshape(1, -1), k=10,
+                           concurrency=2).to_pandas()
+    exact_ids = set(exact["vec_id"])
+    approx = knn.ivf_topk(ds, q, c1, k=10, n_probe=4,
+                          concurrency=2).to_pandas()
+    recall = len(set(approx["vec_id"]) & exact_ids) / 10
+    assert recall >= 0.8, recall
+    full = knn.ivf_topk(ds, q, c1, k=10, n_probe=16,
+                        concurrency=2).to_pandas()
+    assert set(full["vec_id"]) == exact_ids   # all cells probed = exact
