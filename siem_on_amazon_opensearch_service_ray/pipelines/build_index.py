@@ -586,6 +586,13 @@ def _encode_segment(group: pa.Table, index_dir: str, fp: str,
         np.subtract(seg_lut[1:], seg_lut[:-1], out=lut_deltas[1:])
     lut_blob = _venc(lut_deltas)
 
+    # cheap gate: the LUT stores every unique doc id once (~5-6 B
+    # snappy'd); ordinal postings save ~5 B/posting post-compression,
+    # so below ~1 posting per unique doc the LUT can never win — skip
+    # the ordinal encode + snappy probe entirely (recovers the build
+    # throughput cost of measuring both representations on the
+    # low-overlap segments a big term-partitioned build produces)
+    consider_lut = n >= seg_lut.size + 64
     runs: list[tuple] = []      # (s, e, dids, tfs, nms, sel)
     raw_parts: list[bytes] = []
     ord_parts: list[bytes] = []
@@ -600,7 +607,7 @@ def _encode_segment(group: pa.Table, index_dir: str, fp: str,
         if uniq.size != dids.size:
             sel = np.sort(first)
             dids, tfs, nms = uniq, tfs[sel], nms[sel]
-        if dids.size:
+        if consider_lut and dids.size:
             d = np.empty(dids.size, dtype=np.uint64)
             d[0] = dids[0]
             np.subtract(dids[1:], dids[:-1], out=d[1:])
@@ -619,7 +626,8 @@ def _encode_segment(group: pa.Table, index_dir: str, fp: str,
     # the LUT rides as a sentinel ROW (field="\x00lut") so it gets the
     # same page compression as the posting blobs — parquet footer
     # metadata would be stored base64-inflated ~2.3x (measured)
-    use_lut = (_disk_cost(ord_parts) + _disk_cost([lut_blob])) \
+    use_lut = consider_lut and \
+        (_disk_cost(ord_parts) + _disk_cost([lut_blob])) \
         < _disk_cost(raw_parts)
 
     o_field, o_term, o_df, o_ttf = [], [], [], []
