@@ -729,6 +729,31 @@ FROM events GROUP BY user_id
 """
 
 
+def events_routed(sf_dir: str) -> pd.DataFrame:
+    """M11 through the driver gate: monthly index routing from the
+    event's own timestamp (late data lands in the older partition its
+    timestamp names), counted per routed index."""
+    from ..pipelines.etl import route_index
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        b = pa.table({"@timestamp": batch.column("ts")})
+        return route_index(b, "log-events", rotation="monthly") \
+            .select(["__index"])
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("__index").aggregate(Count(alias_name="n")))
+    df = out.to_pandas().rename(columns={"__index": "index_name"})
+    return df[["index_name", "n"]]
+
+
+EVENTS_ROUTED_SQL = """
+SELECT 'log-events-' || strftime(ts, '%Y-%m') AS index_name,
+       count(*) AS n
+FROM events GROUP BY index_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only entries (no SQL oracle; golden-file / pytest coverage instead)
 
@@ -846,6 +871,7 @@ def queries() -> dict:
         "token_count_docs": token_count_docs,
         "quality_docs": quality_docs,
         "exclude_events": exclude_events,
+        "events_routed": events_routed,
         "user_stats": user_stats,
         # rows-only (non-SQL-expressible)
         "minhash_pairs": minhash_pairs,
@@ -880,5 +906,6 @@ def oracle_sql() -> dict:
         "token_count_docs": TOKEN_COUNT_SQL,
         "quality_docs": QUALITY_SQL,
         "exclude_events": EXCLUDE_EVENTS_SQL,
+        "events_routed": EVENTS_ROUTED_SQL,
         "user_stats": USER_STATS_SQL,
     }
