@@ -617,8 +617,29 @@ class Searcher:
             filt = self._filter_ids(filter_field, filter_value)
         return _dispatch(method, terms, k, mode, avgdl, filt, k1, b)
 
+    @staticmethod
+    def _sloppy_count(shifted: list[np.ndarray], slop: int) -> int:
+        """Number of windows where one position per term fits in a
+        range <= ``slop`` after subtracting each term's phrase offset
+        (slop=0 degenerates to exact anchor equality).  Minimal-range
+        k-pointer sweep over the sorted shifted-position lists —
+        Lucene's sloppy-phrase semantics simplified to the max-min
+        displacement bound (documented divergence: no per-move edit
+        cost, so reordered terms within the window match)."""
+        k = len(shifted)
+        idx = [0] * k
+        sizes = [s.size for s in shifted]
+        count = 0
+        while all(idx[i] < sizes[i] for i in range(k)):
+            vals = [int(shifted[i][idx[i]]) for i in range(k)]
+            lo = min(vals)
+            if max(vals) - lo <= slop:
+                count += 1
+            idx[vals.index(lo)] += 1
+        return count
+
     def _phrase_candidates(self, query: str, field: str,
-                           analyzer: str | None
+                           analyzer: str | None, slop: int = 0
                            ) -> tuple[list[_PhraseTerm], dict[int, int]]:
         """Shared phrase machinery: analyze, gather, intersect doc sets
         (ids only — no position bytes touched), then lazily decode
@@ -653,29 +674,46 @@ class Searcher:
             base = base[docs[pos] == base] if docs.size else base[:0]
         matches: dict[int, int] = {}
         for d in base:
-            anchors: np.ndarray | None = None
+            if slop == 0:
+                anchors: np.ndarray | None = None
+                for t in terms:
+                    p = t.positions_for(d)
+                    if p is None:
+                        anchors = np.zeros(0, np.int64)
+                        break
+                    cand = p.astype(np.int64) - t.offset
+                    anchors = cand if anchors is None else \
+                        np.intersect1d(anchors, cand, assume_unique=False)
+                    if anchors.size == 0:
+                        break
+                if anchors is not None and anchors.size:
+                    matches[int(d)] = int(anchors.size)
+                continue
+            shifted = []
+            ok = True
             for t in terms:
                 p = t.positions_for(d)
                 if p is None:
-                    anchors = np.zeros(0, np.int64)
+                    ok = False
                     break
-                cand = p.astype(np.int64) - t.offset
-                anchors = cand if anchors is None else \
-                    np.intersect1d(anchors, cand, assume_unique=False)
-                if anchors.size == 0:
-                    break
-            if anchors is not None and anchors.size:
-                matches[int(d)] = int(anchors.size)
+                shifted.append(np.sort(p.astype(np.int64) - t.offset))
+            if ok:
+                n = self._sloppy_count(shifted, slop)
+                if n:
+                    matches[int(d)] = n
         return terms, matches
 
     def phrase_search(self, query: str, field: str = "content",
-                      k: int = 10, analyzer: str | None = None
-                      ) -> list[tuple[int, int]]:
-        """Exact phrase top-k: [(phrase_tf, doc_id)] sorted
-        (phrase_tf desc, doc_id asc).  Requires an index built with
+                      k: int = 10, analyzer: str | None = None,
+                      slop: int = 0) -> list[tuple[int, int]]:
+        """Phrase top-k: [(phrase_tf, doc_id)] sorted (phrase_tf desc,
+        doc_id asc).  Requires an index built with
         ``store_positions=True``.  Positions decode lazily — only for
-        docs surviving the doc-set intersection."""
-        _, matches = self._phrase_candidates(query, field, analyzer)
+        docs surviving the doc-set intersection.  ``slop`` allows
+        displaced terms: a window matches when one position per term
+        fits within ``slop`` after phrase-offset subtraction (slop=0 is
+        the exact adjacency phrase)."""
+        _, matches = self._phrase_candidates(query, field, analyzer, slop)
         ranked = sorted(matches.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         return [(tf, d) for d, tf in ranked]
 

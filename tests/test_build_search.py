@@ -402,3 +402,33 @@ def test_phrase_scored_ranking(ray_session, small_corpus, tmp_path_factory):
     import numpy as np
     sc, d = scored[0]
     assert sc > 0
+
+
+def test_sloppy_phrase(ray_session, tmp_path_factory):
+    """slop widens the match set monotonically; slop=0 equals exact."""
+    import pyarrow as pa
+    import ray.data as rd
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [
+            "alpha beta gamma",          # exact "alpha beta"
+            "alpha x beta gamma",        # slop 1
+            "beta alpha gamma",          # reordered: slop 1 window
+            "alpha x x x beta",          # slop 3
+        ],
+    })
+    cfg = IndexConfig(num_partitions=2, fields=(("text", "text", "base"),),
+                      keyword_fields=(), doc_id_col="doc_id", sha_col="text",
+                      salting=False, store_positions=True)
+    idx = str(tmp_path_factory.mktemp("slop") / "idx")
+    build_index(rd.from_arrow(docs), idx, cfg)
+    s = Searcher(idx, use_actors=False)
+    def hits(slop):
+        return {d for _, d in s.phrase_search("alpha beta", field="text",
+                                              k=10, slop=slop)}
+    exact, s1, s2, s3 = hits(0), hits(1), hits(2), hits(3)
+    assert exact == {1}
+    assert exact <= s1 <= s2 <= s3
+    assert 2 in s1                   # one displaced term
+    assert 3 in s2 and 3 not in s1   # reordering costs 2 (range = 2)
+    assert s3 == {1, 2, 3, 4}
