@@ -729,6 +729,39 @@ FROM events GROUP BY user_id
 """
 
 
+def events_sliding(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window rollup (size 3600 s, step 900 s): each event
+    lands in the 4 windows covering it (explode inside map_batches —
+    the range-join expressed without a shuffle join), then a groupby.
+    SQL oracle: unnest over the 4 window offsets."""
+    from ..stages.windows import explode_sliding_windows
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ex = explode_sliding_windows(batch, "ts", 3600, 900)
+        val_e2 = pc.cast(pc.round(pc.multiply(ex.column("value"), 100.0)),
+                         pa.int64())
+        return pa.table({"window_start": ex.column("window_start"),
+                         "value_e2": val_e2})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("window_start")
+             .aggregate(Count(alias_name="n"),
+                        Sum("value_e2", alias_name="sum_value_e2")))
+    return out.to_pandas()
+
+
+EVENTS_SLIDING_SQL = """
+WITH x AS (
+  SELECT cast(floor(epoch(ts)/900) AS BIGINT)*900 - 900*i.i AS window_start,
+         cast(round(value*100) AS BIGINT) AS value_e2
+  FROM events, (SELECT unnest([0, 1, 2, 3]) AS i) i)
+SELECT window_start, count(*) AS n,
+       cast(sum(value_e2) AS BIGINT) AS sum_value_e2
+FROM x GROUP BY window_start
+"""
+
+
 def events_routed(sf_dir: str) -> pd.DataFrame:
     """M11 through the driver gate: monthly index routing from the
     event's own timestamp (late data lands in the older partition its
@@ -872,6 +905,7 @@ def queries() -> dict:
         "quality_docs": quality_docs,
         "exclude_events": exclude_events,
         "events_routed": events_routed,
+        "events_sliding": events_sliding,
         "user_stats": user_stats,
         # rows-only (non-SQL-expressible)
         "minhash_pairs": minhash_pairs,
@@ -907,5 +941,6 @@ def oracle_sql() -> dict:
         "quality_docs": QUALITY_SQL,
         "exclude_events": EXCLUDE_EVENTS_SQL,
         "events_routed": EVENTS_ROUTED_SQL,
+        "events_sliding": EVENTS_SLIDING_SQL,
         "user_stats": USER_STATS_SQL,
     }
