@@ -593,9 +593,17 @@ def _encode_segment(group: pa.Table, index_dir: str, fp: str,
     # throughput cost of measuring both representations on the
     # low-overlap segments a big term-partitioned build produces)
     consider_lut = n >= seg_lut.size + 64
+    # probe budget: materialize at most this many encoded bytes per
+    # representation; beyond it only exact (cheap, vectorized) varint
+    # LENGTHS accumulate and the sampled compression ratio scales up.
+    # A GB-scale segment therefore pays O(sample) to decide, not a
+    # second full encode+compress of its doc stream.
+    _PROBE_SAMPLE = 1 << 19
     runs: list[tuple] = []      # (s, e, dids, tfs, nms, sel)
     raw_parts: list[bytes] = []
     ord_parts: list[bytes] = []
+    raw_total = 0
+    ord_total = 0
     for s, e in zip(starts, ends):
         dids = d_arr[s:e]
         tfs = tf_arr[s:e]
@@ -608,27 +616,37 @@ def _encode_segment(group: pa.Table, index_dir: str, fp: str,
             sel = np.sort(first)
             dids, tfs, nms = uniq, tfs[sel], nms[sel]
         if consider_lut and dids.size:
+            from ..postings import _varint_lengths
             d = np.empty(dids.size, dtype=np.uint64)
             d[0] = dids[0]
             np.subtract(dids[1:], dids[:-1], out=d[1:])
-            raw_parts.append(_venc(d))
             ords = np.searchsorted(seg_lut, dids).astype(np.uint64)
             od = np.empty(ords.size, dtype=np.uint64)
             od[0] = ords[0]
             np.subtract(ords[1:], ords[:-1], out=od[1:])
-            ord_parts.append(_venc(od))
+            raw_total += int(_varint_lengths(d).sum())
+            ord_total += int(_varint_lengths(od).sum())
+            if raw_total <= _PROBE_SAMPLE or ord_total <= _PROBE_SAMPLE:
+                raw_parts.append(_venc(d))
+                ord_parts.append(_venc(od))
         runs.append((int(s), int(e), dids, tfs, nms, sel))
 
-    def _disk_cost(parts: list[bytes]) -> int:
-        return len(pa.compress(b"".join(parts), codec="snappy",
-                               asbytes=True)) if parts else 0
+    def _disk_cost(parts: list[bytes], total: int) -> float:
+        """Snappy cost of the full stream, extrapolated from the
+        sampled prefix's compression ratio when the stream was only
+        partially materialized."""
+        if not parts:
+            return 0.0
+        blob = b"".join(parts)
+        comp = len(pa.compress(blob, codec="snappy", asbytes=True))
+        return comp * (total / len(blob)) if total > len(blob) else comp
 
     # the LUT rides as a sentinel ROW (field="\x00lut") so it gets the
     # same page compression as the posting blobs — parquet footer
     # metadata would be stored base64-inflated ~2.3x (measured)
     use_lut = consider_lut and \
-        (_disk_cost(ord_parts) + _disk_cost([lut_blob])) \
-        < _disk_cost(raw_parts)
+        (_disk_cost(ord_parts, ord_total) + _disk_cost([lut_blob], 0)) \
+        < _disk_cost(raw_parts, raw_total)
 
     o_field, o_term, o_df, o_ttf = [], [], [], []
     o_docs, o_tfs, o_norms, o_skip, o_pos = [], [], [], [], []
