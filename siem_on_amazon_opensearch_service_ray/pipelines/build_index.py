@@ -480,8 +480,8 @@ def _metrics_row(part: int, salt: int, n_terms: int, n_postings: int,
 
 
 def _write_docstore_group(group: pa.Table, index_dir: str, fp: str,
-                          cfg: IndexConfig, docstore_cols: list[str]
-                          ) -> pa.Table:
+                          cfg: IndexConfig, docstore_cols: list[str],
+                          gen: str = "") -> pa.Table:
     """Sentinel-part group -> docstore parquet: unpack the meta string,
     canonical (doc_id, sha) sort, exact first-wins dedup (reference
     parity: AOSS docid_set, index.py:332-336).  Meta columns are stored
@@ -490,8 +490,10 @@ def _write_docstore_group(group: pa.Table, index_dir: str, fp: str,
     dpart = part - cfg.num_partitions
     os.makedirs(os.path.join(index_dir, "docstore"), exist_ok=True)
     os.makedirs(os.path.join(index_dir, "manifest"), exist_ok=True)
-    out = os.path.join(index_dir, "docstore", f"part-{dpart:04d}.parquet")
-    man = os.path.join(index_dir, "manifest", f"docstore-{dpart:04d}.json")
+    out = os.path.join(index_dir, "docstore",
+                       f"part-{dpart:04d}{gen}.parquet")
+    man = os.path.join(index_dir, "manifest",
+                       f"docstore-{dpart:04d}{gen}.json")
     if os.path.exists(man):
         with open(man) as f:
             m = json.load(f)
@@ -525,16 +527,19 @@ def _write_docstore_group(group: pa.Table, index_dir: str, fp: str,
 
 
 def _encode_segment(group: pa.Table, index_dir: str, fp: str,
-                    cfg: IndexConfig, docstore_cols: list[str]) -> pa.Table:
+                    cfg: IndexConfig, docstore_cols: list[str],
+                    gen: str = "") -> pa.Table:
     part = int(group.column("part")[0].as_py())
     if part >= cfg.num_partitions:          # sentinel range: docstore
-        return _write_docstore_group(group, index_dir, fp, cfg, docstore_cols)
+        return _write_docstore_group(group, index_dir, fp, cfg,
+                                     docstore_cols, gen)
     salt = int(group.column("salt")[0].as_py())
     part_dir = os.path.join(index_dir, "parts", f"part-{part:04d}")
     os.makedirs(part_dir, exist_ok=True)
     os.makedirs(os.path.join(index_dir, "manifest"), exist_ok=True)
-    out = os.path.join(part_dir, f"seg-{salt:02d}.parquet")
-    man = os.path.join(index_dir, "manifest", f"seg-{part:04d}-{salt:02d}.json")
+    out = os.path.join(part_dir, f"seg-{salt:02d}{gen}.parquet")
+    man = os.path.join(index_dir, "manifest",
+                       f"seg-{part:04d}-{salt:02d}{gen}.json")
     if os.path.exists(man):
         with open(man) as f:
             m = json.load(f)
@@ -708,7 +713,7 @@ def _encode_segment(group: pa.Table, index_dir: str, fp: str,
 
 
 def build_postings(source, index_dir: str, cfg: IndexConfig, fp: str,
-                   hot: dict[str, int]) -> tuple[dict, int]:
+                   hot: dict[str, int], gen: str = "") -> tuple[dict, int]:
     """Single-read pass: tokenize + flatten -> groupby(part, salt) ->
     per-group encode (postings segments for parts < P, docstore files
     for the sentinel range).  Returns (metrics, n_docs)."""
@@ -733,7 +738,7 @@ def build_postings(source, index_dir: str, cfg: IndexConfig, fp: str,
         flat = ds.map_batches(task, batch_format="pyarrow",
                               batch_size=cfg.tokenize_batch_size)
     res = flat.groupby(["part", "salt"]).map_groups(
-        lambda g: _encode_segment(g, index_dir, fp, cfg, docstore_cols),
+        lambda g: _encode_segment(g, index_dir, fp, cfg, docstore_cols, gen),
         batch_format="pyarrow")
     metrics = {"n_segments": 0, "n_terms": 0, "n_postings": 0, "bytes": 0,
                "skipped_segments": 0}
@@ -760,7 +765,12 @@ def build_postings(source, index_dir: str, cfg: IndexConfig, fp: str,
 # PASS C — keyword filter postings (from the docstore, content untouched)
 
 
-def _build_filter_part(row_batch: pa.Table, index_dir: str, fp: str,
+def _file_fp(path: str) -> str:
+    st = os.stat(path)
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
+def _build_filter_part(row_batch: pa.Table, index_dir: str,
                        fields: list[str]) -> pa.Table:
     """One task per docstore part file: local per-value doc lists for
     every keyword field, written as filters/<field>/part-XXXX.parquet.
@@ -773,14 +783,18 @@ def _build_filter_part(row_batch: pa.Table, index_dir: str, fp: str,
     for i in range(row_batch.num_rows):
         path = row_batch.column("path")[i].as_py()
         dpart = int(row_batch.column("dpart")[i].as_py())
-        tbl = pq.read_table(path, columns=["doc_id"] + fields)
-        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        stem = os.path.splitext(os.path.basename(path))[0]
+        # keyed on the source docstore file's size+mtime, not the build
+        # fingerprint — generation files added by extend_index get their
+        # own filter parts and untouched parts never rebuild
+        fp = _file_fp(path)
+        tbl = None
         for fname in fields:
             fdir = os.path.join(index_dir, "filters", fname)
             os.makedirs(fdir, exist_ok=True)
-            out = os.path.join(fdir, f"part-{dpart:04d}.parquet")
+            out = os.path.join(fdir, f"{stem}.parquet")
             man = os.path.join(index_dir, "manifest",
-                               f"filter-{fname}-{dpart:04d}.json")
+                               f"filter-{fname}-{stem}.json")
             if os.path.exists(man):
                 with open(man) as f:
                     m = json.load(f)
@@ -790,6 +804,10 @@ def _build_filter_part(row_batch: pa.Table, index_dir: str, fp: str,
                     out_rows["bytes"].append(m.get("bytes", 0))
                     out_rows["skipped"].append(True)
                     continue
+            if tbl is None:
+                tbl = pq.read_table(path, columns=["doc_id"] + fields)
+                ids = tbl.column("doc_id").to_numpy(
+                    zero_copy_only=False).astype(np.uint64)
             vals = np.asarray([str(v) for v in tbl.column(fname).to_pylist()])
             uniq, codes = np.unique(vals, return_inverse=True)
             order = np.lexsort((ids, codes))
@@ -811,7 +829,8 @@ def _build_filter_part(row_batch: pa.Table, index_dir: str, fp: str,
             _atomic_write_table(ftbl, out)
             nbytes = os.stat(out).st_size
             _atomic_write_json({"fingerprint": fp, "rows": ftbl.num_rows,
-                                "bytes": nbytes, "path": out}, man)
+                                "bytes": nbytes, "path": out,
+                                "src": path}, man)
             out_rows["field"].append(fname)
             out_rows["part"].append(dpart)
             out_rows["bytes"].append(nbytes)
@@ -824,7 +843,7 @@ def _build_filter_part(row_batch: pa.Table, index_dir: str, fp: str,
     })
 
 
-def build_filters(index_dir: str, cfg: IndexConfig, fp: str) -> None:
+def build_filters(index_dir: str, cfg: IndexConfig) -> None:
     """PASS C: keyword-filter postings, doc-range partitioned exactly
     like the docstore (filters/<field>/part-XXXX.parquet).  One task
     per docstore part, fanned out as a Dataset over the part file list;
@@ -842,7 +861,7 @@ def build_filters(index_dir: str, cfg: IndexConfig, fp: str) -> None:
               "dpart": int(f.split("-")[1].split(".")[0])} for f in files]
     fields = list(cfg.keyword_fields)
     import functools
-    task = functools.partial(_build_filter_part, index_dir=index_dir, fp=fp,
+    task = functools.partial(_build_filter_part, index_dir=index_dir,
                              fields=fields)
     # consume for effect; tiny metrics rows come back
     rd.from_items(items).map_batches(
@@ -875,7 +894,8 @@ def finalize(index_dir: str, cfg: IndexConfig, fp: str, n_docs: int,
     return manifest
 
 
-def _purge_stale_outputs(index_dir: str, fp: str) -> None:
+def _purge_stale_outputs(index_dir: str, fp: str,
+                         extra_fps: tuple = ()) -> None:
     """Remove every segment/docstore output whose manifest is missing or
     carries a different input fingerprint, plus orphan parquet files
     with no manifest at all.  Rebuilding into an existing directory
@@ -883,6 +903,7 @@ def _purge_stale_outputs(index_dir: str, fp: str) -> None:
     that a ShardReader would happily serve (wrong results).  Current-
     fingerprint artifacts survive, which is exactly the resume set."""
     mdir = os.path.join(index_dir, "manifest")
+    live_fps = {fp, *extra_fps}
     manifested: set[str] = set()
     for fn in list(os.listdir(mdir)) if os.path.isdir(mdir) else []:
         path = os.path.join(mdir, fn)
@@ -892,7 +913,20 @@ def _purge_stale_outputs(index_dir: str, fp: str) -> None:
         except (ValueError, OSError):
             os.unlink(path)
             continue
-        if m.get("fingerprint") != fp:
+        if fn.startswith("filter-"):
+            # filter parts are keyed on their source docstore file, not
+            # the build fingerprint — stale iff the source vanished or
+            # changed (covers rebuilds AND extend_index generations)
+            src_ok = (m.get("src") and os.path.exists(m["src"])
+                      and m.get("fingerprint") == _file_fp(m["src"]))
+            if not src_ok:
+                target = m.get("path")
+                if target and os.path.exists(target):
+                    os.unlink(target)
+                os.unlink(path)
+            elif m.get("path"):
+                manifested.add(os.path.abspath(m["path"]))
+        elif m.get("fingerprint") not in live_fps:
             target = m.get("path")
             if target and os.path.exists(target):
                 os.unlink(target)
@@ -933,7 +967,71 @@ def build_index(source, index_dir: str, cfg: IndexConfig | None = None,
     hot = estimate_hot_terms(source, cfg) \
         if cfg.salting and cfg.partition_by == "term" else {}
     metrics, n_docs = build_postings(source, index_dir, cfg, fp, hot)
-    build_filters(index_dir, cfg, fp)
+    build_filters(index_dir, cfg)
     metrics["hot_terms"] = len(hot)
     return finalize(index_dir, cfg, fp, n_docs, metrics,
                     time.monotonic() - t0)
+
+
+def extend_index(new_source, index_dir: str,
+                 cfg: IndexConfig | None = None) -> dict:
+    """Incremental ingestion: append a new GENERATION of documents to an
+    existing index without rebuilding it — the reference's continuous
+    operating mode (es-loader ingests forever; OpenSearch merges
+    segments, reference index.py:320-397).
+
+    New postings/docstore rows land in generation-suffixed files
+    (``seg-SS-g<fp8>.parquet`` / ``part-DDDD-g<fp8>.parquet``) next to
+    the base build's; ``ShardReader`` already merges a term's multiple
+    runs (the salted-segment machinery), so queries see old+new docs
+    with no read-path changes.  Stats (n_docs, per-field total_tf,
+    avgdl) are combined in the manifest; keyword-filter parts for the
+    new docstore files are added by the per-file-fingerprinted PASS C.
+
+    Assumes the new generation's doc_ids are disjoint from existing
+    ones (true for content-derived ids over newly arrived objects);
+    re-ingesting an identical generation is a no-op (fingerprint
+    check).  Config must equal the base build's.  A subsequent
+    ``build_index`` over a *different* base source purges generations
+    (full-rebuild semantics).
+    """
+    man_path = os.path.join(index_dir, "INDEX_MANIFEST.json")
+    with open(man_path) as f:
+        manifest = json.load(f)
+    base_cfg = IndexConfig(**{k: (tuple(tuple(x) if isinstance(x, list)
+                                        else x for x in v)
+                                  if isinstance(v, list) else v)
+                              for k, v in manifest["config"].items()})
+    cfg = cfg or base_cfg
+    if cfg.fingerprint_dict() != base_cfg.fingerprint_dict():
+        raise ValueError("extend_index requires the base build's config")
+    if isinstance(new_source, rd.Dataset):
+        raise TypeError(
+            "extend_index needs a fingerprintable source (files/dir): "
+            "in-memory Datasets have no stable identity for the "
+            "generation ledger")
+    t0 = time.monotonic()
+    genfp = input_fingerprint(new_source, cfg)
+    gens = manifest.setdefault("generations", {})
+    if genfp == manifest["fingerprint"] or genfp in gens:
+        return manifest
+    hot = estimate_hot_terms(new_source, cfg) \
+        if cfg.salting and cfg.partition_by == "term" else {}
+    metrics, n_docs = build_postings(new_source, index_dir, cfg, genfp, hot,
+                                     gen=f"-g{genfp[:8]}")
+    build_filters(index_dir, cfg)
+    # combine stats: totals add; avgdl recomputed from the sums
+    stats = manifest["stats"]
+    field_tf = metrics.pop("field_tf", {})
+    for fname, t in field_tf.items():
+        stats["total_tf"][fname] = stats["total_tf"].get(fname, 0) + int(t)
+    stats["n_docs"] = int(stats["n_docs"]) + int(n_docs)
+    nd = stats["n_docs"]
+    stats["avgdl"] = {fname: (tf / nd if nd else 0.0)
+                      for fname, tf in stats["total_tf"].items()}
+    gens[genfp] = {"n_docs": int(n_docs),
+                   "metrics": dict(metrics,
+                                   extend_wall_sec=round(
+                                       time.monotonic() - t0, 3))}
+    _atomic_write_json(manifest, man_path)
+    return manifest

@@ -23,13 +23,18 @@ def fetch_docs(index_dir: str, doc_ids: list[int]) -> pa.Table:
     by_part: dict[int, list[int]] = {}
     for d in doc_ids:
         by_part.setdefault(d % p, []).append(d)
+    store = os.path.join(index_dir, "docstore")
+    names = sorted(os.listdir(store)) if os.path.isdir(store) else []
     tables = []
     for part, ids in sorted(by_part.items()):
-        path = os.path.join(index_dir, "docstore", f"part-{part:04d}.parquet")
-        if not os.path.exists(path):
-            continue
-        t = pq.read_table(path, filters=[("doc_id", "in", ids)])
-        tables.append(t)
+        prefix = f"part-{part:04d}"
+        # base file plus any extend_index generation files for the part
+        for fn in names:
+            if (fn.endswith(".parquet") and fn.startswith(prefix)
+                    and fn[len(prefix)] in ".-"):
+                t = pq.read_table(os.path.join(store, fn),
+                                  filters=[("doc_id", "in", ids)])
+                tables.append(t)
     if not tables:
         return pa.table({"doc_id": pa.array([], pa.int64())})
     out = pa.concat_tables(tables)

@@ -38,8 +38,10 @@ def load_filter_ids(index_dir: str, field: str, value: str,
         return np.zeros(0, dtype=np.uint64)
     names = sorted(f for f in os.listdir(fdir) if f.endswith(".parquet"))
     if dparts is not None:
-        want = {f"part-{p:04d}.parquet" for p in dparts}
-        names = [f for f in names if f in want]
+        # base files are part-XXXX.parquet; extend_index generations are
+        # part-XXXX-g<fp8>.parquet — match on the part prefix
+        want = {f"part-{p:04d}" for p in dparts}
+        names = [f for f in names if f[:9] in want and f[9] in ".-"]
     chunks: list[np.ndarray] = []
     for fn in names:
         t = pq.read_table(os.path.join(fdir, fn), columns=["value", "docs"])

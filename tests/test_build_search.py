@@ -432,3 +432,68 @@ def test_sloppy_phrase(ray_session, tmp_path_factory):
     assert 2 in s1                   # one displaced term
     assert 3 in s2 and 3 not in s1   # reordering costs 2 (range = 2)
     assert s3 == {1, 2, 3, 4}
+
+
+def test_extend_index_incremental(ray_session, tmp_path_factory):
+    """Incremental generation ingest: old+new docs searchable, stats
+    combined, idempotent re-extend, equivalent ranks to a from-scratch
+    build over the union."""
+    import dataclasses
+    import pyarrow as pa
+    import ray.data as rd
+    from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
+        extend_index)
+    from siem_on_amazon_opensearch_service_ray.state.docstore import fetch_docs
+
+    def corpus(lo, hi, tag):
+        return pa.table({
+            "doc_id": pa.array(range(lo, hi), pa.int64()),
+            "text": [f"{tag} shared corpus token doc_{i} alpha" +
+                     (" beta" if i % 2 else "")
+                     for i in range(lo, hi)],
+            "lang": pa.array(["en" if i % 3 else "go"
+                              for i in range(lo, hi)], pa.string()),
+        })
+
+    cfg = IndexConfig(num_partitions=4, fields=(("text", "text", "base"),),
+                      keyword_fields=("lang",), doc_id_col="doc_id",
+                      sha_col="text", salting=False)
+    import pyarrow.parquet as pq
+    root = tmp_path_factory.mktemp("extend")
+    base_dir = str(root / "idx")
+    gen1 = corpus(0, 40, "one")
+    gen2 = corpus(100, 130, "two")
+    src1 = str(root / "gen1.parquet")
+    src2 = str(root / "gen2.parquet")
+    pq.write_table(gen1, src1)
+    pq.write_table(gen2, src2)
+    m0 = build_index([src1], base_dir, cfg)
+    assert m0["stats"]["n_docs"] == 40
+    m1 = extend_index([src2], base_dir, cfg)
+    assert m1["stats"]["n_docs"] == 70
+    # idempotent: same generation again is a no-op
+    m2 = extend_index([src2], base_dir, cfg)
+    assert m2["stats"]["n_docs"] == 70
+
+    s = Searcher(base_dir, use_actors=False)
+    hits = {d for _, d in s.search("shared", field="text", k=100)}
+    assert hits == set(range(0, 40)) | set(range(100, 130))
+    assert {d for _, d in s.search("two", field="text", k=100)} == \
+        set(range(100, 130))
+    # keyword filter spans generations
+    filt = {d for _, d in s.search("shared", field="text", k=100,
+                                   filter_field="lang", filter_value="go")}
+    assert filt == {d for d in hits if d % 3 == 0}
+    # docstore fetch across generations
+    got = fetch_docs(base_dir, [5, 105])
+    assert got.column("doc_id").to_pylist() == [5, 105]
+
+    # scores match a from-scratch build over the union (same global stats)
+    union_dir = str(tmp_path_factory.mktemp("extendu") / "idx")
+    build_index(rd.from_arrow(pa.concat_tables([gen1, gen2])), union_dir, cfg)
+    su = Searcher(union_dir, use_actors=False)
+    for q in ("shared alpha", "beta", "doc_5"):
+        a = s.search(q, field="text", k=50)
+        b = su.search(q, field="text", k=50)
+        assert [(round(sc, 9), d) for sc, d in a] == \
+            [(round(sc, 9), d) for sc, d in b], q
