@@ -729,6 +729,34 @@ FROM events GROUP BY user_id
 """
 
 
+def search_lang_agg(sf_dir: str) -> pd.DataFrame:
+    """Dashboard terms-aggregation over the full match set: docs
+    containing any query term, counted per keyword ``lang`` value via
+    sorted intersection against the partitioned filter postings."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        agg = s.terms_aggregation(BM25_QUERY, "lang", field="content")
+    finally:
+        s.close()
+    return pd.DataFrame({"lang": [v for v, _ in agg],
+                         "n": np.array([n for _, n in agg], dtype=np.int64)})
+
+
+SEARCH_LANG_AGG_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))}))
+SELECT d.lang, count(*) AS n
+FROM documents d JOIN m USING(doc_id)
+GROUP BY d.lang
+"""
+
+
 def events_sliding(sf_dir: str) -> pd.DataFrame:
     """Sliding-window rollup (size 3600 s, step 900 s): each event
     lands in the 4 windows covering it (explode inside map_batches —
@@ -895,6 +923,7 @@ def queries() -> dict:
         "search_topk": search_topk,
         "search_and_topk": search_and_topk,
         "search_doc_sharded": search_doc_sharded,
+        "search_lang_agg": search_lang_agg,
         "phrase_docs": phrase_docs,
         "events_sessions": events_sessions,
         "knn_cosine": knn_cosine_q,
@@ -931,6 +960,7 @@ def oracle_sql() -> dict:
         "search_topk": BM25_SQL,
         "search_and_topk": BM25_AND_SQL,
         "search_doc_sharded": BM25_SQL,
+        "search_lang_agg": SEARCH_LANG_AGG_SQL,
         "phrase_docs": PHRASE_SQL,
         "events_sessions": EVENTS_SESSIONS_SQL,
         "knn_cosine": KNN_SQL,

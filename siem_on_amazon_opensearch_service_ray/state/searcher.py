@@ -808,6 +808,75 @@ class Searcher:
         merged.sort(key=lambda sd: (-sd[0], sd[1]))
         return merged[:k]
 
+    def terms_aggregation(self, query: str, agg_field: str,
+                          field: str = "content", mode: str = "or",
+                          analyzer: str | None = None
+                          ) -> list[tuple[str, int]]:
+        """Dashboard-style terms aggregation over ALL matching docs
+        (OpenSearch terms-agg parity — the reference's dashboard
+        panels aggregate the full match set, not top-k): the match
+        set is the union (``or``) / intersection (``and``) of the
+        query terms' posting doc ids, counted per keyword value via
+        sorted intersection with the doc-range-partitioned filter
+        postings.  Returns [(value, count)] sorted (count desc, value
+        asc), zero-count values omitted.
+
+        Scale note: like scored search on a term-partitioned index,
+        the candidate id set centralizes on the driver; on a
+        doc-partitioned index the same computation distributes as
+        per-shard partial counts + a driver sum (the filter parts are
+        already per doc range)."""
+        if analyzer is None:
+            analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
+                             if f == field), "code")
+        q_terms = ANALYZERS[analyzer](query)
+        if not q_terms:
+            return []
+        rows = self._gather(field, q_terms)
+        doc_sets = []
+        for t in dict.fromkeys(q_terms):
+            r = rows.get(t)
+            if not r:
+                if mode == "and":
+                    return []
+                continue
+            runs = [decode_postings(docs, tfs, norms, df).doc_ids
+                    for df, docs, tfs, norms, *_ in r]
+            doc_sets.append(np.sort(np.concatenate(runs))
+                            if len(runs) > 1 else runs[0])
+        if not doc_sets:
+            return []
+        if mode == "and":
+            cand = doc_sets[0]
+            for ds_ in doc_sets[1:]:
+                pos = np.minimum(np.searchsorted(ds_, cand),
+                                 max(ds_.size - 1, 0))
+                cand = cand[ds_[pos] == cand] if ds_.size else cand[:0]
+        else:
+            cand = np.unique(np.concatenate(doc_sets))
+        if cand.size == 0:
+            return []
+        import os as _os
+        import pyarrow.parquet as _pq
+        fdir = _os.path.join(self.index_dir, "filters", agg_field)
+        if not _os.path.isdir(fdir):
+            return []
+        counts: dict[str, int] = {}
+        for fn in sorted(_os.listdir(fdir)):
+            if not fn.endswith(".parquet"):
+                continue
+            t = _pq.read_table(_os.path.join(fdir, fn),
+                               columns=["value", "docs"])
+            for v, blob in zip(t.column("value").to_pylist(),
+                               t.column("docs").to_pylist()):
+                ids = np.frombuffer(blob, dtype="<u8")
+                pos = np.minimum(np.searchsorted(cand, ids),
+                                 cand.size - 1)
+                n = int(np.count_nonzero(cand[pos] == ids))
+                if n:
+                    counts[v] = counts.get(v, 0) + n
+        return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+
     def search_many(self, queries: list[str], field: str = "content",
                     k: int = 10, mode: str = "or", method: str = "auto",
                     analyzer: str | None = None,
