@@ -64,8 +64,8 @@ from ..stages.docprep import compute_doc_ids, content_shas
 
 # bump whenever the on-disk segment representation changes — resume
 # fingerprints include this, so stale-format segments can never be
-# silently reused (v5: sentinel-row doc LUT)
-FORMAT_VERSION = 5
+# silently reused (v5: sentinel-row doc LUT; v6: typed docstore + null sentinel)
+FORMAT_VERSION = 6
 
 
 @dataclass(frozen=True)
@@ -431,7 +431,8 @@ class TokenizeFlatten:
         col_salts.append(np.zeros(batch.num_rows, dtype=np.int64))
         col_fields.extend([DOC_SENTINEL] * batch.num_rows)
         col_terms.extend(
-            "\x1f".join([str(mc[i]) for mc in meta_cols] + [shas[i]])
+            "\x1f".join([("\x00N" if mc[i] is None else str(mc[i]))
+                         for mc in meta_cols] + [shas[i]])
             for i in range(batch.num_rows))
         col_dids.append(ids.astype(np.int64))
         col_tfs.append(np.zeros(batch.num_rows, dtype=np.int64))
@@ -481,7 +482,8 @@ def _metrics_row(part: int, salt: int, n_terms: int, n_postings: int,
 
 def _write_docstore_group(group: pa.Table, index_dir: str, fp: str,
                           cfg: IndexConfig, docstore_cols: list[str],
-                          gen: str = "") -> pa.Table:
+                          gen: str = "",
+                          docstore_types: dict | None = None) -> pa.Table:
     """Sentinel-part group -> docstore parquet: unpack the meta string,
     canonical (doc_id, sha) sort, exact first-wins dedup (reference
     parity: AOSS docid_set, index.py:332-336).  Meta columns are stored
@@ -504,11 +506,21 @@ def _write_docstore_group(group: pa.Table, index_dir: str, fp: str,
     metas = group.column("term").to_pylist()
     cols = docstore_cols + ["content_sha256"]
     unpacked = [m.split("\x1f") for m in metas]
-    tbl = pa.table({
-        "doc_id": pa.array(ids, pa.int64()),
-        **{c: pa.array([u[j] for u in unpacked], pa.string())
-           for j, c in enumerate(cols)},
-    })
+    # restore the ORIGINAL column types after the packed-string ride
+    # through the shuffle (round-1 documented gap: docstore meta was
+    # stringly-typed); the null sentinel survives any value space
+    arrays = {}
+    for j, c in enumerate(cols):
+        vals = [None if u[j] == "\x00N" else u[j] for u in unpacked]
+        typ_s = (docstore_types or {}).get(c)
+        arr = pa.array(vals, pa.string())
+        if typ_s and typ_s != "string":
+            try:
+                arr = pa.compute.cast(arr, typ_s)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                pass          # unparseable -> keep strings (defensive)
+        arrays[c] = arr
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), **arrays})
     idx = pa.compute.sort_indices(tbl, sort_keys=[
         ("doc_id", "ascending"), ("content_sha256", "ascending")])
     tbl = tbl.take(idx)
@@ -528,11 +540,12 @@ def _write_docstore_group(group: pa.Table, index_dir: str, fp: str,
 
 def _encode_segment(group: pa.Table, index_dir: str, fp: str,
                     cfg: IndexConfig, docstore_cols: list[str],
-                    gen: str = "") -> pa.Table:
+                    gen: str = "",
+                    docstore_types: dict | None = None) -> pa.Table:
     part = int(group.column("part")[0].as_py())
     if part >= cfg.num_partitions:          # sentinel range: docstore
         return _write_docstore_group(group, index_dir, fp, cfg,
-                                     docstore_cols, gen)
+                                     docstore_cols, gen, docstore_types)
     salt = int(group.column("salt")[0].as_py())
     part_dir = os.path.join(index_dir, "parts", f"part-{part:04d}")
     os.makedirs(part_dir, exist_ok=True)
@@ -721,8 +734,11 @@ def build_postings(source, index_dir: str, cfg: IndexConfig, fp: str,
     # the docstore keeps every identity/metadata column — including
     # small indexed-field sources like ``path`` — and drops only the
     # wide content column (cfg.sha_col)
-    docstore_cols = [c for c in ds.schema().names
+    schema = ds.schema()
+    docstore_cols = [c for c in schema.names
                      if c != cfg.sha_col and c != "doc_id"]
+    docstore_types = {n: str(t) for n, t in zip(schema.names, schema.types)
+                      if n in docstore_cols}
     if cfg.tokenize_mode == "actors":
         flat = ds.map_batches(TokenizeFlatten,
                               fn_constructor_kwargs={"cfg": cfg, "hot": hot,
@@ -738,7 +754,8 @@ def build_postings(source, index_dir: str, cfg: IndexConfig, fp: str,
         flat = ds.map_batches(task, batch_format="pyarrow",
                               batch_size=cfg.tokenize_batch_size)
     res = flat.groupby(["part", "salt"]).map_groups(
-        lambda g: _encode_segment(g, index_dir, fp, cfg, docstore_cols, gen),
+        lambda g: _encode_segment(g, index_dir, fp, cfg, docstore_cols, gen,
+                                  docstore_types),
         batch_format="pyarrow")
     metrics = {"n_segments": 0, "n_terms": 0, "n_postings": 0, "bytes": 0,
                "skipped_segments": 0}

@@ -497,3 +497,29 @@ def test_extend_index_incremental(ray_session, tmp_path_factory):
         b = su.search(q, field="text", k=50)
         assert [(round(sc, 9), d) for sc, d in a] == \
             [(round(sc, 9), d) for sc, d in b], q
+
+
+def test_docstore_typed_meta(ray_session, tmp_path_factory):
+    """Docstore columns keep their source types through the packed
+    shuffle ride (ints back as int64, floats as float64, None as null)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from siem_on_amazon_opensearch_service_ray.state.docstore import fetch_docs
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["alpha beta", "gamma delta", "epsilon"],
+        "stars": pa.array([10, None, 30], pa.int64()),
+        "score": pa.array([0.5, 1.25, None], pa.float64()),
+        "lang": pa.array(["py", None, "go"], pa.string()),
+    })
+    cfg = IndexConfig(num_partitions=2, fields=(("text", "text", "base"),),
+                      keyword_fields=(), doc_id_col="doc_id", sha_col="text",
+                      salting=False)
+    idx = str(tmp_path_factory.mktemp("typed") / "idx")
+    build_index(rd.from_arrow(docs), idx, cfg)
+    got = fetch_docs(idx, [1, 2, 3])
+    assert got.schema.field("stars").type == pa.int64()
+    assert got.schema.field("score").type == pa.float64()
+    assert got.column("stars").to_pylist() == [10, None, 30]
+    assert got.column("score").to_pylist() == [0.5, 1.25, None]
+    assert got.column("lang").to_pylist() == ["py", None, "go"]
