@@ -1052,3 +1052,169 @@ def extend_index(new_source, index_dir: str,
                                        time.monotonic() - t0, 3))}
     _atomic_write_json(manifest, man_path)
     return manifest
+
+
+class _CompactPart:
+    """One task per term-partition: merge the part's base + generation
+    segments (and salted runs) into a single canonical seg-00, via the
+    existing encode path (adaptive LUT and all).  The merge is the
+    read-time run merge made durable — OpenSearch segment-merge parity
+    (the reference delegates merging to OpenSearch entirely)."""
+
+    def __init__(self, index_dir: str, fp: str, cfg_dict: dict,
+                 docstore_cols: list[str], docstore_types: dict):
+        self.index_dir = index_dir
+        self.fp = fp
+        self.cfg = IndexConfig(**cfg_dict)
+        self.docstore_cols = docstore_cols
+        self.docstore_types = docstore_types
+
+    def _compact_postings_part(self, part: int) -> None:
+        from ..postings import decode_positions, decode_postings
+        from ..state.shard import ShardReader
+        rdr = ShardReader(self.index_dir, part)
+        if not rdr.terms:
+            return
+        with_pos = bool(self.cfg.store_positions)
+        cols: dict[str, list] = {k: [] for k in
+                                 ("field", "term", "doc_id", "tf", "norm")}
+        pos_blobs: list[bytes] = []
+        for (field, term), rows in rdr.terms.items():
+            docs_l, tfs_l, nms_l, pos_l = [], [], [], []
+            for row in rows:
+                tp = decode_postings(row[1], row[2], row[3], row[0])
+                docs_l.append(tp.doc_ids)
+                tfs_l.append(tp.tfs)
+                nms_l.append(tp.norms)
+                if with_pos:
+                    pos_l.extend(decode_positions(row[5], tp.tfs))
+            docs = np.concatenate(docs_l)
+            order = np.argsort(docs, kind="stable")
+            docs = docs[order]
+            tfs = np.concatenate(tfs_l)[order]
+            nms = np.concatenate(nms_l)[order]
+            n = docs.size
+            cols["field"].extend([field] * n)
+            cols["term"].extend([term] * n)
+            cols["doc_id"].append(docs.astype(np.int64))
+            cols["tf"].append(tfs.astype(np.int32))
+            cols["norm"].append(nms.astype(np.int32))
+            if with_pos:
+                pos_blobs.extend(encode_positions([pos_l[int(i)]])
+                                 for i in order)
+        group = {
+            "part": pa.array(np.full(len(cols["field"]), part, np.int32)),
+            "salt": pa.array(np.zeros(len(cols["field"]), np.int32)),
+            "field": pa.array(cols["field"], pa.string()),
+            "term": pa.array(cols["term"], pa.string()),
+            "doc_id": pa.array(np.concatenate(cols["doc_id"])),
+            "tf": pa.array(np.concatenate(cols["tf"])),
+            "norm": pa.array(np.concatenate(cols["norm"])),
+        }
+        if with_pos:
+            group["pos"] = pa.array(pos_blobs, pa.large_binary())
+        # remove superseded manifests FIRST so the encode below cannot
+        # skip on a stale fingerprint, then the files after the write
+        mdir = os.path.join(self.index_dir, "manifest")
+        old_mans = [fn for fn in os.listdir(mdir)
+                    if fn.startswith(f"seg-{part:04d}-")]
+        for fn in old_mans:
+            os.unlink(os.path.join(mdir, fn))
+        _encode_segment(pa.table(group), self.index_dir, self.fp,
+                        self.cfg, self.docstore_cols)
+        part_dir = os.path.join(self.index_dir, "parts", f"part-{part:04d}")
+        for fn in os.listdir(part_dir):
+            if fn.endswith(".parquet") and fn != "seg-00.parquet":
+                os.unlink(os.path.join(part_dir, fn))
+
+    def _compact_docstore_part(self, dpart: int) -> None:
+        store = os.path.join(self.index_dir, "docstore")
+        prefix = f"part-{dpart:04d}"
+        names = [fn for fn in sorted(os.listdir(store))
+                 if fn.endswith(".parquet") and fn.startswith(prefix)
+                 and fn[len(prefix)] in ".-"]
+        if not names:
+            return
+        tbl = pa.concat_tables(
+            [pq.read_table(os.path.join(store, fn)) for fn in names],
+            promote_options="default")
+        idx = pa.compute.sort_indices(tbl, sort_keys=[
+            ("doc_id", "ascending"), ("content_sha256", "ascending")])
+        tbl = tbl.take(idx)
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        _, first = np.unique(ids, return_index=True)
+        tbl = tbl.take(np.sort(first))
+        out = os.path.join(store, f"{prefix}.parquet")
+        _atomic_write_table(tbl, out)
+        mdir = os.path.join(self.index_dir, "manifest")
+        for fn in os.listdir(mdir):
+            if fn.startswith(f"docstore-{dpart:04d}"):
+                os.unlink(os.path.join(mdir, fn))
+        sha_xor = 0
+        for s in tbl.column("content_sha256").to_pylist():
+            sha_xor ^= int(s[:16], 16)
+        _atomic_write_json({"fingerprint": self.fp, "rows": tbl.num_rows,
+                            "sha_xor_hi64": sha_xor,
+                            "bytes": os.stat(out).st_size, "path": out},
+                           os.path.join(mdir, f"docstore-{dpart:04d}.json"))
+        for fn in names:
+            if fn != f"{prefix}.parquet":
+                os.unlink(os.path.join(store, fn))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        for p in batch.column("part").to_pylist():
+            self._compact_postings_part(int(p))
+            self._compact_docstore_part(int(p))
+        return pa.table({"part": batch.column("part")})
+
+
+def compact_index(index_dir: str) -> dict:
+    """Fold every generation added by :func:`extend_index` back into
+    one canonical segment per part (and one docstore file per doc
+    range), fanned out as one Ray task per partition.  Search results
+    are identical before and after (the run merge that happened at
+    read time is simply made durable); subsequent reads skip the
+    multi-run merge cost.  Filter parts regenerate from the rewritten
+    docstore files (per-file fingerprints).  The manifest's
+    fingerprint becomes a combined lineage hash; ``generations``
+    empties; ``extend_index`` keeps working afterwards."""
+    import functools
+    import hashlib
+
+    man_path = os.path.join(index_dir, "INDEX_MANIFEST.json")
+    with open(man_path) as f:
+        manifest = json.load(f)
+    gens = manifest.get("generations", {})
+    if not gens:
+        return manifest
+    cfg_dict = manifest["config"]
+    cfg = IndexConfig(**{k: (tuple(tuple(x) if isinstance(x, list) else x
+                                   for x in v) if isinstance(v, list) else v)
+                         for k, v in cfg_dict.items()})
+    combined = hashlib.sha256(
+        ("|".join([manifest["fingerprint"]] + sorted(gens))).encode()
+    ).hexdigest()[:16]
+    # docstore schema facts for the encode path
+    store = os.path.join(index_dir, "docstore")
+    probe = pq.read_schema(os.path.join(store, sorted(
+        fn for fn in os.listdir(store) if fn.endswith(".parquet"))[0]))
+    docstore_cols = [n for n in probe.names
+                     if n not in ("doc_id", "content_sha256")]
+    docstore_types = {n: str(probe.field(n).type) for n in docstore_cols}
+    items = [{"part": p} for p in range(cfg.num_partitions)]
+    rd.from_items(items).map_batches(
+        _CompactPart,
+        fn_constructor_kwargs=dict(index_dir=index_dir, fp=combined,
+                                   cfg_dict=cfg.fingerprint_dict(),
+                                   docstore_cols=docstore_cols,
+                                   docstore_types=docstore_types),
+        batch_format="pyarrow", batch_size=1,
+        concurrency=min(cfg.num_partitions, 8)).materialize()
+    build_filters(index_dir, cfg)
+    manifest["compacted_from"] = sorted([manifest["fingerprint"]] +
+                                        list(gens))
+    manifest["fingerprint"] = combined
+    manifest["generations"] = {}
+    _atomic_write_json(manifest, man_path)
+    _purge_stale_outputs(index_dir, combined)
+    return manifest

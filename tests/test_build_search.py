@@ -523,3 +523,74 @@ def test_docstore_typed_meta(ray_session, tmp_path_factory):
     assert got.column("stars").to_pylist() == [10, None, 30]
     assert got.column("score").to_pylist() == [0.5, 1.25, None]
     assert got.column("lang").to_pylist() == ["py", None, "go"]
+
+
+def test_compact_index_after_extend(ray_session, tmp_path_factory):
+    """Compaction folds generations into canonical segments: identical
+    search results (scores included), one seg per part, docstore merged,
+    filters intact, and extend_index keeps working afterwards."""
+    import dataclasses
+    import os as _os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
+        compact_index, extend_index)
+
+    def corpus(lo, hi, tag):
+        return pa.table({
+            "doc_id": pa.array(range(lo, hi), pa.int64()),
+            "text": [f"{tag} shared doc_{i} alpha beta gamma"
+                     for i in range(lo, hi)],
+            "lang": pa.array(["en" if i % 3 else "go"
+                              for i in range(lo, hi)], pa.string()),
+        })
+
+    cfg = IndexConfig(num_partitions=4, fields=(("text", "text", "base"),),
+                      keyword_fields=("lang",), doc_id_col="doc_id",
+                      sha_col="text", salting=False, store_positions=True)
+    root = tmp_path_factory.mktemp("compact")
+    idx = str(root / "idx")
+    src1, src2 = str(root / "g1.parquet"), str(root / "g2.parquet")
+    pq.write_table(corpus(0, 30, "one"), src1)
+    pq.write_table(corpus(100, 125, "two"), src2)
+    build_index([src1], idx, cfg)
+    extend_index([src2], idx, cfg)
+    s = Searcher(idx, use_actors=False)
+    before = {q: s.search(q, field="text", k=100)
+              for q in ("shared alpha", "two", "doc_5")}
+    before_phrase = s.phrase_search("alpha beta", field="text", k=1000)
+    before_filt = s.search("shared", field="text", k=100,
+                           filter_field="lang", filter_value="go")
+
+    m = compact_index(idx)
+    assert m["generations"] == {}
+    # one segment per non-empty part; no generation files left
+    for p in range(4):
+        pd_ = _os.path.join(idx, "parts", f"part-{p:04d}")
+        if _os.path.isdir(pd_):
+            segs = [f for f in _os.listdir(pd_) if f.endswith(".parquet")]
+            assert segs in ([], ["seg-00.parquet"]), segs
+    store_files = [f for f in _os.listdir(_os.path.join(idx, "docstore"))
+                   if f.endswith(".parquet")]
+    assert all("-g" not in f for f in store_files)
+
+    s2 = Searcher(idx, use_actors=False)
+    for q, want in before.items():
+        got = s2.search(q, field="text", k=100)
+        assert [(round(sc, 9), d) for sc, d in got] == \
+            [(round(sc, 9), d) for sc, d in want], q
+    assert s2.phrase_search("alpha beta", field="text", k=1000) == \
+        before_phrase
+    got_filt = s2.search("shared", field="text", k=100,
+                         filter_field="lang", filter_value="go")
+    assert [d for _, d in got_filt] == [d for _, d in before_filt]
+    # compaction is idempotent and extension still works
+    assert compact_index(idx)["fingerprint"] == m["fingerprint"]
+    src3 = str(root / "g3.parquet")
+    pq.write_table(corpus(200, 210, "three"), src3)
+    m3 = extend_index([src3], idx, cfg)
+    assert m3["stats"]["n_docs"] == 65
+    s3 = Searcher(idx, use_actors=False)
+    assert {d for _, d in s3.search("three", field="text", k=50)} == \
+        set(range(200, 210))
