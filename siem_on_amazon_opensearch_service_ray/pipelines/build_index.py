@@ -1034,8 +1034,31 @@ def extend_index(new_source, index_dir: str,
         return manifest
     hot = estimate_hot_terms(new_source, cfg) \
         if cfg.salting and cfg.partition_by == "term" else {}
+    gen_tag = f"-g{genfp[:8]}"
     metrics, n_docs = build_postings(new_source, index_dir, cfg, genfp, hot,
-                                     gen=f"-g{genfp[:8]}")
+                                     gen=gen_tag)
+    # Upsert guard: re-ingesting a currently tombstoned id would revive
+    # the OLD postings alongside the new ones (tombstones are not
+    # generation-scoped).  The supported upsert flow is
+    # delete -> compact (physical removal) -> extend; refuse BEFORE the
+    # ledger/stats update and scrub the rejected generation's outputs.
+    from ..state.shard import load_tombstones
+    tombs = load_tombstones(index_dir)
+    if tombs.size:
+        store = os.path.join(index_dir, "docstore")
+        new_ids = [pq.read_table(os.path.join(store, fn),
+                                 columns=["doc_id"])
+                   .column("doc_id").to_numpy(zero_copy_only=False)
+                   for fn in os.listdir(store)
+                   if fn.endswith(f"{gen_tag}.parquet")]
+        clash = np.intersect1d(
+            np.concatenate(new_ids).astype(np.uint64), tombs)             if new_ids else np.zeros(0, np.uint64)
+        if clash.size:
+            _scrub_generation(index_dir, gen_tag)
+            raise ValueError(
+                f"{clash.size} ingested doc id(s) are tombstoned; "
+                "run compact_index() before re-ingesting deleted "
+                "ids (upsert = delete -> compact -> extend)")
     build_filters(index_dir, cfg)
     # combine stats: totals add; avgdl recomputed from the sums
     stats = manifest["stats"]
@@ -1063,11 +1086,14 @@ class _CompactPart:
 
     def __init__(self, index_dir: str, fp: str, cfg_dict: dict,
                  docstore_cols: list[str], docstore_types: dict):
+        from ..state.shard import load_tombstones
         self.index_dir = index_dir
         self.fp = fp
         self.cfg = IndexConfig(**cfg_dict)
         self.docstore_cols = docstore_cols
         self.docstore_types = docstore_types
+        # compaction applies tombstones physically
+        self.tombstones = load_tombstones(index_dir)
 
     def _compact_postings_part(self, part: int) -> None:
         from ..postings import decode_positions, decode_postings
@@ -1090,10 +1116,15 @@ class _CompactPart:
                     pos_l.extend(decode_positions(row[5], tp.tfs))
             docs = np.concatenate(docs_l)
             order = np.argsort(docs, kind="stable")
-            docs = docs[order]
+            if self.tombstones.size:
+                live = ~np.isin(docs[order], self.tombstones)
+                order = order[live]
+            docs = np.concatenate(docs_l)[order]
             tfs = np.concatenate(tfs_l)[order]
             nms = np.concatenate(nms_l)[order]
             n = docs.size
+            if n == 0:
+                continue
             cols["field"].extend([field] * n)
             cols["term"].extend([term] * n)
             cols["doc_id"].append(docs.astype(np.int64))
@@ -1144,6 +1175,10 @@ class _CompactPart:
         ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
         _, first = np.unique(ids, return_index=True)
         tbl = tbl.take(np.sort(first))
+        if self.tombstones.size:
+            ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+            tbl = tbl.filter(pa.array(
+                ~np.isin(ids.astype(np.uint64), self.tombstones)))
         out = os.path.join(store, f"{prefix}.parquet")
         _atomic_write_table(tbl, out)
         mdir = os.path.join(self.index_dir, "manifest")
@@ -1184,15 +1219,18 @@ def compact_index(index_dir: str) -> dict:
     man_path = os.path.join(index_dir, "INDEX_MANIFEST.json")
     with open(man_path) as f:
         manifest = json.load(f)
+    from ..state.shard import load_tombstones
     gens = manifest.get("generations", {})
-    if not gens:
+    tombs = load_tombstones(index_dir)
+    if not gens and tombs.size == 0:
         return manifest
     cfg_dict = manifest["config"]
     cfg = IndexConfig(**{k: (tuple(tuple(x) if isinstance(x, list) else x
                                    for x in v) if isinstance(v, list) else v)
                          for k, v in cfg_dict.items()})
     combined = hashlib.sha256(
-        ("|".join([manifest["fingerprint"]] + sorted(gens))).encode()
+        ("|".join([manifest["fingerprint"]] + sorted(gens) +
+                  [f"tomb:{tombs.size}:{int(tombs.sum())}"])).encode()
     ).hexdigest()[:16]
     # docstore schema facts for the encode path
     store = os.path.join(index_dir, "docstore")
@@ -1215,6 +1253,82 @@ def compact_index(index_dir: str) -> dict:
                                         list(gens))
     manifest["fingerprint"] = combined
     manifest["generations"] = {}
+    if tombs.size:
+        # stats shrink to the live docs: recount from the docstore
+        # manifests (tiny driver-side JSON reads) and drop the
+        # tombstone file — deletes are now physical
+        store = os.path.join(index_dir, "docstore")
+        n_docs = 0
+        for fn in os.listdir(store):
+            if fn.endswith(".parquet"):
+                n_docs += pq.read_metadata(
+                    os.path.join(store, fn)).num_rows
+        removed = int(manifest["stats"]["n_docs"]) - n_docs
+        manifest["stats"]["n_docs"] = n_docs
+        # per-field total_tf: recompute from the fresh segment manifests
+        total_tf: dict[str, int] = {}
+        mdir = os.path.join(index_dir, "manifest")
+        for fn in os.listdir(mdir):
+            if fn.startswith("seg-"):
+                with open(os.path.join(mdir, fn)) as f:
+                    for fname2, t in json.load(f).get(
+                            "field_tf", {}).items():
+                        total_tf[fname2] = total_tf.get(fname2, 0) + int(t)
+        manifest["stats"]["total_tf"] = total_tf
+        manifest["stats"]["avgdl"] = {
+            fname2: (t / n_docs if n_docs else 0.0)
+            for fname2, t in total_tf.items()}
+        manifest["compaction_removed_docs"] = removed
+        tpath = os.path.join(index_dir, "tombstones.parquet")
+        if os.path.exists(tpath):
+            os.unlink(tpath)
     _atomic_write_json(manifest, man_path)
     _purge_stale_outputs(index_dir, combined)
     return manifest
+
+
+def _scrub_generation(index_dir: str, gen_tag: str) -> None:
+    """Remove every file/manifest a (rejected) generation wrote."""
+    suffix = f"{gen_tag}.parquet"
+    for root, _, files in os.walk(index_dir):
+        for fn in files:
+            if fn.endswith(suffix):
+                os.unlink(os.path.join(root, fn))
+    mdir = os.path.join(index_dir, "manifest")
+    mtag = gen_tag + ".json"
+    for fn in list(os.listdir(mdir)):
+        if fn.endswith(mtag):
+            os.unlink(os.path.join(mdir, fn))
+
+
+def delete_docs(index_dir: str, doc_ids) -> int:
+    """Tombstone documents: excluded from every query/fetch immediately,
+    removed physically at the next :func:`compact_index` (Lucene
+    deleted-doc semantics — df/N keep counting them until merge, which
+    is also the reference's OpenSearch behavior).  Returns the total
+    tombstone count.  ``delete_docs`` + ``extend_index`` with the same
+    id = the reference's ``_id`` upsert (extend clears re-added ids
+    from the tombstone set)."""
+    from ..state.shard import load_tombstones
+    new = np.asarray(sorted(int(d) for d in doc_ids), dtype=np.uint64)
+    cur = load_tombstones(index_dir)
+    merged = np.union1d(cur, new)
+    _atomic_write_table(
+        pa.table({"doc_id": pa.array(merged.astype(np.int64), pa.int64())}),
+        os.path.join(index_dir, "tombstones.parquet"))
+    return int(merged.size)
+
+
+def _clear_tombstones(index_dir: str, doc_ids: np.ndarray) -> None:
+    from ..state.shard import load_tombstones
+    cur = load_tombstones(index_dir)
+    if cur.size == 0 or doc_ids.size == 0:
+        return
+    keep = cur[~np.isin(cur, doc_ids.astype(np.uint64))]
+    path = os.path.join(index_dir, "tombstones.parquet")
+    if keep.size:
+        _atomic_write_table(
+            pa.table({"doc_id": pa.array(keep.astype(np.int64), pa.int64())}),
+            path)
+    elif os.path.exists(path):
+        os.unlink(path)

@@ -18,8 +18,14 @@ import pyarrow as pa
 
 
 def fetch_docs(index_dir: str, doc_ids: list[int]) -> pa.Table:
+    from .shard import load_tombstones
     with open(os.path.join(index_dir, "INDEX_MANIFEST.json")) as f:
         p = int(json.load(f)["config"]["num_partitions"])
+    tombs = load_tombstones(index_dir)
+    if tombs.size:
+        import numpy as _np
+        doc_ids = [d for d in doc_ids
+                   if not _np.isin(_np.uint64(d), tombs)]
     by_part: dict[int, list[int]] = {}
     for d in doc_ids:
         by_part.setdefault(d % p, []).append(d)

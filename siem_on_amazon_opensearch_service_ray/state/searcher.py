@@ -71,9 +71,18 @@ def _blocks_from_arrays(doc_ids: np.ndarray, tfs: np.ndarray,
     return blk_last, blk_ub
 
 
+def _excl_mask(doc_ids: np.ndarray, excl: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask: True where doc_id is NOT tombstoned."""
+    if excl.size == 0 or doc_ids.size == 0:
+        return np.ones(doc_ids.size, dtype=bool)
+    pos = np.minimum(np.searchsorted(excl, doc_ids), excl.size - 1)
+    return excl[pos] != doc_ids
+
+
 def prepare_terms(query_terms: list[str], rows_by_term: dict[str, list[tuple]],
                   n_docs: int, avgdl: float, k1: float = K1, b: float = B,
-                  idf_by_term: dict[str, float] | None = None
+                  idf_by_term: dict[str, float] | None = None,
+                  exclude_ids: np.ndarray | None = None
                   ) -> list[TermData]:
     """Dedup query terms (keeping first-seen order; multiplicity becomes
     the clause weight, Lucene boolean-clause parity), decode + merge
@@ -94,10 +103,24 @@ def prepare_terms(query_terms: list[str], rows_by_term: dict[str, list[tuple]],
                                 np.zeros(0, np.float64)))
             continue
         tp = merge_postings(runs)
-        lens = decode_norm(tp.norms)
-        w = float(counts[term])
+        # tombstones: excluded from matching, but df/idf keep counting
+        # them until compaction (Lucene deleted-doc semantics)
         t_idf = (float(idf_by_term[term]) if idf_by_term is not None
                  else float(idf_fn(tp.df, n_docs)))
+        if exclude_ids is not None and exclude_ids.size:
+            keep = _excl_mask(tp.doc_ids, exclude_ids)
+            if not keep.all():
+                from ..postings import TermPostings
+                tp = TermPostings(tp.doc_ids[keep], tp.tfs[keep],
+                                  tp.norms[keep])
+        if tp.doc_ids.size == 0:
+            out.append(TermData(qidx, float(counts[term]), 0.0,
+                                np.zeros(0, np.uint64), np.zeros(0, np.uint32),
+                                np.zeros(0, np.int64), np.zeros(0, np.uint64),
+                                np.zeros(0, np.float64)))
+            continue
+        lens = decode_norm(tp.norms)
+        w = float(counts[term])
         blk_last, blk_ub = _blocks_from_arrays(tp.doc_ids, tp.tfs, lens,
                                                t_idf, avgdl, k1, b)
         out.append(TermData(qidx, w, t_idf, tp.doc_ids, tp.tfs, lens.astype(np.int64),
@@ -458,7 +481,9 @@ class PartActor:
     actors."""
 
     def __init__(self, index_dir: str, parts: list[int]):
+        from .shard import load_tombstones
         self.readers = {p: ShardReader(index_dir, p) for p in parts}
+        self.tombstones = load_tombstones(index_dir)
 
     def get_terms(self, field: str, terms_by_part: dict[int, list[str]]
                   ) -> dict[str, list[tuple]]:
@@ -501,7 +526,8 @@ class PartActor:
             rows = {t: r.raw_rows(field, t) for t in dict.fromkeys(q_terms)}
             rows = {t: v for t, v in rows.items() if v}
             terms = prepare_terms(q_terms, rows, n_docs, avgdl, k1, b,
-                                  idf_by_term=idf_by_term)
+                                  idf_by_term=idf_by_term,
+                                  exclude_ids=self.tombstones)
             filt = None
             if filter_field is not None:
                 filt = r.filter_docs(filter_field, filter_value, dparts=[p])
@@ -544,6 +570,8 @@ class Searcher:
             self.readers = {p: ShardReader(index_dir, p) for p in range(self.P)}
         self._filter_cache: dict[tuple[str, str], np.ndarray] = {}
         self._rows_cache: dict[tuple[str, str], list[tuple]] = {}
+        from .shard import load_tombstones
+        self.tombstones = load_tombstones(index_dir)
 
     def close(self) -> None:
         if self.use_actors:
@@ -611,7 +639,8 @@ class Searcher:
         rows = self._gather(field, q_terms)
         avgdl = float(self.stats["avgdl"][field])
         n_docs = int(self.stats["n_docs"])
-        terms = prepare_terms(q_terms, rows, n_docs, avgdl, k1, b)
+        terms = prepare_terms(q_terms, rows, n_docs, avgdl, k1, b,
+                              exclude_ids=self.tombstones)
         filt = None
         if filter_field is not None:
             filt = self._filter_ids(filter_field, filter_value)
@@ -672,6 +701,8 @@ class Searcher:
             pos = np.minimum(np.searchsorted(docs, base),
                              max(docs.size - 1, 0))
             base = base[docs[pos] == base] if docs.size else base[:0]
+        if self.tombstones.size and base.size:
+            base = base[_excl_mask(base, self.tombstones)]
         matches: dict[int, int] = {}
         for d in base:
             if slop == 0:
@@ -797,7 +828,8 @@ class Searcher:
                 rows = {t: r.raw_rows(field, t) for t in uniq_terms}
                 rows = {t: v for t, v in rows.items() if v}
                 terms = prepare_terms(q_terms, rows, n_docs, avgdl, k1, b,
-                                      idf_by_term=idf_by_term)
+                                      idf_by_term=idf_by_term,
+                                      exclude_ids=self.tombstones)
                 filt = None
                 if filter_field is not None:
                     filt = r.filter_docs(filter_field, filter_value,
@@ -854,6 +886,8 @@ class Searcher:
                 cand = cand[ds_[pos] == cand] if ds_.size else cand[:0]
         else:
             cand = np.unique(np.concatenate(doc_sets))
+        if self.tombstones.size and cand.size:
+            cand = cand[_excl_mask(cand, self.tombstones)]
         if cand.size == 0:
             return []
         import os as _os
@@ -898,6 +932,7 @@ class Searcher:
             if not q_terms:
                 out.append([])
                 continue
-            terms = prepare_terms(q_terms, rows, n_docs, avgdl, k1, b)
+            terms = prepare_terms(q_terms, rows, n_docs, avgdl, k1, b,
+                                  exclude_ids=self.tombstones)
             out.append(_dispatch(method, terms, k, mode, avgdl, None, k1, b))
         return out

@@ -26,6 +26,19 @@ from ..postings import encode_postings as _enc_postings
 from ..postings import varint_decode as _vdec
 
 
+def load_tombstones(index_dir: str) -> np.ndarray:
+    """Sorted uint64 doc ids deleted since the last compaction (empty
+    array when none).  Tombstoned docs are EXCLUDED from every match
+    set but still count in df/N until compaction — Lucene's deleted-doc
+    semantics, which the reference inherits from OpenSearch."""
+    path = os.path.join(index_dir, "tombstones.parquet")
+    if not os.path.exists(path):
+        return np.zeros(0, dtype=np.uint64)
+    t = pq.read_table(path, columns=["doc_id"])
+    return np.sort(t.column("doc_id").to_numpy(
+        zero_copy_only=False).astype(np.uint64))
+
+
 def load_filter_ids(index_dir: str, field: str, value: str,
                     dparts: list[int] | None = None) -> np.ndarray:
     """Sorted doc ids with keyword ``field == value`` from the

@@ -594,3 +594,74 @@ def test_compact_index_after_extend(ray_session, tmp_path_factory):
     s3 = Searcher(idx, use_actors=False)
     assert {d for _, d in s3.search("three", field="text", k=50)} == \
         set(range(200, 210))
+
+
+def test_delete_docs_and_upsert(ray_session, tmp_path_factory):
+    """Tombstones: deleted docs vanish from search/phrase/agg/fetch
+    immediately (df/N unchanged until compaction — Lucene semantics);
+    compaction makes deletes physical and fixes stats; re-ingesting a
+    deleted id (delete + extend) revives it — the reference's upsert."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
+        compact_index, delete_docs, extend_index)
+    from siem_on_amazon_opensearch_service_ray.state.docstore import fetch_docs
+
+    docs = pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "text": [f"alpha beta common doc_{i}" for i in range(20)],
+        "lang": pa.array(["en" if i % 2 else "go" for i in range(20)],
+                         pa.string()),
+    })
+    cfg = IndexConfig(num_partitions=4, fields=(("text", "text", "base"),),
+                      keyword_fields=("lang",), doc_id_col="doc_id",
+                      sha_col="text", salting=False, store_positions=True)
+    root = tmp_path_factory.mktemp("tomb")
+    src1 = str(root / "g1.parquet")
+    pq.write_table(docs, src1)
+    idx = str(root / "idx")
+    build_index([src1], idx, cfg)
+    delete_docs(idx, [3, 4, 5])
+    s = Searcher(idx, use_actors=False)
+    hits = {d for _, d in s.search("common", field="text", k=100)}
+    assert hits == set(range(20)) - {3, 4, 5}
+    assert {d for _, d in s.phrase_search("alpha beta", field="text",
+                                          k=100)} == hits
+    agg = dict(s.terms_aggregation("common", "lang", field="text"))
+    assert agg["go"] == sum(1 for i in hits if i % 2 == 0)
+    assert fetch_docs(idx, [3, 6]).column("doc_id").to_pylist() == [6]
+    # df unchanged pre-compaction (Lucene): score of a surviving doc
+    # is identical to the undeleted index's score for it
+    s_before_scores = dict(
+        (d, sc) for sc, d in s.search("common doc_6", field="text", k=100))
+
+    # re-ingesting a tombstoned id without compaction is refused
+    # (would revive the OLD postings next to the new ones)
+    src2 = str(root / "g2.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([3], pa.int64()),
+        "text": ["alpha beta common doc_3 revived"],
+        "lang": pa.array(["go"], pa.string()),
+    }), src2)
+    with pytest.raises(ValueError, match="tombstoned"):
+        extend_index([src2], idx, cfg)
+
+    # compaction: physical removal + corrected stats
+    m = compact_index(idx)
+    assert m["stats"]["n_docs"] == 17          # 20 - 3 deleted
+    s3 = Searcher(idx, use_actors=False)
+    assert s3.tombstones.size == 0
+    assert {d for _, d in s3.search("common", field="text", k=100)} == \
+        set(range(20)) - {3, 4, 5}
+
+    # now the upsert lands cleanly: extend revives id 3 with new text
+    import time as _time
+    _time.sleep(0.01)
+    __import__("os").utime(src2)               # new mtime -> new genfp
+    m2 = extend_index([src2], idx, cfg)
+    assert m2["stats"]["n_docs"] == 18
+    s4 = Searcher(idx, use_actors=False)
+    assert 3 in {d for _, d in s4.search("revived", field="text", k=10)}
+    hits4 = {d for _, d in s4.search("common", field="text", k=100)}
+    assert hits4 == set(range(20)) - {4, 5}
