@@ -8,6 +8,9 @@ Usage:
   python -m siem_on_amazon_opensearch_service_ray build  <corpus_dir> <index_dir> [--partitions P] [--no-salting] [--no-resume]
   python -m siem_on_amazon_opensearch_service_ray search <index_dir> <query> [--k K] [--mode or|and] [--field F] [--fetch]
   python -m siem_on_amazon_opensearch_service_ray stats  <index_dir>
+  python -m siem_on_amazon_opensearch_service_ray extend  <corpus_dir> <index_dir>
+  python -m siem_on_amazon_opensearch_service_ray compact <index_dir>
+  python -m siem_on_amazon_opensearch_service_ray delete  <index_dir> <doc_id> [...]
 """
 
 from __future__ import annotations
@@ -42,11 +45,30 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stats")
     st.add_argument("index_dir")
 
+    e = sub.add_parser("extend")
+    e.add_argument("corpus_dir")
+    e.add_argument("index_dir")
+    e.add_argument("--num-cpus", type=int, default=None)
+
+    c = sub.add_parser("compact")
+    c.add_argument("index_dir")
+    c.add_argument("--num-cpus", type=int, default=None)
+
+    d = sub.add_parser("delete")
+    d.add_argument("index_dir")
+    d.add_argument("doc_ids", nargs="+", type=int)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "stats":
         from .state.stats import build_summary
         print(json.dumps(build_summary(args.index_dir), indent=2))
+        return 0
+
+    if args.cmd == "delete":
+        from .pipelines.build_index import delete_docs
+        n = delete_docs(args.index_dir, args.doc_ids)
+        print(json.dumps({"tombstones": n}))
         return 0
 
     import ray
@@ -65,6 +87,17 @@ def main(argv: list[str] | None = None) -> int:
                               resume=not args.no_resume)
             print(json.dumps({"n_docs": man["stats"]["n_docs"],
                               "metrics": man["metrics"],
+                              "fingerprint": man["fingerprint"]}, indent=2))
+        elif args.cmd == "extend":
+            from .pipelines.build_index import extend_index
+            man = extend_index(args.corpus_dir, args.index_dir)
+            print(json.dumps({"n_docs": man["stats"]["n_docs"],
+                              "generations": list(man.get("generations", {}))},
+                             indent=2))
+        elif args.cmd == "compact":
+            from .pipelines.build_index import compact_index
+            man = compact_index(args.index_dir)
+            print(json.dumps({"n_docs": man["stats"]["n_docs"],
                               "fingerprint": man["fingerprint"]}, indent=2))
         elif args.cmd == "search":
             from .state.searcher import Searcher
