@@ -100,6 +100,10 @@ class IndexConfig:
     #   postings to one process.  Salting is moot (hot terms split
     #   naturally across doc shards).
     partition_by: str = "term"
+    # numeric docstore columns to index for range queries: per doc-range
+    # part, a value-sorted (value, doc_id) table — a query binary-searches
+    # the bounds per part (OpenSearch range-query parity)
+    range_fields: tuple = ()
     # hot-term salting
     salting: bool = True
     sample_mod: int = 64             # deterministic sample: doc_id % mod == 0
@@ -788,7 +792,8 @@ def _file_fp(path: str) -> str:
 
 
 def _build_filter_part(row_batch: pa.Table, index_dir: str,
-                       fields: list[str]) -> pa.Table:
+                       fields: list[str],
+                       range_fields: list[str] = ()) -> pa.Table:
     """One task per docstore part file: local per-value doc lists for
     every keyword field, written as filters/<field>/part-XXXX.parquet.
     No shuffle — the docstore is already doc-range partitioned, so the
@@ -806,6 +811,28 @@ def _build_filter_part(row_batch: pa.Table, index_dir: str,
         # own filter parts and untouched parts never rebuild
         fp = _file_fp(path)
         tbl = None
+        for fname in range_fields:
+            rdir = os.path.join(index_dir, "filters_range", fname)
+            os.makedirs(rdir, exist_ok=True)
+            rout = os.path.join(rdir, f"{stem}.parquet")
+            rman = os.path.join(index_dir, "manifest",
+                                f"rangef-{fname}-{stem}.json")
+            if os.path.exists(rman):
+                with open(rman) as f:
+                    m = json.load(f)
+                if m.get("fingerprint") == fp:
+                    continue
+            rt = pq.read_table(path, columns=["doc_id", fname])
+            # value-sorted (nulls dropped): range probes binary-search
+            # the bounds and slice the aligned doc ids
+            mask = pa.compute.is_valid(rt.column(fname))
+            rt = rt.filter(mask)
+            idx2 = pa.compute.sort_indices(rt, sort_keys=[
+                (fname, "ascending"), ("doc_id", "ascending")])
+            rt = rt.take(idx2).select([fname, "doc_id"])                 .rename_columns(["value", "doc_id"])
+            _atomic_write_table(rt, rout)
+            _atomic_write_json({"fingerprint": fp, "rows": rt.num_rows,
+                                "path": rout, "src": path}, rman)
         for fname in fields:
             fdir = os.path.join(index_dir, "filters", fname)
             os.makedirs(fdir, exist_ok=True)
@@ -867,6 +894,8 @@ def build_filters(index_dir: str, cfg: IndexConfig) -> None:
     query-time filter intersection is per-part."""
     if not cfg.keyword_fields:
         return
+    if not cfg.keyword_fields and not cfg.range_fields:
+        return
     # remove the pre-v4 single-file layout if present
     for fname in cfg.keyword_fields:
         legacy = os.path.join(index_dir, f"filter-{fname}.parquet")
@@ -879,7 +908,8 @@ def build_filters(index_dir: str, cfg: IndexConfig) -> None:
     fields = list(cfg.keyword_fields)
     import functools
     task = functools.partial(_build_filter_part, index_dir=index_dir,
-                             fields=fields)
+                             fields=fields,
+                             range_fields=list(cfg.range_fields))
     # consume for effect; tiny metrics rows come back
     rd.from_items(items).map_batches(
         task, batch_format="pyarrow", batch_size=1).materialize()
@@ -930,7 +960,7 @@ def _purge_stale_outputs(index_dir: str, fp: str,
         except (ValueError, OSError):
             os.unlink(path)
             continue
-        if fn.startswith("filter-"):
+        if fn.startswith(("filter-", "rangef-")):
             # filter parts are keyed on their source docstore file, not
             # the build fingerprint — stale iff the source vanished or
             # changed (covers rebuilds AND extend_index generations)
@@ -950,7 +980,7 @@ def _purge_stale_outputs(index_dir: str, fp: str,
             os.unlink(path)
         elif m.get("path"):
             manifested.add(os.path.abspath(m["path"]))
-    for sub in ("parts", "docstore", "filters"):
+    for sub in ("parts", "docstore", "filters", "filters_range"):
         root_dir = os.path.join(index_dir, sub)
         for root, _, files in os.walk(root_dir):
             for fn in files:

@@ -294,6 +294,7 @@ def _docs_index_cfg() -> IndexConfig:
     return IndexConfig(num_partitions=4,
                        fields=(("content", "text", "base"),),
                        keyword_fields=("lang",),
+                       range_fields=("n_chars",),
                        doc_id_col="doc_id", sha_col="text",
                        sample_mod=16, hot_df_threshold=1000, salt_unit=1000,
                        max_salts=4)
@@ -443,7 +444,8 @@ GROUP BY a.doc_id
 """
 
 
-def _bm25_sql(query_terms: list[str], k: int, mode: str = "or") -> str:
+def _bm25_sql(query_terms: list[str], k: int, mode: str = "or",
+              final_where: str = "") -> str:
     n_distinct = len(dict.fromkeys(query_terms))
     having = (f"HAVING count(*) = {n_distinct}" if mode == "and" else "")
     vals = ", ".join(f"('{t}')" for t in dict.fromkeys(query_terms))
@@ -472,12 +474,36 @@ scores AS (
   FROM tf JOIN df USING(term) JOIN dlq USING(doc_id) CROSS JOIN stats s
   GROUP BY tf.doc_id {having})
 SELECT doc_id, cast(round(score*10000) AS BIGINT) AS score_e4
-FROM scores ORDER BY score DESC, doc_id LIMIT {k}
+FROM scores {final_where} ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
 BM25_SQL = _bm25_sql(base_tokens(BM25_QUERY), BM25_K)
 BM25_AND_SQL = _bm25_sql(base_tokens(BM25_QUERY), BM25_K, mode="and")
+# range-filtered: filter prunes candidates only — global idf/avgdl
+# unchanged (engine parity: filters never touch stats)
+BM25_RANGE_SQL = _bm25_sql(
+    base_tokens(BM25_QUERY), BM25_K,
+    final_where=("WHERE doc_id IN (SELECT doc_id FROM documents "
+                 "WHERE n_chars BETWEEN 200 AND 2000)"))
+
+
+def search_range_topk(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-k restricted to docs with n_chars in [200, 2000] — the
+    numeric range filter over the value-sorted per-part range tables."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.search(BM25_QUERY, field="content", k=BM25_K,
+                        range_field="n_chars", range_lo=200, range_hi=2000)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d in hits],
+        "score_e4": np.array([round(sc * 10000) for sc, _ in hits],
+                             dtype=np.int64),
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -924,6 +950,7 @@ def queries() -> dict:
         "search_and_topk": search_and_topk,
         "search_doc_sharded": search_doc_sharded,
         "search_lang_agg": search_lang_agg,
+        "search_range_topk": search_range_topk,
         "phrase_docs": phrase_docs,
         "events_sessions": events_sessions,
         "knn_cosine": knn_cosine_q,
@@ -961,6 +988,7 @@ def oracle_sql() -> dict:
         "search_and_topk": BM25_AND_SQL,
         "search_doc_sharded": BM25_SQL,
         "search_lang_agg": SEARCH_LANG_AGG_SQL,
+        "search_range_topk": BM25_RANGE_SQL,
         "phrase_docs": PHRASE_SQL,
         "events_sessions": EVENTS_SESSIONS_SQL,
         "knn_cosine": KNN_SQL,

@@ -623,6 +623,7 @@ class Searcher:
     def search(self, query: str, field: str = "content", k: int = 10,
                mode: str = "or", method: str = "auto",
                filter_field: str | None = None, filter_value: str | None = None,
+               range_field: str | None = None, range_lo=None, range_hi=None,
                analyzer: str | None = None,
                k1: float = K1, b: float = B) -> list[tuple[float, int]]:
         """``method='auto'`` picks the execution strategy per query:
@@ -644,6 +645,11 @@ class Searcher:
         filt = None
         if filter_field is not None:
             filt = self._filter_ids(filter_field, filter_value)
+        if range_field is not None:
+            from .shard import load_range_ids
+            rids = load_range_ids(self.index_dir, range_field,
+                                  range_lo, range_hi)
+            filt = rids if filt is None else                 np.intersect1d(filt, rids, assume_unique=True)
         return _dispatch(method, terms, k, mode, avgdl, filt, k1, b)
 
     @staticmethod

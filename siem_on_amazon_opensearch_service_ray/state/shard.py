@@ -158,3 +158,32 @@ class ShardReader:
         if key not in cache:
             cache[key] = load_filter_ids(self.index_dir, field, value, dparts)
         return cache[key]
+
+
+def load_range_ids(index_dir: str, field: str, lo=None, hi=None,
+                   dparts: list[int] | None = None) -> np.ndarray:
+    """Sorted doc ids whose numeric ``field`` value is in [lo, hi]
+    (either bound may be None = unbounded) — binary search over the
+    value-sorted per-part range tables (filters_range/<field>/,
+    build_index PASS C).  ``dparts`` restricts to specific doc
+    partitions."""
+    rdir = os.path.join(index_dir, "filters_range", field)
+    if not os.path.isdir(rdir):
+        return np.zeros(0, dtype=np.uint64)
+    names = sorted(f for f in os.listdir(rdir) if f.endswith(".parquet"))
+    if dparts is not None:
+        want = {f"part-{p:04d}" for p in dparts}
+        names = [f for f in names if f[:9] in want and f[9] in ".-"]
+    chunks: list[np.ndarray] = []
+    for fn in names:
+        t = pq.read_table(os.path.join(rdir, fn))
+        vals = t.column("value").to_numpy(zero_copy_only=False)
+        a = 0 if lo is None else int(np.searchsorted(vals, lo, side="left"))
+        b = vals.size if hi is None else \
+            int(np.searchsorted(vals, hi, side="right"))
+        if b > a:
+            chunks.append(t.column("doc_id").to_numpy(
+                zero_copy_only=False)[a:b].astype(np.uint64))
+    if not chunks:
+        return np.zeros(0, dtype=np.uint64)
+    return np.sort(np.concatenate(chunks))

@@ -665,3 +665,41 @@ def test_delete_docs_and_upsert(ray_session, tmp_path_factory):
     assert 3 in {d for _, d in s4.search("revived", field="text", k=10)}
     hits4 = {d for _, d in s4.search("common", field="text", k=100)}
     assert hits4 == set(range(20)) - {4, 5}
+
+
+def test_range_query(ray_session, tmp_path_factory):
+    """Numeric range filter: value-sorted per-part range tables,
+    binary-searched bounds, composed with keyword filters."""
+    import pyarrow as pa
+    import ray.data as rd
+    docs = pa.table({
+        "doc_id": pa.array(range(50), pa.int64()),
+        "text": [f"common token doc_{i}" for i in range(50)],
+        "lang": pa.array(["en" if i % 2 else "go" for i in range(50)],
+                         pa.string()),
+        "stars": pa.array([i * 10 for i in range(50)], pa.int64()),
+        "score": pa.array([i / 10 for i in range(50)], pa.float64()),
+    })
+    cfg = IndexConfig(num_partitions=4, fields=(("text", "text", "base"),),
+                      keyword_fields=("lang",), range_fields=("stars", "score"),
+                      doc_id_col="doc_id", sha_col="text", salting=False)
+    idx = str(tmp_path_factory.mktemp("range") / "idx")
+    build_index(rd.from_arrow(docs), idx, cfg)
+    s = Searcher(idx, use_actors=False)
+    got = {d for _, d in s.search("common", field="text", k=100,
+                                  range_field="stars",
+                                  range_lo=100, range_hi=200)}
+    assert got == {10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20}
+    # open-ended bounds
+    assert {d for _, d in s.search("common", field="text", k=100,
+                                   range_field="score", range_lo=4.75)} == \
+        set(range(48, 50))
+    # composed with a keyword filter
+    both = {d for _, d in s.search("common", field="text", k=100,
+                                   filter_field="lang", filter_value="go",
+                                   range_field="stars", range_lo=100,
+                                   range_hi=200)}
+    assert both == {10, 12, 14, 16, 18, 20}
+    # no matches
+    assert s.search("common", field="text", k=10,
+                    range_field="stars", range_lo=10_000) == []

@@ -47,7 +47,8 @@ def _to_df(res) -> pd.DataFrame:
 SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "dedup_exact_docs", "tf_top_terms", "df_terms", "corpus_stats",
               "bm25_topk", "search_topk", "search_and_topk",
-              "search_doc_sharded", "search_lang_agg", "knn_cosine",
+              "search_doc_sharded", "search_lang_agg", "search_range_topk",
+              "knn_cosine",
               "region_revenue", "top_events", "filter_project",
               "token_count_docs", "quality_docs", "exclude_events",
               "events_routed", "events_sliding",
