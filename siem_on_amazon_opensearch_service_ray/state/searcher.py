@@ -846,6 +846,56 @@ class Searcher:
         merged.sort(key=lambda sd: (-sd[0], sd[1]))
         return merged[:k]
 
+    def search_multi(self, query: str,
+                     fields: list[tuple[str, float]] | None = None,
+                     k: int = 10, method: str = "auto",
+                     analyzer: str | None = None,
+                     k1: float = K1, b: float = B
+                     ) -> list[tuple[float, int]]:
+        """Multi-field disjunction scoring (OpenSearch ``multi_match``
+        with ``type: most_fields`` parity): each (field, boost) clause
+        scores independently with its own analyzer/avgdl/df, and a
+        doc's total is the boosted SUM of its per-field BM25 scores.
+        Ties (score desc, doc_id asc)."""
+        if fields is None:
+            fields = [(f, 1.0) for f, _, _ in
+                      self.manifest["config"]["fields"]]
+        n_docs = int(self.stats["n_docs"])
+        per_field_terms: list[tuple[float, list[TermData], float]] = []
+        for fname, boost in fields:
+            fan = (analyzer or next(
+                (a for f, _, a in self.manifest["config"]["fields"]
+                 if f == fname), "code"))
+            q_terms = ANALYZERS[fan](query)
+            if not q_terms:
+                continue
+            rows = self._gather(fname, q_terms)
+            avgdl = float(self.stats["avgdl"][fname])
+            terms = prepare_terms(q_terms, rows, n_docs, avgdl, k1, b,
+                                  exclude_ids=self.tombstones)
+            per_field_terms.append((float(boost), terms, avgdl))
+        # one TAAT accumulation across every field's live term lists
+        all_docs, contribs = [], []
+        for boost, terms, avgdl in per_field_terms:
+            for t in terms:
+                if t.doc_ids.size:
+                    all_docs.append(t.doc_ids)
+                    contribs.append(boost * t.weight * t.idf *
+                                    tf_norm(t.tfs, t.lens, avgdl, k1, b))
+        if not all_docs:
+            return []
+        docs = np.concatenate(all_docs)
+        vals = np.concatenate(contribs)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        scores = np.bincount(inv, weights=vals, minlength=uniq.size)
+        kk = min(k, uniq.size)
+        cand = np.arange(uniq.size)
+        if uniq.size > 4096:
+            thresh = np.partition(scores, uniq.size - kk)[uniq.size - kk]
+            cand = np.flatnonzero(scores >= thresh)
+        sel = cand[np.lexsort((uniq[cand], -scores[cand]))][:kk]
+        return [(float(scores[i]), int(uniq[i])) for i in sel]
+
     def terms_aggregation(self, query: str, agg_field: str,
                           field: str = "content", mode: str = "or",
                           analyzer: str | None = None

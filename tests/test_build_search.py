@@ -703,3 +703,23 @@ def test_range_query(ray_session, tmp_path_factory):
     # no matches
     assert s.search("common", field="text", k=10,
                     range_field="stars", range_lo=10_000) == []
+
+
+def test_search_multi_field(built):
+    """multi_match most_fields parity: the multi-field score is the
+    boosted sum of per-field scores, rank ties (score desc, id asc)."""
+    _, index_dir, _ = built
+    s = Searcher(index_dir, use_actors=False)
+    q = "needle_137 mod_7"
+    multi = s.search_multi(q, fields=[("content", 1.0), ("path", 2.0)], k=30)
+    # oracle: compose from single-field searches
+    per_doc: dict[int, float] = {}
+    for fname, boost in (("content", 1.0), ("path", 2.0)):
+        for sc, d in s.search(q, field=fname, k=100000, method="taat"):
+            per_doc[d] = per_doc.get(d, 0.0) + boost * sc
+    want = sorted(per_doc.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    assert [d for _, d in multi] == [d for d, _ in want]
+    np.testing.assert_allclose([sc for sc, _ in multi],
+                               [sc for _, sc in want], rtol=1e-9)
+    # default fields = all configured fields
+    assert s.search_multi("needle_137", k=5)
