@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..stages.cleanup import clean_empty_strings, rename_columns
-from ..stages.exclude import ExclusionRule, Excluder
+from ..stages.exclude import Excluder
 from ..stages.timestamps import parse_timestamp_column
 
 # ---------------------------------------------------------------------------
