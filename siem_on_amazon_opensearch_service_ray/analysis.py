@@ -124,12 +124,15 @@ def code_tokens(text: str) -> list[str]:
 _UNI_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 _HAN = "\u3400-\u4dbf\u4e00-\u9fff\uf900-\ufaff\u3040-\u309f"
 _HAN_SPLIT_RE = re.compile(f"[{_HAN}]|[^{_HAN}]+")
+_HAN_CHAR_RE = re.compile(f"[{_HAN}]")
 _UNI_CACHE: dict[str, tuple[str, ...]] = {}
 
 
 def _unicode_expand(raw: str) -> tuple[str, ...]:
+    # split only when a CJK/hiragana char is actually present — the
+    # dominant non-CJK token path skips the findall entirely
     pieces = (_HAN_SPLIT_RE.findall(raw)
-              if _HAN_SPLIT_RE.search(raw) and len(raw) > 1 else [raw])
+              if len(raw) > 1 and _HAN_CHAR_RE.search(raw) else [raw])
     return tuple(_truncate_term(p.lower()) for p in pieces if p)
 
 

@@ -521,8 +521,12 @@ def _write_docstore_group(group: pa.Table, index_dir: str, fp: str,
         if typ_s and typ_s != "string":
             try:
                 arr = pa.compute.cast(arr, typ_s)
-            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-                pass          # unparseable -> keep strings (defensive)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                    ValueError, KeyError):
+                # unparseable values OR a type-alias str(type) that
+                # pa.compute.cast cannot resolve (list/struct/decimal/
+                # tz-aware timestamps) -> keep strings (defensive)
+                pass
         arrays[c] = arr
     tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), **arrays})
     idx = pa.compute.sort_indices(tbl, sort_keys=[
@@ -1060,8 +1064,11 @@ def extend_index(new_source, index_dir: str,
     t0 = time.monotonic()
     genfp = input_fingerprint(new_source, cfg)
     gens = manifest.setdefault("generations", {})
-    if genfp == manifest["fingerprint"] or genfp in gens:
+    if (genfp == manifest["fingerprint"] or genfp in gens
+            or genfp in manifest.get("compacted_from", [])):
+        # already ingested (possibly folded in by a past compaction)
         return manifest
+    _scrub_orphan_generations(index_dir, manifest)
     hot = estimate_hot_terms(new_source, cfg) \
         if cfg.salting and cfg.partition_by == "term" else {}
     gen_tag = f"-g{genfp[:8]}"
@@ -1114,14 +1121,11 @@ class _CompactPart:
     read-time run merge made durable — OpenSearch segment-merge parity
     (the reference delegates merging to OpenSearch entirely)."""
 
-    def __init__(self, index_dir: str, fp: str, cfg_dict: dict,
-                 docstore_cols: list[str], docstore_types: dict):
+    def __init__(self, index_dir: str, fp: str, cfg_dict: dict):
         from ..state.shard import load_tombstones
         self.index_dir = index_dir
         self.fp = fp
         self.cfg = IndexConfig(**cfg_dict)
-        self.docstore_cols = docstore_cols
-        self.docstore_types = docstore_types
         # compaction applies tombstones physically
         self.tombstones = load_tombstones(index_dir)
 
@@ -1163,6 +1167,19 @@ class _CompactPart:
             if with_pos:
                 pos_blobs.extend(encode_positions([pos_l[int(i)]])
                                  for i in order)
+        if not cols["field"]:
+            # every posting in this part was tombstoned: the part has
+            # no live terms — drop its segment files entirely
+            mdir0 = os.path.join(self.index_dir, "manifest")
+            for fn in list(os.listdir(mdir0)):
+                if fn.startswith(f"seg-{part:04d}-"):
+                    os.unlink(os.path.join(mdir0, fn))
+            part_dir0 = os.path.join(self.index_dir, "parts",
+                                     f"part-{part:04d}")
+            for fn in list(os.listdir(part_dir0)):
+                if fn.endswith(".parquet"):
+                    os.unlink(os.path.join(part_dir0, fn))
+            return
         group = {
             "part": pa.array(np.full(len(cols["field"]), part, np.int32)),
             "salt": pa.array(np.zeros(len(cols["field"]), np.int32)),
@@ -1182,7 +1199,7 @@ class _CompactPart:
         for fn in old_mans:
             os.unlink(os.path.join(mdir, fn))
         _encode_segment(pa.table(group), self.index_dir, self.fp,
-                        self.cfg, self.docstore_cols)
+                        self.cfg, docstore_cols=[])
         part_dir = os.path.join(self.index_dir, "parts", f"part-{part:04d}")
         for fn in os.listdir(part_dir):
             if fn.endswith(".parquet") and fn != "seg-00.parquet":
@@ -1254,6 +1271,7 @@ def compact_index(index_dir: str) -> dict:
     tombs = load_tombstones(index_dir)
     if not gens and tombs.size == 0:
         return manifest
+    _scrub_orphan_generations(index_dir, manifest)
     cfg_dict = manifest["config"]
     cfg = IndexConfig(**{k: (tuple(tuple(x) if isinstance(x, list) else x
                                    for x in v) if isinstance(v, list) else v)
@@ -1262,25 +1280,17 @@ def compact_index(index_dir: str) -> dict:
         ("|".join([manifest["fingerprint"]] + sorted(gens) +
                   [f"tomb:{tombs.size}:{int(tombs.sum())}"])).encode()
     ).hexdigest()[:16]
-    # docstore schema facts for the encode path
-    store = os.path.join(index_dir, "docstore")
-    probe = pq.read_schema(os.path.join(store, sorted(
-        fn for fn in os.listdir(store) if fn.endswith(".parquet"))[0]))
-    docstore_cols = [n for n in probe.names
-                     if n not in ("doc_id", "content_sha256")]
-    docstore_types = {n: str(probe.field(n).type) for n in docstore_cols}
     items = [{"part": p} for p in range(cfg.num_partitions)]
     rd.from_items(items).map_batches(
         _CompactPart,
         fn_constructor_kwargs=dict(index_dir=index_dir, fp=combined,
-                                   cfg_dict=cfg.fingerprint_dict(),
-                                   docstore_cols=docstore_cols,
-                                   docstore_types=docstore_types),
+                                   cfg_dict=cfg.fingerprint_dict()),
         batch_format="pyarrow", batch_size=1,
         concurrency=min(cfg.num_partitions, 8)).materialize()
     build_filters(index_dir, cfg)
-    manifest["compacted_from"] = sorted([manifest["fingerprint"]] +
-                                        list(gens))
+    manifest["compacted_from"] = sorted(
+        set(manifest.get("compacted_from", []))
+        | {manifest["fingerprint"]} | set(gens))
     manifest["fingerprint"] = combined
     manifest["generations"] = {}
     if tombs.size:
@@ -1295,8 +1305,11 @@ def compact_index(index_dir: str) -> dict:
                     os.path.join(store, fn)).num_rows
         removed = int(manifest["stats"]["n_docs"]) - n_docs
         manifest["stats"]["n_docs"] = n_docs
-        # per-field total_tf: recompute from the fresh segment manifests
-        total_tf: dict[str, int] = {}
+        # per-field total_tf: recompute from the fresh segment
+        # manifests; every configured field stays present (0) so
+        # stats["avgdl"][field] lookups never KeyError on an
+        # empty/field-less index
+        total_tf: dict[str, int] = {f: 0 for f, _, _ in cfg.fields}
         mdir = os.path.join(index_dir, "manifest")
         for fn in os.listdir(mdir):
             if fn.startswith("seg-"):
@@ -1315,6 +1328,25 @@ def compact_index(index_dir: str) -> dict:
     _atomic_write_json(manifest, man_path)
     _purge_stale_outputs(index_dir, combined)
     return manifest
+
+
+def _scrub_orphan_generations(index_dir: str, manifest: dict) -> None:
+    """Remove generation outputs whose fingerprint is not in the
+    manifest's ledger — the debris of an extend_index that crashed
+    between writing segments and updating the manifest.  Without this,
+    ShardReader (which loads every seg-*.parquet in a part dir) would
+    serve phantom docs scored with stale global stats."""
+    import re as _re
+    valid = {fp[:8] for fp in manifest.get("generations", {})}
+    mdir = os.path.join(index_dir, "manifest")
+    tags: set[str] = set()
+    if os.path.isdir(mdir):
+        for fn in os.listdir(mdir):
+            m = _re.search(r"-g([0-9a-f]{8})\.json$", fn)
+            if m:
+                tags.add(m.group(1))
+    for tag in tags - valid:
+        _scrub_generation(index_dir, f"-g{tag}")
 
 
 def _scrub_generation(index_dir: str, gen_tag: str) -> None:
@@ -1336,9 +1368,10 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     removed physically at the next :func:`compact_index` (Lucene
     deleted-doc semantics — df/N keep counting them until merge, which
     is also the reference's OpenSearch behavior).  Returns the total
-    tombstone count.  ``delete_docs`` + ``extend_index`` with the same
-    id = the reference's ``_id`` upsert (extend clears re-added ids
-    from the tombstone set)."""
+    tombstone count.  Upsert = ``delete_docs`` -> ``compact_index`` ->
+    ``extend_index`` with the new version; extend REFUSES ids that are
+    still tombstoned (re-ingesting one would revive its old postings
+    next to the new ones)."""
     from ..state.shard import load_tombstones
     new = np.asarray(sorted(int(d) for d in doc_ids), dtype=np.uint64)
     cur = load_tombstones(index_dir)
@@ -1348,17 +1381,3 @@ def delete_docs(index_dir: str, doc_ids) -> int:
         os.path.join(index_dir, "tombstones.parquet"))
     return int(merged.size)
 
-
-def _clear_tombstones(index_dir: str, doc_ids: np.ndarray) -> None:
-    from ..state.shard import load_tombstones
-    cur = load_tombstones(index_dir)
-    if cur.size == 0 or doc_ids.size == 0:
-        return
-    keep = cur[~np.isin(cur, doc_ids.astype(np.uint64))]
-    path = os.path.join(index_dir, "tombstones.parquet")
-    if keep.size:
-        _atomic_write_table(
-            pa.table({"doc_id": pa.array(keep.astype(np.int64), pa.int64())}),
-            path)
-    elif os.path.exists(path):
-        os.unlink(path)

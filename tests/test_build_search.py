@@ -723,3 +723,119 @@ def test_search_multi_field(built):
                                [sc for _, sc in want], rtol=1e-9)
     # default fields = all configured fields
     assert s.search_multi("needle_137", k=5)
+
+
+def test_docstore_complex_type_column(ray_session, tmp_path_factory):
+    """Docstore columns whose types cast can't resolve from str(type)
+    (lists, tz timestamps) degrade to strings instead of crashing the
+    build (review round 2, finding 1)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from siem_on_amazon_opensearch_service_ray.state.docstore import fetch_docs
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["alpha beta", "gamma"],
+        "tags": pa.array([["a", "b"], ["c"]], pa.list_(pa.string())),
+    })
+    cfg = IndexConfig(num_partitions=2, fields=(("text", "text", "base"),),
+                      keyword_fields=(), doc_id_col="doc_id", sha_col="text",
+                      salting=False)
+    idx = str(tmp_path_factory.mktemp("cplx") / "idx")
+    build_index(rd.from_arrow(docs), idx, cfg)       # must not raise
+    got = fetch_docs(idx, [1])
+    assert got.num_rows == 1                          # tags kept as string
+
+
+def test_reextend_after_compaction_is_noop(ray_session, tmp_path_factory):
+    """A generation folded in by compaction is remembered: re-ingesting
+    the same source is a no-op, not a duplicate (review round 2,
+    finding 3)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
+        compact_index, extend_index)
+    root = tmp_path_factory.mktemp("reext")
+    cfg = IndexConfig(num_partitions=2, fields=(("text", "text", "base"),),
+                      keyword_fields=(), doc_id_col="doc_id", sha_col="text",
+                      salting=False)
+    src1, src2 = str(root / "a.parquet"), str(root / "b.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(range(10), pa.int64()),
+                             "text": ["alpha common"] * 10}), src1)
+    pq.write_table(pa.table({"doc_id": pa.array(range(50, 55), pa.int64()),
+                             "text": ["beta common"] * 5}), src2)
+    idx = str(root / "idx")
+    build_index([src1], idx, cfg)
+    extend_index([src2], idx, cfg)
+    compact_index(idx)
+    m = extend_index([src2], idx, cfg)               # folded-in: no-op
+    assert m["stats"]["n_docs"] == 15
+    s = Searcher(idx, use_actors=False)
+    hits = s.search("common", field="text", k=100)
+    assert len(hits) == 15
+    # no duplicated doc ids
+    assert len({d for _, d in hits}) == 15
+
+
+def test_extend_crash_debris_scrubbed(ray_session, tmp_path_factory):
+    """Generation files with no ledger entry (an extend that crashed
+    before the manifest update) are scrubbed on the next extend/compact
+    instead of serving phantom docs (review round 2, finding 4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import json as _json
+    import os as _os
+    from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
+        extend_index)
+    root = tmp_path_factory.mktemp("debris")
+    cfg = IndexConfig(num_partitions=2, fields=(("text", "text", "base"),),
+                      keyword_fields=(), doc_id_col="doc_id", sha_col="text",
+                      salting=False)
+    src1, src2 = str(root / "a.parquet"), str(root / "b.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                             "text": ["alpha common"] * 5}), src1)
+    pq.write_table(pa.table({"doc_id": pa.array(range(50, 53), pa.int64()),
+                             "text": ["phantom common"] * 3}), src2)
+    idx = str(root / "idx")
+    build_index([src1], idx, cfg)
+    # simulate the crash: run a full extend, then strip its ledger entry
+    extend_index([src2], idx, cfg)
+    mp = _os.path.join(idx, "INDEX_MANIFEST.json")
+    man = _json.load(open(mp))
+    man["generations"] = {}
+    man["stats"]["n_docs"] = 5
+    _json.dump(man, open(mp, "w"))
+    # debris present: phantom docs visible (the failure mode)
+    assert {d for _, d in Searcher(idx, use_actors=False)
+            .search("phantom", field="text", k=10)}
+    # next extend scrubs the orphan generation before ingesting
+    src3 = str(root / "c.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array([99], pa.int64()),
+                             "text": ["fresh common"]}), src3)
+    extend_index([src3], idx, cfg)
+    s = Searcher(idx, use_actors=False)
+    assert s.search("phantom", field="text", k=10) == []
+    assert {d for _, d in s.search("common", field="text", k=100)} == \
+        set(range(5)) | {99}
+
+
+def test_compact_all_docs_deleted(ray_session, tmp_path_factory):
+    """Compacting an index whose docs are ALL tombstoned empties it
+    without crashing (review round 2, finding 2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
+        compact_index, delete_docs)
+    root = tmp_path_factory.mktemp("alltomb")
+    cfg = IndexConfig(num_partitions=2, fields=(("text", "text", "base"),),
+                      keyword_fields=(), doc_id_col="doc_id", sha_col="text",
+                      salting=False)
+    src1 = str(root / "a.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                             "text": ["alpha common"] * 6}), src1)
+    idx = str(root / "idx")
+    build_index([src1], idx, cfg)
+    delete_docs(idx, list(range(6)))
+    m = compact_index(idx)
+    assert m["stats"]["n_docs"] == 0
+    s = Searcher(idx, use_actors=False)
+    assert s.search("common", field="text", k=10) == []
