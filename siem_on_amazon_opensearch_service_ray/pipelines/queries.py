@@ -48,6 +48,31 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+_RG_CACHE: dict[str, int] = {}
+
+
+def _t_ds(sf_dir: str, name: str, columns: list[str]) -> rd.Dataset:
+    """Block-count-controlled read.  Measured on the single-row-group
+    testdata files at 32 cpus (block-count sweep): splitting far past
+    the row-group count re-decodes the group per split and bloats the
+    sort-shuffle (tf_top_terms 0.8 s at 1 block vs 8 s at 64), while
+    too FEW blocks serializes wide shuffles (exact dedup 18 s at 1
+    block vs 2 s at 32).  ``max(row_groups, cpus/2)`` capped at
+    4x cpus balances both; many-row-group production sources land in
+    the usual ~blocks-per-cpu band."""
+    import pyarrow.parquet as pq
+    path = _t(sf_dir, name)
+    rgs = _RG_CACHE.get(path)
+    if rgs is None:
+        rgs = pq.ParquetFile(path).num_row_groups
+        _RG_CACHE[path] = rgs
+    cpus = int(ray.cluster_resources().get("CPU", 4)) \
+        if ray.is_initialized() else 4
+    blocks = max(1, min(max(rgs, cpus // 2), 4 * cpus))
+    return rd.read_parquet(path, columns=columns,
+                           override_num_blocks=blocks)
+
+
 def _concurrency() -> int:
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     return max(2, cpus - 2)
@@ -58,8 +83,7 @@ def _concurrency() -> int:
 
 
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
-                         columns=["l_returnflag", "l_linestatus", "l_quantity",
+    ds = _t_ds(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
                                   "l_extendedprice", "l_discount"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -100,8 +124,7 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 
 def events_hourly(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "events"),
-                         columns=["event_type", "ts", "value"])
+    ds = _t_ds(sf_dir, "events", ["event_type", "ts", "value"])
 
     def prep(batch: pa.Table) -> pa.Table:
         hours = pc.floor_temporal(batch.column("ts"), unit="hour")
@@ -137,7 +160,7 @@ _K_RE = re.compile(r'"k": (\d+)')
 
 
 def events_json_extract(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "props"])
+    ds = _t_ds(sf_dir, "events", ["event_type", "props"])
 
     def partial(batch: pa.Table) -> pa.Table:
         types = batch.column("event_type").to_pylist()
@@ -172,7 +195,7 @@ GROUP BY event_type
 
 
 def dedup_exact_docs(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _t_ds(sf_dir, "documents", ["doc_id", "text"])
     out = dedup_ops.exact_dedup(ds, text_col="text")
     return out.to_pandas()
 
@@ -186,23 +209,24 @@ SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
 # 5/6/7. term stats: tf top-k, df, corpus stats (A4 partial+final)
 
 
-class _TermCounts:
+def _term_counts(batch: pa.Table) -> pa.Table:
     """Per-batch partial (term, tf, df) — docs are unique per batch so
-    per-batch df partials sum correctly (partial+final, SURVEY A4)."""
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        tf: Counter = Counter()
-        df: Counter = Counter()
-        for text in batch.column("text").to_pylist():
-            toks = base_tokens(text or "")
-            tf.update(toks)
-            df.update(set(toks))
-        terms = sorted(tf)
-        return pa.table({
-            "term": pa.array(terms, pa.string()),
-            "tf": pa.array([tf[t] for t in terms], pa.int64()),
-            "df": pa.array([df[t] for t in terms], pa.int64()),
-        })
+    per-batch df partials sum correctly (partial+final, SURVEY A4).
+    Stateless task (not an actor pool): no per-worker state to
+    amortize, and a fixed pool would reserve CPUs from the groupby
+    (measured lever, build_index.tokenize_concurrency docstring)."""
+    tf: Counter = Counter()
+    df: Counter = Counter()
+    for text in batch.column("text").to_pylist():
+        toks = base_tokens(text or "")
+        tf.update(toks)
+        df.update(set(toks))
+    terms = sorted(tf)
+    return pa.table({
+        "term": pa.array(terms, pa.string()),
+        "tf": pa.array([tf[t] for t in terms], pa.int64()),
+        "df": pa.array([df[t] for t in terms], pa.int64()),
+    })
 
 
 # tf_top_terms and df_terms share one aggregation: cache the (small,
@@ -220,9 +244,8 @@ def _term_stats_ds(sf_dir: str) -> rd.Dataset:
     cached = _TERM_STATS_CACHE.get(key)
     if cached is not None:
         return cached
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
-    out = (ds.map_batches(_TermCounts, batch_format="pyarrow",
-                          concurrency=_concurrency())
+    ds = _t_ds(sf_dir, "documents", ["text"])
+    out = (ds.map_batches(_term_counts, batch_format="pyarrow")
              .groupby("term")
              .aggregate(Sum("tf", alias_name="tf"),
                         Sum("df", alias_name="df"))).materialize()
@@ -260,7 +283,7 @@ HAVING count(DISTINCT doc_id) >= 5
 
 
 def corpus_stats(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    ds = _t_ds(sf_dir, "documents", ["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
         dls = [len(base_tokens(t or "")) for t in batch.column("text").to_pylist()]
@@ -375,7 +398,7 @@ def events_sessions(sf_dir: str) -> pd.DataFrame:
     """Sessionization (30-min gap) per user over events — windowed /
     session semantics with an exact SQL-window-function oracle."""
     from ..stages.windows import sessionize
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    ds = _t_ds(sf_dir, "events", ["user_id", "ts"])
     sess = sessionize(ds, "user_id", "ts", gap_sec=1800)
 
     def agg(b: pa.Table) -> pa.Table:
@@ -515,7 +538,7 @@ def knn_cosine_q(sf_dir: str) -> pd.DataFrame:
     tbl = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"],
                         filters=[("vec_id", "=", 0)])
     q = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _t_ds(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def score(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
@@ -577,8 +600,7 @@ def region_revenue(sf_dir: str) -> pd.DataFrame:
                 n_orders=("o_custkey", "size"), revenue_e2=("revenue_e2", "sum"))
             return pa.Table.from_pandas(g, preserve_index=False)
 
-    ds = rd.read_parquet(_t(sf_dir, "orders"),
-                         columns=["o_custkey", "o_totalprice"])
+    ds = _t_ds(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     out = (ds.map_batches(JoinAgg, fn_constructor_kwargs={"lookup_ref": ref},
                           batch_format="pyarrow", concurrency=_concurrency())
              .groupby("r_name")
@@ -603,7 +625,7 @@ GROUP BY r_name
 
 
 def top_events(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "value"])
+    ds = _t_ds(sf_dir, "events", ["event_id", "value"])
     out = ds.sort(["value", "event_id"], descending=[True, False]) \
         .limit(100).to_pandas()
     out["value_e2"] = np.array([round(v * 100) for v in out["value"]],
@@ -622,8 +644,7 @@ FROM events ORDER BY value DESC, event_id LIMIT 100
 
 
 def filter_project(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "documents"),
-                         columns=["doc_id", "lang", "n_chars"])
+    ds = _t_ds(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
     out = ds.map_batches(
         lambda t: t.filter(pc.and_(pc.equal(t.column("lang"), "en"),
                                    pc.greater_equal(t.column("n_chars"), 200))),
@@ -641,7 +662,7 @@ SELECT doc_id, n_chars FROM documents WHERE lang = 'en' AND n_chars >= 200
 
 
 def token_count_docs(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _t_ds(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(
         lambda b: textops.count_tokens(b, "text"), batch_format="pyarrow")
     return out.select_columns(["doc_id", "n_tokens"]).to_pandas()
@@ -659,7 +680,7 @@ FROM documents
 
 
 def quality_docs(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _t_ds(sf_dir, "documents", ["doc_id", "text"])
     stop = frozenset(_STOP10)
     punct_re = re.compile(r"[^\w\s]")
 
@@ -711,7 +732,7 @@ FROM t
 
 
 def exclude_events(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type"])
+    ds = _t_ds(sf_dir, "events", ["event_id", "event_type"])
     rules = [ExclusionRule("event_type", "error", "text", action="EXCLUDE")]
     out = ds.map_batches(Excluder, fn_constructor_kwargs={"rules": rules},
                          batch_format="pyarrow", concurrency=_concurrency())
@@ -728,7 +749,7 @@ SELECT event_id, event_type FROM events WHERE event_type <> 'error'
 
 
 def user_stats(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+    ds = _t_ds(sf_dir, "events", ["user_id", "ts", "value"])
 
     def prep(batch: pa.Table) -> pa.Table:
         ts_us = pc.cast(batch.column("ts"), pa.int64())
@@ -789,7 +810,7 @@ def events_sliding(sf_dir: str) -> pd.DataFrame:
     the range-join expressed without a shuffle join), then a groupby.
     SQL oracle: unnest over the 4 window offsets."""
     from ..stages.windows import explode_sliding_windows
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+    ds = _t_ds(sf_dir, "events", ["ts", "value"])
 
     def prep(batch: pa.Table) -> pa.Table:
         ex = explode_sliding_windows(batch, "ts", 3600, 900)
@@ -821,7 +842,7 @@ def events_routed(sf_dir: str) -> pd.DataFrame:
     event's own timestamp (late data lands in the older partition its
     timestamp names), counted per routed index."""
     from ..pipelines.etl import route_index
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+    ds = _t_ds(sf_dir, "events", ["ts"])
 
     def prep(batch: pa.Table) -> pa.Table:
         b = pa.table({"@timestamp": batch.column("ts")})
@@ -849,7 +870,7 @@ def minhash_pairs(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH near-dup pairs with fully distributed exact-Jaccard
     verification (no driver-side corpus materialization — only the
     candidate id pairs ever reach the driver)."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _t_ds(sf_dir, "documents", ["doc_id", "text"])
     out = dedup_ops.minhash_verified_pairs(
         ds, "text", "doc_id", num_perm=64, bands=16, threshold=0.8,
         concurrency=_concurrency()).to_pandas()
@@ -857,7 +878,7 @@ def minhash_pairs(sf_dir: str) -> pd.DataFrame:
 
 
 def simhash_docs(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _t_ds(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(dedup_ops.SimHashStage,
                          fn_constructor_kwargs={"text_col": "text"},
                          batch_format="pyarrow", concurrency=_concurrency())
@@ -865,14 +886,14 @@ def simhash_docs(sf_dir: str) -> pd.DataFrame:
 
 
 def langid_docs(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _t_ds(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(textops.LangId, batch_format="pyarrow",
                          concurrency=_concurrency())
     return out.select_columns(["doc_id", "pred_lang"]).to_pandas()
 
 
 def fingerprint_docs(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _t_ds(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(textops.Fingerprint, batch_format="pyarrow",
                          concurrency=_concurrency())
     df = out.select_columns(["doc_id", "fingerprint"]).to_pandas()
@@ -891,7 +912,7 @@ def embedding_near_dups(sf_dir: str) -> pd.DataFrame:
     vectors, slightly perturbed, re-identified as vec_id+PLANT_OFFSET —
     so a correct pipeline MUST recover >=1 pair per planted vector and
     an empty result is a real failure (verdict round 1, item 6)."""
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _t_ds(sf_dir, "embeddings", ["vec_id", "embedding"])
     planted = dedup_ops.plant_embedding_dups(ds, "vec_id", "embedding",
                                              n=32, noise=0.01, seed=5)
     out = dedup_ops.embedding_near_dup_pairs(
@@ -906,7 +927,7 @@ def knn_ivf(sf_dir: str) -> pd.DataFrame:
     approximate by design; recall >= 0.8 vs brute force is
     pytest-asserted)."""
     import pyarrow.parquet as pq
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _t_ds(sf_dir, "embeddings", ["vec_id", "embedding"])
     cents = knn_ops.train_ivf_centroids(ds, "embedding", n_cells=16)
     tbl = pq.read_table(_t(sf_dir, "embeddings"), columns=["embedding"],
                         filters=[("vec_id", "=", 0)])
@@ -924,7 +945,7 @@ def knn_lsh(sf_dir: str) -> pd.DataFrame:
                               columns=["embedding"]).column("embedding")[0]
     planes = knn_ops.lsh_planes(len(dim_probe.as_py()), n_bits=8)
     ref = ray.put(planes) if ray.is_initialized() else planes
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _t_ds(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = (ds.map_batches(knn_ops.LshBucketStage,
                           fn_constructor_kwargs={"planes_ref": ref},
                           batch_format="pyarrow", concurrency=_concurrency())
