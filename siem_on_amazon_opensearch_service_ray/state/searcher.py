@@ -468,6 +468,61 @@ def _dispatch(method: str, terms: list[TermData], k: int, mode: str,
     return score_taat(terms, k, mode, avgdl, filt, k1, b)
 
 
+def _candidate_ids(reader: ShardReader, field: str, q_terms: list[str],
+                   mode: str) -> np.ndarray:
+    """Sorted unique doc ids matching the query terms in one shard
+    (union for ``or``, intersection for ``and``)."""
+    doc_sets = []
+    for t in dict.fromkeys(q_terms):
+        rows = reader.raw_rows(field, t)
+        if not rows:
+            if mode == "and":
+                return np.zeros(0, np.uint64)
+            continue
+        runs = [decode_postings(docs, tfs, norms, df).doc_ids
+                for df, docs, tfs, norms, *_ in rows]
+        doc_sets.append(np.sort(np.concatenate(runs))
+                        if len(runs) > 1 else runs[0])
+    if not doc_sets:
+        return np.zeros(0, np.uint64)
+    if mode == "and":
+        cand = doc_sets[0]
+        for ds_ in doc_sets[1:]:
+            pos = np.minimum(np.searchsorted(ds_, cand),
+                             max(ds_.size - 1, 0))
+            cand = cand[ds_[pos] == cand] if ds_.size else cand[:0]
+        return cand
+    return np.unique(np.concatenate(doc_sets))
+
+
+def _count_filter_values(index_dir: str, agg_field: str, cand: np.ndarray,
+                         dparts: list[int] | None = None
+                         ) -> list[tuple[str, int]]:
+    """Per keyword value, |cand ∩ value's doc list| over the
+    (optionally part-restricted) filter postings."""
+    import os as _os
+    import pyarrow.parquet as _pq
+    fdir = _os.path.join(index_dir, "filters", agg_field)
+    if not _os.path.isdir(fdir):
+        return []
+    names = sorted(f for f in _os.listdir(fdir) if f.endswith(".parquet"))
+    if dparts is not None:
+        want = {f"part-{p:04d}" for p in dparts}
+        names = [f for f in names if f[:9] in want and f[9] in ".-"]
+    counts: dict[str, int] = {}
+    for fn in names:
+        t = _pq.read_table(_os.path.join(fdir, fn),
+                           columns=["value", "docs"])
+        for v, blob in zip(t.column("value").to_pylist(),
+                           t.column("docs").to_pylist()):
+            ids = np.frombuffer(blob, dtype="<u8")
+            pos = np.minimum(np.searchsorted(cand, ids), cand.size - 1)
+            n = int(np.count_nonzero(cand[pos] == ids))
+            if n:
+                counts[v] = counts.get(v, 0) + n
+    return list(counts.items())
+
+
 # ---------------------------------------------------------------------------
 # actors + driver
 
@@ -498,6 +553,23 @@ class PartActor:
 
     def ping(self) -> bool:
         return True
+
+    def agg_local(self, field: str, q_terms: list[str], mode: str,
+                  agg_field: str) -> dict[str, int]:
+        """Doc-sharded terms aggregation: per-shard match set against
+        the shard's OWN filter part — partial counts sum at the
+        driver; no doc id ever leaves its shard."""
+        out: dict[str, int] = {}
+        for p, r in self.readers.items():
+            cand = _candidate_ids(r, field, q_terms, mode)
+            if cand.size and self.tombstones.size:
+                cand = cand[_excl_mask(cand, self.tombstones)]
+            if cand.size == 0:
+                continue
+            for v, n in _count_filter_values(
+                    r.index_dir, agg_field, cand, dparts=[p]):
+                out[v] = out.get(v, 0) + n
+        return out
 
     # --- doc-sharded execution (dfs_query_then_fetch; SURVEY §7.1) ---
 
@@ -920,51 +992,40 @@ class Searcher:
         q_terms = ANALYZERS[analyzer](query)
         if not q_terms:
             return []
+        if self.manifest["config"].get("partition_by") == "doc":
+            # doc-sharded: per-shard partial counts, summed here —
+            # doc ids never leave their shard
+            counts: dict[str, int] = {}
+            if self.use_actors:
+                parts = ray.get([a.agg_local.remote(field, q_terms, mode,
+                                                    agg_field)
+                                 for a in self.actors])
+            else:
+                parts = []
+                for p, r in self.readers.items():
+                    cand = _candidate_ids(r, field, q_terms, mode)
+                    if cand.size and self.tombstones.size:
+                        cand = cand[_excl_mask(cand, self.tombstones)]
+                    if cand.size:
+                        parts.append(dict(_count_filter_values(
+                            self.index_dir, agg_field, cand, dparts=[p])))
+                    else:
+                        parts.append({})
+            for d in parts:
+                for v, n in d.items():
+                    counts[v] = counts.get(v, 0) + n
+            return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         rows = self._gather(field, q_terms)
-        doc_sets = []
-        for t in dict.fromkeys(q_terms):
-            r = rows.get(t)
-            if not r:
-                if mode == "and":
-                    return []
-                continue
-            runs = [decode_postings(docs, tfs, norms, df).doc_ids
-                    for df, docs, tfs, norms, *_ in r]
-            doc_sets.append(np.sort(np.concatenate(runs))
-                            if len(runs) > 1 else runs[0])
-        if not doc_sets:
-            return []
-        if mode == "and":
-            cand = doc_sets[0]
-            for ds_ in doc_sets[1:]:
-                pos = np.minimum(np.searchsorted(ds_, cand),
-                                 max(ds_.size - 1, 0))
-                cand = cand[ds_[pos] == cand] if ds_.size else cand[:0]
-        else:
-            cand = np.unique(np.concatenate(doc_sets))
+
+        class _RowsReader:          # adapt gathered rows to the helper
+            def raw_rows(self, _f, t):
+                return rows.get(t, [])
+        cand = _candidate_ids(_RowsReader(), field, q_terms, mode)
         if self.tombstones.size and cand.size:
             cand = cand[_excl_mask(cand, self.tombstones)]
         if cand.size == 0:
             return []
-        import os as _os
-        import pyarrow.parquet as _pq
-        fdir = _os.path.join(self.index_dir, "filters", agg_field)
-        if not _os.path.isdir(fdir):
-            return []
-        counts: dict[str, int] = {}
-        for fn in sorted(_os.listdir(fdir)):
-            if not fn.endswith(".parquet"):
-                continue
-            t = _pq.read_table(_os.path.join(fdir, fn),
-                               columns=["value", "docs"])
-            for v, blob in zip(t.column("value").to_pylist(),
-                               t.column("docs").to_pylist()):
-                ids = np.frombuffer(blob, dtype="<u8")
-                pos = np.minimum(np.searchsorted(cand, ids),
-                                 cand.size - 1)
-                n = int(np.count_nonzero(cand[pos] == ids))
-                if n:
-                    counts[v] = counts.get(v, 0) + n
+        counts = dict(_count_filter_values(self.index_dir, agg_field, cand))
         return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
 
     def search_many(self, queries: list[str], field: str = "content",

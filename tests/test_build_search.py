@@ -839,3 +839,25 @@ def test_compact_all_docs_deleted(ray_session, tmp_path_factory):
     assert m["stats"]["n_docs"] == 0
     s = Searcher(idx, use_actors=False)
     assert s.search("common", field="text", k=10) == []
+
+
+def test_terms_aggregation_doc_sharded(built, small_corpus, tmp_path_factory):
+    """Doc-sharded terms aggregation (per-shard partial counts) equals
+    the term-partitioned driver-side aggregation, local and actor."""
+    import dataclasses
+    _, term_dir, _ = built
+    doc_dir = str(tmp_path_factory.mktemp("aggdoc") / "idx")
+    cfg = dataclasses.replace(CFG, partition_by="doc")
+    build_index(small_corpus, doc_dir, cfg)
+    s_term = Searcher(term_dir, use_actors=False)
+    s_doc = Searcher(doc_dir, use_actors=False)
+    for q, mode in (("def return", "or"), ("def needle_137", "and")):
+        want = s_term.terms_aggregation(q, "lang", mode=mode)
+        got = s_doc.terms_aggregation(q, "lang", mode=mode)
+        assert got == want, (q, mode)
+    s_act = Searcher(doc_dir, use_actors=True)
+    try:
+        assert s_act.terms_aggregation("def return", "lang") == \
+            s_doc.terms_aggregation("def return", "lang")
+    finally:
+        s_act.close()
