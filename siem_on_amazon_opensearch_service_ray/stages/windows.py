@@ -97,7 +97,7 @@ def sessionize(ds: rd.Dataset, key_col: str, ts_col: str,
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col).reset_index(drop=True)
-        us = g[ts_col].astype("int64")
+        us = g[ts_col].astype("datetime64[us]").astype("int64")
         new_sess = (us.diff().fillna(gap_us + 1) > gap_us).astype("int64")
         g["session_id"] = new_sess.cumsum() - 1
         return g
@@ -123,3 +123,88 @@ def session_stats(ds: rd.Dataset, key_col: str, ts_col: str,
 
     # sessionize already co-located each key in one group/block
     return sess.map_batches(agg, batch_format="pyarrow")
+
+
+def sessionize_bounded(ds: rd.Dataset, key_col: str, ts_col: str,
+                       gap_sec: float, bucket_hours: float = 24.0
+                       ) -> rd.Dataset:
+    """Skew-bounded sessionization: identical output to
+    :func:`sessionize`, but no group ever holds more than one
+    (key, time-bucket) slice — the pathological-key mitigation the
+    plain version's docstring describes.
+
+    Phase 1 sessionizes per (key, bucket) locally; phase 2 reduces the
+    tiny per-(key, bucket) summary table (first/last ts, session
+    count) per key into global id offsets — consecutive buckets whose
+    boundary gap is <= ``gap_sec`` share a session across the cut —
+    and a broadcast map rewrites local ids to global ones.  The
+    summary table is |keys x active buckets| rows (bounded, metadata
+    -sized); event rows never centralize."""
+    import ray
+
+    gap_us = int(gap_sec * 1_000_000)
+    bucket_us = int(bucket_hours * 3600 * 1_000_000)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column(ts_col), pa.int64())
+        return batch.append_column(
+            "_bucket", pc.divide(us, bucket_us))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col).reset_index(drop=True)
+        us = g[ts_col].astype("datetime64[us]").astype("int64")
+        new_sess = (us.diff().fillna(gap_us + 1) > gap_us).astype("int64")
+        g["_local_sid"] = new_sess.cumsum() - 1
+        return g
+
+    s1 = (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby([key_col, "_bucket"])
+            .map_groups(per_bucket, batch_format="pandas"))
+
+    # summary reduce: tiny — one row per (key, active bucket)
+    summary = (s1.groupby([key_col, "_bucket"])
+                 .aggregate(Min(ts_col, alias_name="_first"),
+                            Max(ts_col, alias_name="_last"),
+                            Max("_local_sid", alias_name="_max_sid"))
+               ).to_pandas()
+    # normalize to MICROseconds explicitly: depending on the pandas
+    # conversion path the timestamps land as datetime64[ns] (astype
+    # int64 would yield ns and silently shrink the effective gap 1000x)
+    summary["_first_us"] = summary["_first"].astype(
+        "datetime64[us]").astype("int64")
+    summary["_last_us"] = summary["_last"].astype(
+        "datetime64[us]").astype("int64")
+    offsets: dict[tuple, int] = {}
+    for key, grp in summary.groupby(key_col, sort=False):
+        grp = grp.sort_values("_bucket")
+        off = 0
+        prev_last = None
+        for _, row in grp.iterrows():
+            if prev_last is not None and \
+                    row["_first_us"] - prev_last <= gap_us:
+                off -= 1          # boundary sessions merge across the cut
+            offsets[(key, int(row["_bucket"]))] = off
+            off += int(row["_max_sid"]) + 1
+            prev_last = row["_last_us"]
+    off_ref = ray.put(offsets) if ray.is_initialized() else offsets
+
+    class Remap:
+        def __init__(self, ref):
+            self.offsets = ray.get(ref) if isinstance(
+                ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column(key_col).to_pylist()
+            buckets = batch.column("_bucket").to_pylist()
+            local = batch.column("_local_sid").to_numpy(
+                zero_copy_only=False)
+            glob = np.fromiter(
+                (self.offsets[(k, int(b))] + int(l)
+                 for k, b, l in zip(keys, buckets, local)),
+                dtype=np.int64, count=len(keys))
+            batch = batch.append_column("session_id",
+                                        pa.array(glob, pa.int64()))
+            return batch.drop_columns(["_bucket", "_local_sid"])
+
+    return s1.map_batches(Remap, fn_constructor_kwargs={"ref": off_ref},
+                          batch_format="pyarrow", concurrency=2)

@@ -47,3 +47,38 @@ def test_sessionize_and_stats(ray_session):
     s0 = stats[(stats["user"] == "a") & (stats["session_id"] == 0)]
     assert s0["n_events"].iloc[0] == 2
     assert s0["duration_sec"].iloc[0] == pytest.approx(30.0)
+
+
+def test_sessionize_bounded_equals_plain(ray_session):
+    """Two-phase skew-bounded sessionize produces the exact session
+    assignment of the plain per-key version, including sessions that
+    span bucket boundaries and keys with empty buckets between."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from siem_on_amazon_opensearch_service_ray.stages.windows import (
+        sessionize, sessionize_bounded)
+    rng = np.random.RandomState(11)
+    rows = []
+    base = 1_700_000_000_000_000
+    for user in ["a", "b", "skewed"]:
+        n = 2000 if user == "skewed" else 60
+        t = base
+        for _ in range(n):
+            # mix of small gaps (same session), gaps straddling the
+            # 1h bucket cut, and multi-bucket silences
+            t += int(rng.choice([30e6, 200e6, 2000e6, 9000e6]))
+            rows.append((user, t))
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.string()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+    ds = rd.from_arrow(tbl)
+    plain = sessionize(ds, "user_id", "ts", gap_sec=1800).to_pandas()
+    bounded = sessionize_bounded(ds, "user_id", "ts", gap_sec=1800,
+                                 bucket_hours=1).to_pandas()
+    key = ["user_id", "ts"]
+    p = plain.sort_values(key).reset_index(drop=True)
+    b = bounded.sort_values(key).reset_index(drop=True)
+    assert p["session_id"].tolist() == b["session_id"].tolist()
