@@ -87,12 +87,10 @@ def sessionize(ds: rd.Dataset, key_col: str, ts_col: str,
     that); order restored by an in-group sort.
 
     Skew note (100 TB): a pathological key (one bot user with 10^8
-    events) lands in ONE group on one worker.  The mitigation when
-    that matters is a two-phase split — pre-sessionize on
-    (key, coarse time bucket) so each group is bounded, then merge
-    bucket-boundary sessions whose gap spans the cut in a second,
-    tiny groupby over per-bucket first/last timestamps.  Not enabled
-    by default: the merge pass only pays for itself under heavy skew."""
+    events) lands in ONE group on one worker — use
+    :func:`sessionize_bounded` (two-phase split + boundary merge,
+    output-identical) when that matters; the extra summary pass only
+    pays for itself under heavy skew."""
     gap_us = int(gap_sec * 1_000_000)
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
