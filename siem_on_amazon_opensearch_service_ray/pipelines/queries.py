@@ -529,6 +529,259 @@ def search_range_topk(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def search_bool_topk(sf_dir: str) -> pd.DataFrame:
+    """Boolean query (OpenSearch bool DSL): must=spark,
+    should=join|sort (minimum_should_match=1), must_not=dup — the
+    reference's saved-search composition shape."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.search_bool(must=["spark"], should=["join", "sort"],
+                             must_not=["dup"], minimum_should_match=1,
+                             field="content", k=BM25_K)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d in hits],
+        "score_e4": np.array([round(sc * 10000) for sc, _ in hits],
+                             dtype=np.int64),
+    })
+
+
+SEARCH_BOOL_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+dl AS (SELECT d.doc_id, count(t.term) AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+dlq AS (SELECT doc_id, dl,
+               CASE WHEN dl < 8 THEN dl
+                    ELSE (dl >> (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3))
+                         << (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3) END AS dl_quant
+        FROM dl),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+q(term) AS (VALUES ('spark'), ('join'), ('sort')),
+tf AS (SELECT t.doc_id, t.term, count(*) AS tf
+       FROM tok t JOIN q USING(term) GROUP BY t.doc_id, t.term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2*(1 - 0.75 + 0.75*dlq.dl_quant/s.avgdl)) ) AS score
+  FROM tf JOIN df USING(term) JOIN dlq USING(doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+  HAVING count(DISTINCT CASE WHEN tf.term IN ('spark') THEN tf.term END) = 1
+     AND count(DISTINCT CASE WHEN tf.term IN ('join','sort') THEN tf.term END)
+         >= 1)
+SELECT doc_id, cast(round(score*10000) AS BIGINT) AS score_e4
+FROM scores
+WHERE doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'dup')
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def _multi_term_sql(term_pred: str, k: int) -> str:
+    """Scoring-boolean multi-term rewrite oracle: the q CTE expands
+    from the corpus term dictionary by predicate (engine parity: the
+    index term-dictionary scan yields the same set — both sides
+    tokenize with the base analyzer)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+dl AS (SELECT d.doc_id, count(t.term) AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+dlq AS (SELECT doc_id, dl,
+               CASE WHEN dl < 8 THEN dl
+                    ELSE (dl >> (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3))
+                         << (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3) END AS dl_quant
+        FROM dl),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+q AS (SELECT DISTINCT term FROM tok WHERE {term_pred}),
+tf AS (SELECT t.doc_id, t.term, count(*) AS tf
+       FROM tok t JOIN q USING(term) GROUP BY t.doc_id, t.term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2*(1 - 0.75 + 0.75*dlq.dl_quant/s.avgdl)) ) AS score
+  FROM tf JOIN df USING(term) JOIN dlq USING(doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, cast(round(score*10000) AS BIGINT) AS score_e4
+FROM scores ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+SEARCH_PREFIX_SQL = _multi_term_sql("term LIKE 's%'", BM25_K)
+SEARCH_WILDCARD_SQL = _multi_term_sql("term LIKE 's_a%'", BM25_K)
+
+
+def search_prefix(sf_dir: str) -> pd.DataFrame:
+    """Prefix query 's*' with scoring-boolean rewrite — the term
+    dictionary expands where it lives (per-part actor scan)."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.prefix_search("s", field="content", k=BM25_K)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d in hits],
+        "score_e4": np.array([round(sc * 10000) for sc, _ in hits],
+                             dtype=np.int64),
+    })
+
+
+def search_wildcard(sf_dir: str) -> pd.DataFrame:
+    """Wildcard query 's?a*' (matches e.g. scan/spark/small),
+    scoring-boolean rewrite."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.wildcard_search("s?a*", field="content", k=BM25_K)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d in hits],
+        "score_e4": np.array([round(sc * 10000) for sc, _ in hits],
+                             dtype=np.int64),
+    })
+
+
+def span_near_docs(sf_dir: str) -> pd.DataFrame:
+    """Ordered span-near (spark .. join, slop=2) over the positional
+    index — every matching doc with its ordered-tuple count."""
+    idx = _docs_index_dir(sf_dir) + "_pos"
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg_pos(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.span_near(["spark", "join"], field="content", slop=2,
+                           k=1_000_000)
+    finally:
+        s.close()
+    return pd.DataFrame({"doc_id": [d for _, d in hits],
+                         "span_tf": np.array([n for n, _ in hits],
+                                             dtype=np.int64)})
+
+
+SPAN_NEAR_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1)
+           AS pos
+  FROM documents)
+SELECT a.doc_id, count(*) AS span_tf
+FROM tok a JOIN tok b
+  ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 1 + 2
+WHERE a.term = 'spark' AND b.term = 'join'
+GROUP BY a.doc_id
+ORDER BY span_tf DESC, a.doc_id
+"""
+
+
+def search_cardinality(sf_dir: str) -> pd.DataFrame:
+    """Cardinality aggregation: distinct lang values over the docs
+    matching 'dup' (exact; the sketch path for un-indexed columns is
+    stages.sketches.hll_cardinality)."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        n = s.cardinality_aggregation("dup", "lang", field="content")
+    finally:
+        s.close()
+    return pd.DataFrame({"n_values": np.array([n], dtype=np.int64)})
+
+
+SEARCH_CARDINALITY_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents)
+SELECT cast(count(DISTINCT lang) AS BIGINT) AS n_values
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM tok WHERE term = 'dup')
+"""
+
+
+def search_histogram(sf_dir: str) -> pd.DataFrame:
+    """Numeric histogram aggregation (interval=100 over n_chars) of
+    the full 'spark join' match set, via the doc-range-partitioned
+    range tables."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        buckets = s.histogram_aggregation(BM25_QUERY, "n_chars", 100.0,
+                                          field="content")
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "bucket": np.array([b for b, _ in buckets], dtype=np.int64),
+        "n_docs": np.array([n for _, n in buckets], dtype=np.int64),
+    })
+
+
+SEARCH_HISTOGRAM_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents)
+SELECT cast(floor(n_chars / 100) * 100 AS BIGINT) AS bucket,
+       cast(count(*) AS BIGINT) AS n_docs
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM tok WHERE term IN ('spark', 'join'))
+GROUP BY bucket ORDER BY bucket
+"""
+
+
+def search_stats(sf_dir: str) -> pd.DataFrame:
+    """stats + percentiles aggregation over the 'spark join' match
+    set's n_chars (exact linear-interpolation quantiles == DuckDB
+    quantile_cont; t-digest is the documented 100-TB swap-in)."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        st = s.stats_aggregation(BM25_QUERY, "n_chars", field="content",
+                                 quantiles=(0.5, 0.9))
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "n_docs": np.array([st["count"]], dtype=np.int64),
+        "min_c": np.array([round(st["min"])], dtype=np.int64),
+        "max_c": np.array([round(st["max"])], dtype=np.int64),
+        "sum_c": np.array([round(st["sum"])], dtype=np.int64),
+        "avg_e4": np.array([round(st["avg"] * 10000)], dtype=np.int64),
+        "p50_e4": np.array([round(st["p50"] * 10000)], dtype=np.int64),
+        "p90_e4": np.array([round(st["p90"] * 10000)], dtype=np.int64),
+    })
+
+
+SEARCH_STATS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT * FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM tok
+                       WHERE term IN ('spark', 'join')))
+SELECT cast(count(*) AS BIGINT) AS n_docs,
+       cast(min(n_chars) AS BIGINT) AS min_c,
+       cast(max(n_chars) AS BIGINT) AS max_c,
+       cast(sum(n_chars) AS BIGINT) AS sum_c,
+       cast(round(avg(n_chars) * 10000) AS BIGINT) AS avg_e4,
+       cast(round(quantile_cont(n_chars, 0.5) * 10000) AS BIGINT) AS p50_e4,
+       cast(round(quantile_cont(n_chars, 0.9) * 10000) AS BIGINT) AS p90_e4
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # 10. ANN: brute-force cosine top-k (float64 for oracle parity)
 
@@ -972,6 +1225,13 @@ def queries() -> dict:
         "search_doc_sharded": search_doc_sharded,
         "search_lang_agg": search_lang_agg,
         "search_range_topk": search_range_topk,
+        "search_bool_topk": search_bool_topk,
+        "search_prefix": search_prefix,
+        "search_wildcard": search_wildcard,
+        "span_near_docs": span_near_docs,
+        "search_cardinality": search_cardinality,
+        "search_histogram": search_histogram,
+        "search_stats": search_stats,
         "phrase_docs": phrase_docs,
         "events_sessions": events_sessions,
         "knn_cosine": knn_cosine_q,
@@ -1010,6 +1270,13 @@ def oracle_sql() -> dict:
         "search_doc_sharded": BM25_SQL,
         "search_lang_agg": SEARCH_LANG_AGG_SQL,
         "search_range_topk": BM25_RANGE_SQL,
+        "search_bool_topk": SEARCH_BOOL_SQL,
+        "search_prefix": SEARCH_PREFIX_SQL,
+        "search_wildcard": SEARCH_WILDCARD_SQL,
+        "span_near_docs": SPAN_NEAR_SQL,
+        "search_cardinality": SEARCH_CARDINALITY_SQL,
+        "search_histogram": SEARCH_HISTOGRAM_SQL,
+        "search_stats": SEARCH_STATS_SQL,
         "phrase_docs": PHRASE_SQL,
         "events_sessions": EVENTS_SESSIONS_SQL,
         "knn_cosine": KNN_SQL,

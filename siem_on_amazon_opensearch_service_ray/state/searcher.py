@@ -207,6 +207,71 @@ def score_and(terms: list[TermData], k: int, avgdl: float,
     return [(float(scores[i]), int(base[i])) for i in sel]
 
 
+def score_bool(must: list[TermData], should: list[TermData], k: int,
+               avgdl: float, minimum_should_match: int = 0,
+               must_not_ids: np.ndarray | None = None,
+               filter_ids: np.ndarray | None = None,
+               k1: float = K1, b: float = B) -> list[tuple[float, int]]:
+    """Boolean-query scoring (Lucene BooleanQuery semantics): a doc is
+    eligible when it contains EVERY must clause, at least
+    ``minimum_should_match`` should clauses, and NO must_not clause;
+    its score is the sum of the matching must+should clauses' BM25
+    contributions (must_not never scores).  Vectorized: the candidate
+    base is the must intersection (or the should union when no musts),
+    then membership probes accumulate per-clause contributions."""
+    if must:
+        if any(t.doc_ids.size == 0 for t in must):
+            return []
+        order = sorted(must, key=lambda t: t.doc_ids.size)
+        base = order[0].doc_ids
+        for t in order[1:]:
+            pos = np.minimum(np.searchsorted(t.doc_ids, base),
+                             t.doc_ids.size - 1)
+            base = base[t.doc_ids[pos] == base]
+            if base.size == 0:
+                return []
+    else:
+        live = [t.doc_ids for t in should if t.doc_ids.size]
+        if not live:
+            return []
+        base = np.unique(np.concatenate(live))
+    if must_not_ids is not None and must_not_ids.size and base.size:
+        base = base[_excl_mask(base, must_not_ids)]
+    if filter_ids is not None:
+        base = base[_apply_filter(base, filter_ids)]
+    if base.size == 0:
+        return []
+    scores = np.zeros(base.size, dtype=np.float64)
+    n_should = np.zeros(base.size, dtype=np.int64)
+    for t in sorted(must, key=lambda t: t.qidx):    # fp-order pinned
+        pos = np.searchsorted(t.doc_ids, base)
+        scores += t.weight * t.idf * tf_norm(t.tfs[pos], t.lens[pos],
+                                             avgdl, k1, b)
+    for t in sorted(should, key=lambda t: t.qidx):
+        if t.doc_ids.size == 0:
+            continue
+        pos = np.minimum(np.searchsorted(t.doc_ids, base),
+                         t.doc_ids.size - 1)
+        hit = t.doc_ids[pos] == base
+        if hit.any():
+            idx = pos[hit]
+            scores[hit] += t.weight * t.idf * tf_norm(
+                t.tfs[idx], t.lens[idx], avgdl, k1, b)
+            n_should[hit] += 1
+    if should and minimum_should_match > 0:
+        keep = n_should >= minimum_should_match
+        base, scores = base[keep], scores[keep]
+    if base.size == 0:
+        return []
+    kk = min(k, base.size)
+    cand = np.arange(base.size)
+    if base.size > 4096:
+        thresh = np.partition(scores, base.size - kk)[base.size - kk]
+        cand = np.flatnonzero(scores >= thresh)
+    sel = cand[np.lexsort((base[cand], -scores[cand]))][:kk]
+    return [(float(scores[i]), int(base[i])) for i in sel]
+
+
 # WAND's per-evaluated-doc cost is Python-level (~50us) while TAAT is
 # numpy-vectorized (~0.5us/posting): the skip-based path only wins when
 # the candidate set is tiny.  In a compiled engine this crossover sits
@@ -554,6 +619,15 @@ class PartActor:
     def ping(self) -> bool:
         return True
 
+    def match_terms(self, field: str, pattern: str, kind: str) -> list[str]:
+        """Term-dictionary scan over this actor's parts (prefix /
+        wildcard expansion happens where the dictionaries live — only
+        the matching term STRINGS travel to the driver)."""
+        out: set[str] = set()
+        for r in self.readers.values():
+            out.update(r.match_terms(field, pattern, kind))
+        return sorted(out)
+
     def agg_local(self, field: str, q_terms: list[str], mode: str,
                   agg_field: str) -> dict[str, int]:
         """Doc-sharded terms aggregation: per-shard match set against
@@ -723,6 +797,318 @@ class Searcher:
                                   range_lo, range_hi)
             filt = rids if filt is None else                 np.intersect1d(filt, rids, assume_unique=True)
         return _dispatch(method, terms, k, mode, avgdl, filt, k1, b)
+
+    def search_bool(self, must: list[str] | None = None,
+                    should: list[str] | None = None,
+                    must_not: list[str] | None = None,
+                    field: str = "content", k: int = 10,
+                    minimum_should_match: int | None = None,
+                    filter_field: str | None = None,
+                    filter_value: str | None = None,
+                    range_field: str | None = None,
+                    range_lo=None, range_hi=None,
+                    analyzer: str | None = None,
+                    k1: float = K1, b: float = B) -> list[tuple[float, int]]:
+        """Boolean query (OpenSearch ``bool`` DSL parity — the
+        reference's saved dashboard searches compose must/should/
+        must_not term clauses): each list element is analyzed and every
+        resulting token becomes one term clause of that occurrence
+        type (BooleanQuery-of-TermQuery).  ``minimum_should_match``
+        defaults to 0 when must clauses exist, else 1 (OpenSearch
+        default).  must_not clauses exclude but never score."""
+        if analyzer is None:
+            analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
+                             if f == field), "code")
+        an = ANALYZERS[analyzer]
+        must_t = [tok for s in (must or []) for tok in an(s)]
+        should_t = [tok for s in (should or []) for tok in an(s)]
+        mnot_t = [tok for s in (must_not or []) for tok in an(s)]
+        if not must_t and not should_t:
+            raise ValueError("bool query needs at least one scoring "
+                             "(must/should) clause")
+        msm = (minimum_should_match if minimum_should_match is not None
+               else (0 if must_t else 1))
+        rows = self._gather(field, must_t + should_t + mnot_t)
+        avgdl = float(self.stats["avgdl"][field])
+        n_docs = int(self.stats["n_docs"])
+        must_td = (prepare_terms(must_t, rows, n_docs, avgdl, k1, b,
+                                 exclude_ids=self.tombstones)
+                   if must_t else [])
+        should_td = (prepare_terms(should_t, rows, n_docs, avgdl, k1, b,
+                                   exclude_ids=self.tombstones)
+                     if should_t else [])
+        mn_ids = None
+        if mnot_t:
+            mn_td = prepare_terms(mnot_t, rows, n_docs, avgdl, k1, b)
+            live = [t.doc_ids for t in mn_td if t.doc_ids.size]
+            if live:
+                mn_ids = np.unique(np.concatenate(live))
+        filt = None
+        if filter_field is not None:
+            filt = self._filter_ids(filter_field, filter_value)
+        if range_field is not None:
+            from .shard import load_range_ids
+            rids = load_range_ids(self.index_dir, range_field,
+                                  range_lo, range_hi)
+            filt = rids if filt is None else \
+                np.intersect1d(filt, rids, assume_unique=True)
+        return score_bool(must_td, should_td, k, avgdl, msm, mn_ids,
+                          filt, k1, b)
+
+    # --- multi-term query rewrite (prefix / wildcard) ---
+
+    def expand_terms(self, pattern: str, field: str = "content",
+                     kind: str = "prefix",
+                     max_expansions: int = 1024) -> list[str]:
+        """Expand a prefix/wildcard pattern against the term
+        dictionary.  Every part's dictionary is scanned where it lives
+        (actor-side); only matching term strings return.  Raises when
+        the expansion exceeds ``max_expansions`` (Lucene
+        BooleanQuery.TooManyClauses parity)."""
+        if self.use_actors:
+            parts = ray.get([a.match_terms.remote(field, pattern, kind)
+                             for a in self.actors])
+            terms = sorted(set().union(*map(set, parts))) if parts else []
+        else:
+            out: set[str] = set()
+            for r in self.readers.values():
+                out.update(r.match_terms(field, pattern, kind))
+            terms = sorted(out)
+        if len(terms) > max_expansions:
+            raise ValueError(
+                f"{kind} '{pattern}' expands to {len(terms)} terms "
+                f"(> max_expansions={max_expansions})")
+        return terms
+
+    def prefix_search(self, prefix: str, field: str = "content",
+                      k: int = 10, max_expansions: int = 1024,
+                      k1: float = K1, b: float = B
+                      ) -> list[tuple[float, int]]:
+        """Prefix query with scoring-boolean rewrite: the pattern
+        expands to every dictionary term starting with ``prefix``, and
+        the expanded terms score as an OR query (each clause keeps its
+        own idf — Lucene ``rewrite=scoring_boolean``)."""
+        terms = self.expand_terms(prefix.lower(), field, "prefix",
+                                  max_expansions)
+        return self._expanded_or(terms, field, k, k1, b)
+
+    def wildcard_search(self, pattern: str, field: str = "content",
+                        k: int = 10, max_expansions: int = 1024,
+                        k1: float = K1, b: float = B
+                        ) -> list[tuple[float, int]]:
+        """Wildcard query (``*`` any run, ``?`` one char), scoring-
+        boolean rewrite like :meth:`prefix_search`."""
+        terms = self.expand_terms(pattern.lower(), field, "wildcard",
+                                  max_expansions)
+        return self._expanded_or(terms, field, k, k1, b)
+
+    def _expanded_or(self, terms: list[str], field: str, k: int,
+                     k1: float, b: float) -> list[tuple[float, int]]:
+        if not terms:
+            return []
+        rows = self._gather(field, terms)
+        avgdl = float(self.stats["avgdl"][field])
+        n_docs = int(self.stats["n_docs"])
+        td = prepare_terms(terms, rows, n_docs, avgdl, k1, b,
+                           exclude_ids=self.tombstones)
+        return score_taat(td, k, "or", avgdl, None, k1, b)
+
+    # --- match-set aggregations (dashboard parity beyond terms-agg) ---
+
+    def _match_ids(self, field: str, q_terms: list[str],
+                   mode: str) -> np.ndarray:
+        """Sorted unique live doc ids matching the analyzed query terms
+        (union for ``or``, intersection for ``and``) on a
+        term-partitioned index — the shared candidate set behind the
+        full-match-set aggregations."""
+        rows = self._gather(field, q_terms)
+
+        class _RowsReader:              # adapt gathered rows to the helper
+            def raw_rows(self, _f, t):
+                return rows.get(t, [])
+        cand = _candidate_ids(_RowsReader(), field, q_terms, mode)
+        if self.tombstones.size and cand.size:
+            cand = cand[_excl_mask(cand, self.tombstones)]
+        return cand
+
+    def cardinality_aggregation(self, query: str, agg_field: str,
+                                field: str = "content", mode: str = "or",
+                                analyzer: str | None = None) -> int:
+        """Distinct count of ``agg_field`` keyword values over ALL
+        matching docs (OpenSearch cardinality agg; exact — the
+        streaming-sketch variant for un-indexed columns is
+        ``stages.sketches.hll_cardinality``).  Distributes per shard on
+        doc-partitioned indexes exactly like terms_aggregation."""
+        return len(self.terms_aggregation(query, agg_field, field, mode,
+                                          analyzer))
+
+    def histogram_aggregation(self, query: str, range_field: str,
+                              interval: float, field: str = "content",
+                              mode: str = "or",
+                              analyzer: str | None = None
+                              ) -> list[tuple[float, int]]:
+        """Numeric histogram over the full match set (OpenSearch
+        ``histogram`` agg): bucket = floor(value/interval)*interval,
+        counted via the doc-range-partitioned range tables — per part,
+        one membership probe of the part's doc ids against the sorted
+        candidate set; empty buckets omitted.  Returns [(bucket_lo,
+        count)] sorted by bucket."""
+        if analyzer is None:
+            analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
+                             if f == field), "code")
+        q_terms = ANALYZERS[analyzer](query)
+        if not q_terms:
+            return []
+        cand = self._match_ids(field, q_terms, mode)
+        if cand.size == 0:
+            return []
+        from .shard import load_range_pairs
+        counts: dict[float, int] = {}
+        for vals, ids in load_range_pairs(self.index_dir, range_field):
+            pos = np.minimum(np.searchsorted(cand, ids), cand.size - 1)
+            hit = cand[pos] == ids
+            if not hit.any():
+                continue
+            buckets = np.floor(vals[hit] / interval) * interval
+            u, c = np.unique(buckets, return_counts=True)
+            for bv, n in zip(u, c):
+                counts[float(bv)] = counts.get(float(bv), 0) + int(n)
+        return sorted(counts.items())
+
+    def stats_aggregation(self, query: str, range_field: str,
+                          field: str = "content", mode: str = "or",
+                          quantiles: tuple[float, ...] = (),
+                          analyzer: str | None = None) -> dict:
+        """stats / percentiles aggregation over the full match set
+        (OpenSearch ``stats`` + ``percentiles`` aggs): count/min/max/
+        avg/sum of the numeric field over matching docs, plus exact
+        linear-interpolation quantiles (numpy 'linear' ==
+        DuckDB quantile_cont; the reference's OpenSearch percentiles
+        use t-digest approximation — at 100 TB swap in a t-digest
+        partial per range part, merged at the driver)."""
+        if analyzer is None:
+            analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
+                             if f == field), "code")
+        q_terms = ANALYZERS[analyzer](query)
+        cand = self._match_ids(field, q_terms, mode) if q_terms else \
+            np.zeros(0, np.uint64)
+        if cand.size == 0:
+            return {"count": 0}
+        from .shard import load_range_pairs
+        matched: list[np.ndarray] = []
+        for vals, ids in load_range_pairs(self.index_dir, range_field):
+            pos = np.minimum(np.searchsorted(cand, ids), cand.size - 1)
+            hit = cand[pos] == ids
+            if hit.any():
+                matched.append(vals[hit])
+        if not matched:
+            return {"count": 0}
+        v = np.concatenate(matched)
+        out = {"count": int(v.size), "min": float(v.min()),
+               "max": float(v.max()), "sum": float(v.sum()),
+               "avg": float(v.mean())}
+        for q in quantiles:
+            out[f"p{round(q * 100):02d}"] = float(np.quantile(v, q))
+        return out
+
+    # --- span queries ---
+
+    @staticmethod
+    def _ordered_tuple_count(plists: list[np.ndarray], slop: int) -> int:
+        """Number of strictly-increasing position tuples (one position
+        per term, in term order) whose span (last-first+1) is at most
+        len(terms)+slop.  DP per anchor: chains counted with cumulative
+        sums over each term's in-window positions."""
+        k = len(plists)
+        if k == 1:
+            return int(plists[0].size)
+        total = 0
+        reach = k - 1 + slop
+        for p1 in plists[0]:
+            hi = int(p1) + reach
+            prev_pos = np.array([int(p1)], dtype=np.int64)
+            prev_cnt = np.array([1], dtype=np.int64)
+            ok = True
+            for i in range(1, k):
+                pi = plists[i]
+                cand = pi[(pi > int(p1)) & (pi <= hi)].astype(np.int64)
+                if cand.size == 0:
+                    ok = False
+                    break
+                cum = np.cumsum(prev_cnt)
+                idx = np.searchsorted(prev_pos, cand, side="left")
+                cnt = np.where(idx > 0, cum[np.maximum(idx - 1, 0)], 0)
+                keep = cnt > 0
+                cand, cnt = cand[keep], cnt[keep]
+                if cand.size == 0:
+                    ok = False
+                    break
+                prev_pos, prev_cnt = cand, cnt
+            if ok:
+                total += int(prev_cnt.sum())
+        return total
+
+    def span_near(self, terms: list[str], field: str = "content",
+                  slop: int = 0, k: int = 10,
+                  analyzer: str | None = None) -> list[tuple[int, int]]:
+        """Ordered span-near query (OpenSearch ``span_near`` with
+        ``in_order: true``): a doc matches when its positions admit a
+        strictly-increasing tuple, one position per term in order, with
+        span <= len(terms)+slop; the reported count is the number of
+        such tuples (slop=0 over adjacent terms degenerates to the
+        exact phrase).  Requires a positional index.  Returns
+        [(span_count, doc_id)] sorted (count desc, doc_id asc)."""
+        if not self.manifest["config"].get("store_positions"):
+            raise ValueError(
+                "index was built without positions (IndexConfig."
+                "store_positions=True required for span queries)")
+        if analyzer is None:
+            analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
+                             if f == field), "code")
+        an = ANALYZERS[analyzer]
+        toks: list[str] = []
+        for s in terms:
+            t = an(s)
+            if len(t) != 1:
+                raise ValueError(
+                    f"span clause {s!r} analyzes to {len(t)} tokens; "
+                    "each span clause must be a single term")
+            toks.append(t[0])
+        rows = self._gather(field, toks)
+        pterms: list[_PhraseTerm] = []
+        for tok in toks:
+            r = rows.get(tok)
+            if not r:
+                return []
+            pterms.append(_PhraseTerm(0, r))
+        ordered = sorted(pterms, key=lambda t: t.df)
+        base = ordered[0].all_docs()
+        for t in ordered[1:]:
+            if base.size == 0:
+                return []
+            docs = t.all_docs()
+            pos = np.minimum(np.searchsorted(docs, base),
+                             max(docs.size - 1, 0))
+            base = base[docs[pos] == base] if docs.size else base[:0]
+        if self.tombstones.size and base.size:
+            base = base[_excl_mask(base, self.tombstones)]
+        out: list[tuple[int, int]] = []
+        for d in base:
+            plists = []
+            ok = True
+            for t in pterms:
+                p = t.positions_for(d)
+                if p is None:
+                    ok = False
+                    break
+                plists.append(np.sort(p.astype(np.int64)))
+            if not ok:
+                continue
+            n = self._ordered_tuple_count(plists, slop)
+            if n:
+                out.append((n, int(d)))
+        out.sort(key=lambda cd: (-cd[0], cd[1]))
+        return out[:k]
 
     @staticmethod
     def _sloppy_count(shifted: list[np.ndarray], slop: int) -> int:
@@ -1015,14 +1401,7 @@ class Searcher:
                 for v, n in d.items():
                     counts[v] = counts.get(v, 0) + n
             return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        rows = self._gather(field, q_terms)
-
-        class _RowsReader:          # adapt gathered rows to the helper
-            def raw_rows(self, _f, t):
-                return rows.get(t, [])
-        cand = _candidate_ids(_RowsReader(), field, q_terms, mode)
-        if self.tombstones.size and cand.size:
-            cand = cand[_excl_mask(cand, self.tombstones)]
+        cand = self._match_ids(field, q_terms, mode)
         if cand.size == 0:
             return []
         counts = dict(_count_filter_values(self.index_dir, agg_field, cand))

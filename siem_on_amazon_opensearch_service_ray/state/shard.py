@@ -132,6 +132,23 @@ class ShardReader:
         rows = self.terms.get((field, term))
         return sum(r[0] for r in rows) if rows else 0
 
+    def match_terms(self, field: str, pattern: str,
+                    kind: str = "prefix") -> list[str]:
+        """Terms of ``field`` in this part matching a prefix or a
+        wildcard pattern (``*`` = any run, ``?`` = one char) — the
+        term-dictionary scan behind multi-term query rewrite (Lucene
+        PrefixQuery/WildcardQuery; the reference exposes these through
+        OpenSearch query_string wildcards)."""
+        if kind == "prefix":
+            return [t for f, t in self.terms if f == field
+                    and t.startswith(pattern)]
+        if kind == "wildcard":
+            import fnmatch
+            import re
+            rx = re.compile(fnmatch.translate(pattern))
+            return [t for f, t in self.terms if f == field and rx.match(t)]
+        raise ValueError(f"unknown match kind: {kind!r}")
+
     def postings(self, field: str, term: str) -> TermPostings | None:
         rows = self.terms.get((field, term))
         if not rows:
@@ -158,6 +175,31 @@ class ShardReader:
         if key not in cache:
             cache[key] = load_filter_ids(self.index_dir, field, value, dparts)
         return cache[key]
+
+
+def load_range_pairs(index_dir: str, field: str,
+                     dparts: list[int] | None = None
+                     ) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Per range part, the full (values, doc_ids) pair arrays — the
+    access path for match-set numeric aggregations (histogram / stats),
+    which probe each part's doc ids against a candidate set instead of
+    binary-searching a value bound."""
+    import os as _os
+    rdir = _os.path.join(index_dir, "filters_range", field)
+    if not _os.path.isdir(rdir):
+        return []
+    names = sorted(f for f in _os.listdir(rdir) if f.endswith(".parquet"))
+    if dparts is not None:
+        want = {f"part-{p:04d}" for p in dparts}
+        names = [f for f in names if f[:9] in want and f[9] in ".-"]
+    out: list[tuple[np.ndarray, np.ndarray]] = []
+    for fn in names:
+        t = pq.read_table(_os.path.join(rdir, fn))
+        vals = t.column("value").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        out.append((vals, ids))
+    return out
 
 
 def load_range_ids(index_dir: str, field: str, lo=None, hi=None,

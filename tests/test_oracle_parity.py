@@ -48,6 +48,9 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "dedup_exact_docs", "tf_top_terms", "df_terms", "corpus_stats",
               "bm25_topk", "search_topk", "search_and_topk",
               "search_doc_sharded", "search_lang_agg", "search_range_topk",
+              "search_bool_topk", "search_prefix", "search_wildcard",
+              "span_near_docs", "search_cardinality", "search_histogram",
+              "search_stats",
               "knn_cosine",
               "region_revenue", "top_events", "filter_project",
               "token_count_docs", "quality_docs", "exclude_events",

@@ -1,0 +1,200 @@
+"""Query-DSL surface vs brute force: boolean queries, prefix/wildcard
+multi-term rewrite, ordered span-near, and match-set aggregations
+(cardinality / histogram / stats) — every result checked against a
+pure-Python reference over the same corpus."""
+
+import math
+import re
+from itertools import product
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
+    IndexConfig, build_index)
+from siem_on_amazon_opensearch_service_ray.state.searcher import Searcher
+
+VOCAB = ["spark", "join", "shuffle", "sql", "table", "query", "index",
+         "merge", "sort", "scan", "filter", "group"]
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def dsl_index(ray_session, tmp_path_factory):
+    rng = np.random.default_rng(7)
+    docs = []
+    for _ in range(N_DOCS):
+        n = int(rng.integers(5, 40))
+        docs.append(" ".join(VOCAB[int(j)]
+                             for j in rng.integers(0, len(VOCAB), n)))
+    t = pa.table({
+        "doc_id": pa.array(range(N_DOCS), pa.int64()),
+        "text": docs,
+        "lang": [["py", "go", "rs", "js"][i % 4] for i in range(N_DOCS)],
+        "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+    })
+    root = tmp_path_factory.mktemp("dsl")
+    src = str(root / "docs.parquet")
+    pq.write_table(t, src)
+    idx = str(root / "idx")
+    cfg = IndexConfig(num_partitions=4, fields=(("content", "text", "base"),),
+                      keyword_fields=("lang",), range_fields=("n_chars",),
+                      doc_id_col="doc_id", sha_col="text",
+                      store_positions=True, salting=False)
+    build_index([src], idx, cfg)
+    s = Searcher(idx, use_actors=False)
+    yield s, docs
+
+
+def _toks(x):
+    return re.findall(r"[a-z0-9_]+", x.lower())
+
+
+class _Ref:
+    """Brute-force BM25 (Lucene norm quantization) over the corpus."""
+
+    def __init__(self, docs):
+        self.tok_lists = [_toks(d) for d in docs]
+        self.n = len(docs)
+        self.dls = [len(tl) for tl in self.tok_lists]
+        self.avgdl = sum(self.dls) / self.n
+
+    @staticmethod
+    def _quant(dl):
+        if dl < 8:
+            return dl
+        sh = int(math.floor(math.log2(dl))) - 3
+        return (dl >> sh) << sh
+
+    def idf(self, term):
+        df = sum(1 for tl in self.tok_lists if term in tl)
+        return math.log(1 + (self.n - df + 0.5) / (df + 0.5))
+
+    def bm25(self, term, i):
+        tf = self.tok_lists[i].count(term)
+        if tf == 0:
+            return 0.0
+        dq = self._quant(self.dls[i])
+        return self.idf(term) * tf * 2.2 / (
+            tf + 1.2 * (1 - 0.75 + 0.75 * dq / self.avgdl))
+
+
+@pytest.fixture(scope="module")
+def ref(dsl_index):
+    return _Ref(dsl_index[1])
+
+
+def test_bool_query(dsl_index, ref):
+    s, _ = dsl_index
+    must, should, mnot, msm = ["spark"], ["join", "shuffle"], ["table"], 1
+    exp = []
+    for i in range(N_DOCS):
+        tl = ref.tok_lists[i]
+        if "spark" not in tl or "table" in tl:
+            continue
+        if sum(1 for x in should if x in tl) < msm:
+            continue
+        exp.append((ref.bm25("spark", i) +
+                    sum(ref.bm25(x, i) for x in should), i))
+    exp.sort(key=lambda sd: (-sd[0], sd[1]))
+    got = s.search_bool(must=must, should=should, must_not=mnot,
+                        minimum_should_match=1, k=10)
+    assert [(round(a, 6), b) for a, b in got] == \
+        [(round(a, 6), b) for a, b in exp[:10]]
+
+
+def test_bool_msm_two_and_should_only(dsl_index, ref):
+    s, _ = dsl_index
+    # should-only query, minimum_should_match=2
+    should = ["spark", "join", "shuffle"]
+    exp = []
+    for i in range(N_DOCS):
+        tl = ref.tok_lists[i]
+        hits = [x for x in should if x in tl]
+        if len(hits) < 2:
+            continue
+        exp.append((sum(ref.bm25(x, i) for x in hits), i))
+    exp.sort(key=lambda sd: (-sd[0], sd[1]))
+    got = s.search_bool(should=should, minimum_should_match=2, k=15)
+    assert [(round(a, 6), b) for a, b in got] == \
+        [(round(a, 6), b) for a, b in exp[:15]]
+    with pytest.raises(ValueError):
+        s.search_bool(must_not=["spark"])  # no scoring clause
+
+
+def test_prefix_and_wildcard(dsl_index, ref):
+    s, _ = dsl_index
+    for pattern, kind, matcher in [
+            ("s", "prefix", lambda w: w.startswith("s")),
+            ("s*t", "wildcard", lambda w: re.fullmatch("s.*t", w)),
+            ("s?an", "wildcard", lambda w: re.fullmatch("s.an", w))]:
+        terms = sorted({w for tl in ref.tok_lists for w in tl if matcher(w)})
+        assert s.expand_terms(pattern, kind=kind) == terms
+        exp = []
+        for i in range(N_DOCS):
+            sc = sum(ref.bm25(t, i) for t in terms)
+            if sc > 0:
+                exp.append((sc, i))
+        exp.sort(key=lambda sd: (-sd[0], sd[1]))
+        got = (s.prefix_search(pattern, k=12) if kind == "prefix"
+               else s.wildcard_search(pattern, k=12))
+        assert [(round(a, 5), b) for a, b in got] == \
+            [(round(a, 5), b) for a, b in exp[:12]]
+
+
+def test_prefix_too_many_clauses(dsl_index):
+    s, _ = dsl_index
+    with pytest.raises(ValueError, match="max_expansions"):
+        s.prefix_search("s", max_expansions=2)
+
+
+def _span_count(tl, terms, slop):
+    poss = [[p for p, w in enumerate(tl) if w == t] for t in terms]
+    k = len(terms)
+    return sum(1 for tup in product(*poss)
+               if all(tup[j] < tup[j + 1] for j in range(k - 1))
+               and tup[-1] - tup[0] + 1 <= k + slop)
+
+
+@pytest.mark.parametrize("terms,slop", [
+    (["spark", "sql"], 0), (["spark", "sql"], 2),
+    (["spark", "join", "sql"], 3)])
+def test_span_near(dsl_index, ref, terms, slop):
+    s, _ = dsl_index
+    exp = sorted(((c, i) for i in range(N_DOCS)
+                  if (c := _span_count(ref.tok_lists[i], terms, slop))),
+                 key=lambda cd: (-cd[0], cd[1]))
+    assert s.span_near(terms, slop=slop, k=10**6) == exp
+
+
+def test_span_slop0_adjacent_equals_phrase(dsl_index):
+    s, _ = dsl_index
+    spans = s.span_near(["spark", "sql"], slop=0, k=10**6)
+    phrase = s.phrase_search("spark sql", k=10**6)
+    assert spans == phrase
+
+
+def test_match_set_aggregations(dsl_index, ref):
+    s, docs = dsl_index
+    match = [i for i in range(N_DOCS)
+             if "spark" in ref.tok_lists[i] or "join" in ref.tok_lists[i]]
+    langs = {["py", "go", "rs", "js"][i % 4] for i in match}
+    assert s.cardinality_aggregation("spark join", "lang") == len(langs)
+
+    from collections import Counter
+    exp_hist = Counter(float((len(docs[i]) // 50) * 50) for i in match)
+    assert dict(s.histogram_aggregation("spark join", "n_chars", 50)) == \
+        dict(exp_hist)
+
+    vals = np.array([len(docs[i]) for i in match], dtype=float)
+    st = s.stats_aggregation("spark join", "n_chars", quantiles=(0.5, 0.9))
+    assert st["count"] == vals.size
+    assert st["min"] == vals.min() and st["max"] == vals.max()
+    assert abs(st["avg"] - vals.mean()) < 1e-9
+    assert st["p50"] == float(np.quantile(vals, 0.5))
+    assert st["p90"] == float(np.quantile(vals, 0.9))
+    # zero-hit query
+    assert s.stats_aggregation("zz_nope", "n_chars") == {"count": 0}
+    assert s.histogram_aggregation("zz_nope", "n_chars", 50) == []
