@@ -163,3 +163,72 @@ def flat_bm25_topk(source, query: str, cfg: IndexConfig | None = None,
     from ray.data.aggregate import Max
     scored = scored.groupby("doc_id").aggregate(Max("score", alias_name="score"))
     return scored.sort(["score", "doc_id"], descending=[True, False]).limit(k)
+
+
+def highlight(source, doc_ids: list[int], query: str,
+              text_col: str = "content", doc_id_col: str = "doc_id",
+              analyzer: str = "base", fragment_size: int = 120,
+              pre_tag: str = "<em>", post_tag: str = "</em>"
+              ) -> dict[int, str]:
+    """Plain-highlighter parity (OpenSearch ``highlight`` on a stored
+    field re-analyzes the source text at fetch time): fetch the hit
+    docs' text from the source-of-record parquet (predicate pushdown —
+    the index stores metadata + sha only, never the wide column), find
+    the query terms' character spans, pick the ``fragment_size`` window
+    containing the most matches (ties -> earliest), and wrap each match
+    in ``pre_tag``/``post_tag``.  ``doc_ids`` is a top-k result — a
+    handful of ids — so this is a driver-side point fetch, not a scan.
+
+    Returns {doc_id: fragment} with docs that contain no match omitted
+    (OpenSearch omits the ``highlight`` section for non-matching
+    fields)."""
+    import os
+    import re
+
+    import pyarrow.parquet as pq
+
+    from ..corpus import corpus_paths
+
+    if isinstance(source, str):
+        paths = corpus_paths(source) if os.path.isdir(source) else [source]
+    else:
+        paths = list(source)
+    toks = ANALYZERS[analyzer](query)
+    if not toks or not doc_ids:
+        return {}
+    # one alternation over word-ish boundaries; longest token first so
+    # e.g. 'sparkly' never half-matches a shorter 'spark' alternative
+    alts = sorted(set(toks), key=len, reverse=True)
+    rx = re.compile(
+        r"(?<![A-Za-z0-9_])(?:" + "|".join(re.escape(t) for t in alts)
+        + r")(?![A-Za-z0-9_])", re.IGNORECASE)
+    ids = [int(d) for d in doc_ids]
+    tables = [pq.read_table(p, columns=[doc_id_col, text_col],
+                            filters=[(doc_id_col, "in", ids)])
+              for p in paths]
+    out: dict[int, str] = {}
+    for t in tables:
+        for row in t.to_pylist():
+            text = row[text_col] or ""
+            spans = [(m.start(), m.end()) for m in rx.finditer(text)]
+            if not spans:
+                continue
+            # best window: anchored at a match start, most matches inside
+            best_i, best_n = 0, -1
+            for i, (s, _) in enumerate(spans):
+                n = sum(1 for a, e in spans if a >= s and e <= s + fragment_size)
+                if n > best_n:
+                    best_i, best_n = i, n
+            ws = spans[best_i][0]
+            we = min(len(text), ws + fragment_size)
+            parts: list[str] = []
+            cur = ws
+            for a, e in spans:
+                if a < ws or e > we:
+                    continue
+                parts.append(text[cur:a])
+                parts.append(pre_tag + text[a:e] + post_tag)
+                cur = e
+            parts.append(text[cur:we])
+            out[int(row[doc_id_col])] = "".join(parts)
+    return out
