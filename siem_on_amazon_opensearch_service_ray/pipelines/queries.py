@@ -655,6 +655,64 @@ def search_wildcard(sf_dir: str) -> pd.DataFrame:
     })
 
 
+SEARCH_FUZZY_SQL = _multi_term_sql("levenshtein(term, 'vale') <= 2", BM25_K)
+
+
+def search_fuzzy(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy query 'vale'~2 — the probe itself is absent from the
+    corpus; the dictionary scan expands to its edit-distance-2
+    neighbours (value, table), scored as an OR with per-term idf."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.fuzzy_search("vale", field="content", fuzziness=2, k=BM25_K)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d in hits],
+        "score_e4": np.array([round(sc * 10000) for sc, _ in hits],
+                             dtype=np.int64),
+    })
+
+
+def search_sigterms(sf_dir: str) -> pd.DataFrame:
+    """Significant-terms aggregation (JLH) over lang: foreground =
+    docs matching 'dup', background = the whole corpus."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        rows = s.significant_terms("dup", "lang", field="content", k=10)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "value": [v for v, _, _ in rows],
+        "fg_count": np.array([n for _, n, _ in rows], dtype=np.int64),
+        "score_e6": np.array([round(sc * 1_000_000) for _, _, sc in rows],
+                             dtype=np.int64),
+    })
+
+
+SEARCH_SIGTERMS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'dup'),
+fg AS (SELECT lang, count(*) AS n FROM documents
+       WHERE doc_id IN (SELECT doc_id FROM m) GROUP BY lang),
+bg AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+tot AS (SELECT (SELECT sum(n) FROM fg) AS fgt, (SELECT sum(n) FROM bg) AS bgt)
+SELECT fg.lang AS value, cast(fg.n AS BIGINT) AS fg_count,
+       cast(round(((fg.n / t.fgt) - (bg.n / t.bgt))
+                  * ((fg.n / t.fgt) / (bg.n / t.bgt)) * 1000000) AS BIGINT)
+         AS score_e6
+FROM fg JOIN bg USING (lang) CROSS JOIN tot t
+WHERE (fg.n / t.fgt) > (bg.n / t.bgt)
+ORDER BY score_e6 DESC, value LIMIT 10
+"""
+
+
 def span_near_docs(sf_dir: str) -> pd.DataFrame:
     """Ordered span-near (spark .. join, slop=2) over the positional
     index — every matching doc with its ordered-tuple count."""
@@ -1228,6 +1286,8 @@ def queries() -> dict:
         "search_bool_topk": search_bool_topk,
         "search_prefix": search_prefix,
         "search_wildcard": search_wildcard,
+        "search_fuzzy": search_fuzzy,
+        "search_sigterms": search_sigterms,
         "span_near_docs": span_near_docs,
         "search_cardinality": search_cardinality,
         "search_histogram": search_histogram,
@@ -1273,6 +1333,8 @@ def oracle_sql() -> dict:
         "search_bool_topk": SEARCH_BOOL_SQL,
         "search_prefix": SEARCH_PREFIX_SQL,
         "search_wildcard": SEARCH_WILDCARD_SQL,
+        "search_fuzzy": SEARCH_FUZZY_SQL,
+        "search_sigterms": SEARCH_SIGTERMS_SQL,
         "span_near_docs": SPAN_NEAR_SQL,
         "search_cardinality": SEARCH_CARDINALITY_SQL,
         "search_histogram": SEARCH_HISTOGRAM_SQL,

@@ -560,6 +560,27 @@ def _candidate_ids(reader: ShardReader, field: str, q_terms: list[str],
     return np.unique(np.concatenate(doc_sets))
 
 
+def _shard_range_values(r: ShardReader, p: int, tombstones: np.ndarray,
+                        field: str, q_terms: list[str], mode: str,
+                        range_field: str) -> np.ndarray:
+    """Matched docs' numeric values within ONE doc shard — the shared
+    partial behind doc-sharded histogram/stats (doc ids never leave
+    the shard; only values or bucket counts do)."""
+    from .shard import load_range_pairs
+    cand = _candidate_ids(r, field, q_terms, mode)
+    if cand.size and tombstones.size:
+        cand = cand[_excl_mask(cand, tombstones)]
+    if cand.size == 0:
+        return np.zeros(0)
+    out: list[np.ndarray] = []
+    for vals, ids in load_range_pairs(r.index_dir, range_field, dparts=[p]):
+        pos = np.minimum(np.searchsorted(cand, ids), cand.size - 1)
+        hit = cand[pos] == ids
+        if hit.any():
+            out.append(vals[hit])
+    return np.concatenate(out) if out else np.zeros(0)
+
+
 def _count_filter_values(index_dir: str, agg_field: str, cand: np.ndarray,
                          dparts: list[int] | None = None
                          ) -> list[tuple[str, int]]:
@@ -619,13 +640,14 @@ class PartActor:
     def ping(self) -> bool:
         return True
 
-    def match_terms(self, field: str, pattern: str, kind: str) -> list[str]:
+    def match_terms(self, field: str, pattern: str, kind: str,
+                    fuzziness: int = 0) -> list[str]:
         """Term-dictionary scan over this actor's parts (prefix /
-        wildcard expansion happens where the dictionaries live — only
-        the matching term STRINGS travel to the driver)."""
+        wildcard / fuzzy expansion happens where the dictionaries
+        live — only the matching term STRINGS travel to the driver)."""
         out: set[str] = set()
         for r in self.readers.values():
-            out.update(r.match_terms(field, pattern, kind))
+            out.update(r.match_terms(field, pattern, kind, fuzziness))
         return sorted(out)
 
     def agg_local(self, field: str, q_terms: list[str], mode: str,
@@ -643,6 +665,39 @@ class PartActor:
             for v, n in _count_filter_values(
                     r.index_dir, agg_field, cand, dparts=[p]):
                 out[v] = out.get(v, 0) + n
+        return out
+
+    def hist_local(self, field: str, q_terms: list[str], mode: str,
+                   range_field: str, interval: float) -> dict[float, int]:
+        """Doc-sharded histogram partial: per-shard bucket counts —
+        only the tiny bucket dict travels to the driver."""
+        out: dict[float, int] = {}
+        for p, r in self.readers.items():
+            v = _shard_range_values(r, p, self.tombstones, field, q_terms,
+                                    mode, range_field)
+            if v.size:
+                b = np.floor(v / interval) * interval
+                u, c = np.unique(b, return_counts=True)
+                for bv, n in zip(u, c):
+                    out[float(bv)] = out.get(float(bv), 0) + int(n)
+        return out
+
+    def stats_local(self, field: str, q_terms: list[str], mode: str,
+                    range_field: str, want_values: bool) -> dict:
+        """Doc-sharded stats partial: exact mergeable moments; raw
+        matched values ship only when quantiles were requested (the
+        100-TB replacement is a t-digest partial)."""
+        vs = [_shard_range_values(r, p, self.tombstones, field, q_terms,
+                                  mode, range_field)
+              for p, r in self.readers.items()]
+        v = np.concatenate([x for x in vs if x.size]) \
+            if any(x.size for x in vs) else np.zeros(0)
+        if v.size == 0:
+            return {"count": 0}
+        out = {"count": int(v.size), "min": float(v.min()),
+               "max": float(v.max()), "sum": float(v.sum())}
+        if want_values:
+            out["values"] = v
         return out
 
     # --- doc-sharded execution (dfs_query_then_fetch; SURVEY §7.1) ---
@@ -858,21 +913,22 @@ class Searcher:
     # --- multi-term query rewrite (prefix / wildcard) ---
 
     def expand_terms(self, pattern: str, field: str = "content",
-                     kind: str = "prefix",
-                     max_expansions: int = 1024) -> list[str]:
-        """Expand a prefix/wildcard pattern against the term
+                     kind: str = "prefix", max_expansions: int = 1024,
+                     fuzziness: int = 0) -> list[str]:
+        """Expand a prefix/wildcard/fuzzy pattern against the term
         dictionary.  Every part's dictionary is scanned where it lives
         (actor-side); only matching term strings return.  Raises when
         the expansion exceeds ``max_expansions`` (Lucene
         BooleanQuery.TooManyClauses parity)."""
         if self.use_actors:
-            parts = ray.get([a.match_terms.remote(field, pattern, kind)
+            parts = ray.get([a.match_terms.remote(field, pattern, kind,
+                                                  fuzziness)
                              for a in self.actors])
             terms = sorted(set().union(*map(set, parts))) if parts else []
         else:
             out: set[str] = set()
             for r in self.readers.values():
-                out.update(r.match_terms(field, pattern, kind))
+                out.update(r.match_terms(field, pattern, kind, fuzziness))
             terms = sorted(out)
         if len(terms) > max_expansions:
             raise ValueError(
@@ -901,6 +957,57 @@ class Searcher:
         terms = self.expand_terms(pattern.lower(), field, "wildcard",
                                   max_expansions)
         return self._expanded_or(terms, field, k, k1, b)
+
+    def fuzzy_search(self, term: str, field: str = "content",
+                     fuzziness: int = 1, k: int = 10,
+                     max_expansions: int = 50,
+                     k1: float = K1, b: float = B
+                     ) -> list[tuple[float, int]]:
+        """Fuzzy term query: expand to every dictionary term within
+        plain Levenshtein distance ``fuzziness`` (Lucene also counts
+        transpositions as one edit — documented divergence), then
+        score as an OR with each expansion keeping its own idf
+        (scoring-boolean rewrite; OpenSearch ``fuzzy`` defaults to
+        ``max_expansions: 50``)."""
+        terms = self.expand_terms(term.lower(), field, "fuzzy",
+                                  max_expansions, fuzziness=fuzziness)
+        return self._expanded_or(terms, field, k, k1, b)
+
+    def significant_terms(self, query: str, agg_field: str,
+                          field: str = "content", mode: str = "or",
+                          k: int = 10, analyzer: str | None = None
+                          ) -> list[tuple[str, int, float]]:
+        """Significant-terms aggregation over a keyword field
+        (OpenSearch ``significant_terms`` with the JLH heuristic):
+        foreground = the query's match set, background = all live
+        docs; score = (fgPct - bgPct) * (fgPct / bgPct), only values
+        over-represented in the foreground (fgPct > bgPct) qualify.
+        Foreground counts come from terms_aggregation (per-shard
+        partials on doc-partitioned indexes); background counts read
+        only the packed filter postings sizes.  Returns
+        [(value, fg_count, score)] sorted (score desc, value asc),
+        top ``k``."""
+        fg = dict(self.terms_aggregation(query, agg_field, field, mode,
+                                         analyzer))
+        if not fg:
+            return []
+        from .shard import load_filter_value_counts
+        bg = load_filter_value_counts(self.index_dir, agg_field,
+                                      exclude=self.tombstones)
+        fg_total = float(sum(fg.values()))
+        bg_total = float(sum(bg.values()))
+        out: list[tuple[str, int, float]] = []
+        for v, n in fg.items():
+            bgn = bg.get(v, 0)
+            if not bgn:
+                continue
+            fg_pct = n / fg_total
+            bg_pct = bgn / bg_total
+            if fg_pct <= bg_pct:
+                continue
+            out.append((v, n, (fg_pct - bg_pct) * (fg_pct / bg_pct)))
+        out.sort(key=lambda t: (-t[2], t[0]))
+        return out[:k]
 
     def _expanded_or(self, terms: list[str], field: str, k: int,
                      k1: float, b: float) -> list[tuple[float, int]]:
@@ -959,11 +1066,26 @@ class Searcher:
         q_terms = ANALYZERS[analyzer](query)
         if not q_terms:
             return []
+        counts: dict[float, int] = {}
+        if self.manifest["config"].get("partition_by") == "doc":
+            # per-shard bucket partials, summed here — values and doc
+            # ids never leave their shard
+            if self.use_actors:
+                parts = ray.get([a.hist_local.remote(field, q_terms, mode,
+                                                     range_field, interval)
+                                 for a in self.actors])
+            else:
+                parts = [dict(self._hist_one(r, p, field, q_terms, mode,
+                                             range_field, interval))
+                         for p, r in self.readers.items()]
+            for d in parts:
+                for bv, n in d.items():
+                    counts[bv] = counts.get(bv, 0) + n
+            return sorted(counts.items())
         cand = self._match_ids(field, q_terms, mode)
         if cand.size == 0:
             return []
         from .shard import load_range_pairs
-        counts: dict[float, int] = {}
         for vals, ids in load_range_pairs(self.index_dir, range_field):
             pos = np.minimum(np.searchsorted(cand, ids), cand.size - 1)
             hit = cand[pos] == ids
@@ -974,6 +1096,15 @@ class Searcher:
             for bv, n in zip(u, c):
                 counts[float(bv)] = counts.get(float(bv), 0) + int(n)
         return sorted(counts.items())
+
+    def _hist_one(self, r, p, field, q_terms, mode, range_field, interval):
+        v = _shard_range_values(r, p, self.tombstones, field, q_terms,
+                                mode, range_field)
+        if v.size == 0:
+            return []
+        b = np.floor(v / interval) * interval
+        u, c = np.unique(b, return_counts=True)
+        return [(float(bv), int(n)) for bv, n in zip(u, c)]
 
     def stats_aggregation(self, query: str, range_field: str,
                           field: str = "content", mode: str = "or",
@@ -990,8 +1121,39 @@ class Searcher:
             analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
                              if f == field), "code")
         q_terms = ANALYZERS[analyzer](query)
-        cand = self._match_ids(field, q_terms, mode) if q_terms else \
-            np.zeros(0, np.uint64)
+        if not q_terms:
+            return {"count": 0}
+        if self.manifest["config"].get("partition_by") == "doc":
+            # per-shard partials; raw values ship only for quantiles
+            want_values = bool(quantiles)
+            if self.use_actors:
+                parts = ray.get([
+                    a.stats_local.remote(field, q_terms, mode, range_field,
+                                         want_values)
+                    for a in self.actors])
+            else:
+                parts = []
+                for p, r in self.readers.items():
+                    v = _shard_range_values(r, p, self.tombstones, field,
+                                            q_terms, mode, range_field)
+                    parts.append(
+                        {"count": int(v.size), "min": float(v.min()),
+                         "max": float(v.max()), "sum": float(v.sum()),
+                         "values": v} if v.size else {"count": 0})
+            live = [d for d in parts if d["count"]]
+            if not live:
+                return {"count": 0}
+            out = {"count": sum(d["count"] for d in live),
+                   "min": min(d["min"] for d in live),
+                   "max": max(d["max"] for d in live),
+                   "sum": float(sum(d["sum"] for d in live))}
+            out["avg"] = out["sum"] / out["count"]
+            if quantiles:
+                v = np.concatenate([np.asarray(d["values"]) for d in live])
+                for q in quantiles:
+                    out[f"p{round(q * 100):02d}"] = float(np.quantile(v, q))
+            return out
+        cand = self._match_ids(field, q_terms, mode)
         if cand.size == 0:
             return {"count": 0}
         from .shard import load_range_pairs

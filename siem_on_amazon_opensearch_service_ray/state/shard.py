@@ -133,12 +133,17 @@ class ShardReader:
         return sum(r[0] for r in rows) if rows else 0
 
     def match_terms(self, field: str, pattern: str,
-                    kind: str = "prefix") -> list[str]:
-        """Terms of ``field`` in this part matching a prefix or a
-        wildcard pattern (``*`` = any run, ``?`` = one char) — the
-        term-dictionary scan behind multi-term query rewrite (Lucene
-        PrefixQuery/WildcardQuery; the reference exposes these through
-        OpenSearch query_string wildcards)."""
+                    kind: str = "prefix", fuzziness: int = 0) -> list[str]:
+        """Terms of ``field`` in this part matching a prefix, a
+        wildcard pattern (``*`` = any run, ``?`` = one char), or a
+        fuzzy probe (plain Levenshtein <= ``fuzziness``; Lucene's
+        fuzzy default additionally counts transpositions as one edit —
+        documented divergence, chosen for exact SQL-oracle parity with
+        ``levenshtein()``) — the term-dictionary scan behind
+        multi-term query rewrite.  At 100-TB dictionary sizes the scan
+        becomes a Levenshtein-automaton walk over an FST term index;
+        here the per-part dictionaries are loaded dicts, so a banded-DP
+        linear scan is the honest equivalent."""
         if kind == "prefix":
             return [t for f, t in self.terms if f == field
                     and t.startswith(pattern)]
@@ -147,6 +152,9 @@ class ShardReader:
             import re
             rx = re.compile(fnmatch.translate(pattern))
             return [t for f, t in self.terms if f == field and rx.match(t)]
+        if kind == "fuzzy":
+            return [t for f, t in self.terms if f == field
+                    and _levenshtein_leq(pattern, t, fuzziness)]
         raise ValueError(f"unknown match kind: {kind!r}")
 
     def postings(self, field: str, term: str) -> TermPostings | None:
@@ -175,6 +183,56 @@ class ShardReader:
         if key not in cache:
             cache[key] = load_filter_ids(self.index_dir, field, value, dparts)
         return cache[key]
+
+
+def _levenshtein_leq(a: str, b: str, d: int) -> bool:
+    """True when plain Levenshtein(a, b) <= d — row DP with an
+    early exit when a whole row exceeds the budget."""
+    if abs(len(a) - len(b)) > d:
+        return False
+    if d == 0:
+        return a == b
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        row_min = i
+        for j, cb in enumerate(b, 1):
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            cur.append(v)
+            if v < row_min:
+                row_min = v
+        if row_min > d:
+            return False
+        prev = cur
+    return prev[-1] <= d
+
+
+def load_filter_value_counts(index_dir: str, field: str,
+                             exclude: np.ndarray | None = None
+                             ) -> dict[str, int]:
+    """Total live doc count per keyword value of ``field`` — the
+    background frequencies for significant-terms scoring.  Reads only
+    the per-part filter postings; ``exclude`` (sorted tombstone ids)
+    is probed out of each value's packed list."""
+    fdir = os.path.join(index_dir, "filters", field)
+    if not os.path.isdir(fdir):
+        return {}
+    counts: dict[str, int] = {}
+    for fn in sorted(os.listdir(fdir)):
+        if not fn.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(fdir, fn), columns=["value", "docs"])
+        for v, blob in zip(t.column("value").to_pylist(),
+                           t.column("docs").to_pylist()):
+            ids = np.frombuffer(blob, dtype="<u8")
+            n = ids.size
+            if exclude is not None and exclude.size and n:
+                pos = np.minimum(np.searchsorted(exclude, ids),
+                                 exclude.size - 1)
+                n = int(np.count_nonzero(exclude[pos] != ids))
+            if n:
+                counts[v] = counts.get(v, 0) + n
+    return counts
 
 
 def load_range_pairs(index_dir: str, field: str,

@@ -198,3 +198,83 @@ def test_match_set_aggregations(dsl_index, ref):
     # zero-hit query
     assert s.stats_aggregation("zz_nope", "n_chars") == {"count": 0}
     assert s.histogram_aggregation("zz_nope", "n_chars", 50) == []
+
+
+def test_fuzzy_search(dsl_index, ref):
+    s, _ = dsl_index
+    # 'jion' is absent; distance-2 neighbours include 'join'
+    terms = s.expand_terms("jion", kind="fuzzy", fuzziness=2)
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    vocab = sorted({w for tl in ref.tok_lists for w in tl})
+    assert terms == [w for w in vocab if lev("jion", w) <= 2]
+    exp = []
+    for i in range(N_DOCS):
+        sc = sum(ref.bm25(t, i) for t in terms)
+        if sc > 0:
+            exp.append((sc, i))
+    exp.sort(key=lambda sd: (-sd[0], sd[1]))
+    got = s.fuzzy_search("jion", fuzziness=2, k=12)
+    assert [(round(a, 5), b) for a, b in got] == \
+        [(round(a, 5), b) for a, b in exp[:12]]
+    # exact term at fuzziness=0 degenerates to a term query
+    assert s.expand_terms("spark", kind="fuzzy", fuzziness=0) == ["spark"]
+
+
+def test_significant_terms(dsl_index, ref):
+    s, docs = dsl_index
+    langs = [["py", "go", "rs", "js"][i % 4] for i in range(N_DOCS)]
+    match = [i for i in range(N_DOCS) if "spark" in ref.tok_lists[i]]
+    from collections import Counter
+    fg = Counter(langs[i] for i in match)
+    bg = Counter(langs)
+    fgt, bgt = sum(fg.values()), sum(bg.values())
+    exp = []
+    for v, n in fg.items():
+        fgp, bgp = n / fgt, bg[v] / bgt
+        if fgp > bgp:
+            exp.append((v, n, (fgp - bgp) * (fgp / bgp)))
+    exp.sort(key=lambda t: (-t[2], t[0]))
+    got = s.significant_terms("spark", "lang", k=10)
+    assert [(v, n, round(sc, 9)) for v, n, sc in got] == \
+        [(v, n, round(sc, 9)) for v, n, sc in exp[:10]]
+
+
+def test_doc_sharded_aggregations_match_term_partitioned(
+        dsl_index, ray_session, tmp_path_factory):
+    import dataclasses
+    import pyarrow.parquet as pq2
+    s, docs = dsl_index
+    root = tmp_path_factory.mktemp("dsl_doc")
+    t = pa.table({
+        "doc_id": pa.array(range(N_DOCS), pa.int64()),
+        "text": docs,
+        "lang": [["py", "go", "rs", "js"][i % 4] for i in range(N_DOCS)],
+        "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+    })
+    src = str(root / "docs.parquet")
+    pq2.write_table(t, src)
+    idx = str(root / "idx_doc")
+    cfg = IndexConfig(num_partitions=4, fields=(("content", "text", "base"),),
+                      keyword_fields=("lang",), range_fields=("n_chars",),
+                      doc_id_col="doc_id", sha_col="text",
+                      partition_by="doc", salting=False)
+    build_index([src], idx, cfg)
+    sd = Searcher(idx, use_actors=False)
+    for q in ("spark join", "dup_zero_hits"):
+        assert sd.histogram_aggregation(q, "n_chars", 50) == \
+            s.histogram_aggregation(q, "n_chars", 50)
+        st_d = sd.stats_aggregation(q, "n_chars", quantiles=(0.5,))
+        st_t = s.stats_aggregation(q, "n_chars", quantiles=(0.5,))
+        assert st_d == st_t
+    assert sd.significant_terms("spark", "lang") == \
+        s.significant_terms("spark", "lang")
