@@ -1076,26 +1076,53 @@ def extend_index(new_source, index_dir: str,
                                      gen=gen_tag)
     # Upsert guard: re-ingesting a currently tombstoned id would revive
     # the OLD postings alongside the new ones (tombstones are not
-    # generation-scoped).  The supported upsert flow is
-    # delete -> compact (physical removal) -> extend; refuse BEFORE the
-    # ledger/stats update and scrub the rejected generation's outputs.
+    # generation-scoped), and re-ingesting a LIVE id would double-count
+    # it in df/tf/docstore (generations carry no chronology — runs
+    # merge unordered, so neither copy would win).  The supported
+    # upsert flow is delete -> compact (physical removal) -> extend;
+    # refuse BEFORE the ledger/stats update and scrub the rejected
+    # generation's outputs.  The live-id check is per docstore part
+    # (ids are doc_id%P-partitioned, so a new part-DDDD-g file can only
+    # collide with its own part's base/other-gen files) and reads the
+    # id column only.
     from ..state.shard import load_tombstones
     tombs = load_tombstones(index_dir)
-    if tombs.size:
-        store = os.path.join(index_dir, "docstore")
-        new_ids = [pq.read_table(os.path.join(store, fn),
-                                 columns=["doc_id"])
-                   .column("doc_id").to_numpy(zero_copy_only=False)
-                   for fn in os.listdir(store)
-                   if fn.endswith(f"{gen_tag}.parquet")]
-        clash = np.intersect1d(
-            np.concatenate(new_ids).astype(np.uint64), tombs)             if new_ids else np.zeros(0, np.uint64)
-        if clash.size:
-            _scrub_generation(index_dir, gen_tag)
-            raise ValueError(
-                f"{clash.size} ingested doc id(s) are tombstoned; "
-                "run compact_index() before re-ingesting deleted "
-                "ids (upsert = delete -> compact -> extend)")
+    store = os.path.join(index_dir, "docstore")
+    gen_suffix = f"{gen_tag}.parquet"
+    for fn in sorted(os.listdir(store)):
+        if not fn.endswith(gen_suffix):
+            continue
+        new_ids = pq.read_table(os.path.join(store, fn),
+                                columns=["doc_id"]) \
+            .column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        if tombs.size:
+            clash = np.intersect1d(new_ids, tombs)
+            if clash.size:
+                _scrub_generation(index_dir, gen_tag)
+                raise ValueError(
+                    f"{clash.size} ingested doc id(s) are tombstoned; "
+                    "run compact_index() before re-ingesting deleted "
+                    "ids (upsert = delete -> compact -> extend)")
+        part_prefix = fn[:9]                      # part-DDDD
+        for other in sorted(os.listdir(store)):
+            if (other == fn or not other.startswith(part_prefix)
+                    or other[9] not in ".-"
+                    or not other.endswith(".parquet")
+                    or other.endswith(gen_suffix)):
+                continue
+            old_ids = pq.read_table(os.path.join(store, other),
+                                    columns=["doc_id"]) \
+                .column("doc_id").to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            dup = np.intersect1d(new_ids, old_ids)
+            if dup.size:
+                _scrub_generation(index_dir, gen_tag)
+                raise ValueError(
+                    f"{dup.size} ingested doc id(s) already live in "
+                    "the index (generations are unordered — re-ingest "
+                    "would double-count); upsert = delete_docs -> "
+                    "compact_index -> extend_index")
     build_filters(index_dir, cfg)
     # combine stats: totals add; avgdl recomputed from the sums
     stats = manifest["stats"]

@@ -498,6 +498,28 @@ def test_extend_index_incremental(ray_session, tmp_path_factory):
         assert [(round(sc, 9), d) for sc, d in a] == \
             [(round(sc, 9), d) for sc, d in b], q
 
+    # extending with an ALREADY-LIVE id must refuse (generations are
+    # unordered — a duplicate would double-count df/tf) and scrub the
+    # rejected generation so the index is untouched
+    import json as _json
+    import os as _os
+
+    def _tree(d):
+        return {_os.path.join(r, f) for r, _, fs in _os.walk(d) for f in fs}
+    before = _tree(base_dir)
+    overlap = corpus(120, 150, "three")            # 120..129 already live
+    src3 = str(root / "gen3_overlap.parquet")
+    pq.write_table(overlap, src3)
+    with pytest.raises(ValueError, match="already live"):
+        extend_index([src3], base_dir, cfg)
+    with open(_os.path.join(base_dir, "INDEX_MANIFEST.json")) as f:
+        m_after = _json.load(f)
+    assert m_after["stats"]["n_docs"] == 70        # stats untouched
+    assert _tree(base_dir) == before               # scrub left no files
+    s2 = Searcher(base_dir, use_actors=False)
+    assert {d for _, d in s2.search("three", field="text", k=100)} == set()
+    assert len(s2.search("shared", field="text", k=200)) == 70
+
 
 def test_docstore_typed_meta(ray_session, tmp_path_factory):
     """Docstore columns keep their source types through the packed
