@@ -745,6 +745,36 @@ ORDER BY span_tf DESC, a.doc_id
 """
 
 
+def phrase_prefix_docs(sf_dir: str) -> pd.DataFrame:
+    """match_phrase_prefix 'join s*' — exact lead token followed by
+    any dictionary expansion of the prefix at the next position."""
+    idx = _docs_index_dir(sf_dir) + "_pos"
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg_pos(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.match_phrase_prefix("join s", field="content",
+                                     k=1_000_000, max_expansions=1024)
+    finally:
+        s.close()
+    return pd.DataFrame({"doc_id": [d for _, d in hits],
+                         "phrase_tf": np.array([n for n, _ in hits],
+                                               dtype=np.int64)})
+
+
+PHRASE_PREFIX_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1)
+           AS pos
+  FROM documents)
+SELECT a.doc_id, count(DISTINCT a.pos) AS phrase_tf
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'join' AND b.term LIKE 's%'
+GROUP BY a.doc_id
+"""
+
+
 def search_cardinality(sf_dir: str) -> pd.DataFrame:
     """Cardinality aggregation: distinct lang values over the docs
     matching 'dup' (exact; the sketch path for un-indexed columns is
@@ -1289,6 +1319,7 @@ def queries() -> dict:
         "search_fuzzy": search_fuzzy,
         "search_sigterms": search_sigterms,
         "span_near_docs": span_near_docs,
+        "phrase_prefix_docs": phrase_prefix_docs,
         "search_cardinality": search_cardinality,
         "search_histogram": search_histogram,
         "search_stats": search_stats,
@@ -1336,6 +1367,7 @@ def oracle_sql() -> dict:
         "search_fuzzy": SEARCH_FUZZY_SQL,
         "search_sigterms": SEARCH_SIGTERMS_SQL,
         "span_near_docs": SPAN_NEAR_SQL,
+        "phrase_prefix_docs": PHRASE_PREFIX_SQL,
         "search_cardinality": SEARCH_CARDINALITY_SQL,
         "search_histogram": SEARCH_HISTOGRAM_SQL,
         "search_stats": SEARCH_STATS_SQL,

@@ -138,12 +138,26 @@ def _apply_filter(doc_ids: np.ndarray, filter_ids: np.ndarray | None) -> np.ndar
     return filter_ids[pos] == doc_ids
 
 
+def _after_mask(doc_ids: np.ndarray, scores: np.ndarray,
+                after: tuple[float, int]) -> np.ndarray:
+    """Keep-mask for search_after pagination: docs strictly AFTER the
+    cursor in (score desc, doc_id asc) order.  The cursor is the last
+    hit of the previous page, so float equality is exact (same
+    computation, same bytes)."""
+    cs, cd = float(after[0]), np.uint64(after[1])
+    return (scores < cs) | ((scores == cs) & (doc_ids > cd))
+
+
 def score_taat(terms: list[TermData], k: int, mode: str, avgdl: float,
                filter_ids: np.ndarray | None = None,
-               k1: float = K1, b: float = B) -> list[tuple[float, int]]:
+               k1: float = K1, b: float = B,
+               search_after: tuple[float, int] | None = None
+               ) -> list[tuple[float, int]]:
     """Vectorized term-at-a-time scoring (exact; also the in-memory
     oracle for WAND).  Returns [(score, doc_id)] sorted (score desc,
-    doc_id asc), length <= k."""
+    doc_id asc), length <= k.  ``search_after=(score, doc_id)``
+    resumes strictly after a previous page's last hit (OpenSearch
+    search_after deep-paging parity — no offset cost accumulates)."""
     live = [t for t in terms if t.doc_ids.size]
     n_required = len(terms)
     if not live or (mode == "and" and len(live) < n_required):
@@ -159,6 +173,9 @@ def score_taat(terms: list[TermData], k: int, mode: str, avgdl: float,
         mask &= hits == n_required
     mask &= _apply_filter(uniq, filter_ids)
     uniq, scores = uniq[mask], scores[mask]
+    if search_after is not None and uniq.size:
+        keep = _after_mask(uniq, scores, search_after)
+        uniq, scores = uniq[keep], scores[keep]
     if uniq.size == 0:
         return []
     kk = min(k, uniq.size)
@@ -175,7 +192,9 @@ def score_taat(terms: list[TermData], k: int, mode: str, avgdl: float,
 
 def score_and(terms: list[TermData], k: int, avgdl: float,
               filter_ids: np.ndarray | None = None,
-              k1: float = K1, b: float = B) -> list[tuple[float, int]]:
+              k1: float = K1, b: float = B,
+              search_after: tuple[float, int] | None = None
+              ) -> list[tuple[float, int]]:
     """Vectorized conjunction: intersect sorted posting lists smallest-
     first (numpy membership probes), then score only the surviving docs.
     Exact-equal to score_taat(mode='and') — the fast path for AND
@@ -198,6 +217,11 @@ def score_and(terms: list[TermData], k: int, avgdl: float,
         pos = np.searchsorted(t.doc_ids, base)
         scores += t.weight * t.idf * tf_norm(t.tfs[pos], t.lens[pos],
                                              avgdl, k1, b)
+    if search_after is not None:
+        keep = _after_mask(base, scores, search_after)
+        base, scores = base[keep], scores[keep]
+        if base.size == 0:
+            return []
     kk = min(k, base.size)
     cand = np.arange(base.size)
     if base.size > 4096:
@@ -520,17 +544,23 @@ def phrase_match(term_positions: list[tuple[int, np.ndarray, list[np.ndarray]]],
 
 
 def _dispatch(method: str, terms: list[TermData], k: int, mode: str,
-              avgdl: float, filt, k1: float, b: float
+              avgdl: float, filt, k1: float, b: float,
+              search_after: tuple[float, int] | None = None
               ) -> list[tuple[float, int]]:
     if method == "auto":
         method = choose_method(terms, mode)
+    if search_after is not None and method == "wand":
+        # WAND's heap threshold has no after-cursor notion — the exact
+        # vectorized paths page identically (all strategies are
+        # rank-identical; tested)
+        method = "and" if mode == "and" else "taat"
     if method == "and":
         if mode != "and":
             raise ValueError("method='and' requires mode='and'")
-        return score_and(terms, k, avgdl, filt, k1, b)
+        return score_and(terms, k, avgdl, filt, k1, b, search_after)
     if method == "wand":
         return score_wand(terms, k, mode, avgdl, filt, k1, b)
-    return score_taat(terms, k, mode, avgdl, filt, k1, b)
+    return score_taat(terms, k, mode, avgdl, filt, k1, b, search_after)
 
 
 def _candidate_ids(reader: ShardReader, field: str, q_terms: list[str],
@@ -717,7 +747,9 @@ class PartActor:
                     idf_by_term: dict[str, float], n_docs: int, avgdl: float,
                     k: int, mode: str, method: str,
                     filter_field: str | None, filter_value: str | None,
-                    k1: float, b: float) -> list[tuple[float, int]]:
+                    k1: float, b: float,
+                    search_after: tuple[float, int] | None = None
+                    ) -> list[tuple[float, int]]:
         """Round 2: score this actor's doc shards with GLOBAL stats and
         return the local top-k — postings never leave the actor.  Each
         part is a complete mini-index over its doc range, so parts score
@@ -732,7 +764,8 @@ class PartActor:
             filt = None
             if filter_field is not None:
                 filt = r.filter_docs(filter_field, filter_value, dparts=[p])
-            hits.extend(_dispatch(method, terms, k, mode, avgdl, filt, k1, b))
+            hits.extend(_dispatch(method, terms, k, mode, avgdl, filt, k1, b,
+                                  search_after))
         hits.sort(key=lambda sd: (-sd[0], sd[1]))
         return hits[:k]
 
@@ -826,12 +859,16 @@ class Searcher:
                filter_field: str | None = None, filter_value: str | None = None,
                range_field: str | None = None, range_lo=None, range_hi=None,
                analyzer: str | None = None,
+               search_after: tuple[float, int] | None = None,
                k1: float = K1, b: float = B) -> list[tuple[float, int]]:
         """``method='auto'`` picks the execution strategy per query:
         vectorized intersection for AND, block-max WAND when the
         candidate postings are selective enough for skipping to pay off,
         vectorized TAAT otherwise (all three are exact-identical;
-        tested)."""
+        tested).  ``search_after=(score, doc_id)`` — the previous
+        page's last hit — resumes the ranking strictly after the
+        cursor (OpenSearch search_after parity: deep paging without
+        accumulating offset cost)."""
         if analyzer is None:
             analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
                              if f == field), "code")
@@ -851,7 +888,8 @@ class Searcher:
             rids = load_range_ids(self.index_dir, range_field,
                                   range_lo, range_hi)
             filt = rids if filt is None else                 np.intersect1d(filt, rids, assume_unique=True)
-        return _dispatch(method, terms, k, mode, avgdl, filt, k1, b)
+        return _dispatch(method, terms, k, mode, avgdl, filt, k1, b,
+                         search_after)
 
     def search_bool(self, must: list[str] | None = None,
                     should: list[str] | None = None,
@@ -1360,6 +1398,86 @@ class Searcher:
                     matches[int(d)] = n
         return terms, matches
 
+    def match_phrase_prefix(self, query: str, field: str = "content",
+                            k: int = 10, max_expansions: int = 50,
+                            analyzer: str | None = None
+                            ) -> list[tuple[int, int]]:
+        """Phrase query whose LAST term is a prefix (OpenSearch
+        ``match_phrase_prefix`` — the search-as-you-type shape): the
+        leading tokens must match exactly at their phrase offsets and
+        the final position must hold ANY dictionary expansion of the
+        prefix.  phrase_tf counts anchors where at least one expansion
+        matches.  Returns [(phrase_tf, doc_id)] sorted (tf desc,
+        doc_id asc)."""
+        if not self.manifest["config"].get("store_positions"):
+            raise ValueError(
+                "index was built without positions (IndexConfig."
+                "store_positions=True required for phrase queries)")
+        if analyzer is None:
+            analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
+                             if f == field), "code")
+        toks, poss = POSITIONAL_ANALYZERS[analyzer](query)
+        if not toks:
+            return []
+        lead, lead_offs = toks[:-1], poss[:-1]
+        prefix, last_off = toks[-1], poss[-1]
+        expansions = self.expand_terms(prefix, field, "prefix",
+                                       max_expansions)
+        if not expansions:
+            return []
+        rows = self._gather(field, lead + expansions)
+        lead_terms: list[_PhraseTerm] = []
+        for tok, off in zip(lead, lead_offs):
+            r = rows.get(tok)
+            if not r:
+                return []
+            lead_terms.append(_PhraseTerm(off, r))
+        exp_terms = [_PhraseTerm(last_off, rows[t]) for t in expansions
+                     if rows.get(t)]
+        if not exp_terms:
+            return []
+        # candidates: docs with every lead token AND any expansion
+        exp_docs = np.unique(np.concatenate(
+            [t.all_docs() for t in exp_terms]))
+        base = exp_docs
+        for t in sorted(lead_terms, key=lambda t: t.df):
+            docs = t.all_docs()
+            if base.size == 0 or docs.size == 0:
+                return []
+            pos = np.minimum(np.searchsorted(docs, base), docs.size - 1)
+            base = base[docs[pos] == base]
+        if self.tombstones.size and base.size:
+            base = base[_excl_mask(base, self.tombstones)]
+        out: list[tuple[int, int]] = []
+        for d in base:
+            anchors: np.ndarray | None = None
+            ok = True
+            for t in lead_terms:
+                p = t.positions_for(d)
+                if p is None:
+                    ok = False
+                    break
+                cand = p.astype(np.int64) - t.offset
+                anchors = cand if anchors is None else \
+                    np.intersect1d(anchors, cand, assume_unique=False)
+                if anchors.size == 0:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            exp_pos = [t.positions_for(d) for t in exp_terms]
+            exp_pos = [p for p in exp_pos if p is not None]
+            if not exp_pos:
+                continue
+            last_anchors = np.unique(np.concatenate(
+                [p.astype(np.int64) - last_off for p in exp_pos]))
+            final = last_anchors if anchors is None else \
+                np.intersect1d(anchors, last_anchors, assume_unique=False)
+            if final.size:
+                out.append((int(final.size), int(d)))
+        out.sort(key=lambda td: (-td[0], td[1]))
+        return out[:k]
+
     def phrase_search(self, query: str, field: str = "content",
                       k: int = 10, analyzer: str | None = None,
                       slop: int = 0) -> list[tuple[int, int]]:
@@ -1405,6 +1523,7 @@ class Searcher:
                            filter_field: str | None = None,
                            filter_value: str | None = None,
                            analyzer: str | None = None,
+                           search_after: tuple[float, int] | None = None,
                            k1: float = K1, b: float = B
                            ) -> list[tuple[float, int]]:
         """Scatter-gather execution over a doc-partitioned index
@@ -1446,7 +1565,7 @@ class Searcher:
             shard_hits = ray.get([
                 a.score_local.remote(field, q_terms, idf_by_term, n_docs,
                                      avgdl, k, mode, method, filter_field,
-                                     filter_value, k1, b)
+                                     filter_value, k1, b, search_after)
                 for a in self.actors])
         else:
             shard_hits = []
@@ -1461,7 +1580,8 @@ class Searcher:
                     filt = r.filter_docs(filter_field, filter_value,
                                          dparts=[p])
                 shard_hits.append(
-                    _dispatch(method, terms, k, mode, avgdl, filt, k1, b))
+                    _dispatch(method, terms, k, mode, avgdl, filt, k1, b,
+                              search_after))
         merged = [h for hs in shard_hits for h in hs]
         merged.sort(key=lambda sd: (-sd[0], sd[1]))
         return merged[:k]

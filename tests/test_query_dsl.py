@@ -278,3 +278,50 @@ def test_doc_sharded_aggregations_match_term_partitioned(
         assert st_d == st_t
     assert sd.significant_terms("spark", "lang") == \
         s.significant_terms("spark", "lang")
+
+
+def test_search_after_pagination(dsl_index):
+    s, _ = dsl_index
+    for mode, method in [("or", "auto"), ("or", "taat"), ("and", "and"),
+                         ("or", "wand")]:
+        full = s.search("spark join", k=60, mode=mode, method=method)
+        pages, cursor = [], None
+        while True:
+            page = s.search("spark join", k=7, mode=mode, method=method,
+                            search_after=cursor)
+            if not page:
+                break
+            pages.extend(page)
+            cursor = page[-1]
+            if len(pages) >= len(full):
+                break
+        assert pages[:len(full)] == full, (mode, method)
+    # paging composes with filters
+    full = s.search("spark", k=50, filter_field="lang", filter_value="py")
+    p1 = s.search("spark", k=5, filter_field="lang", filter_value="py")
+    p2 = s.search("spark", k=5, filter_field="lang", filter_value="py",
+                  search_after=p1[-1])
+    assert p1 + p2 == full[:10]
+
+
+def test_match_phrase_prefix(dsl_index, ref):
+    s, _ = dsl_index
+    # 'join s' = exact 'join' followed by any s* term
+    exp = []
+    for i in range(N_DOCS):
+        tl = ref.tok_lists[i]
+        anchors = {p for p in range(len(tl) - 1)
+                   if tl[p] == "join" and tl[p + 1].startswith("s")}
+        if anchors:
+            exp.append((len(anchors), i))
+    exp.sort(key=lambda td: (-td[0], td[1]))
+    got = s.match_phrase_prefix("join s", k=10**6, max_expansions=1024)
+    assert got == exp
+    # single-token prefix degenerates to "any position holding s*"
+    got1 = s.match_phrase_prefix("sq", k=10**6)
+    exp1 = sorted(((sum(1 for w in ref.tok_lists[i] if w.startswith("sq")), i)
+                   for i in range(N_DOCS)
+                   if any(w.startswith("sq") for w in ref.tok_lists[i])),
+                  key=lambda td: (-td[0], td[1]))
+    assert got1 == exp1
+    assert s.match_phrase_prefix("join zz_nope") == []
