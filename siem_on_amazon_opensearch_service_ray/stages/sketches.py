@@ -104,3 +104,97 @@ def hll_cardinality(ds, column: str, p: int = 14) -> float:
                  .map_batches(partial, batch_format="pyarrow").take_all():
         out.merge(HyperLogLog.from_bytes(row["regs"], p))
     return out.estimate()
+
+
+class TDigest:
+    """Merging t-digest (Dunning & Ertl) for mergeable quantiles.
+
+    Centroids cluster by the k-scale index k(q) = delta*(asin(2q-1)/pi
+    + 1/2): accuracy concentrates at the tails, memory is O(delta),
+    and two digests merge by concatenation + one recompress — the
+    distributed-percentiles partial the reference gets from
+    OpenSearch's percentiles agg (t-digest per shard, merged at the
+    coordinator).  ``stats_aggregation(quantile_method='tdigest')``
+    swaps this in for the exact path when raw matched values are too
+    big to gather.
+
+    Deterministic for a fixed partitioning/merge order (compression
+    re-sorts by mean); different partitionings yield slightly
+    different — equally accurate — centroids, like any t-digest.
+    """
+
+    def __init__(self, delta: int = 200,
+                 means: np.ndarray | None = None,
+                 weights: np.ndarray | None = None):
+        self.delta = int(delta)
+        self.means = means if means is not None else np.zeros(0)
+        self.weights = weights if weights is not None else np.zeros(0)
+
+    def _kfun(self, q: np.ndarray) -> np.ndarray:
+        return self.delta * (np.arcsin(2.0 * np.clip(q, 0.0, 1.0) - 1.0)
+                             / np.pi + 0.5)
+
+    def _compress(self, means: np.ndarray, weights: np.ndarray) -> None:
+        if means.size == 0:
+            self.means = means
+            self.weights = weights
+            return
+        order = np.argsort(means, kind="stable")
+        m, w = means[order], weights[order]
+        total = float(w.sum())
+        q_left = (np.cumsum(w) - w) / total
+        idx = np.floor(self._kfun(q_left)).astype(np.int64)
+        # group consecutive-equal k-indices (values sorted by mean, so
+        # equal indices are adjacent)
+        uniq, start = np.unique(idx, return_index=True)
+        bounds = np.append(start, m.size)
+        gm = np.add.reduceat(m * w, bounds[:-1])
+        gw = np.add.reduceat(w, bounds[:-1])
+        self.means = gm / gw
+        self.weights = gw
+
+    def add(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        if v.size == 0:
+            return
+        self._compress(np.concatenate([self.means, v]),
+                       np.concatenate([self.weights,
+                                       np.ones(v.size)]))
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        if other.delta != self.delta:
+            raise ValueError("cannot merge digests with different delta")
+        self._compress(np.concatenate([self.means, other.means]),
+                       np.concatenate([self.weights, other.weights]))
+        return self
+
+    @property
+    def count(self) -> float:
+        return float(self.weights.sum())
+
+    def quantile(self, q: float) -> float:
+        if self.means.size == 0:
+            raise ValueError("empty digest")
+        if self.means.size == 1:
+            return float(self.means[0])
+        w = self.weights
+        total = float(w.sum())
+        # centroid midpoints in cumulative-weight space
+        mid = (np.cumsum(w) - w / 2.0) / total
+        t = min(max(q, 0.0), 1.0)
+        if t <= mid[0]:
+            return float(self.means[0])
+        if t >= mid[-1]:
+            return float(self.means[-1])
+        j = int(np.searchsorted(mid, t, side="right"))
+        frac = (t - mid[j - 1]) / (mid[j] - mid[j - 1])
+        return float(self.means[j - 1]
+                     + frac * (self.means[j] - self.means[j - 1]))
+
+    def to_arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        return self.means, self.weights
+
+    @classmethod
+    def from_arrays(cls, means, weights, delta: int = 200) -> "TDigest":
+        return cls(delta, np.asarray(means, dtype=np.float64),
+                   np.asarray(weights, dtype=np.float64))

@@ -713,10 +713,11 @@ class PartActor:
         return out
 
     def stats_local(self, field: str, q_terms: list[str], mode: str,
-                    range_field: str, want_values: bool) -> dict:
-        """Doc-sharded stats partial: exact mergeable moments; raw
-        matched values ship only when quantiles were requested (the
-        100-TB replacement is a t-digest partial)."""
+                    range_field: str, quantile_mode: str = "none") -> dict:
+        """Doc-sharded stats partial: exact mergeable moments; for
+        quantiles, ``exact`` ships the raw matched values while
+        ``tdigest`` ships an O(delta) centroid partial — the 100-TB
+        path (OpenSearch percentiles parity: t-digest per shard)."""
         vs = [_shard_range_values(r, p, self.tombstones, field, q_terms,
                                   mode, range_field)
               for p, r in self.readers.items()]
@@ -726,8 +727,13 @@ class PartActor:
             return {"count": 0}
         out = {"count": int(v.size), "min": float(v.min()),
                "max": float(v.max()), "sum": float(v.sum())}
-        if want_values:
+        if quantile_mode == "exact":
             out["values"] = v
+        elif quantile_mode == "tdigest":
+            from ..stages.sketches import TDigest
+            td = TDigest()
+            td.add(v)
+            out["digest"] = td.to_arrays()
         return out
 
     # --- doc-sharded execution (dfs_query_then_fetch; SURVEY §7.1) ---
@@ -1147,37 +1153,50 @@ class Searcher:
     def stats_aggregation(self, query: str, range_field: str,
                           field: str = "content", mode: str = "or",
                           quantiles: tuple[float, ...] = (),
+                          quantile_method: str = "exact",
                           analyzer: str | None = None) -> dict:
         """stats / percentiles aggregation over the full match set
         (OpenSearch ``stats`` + ``percentiles`` aggs): count/min/max/
-        avg/sum of the numeric field over matching docs, plus exact
-        linear-interpolation quantiles (numpy 'linear' ==
-        DuckDB quantile_cont; the reference's OpenSearch percentiles
-        use t-digest approximation — at 100 TB swap in a t-digest
-        partial per range part, merged at the driver)."""
+        avg/sum of the numeric field over matching docs, plus
+        quantiles.  ``quantile_method='exact'`` gathers matched values
+        and interpolates linearly (== DuckDB quantile_cont — the
+        oracle-checkable path); ``'tdigest'`` merges O(delta) centroid
+        partials instead (the 100-TB path, and what the reference's
+        OpenSearch percentiles agg actually does per shard)."""
         if analyzer is None:
             analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
                              if f == field), "code")
         q_terms = ANALYZERS[analyzer](query)
         if not q_terms:
             return {"count": 0}
+        qmode = ("none" if not quantiles else quantile_method)
+        if qmode not in ("none", "exact", "tdigest"):
+            raise ValueError(f"unknown quantile_method {quantile_method!r}")
         if self.manifest["config"].get("partition_by") == "doc":
-            # per-shard partials; raw values ship only for quantiles
-            want_values = bool(quantiles)
+            # per-shard partials; values/digests ship only for quantiles
             if self.use_actors:
                 parts = ray.get([
                     a.stats_local.remote(field, q_terms, mode, range_field,
-                                         want_values)
+                                         qmode)
                     for a in self.actors])
             else:
                 parts = []
                 for p, r in self.readers.items():
                     v = _shard_range_values(r, p, self.tombstones, field,
                                             q_terms, mode, range_field)
-                    parts.append(
-                        {"count": int(v.size), "min": float(v.min()),
-                         "max": float(v.max()), "sum": float(v.sum()),
-                         "values": v} if v.size else {"count": 0})
+                    if not v.size:
+                        parts.append({"count": 0})
+                        continue
+                    d = {"count": int(v.size), "min": float(v.min()),
+                         "max": float(v.max()), "sum": float(v.sum())}
+                    if qmode == "exact":
+                        d["values"] = v
+                    elif qmode == "tdigest":
+                        from ..stages.sketches import TDigest
+                        td = TDigest()
+                        td.add(v)
+                        d["digest"] = td.to_arrays()
+                    parts.append(d)
             live = [d for d in parts if d["count"]]
             if not live:
                 return {"count": 0}
@@ -1186,10 +1205,17 @@ class Searcher:
                    "max": max(d["max"] for d in live),
                    "sum": float(sum(d["sum"] for d in live))}
             out["avg"] = out["sum"] / out["count"]
-            if quantiles:
+            if qmode == "exact":
                 v = np.concatenate([np.asarray(d["values"]) for d in live])
                 for q in quantiles:
                     out[f"p{round(q * 100):02d}"] = float(np.quantile(v, q))
+            elif qmode == "tdigest":
+                from ..stages.sketches import TDigest
+                td = TDigest()
+                for d in live:
+                    td.merge(TDigest.from_arrays(*d["digest"]))
+                for q in quantiles:
+                    out[f"p{round(q * 100):02d}"] = td.quantile(q)
             return out
         cand = self._match_ids(field, q_terms, mode)
         if cand.size == 0:
@@ -1207,8 +1233,15 @@ class Searcher:
         out = {"count": int(v.size), "min": float(v.min()),
                "max": float(v.max()), "sum": float(v.sum()),
                "avg": float(v.mean())}
-        for q in quantiles:
-            out[f"p{round(q * 100):02d}"] = float(np.quantile(v, q))
+        if qmode == "tdigest":
+            from ..stages.sketches import TDigest
+            td = TDigest()
+            td.add(v)
+            for q in quantiles:
+                out[f"p{round(q * 100):02d}"] = td.quantile(q)
+        else:
+            for q in quantiles:
+                out[f"p{round(q * 100):02d}"] = float(np.quantile(v, q))
         return out
 
     # --- span queries ---

@@ -278,6 +278,13 @@ def test_doc_sharded_aggregations_match_term_partitioned(
         assert st_d == st_t
     assert sd.significant_terms("spark", "lang") == \
         s.significant_terms("spark", "lang")
+    # t-digest partials merge across doc shards; close to exact
+    exact = s.stats_aggregation("spark join", "n_chars", quantiles=(0.5,))
+    approx = sd.stats_aggregation("spark join", "n_chars", quantiles=(0.5,),
+                                  quantile_method="tdigest")
+    assert approx["count"] == exact["count"]
+    spread = exact["max"] - exact["min"]
+    assert abs(approx["p50"] - exact["p50"]) < 0.05 * spread
 
 
 def test_search_after_pagination(dsl_index):
@@ -325,3 +332,20 @@ def test_match_phrase_prefix(dsl_index, ref):
                   key=lambda td: (-td[0], td[1]))
     assert got1 == exp1
     assert s.match_phrase_prefix("join zz_nope") == []
+
+
+def test_stats_tdigest_close_to_exact(dsl_index):
+    s, _ = dsl_index
+    exact = s.stats_aggregation("spark join", "n_chars",
+                                quantiles=(0.5, 0.9))
+    approx = s.stats_aggregation("spark join", "n_chars",
+                                 quantiles=(0.5, 0.9),
+                                 quantile_method="tdigest")
+    for key in ("count", "min", "max", "sum", "avg"):
+        assert approx[key] == exact[key]
+    spread = exact["max"] - exact["min"]
+    assert abs(approx["p50"] - exact["p50"]) < 0.05 * spread
+    assert abs(approx["p90"] - exact["p90"]) < 0.05 * spread
+    with pytest.raises(ValueError, match="quantile_method"):
+        s.stats_aggregation("spark", "n_chars", quantiles=(0.5,),
+                            quantile_method="bogus")

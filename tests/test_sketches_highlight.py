@@ -79,3 +79,56 @@ def test_highlight(ray_session, tmp_path):
     # zero-hit query / empty ids
     assert highlight([src], [], "spark") == {}
     assert highlight([src], [0], "zzznope") == {}
+
+
+def test_tdigest_rank_accuracy():
+    from siem_on_amazon_opensearch_service_ray.stages.sketches import TDigest
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([rng.normal(100, 15, 30_000),
+                           rng.lognormal(3, 1, 20_000)])
+    td = TDigest(delta=200)
+    td.add(vals)
+    assert td.count == vals.size
+    s = np.sort(vals)
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99, 0.999):
+        est = td.quantile(q)
+        # t-digest guarantee is on RANK error, tighter at the tails
+        rank = np.searchsorted(s, est) / s.size
+        tol = 0.005 if 0.1 <= q <= 0.9 else 0.002
+        assert abs(rank - q) < tol, (q, est, rank)
+
+
+def test_tdigest_merge_matches_whole():
+    from siem_on_amazon_opensearch_service_ray.stages.sketches import TDigest
+    rng = np.random.default_rng(4)
+    vals = rng.exponential(10, 50_000)
+    parts = np.array_split(vals, 7)
+    merged = TDigest()
+    for p in parts:
+        t = TDigest()
+        t.add(p)
+        merged.merge(t)
+    s = np.sort(vals)
+    assert merged.count == vals.size
+    for q in (0.05, 0.5, 0.95, 0.99):
+        rank = np.searchsorted(s, merged.quantile(q)) / s.size
+        assert abs(rank - q) < 0.01, q
+    # centroid budget stays O(delta)
+    assert merged.means.size <= 2 * 200
+    with pytest.raises(ValueError):
+        merged.merge(TDigest(delta=100))
+    with pytest.raises(ValueError):
+        TDigest().quantile(0.5)
+
+
+def test_tdigest_roundtrip_and_small():
+    from siem_on_amazon_opensearch_service_ray.stages.sketches import TDigest
+    td = TDigest()
+    td.add(np.array([5.0]))
+    assert td.quantile(0.0) == td.quantile(1.0) == 5.0
+    td2 = TDigest.from_arrays(*td.to_arrays())
+    assert td2.quantile(0.5) == 5.0
+    # exact on tiny inputs (every value its own centroid)
+    td3 = TDigest()
+    td3.add(np.arange(10, dtype=float))
+    assert td3.quantile(0.0) == 0.0 and td3.quantile(1.0) == 9.0
