@@ -7,6 +7,13 @@ per-partition manifests supply the resume).
 Usage:
   python -m siem_on_amazon_opensearch_service_ray build  <corpus_dir> <index_dir> [--partitions P] [--no-salting] [--no-resume]
   python -m siem_on_amazon_opensearch_service_ray search <index_dir> <query> [--k K] [--mode or|and] [--field F] [--fetch]
+      [--type term|bool|phrase|phrase-prefix|prefix|wildcard|fuzzy|span]
+      [--must C]... [--should C]... [--must-not C]... [--msm N]
+      [--slop N] [--fuzziness N] [--max-expansions N]
+      [--filter FIELD=VALUE] [--range FIELD:LO:HI]
+      [--search-after SCORE,DOC_ID]
+  python -m siem_on_amazon_opensearch_service_ray agg    <index_dir> <query> --agg terms|cardinality|histogram|stats|sigterms
+      --agg-field F [--interval N] [--quantiles 0.5,0.9] [--tdigest]
   python -m siem_on_amazon_opensearch_service_ray stats  <index_dir>
   python -m siem_on_amazon_opensearch_service_ray extend  <corpus_dir> <index_dir>
   python -m siem_on_amazon_opensearch_service_ray compact <index_dir>
@@ -34,13 +41,48 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("search")
     s.add_argument("index_dir")
-    s.add_argument("query")
+    s.add_argument("query", nargs="?", default=None,
+                   help="query string (omit for --type bool)")
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--mode", default="or", choices=["or", "and"])
     s.add_argument("--field", default="content")
+    s.add_argument("--type", dest="qtype", default="term",
+                   choices=["term", "bool", "phrase", "phrase-prefix",
+                            "prefix", "wildcard", "fuzzy", "span"])
+    s.add_argument("--must", action="append", default=[])
+    s.add_argument("--should", action="append", default=[])
+    s.add_argument("--must-not", action="append", default=[])
+    s.add_argument("--msm", type=int, default=None,
+                   help="minimum_should_match (bool queries)")
+    s.add_argument("--slop", type=int, default=0,
+                   help="phrase/span slop")
+    s.add_argument("--fuzziness", type=int, default=1)
+    s.add_argument("--max-expansions", type=int, default=50)
+    s.add_argument("--filter", default=None, metavar="FIELD=VALUE")
+    s.add_argument("--range", dest="range_", default=None,
+                   metavar="FIELD:LO:HI")
+    s.add_argument("--search-after", default=None, metavar="SCORE,DOC_ID",
+                   help="previous page's last hit (deep paging)")
     s.add_argument("--fetch", action="store_true",
                    help="fetch docstore metadata for the hits")
     s.add_argument("--num-cpus", type=int, default=None)
+
+    ag = sub.add_parser("agg")
+    ag.add_argument("index_dir")
+    ag.add_argument("query")
+    ag.add_argument("--agg", required=True,
+                    choices=["terms", "cardinality", "histogram", "stats",
+                             "sigterms"])
+    ag.add_argument("--agg-field", required=True)
+    ag.add_argument("--mode", default="or", choices=["or", "and"])
+    ag.add_argument("--field", default="content")
+    ag.add_argument("--interval", type=float, default=100.0)
+    ag.add_argument("--quantiles", default="",
+                    help="comma-separated, e.g. 0.5,0.9,0.99")
+    ag.add_argument("--tdigest", action="store_true",
+                    help="approximate quantiles via t-digest partials")
+    ag.add_argument("--k", type=int, default=10)
+    ag.add_argument("--num-cpus", type=int, default=None)
 
     st = sub.add_parser("stats")
     st.add_argument("index_dir")
@@ -99,12 +141,92 @@ def main(argv: list[str] | None = None) -> int:
             man = compact_index(args.index_dir)
             print(json.dumps({"n_docs": man["stats"]["n_docs"],
                               "fingerprint": man["fingerprint"]}, indent=2))
+        elif args.cmd == "agg":
+            from .state.searcher import Searcher
+            searcher = Searcher(args.index_dir, use_actors=True)
+            try:
+                if args.agg == "terms":
+                    res = searcher.terms_aggregation(
+                        args.query, args.agg_field, args.field, args.mode)
+                    res = [{"value": v, "count": n} for v, n in res]
+                elif args.agg == "cardinality":
+                    res = {"n_values": searcher.cardinality_aggregation(
+                        args.query, args.agg_field, args.field, args.mode)}
+                elif args.agg == "histogram":
+                    res = [{"bucket": b_, "count": n} for b_, n in
+                           searcher.histogram_aggregation(
+                               args.query, args.agg_field, args.interval,
+                               args.field, args.mode)]
+                elif args.agg == "sigterms":
+                    res = [{"value": v, "fg_count": n, "score": round(sc, 6)}
+                           for v, n, sc in searcher.significant_terms(
+                               args.query, args.agg_field, args.field,
+                               args.mode, args.k)]
+                else:
+                    qs = tuple(float(x) for x in args.quantiles.split(",")
+                               if x)
+                    res = searcher.stats_aggregation(
+                        args.query, args.agg_field, args.field, args.mode,
+                        quantiles=qs,
+                        quantile_method="tdigest" if args.tdigest
+                        else "exact")
+                print(json.dumps(res, indent=2))
+            finally:
+                searcher.close()
         elif args.cmd == "search":
             from .state.searcher import Searcher
             searcher = Searcher(args.index_dir, use_actors=True)
             try:
-                hits = searcher.search(args.query, field=args.field,
-                                       k=args.k, mode=args.mode)
+                ff = fv = None
+                if args.filter:
+                    ff, fv = args.filter.split("=", 1)
+                rf = rlo = rhi = None
+                if args.range_:
+                    rf, lo_s, hi_s = args.range_.split(":")
+                    rlo = float(lo_s) if lo_s else None
+                    rhi = float(hi_s) if hi_s else None
+                after = None
+                if args.search_after:
+                    sc_s, d_s = args.search_after.split(",")
+                    after = (float(sc_s), int(d_s))
+                qt = args.qtype
+                if qt == "bool":
+                    hits = searcher.search_bool(
+                        must=args.must, should=args.should,
+                        must_not=args.must_not, field=args.field, k=args.k,
+                        minimum_should_match=args.msm, filter_field=ff,
+                        filter_value=fv, range_field=rf, range_lo=rlo,
+                        range_hi=rhi)
+                elif qt == "phrase":
+                    hits = [(float(tf), d) for tf, d in
+                            searcher.phrase_search(args.query, args.field,
+                                                   args.k, slop=args.slop)]
+                elif qt == "phrase-prefix":
+                    hits = [(float(tf), d) for tf, d in
+                            searcher.match_phrase_prefix(
+                                args.query, args.field, args.k,
+                                args.max_expansions)]
+                elif qt == "prefix":
+                    hits = searcher.prefix_search(
+                        args.query, args.field, args.k, args.max_expansions)
+                elif qt == "wildcard":
+                    hits = searcher.wildcard_search(
+                        args.query, args.field, args.k, args.max_expansions)
+                elif qt == "fuzzy":
+                    hits = searcher.fuzzy_search(
+                        args.query, args.field, args.fuzziness, args.k,
+                        args.max_expansions)
+                elif qt == "span":
+                    hits = [(float(n), d) for n, d in
+                            searcher.span_near(args.query.split(),
+                                               args.field, args.slop,
+                                               args.k)]
+                else:
+                    hits = searcher.search(
+                        args.query, field=args.field, k=args.k,
+                        mode=args.mode, filter_field=ff, filter_value=fv,
+                        range_field=rf, range_lo=rlo, range_hi=rhi,
+                        search_after=after)
                 out = [{"rank": i, "doc_id": d, "score": round(sc, 4)}
                        for i, (sc, d) in enumerate(hits)]
                 if args.fetch and hits:
