@@ -48,7 +48,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--field", default="content")
     s.add_argument("--type", dest="qtype", default="term",
                    choices=["term", "bool", "phrase", "phrase-prefix",
-                            "prefix", "wildcard", "fuzzy", "span"])
+                            "prefix", "wildcard", "fuzzy", "span", "qs"])
     s.add_argument("--must", action="append", default=[])
     s.add_argument("--should", action="append", default=[])
     s.add_argument("--must-not", action="append", default=[])
@@ -216,6 +216,9 @@ def main(argv: list[str] | None = None) -> int:
                     hits = searcher.fuzzy_search(
                         args.query, args.field, args.fuzziness, args.k,
                         args.max_expansions)
+                elif qt == "qs":
+                    hits = searcher.query_string(args.query, args.field,
+                                                 args.k)
                 elif qt == "span":
                     hits = [(float(n), d) for n, d in
                             searcher.span_near(args.query.split(),

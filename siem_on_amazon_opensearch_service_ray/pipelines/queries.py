@@ -775,6 +775,33 @@ GROUP BY a.doc_id
 """
 
 
+QUERY_STRING_SQL = _bm25_sql(
+    ["spark", "join"], BM25_K, mode="and",
+    final_where=("WHERE doc_id NOT IN (SELECT doc_id FROM tok "
+                 "WHERE term = 'dup') AND doc_id IN "
+                 "(SELECT doc_id FROM documents "
+                 "WHERE n_chars BETWEEN 100 AND 400)"))
+
+
+def search_query_string(sf_dir: str) -> pd.DataFrame:
+    """query_string execution: 'spark AND join -dup
+    n_chars:[100 TO 400]' — the dashboard search-box surface lowered
+    onto the boolean machinery (state/querystring.py)."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.query_string("spark AND join -dup n_chars:[100 TO 400]",
+                              field="content", k=BM25_K)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d in hits],
+        "score_e4": np.array([round(sc * 10000) for sc, _ in hits],
+                             dtype=np.int64),
+    })
+
+
 def search_cardinality(sf_dir: str) -> pd.DataFrame:
     """Cardinality aggregation: distinct lang values over the docs
     matching 'dup' (exact; the sketch path for un-indexed columns is
@@ -1320,6 +1347,7 @@ def queries() -> dict:
         "search_sigterms": search_sigterms,
         "span_near_docs": span_near_docs,
         "phrase_prefix_docs": phrase_prefix_docs,
+        "search_query_string": search_query_string,
         "search_cardinality": search_cardinality,
         "search_histogram": search_histogram,
         "search_stats": search_stats,
@@ -1368,6 +1396,7 @@ def oracle_sql() -> dict:
         "search_sigterms": SEARCH_SIGTERMS_SQL,
         "span_near_docs": SPAN_NEAR_SQL,
         "phrase_prefix_docs": PHRASE_PREFIX_SQL,
+        "search_query_string": QUERY_STRING_SQL,
         "search_cardinality": SEARCH_CARDINALITY_SQL,
         "search_histogram": SEARCH_HISTOGRAM_SQL,
         "search_stats": SEARCH_STATS_SQL,

@@ -128,6 +128,15 @@ def prepare_terms(query_terms: list[str], rows_by_term: dict[str, list[tuple]],
     return out
 
 
+def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of two sorted unique uint64 arrays (membership
+    probes — no np.intersect1d re-sort)."""
+    if a.size == 0 or b.size == 0:
+        return a[:0]
+    pos = np.minimum(np.searchsorted(b, a), b.size - 1)
+    return a[b[pos] == a]
+
+
 def _apply_filter(doc_ids: np.ndarray, filter_ids: np.ndarray | None) -> np.ndarray:
     """Boolean mask of doc_ids present in the sorted filter list."""
     if filter_ids is None:
@@ -953,6 +962,154 @@ class Searcher:
                 np.intersect1d(filt, rids, assume_unique=True)
         return score_bool(must_td, should_td, k, avgdl, msm, mn_ids,
                           filt, k1, b)
+
+    def _group_arrays(self, tds: list[TermData], avgdl: float,
+                      k1: float, b: float) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted doc ids, aligned summed BM25 contributions) for a
+        clause GROUP — a doc matches the group when any member term
+        matches; matched members' scores sum (Lucene sub-boolean with
+        default OR)."""
+        live = [t for t in tds if t.doc_ids.size]
+        if not live:
+            return np.zeros(0, np.uint64), np.zeros(0)
+        docs = np.concatenate([t.doc_ids for t in live])
+        contribs = np.concatenate([
+            t.weight * t.idf * tf_norm(t.tfs, t.lens, avgdl, k1, b)
+            for t in live])
+        uniq, inv = np.unique(docs, return_inverse=True)
+        return uniq, np.bincount(inv, weights=contribs, minlength=uniq.size)
+
+    def query_string(self, qs: str, field: str = "content", k: int = 10,
+                     max_expansions: int = 1024,
+                     analyzer: str | None = None,
+                     k1: float = K1, b: float = B
+                     ) -> list[tuple[float, int]]:
+        """Execute a query-string expression (OpenSearch query_string /
+        KQL subset — the reference's dashboard search box; grammar and
+        semantics in ``state.querystring``): term / prefix / wildcard /
+        fuzzy clauses score, quoted phrases and ``field:value`` /
+        ``field:[lo TO hi]`` constrain.  AND/NOT/+/- set occurrence;
+        with no MUST clause at least one SHOULD clause must match."""
+        from .querystring import MUST, MUST_NOT, SHOULD, parse_query_string
+        parsed = parse_query_string(qs)
+        if analyzer is None:
+            analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
+                             if f == field), "code")
+        an = ANALYZERS[analyzer]
+        avgdl = float(self.stats["avgdl"][field])
+        n_docs = int(self.stats["n_docs"])
+
+        def clause_terms(c) -> list[str]:
+            if c.kind == "term":
+                return an(c.text)
+            if c.kind == "prefix":
+                return self.expand_terms(c.text.lower(), field, "prefix",
+                                         max_expansions)
+            if c.kind == "wildcard":
+                return self.expand_terms(c.text.lower(), field, "wildcard",
+                                         max_expansions)
+            if c.kind == "fuzzy":
+                return self.expand_terms(c.text.lower(), field, "fuzzy",
+                                         max_expansions,
+                                         fuzziness=c.fuzziness)
+            raise AssertionError(c.kind)
+
+        scoring = [c for c in parsed.clauses if c.kind != "phrase"]
+        phrases = [c for c in parsed.clauses if c.kind == "phrase"]
+        terms_by_clause = [clause_terms(c) for c in scoring]
+        all_terms = [t for ts in terms_by_clause for t in ts]
+        rows = self._gather(field, all_terms) if all_terms else {}
+        groups: list[tuple[str, np.ndarray, np.ndarray]] = []
+        for c, ts in zip(scoring, terms_by_clause):
+            if not ts:
+                ids, sc = np.zeros(0, np.uint64), np.zeros(0)
+            else:
+                tds = prepare_terms(ts, rows, n_docs, avgdl, k1, b,
+                                    exclude_ids=self.tombstones)
+                ids, sc = self._group_arrays(tds, avgdl, k1, b)
+            groups.append((c.occur, ids, sc))
+        # phrase clauses: filter-context doc-id sets
+        must_sets: list[np.ndarray] = []
+        mn_sets: list[np.ndarray] = []
+        for c in phrases:
+            _, matches = self._phrase_candidates(c.text, field, analyzer,
+                                                 c.slop)
+            ids = np.sort(np.array(list(matches), dtype=np.uint64))
+            (mn_sets if c.occur == MUST_NOT else must_sets).append(ids)
+        # candidate base
+        must_groups = [(ids, sc) for o, ids, sc in groups if o == MUST]
+        should_groups = [(ids, sc) for o, ids, sc in groups if o == SHOULD]
+        for o, ids, _ in groups:
+            if o == MUST_NOT:
+                mn_sets.append(ids)
+        base: np.ndarray | None = None
+        for ids, _ in must_groups:
+            base = ids if base is None else _intersect_sorted(base, ids)
+        for ids in must_sets:
+            base = ids if base is None else _intersect_sorted(base, ids)
+        has_required = base is not None or bool(parsed.filters) \
+            or bool(parsed.ranges)
+        if base is None:
+            live = [ids for ids, _ in should_groups if ids.size]
+            if not live:
+                if not has_required:
+                    raise ValueError(
+                        "query_string: no scoring or filter clause")
+                base = None     # filters-only query: base from filters
+            else:
+                base = np.unique(np.concatenate(live))
+        # keyword/range filters
+        filt: np.ndarray | None = None
+        for f, v in parsed.filters:
+            ids = self._filter_ids(f, v)
+            filt = ids if filt is None else \
+                np.intersect1d(filt, ids, assume_unique=True)
+        for f, lo, hi in parsed.ranges:
+            from .shard import load_range_ids
+            ids = load_range_ids(self.index_dir, f,
+                                 None if lo == float("-inf") else lo,
+                                 None if hi == float("inf") else hi)
+            filt = ids if filt is None else \
+                np.intersect1d(filt, ids, assume_unique=True)
+        if base is None:
+            if filt is None:
+                return []
+            base = filt
+            if self.tombstones.size and base.size:
+                base = base[_excl_mask(base, self.tombstones)]
+        elif filt is not None:
+            base = base[_apply_filter(base, filt)]
+        for ids in mn_sets:
+            if ids.size and base.size:
+                base = base[_excl_mask(base, ids)]
+        if base.size == 0:
+            return []
+        scores = np.zeros(base.size)
+        n_should = np.zeros(base.size, dtype=np.int64)
+        for ids, sc in must_groups:
+            pos = np.searchsorted(ids, base)
+            scores += sc[pos]
+        for ids, sc in should_groups:
+            if ids.size == 0:
+                continue
+            pos = np.minimum(np.searchsorted(ids, base), ids.size - 1)
+            hit = ids[pos] == base
+            if hit.any():
+                scores[hit] += sc[pos[hit]]
+                n_should[hit] += 1
+        if should_groups and not must_groups and not must_sets \
+                and not parsed.filters and not parsed.ranges:
+            keep = n_should >= 1
+            base, scores = base[keep], scores[keep]
+        if base.size == 0:
+            return []
+        kk = min(k, base.size)
+        cand = np.arange(base.size)
+        if base.size > 4096:
+            thresh = np.partition(scores, base.size - kk)[base.size - kk]
+            cand = np.flatnonzero(scores >= thresh)
+        sel = cand[np.lexsort((base[cand], -scores[cand]))][:kk]
+        return [(float(scores[i]), int(base[i])) for i in sel]
 
     # --- multi-term query rewrite (prefix / wildcard) ---
 
