@@ -802,6 +802,64 @@ def search_query_string(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def search_top_hits(sf_dir: str) -> pd.DataFrame:
+    """terms + top_hits sub-aggregation: per lang, the top-2 'spark
+    join' hits by BM25 (dashboard panel shape)."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        buckets = s.top_hits_aggregation(BM25_QUERY, "lang",
+                                         field="content",
+                                         hits_per_bucket=2)
+    finally:
+        s.close()
+    recs = [(v, r + 1, d, round(sc * 10000))
+            for v, hits in buckets
+            for r, (sc, d) in enumerate(hits)]
+    return pd.DataFrame({
+        "value": [x[0] for x in recs],
+        "rank": np.array([x[1] for x in recs], dtype=np.int64),
+        "doc_id": [x[2] for x in recs],
+        "score_e4": np.array([x[3] for x in recs], dtype=np.int64),
+    })
+
+
+SEARCH_TOP_HITS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+dl AS (SELECT d.doc_id, count(t.term) AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+dlq AS (SELECT doc_id, dl,
+               CASE WHEN dl < 8 THEN dl
+                    ELSE (dl >> (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3))
+                         << (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3) END AS dl_quant
+        FROM dl),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+q(term) AS (VALUES ('spark'), ('join')),
+tf AS (SELECT t.doc_id, t.term, count(*) AS tf
+       FROM tok t JOIN q USING(term) GROUP BY t.doc_id, t.term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2*(1 - 0.75 + 0.75*dlq.dl_quant/s.avgdl)) ) AS score
+  FROM tf JOIN df USING(term) JOIN dlq USING(doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+ranked AS (
+  SELECT d.lang AS value, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.score DESC, s.doc_id) AS rnk
+  FROM scores s JOIN documents d USING (doc_id))
+SELECT value, cast(rnk AS BIGINT) AS rank, doc_id,
+       cast(round(score * 10000) AS BIGINT) AS score_e4
+FROM ranked WHERE rnk <= 2
+"""
+
+
 def search_cardinality(sf_dir: str) -> pd.DataFrame:
     """Cardinality aggregation: distinct lang values over the docs
     matching 'dup' (exact; the sketch path for un-indexed columns is
@@ -1348,6 +1406,7 @@ def queries() -> dict:
         "span_near_docs": span_near_docs,
         "phrase_prefix_docs": phrase_prefix_docs,
         "search_query_string": search_query_string,
+        "search_top_hits": search_top_hits,
         "search_cardinality": search_cardinality,
         "search_histogram": search_histogram,
         "search_stats": search_stats,
@@ -1397,6 +1456,7 @@ def oracle_sql() -> dict:
         "span_near_docs": SPAN_NEAR_SQL,
         "phrase_prefix_docs": PHRASE_PREFIX_SQL,
         "search_query_string": QUERY_STRING_SQL,
+        "search_top_hits": SEARCH_TOP_HITS_SQL,
         "search_cardinality": SEARCH_CARDINALITY_SQL,
         "search_histogram": SEARCH_HISTOGRAM_SQL,
         "search_stats": SEARCH_STATS_SQL,

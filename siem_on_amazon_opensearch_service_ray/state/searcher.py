@@ -1879,6 +1879,73 @@ class Searcher:
         counts = dict(_count_filter_values(self.index_dir, agg_field, cand))
         return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
 
+    def top_hits_aggregation(self, query: str, agg_field: str,
+                             field: str = "content", mode: str = "or",
+                             hits_per_bucket: int = 3,
+                             analyzer: str | None = None,
+                             k1: float = K1, b: float = B
+                             ) -> list[tuple[str, list[tuple[float, int]]]]:
+        """terms-agg + top_hits sub-aggregation (the reference's
+        dashboard panels show per-value top documents): every matching
+        doc is scored once (vectorized TAAT over the full match set),
+        then each keyword value keeps its top ``hits_per_bucket`` by
+        (score desc, doc_id asc).  Returns [(value, [(score, doc_id)])]
+        sorted by bucket doc count desc, value asc.
+
+        Scale note: on a doc-partitioned index this distributes as
+        per-shard (value, local top-k) partials merged at the driver —
+        the same shape as terms_aggregation; here the match set
+        centralizes like scored search on the term-partitioned
+        layout."""
+        if analyzer is None:
+            analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
+                             if f == field), "code")
+        q_terms = ANALYZERS[analyzer](query)
+        if not q_terms:
+            return []
+        rows = self._gather(field, q_terms)
+        avgdl = float(self.stats["avgdl"][field])
+        n_docs = int(self.stats["n_docs"])
+        terms = prepare_terms(q_terms, rows, n_docs, avgdl, k1, b,
+                              exclude_ids=self.tombstones)
+        all_hits = _dispatch("taat", terms, 1 << 31, mode, avgdl, None,
+                             k1, b)
+        if not all_hits:
+            return []
+        docs = np.array([d for _, d in all_hits], dtype=np.uint64)
+        scores = np.array([s for s, _ in all_hits])
+        order = np.argsort(docs)
+        docs, scores = docs[order], scores[order]
+        from .shard import load_filter_value_counts  # noqa: F401 (doc link)
+        import os as _os
+        import pyarrow.parquet as _pq
+        fdir = _os.path.join(self.index_dir, "filters", agg_field)
+        if not _os.path.isdir(fdir):
+            return []
+        per_value: dict[str, list[tuple[float, int]]] = {}
+        counts: dict[str, int] = {}
+        for fn in sorted(_os.listdir(fdir)):
+            if not fn.endswith(".parquet"):
+                continue
+            t = _pq.read_table(_os.path.join(fdir, fn),
+                               columns=["value", "docs"])
+            for v, blob in zip(t.column("value").to_pylist(),
+                               t.column("docs").to_pylist()):
+                ids = np.frombuffer(blob, dtype="<u8")
+                pos = np.minimum(np.searchsorted(docs, ids), docs.size - 1)
+                hit = docs[pos] == ids
+                if not hit.any():
+                    continue
+                counts[v] = counts.get(v, 0) + int(hit.sum())
+                sel = pos[hit]
+                per_value.setdefault(v, []).extend(
+                    (float(scores[i]), int(docs[i])) for i in sel)
+        out = []
+        for v in sorted(counts, key=lambda v: (-counts[v], v)):
+            hits = sorted(per_value[v], key=lambda sd: (-sd[0], sd[1]))
+            out.append((v, hits[:hits_per_bucket]))
+        return out
+
     def search_many(self, queries: list[str], field: str = "content",
                     k: int = 10, mode: str = "or", method: str = "auto",
                     analyzer: str | None = None,

@@ -349,3 +349,25 @@ def test_stats_tdigest_close_to_exact(dsl_index):
     with pytest.raises(ValueError, match="quantile_method"):
         s.stats_aggregation("spark", "n_chars", quantiles=(0.5,),
                             quantile_method="bogus")
+
+
+def test_top_hits_aggregation(dsl_index, ref):
+    s, _ = dsl_index
+    langs = [["py", "go", "rs", "js"][i % 4] for i in range(N_DOCS)]
+    scored = {i: ref.bm25("spark", i) + ref.bm25("join", i)
+              for i in range(N_DOCS)
+              if "spark" in ref.tok_lists[i] or "join" in ref.tok_lists[i]}
+    exp = {}
+    for v in set(langs):
+        members = sorted(((scored[i], i) for i in scored if langs[i] == v),
+                         key=lambda sd: (-sd[0], sd[1]))
+        if members:
+            exp[v] = members[:2]
+    got = s.top_hits_aggregation("spark join", "lang", hits_per_bucket=2)
+    # bucket order: count desc, value asc
+    exp_counts = {v: sum(1 for i in scored if langs[i] == v)
+                  for v in exp}
+    assert [v for v, _ in got] == sorted(exp, key=lambda v: (-exp_counts[v], v))
+    for v, hits in got:
+        assert [(round(a, 6), b) for a, b in hits] == \
+            [(round(a, 6), b) for a, b in exp[v]]
