@@ -655,6 +655,28 @@ def search_wildcard(sf_dir: str) -> pd.DataFrame:
     })
 
 
+SEARCH_REGEXP_SQL = _multi_term_sql(
+    "regexp_full_match(term, 's[a-z]*k')", BM25_K)
+
+
+def search_regexp(sf_dir: str) -> pd.DataFrame:
+    """Regexp query 's[a-z]*k' (whole-term anchored, Lucene
+    RegexpQuery semantics), scoring-boolean rewrite over the
+    dictionary expansion."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.regexp_search("s[a-z]*k", field="content", k=BM25_K)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d in hits],
+        "score_e4": np.array([round(sc * 10000) for sc, _ in hits],
+                             dtype=np.int64),
+    })
+
+
 SEARCH_FUZZY_SQL = _multi_term_sql("levenshtein(term, 'vale') <= 2", BM25_K)
 
 
@@ -739,6 +761,40 @@ WITH tok AS (
 SELECT a.doc_id, count(*) AS span_tf
 FROM tok a JOIN tok b
   ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 1 + 2
+WHERE a.term = 'spark' AND b.term = 'join'
+GROUP BY a.doc_id
+ORDER BY span_tf DESC, a.doc_id
+"""
+
+
+def span_unordered_docs(sf_dir: str) -> pd.DataFrame:
+    """Unordered span-near (spark / join within a 2+2 window, any
+    order, distinct positions — OpenSearch ``span_near`` with
+    ``in_order: false``) — every matching doc with its tuple count."""
+    idx = _docs_index_dir(sf_dir) + "_pos"
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg_pos(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.span_near(["spark", "join"], field="content", slop=2,
+                           k=1_000_000, in_order=False)
+    finally:
+        s.close()
+    return pd.DataFrame({"doc_id": [d for _, d in hits],
+                         "span_tf": np.array([n for n, _ in hits],
+                                             dtype=np.int64)})
+
+
+SPAN_UNORDERED_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1)
+           AS pos
+  FROM documents)
+SELECT a.doc_id, count(*) AS span_tf
+FROM tok a JOIN tok b
+  ON a.doc_id = b.doc_id AND a.pos <> b.pos
+     AND abs(a.pos - b.pos) <= 1 + 2
 WHERE a.term = 'spark' AND b.term = 'join'
 GROUP BY a.doc_id
 ORDER BY span_tf DESC, a.doc_id
@@ -1404,6 +1460,8 @@ def queries() -> dict:
         "search_fuzzy": search_fuzzy,
         "search_sigterms": search_sigterms,
         "span_near_docs": span_near_docs,
+        "span_unordered_docs": span_unordered_docs,
+        "search_regexp": search_regexp,
         "phrase_prefix_docs": phrase_prefix_docs,
         "search_query_string": search_query_string,
         "search_top_hits": search_top_hits,
@@ -1454,6 +1512,8 @@ def oracle_sql() -> dict:
         "search_fuzzy": SEARCH_FUZZY_SQL,
         "search_sigterms": SEARCH_SIGTERMS_SQL,
         "span_near_docs": SPAN_NEAR_SQL,
+        "span_unordered_docs": SPAN_UNORDERED_SQL,
+        "search_regexp": SEARCH_REGEXP_SQL,
         "phrase_prefix_docs": PHRASE_PREFIX_SQL,
         "search_query_string": QUERY_STRING_SQL,
         "search_top_hits": SEARCH_TOP_HITS_SQL,

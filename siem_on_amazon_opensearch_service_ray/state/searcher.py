@@ -1159,6 +1159,20 @@ class Searcher:
                                   max_expansions)
         return self._expanded_or(terms, field, k, k1, b)
 
+    def regexp_search(self, pattern: str, field: str = "content",
+                      k: int = 10, max_expansions: int = 1024,
+                      k1: float = K1, b: float = B
+                      ) -> list[tuple[float, int]]:
+        """Regexp query (OpenSearch ``regexp``): the pattern is
+        implicitly anchored and expands to every whole-term dictionary
+        match, scoring-boolean rewrite like :meth:`prefix_search`.
+        (Lucene compiles the regexp to an automaton intersected with
+        the FST term index; the per-part fullmatch scan is this
+        repo's loaded-dict equivalent — see ShardReader.match_terms.)"""
+        terms = self.expand_terms(pattern.lower(), field, "regexp",
+                                  max_expansions)
+        return self._expanded_or(terms, field, k, k1, b)
+
     def fuzzy_search(self, term: str, field: str = "content",
                      fuzziness: int = 1, k: int = 10,
                      max_expansions: int = 50,
@@ -1438,15 +1452,58 @@ class Searcher:
                 total += int(prev_cnt.sum())
         return total
 
+    @staticmethod
+    def _unordered_tuple_count(plists: list[np.ndarray], slop: int) -> int:
+        """Number of position tuples (one per term, ANY order, all
+        positions distinct) whose span (max-min+1) is at most
+        len(terms)+slop — the ``in_order: false`` counting rule.
+        k=2 is fully vectorized (searchsorted window counts); k>2
+        recurses over window-pruned candidates (position lists are
+        per-doc and bounded by doc length, so the enumeration is
+        local and small)."""
+        k = len(plists)
+        reach = k - 1 + slop
+        if k == 1:
+            return int(plists[0].size)
+        if k == 2:
+            a, b = plists
+            lo = np.searchsorted(b, a - reach, side="left")
+            hi = np.searchsorted(b, a + reach, side="right")
+            in_win = (hi - lo).sum()
+            # distinctness: drop pairs landing on the same position
+            eq = np.searchsorted(b, a, side="right") \
+                - np.searchsorted(b, a, side="left")
+            return int(in_win - eq.sum())
+
+        def rec(i: int, chosen: list[int], lo: int, hi: int) -> int:
+            if i == k:
+                return 1
+            p = plists[i]
+            cand = p[(p >= hi - reach) & (p <= lo + reach)]
+            total = 0
+            for v in cand:
+                v = int(v)
+                if v in chosen:
+                    continue
+                total += rec(i + 1, chosen + [v], min(lo, v), max(hi, v))
+            return total
+
+        total = 0
+        for p0 in plists[0]:
+            total += rec(1, [int(p0)], int(p0), int(p0))
+        return total
+
     def span_near(self, terms: list[str], field: str = "content",
                   slop: int = 0, k: int = 10,
-                  analyzer: str | None = None) -> list[tuple[int, int]]:
-        """Ordered span-near query (OpenSearch ``span_near`` with
-        ``in_order: true``): a doc matches when its positions admit a
-        strictly-increasing tuple, one position per term in order, with
-        span <= len(terms)+slop; the reported count is the number of
-        such tuples (slop=0 over adjacent terms degenerates to the
-        exact phrase).  Requires a positional index.  Returns
+                  analyzer: str | None = None,
+                  in_order: bool = True) -> list[tuple[int, int]]:
+        """Span-near query (OpenSearch ``span_near``): a doc matches
+        when its positions admit a tuple, one position per term, with
+        span <= len(terms)+slop.  ``in_order=True`` requires the tuple
+        strictly increasing in term order (slop=0 over adjacent terms
+        degenerates to the exact phrase); ``in_order=False`` accepts
+        any order with distinct positions.  The reported count is the
+        number of such tuples.  Requires a positional index.  Returns
         [(span_count, doc_id)] sorted (count desc, doc_id asc)."""
         if not self.manifest["config"].get("store_positions"):
             raise ValueError(
@@ -1494,7 +1551,8 @@ class Searcher:
                 plists.append(np.sort(p.astype(np.int64)))
             if not ok:
                 continue
-            n = self._ordered_tuple_count(plists, slop)
+            n = (self._ordered_tuple_count(plists, slop) if in_order
+                 else self._unordered_tuple_count(plists, slop))
             if n:
                 out.append((n, int(d)))
         out.sort(key=lambda cd: (-cd[0], cd[1]))

@@ -155,6 +155,13 @@ class ShardReader:
         if kind == "fuzzy":
             return [t for f, t in self.terms if f == field
                     and _levenshtein_leq(pattern, t, fuzziness)]
+        if kind == "regexp":
+            # Lucene RegexpQuery semantics: the pattern is implicitly
+            # anchored (must match the WHOLE term), hence fullmatch.
+            import re
+            rx = re.compile(pattern)
+            return [t for f, t in self.terms if f == field
+                    and rx.fullmatch(t)]
         raise ValueError(f"unknown match kind: {kind!r}")
 
     def postings(self, field: str, term: str) -> TermPostings | None:

@@ -50,7 +50,8 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "search_doc_sharded", "search_lang_agg", "search_range_topk",
               "search_bool_topk", "search_prefix", "search_wildcard",
               "search_fuzzy", "search_sigterms",
-              "span_near_docs", "phrase_prefix_docs", "search_query_string",
+              "span_near_docs", "span_unordered_docs", "search_regexp",
+              "phrase_prefix_docs", "search_query_string",
               "search_top_hits",
               "search_cardinality", "search_histogram",
               "search_stats",

@@ -169,6 +169,45 @@ def test_span_near(dsl_index, ref, terms, slop):
     assert s.span_near(terms, slop=slop, k=10**6) == exp
 
 
+def _span_count_unordered(tl, terms, slop):
+    poss = [[p for p, w in enumerate(tl) if w == t] for t in terms]
+    k = len(terms)
+    return sum(1 for tup in product(*poss)
+               if len(set(tup)) == k
+               and max(tup) - min(tup) + 1 <= k + slop)
+
+
+@pytest.mark.parametrize("terms,slop", [
+    (["spark", "sql"], 0), (["spark", "sql"], 2),
+    (["spark", "join", "sql"], 3)])
+def test_span_near_unordered(dsl_index, ref, terms, slop):
+    s, _ = dsl_index
+    exp = sorted(
+        ((c, i) for i in range(N_DOCS)
+         if (c := _span_count_unordered(ref.tok_lists[i], terms, slop))),
+        key=lambda cd: (-cd[0], cd[1]))
+    assert s.span_near(terms, slop=slop, k=10**6, in_order=False) == exp
+
+
+def test_regexp_search(dsl_index, ref):
+    s, _ = dsl_index
+    pattern = "s[a-z]*"
+    terms = sorted({w for tl in ref.tok_lists for w in tl
+                    if re.fullmatch(pattern, w)})
+    assert s.expand_terms(pattern, kind="regexp") == terms
+    exp = []
+    for i in range(N_DOCS):
+        sc = sum(ref.bm25(t, i) for t in terms)
+        if sc > 0:
+            exp.append((sc, i))
+    exp.sort(key=lambda sd: (-sd[0], sd[1]))
+    got = s.regexp_search(pattern, k=12)
+    assert [(round(a, 5), b) for a, b in got] == \
+        [(round(a, 5), b) for a, b in exp[:12]]
+    # unanchored substring must NOT match (Lucene RegexpQuery anchors)
+    assert "spark" not in s.expand_terms("par", kind="regexp")
+
+
 def test_span_slop0_adjacent_equals_phrase(dsl_index):
     s, _ = dsl_index
     spans = s.span_near(["spark", "sql"], slop=0, k=10**6)
