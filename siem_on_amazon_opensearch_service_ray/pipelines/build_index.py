@@ -171,6 +171,19 @@ def input_fingerprint(source, cfg: IndexConfig) -> str:
     return h.hexdigest()[:16]
 
 
+def _tune_data_context() -> None:
+    """Disable per-operator resource reservation for the build
+    pipelines.  The streaming executor's default reservation holds
+    back ~50-60% of the CPU budget for the downstream Sort/AllToAll
+    while the tokenize map runs, capping the map at ~1/3 of the
+    host (measured: 800k-doc build at 8 cpus 79 s -> 35 s, at 32
+    cpus 21 s -> 17 s with reservation off).  Our pipelines are
+    shallow (map -> groupby -> map) with small resident blocks, so
+    the deadlock-avoidance reservation only costs throughput."""
+    from ray.data import DataContext
+    DataContext.get_current().op_resource_reservation_enabled = False
+
+
 def _read_source(source) -> rd.Dataset:
     if isinstance(source, rd.Dataset):
         return source
@@ -258,21 +271,28 @@ def estimate_hot_terms(source, cfg: IndexConfig) -> dict[str, int]:
         functools.partial(_sample_df_batch, cfg=sample_cfg),
         batch_format="pyarrow", batch_size=cfg.tokenize_batch_size)
     # the pre-filtered partial stream is tiny (candidate hot terms
-    # only), so the final reduce is a driver-side Counter — no shuffle
-    agg: Counter = Counter()
-    for b in partials.iter_batches(batch_format="pyarrow"):
-        fields = b.column("field").to_pylist()
-        terms = b.column("term").to_pylist()
-        dfs = b.column("df_partial").to_numpy(zero_copy_only=False)
-        for f, t, d in zip(fields, terms, dfs):
-            agg[(f, t)] += int(d)
-    hot: dict[str, int] = {}
-    for (f, t), df_sample in agg.items():
-        e = df_sample * cfg.sample_mod
-        if e >= cfg.hot_df_threshold:
-            n_salts = int(min(cfg.max_salts, max(2, -(-int(e) // cfg.salt_unit))))
-            hot[f"{f}\x1f{t}"] = n_salts
-    return hot
+    # only), so the final reduce happens on the driver — no shuffle.
+    # Vectorized (arrow group_by, then one numpy threshold pass): the
+    # old per-tuple Counter loop was a ~5 s NON-scaling driver cost
+    # that flattened the build's N-vs-4N efficiency.
+    batches = [b for b in partials.iter_batches(batch_format="pyarrow")
+               if b.num_rows]
+    if not batches:
+        return {}
+    t = pa.concat_tables(batches).group_by(["field", "term"]) \
+        .aggregate([("df_partial", "sum")])
+    est = t.column("df_partial_sum").to_numpy(zero_copy_only=False) \
+        * cfg.sample_mod
+    keep = np.nonzero(est >= cfg.hot_df_threshold)[0]
+    if keep.size == 0:
+        return {}
+    n_salts = np.minimum(cfg.max_salts,
+                         np.maximum(2, -(-est[keep].astype(np.int64)
+                                         // cfg.salt_unit)))
+    fields = t.column("field").take(pa.array(keep)).to_pylist()
+    terms = t.column("term").take(pa.array(keep)).to_pylist()
+    return {f"{f}\x1f{tm}": int(s)
+            for f, tm, s in zip(fields, terms, n_salts)}
 
 
 # ---------------------------------------------------------------------------
@@ -896,8 +916,6 @@ def build_filters(index_dir: str, cfg: IndexConfig) -> None:
     like the docstore (filters/<field>/part-XXXX.parquet).  One task
     per docstore part, fanned out as a Dataset over the part file list;
     query-time filter intersection is per-part."""
-    if not cfg.keyword_fields:
-        return
     if not cfg.keyword_fields and not cfg.range_fields:
         return
     # remove the pre-v4 single-file layout if present
@@ -907,6 +925,19 @@ def build_filters(index_dir: str, cfg: IndexConfig) -> None:
             os.unlink(legacy)
     store_dir = os.path.join(index_dir, "docstore")
     files = sorted(f for f in os.listdir(store_dir) if f.endswith(".parquet"))
+    if files:
+        # fail fast with the config knob named — a missing column would
+        # otherwise surface as an opaque pyarrow error deep in a Ray task
+        have = set(pq.read_schema(os.path.join(store_dir, files[0])).names)
+        missing = [(f, "keyword_fields") for f in cfg.keyword_fields
+                   if f not in have]
+        missing += [(f, "range_fields") for f in cfg.range_fields
+                    if f not in have]
+        if missing:
+            raise ValueError(
+                "configured filter column(s) absent from the docstore: "
+                + ", ".join(f"{f!r} ({knob})" for f, knob in missing)
+                + f"; docstore columns: {sorted(have)}")
     items = [{"path": os.path.join(store_dir, f),
               "dpart": int(f.split("-")[1].split(".")[0])} for f in files]
     fields = list(cfg.keyword_fields)
@@ -999,6 +1030,7 @@ def build_index(source, index_dir: str, cfg: IndexConfig | None = None,
                 resume: bool = True) -> dict:
     """Full build. Returns the index manifest dict."""
     cfg = cfg or IndexConfig()
+    _tune_data_context()
     t0 = time.monotonic()
     os.makedirs(os.path.join(index_dir, "manifest"), exist_ok=True)
     os.makedirs(os.path.join(index_dir, "parts"), exist_ok=True)
@@ -1061,6 +1093,7 @@ def extend_index(new_source, index_dir: str,
             "extend_index needs a fingerprintable source (files/dir): "
             "in-memory Datasets have no stable identity for the "
             "generation ledger")
+    _tune_data_context()
     t0 = time.monotonic()
     genfp = input_fingerprint(new_source, cfg)
     gens = manifest.setdefault("generations", {})
@@ -1290,6 +1323,7 @@ def compact_index(index_dir: str) -> dict:
     import functools
     import hashlib
 
+    _tune_data_context()
     man_path = os.path.join(index_dir, "INDEX_MANIFEST.json")
     with open(man_path) as f:
         manifest = json.load(f)

@@ -993,6 +993,51 @@ def search_stats(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def search_terms_stats(sf_dir: str) -> pd.DataFrame:
+    """Terms aggregation with a stats sub-aggregation: bucket the
+    'spark join' match set by lang, count + min/max/sum/avg n_chars
+    per bucket (OpenSearch dashboard split-series shape; per-shard
+    mergeable moments on doc-partitioned indexes)."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        rows = s.terms_stats_aggregation(BM25_QUERY, "lang", "n_chars",
+                                         field="content")
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "lang": [v for v, *_ in rows],
+        "n_docs": np.array([n for _, n, *_ in rows], dtype=np.int64),
+        "sum_c": np.array([round(sm) for _, _, sm, *_ in rows],
+                          dtype=np.int64),
+        "min_c": np.array([round(lo) for _, _, _, lo, *_ in rows],
+                          dtype=np.int64),
+        "max_c": np.array([round(hi) for _, _, _, _, hi, _ in rows],
+                          dtype=np.int64),
+        "avg_e4": np.array([round(av * 10000) for *_, av in rows],
+                           dtype=np.int64),
+    })
+
+
+SEARCH_TERMS_STATS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))}))
+SELECT d.lang,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(n_chars) AS BIGINT) AS sum_c,
+       cast(min(n_chars) AS BIGINT) AS min_c,
+       cast(max(n_chars) AS BIGINT) AS max_c,
+       cast(round(avg(n_chars) * 10000) AS BIGINT) AS avg_e4
+FROM documents d JOIN m USING(doc_id)
+GROUP BY d.lang
+"""
+
+
 SEARCH_STATS_SQL = """
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
@@ -1468,6 +1513,7 @@ def queries() -> dict:
         "search_cardinality": search_cardinality,
         "search_histogram": search_histogram,
         "search_stats": search_stats,
+        "search_terms_stats": search_terms_stats,
         "phrase_docs": phrase_docs,
         "events_sessions": events_sessions,
         "knn_cosine": knn_cosine_q,
@@ -1520,6 +1566,7 @@ def oracle_sql() -> dict:
         "search_cardinality": SEARCH_CARDINALITY_SQL,
         "search_histogram": SEARCH_HISTOGRAM_SQL,
         "search_stats": SEARCH_STATS_SQL,
+        "search_terms_stats": SEARCH_TERMS_STATS_SQL,
         "phrase_docs": PHRASE_SQL,
         "events_sessions": EVENTS_SESSIONS_SQL,
         "knn_cosine": KNN_SQL,

@@ -620,32 +620,82 @@ def _shard_range_values(r: ShardReader, p: int, tombstones: np.ndarray,
     return np.concatenate(out) if out else np.zeros(0)
 
 
-def _count_filter_values(index_dir: str, agg_field: str, cand: np.ndarray,
-                         dparts: list[int] | None = None
-                         ) -> list[tuple[str, int]]:
-    """Per keyword value, |cand ∩ value's doc list| over the
-    (optionally part-restricted) filter postings."""
+def _iter_filter_postings(index_dir: str, agg_field: str,
+                          dparts: list[int] | None = None):
+    """Yield (value, sorted doc-id array) over the (optionally
+    part-restricted) packed filter postings of one keyword field."""
     import os as _os
     import pyarrow.parquet as _pq
     fdir = _os.path.join(index_dir, "filters", agg_field)
     if not _os.path.isdir(fdir):
-        return []
+        return
     names = sorted(f for f in _os.listdir(fdir) if f.endswith(".parquet"))
     if dparts is not None:
         want = {f"part-{p:04d}" for p in dparts}
         names = [f for f in names if f[:9] in want and f[9] in ".-"]
-    counts: dict[str, int] = {}
     for fn in names:
         t = _pq.read_table(_os.path.join(fdir, fn),
                            columns=["value", "docs"])
         for v, blob in zip(t.column("value").to_pylist(),
                            t.column("docs").to_pylist()):
-            ids = np.frombuffer(blob, dtype="<u8")
-            pos = np.minimum(np.searchsorted(cand, ids), cand.size - 1)
-            n = int(np.count_nonzero(cand[pos] == ids))
-            if n:
-                counts[v] = counts.get(v, 0) + n
+            yield v, np.frombuffer(blob, dtype="<u8")
+
+
+def _count_filter_values(index_dir: str, agg_field: str, cand: np.ndarray,
+                         dparts: list[int] | None = None
+                         ) -> list[tuple[str, int]]:
+    """Per keyword value, |cand ∩ value's doc list| over the
+    (optionally part-restricted) filter postings."""
+    counts: dict[str, int] = {}
+    for v, ids in _iter_filter_postings(index_dir, agg_field, dparts):
+        pos = np.minimum(np.searchsorted(cand, ids), cand.size - 1)
+        n = int(np.count_nonzero(cand[pos] == ids))
+        if n:
+            counts[v] = counts.get(v, 0) + n
     return list(counts.items())
+
+
+def _group_stats_partial(index_dir: str, agg_field: str, range_field: str,
+                         cand: np.ndarray,
+                         dparts: list[int] | None = None
+                         ) -> dict[str, tuple[int, float, float, float]]:
+    """Terms-bucket + stats-sub-agg partial: per keyword value of
+    ``agg_field``, (count, sum, min, max) of ``range_field`` over
+    cand ∩ the value's doc list.  Mergeable moments only — the
+    shard-local half of a ``terms`` agg with a ``stats`` sub-agg."""
+    from .shard import load_range_pairs
+    if cand.size == 0:
+        return {}
+    ids_all, vals_all = [], []
+    for vals, ids in load_range_pairs(index_dir, range_field,
+                                      dparts=dparts):
+        ids_all.append(ids)
+        vals_all.append(vals)
+    if not ids_all:
+        return {}
+    ids_cat = np.concatenate(ids_all)
+    order = np.argsort(ids_cat)
+    ids_sorted = ids_cat[order]
+    vals_sorted = np.concatenate(vals_all)[order]
+    out: dict[str, tuple[int, float, float, float]] = {}
+    for v, g_ids in _iter_filter_postings(index_dir, agg_field, dparts):
+        pos = np.minimum(np.searchsorted(cand, g_ids), cand.size - 1)
+        hit = g_ids[cand[pos] == g_ids]
+        if hit.size == 0:
+            continue
+        vp = np.minimum(np.searchsorted(ids_sorted, hit),
+                        ids_sorted.size - 1)
+        ok = ids_sorted[vp] == hit
+        vv = vals_sorted[vp[ok]]
+        if vv.size == 0:
+            continue
+        prev = out.get(v)
+        cur = (int(hit.size), float(vv.sum()), float(vv.min()),
+               float(vv.max()))
+        out[v] = cur if prev is None else (
+            prev[0] + cur[0], prev[1] + cur[1], min(prev[2], cur[2]),
+            max(prev[3], cur[3]))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -719,6 +769,27 @@ class PartActor:
                 u, c = np.unique(b, return_counts=True)
                 for bv, n in zip(u, c):
                     out[float(bv)] = out.get(float(bv), 0) + int(n)
+        return out
+
+    def group_stats_local(self, field: str, q_terms: list[str], mode: str,
+                          agg_field: str, range_field: str
+                          ) -> dict[str, tuple[int, float, float, float]]:
+        """Doc-sharded terms+stats partial: per shard, per keyword
+        bucket, mergeable (count, sum, min, max) of the numeric
+        sub-agg field — only the tiny per-bucket moment dict travels
+        to the driver."""
+        out: dict[str, tuple[int, float, float, float]] = {}
+        for p, r in self.readers.items():
+            cand = _candidate_ids(r, field, q_terms, mode)
+            if cand.size and self.tombstones.size:
+                cand = cand[_excl_mask(cand, self.tombstones)]
+            for v, cur in _group_stats_partial(
+                    r.index_dir, agg_field, range_field, cand,
+                    dparts=[p]).items():
+                prev = out.get(v)
+                out[v] = cur if prev is None else (
+                    prev[0] + cur[0], prev[1] + cur[1],
+                    min(prev[2], cur[2]), max(prev[3], cur[3]))
         return out
 
     def stats_local(self, field: str, q_terms: list[str], mode: str,
@@ -1936,6 +2007,58 @@ class Searcher:
             return []
         counts = dict(_count_filter_values(self.index_dir, agg_field, cand))
         return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    def terms_stats_aggregation(self, query: str, agg_field: str,
+                                range_field: str, field: str = "content",
+                                mode: str = "or",
+                                analyzer: str | None = None
+                                ) -> list[tuple[str, int, float, float,
+                                                float, float]]:
+        """Terms aggregation with a stats SUB-aggregation (the
+        OpenSearch dashboard's split-series shape: bucket the match
+        set by a keyword field, then count/min/max/sum/avg a numeric
+        field per bucket).  On a doc-partitioned index each shard
+        ships only its per-bucket mergeable moments; on a
+        term-partitioned one the candidate set probes the packed
+        filter postings + range tables driver-side.  Returns
+        [(value, count, sum, min, max, avg)] sorted (count desc,
+        value asc)."""
+        if analyzer is None:
+            analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
+                             if f == field), "code")
+        q_terms = ANALYZERS[analyzer](query)
+        if not q_terms:
+            return []
+        merged: dict[str, tuple[int, float, float, float]] = {}
+        if self.manifest["config"].get("partition_by") == "doc":
+            if self.use_actors:
+                parts = ray.get([
+                    a.group_stats_local.remote(field, q_terms, mode,
+                                               agg_field, range_field)
+                    for a in self.actors])
+            else:
+                parts = []
+                for p, r in self.readers.items():
+                    cand = _candidate_ids(r, field, q_terms, mode)
+                    if cand.size and self.tombstones.size:
+                        cand = cand[_excl_mask(cand, self.tombstones)]
+                    parts.append(_group_stats_partial(
+                        self.index_dir, agg_field, range_field, cand,
+                        dparts=[p]))
+            for d in parts:
+                for v, cur in d.items():
+                    prev = merged.get(v)
+                    merged[v] = cur if prev is None else (
+                        prev[0] + cur[0], prev[1] + cur[1],
+                        min(prev[2], cur[2]), max(prev[3], cur[3]))
+        else:
+            cand = self._match_ids(field, q_terms, mode)
+            merged = _group_stats_partial(self.index_dir, agg_field,
+                                          range_field, cand)
+        out = [(v, n, s, lo, hi, s / n)
+               for v, (n, s, lo, hi) in merged.items()]
+        out.sort(key=lambda r: (-r[1], r[0]))
+        return out
 
     def top_hits_aggregation(self, query: str, agg_field: str,
                              field: str = "content", mode: str = "or",

@@ -883,3 +883,42 @@ def test_terms_aggregation_doc_sharded(built, small_corpus, tmp_path_factory):
             s_doc.terms_aggregation("def return", "lang")
     finally:
         s_act.close()
+
+
+def test_missing_filter_column_fails_fast(ray_session, small_corpus,
+                                          tmp_path_factory):
+    """A keyword/range field absent from the docstore must raise a
+    named ValueError at build time, not an opaque pyarrow error deep
+    in a Ray task."""
+    import dataclasses
+    idx = str(tmp_path_factory.mktemp("badcol") / "idx")
+    cfg = dataclasses.replace(CFG, range_fields=("no_such_col",))
+    with pytest.raises(ValueError, match="no_such_col.*range_fields"):
+        build_index(small_corpus, idx, cfg)
+
+
+def test_range_only_filter_config(ray_session, tmp_path_factory):
+    """range_fields without keyword_fields must still build range
+    tables (the old guard returned early when keyword_fields was
+    empty)."""
+    import dataclasses
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    root = tmp_path_factory.mktemp("rangeonly")
+    src = str(root / "src.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "text": [f"alpha beta w{i}" for i in range(8)],
+        "size": pa.array([10 * i for i in range(8)], pa.int64()),
+    }), src)
+    cfg = IndexConfig(num_partitions=2, sample_mod=1,
+                      fields=(("text", "text", "code"),),
+                      doc_id_col="doc_id", sha_col="text",
+                      keyword_fields=(), range_fields=("size",))
+    idx = str(root / "idx")
+    build_index([src], idx, cfg)
+    assert os.path.isdir(os.path.join(idx, "filters_range", "size"))
+    s = Searcher(idx, use_actors=False)
+    got = s.search("alpha", field="text", k=10,
+                   range_field="size", range_lo=20, range_hi=50)
+    assert sorted(d for _, d in got) == [2, 3, 4, 5]

@@ -288,6 +288,23 @@ def test_significant_terms(dsl_index, ref):
         [(v, n, round(sc, 9)) for v, n, sc in exp[:10]]
 
 
+def test_terms_stats_aggregation(dsl_index, ref):
+    s, docs = dsl_index
+    match = [i for i in range(N_DOCS)
+             if "spark" in ref.tok_lists[i] or "join" in ref.tok_lists[i]]
+    exp = {}
+    for i in match:
+        lang = ["py", "go", "rs", "js"][i % 4]
+        v = float(len(docs[i]))
+        n, sm, lo, hi = exp.get(lang, (0, 0.0, v, v))
+        exp[lang] = (n + 1, sm + v, min(lo, v), max(hi, v))
+    want = sorted(((g, n, sm, lo, hi, sm / n)
+                   for g, (n, sm, lo, hi) in exp.items()),
+                  key=lambda r: (-r[1], r[0]))
+    assert s.terms_stats_aggregation("spark join", "lang", "n_chars") == want
+    assert s.terms_stats_aggregation("zz_nope", "lang", "n_chars") == []
+
+
 def test_doc_sharded_aggregations_match_term_partitioned(
         dsl_index, ray_session, tmp_path_factory):
     import dataclasses
@@ -317,6 +334,15 @@ def test_doc_sharded_aggregations_match_term_partitioned(
         assert st_d == st_t
     assert sd.significant_terms("spark", "lang") == \
         s.significant_terms("spark", "lang")
+    assert sd.terms_stats_aggregation("spark join", "lang", "n_chars") == \
+        s.terms_stats_aggregation("spark join", "lang", "n_chars")
+    sa = Searcher(idx, use_actors=True)
+    try:
+        assert sa.terms_stats_aggregation("spark join", "lang",
+                                          "n_chars") == \
+            s.terms_stats_aggregation("spark join", "lang", "n_chars")
+    finally:
+        sa.close()
     # t-digest partials merge across doc shards; close to exact
     exact = s.stats_aggregation("spark join", "n_chars", quantiles=(0.5,))
     approx = sd.stats_aggregation("spark join", "n_chars", quantiles=(0.5,),
