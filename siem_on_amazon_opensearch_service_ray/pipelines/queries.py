@@ -316,7 +316,7 @@ FROM t
 def _docs_index_cfg() -> IndexConfig:
     return IndexConfig(num_partitions=4,
                        fields=(("content", "text", "base"),),
-                       keyword_fields=("lang",),
+                       keyword_fields=("lang", "source"),
                        range_fields=("n_chars",),
                        doc_id_col="doc_id", sha_col="text",
                        sample_mod=16, hot_df_threshold=1000, salt_unit=1000,
@@ -1331,6 +1331,119 @@ GROUP BY d.lang
 """
 
 
+_RANGE_AGG_EDGES = [(None, 150.0), (150.0, 300.0), (300.0, 450.0),
+                    (450.0, None)]
+
+
+def search_range_agg(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``range`` aggregation over the full match set:
+    per (from-incl, to-excl) bucket of ``n_chars``, the count of docs
+    matching any query term — every bucket returned, zeros included."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        agg = s.range_aggregation(BM25_QUERY, "n_chars", _RANGE_AGG_EDGES)
+    finally:
+        s.close()
+
+    def lab(lo, hi):
+        return (f"{'*' if lo is None else int(lo)}"
+                f"-{'*' if hi is None else int(hi)}")
+    return pd.DataFrame({"bucket": [lab(lo, hi) for (lo, hi), _ in agg],
+                         "n": np.array([n for _, n in agg], np.int64)})
+
+
+SEARCH_RANGE_AGG_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))})),
+v AS (SELECT d.n_chars AS x FROM documents d JOIN m USING(doc_id)),
+r(bucket, lo, hi) AS (VALUES ('*-150', NULL, 150), ('150-300', 150, 300),
+                             ('300-450', 300, 450), ('450-*', 450, NULL))
+SELECT r.bucket, cast(count(v.x) AS BIGINT) AS n
+FROM r LEFT JOIN v ON (r.lo IS NULL OR v.x >= r.lo)
+                  AND (r.hi IS NULL OR v.x < r.hi)
+GROUP BY r.bucket
+"""
+
+
+_FILTERS_AGG = {"has_spark": ("spark", "or"),
+                "hash_and_merge": ("hash merge", "and"),
+                "sortish": ("sort scan", "or")}
+
+
+def search_filters_agg(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``filters`` aggregation: named sub-queries each
+    counted over their own full match set."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        agg = s.filters_aggregation(_FILTERS_AGG)
+    finally:
+        s.close()
+    names = sorted(agg)
+    return pd.DataFrame({"name": names,
+                         "n": np.array([agg[k] for k in names], np.int64)})
+
+
+SEARCH_FILTERS_AGG_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents)
+SELECT 'has_spark' AS name, cast(count(DISTINCT doc_id) AS BIGINT) AS n
+FROM tok WHERE term = 'spark'
+UNION ALL
+SELECT 'hash_and_merge', cast(count(*) AS BIGINT) FROM (
+  SELECT doc_id FROM tok WHERE term IN ('hash', 'merge')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+UNION ALL
+SELECT 'sortish', cast(count(DISTINCT doc_id) AS BIGINT)
+FROM tok WHERE term IN ('sort', 'scan')
+"""
+
+
+def search_composite(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``composite`` aggregation paged to exhaustion:
+    (lang, source) key tuples over the match set, 8 buckets per page
+    via the after-key cursor — the concatenation equals the full
+    grouped result the SQL oracle computes in one shot."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    rows: list[tuple[str, str, int]] = []
+    try:
+        cursor = None
+        while True:
+            page, cursor = s.composite_aggregation(
+                ["lang", "source"], query=BM25_QUERY, size=8, after=cursor)
+            rows.extend((lg, src, n) for (lg, src), n in page)
+            if cursor is None:
+                break
+    finally:
+        s.close()
+    return pd.DataFrame({"lang": [r[0] for r in rows],
+                         "source": [r[1] for r in rows],
+                         "n": np.array([r[2] for r in rows], np.int64)})
+
+
+SEARCH_COMPOSITE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))}))
+SELECT d.lang, d.source, count(*) AS n
+FROM documents d JOIN m USING(doc_id)
+GROUP BY d.lang, d.source
+"""
+
+
 def events_sliding(sf_dir: str) -> pd.DataFrame:
     """Sliding-window rollup (size 3600 s, step 900 s): each event
     lands in the 4 windows covering it (explode inside map_batches —
@@ -1498,6 +1611,9 @@ def queries() -> dict:
         "search_and_topk": search_and_topk,
         "search_doc_sharded": search_doc_sharded,
         "search_lang_agg": search_lang_agg,
+        "search_range_agg": search_range_agg,
+        "search_filters_agg": search_filters_agg,
+        "search_composite": search_composite,
         "search_range_topk": search_range_topk,
         "search_bool_topk": search_bool_topk,
         "search_prefix": search_prefix,
@@ -1551,6 +1667,9 @@ def oracle_sql() -> dict:
         "search_and_topk": BM25_AND_SQL,
         "search_doc_sharded": BM25_SQL,
         "search_lang_agg": SEARCH_LANG_AGG_SQL,
+        "search_range_agg": SEARCH_RANGE_AGG_SQL,
+        "search_filters_agg": SEARCH_FILTERS_AGG_SQL,
+        "search_composite": SEARCH_COMPOSITE_SQL,
         "search_range_topk": BM25_RANGE_SQL,
         "search_bool_topk": SEARCH_BOOL_SQL,
         "search_prefix": SEARCH_PREFIX_SQL,

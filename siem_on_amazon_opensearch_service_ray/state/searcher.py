@@ -698,6 +698,87 @@ def _group_stats_partial(index_dir: str, agg_field: str, range_field: str,
     return out
 
 
+def _range_bucket_counts(v: np.ndarray,
+                         ranges: list[tuple[float | None, float | None]]
+                         ) -> list[int]:
+    """Counts of ``v`` per (from-inclusive, to-exclusive) range —
+    OpenSearch ``range`` agg edge semantics; open ends via None."""
+    out = []
+    for lo, hi in ranges:
+        m = np.ones(v.size, bool)
+        if lo is not None:
+            m &= v >= lo
+        if hi is not None:
+            m &= v < hi
+        out.append(int(np.count_nonzero(m)))
+    return out
+
+
+def _composite_partial(index_dir: str, sources: list[str],
+                       cand: np.ndarray | None, tombstones: np.ndarray,
+                       dparts: list[int] | None = None
+                       ) -> dict[tuple, int]:
+    """Composite-agg partial: per tuple of keyword values of the
+    ``sources`` fields, the count of (live, optionally query-matching)
+    docs carrying ALL of them — built by an id-sorted join across the
+    fields' doc-range-partitioned filter postings.  Only the tiny
+    tuple→count dict leaves the shard."""
+    per: list[tuple[list[str], np.ndarray, np.ndarray]] = []
+    for f in sources:
+        code_by_val: dict[str, int] = {}
+        ids_l: list[np.ndarray] = []
+        code_l: list[np.ndarray] = []
+        for v, g in _iter_filter_postings(index_dir, f, dparts):
+            c = code_by_val.setdefault(v, len(code_by_val))
+            ids_l.append(g)
+            code_l.append(np.full(g.size, c, np.int64))
+        if not ids_l:
+            return {}
+        ids = np.concatenate(ids_l)
+        codes = np.concatenate(code_l)
+        o = np.argsort(ids, kind="stable")
+        vals = [v for v, _ in sorted(code_by_val.items(),
+                                     key=lambda kv: kv[1])]
+        per.append((vals, ids[o], codes[o]))
+    # join on doc id across fields (docs missing any source field drop
+    # out — OpenSearch composite semantics without missing_bucket)
+    all_vals = [p[0] for p in per]
+    ids = per[0][1]
+    code_mat = [per[0][2]]
+    for valsf, idsf, codesf in per[1:]:
+        if idsf.size == 0 or ids.size == 0:
+            return {}
+        pos = np.minimum(np.searchsorted(idsf, ids), idsf.size - 1)
+        ok = idsf[pos] == ids
+        ids = ids[ok]
+        code_mat = [c[ok] for c in code_mat]
+        code_mat.append(codesf[pos[ok]])
+    if cand is not None and ids.size:
+        pos = np.minimum(np.searchsorted(cand, ids),
+                         max(cand.size - 1, 0))
+        ok = (cand[pos] == ids) if cand.size else np.zeros(ids.size, bool)
+        ids = ids[ok]
+        code_mat = [c[ok] for c in code_mat]
+    if tombstones.size and ids.size:
+        ok = _excl_mask(ids, tombstones)
+        ids = ids[ok]
+        code_mat = [c[ok] for c in code_mat]
+    if ids.size == 0:
+        return {}
+    key = np.zeros(ids.size, np.int64)
+    for c, vals in zip(code_mat, all_vals):
+        key = key * len(vals) + c
+    out: dict[tuple, int] = {}
+    for k, cnt in zip(*np.unique(key, return_counts=True)):
+        t: list[str] = []
+        k = int(k)
+        for vals in reversed(all_vals):
+            t.append(vals[k % len(vals)])
+            k //= len(vals)
+        out[tuple(reversed(t))] = int(cnt)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # actors + driver
 
@@ -769,6 +850,47 @@ class PartActor:
                 u, c = np.unique(b, return_counts=True)
                 for bv, n in zip(u, c):
                     out[float(bv)] = out.get(float(bv), 0) + int(n)
+        return out
+
+    def range_local(self, field: str, q_terms: list[str], mode: str,
+                    range_field: str,
+                    ranges: list[tuple[float | None, float | None]]
+                    ) -> list[int]:
+        """Doc-sharded range-agg partial: per-shard per-bucket counts
+        — only len(ranges) ints travel to the driver."""
+        out = [0] * len(ranges)
+        for p, r in self.readers.items():
+            v = _shard_range_values(r, p, self.tombstones, field, q_terms,
+                                    mode, range_field)
+            if v.size:
+                for i, n in enumerate(_range_bucket_counts(v, ranges)):
+                    out[i] += n
+        return out
+
+    def count_local(self, field: str, q_terms: list[str], mode: str) -> int:
+        """Doc-sharded match-set count (filters-agg partial)."""
+        n = 0
+        for r in self.readers.values():
+            cand = _candidate_ids(r, field, q_terms, mode)
+            if cand.size and self.tombstones.size:
+                cand = cand[_excl_mask(cand, self.tombstones)]
+            n += int(cand.size)
+        return n
+
+    def composite_local(self, sources: list[str], field: str,
+                        q_terms: list[str] | None, mode: str
+                        ) -> dict[tuple, int]:
+        """Doc-sharded composite-agg partial (q_terms None = match
+        all live docs carrying every source field)."""
+        out: dict[tuple, int] = {}
+        for p, r in self.readers.items():
+            cand = None
+            if q_terms is not None:
+                cand = _candidate_ids(r, field, q_terms, mode)
+            for t, n in _composite_partial(r.index_dir, sources, cand,
+                                           self.tombstones,
+                                           dparts=[p]).items():
+                out[t] = out.get(t, 0) + n
         return out
 
     def group_stats_local(self, field: str, q_terms: list[str], mode: str,
@@ -1485,6 +1607,153 @@ class Searcher:
             for q in quantiles:
                 out[f"p{round(q * 100):02d}"] = float(np.quantile(v, q))
         return out
+
+    def range_aggregation(self, query: str, range_field: str,
+                          ranges: list[tuple[float | None, float | None]],
+                          field: str = "content", mode: str = "or",
+                          analyzer: str | None = None
+                          ) -> list[tuple[tuple[float | None, float | None],
+                                          int]]:
+        """OpenSearch ``range`` aggregation over the full match set:
+        per (from-inclusive, to-exclusive) bucket, the count of
+        matching docs' ``range_field`` values (open ends via None;
+        every requested bucket is returned, zeros included — range-agg
+        parity, unlike histogram's sparse buckets).  Doc-sharded
+        indexes sum per-shard bucket partials; term-partitioned ones
+        probe the doc-range-partitioned range tables against the
+        candidate set."""
+        if analyzer is None:
+            analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
+                             if f == field), "code")
+        q_terms = ANALYZERS[analyzer](query)
+        if not q_terms:
+            return [(rg, 0) for rg in ranges]
+        totals = [0] * len(ranges)
+        if self.manifest["config"].get("partition_by") == "doc":
+            if self.use_actors:
+                parts = ray.get([a.range_local.remote(field, q_terms, mode,
+                                                      range_field, ranges)
+                                 for a in self.actors])
+            else:
+                parts = []
+                for p, r in self.readers.items():
+                    v = _shard_range_values(r, p, self.tombstones, field,
+                                            q_terms, mode, range_field)
+                    parts.append(_range_bucket_counts(v, ranges)
+                                 if v.size else [0] * len(ranges))
+            for row in parts:
+                for i, n in enumerate(row):
+                    totals[i] += n
+            return list(zip(ranges, totals))
+        cand = self._match_ids(field, q_terms, mode)
+        if cand.size == 0:
+            return [(rg, 0) for rg in ranges]
+        from .shard import load_range_pairs
+        for vals, ids in load_range_pairs(self.index_dir, range_field):
+            pos = np.minimum(np.searchsorted(cand, ids), cand.size - 1)
+            hit = cand[pos] == ids
+            if not hit.any():
+                continue
+            for i, n in enumerate(_range_bucket_counts(vals[hit], ranges)):
+                totals[i] += n
+        return list(zip(ranges, totals))
+
+    def filters_aggregation(self, filters: dict[str, tuple[str, str]],
+                            field: str = "content",
+                            analyzer: str | None = None) -> dict[str, int]:
+        """OpenSearch ``filters`` aggregation: named sub-queries, each
+        counted over its own full match set — ``filters`` maps bucket
+        name → (query, mode).  Doc-sharded indexes sum per-shard
+        count partials (doc ids never centralize)."""
+        if analyzer is None:
+            analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
+                             if f == field), "code")
+        out: dict[str, int] = {}
+        doc_sharded = self.manifest["config"].get("partition_by") == "doc"
+        for name, (query, mode) in filters.items():
+            q_terms = ANALYZERS[analyzer](query)
+            if not q_terms:
+                out[name] = 0
+                continue
+            if doc_sharded:
+                if self.use_actors:
+                    out[name] = sum(ray.get(
+                        [a.count_local.remote(field, q_terms, mode)
+                         for a in self.actors]))
+                else:
+                    n = 0
+                    for r in self.readers.values():
+                        cand = _candidate_ids(r, field, q_terms, mode)
+                        if cand.size and self.tombstones.size:
+                            cand = cand[_excl_mask(cand, self.tombstones)]
+                        n += int(cand.size)
+                    out[name] = n
+            else:
+                out[name] = int(self._match_ids(field, q_terms, mode).size)
+        return out
+
+    def composite_aggregation(self, sources: list[str],
+                              query: str | None = None,
+                              field: str = "content", mode: str = "or",
+                              size: int = 10,
+                              after: tuple | None = None,
+                              analyzer: str | None = None
+                              ) -> tuple[list[tuple[tuple, int]],
+                                         tuple | None]:
+        """OpenSearch ``composite`` aggregation: buckets keyed by the
+        TUPLE of the ``sources`` keyword fields' values, ordered by
+        key ascending, paged ``size`` at a time via the ``after`` key
+        (resume strictly after it).  ``query=None`` matches all live
+        docs carrying every source field (no missing_bucket).
+        Returns (buckets, after_key) — feed after_key back to get the
+        next page; after_key is None when the page is not full (last
+        page, OpenSearch's stop condition).
+
+        Scale note: partials are per-(shard-)part tuple→count dicts
+        whose size is bounded by the key-tuple cardinality, not the
+        doc count; the page cut happens once, at the driver."""
+        if analyzer is None:
+            analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
+                             if f == field), "code")
+        q_terms: list[str] | None = None
+        if query is not None:
+            q_terms = ANALYZERS[analyzer](query)
+            if not q_terms:
+                return [], None
+        counts: dict[tuple, int] = {}
+        if self.manifest["config"].get("partition_by") == "doc":
+            if self.use_actors:
+                parts = ray.get([a.composite_local.remote(sources, field,
+                                                          q_terms, mode)
+                                 for a in self.actors])
+            else:
+                parts = []
+                for p, r in self.readers.items():
+                    cand = None
+                    if q_terms is not None:
+                        cand = _candidate_ids(r, field, q_terms, mode)
+                        if cand.size and self.tombstones.size:
+                            cand = cand[_excl_mask(cand, self.tombstones)]
+                    parts.append(_composite_partial(
+                        self.index_dir, sources, cand, self.tombstones,
+                        dparts=[p]))
+            for d in parts:
+                for t, n in d.items():
+                    counts[t] = counts.get(t, 0) + n
+        else:
+            cand = None
+            if q_terms is not None:
+                cand = self._match_ids(field, q_terms, mode)
+                if cand.size == 0:
+                    return [], None
+            counts = _composite_partial(self.index_dir, sources, cand,
+                                        self.tombstones)
+        keys = sorted(counts)
+        if after is not None:
+            keys = [k for k in keys if k > tuple(after)]
+        page = [(k, counts[k]) for k in keys[:size]]
+        after_key = page[-1][0] if len(page) == size else None
+        return page, after_key
 
     # --- span queries ---
 

@@ -33,6 +33,7 @@ def dsl_index(ray_session, tmp_path_factory):
         "doc_id": pa.array(range(N_DOCS), pa.int64()),
         "text": docs,
         "lang": [["py", "go", "rs", "js"][i % 4] for i in range(N_DOCS)],
+        "repo": [f"r{i % 3}" for i in range(N_DOCS)],
         "n_chars": pa.array([len(d) for d in docs], pa.int64()),
     })
     root = tmp_path_factory.mktemp("dsl")
@@ -40,7 +41,8 @@ def dsl_index(ray_session, tmp_path_factory):
     pq.write_table(t, src)
     idx = str(root / "idx")
     cfg = IndexConfig(num_partitions=4, fields=(("content", "text", "base"),),
-                      keyword_fields=("lang",), range_fields=("n_chars",),
+                      keyword_fields=("lang", "repo"),
+                      range_fields=("n_chars",),
                       doc_id_col="doc_id", sha_col="text",
                       store_positions=True, salting=False)
     build_index([src], idx, cfg)
@@ -315,13 +317,15 @@ def test_doc_sharded_aggregations_match_term_partitioned(
         "doc_id": pa.array(range(N_DOCS), pa.int64()),
         "text": docs,
         "lang": [["py", "go", "rs", "js"][i % 4] for i in range(N_DOCS)],
+        "repo": [f"r{i % 3}" for i in range(N_DOCS)],
         "n_chars": pa.array([len(d) for d in docs], pa.int64()),
     })
     src = str(root / "docs.parquet")
     pq2.write_table(t, src)
     idx = str(root / "idx_doc")
     cfg = IndexConfig(num_partitions=4, fields=(("content", "text", "base"),),
-                      keyword_fields=("lang",), range_fields=("n_chars",),
+                      keyword_fields=("lang", "repo"),
+                      range_fields=("n_chars",),
                       doc_id_col="doc_id", sha_col="text",
                       partition_by="doc", salting=False)
     build_index([src], idx, cfg)
@@ -336,11 +340,27 @@ def test_doc_sharded_aggregations_match_term_partitioned(
         s.significant_terms("spark", "lang")
     assert sd.terms_stats_aggregation("spark join", "lang", "n_chars") == \
         s.terms_stats_aggregation("spark join", "lang", "n_chars")
+    ranges = [(None, 80.0), (80.0, 160.0), (160.0, None), (10_000.0, None)]
+    assert sd.range_aggregation("spark join", "n_chars", ranges) == \
+        s.range_aggregation("spark join", "n_chars", ranges)
+    flt = {"a": ("spark", "or"), "b": ("join shuffle", "and")}
+    assert sd.filters_aggregation(flt) == s.filters_aggregation(flt)
+    for q in ("spark", None):
+        assert sd.composite_aggregation(["lang", "repo"], query=q,
+                                        size=100) == \
+            s.composite_aggregation(["lang", "repo"], query=q, size=100)
     sa = Searcher(idx, use_actors=True)
     try:
         assert sa.terms_stats_aggregation("spark join", "lang",
                                           "n_chars") == \
             s.terms_stats_aggregation("spark join", "lang", "n_chars")
+        assert sa.range_aggregation("spark join", "n_chars", ranges) == \
+            s.range_aggregation("spark join", "n_chars", ranges)
+        assert sa.filters_aggregation(flt) == s.filters_aggregation(flt)
+        assert sa.composite_aggregation(["lang", "repo"], query="spark",
+                                        size=100) == \
+            s.composite_aggregation(["lang", "repo"], query="spark",
+                                    size=100)
     finally:
         sa.close()
     # t-digest partials merge across doc shards; close to exact
@@ -436,3 +456,63 @@ def test_top_hits_aggregation(dsl_index, ref):
     for v, hits in got:
         assert [(round(a, 6), b) for a, b in hits] == \
             [(round(a, 6), b) for a, b in exp[v]]
+
+
+def test_range_aggregation(dsl_index, ref):
+    s, docs = dsl_index
+    ranges = [(None, 80.0), (80.0, 160.0), (160.0, None), (9000.0, None)]
+    match = [i for i in range(N_DOCS)
+             if "spark" in ref.tok_lists[i] or "join" in ref.tok_lists[i]]
+    lens = [len(docs[i]) for i in match]
+    want = [sum(1 for x in lens
+                if (lo is None or x >= lo) and (hi is None or x < hi))
+            for lo, hi in ranges]
+    got = s.range_aggregation("spark join", "n_chars", ranges)
+    assert got == list(zip(ranges, want))
+    assert got[-1][1] == 0          # empty buckets ARE returned (range-agg)
+    assert s.range_aggregation("zz_nope", "n_chars", ranges) == \
+        [(r, 0) for r in ranges]
+
+
+def test_filters_aggregation(dsl_index, ref):
+    s, _ = dsl_index
+    flt = {"any_spark": ("spark", "or"),
+           "join_and_shuffle": ("join shuffle", "and"),
+           "nothing": ("zz_nope", "or")}
+    want = {"any_spark": sum(1 for tl in ref.tok_lists if "spark" in tl),
+            "join_and_shuffle": sum(1 for tl in ref.tok_lists
+                                    if "join" in tl and "shuffle" in tl),
+            "nothing": 0}
+    assert s.filters_aggregation(flt) == want
+
+
+def test_composite_aggregation(dsl_index, ref):
+    s, _ = dsl_index
+    langs = [["py", "go", "rs", "js"][i % 4] for i in range(N_DOCS)]
+    repos = [f"r{i % 3}" for i in range(N_DOCS)]
+    exp = {}
+    for i in range(N_DOCS):
+        if "spark" in ref.tok_lists[i]:
+            key = (langs[i], repos[i])
+            exp[key] = exp.get(key, 0) + 1
+    want = sorted(exp.items())
+    got, cursor, pages = [], None, 0
+    while True:
+        page, cursor = s.composite_aggregation(["lang", "repo"],
+                                               query="spark", size=5,
+                                               after=cursor)
+        got.extend(page)
+        pages += 1
+        if cursor is None:
+            break
+    assert got == want
+    assert pages >= 2               # size=5 over 12 key combos -> paged
+    # match-all (no query): every live doc carrying both fields
+    all_exp = {}
+    for i in range(N_DOCS):
+        key = (langs[i], repos[i])
+        all_exp[key] = all_exp.get(key, 0) + 1
+    full, ck = s.composite_aggregation(["lang", "repo"], size=100)
+    assert full == sorted(all_exp.items()) and ck is None
+    assert s.composite_aggregation(["lang", "repo"], query="zz_nope") == \
+        ([], None)
