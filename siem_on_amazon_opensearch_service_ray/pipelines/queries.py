@@ -1331,6 +1331,76 @@ GROUP BY d.lang
 """
 
 
+MLT_TEXT = "spark spark join window vector dup stream hash"
+MLT_MAX_TERMS = 6
+
+
+def search_mlt(sf_dir: str) -> pd.DataFrame:
+    """more_like_this: tf*idf term selection from the input text
+    (min_doc_freq=2, top 6 by interest), then a bool/should
+    disjunction with percentage minimum_should_match (30% floored,
+    min 1) — OpenSearch MLT free-text form."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.more_like_this(MLT_TEXT, k=BM25_K,
+                                max_query_terms=MLT_MAX_TERMS)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d in hits],
+        "score_e4": np.array([round(sc * 10000) for sc, _ in hits],
+                             dtype=np.int64),
+    })
+
+
+def _mlt_src_values() -> str:
+    from collections import Counter
+    c = Counter(base_tokens(MLT_TEXT))
+    return ", ".join(f"('{t}', {n})" for t, n in sorted(c.items()))
+
+
+SEARCH_MLT_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+dl AS (SELECT d.doc_id, count(t.term) AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+dlq AS (SELECT doc_id, dl,
+               CASE WHEN dl < 8 THEN dl
+                    ELSE (dl >> (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3))
+                         << (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3) END AS dl_quant
+        FROM dl),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+src(term, tf) AS (VALUES {_mlt_src_values()}),
+df_all AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+sel AS (SELECT s2.term FROM (
+          SELECT s.term,
+                 s.tf * ln(1 + ((SELECT n FROM stats) - d.df + 0.5)
+                               / (d.df + 0.5)) AS interest
+          FROM src s JOIN df_all d USING(term) WHERE d.df >= 2) s2
+        ORDER BY s2.interest DESC, s2.term LIMIT {MLT_MAX_TERMS}),
+msm AS (SELECT greatest(1, cast(floor(0.3 * count(*)) AS BIGINT)) AS v
+        FROM sel),
+tf AS (SELECT t.doc_id, t.term, count(*) AS tf
+       FROM tok t JOIN sel USING(term) GROUP BY t.doc_id, t.term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2*(1 - 0.75 + 0.75*dlq.dl_quant/s.avgdl)) ) AS score,
+         count(DISTINCT tf.term) AS nmatch
+  FROM tf JOIN df USING(term) JOIN dlq USING(doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, cast(round(score*10000) AS BIGINT) AS score_e4
+FROM scores CROSS JOIN msm WHERE nmatch >= msm.v
+ORDER BY score DESC, doc_id LIMIT {BM25_K}
+"""
+
+
 _RANGE_AGG_EDGES = [(None, 150.0), (150.0, 300.0), (300.0, 450.0),
                     (450.0, None)]
 
@@ -1614,6 +1684,7 @@ def queries() -> dict:
         "search_range_agg": search_range_agg,
         "search_filters_agg": search_filters_agg,
         "search_composite": search_composite,
+        "search_mlt": search_mlt,
         "search_range_topk": search_range_topk,
         "search_bool_topk": search_bool_topk,
         "search_prefix": search_prefix,
@@ -1670,6 +1741,7 @@ def oracle_sql() -> dict:
         "search_range_agg": SEARCH_RANGE_AGG_SQL,
         "search_filters_agg": SEARCH_FILTERS_AGG_SQL,
         "search_composite": SEARCH_COMPOSITE_SQL,
+        "search_mlt": SEARCH_MLT_SQL,
         "search_range_topk": BM25_RANGE_SQL,
         "search_bool_topk": SEARCH_BOOL_SQL,
         "search_prefix": SEARCH_PREFIX_SQL,

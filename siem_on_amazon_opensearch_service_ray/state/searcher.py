@@ -1156,6 +1156,81 @@ class Searcher:
         return score_bool(must_td, should_td, k, avgdl, msm, mn_ids,
                           filt, k1, b)
 
+    def _term_dfs(self, field: str, terms: list[str]) -> dict[str, int]:
+        """Global df per term (sums across parts — correct on both the
+        term-partitioned layout, where a term lives in one part plus
+        its salted copies, and the doc-partitioned one, where every
+        shard holds a slice).  Only (term, count) pairs travel."""
+        if self.use_actors:
+            out: dict[str, int] = {}
+            for d in ray.get([a.get_dfs.remote(field, terms)
+                              for a in self.actors]):
+                for t, n in d.items():
+                    out[t] = out.get(t, 0) + n
+            return out
+        out = {}
+        for r in self.readers.values():
+            for t in terms:
+                d = r.df(field, t)
+                if d:
+                    out[t] = out.get(t, 0) + d
+        return out
+
+    def more_like_this(self, like_text: str, field: str = "content",
+                       k: int = 10, max_query_terms: int = 25,
+                       min_term_freq: int = 1, min_doc_freq: int = 2,
+                       max_doc_freq: int | None = None,
+                       minimum_should_match: float | int = 0.3,
+                       analyzer: str | None = None,
+                       k1: float = K1, b: float = B
+                       ) -> list[tuple[float, int]]:
+        """OpenSearch ``more_like_this`` (free-text ``like`` form —
+        the docstore keeps content sha256, not content, so doc-id
+        input would need a stored-source field): analyze the input,
+        keep terms with tf >= min_term_freq and df within
+        [min_doc_freq, max_doc_freq], rank by interest = tf * idf
+        (the Lucene MLT term-selection heuristic with our BM25 idf),
+        keep the top ``max_query_terms`` by (interest desc, term asc),
+        then run the disjunction as a bool/should query.  A fractional
+        ``minimum_should_match`` means that share of the SELECTED
+        terms, floored (Lucene percentage msm), minimum 1.
+
+        Scale note: term selection costs one (term, df) exchange with
+        the shard actors — postings only travel for the final scored
+        disjunction."""
+        if analyzer is None:
+            analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
+                             if f == field), "code")
+        toks = ANALYZERS[analyzer](like_text)
+        if not toks:
+            return []
+        tfs = Counter(toks)
+        cand = sorted(t for t, n in tfs.items() if n >= min_term_freq)
+        if not cand:
+            return []
+        dfs = self._term_dfs(field, cand)
+        n_docs = int(self.stats["n_docs"])
+        sel: list[tuple[float, str]] = []
+        for t in cand:
+            df = dfs.get(t, 0)
+            if df < min_doc_freq:
+                continue
+            if max_doc_freq is not None and df > max_doc_freq:
+                continue
+            sel.append((tfs[t] * float(idf_fn(df, n_docs)), t))
+        if not sel:
+            return []
+        sel.sort(key=lambda it: (-it[0], it[1]))
+        chosen = [t for _, t in sel[:max_query_terms]]
+        if isinstance(minimum_should_match, float) \
+                and 0 < minimum_should_match < 1:
+            msm = int(minimum_should_match * len(chosen))
+        else:
+            msm = int(minimum_should_match)
+        return self.search_bool(should=chosen, field=field, k=k,
+                                minimum_should_match=max(msm, 1),
+                                analyzer=analyzer, k1=k1, b=b)
+
     def _group_arrays(self, tds: list[TermData], avgdl: float,
                       k1: float, b: float) -> tuple[np.ndarray, np.ndarray]:
         """(sorted doc ids, aligned summed BM25 contributions) for a

@@ -47,7 +47,9 @@ def _to_df(res) -> pd.DataFrame:
 SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "dedup_exact_docs", "tf_top_terms", "df_terms", "corpus_stats",
               "bm25_topk", "search_topk", "search_and_topk",
-              "search_doc_sharded", "search_lang_agg", "search_range_topk",
+              "search_doc_sharded", "search_lang_agg", "search_range_agg",
+              "search_filters_agg", "search_composite", "search_mlt",
+              "search_range_topk",
               "search_bool_topk", "search_prefix", "search_wildcard",
               "search_fuzzy", "search_sigterms",
               "span_near_docs", "span_unordered_docs", "search_regexp",
@@ -99,3 +101,12 @@ def test_rows_only_entries_run(registry, name):
     assert df is not None and len(df) >= 0
     if name in ("simhash_docs", "langid_docs", "fingerprint_docs"):
         assert len(df) == 500  # one row per document at sf0.001
+
+
+def test_registry_fully_covered(registry):
+    """Every queries() entry is exercised here: SQL-backed ones against
+    DuckDB, the rest at least executed — a new entry missing from both
+    lists fails this guard instead of silently skipping parity."""
+    qs, oracles = registry
+    assert set(SQL_BACKED) == set(oracles)
+    assert set(SQL_BACKED) | set(ROWS_ONLY) == set(qs)

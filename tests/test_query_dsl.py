@@ -516,3 +516,33 @@ def test_composite_aggregation(dsl_index, ref):
     assert full == sorted(all_exp.items()) and ck is None
     assert s.composite_aggregation(["lang", "repo"], query="zz_nope") == \
         ([], None)
+
+
+def test_more_like_this(dsl_index, ref):
+    from collections import Counter
+    s, docs = dsl_index
+    like = docs[0]
+    tfs = Counter(_toks(like))
+    sel = []
+    for t in sorted(tfs):
+        df = sum(1 for x in ref.tok_lists if t in x)
+        if df < 2:
+            continue
+        sel.append((tfs[t] * math.log(1 + (N_DOCS - df + 0.5) / (df + 0.5)),
+                    t))
+    sel.sort(key=lambda it: (-it[0], it[1]))
+    chosen = [t for _, t in sel[:5]]
+    msm = max(int(0.3 * len(chosen)), 1)
+    exp = []
+    for i in range(N_DOCS):
+        hit = [t for t in chosen if t in ref.tok_lists[i]]
+        if len(hit) < msm:
+            continue
+        exp.append((sum(ref.bm25(t, i) for t in hit), i))
+    exp.sort(key=lambda sd: (-sd[0], sd[1]))
+    got = s.more_like_this(like, k=12, max_query_terms=5)
+    assert [(round(a, 6), d) for a, d in got] == \
+        [(round(a, 6), d) for a, d in exp[:12]]
+    # every candidate term below min_doc_freq -> no selectable terms
+    assert s.more_like_this("zz_nope qq_nada") == []
+    assert s.more_like_this("") == []
