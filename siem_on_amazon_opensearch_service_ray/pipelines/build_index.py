@@ -91,6 +91,12 @@ class IndexConfig:
     tokenize_mode: str = "tasks"
     # store term positions (enables phrase queries; ~2x postings bytes)
     store_positions: bool = False
+    # keep the raw source column in the docstore (OpenSearch _source
+    # parity): enables reindex() under a new config and
+    # more_like_this(doc_id=...).  Costs the content riding the build
+    # shuffle to the docstore sentinel parts and docstore bytes ~ the
+    # corpus size — off by default.
+    store_source: bool = False
     # "term": postings partitioned by crc32(field:term) % P — each query
     #   term lives in exactly one part; scoring is driver-centralized.
     # "doc": postings partitioned by doc_id % P — every part is a
@@ -476,6 +482,14 @@ class TokenizeFlatten:
             # offsets across the exchange (measured ~15% build slowdown)
             col_pos.extend([b""] * batch.num_rows)
             cols["pos"] = pa.array(col_pos, pa.large_binary())
+        if cfg.store_source:
+            # _source rides the same single-read exchange to the
+            # docstore sentinel parts (posting rows carry "")
+            srcs = batch.column(cfg.sha_col).to_pylist()
+            n_post = len(col_fields) - batch.num_rows
+            cols["src"] = pa.array(
+                [""] * n_post + [("\x00N" if s is None else s)
+                                 for s in srcs], pa.large_string())
         return pa.table(cols)
 
 
@@ -548,6 +562,10 @@ def _write_docstore_group(group: pa.Table, index_dir: str, fp: str,
                 # tz-aware timestamps) -> keep strings (defensive)
                 pass
         arrays[c] = arr
+    if cfg.store_source:
+        arrays[cfg.sha_col] = pa.array(
+            [None if s == "\x00N" else s
+             for s in group.column("src").to_pylist()], pa.large_string())
     tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), **arrays})
     idx = pa.compute.sort_indices(tbl, sort_keys=[
         ("doc_id", "ascending"), ("content_sha256", "ascending")])
@@ -763,8 +781,11 @@ def build_postings(source, index_dir: str, cfg: IndexConfig, fp: str,
     # small indexed-field sources like ``path`` — and drops only the
     # wide content column (cfg.sha_col)
     schema = ds.schema()
+    # "content_sha256" excluded: a reindex() input IS a docstore, and
+    # the new build recomputes the sha — carrying the old column would
+    # collide with it
     docstore_cols = [c for c in schema.names
-                     if c != cfg.sha_col and c != "doc_id"]
+                     if c not in (cfg.sha_col, "doc_id", "content_sha256")]
     docstore_types = {n: str(t) for n, t in zip(schema.names, schema.types)
                       if n in docstore_cols}
     if cfg.tokenize_mode == "actors":
@@ -1441,4 +1462,70 @@ def delete_docs(index_dir: str, doc_ids) -> int:
         pa.table({"doc_id": pa.array(merged.astype(np.int64), pa.int64())}),
         os.path.join(index_dir, "tombstones.parquet"))
     return int(merged.size)
+
+
+def reindex(index_dir: str, out_dir: str, new_cfg: IndexConfig,
+            resume: bool = True) -> dict:
+    """Rebuild an index under a NEW config from its stored ``_source``
+    (OpenSearch ``_reindex`` parity — the reference re-drives the
+    loader when mappings change; here the docstore IS the source).
+    Requires the source index built with ``store_source=True``; its
+    docstore parquet files (already doc-range partitioned, one
+    ``doc_id`` per row) become the build input, so per-file lineage
+    and ``resume`` work exactly like a fresh :func:`build_index`.
+    Tombstoned docs are dropped (reindex copies live docs only) — a
+    filtered read replaces the file-path input when tombstones exist.
+
+    ``new_cfg`` must read the stored source column (the old
+    ``sha_col``); ``doc_id_col`` is forced to ``"doc_id"`` so
+    identities survive the round trip."""
+    import dataclasses
+    import glob as _glob
+    with open(os.path.join(index_dir, "INDEX_MANIFEST.json")) as f:
+        old_man = json.load(f)
+    old_cfg = old_man["config"]
+    if not old_cfg.get("store_source"):
+        raise ValueError("reindex needs the source index built with "
+                         "store_source=True (the docstore keeps only "
+                         "content_sha256 otherwise)")
+    src_col = old_cfg["sha_col"]
+    missing = [col for _, col, _ in new_cfg.fields if col != src_col
+               and col not in _docstore_schema_names(index_dir)]
+    if missing:
+        raise ValueError(f"new_cfg fields reference columns {missing} "
+                         f"not present in the docstore")
+    if new_cfg.sha_col != src_col:
+        raise ValueError(f"new_cfg.sha_col must be {src_col!r} (the "
+                         "stored source column) to preserve the "
+                         "content-sha256 invariant")
+    new_cfg = dataclasses.replace(new_cfg, doc_id_col="doc_id")
+    files = sorted(_glob.glob(os.path.join(index_dir, "docstore",
+                                           "*.parquet")))
+    from ..state.shard import load_tombstones
+    tombs = load_tombstones(index_dir)
+    if tombs.size == 0:
+        return build_index(files, out_dir, new_cfg, resume=resume)
+    dead = tombs.astype(np.int64)
+
+    def drop_tombstoned(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(dead, ids),
+                         max(dead.size - 1, 0))
+        return batch.filter(pa.array(dead[pos] != ids))
+
+    # an in-memory Dataset fingerprints as "ephemeral" — resume could
+    # wrongly match a prior reindex run with DIFFERENT tombstones, so
+    # the filtered path always rebuilds from scratch
+    ds = _read_source(files).map_batches(drop_tombstoned,
+                                         batch_format="pyarrow")
+    return build_index(ds, out_dir, new_cfg, resume=False)
+
+
+def _docstore_schema_names(index_dir: str) -> list[str]:
+    import glob as _glob
+    files = sorted(_glob.glob(os.path.join(index_dir, "docstore",
+                                           "*.parquet")))
+    if not files:
+        return []
+    return pq.read_schema(files[0]).names
 

@@ -1176,7 +1176,35 @@ class Searcher:
                     out[t] = out.get(t, 0) + d
         return out
 
-    def more_like_this(self, like_text: str, field: str = "content",
+    def fetch_docs(self, doc_ids, columns: list[str] | None = None):
+        """Stored-document lookup from the doc-range-partitioned
+        docstore (OpenSearch GET _doc / mget): returns a pyarrow
+        Table with one row per found LIVE id.  Parquet row-group
+        filters prune parts; tombstoned ids are excluded."""
+        import os as _os
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+        ids = sorted({int(i) for i in doc_ids})
+        if self.tombstones.size:
+            keep = ~np.isin(np.asarray(ids, np.uint64), self.tombstones)
+            ids = [i for i, k_ in zip(ids, keep) if k_]
+        if not ids:
+            return None
+        dsdir = _os.path.join(self.index_dir, "docstore")
+        tables = []
+        for fn in sorted(_os.listdir(dsdir)):
+            if not fn.endswith(".parquet"):
+                continue
+            t = _pq.read_table(_os.path.join(dsdir, fn), columns=columns,
+                               filters=[("doc_id", "in", ids)])
+            if t.num_rows:
+                tables.append(t)
+        if not tables:
+            return None
+        return _pa.concat_tables(tables)
+
+    def more_like_this(self, like_text: str | None = None,
+                       doc_id: int | None = None, field: str = "content",
                        k: int = 10, max_query_terms: int = 25,
                        min_term_freq: int = 1, min_doc_freq: int = 2,
                        max_doc_freq: int | None = None,
@@ -1184,10 +1212,13 @@ class Searcher:
                        analyzer: str | None = None,
                        k1: float = K1, b: float = B
                        ) -> list[tuple[float, int]]:
-        """OpenSearch ``more_like_this`` (free-text ``like`` form —
-        the docstore keeps content sha256, not content, so doc-id
-        input would need a stored-source field): analyze the input,
-        keep terms with tf >= min_term_freq and df within
+        """OpenSearch ``more_like_this``: ``like`` may be free text
+        (``like_text``) and/or a stored document (``doc_id`` — needs
+        the index built with ``store_source=True`` for the content
+        field, or the field's column kept in the docstore; the input
+        doc itself is excluded from the hits, OpenSearch
+        ``include: false`` default).  Analyze the input, keep terms
+        with tf >= min_term_freq and df within
         [min_doc_freq, max_doc_freq], rank by interest = tf * idf
         (the Lucene MLT term-selection heuristic with our BM25 idf),
         keep the top ``max_query_terms`` by (interest desc, term asc),
@@ -1201,6 +1232,22 @@ class Searcher:
         if analyzer is None:
             analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
                              if f == field), "code")
+        exclude: int | None = None
+        if doc_id is not None:
+            col = next((c for f, c, _ in self.manifest["config"]["fields"]
+                        if f == field), None)
+            if col is None:
+                raise ValueError(f"field {field!r} is not indexed")
+            tbl = self.fetch_docs([int(doc_id)], columns=[col])
+            if tbl is None or tbl.num_rows == 0:
+                return []
+            v = tbl.column(col)[0].as_py()
+            if not v:
+                return []
+            like_text = v if like_text is None else f"{like_text} {v}"
+            exclude = int(doc_id)
+        elif like_text is None:
+            raise ValueError("more_like_this needs like_text or doc_id")
         toks = ANALYZERS[analyzer](like_text)
         if not toks:
             return []
@@ -1227,9 +1274,13 @@ class Searcher:
             msm = int(minimum_should_match * len(chosen))
         else:
             msm = int(minimum_should_match)
-        return self.search_bool(should=chosen, field=field, k=k,
+        hits = self.search_bool(should=chosen, field=field,
+                                k=k + (1 if exclude is not None else 0),
                                 minimum_should_match=max(msm, 1),
                                 analyzer=analyzer, k1=k1, b=b)
+        if exclude is not None:
+            hits = [(s, d) for s, d in hits if d != exclude][:k]
+        return hits
 
     def _group_arrays(self, tds: list[TermData], avgdl: float,
                       k1: float, b: float) -> tuple[np.ndarray, np.ndarray]:

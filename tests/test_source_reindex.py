@@ -1,0 +1,161 @@
+"""Stored _source surface: ``store_source=True`` builds, ``fetch_docs``
+(GET _doc / mget parity), ``more_like_this(doc_id=...)``, and
+``reindex`` (OpenSearch _reindex parity — rebuild under a new config
+from the docstore, tombstoned docs dropped)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
+    IndexConfig, build_index, delete_docs, reindex)
+from siem_on_amazon_opensearch_service_ray.state.searcher import Searcher
+
+VOCAB = ["spark", "join", "shuffle", "sql", "table", "query", "index",
+         "merge", "sort", "scan", "filter", "group"]
+N_DOCS = 120
+
+
+def _corpus(n, seed=11):
+    rng = np.random.default_rng(seed)
+    docs = []
+    for _ in range(n):
+        m = int(rng.integers(5, 30))
+        docs.append(" ".join(VOCAB[int(j)]
+                             for j in rng.integers(0, len(VOCAB), m)))
+    return docs
+
+
+def _write(root, docs, name="docs.parquet"):
+    t = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": docs,
+        "lang": [["py", "go"][i % 2] for i in range(len(docs))],
+    })
+    src = str(root / name)
+    pq.write_table(t, src)
+    return src
+
+
+def _cfg(**kw):
+    base = dict(num_partitions=4, fields=(("content", "text", "base"),),
+                keyword_fields=("lang",), doc_id_col="doc_id",
+                sha_col="text", salting=False, store_source=True)
+    base.update(kw)
+    return IndexConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def src_index(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("srcidx")
+    docs = _corpus(N_DOCS)
+    src = _write(root, docs)
+    idx = str(root / "idx")
+    build_index([src], idx, _cfg())
+    s = Searcher(idx, use_actors=False)
+    yield s, docs, idx, root
+
+
+def test_fetch_docs_returns_stored_source(src_index):
+    s, docs, _, _ = src_index
+    t = s.fetch_docs([5, 17, 10**12 + 3])
+    got = {r["doc_id"]: r["text"] for r in t.to_pylist()}
+    assert got == {5: docs[5], 17: docs[17]}
+    # keyword meta columns are stored too
+    langs = {r["doc_id"]: r["lang"] for r in t.to_pylist()}
+    assert langs == {5: "go", 17: "go"}
+
+
+def test_fetch_docs_column_projection(src_index):
+    s, docs, _, _ = src_index
+    t = s.fetch_docs([7], columns=["text"])
+    assert t.column_names == ["text"]
+    assert t.column("text")[0].as_py() == docs[7]
+
+
+def test_fetch_docs_all_missing(src_index):
+    s, _, _, _ = src_index
+    assert s.fetch_docs([10**12]) is None
+
+
+def test_mlt_doc_id_matches_like_text_path(src_index):
+    s, docs, _, _ = src_index
+    got = s.more_like_this(doc_id=7, k=10, min_doc_freq=1)
+    full = s.more_like_this(like_text=docs[7], k=11, min_doc_freq=1)
+    exp = [(sc, d) for sc, d in full if d != 7][:10]
+    assert got == exp
+    assert all(d != 7 for _, d in got)
+    assert got, "a real doc must have neighbors in a 12-word vocab corpus"
+
+
+def test_mlt_doc_id_missing_doc(src_index):
+    s, _, _, _ = src_index
+    assert s.more_like_this(doc_id=10**12 + 9, k=5) == []
+
+
+def test_mlt_requires_some_like(src_index):
+    s, _, _, _ = src_index
+    with pytest.raises(ValueError):
+        s.more_like_this()
+
+
+def test_reindex_new_config_preserves_results(src_index, tmp_path):
+    s, docs, idx, _ = src_index
+    out = str(tmp_path / "re_idx")
+    # new config: different partitioning + positions on (phrase queries
+    # become possible post-reindex, the canonical _reindex use case)
+    man = reindex(idx, out, _cfg(num_partitions=3, store_positions=True,
+                                 store_source=False))
+    assert man["stats"]["n_docs"] == N_DOCS
+    s2 = Searcher(out, use_actors=False)
+    try:
+        for q in ("spark", "shuffle sort", "query index table"):
+            assert s2.search(q, k=20) == s.search(q, k=20)
+        # positions exist now: phrase search runs on the reindexed copy
+        two = next(d for d in docs if len(d.split()) >= 2).split()[:2]
+        hits = s2.phrase_search_scored(" ".join(two), k=5)
+        assert hits
+    finally:
+        s2.close()
+
+
+def test_reindex_refuses_without_stored_source(ray_session, tmp_path):
+    docs = _corpus(30, seed=3)
+    src = _write(tmp_path, docs)
+    idx = str(tmp_path / "nosrc")
+    build_index([src], idx, _cfg(store_source=False))
+    with pytest.raises(ValueError, match="store_source"):
+        reindex(idx, str(tmp_path / "out"), _cfg())
+
+
+def test_reindex_drops_tombstoned_docs(ray_session, tmp_path):
+    docs = _corpus(40, seed=5)
+    src = _write(tmp_path, docs)
+    idx = str(tmp_path / "tomb")
+    build_index([src], idx, _cfg())
+    delete_docs(idx, [3, 11])
+    out = str(tmp_path / "tomb_re")
+    man = reindex(idx, out, _cfg())
+    assert man["stats"]["n_docs"] == 38
+    s2 = Searcher(out, use_actors=False)
+    try:
+        assert s2.fetch_docs([3, 11]) is None
+        for q in VOCAB:
+            assert all(d not in (3, 11) for _, d in s2.search(q, k=40))
+    finally:
+        s2.close()
+
+
+def test_tombstoned_doc_excluded_from_fetch(ray_session, tmp_path):
+    docs = _corpus(20, seed=9)
+    src = _write(tmp_path, docs)
+    idx = str(tmp_path / "fdel")
+    build_index([src], idx, _cfg())
+    delete_docs(idx, [4])
+    s = Searcher(idx, use_actors=False)
+    try:
+        t = s.fetch_docs([4, 5])
+        assert {r["doc_id"] for r in t.to_pylist()} == {5}
+    finally:
+        s.close()
