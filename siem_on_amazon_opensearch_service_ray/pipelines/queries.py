@@ -993,6 +993,35 @@ def search_stats(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def search_stats_distributed(sf_dir: str) -> pd.DataFrame:
+    """Same stats + percentiles as :func:`search_stats`, but over the
+    DOC-partitioned index with ``quantile_method='exact_distributed'``:
+    exact order statistics located by count-probe bisection
+    (Searcher._stats_exact_distributed) — no matched value ever leaves
+    its shard, so the quantile gather that ``'exact'`` does on the
+    driver disappears at 100 TB.  Same oracle, bit-identical output."""
+    import dataclasses
+    idx = _docs_index_dir(sf_dir) + "_doc"
+    cfg = dataclasses.replace(_docs_index_cfg(), partition_by="doc")
+    build_index(_docs_source(sf_dir), idx, cfg, resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        st = s.stats_aggregation(BM25_QUERY, "n_chars", field="content",
+                                 quantiles=(0.5, 0.9),
+                                 quantile_method="exact_distributed")
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "n_docs": np.array([st["count"]], dtype=np.int64),
+        "min_c": np.array([round(st["min"])], dtype=np.int64),
+        "max_c": np.array([round(st["max"])], dtype=np.int64),
+        "sum_c": np.array([round(st["sum"])], dtype=np.int64),
+        "avg_e4": np.array([round(st["avg"] * 10000)], dtype=np.int64),
+        "p50_e4": np.array([round(st["p50"] * 10000)], dtype=np.int64),
+        "p90_e4": np.array([round(st["p90"] * 10000)], dtype=np.int64),
+    })
+
+
 def search_terms_stats(sf_dir: str) -> pd.DataFrame:
     """Terms aggregation with a stats sub-aggregation: bucket the
     'spark join' match set by lang, count + min/max/sum/avg n_chars
@@ -1700,6 +1729,7 @@ def queries() -> dict:
         "search_cardinality": search_cardinality,
         "search_histogram": search_histogram,
         "search_stats": search_stats,
+        "search_stats_distributed": search_stats_distributed,
         "search_terms_stats": search_terms_stats,
         "phrase_docs": phrase_docs,
         "events_sessions": events_sessions,
@@ -1757,6 +1787,7 @@ def oracle_sql() -> dict:
         "search_cardinality": SEARCH_CARDINALITY_SQL,
         "search_histogram": SEARCH_HISTOGRAM_SQL,
         "search_stats": SEARCH_STATS_SQL,
+        "search_stats_distributed": SEARCH_STATS_SQL,
         "search_terms_stats": SEARCH_TERMS_STATS_SQL,
         "phrase_docs": PHRASE_SQL,
         "events_sessions": EVENTS_SESSIONS_SQL,

@@ -26,6 +26,7 @@ block-max metadata then drives WAND skipping.
 from __future__ import annotations
 
 import heapq
+import math
 from collections import Counter
 from dataclasses import dataclass
 
@@ -620,6 +621,24 @@ def _shard_range_values(r: ShardReader, p: int, tombstones: np.ndarray,
     return np.concatenate(out) if out else np.zeros(0)
 
 
+def _f64_to_ord(x: float) -> int:
+    """Monotone map of a float64 onto a uint64 ordinal (sign bit
+    flipped for non-negatives, full complement for negatives), so the
+    k-th order statistic can be found by integer bisection that
+    converges EXACTLY in <= 64 rounds — the distributed-selection
+    backbone of ``quantile_method='exact_distributed'``."""
+    i = int(np.float64(x).view(np.uint64))
+    if i >> 63:
+        return i ^ 0xFFFFFFFFFFFFFFFF
+    return i ^ 0x8000000000000000
+
+
+def _ord_to_f64(o: int) -> float:
+    """Inverse of :func:`_f64_to_ord`."""
+    i = o ^ (0x8000000000000000 if o >> 63 else 0xFFFFFFFFFFFFFFFF)
+    return float(np.uint64(i).view(np.float64))
+
+
 def _iter_filter_postings(index_dir: str, agg_field: str,
                           dparts: list[int] | None = None):
     """Yield (value, sorted doc-id array) over the (optionally
@@ -795,6 +814,10 @@ class PartActor:
         from .shard import load_tombstones
         self.readers = {p: ShardReader(index_dir, p) for p in parts}
         self.tombstones = load_tombstones(index_dir)
+        # sorted matched-values memo for the distributed-exact
+        # percentile protocol: one match-set computation serves every
+        # count_le probe round of a selection
+        self._cle_memo: dict[tuple, np.ndarray] = {}
 
     def get_terms(self, field: str, terms_by_part: dict[int, list[str]]
                   ) -> dict[str, list[tuple]]:
@@ -937,6 +960,29 @@ class PartActor:
             td.add(v)
             out["digest"] = td.to_arrays()
         return out
+
+    def count_le_local(self, field: str, q_terms: list[str], mode: str,
+                       range_field: str, probes: list[int]
+                       ) -> list[int]:
+        """Distributed-exact percentile partial: count of this actor's
+        MATCHED values <= each probe.  The sorted matched-values array
+        is memoized per (field, terms, mode, range_field), so the
+        driver's O(log value_range) probe rounds cost one match-set
+        computation here and each round ships only len(probes) ints —
+        no matched value ever leaves the shard."""
+        key = (field, tuple(q_terms), mode, range_field)
+        v = self._cle_memo.get(key)
+        if v is None:
+            vs = [_shard_range_values(r, p, self.tombstones, field,
+                                      q_terms, mode, range_field)
+                  for p, r in self.readers.items()]
+            live = [x for x in vs if x.size]
+            v = np.sort(np.concatenate(live)) if live else np.zeros(0)
+            if len(self._cle_memo) >= 32:
+                self._cle_memo.clear()
+            self._cle_memo[key] = v
+        return np.searchsorted(v, np.asarray(probes, dtype=np.float64),
+                               side="right").tolist()
 
     # --- doc-sharded execution (dfs_query_then_fetch; SURVEY §7.1) ---
 
@@ -1652,7 +1698,11 @@ class Searcher:
         and interpolates linearly (== DuckDB quantile_cont — the
         oracle-checkable path); ``'tdigest'`` merges O(delta) centroid
         partials instead (the 100-TB path, and what the reference's
-        OpenSearch percentiles agg actually does per shard)."""
+        OpenSearch percentiles agg actually does per shard);
+        ``'exact_distributed'`` (doc-sharded indexes) returns the same
+        bits as ``'exact'`` via count-probes — no value ever leaves
+        its shard (on term-partitioned indexes it degrades to
+        ``'exact'``, whose value pull is driver-local there anyway)."""
         if analyzer is None:
             analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
                              if f == field), "code")
@@ -1660,9 +1710,12 @@ class Searcher:
         if not q_terms:
             return {"count": 0}
         qmode = ("none" if not quantiles else quantile_method)
-        if qmode not in ("none", "exact", "tdigest"):
+        if qmode not in ("none", "exact", "tdigest", "exact_distributed"):
             raise ValueError(f"unknown quantile_method {quantile_method!r}")
         if self.manifest["config"].get("partition_by") == "doc":
+            if qmode == "exact_distributed":
+                return self._stats_exact_distributed(
+                    field, q_terms, mode, range_field, quantiles)
             # per-shard partials; values/digests ship only for quantiles
             if self.use_actors:
                 parts = ray.get([
@@ -1732,6 +1785,99 @@ class Searcher:
         else:
             for q in quantiles:
                 out[f"p{round(q * 100):02d}"] = float(np.quantile(v, q))
+        return out
+
+    def _stats_exact_distributed(self, field: str, q_terms: list[str],
+                                 mode: str, range_field: str,
+                                 quantiles: tuple[float, ...]) -> dict:
+        """EXACT percentiles without shipping any matched value off
+        its shard (contrast ``quantile_method='exact'``, which gathers
+        the full matched value set on the driver — fine at bench
+        scale, a corpus-sized pull at 100 TB).
+
+        Protocol (classic distributed selection): round 1 collects the
+        mergeable moments (count/min/max/sum) per shard; then each
+        needed order statistic is located by bisection over the
+        ordered-bits encoding of float64 (:func:`_f64_to_ord`), where
+        every round asks each shard only "how many of YOUR matched
+        values are <= these probes?" (``PartActor.count_le_local``,
+        match set memoized shard-side).  <= 64 tiny rounds, O(#ranks)
+        floats per round per shard; the only data values the driver
+        ever sees are the final order statistics themselves.  Output
+        is bit-identical to ``quantile_method='exact'`` (same linear
+        interpolation as np.quantile / DuckDB quantile_cont)."""
+        if self.use_actors:
+            parts = ray.get([
+                a.stats_local.remote(field, q_terms, mode, range_field,
+                                     "none")
+                for a in self.actors])
+
+            def count_le(probes: list[float]) -> np.ndarray:
+                rows = ray.get([
+                    a.count_le_local.remote(field, list(q_terms), mode,
+                                            range_field, probes)
+                    for a in self.actors])
+                return np.sum(np.asarray(rows, dtype=np.int64), axis=0)
+        else:
+            sorted_vals: list[np.ndarray] = []
+            parts = []
+            for p, r in self.readers.items():
+                v = _shard_range_values(r, p, self.tombstones, field,
+                                        q_terms, mode, range_field)
+                if v.size:
+                    parts.append({"count": int(v.size),
+                                  "min": float(v.min()),
+                                  "max": float(v.max()),
+                                  "sum": float(v.sum())})
+                    sorted_vals.append(np.sort(v))
+                else:
+                    parts.append({"count": 0})
+
+            def count_le(probes: list[float]) -> np.ndarray:
+                pr = np.asarray(probes, dtype=np.float64)
+                tot = np.zeros(pr.size, dtype=np.int64)
+                for sv in sorted_vals:
+                    tot += np.searchsorted(sv, pr, side="right")
+                return tot
+        live = [d for d in parts if d["count"]]
+        if not live:
+            return {"count": 0}
+        n = sum(d["count"] for d in live)
+        out = {"count": n, "min": min(d["min"] for d in live),
+               "max": max(d["max"] for d in live),
+               "sum": float(sum(d["sum"] for d in live))}
+        out["avg"] = out["sum"] / n
+        ranks = sorted({math.floor(q * (n - 1)) for q in quantiles} |
+                       {math.ceil(q * (n - 1)) for q in quantiles})
+        lo_ord, hi_ord = _f64_to_ord(out["min"]), _f64_to_ord(out["max"])
+        # per rank k: minimal ordinal m with count_le(f(m)) >= k+1;
+        # counts jump only at data values, so f(m*) IS the k-th value
+        state = {k: (lo_ord, hi_ord) for k in ranks}
+        found: dict[int, float] = {}
+        for k, (lo, hi) in list(state.items()):
+            if lo >= hi:
+                found[k] = _ord_to_f64(lo)
+                del state[k]
+        while state:
+            mids = sorted({(lo + hi) // 2 for lo, hi in state.values()})
+            counts = dict(zip(mids, count_le([_ord_to_f64(m)
+                                              for m in mids])))
+            for k, (lo, hi) in list(state.items()):
+                m = (lo + hi) // 2
+                if counts[m] >= k + 1:
+                    hi = m
+                else:
+                    lo = m + 1
+                if lo >= hi:
+                    found[k] = _ord_to_f64(lo)
+                    del state[k]
+                else:
+                    state[k] = (lo, hi)
+        for q in quantiles:
+            h = q * (n - 1)
+            k0, k1 = math.floor(h), math.ceil(h)
+            v0, v1 = found[k0], found[k1]
+            out[f"p{round(q * 100):02d}"] = float(v0 + (h - k0) * (v1 - v0))
         return out
 
     def range_aggregation(self, query: str, range_field: str,

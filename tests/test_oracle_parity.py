@@ -56,7 +56,8 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "phrase_prefix_docs", "search_query_string",
               "search_top_hits",
               "search_cardinality", "search_histogram",
-              "search_stats", "search_terms_stats",
+              "search_stats", "search_stats_distributed",
+              "search_terms_stats",
               "knn_cosine",
               "region_revenue", "top_events", "filter_project",
               "token_count_docs", "quality_docs", "exclude_events",

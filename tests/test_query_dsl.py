@@ -336,6 +336,10 @@ def test_doc_sharded_aggregations_match_term_partitioned(
         st_d = sd.stats_aggregation(q, "n_chars", quantiles=(0.5,))
         st_t = s.stats_aggregation(q, "n_chars", quantiles=(0.5,))
         assert st_d == st_t
+        # distributed-exact selection: same bits, no value shipping
+        assert sd.stats_aggregation(
+            q, "n_chars", quantiles=(0.5,),
+            quantile_method="exact_distributed") == st_t
     assert sd.significant_terms("spark", "lang") == \
         s.significant_terms("spark", "lang")
     assert sd.terms_stats_aggregation("spark join", "lang", "n_chars") == \
@@ -361,6 +365,12 @@ def test_doc_sharded_aggregations_match_term_partitioned(
                                         size=100) == \
             s.composite_aggregation(["lang", "repo"], query="spark",
                                     size=100)
+        qs = (0.05, 0.5, 0.9)
+        want_q = s.stats_aggregation("spark join", "n_chars", quantiles=qs)
+        for _ in range(2):  # 2nd call exercises the shard-side memo
+            assert sa.stats_aggregation(
+                "spark join", "n_chars", quantiles=qs,
+                quantile_method="exact_distributed") == want_q
     finally:
         sa.close()
     # t-digest partials merge across doc shards; close to exact
@@ -370,6 +380,15 @@ def test_doc_sharded_aggregations_match_term_partitioned(
     assert approx["count"] == exact["count"]
     spread = exact["max"] - exact["min"]
     assert abs(approx["p50"] - exact["p50"]) < 0.05 * spread
+
+
+def test_f64_ordinal_roundtrip_monotone():
+    from siem_on_amazon_opensearch_service_ray.state.searcher import (
+        _f64_to_ord, _ord_to_f64)
+    vals = [-1e300, -123.456, -1e-9, -0.0, 0.0, 1e-9, 1.5, 2.0, 1e300]
+    ords = [_f64_to_ord(v) for v in vals]
+    assert ords == sorted(ords)
+    assert [_ord_to_f64(o) for o in ords] == vals
 
 
 def test_search_after_pagination(dsl_index):
