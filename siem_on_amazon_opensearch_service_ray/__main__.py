@@ -7,7 +7,9 @@ per-partition manifests supply the resume).
 Usage:
   python -m siem_on_amazon_opensearch_service_ray build  <corpus_dir> <index_dir> [--partitions P] [--no-salting] [--no-resume]
   python -m siem_on_amazon_opensearch_service_ray search <index_dir> <query> [--k K] [--mode or|and] [--field F] [--fetch]
-      [--type term|bool|phrase|phrase-prefix|prefix|wildcard|fuzzy|span]
+      [--type term|bool|phrase|phrase-prefix|prefix|wildcard|fuzzy|span|span-expr]
+      (span-expr: <query> is a JSON span expression — span_term/span_near/
+       span_or/span_first/span_not, arbitrarily nested)
       [--must C]... [--should C]... [--must-not C]... [--msm N]
       [--slop N] [--fuzziness N] [--max-expansions N]
       [--filter FIELD=VALUE] [--range FIELD:LO:HI]
@@ -35,6 +37,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("corpus_dir")
     b.add_argument("index_dir")
     b.add_argument("--partitions", type=int, default=16)
+    b.add_argument("--positions", action="store_true",
+                   help="store term positions (phrase/span queries)")
     b.add_argument("--no-salting", action="store_true")
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--num-cpus", type=int, default=None)
@@ -48,7 +52,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--field", default="content")
     s.add_argument("--type", dest="qtype", default="term",
                    choices=["term", "bool", "phrase", "phrase-prefix",
-                            "prefix", "wildcard", "fuzzy", "span", "qs"])
+                            "prefix", "wildcard", "fuzzy", "span",
+                            "span-expr", "qs"])
     s.add_argument("--must", action="append", default=[])
     s.add_argument("--should", action="append", default=[])
     s.add_argument("--must-not", action="append", default=[])
@@ -124,6 +129,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "build":
             from .pipelines.build_index import IndexConfig, build_index
             cfg = IndexConfig(num_partitions=args.partitions,
+                              store_positions=args.positions,
                               salting=not args.no_salting)
             man = build_index(args.corpus_dir, args.index_dir, cfg,
                               resume=not args.no_resume)
@@ -224,6 +230,10 @@ def main(argv: list[str] | None = None) -> int:
                             searcher.span_near(args.query.split(),
                                                args.field, args.slop,
                                                args.k)]
+                elif qt == "span-expr":
+                    hits = [(float(n), d) for n, d in
+                            searcher.span_query(json.loads(args.query),
+                                                args.field, args.k)]
                 else:
                     hits = searcher.search(
                         args.query, field=args.field, k=args.k,

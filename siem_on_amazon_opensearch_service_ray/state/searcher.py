@@ -2170,6 +2170,180 @@ class Searcher:
         out.sort(key=lambda cd: (-cd[0], cd[1]))
         return out[:k]
 
+    # --- span algebra (span_term / span_near / span_or / span_first /
+    #     span_not), reference: OpenSearch span query family ---
+
+    def _span_normalize(self, expr, an) -> tuple:
+        """Normalize a nested span expression into tuple nodes,
+        analyzing each leaf to exactly one token.  Accepted input:
+        a bare string, {"span_term": s}, {"span_near": {"clauses":
+        [...], "slop": n, "in_order": b}}, {"span_or": {"clauses":
+        [...]}}, {"span_first": {"match": e, "end": n}},
+        {"span_not": {"include": e, "exclude": e}}."""
+        if isinstance(expr, str):
+            t = an(expr)
+            if len(t) != 1:
+                raise ValueError(
+                    f"span clause {expr!r} analyzes to {len(t)} tokens; "
+                    "each span leaf must be a single term")
+            return ("term", t[0])
+        if not isinstance(expr, dict) or len(expr) != 1:
+            raise ValueError(f"bad span expression: {expr!r}")
+        kind, body = next(iter(expr.items()))
+        if kind == "span_term":
+            return self._span_normalize(body, an)
+        if kind == "span_near":
+            cl = [self._span_normalize(c, an) for c in body["clauses"]]
+            if not cl:
+                raise ValueError("span_near requires clauses")
+            return ("near", cl, int(body.get("slop", 0)),
+                    bool(body.get("in_order", True)))
+        if kind == "span_or":
+            cl = [self._span_normalize(c, an) for c in body["clauses"]]
+            if not cl:
+                raise ValueError("span_or requires clauses")
+            return ("or", cl)
+        if kind == "span_first":
+            return ("first", self._span_normalize(body["match"], an),
+                    int(body["end"]))
+        if kind == "span_not":
+            return ("not", self._span_normalize(body["include"], an),
+                    self._span_normalize(body["exclude"], an))
+        raise ValueError(f"unknown span clause kind {kind!r}")
+
+    @staticmethod
+    def _span_tokens(node: tuple) -> list[str]:
+        if node[0] == "term":
+            return [node[1]]
+        if node[0] in ("near", "or"):
+            return [t for c in node[1] for t in Searcher._span_tokens(c)]
+        if node[0] == "first":
+            return Searcher._span_tokens(node[1])
+        return (Searcher._span_tokens(node[1])
+                + Searcher._span_tokens(node[2]))
+
+    @staticmethod
+    def _span_docs(node: tuple, pterms: dict) -> np.ndarray:
+        """Candidate doc ids for a span node — set algebra over the
+        terms' sorted posting doc arrays (ids only; no positions are
+        decoded until per-doc evaluation).  span_not keeps the include
+        side's docs: the exclude side only prunes spans."""
+        if node[0] == "term":
+            t = pterms.get(node[1])
+            return t.all_docs() if t is not None else np.zeros(0, np.uint64)
+        if node[0] == "near":
+            base = Searcher._span_docs(node[1][0], pterms)
+            for c in node[1][1:]:
+                if base.size == 0:
+                    return base
+                docs = Searcher._span_docs(c, pterms)
+                pos = np.minimum(np.searchsorted(docs, base),
+                                 max(docs.size - 1, 0))
+                base = base[docs[pos] == base] if docs.size else base[:0]
+            return base
+        if node[0] == "or":
+            return np.union1d(
+                *[Searcher._span_docs(c, pterms) for c in node[1]]) \
+                if len(node[1]) > 1 \
+                else Searcher._span_docs(node[1][0], pterms)
+        if node[0] == "first":
+            return Searcher._span_docs(node[1], pterms)
+        return Searcher._span_docs(node[1], pterms)
+
+    @staticmethod
+    def _span_eval(node: tuple, d, pterms: dict) -> list[tuple[int, int]]:
+        """All matching spans of ``node`` in doc ``d`` as (start,
+        end-exclusive) pairs — one entry PER MATCH (near combinations
+        sharing an interval are counted separately, matching
+        span_near's tuple-count semantics)."""
+        if node[0] == "term":
+            t = pterms.get(node[1])
+            p = t.positions_for(d) if t is not None else None
+            if p is None:
+                return []
+            return [(int(x), int(x) + 1) for x in np.sort(p)]
+        if node[0] == "or":
+            out = []
+            for c in node[1]:
+                out.extend(Searcher._span_eval(c, d, pterms))
+            out.sort()
+            return out
+        if node[0] == "first":
+            return [(s, e) for s, e in
+                    Searcher._span_eval(node[1], d, pterms)
+                    if e <= node[2]]
+        if node[0] == "not":
+            inc = Searcher._span_eval(node[1], d, pterms)
+            if not inc:
+                return []
+            exc = Searcher._span_eval(node[2], d, pterms)
+            return [(s, e) for s, e in inc
+                    if not any(s < xe and xs < e for xs, xe in exc)]
+        # near: one span per clause; in_order chains each clause's
+        # span strictly after the previous (start >= prev end), else
+        # any arrangement with pairwise-disjoint spans; Lucene slack
+        # rule: total width minus sum of clause widths <= slop
+        _, clauses, slop, in_order = node
+        child = [Searcher._span_eval(c, d, pterms) for c in clauses]
+        if any(not cs for cs in child):
+            return []
+        out: list[tuple[int, int]] = []
+        k = len(child)
+
+        def rec(i: int, chosen: list[tuple[int, int]],
+                ss: int, ee: int, tot: int) -> None:
+            # the slack bound prunes mid-chain only for in_order
+            # (slack is monotone there); an unordered clause can land
+            # inside a gap and REDUCE slack, so it checks at the end
+            if (ee - ss) - tot > slop and (in_order or i == k):
+                return
+            if i == k:
+                out.append((ss, ee))
+                return
+            for sp in child[i]:
+                if in_order:
+                    if chosen and sp[0] < chosen[-1][1]:
+                        continue
+                elif any(sp[0] < e and s < sp[1] for s, e in chosen):
+                    continue
+                rec(i + 1, chosen + [sp], min(ss, sp[0]), max(ee, sp[1]),
+                    tot + (sp[1] - sp[0]))
+
+        for sp in child[0]:
+            rec(1, [sp], sp[0], sp[1], sp[1] - sp[0])
+        return out
+
+    def span_query(self, expr, field: str = "content", k: int = 10,
+                   analyzer: str | None = None) -> list[tuple[int, int]]:
+        """Composable span query (OpenSearch span family): evaluate a
+        nested span expression — see :meth:`_span_normalize` for the
+        accepted shapes — and return [(match_count, doc_id)] sorted
+        (count desc, doc_id asc).  A top-level span_near of plain
+        terms counts exactly like :meth:`span_near`.  Requires a
+        positional index; candidate docs come from posting-list set
+        algebra, positions decode lazily per surviving candidate."""
+        if not self.manifest["config"].get("store_positions"):
+            raise ValueError(
+                "index was built without positions (IndexConfig."
+                "store_positions=True required for span queries)")
+        if analyzer is None:
+            analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
+                             if f == field), "code")
+        node = self._span_normalize(expr, ANALYZERS[analyzer])
+        toks = list(dict.fromkeys(self._span_tokens(node)))
+        rows = self._gather(field, toks)
+        pterms = {t: _PhraseTerm(0, rows[t]) for t in toks if rows.get(t)}
+        docs = self._span_docs(node, pterms)
+        if self.tombstones.size and docs.size:
+            docs = docs[_excl_mask(docs, self.tombstones)]
+        out: list[tuple[int, int]] = []
+        for d in docs:
+            n = len(self._span_eval(node, d, pterms))
+            if n:
+                out.append((n, int(d)))
+        out.sort(key=lambda cd: (-cd[0], cd[1]))
+        return out[:k]
+
     @staticmethod
     def _sloppy_count(shifted: list[np.ndarray], slop: int) -> int:
         """Number of windows where one position per term fits in a

@@ -191,6 +191,86 @@ def test_span_near_unordered(dsl_index, ref, terms, slop):
     assert s.span_near(terms, slop=slop, k=10**6, in_order=False) == exp
 
 
+def _bf_spans(tl, expr):
+    """Brute-force span-algebra evaluator over a token list (same
+    slack / ordering / disjointness rules as Searcher.span_query)."""
+    if isinstance(expr, str):
+        return [(p, p + 1) for p, w in enumerate(tl) if w == expr]
+    kind, body = next(iter(expr.items()))
+    if kind == "span_term":
+        return _bf_spans(tl, body)
+    if kind == "span_or":
+        out = []
+        for c in body["clauses"]:
+            out.extend(_bf_spans(tl, c))
+        return sorted(out)
+    if kind == "span_first":
+        return [(s, e) for s, e in _bf_spans(tl, body["match"])
+                if e <= body["end"]]
+    if kind == "span_not":
+        inc = _bf_spans(tl, body["include"])
+        exc = _bf_spans(tl, body["exclude"])
+        return [(s, e) for s, e in inc
+                if not any(s < xe and xs < e for xs, xe in exc)]
+    assert kind == "span_near"
+    cl = [_bf_spans(tl, c) for c in body["clauses"]]
+    slop, in_order = body.get("slop", 0), body.get("in_order", True)
+    out = []
+    for combo in product(*cl):
+        if in_order:
+            if not all(combo[j + 1][0] >= combo[j][1]
+                       for j in range(len(combo) - 1)):
+                continue
+        elif any(combo[a][0] < combo[b][1] and combo[b][0] < combo[a][1]
+                 for a in range(len(combo))
+                 for b in range(a + 1, len(combo))):
+            continue
+        ss = min(s for s, _ in combo)
+        ee = max(e for _, e in combo)
+        if (ee - ss) - sum(e - s for s, e in combo) <= slop:
+            out.append((ss, ee))
+    return out
+
+
+@pytest.mark.parametrize("expr", [
+    {"span_or": {"clauses": ["spark", "sql"]}},
+    {"span_first": {"match": "spark", "end": 3}},
+    {"span_first": {"match": {"span_near": {
+        "clauses": ["spark", "sql"], "slop": 2}}, "end": 12}},
+    {"span_not": {"include": "join",
+                  "exclude": {"span_near": {
+                      "clauses": ["join", "shuffle"], "slop": 0}}}},
+    {"span_near": {"clauses": [
+        {"span_or": {"clauses": ["spark", "table"]}}, "sql"],
+        "slop": 2, "in_order": False}},
+    {"span_near": {"clauses": [
+        {"span_near": {"clauses": ["spark", "sql"], "slop": 1}},
+        "join"], "slop": 3}},
+])
+def test_span_query_algebra(dsl_index, ref, expr):
+    s, _ = dsl_index
+    exp = sorted(((c, i) for i in range(N_DOCS)
+                  if (c := len(_bf_spans(ref.tok_lists[i], expr)))),
+                 key=lambda cd: (-cd[0], cd[1]))
+    assert s.span_query(expr, k=10**6) == exp
+
+
+def test_span_query_matches_span_near(dsl_index):
+    s, _ = dsl_index
+    for in_order in (True, False):
+        expr = {"span_near": {"clauses": ["spark", "join", "sql"],
+                              "slop": 3, "in_order": in_order}}
+        assert s.span_query(expr, k=10**6) == \
+            s.span_near(["spark", "join", "sql"], slop=3, k=10**6,
+                        in_order=in_order)
+    with pytest.raises(ValueError, match="single term"):
+        s.span_query({"span_or": {"clauses": ["spark join"]}})
+    with pytest.raises(ValueError, match="unknown span clause"):
+        s.span_query({"span_nope": {}})
+    assert s.span_query({"span_near": {"clauses": ["zz_nope", "spark"]}}) \
+        == []
+
+
 def test_regexp_search(dsl_index, ref):
     s, _ = dsl_index
     pattern = "s[a-z]*"
