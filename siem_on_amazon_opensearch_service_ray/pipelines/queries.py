@@ -1283,6 +1283,52 @@ FROM t
 """
 
 
+def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination (stages/decontam): docs whose doc_id
+    is divisible by 50 stand in for the eval set; every doc reports
+    its distinct word-5-gram count and how many grams overlap the
+    benchmark set.  Benchmark hashes broadcast once via ray.put; the
+    corpus streams through one map_batches with per-doc searchsorted
+    membership — no shuffle."""
+    from ..stages.decontam import decontaminate
+    ds = _t_ds(sf_dir, "documents", ["doc_id", "text"])
+
+    def pick_bench(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 50 == 0))
+
+    bench_ds = ds.map_batches(pick_bench, batch_format="pyarrow")
+    return decontaminate(ds, bench_ds, text_col="text",
+                         id_col="doc_id", k=5).to_pandas()
+
+
+DECONTAM_SQL = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(ts) = 0 THEN []
+         WHEN len(ts) < 5 THEN [array_to_string(ts, ' ')]
+         ELSE list_transform(range(1, len(ts) - 3),
+                             i -> array_to_string(ts[i:i+4], ' '))
+    END AS grams
+  FROM tok),
+gd AS (SELECT DISTINCT doc_id, unnest(grams) AS ng FROM g),
+bench AS (SELECT DISTINCT ng FROM gd WHERE doc_id % 50 = 0),
+hits AS (SELECT gd.doc_id, count(*) AS n_hit
+         FROM gd JOIN bench USING (ng) GROUP BY gd.doc_id),
+cnt AS (SELECT doc_id, count(*) AS n_grams FROM gd GROUP BY doc_id)
+SELECT d.doc_id,
+       cast(coalesce(c.n_grams, 0) AS BIGINT) AS n_grams,
+       cast(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       cast(coalesce(h.n_hit, 0) > 0 AS BIGINT) AS contaminated
+FROM documents d
+LEFT JOIN cnt c USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # 16. exclusion filter (F2/F3)
 
@@ -1739,6 +1785,7 @@ def queries() -> dict:
         "filter_project": filter_project,
         "token_count_docs": token_count_docs,
         "quality_docs": quality_docs,
+        "decontaminate_docs": decontaminate_docs,
         "exclude_events": exclude_events,
         "events_routed": events_routed,
         "events_sliding": events_sliding,
@@ -1797,6 +1844,7 @@ def oracle_sql() -> dict:
         "filter_project": FILTER_PROJECT_SQL,
         "token_count_docs": TOKEN_COUNT_SQL,
         "quality_docs": QUALITY_SQL,
+        "decontaminate_docs": DECONTAM_SQL,
         "exclude_events": EXCLUDE_EVENTS_SQL,
         "events_routed": EVENTS_ROUTED_SQL,
         "events_sliding": EVENTS_SLIDING_SQL,

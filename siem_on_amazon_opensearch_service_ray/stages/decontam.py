@@ -1,0 +1,103 @@
+"""Benchmark decontamination: flag training documents that share word
+n-grams with a benchmark/eval set (the standard contamination check run
+before LLM training; cf. GPT-3 appendix C / PaLM's 8-gram overlap).
+
+Ray-Data shape: the benchmark side is SMALL by definition (eval sets
+are MBs while the corpus is TBs), so its distinct n-gram hashes are
+collected once, sorted, and broadcast via ``ray.put``; the corpus
+streams through one ``map_batches`` stage that computes each doc's
+n-gram hashes (same tokenizer + blake2b-8 hashing as
+``dedup.shingles``) and counts membership with a single
+``np.searchsorted`` per doc — no shuffle, nothing but per-doc counts
+materialize.  At a benchmark too large to broadcast exactly, swap the
+sorted array for a Bloom filter (same stage signature, membership
+becomes approximate-with-FPR); the exact array is what the DuckDB
+oracle can verify.
+
+Hashing note: counts are over blake2b-64 hashes, not gram strings —
+an intra-doc or cross-set collision could perturb a count with
+probability ~n_grams^2/2^64 (≈1e-11 at sf0.1), accepted for the 8-byte
+broadcast entries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from .dedup import shingles
+
+
+def collect_benchmark_ngrams(ds: rd.Dataset, text_col: str,
+                             k: int = 5) -> np.ndarray:
+    """Distinct n-gram hashes of an (already filtered, small)
+    benchmark dataset: per-block partial unions via map_batches, one
+    small driver union at the end (the reduced arrays are the only
+    thing that leaves the workers)."""
+    def block_grams(batch: pa.Table) -> pa.Table:
+        gs = [shingles(t, k) for t in batch.column(text_col).to_pylist()]
+        u = (np.unique(np.concatenate(gs)) if gs
+             else np.zeros(0, np.uint64))
+        return pa.table({"grams": pa.array([u.tobytes()], pa.binary())})
+
+    parts = [np.frombuffer(b["grams"], dtype=np.uint64)
+             for b in ds.map_batches(block_grams,
+                                     batch_format="pyarrow").take_all()]
+    live = [p for p in parts if p.size]
+    return np.unique(np.concatenate(live)) if live \
+        else np.zeros(0, np.uint64)
+
+
+class NGramDecontaminator:
+    """Actor-pool stage: per doc, (n distinct k-grams, n overlapping
+    the broadcast benchmark set, contaminated flag).  The benchmark
+    array is fetched from the object store once per actor."""
+
+    def __init__(self, bench_ref, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 5):
+        self.bench = (ray.get(bench_ref)
+                      if not isinstance(bench_ref, np.ndarray)
+                      else bench_ref)
+        self.text_col, self.id_col, self.k = text_col, id_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        n_grams = np.empty(len(texts), dtype=np.int64)
+        n_hit = np.empty(len(texts), dtype=np.int64)
+        b = self.bench
+        for i, t in enumerate(texts):
+            g = shingles(t, self.k)
+            n_grams[i] = g.size
+            if g.size == 0 or b.size == 0:
+                n_hit[i] = 0
+                continue
+            pos = np.minimum(np.searchsorted(b, g), b.size - 1)
+            n_hit[i] = int(np.count_nonzero(b[pos] == g))
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_grams": pa.array(n_grams),
+            "n_hit": pa.array(n_hit),
+            "contaminated": pa.array((n_hit > 0).astype(np.int64)),
+        })
+
+
+def decontaminate(ds: rd.Dataset, bench_ds: rd.Dataset,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 5, concurrency: int | None = None
+                  ) -> rd.Dataset:
+    """Full decontamination pass: benchmark n-grams -> broadcast ->
+    streamed per-doc overlap counts.  ``bench_ds`` must be the small
+    side (it is collected to the driver and put once)."""
+    bench = collect_benchmark_ngrams(bench_ds, text_col, k)
+    ref = ray.put(bench)
+    return ds.map_batches(
+        NGramDecontaminator,
+        fn_constructor_kwargs={"bench_ref": ref, "text_col": text_col,
+                               "id_col": id_col, "k": k},
+        batch_format="pyarrow",
+        # autoscaling pool: min 1 so the stage can't starve upstream
+        # reads on small CPU budgets (tests run at 4 cpus)
+        concurrency=(1, concurrency or 8))

@@ -220,3 +220,31 @@ def test_ivf_recall_and_determinism(ray_session):
     full = knn.ivf_topk(ds, q, c1, k=10, n_probe=16,
                         concurrency=2).to_pandas()
     assert set(full["vec_id"]) == exact_ids   # all cells probed = exact
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    from siem_on_amazon_opensearch_service_ray.stages import decontam
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    clean = "one two three four five six seven eight nine ten eleven"
+    # doc 2 copies an 8-token benchmark run -> four 5-grams overlap
+    leaked = "xx yy alpha beta gamma delta epsilon zeta eta theta zz"
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([bench_text, clean, leaked], pa.string()),
+    }))
+    bench = ds.filter(lambda r: r["doc_id"] == 0)
+    out = decontam.decontaminate(ds, bench, k=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # benchmark doc is fully contaminated against itself
+    assert out.loc[0, "n_hit"] == out.loc[0, "n_grams"] == 6
+    assert out.loc[1, "n_hit"] == 0 and out.loc[1, "contaminated"] == 0
+    # leaked doc: 8-token run holds 8-5+1 = 4 overlapping 5-grams
+    assert out.loc[2, "n_hit"] == 4 and out.loc[2, "contaminated"] == 1
+    # short + empty docs don't crash and count as single-gram / zero
+    ds2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["alpha beta", ""], pa.string()),
+    }))
+    out2 = decontam.decontaminate(ds2, bench, k=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out2["n_grams"]) == [1, 0]
