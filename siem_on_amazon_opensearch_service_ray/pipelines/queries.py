@@ -1329,6 +1329,36 @@ LEFT JOIN hits h USING (doc_id)
 """
 
 
+def pack_docs(sf_dir: str) -> pd.DataFrame:
+    """Sequence packing (stages/packing): block-local first-fit-
+    decreasing into 512-token sequences.  The oracle surface is the
+    conservation invariants (every doc packed exactly once, token
+    totals preserved, oversize docs isolated) — per-sequence layout is
+    block-dependent by design and is golden-tested instead."""
+    from ..stages.packing import pack_sequences
+    ds = _t_ds(sf_dir, "documents", ["doc_id", "text"])
+    packed = pack_sequences(ds, budget=512).to_pandas()
+    return pd.DataFrame({
+        "n_docs": np.array([int(packed["n_docs"].sum())], dtype=np.int64),
+        "sum_tokens": np.array([int(packed["n_tokens"].sum())],
+                               dtype=np.int64),
+        "n_oversize": np.array([int(packed["oversize"].sum())],
+                               dtype=np.int64),
+    })
+
+
+PACK_SQL = """
+WITH t AS (SELECT doc_id,
+                  len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS nt
+           FROM documents)
+SELECT cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(nt) AS BIGINT) AS sum_tokens,
+       cast(sum(CASE WHEN nt > 512 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oversize
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # 16. exclusion filter (F2/F3)
 
@@ -1786,6 +1816,7 @@ def queries() -> dict:
         "token_count_docs": token_count_docs,
         "quality_docs": quality_docs,
         "decontaminate_docs": decontaminate_docs,
+        "pack_docs": pack_docs,
         "exclude_events": exclude_events,
         "events_routed": events_routed,
         "events_sliding": events_sliding,
@@ -1845,6 +1876,7 @@ def oracle_sql() -> dict:
         "token_count_docs": TOKEN_COUNT_SQL,
         "quality_docs": QUALITY_SQL,
         "decontaminate_docs": DECONTAM_SQL,
+        "pack_docs": PACK_SQL,
         "exclude_events": EXCLUDE_EVENTS_SQL,
         "events_routed": EVENTS_ROUTED_SQL,
         "events_sliding": EVENTS_SLIDING_SQL,

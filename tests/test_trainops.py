@@ -248,3 +248,41 @@ def test_decontaminate_planted_overlap(ray_session):
     out2 = decontam.decontaminate(ds2, bench, k=5).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert list(out2["n_grams"]) == [1, 0]
+
+
+def test_pack_block_ffd_golden():
+    from siem_on_amazon_opensearch_service_ray.stages.packing import (
+        pack_block)
+    ids = np.array([10, 11, 12, 13, 14, 15], dtype=np.int64)
+    toks = np.array([9, 5, 4, 3, 2, 12], dtype=np.int64)
+    seqs = pack_block(ids, toks, budget=10)
+    # FFD order: 15(12, oversize) 10(9) 11(5) 12(4) 13(3) 14(2)
+    assert seqs == [([15], 12), ([10], 9), ([11, 12], 9),
+                    ([13, 14], 5)] or \
+        seqs == [([15], 12), ([10], 9), ([11, 13, 14], 10), ([12], 4)]
+    # exact check of first-fit order: 5 then 4 fills bin to 9; 3 and 2
+    # open then join the next bin
+    assert seqs[0] == ([15], 12)
+    total = sum(t for _, t in seqs)
+    assert total == int(toks.sum())
+
+
+def test_pack_sequences_pipeline(ray_session):
+    from siem_on_amazon_opensearch_service_ray.stages.packing import (
+        pack_sequences)
+    texts = ["w " * n for n in (9, 5, 4, 3, 2, 12)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array([t.strip() for t in texts], pa.string()),
+    }))
+    out = pack_sequences(ds, budget=10).to_pandas()
+    assert int(out["n_docs"].sum()) == 6          # every doc exactly once
+    assert int(out["n_tokens"].sum()) == 35
+    assert int(out["oversize"].sum()) == 1
+    ov = out[out["oversize"] == 1]
+    assert len(ov) == 1 and int(ov["n_docs"].iloc[0]) == 1
+    assert (out["fill_e4"] <= 10000).all()
+    full = out[out["oversize"] == 0]
+    assert (full["n_tokens"] <= 10).all()
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(ds, budget=0).to_pandas()
