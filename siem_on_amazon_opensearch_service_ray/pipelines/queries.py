@@ -1359,6 +1359,38 @@ FROM t
 """
 
 
+MIX_RATES = {"en": 60, "es": 100, "fr": 150, "de": 250, "zh": 0}
+
+
+def mixture_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic mixture sampling (stages/sampling): per-lang
+    up/down-sampling with fractional epochs — en kept at 60%, fr
+    1.5x, de 2.5x, zh dropped.  Selection is doc_id % 100 against the
+    fractional rate, so the SQL oracle reproduces it exactly."""
+    from ..stages.sampling import mixture_sample
+    ds = _t_ds(sf_dir, "documents", ["doc_id", "lang"])
+    out = mixture_sample(ds, MIX_RATES, key_col="lang",
+                         id_col="doc_id").to_pandas()
+    return out[["doc_id", "lang", "epoch"]]
+
+
+MIXTURE_SQL = """
+WITH r AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 60 WHEN 'es' THEN 100
+                   WHEN 'fr' THEN 150 WHEN 'de' THEN 250
+                   WHEN 'zh' THEN 0 ELSE 100 END AS rate
+  FROM documents),
+c AS (
+  SELECT doc_id, lang,
+         rate // 100
+         + CASE WHEN doc_id % 100 < rate % 100 THEN 1 ELSE 0 END AS copies
+  FROM r)
+SELECT doc_id, lang, cast(t.e AS BIGINT) AS epoch
+FROM c, unnest(range(c.copies)) AS t(e)
+"""
+
+
 # ---------------------------------------------------------------------------
 # 16. exclusion filter (F2/F3)
 
@@ -1817,6 +1849,7 @@ def queries() -> dict:
         "quality_docs": quality_docs,
         "decontaminate_docs": decontaminate_docs,
         "pack_docs": pack_docs,
+        "mixture_docs": mixture_docs,
         "exclude_events": exclude_events,
         "events_routed": events_routed,
         "events_sliding": events_sliding,
@@ -1877,6 +1910,7 @@ def oracle_sql() -> dict:
         "quality_docs": QUALITY_SQL,
         "decontaminate_docs": DECONTAM_SQL,
         "pack_docs": PACK_SQL,
+        "mixture_docs": MIXTURE_SQL,
         "exclude_events": EXCLUDE_EVENTS_SQL,
         "events_routed": EVENTS_ROUTED_SQL,
         "events_sliding": EVENTS_SLIDING_SQL,

@@ -61,7 +61,7 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "knn_cosine",
               "region_revenue", "top_events", "filter_project",
               "token_count_docs", "quality_docs", "decontaminate_docs",
-              "pack_docs", "exclude_events",
+              "pack_docs", "mixture_docs", "exclude_events",
               "events_routed", "events_sliding",
               "user_stats", "events_sessions", "phrase_docs"]
 

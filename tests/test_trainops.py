@@ -286,3 +286,34 @@ def test_pack_sequences_pipeline(ray_session):
     assert (full["n_tokens"] <= 10).all()
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(ds, budget=0).to_pandas()
+
+
+def test_mixture_sampler_epochs(ray_session):
+    from siem_on_amazon_opensearch_service_ray.stages.sampling import (
+        mixture_sample)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(200), pa.int64()),
+        "lang": pa.array(["a" if i % 2 == 0 else "b" for i in range(200)],
+                         pa.string()),
+    }))
+    out = mixture_sample(ds, {"a": 250, "b": 40}).to_pandas()
+    a = out[out["lang"] == "a"]
+    b = out[out["lang"] == "b"]
+    # a: 100 docs x 2 copies + those with doc_id%100 < 50 get a third
+    n_a_third = sum(1 for i in range(0, 200, 2) if i % 100 < 50)
+    assert len(a) == 100 * 2 + n_a_third
+    assert set(a["epoch"].unique()) == {0, 1, 2}
+    # every 'a' doc appears at least twice, epochs contiguous from 0
+    g = a.groupby("doc_id")["epoch"].agg(["count", "min", "max"])
+    assert (g["min"] == 0).all() and (g["max"] == g["count"] - 1).all()
+    # b: kept iff doc_id % 100 < 40
+    keep_b = {i for i in range(1, 200, 2) if i % 100 < 40}
+    assert set(b["doc_id"]) == keep_b and (b["epoch"] == 0).all()
+    # unknown key -> default 100
+    out2 = mixture_sample(ds, {}, default=100).to_pandas()
+    assert len(out2) == 200
+    # hash_mod decorrelates ids but keeps the overall rate close
+    out3 = mixture_sample(ds, {"a": 50, "b": 50}, hash_mod=True).to_pandas()
+    assert 60 <= len(out3) <= 140
+    with pytest.raises(ValueError, match="non-negative"):
+        mixture_sample(ds, {"a": -1})
