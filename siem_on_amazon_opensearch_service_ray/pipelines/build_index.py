@@ -117,8 +117,26 @@ class IndexConfig:
     salt_unit: int = 20_000          # one extra salt per this many estimated postings
     max_salts: int = 8
 
+    # "sort": Ray Data groupby(part, salt) sort exchange (the original
+    #   path).  "direct": manual hash exchange — tokenize tasks return
+    #   one pre-partitioned table per slot (num_returns=2P) and one
+    #   encode task per slot concatenates its shards.  Byte-identical
+    #   output (both encode paths canonicalize row order internally;
+    #   asserted in tests); direct removes the SortMap/SortReduce CPU
+    #   and the sort's boundary-sampling serial phase (measured ~10 s
+    #   non-scaling cost in the 800k-doc build).
+    shuffle_mode: str = "sort"
+
     def fingerprint_dict(self) -> dict:
-        return asdict(self)
+        """Representation-affecting fields only: execution-mode knobs
+        (task vs actor tokenize, sort vs direct shuffle, batch sizing)
+        produce byte-identical indexes and must not invalidate resume
+        or extend-config equality."""
+        d = asdict(self)
+        for k in ("tokenize_batch_size", "tokenize_concurrency",
+                  "tokenize_mode", "shuffle_mode"):
+            d.pop(k, None)
+        return d
 
 
 def _term_part(field: str, term: str, p: int) -> int:
@@ -200,6 +218,10 @@ def _read_source(source) -> rd.Dataset:
             if fn.endswith(".parquet"))
     else:
         paths = sorted(source)
+    return _read_paths(paths)
+
+
+def _read_paths(paths: list[str]) -> rd.Dataset:
     # Block-count control: Ray's default splits small files into many
     # tiny blocks, and every extra block multiplies sort-shuffle
     # intermediate objects (measured 2x slower at 200 blocks vs 50).
@@ -262,9 +284,13 @@ def _sample_source(source, cfg: IndexConfig) -> tuple[rd.Dataset, int]:
             if fn.endswith(".parquet"))
     else:
         paths = sorted(source)
+    # block-split the sampled read too: without it the pre-pass runs
+    # len(paths)/sample_mod tasks regardless of CPUs — measured as a
+    # flat ~3.5 s serial phase at every parallelism level (the single
+    # biggest non-scaling cost in the 800k-doc build)
     if len(paths) >= 4 * cfg.sample_mod:
-        return rd.read_parquet(paths[::cfg.sample_mod]), 1
-    return rd.read_parquet(paths), cfg.sample_mod
+        return _read_paths(paths[::cfg.sample_mod]), 1
+    return _read_paths(paths), cfg.sample_mod
 
 
 def estimate_hot_terms(source, cfg: IndexConfig) -> dict[str, int]:
@@ -775,7 +801,21 @@ def build_postings(source, index_dir: str, cfg: IndexConfig, fp: str,
                    hot: dict[str, int], gen: str = "") -> tuple[dict, int]:
     """Single-read pass: tokenize + flatten -> groupby(part, salt) ->
     per-group encode (postings segments for parts < P, docstore files
-    for the sentinel range).  Returns (metrics, n_docs)."""
+    for the sentinel range).  Returns (metrics, n_docs).
+
+    ``cfg.shuffle_mode='direct'`` routes path-list sources through the
+    sort-free manual exchange (:func:`_build_postings_direct`);
+    Dataset sources always use the sort path (no row-group plan to
+    split)."""
+    if cfg.shuffle_mode == "direct" and not isinstance(source, rd.Dataset):
+        if isinstance(source, str):
+            paths = sorted(
+                os.path.join(root, fn)
+                for root, _, files in os.walk(source) for fn in files
+                if fn.endswith(".parquet"))
+        else:
+            paths = sorted(source)
+        return _build_postings_direct(paths, index_dir, cfg, fp, hot, gen)
     ds = _read_source(source)
     # the docstore keeps every identity/metadata column — including
     # small indexed-field sources like ``path`` — and drops only the
@@ -806,11 +846,17 @@ def build_postings(source, index_dir: str, cfg: IndexConfig, fp: str,
         lambda g: _encode_segment(g, index_dir, fp, cfg, docstore_cols, gen,
                                   docstore_types),
         batch_format="pyarrow")
+    return _reduce_metrics(res.iter_batches(batch_format="pyarrow"), cfg)
+
+
+def _reduce_metrics(batches, cfg: IndexConfig) -> tuple[dict, int]:
     metrics = {"n_segments": 0, "n_terms": 0, "n_postings": 0, "bytes": 0,
                "skipped_segments": 0}
     n_docs = 0
     field_tf: dict[str, int] = {}
-    for b in res.iter_batches(batch_format="pyarrow"):
+    for b in batches:
+        if b.num_rows == 0:
+            continue
         parts_a = b.column("part").to_numpy(zero_copy_only=False)
         seg_mask = parts_a < cfg.num_partitions
         metrics["n_segments"] += int(seg_mask.sum())
@@ -825,6 +871,108 @@ def build_postings(source, index_dir: str, cfg: IndexConfig, fp: str,
                 field_tf[f] = field_tf.get(f, 0) + int(t)
     metrics["field_tf"] = field_tf
     return metrics, n_docs
+
+
+# --- direct (sort-free) exchange for PASS B ---
+
+
+def _input_splits(paths: list[str], cpus: int) -> list[list[tuple]]:
+    """Row-group-aligned input splits for the direct exchange: the
+    same block-count target as _read_paths (~4 blocks/CPU, never
+    splitting inside a row group).  Each split is a list of
+    (path, rg_start, rg_end) ranges."""
+    metas = []
+    for p in paths:
+        metas.append((p, pq.ParquetFile(p).metadata.num_row_groups))
+    target = min(max(len(paths), cpus), 4 * cpus)
+    per_file = max(1, -(-target // max(len(paths), 1)))
+    splits: list[list[tuple]] = []
+    for p, nrg in metas:
+        k = min(per_file, nrg)
+        bounds = np.linspace(0, nrg, k + 1).astype(int)
+        for i in range(k):
+            if bounds[i + 1] > bounds[i]:
+                splits.append([(p, int(bounds[i]), int(bounds[i + 1]))])
+    return splits
+
+
+def _tokenize_direct(spec: list[tuple], cfg: IndexConfig, hot: dict,
+                     docstore_cols: list[str], key: str, n_slots: int):
+    """One direct-exchange map task: read its row-group ranges,
+    tokenize (same worker-global-state task path as the sort mode),
+    and return the flat rows pre-partitioned into one table per slot
+    (slot == the part value: postings parts 0..P-1, docstore sentinel
+    parts P..2P-1)."""
+    tables = []
+    for path, lo, hi in spec:
+        pf = pq.ParquetFile(path)
+        tables.append(pf.read_row_groups(list(range(lo, hi))))
+    batch = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+    flat = _tokenize_task(batch, cfg, hot, docstore_cols, key)
+    parts = flat.column("part").to_numpy(zero_copy_only=False)
+    order = np.argsort(parts, kind="stable")
+    flat = flat.take(pa.array(order))
+    bounds = np.searchsorted(parts[order], np.arange(n_slots + 1))
+    return tuple(flat.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+                 for i in range(n_slots))
+
+
+def _encode_direct_slot(slot: int, index_dir: str, fp: str,
+                        cfg: IndexConfig, docstore_cols: list[str],
+                        gen: str, docstore_types: dict | None,
+                        *shards: pa.Table) -> pa.Table:
+    """One direct-exchange reduce task: concat the slot's shards and
+    run the SAME canonical encoders as the sort path (_encode_segment
+    sorts by field/term/doc_id, _write_docstore_group by doc_id/sha —
+    arrival order cannot leak into bytes).  A postings slot may hold
+    several salts of a hot part; each becomes its own segment file,
+    exactly as the sort path's (part, salt) groups."""
+    live = [s for s in shards if s.num_rows]
+    if not live:
+        return _metrics_row(0, 0, 0, 0, 0, 0, True).slice(0, 0)
+    tbl = pa.concat_tables(live).combine_chunks()
+    if slot >= cfg.num_partitions:
+        return _write_docstore_group(tbl, index_dir, fp, cfg,
+                                     docstore_cols, gen, docstore_types)
+    salts = tbl.column("salt").to_numpy(zero_copy_only=False)
+    out = []
+    for s in np.unique(salts):
+        sub = tbl.filter(pa.array(salts == s))
+        out.append(_encode_segment(sub, index_dir, fp, cfg,
+                                   docstore_cols, gen, docstore_types))
+    return pa.concat_tables(out)
+
+
+def _build_postings_direct(paths: list[str], index_dir: str,
+                           cfg: IndexConfig, fp: str, hot: dict,
+                           gen: str = "") -> tuple[dict, int]:
+    """PASS B over a manual hash exchange (shuffle_mode='direct'):
+    M tokenize tasks x 2P slot returns, then one encode task per slot
+    gathering its M shards.  The exchange volume equals the sort
+    path's, but there is no SortMap/SortReduce CPU and no boundary
+    sampling; intermediates live in the object store and spill like
+    any shuffle.  On a multi-node cluster the per-slot gather is the
+    plain all-to-all every distributed build pays."""
+    import ray as _ray
+    schema = pq.read_schema(paths[0])
+    docstore_cols = [c for c in schema.names
+                     if c not in (cfg.sha_col, "doc_id", "content_sha256")]
+    docstore_types = {n: str(t) for n, t in zip(schema.names, schema.types)
+                      if n in docstore_cols}
+    cpus = int(_ray.cluster_resources().get("CPU", 4))
+    splits = _input_splits(paths, cpus)
+    n_slots = 2 * cfg.num_partitions
+    key = fp + str(hash(tuple(sorted(hot.items()))))
+    tok = _ray.remote(_tokenize_direct).options(num_returns=n_slots)
+    per_task = [tok.remote(spec, cfg, hot, docstore_cols, key, n_slots)
+                for spec in splits]
+    if n_slots == 1:
+        per_task = [[r] for r in per_task]
+    enc = _ray.remote(_encode_direct_slot)
+    enc_refs = [enc.remote(slot, index_dir, fp, cfg, docstore_cols, gen,
+                           docstore_types, *[t[slot] for t in per_task])
+                for slot in range(n_slots)]
+    return _reduce_metrics(_ray.get(enc_refs), cfg)
 
 
 # ---------------------------------------------------------------------------

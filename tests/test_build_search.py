@@ -922,3 +922,47 @@ def test_range_only_filter_config(ray_session, tmp_path_factory):
     got = s.search("alpha", field="text", k=10,
                    range_field="size", range_lo=20, range_hi=50)
     assert sorted(d for _, d in got) == [2, 3, 4, 5]
+
+
+def test_direct_shuffle_byte_identical(ray_session, small_corpus,
+                                       tmp_path_factory):
+    """shuffle_mode='direct' (manual hash exchange, no sort) produces
+    byte-identical trees to the sort path, its fingerprint matches
+    (execution-mode fields are excluded), and a resume started under
+    one mode skips everything under the other."""
+    import hashlib
+
+    def tree_hash(d):
+        h = hashlib.sha256()
+        for root, _, files in sorted(os.walk(d)):
+            for fn in sorted(files):
+                if fn.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(root, fn), d)
+                    with open(os.path.join(root, fn), "rb") as f:
+                        h.update(rel.encode() + f.read())
+        return h.hexdigest()
+
+    base = dict(num_partitions=4, sample_mod=1, hot_df_threshold=500,
+                salt_unit=300, max_salts=4)
+    idx_sort = str(tmp_path_factory.mktemp("shsort") / "idx")
+    m_sort = build_index(small_corpus, idx_sort,
+                         IndexConfig(**base, shuffle_mode="sort"))
+    idx_dir = str(tmp_path_factory.mktemp("shdir") / "idx")
+    m_dir = build_index(small_corpus, idx_dir,
+                        IndexConfig(**base, shuffle_mode="direct"))
+    assert tree_hash(idx_sort) == tree_hash(idx_dir)
+    assert m_sort["fingerprint"] == m_dir["fingerprint"]
+    # cross-mode resume: drop the top-level manifest so PASS B actually
+    # walks segments (an intact manifest short-circuits the whole
+    # build) — the direct-mode pass must skip every sort-built segment
+    os.unlink(os.path.join(idx_sort, "INDEX_MANIFEST.json"))
+    m3 = build_index(small_corpus, idx_sort,
+                     IndexConfig(**base, shuffle_mode="direct"),
+                     resume=True)
+    assert m3["metrics"]["skipped_segments"] > 0
+    assert m3["metrics"]["n_segments"] == m3["metrics"]["skipped_segments"]
+    # the direct index answers queries identically
+    s_a = Searcher(idx_sort, use_actors=False)
+    s_b = Searcher(idx_dir, use_actors=False)
+    for q in ("def", "needle_137", "def return import"):
+        assert s_a.search(q, k=10) == s_b.search(q, k=10), q
