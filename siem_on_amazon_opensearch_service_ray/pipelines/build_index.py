@@ -14,7 +14,9 @@ Ray-Data-native build (BASELINE.json north_rule):
           doc range, atomic + manifested
     ▼
   PASS B  postings: tokenize (actor pool, code-aware analyzer)
-          -> flatten (part, salt, field, term, doc_id, tf, norm) rows
+          -> combine per block into (part, salt, field, term) runs
+             with packed doc/tf/norm blobs (mapper-side combiner: the
+             exchange moves ~vocab x blocks rows, never row-per-posting)
           -> SHUFFLE groupby(part, salt)  [the groupby-term exchange]
           -> encode segments: canonical (field, term, doc_id) sort,
              delta-varint 128-blocks + skip/block-max metadata
@@ -451,70 +453,104 @@ class TokenizeFlatten:
         return tids, cnts, dids, nrm, parts, salts, pos_flat
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Emit COMBINED posting runs, not row-per-posting: one output
+        row per (part, salt, field, term) seen in this block, carrying
+        the run's doc ids / tfs / norms as packed little-endian blobs
+        (the classic mapper-side combiner).  The exchange then moves
+        ~vocab x blocks rows instead of one row per posting — measured
+        at 3.2M docs the row-level exchange put 178M string-keyed rows
+        through the sort, whose CPU grew superlinearly (1,228 s vs
+        30 s at 800k) and capped N->4N scaling at ~0.46 regardless of
+        engine quality.  Docstore rows stay one-per-doc (nothing to
+        combine) with the doc id packed into the same ``docs`` blob."""
         cfg = self.cfg
         p = cfg.num_partitions
         ids = compute_doc_ids(batch, cfg.id_cols, cfg.doc_id_col)
-        col_parts: list[np.ndarray] = []
-        col_salts: list[np.ndarray] = []
-        col_fields: list = []
-        col_terms: list = []
-        col_dids: list[np.ndarray] = []
-        col_tfs: list[np.ndarray] = []
-        col_norms: list[np.ndarray] = []
-        col_pos: list[bytes] = []
+        with_pos = cfg.store_positions
+        r_part: list[int] = []
+        r_salt: list[int] = []
+        r_field: list[str] = []
+        r_term: list[str] = []
+        r_docs: list[bytes] = []
+        r_tfs: list[bytes] = []
+        r_norms: list[bytes] = []
+        r_np: list[int] = []
+        r_pos: list[bytes] = []
+        r_plens: list[bytes] = []
         for fname, col, _ in cfg.fields:
             texts = batch.column(col).to_pylist()
             tids, cnts, dids, nrm, parts, salts, pos_flat = \
                 self._field_postings(fname, texts, ids)
             if tids.size == 0:
                 continue
-            term_arr = np.asarray(self._terms[fname], dtype=object)[tids]
-            col_parts.append(parts)
-            col_salts.append(salts)
-            col_fields.extend([fname] * tids.size)
-            col_terms.extend(term_arr.tolist())
-            col_dids.append(dids)
-            col_tfs.append(cnts)
-            col_norms.append(nrm)
-            if cfg.store_positions:
-                col_pos.extend(pos_flat if pos_flat else [b""] * tids.size)
+            order = np.lexsort((tids, salts, parts))
+            t_s, s_s, p_s = tids[order], salts[order], parts[order]
+            d_s = dids[order]
+            c_s = cnts[order].astype(np.int32)
+            n_s = nrm[order].astype(np.uint8)
+            pos_s = (np.asarray(pos_flat, dtype=object)[order]
+                     if with_pos else None)
+            boundary = np.ones(t_s.size, dtype=bool)
+            boundary[1:] = ((t_s[1:] != t_s[:-1]) | (s_s[1:] != s_s[:-1])
+                            | (p_s[1:] != p_s[:-1]))
+            starts = np.flatnonzero(boundary)
+            ends = np.append(starts[1:], t_s.size)
+            terms_lut = self._terms[fname]
+            for s, e in zip(starts, ends):
+                r_part.append(int(p_s[s]))
+                r_salt.append(int(s_s[s]))
+                r_field.append(fname)
+                r_term.append(terms_lut[int(t_s[s])])
+                r_docs.append(d_s[s:e].tobytes())
+                r_tfs.append(c_s[s:e].tobytes())
+                r_norms.append(n_s[s:e].tobytes())
+                r_np.append(int(e - s))
+                if with_pos:
+                    blobs = pos_s[s:e]
+                    r_pos.append(b"".join(blobs))
+                    r_plens.append(np.asarray(
+                        [len(b) for b in blobs],
+                        dtype=np.uint32).tobytes())
+        n_runs = len(r_part)
         # docstore rows: one per input row, routed to sentinel parts
         # P..2P-1 by doc range (content sha256 invariant computed here,
         # on the only pass that touches content)
         shas = content_shas(batch, cfg.sha_col)
         meta_cols = [batch.column(c).to_pylist() for c in self.docstore_cols]
-        col_parts.append(p + ids % p)
-        col_salts.append(np.zeros(batch.num_rows, dtype=np.int64))
-        col_fields.extend([DOC_SENTINEL] * batch.num_rows)
-        col_terms.extend(
+        ids64 = ids.astype(np.int64)
+        r_part.extend((p + ids % p).tolist())
+        r_salt.extend([0] * batch.num_rows)
+        r_field.extend([DOC_SENTINEL] * batch.num_rows)
+        r_term.extend(
             "\x1f".join([("\x00N" if mc[i] is None else str(mc[i]))
                          for mc in meta_cols] + [shas[i]])
             for i in range(batch.num_rows))
-        col_dids.append(ids.astype(np.int64))
-        col_tfs.append(np.zeros(batch.num_rows, dtype=np.int64))
-        col_norms.append(np.zeros(batch.num_rows, dtype=np.int64))
+        r_docs.extend(ids64[i:i + 1].tobytes()
+                      for i in range(batch.num_rows))
+        r_tfs.extend([b""] * batch.num_rows)
+        r_norms.extend([b""] * batch.num_rows)
+        r_np.extend([1] * batch.num_rows)
         cols = {
-            "part": pa.array(np.concatenate(col_parts).astype(np.int32)),
-            "salt": pa.array(np.concatenate(col_salts).astype(np.int32)),
-            "field": pa.array(col_fields, pa.string()),
-            "term": pa.array(col_terms, pa.string()),
-            "doc_id": pa.array(np.concatenate(col_dids)),
-            "tf": pa.array(np.concatenate(col_tfs).astype(np.int32)),
-            "norm": pa.array(np.concatenate(col_norms).astype(np.int32)),
+            "part": pa.array(np.asarray(r_part, dtype=np.int32)),
+            "salt": pa.array(np.asarray(r_salt, dtype=np.int32)),
+            "field": pa.array(r_field, pa.string()),
+            "term": pa.array(r_term, pa.string()),
+            "docs": pa.array(r_docs, pa.large_binary()),
+            "tfs": pa.array(r_tfs, pa.large_binary()),
+            "norms": pa.array(r_norms, pa.large_binary()),
+            "npost": pa.array(np.asarray(r_np, dtype=np.int32)),
         }
-        if cfg.store_positions:
-            # only positional builds pay the extra shuffle column — an
-            # always-present empty large_binary column costs 8 B/row of
-            # offsets across the exchange (measured ~15% build slowdown)
-            col_pos.extend([b""] * batch.num_rows)
-            cols["pos"] = pa.array(col_pos, pa.large_binary())
+        if with_pos:
+            r_pos.extend([b""] * batch.num_rows)
+            r_plens.extend([b""] * batch.num_rows)
+            cols["pos"] = pa.array(r_pos, pa.large_binary())
+            cols["plens"] = pa.array(r_plens, pa.large_binary())
         if cfg.store_source:
             # _source rides the same single-read exchange to the
-            # docstore sentinel parts (posting rows carry "")
+            # docstore sentinel parts (posting runs carry "")
             srcs = batch.column(cfg.sha_col).to_pylist()
-            n_post = len(col_fields) - batch.num_rows
             cols["src"] = pa.array(
-                [""] * n_post + [("\x00N" if s is None else s)
+                [""] * n_runs + [("\x00N" if s is None else s)
                                  for s in srcs], pa.large_string())
         return pa.table(cols)
 
@@ -566,7 +602,8 @@ def _write_docstore_group(group: pa.Table, index_dir: str, fp: str,
         if m.get("fingerprint") == fp:
             return _metrics_row(part, 0, 0, 0, m.get("bytes", 0),
                                 m["rows"], True)
-    ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+    ids = np.frombuffer(b"".join(group.column("docs").to_pylist()),
+                        dtype=np.int64)
     metas = group.column("term").to_pylist()
     cols = docstore_cols + ["content_sha256"]
     unpacked = [m.split("\x1f") for m in metas]
@@ -632,27 +669,42 @@ def _encode_segment(group: pa.Table, index_dir: str, fp: str,
             return _metrics_row(part, salt, m["n_terms"], m["n_postings"],
                                 m["bytes"], 0, True, m.get("field_tf"))
     t0 = time.monotonic()
+    # rows are packed runs (one per block x term — TokenizeFlatten's
+    # combiner), so this sort touches ~vocab x blocks string rows, not
+    # one row per posting; postings themselves sort NUMERICALLY per
+    # term below.  Canonical output is untouched: same doc-ascending,
+    # first-wins-dedup posting order as the row-level format produced.
     idx = pa.compute.sort_indices(group, sort_keys=[
-        ("field", "ascending"), ("term", "ascending"), ("doc_id", "ascending")])
+        ("field", "ascending"), ("term", "ascending")])
     group = group.take(idx)
     f_col = group.column("field").combine_chunks()
     t_col = group.column("term").combine_chunks()
-    d_arr = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-    tf_arr = group.column("tf").to_numpy(zero_copy_only=False).astype(np.uint32)
-    nm_arr = group.column("norm").to_numpy(zero_copy_only=False).astype(np.uint8)
-    # term boundaries over the canonically sorted run (vectorized Arrow
-    # compares — no per-posting Python string building)
-    n = len(group)
-    boundary = np.ones(n, dtype=bool)
-    if n > 1:
+    npost = group.column("npost").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    d_cat = np.frombuffer(b"".join(group.column("docs").to_pylist()),
+                          dtype=np.int64).astype(np.uint64)
+    tf_cat = np.frombuffer(b"".join(group.column("tfs").to_pylist()),
+                           dtype=np.int32).astype(np.uint32)
+    nm_cat = np.frombuffer(b"".join(group.column("norms").to_pylist()),
+                           dtype=np.uint8)
+    cum = np.concatenate(([0], np.cumsum(npost)))
+    nrows = len(group)
+    boundary = np.ones(nrows, dtype=bool)
+    if nrows > 1:
         neq = pa.compute.or_(
-            pa.compute.not_equal(f_col.slice(1), f_col.slice(0, n - 1)),
-            pa.compute.not_equal(t_col.slice(1), t_col.slice(0, n - 1)))
+            pa.compute.not_equal(f_col.slice(1), f_col.slice(0, nrows - 1)),
+            pa.compute.not_equal(t_col.slice(1), t_col.slice(0, nrows - 1)))
         boundary[1:] = neq.to_numpy(zero_copy_only=False)
     starts = np.flatnonzero(boundary)
-    ends = np.append(starts[1:], n)
+    ends = np.append(starts[1:], nrows)
+    n = int(d_cat.size)
     with_pos = bool(cfg.store_positions) and "pos" in group.column_names
-    pos_col = group.column("pos") if with_pos else None
+    if with_pos:
+        pos_cat = memoryview(b"".join(group.column("pos").to_pylist()))
+        pl_cat = np.frombuffer(
+            b"".join(group.column("plens").to_pylist()),
+            dtype=np.uint32).astype(np.int64)
+        pos_off = np.concatenate(([0], np.cumsum(pl_cat)))
     # Per-segment doc LUT (adaptive): the sorted unique doc ids across
     # ALL the segment's terms, delta-varint encoded ONCE in the file
     # footer, with every term's posting list storing dense ordinals
@@ -669,7 +721,7 @@ def _encode_segment(group: pa.Table, index_dir: str, fp: str,
     # ordinals back to ids at load, so query paths are untouched
     # either way.
     from ..postings import varint_encode as _venc
-    seg_lut = np.unique(d_arr)
+    seg_lut = np.unique(d_cat)
     lut_deltas = np.empty(seg_lut.size, dtype=np.uint64)
     if seg_lut.size:
         lut_deltas[0] = seg_lut[0]
@@ -689,22 +741,26 @@ def _encode_segment(group: pa.Table, index_dir: str, fp: str,
     # A GB-scale segment therefore pays O(sample) to decide, not a
     # second full encode+compress of its doc stream.
     _PROBE_SAMPLE = 1 << 19
-    runs: list[tuple] = []      # (s, e, dids, tfs, nms, sel)
+    runs: list[tuple] = []      # (s, dids, tfs, nms, pidx)
     raw_parts: list[bytes] = []
     ord_parts: list[bytes] = []
     raw_total = 0
     ord_total = 0
     for s, e in zip(starts, ends):
-        dids = d_arr[s:e]
-        tfs = tf_arr[s:e]
-        nms = nm_arr[s:e]
-        sel = None
-        # duplicate (term, doc) rows can only come from duplicate input
-        # rows with identical content (same doc_id) — keep first
+        ps, pe = int(cum[s]), int(cum[e])
+        dids = d_cat[ps:pe]
+        tfs = tf_cat[ps:pe]
+        nms = nm_cat[ps:pe]
+        order = np.argsort(dids, kind="stable")
+        dids, tfs, nms = dids[order], tfs[order], nms[order]
+        pidx = (np.arange(ps, pe)[order] if with_pos else None)
+        # duplicate (term, doc) postings can only come from duplicate
+        # input rows with identical content (same doc_id) — keep first
         uniq, first = np.unique(dids, return_index=True)
         if uniq.size != dids.size:
-            sel = np.sort(first)
-            dids, tfs, nms = uniq, tfs[sel], nms[sel]
+            dids, tfs, nms = uniq, tfs[first], nms[first]
+            if with_pos:
+                pidx = pidx[first]
         if consider_lut and dids.size:
             from ..postings import _varint_lengths
             d = np.empty(dids.size, dtype=np.uint64)
@@ -719,7 +775,7 @@ def _encode_segment(group: pa.Table, index_dir: str, fp: str,
             if raw_total <= _PROBE_SAMPLE or ord_total <= _PROBE_SAMPLE:
                 raw_parts.append(_venc(d))
                 ord_parts.append(_venc(od))
-        runs.append((int(s), int(e), dids, tfs, nms, sel))
+        runs.append((int(s), dids, tfs, nms, pidx))
 
     def _disk_cost(parts: list[bytes], total: int) -> float:
         """Snappy cost of the full stream, extrapolated from the
@@ -741,14 +797,14 @@ def _encode_segment(group: pa.Table, index_dir: str, fp: str,
     o_field, o_term, o_df, o_ttf = [], [], [], []
     o_docs, o_tfs, o_norms, o_skip, o_pos = [], [], [], [], []
     n_postings = 0
-    for s, e, dids, tfs, nms, sel in runs:
+    for s, dids, tfs, nms, pidx in runs:
         enc_ids = np.searchsorted(seg_lut, dids).astype(np.uint64) \
             if use_lut else dids
         docs_b, tfs_b, norms_b, skip_b = encode_postings(enc_ids, tfs, nms)
         if with_pos:
-            rows_idx = sel if sel is not None else np.arange(e - s)
-            o_pos.append(b"".join(pos_col[s + int(i)].as_py()
-                                  for i in rows_idx))
+            o_pos.append(b"".join(
+                bytes(pos_cat[int(pos_off[k]):int(pos_off[k + 1])])
+                for k in pidx))
         o_field.append(f_col[s].as_py())
         o_term.append(t_col[s].as_py())
         o_df.append(int(dids.size))
@@ -1366,8 +1422,10 @@ class _CompactPart:
             return
         with_pos = bool(self.cfg.store_positions)
         cols: dict[str, list] = {k: [] for k in
-                                 ("field", "term", "doc_id", "tf", "norm")}
-        pos_blobs: list[bytes] = []
+                                 ("field", "term", "docs", "tfs",
+                                  "norms", "npost")}
+        pos_rows: list[bytes] = []
+        plen_rows: list[bytes] = []
         for (field, term), rows in rdr.terms.items():
             docs_l, tfs_l, nms_l, pos_l = [], [], [], []
             for row in rows:
@@ -1388,14 +1446,19 @@ class _CompactPart:
             n = docs.size
             if n == 0:
                 continue
-            cols["field"].extend([field] * n)
-            cols["term"].extend([term] * n)
-            cols["doc_id"].append(docs.astype(np.int64))
-            cols["tf"].append(tfs.astype(np.int32))
-            cols["norm"].append(nms.astype(np.int32))
+            # packed-run exchange rows (the combiner format the encode
+            # pass consumes — one row per term)
+            cols["field"].append(field)
+            cols["term"].append(term)
+            cols["docs"].append(docs.astype(np.int64).tobytes())
+            cols["tfs"].append(tfs.astype(np.int32).tobytes())
+            cols["norms"].append(nms.astype(np.uint8).tobytes())
+            cols["npost"].append(int(n))
             if with_pos:
-                pos_blobs.extend(encode_positions([pos_l[int(i)]])
-                                 for i in order)
+                blobs = [encode_positions([pos_l[int(i)]]) for i in order]
+                pos_rows.append(b"".join(blobs))
+                plen_rows.append(np.asarray([len(b) for b in blobs],
+                                            dtype=np.uint32).tobytes())
         if not cols["field"]:
             # every posting in this part was tombstoned: the part has
             # no live terms — drop its segment files entirely
@@ -1414,12 +1477,14 @@ class _CompactPart:
             "salt": pa.array(np.zeros(len(cols["field"]), np.int32)),
             "field": pa.array(cols["field"], pa.string()),
             "term": pa.array(cols["term"], pa.string()),
-            "doc_id": pa.array(np.concatenate(cols["doc_id"])),
-            "tf": pa.array(np.concatenate(cols["tf"])),
-            "norm": pa.array(np.concatenate(cols["norm"])),
+            "docs": pa.array(cols["docs"], pa.large_binary()),
+            "tfs": pa.array(cols["tfs"], pa.large_binary()),
+            "norms": pa.array(cols["norms"], pa.large_binary()),
+            "npost": pa.array(cols["npost"], pa.int32()),
         }
         if with_pos:
-            group["pos"] = pa.array(pos_blobs, pa.large_binary())
+            group["pos"] = pa.array(pos_rows, pa.large_binary())
+            group["plens"] = pa.array(plen_rows, pa.large_binary())
         # remove superseded manifests FIRST so the encode below cannot
         # skip on a stale fingerprint, then the files after the write
         mdir = os.path.join(self.index_dir, "manifest")
