@@ -966,3 +966,53 @@ def test_direct_shuffle_byte_identical(ray_session, small_corpus,
     s_b = Searcher(idx_dir, use_actors=False)
     for q in ("def", "needle_137", "def return import"):
         assert s_a.search(q, k=10) == s_b.search(q, k=10), q
+
+
+def test_extend_direct_mode_matches_sort(ray_session, tmp_path_factory):
+    """Generation ingest through the direct exchange produces the
+    same tree bytes as through the sort exchange (the gen suffix and
+    the combiner format are mode-independent)."""
+    import hashlib
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+    from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
+        extend_index)
+
+    def tree_hash(d):
+        h = hashlib.sha256()
+        for root_, _, files in sorted(os.walk(d)):
+            for fn in sorted(files):
+                if fn.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(root_, fn), d)
+                    with open(os.path.join(root_, fn), "rb") as f:
+                        h.update(rel.encode() + f.read())
+        return h.hexdigest()
+
+    def corpus(lo, hi, tag):
+        return pa.table({
+            "doc_id": pa.array(range(lo, hi), pa.int64()),
+            "text": [f"{tag} gen token doc_{i}" for i in range(lo, hi)],
+            "lang": pa.array(["en"] * (hi - lo), pa.string()),
+        })
+
+    root = tmp_path_factory.mktemp("extdir")
+    # one shared corpus: the generation tag derives from the INPUT
+    # fingerprint (paths included), so per-mode copies would rename
+    # the gen-suffixed files and trivially break tree equality
+    s1 = str(root / "g1.parquet")
+    s2 = str(root / "g2.parquet")
+    pq2.write_table(corpus(0, 30, "one"), s1)
+    pq2.write_table(corpus(50, 75, "two"), s2)
+    hashes = []
+    for mode in ("sort", "direct"):
+        cfg = IndexConfig(num_partitions=4,
+                          fields=(("text", "text", "base"),),
+                          keyword_fields=("lang",), doc_id_col="doc_id",
+                          sha_col="text", salting=False,
+                          shuffle_mode=mode)
+        idx = str(root / f"idx_{mode}")
+        build_index([s1], idx, cfg)
+        m = extend_index([s2], idx, cfg)
+        assert m["stats"]["n_docs"] == 55
+        hashes.append(tree_hash(idx))
+    assert hashes[0] == hashes[1]
