@@ -1016,3 +1016,38 @@ def test_extend_direct_mode_matches_sort(ray_session, tmp_path_factory):
         assert m["stats"]["n_docs"] == 55
         hashes.append(tree_hash(idx))
     assert hashes[0] == hashes[1]
+
+
+def test_direct_shuffle_positional_and_source(ray_session, small_corpus,
+                                              tmp_path_factory):
+    """Direct-exchange byte-identity for the configs that add extra
+    exchange columns: positions (pos/plens blobs) and stored _source
+    (src) must slice per slot exactly like the core columns."""
+    import hashlib
+
+    def tree_hash(d):
+        h = hashlib.sha256()
+        for root, _, files in sorted(os.walk(d)):
+            for fn in sorted(files):
+                if fn.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(root, fn), d)
+                    with open(os.path.join(root, fn), "rb") as f:
+                        h.update(rel.encode() + f.read())
+        return h.hexdigest()
+
+    root = tmp_path_factory.mktemp("dirpos")
+    for tag, extra in [("pos", dict(store_positions=True)),
+                       ("src", dict(store_source=True))]:
+        hashes = []
+        for mode in ("sort", "direct"):
+            idx = str(root / f"{tag}_{mode}")
+            build_index(small_corpus, idx,
+                        IndexConfig(num_partitions=4, salting=False,
+                                    shuffle_mode=mode, **extra))
+            hashes.append(tree_hash(idx))
+        assert hashes[0] == hashes[1], tag
+    # and the positional direct index answers phrase queries
+    s = Searcher(str(root / "pos_direct"), use_actors=False)
+    assert s.phrase_search("def return", k=5) == \
+        Searcher(str(root / "pos_sort"),
+                 use_actors=False).phrase_search("def return", k=5)
