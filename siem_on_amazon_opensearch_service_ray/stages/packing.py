@@ -51,52 +51,45 @@ def pack_block(doc_ids: np.ndarray, n_tokens: np.ndarray,
     return seqs
 
 
-class SequencePacker:
-    """map_batches stage: token-count (whitespace-word regex by
-    default, or a precomputed ``token_col``) then block-local FFD
-    packing.  Output: one row per packed sequence — seq_id (min doc
-    id), doc_ids (list), n_docs, n_tokens, fill_e4, oversize."""
-
-    def __init__(self, budget: int, text_col: str = "text",
-                 id_col: str = "doc_id", token_col: str | None = None):
-        if budget <= 0:
-            raise ValueError("budget must be positive")
-        self.budget, self.text_col = budget, text_col
-        self.id_col, self.token_col = id_col, token_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
-        if self.token_col is not None:
-            toks = batch.column(self.token_col) \
-                        .to_numpy(zero_copy_only=False).astype(np.int64)
-        else:
-            toks = np.array(
-                [len(TOKEN_RE.findall((t or "").lower()))
-                 for t in batch.column(self.text_col).to_pylist()],
-                dtype=np.int64)
-        seqs = pack_block(ids.astype(np.int64), toks, self.budget)
-        seq_id = [min(s[0]) for s in seqs]
-        return pa.table({
-            "seq_id": pa.array(seq_id, pa.int64()),
-            "doc_ids": pa.array([sorted(s[0]) for s in seqs],
-                                pa.list_(pa.int64())),
-            "n_docs": pa.array([len(s[0]) for s in seqs], pa.int64()),
-            "n_tokens": pa.array([s[1] for s in seqs], pa.int64()),
-            "fill_e4": pa.array(
-                [min(s[1], self.budget) * 10000 // self.budget
-                 for s in seqs], pa.int64()),
-            "oversize": pa.array(
-                [int(s[1] > self.budget) for s in seqs], pa.int64()),
-        })
+def pack_batch(batch: pa.Table, budget: int, text_col: str,
+               id_col: str, token_col: str | None) -> pa.Table:
+    """Token-count (word regex by default, or a precomputed
+    ``token_col``) then block-local FFD packing.  Output: one row per
+    packed sequence — seq_id (min doc id), doc_ids (list), n_docs,
+    n_tokens, fill_e4, oversize."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    if token_col is not None:
+        toks = batch.column(token_col) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        toks = np.array(
+            [len(TOKEN_RE.findall((t or "").lower()))
+             for t in batch.column(text_col).to_pylist()],
+            dtype=np.int64)
+    seqs = pack_block(ids.astype(np.int64), toks, budget)
+    return pa.table({
+        "seq_id": pa.array([min(s[0]) for s in seqs], pa.int64()),
+        "doc_ids": pa.array([sorted(s[0]) for s in seqs],
+                            pa.list_(pa.int64())),
+        "n_docs": pa.array([len(s[0]) for s in seqs], pa.int64()),
+        "n_tokens": pa.array([s[1] for s in seqs], pa.int64()),
+        "fill_e4": pa.array(
+            [min(s[1], budget) * 10000 // budget for s in seqs],
+            pa.int64()),
+        "oversize": pa.array(
+            [int(s[1] > budget) for s in seqs], pa.int64()),
+    })
 
 
 def pack_sequences(ds: rd.Dataset, budget: int, text_col: str = "text",
-                   id_col: str = "doc_id", token_col: str | None = None,
-                   concurrency: int | None = None) -> rd.Dataset:
+                   id_col: str = "doc_id", token_col: str | None = None
+                   ) -> rd.Dataset:
+    # task-mode map_batches (no actor pool): packing is stateless per
+    # block, and task mode reserves no CPUs and churns no actors
     if budget <= 0:
         raise ValueError("budget must be positive")
-    return ds.map_batches(
-        SequencePacker,
-        fn_constructor_kwargs={"budget": budget, "text_col": text_col,
-                               "id_col": id_col, "token_col": token_col},
-        batch_format="pyarrow", concurrency=(1, concurrency or 8))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pack_batch(batch, budget, text_col, id_col, token_col)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

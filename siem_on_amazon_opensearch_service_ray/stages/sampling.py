@@ -33,45 +33,37 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
-class MixtureSampler:
-    """map_batches stage: expand each row into ``rate//100`` full
-    copies plus a deterministic fractional one, tagged with an
-    ``epoch`` column."""
-
-    def __init__(self, rates: dict[str, int], key_col: str = "lang",
-                 id_col: str = "doc_id", default: int = 100,
-                 hash_mod: bool = False):
-        if any(r < 0 for r in rates.values()) or default < 0:
-            raise ValueError("rates must be non-negative percentages")
-        self.rates, self.default = dict(rates), default
-        self.key_col, self.id_col, self.hash_mod = key_col, id_col, hash_mod
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False) \
-                   .astype(np.int64)
-        keys = batch.column(self.key_col).to_pylist()
-        rates = np.array([self.rates.get(k, self.default) for k in keys],
-                         dtype=np.int64)
-        sel = (_splitmix64(ids) % np.uint64(100)).astype(np.int64) \
-            if self.hash_mod else ids % 100
-        copies = rates // 100 + (sel < rates % 100)
-        total = int(copies.sum())
-        idx = np.repeat(np.arange(len(ids)), copies)
-        starts = np.repeat(np.cumsum(copies) - copies, copies)
-        epoch = np.arange(total) - starts
-        out = batch.take(pa.array(idx))
-        return out.append_column("epoch", pa.array(epoch, pa.int64()))
+def sample_batch(batch: pa.Table, rates: dict[str, int], key_col: str,
+                 id_col: str, default: int, hash_mod: bool) -> pa.Table:
+    """Expand each row into ``rate//100`` full copies plus a
+    deterministic fractional one, tagged with an ``epoch`` column."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+               .astype(np.int64)
+    keys = batch.column(key_col).to_pylist()
+    rr = np.array([rates.get(k, default) for k in keys], dtype=np.int64)
+    sel = (_splitmix64(ids) % np.uint64(100)).astype(np.int64) \
+        if hash_mod else ids % 100
+    copies = rr // 100 + (sel < rr % 100)
+    total = int(copies.sum())
+    idx = np.repeat(np.arange(len(ids)), copies)
+    starts = np.repeat(np.cumsum(copies) - copies, copies)
+    epoch = np.arange(total) - starts
+    out = batch.take(pa.array(idx))
+    return out.append_column("epoch", pa.array(epoch, pa.int64()))
 
 
 def mixture_sample(ds: rd.Dataset, rates: dict[str, int],
                    key_col: str = "lang", id_col: str = "doc_id",
-                   default: int = 100, hash_mod: bool = False,
-                   concurrency: int | None = None) -> rd.Dataset:
+                   default: int = 100, hash_mod: bool = False
+                   ) -> rd.Dataset:
+    # task-mode map_batches: the rate table is a handful of entries
+    # in the task closure; no actor pool to reserve CPUs or churn
     if any(r < 0 for r in rates.values()) or default < 0:
         raise ValueError("rates must be non-negative percentages")
-    return ds.map_batches(
-        MixtureSampler,
-        fn_constructor_kwargs={"rates": rates, "key_col": key_col,
-                               "id_col": id_col, "default": default,
-                               "hash_mod": hash_mod},
-        batch_format="pyarrow", concurrency=(1, concurrency or 8))
+    rates = dict(rates)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return sample_batch(batch, rates, key_col, id_col, default,
+                            hash_mod)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
