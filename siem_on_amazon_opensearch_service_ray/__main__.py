@@ -20,6 +20,9 @@ Usage:
   python -m siem_on_amazon_opensearch_service_ray extend  <corpus_dir> <index_dir>
   python -m siem_on_amazon_opensearch_service_ray compact <index_dir>
   python -m siem_on_amazon_opensearch_service_ray delete  <index_dir> <doc_id> [...]
+  python -m siem_on_amazon_opensearch_service_ray decontam <corpus> <benchmark> <out> [--ngram N]
+  python -m siem_on_amazon_opensearch_service_ray pack     <corpus> <out> [--budget N]
+  python -m siem_on_amazon_opensearch_service_ray sample   <corpus> <out> --rates '{"en":60,...}'
 """
 
 from __future__ import annotations
@@ -104,6 +107,38 @@ def main(argv: list[str] | None = None) -> int:
     d = sub.add_parser("delete")
     d.add_argument("index_dir")
     d.add_argument("doc_ids", nargs="+", type=int)
+
+    dc = sub.add_parser("decontam",
+                        help="flag docs sharing n-grams with a benchmark")
+    dc.add_argument("corpus", help="parquet file/dir with text docs")
+    dc.add_argument("benchmark", help="parquet file/dir (the eval set)")
+    dc.add_argument("out", help="output parquet path")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--ngram", type=int, default=5)
+    dc.add_argument("--num-cpus", type=int, default=None)
+
+    pk = sub.add_parser("pack",
+                        help="pack docs into fixed token-budget sequences")
+    pk.add_argument("corpus")
+    pk.add_argument("out")
+    pk.add_argument("--budget", type=int, default=2048)
+    pk.add_argument("--text-col", default="text")
+    pk.add_argument("--id-col", default="doc_id")
+    pk.add_argument("--num-cpus", type=int, default=None)
+
+    sm = sub.add_parser("sample",
+                        help="deterministic mixture sampling by key rates")
+    sm.add_argument("corpus")
+    sm.add_argument("out")
+    sm.add_argument("--rates", required=True,
+                    help='JSON dict of key -> integer percent, e.g. '
+                         '\'{"en": 60, "de": 250}\'')
+    sm.add_argument("--key-col", default="lang")
+    sm.add_argument("--id-col", default="doc_id")
+    sm.add_argument("--default", type=int, default=100)
+    sm.add_argument("--hash-mod", action="store_true")
+    sm.add_argument("--num-cpus", type=int, default=None)
 
     args = ap.parse_args(argv)
 
@@ -254,6 +289,46 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps(out, indent=2))
             finally:
                 searcher.close()
+        elif args.cmd == "decontam":
+            import ray.data as rd
+            from .stages.decontam import decontaminate
+            ds = rd.read_parquet(args.corpus)
+            bench = rd.read_parquet(args.benchmark)
+            res = decontaminate(ds, bench, text_col=args.text_col,
+                                id_col=args.id_col, k=args.ngram)
+            res = res.materialize()
+            n = res.count()
+            n_bad = int(res.sum("contaminated"))
+            res.write_parquet(args.out)
+            print(json.dumps({"docs": n, "contaminated": n_bad,
+                              "out": args.out}))
+        elif args.cmd == "pack":
+            import ray.data as rd
+            from .stages.packing import pack_sequences
+            ds = rd.read_parquet(args.corpus)
+            res = pack_sequences(ds, args.budget, text_col=args.text_col,
+                                 id_col=args.id_col).materialize()
+            n_seq = res.count()
+            n_docs = int(res.sum("n_docs"))
+            fill = res.mean("fill_e4") / 10000.0
+            res.write_parquet(args.out)
+            print(json.dumps({"sequences": n_seq, "docs": n_docs,
+                              "mean_fill": round(fill, 4),
+                              "out": args.out}))
+        elif args.cmd == "sample":
+            import ray.data as rd
+            from .stages.sampling import mixture_sample
+            rates = {k: int(v) for k, v in json.loads(args.rates).items()}
+            ds = rd.read_parquet(args.corpus)
+            res = mixture_sample(ds, rates, key_col=args.key_col,
+                                 id_col=args.id_col,
+                                 default=args.default,
+                                 hash_mod=args.hash_mod).materialize()
+            n_in = ds.count()
+            n_out = res.count()
+            res.write_parquet(args.out)
+            print(json.dumps({"rows_in": n_in, "rows_out": n_out,
+                              "out": args.out}))
     finally:
         ray.shutdown()
     return 0

@@ -89,3 +89,33 @@ def test_cli_agg_terms(cli_index, capsys):
                              "--agg-field", "lang"])
     assert {r["value"] for r in out} <= {"py", "go"}
     assert sum(r["count"] for r in out) > 0
+
+
+def test_cli_training_ops(ray_session, tmp_path, capsys):
+    """pack / sample / decontam subcommands: run over a small doc
+    table with an int64 id column, write partitioned parquet out."""
+    rng = np.random.default_rng(5)
+    n = 80
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": [" ".join(VOCAB[int(j)]
+                          for j in rng.integers(0, len(VOCAB), 20))
+                 for _ in range(n)],
+        "lang": pa.array([["py", "go"][i % 2] for i in range(n)]),
+    })
+    corpus = tmp_path / "docs"
+    corpus.mkdir()
+    pq.write_table(t, str(corpus / "d.parquet"))
+    out = _run_json(capsys, ["pack", str(corpus), str(tmp_path / "packed"),
+                             "--budget", "64"])
+    assert out["docs"] == n and out["sequences"] >= 1
+    out = _run_json(capsys, ["sample", str(corpus), str(tmp_path / "mix"),
+                             "--rates", '{"py": 200, "go": 50}'])
+    assert out["rows_in"] == n
+    # py docs doubled, go docs halved (deterministic doc_id % 100)
+    exp = 2 * (n // 2) + sum(1 for i in range(1, n, 2) if i % 100 < 50)
+    assert out["rows_out"] == exp
+    out = _run_json(capsys, ["decontam", str(corpus), str(corpus),
+                             str(tmp_path / "dc"), "--ngram", "3"])
+    assert out["docs"] == n and out["contaminated"] == n  # self-overlap
+    assert (tmp_path / "packed").is_dir() and (tmp_path / "dc").is_dir()
