@@ -231,9 +231,13 @@ def _read_paths(paths: list[str]) -> rd.Dataset:
     # splitting few-file ones (sources are written with 256-row groups
     # so splits stay row-group-aligned — corpus.py).
     import ray
+    import pyarrow.parquet as pq
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     blocks = min(max(len(paths), cpus), 4 * cpus)
-    return rd.read_parquet(paths, override_num_blocks=blocks)
+    # metadata-free schema: pandas metadata makes pa.Schema unhashable,
+    # defeating Ray's block-schema dedup (+ a per-read-task warning)
+    schema = pq.read_schema(paths[0]).remove_metadata()
+    return rd.read_parquet(paths, schema=schema, override_num_blocks=blocks)
 
 
 # ---------------------------------------------------------------------------
