@@ -36,8 +36,20 @@ from .stages.exclude import ExclusionRule
 
 
 def timestr_to_hours(timestr: str) -> float:
-    """``+09:00`` / ``-03:30`` / ``9`` -> signed fractional hours
-    (reference siem/utils.py:606-616)."""
+    """``+09:00`` / ``-03:30`` / ``9`` -> signed fractional hours.
+
+    Deliberate divergence from reference siem/utils.py:606-616: for a
+    negative offset the reference computes ``int('-03') + 30/60 =
+    -2.5`` for ``-03:30``; this returns the correct timezone
+    interpretation ``-3.5`` (sign applies to the minutes too).
+
+    >>> timestr_to_hours("+09:00")
+    9.0
+    >>> timestr_to_hours("-03:30")
+    -3.5
+    >>> timestr_to_hours("9")
+    9.0
+    """
     s = timestr.strip()
     if ":" in s:
         hours, minutes = s.split(":")

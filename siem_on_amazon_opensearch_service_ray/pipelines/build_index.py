@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import zlib
 from collections import Counter
@@ -197,17 +198,30 @@ def input_fingerprint(source, cfg: IndexConfig) -> str:
     return h.hexdigest()[:16]
 
 
-def _tune_data_context() -> None:
-    """Disable per-operator resource reservation for the build
-    pipelines.  The streaming executor's default reservation holds
-    back ~50-60% of the CPU budget for the downstream Sort/AllToAll
-    while the tokenize map runs, capping the map at ~1/3 of the
-    host (measured: 800k-doc build at 8 cpus 79 s -> 35 s, at 32
-    cpus 21 s -> 17 s with reservation off).  Our pipelines are
-    shallow (map -> groupby -> map) with small resident blocks, so
-    the deadlock-avoidance reservation only costs throughput."""
-    from ray.data import DataContext
-    DataContext.get_current().op_resource_reservation_enabled = False
+def _tuned_data_context(fn):
+    """Decorator: disable per-operator resource reservation for the
+    build pipelines, RESTORING the previous value on exit.  The
+    streaming executor's default reservation holds back ~50-60% of the
+    CPU budget for the downstream Sort/AllToAll while the tokenize map
+    runs, capping the map at ~1/3 of the host (measured: 800k-doc
+    build at 8 cpus 79 s -> 35 s, at 32 cpus 21 s -> 17 s with
+    reservation off).  Our pipelines are shallow (map -> groupby ->
+    map) with small resident blocks, so the deadlock-avoidance
+    reservation only costs throughput — but deeper user pipelines in
+    the same process may rely on it, hence the restore."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        from ray.data import DataContext
+        ctx = DataContext.get_current()
+        prev = ctx.op_resource_reservation_enabled
+        ctx.op_resource_reservation_enabled = False
+        try:
+            return fn(*args, **kwargs)
+        finally:
+            ctx.op_resource_reservation_enabled = prev
+    return wrapper
 
 
 def _read_source(source) -> rd.Dataset:
@@ -641,6 +655,18 @@ def _metrics_row(part: int, salt: int, n_terms: int, n_postings: int,
                      "field_tf": [json.dumps(field_tf or {}, sort_keys=True)]})
 
 
+def _resolve_type_alias(typ_s: str):
+    """``str(pa.DataType)`` -> DataType for the docstore restore.
+    Handles the tz-aware timestamp spelling (``timestamp[us,
+    tz=UTC]``) that ``pa.compute.cast``'s alias lookup can't resolve —
+    common for SIEM ``@timestamp`` columns; everything else passes
+    through as the alias string."""
+    m = re.fullmatch(r"timestamp\[(s|ms|us|ns), tz=(.+)\]", typ_s)
+    if m:
+        return pa.timestamp(m.group(1), tz=m.group(2))
+    return typ_s
+
+
 def _write_docstore_group(group: pa.Table, index_dir: str, fp: str,
                           cfg: IndexConfig, docstore_cols: list[str],
                           gen: str = "",
@@ -672,19 +698,21 @@ def _write_docstore_group(group: pa.Table, index_dir: str, fp: str,
     # through the shuffle (round-1 documented gap: docstore meta was
     # stringly-typed); the null sentinel survives any value space
     arrays = {}
+    fallback_cols = []
     for j, c in enumerate(cols):
         vals = [None if u[j] == "\x00N" else u[j] for u in unpacked]
         typ_s = (docstore_types or {}).get(c)
         arr = pa.array(vals, pa.string())
         if typ_s and typ_s != "string":
             try:
-                arr = pa.compute.cast(arr, typ_s)
+                arr = pa.compute.cast(arr, _resolve_type_alias(typ_s))
             except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
                     ValueError, KeyError):
                 # unparseable values OR a type-alias str(type) that
-                # pa.compute.cast cannot resolve (list/struct/decimal/
-                # tz-aware timestamps) -> keep strings (defensive)
-                pass
+                # pa.compute.cast cannot resolve (list/struct/decimal)
+                # -> keep strings, and RECORD the downgrade in the
+                # part manifest so it is observable (ADVICE r2)
+                fallback_cols.append(c)
         arrays[c] = arr
     if cfg.store_source:
         arrays[cfg.sha_col] = pa.array(
@@ -702,9 +730,11 @@ def _write_docstore_group(group: pa.Table, index_dir: str, fp: str,
     for s in tbl.column("content_sha256").to_pylist():
         sha_xor ^= int(s[:16], 16)
     nbytes = os.stat(out).st_size
-    _atomic_write_json({"fingerprint": fp, "rows": tbl.num_rows,
-                        "sha_xor_hi64": sha_xor, "bytes": nbytes,
-                        "path": out}, man)
+    man_doc = {"fingerprint": fp, "rows": tbl.num_rows,
+               "sha_xor_hi64": sha_xor, "bytes": nbytes, "path": out}
+    if fallback_cols:
+        man_doc["string_fallback_cols"] = fallback_cols
+    _atomic_write_json(man_doc, man)
     return _metrics_row(part, 0, 0, 0, nbytes, tbl.num_rows, False)
 
 
@@ -1312,11 +1342,11 @@ def _purge_stale_outputs(index_dir: str, fp: str,
                     os.unlink(p)
 
 
+@_tuned_data_context
 def build_index(source, index_dir: str, cfg: IndexConfig | None = None,
                 resume: bool = True) -> dict:
     """Full build. Returns the index manifest dict."""
     cfg = cfg or IndexConfig()
-    _tune_data_context()
     t0 = time.monotonic()
     os.makedirs(os.path.join(index_dir, "manifest"), exist_ok=True)
     os.makedirs(os.path.join(index_dir, "parts"), exist_ok=True)
@@ -1342,6 +1372,7 @@ def build_index(source, index_dir: str, cfg: IndexConfig | None = None,
                     time.monotonic() - t0)
 
 
+@_tuned_data_context
 def extend_index(new_source, index_dir: str,
                  cfg: IndexConfig | None = None) -> dict:
     """Incremental ingestion: append a new GENERATION of documents to an
@@ -1379,7 +1410,6 @@ def extend_index(new_source, index_dir: str,
             "extend_index needs a fingerprintable source (files/dir): "
             "in-memory Datasets have no stable identity for the "
             "generation ledger")
-    _tune_data_context()
     t0 = time.monotonic()
     genfp = input_fingerprint(new_source, cfg)
     gens = manifest.setdefault("generations", {})
@@ -1605,6 +1635,7 @@ class _CompactPart:
         return pa.table({"part": batch.column("part")})
 
 
+@_tuned_data_context
 def compact_index(index_dir: str) -> dict:
     """Fold every generation added by :func:`extend_index` back into
     one canonical segment per part (and one docstore file per doc
@@ -1618,7 +1649,6 @@ def compact_index(index_dir: str) -> dict:
     import functools
     import hashlib
 
-    _tune_data_context()
     man_path = os.path.join(index_dir, "INDEX_MANIFEST.json")
     with open(man_path) as f:
         manifest = json.load(f)

@@ -64,7 +64,6 @@ _TOKEN_RX = re.compile(
       | (?P<paren>[()])
     )""", re.VERBOSE)
 
-_UNSUPPORTED_RX = re.compile(r"[\^/]|\bAND\s+NOT\b")
 
 
 def parse_query_string(qs: str) -> ParsedQuery:
@@ -99,6 +98,8 @@ def parse_query_string(qs: str) -> ParsedQuery:
             pending_op = None
             continue
         if m.group("kv") is not None:
+            if "^" in m.group("kv_v"):
+                raise ValueError("query_string: boosts (^) are not supported")
             out.filters.append((m.group("kf"), m.group("kv_v")))
             pending_op = None
             continue
@@ -112,8 +113,17 @@ def parse_query_string(qs: str) -> ParsedQuery:
             pending_op = None           # SHOULD is the default
             continue
         if tok == "NOT":
+            if pending_op == "AND":
+                raise ValueError("query_string: AND NOT is not supported")
             pending_op = "NOT"
             continue
+        # unsupported-syntax checks are PER BARE TOKEN so that '/' or
+        # '^' inside quoted phrases and field:value tokens stay legal
+        # (e.g. path:/var/log, "a/b")
+        if tok.startswith("/"):
+            raise ValueError("query_string: regex (/…/) is not supported")
+        if "^" in tok:
+            raise ValueError("query_string: boosts (^) are not supported")
         occur_override = None
         if tok.startswith("+"):
             occur_override, tok = MUST, tok[1:]
@@ -136,9 +146,6 @@ def parse_query_string(qs: str) -> ParsedQuery:
         if occur_override is not None:     # explicit +/- wins over AND/NOT
             c.occur = occur_override
         pending_op = None
-    if _UNSUPPORTED_RX.search(qs):
-        raise ValueError("query_string: boosts (^), regex (/…/) and "
-                         "AND NOT are not supported")
     return out
 
 

@@ -39,7 +39,7 @@ from ..analysis import ANALYZERS, POSITIONAL_ANALYZERS
 from ..norms import decode_norm, idf as idf_fn, tf_norm
 from ..postings import (BLOCK, LazyPositions, decode_positions,
                         decode_postings, merge_postings)
-from .shard import ShardReader
+from .shard import ShardReader, match_part_files
 
 
 @dataclass
@@ -650,8 +650,7 @@ def _iter_filter_postings(index_dir: str, agg_field: str,
         return
     names = sorted(f for f in _os.listdir(fdir) if f.endswith(".parquet"))
     if dparts is not None:
-        want = {f"part-{p:04d}" for p in dparts}
-        names = [f for f in names if f[:9] in want and f[9] in ".-"]
+        names = match_part_files(names, dparts)
     for fn in names:
         t = _pq.read_table(_os.path.join(fdir, fn),
                            columns=["value", "docs"])

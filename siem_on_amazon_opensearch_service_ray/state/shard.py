@@ -39,6 +39,23 @@ def load_tombstones(index_dir: str) -> np.ndarray:
         zero_copy_only=False).astype(np.uint64))
 
 
+def match_part_files(names: list[str], dparts) -> list[str]:
+    """Width-agnostic doc-part filename filter.  Base files are
+    ``part-XXXX.parquet``; extend_index generations are
+    ``part-XXXX-g<fp8>.parquet``.  ``{p:04d}`` grows past 4 digits for
+    p > 9999, so match on the formatted prefix length rather than a
+    fixed ``f[:9]`` slice (which silently dropped wide parts)."""
+    want = {f"part-{p:04d}" for p in dparts}
+    lens = sorted({len(w) for w in want})
+    out = []
+    for f in names:
+        for n in lens:
+            if f[:n] in want and len(f) > n and f[n] in ".-":
+                out.append(f)
+                break
+    return out
+
+
 def load_filter_ids(index_dir: str, field: str, value: str,
                     dparts: list[int] | None = None) -> np.ndarray:
     """Sorted doc ids with keyword ``field == value`` from the
@@ -53,8 +70,7 @@ def load_filter_ids(index_dir: str, field: str, value: str,
     if dparts is not None:
         # base files are part-XXXX.parquet; extend_index generations are
         # part-XXXX-g<fp8>.parquet — match on the part prefix
-        want = {f"part-{p:04d}" for p in dparts}
-        names = [f for f in names if f[:9] in want and f[9] in ".-"]
+        names = match_part_files(names, dparts)
     chunks: list[np.ndarray] = []
     for fn in names:
         t = pq.read_table(os.path.join(fdir, fn), columns=["value", "docs"])
@@ -255,8 +271,7 @@ def load_range_pairs(index_dir: str, field: str,
         return []
     names = sorted(f for f in _os.listdir(rdir) if f.endswith(".parquet"))
     if dparts is not None:
-        want = {f"part-{p:04d}" for p in dparts}
-        names = [f for f in names if f[:9] in want and f[9] in ".-"]
+        names = match_part_files(names, dparts)
     out: list[tuple[np.ndarray, np.ndarray]] = []
     for fn in names:
         t = pq.read_table(_os.path.join(rdir, fn))
@@ -279,8 +294,7 @@ def load_range_ids(index_dir: str, field: str, lo=None, hi=None,
         return np.zeros(0, dtype=np.uint64)
     names = sorted(f for f in os.listdir(rdir) if f.endswith(".parquet"))
     if dparts is not None:
-        want = {f"part-{p:04d}" for p in dparts}
-        names = [f for f in names if f[:9] in want and f[9] in ".-"]
+        names = match_part_files(names, dparts)
     chunks: list[np.ndarray] = []
     for fn in names:
         t = pq.read_table(os.path.join(rdir, fn))

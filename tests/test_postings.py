@@ -93,3 +93,16 @@ def test_positions_roundtrip():
     out = decode_positions(blob, tfs)
     for a, b in zip(out, pls):
         assert np.array_equal(a, b)
+
+
+def test_match_part_files_width_agnostic():
+    from siem_on_amazon_opensearch_service_ray.state.shard import \
+        match_part_files
+    names = ["part-0001.parquet", "part-0001-gabcdef12.parquet",
+             "part-0012.parquet", "part-12345.parquet",
+             "part-12345-gdeadbeef.parquet"]
+    assert match_part_files(names, [1]) == names[:2]
+    # >4-digit parts must not be silently dropped (ADVICE r2)
+    assert match_part_files(names, [12345]) == names[3:]
+    assert match_part_files(names, [12]) == ["part-0012.parquet"]
+    assert match_part_files(names, [2]) == []

@@ -45,9 +45,20 @@ def test_parse_phrase_filters_ranges_multiterm():
 
 
 def test_parse_rejects_unsupported():
-    for bad in ["(a OR b)", "f:(a b)", "term^2", "/regex/", "AND x"]:
+    for bad in ["(a OR b)", "f:(a b)", "term^2", "/regex/", "AND x",
+                "a AND NOT b", "f:v^2"]:
         with pytest.raises(ValueError):
             parse_query_string(bad)
+
+
+def test_parse_allows_slash_in_kv_and_phrase():
+    # the unsupported-syntax check is per bare token: '/' inside a
+    # field:value token or a quoted phrase is legal (ADVICE r2)
+    p = parse_query_string("path:/var/log")
+    assert p.filters == [("path", "/var/log")]
+    p = parse_query_string('"a/b" spark')
+    assert _cl(p)[0][1:3] == ("phrase", "a/b")
+    assert _cl(p)[1][1:3] == ("term", "spark")
 
 
 def test_query_string_execution(dsl_index):
