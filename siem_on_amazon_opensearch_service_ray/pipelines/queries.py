@@ -1715,6 +1715,75 @@ FROM x GROUP BY window_start
 """
 
 
+def orders_monthly(sf_dir: str) -> pd.DataFrame:
+    """Calendar-aware date_histogram (A5; reference dashboards bucket
+    by calendar month in a display timezone, aws.ini:104-118): monthly
+    buckets in a -09:00 timezone over 6+ years of orders.  The
+    negative offset pulls every first-of-month midnight row into the
+    PREVIOUS month — a real tz-boundary fixture (526 crossing rows at
+    sf0.01), not a fixed-width epoch bucket."""
+    from ..stages.windows import add_calendar_window
+    ds = _t_ds(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        b = add_calendar_window(batch, "o_orderdate", "month", -9.0,
+                                "month_epoch")
+        rev = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"),
+                                           100.0)), pa.int64())
+        return pa.table({"month_epoch": b.column("month_epoch"),
+                         "revenue_e2": rev})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("month_epoch")
+             .aggregate(Count(alias_name="n"),
+                        Sum("revenue_e2", alias_name="revenue_e2")))
+    return out.to_pandas()
+
+
+ORDERS_MONTHLY_SQL = """
+SELECT cast(epoch(date_trunc('month', o_orderdate - INTERVAL 9 HOUR))
+            AS BIGINT) AS month_epoch,
+       count(*) AS n,
+       cast(sum(cast(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+           AS revenue_e2
+FROM orders GROUP BY month_epoch
+"""
+
+
+def events_weekly(sf_dir: str) -> pd.DataFrame:
+    """Calendar WEEK buckets in a fractional +05:30 timezone: weeks
+    start on local Monday 00:00, so Sunday-evening UTC events cross
+    into the next week — exercises both the calendar unit (weeks are
+    not fixed offsets from the epoch) and sub-hour tz offsets."""
+    from ..stages.windows import add_calendar_window
+    ds = _t_ds(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        b = add_calendar_window(batch, "ts", "week", 5.5, "week_epoch")
+        val = pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)),
+                      pa.int64())
+        return pa.table({"event_type": b.column("event_type"),
+                         "week_epoch": b.column("week_epoch"),
+                         "value_e2": val})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby(["event_type", "week_epoch"])
+             .aggregate(Count(alias_name="n"),
+                        Sum("value_e2", alias_name="sum_value_e2")))
+    return out.to_pandas()
+
+
+EVENTS_WEEKLY_SQL = """
+SELECT event_type,
+       cast(epoch(date_trunc('week', ts + INTERVAL 330 MINUTE))
+            AS BIGINT) AS week_epoch,
+       count(*) AS n,
+       cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT)
+           AS sum_value_e2
+FROM events GROUP BY event_type, week_epoch
+"""
+
+
 def events_routed(sf_dir: str) -> pd.DataFrame:
     """M11 through the driver gate: monthly index routing from the
     event's own timestamp (late data lands in the older partition its
@@ -1884,6 +1953,8 @@ def queries() -> dict:
         "exclude_events": exclude_events,
         "events_routed": events_routed,
         "events_sliding": events_sliding,
+        "orders_monthly": orders_monthly,
+        "events_weekly": events_weekly,
         "user_stats": user_stats,
         # rows-only (non-SQL-expressible)
         "minhash_pairs": minhash_pairs,
@@ -1945,5 +2016,7 @@ def oracle_sql() -> dict:
         "exclude_events": EXCLUDE_EVENTS_SQL,
         "events_routed": EVENTS_ROUTED_SQL,
         "events_sliding": EVENTS_SLIDING_SQL,
+        "orders_monthly": ORDERS_MONTHLY_SQL,
+        "events_weekly": EVENTS_WEEKLY_SQL,
         "user_stats": USER_STATS_SQL,
     }

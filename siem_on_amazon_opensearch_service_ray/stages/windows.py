@@ -53,6 +53,58 @@ def tumbling_aggregate(ds: rd.Dataset, ts_col: str, size_sec: int,
         Mean(value_col, alias_name="mean_value"))
 
 
+#: calendar units accepted by :func:`add_calendar_window` (the
+#: OpenSearch date_histogram calendar_interval values our dashboards
+#: need; all map to pyarrow floor_temporal units)
+CALENDAR_UNITS = ("hour", "day", "week", "month", "quarter", "year")
+
+
+def add_calendar_window(batch: pa.Table, ts_col: str,
+                        interval: str = "month",
+                        tz_offset_hours: float = 0.0,
+                        out_col: str = "bucket_epoch") -> pa.Table:
+    """Calendar-aware date_histogram bucketing (OpenSearch
+    ``date_histogram`` with ``calendar_interval`` + ``time_zone``) —
+    the reference's dashboards and its monthly index rotation bucket
+    by calendar month in a configured timezone (reference
+    aws.ini:104-118, ``index_rotation``/``index_tz``), which a fixed
+    epoch-width bucket cannot express (months vary in length, tz
+    offsets move the month boundary).
+
+    Bucket = calendar truncation of the tz-shifted wall-clock time;
+    the emitted ``out_col`` is the LOCAL bucket start as epoch seconds
+    (the convention DuckDB's ``epoch(date_trunc(unit, ts + offset))``
+    produces, so oracles compare directly).  Fractional offsets
+    (+05:30) are supported.  One vectorized floor_temporal per batch.
+    """
+    if interval not in CALENDAR_UNITS:
+        raise ValueError(f"calendar interval must be one of "
+                         f"{CALENDAR_UNITS}, got {interval!r}")
+    off_us = int(round(tz_offset_hours * 3600)) * 1_000_000
+    shifted = pc.cast(pc.add(pc.cast(batch.column(ts_col), pa.int64()),
+                             off_us), pa.timestamp("us"))
+    bucket = pc.floor_temporal(shifted, unit=interval)
+    epoch = pc.divide(pc.cast(bucket, pa.int64()), 1_000_000)
+    return batch.append_column(out_col, epoch)
+
+
+def calendar_aggregate(ds: rd.Dataset, ts_col: str, interval: str,
+                       key_cols: list[str], value_col: str,
+                       tz_offset_hours: float = 0.0) -> rd.Dataset:
+    """count + sum/min/max/mean of ``value_col`` per (keys, calendar
+    bucket) — the calendar twin of :func:`tumbling_aggregate`."""
+    win = ds.map_batches(
+        lambda b: add_calendar_window(b, ts_col, interval,
+                                      tz_offset_hours),
+        batch_format="pyarrow")
+    return win.groupby(key_cols + ["bucket_epoch"]).aggregate(
+        Count(alias_name="n"),
+        Sum(value_col, alias_name="sum_value"),
+        Min(value_col, alias_name="min_value"),
+        Max(value_col, alias_name="max_value"),
+        Mean(value_col, alias_name="mean_value"))
+
+
 def explode_sliding_windows(batch: pa.Table, ts_col: str, size_sec: int,
                             step_sec: int) -> pa.Table:
     """Each row replicated into every sliding window covering it."""

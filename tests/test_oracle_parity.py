@@ -63,6 +63,7 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "token_count_docs", "quality_docs", "decontaminate_docs",
               "pack_docs", "mixture_docs", "exclude_events",
               "events_routed", "events_sliding",
+              "orders_monthly", "events_weekly",
               "user_stats", "events_sessions", "phrase_docs"]
 
 

@@ -82,3 +82,30 @@ def test_sessionize_bounded_equals_plain(ray_session):
     p = plain.sort_values(key).reset_index(drop=True)
     b = bounded.sort_values(key).reset_index(drop=True)
     assert p["session_id"].tolist() == b["session_id"].tolist()
+
+
+def test_calendar_window_tz_boundaries():
+    import pyarrow as pa
+    from siem_on_amazon_opensearch_service_ray.stages.windows import \
+        add_calendar_window
+
+    # 2024-01-01 00:00 UTC at -09:00 is still 2023-12; at +05:30 it is
+    # 2024-01.  2024-02-29 proves leap-month lengths (calendar, not
+    # fixed-width).
+    ts = pa.array([1704067200_000000,        # 2024-01-01 00:00:00 UTC
+                   1709164800_000000],       # 2024-02-29 00:00:00 UTC
+                  pa.timestamp("us"))
+    b = pa.table({"ts": ts})
+    out = add_calendar_window(b, "ts", "month", -9.0)
+    # local bucket starts: 2023-12-01, 2024-02-01 (wall-clock epoch)
+    assert out.column("bucket_epoch").to_pylist() == [1701388800,
+                                                      1706745600]
+    out = add_calendar_window(b, "ts", "month", 5.5)
+    assert out.column("bucket_epoch").to_pylist() == [1704067200,
+                                                      1706745600]
+    out = add_calendar_window(b, "ts", "week", 0.0)
+    # 2024-01-01 is a Monday -> its own week start
+    assert out.column("bucket_epoch").to_pylist()[0] == 1704067200
+    import pytest
+    with pytest.raises(ValueError, match="calendar interval"):
+        add_calendar_window(b, "ts", "fortnight")
