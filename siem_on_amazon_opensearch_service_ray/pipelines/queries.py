@@ -1809,19 +1809,70 @@ FROM events GROUP BY index_name
 """
 
 
-# ---------------------------------------------------------------------------
-# rows-only entries (no SQL oracle; golden-file / pytest coverage instead)
-
-
 def minhash_pairs(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH near-dup pairs with fully distributed exact-Jaccard
     verification (no driver-side corpus materialization — only the
-    candidate id pairs ever reach the driver)."""
+    candidate id pairs ever reach the driver).
+
+    Oracle-backed: the DuckDB twin (:data:`MINHASH_PAIRS_SQL`)
+    recomputes exact word-3-shingle Jaccard over ALL pairs via a
+    shingle self-join — so a hash-green row proves both the LSH
+    candidate recall (no ≥-threshold pair missed) and the distributed
+    verify's Jaccard arithmetic."""
     ds = _t_ds(sf_dir, "documents", ["doc_id", "text"])
     out = dedup_ops.minhash_verified_pairs(
         ds, "text", "doc_id", num_perm=64, bands=16, threshold=0.8,
         concurrency=_concurrency()).to_pandas()
     return out[["doc_a", "doc_b", "jaccard_e6"]]
+
+
+# Exact n-gram-Jaccard ground truth for the MinHash-LSH pipeline:
+# tokenize like dedup._WORD_RE ([a-z0-9_]+ on lowercased text), build
+# DISTINCT word 3-shingles (docs with 1-2 tokens contribute the whole
+# token string, matching dedup.shingles()), self-join on shingle for
+# pairwise intersections, and keep pairs with Jaccard >= 0.8. The
+# quadratic join is oracle-only (the Ray side is banded LSH);
+# jaccard_e6 rounds half-up exactly like SQL round().
+MINHASH_PAIRS_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos
+  FROM toks
+),
+grams AS (
+  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+short AS (
+  SELECT doc_id, array_to_string(t, ' ') AS g
+  FROM toks WHERE len(t) BETWEEN 1 AND 2
+),
+gset AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT * FROM grams UNION ALL SELECT * FROM short)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM gset GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+  FROM gset x JOIN gset y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(round(1e6 * i / (sa.n + sb.n - i)) AS BIGINT) AS jaccard_e6
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only entries (no SQL oracle; golden-file / pytest coverage instead)
 
 
 def simhash_docs(sf_dir: str) -> pd.DataFrame:
@@ -1956,8 +2007,8 @@ def queries() -> dict:
         "orders_monthly": orders_monthly,
         "events_weekly": events_weekly,
         "user_stats": user_stats,
-        # rows-only (non-SQL-expressible)
         "minhash_pairs": minhash_pairs,
+        # rows-only (non-SQL-expressible: blake2b signatures / ANN internals)
         "simhash_docs": simhash_docs,
         "langid_docs": langid_docs,
         "fingerprint_docs": fingerprint_docs,
@@ -2019,4 +2070,5 @@ def oracle_sql() -> dict:
         "orders_monthly": ORDERS_MONTHLY_SQL,
         "events_weekly": EVENTS_WEEKLY_SQL,
         "user_stats": USER_STATS_SQL,
+        "minhash_pairs": MINHASH_PAIRS_SQL,
     }

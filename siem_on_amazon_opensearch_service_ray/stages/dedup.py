@@ -265,7 +265,9 @@ def minhash_verified_pairs(ds: rd.Dataset, text_col: str, id_col: str,
         return pa.table({
             "doc_a": pa.array([g.column("pair_a")[0].as_py()], pa.int64()),
             "doc_b": pa.array([g.column("pair_b")[0].as_py()], pa.int64()),
-            "jaccard_e6": pa.array([int(j * 1e6)], pa.int64()),
+            # half-up like SQL round() (int() truncation diverged from
+            # the DuckDB oracle on e.g. 0.95238095...)
+            "jaccard_e6": pa.array([int(j * 1e6 + 0.5)], pa.int64()),
         })
 
     return (unioned.groupby("doc_id").map_groups(attach, batch_format="pyarrow")

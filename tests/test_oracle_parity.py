@@ -64,7 +64,8 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "pack_docs", "mixture_docs", "exclude_events",
               "events_routed", "events_sliding",
               "orders_monthly", "events_weekly",
-              "user_stats", "events_sessions", "phrase_docs"]
+              "user_stats", "events_sessions", "phrase_docs",
+              "minhash_pairs"]
 
 
 @pytest.mark.parametrize("name", SQL_BACKED)
@@ -91,7 +92,7 @@ def test_sql_parity(registry, con, name):
                 f"{name}.{c} mismatch"
 
 
-ROWS_ONLY = ["minhash_pairs", "simhash_docs", "langid_docs",
+ROWS_ONLY = ["simhash_docs", "langid_docs",
              "fingerprint_docs", "knn_lsh", "knn_ivf",
              "embedding_near_dups"]
 
