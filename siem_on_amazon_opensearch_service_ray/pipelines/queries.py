@@ -400,6 +400,142 @@ def search_doc_sharded(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def _doc_sharded_index(sf_dir: str, positions: bool = False) -> str:
+    """Build-or-resume the DOC-partitioned index (the scale-default
+    layout — every query below executes per shard, postings never
+    centralize).  ``positions=True`` adds the positional postings the
+    phrase/span family needs."""
+    import dataclasses
+    base = _docs_index_cfg_pos() if positions else _docs_index_cfg()
+    cfg = dataclasses.replace(base, partition_by="doc")
+    idx = _docs_index_dir(sf_dir) + ("_docpos" if positions else "_doc")
+    build_index(_docs_source(sf_dir), idx, cfg, resume=True)
+    return idx
+
+
+def _score_frame(hits) -> pd.DataFrame:
+    return pd.DataFrame({
+        "doc_id": [d for _, d in hits],
+        "score_e4": np.array([round(sc * 10000) for sc, _ in hits],
+                             dtype=np.int64),
+    })
+
+
+def search_bool_sharded(sf_dir: str) -> pd.DataFrame:
+    """search_bool_topk's bool query executed per DOC shard with
+    global idf (dfs_query_then_fetch over the full DSL) — same oracle,
+    rank+score identical to the term-partitioned path."""
+    s = Searcher(_doc_sharded_index(sf_dir),
+                 use_actors=ray.is_initialized())
+    try:
+        hits = s.search_bool_sharded(must=["spark"],
+                                     should=["join", "sort"],
+                                     must_not=["dup"],
+                                     minimum_should_match=1,
+                                     field="content", k=BM25_K)
+    finally:
+        s.close()
+    return _score_frame(hits)
+
+
+def search_mlt_sharded(sf_dir: str) -> pd.DataFrame:
+    """more_like_this with doc-sharded scoring: global term selection
+    (one (term, df) exchange), per-shard disjunction."""
+    s = Searcher(_doc_sharded_index(sf_dir),
+                 use_actors=ray.is_initialized())
+    try:
+        hits = s.more_like_this_sharded(MLT_TEXT, k=BM25_K,
+                                        max_query_terms=MLT_MAX_TERMS)
+    finally:
+        s.close()
+    return _score_frame(hits)
+
+
+def search_fuzzy_sharded(sf_dir: str) -> pd.DataFrame:
+    """fuzzy 'vale'~2 with global dictionary expansion + per-shard
+    scored OR (each expansion keeps its globally-summed df)."""
+    s = Searcher(_doc_sharded_index(sf_dir),
+                 use_actors=ray.is_initialized())
+    try:
+        hits = s.fuzzy_search_sharded("vale", field="content",
+                                      fuzziness=2, k=BM25_K)
+    finally:
+        s.close()
+    return _score_frame(hits)
+
+
+def search_wildcard_sharded(sf_dir: str) -> pd.DataFrame:
+    """wildcard 's?a*' doc-sharded (dictionary scan actor-side,
+    per-shard scoring)."""
+    s = Searcher(_doc_sharded_index(sf_dir),
+                 use_actors=ray.is_initialized())
+    try:
+        hits = s.wildcard_search_sharded("s?a*", field="content", k=BM25_K)
+    finally:
+        s.close()
+    return _score_frame(hits)
+
+
+def search_query_string_sharded(sf_dir: str) -> pd.DataFrame:
+    """query_string doc-sharded: pattern clauses pre-expand globally
+    for idf, keyword/range filters apply per shard against their own
+    doc-range filter parts."""
+    s = Searcher(_doc_sharded_index(sf_dir),
+                 use_actors=ray.is_initialized())
+    try:
+        hits = s.query_string_sharded(
+            "spark AND join -dup n_chars:[100 TO 400]",
+            field="content", k=BM25_K)
+    finally:
+        s.close()
+    return _score_frame(hits)
+
+
+def phrase_sharded(sf_dir: str) -> pd.DataFrame:
+    """Exact phrase over the doc-sharded POSITIONAL index — positions
+    decode inside their shard, only (phrase_tf, doc_id) rows travel."""
+    s = Searcher(_doc_sharded_index(sf_dir, positions=True),
+                 use_actors=ray.is_initialized())
+    try:
+        hits = s.phrase_search_sharded(BM25_QUERY, field="content",
+                                       k=1_000_000)
+    finally:
+        s.close()
+    return pd.DataFrame({"doc_id": [d for _, d in hits],
+                         "phrase_tf": [tf for tf, _ in hits]})
+
+
+def span_near_sharded(sf_dir: str) -> pd.DataFrame:
+    """Ordered span-near (spark .. join, slop=2) per doc shard."""
+    s = Searcher(_doc_sharded_index(sf_dir, positions=True),
+                 use_actors=ray.is_initialized())
+    try:
+        hits = s.span_near_sharded(["spark", "join"], field="content",
+                                   slop=2, k=1_000_000)
+    finally:
+        s.close()
+    return pd.DataFrame({"doc_id": [d for _, d in hits],
+                         "span_tf": np.array([n for n, _ in hits],
+                                             dtype=np.int64)})
+
+
+def phrase_prefix_sharded(sf_dir: str) -> pd.DataFrame:
+    """match_phrase_prefix 'join s*' per doc shard (per-segment
+    multi-term rewrite, Lucene parity)."""
+    s = Searcher(_doc_sharded_index(sf_dir, positions=True),
+                 use_actors=ray.is_initialized())
+    try:
+        hits = s.match_phrase_prefix_sharded("join s", field="content",
+                                             k=1_000_000,
+                                             max_expansions=1024)
+    finally:
+        s.close()
+    return pd.DataFrame({"doc_id": [d for _, d in hits],
+                         "phrase_tf": np.array([n for n, _ in hits],
+                                               dtype=np.int64)})
+
+
+
 def events_sessions(sf_dir: str) -> pd.DataFrame:
     """Sessionization (30-min gap) per user over events — windowed /
     session semantics with an exact SQL-window-function oracle."""
@@ -1968,6 +2104,14 @@ def queries() -> dict:
         "search_topk": search_topk,
         "search_and_topk": search_and_topk,
         "search_doc_sharded": search_doc_sharded,
+        "search_bool_sharded": search_bool_sharded,
+        "search_mlt_sharded": search_mlt_sharded,
+        "search_fuzzy_sharded": search_fuzzy_sharded,
+        "search_wildcard_sharded": search_wildcard_sharded,
+        "search_query_string_sharded": search_query_string_sharded,
+        "phrase_sharded": phrase_sharded,
+        "span_near_sharded": span_near_sharded,
+        "phrase_prefix_sharded": phrase_prefix_sharded,
         "search_lang_agg": search_lang_agg,
         "search_range_agg": search_range_agg,
         "search_filters_agg": search_filters_agg,
@@ -2031,6 +2175,14 @@ def oracle_sql() -> dict:
         "search_topk": BM25_SQL,
         "search_and_topk": BM25_AND_SQL,
         "search_doc_sharded": BM25_SQL,
+        "search_bool_sharded": SEARCH_BOOL_SQL,
+        "search_mlt_sharded": SEARCH_MLT_SQL,
+        "search_fuzzy_sharded": SEARCH_FUZZY_SQL,
+        "search_wildcard_sharded": SEARCH_WILDCARD_SQL,
+        "search_query_string_sharded": QUERY_STRING_SQL,
+        "phrase_sharded": PHRASE_SQL,
+        "span_near_sharded": SPAN_NEAR_SQL,
+        "phrase_prefix_sharded": PHRASE_PREFIX_SQL,
         "search_lang_agg": SEARCH_LANG_AGG_SQL,
         "search_range_agg": SEARCH_RANGE_AGG_SQL,
         "search_filters_agg": SEARCH_FILTERS_AGG_SQL,

@@ -106,7 +106,8 @@ def prepare_terms(query_terms: list[str], rows_by_term: dict[str, list[tuple]],
         tp = merge_postings(runs)
         # tombstones: excluded from matching, but df/idf keep counting
         # them until compaction (Lucene deleted-doc semantics)
-        t_idf = (float(idf_by_term[term]) if idf_by_term is not None
+        _ov = idf_by_term.get(term) if idf_by_term is not None else None
+        t_idf = (float(_ov) if _ov is not None
                  else float(idf_fn(tp.df, n_docs)))
         if exclude_ids is not None and exclude_ids.size:
             keep = _excl_mask(tp.doc_ids, exclude_ids)
@@ -811,8 +812,11 @@ class PartActor:
 
     def __init__(self, index_dir: str, parts: list[int]):
         from .shard import load_tombstones
+        self.index_dir = index_dir
         self.readers = {p: ShardReader(index_dir, p) for p in parts}
         self.tombstones = load_tombstones(index_dir)
+        # lazily-built shard-local Searcher for exec_local (doc layout)
+        self._local: "Searcher | None" = None
         # sorted matched-values memo for the distributed-exact
         # percentile protocol: one match-set computation serves every
         # count_le probe round of a selection
@@ -828,6 +832,36 @@ class PartActor:
                 if rows:
                     out[t] = rows
         return out
+
+    def get_terms_all(self, field: str, terms: list[str]
+                      ) -> dict[str, list[tuple]]:
+        """Postings for ``terms`` from EVERY part this actor owns —
+        the doc-partitioned gather (a term's postings are sliced
+        across all doc shards, unlike the term-routed layout)."""
+        out: dict[str, list[tuple]] = {}
+        for r in self.readers.values():
+            for t in terms:
+                rows = r.raw_rows(field, t)
+                if rows:
+                    out.setdefault(t, []).extend(rows)
+        return out
+
+    def exec_local(self, method: str, kwargs: dict,
+                   idf_by_term: dict[str, float] | None = None):
+        """Run any Searcher query method against ONLY this actor's doc
+        shards (doc-partitioned layout): a shard-local Searcher adopts
+        the warm readers, global n_docs/avgdl come from the shared
+        manifest, and globally-summed idf arrives via
+        ``idf_by_term`` (dfs_query_then_fetch round 2).  Postings
+        never leave the actor — only the local top-k rows return."""
+        if self._local is None:
+            self._local = Searcher(self.index_dir, _readers=self.readers)
+        ls = self._local
+        ls._idf_overrides = idf_by_term
+        try:
+            return getattr(ls, method)(**kwargs)
+        finally:
+            ls._idf_overrides = None
 
     def ping(self) -> bool:
         return True
@@ -1028,7 +1062,8 @@ class Searcher:
     gathers postings, scores with WAND (default) or TAAT."""
 
     def __init__(self, index_dir: str, use_actors: bool = True,
-                 num_actors: int | None = None):
+                 num_actors: int | None = None,
+                 _readers: dict[int, "ShardReader"] | None = None):
         import json as _json
         import os as _os
         import zlib as _zlib
@@ -1038,6 +1073,25 @@ class Searcher:
         self.P = int(self.manifest["config"]["num_partitions"])
         self.stats = self.manifest["stats"]
         self._crc = _zlib.crc32
+        self._partition_by = self.manifest["config"].get(
+            "partition_by", "term")
+        # per-query global-idf injection for doc-sharded execution
+        # (dfs_query_then_fetch round 2 — see _exec_doc_sharded)
+        self._idf_overrides: dict[str, float] | None = None
+        if _readers is not None:
+            # shard-LOCAL searcher living inside a PartActor: adopts the
+            # actor's warm readers and executes the full query DSL over
+            # ONLY its doc shards (global stats come from the shared
+            # manifest; global idf arrives via _idf_overrides)
+            self.use_actors = False
+            self.readers = dict(_readers)
+            self._local_parts: list[int] | None = sorted(_readers)
+            self._filter_cache = {}
+            self._rows_cache = {}
+            from .shard import load_tombstones
+            self.tombstones = load_tombstones(index_dir)
+            return
+        self._local_parts = None
         self.use_actors = use_actors and ray.is_initialized()
         if self.use_actors:
             if num_actors is None:
@@ -1071,11 +1125,38 @@ class Searcher:
         query (reference parity: warm OpenSearch shard request cache)."""
         cache = self._rows_cache
         missing = [t for t in dict.fromkeys(terms) if (field, t) not in cache]
+        rows: dict[str, list[tuple]] = {}
+        if self._partition_by == "doc":
+            # doc-partitioned layout: a term's postings are sliced
+            # across EVERY shard — broadcast the request and merge run
+            # lists (merge_postings/_PhraseTerm re-sort, so run order
+            # across shards doesn't matter).  Prefer the doc-sharded
+            # query methods at scale; this gather keeps the whole DSL
+            # *correct* on doc indexes.
+            if missing:
+                if self.use_actors:
+                    for d in ray.get([a.get_terms_all.remote(field, missing)
+                                      for a in self.actors]):
+                        for t, r in d.items():
+                            rows.setdefault(t, []).extend(r)
+                else:
+                    for r in self.readers.values():
+                        for t in missing:
+                            got = r.raw_rows(field, t)
+                            if got:
+                                rows.setdefault(t, []).extend(got)
+            for t in missing:
+                if len(cache) < 4096:
+                    cache[(field, t)] = rows.get(t, [])
+            for t in dict.fromkeys(terms):
+                hit = cache.get((field, t))
+                if hit:
+                    rows[t] = hit
+            return rows
         by_part: dict[int, list[str]] = {}
         for t in missing:
             p = self._crc(f"{field}\x1f{t}".encode()) % self.P
             by_part.setdefault(p, []).append(t)
-        rows: dict[str, list[tuple]] = {}
         if self.use_actors:
             by_actor: dict[int, dict[int, list[str]]] = {}
             for p, ts in by_part.items():
@@ -1103,9 +1184,16 @@ class Searcher:
         key = (field, value)
         if key not in self._filter_cache:
             from .shard import load_filter_ids
+            # a shard-local searcher reads only its own doc parts'
+            # filter files (they're doc-range partitioned)
             self._filter_cache[key] = load_filter_ids(
-                self.index_dir, field, value)
+                self.index_dir, field, value, dparts=self._local_parts)
         return self._filter_cache[key]
+
+    def _range_ids(self, field: str, lo, hi) -> np.ndarray:
+        from .shard import load_range_ids
+        return load_range_ids(self.index_dir, field, lo, hi,
+                              dparts=self._local_parts)
 
     def search(self, query: str, field: str = "content", k: int = 10,
                mode: str = "or", method: str = "auto",
@@ -1122,6 +1210,25 @@ class Searcher:
         page's last hit — resumes the ranking strictly after the
         cursor (OpenSearch search_after parity: deep paging without
         accumulating offset cost)."""
+        if self._partition_by == "doc" and self._local_parts is None \
+                and self.use_actors and self._idf_overrides is None:
+            # doc-partitioned index: per-shard scoring is the default
+            # (scale-safe — postings never leave their shard); the
+            # driver-gather path below still serves term-partitioned
+            # indexes and shard-local execution
+            an = self._analyzer_for(field, analyzer)
+            toks = ANALYZERS[an](query)
+            if not toks:
+                return []
+            return self._exec_doc_sharded(
+                "search",
+                dict(query=query, field=field, k=k, mode=mode,
+                     method=method, filter_field=filter_field,
+                     filter_value=filter_value, range_field=range_field,
+                     range_lo=range_lo, range_hi=range_hi,
+                     analyzer=analyzer, search_after=search_after,
+                     k1=k1, b=b),
+                k, idf_terms=toks, field=field)
         if analyzer is None:
             analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
                              if f == field), "code")
@@ -1132,14 +1239,13 @@ class Searcher:
         avgdl = float(self.stats["avgdl"][field])
         n_docs = int(self.stats["n_docs"])
         terms = prepare_terms(q_terms, rows, n_docs, avgdl, k1, b,
+                              idf_by_term=self._idf_overrides,
                               exclude_ids=self.tombstones)
         filt = None
         if filter_field is not None:
             filt = self._filter_ids(filter_field, filter_value)
         if range_field is not None:
-            from .shard import load_range_ids
-            rids = load_range_ids(self.index_dir, range_field,
-                                  range_lo, range_hi)
+            rids = self._range_ids(range_field, range_lo, range_hi)
             filt = rids if filt is None else                 np.intersect1d(filt, rids, assume_unique=True)
         return _dispatch(method, terms, k, mode, avgdl, filt, k1, b,
                          search_after)
@@ -1178,9 +1284,11 @@ class Searcher:
         avgdl = float(self.stats["avgdl"][field])
         n_docs = int(self.stats["n_docs"])
         must_td = (prepare_terms(must_t, rows, n_docs, avgdl, k1, b,
+                                 idf_by_term=self._idf_overrides,
                                  exclude_ids=self.tombstones)
                    if must_t else [])
         should_td = (prepare_terms(should_t, rows, n_docs, avgdl, k1, b,
+                                   idf_by_term=self._idf_overrides,
                                    exclude_ids=self.tombstones)
                      if should_t else [])
         mn_ids = None
@@ -1193,9 +1301,7 @@ class Searcher:
         if filter_field is not None:
             filt = self._filter_ids(filter_field, filter_value)
         if range_field is not None:
-            from .shard import load_range_ids
-            rids = load_range_ids(self.index_dir, range_field,
-                                  range_lo, range_hi)
+            rids = self._range_ids(range_field, range_lo, range_hi)
             filt = rids if filt is None else \
                 np.intersect1d(filt, rids, assume_unique=True)
         return score_bool(must_td, should_td, k, avgdl, msm, mn_ids,
@@ -1274,6 +1380,27 @@ class Searcher:
         Scale note: term selection costs one (term, df) exchange with
         the shard actors — postings only travel for the final scored
         disjunction."""
+        chosen, msm, exclude = self._mlt_select(
+            like_text, doc_id, field, max_query_terms, min_term_freq,
+            min_doc_freq, max_doc_freq, minimum_should_match, analyzer)
+        if not chosen:
+            return []
+        hits = self.search_bool(should=chosen, field=field,
+                                k=k + (1 if exclude is not None else 0),
+                                minimum_should_match=max(msm, 1),
+                                analyzer=analyzer, k1=k1, b=b)
+        if exclude is not None:
+            hits = [(s, d) for s, d in hits if d != exclude][:k]
+        return hits
+
+    def _mlt_select(self, like_text, doc_id, field, max_query_terms,
+                    min_term_freq, min_doc_freq, max_doc_freq,
+                    minimum_should_match, analyzer
+                    ) -> tuple[list[str], int, int | None]:
+        """MLT term selection (shared by the term-partitioned and
+        doc-sharded execution paths): analyze the liked input, rank
+        candidate terms by tf * GLOBAL idf, keep the top
+        max_query_terms -> (chosen terms, resolved msm, excluded id)."""
         if analyzer is None:
             analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
                              if f == field), "code")
@@ -1285,21 +1412,21 @@ class Searcher:
                 raise ValueError(f"field {field!r} is not indexed")
             tbl = self.fetch_docs([int(doc_id)], columns=[col])
             if tbl is None or tbl.num_rows == 0:
-                return []
+                return [], 0, None
             v = tbl.column(col)[0].as_py()
             if not v:
-                return []
+                return [], 0, None
             like_text = v if like_text is None else f"{like_text} {v}"
             exclude = int(doc_id)
         elif like_text is None:
             raise ValueError("more_like_this needs like_text or doc_id")
         toks = ANALYZERS[analyzer](like_text)
         if not toks:
-            return []
+            return [], 0, None
         tfs = Counter(toks)
         cand = sorted(t for t, n in tfs.items() if n >= min_term_freq)
         if not cand:
-            return []
+            return [], 0, None
         dfs = self._term_dfs(field, cand)
         n_docs = int(self.stats["n_docs"])
         sel: list[tuple[float, str]] = []
@@ -1311,7 +1438,7 @@ class Searcher:
                 continue
             sel.append((tfs[t] * float(idf_fn(df, n_docs)), t))
         if not sel:
-            return []
+            return [], 0, None
         sel.sort(key=lambda it: (-it[0], it[1]))
         chosen = [t for _, t in sel[:max_query_terms]]
         if isinstance(minimum_should_match, float) \
@@ -1319,13 +1446,7 @@ class Searcher:
             msm = int(minimum_should_match * len(chosen))
         else:
             msm = int(minimum_should_match)
-        hits = self.search_bool(should=chosen, field=field,
-                                k=k + (1 if exclude is not None else 0),
-                                minimum_should_match=max(msm, 1),
-                                analyzer=analyzer, k1=k1, b=b)
-        if exclude is not None:
-            hits = [(s, d) for s, d in hits if d != exclude][:k]
-        return hits
+        return chosen, msm, exclude
 
     def _group_arrays(self, tds: list[TermData], avgdl: float,
                       k1: float, b: float) -> tuple[np.ndarray, np.ndarray]:
@@ -1389,6 +1510,7 @@ class Searcher:
                 ids, sc = np.zeros(0, np.uint64), np.zeros(0)
             else:
                 tds = prepare_terms(ts, rows, n_docs, avgdl, k1, b,
+                                    idf_by_term=self._idf_overrides,
                                     exclude_ids=self.tombstones)
                 ids, sc = self._group_arrays(tds, avgdl, k1, b)
             groups.append((c.occur, ids, sc))
@@ -1396,7 +1518,7 @@ class Searcher:
         must_sets: list[np.ndarray] = []
         mn_sets: list[np.ndarray] = []
         for c in phrases:
-            _, matches = self._phrase_candidates(c.text, field, analyzer,
+            _, _, matches = self._phrase_candidates(c.text, field, analyzer,
                                                  c.slop)
             ids = np.sort(np.array(list(matches), dtype=np.uint64))
             (mn_sets if c.occur == MUST_NOT else must_sets).append(ids)
@@ -1429,10 +1551,9 @@ class Searcher:
             filt = ids if filt is None else \
                 np.intersect1d(filt, ids, assume_unique=True)
         for f, lo, hi in parsed.ranges:
-            from .shard import load_range_ids
-            ids = load_range_ids(self.index_dir, f,
-                                 None if lo == float("-inf") else lo,
-                                 None if hi == float("inf") else hi)
+            ids = self._range_ids(f,
+                                  None if lo == float("-inf") else lo,
+                                  None if hi == float("inf") else hi)
             filt = ids if filt is None else \
                 np.intersect1d(filt, ids, assume_unique=True)
         if base is None:
@@ -1596,6 +1717,7 @@ class Searcher:
         avgdl = float(self.stats["avgdl"][field])
         n_docs = int(self.stats["n_docs"])
         td = prepare_terms(terms, rows, n_docs, avgdl, k1, b,
+                           idf_by_term=self._idf_overrides,
                            exclude_ids=self.tombstones)
         return score_taat(td, k, "or", avgdl, None, k1, b)
 
@@ -2366,11 +2488,12 @@ class Searcher:
 
     def _phrase_candidates(self, query: str, field: str,
                            analyzer: str | None, slop: int = 0
-                           ) -> tuple[list[_PhraseTerm], dict[int, int]]:
+                           ) -> tuple[list[str], list[_PhraseTerm],
+                                      dict[int, int]]:
         """Shared phrase machinery: analyze, gather, intersect doc sets
         (ids only — no position bytes touched), then lazily decode
         positions for surviving candidates and anchor-match.
-        -> (per-token terms, {doc_id: phrase_tf})."""
+        -> (tokens, per-token terms, {doc_id: phrase_tf})."""
         if not self.manifest["config"].get("store_positions"):
             raise ValueError(
                 "index was built without positions (IndexConfig."
@@ -2380,20 +2503,20 @@ class Searcher:
                              if f == field), "code")
         toks, poss = POSITIONAL_ANALYZERS[analyzer](query)
         if not toks:
-            return [], {}
+            return [], [], {}
         rows = self._gather(field, toks)
         terms: list[_PhraseTerm] = []
         for tok, off in zip(toks, poss):
             r = rows.get(tok)
             if not r:
-                return [], {}       # a missing token can never phrase-match
+                return toks, [], {}  # a missing token can never phrase-match
             terms.append(_PhraseTerm(off, r))
         # intersect candidate docs smallest-first — ids only
         ordered = sorted(terms, key=lambda t: t.df)
         base = ordered[0].all_docs()
         for t in ordered[1:]:
             if base.size == 0:
-                return terms, {}
+                return toks, terms, {}
             docs = t.all_docs()
             pos = np.minimum(np.searchsorted(docs, base),
                              max(docs.size - 1, 0))
@@ -2429,7 +2552,7 @@ class Searcher:
                 n = self._sloppy_count(shifted, slop)
                 if n:
                     matches[int(d)] = n
-        return terms, matches
+        return toks, terms, matches
 
     def match_phrase_prefix(self, query: str, field: str = "content",
                             k: int = 10, max_expansions: int = 50,
@@ -2521,7 +2644,7 @@ class Searcher:
         displaced terms: a window matches when one position per term
         fits within ``slop`` after phrase-offset subtraction (slop=0 is
         the exact adjacency phrase)."""
-        _, matches = self._phrase_candidates(query, field, analyzer, slop)
+        _, _, matches = self._phrase_candidates(query, field, analyzer, slop)
         ranked = sorted(matches.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         return [(tf, d) for d, tf in ranked]
 
@@ -2534,12 +2657,16 @@ class Searcher:
         dl, avgdl) — Lucene PhraseQuery scoring shape (phraseFreq
         through the term-frequency saturation, idf summed over the
         phrase's terms), ties (score desc, doc_id asc)."""
-        terms, matches = self._phrase_candidates(query, field, analyzer)
+        toks, terms, matches = self._phrase_candidates(query, field, analyzer)
         if not matches:
             return []
         n_docs = int(self.stats["n_docs"])
         avgdl = float(self.stats["avgdl"][field])
-        idf_sum = float(sum(idf_fn(t.df, n_docs) for t in terms))
+        ov = self._idf_overrides
+        idf_sum = float(sum(
+            (ov[tok] if ov is not None and tok in ov
+             else idf_fn(t.df, n_docs))
+            for tok, t in zip(toks, terms)))
         out: list[tuple[float, int]] = []
         for d, ptf in matches.items():
             nrm = terms[0].norm_for(np.uint64(d))
@@ -2618,6 +2745,243 @@ class Searcher:
         merged = [h for hs in shard_hits for h in hs]
         merged.sort(key=lambda sd: (-sd[0], sd[1]))
         return merged[:k]
+
+    # --- full query DSL on the doc-sharded layout ------------------
+    # Every method below is the scale-default execution shape
+    # (OpenSearch parity: queries execute per doc shard,
+    # command_index.txt:8): round 1 sums per-shard df into global idf
+    # where scoring needs it, round 2 ships the query to each
+    # PartActor whose shard-local Searcher runs the SAME code path
+    # over only its doc slice, and the driver merges P*k rows.
+    # Doc shards are disjoint, so the merged top-k is exact.
+
+    def _analyzer_for(self, field: str, analyzer: str | None) -> str:
+        if analyzer is not None:
+            return analyzer
+        return next((a for f, _, a in self.manifest["config"]["fields"]
+                     if f == field), "code")
+
+    def _exec_doc_sharded(self, method: str, kwargs: dict, k: int,
+                          idf_terms: list[str] | None = None,
+                          field: str = "content") -> list[tuple]:
+        """Scatter ``method(**kwargs)`` to every shard group and merge
+        the local top-k lists by (rank-key desc, doc_id asc) — exact
+        because doc shards partition the corpus.  ``idf_terms`` adds
+        the dfs round: global df -> idf, injected into each shard's
+        prepare_terms/phrase scoring via _idf_overrides."""
+        if self._partition_by != "doc":
+            raise ValueError("doc-sharded execution needs an index built "
+                             "with IndexConfig(partition_by='doc')")
+        idf: dict[str, float] | None = None
+        if idf_terms:
+            uniq = list(dict.fromkeys(idf_terms))
+            n_docs = int(self.stats["n_docs"])
+            dfs = self._term_dfs(field, uniq)
+            idf = {t: float(idf_fn(dfs.get(t, 0), n_docs)) for t in uniq}
+        if self.use_actors:
+            shard_hits = ray.get([a.exec_local.remote(method, kwargs, idf)
+                                  for a in self.actors])
+        else:
+            # non-actor fallback: all parts live in this process, so the
+            # plain driver path (gather merges every shard's runs) IS
+            # the whole-corpus execution — overrides are consistent
+            self._idf_overrides = idf
+            try:
+                return getattr(self, method)(**kwargs)
+            finally:
+                self._idf_overrides = None
+        merged = [h for hs in shard_hits for h in hs]
+        merged.sort(key=lambda t: (-t[0], t[1]))
+        return merged[:k]
+
+    def search_bool_sharded(self, must: list[str] | None = None,
+                            should: list[str] | None = None,
+                            must_not: list[str] | None = None,
+                            field: str = "content", k: int = 10,
+                            minimum_should_match: int | None = None,
+                            filter_field: str | None = None,
+                            filter_value: str | None = None,
+                            range_field: str | None = None,
+                            range_lo=None, range_hi=None,
+                            analyzer: str | None = None,
+                            k1: float = K1, b: float = B
+                            ) -> list[tuple[float, int]]:
+        """:meth:`search_bool` executed per doc shard (must_not /
+        filters / ranges apply inside each shard against its own doc
+        slice; scoring uses global idf)."""
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        toks = [t for s in (must or []) + (should or []) for t in an(s)]
+        return self._exec_doc_sharded(
+            "search_bool",
+            dict(must=must, should=should, must_not=must_not, field=field,
+                 k=k, minimum_should_match=minimum_should_match,
+                 filter_field=filter_field, filter_value=filter_value,
+                 range_field=range_field, range_lo=range_lo,
+                 range_hi=range_hi, analyzer=analyzer, k1=k1, b=b),
+            k, idf_terms=toks, field=field)
+
+    def phrase_search_sharded(self, query: str, field: str = "content",
+                              k: int = 10, analyzer: str | None = None,
+                              slop: int = 0) -> list[tuple[int, int]]:
+        """:meth:`phrase_search` per doc shard — positions decode where
+        they live; only (phrase_tf, doc_id) rows travel.  phrase_tf is
+        a pure per-doc count, so no dfs round is needed."""
+        return self._exec_doc_sharded(
+            "phrase_search",
+            dict(query=query, field=field, k=k, analyzer=analyzer,
+                 slop=slop), k)
+
+    def phrase_search_scored_sharded(self, query: str,
+                                     field: str = "content", k: int = 10,
+                                     analyzer: str | None = None,
+                                     k1: float = K1, b: float = B
+                                     ) -> list[tuple[float, int]]:
+        """:meth:`phrase_search_scored` per doc shard with global idf
+        for the phrase tokens (Lucene PhraseQuery idf-sum)."""
+        toks, _ = POSITIONAL_ANALYZERS[
+            self._analyzer_for(field, analyzer)](query)
+        return self._exec_doc_sharded(
+            "phrase_search_scored",
+            dict(query=query, field=field, k=k, analyzer=analyzer,
+                 k1=k1, b=b),
+            k, idf_terms=toks, field=field)
+
+    def match_phrase_prefix_sharded(self, query: str,
+                                    field: str = "content", k: int = 10,
+                                    max_expansions: int = 50,
+                                    analyzer: str | None = None
+                                    ) -> list[tuple[int, int]]:
+        """:meth:`match_phrase_prefix` per doc shard.  The prefix
+        expands against each shard's OWN dictionary (Lucene rewrites
+        multi-term queries per segment) — a term absent from a shard
+        can't match there anyway, so results equal the global-dict
+        rewrite whenever the expansion fits max_expansions."""
+        return self._exec_doc_sharded(
+            "match_phrase_prefix",
+            dict(query=query, field=field, k=k,
+                 max_expansions=max_expansions, analyzer=analyzer), k)
+
+    def span_near_sharded(self, terms: list[str], field: str = "content",
+                          slop: int = 0, k: int = 10,
+                          analyzer: str | None = None,
+                          in_order: bool = True) -> list[tuple[int, int]]:
+        """:meth:`span_near` per doc shard (pure position counts)."""
+        return self._exec_doc_sharded(
+            "span_near",
+            dict(terms=terms, field=field, slop=slop, k=k,
+                 analyzer=analyzer, in_order=in_order), k)
+
+    def span_query_sharded(self, expr, field: str = "content", k: int = 10,
+                           analyzer: str | None = None
+                           ) -> list[tuple[int, int]]:
+        """:meth:`span_query` (composable span algebra) per doc shard."""
+        return self._exec_doc_sharded(
+            "span_query",
+            dict(expr=expr, field=field, k=k, analyzer=analyzer), k)
+
+    def more_like_this_sharded(self, like_text: str | None = None,
+                               doc_id: int | None = None,
+                               field: str = "content", k: int = 10,
+                               max_query_terms: int = 25,
+                               min_term_freq: int = 1,
+                               min_doc_freq: int = 2,
+                               max_doc_freq: int | None = None,
+                               minimum_should_match: float | int = 0.3,
+                               analyzer: str | None = None,
+                               k1: float = K1, b: float = B
+                               ) -> list[tuple[float, int]]:
+        """:meth:`more_like_this` with doc-sharded scoring: term
+        selection is global (one (term, df) exchange + one docstore
+        fetch), then the chosen disjunction runs per shard."""
+        chosen, msm, exclude = self._mlt_select(
+            like_text, doc_id, field, max_query_terms, min_term_freq,
+            min_doc_freq, max_doc_freq, minimum_should_match, analyzer)
+        if not chosen:
+            return []
+        hits = self.search_bool_sharded(
+            should=chosen, field=field,
+            k=k + (1 if exclude is not None else 0),
+            minimum_should_match=max(msm, 1), analyzer=analyzer,
+            k1=k1, b=b)
+        if exclude is not None:
+            hits = [(s, d) for s, d in hits if d != exclude][:k]
+        return hits
+
+    def _expanded_or_sharded(self, terms: list[str], field: str, k: int,
+                             k1: float, b: float) -> list[tuple[float, int]]:
+        if not terms:
+            return []
+        return self._exec_doc_sharded(
+            "_expanded_or", dict(terms=terms, field=field, k=k, k1=k1, b=b),
+            k, idf_terms=terms, field=field)
+
+    def prefix_search_sharded(self, prefix: str, field: str = "content",
+                              k: int = 10, max_expansions: int = 1024,
+                              k1: float = K1, b: float = B
+                              ) -> list[tuple[float, int]]:
+        """:meth:`prefix_search` doc-sharded: the dictionary scan
+        already runs actor-side; the expanded OR then scores per shard
+        with globally-summed df per expansion."""
+        terms = self.expand_terms(prefix.lower(), field, "prefix",
+                                  max_expansions)
+        return self._expanded_or_sharded(terms, field, k, k1, b)
+
+    def wildcard_search_sharded(self, pattern: str, field: str = "content",
+                                k: int = 10, max_expansions: int = 1024,
+                                k1: float = K1, b: float = B
+                                ) -> list[tuple[float, int]]:
+        terms = self.expand_terms(pattern.lower(), field, "wildcard",
+                                  max_expansions)
+        return self._expanded_or_sharded(terms, field, k, k1, b)
+
+    def regexp_search_sharded(self, pattern: str, field: str = "content",
+                              k: int = 10, max_expansions: int = 1024,
+                              k1: float = K1, b: float = B
+                              ) -> list[tuple[float, int]]:
+        terms = self.expand_terms(pattern.lower(), field, "regexp",
+                                  max_expansions)
+        return self._expanded_or_sharded(terms, field, k, k1, b)
+
+    def fuzzy_search_sharded(self, term: str, field: str = "content",
+                             fuzziness: int = 1, k: int = 10,
+                             max_expansions: int = 50,
+                             k1: float = K1, b: float = B
+                             ) -> list[tuple[float, int]]:
+        terms = self.expand_terms(term.lower(), field, "fuzzy",
+                                  max_expansions, fuzziness=fuzziness)
+        return self._expanded_or_sharded(terms, field, k, k1, b)
+
+    def query_string_sharded(self, qs: str, field: str = "content",
+                             k: int = 10, max_expansions: int = 1024,
+                             analyzer: str | None = None,
+                             k1: float = K1, b: float = B
+                             ) -> list[tuple[float, int]]:
+        """:meth:`query_string` per doc shard: the driver pre-expands
+        pattern clauses against the GLOBAL dictionary to compute each
+        scoring token's global idf; phrase clauses are filter-context
+        (no idf) and evaluate on local positions."""
+        from .querystring import parse_query_string
+        parsed = parse_query_string(qs)
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        toks: list[str] = []
+        for c in parsed.clauses:
+            if c.kind == "term":
+                toks += an(c.text)
+            elif c.kind == "prefix":
+                toks += self.expand_terms(c.text.lower(), field, "prefix",
+                                          max_expansions)
+            elif c.kind == "wildcard":
+                toks += self.expand_terms(c.text.lower(), field, "wildcard",
+                                          max_expansions)
+            elif c.kind == "fuzzy":
+                toks += self.expand_terms(c.text.lower(), field, "fuzzy",
+                                          max_expansions,
+                                          fuzziness=c.fuzziness)
+        return self._exec_doc_sharded(
+            "query_string",
+            dict(qs=qs, field=field, k=k, max_expansions=max_expansions,
+                 analyzer=analyzer, k1=k1, b=b),
+            k, idf_terms=toks, field=field)
 
     def search_multi(self, query: str,
                      fields: list[tuple[str, float]] | None = None,
