@@ -1945,6 +1945,48 @@ FROM events GROUP BY index_name
 """
 
 
+def etl_raw_logs(sf_dir: str) -> pd.DataFrame:
+    """Config-driven raw-log ETL end-to-end (the reference's flagship
+    es-loader path): a deterministic raw fixture derived from the
+    events table — gzip'd CloudTrail-style Records envelopes, header
+    CSV, syslog-style text — is parsed from BYTES through the ini
+    -driven readers/transforms/exclusions to routed per-index
+    summaries.  The oracle recomputes the identical answer straight
+    from the events view, so the whole byte-level chain
+    (decompress -> fan-out -> regex/CSV/JSON parse -> rename ->
+    timestamp -> exclusion -> monthly routing) sits inside the hash
+    gate."""
+    from .etl_demo import etl_raw_logs_summary, write_raw_log_fixture
+    return etl_raw_logs_summary(write_raw_log_fixture(sf_dir))
+
+
+ETL_RAW_LOGS_SQL = """
+WITH base AS (
+  SELECT event_id, ts, user_id, event_type, value,
+         CASE CAST(event_id % 3 AS INTEGER)
+           WHEN 0 THEN 'cloudtrail_like'
+           WHEN 1 THEN 'alb_like'
+           ELSE 'syslog_like' END AS logtype,
+         CASE CAST(event_id % 3 AS INTEGER)
+           WHEN 0 THEN 'log-aws-cloudtrail'
+           WHEN 1 THEN 'log-aws-alb'
+           ELSE 'log-linux-syslog' END AS idx
+  FROM events),
+kept AS (SELECT * FROM base
+         WHERE NOT (logtype = 'cloudtrail_like' AND event_type = 'view'))
+SELECT logtype,
+       idx || '-' || CASE logtype
+         WHEN 'alb_like' THEN strftime(ts, '%Y-w%W')
+         WHEN 'syslog_like' THEN strftime(ts, '%Y-%m-%d')
+         ELSE strftime(ts, '%Y-%m') END AS index_name,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_e2
+FROM kept GROUP BY 1, 2
+"""
+
+
 def minhash_pairs(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH near-dup pairs with fully distributed exact-Jaccard
     verification (no driver-side corpus materialization — only the
@@ -2151,6 +2193,7 @@ def queries() -> dict:
         "orders_monthly": orders_monthly,
         "events_weekly": events_weekly,
         "user_stats": user_stats,
+        "etl_raw_logs": etl_raw_logs,
         "minhash_pairs": minhash_pairs,
         # rows-only (non-SQL-expressible: blake2b signatures / ANN internals)
         "simhash_docs": simhash_docs,
@@ -2222,5 +2265,6 @@ def oracle_sql() -> dict:
         "orders_monthly": ORDERS_MONTHLY_SQL,
         "events_weekly": EVENTS_WEEKLY_SQL,
         "user_stats": USER_STATS_SQL,
+        "etl_raw_logs": ETL_RAW_LOGS_SQL,
         "minhash_pairs": MINHASH_PAIRS_SQL,
     }
