@@ -116,42 +116,43 @@ def code_tokens(text: str) -> list[str]:
     return out
 
 
-# Unicode word analyzer: \w+ runs (all scripts) with CJK ideographs
-# and hiragana emitted one-per-character (Lucene's standard UAX#29
-# tokenizer emits Han and Hiragana singly; Katakana runs stay
-# together) — the behaviors that matter for multilingual text fields.
-# A documented approximation, not a full UAX#29 implementation.
-_UNI_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
-_HAN = "\u3400-\u4dbf\u4e00-\u9fff\uf900-\ufaff\u3040-\u309f"
-_HAN_SPLIT_RE = re.compile(f"[{_HAN}]|[^{_HAN}]+")
-_HAN_CHAR_RE = re.compile(f"[{_HAN}]")
+# Unicode word analyzer: full UAX#29 word-break rule machine (see
+# uax29.py — WB1-WB16 over a table-driven property classifier) +
+# lowercase, matching Lucene's standard tokenizer: contractions and
+# decimals stay single tokens (can't / 3.14 / wi.fi), Han and Hiragana
+# emit one token per character, Katakana and SE-Asian runs stay
+# together, snake_case joins via ExtendNumLet.
+#
+# Memoized per whitespace-delimited chunk: the splitting whitespace
+# classes below all force UAX#29 boundaries themselves (WSegSpace or
+# Other) and never participate in a join rule, so pre-splitting
+# preserves the token stream exactly while amortizing the rule machine
+# over distinct chunks.  NNBSP (U+202F) is deliberately NOT in the
+# split set — it is ExtendNumLet glue.
+_SAFE_WS_RE = re.compile("[ \t\r\n\x0b\x0c\x85\xa0\u1680\u2000-\u200a\u2028\u2029\u205f\u3000\u2007]+")
 _UNI_CACHE: dict[str, tuple[str, ...]] = {}
 
 
-def _unicode_expand(raw: str) -> tuple[str, ...]:
-    # split only when a CJK/hiragana char is actually present — the
-    # dominant non-CJK token path skips the findall entirely
-    pieces = (_HAN_SPLIT_RE.findall(raw)
-              if len(raw) > 1 and _HAN_CHAR_RE.search(raw) else [raw])
-    return tuple(_truncate_term(p.lower()) for p in pieces if p)
-
-
 def unicode_tokens(text: str) -> list[str]:
-    """Unicode analyzer (SURVEY missing item: non-ASCII text fields):
-    script-aware \\w+ runs, lowercased (Unicode-aware), each CJK
-    ideograph its own token.
+    """Unicode analyzer: UAX#29 word-break tokens, lowercased (the
+    Lucene standard-analyzer contract for non-ASCII text fields).
 
     >>> unicode_tokens("Café Straße работает 日本語です")
     ['café', 'straße', 'работает', '日', '本', '語', 'で', 'す']
+    >>> unicode_tokens("can't stop 3.14 snake_case")
+    ["can't", 'stop', '3.14', 'snake_case']
     """
+    from .uax29 import tokenize as _uax_tokenize
     cache = _UNI_CACHE
     out: list[str] = []
-    for raw in _UNI_TOKEN_RE.findall(text):
-        e = cache.get(raw)
+    for chunk in _SAFE_WS_RE.split(text):
+        if not chunk:
+            continue
+        e = cache.get(chunk)
         if e is None:
-            e = _unicode_expand(raw)
+            e = tuple(_truncate_term(t) for t in _uax_tokenize(chunk))
             if len(cache) < _CACHE_LIMIT:
-                cache[raw] = e
+                cache[chunk] = e
         out.extend(e)
     return out
 
