@@ -56,6 +56,13 @@ def run_suite() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # keep the one-line JSON result the ONLY bench output: Ray Data's
+    # advisory warnings (object-store sizing, transient no-CPU hints,
+    # schema-dedup notes) go through these loggers, not our code
+    import logging
+    for name in ("ray.data", "ray.data._internal",
+                 "ray._private.worker"):
+        logging.getLogger(name).setLevel(logging.ERROR)
 
     from siem_on_amazon_opensearch_service_ray.corpus import generate_corpus
     from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (

@@ -1388,6 +1388,17 @@ def extend_index(new_source, index_dir: str,
     avgdl) are combined in the manifest; keyword-filter parts for the
     new docstore files are added by the per-file-fingerprinted PASS C.
 
+    Chronology guarantee: generations are UNORDERED and query results
+    are independent of ingestion order.  This is safe by construction,
+    not convention — the upsert guard below rejects any generation
+    whose doc ids collide with live docs (double-count) or tombstones
+    (revival), so no two runs of one term can ever disagree about a
+    doc and merge order cannot matter.  Corollary: "latest version
+    wins" semantics require the explicit upsert flow (``delete_docs``
+    -> ``compact_index`` -> ``extend_index``); there is no implicit
+    last-writer-wins across generations.  Order-independence is
+    regression-tested (extend A,B == extend B,A, rank+score).
+
     Assumes the new generation's doc_ids are disjoint from existing
     ones (true for content-derived ids over newly arrived objects);
     re-ingesting an identical generation is a no-op (fingerprint

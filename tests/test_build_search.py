@@ -1051,3 +1051,63 @@ def test_direct_shuffle_positional_and_source(ray_session, small_corpus,
     assert s.phrase_search("def return", k=5) == \
         Searcher(str(root / "pos_sort"),
                  use_actors=False).phrase_search("def return", k=5)
+
+
+def test_extend_order_independence(ray_session, tmp_path_factory):
+    """Chronology guarantee (extend_index docstring): generations are
+    unordered — ingesting A then B yields rank+score-identical queries
+    (and identical combined stats) to B then A, because the upsert
+    guard makes id collisions impossible and disjoint runs merge
+    commutatively."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
+        extend_index)
+
+    def corpus(lo, hi, tag):
+        return pa.table({
+            "doc_id": pa.array(range(lo, hi), pa.int64()),
+            "text": [f"{tag} shared corpus token doc_{i} alpha" +
+                     (" beta" if i % 2 else "")
+                     for i in range(lo, hi)],
+            "lang": pa.array(["en" if i % 3 else "go"
+                              for i in range(lo, hi)], pa.string()),
+        })
+
+    cfg = IndexConfig(num_partitions=4, fields=(("text", "text", "base"),),
+                      keyword_fields=("lang",), doc_id_col="doc_id",
+                      sha_col="text", salting=False)
+    root = tmp_path_factory.mktemp("extorder")
+    srcs = {}
+    for name, tbl in (("base", corpus(0, 30, "zero")),
+                      ("a", corpus(100, 140, "one")),
+                      ("b", corpus(200, 250, "two"))):
+        srcs[name] = str(root / f"{name}.parquet")
+        pq.write_table(tbl, srcs[name])
+
+    dirs = {}
+    for order in ("ab", "ba"):
+        idx = str(root / f"idx_{order}")
+        build_index([srcs["base"]], idx, cfg)
+        for g in order:
+            extend_index([srcs[g]], idx, cfg)
+        dirs[order] = idx
+
+    import json as _json
+    stats = []
+    for idx in dirs.values():
+        with open(os.path.join(idx, "INDEX_MANIFEST.json")) as f:
+            m = _json.load(f)
+        stats.append((m["stats"]["n_docs"], m["stats"]["total_tf"]))
+    assert stats[0] == stats[1]
+
+    s_ab = Searcher(dirs["ab"], use_actors=False)
+    s_ba = Searcher(dirs["ba"], use_actors=False)
+    for q in ("shared corpus", "alpha beta", "doc_105", "token",
+              "zz_nothing"):
+        assert s_ab.search(q, field="text", k=50) == \
+            s_ba.search(q, field="text", k=50), q
+    assert s_ab.search("token", field="text", k=100,
+                       filter_field="lang", filter_value="go") == \
+        s_ba.search("token", field="text", k=100,
+                    filter_field="lang", filter_value="go")
