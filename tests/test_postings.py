@@ -106,3 +106,25 @@ def test_match_part_files_width_agnostic():
     assert match_part_files(names, [12345]) == names[3:]
     assert match_part_files(names, [12]) == ["part-0012.parquet"]
     assert match_part_files(names, [2]) == []
+
+
+def test_encode_postings_batch_byte_identity():
+    """encode_postings_batch must equal the per-run encoder byte for
+    byte on every run-size shape (incl. empty runs, 1-posting runs,
+    multi-block runs crossing the 128 boundary)."""
+    import numpy as np
+    from siem_on_amazon_opensearch_service_ray.postings import (
+        encode_postings, encode_postings_batch)
+    rng = np.random.default_rng(3)
+    runs = []
+    for n in (0, 1, 2, 127, 128, 129, 1000, 5000):
+        ids = np.unique(rng.integers(0, 2**63, n + 8, dtype=np.uint64))[:n]
+        tfs = rng.integers(1, 300, ids.size).astype(np.uint32)
+        nms = rng.integers(0, 255, ids.size).astype(np.uint8)
+        runs.append((ids, tfs, nms))
+    want = [encode_postings(*r) for r in runs]
+    got = encode_postings_batch([r[0] for r in runs],
+                                [r[1] for r in runs],
+                                [r[2] for r in runs])
+    assert got == want
+    assert encode_postings_batch([], [], []) == []
