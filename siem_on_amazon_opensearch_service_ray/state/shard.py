@@ -101,29 +101,46 @@ class ShardReader:
                 cols = [t.column(c) for c in
                         ("field", "term", "df", "docs", "tfs", "norms", "skip")]
                 pos_c = t.column("pos") if has_pos else None
+                # pass 1: collect rows; LUT segments decode ordinals ->
+                # real ids and defer the (expensive) re-encode
+                pending: list[tuple] = []          # (key, df, pos, idx)
+                remap_ids: list[np.ndarray] = []
+                remap_tfs: list[np.ndarray] = []
+                remap_nms: list[np.ndarray] = []
                 for i in range(t.num_rows):
                     key = (cols[0][i].as_py(), cols[1][i].as_py())
                     if key[0] == "\x00lut":
                         continue
                     df_i = cols[2][i].as_py()
-                    docs_b = cols[3][i].as_py()
-                    tfs_b = cols[4][i].as_py()
-                    norms_b = cols[5][i].as_py()
-                    skip_b = cols[6][i].as_py()
+                    pos_b = pos_c[i].as_py() if has_pos else b""
                     if lut is not None:
                         # on-disk postings are dense ordinals into the
                         # segment LUT — remap to real ids once at load
                         # so every downstream decode path is untouched
+                        docs_b = cols[3][i].as_py()
                         ords = np.cumsum(
                             _vdec(docs_b, df_i), dtype=np.uint64)
-                        real = lut[ords.astype(np.int64)]
-                        tfs = _vdec(tfs_b, df_i).astype(np.uint32)
-                        norms = np.frombuffer(norms_b, dtype=np.uint8)
-                        docs_b, tfs_b, norms_b, skip_b = \
-                            _enc_postings(real, tfs, norms)
-                    row = (df_i, docs_b, tfs_b, norms_b, skip_b,
-                           pos_c[i].as_py() if has_pos else b"")
-                    self.terms.setdefault(key, []).append(row)
+                        remap_ids.append(lut[ords.astype(np.int64)])
+                        remap_tfs.append(
+                            _vdec(cols[4][i].as_py(), df_i)
+                            .astype(np.uint32))
+                        remap_nms.append(np.frombuffer(
+                            cols[5][i].as_py(), dtype=np.uint8))
+                        pending.append((key, df_i, pos_b))
+                    else:
+                        row = (df_i, cols[3][i].as_py(), cols[4][i].as_py(),
+                               cols[5][i].as_py(), cols[6][i].as_py(),
+                               pos_b)
+                        self.terms.setdefault(key, []).append(row)
+                if pending:
+                    # pass 2: ONE vectorized re-encode for the whole
+                    # segment (byte-identical to per-row encodes)
+                    from ..postings import encode_postings_batch
+                    packed = encode_postings_batch(remap_ids, remap_tfs,
+                                                   remap_nms)
+                    for (key, df_i, pos_b), blobs in zip(pending, packed):
+                        self.terms.setdefault(key, []).append(
+                            (df_i, *blobs, pos_b))
         with open(os.path.join(index_dir, "INDEX_MANIFEST.json")) as f:
             self.manifest = json.load(f)
         self.stats = self.manifest["stats"]
