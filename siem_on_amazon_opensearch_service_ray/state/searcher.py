@@ -308,18 +308,21 @@ def score_bool(must: list[TermData], should: list[TermData], k: int,
 
 
 # WAND's per-evaluated-doc cost is Python-level (~50us) while TAAT is
-# numpy-vectorized (~0.5us/posting): the skip-based path only wins when
-# the candidate set is tiny.  In a compiled engine this crossover sits
-# orders of magnitude higher — the block-max machinery and its tests
-# carry the design; `auto` picks the practical winner per query.
-WAND_EVAL_BUDGET = 5_000
+# numpy-vectorized (~0.5us/posting), so measured head-to-head TAAT wins
+# at EVERY posting count in this interpreted engine (18x at 200
+# postings, 90x at 5k — block-max skips cannot amortize the cursor
+# loop).  In a compiled engine the crossover favors WAND on long
+# lists; the block-max machinery and its exactness tests carry that
+# design, `method="wand"` exercises it explicitly, and `auto` picks
+# the practical winner.  The old 5,000-posting budget was tuned when
+# only the driver scored; per-shard dfs on the doc-partitioned layout
+# landed inside it and cost ~50ms/shard — hence the unconditional pick.
 
 
 def choose_method(terms: list[TermData], mode: str) -> str:
     if mode == "and":
         return "and"
-    total = sum(t.doc_ids.size for t in terms)
-    return "wand" if total <= WAND_EVAL_BUDGET else "taat"
+    return "taat"
 
 
 class _Cursor:
@@ -1088,6 +1091,7 @@ class Searcher:
             self._local_parts: list[int] | None = sorted(_readers)
             self._filter_cache = {}
             self._rows_cache = {}
+            self._df_cache = {}
             from .shard import load_tombstones
             self.tombstones = load_tombstones(index_dir)
             return
@@ -1111,6 +1115,7 @@ class Searcher:
             self.readers = {p: ShardReader(index_dir, p) for p in range(self.P)}
         self._filter_cache: dict[tuple[str, str], np.ndarray] = {}
         self._rows_cache: dict[tuple[str, str], list[tuple]] = {}
+        self._df_cache: dict[tuple[str, str], int] = {}
         from .shard import load_tombstones
         self.tombstones = load_tombstones(index_dir)
 
@@ -1311,20 +1316,40 @@ class Searcher:
         """Global df per term (sums across parts — correct on both the
         term-partitioned layout, where a term lives in one part plus
         its salted copies, and the doc-partitioned one, where every
-        shard holds a slice).  Only (term, count) pairs travel."""
-        if self.use_actors:
-            out: dict[str, int] = {}
-            for d in ray.get([a.get_dfs.remote(field, terms)
-                              for a in self.actors]):
-                for t, n in d.items():
-                    out[t] = out.get(t, 0) + n
-            return out
-        out = {}
-        for r in self.readers.values():
-            for t in terms:
-                d = r.df(field, t)
-                if d:
-                    out[t] = out.get(t, 0) + d
+        shard holds a slice).  Only (term, count) pairs travel, and a
+        bounded per-searcher cache makes repeat terms free (df is
+        immutable for a given index state — the same staleness
+        contract as _rows_cache; OpenSearch likewise caches per-shard
+        term statistics), so a warm doc-sharded query pays ONE scatter
+        round, not two."""
+        cache = self._df_cache
+        missing = [t for t in dict.fromkeys(terms)
+                   if (field, t) not in cache]
+        if missing:
+            got: dict[str, int] = {}
+            if self.use_actors:
+                for d in ray.get([a.get_dfs.remote(field, missing)
+                                  for a in self.actors]):
+                    for t, n in d.items():
+                        got[t] = got.get(t, 0) + n
+            else:
+                for r in self.readers.values():
+                    for t in missing:
+                        d = r.df(field, t)
+                        if d:
+                            got[t] = got.get(t, 0) + d
+            for t in missing:
+                if len(cache) < 65536:
+                    cache[(field, t)] = got.get(t, 0)
+        else:
+            got = {}
+        out: dict[str, int] = {}
+        for t in dict.fromkeys(terms):
+            n = cache.get((field, t))
+            if n is None:                 # cache full: serve this call
+                n = got.get(t, 0)
+            if n:
+                out[t] = n
         return out
 
     def fetch_docs(self, doc_ids, columns: list[str] | None = None):
@@ -2707,18 +2732,7 @@ class Searcher:
         uniq_terms = list(dict.fromkeys(q_terms))
         n_docs = int(self.stats["n_docs"])
         avgdl = float(self.stats["avgdl"][field])
-        if self.use_actors:
-            df_parts = ray.get([a.get_dfs.remote(field, uniq_terms)
-                                for a in self.actors])
-        else:
-            df_parts = []
-            for r in self.readers.values():
-                d = {t: r.df(field, t) for t in uniq_terms}
-                df_parts.append({t: v for t, v in d.items() if v})
-        global_df: dict[str, int] = {}
-        for d in df_parts:
-            for t, v in d.items():
-                global_df[t] = global_df.get(t, 0) + int(v)
+        global_df = self._term_dfs(field, uniq_terms)
         idf_by_term = {t: float(idf_fn(global_df.get(t, 0), n_docs))
                        for t in uniq_terms}
         if self.use_actors:
