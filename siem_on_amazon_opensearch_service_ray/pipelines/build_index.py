@@ -1529,6 +1529,9 @@ class _CompactPart:
         rdr = ShardReader(self.index_dir, part)
         if not rdr.terms:
             return
+        # compaction walks every term: batch the whole part's
+        # ordinal->id remap up front instead of per-term lazy remaps
+        rdr.materialize_all()
         with_pos = bool(self.cfg.store_positions)
         cols: dict[str, list] = {k: [] for k in
                                  ("field", "term", "docs", "tfs",

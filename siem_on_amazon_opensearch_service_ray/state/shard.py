@@ -89,7 +89,17 @@ class ShardReader:
         self.index_dir = index_dir
         self.part = part
         part_dir = os.path.join(index_dir, "parts", f"part-{part:04d}")
-        # (field, term) -> list of raw rows (df, docs, tfs, norms, skip)
+        # (field, term) -> list of rows.  Materialized rows are
+        # 6-tuples (df, docs, tfs, norms, skip, pos) with doc ids in
+        # real-id space; rows from a LUT segment load as 7-tuples with
+        # the segment's LUT appended and ordinal-space blobs, and are
+        # remapped LAZILY on first access (_rows).  Startup therefore
+        # only scans the term dictionary — at 100-TB shard sizes the
+        # vocabulary is huge and queries touch a sliver of it, so
+        # paying the ordinal->id re-encode per *queried* term (cached
+        # in place) beats paying it for every term at actor boot.
+        # Full-vocabulary consumers (compaction) call materialize_all,
+        # which batches the re-encode exactly like the old eager load.
         self.terms: dict[tuple[str, str], list[tuple]] = {}
         if os.path.isdir(part_dir):
             for seg in sorted(os.listdir(part_dir)):
@@ -101,50 +111,79 @@ class ShardReader:
                 cols = [t.column(c) for c in
                         ("field", "term", "df", "docs", "tfs", "norms", "skip")]
                 pos_c = t.column("pos") if has_pos else None
-                # pass 1: collect rows; LUT segments decode ordinals ->
-                # real ids and defer the (expensive) re-encode
-                pending: list[tuple] = []          # (key, df, pos, idx)
-                remap_ids: list[np.ndarray] = []
-                remap_tfs: list[np.ndarray] = []
-                remap_nms: list[np.ndarray] = []
                 for i in range(t.num_rows):
                     key = (cols[0][i].as_py(), cols[1][i].as_py())
                     if key[0] == "\x00lut":
                         continue
-                    df_i = cols[2][i].as_py()
-                    pos_b = pos_c[i].as_py() if has_pos else b""
+                    row = (cols[2][i].as_py(), cols[3][i].as_py(),
+                           cols[4][i].as_py(), cols[5][i].as_py(),
+                           cols[6][i].as_py(),
+                           pos_c[i].as_py() if has_pos else b"")
                     if lut is not None:
-                        # on-disk postings are dense ordinals into the
-                        # segment LUT — remap to real ids once at load
-                        # so every downstream decode path is untouched
-                        docs_b = cols[3][i].as_py()
-                        ords = np.cumsum(
-                            _vdec(docs_b, df_i), dtype=np.uint64)
-                        remap_ids.append(lut[ords.astype(np.int64)])
-                        remap_tfs.append(
-                            _vdec(cols[4][i].as_py(), df_i)
-                            .astype(np.uint32))
-                        remap_nms.append(np.frombuffer(
-                            cols[5][i].as_py(), dtype=np.uint8))
-                        pending.append((key, df_i, pos_b))
-                    else:
-                        row = (df_i, cols[3][i].as_py(), cols[4][i].as_py(),
-                               cols[5][i].as_py(), cols[6][i].as_py(),
-                               pos_b)
-                        self.terms.setdefault(key, []).append(row)
-                if pending:
-                    # pass 2: ONE vectorized re-encode for the whole
-                    # segment (byte-identical to per-row encodes)
-                    from ..postings import encode_postings_batch
-                    packed = encode_postings_batch(remap_ids, remap_tfs,
-                                                   remap_nms)
-                    for (key, df_i, pos_b), blobs in zip(pending, packed):
-                        self.terms.setdefault(key, []).append(
-                            (df_i, *blobs, pos_b))
+                        row = row + (lut,)
+                    self.terms.setdefault(key, []).append(row)
         with open(os.path.join(index_dir, "INDEX_MANIFEST.json")) as f:
             self.manifest = json.load(f)
         self.stats = self.manifest["stats"]
         self._filters: dict[str, dict[str, np.ndarray]] = {}
+
+    @staticmethod
+    def _decode_deferred(rows: list[tuple], idxs: list[int]
+                         ) -> tuple[list, list, list]:
+        """Decode the ordinal-space blobs of the deferred rows at
+        ``idxs`` into (real ids, tfs, norms) arrays ready for the
+        batched re-encode."""
+        ids_l, tfs_l, nms_l = [], [], []
+        for i in idxs:
+            df_i, docs_b, tfs_b, norms_b = rows[i][:4]
+            lut = rows[i][6]
+            ords = np.cumsum(_vdec(docs_b, df_i), dtype=np.uint64)
+            ids_l.append(lut[ords.astype(np.int64)])
+            tfs_l.append(_vdec(tfs_b, df_i).astype(np.uint32))
+            nms_l.append(np.frombuffer(norms_b, dtype=np.uint8))
+        return ids_l, tfs_l, nms_l
+
+    def _rows(self, key: tuple[str, str]) -> list[tuple] | None:
+        """Rows for ``key`` in real-id space, remapping any deferred
+        LUT rows in place (one batched re-encode per term; byte-
+        identical to the eager per-segment load, which the posting
+        round-trip tests pin)."""
+        rows = self.terms.get(key)
+        if rows is None:
+            return None
+        idxs = [i for i, r in enumerate(rows) if len(r) == 7]
+        if not idxs:
+            return rows
+        from ..postings import encode_postings_batch
+        packed = encode_postings_batch(*self._decode_deferred(rows, idxs))
+        for i, blobs in zip(idxs, packed):
+            rows[i] = (rows[i][0], *blobs, rows[i][5])
+        return rows
+
+    def materialize_all(self) -> None:
+        """Remap every deferred LUT row to real-id space with ONE
+        batched re-encode across the whole part — the entry point for
+        full-vocabulary consumers (compaction walks every term, so
+        per-term lazy remap would just add call overhead)."""
+        sites: list[tuple[list[tuple], int]] = []
+        ids_l: list = []
+        tfs_l: list = []
+        nms_l: list = []
+        for rows in self.terms.values():
+            idxs = [i for i, r in enumerate(rows) if len(r) == 7]
+            if not idxs:
+                continue
+            a, b, c = self._decode_deferred(rows, idxs)
+            ids_l += a
+            tfs_l += b
+            nms_l += c
+            sites += [(rows, i) for i in idxs]
+        if not sites:
+            return
+        from ..postings import encode_postings_batch
+        packed = encode_postings_batch(ids_l, tfs_l, nms_l)
+        for (rows, i), blobs in zip(sites, packed):
+            rows[i] = (rows[i][0], *blobs, rows[i][5])
 
     @staticmethod
     def _segment_lut(t) -> np.ndarray | None:
@@ -198,7 +237,7 @@ class ShardReader:
         raise ValueError(f"unknown match kind: {kind!r}")
 
     def postings(self, field: str, term: str) -> TermPostings | None:
-        rows = self.terms.get((field, term))
+        rows = self._rows((field, term))
         if not rows:
             return None
         runs = [decode_postings(docs, tfs, norms, df)
@@ -208,7 +247,7 @@ class ShardReader:
     def raw_rows(self, field: str, term: str) -> list[tuple]:
         """Raw (df, docs, tfs, norms, skip) rows — the WAND path decodes
         per-block via the skip metadata instead of fully."""
-        return self.terms.get((field, term), [])
+        return self._rows((field, term)) or []
 
     def skip_for(self, row: tuple) -> np.ndarray:
         return decode_skip(row[4])
