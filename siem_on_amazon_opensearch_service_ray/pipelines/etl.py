@@ -10,9 +10,10 @@ Reference order (siem/__init__.py:519-574, LogParser.__call__):
 Here each step is a vectorized batch stage over Arrow tables; the
 per-logtype script mechanism (reference: 58 sf_*.py modules loaded via
 importlib, siem/utils.py:722-749) becomes a registry of batch
-transforms keyed by logtype, with two exemplar transforms ported for
-parity tests (outcome derivation ~ sf_cloudtrail.py:73-84; protocol
-name mapping ~ sf_vpcflowlogs.py:24-42).  Index routing (reference
+transforms keyed by logtype, with 14 exemplar transforms mirrored for
+parity tests (6 here — e.g. outcome derivation ~ sf_cloudtrail.py:73-84,
+protocol name mapping ~ sf_vpcflowlogs.py:24-42 — plus 8 more shapes
+in pipelines/logtypes.py).  Index routing (reference
 siem/__init__.py:617-656: index name + rotation suffix) becomes a
 partition-key column used by partitioned parquet output.
 """
@@ -396,6 +397,20 @@ def run_etl(ds: rd.Dataset, cfg: EtlConfig,
                               fn_constructor_kwargs={"rules": cfg.exclusion_rules},
                               batch_format="pyarrow", concurrency=2)
     if out_dir is not None:
-        out.write_parquet(out_dir, partition_cols=["__index"])
+        # partition dirs must not start with '_': parquet dataset
+        # discovery (pyarrow, Ray read_parquet) treats underscore-
+        # prefixed paths as hidden metadata and silently skips them,
+        # so '__index=...' output would read back EMPTY.  The routing
+        # column keeps its in-pipeline name; only the sink renames.
+        out.map_batches(
+            lambda b: b.rename_columns(
+                ["index" if c == "__index" else c for c in b.column_names]),
+            batch_format="pyarrow",
+        ).write_parquet(out_dir, partition_cols=["index"])
         return out
     return out
+
+
+# second batch of sf_* exemplars registers itself on import (plugin
+# pattern — logtypes.py imports register_transform from this module)
+from . import logtypes  # noqa: E402,F401  isort:skip

@@ -61,8 +61,12 @@ def test_run_etl_with_exclusion_and_partitioned_write(ray_session, tmp_path):
     df = out.to_pandas()
     assert set(df["user"]) == {"alice", "bob"}       # exclusion applied
     import os
-    parts = [d for d in os.listdir(out_dir) if d.startswith("__index=")]
+    # sink renames the routing key to 'index': '_'-prefixed partition
+    # dirs are hidden to parquet dataset discovery and read back empty
+    parts = [d for d in os.listdir(out_dir) if d.startswith("index=")]
     assert len(parts) == 2                           # monthly partition dirs
+    reread = rd.read_parquet(out_dir)
+    assert reread.count() == len(df)                 # discoverable output
 
 
 def test_fetch_docs_roundtrip(ray_session, small_corpus, tmp_path):
