@@ -1343,6 +1343,76 @@ GROUP BY r_name
 """
 
 
+def geoip_enrich_events(sf_dir: str) -> pd.DataFrame:
+    """GeoIP enrichment from a REAL .mmdb source (T1, reference
+    siem/geodb.py:24-137 + siem/__init__.py:886-899), end-to-end under
+    the hash gate: a deterministic fixture City database (150 /16
+    networks, country by 50-bucket of the second octet) is written by
+    the spec-conformant writer, flattened ONCE driver-side
+    (sources/mmdb.mmdb_to_interval_table), ray.put, and probed inside
+    map_batches with one vectorized searchsorted per batch — the
+    broadcast-small-side shape, never a per-worker C-library handle.
+    Each event gets the synthetic source ip 10.(user_id%200).0.1 so
+    DuckDB can recompute country membership arithmetically."""
+    import os
+
+    from ..sources.mmdb import mmdb_to_interval_table, write_mmdb
+    from ..stages.enrich import interval_match_indices
+    path = "/tmp/sosr_geoip_fixture_v1.mmdb"
+    if not os.path.exists(path):
+        nets = [(f"10.{o2}.0.0/16",
+                 {"country": {"iso_code":
+                              "US" if o2 < 50 else
+                              "DE" if o2 < 100 else "JP"}})
+                for o2 in range(150)]
+        tmp = f"{path}.tmp.{os.getpid()}"
+        write_mmdb(tmp, nets)
+        os.replace(tmp, path)
+    table = mmdb_to_interval_table(path)
+    ref = ray.put(table) if ray.is_initialized() else table
+
+    def enrich_agg(batch: pa.Table) -> pa.Table:
+        tbl = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        uid = batch.column("user_id").to_numpy()
+        ips = [f"10.{u % 200}.0.1" for u in uid]
+        idx = interval_match_indices(tbl, ips)
+        mask = idx >= 0
+        vals_e2 = np.round(
+            batch.column("value").to_numpy() * 100).astype(np.int64)
+        labels = tbl["labels"]
+        lab = np.where(mask, labels[np.maximum(idx, 0)], None)
+        rows = {"country": [], "n_events": [], "value_e2": []}
+        for c in np.unique(lab[mask].astype(str)):
+            m = mask & (lab == c)
+            rows["country"].append(str(c))
+            rows["n_events"].append(int(m.sum()))
+            rows["value_e2"].append(int(vals_e2[m].sum()))
+        return pa.table({
+            "country": pa.array(rows["country"], pa.string()),
+            "n_events": pa.array(rows["n_events"], pa.int64()),
+            "value_e2": pa.array(rows["value_e2"], pa.int64()),
+        })
+
+    ds = _t_ds(sf_dir, "events", ["user_id", "value"])
+    out = (ds.map_batches(enrich_agg, batch_format="pyarrow")
+             .groupby("country")
+             .aggregate(Sum("n_events", alias_name="n_events"),
+                        Sum("value_e2", alias_name="value_e2")))
+    return out.to_pandas()
+
+
+GEOIP_ENRICH_SQL = """
+SELECT CASE WHEN user_id % 200 < 50 THEN 'US'
+            WHEN user_id % 200 < 100 THEN 'DE'
+            ELSE 'JP' END AS country,
+       cast(count(*) AS BIGINT) AS n_events,
+       cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS value_e2
+FROM events
+WHERE user_id % 200 < 150
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # 12. sort + limit (top-k rows)
 
@@ -2180,6 +2250,7 @@ def queries() -> dict:
         "events_sessions": events_sessions,
         "knn_cosine": knn_cosine_q,
         "region_revenue": region_revenue,
+        "geoip_enrich_events": geoip_enrich_events,
         "top_events": top_events,
         "filter_project": filter_project,
         "token_count_docs": token_count_docs,
@@ -2252,6 +2323,7 @@ def oracle_sql() -> dict:
         "events_sessions": EVENTS_SESSIONS_SQL,
         "knn_cosine": KNN_SQL,
         "region_revenue": REGION_REVENUE_SQL,
+        "geoip_enrich_events": GEOIP_ENRICH_SQL,
         "top_events": TOP_EVENTS_SQL,
         "filter_project": FILTER_PROJECT_SQL,
         "token_count_docs": TOKEN_COUNT_SQL,

@@ -59,7 +59,8 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "search_stats", "search_stats_distributed",
               "search_terms_stats",
               "knn_cosine",
-              "region_revenue", "top_events", "filter_project",
+              "region_revenue", "geoip_enrich_events",
+              "top_events", "filter_project",
               "token_count_docs", "quality_docs", "decontaminate_docs",
               "pack_docs", "mixture_docs", "exclude_events",
               "events_routed", "events_sliding",
