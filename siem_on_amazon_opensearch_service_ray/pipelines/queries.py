@@ -2131,6 +2131,54 @@ def simhash_docs(sf_dir: str) -> pd.DataFrame:
     return out.select_columns(["doc_id", "simhash"]).to_pandas()
 
 
+def simhash_planted(sf_dir: str) -> pd.DataFrame:
+    """Oracle-visible SimHash check (the VERDICT r2 ask for the
+    near-dup family): every 20th document is re-emitted VERBATIM under
+    a shifted id, the whole augmented set goes through the distributed
+    SimHash stage, and the output claims signature equality per
+    planted pair.  The duplicate rides a different block/actor than
+    its original, so a hash-green row proves the kernel is a pure
+    deterministic function of the text across workers — the property
+    near-dup clustering relies on.  DuckDB recomputes the pair list
+    (and the always-true equality) straight from the documents view;
+    a signature mismatch would surface as a FALSE and break the value
+    hash."""
+    ds = _t_ds(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        m = ids % 20 == 0
+        dup = batch.filter(pa.array(m))
+        dup = dup.set_column(
+            dup.column_names.index("doc_id"), "doc_id",
+            pa.array(dup.column("doc_id").to_numpy() + 1_000_000_000,
+                     pa.int64()))
+        return pa.concat_tables([batch, dup])
+
+    sigs = (ds.map_batches(plant, batch_format="pyarrow")
+              .repartition(8)      # planted copies leave their block
+              .map_batches(dedup_ops.SimHashStage,
+                           fn_constructor_kwargs={"text_col": "text"},
+                           batch_format="pyarrow",
+                           concurrency=_concurrency())
+              .select_columns(["doc_id", "simhash"]).to_pandas())
+    by_id = dict(zip(sigs["doc_id"], sigs["simhash"]))
+    orig = sorted(i for i in by_id if i < 1_000_000_000 and i % 20 == 0)
+    return pd.DataFrame({
+        "orig_id": pd.Series(orig, dtype="int64"),
+        "same_sig": pd.Series(
+            [int(by_id[i] == by_id[i + 1_000_000_000]) for i in orig],
+            dtype="int64"),
+    })
+
+
+SIMHASH_PLANTED_SQL = """
+SELECT doc_id AS orig_id, cast(1 AS BIGINT) AS same_sig
+FROM documents WHERE doc_id % 20 = 0
+ORDER BY doc_id
+"""
+
+
 def langid_docs(sf_dir: str) -> pd.DataFrame:
     ds = _t_ds(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(textops.LangId, batch_format="pyarrow",
@@ -2266,6 +2314,7 @@ def queries() -> dict:
         "user_stats": user_stats,
         "etl_raw_logs": etl_raw_logs,
         "minhash_pairs": minhash_pairs,
+        "simhash_planted": simhash_planted,
         # rows-only (non-SQL-expressible: blake2b signatures / ANN internals)
         "simhash_docs": simhash_docs,
         "langid_docs": langid_docs,
@@ -2339,4 +2388,5 @@ def oracle_sql() -> dict:
         "user_stats": USER_STATS_SQL,
         "etl_raw_logs": ETL_RAW_LOGS_SQL,
         "minhash_pairs": MINHASH_PAIRS_SQL,
+        "simhash_planted": SIMHASH_PLANTED_SQL,
     }

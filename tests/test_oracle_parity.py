@@ -66,7 +66,7 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "events_routed", "events_sliding",
               "orders_monthly", "events_weekly",
               "user_stats", "events_sessions", "phrase_docs",
-              "minhash_pairs",
+              "minhash_pairs", "simhash_planted",
               "search_bool_sharded", "search_mlt_sharded",
               "search_fuzzy_sharded", "search_wildcard_sharded",
               "search_query_string_sharded", "phrase_sharded",
