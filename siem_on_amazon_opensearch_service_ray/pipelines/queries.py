@@ -321,7 +321,11 @@ FROM t
 
 def _docs_index_cfg() -> IndexConfig:
     return IndexConfig(num_partitions=4,
-                       fields=(("content", "text", "base"),),
+                       # src: the source label as a second TEXT field
+                       # (multi_match / dis_max combine it with content;
+                       # it stays a keyword_field too for filters)
+                       fields=(("content", "text", "base"),
+                               ("src", "source", "base")),
                        keyword_fields=("lang", "source"),
                        range_fields=("n_chars",),
                        doc_id_col="doc_id", sha_col="text",
@@ -651,6 +655,97 @@ BM25_RANGE_SQL = _bm25_sql(
     base_tokens(BM25_QUERY), BM25_K,
     final_where=("WHERE doc_id IN (SELECT doc_id FROM documents "
                  "WHERE n_chars BETWEEN 200 AND 2000)"))
+
+
+MULTI_MATCH_QUERY = "spark src3"
+MULTI_MATCH_FIELDS = ["content", "src"]
+MULTI_MATCH_TIE = 0.3
+
+
+def _multi_match_hits(sf_dir: str, sharded: bool) -> pd.DataFrame:
+    import dataclasses
+    if sharded:
+        idx = _docs_index_dir(sf_dir) + "_doc"
+        cfg = dataclasses.replace(_docs_index_cfg(), partition_by="doc")
+    else:
+        idx = _docs_index_dir(sf_dir)
+        cfg = _docs_index_cfg()
+    build_index(_docs_source(sf_dir), idx, cfg, resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        fn = s.multi_match_sharded if sharded else s.multi_match
+        hits = fn(MULTI_MATCH_QUERY, MULTI_MATCH_FIELDS, k=BM25_K,
+                  match_type="best_fields", tie_breaker=MULTI_MATCH_TIE)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d in hits],
+        "score_e4": np.array([round(sc * 10000) for sc, _ in hits],
+                             dtype=np.int64),
+    })
+
+
+def search_multi_match(sf_dir: str) -> pd.DataFrame:
+    """multi_match best_fields over (content, src) with tie_breaker —
+    Lucene DisjunctionMaxQuery parity: per-field BM25 scored over the
+    full match sets, combined max + tie * rest."""
+    return _multi_match_hits(sf_dir, sharded=False)
+
+
+def search_multi_match_sharded(sf_dir: str) -> pd.DataFrame:
+    """multi_match executed per doc shard with per-FIELD global idf
+    (the dfs round ships one idf dict per field)."""
+    return _multi_match_hits(sf_dir, sharded=True)
+
+
+def _bm25_cte(prefix: str, text_expr: str, terms: list[str]) -> str:
+    """One field's BM25 CTE chain (same formula + norm quantization as
+    :func:`_bm25_sql`, parameterized by source expression)."""
+    vals = ", ".join(f"('{t}')" for t in dict.fromkeys(terms))
+    p = prefix
+    return f"""
+{p}tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower({text_expr}), '[a-z0-9_]+')) AS term
+  FROM documents),
+{p}dl AS (SELECT d.doc_id, count(t.term) AS dl
+       FROM documents d LEFT JOIN {p}tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+{p}dlq AS (SELECT doc_id, dl,
+               CASE WHEN dl < 8 THEN dl
+                    ELSE (dl >> (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3))
+                         << (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3) END AS dl_quant
+        FROM {p}dl),
+{p}stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM {p}dl),
+{p}q(term) AS (VALUES {vals}),
+{p}tf AS (SELECT t.doc_id, t.term, count(*) AS tf
+       FROM {p}tok t JOIN {p}q q USING(term) GROUP BY t.doc_id, t.term),
+{p}df AS (SELECT term, count(DISTINCT doc_id) AS df FROM {p}tf GROUP BY term),
+{p}score AS (
+  SELECT {p}tf.doc_id,
+         sum( ln(1 + (s.n - {p}df.df + 0.5)/({p}df.df + 0.5))
+              * {p}tf.tf * 2.2
+              / ({p}tf.tf + 1.2*(1 - 0.75 + 0.75*{p}dlq.dl_quant/s.avgdl)) ) AS score
+  FROM {p}tf JOIN {p}df USING(term) JOIN {p}dlq USING(doc_id)
+  CROSS JOIN {p}stats s
+  GROUP BY {p}tf.doc_id)"""
+
+
+MULTI_MATCH_SQL = f"""
+WITH {_bm25_cte('c', 'text', base_tokens(MULTI_MATCH_QUERY))},
+{_bm25_cte('s', 'source', base_tokens(MULTI_MATCH_QUERY))},
+u AS (
+  SELECT coalesce(c.doc_id, s.doc_id) AS doc_id,
+         coalesce(c.score, 0) AS cs, coalesce(s.score, 0) AS ss
+  FROM cscore c FULL OUTER JOIN sscore s ON c.doc_id = s.doc_id)
+SELECT doc_id,
+       cast(round((greatest(cs, ss)
+                   + {MULTI_MATCH_TIE} * (cs + ss - greatest(cs, ss)))
+                  * 10000) AS BIGINT) AS score_e4
+FROM u
+ORDER BY greatest(cs, ss) + {MULTI_MATCH_TIE} * (cs + ss - greatest(cs, ss))
+         DESC, doc_id
+LIMIT {BM25_K}
+"""
 
 
 def search_range_topk(sf_dir: str) -> pd.DataFrame:
@@ -1109,6 +1204,57 @@ SELECT cast(floor(n_chars / 100) * 100 AS BIGINT) AS bucket,
 FROM documents
 WHERE doc_id IN (SELECT doc_id FROM tok WHERE term IN ('spark', 'join'))
 GROUP BY bucket ORDER BY bucket
+"""
+
+
+def search_histogram_pipeline(sf_dir: str) -> pd.DataFrame:
+    """Pipeline aggregations (OpenSearch cumulative_sum / derivative /
+    moving_fn) over the histogram parent: the shard-reduced buckets
+    are post-processed on the coordinator (state/searcher.py
+    pipeline_aggregations), exactly where OpenSearch runs them.
+    OpenSearch emits NO derivative/moving value for the first bucket;
+    the hash-stable projection 0-fills those nulls on both sides."""
+    from ..state.searcher import pipeline_aggregations
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        buckets = s.histogram_aggregation(BM25_QUERY, "n_chars", 100.0,
+                                          field="content")
+    finally:
+        s.close()
+    rows = pipeline_aggregations(buckets, window=3)
+    return pd.DataFrame({
+        "bucket": np.array([r["bucket"] for r in rows], dtype=np.int64),
+        "n_docs": np.array([r["value"] for r in rows], dtype=np.int64),
+        "cum_docs": np.array([r["cumulative_sum"] for r in rows],
+                             dtype=np.int64),
+        "deriv": np.array([r["derivative"] or 0 for r in rows],
+                          dtype=np.int64),
+        "movavg_e4": np.array(
+            [int(np.floor((r["moving_avg"] or 0) * 10000 + 0.5))
+             for r in rows], dtype=np.int64),
+    })
+
+
+SEARCH_HISTOGRAM_PIPELINE_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+h AS (
+  SELECT cast(floor(n_chars / 100) * 100 AS BIGINT) AS bucket,
+         cast(count(*) AS BIGINT) AS n_docs
+  FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM tok WHERE term IN ('spark', 'join'))
+  GROUP BY bucket)
+SELECT bucket, n_docs,
+       cast(sum(n_docs) OVER (ORDER BY bucket) AS BIGINT) AS cum_docs,
+       cast(coalesce(n_docs - lag(n_docs) OVER (ORDER BY bucket), 0)
+            AS BIGINT) AS deriv,
+       cast(coalesce(floor(avg(n_docs) OVER (
+                ORDER BY bucket ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                * 10000 + 0.5), 0) AS BIGINT) AS movavg_e4
+FROM h ORDER BY bucket
 """
 
 
@@ -2291,6 +2437,9 @@ def queries() -> dict:
         "search_top_hits": search_top_hits,
         "search_cardinality": search_cardinality,
         "search_histogram": search_histogram,
+        "search_histogram_pipeline": search_histogram_pipeline,
+        "search_multi_match": search_multi_match,
+        "search_multi_match_sharded": search_multi_match_sharded,
         "search_stats": search_stats,
         "search_stats_distributed": search_stats_distributed,
         "search_terms_stats": search_terms_stats,
@@ -2365,6 +2514,9 @@ def oracle_sql() -> dict:
         "search_top_hits": SEARCH_TOP_HITS_SQL,
         "search_cardinality": SEARCH_CARDINALITY_SQL,
         "search_histogram": SEARCH_HISTOGRAM_SQL,
+        "search_histogram_pipeline": SEARCH_HISTOGRAM_PIPELINE_SQL,
+        "search_multi_match": MULTI_MATCH_SQL,
+        "search_multi_match_sharded": MULTI_MATCH_SQL,
         "search_stats": SEARCH_STATS_SQL,
         "search_stats_distributed": SEARCH_STATS_SQL,
         "search_terms_stats": SEARCH_TERMS_STATS_SQL,

@@ -1312,6 +1312,62 @@ class Searcher:
         return score_bool(must_td, should_td, k, avgdl, msm, mn_ids,
                           filt, k1, b)
 
+    def multi_match(self, query: str, fields: list[str], k: int = 10,
+                    match_type: str = "best_fields",
+                    tie_breaker: float = 0.0,
+                    analyzer: str | None = None,
+                    k1: float = K1, b: float = B,
+                    _idf_by_field: dict | None = None
+                    ) -> list[tuple[float, int]]:
+        """OpenSearch ``multi_match``: the query text analyzed and
+        scored independently per field, combined ``best_fields``
+        (Lucene DisjunctionMaxQuery: max + tie_breaker * sum-of-rest)
+        or ``most_fields`` (sum).  Field boosts ride the OpenSearch
+        ``"name^2.5"`` syntax.  Exactness needs the FULL per-field
+        match sets (a doc outside one field's top-k can win combined),
+        so each field is TAAT-scored completely and combined here —
+        per doc shard via :meth:`multi_match_sharded` at scale.
+        ``_idf_by_field`` injects global per-field idf on shard-local
+        executions (the dfs round of dfs_query_then_fetch)."""
+        if match_type not in ("best_fields", "most_fields"):
+            raise ValueError(f"unsupported multi_match type: {match_type!r}")
+        if self._partition_by == "doc" and self._local_parts is None \
+                and self.use_actors and _idf_by_field is None \
+                and self._idf_overrides is None:
+            # doc-partitioned index: auto-route to per-shard execution
+            # (same contract as search())
+            return self.multi_match_sharded(
+                query, fields, k=k, match_type=match_type,
+                tie_breaker=tie_breaker, analyzer=analyzer, k1=k1, b=b)
+        n_docs = int(self.stats["n_docs"])
+        per_doc: dict[int, list[float]] = {}
+        for spec in fields:
+            name, _, boost_s = spec.partition("^")
+            boost = float(boost_s) if boost_s else 1.0
+            an = self._analyzer_for(name, analyzer)
+            q_terms = ANALYZERS[an](query)
+            if not q_terms:
+                continue
+            rows = self._gather(name, q_terms)
+            avgdl = float(self.stats["avgdl"][name])
+            idf = (_idf_by_field or {}).get(name, self._idf_overrides)
+            terms = prepare_terms(q_terms, rows, n_docs, avgdl, k1, b,
+                                  idf_by_term=idf,
+                                  exclude_ids=self.tombstones)
+            for s, d in score_taat(terms, 1 << 31, "or", avgdl, None,
+                                   k1, b):
+                per_doc.setdefault(d, []).append(boost * s)
+        combined: list[tuple[float, int]] = []
+        for d, ss in per_doc.items():
+            if match_type == "most_fields":
+                sc = float(sum(ss))
+            else:
+                mx = max(ss)
+                sc = float(mx + tie_breaker * (sum(ss) - mx))
+            combined.append((sc, d))
+        combined.sort(key=lambda t: (-t[0], t[1]))
+        return combined[:k]
+
     def _term_dfs(self, field: str, terms: list[str]) -> dict[str, int]:
         """Global df per term (sums across parts — correct on both the
         term-partitioned layout, where a term lives in one part plus
@@ -2834,6 +2890,36 @@ class Searcher:
                  range_hi=range_hi, analyzer=analyzer, k1=k1, b=b),
             k, idf_terms=toks, field=field)
 
+    def multi_match_sharded(self, query: str, fields: list[str],
+                            k: int = 10,
+                            match_type: str = "best_fields",
+                            tie_breaker: float = 0.0,
+                            analyzer: str | None = None,
+                            k1: float = K1, b: float = B
+                            ) -> list[tuple[float, int]]:
+        """:meth:`multi_match` per doc shard.  idf must be global PER
+        FIELD (the same term can carry different dfs in different
+        fields), so the dfs round here builds one idf dict per field
+        and ships the bundle through the method kwargs rather than the
+        single-field ``_idf_overrides`` channel."""
+        n_docs = int(self.stats["n_docs"])
+        idf_by_field: dict[str, dict[str, float]] = {}
+        for spec in fields:
+            name = spec.partition("^")[0]
+            toks = list(dict.fromkeys(
+                ANALYZERS[self._analyzer_for(name, analyzer)](query)))
+            if not toks:
+                continue
+            dfs = self._term_dfs(name, toks)
+            idf_by_field[name] = {
+                t: float(idf_fn(dfs.get(t, 0), n_docs)) for t in toks}
+        return self._exec_doc_sharded(
+            "multi_match",
+            dict(query=query, fields=fields, k=k, match_type=match_type,
+                 tie_breaker=tie_breaker, analyzer=analyzer, k1=k1, b=b,
+                 _idf_by_field=idf_by_field),
+            k)
+
     def phrase_search_sharded(self, query: str, field: str = "content",
                               k: int = 10, analyzer: str | None = None,
                               slop: int = 0) -> list[tuple[int, int]]:
@@ -3244,3 +3330,44 @@ class Searcher:
                                   exclude_ids=self.tombstones)
             out.append(_dispatch(method, terms, k, mode, avgdl, None, k1, b))
         return out
+
+
+# ---------------------------------------------------------------------------
+# pipeline aggregations (OpenSearch cumulative_sum / derivative /
+# moving_fn): pure post-processing over a parent aggregation's reduced
+# buckets.  OpenSearch runs these on the COORDINATOR after the shard
+# reduce — bucket counts are small by design — so a driver-side numpy
+# pass over [(bucket, value)] is the faithful scale shape, not a
+# distributed stage.  The reference's dashboards consume them through
+# saved visualizations (e.g. cumulative event counts per period).
+
+
+def pipeline_aggregations(buckets: list[tuple[float, int]],
+                          window: int = 3) -> list[dict]:
+    """[(bucket_key, value)] (sorted by key, as every *_aggregation
+    here returns) -> per-bucket dict with the three core pipeline
+    metrics:
+
+    - ``cumulative_sum``: running total including the current bucket.
+    - ``derivative``: value - previous bucket's value; None for the
+      first bucket (OpenSearch emits no derivative there).
+    - ``moving_avg``: unweighted mean over the TRAILING ``window``
+      buckets EXCLUDING the current one (OpenSearch ``moving_fn``
+      default window semantics: [i-window, i)); None for the first
+      bucket whose trailing window is empty.
+    """
+    if not buckets:
+        return []
+    keys = [b for b, _ in buckets]
+    vals = np.asarray([v for _, v in buckets], dtype=np.float64)
+    cum = np.cumsum(vals)
+    out: list[dict] = []
+    for i, k in enumerate(keys):
+        deriv = None if i == 0 else float(vals[i] - vals[i - 1])
+        lo = max(0, i - window)
+        win = vals[lo:i]
+        mov = float(win.mean()) if win.size else None
+        out.append({"bucket": k, "value": float(vals[i]),
+                    "cumulative_sum": float(cum[i]),
+                    "derivative": deriv, "moving_avg": mov})
+    return out

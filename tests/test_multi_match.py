@@ -1,0 +1,116 @@
+"""multi_match (best_fields / most_fields, boosts, tie_breaker) —
+property tests against the single-field searcher, plus term- vs
+doc-partitioned identity.  The absolute-score contract is covered by
+the MULTI_MATCH_SQL oracle in test_oracle_parity."""
+
+import dataclasses
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
+    IndexConfig, build_index)
+from siem_on_amazon_opensearch_service_ray.state.searcher import Searcher
+
+N = 300
+WORDS = ["alpha", "beta", "gamma", "delta", "spark", "join", "scan"]
+LABELS = ["news", "code", "mail"]
+
+
+@pytest.fixture(scope="module")
+def mm_indexes(ray_session, tmp_path_factory):
+    rng = np.random.default_rng(3)
+    texts = [" ".join(WORDS[int(j)]
+                      for j in rng.integers(0, len(WORDS),
+                                            int(rng.integers(4, 30))))
+             for _ in range(N)]
+    t = pa.table({
+        "doc_id": pa.array(range(N), pa.int64()),
+        "text": texts,
+        "label": [LABELS[i % 3] + (" spark" if i % 7 == 0 else "")
+                  for i in range(N)],
+    })
+    root = tmp_path_factory.mktemp("mm")
+    src = str(root / "docs.parquet")
+    pq.write_table(t, src)
+    cfg = IndexConfig(num_partitions=4,
+                      fields=(("content", "text", "base"),
+                              ("lbl", "label", "base")),
+                      keyword_fields=(), id_cols=("doc_id",),
+                      doc_id_col="doc_id", sha_col="text", salting=False)
+    idx_t = str(root / "idx_term")
+    build_index([src], idx_t, cfg)
+    idx_d = str(root / "idx_doc")
+    build_index([src], idx_d,
+                dataclasses.replace(cfg, partition_by="doc"))
+    st = Searcher(idx_t, use_actors=False)
+    sd = Searcher(idx_d, use_actors=False)
+    yield st, sd
+
+
+def _full(s, q, field):
+    return dict((d, sc) for sc, d in s.search(q, field=field, k=1 << 30))
+
+
+def test_best_fields_tie0_is_dismax(mm_indexes):
+    st, _ = mm_indexes
+    q = "spark code"
+    c, l = _full(st, q, "content"), _full(st, q, "lbl")
+    got = dict((d, sc) for sc, d in
+               st.multi_match(q, ["content", "lbl"], k=1 << 30,
+                              tie_breaker=0.0))
+    assert set(got) == set(c) | set(l)
+    for d, sc in got.items():
+        assert sc == pytest.approx(max(c.get(d, 0.0), l.get(d, 0.0)))
+
+
+def test_tie_breaker_and_most_fields(mm_indexes):
+    st, _ = mm_indexes
+    q = "spark news"
+    c, l = _full(st, q, "content"), _full(st, q, "lbl")
+    tie = dict((d, sc) for sc, d in
+               st.multi_match(q, ["content", "lbl"], k=1 << 30,
+                              tie_breaker=0.4))
+    most = dict((d, sc) for sc, d in
+                st.multi_match(q, ["content", "lbl"], k=1 << 30,
+                               match_type="most_fields"))
+    for d in tie:
+        cs, ls = c.get(d, 0.0), l.get(d, 0.0)
+        mx = max(cs, ls)
+        assert tie[d] == pytest.approx(mx + 0.4 * (cs + ls - mx))
+        assert most[d] == pytest.approx(cs + ls)
+
+
+def test_field_boost(mm_indexes):
+    st, _ = mm_indexes
+    q = "spark"
+    base = dict((d, sc) for sc, d in
+                st.multi_match(q, ["content", "lbl"], k=1 << 30,
+                               match_type="most_fields"))
+    boosted = dict((d, sc) for sc, d in
+                   st.multi_match(q, ["content", "lbl^2"], k=1 << 30,
+                                  match_type="most_fields"))
+    c, l = _full(st, q, "content"), _full(st, q, "lbl")
+    for d in base:
+        assert boosted[d] == pytest.approx(c.get(d, 0.0) + 2 * l.get(d, 0.0))
+
+
+def test_doc_sharded_identical(mm_indexes):
+    st, sd = mm_indexes
+    for q, ty, tie in [("spark code", "best_fields", 0.3),
+                       ("spark news", "most_fields", 0.0),
+                       ("gamma mail", "best_fields", 0.0)]:
+        a = st.multi_match(q, ["content", "lbl"], k=25,
+                           match_type=ty, tie_breaker=tie)
+        b = sd.multi_match_sharded(q, ["content", "lbl"], k=25,
+                                   match_type=ty, tie_breaker=tie)
+        assert [d for _, d in a] == [d for _, d in b]
+        assert np.allclose([s for s, _ in a], [s for s, _ in b])
+
+
+def test_unknown_type_rejected(mm_indexes):
+    st, _ = mm_indexes
+    with pytest.raises(ValueError):
+        st.multi_match("x", ["content"], match_type="cross_fields")

@@ -56,6 +56,8 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "phrase_prefix_docs", "search_query_string",
               "search_top_hits",
               "search_cardinality", "search_histogram",
+              "search_histogram_pipeline",
+              "search_multi_match", "search_multi_match_sharded",
               "search_stats", "search_stats_distributed",
               "search_terms_stats",
               "knn_cosine",
