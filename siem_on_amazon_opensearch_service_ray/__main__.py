@@ -140,7 +140,37 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--hash-mod", action="store_true")
     sm.add_argument("--num-cpus", type=int, default=None)
 
+    rt = sub.add_parser("retention",
+                        help="delete routed partitions older than the "
+                             "newest N periods per index family (ISM "
+                             "delete-state parity)")
+    rt.add_argument("out_dir")
+    rt.add_argument("--keep", type=int, required=True)
+    rt.add_argument("--family", default=None)
+    rt.add_argument("--dry-run", action="store_true")
+
+    ro = sub.add_parser("rollover",
+                        help="split routed partitions larger than "
+                             "--max-bytes into -rNNNN siblings "
+                             "(rollover100gb ISM parity; renames only)")
+    ro.add_argument("out_dir")
+    ro.add_argument("--max-bytes", type=int, required=True)
+    ro.add_argument("--dry-run", action="store_true")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "retention":
+        from .pipelines.lifecycle import apply_retention
+        print(json.dumps(apply_retention(
+            args.out_dir, args.keep, family=args.family,
+            dry_run=args.dry_run), indent=2))
+        return 0
+
+    if args.cmd == "rollover":
+        from .pipelines.lifecycle import rollover_partitions
+        print(json.dumps(rollover_partitions(
+            args.out_dir, args.max_bytes, dry_run=args.dry_run), indent=2))
+        return 0
 
     if args.cmd == "stats":
         from .state.stats import build_summary
