@@ -1,0 +1,285 @@
+"""OpenSearch-Dashboards saved-object ingestion: parse the ndjson
+export format the reference ships (source/saved_objects/
+each-indexpattern-search/*.ndjson, each-dashboard/*.ndjson) and
+translate each panel into this engine's aggregation calls.
+
+The export format is public (Kibana/OpenSearch-Dashboards saved
+objects): one JSON object per line with ``type`` in {index-pattern,
+search, visualization, dashboard}, the search source under
+``attributes.kibanaSavedObjectMeta.searchSourceJSON`` and the
+visualization definition under ``attributes.visState``.  The
+reference's panels use a small agg vocabulary — count / cardinality /
+sum metrics over terms / filters / date_histogram buckets (measured
+across its dashboards) — all of which map 1:1 onto Searcher
+aggregation methods, so a user's existing dashboards describe
+executable queries here.
+
+Scale shape: parsing is driver-side metadata work; execution calls
+the same aggregation paths the oracle entries exercise (per-shard
+partials on doc-partitioned indexes).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+
+@dataclass
+class PanelSpec:
+    """One visualization, normalized."""
+    title: str
+    vis_type: str
+    metric: dict = field(default_factory=lambda: {"type": "count"})
+    buckets: list = field(default_factory=list)
+    query: str = ""
+    query_language: str = "kuery"
+    # single-clause kuery 'field:"value"' lowers to a keyword filter
+    filter_field: str | None = None
+    filter_value: str | None = None
+    supported: bool = True
+    reason: str = ""
+
+
+import re as _re
+
+_KUERY_KV = _re.compile(
+    r'^\s*([\w.@-]+)\s*:\s*(?:"([^"]*)"|([\w.-]+))\s*$')
+
+
+@dataclass
+class SavedObjects:
+    index_patterns: list[str] = field(default_factory=list)
+    searches: list[dict] = field(default_factory=list)
+    panels: list[PanelSpec] = field(default_factory=list)
+    dashboards: list[str] = field(default_factory=list)
+
+
+_SUPPORTED_METRICS = {"count", "cardinality", "sum", "min", "max", "avg",
+                      "percentiles"}
+# sibling pipeline aggregations: a scalar computed over the primary
+# bucket list on the coordinator (OpenSearch *_bucket aggs)
+_BUCKET_PIPELINE = {"max_bucket", "min_bucket", "avg_bucket", "sum_bucket"}
+_SUPPORTED_BUCKETS = {"terms", "filters", "date_histogram"}
+
+
+def _parse_vis(attrs: dict) -> PanelSpec:
+    title = attrs.get("title", "")
+    try:
+        vs = json.loads(attrs["visState"])
+    except (KeyError, ValueError):
+        return PanelSpec(title, "unknown", supported=False,
+                         reason="no parseable visState")
+    spec = PanelSpec(title, vs.get("type", "unknown"))
+    try:
+        ss = json.loads(
+            attrs["kibanaSavedObjectMeta"]["searchSourceJSON"])
+        q = ss.get("query", {})
+        spec.query = (q.get("query") or "") if isinstance(q, dict) else ""
+        spec.query_language = (q.get("language", "kuery")
+                               if isinstance(q, dict) else "kuery")
+    except (KeyError, ValueError):
+        pass
+    if spec.vis_type in ("markdown", "timelion", "input_control_vis"):
+        return PanelSpec(title, spec.vis_type, supported=False,
+                         reason=f"non-data panel type {spec.vis_type}")
+    metric = None
+    for ag in vs.get("aggs", []):
+        sch = ag.get("schema")
+        ty = ag.get("type")
+        prm = ag.get("params", {})
+        if sch == "metric" or (metric is None and
+                               ty in _SUPPORTED_METRICS | _BUCKET_PIPELINE):
+            if ty in _SUPPORTED_METRICS or ty in _BUCKET_PIPELINE:
+                if metric is None or metric["type"] == "count":
+                    metric = {"type": ty}
+                    if prm.get("field"):
+                        metric["field"] = prm["field"]
+            elif ty != "top_hits":     # top_hits rides as sub-metric
+                spec.supported = False
+                spec.reason = f"unsupported metric {ty}"
+        elif ty in _SUPPORTED_BUCKETS:
+            b = {"type": ty}
+            if prm.get("field"):
+                b["field"] = prm["field"]
+            if ty == "terms":
+                b["size"] = int(prm.get("size", 10))
+            if ty == "date_histogram":
+                b["interval"] = prm.get("interval") or \
+                    prm.get("calendar_interval", "auto")
+            if ty == "filters":
+                b["filters"] = [
+                    f.get("input", {}).get("query", "")
+                    for f in prm.get("filters", [])]
+            spec.buckets.append(b)
+        elif ty == "top_hits":
+            spec.buckets.append({"type": "top_hits",
+                                 "size": int(prm.get("size", 1))})
+        else:
+            spec.supported = False
+            spec.reason = f"unsupported bucket {ty}"
+    spec.metric = metric or {"type": "count"}
+    if spec.query and spec.query_language == "kuery" \
+            and any(c in spec.query for c in ":()\""):
+        m = _KUERY_KV.match(spec.query)
+        if m:
+            spec.filter_field = m.group(1)
+            spec.filter_value = (m.group(2) if m.group(2) is not None
+                                 else m.group(3))
+            spec.query = ""
+        else:
+            spec.supported = False
+            spec.reason = "kuery beyond bare terms / one field:\"value\""
+    return spec
+
+
+def parse_saved_objects(text: str) -> SavedObjects:
+    """Parse one ndjson export (the reference's saved-object files
+    verbatim).  Never raises on unknown object types — they are
+    simply not surfaced."""
+    out = SavedObjects()
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            o = json.loads(line)
+        except ValueError:
+            continue
+        t = o.get("type")
+        a = o.get("attributes", {})
+        if t == "index-pattern":
+            out.index_patterns.append(a.get("title", ""))
+        elif t == "search":
+            try:
+                ss = json.loads(
+                    a["kibanaSavedObjectMeta"]["searchSourceJSON"])
+            except (KeyError, ValueError):
+                ss = {}
+            out.searches.append({
+                "title": a.get("title", ""),
+                "columns": a.get("columns", []),
+                "sort": a.get("sort", []),
+                "query": (ss.get("query") or {}).get("query", ""),
+                "language": (ss.get("query") or {}).get("language",
+                                                        "kuery"),
+            })
+        elif t == "visualization":
+            out.panels.append(_parse_vis(a))
+        elif t == "dashboard":
+            out.dashboards.append(a.get("title", ""))
+    return out
+
+
+def execute_panel(searcher, spec: PanelSpec,
+                  text_field: str = "content") -> list[tuple]:
+    """Run one supported panel against an index.
+
+    - terms bucket × count  -> terms_aggregation (match-all via the
+      packed filter postings when the panel query is empty — the
+      dashboards' dominant shape), truncated to the panel size.
+    - terms bucket × sum    -> terms_stats_aggregation's sum column.
+    - filters bucket        -> filters_aggregation.
+    - metric-only count / cardinality over a terms field.
+    Returns [(bucket_value, number)] rows.
+    """
+    if not spec.supported:
+        raise ValueError(f"unsupported panel: {spec.reason}")
+    mtype = spec.metric["type"]
+    bucket = next((b for b in spec.buckets
+                   if b["type"] in _SUPPORTED_BUCKETS), None)
+    if bucket is None and mtype in ("count", "cardinality"):
+        # metric-only panel over the whole match set
+        from ..state.shard import load_filter_value_counts
+        f = spec.metric.get("field")
+        if f is None:
+            raise ValueError("metric-only count panel needs a field "
+                             "to count over in this engine")
+        counts = load_filter_value_counts(searcher.index_dir, f,
+                                          exclude=searcher.tombstones)
+        n = (len(counts) if mtype == "cardinality"
+             else sum(counts.values()))
+        return [(spec.title or mtype, n)]
+    if bucket is None:
+        raise ValueError("panel has no executable bucket")
+    if bucket["type"] == "filters":
+        named = {q or f"filter_{i}": (q or "", "or")
+                 for i, q in enumerate(bucket.get("filters", []))}
+        res = searcher.filters_aggregation(named, field=text_field)
+        return sorted(res.items())
+    if bucket["type"] == "date_histogram":
+        raise ValueError("date_histogram panels execute on the Dataset "
+                         "side (stages.windows.calendar_aggregate) — "
+                         "route the backing table, not the index")
+    agg_field = bucket["field"]
+    size = bucket.get("size", 10)
+    if spec.filter_field is not None:
+        # kuery 'field:"value"' -> keyword-filter match set, counted
+        # per agg value via the packed filter postings
+        from ..state.searcher import _count_filter_values, _excl_mask
+        from ..state.shard import load_filter_ids
+        cand = load_filter_ids(searcher.index_dir, spec.filter_field,
+                               spec.filter_value)
+        if cand.size and searcher.tombstones.size:
+            cand = cand[_excl_mask(cand, searcher.tombstones)]
+        rows = sorted(
+            dict(_count_filter_values(searcher.index_dir, agg_field,
+                                      cand)).items(),
+            key=lambda kv: (-kv[1], kv[0]))
+    elif spec.query:
+        rows = searcher.terms_aggregation(spec.query, agg_field,
+                                          field=text_field)
+    else:
+        from ..state.shard import load_filter_value_counts
+        counts = load_filter_value_counts(searcher.index_dir, agg_field,
+                                          exclude=searcher.tombstones)
+        rows = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    if mtype == "cardinality":
+        return [(agg_field, len(rows))]
+    if mtype in ("sum", "min", "max", "avg"):
+        f = spec.metric.get("field")
+        col = {"sum": 2, "min": 3, "max": 4, "avg": 5}[mtype]
+        if spec.filter_field is not None:
+            # kuery-filtered stats panel (e.g. the reference's
+            # "Accept Src Packets": sum(packets) per src where
+            # action=ACCEPT): filter match set -> per-bucket moments
+            # via the same partial the sharded agg path uses; the
+            # metric field must be indexed as a range_field
+            from ..state.searcher import _excl_mask, _group_stats_partial
+            from ..state.shard import load_filter_ids
+            cand = load_filter_ids(searcher.index_dir, spec.filter_field,
+                                   spec.filter_value)
+            if cand.size and searcher.tombstones.size:
+                cand = cand[_excl_mask(cand, searcher.tombstones)]
+            merged = _group_stats_partial(searcher.index_dir, agg_field,
+                                          f, cand)
+            stats = [(v, n, s, lo, hi, s / n)
+                     for v, (n, s, lo, hi) in merged.items()]
+            stats.sort(key=lambda r: (-r[1], r[0]))
+        elif spec.query:
+            stats = searcher.terms_stats_aggregation(
+                spec.query, agg_field, f, field=text_field)
+        else:
+            raise ValueError(f"{mtype} metric without a panel query "
+                             "needs the Dataset-side calendar/tumbling "
+                             "aggs")
+        return [(row[0], row[col]) for row in stats][:size]
+    if mtype in _BUCKET_PIPELINE:
+        # sibling pipeline agg: one scalar over the primary buckets'
+        # counts, computed on the coordinator (OpenSearch parity)
+        vals = [n for _, n in rows]
+        if not vals:
+            return [(mtype, None)]
+        out = {"max_bucket": max(vals), "min_bucket": min(vals),
+               "sum_bucket": sum(vals),
+               "avg_bucket": sum(vals) / len(vals)}[mtype]
+        return [(mtype, out)]
+    if mtype == "percentiles":
+        f = spec.metric.get("field") or agg_field
+        if not spec.query:
+            raise ValueError("percentiles without a panel query needs "
+                             "the Dataset-side aggs")
+        st = searcher.stats_aggregation(spec.query, f, field=text_field,
+                                        quantiles=(0.5, 0.95))
+        return [("p50", st["p50"]), ("p95", st["p95"])]
+    return rows[:size]

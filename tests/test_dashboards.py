@@ -1,0 +1,183 @@
+"""Saved-object ingestion (pipelines/dashboards.py): parse the
+reference's REAL ndjson exports, then execute supported panel shapes
+against a small fixture index."""
+
+import glob
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
+    IndexConfig, build_index)
+from siem_on_amazon_opensearch_service_ray.pipelines.dashboards import (
+    PanelSpec, execute_panel, parse_saved_objects)
+from siem_on_amazon_opensearch_service_ray.state.searcher import Searcher
+
+REF_SEARCHES = ("/root/reference/source/saved_objects/"
+                "each-indexpattern-search/cloudtrail.ndjson")
+REF_DASHBOARDS = glob.glob(
+    "/root/reference/source/saved_objects/each-dashboard/*.ndjson")
+
+
+def test_parse_reference_search_export():
+    so = parse_saved_objects(open(REF_SEARCHES).read())
+    assert so.index_patterns == ["log-aws-cloudtrail-*"]
+    assert so.searches and so.searches[0]["title"].startswith("search")
+    assert "cloud.region" in so.searches[0]["columns"]
+
+
+@pytest.mark.skipif(not REF_DASHBOARDS, reason="no reference dashboards")
+def test_parse_reference_dashboards_supported_majority():
+    """Across the reference's real dashboard exports, the engine's agg
+    vocabulary must cover the majority of data panels — the measured
+    shapes are count/cardinality/sum x terms/filters/date_histogram."""
+    total = supported = 0
+    for f in REF_DASHBOARDS:
+        so = parse_saved_objects(open(f).read())
+        for p in so.panels:
+            total += 1
+            supported += bool(p.supported)
+    assert total > 100
+    assert supported / total > 0.9, f"{supported}/{total}"
+    # every unsupported remainder must be a non-data panel type
+    # (markdown / controls / timelion) — the agg vocabulary itself is
+    # fully covered
+    data_unsupported = [
+        p.reason for f in REF_DASHBOARDS
+        for p in parse_saved_objects(open(f).read()).panels
+        if not p.supported and not p.reason.startswith("non-data")]
+    assert data_unsupported == [], data_unsupported
+
+
+def test_parse_tolerates_garbage():
+    so = parse_saved_objects('not-json\n{"type": "x"}\n\n'
+                             '{"type": "dashboard", "attributes": '
+                             '{"title": "d"}}')
+    assert so.dashboards == ["d"]
+    assert so.panels == []
+
+
+@pytest.fixture(scope="module")
+def panel_index(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("panels")
+    n = 120
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": [f"event {'login' if i % 3 else 'launch'} record"
+                 for i in range(n)],
+        "event_name": [["ConsoleLogin", "RunInstances", "PutObject"][i % 3]
+                       for i in range(n)],
+        "region": [["us-east-1", "eu-west-1"][i % 2] for i in range(n)],
+        "n_chars": pa.array([20 + i for i in range(n)], pa.int64()),
+    })
+    src = str(root / "d.parquet")
+    pq.write_table(t, src)
+    idx = str(root / "idx")
+    build_index([src], idx, IndexConfig(
+        num_partitions=2, fields=(("content", "text", "base"),),
+        keyword_fields=("event_name", "region"),
+        range_fields=("n_chars",), doc_id_col="doc_id", sha_col="text",
+        salting=False))
+    s = Searcher(idx, use_actors=False)
+    yield s
+    s.close()
+
+
+def _vis(vis_type, aggs, query=""):
+    attrs = {
+        "title": "t",
+        "visState": json.dumps({"type": vis_type, "aggs": aggs}),
+        "kibanaSavedObjectMeta": {"searchSourceJSON": json.dumps(
+            {"query": {"query": query, "language": "kuery"}})},
+    }
+    line = json.dumps({"type": "visualization", "attributes": attrs})
+    return parse_saved_objects(line).panels[0]
+
+
+def test_execute_terms_count_match_all(panel_index):
+    p = _vis("pie", [
+        {"schema": "metric", "type": "count", "params": {}},
+        {"schema": "segment", "type": "terms",
+         "params": {"field": "event_name", "size": 5}},
+    ])
+    assert p.supported
+    rows = execute_panel(panel_index, p)
+    assert dict(rows) == {"ConsoleLogin": 40, "RunInstances": 40,
+                          "PutObject": 40}
+
+
+def test_execute_terms_count_with_query(panel_index):
+    p = _vis("table", [
+        {"schema": "metric", "type": "count", "params": {}},
+        {"schema": "segment", "type": "terms",
+         "params": {"field": "event_name", "size": 5}},
+    ], query="launch")
+    rows = dict(execute_panel(panel_index, p))
+    # 'launch' docs are the i % 3 == 0 rows -> all PutObject? no:
+    # i%3==0 -> 'launch' and event ConsoleLogin cycle — just assert
+    # the filtered total matches the corpus
+    assert sum(rows.values()) == 40
+
+
+def test_execute_cardinality_and_filters(panel_index):
+    card = _vis("metric", [
+        {"schema": "metric", "type": "cardinality",
+         "params": {"field": "region"}},
+        {"schema": "segment", "type": "terms",
+         "params": {"field": "region", "size": 10}},
+    ])
+    assert execute_panel(panel_index, card) == [("region", 2)]
+    filt = _vis("metric", [
+        {"schema": "metric", "type": "count", "params": {}},
+        {"schema": "group", "type": "filters",
+         "params": {"filters": [{"input": {"query": "login"}},
+                                {"input": {"query": "launch"}}]}},
+    ])
+    rows = dict(execute_panel(panel_index, filt))
+    assert rows == {"login": 80, "launch": 40}
+
+
+def test_execute_kuery_field_filter(panel_index):
+    p = _vis("pie", [
+        {"schema": "metric", "type": "count", "params": {}},
+        {"schema": "segment", "type": "terms",
+         "params": {"field": "event_name", "size": 5}},
+    ], query='region:"us-east-1"')
+    assert p.supported and p.filter_field == "region"
+    rows = dict(execute_panel(panel_index, p))
+    assert sum(rows.values()) == 60          # the us-east-1 half
+    assert rows == {"ConsoleLogin": 20, "RunInstances": 20,
+                    "PutObject": 20}
+
+
+def test_execute_stats_and_bucket_pipeline(panel_index):
+    mx = _vis("table", [
+        {"schema": "metric", "type": "max",
+         "params": {"field": "n_chars"}},
+        {"schema": "segment", "type": "terms",
+         "params": {"field": "event_name", "size": 5}},
+    ], query="event")
+    rows = dict(execute_panel(panel_index, mx))
+    assert set(rows) == {"ConsoleLogin", "RunInstances", "PutObject"}
+    assert rows["ConsoleLogin"] == 20 + 117   # doc_ids 0,3,...,117
+    mb = _vis("metric", [
+        {"schema": "metric", "type": "max_bucket", "params": {}},
+        {"schema": "segment", "type": "terms",
+         "params": {"field": "event_name", "size": 5}},
+    ])
+    assert execute_panel(panel_index, mb) == [("max_bucket", 40)]
+
+
+def test_unsupported_panels_flagged():
+    p = _vis("timelion", [])
+    assert not p.supported
+    with pytest.raises(ValueError):
+        execute_panel(None, p)
+    kql = _vis("pie", [
+        {"schema": "metric", "type": "count", "params": {}},
+        {"schema": "segment", "type": "terms",
+         "params": {"field": "x", "size": 5}},
+    ], query='a:"1" AND b:"2"')
+    assert not kql.supported and "kuery" in kql.reason
