@@ -208,9 +208,30 @@ def execute_panel(searcher, spec: PanelSpec,
         res = searcher.filters_aggregation(named, field=text_field)
         return sorted(res.items())
     if bucket["type"] == "date_histogram":
-        raise ValueError("date_histogram panels execute on the Dataset "
-                         "side (stages.windows.calendar_aggregate) — "
-                         "route the backing table, not the index")
+        # fixed intervals run against the indexed timestamp range
+        # field (epoch micros); calendar intervals (month+) belong to
+        # the Dataset side (stages.windows.calendar_aggregate) because
+        # month lengths are not a fixed micro count
+        unit_us = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000,
+                   "d": 86_400_000_000, "auto": 3_600_000_000,
+                   "w": 7 * 86_400_000_000}
+        iv = str(bucket.get("interval", "auto"))
+        import re as _re2
+        m = _re2.fullmatch(r"(\d*)([smhdw]|auto)", iv)
+        if not m:
+            raise ValueError(
+                f"calendar date_histogram interval {iv!r} executes on "
+                "the Dataset side (stages.windows.calendar_aggregate)")
+        micros = int(m.group(1) or 1) * unit_us[m.group(2)]
+        ts_field = bucket.get("field") or "@timestamp"
+        buckets_out = searcher.histogram_aggregation(
+            spec.query or "", ts_field, float(micros), field=text_field) \
+            if spec.query else None
+        if buckets_out is None:
+            raise ValueError("match-all date_histogram needs the "
+                             "Dataset-side aggs (no query to bound the "
+                             "match set)")
+        return [(int(b), n) for b, n in buckets_out]
     agg_field = bucket["field"]
     size = bucket.get("size", 10)
     if spec.filter_field is not None:

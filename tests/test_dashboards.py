@@ -170,6 +170,26 @@ def test_execute_stats_and_bucket_pipeline(panel_index):
     assert execute_panel(panel_index, mb) == [("max_bucket", 40)]
 
 
+def test_execute_date_histogram_fixed_interval(panel_index):
+    # n_chars stands in for an epoch-micros range field: interval '50s'
+    # = 50_000_000 micro-units... use a tiny custom unit via '1s'
+    p = _vis("line", [
+        {"schema": "metric", "type": "count", "params": {}},
+        {"schema": "segment", "type": "date_histogram",
+         "params": {"field": "n_chars", "interval": "1s"}},
+    ], query="event")
+    rows = execute_panel(panel_index, p)
+    # n_chars = 20..139 -> all in bucket 0 at 1e6-micro interval
+    assert rows == [(0, 120)]
+    cal = _vis("line", [
+        {"schema": "metric", "type": "count", "params": {}},
+        {"schema": "segment", "type": "date_histogram",
+         "params": {"field": "n_chars", "interval": "1M"}},
+    ], query="event")
+    with pytest.raises(ValueError):
+        execute_panel(panel_index, cal)
+
+
 def test_unsupported_panels_flagged():
     p = _vis("timelion", [])
     assert not p.supported
