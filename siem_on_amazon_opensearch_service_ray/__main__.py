@@ -157,7 +157,48 @@ def main(argv: list[str] | None = None) -> int:
     ro.add_argument("--max-bytes", type=int, required=True)
     ro.add_argument("--dry-run", action="store_true")
 
+    db = sub.add_parser("dashboard",
+                        help="parse an OpenSearch-Dashboards ndjson "
+                             "export and run its supported panels "
+                             "against an index")
+    db.add_argument("ndjson")
+    db.add_argument("--index-dir", default=None,
+                    help="execute panels against this index (omit to "
+                         "only report the parse/support summary)")
+    db.add_argument("--text-field", default="content")
+    db.add_argument("--num-cpus", type=int, default=None)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "dashboard":
+        from .pipelines.dashboards import execute_panel, parse_saved_objects
+        so = parse_saved_objects(open(args.ndjson).read())
+        out = {"index_patterns": so.index_patterns,
+               "dashboards": so.dashboards,
+               "searches": [s["title"] for s in so.searches],
+               "panels": []}
+        searcher = None
+        if args.index_dir:
+            from .state.searcher import Searcher
+            searcher = Searcher(args.index_dir, use_actors=False)
+        try:
+            for p in so.panels:
+                row = {"title": p.title, "type": p.vis_type,
+                       "supported": p.supported}
+                if not p.supported:
+                    row["reason"] = p.reason
+                elif searcher is not None:
+                    try:
+                        row["rows"] = execute_panel(
+                            searcher, p, text_field=args.text_field)[:20]
+                    except ValueError as exc:
+                        row["skipped"] = str(exc)
+                out["panels"].append(row)
+        finally:
+            if searcher is not None:
+                searcher.close()
+        print(json.dumps(out, indent=2, default=str))
+        return 0
 
     if args.cmd == "retention":
         from .pipelines.lifecycle import apply_retention

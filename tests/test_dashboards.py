@@ -190,6 +190,15 @@ def test_execute_date_histogram_fixed_interval(panel_index):
         execute_panel(panel_index, cal)
 
 
+def test_cli_dashboard_summary(capsys):
+    from siem_on_amazon_opensearch_service_ray.__main__ import main
+    rc = main(["dashboard", REF_SEARCHES])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["index_patterns"] == ["log-aws-cloudtrail-*"]
+    assert out["searches"]
+
+
 def test_unsupported_panels_flagged():
     p = _vis("timelion", [])
     assert not p.supported
