@@ -1322,7 +1322,10 @@ class Searcher:
         """OpenSearch ``multi_match``: the query text analyzed and
         scored independently per field, combined ``best_fields``
         (Lucene DisjunctionMaxQuery: max + tie_breaker * sum-of-rest)
-        or ``most_fields`` (sum).  Field boosts ride the OpenSearch
+        or ``most_fields`` (sum; :meth:`search_multi` is the older
+        top-k-optimized most_fields path — this one trades its heap
+        merge for exact full-set combination, which best_fields with
+        tie_breaker requires).  Field boosts ride the OpenSearch
         ``"name^2.5"`` syntax.  Exactness needs the FULL per-field
         match sets (a doc outside one field's top-k can win combined),
         so each field is TAAT-scored completely and combined here —
