@@ -2306,7 +2306,9 @@ def simhash_planted(sf_dir: str) -> pd.DataFrame:
               .map_batches(dedup_ops.SimHashStage,
                            fn_constructor_kwargs={"text_col": "text"},
                            batch_format="pyarrow",
-                           concurrency=_concurrency())
+                           # pool never larger than the 8 blocks above
+                           # (a wider pool just idles and warns)
+                           concurrency=min(8, _concurrency()))
               .select_columns(["doc_id", "simhash"]).to_pandas())
     by_id = dict(zip(sigs["doc_id"], sigs["simhash"]))
     orig = sorted(i for i in by_id if i < 1_000_000_000 and i % 20 == 0)
