@@ -657,6 +657,52 @@ BM25_RANGE_SQL = _bm25_sql(
                  "WHERE n_chars BETWEEN 200 AND 2000)"))
 
 
+def search_suggest(sf_dir: str) -> pd.DataFrame:
+    """Term suggester (did-you-mean): misspelled probes against the
+    documents dictionary; candidates within 2 plain-Levenshtein edits
+    sharing the first char, ranked (distance, df desc, term).  The
+    dictionary scan runs where each part lives; only candidate strings
+    and dfs travel.  suggest_mode='missing' verified separately in
+    pytest — the oracle probes are chosen absent from the corpus so
+    both modes coincide."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        sugg = s.suggest("sprak jion", field="content", size=5)
+    finally:
+        s.close()
+    rows = [(probe, c, d, df) for probe, cands in sugg
+            for c, d, df in cands]
+    return pd.DataFrame({
+        "probe": [r[0] for r in rows],
+        "term": [r[1] for r in rows],
+        "dist": np.array([r[2] for r in rows], dtype=np.int64),
+        "df": np.array([r[3] for r in rows], dtype=np.int64),
+    })
+
+
+SEARCH_SUGGEST_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+probes(probe) AS (VALUES ('sprak'), ('jion')),
+cand AS (
+  SELECT p.probe, d.term, levenshtein(p.probe, d.term) AS dist, d.df
+  FROM probes p JOIN df d
+    ON substr(d.term, 1, 1) = substr(p.probe, 1, 1)
+   AND d.term <> p.probe
+   AND levenshtein(p.probe, d.term) <= 2)
+SELECT probe, term, cast(dist AS BIGINT) AS dist, cast(df AS BIGINT) AS df
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY probe ORDER BY dist, df DESC, term) AS rn
+      FROM cand)
+WHERE rn <= 5
+ORDER BY probe, dist, df DESC, term
+"""
+
+
 MULTI_MATCH_QUERY = "spark src3"
 MULTI_MATCH_FIELDS = ["content", "src"]
 MULTI_MATCH_TIE = 0.3
@@ -2442,6 +2488,7 @@ def queries() -> dict:
         "search_histogram_pipeline": search_histogram_pipeline,
         "search_multi_match": search_multi_match,
         "search_multi_match_sharded": search_multi_match_sharded,
+        "search_suggest": search_suggest,
         "search_stats": search_stats,
         "search_stats_distributed": search_stats_distributed,
         "search_terms_stats": search_terms_stats,
@@ -2519,6 +2566,7 @@ def oracle_sql() -> dict:
         "search_histogram_pipeline": SEARCH_HISTOGRAM_PIPELINE_SQL,
         "search_multi_match": MULTI_MATCH_SQL,
         "search_multi_match_sharded": MULTI_MATCH_SQL,
+        "search_suggest": SEARCH_SUGGEST_SQL,
         "search_stats": SEARCH_STATS_SQL,
         "search_stats_distributed": SEARCH_STATS_SQL,
         "search_terms_stats": SEARCH_TERMS_STATS_SQL,

@@ -1706,6 +1706,46 @@ class Searcher:
                 f"(> max_expansions={max_expansions})")
         return terms
 
+    def suggest(self, text: str, field: str = "content", size: int = 5,
+                max_edits: int = 2, prefix_length: int = 1,
+                suggest_mode: str = "missing",
+                analyzer: str | None = None
+                ) -> list[tuple[str, list[tuple[str, int, int]]]]:
+        """OpenSearch term suggester (did-you-mean): per analyzed
+        token, dictionary candidates within ``max_edits`` plain
+        Levenshtein — the same metric as fuzzy expansion (Lucene
+        additionally counts transpositions as ONE edit; plain
+        distance is the documented divergence shared with
+        :meth:`fuzzy_search`, chosen for exact DuckDB
+        ``levenshtein()`` oracle parity) — sharing the first
+        ``prefix_length`` chars, ranked (distance asc, df desc, term
+        asc), top ``size``.  ``suggest_mode='missing'`` (the
+        OpenSearch default) returns no suggestions for tokens already
+        in the dictionary; ``'always'`` suggests regardless.  The
+        dictionary scan runs where each part lives (actor-side
+        match_terms); only candidate strings and dfs travel.
+        Returns [(token, [(candidate, distance, df), ...])]."""
+        if suggest_mode not in ("missing", "always"):
+            raise ValueError(f"unknown suggest_mode {suggest_mode!r}")
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        out: list[tuple[str, list[tuple[str, int, int]]]] = []
+        for tok in dict.fromkeys(an(text)):
+            if suggest_mode == "missing" and \
+                    self._term_dfs(field, [tok]).get(tok, 0) > 0:
+                out.append((tok, []))
+                continue
+            cands = [c for c in self.expand_terms(
+                         tok, field, "fuzzy", max_expansions=1 << 20,
+                         fuzziness=max_edits)
+                     if c != tok
+                     and c[:prefix_length] == tok[:prefix_length]]
+            dfs = self._term_dfs(field, cands)
+            scored = [(c, _levenshtein(tok, c), dfs[c])
+                      for c in cands if dfs.get(c, 0) > 0]
+            scored.sort(key=lambda s: (s[1], -s[2], s[0]))
+            out.append((tok, scored[:size]))
+        return out
+
     def prefix_search(self, prefix: str, field: str = "content",
                       k: int = 10, max_expansions: int = 1024,
                       k1: float = K1, b: float = B
@@ -3374,3 +3414,20 @@ def pipeline_aggregations(buckets: list[tuple[float, int]],
                     "cumulative_sum": float(cum[i]),
                     "derivative": deriv, "moving_avg": mov})
     return out
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Plain Levenshtein distance (suggest ranking; the bounded
+    predicate lives in shard._levenshtein_leq)."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]

@@ -15,7 +15,8 @@ from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
 from siem_on_amazon_opensearch_service_ray.state.searcher import Searcher
 
 N = 300
-WORDS = ["alpha", "beta", "gamma", "delta", "spark", "join", "scan"]
+WORDS = ["alpha", "beta", "gamma", "delta", "spark", "join", "scan",
+         "sparky"]
 LABELS = ["news", "code", "mail"]
 
 
@@ -108,6 +109,26 @@ def test_doc_sharded_identical(mm_indexes):
                                    match_type=ty, tie_breaker=tie)
         assert [d for _, d in a] == [d for _, d in b]
         assert np.allclose([s for s, _ in a], [s for s, _ in b])
+
+
+def test_suggest_missing_and_always_modes(mm_indexes):
+    st, sd = mm_indexes
+    out = dict(st.suggest("spakr scan", field="content"))
+    # misspelled token -> nearest dictionary terms by (dist, df desc)
+    top = [c for c, _, _ in out["spakr"]]
+    assert "spark" in top[:2]            # (dist, df desc) ranking:
+    assert all(d <= 2 for _, d, _ in out["spakr"])   # sparky may outrank
+    # in-dictionary token: the OpenSearch default suggests nothing
+    assert out["scan"] == []
+    always = dict(st.suggest("spark", field="content",
+                             suggest_mode="always"))
+    cands = [c for c, _, _ in always["spark"]]
+    assert "sparky" in cands and "spark" not in cands
+    # doc-sharded index: identical suggestions (dictionary scan is
+    # per-part either way; dfs sum globally)
+    assert dict(sd.suggest("spakr scan", field="content")) == out
+    with pytest.raises(ValueError):
+        st.suggest("x", suggest_mode="sometimes")
 
 
 def test_unknown_type_rejected(mm_indexes):
