@@ -79,8 +79,10 @@ def main(argv: list[str] | None = None) -> int:
     ag.add_argument("index_dir")
     ag.add_argument("query")
     ag.add_argument("--agg", required=True,
-                    choices=["terms", "cardinality", "histogram", "stats",
-                             "sigterms"])
+                    choices=["terms", "rare", "cardinality", "histogram",
+                             "stats", "sigterms"])
+    ag.add_argument("--max-doc-count", type=int, default=1,
+                    help="rare_terms threshold (--agg rare)")
     ag.add_argument("--agg-field", required=True)
     ag.add_argument("--mode", default="or", choices=["or", "and"])
     ag.add_argument("--field", default="content")
@@ -91,6 +93,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="approximate quantiles via t-digest partials")
     ag.add_argument("--k", type=int, default=10)
     ag.add_argument("--num-cpus", type=int, default=None)
+
+    sg = sub.add_parser("suggest", help="term suggester (did-you-mean)")
+    sg.add_argument("index_dir")
+    sg.add_argument("text")
+    sg.add_argument("--field", default="content")
+    sg.add_argument("--size", type=int, default=5)
+    sg.add_argument("--max-edits", type=int, default=2)
+    sg.add_argument("--mode", default="missing",
+                    choices=["missing", "always"])
+    sg.add_argument("--num-cpus", type=int, default=None)
 
     st = sub.add_parser("stats")
     st.add_argument("index_dir")
@@ -261,6 +273,11 @@ def main(argv: list[str] | None = None) -> int:
                     res = searcher.terms_aggregation(
                         args.query, args.agg_field, args.field, args.mode)
                     res = [{"value": v, "count": n} for v, n in res]
+                elif args.agg == "rare":
+                    res = [{"value": v, "count": n} for v, n in
+                           searcher.rare_terms_aggregation(
+                               args.query, args.agg_field,
+                               args.max_doc_count, args.field, args.mode)]
                 elif args.agg == "cardinality":
                     res = {"n_values": searcher.cardinality_aggregation(
                         args.query, args.agg_field, args.field, args.mode)}
@@ -283,6 +300,21 @@ def main(argv: list[str] | None = None) -> int:
                         quantile_method="tdigest" if args.tdigest
                         else "exact")
                 print(json.dumps(res, indent=2))
+            finally:
+                searcher.close()
+        elif args.cmd == "suggest":
+            from .state.searcher import Searcher
+            searcher = Searcher(args.index_dir, use_actors=True)
+            try:
+                res = searcher.suggest(args.text, field=args.field,
+                                       size=args.size,
+                                       max_edits=args.max_edits,
+                                       suggest_mode=args.mode)
+                print(json.dumps([
+                    {"token": t, "suggestions": [
+                        {"term": c, "distance": d, "df": n}
+                        for c, d, n in cands]}
+                    for t, cands in res], indent=2))
             finally:
                 searcher.close()
         elif args.cmd == "search":

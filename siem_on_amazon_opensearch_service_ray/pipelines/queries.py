@@ -657,6 +657,37 @@ BM25_RANGE_SQL = _bm25_sql(
                  "WHERE n_chars BETWEEN 200 AND 2000)"))
 
 
+def search_rare_terms(sf_dir: str) -> pd.DataFrame:
+    """rare_terms aggregation: long-tail source values (match-set doc
+    count <= 22) of the 'spark join' match set, ascending — exact
+    under sharding because it counts everything then filters small,
+    unlike an asc-ordered terms agg."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        rows = s.rare_terms_aggregation(BM25_QUERY, "source",
+                                        max_doc_count=22, field="content")
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "source": [v for v, _ in rows],
+        "n_docs": np.array([n for _, n in rows], dtype=np.int64),
+    })
+
+
+SEARCH_RARE_TERMS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents)
+SELECT source, cast(count(*) AS BIGINT) AS n_docs
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM tok WHERE term IN ('spark', 'join'))
+GROUP BY source HAVING count(*) <= 22
+ORDER BY n_docs, source
+"""
+
+
 def search_suggest(sf_dir: str) -> pd.DataFrame:
     """Term suggester (did-you-mean): misspelled probes against the
     documents dictionary; candidates within 2 plain-Levenshtein edits
@@ -2489,6 +2520,7 @@ def queries() -> dict:
         "search_multi_match": search_multi_match,
         "search_multi_match_sharded": search_multi_match_sharded,
         "search_suggest": search_suggest,
+        "search_rare_terms": search_rare_terms,
         "search_stats": search_stats,
         "search_stats_distributed": search_stats_distributed,
         "search_terms_stats": search_terms_stats,
@@ -2567,6 +2599,7 @@ def oracle_sql() -> dict:
         "search_multi_match": MULTI_MATCH_SQL,
         "search_multi_match_sharded": MULTI_MATCH_SQL,
         "search_suggest": SEARCH_SUGGEST_SQL,
+        "search_rare_terms": SEARCH_RARE_TERMS_SQL,
         "search_stats": SEARCH_STATS_SQL,
         "search_stats_distributed": SEARCH_STATS_SQL,
         "search_terms_stats": SEARCH_TERMS_STATS_SQL,

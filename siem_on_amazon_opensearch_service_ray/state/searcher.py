@@ -3229,6 +3229,24 @@ class Searcher:
         counts = dict(_count_filter_values(self.index_dir, agg_field, cand))
         return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
 
+    def rare_terms_aggregation(self, query: str, agg_field: str,
+                               max_doc_count: int = 1,
+                               field: str = "content", mode: str = "or",
+                               analyzer: str | None = None
+                               ) -> list[tuple[str, int]]:
+        """OpenSearch ``rare_terms``: the long-tail complement of
+        terms-agg — keyword values whose match-set doc count is <=
+        ``max_doc_count``, sorted ASCENDING by count then value (the
+        agg's fixed order; it exists because a terms-agg ordered asc
+        is unbounded-error under sharding, while counting everything
+        and filtering small is exact).  Shares the full-match-set
+        machinery (per-shard partials on doc-partitioned indexes)."""
+        rows = self.terms_aggregation(query, agg_field, field, mode,
+                                      analyzer)
+        out = [(v, n) for v, n in rows if n <= max_doc_count]
+        out.sort(key=lambda kv: (kv[1], kv[0]))
+        return out
+
     def terms_stats_aggregation(self, query: str, agg_field: str,
                                 range_field: str, field: str = "content",
                                 mode: str = "or",
