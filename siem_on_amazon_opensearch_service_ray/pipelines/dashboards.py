@@ -46,6 +46,21 @@ import re as _re
 _KUERY_KV = _re.compile(
     r'^\s*([\w.@-]+)\s*:\s*(?:"([^"]*)"|([\w.-]+))\s*$')
 
+_UNIT_MICROS = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000,
+                "d": 86_400_000_000, "auto": 3_600_000_000,
+                "w": 7 * 86_400_000_000}
+
+
+def _fixed_interval_micros(interval) -> int:
+    """'30s'/'h'/'auto' -> epoch-micro bucket width; raises on
+    calendar intervals (month+), which are not a fixed micro count."""
+    m = _re.fullmatch(r"(\d*)([smhdw]|auto)", str(interval))
+    if not m:
+        raise ValueError(
+            f"calendar date_histogram interval {interval!r} executes on "
+            "the Dataset side (stages.windows.calendar_aggregate)")
+    return int(m.group(1) or 1) * _UNIT_MICROS[m.group(2)]
+
 
 @dataclass
 class SavedObjects:
@@ -202,6 +217,19 @@ def execute_panel(searcher, spec: PanelSpec,
         return [(spec.title or mtype, n)]
     if bucket is None:
         raise ValueError("panel has no executable bucket")
+    terms_b = next((b for b in spec.buckets if b["type"] == "terms"), None)
+    hist_b = next((b for b in spec.buckets
+                   if b["type"] == "date_histogram"), None)
+    if terms_b is not None and hist_b is not None \
+            and mtype == "count" and spec.query:
+        # the area/line chart's split-series shape: terms x
+        # date_histogram -> one nested aggregation call
+        micros = _fixed_interval_micros(hist_b.get("interval", "auto"))
+        rows3 = searcher.terms_histogram_aggregation(
+            spec.query, terms_b["field"],
+            hist_b.get("field") or "@timestamp", float(micros),
+            field=text_field)
+        return [((v, int(b)), n) for v, b, n in rows3]
     if bucket["type"] == "filters":
         named = {q or f"filter_{i}": (q or "", "or")
                  for i, q in enumerate(bucket.get("filters", []))}
@@ -212,17 +240,7 @@ def execute_panel(searcher, spec: PanelSpec,
         # field (epoch micros); calendar intervals (month+) belong to
         # the Dataset side (stages.windows.calendar_aggregate) because
         # month lengths are not a fixed micro count
-        unit_us = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000,
-                   "d": 86_400_000_000, "auto": 3_600_000_000,
-                   "w": 7 * 86_400_000_000}
-        iv = str(bucket.get("interval", "auto"))
-        import re as _re2
-        m = _re2.fullmatch(r"(\d*)([smhdw]|auto)", iv)
-        if not m:
-            raise ValueError(
-                f"calendar date_histogram interval {iv!r} executes on "
-                "the Dataset side (stages.windows.calendar_aggregate)")
-        micros = int(m.group(1) or 1) * unit_us[m.group(2)]
+        micros = _fixed_interval_micros(bucket.get("interval", "auto"))
         ts_field = bucket.get("field") or "@timestamp"
         buckets_out = searcher.histogram_aggregation(
             spec.query or "", ts_field, float(micros), field=text_field) \

@@ -657,6 +657,38 @@ BM25_RANGE_SQL = _bm25_sql(
                  "WHERE n_chars BETWEEN 200 AND 2000)"))
 
 
+def search_terms_histogram(sf_dir: str) -> pd.DataFrame:
+    """terms x histogram nested aggregation (the dashboard area-chart
+    split-series shape): per (source, 100-char n_chars bucket), count
+    of 'spark join' matches."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        rows = s.terms_histogram_aggregation(BM25_QUERY, "source",
+                                             "n_chars", 100.0,
+                                             field="content")
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "source": [v for v, _, _ in rows],
+        "bucket": np.array([b for _, b, _ in rows], dtype=np.int64),
+        "n_docs": np.array([n for _, _, n in rows], dtype=np.int64),
+    })
+
+
+SEARCH_TERMS_HISTOGRAM_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents)
+SELECT source, cast(floor(n_chars / 100) * 100 AS BIGINT) AS bucket,
+       cast(count(*) AS BIGINT) AS n_docs
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM tok WHERE term IN ('spark', 'join'))
+GROUP BY source, bucket ORDER BY source, bucket
+"""
+
+
 def search_rare_terms(sf_dir: str) -> pd.DataFrame:
     """rare_terms aggregation: long-tail source values (match-set doc
     count <= 22) of the 'spark join' match set, ascending — exact
@@ -2521,6 +2553,7 @@ def queries() -> dict:
         "search_multi_match_sharded": search_multi_match_sharded,
         "search_suggest": search_suggest,
         "search_rare_terms": search_rare_terms,
+        "search_terms_histogram": search_terms_histogram,
         "search_stats": search_stats,
         "search_stats_distributed": search_stats_distributed,
         "search_terms_stats": search_terms_stats,
@@ -2600,6 +2633,7 @@ def oracle_sql() -> dict:
         "search_multi_match_sharded": MULTI_MATCH_SQL,
         "search_suggest": SEARCH_SUGGEST_SQL,
         "search_rare_terms": SEARCH_RARE_TERMS_SQL,
+        "search_terms_histogram": SEARCH_TERMS_HISTOGRAM_SQL,
         "search_stats": SEARCH_STATS_SQL,
         "search_stats_distributed": SEARCH_STATS_SQL,
         "search_terms_stats": SEARCH_TERMS_STATS_SQL,

@@ -720,6 +720,49 @@ def _group_stats_partial(index_dir: str, agg_field: str, range_field: str,
     return out
 
 
+def _terms_hist_partial(index_dir: str, agg_field: str, range_field: str,
+                        interval: float, cand: np.ndarray,
+                        dparts: list[int] | None = None
+                        ) -> dict[tuple[str, float], int]:
+    """Terms-bucket + histogram-sub-agg partial: per (keyword value,
+    floor(range_field/interval)*interval) bucket, the count of cand ∩
+    the value's doc list — the dashboard area-chart shape (terms split
+    series x date_histogram).  Same probe pattern as
+    _group_stats_partial; only the tiny bucket dict travels."""
+    from .shard import load_range_pairs
+    if cand.size == 0:
+        return {}
+    ids_all, vals_all = [], []
+    for vals, ids in load_range_pairs(index_dir, range_field,
+                                      dparts=dparts):
+        ids_all.append(ids)
+        vals_all.append(vals)
+    if not ids_all:
+        return {}
+    ids_cat = np.concatenate(ids_all)
+    order = np.argsort(ids_cat)
+    ids_sorted = ids_cat[order]
+    vals_sorted = np.concatenate(vals_all)[order]
+    out: dict[tuple[str, float], int] = {}
+    for v, g_ids in _iter_filter_postings(index_dir, agg_field, dparts):
+        pos = np.minimum(np.searchsorted(cand, g_ids), cand.size - 1)
+        hit = g_ids[cand[pos] == g_ids]
+        if hit.size == 0:
+            continue
+        vp = np.minimum(np.searchsorted(ids_sorted, hit),
+                        ids_sorted.size - 1)
+        ok = ids_sorted[vp] == hit
+        vv = vals_sorted[vp[ok]]
+        if vv.size == 0:
+            continue
+        b = np.floor(vv / interval) * interval
+        u, c = np.unique(b, return_counts=True)
+        for bv, n in zip(u, c):
+            key = (v, float(bv))
+            out[key] = out.get(key, 0) + int(n)
+    return out
+
+
 def _range_bucket_counts(v: np.ndarray,
                          ranges: list[tuple[float | None, float | None]]
                          ) -> list[int]:
@@ -950,6 +993,23 @@ class PartActor:
                                            self.tombstones,
                                            dparts=[p]).items():
                 out[t] = out.get(t, 0) + n
+        return out
+
+    def terms_hist_local(self, field: str, q_terms: list[str], mode: str,
+                         agg_field: str, range_field: str,
+                         interval: float) -> dict[tuple[str, float], int]:
+        """Doc-sharded terms x histogram partial (area-chart shape):
+        per shard, per (keyword value, bucket), the match count —
+        only the bucket dict travels."""
+        out: dict[tuple[str, float], int] = {}
+        for p, r in self.readers.items():
+            cand = _candidate_ids(r, field, q_terms, mode)
+            if cand.size and self.tombstones.size:
+                cand = cand[_excl_mask(cand, self.tombstones)]
+            for k, n in _terms_hist_partial(r.index_dir, agg_field,
+                                            range_field, interval, cand,
+                                            dparts=[p]).items():
+                out[k] = out.get(k, 0) + n
         return out
 
     def group_stats_local(self, field: str, q_terms: list[str], mode: str,
@@ -3228,6 +3288,54 @@ class Searcher:
             return []
         counts = dict(_count_filter_values(self.index_dir, agg_field, cand))
         return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    def terms_histogram_aggregation(self, query: str, agg_field: str,
+                                    range_field: str, interval: float,
+                                    field: str = "content",
+                                    mode: str = "or",
+                                    analyzer: str | None = None
+                                    ) -> list[tuple[str, float, int]]:
+        """Terms bucket with a histogram SUB-aggregation — the
+        dashboard area/line chart's split-series shape (OpenSearch:
+        ``terms`` x ``date_histogram``, the reference's most common
+        two-bucket panel).  Per (keyword value, bucket) count over the
+        full match set; doc-partitioned indexes merge per-shard bucket
+        dicts, term-partitioned ones probe the packed filter postings
+        + range tables driver-side.  Returns [(value, bucket, count)]
+        sorted (value, bucket)."""
+        if analyzer is None:
+            analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
+                             if f == field), "code")
+        q_terms = ANALYZERS[analyzer](query)
+        if not q_terms:
+            return []
+        merged: dict[tuple[str, float], int] = {}
+        if self.manifest["config"].get("partition_by") == "doc":
+            if self.use_actors:
+                parts = ray.get([
+                    a.terms_hist_local.remote(field, q_terms, mode,
+                                              agg_field, range_field,
+                                              interval)
+                    for a in self.actors])
+            else:
+                parts = []
+                for p, r in self.readers.items():
+                    cand = _candidate_ids(r, field, q_terms, mode)
+                    if cand.size and self.tombstones.size:
+                        cand = cand[_excl_mask(cand, self.tombstones)]
+                    parts.append(_terms_hist_partial(
+                        self.index_dir, agg_field, range_field, interval,
+                        cand, dparts=[p]))
+            for d in parts:
+                for k, n in d.items():
+                    merged[k] = merged.get(k, 0) + n
+        else:
+            cand = self._match_ids(field, q_terms, mode)
+            merged = _terms_hist_partial(self.index_dir, agg_field,
+                                         range_field, interval, cand)
+        out = [(v, b, n) for (v, b), n in merged.items()]
+        out.sort(key=lambda r: (r[0], r[1]))
+        return out
 
     def rare_terms_aggregation(self, query: str, agg_field: str,
                                max_doc_count: int = 1,

@@ -190,6 +190,23 @@ def test_execute_date_histogram_fixed_interval(panel_index):
         execute_panel(panel_index, cal)
 
 
+def test_execute_terms_x_date_histogram(panel_index):
+    # the area-chart split-series shape: terms(event_name) x
+    # date_histogram(n_chars as micros, '1s' = 1e6 units)
+    p = _vis("area", [
+        {"schema": "metric", "type": "count", "params": {}},
+        {"schema": "group", "type": "terms",
+         "params": {"field": "event_name", "size": 5}},
+        {"schema": "segment", "type": "date_histogram",
+         "params": {"field": "n_chars", "interval": "1s"}},
+    ], query="event")
+    assert p.supported
+    rows = dict(execute_panel(panel_index, p))
+    # all 120 docs, n_chars 20..139 -> bucket 0; 3 series x 40 docs
+    assert rows == {("ConsoleLogin", 0): 40, ("RunInstances", 0): 40,
+                    ("PutObject", 0): 40}
+
+
 def test_cli_dashboard_summary(capsys):
     from siem_on_amazon_opensearch_service_ray.__main__ import main
     rc = main(["dashboard", REF_SEARCHES])
