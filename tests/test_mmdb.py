@@ -165,3 +165,56 @@ def test_deterministic_bytes(tmp_path):
     write_mmdb(p1, CITY_NETS)
     write_mmdb(p2, CITY_NETS)
     assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+# ---------------------------------------------------------------------------
+# property: random non-nested network sets with arbitrary records
+# round-trip bit-exactly through the writer + reader at every record
+# size (hypothesis drives the spec edge cases: size escapes, minimal
+# int widths, deep maps)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_scalar = st.one_of(
+    st.booleans(),
+    st.integers(min_value=0, max_value=(1 << 62)),
+    st.integers(min_value=-(1 << 31), max_value=-1),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=40),
+    st.binary(max_size=40),
+)
+_record = st.recursive(
+    _scalar,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=4),
+        st.dictionaries(st.text(min_size=1, max_size=8), inner,
+                        max_size=4)),
+    max_leaves=12)
+
+
+@st.composite
+def _networks(draw):
+    """2-8 disjoint /16s under distinct second octets of 10.0.0.0/8."""
+    octets = draw(st.lists(st.integers(0, 255), min_size=2, max_size=8,
+                           unique=True))
+    return [(f"10.{o}.0.0/16",
+             {"k": draw(_record), "o": o}) for o in octets]
+
+
+@settings(max_examples=25, deadline=None)
+@given(nets=_networks(), record_size=st.sampled_from([24, 28, 32]))
+def test_mmdb_property_roundtrip(tmp_path_factory, nets, record_size):
+    path = str(tmp_path_factory.mktemp("mmdbprop") / "p.mmdb")
+    write_mmdb(path, nets, record_size=record_size)
+    r = MmdbReader(path)
+    want = {ipaddress.ip_network(c): rec for c, rec in nets}
+    got = dict(r.networks())
+    assert got == want
+    for c, rec in nets:
+        o = int(c.split(".")[1])
+        assert r.lookup(f"10.{o}.{o % 256}.7") == rec
+    # an octet with no network resolves to nothing
+    missing = next(i for i in range(256)
+                   if f"10.{i}.0.0/16" not in dict(nets))
+    assert r.lookup(f"10.{missing}.0.1") is None
