@@ -243,8 +243,8 @@ def execute_panel(searcher, spec: PanelSpec,
         micros = _fixed_interval_micros(bucket.get("interval", "auto"))
         ts_field = bucket.get("field") or "@timestamp"
         buckets_out = searcher.histogram_aggregation(
-            spec.query or "", ts_field, float(micros), field=text_field) \
-            if spec.query else None
+            spec.query or "", ts_field, float(micros), field=text_field,
+            min_doc_count=0) if spec.query else None
         if buckets_out is None:
             raise ValueError("match-all date_histogram needs the "
                              "Dataset-side aggs (no query to bound the "

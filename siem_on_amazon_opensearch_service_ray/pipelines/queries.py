@@ -657,6 +657,50 @@ BM25_RANGE_SQL = _bm25_sql(
                  "WHERE n_chars BETWEEN 200 AND 2000)"))
 
 
+def search_histogram_empty_buckets(sf_dir: str) -> pd.DataFrame:
+    """min_doc_count=0 histogram (the OpenSearch date_histogram
+    default that keeps dashboard line charts continuous): a selective
+    AND match set at a fine interval leaves genuine gaps, which the
+    coordinator fills with zero-count buckets between the first and
+    last non-empty one."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        buckets = s.histogram_aggregation(
+            "spark join sort window", "n_chars", 5.0, field="content",
+            mode="and", min_doc_count=0)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "bucket": np.array([b for b, _ in buckets], dtype=np.int64),
+        "n_docs": np.array([n for _, n in buckets], dtype=np.int64),
+    })
+
+
+SEARCH_HISTOGRAM_EMPTY_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (
+  SELECT doc_id FROM tok WHERE term = 'spark'
+  INTERSECT SELECT doc_id FROM tok WHERE term = 'join'
+  INTERSECT SELECT doc_id FROM tok WHERE term = 'sort'
+  INTERSECT SELECT doc_id FROM tok WHERE term = 'window'),
+h AS (
+  SELECT cast(floor(n_chars / 5) * 5 AS BIGINT) AS bucket,
+         cast(count(*) AS BIGINT) AS n_docs
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM m)
+  GROUP BY bucket),
+grid AS (
+  SELECT unnest(generate_series((SELECT min(bucket) FROM h),
+                                (SELECT max(bucket) FROM h), 5)) AS bucket)
+SELECT g.bucket, cast(coalesce(h.n_docs, 0) AS BIGINT) AS n_docs
+FROM grid g LEFT JOIN h ON g.bucket = h.bucket
+ORDER BY g.bucket
+"""
+
+
 def search_terms_histogram(sf_dir: str) -> pd.DataFrame:
     """terms x histogram nested aggregation (the dashboard area-chart
     split-series shape): per (source, 100-char n_chars bucket), count
@@ -2554,6 +2598,7 @@ def queries() -> dict:
         "search_suggest": search_suggest,
         "search_rare_terms": search_rare_terms,
         "search_terms_histogram": search_terms_histogram,
+        "search_histogram_empty_buckets": search_histogram_empty_buckets,
         "search_stats": search_stats,
         "search_stats_distributed": search_stats_distributed,
         "search_terms_stats": search_terms_stats,
@@ -2634,6 +2679,7 @@ def oracle_sql() -> dict:
         "search_suggest": SEARCH_SUGGEST_SQL,
         "search_rare_terms": SEARCH_RARE_TERMS_SQL,
         "search_terms_histogram": SEARCH_TERMS_HISTOGRAM_SQL,
+        "search_histogram_empty_buckets": SEARCH_HISTOGRAM_EMPTY_SQL,
         "search_stats": SEARCH_STATS_SQL,
         "search_stats_distributed": SEARCH_STATS_SQL,
         "search_terms_stats": SEARCH_TERMS_STATS_SQL,

@@ -720,6 +720,31 @@ def _group_stats_partial(index_dir: str, agg_field: str, range_field: str,
     return out
 
 
+def _hist_fill(buckets: list[tuple[float, int]], interval: float,
+               min_doc_count: int) -> list[tuple[float, int]]:
+    """min_doc_count=0: insert zero-count buckets between the first
+    and last non-empty one (OpenSearch date_histogram gap fill —
+    coordinator-side, bounded by the data's own extent)."""
+    if min_doc_count > 0 or len(buckets) < 2:
+        return buckets
+    out: list[tuple[float, int]] = []
+    have = dict(buckets)
+    b = buckets[0][0]
+    last = buckets[-1][0]
+    # integer stepping avoids float accumulation drift
+    steps = int(round((last - b) / interval))
+    for i in range(steps + 1):
+        key = buckets[0][0] + i * interval
+        # snap to an existing bucket key when float rounding is close
+        n = have.get(key)
+        if n is None:
+            kr = round(key / interval) * interval
+            n = have.get(kr, 0)
+            key = kr if kr in have else key
+        out.append((key, n))
+    return out
+
+
 def _terms_hist_partial(index_dir: str, agg_field: str, range_field: str,
                         interval: float, cand: np.ndarray,
                         dparts: list[int] | None = None
@@ -1937,14 +1962,19 @@ class Searcher:
     def histogram_aggregation(self, query: str, range_field: str,
                               interval: float, field: str = "content",
                               mode: str = "or",
-                              analyzer: str | None = None
+                              analyzer: str | None = None,
+                              min_doc_count: int = 1
                               ) -> list[tuple[float, int]]:
         """Numeric histogram over the full match set (OpenSearch
         ``histogram`` agg): bucket = floor(value/interval)*interval,
         counted via the doc-range-partitioned range tables — per part,
         one membership probe of the part's doc ids against the sorted
-        candidate set; empty buckets omitted.  Returns [(bucket_lo,
-        count)] sorted by bucket."""
+        candidate set.  ``min_doc_count=0`` fills the gaps between the
+        first and last non-empty bucket with zero-count buckets — the
+        OpenSearch date_histogram default that keeps dashboard line
+        charts continuous (the fill happens on the coordinator over
+        the reduced buckets, so the shard exchange is unchanged).
+        Returns [(bucket_lo, count)] sorted by bucket."""
         if analyzer is None:
             analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
                              if f == field), "code")
@@ -1966,7 +1996,8 @@ class Searcher:
             for d in parts:
                 for bv, n in d.items():
                     counts[bv] = counts.get(bv, 0) + n
-            return sorted(counts.items())
+            return _hist_fill(sorted(counts.items()), interval,
+                              min_doc_count)
         cand = self._match_ids(field, q_terms, mode)
         if cand.size == 0:
             return []
@@ -1980,7 +2011,7 @@ class Searcher:
             u, c = np.unique(buckets, return_counts=True)
             for bv, n in zip(u, c):
                 counts[float(bv)] = counts.get(float(bv), 0) + int(n)
-        return sorted(counts.items())
+        return _hist_fill(sorted(counts.items()), interval, min_doc_count)
 
     def _hist_one(self, r, p, field, q_terms, mode, range_field, interval):
         v = _shard_range_values(r, p, self.tombstones, field, q_terms,
