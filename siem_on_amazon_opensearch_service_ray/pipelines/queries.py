@@ -810,6 +810,57 @@ ORDER BY probe, dist, df DESC, term
 """
 
 
+def search_suggest_phrase(sf_dir: str) -> pd.DataFrame:
+    """Phrase suggester: 'sprak jion' -> corrected phrases assembled
+    from per-token candidates, scored sum(ln(1+df)) - edits (the
+    documented LM simplification; same candidate machinery as
+    search_suggest)."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        phrases = s.suggest_phrase("sprak jion", field="content", size=3)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "phrase": [p for p, _ in phrases],
+        "score_e6": np.array([round(sc * 1e6) for _, sc in phrases],
+                             dtype=np.int64),
+    })
+
+
+SEARCH_SUGGEST_PHRASE_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+ca AS (
+  SELECT term, dist, df FROM (
+    SELECT d.term, levenshtein('sprak', d.term) AS dist, d.df,
+           row_number() OVER (ORDER BY levenshtein('sprak', d.term),
+                              d.df DESC, d.term) AS rn
+    FROM df d
+    WHERE substr(d.term, 1, 1) = 's' AND d.term <> 'sprak'
+      AND levenshtein('sprak', d.term) <= 2)
+  WHERE rn <= 3),
+cb AS (
+  SELECT term, dist, df FROM (
+    SELECT d.term, levenshtein('jion', d.term) AS dist, d.df,
+           row_number() OVER (ORDER BY levenshtein('jion', d.term),
+                              d.df DESC, d.term) AS rn
+    FROM df d
+    WHERE substr(d.term, 1, 1) = 'j' AND d.term <> 'jion'
+      AND levenshtein('jion', d.term) <= 2)
+  WHERE rn <= 3),
+x AS (
+  SELECT ca.term || ' ' || cb.term AS phrase,
+         ln(1 + ca.df) - ca.dist + ln(1 + cb.df) - cb.dist AS score
+  FROM ca CROSS JOIN cb)
+SELECT phrase, cast(round(score * 1000000) AS BIGINT) AS score_e6
+FROM x ORDER BY score DESC, phrase LIMIT 3
+"""
+
+
 MULTI_MATCH_QUERY = "spark src3"
 MULTI_MATCH_FIELDS = ["content", "src"]
 MULTI_MATCH_TIE = 0.3
@@ -2596,6 +2647,7 @@ def queries() -> dict:
         "search_multi_match": search_multi_match,
         "search_multi_match_sharded": search_multi_match_sharded,
         "search_suggest": search_suggest,
+        "search_suggest_phrase": search_suggest_phrase,
         "search_rare_terms": search_rare_terms,
         "search_terms_histogram": search_terms_histogram,
         "search_histogram_empty_buckets": search_histogram_empty_buckets,
@@ -2677,6 +2729,7 @@ def oracle_sql() -> dict:
         "search_multi_match": MULTI_MATCH_SQL,
         "search_multi_match_sharded": MULTI_MATCH_SQL,
         "search_suggest": SEARCH_SUGGEST_SQL,
+        "search_suggest_phrase": SEARCH_SUGGEST_PHRASE_SQL,
         "search_rare_terms": SEARCH_RARE_TERMS_SQL,
         "search_terms_histogram": SEARCH_TERMS_HISTOGRAM_SQL,
         "search_histogram_empty_buckets": SEARCH_HISTOGRAM_EMPTY_SQL,

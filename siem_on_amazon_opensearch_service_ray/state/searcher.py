@@ -1831,6 +1831,47 @@ class Searcher:
             out.append((tok, scored[:size]))
         return out
 
+    def suggest_phrase(self, text: str, field: str = "content",
+                       size: int = 3, max_edits: int = 2,
+                       prefix_length: int = 1, per_token: int = 3,
+                       analyzer: str | None = None
+                       ) -> list[tuple[str, float]]:
+        """Phrase suggester: whole-input corrections assembled from
+        per-token term suggestions.  In-dictionary tokens keep
+        themselves (distance 0); misspelled tokens contribute their
+        top ``per_token`` term-suggester candidates; candidate phrases
+        are the bounded cross product scored
+        ``sum(ln(1+df_i)) - sum(edit_distance_i)`` and ranked (score
+        desc, phrase asc).  OpenSearch's phrase suggester scores with
+        an n-gram language model over a shingle field; this
+        frequency+edit scoring is the documented simplification — it
+        keeps the whole ranking recomputable by the SQL oracle while
+        preserving the API shape (text in, corrected phrases out)."""
+        import math
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        toks = an(text)
+        if not toks or len(toks) > 8:
+            return []
+        cand_lists: list[list[tuple[str, int, int]]] = []
+        for tok in toks:
+            df_self = self._term_dfs(field, [tok]).get(tok, 0)
+            if df_self > 0:
+                cand_lists.append([(tok, 0, df_self)])
+                continue
+            sugg = dict(self.suggest(tok, field=field, size=per_token,
+                                     max_edits=max_edits,
+                                     prefix_length=prefix_length,
+                                     suggest_mode="always"))[tok]
+            cand_lists.append(sugg or [(tok, 0, 0)])
+        from itertools import product
+        out: list[tuple[str, float]] = []
+        for combo in product(*cand_lists):
+            phrase = " ".join(c for c, _, _ in combo)
+            score = sum(math.log1p(df) - d for _, d, df in combo)
+            out.append((phrase, float(score)))
+        out.sort(key=lambda p: (-p[1], p[0]))
+        return out[:size]
+
     def prefix_search(self, prefix: str, field: str = "content",
                       k: int = 10, max_expansions: int = 1024,
                       k1: float = K1, b: float = B

@@ -131,6 +131,19 @@ def test_suggest_missing_and_always_modes(mm_indexes):
         st.suggest("x", suggest_mode="sometimes")
 
 
+def test_suggest_phrase_collation(mm_indexes):
+    st, _ = mm_indexes
+    got = st.suggest_phrase("spakr code", field="content", size=3)
+    assert got, "no phrase candidates"
+    # in-dictionary 'code' keeps itself; misspelled token corrected
+    assert all(p.endswith(" code") for p, _ in got)
+    assert got[0][0] in ("spark code", "sparky code")
+    # scores strictly ordered desc, deterministic tie-break by phrase
+    scores = [s for _, s in got]
+    assert scores == sorted(scores, reverse=True)
+    assert st.suggest_phrase("", field="content") == []
+
+
 def test_unknown_type_rejected(mm_indexes):
     st, _ = mm_indexes
     with pytest.raises(ValueError):

@@ -58,7 +58,8 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "search_cardinality", "search_histogram",
               "search_histogram_pipeline",
               "search_multi_match", "search_multi_match_sharded",
-              "search_suggest", "search_rare_terms",
+              "search_suggest", "search_suggest_phrase",
+              "search_rare_terms",
               "search_terms_histogram", "search_histogram_empty_buckets",
               "search_stats", "search_stats_distributed",
               "search_terms_stats",
