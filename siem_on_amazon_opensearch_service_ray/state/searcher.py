@@ -1831,6 +1831,49 @@ class Searcher:
             out.append((tok, scored[:size]))
         return out
 
+    def explain(self, query: str, doc_id: int, field: str = "content",
+                analyzer: str | None = None,
+                k1: float = K1, b: float = B) -> dict:
+        """OpenSearch ``_explain`` parity: the per-term score
+        breakdown for ONE document — df, idf, tf, the norm-decoded
+        (quantized) doc length, and each clause's BM25 contribution,
+        summing exactly to what :meth:`search` scores (pytest-pinned).
+        The terms gather through the same path as search, so the
+        explanation reflects the real index state (salted runs merged,
+        tombstones excluded, idf counting deletes until compaction)."""
+        if analyzer is None:
+            analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
+                             if f == field), "code")
+        q_terms = ANALYZERS[analyzer](query)
+        d = np.uint64(doc_id)
+        avgdl = float(self.stats["avgdl"][field])
+        n_docs = int(self.stats["n_docs"])
+        rows = self._gather(field, q_terms)
+        terms = prepare_terms(q_terms, rows, n_docs, avgdl, k1, b,
+                              idf_by_term=self._idf_overrides,
+                              exclude_ids=self.tombstones)
+        details = []
+        total = 0.0
+        matched = 0
+        for t, term in zip(terms, list(dict.fromkeys(q_terms))):
+            i = int(np.searchsorted(t.doc_ids, d))
+            hit = i < t.doc_ids.size and t.doc_ids[i] == d
+            det = {"term": term, "df": int(t.doc_ids.size),
+                   "idf": float(t.idf), "weight": float(t.weight),
+                   "matched": bool(hit)}
+            if hit:
+                tfn = float(tf_norm(t.tfs[i:i + 1], t.lens[i:i + 1],
+                                    avgdl, k1, b)[0])
+                contrib = t.weight * t.idf * tfn
+                det.update({"tf": int(t.tfs[i]), "dl": int(t.lens[i]),
+                            "tf_norm": tfn, "score": float(contrib)})
+                total += contrib
+                matched += 1
+            details.append(det)
+        return {"doc_id": int(doc_id), "matched_terms": matched,
+                "score": float(total), "avgdl": avgdl, "n_docs": n_docs,
+                "details": details}
+
     def suggest_phrase(self, text: str, field: str = "content",
                        size: int = 3, max_edits: int = 2,
                        prefix_length: int = 1, per_token: int = 3,

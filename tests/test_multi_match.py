@@ -144,6 +144,24 @@ def test_suggest_phrase_collation(mm_indexes):
     assert st.suggest_phrase("", field="content") == []
 
 
+def test_explain_matches_search_scores(mm_indexes):
+    st, _ = mm_indexes
+    for q in ("spark code", "gamma", "spark spark delta"):
+        hits = st.search(q, field="content", k=5)
+        assert hits
+        for score, d in hits:
+            ex = st.explain(q, d, field="content")
+            assert ex["score"] == pytest.approx(score, rel=1e-12), q
+            assert ex["matched_terms"] >= 1
+            for det in ex["details"]:
+                if det["matched"]:
+                    assert det["score"] == pytest.approx(
+                        det["weight"] * det["idf"] * det["tf_norm"])
+    # a doc that matches nothing explains to zero
+    ex = st.explain("qqqzzz", 0, field="content")
+    assert ex["score"] == 0.0 and ex["matched_terms"] == 0
+
+
 def test_unknown_type_rejected(mm_indexes):
     st, _ = mm_indexes
     with pytest.raises(ValueError):
