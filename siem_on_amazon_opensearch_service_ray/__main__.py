@@ -102,7 +102,18 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("--max-edits", type=int, default=2)
     sg.add_argument("--mode", default="missing",
                     choices=["missing", "always"])
+    sg.add_argument("--phrase", action="store_true",
+                    help="collate per-token suggestions into corrected "
+                         "phrases")
     sg.add_argument("--num-cpus", type=int, default=None)
+
+    ex = sub.add_parser("explain",
+                        help="per-term BM25 score breakdown for one doc")
+    ex.add_argument("index_dir")
+    ex.add_argument("query")
+    ex.add_argument("doc_id", type=int)
+    ex.add_argument("--field", default="content")
+    ex.add_argument("--num-cpus", type=int, default=None)
 
     st = sub.add_parser("stats")
     st.add_argument("index_dir")
@@ -306,15 +317,29 @@ def main(argv: list[str] | None = None) -> int:
             from .state.searcher import Searcher
             searcher = Searcher(args.index_dir, use_actors=True)
             try:
-                res = searcher.suggest(args.text, field=args.field,
-                                       size=args.size,
-                                       max_edits=args.max_edits,
-                                       suggest_mode=args.mode)
-                print(json.dumps([
-                    {"token": t, "suggestions": [
-                        {"term": c, "distance": d, "df": n}
-                        for c, d, n in cands]}
-                    for t, cands in res], indent=2))
+                if args.phrase:
+                    out = [{"phrase": p, "score": round(sc, 6)}
+                           for p, sc in searcher.suggest_phrase(
+                               args.text, field=args.field,
+                               size=args.size, max_edits=args.max_edits)]
+                else:
+                    res = searcher.suggest(args.text, field=args.field,
+                                           size=args.size,
+                                           max_edits=args.max_edits,
+                                           suggest_mode=args.mode)
+                    out = [{"token": t, "suggestions": [
+                                {"term": c, "distance": d, "df": n}
+                                for c, d, n in cands]}
+                           for t, cands in res]
+                print(json.dumps(out, indent=2))
+            finally:
+                searcher.close()
+        elif args.cmd == "explain":
+            from .state.searcher import Searcher
+            searcher = Searcher(args.index_dir, use_actors=True)
+            try:
+                print(json.dumps(searcher.explain(
+                    args.query, args.doc_id, field=args.field), indent=2))
             finally:
                 searcher.close()
         elif args.cmd == "search":
