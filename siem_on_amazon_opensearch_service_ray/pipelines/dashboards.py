@@ -231,8 +231,15 @@ def execute_panel(searcher, spec: PanelSpec,
             field=text_field)
         return [((v, int(b)), n) for v, b, n in rows3]
     if bucket["type"] == "filters":
-        named = {q or f"filter_{i}": (q or "", "or")
-                 for i, q in enumerate(bucket.get("filters", []))}
+        # one bucket PER configured filter: disambiguate duplicate query
+        # strings (and empty inputs beyond index 0) positionally so a
+        # dict key collision can't silently collapse two panel filters
+        named: dict[str, tuple[str, str]] = {}
+        for i, q in enumerate(bucket.get("filters", [])):
+            name = q or f"filter_{i}"
+            if name in named:
+                name = f"{name}#{i}"
+            named[name] = (q or "", "or")
         res = searcher.filters_aggregation(named, field=text_field)
         return sorted(res.items())
     if bucket["type"] == "date_histogram":

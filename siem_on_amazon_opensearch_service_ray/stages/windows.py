@@ -30,10 +30,23 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
+def _ts_us(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    """Epoch MICROseconds as int64, regardless of the column's native
+    unit.  ``pc.cast(ts, int64)`` alone yields the column's own unit
+    (s/ms/us/ns) — a timestamp[s] input would be treated as if it were
+    microseconds, producing silently wrong buckets.  Normalize to
+    timestamp[us] first (date32/date64 inputs also go through this
+    cast)."""
+    t = col.type
+    if pa.types.is_timestamp(t) and t.unit == "us" and t.tz is None:
+        return pc.cast(col, pa.int64())
+    return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+
+
 def add_tumbling_window(batch: pa.Table, ts_col: str, size_sec: int,
                         out_col: str = "window_start") -> pa.Table:
     """Window start epoch-seconds = ts floored to the window size."""
-    us = pc.cast(batch.column(ts_col), pa.int64())
+    us = _ts_us(batch.column(ts_col))
     size_us = size_sec * 1_000_000
     start = pc.multiply(pc.divide(us, size_us), size_us)
     return batch.append_column(out_col, pc.divide(start, 1_000_000))
@@ -81,8 +94,8 @@ def add_calendar_window(batch: pa.Table, ts_col: str,
         raise ValueError(f"calendar interval must be one of "
                          f"{CALENDAR_UNITS}, got {interval!r}")
     off_us = int(round(tz_offset_hours * 3600)) * 1_000_000
-    shifted = pc.cast(pc.add(pc.cast(batch.column(ts_col), pa.int64()),
-                             off_us), pa.timestamp("us"))
+    shifted = pc.cast(pc.add(_ts_us(batch.column(ts_col)), off_us),
+                      pa.timestamp("us"))
     bucket = pc.floor_temporal(shifted, unit=interval)
     epoch = pc.divide(pc.cast(bucket, pa.int64()), 1_000_000)
     return batch.append_column(out_col, epoch)
@@ -110,7 +123,7 @@ def explode_sliding_windows(batch: pa.Table, ts_col: str, size_sec: int,
     """Each row replicated into every sliding window covering it."""
     assert size_sec % step_sec == 0
     k = size_sec // step_sec
-    us = pc.cast(batch.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+    us = _ts_us(batch.column(ts_col)).to_numpy(zero_copy_only=False)
     step_us = step_sec * 1_000_000
     last_start = (us // step_us) * step_us
     idx = np.repeat(np.arange(batch.num_rows), k)
@@ -196,7 +209,7 @@ def sessionize_bounded(ds: rd.Dataset, key_col: str, ts_col: str,
     bucket_us = int(bucket_hours * 3600 * 1_000_000)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        us = pc.cast(batch.column(ts_col), pa.int64())
+        us = _ts_us(batch.column(ts_col))
         return batch.append_column(
             "_bucket", pc.divide(us, bucket_us))
 

@@ -52,6 +52,8 @@ class TermData:
     lens: np.ndarray       # effective (norm-decoded) doc lengths
     blk_last: np.ndarray   # per-128-block last doc id
     blk_ub: np.ndarray     # per-block upper bound of idf*tfn (excl. weight)
+    df: int = 0            # PRE-tombstone-exclusion df (the one idf used);
+                           # doc_ids.size is the live (post-exclusion) count
 
 
 def _blocks_from_arrays(doc_ids: np.ndarray, tfs: np.ndarray,
@@ -105,10 +107,13 @@ def prepare_terms(query_terms: list[str], rows_by_term: dict[str, list[tuple]],
             continue
         tp = merge_postings(runs)
         # tombstones: excluded from matching, but df/idf keep counting
-        # them until compaction (Lucene deleted-doc semantics)
+        # them until compaction (Lucene deleted-doc semantics) — capture
+        # the pre-exclusion df so explain() can report the df that the
+        # idf was actually computed from
+        raw_df = int(tp.df)
         _ov = idf_by_term.get(term) if idf_by_term is not None else None
         t_idf = (float(_ov) if _ov is not None
-                 else float(idf_fn(tp.df, n_docs)))
+                 else float(idf_fn(raw_df, n_docs)))
         if exclude_ids is not None and exclude_ids.size:
             keep = _excl_mask(tp.doc_ids, exclude_ids)
             if not keep.all():
@@ -119,14 +124,14 @@ def prepare_terms(query_terms: list[str], rows_by_term: dict[str, list[tuple]],
             out.append(TermData(qidx, float(counts[term]), 0.0,
                                 np.zeros(0, np.uint64), np.zeros(0, np.uint32),
                                 np.zeros(0, np.int64), np.zeros(0, np.uint64),
-                                np.zeros(0, np.float64)))
+                                np.zeros(0, np.float64), df=raw_df))
             continue
         lens = decode_norm(tp.norms)
         w = float(counts[term])
         blk_last, blk_ub = _blocks_from_arrays(tp.doc_ids, tp.tfs, lens,
                                                t_idf, avgdl, k1, b)
         out.append(TermData(qidx, w, t_idf, tp.doc_ids, tp.tfs, lens.astype(np.int64),
-                            blk_last, blk_ub))
+                            blk_last, blk_ub, df=raw_df))
     return out
 
 
@@ -738,9 +743,14 @@ def _hist_fill(buckets: list[tuple[float, int]], interval: float,
         # snap to an existing bucket key when float rounding is close
         n = have.get(key)
         if n is None:
+            # always emit the snapped canonical key (round(k/i)*i) for
+            # gap buckets — the accumulated float key can drift at the
+            # ulp level from the floor(v/interval)*interval convention
+            # non-empty buckets use, breaking exact-match consumers on
+            # fractional intervals
             kr = round(key / interval) * interval
             n = have.get(kr, 0)
-            key = kr if kr in have else key
+            key = kr
         out.append((key, n))
     return out
 
@@ -1858,7 +1868,11 @@ class Searcher:
         for t, term in zip(terms, list(dict.fromkeys(q_terms))):
             i = int(np.searchsorted(t.doc_ids, d))
             hit = i < t.doc_ids.size and t.doc_ids[i] == d
-            det = {"term": term, "df": int(t.doc_ids.size),
+            # df = pre-tombstone-exclusion count (the input the reported
+            # idf was computed from, so the breakdown is reproducible);
+            # live_docs = matchable postings after exclusion
+            det = {"term": term, "df": int(t.df),
+                   "live_docs": int(t.doc_ids.size),
                    "idf": float(t.idf), "weight": float(t.weight),
                    "matched": bool(hit)}
             if hit:
