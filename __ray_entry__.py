@@ -23,18 +23,18 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry() -> Any:
-    """Flagship: build the inverted index over sf0.001 documents, run a
-    representative query set through the WAND searcher, return the
+    """Flagship: build the inverted index over sf0.001 documents in the
+    scale-default DOC-partitioned layout (every shard a complete
+    mini-index; per-shard scoring with global df — search() auto-routes),
+    run a representative query set through the searcher, return the
     hits as a DataFrame (query, rank, doc_id, score_e4)."""
     import pandas as pd
 
     from siem_on_amazon_opensearch_service_ray.pipelines.queries import (
-        _docs_index_cfg, _docs_index_dir, _docs_source)
-    from siem_on_amazon_opensearch_service_ray.pipelines.build_index import build_index
+        _doc_sharded_index)
     from siem_on_amazon_opensearch_service_ray.state.searcher import Searcher
 
-    idx = _docs_index_dir(SF0001)
-    build_index(_docs_source(SF0001), idx, _docs_index_cfg(), resume=True)
+    idx = _doc_sharded_index(SF0001)
     searcher = Searcher(idx, use_actors=True)
     try:
         rows = []

@@ -93,7 +93,11 @@ def run_suite() -> dict:
 
     idx_dir = f"/tmp/sosr_bench_index_{NUM_CPUS}_{os.getpid()}"
     shutil.rmtree(idx_dir, ignore_errors=True)
-    cfg = IndexConfig(num_partitions=64, sample_mod=8,
+    # partition_by="term" pinned for round-over-round continuity of the
+    # index_build / index_docs_per_sec series (r01-r03 measured the term
+    # build); the library default is "doc" and the index_build_doc
+    # section below times that scale-default layout
+    cfg = IndexConfig(num_partitions=64, sample_mod=8, partition_by="term",
                       hot_df_threshold=5000, salt_unit=5000, max_salts=8)
     # best-of-N builds (fresh dirs): single-node host noise is +-30%,
     # and the scaling criterion compares steady-state throughput

@@ -100,15 +100,20 @@ class IndexConfig:
     # shuffle to the docstore sentinel parts and docstore bytes ~ the
     # corpus size — off by default.
     store_source: bool = False
+    # "doc" (DEFAULT — the scale layout): postings partitioned by
+    #   doc_id % P — every part is a complete mini-index over its doc
+    #   range (OpenSearch doc-shard parity, SURVEY.md §7.1; reference
+    #   deploy: 3 doc shards, command_index.txt:8); the full query DSL
+    #   scores per-shard with global df (dfs_query_then_fetch) and a
+    #   high-df term never ships its full postings to one process.
+    #   Salting is moot (hot terms split naturally across doc shards).
     # "term": postings partitioned by crc32(field:term) % P — each query
-    #   term lives in exactly one part; scoring is driver-centralized.
-    # "doc": postings partitioned by doc_id % P — every part is a
-    #   complete mini-index over its doc range (OpenSearch doc-shard
-    #   parity, SURVEY.md §7.1); scoring runs per-shard with global df
-    #   (dfs_query_then_fetch) and a high-df term never ships its full
-    #   postings to one process.  Salting is moot (hot terms split
-    #   naturally across doc shards).
-    partition_by: str = "term"
+    #   term lives in exactly one part.  Scoring gathers the query
+    #   terms' postings to the driver, so prefer it only when queries
+    #   are rare-term-dominated and the index is small enough that a
+    #   worst-case term's postings fit one process — e.g. single-node
+    #   lookup indexes; requires salting for hot-term build skew.
+    partition_by: str = "doc"
     # numeric docstore columns to index for range queries: per doc-range
     # part, a value-sorted (value, doc_id) table — a query binary-searches
     # the bounds per part (OpenSearch range-query parity)

@@ -320,7 +320,10 @@ FROM t
 
 
 def _docs_index_cfg() -> IndexConfig:
-    return IndexConfig(num_partitions=4,
+    # partition_by="term" pinned: these entries are the TERM-layout
+    # oracle twins (the *_sharded entries cover the doc-layout default);
+    # pinning also keeps the cached /tmp index fingerprints stable
+    return IndexConfig(num_partitions=4, partition_by="term",
                        # src: the source label as a second TEXT field
                        # (multi_match / dis_max combine it with content;
                        # it stays a keyword_field too for filters)

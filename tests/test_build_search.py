@@ -12,8 +12,10 @@ from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
 from siem_on_amazon_opensearch_service_ray.pipelines.search import flat_bm25_topk
 from siem_on_amazon_opensearch_service_ray.state.searcher import Searcher
 
+# term layout pinned: this module exercises the term-partitioned path
+# (salting, per-term part placement); the library default is "doc"
 CFG = IndexConfig(num_partitions=4, sample_mod=1, hot_df_threshold=500,
-                  salt_unit=300, max_salts=4)
+                  salt_unit=300, max_salts=4, partition_by="term")
 
 # F2 query classes: rare term, hot term, multi-term, camelCase ident,
 # snake_case ident, zero-hit, matches-everything-ish

@@ -14,9 +14,11 @@ from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
     IndexConfig, build_index)
 from siem_on_amazon_opensearch_service_ray.state.searcher import Searcher
 
+# term pinned so the term-vs-doc twin contrast below stays meaningful
+# now that "doc" is the library default
 CFG = IndexConfig(num_partitions=4, sample_mod=1, hot_df_threshold=500,
                   salt_unit=300, max_salts=4, store_positions=True,
-                  store_source=True)
+                  store_source=True, partition_by="term")
 
 
 @pytest.fixture(scope="module")
