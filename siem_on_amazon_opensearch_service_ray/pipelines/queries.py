@@ -101,9 +101,12 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
             "l_returnflag": df["l_returnflag"], "l_linestatus": df["l_linestatus"],
             "sum_qty_e2": qty_e2, "sum_base_e2": price_e2,
             "sum_disc_e4": price_e2 * (100 - disc_e2), "count_order": 1})
+        # replace_schema_metadata(None): from_pandas attaches pandas
+        # metadata, and a pa.Schema with metadata is unhashable in
+        # pyarrow 16, defeating Ray's block-schema dedup (warning spam)
         return pa.Table.from_pandas(
             df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum(),
-            preserve_index=False)
+            preserve_index=False).replace_schema_metadata(None)
 
     out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
              .groupby(["l_returnflag", "l_linestatus"])
@@ -176,7 +179,8 @@ def events_json_extract(sf_dir: str) -> pd.DataFrame:
         df["n_low"] = (df["k"] < 50).astype(np.int64)
         df["n_high"] = (df["k"] >= 50).astype(np.int64)
         g = df.groupby("event_type", as_index=False)[["n_low", "n_high"]].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
 
     out = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby("event_type")
@@ -559,7 +563,7 @@ def events_sessions(sf_dir: str) -> pd.DataFrame:
         g["duration_us"] = g["end_us"] - g["start_us"]
         return pa.Table.from_pandas(
             g[["user_id", "session_id", "n_events", "duration_us"]],
-            preserve_index=False)
+            preserve_index=False).replace_schema_metadata(None)
 
     return sess.map_batches(agg, batch_format="pyarrow").to_pandas()
 

@@ -181,8 +181,11 @@ def session_stats(ds: rd.Dataset, key_col: str, ts_col: str,
             n_events=(ts_col, "size"), start_us=("_us", "min"),
             end_us=("_us", "max"))
         g["duration_sec"] = (g["end_us"] - g["start_us"]) / 1e6
-        return pa.Table.from_pandas(g[[key_col, "session_id", "n_events",
-                                       "duration_sec"]], preserve_index=False)
+        # metadata-free: from_pandas schema metadata is unhashable in
+        # pyarrow 16 and defeats Ray's block-schema dedup
+        return pa.Table.from_pandas(
+            g[[key_col, "session_id", "n_events", "duration_sec"]],
+            preserve_index=False).replace_schema_metadata(None)
 
     # sessionize already co-located each key in one group/block
     return sess.map_batches(agg, batch_format="pyarrow")

@@ -668,6 +668,21 @@ def _iter_filter_postings(index_dir: str, agg_field: str,
             yield v, np.frombuffer(blob, dtype="<u8")
 
 
+def _filter_value_rows(index_dir: str, agg_field: str) -> int:
+    """Upper bound on a keyword field's distinct-value census size:
+    total (value, part) rows across its packed filter postings, read
+    from parquet footers only (no data pages).  Each part stores one
+    row per distinct value it saw, so the sum over-counts values that
+    span parts — conservative in the safe direction for a guard."""
+    import os as _os
+    import pyarrow.parquet as _pq
+    fdir = _os.path.join(index_dir, "filters", agg_field)
+    if not _os.path.isdir(fdir):
+        return 0
+    return sum(_pq.ParquetFile(_os.path.join(fdir, fn)).metadata.num_rows
+               for fn in _os.listdir(fdir) if fn.endswith(".parquet"))
+
+
 def _count_filter_values(index_dir: str, agg_field: str, cand: np.ndarray,
                          dparts: list[int] | None = None
                          ) -> list[tuple[str, int]]:
@@ -3469,7 +3484,8 @@ class Searcher:
     def rare_terms_aggregation(self, query: str, agg_field: str,
                                max_doc_count: int = 1,
                                field: str = "content", mode: str = "or",
-                               analyzer: str | None = None
+                               analyzer: str | None = None,
+                               max_buckets: int = 65536
                                ) -> list[tuple[str, int]]:
         """OpenSearch ``rare_terms``: the long-tail complement of
         terms-agg — keyword values whose match-set doc count is <=
@@ -3477,7 +3493,21 @@ class Searcher:
         agg's fixed order; it exists because a terms-agg ordered asc
         is unbounded-error under sharding, while counting everything
         and filtering small is exact).  Shares the full-match-set
-        machinery (per-shard partials on doc-partitioned indexes)."""
+        machinery (per-shard partials on doc-partitioned indexes).
+
+        ``max_buckets`` guards the exact census: the field's
+        distinct-value upper bound (filter-posting footer row counts,
+        no data read) must stay under it, else this raises rather than
+        silently materializing a high-cardinality census — use
+        ``cardinality_aggregation`` (HLL) or a terms-agg over a
+        filtered match set for such fields."""
+        bound = _filter_value_rows(self.index_dir, agg_field)
+        if bound > max_buckets:
+            raise ValueError(
+                f"rare_terms on {agg_field!r}: distinct-value upper bound "
+                f"{bound} exceeds max_buckets={max_buckets}; the exact "
+                "census would materialize every value — raise max_buckets "
+                "explicitly or use cardinality_aggregation (HLL) instead")
         rows = self.terms_aggregation(query, agg_field, field, mode,
                                       analyzer)
         out = [(v, n) for v, n in rows if n <= max_doc_count]
