@@ -53,13 +53,24 @@ _UNIT_MICROS = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000,
 
 def _fixed_interval_micros(interval) -> int:
     """'30s'/'h'/'auto' -> epoch-micro bucket width; raises on
-    calendar intervals (month+), which are not a fixed micro count."""
+    calendar intervals (month+), which are not a fixed micro count —
+    those route through :func:`execute_panel`'s ``dataset=`` path."""
     m = _re.fullmatch(r"(\d*)([smhdw]|auto)", str(interval))
     if not m:
         raise ValueError(
             f"calendar date_histogram interval {interval!r} executes on "
             "the Dataset side (stages.windows.calendar_aggregate)")
     return int(m.group(1) or 1) * _UNIT_MICROS[m.group(2)]
+
+
+def _calendar_unit(interval) -> str | None:
+    """OpenSearch calendar_interval spellings -> floor_temporal unit
+    (None = not calendar; 'w'/'1w' stays on the fixed 7-day path for
+    back-compat — ISO-anchored weeks are available as 'week')."""
+    return {"M": "month", "1M": "month", "month": "month",
+            "q": "quarter", "1q": "quarter", "quarter": "quarter",
+            "y": "year", "1y": "year", "year": "year",
+            "week": "week"}.get(str(interval))
 
 
 @dataclass
@@ -186,8 +197,58 @@ def parse_saved_objects(text: str) -> SavedObjects:
     return out
 
 
+def _execute_calendar_panel(dataset, spec: PanelSpec, hist_b: dict,
+                            terms_b: dict | None,
+                            tz_offset_hours: float) -> list[tuple]:
+    """Calendar date_histogram panel (month/quarter/year/week) — month
+    lengths are not a fixed micro count, so these buckets come from
+    the Dataset side (stages.windows.add_calendar_window, the same
+    kernel the orders_monthly/events_weekly oracles prove), not the
+    index's epoch-range tables.  Supports count / sum / min / max /
+    avg metrics, an optional terms split series, and the kuery
+    field:"value" filter; the match set is the (filtered) table."""
+    if dataset is None:
+        raise ValueError(
+            "calendar date_histogram panels execute on the Dataset "
+            "side — pass dataset= (the panel's source table)")
+    if spec.query:
+        raise ValueError("calendar panels support match-all or a kuery "
+                         "field filter, not fulltext queries")
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    from ..stages.windows import add_calendar_window
+    unit = _calendar_unit(hist_b["interval"])
+    ts_col = hist_b.get("field") or "@timestamp"
+    ds = dataset
+    ff, fv = spec.filter_field, spec.filter_value
+    if ff is not None:
+        ds = ds.map_batches(
+            lambda b: b.filter(pc.equal(b.column(ff), fv)),
+            batch_format="pyarrow")
+    win = ds.map_batches(
+        lambda b: add_calendar_window(b, ts_col, unit, tz_offset_hours),
+        batch_format="pyarrow")
+    keys = (([terms_b["field"]] if terms_b is not None else [])
+            + ["bucket_epoch"])
+    mtype = spec.metric["type"]
+    if mtype == "count":
+        agg = Count(alias_name="_v")
+    elif mtype in ("sum", "min", "max", "avg"):
+        agg = {"sum": Sum, "min": Min, "max": Max, "avg": Mean}[mtype](
+            spec.metric["field"], alias_name="_v")
+    else:
+        raise ValueError(f"calendar panel metric {mtype} unsupported")
+    out = win.groupby(keys).aggregate(agg).to_pandas().sort_values(keys)
+    if terms_b is not None:
+        return [((t, int(b)), v) for t, b, v in
+                zip(out[terms_b["field"]], out["bucket_epoch"], out["_v"])]
+    return [(int(b), v) for b, v in zip(out["bucket_epoch"], out["_v"])]
+
+
 def execute_panel(searcher, spec: PanelSpec,
-                  text_field: str = "content") -> list[tuple]:
+                  text_field: str = "content", dataset=None,
+                  tz_offset_hours: float = 0.0) -> list[tuple]:
     """Run one supported panel against an index.
 
     - terms bucket × count  -> terms_aggregation (match-all via the
@@ -196,6 +257,8 @@ def execute_panel(searcher, spec: PanelSpec,
     - terms bucket × sum    -> terms_stats_aggregation's sum column.
     - filters bucket        -> filters_aggregation.
     - metric-only count / cardinality over a terms field.
+    - calendar date_histogram (month+) -> Dataset-side calendar
+      buckets (requires ``dataset=``, the panel's source table).
     Returns [(bucket_value, number)] rows.
     """
     if not spec.supported:
@@ -220,6 +283,10 @@ def execute_panel(searcher, spec: PanelSpec,
     terms_b = next((b for b in spec.buckets if b["type"] == "terms"), None)
     hist_b = next((b for b in spec.buckets
                    if b["type"] == "date_histogram"), None)
+    if hist_b is not None and \
+            _calendar_unit(hist_b.get("interval")) is not None:
+        return _execute_calendar_panel(dataset, spec, hist_b, terms_b,
+                                       tz_offset_hours)
     if terms_b is not None and hist_b is not None \
             and mtype == "count" and spec.query:
         # the area/line chart's split-series shape: terms x

@@ -2347,6 +2347,50 @@ FROM events GROUP BY event_type, week_epoch
 """
 
 
+def dashboard_monthly_panel(sf_dir: str) -> pd.DataFrame:
+    """A monthly date_histogram panel executed END TO END through the
+    saved-object runner (A5): the ndjson below is the exact export
+    shape the reference's dashboards use for their calendar panels
+    (source/saved_objects/each-dashboard/*.ndjson — 'Log Count by
+    Month' style), parsed by parse_saved_objects and routed by
+    execute_panel to the Dataset-side calendar kernel.  The terms
+    split series rides along so the runner's split-series calendar
+    shape is oracle-checked (the kuery-filter path is pytest-covered
+    in test_dashboards)."""
+    import json as _json
+
+    from ..pipelines.dashboards import execute_panel, parse_saved_objects
+    panel_ndjson = _json.dumps({
+        "type": "visualization",
+        "attributes": {
+            "title": "Events by Month",
+            "visState": _json.dumps({"type": "line", "aggs": [
+                {"schema": "metric", "type": "count", "params": {}},
+                {"schema": "group", "type": "terms",
+                 "params": {"field": "event_type", "size": 10}},
+                {"schema": "segment", "type": "date_histogram",
+                 "params": {"field": "ts", "interval": "1M"}},
+            ]}),
+            "kibanaSavedObjectMeta": {"searchSourceJSON": _json.dumps(
+                {"query": {"query": "", "language": "kuery"}})},
+        }})
+    spec = parse_saved_objects(panel_ndjson).panels[0]
+    ds = _t_ds(sf_dir, "events", ["event_type", "ts"])
+    rows = execute_panel(None, spec, dataset=ds)
+    return pd.DataFrame(
+        {"event_type": [t for (t, _), _n in rows],
+         "month_epoch": np.array([b for (_, b), _n in rows], np.int64),
+         "n": np.array([n for _, n in rows], np.int64)})
+
+
+DASHBOARD_MONTHLY_SQL = """
+SELECT event_type,
+       cast(epoch(date_trunc('month', ts)) AS BIGINT) AS month_epoch,
+       count(*) AS n
+FROM events GROUP BY event_type, month_epoch
+"""
+
+
 def events_routed(sf_dir: str) -> pd.DataFrame:
     """M11 through the driver gate: monthly index routing from the
     event's own timestamp (late data lands in the older partition its
@@ -2639,6 +2683,8 @@ def queries() -> dict:
         "events_routed": events_routed,
         "events_sliding": events_sliding,
         "user_stats": user_stats,
+        # --- round-4 additions ---
+        "dashboard_monthly_panel": dashboard_monthly_panel,
         # rows-only (non-SQL-expressible: blake2b signatures / ANN internals)
         "simhash_docs": simhash_docs,
         "langid_docs": langid_docs,
@@ -2771,4 +2817,5 @@ def oracle_sql() -> dict:
         "etl_raw_logs": ETL_RAW_LOGS_SQL,
         "minhash_pairs": MINHASH_PAIRS_SQL,
         "simhash_planted": SIMHASH_PLANTED_SQL,
+        "dashboard_monthly_panel": DASHBOARD_MONTHLY_SQL,
     }

@@ -207,6 +207,58 @@ def test_execute_terms_x_date_histogram(panel_index):
                     ("PutObject", 0): 40}
 
 
+def test_execute_calendar_month_panel(ray_session):
+    """A monthly calendar panel (the reference dashboards' 'by month'
+    shape) routes to the Dataset-side calendar kernel: month buckets
+    honor real month lengths, the kuery field filter applies, and a
+    sum metric works."""
+    import datetime
+
+    import ray.data as rd
+    ts = [datetime.datetime(2024, 1, 15), datetime.datetime(2024, 1, 31),
+          datetime.datetime(2024, 2, 1), datetime.datetime(2024, 3, 5)]
+    t = pa.table({
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "kind": ["a", "a", "b", "a"],
+        "v": pa.array([1, 10, 100, 1000], pa.int64()),
+    })
+    ds = rd.from_arrow(t)
+    jan = int(datetime.datetime(2024, 1, 1,
+                                tzinfo=datetime.timezone.utc).timestamp())
+    feb = int(datetime.datetime(2024, 2, 1,
+                                tzinfo=datetime.timezone.utc).timestamp())
+    mar = int(datetime.datetime(2024, 3, 1,
+                                tzinfo=datetime.timezone.utc).timestamp())
+    p = _vis("line", [
+        {"schema": "metric", "type": "count", "params": {}},
+        {"schema": "segment", "type": "date_histogram",
+         "params": {"field": "ts", "interval": "1M"}},
+    ])
+    assert execute_panel(None, p, dataset=ds) == \
+        [(jan, 2), (feb, 1), (mar, 1)]
+    # kuery field filter + sum metric
+    p2 = _vis("line", [
+        {"schema": "metric", "type": "sum", "params": {"field": "v"}},
+        {"schema": "segment", "type": "date_histogram",
+         "params": {"field": "ts", "interval": "1M"}},
+    ], query='kind:"a"')
+    assert execute_panel(None, p2, dataset=ds) == \
+        [(jan, 11), (mar, 1000)]
+    # terms split series
+    p3 = _vis("area", [
+        {"schema": "metric", "type": "count", "params": {}},
+        {"schema": "group", "type": "terms",
+         "params": {"field": "kind", "size": 5}},
+        {"schema": "segment", "type": "date_histogram",
+         "params": {"field": "ts", "interval": "month"}},
+    ])
+    assert execute_panel(None, p3, dataset=ds) == \
+        [(("a", jan), 2), (("a", mar), 1), (("b", feb), 1)]
+    # without a dataset the calendar panel refuses loudly
+    with pytest.raises(ValueError, match="dataset"):
+        execute_panel(None, p)
+
+
 def test_cli_dashboard_summary(capsys):
     from siem_on_amazon_opensearch_service_ray.__main__ import main
     rc = main(["dashboard", REF_SEARCHES])
