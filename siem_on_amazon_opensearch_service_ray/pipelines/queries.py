@@ -2391,6 +2391,32 @@ FROM events GROUP BY event_type, month_epoch
 """
 
 
+def pa_firewall_logs(sf_dir: str) -> pd.DataFrame:
+    """The reference's SECOND raw-log transformer
+    (pa_firewall_rawlog_transformer/index.py): CloudWatch envelopes of
+    HEADERLESS positional PAN-OS CSV, routed by type token (THREAT
+    sub-routed by subtype) and carved by per-logtype header lists.
+    The fixture derives every line deterministically from the events
+    table (event_id % 8 -> route), so DuckDB recomputes the per-route
+    summary straight from the source table."""
+    from .pa_firewall import pa_firewall_summary, write_pa_fixture
+    return pa_firewall_summary(write_pa_fixture(sf_dir))
+
+
+PA_FIREWALL_SQL = """
+SELECT CASE event_id % 8
+         WHEN 0 THEN 'traffic' WHEN 1 THEN 'system'
+         WHEN 2 THEN 'threat_url' WHEN 3 THEN 'threat_data'
+         WHEN 4 THEN 'threat_others' WHEN 5 THEN 'decryption'
+         WHEN 6 THEN 'config' ELSE 'authentication' END AS route,
+       count(*) AS n,
+       cast(count(DISTINCT user_id % 50) AS BIGINT) AS n_serials,
+       cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT)
+           AS sum_value_e2
+FROM events GROUP BY route
+"""
+
+
 def events_routed(sf_dir: str) -> pd.DataFrame:
     """M11 through the driver gate: monthly index routing from the
     event's own timestamp (late data lands in the older partition its
@@ -2685,6 +2711,7 @@ def queries() -> dict:
         "user_stats": user_stats,
         # --- round-4 additions ---
         "dashboard_monthly_panel": dashboard_monthly_panel,
+        "pa_firewall_logs": pa_firewall_logs,
         # rows-only (non-SQL-expressible: blake2b signatures / ANN internals)
         "simhash_docs": simhash_docs,
         "langid_docs": langid_docs,
@@ -2818,4 +2845,5 @@ def oracle_sql() -> dict:
         "minhash_pairs": MINHASH_PAIRS_SQL,
         "simhash_planted": SIMHASH_PLANTED_SQL,
         "dashboard_monthly_panel": DASHBOARD_MONTHLY_SQL,
+        "pa_firewall_logs": PA_FIREWALL_SQL,
     }
