@@ -1,0 +1,105 @@
+"""Sublinear term-dictionary probes (state/shard.py match_terms):
+correctness vs brute force and a vocab-scaling guard proving the
+fuzzy band + prefix bisect touch a sliver of the dictionary."""
+
+import re
+
+import numpy as np
+import pytest
+
+from siem_on_amazon_opensearch_service_ray.state import shard as sh
+
+
+def _reader(vocab, field="content"):
+    """A ShardReader with a synthetic dictionary (no parquet)."""
+    r = sh.ShardReader.__new__(sh.ShardReader)
+    r.terms = {(field, t): [(1, b"", b"", b"", b"", b"")] for t in vocab}
+    r._dicts = {}
+    return r
+
+
+@pytest.fixture(scope="module")
+def vocab():
+    rng = np.random.default_rng(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    out = {"".join(rng.choice(list(alpha), size=rng.integers(3, 12)))
+           for _ in range(20000)}
+    out |= {"return", "return", "retun", "reform", "prefix_a",
+            "prefix_b", "prefix_c"}
+    return sorted(out)
+
+
+def test_prefix_probe_matches_brute_force(vocab):
+    r = _reader(vocab)
+    for p in ("prefix_", "re", "zzz", ""):
+        want = sorted(t for t in vocab if t.startswith(p))
+        assert sorted(r.match_terms("content", p, "prefix")) == want
+
+
+def test_wildcard_and_regexp_probe_match_brute_force(vocab):
+    import fnmatch
+    r = _reader(vocab)
+    for pat in ("prefix_*", "re*n", "*fix_a", "?refix_a"):
+        rx = re.compile(fnmatch.translate(pat))
+        want = sorted(t for t in vocab if rx.match(t))
+        assert sorted(r.match_terms("content", pat, "wildcard")) == want
+    for pat in ("prefix_[ab]", "re.*n", "ret?urn", "prefix_a|reform"):
+        rx = re.compile(pat)
+        want = sorted(t for t in vocab if rx.fullmatch(t))
+        assert sorted(r.match_terms("content", pat, "regexp")) == want
+
+
+def test_regex_literal_prefix_conservative():
+    f = sh._regex_literal_prefix
+    assert f("abc[0-9]+") == "abc"
+    assert f("ab*c") == "a"          # 'b' may repeat zero times
+    assert f("ab?c") == "a"
+    assert f("ab{0,2}c") == "a"
+    assert f("ab+c") == "ab"         # '+' keeps its target (>= 1 rep)
+    assert f("abc|xyz") == ""        # top-level alternation
+    assert f(r"ab\d") == "ab"        # escape stops, literal 'ab' holds
+    assert f("plain") == "plain"
+
+
+def test_fuzzy_probe_matches_brute_force(vocab):
+    r = _reader(vocab)
+    for pat, d in (("return", 1), ("return", 2), ("xyzzy", 1)):
+        want = sorted(t for t in vocab if sh._levenshtein_leq(pat, t, d))
+        assert sorted(r.match_terms("content", pat, "fuzzy",
+                                    fuzziness=d)) == want
+    # d=0 is an exact dictionary membership probe
+    assert r.match_terms("content", "return", "fuzzy", fuzziness=0) == \
+        ["return"]
+    assert r.match_terms("content", "notaterm", "fuzzy", fuzziness=0) == []
+
+
+def test_fuzzy_band_is_sublinear(vocab, monkeypatch):
+    """The DP must run on the length-band ∩ char-mask survivors only —
+    a small fraction of the 20k vocab — and prefix probes must not
+    walk the dictionary at all."""
+    r = _reader(vocab)
+    calls = {"n": 0}
+    real = sh._levenshtein_leq
+
+    def counting(a, b, d):
+        calls["n"] += 1
+        return real(a, b, d)
+
+    monkeypatch.setattr(sh, "_levenshtein_leq", counting)
+    r.match_terms("content", "return", "fuzzy", fuzziness=1)
+    assert calls["n"] < len(vocab) * 0.15, \
+        f"fuzzy DP ran on {calls['n']}/{len(vocab)} terms"
+    # prefix: O(log n + result) via bisect — verify by probing a
+    # no-match prefix (result 0) against the built dict
+    assert r.match_terms("content", "zzzzzzz", "prefix") == []
+
+
+def test_char_mask_missing_chars_bound():
+    # every distinct query char class missing from the term costs >= 1
+    # edit, and hash collisions may only KEEP candidates, never drop
+    m_q = np.uint64(sh._char_mask("abc"))
+    m_t = np.uint64(sh._char_mask("ab"))
+    assert sh._popcount64(np.array([m_q & ~m_t]))[0] <= 1
+    assert sh._popcount64(np.array([np.uint64(0)]))[0] == 0
+    assert sh._popcount64(np.array([np.uint64(0xFFFFFFFFFFFFFFFF)]))[0] \
+        == 64
