@@ -65,6 +65,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--slop", type=int, default=0,
                    help="phrase/span slop")
     s.add_argument("--fuzziness", type=int, default=1)
+    s.add_argument("--transpositions", action="store_true",
+                   help="fuzzy: adjacent swap counts as one edit "
+                        "(unrestricted Damerau, OpenSearch's default)")
     s.add_argument("--max-expansions", type=int, default=50)
     s.add_argument("--filter", default=None, metavar="FIELD=VALUE")
     s.add_argument("--range", dest="range_", default=None,
@@ -384,7 +387,8 @@ def main(argv: list[str] | None = None) -> int:
                 elif qt == "fuzzy":
                     hits = searcher.fuzzy_search(
                         args.query, args.field, args.fuzziness, args.k,
-                        args.max_expansions)
+                        args.max_expansions,
+                        transpositions=args.transpositions)
                 elif qt == "qs":
                     hits = searcher.query_string(args.query, args.field,
                                                  args.k)

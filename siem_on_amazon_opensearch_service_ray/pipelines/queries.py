@@ -1146,6 +1146,31 @@ def search_fuzzy(sf_dir: str) -> pd.DataFrame:
     })
 
 
+SEARCH_FUZZY_DAMERAU_SQL = _multi_term_sql(
+    "damerau_levenshtein(term, 'vaule') <= 1", BM25_K)
+
+
+def search_fuzzy_damerau(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy with ``transpositions=True`` (OpenSearch's own fuzzy
+    default: an adjacent swap is ONE edit): the probe 'vaule' is a
+    transposition of the common corpus token 'value' — damerau
+    distance 1 but plain Levenshtein 2, so this entry fails if the
+    transposition metric silently degrades to plain."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.fuzzy_search("vaule", field="content", fuzziness=1,
+                              k=BM25_K, transpositions=True)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d in hits],
+        "score_e4": np.array([round(sc * 10000) for sc, _ in hits],
+                             dtype=np.int64),
+    })
+
+
 def search_sigterms(sf_dir: str) -> pd.DataFrame:
     """Significant-terms aggregation (JLH) over lang: foreground =
     docs matching 'dup', background = the whole corpus."""
@@ -2712,6 +2737,7 @@ def queries() -> dict:
         # --- round-4 additions ---
         "dashboard_monthly_panel": dashboard_monthly_panel,
         "pa_firewall_logs": pa_firewall_logs,
+        "search_fuzzy_damerau": search_fuzzy_damerau,
         # rows-only (non-SQL-expressible: blake2b signatures / ANN internals)
         "simhash_docs": simhash_docs,
         "langid_docs": langid_docs,
@@ -2846,4 +2872,5 @@ def oracle_sql() -> dict:
         "simhash_planted": SIMHASH_PLANTED_SQL,
         "dashboard_monthly_panel": DASHBOARD_MONTHLY_SQL,
         "pa_firewall_logs": PA_FIREWALL_SQL,
+        "search_fuzzy_damerau": SEARCH_FUZZY_DAMERAU_SQL,
     }

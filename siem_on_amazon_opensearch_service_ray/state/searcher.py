@@ -963,13 +963,15 @@ class PartActor:
         return True
 
     def match_terms(self, field: str, pattern: str, kind: str,
-                    fuzziness: int = 0) -> list[str]:
-        """Term-dictionary scan over this actor's parts (prefix /
+                    fuzziness: int = 0,
+                    transpositions: bool = False) -> list[str]:
+        """Term-dictionary probe over this actor's parts (prefix /
         wildcard / fuzzy expansion happens where the dictionaries
         live — only the matching term STRINGS travel to the driver)."""
         out: set[str] = set()
         for r in self.readers.values():
-            out.update(r.match_terms(field, pattern, kind, fuzziness))
+            out.update(r.match_terms(field, pattern, kind, fuzziness,
+                                     transpositions))
         return sorted(out)
 
     def agg_local(self, field: str, q_terms: list[str], mode: str,
@@ -1794,21 +1796,23 @@ class Searcher:
 
     def expand_terms(self, pattern: str, field: str = "content",
                      kind: str = "prefix", max_expansions: int = 1024,
-                     fuzziness: int = 0) -> list[str]:
+                     fuzziness: int = 0,
+                     transpositions: bool = False) -> list[str]:
         """Expand a prefix/wildcard/fuzzy pattern against the term
-        dictionary.  Every part's dictionary is scanned where it lives
+        dictionary.  Every part's dictionary is probed where it lives
         (actor-side); only matching term strings return.  Raises when
         the expansion exceeds ``max_expansions`` (Lucene
         BooleanQuery.TooManyClauses parity)."""
         if self.use_actors:
             parts = ray.get([a.match_terms.remote(field, pattern, kind,
-                                                  fuzziness)
+                                                  fuzziness, transpositions)
                              for a in self.actors])
             terms = sorted(set().union(*map(set, parts))) if parts else []
         else:
             out: set[str] = set()
             for r in self.readers.values():
-                out.update(r.match_terms(field, pattern, kind, fuzziness))
+                out.update(r.match_terms(field, pattern, kind, fuzziness,
+                                         transpositions))
             terms = sorted(out)
         if len(terms) > max_expansions:
             raise ValueError(
@@ -1983,16 +1987,21 @@ class Searcher:
     def fuzzy_search(self, term: str, field: str = "content",
                      fuzziness: int = 1, k: int = 10,
                      max_expansions: int = 50,
+                     transpositions: bool = False,
                      k1: float = K1, b: float = B
                      ) -> list[tuple[float, int]]:
         """Fuzzy term query: expand to every dictionary term within
-        plain Levenshtein distance ``fuzziness`` (Lucene also counts
-        transpositions as one edit — documented divergence), then
-        score as an OR with each expansion keeping its own idf
-        (scoring-boolean rewrite; OpenSearch ``fuzzy`` defaults to
-        ``max_expansions: 50``)."""
+        ``fuzziness`` edits, then score as an OR with each expansion
+        keeping its own idf (scoring-boolean rewrite; OpenSearch
+        ``fuzzy`` defaults to ``max_expansions: 50``).
+        ``transpositions=True`` counts an adjacent swap as ONE edit
+        (unrestricted Damerau — OpenSearch's own default, oracle-
+        matched by DuckDB ``damerau_levenshtein``); the default False
+        keeps plain Levenshtein for ``levenshtein()`` oracle parity
+        with the older entries."""
         terms = self.expand_terms(term.lower(), field, "fuzzy",
-                                  max_expansions, fuzziness=fuzziness)
+                                  max_expansions, fuzziness=fuzziness,
+                                  transpositions=transpositions)
         return self._expanded_or(terms, field, k, k1, b)
 
     def significant_terms(self, query: str, agg_field: str,
@@ -3292,10 +3301,12 @@ class Searcher:
     def fuzzy_search_sharded(self, term: str, field: str = "content",
                              fuzziness: int = 1, k: int = 10,
                              max_expansions: int = 50,
+                             transpositions: bool = False,
                              k1: float = K1, b: float = B
                              ) -> list[tuple[float, int]]:
         terms = self.expand_terms(term.lower(), field, "fuzzy",
-                                  max_expansions, fuzziness=fuzziness)
+                                  max_expansions, fuzziness=fuzziness,
+                                  transpositions=transpositions)
         return self._expanded_or_sharded(terms, field, k, k1, b)
 
     def query_string_sharded(self, qs: str, field: str = "content",

@@ -241,7 +241,8 @@ class ShardReader:
         return out
 
     def match_terms(self, field: str, pattern: str,
-                    kind: str = "prefix", fuzziness: int = 0) -> list[str]:
+                    kind: str = "prefix", fuzziness: int = 0,
+                    transpositions: bool = False) -> list[str]:
         """Terms of ``field`` in this part matching a prefix, a
         wildcard pattern (``*`` = any run, ``?`` = one char), or a
         fuzzy probe (plain Levenshtein <= ``fuzziness``; Lucene's
@@ -279,8 +280,9 @@ class ShardReader:
             missing = _popcount64(
                 np.uint64(_char_mask(pattern)) & ~masks)
             sel &= missing <= fuzziness
+            pred = (_damerau_leq if transpositions else _levenshtein_leq)
             return [terms[i] for i in np.nonzero(sel)[0]
-                    if _levenshtein_leq(pattern, terms[i], fuzziness)]
+                    if pred(pattern, terms[i], fuzziness)]
         if kind == "regexp":
             # Lucene RegexpQuery semantics: the pattern is implicitly
             # anchored (must match the WHOLE term), hence fullmatch.
@@ -318,6 +320,49 @@ class ShardReader:
         if key not in cache:
             cache[key] = load_filter_ids(self.index_dir, field, value, dparts)
         return cache[key]
+
+
+def _damerau_leq(a: str, b: str, d: int) -> bool:
+    """True when UNRESTRICTED Damerau-Levenshtein(a, b) <= d — the
+    Lowrance-Wagner distance (a transposed adjacent pair costs one
+    edit and the substrings between a transposed pair cost their
+    length), exactly the metric DuckDB's ``damerau_levenshtein()``
+    computes, so the ``transpositions=True`` fuzzy path keeps an
+    exact SQL oracle.  Lucene's fuzzy automaton with transpositions
+    is the same family; the length/char-mask band filters applied
+    before this DP remain valid (transpositions never change length
+    or the character multiset)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > d:
+        return False
+    if d == 0:
+        return a == b
+    inf = la + lb
+    # (la+2) x (lb+2) matrix with the -1 sentinel row/col
+    h = [[inf] * (lb + 2) for _ in range(la + 2)]
+    h[1][1] = 0
+    for i in range(1, la + 1):
+        h[i + 1][1] = i
+    for j in range(1, lb + 1):
+        h[1][j + 1] = j
+    da: dict[str, int] = {}
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            h[i + 1][j + 1] = min(
+                h[i][j] + cost,                       # substitute/match
+                h[i + 1][j] + 1,                      # insert
+                h[i][j + 1] + 1,                      # delete
+                h[k][l] + (i - k - 1) + 1 + (j - l - 1))  # transpose
+        da[a[i - 1]] = i
+    return h[la + 1][lb + 1] <= d
 
 
 def _char_mask(s: str) -> int:

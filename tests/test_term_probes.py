@@ -94,6 +94,34 @@ def test_fuzzy_band_is_sublinear(vocab, monkeypatch):
     assert r.match_terms("content", "zzzzzzz", "prefix") == []
 
 
+def test_damerau_matches_duckdb_function():
+    """_damerau_leq must implement EXACTLY the metric DuckDB's
+    damerau_levenshtein computes (unrestricted: 'ca'->'abc' is 2, not
+    OSA's 3) — the transpositions=True fuzzy oracle depends on it."""
+    import duckdb
+    rng = np.random.default_rng(11)
+    alpha = list("abcde")
+    pairs = [("ca", "abc"), ("abcd", "acbd"), ("", "xy"), ("same", "same")]
+    pairs += [("".join(rng.choice(alpha, size=rng.integers(0, 8))),
+               "".join(rng.choice(alpha, size=rng.integers(0, 8))))
+              for _ in range(300)]
+    con = duckdb.connect()
+    for a, b in pairs:
+        want = con.execute(
+            "select damerau_levenshtein(?, ?)", [a, b]).fetchone()[0]
+        for d in range(0, 4):
+            assert sh._damerau_leq(a, b, d) == (want <= d), (a, b, d, want)
+
+
+def test_fuzzy_transpositions_probe(vocab):
+    r = _reader(vocab)
+    # 'retun'->'retnu' is one transposition but two plain edits
+    plain = r.match_terms("content", "retnu", "fuzzy", fuzziness=1)
+    damerau = r.match_terms("content", "retnu", "fuzzy", fuzziness=1,
+                            transpositions=True)
+    assert "retun" not in plain and "retun" in damerau
+
+
 def test_char_mask_missing_chars_bound():
     # every distinct query char class missing from the term costs >= 1
     # edit, and hash collisions may only KEEP candidates, never drop
