@@ -108,6 +108,9 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("--phrase", action="store_true",
                     help="collate per-token suggestions into corrected "
                          "phrases")
+    sg.add_argument("--completion", action="store_true",
+                    help="prefix autocomplete: top completions by doc "
+                         "frequency")
     sg.add_argument("--num-cpus", type=int, default=None)
 
     ex = sub.add_parser("explain",
@@ -320,7 +323,12 @@ def main(argv: list[str] | None = None) -> int:
             from .state.searcher import Searcher
             searcher = Searcher(args.index_dir, use_actors=True)
             try:
-                if args.phrase:
+                if args.completion:
+                    out = [{"term": t, "df": n}
+                           for t, n in searcher.suggest_completion(
+                               args.text, field=args.field,
+                               size=args.size)]
+                elif args.phrase:
                     out = [{"phrase": p, "score": round(sc, 6)}
                            for p, sc in searcher.suggest_phrase(
                                args.text, field=args.field,

@@ -1171,6 +1171,34 @@ def search_fuzzy_damerau(sf_dir: str) -> pd.DataFrame:
     })
 
 
+SEARCH_COMPLETION_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT term, cast(df AS BIGINT) AS df
+FROM df WHERE term LIKE 's%'
+ORDER BY df DESC, term LIMIT 5
+"""
+
+
+def search_suggest_completion(sf_dir: str) -> pd.DataFrame:
+    """Completion suggester: autocomplete 's' -> top-5 dictionary
+    completions ranked by doc frequency (prefix bisect per part; only
+    term strings + dfs travel)."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        rows = s.suggest_completion("s", field="content", size=5)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "term": [t for t, _ in rows],
+        "df": np.array([n for _, n in rows], dtype=np.int64),
+    })
+
+
 def search_sigterms(sf_dir: str) -> pd.DataFrame:
     """Significant-terms aggregation (JLH) over lang: foreground =
     docs matching 'dup', background = the whole corpus."""
@@ -2738,6 +2766,7 @@ def queries() -> dict:
         "dashboard_monthly_panel": dashboard_monthly_panel,
         "pa_firewall_logs": pa_firewall_logs,
         "search_fuzzy_damerau": search_fuzzy_damerau,
+        "search_suggest_completion": search_suggest_completion,
         # rows-only (non-SQL-expressible: blake2b signatures / ANN internals)
         "simhash_docs": simhash_docs,
         "langid_docs": langid_docs,
@@ -2873,4 +2902,5 @@ def oracle_sql() -> dict:
         "dashboard_monthly_panel": DASHBOARD_MONTHLY_SQL,
         "pa_firewall_logs": PA_FIREWALL_SQL,
         "search_fuzzy_damerau": SEARCH_FUZZY_DAMERAU_SQL,
+        "search_suggest_completion": SEARCH_COMPLETION_SQL,
     }

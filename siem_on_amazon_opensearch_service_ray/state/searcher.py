@@ -964,14 +964,15 @@ class PartActor:
 
     def match_terms(self, field: str, pattern: str, kind: str,
                     fuzziness: int = 0,
-                    transpositions: bool = False) -> list[str]:
+                    transpositions: bool = False,
+                    prefix: str = "") -> list[str]:
         """Term-dictionary probe over this actor's parts (prefix /
         wildcard / fuzzy expansion happens where the dictionaries
         live — only the matching term STRINGS travel to the driver)."""
         out: set[str] = set()
         for r in self.readers.values():
             out.update(r.match_terms(field, pattern, kind, fuzziness,
-                                     transpositions))
+                                     transpositions, prefix))
         return sorted(out)
 
     def agg_local(self, field: str, q_terms: list[str], mode: str,
@@ -1797,22 +1798,26 @@ class Searcher:
     def expand_terms(self, pattern: str, field: str = "content",
                      kind: str = "prefix", max_expansions: int = 1024,
                      fuzziness: int = 0,
-                     transpositions: bool = False) -> list[str]:
+                     transpositions: bool = False,
+                     prefix: str = "") -> list[str]:
         """Expand a prefix/wildcard/fuzzy pattern against the term
         dictionary.  Every part's dictionary is probed where it lives
         (actor-side); only matching term strings return.  Raises when
         the expansion exceeds ``max_expansions`` (Lucene
-        BooleanQuery.TooManyClauses parity)."""
+        BooleanQuery.TooManyClauses parity).  ``prefix`` restricts a
+        fuzzy expansion to candidates sharing that literal prefix
+        (suggester prefix_length, applied at the probe, not after)."""
         if self.use_actors:
             parts = ray.get([a.match_terms.remote(field, pattern, kind,
-                                                  fuzziness, transpositions)
+                                                  fuzziness, transpositions,
+                                                  prefix)
                              for a in self.actors])
             terms = sorted(set().union(*map(set, parts))) if parts else []
         else:
             out: set[str] = set()
             for r in self.readers.values():
                 out.update(r.match_terms(field, pattern, kind, fuzziness,
-                                         transpositions))
+                                         transpositions, prefix))
             terms = sorted(out)
         if len(terms) > max_expansions:
             raise ValueError(
@@ -1850,15 +1855,36 @@ class Searcher:
                 continue
             cands = [c for c in self.expand_terms(
                          tok, field, "fuzzy", max_expansions=1 << 20,
-                         fuzziness=max_edits)
-                     if c != tok
-                     and c[:prefix_length] == tok[:prefix_length]]
+                         fuzziness=max_edits,
+                         prefix=tok[:prefix_length])
+                     if c != tok]
             dfs = self._term_dfs(field, cands)
             scored = [(c, _levenshtein(tok, c), dfs[c])
                       for c in cands if dfs.get(c, 0) > 0]
             scored.sort(key=lambda s: (s[1], -s[2], s[0]))
             out.append((tok, scored[:size]))
         return out
+
+    def suggest_completion(self, prefix: str, field: str = "content",
+                           size: int = 5,
+                           max_expansions: int = 1 << 20
+                           ) -> list[tuple[str, int]]:
+        """OpenSearch completion suggester (search-as-you-type
+        autocomplete): dictionary terms extending ``prefix``, ranked
+        by doc frequency desc then term asc, top ``size``.
+        OpenSearch backs this with a dedicated FST completion field
+        and indexed weights; here the per-part SORTED dictionary is
+        the FST analogue — each part bisects its own dictionary
+        (O(log vocab + matches)) and only term strings + dfs travel —
+        and df is the default weight (reference dashboards use the
+        suggester unweighted)."""
+        terms = self.expand_terms(prefix.lower(), field, "prefix",
+                                  max_expansions)
+        dfs = self._term_dfs(field, terms)
+        ranked = sorted(((t, int(dfs.get(t, 0))) for t in terms
+                         if dfs.get(t, 0) > 0),
+                        key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:size]
 
     def explain(self, query: str, doc_id: int, field: str = "content",
                 analyzer: str | None = None,

@@ -242,7 +242,8 @@ class ShardReader:
 
     def match_terms(self, field: str, pattern: str,
                     kind: str = "prefix", fuzziness: int = 0,
-                    transpositions: bool = False) -> list[str]:
+                    transpositions: bool = False,
+                    prefix: str = "") -> list[str]:
         """Terms of ``field`` in this part matching a prefix, a
         wildcard pattern (``*`` = any run, ``?`` = one char), or a
         fuzzy probe (plain Levenshtein <= ``fuzziness``; Lucene's
@@ -273,6 +274,14 @@ class ShardReader:
         if kind == "fuzzy":
             if fuzziness <= 0:
                 return [pattern] if (field, pattern) in self.terms else []
+            pred = (_damerau_leq if transpositions else _levenshtein_leq)
+            if prefix:
+                # suggester prefix_length: candidates must share this
+                # literal prefix, so bisect the slice first (typically
+                # |vocab|/alphabet) and band-filter inside it
+                return [t for t in self._prefix_matches(field, prefix)
+                        if abs(len(t) - len(pattern)) <= fuzziness
+                        and pred(pattern, t, fuzziness)]
             terms, lens, masks = self._field_dict(field)
             if not terms:
                 return []
@@ -280,7 +289,6 @@ class ShardReader:
             missing = _popcount64(
                 np.uint64(_char_mask(pattern)) & ~masks)
             sel &= missing <= fuzziness
-            pred = (_damerau_leq if transpositions else _levenshtein_leq)
             return [terms[i] for i in np.nonzero(sel)[0]
                     if pred(pattern, terms[i], fuzziness)]
         if kind == "regexp":

@@ -77,7 +77,8 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "search_query_string_sharded", "phrase_sharded",
               "span_near_sharded", "phrase_prefix_sharded",
               "etl_raw_logs", "dashboard_monthly_panel",
-              "pa_firewall_logs", "search_fuzzy_damerau"]
+              "pa_firewall_logs", "search_fuzzy_damerau",
+              "search_suggest_completion"]
 
 
 @pytest.mark.parametrize("name", SQL_BACKED)
