@@ -15,7 +15,9 @@ Recognized per-section keys (all optional unless noted):
 key               meaning
 ================  =====================================================
 index_name        target index family (default ``log``)
-index_rotation    daily|weekly|monthly|yearly|none
+index_rotation    daily|weekly|monthly|yearly|aoss|auto|none
+index_suffix      inserted before the date suffix (aoss: '-{suffix|001}')
+index_tz          rotation timezone offset ('+09:00' style or hours)
 timestamp_key     source column holding the event time
 timestamp_format  epoch | syslog | iso8601 | any %-strptime pattern
 timestamp_tz      ``+HH:MM`` / ``-HH:MM`` / plain hours float
@@ -105,6 +107,8 @@ def section_to_etl_config(logtype: str,
         exclusion_rules=rules,
         index_name=sec.get("index_name", "log"),
         index_rotation=sec.get("index_rotation", "monthly"),
+        index_suffix=sec.get("index_suffix", ""),
+        index_tz_hours=timestr_to_hours(sec.get("index_tz", "0")),
         json_delimiter=sec.get("json_delimiter") or None,
     )
 

@@ -308,19 +308,44 @@ _ROTATIONS = {"daily": "%Y-%m-%d", "weekly": "%Y-w%W", "monthly": "%Y-%m",
 
 
 def route_index(batch: pa.Table, index_name: str, rotation: str = "monthly",
-                ts_col: str = "@timestamp") -> pa.Table:
+                ts_col: str = "@timestamp", index_suffix: str = "",
+                index_tz_hours: float = 0.0,
+                dt_col: str = "__index_dt") -> pa.Table:
     """Append the target partition key ``__index`` = index_name +
     rotation suffix from the event timestamp (reference
     siem/__init__.py:617-656; aws.ini index_rotation).  Late data lands
     in the (older) partition its own timestamp names — the reference's
-    exact late-data semantics (SURVEY.md §2.10)."""
-    fmt = _ROTATIONS.get(rotation)
-    if fmt is None:
-        names = [index_name] * batch.num_rows
+    exact late-data semantics (SURVEY.md §2.10).
+
+    Full reference rotation surface: ``aoss`` = fixed
+    ``-{index_suffix or '001'}`` (no date); ``auto`` = the bare name
+    (suffix NOT applied, reference :635); dated rotations insert
+    ``index_suffix`` before the date; ``index_tz_hours`` shifts the
+    wall clock before formatting (aws.ini ``index_tz``); a ``dt_col``
+    column (sf scripts' ``__index_dt``) overrides the routing
+    timestamp per row and is consumed here."""
+    n = batch.num_rows
+    if rotation == "aoss":
+        names = [f"{index_name}-{index_suffix or '001'}"] * n
+    elif rotation == "auto":
+        names = [index_name] * n
     else:
-        ts = batch.column(ts_col).to_pylist()
-        names = [f"{index_name}-{t.strftime(fmt)}" if t is not None
-                 else f"{index_name}-unknown" for t in ts]
+        fmt = _ROTATIONS.get(rotation)
+        base = (f"{index_name}-{index_suffix}" if index_suffix
+                else index_name)
+        if fmt is None:
+            names = [base] * n
+        else:
+            ts = batch.column(ts_col).to_pylist()
+            if dt_col in batch.column_names:
+                ov = batch.column(dt_col).to_pylist()
+                ts = [o if o is not None else t for o, t in zip(ov, ts)]
+            off = dt.timedelta(hours=index_tz_hours) if index_tz_hours \
+                else None
+            names = [f"{base}-{(t + off if off else t).strftime(fmt)}"
+                     if t is not None else f"{base}-unknown" for t in ts]
+    if dt_col in batch.column_names:
+        batch = batch.drop_columns([dt_col])
     return batch.append_column("__index", pa.array(names, pa.string()))
 
 
@@ -344,6 +369,8 @@ class EtlConfig:
     exclusion_rules: list = field(default_factory=list)
     index_name: str = "log"
     index_rotation: str = "monthly"
+    index_suffix: str = ""                # aws.ini index_suffix
+    index_tz_hours: float = 0.0           # aws.ini index_tz
     # envelope fan-out: explode the JSON array in this column into one
     # row per element BEFORE the per-record stages (reference
     # json_delimiter, aws.ini; fileformat_json.py:23-64)
@@ -368,8 +395,11 @@ def prepare_batch(batch: pa.Table, cfg: EtlConfig) -> pa.Table:
     tf = get_transform(cfg.logtype)
     if tf is not None:
         batch = tf(batch)
-    if "@timestamp" in batch.column_names:
-        batch = route_index(batch, cfg.index_name, cfg.index_rotation)
+    if "@timestamp" in batch.column_names or \
+            cfg.index_rotation in ("aoss", "auto"):
+        batch = route_index(batch, cfg.index_name, cfg.index_rotation,
+                            index_suffix=cfg.index_suffix,
+                            index_tz_hours=cfg.index_tz_hours)
     if "__index_override" in batch.column_names:
         # sf transforms may re-route (reference __index_name override,
         # siem/__init__.py:627-633)

@@ -40,10 +40,33 @@ def test_rotation_kinds():
     batch = pa.table({"ts": ["2024-05-01T12:00:00Z"]})
     cfg = etl.EtlConfig(logtype="x", timestamp_col="ts")
     b = etl.prepare_batch(batch, cfg)
+    # aoss = fixed '-001' (reference siem/__init__.py:626-633),
+    # auto = the bare name (:635)
     for rot, expect in [("daily", "log-2024-05-01"), ("yearly", "log-2024"),
-                        ("aoss", "log")]:
+                        ("aoss", "log-001"), ("auto", "log")]:
         out = etl.route_index(b.drop_columns(["__index"]), "log", rot)
         assert out.column("__index").to_pylist() == [expect]
+
+
+def test_rotation_suffix_tz_and_dt_override():
+    import datetime
+    batch = pa.table({"ts": ["2024-05-01T01:00:00Z"]})
+    cfg = etl.EtlConfig(logtype="x", timestamp_col="ts")
+    b = etl.prepare_batch(batch, cfg).drop_columns(["__index"])
+    # index_suffix rides before the date; aoss uses it verbatim
+    out = etl.route_index(b, "log", "monthly", index_suffix="prod")
+    assert out.column("__index").to_pylist() == ["log-prod-2024-05"]
+    out = etl.route_index(b, "log", "aoss", index_suffix="prod")
+    assert out.column("__index").to_pylist() == ["log-prod"]
+    # index_tz: -9h pulls 01:00 UTC May 1 into April (aws.ini index_tz)
+    out = etl.route_index(b, "log", "monthly", index_tz_hours=-9.0)
+    assert out.column("__index").to_pylist() == ["log-2024-04"]
+    # __index_dt per-row override (sf scripts), consumed by the router
+    b2 = b.append_column("__index_dt", pa.array(
+        [datetime.datetime(2020, 1, 2)], pa.timestamp("us")))
+    out = etl.route_index(b2, "log", "daily")
+    assert out.column("__index").to_pylist() == ["log-2020-01-02"]
+    assert "__index_dt" not in out.column_names
 
 
 def test_protocol_transform():
