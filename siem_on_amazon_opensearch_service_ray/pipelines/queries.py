@@ -372,6 +372,29 @@ def search_topk(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def search_after_page2(sf_dir: str) -> pd.DataFrame:
+    """Deep pagination through the driver gate: page 1's last hit
+    becomes the ``search_after=(score, doc_id)`` cursor and page 2
+    must equal the oracle's ``OFFSET k`` slice of the same ranking —
+    cursor paging accumulates no offset cost but must stay
+    rank-consistent with it."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        page1 = s.search(BM25_QUERY, field="content", k=BM25_K)
+        cursor = page1[-1][0], page1[-1][1]
+        page2 = s.search(BM25_QUERY, field="content", k=BM25_K,
+                         search_after=cursor)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d in page2],
+        "score_e4": np.array([round(sc * 10000) for sc, _ in page2],
+                             dtype=np.int64),
+    })
+
+
 def search_and_topk(sf_dir: str) -> pd.DataFrame:
     """Conjunctive (AND) BM25 top-k — the Lucene conjunction-iterator
     semantics (SURVEY.md §2.5), via WAND with mode='and'."""
@@ -621,7 +644,7 @@ GROUP BY a.doc_id
 
 
 def _bm25_sql(query_terms: list[str], k: int, mode: str = "or",
-              final_where: str = "") -> str:
+              final_where: str = "", offset: int = 0) -> str:
     n_distinct = len(dict.fromkeys(query_terms))
     having = (f"HAVING count(*) = {n_distinct}" if mode == "and" else "")
     vals = ", ".join(f"('{t}')" for t in dict.fromkeys(query_terms))
@@ -650,12 +673,17 @@ scores AS (
   FROM tf JOIN df USING(term) JOIN dlq USING(doc_id) CROSS JOIN stats s
   GROUP BY tf.doc_id {having})
 SELECT doc_id, cast(round(score*10000) AS BIGINT) AS score_e4
-FROM scores {final_where} ORDER BY score DESC, doc_id LIMIT {k}
+FROM scores {final_where} ORDER BY score DESC, doc_id
+LIMIT {k}{f" OFFSET {offset}" if offset else ""}
 """
 
 
 BM25_SQL = _bm25_sql(base_tokens(BM25_QUERY), BM25_K)
 BM25_AND_SQL = _bm25_sql(base_tokens(BM25_QUERY), BM25_K, mode="and")
+# page 2 of the same ranking: the cursor-paged engine result must
+# equal the oracle's OFFSET k slice
+SEARCH_AFTER_SQL = _bm25_sql(base_tokens(BM25_QUERY), BM25_K,
+                             offset=BM25_K)
 # range-filtered: filter prunes candidates only — global idf/avgdl
 # unchanged (engine parity: filters never touch stats)
 BM25_RANGE_SQL = _bm25_sql(
@@ -2767,6 +2795,7 @@ def queries() -> dict:
         "pa_firewall_logs": pa_firewall_logs,
         "search_fuzzy_damerau": search_fuzzy_damerau,
         "search_suggest_completion": search_suggest_completion,
+        "search_after_page2": search_after_page2,
         # rows-only (non-SQL-expressible: blake2b signatures / ANN internals)
         "simhash_docs": simhash_docs,
         "langid_docs": langid_docs,
@@ -2903,4 +2932,5 @@ def oracle_sql() -> dict:
         "pa_firewall_logs": PA_FIREWALL_SQL,
         "search_fuzzy_damerau": SEARCH_FUZZY_DAMERAU_SQL,
         "search_suggest_completion": SEARCH_COMPLETION_SQL,
+        "search_after_page2": SEARCH_AFTER_SQL,
     }
