@@ -105,6 +105,8 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("--max-edits", type=int, default=2)
     sg.add_argument("--mode", default="missing",
                     choices=["missing", "always"])
+    sg.add_argument("--distance", default="levenshtein",
+                    choices=["levenshtein", "damerau_levenshtein"])
     sg.add_argument("--phrase", action="store_true",
                     help="collate per-token suggestions into corrected "
                          "phrases")
@@ -337,7 +339,8 @@ def main(argv: list[str] | None = None) -> int:
                     res = searcher.suggest(args.text, field=args.field,
                                            size=args.size,
                                            max_edits=args.max_edits,
-                                           suggest_mode=args.mode)
+                                           suggest_mode=args.mode,
+                                           string_distance=args.distance)
                     out = [{"token": t, "suggestions": [
                                 {"term": c, "distance": d, "df": n}
                                 for c, d, n in cands]}

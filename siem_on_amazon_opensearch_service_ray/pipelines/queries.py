@@ -799,6 +799,53 @@ ORDER BY n_docs, source
 """
 
 
+SEARCH_SUGGEST_DAMERAU_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+probes(probe) AS (VALUES ('saprk'), ('quey')),
+cand AS (
+  SELECT p.probe, d.term,
+         damerau_levenshtein(p.probe, d.term) AS dist, d.df
+  FROM probes p JOIN df d
+    ON substr(d.term, 1, 1) = substr(p.probe, 1, 1)
+   AND d.term <> p.probe
+   AND damerau_levenshtein(p.probe, d.term) <= 1)
+SELECT probe, term, cast(dist AS BIGINT) AS dist, cast(df AS BIGINT) AS df
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY probe ORDER BY dist, df DESC, term) AS rn
+      FROM cand)
+WHERE rn <= 5
+ORDER BY probe, dist, df DESC, term
+"""
+
+
+def search_suggest_damerau(sf_dir: str) -> pd.DataFrame:
+    """Term suggester with string_distance='damerau_levenshtein'
+    (OpenSearch's own default metric): probe 'saprk' is a
+    transposition of 'spark' — damerau distance 1 but plain
+    Levenshtein 2, so max_edits=1 finds it only under the
+    transposition metric."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        sugg = s.suggest("saprk quey", field="content", size=5,
+                         max_edits=1,
+                         string_distance="damerau_levenshtein")
+    finally:
+        s.close()
+    rows = [(probe, c, d, df) for probe, cands in sugg
+            for c, d, df in cands]
+    return pd.DataFrame({
+        "probe": [r[0] for r in rows],
+        "term": [r[1] for r in rows],
+        "dist": np.array([r[2] for r in rows], dtype=np.int64),
+        "df": np.array([r[3] for r in rows], dtype=np.int64),
+    })
+
+
 def search_suggest(sf_dir: str) -> pd.DataFrame:
     """Term suggester (did-you-mean): misspelled probes against the
     documents dictionary; candidates within 2 plain-Levenshtein edits
@@ -2796,6 +2843,7 @@ def queries() -> dict:
         "search_fuzzy_damerau": search_fuzzy_damerau,
         "search_suggest_completion": search_suggest_completion,
         "search_after_page2": search_after_page2,
+        "search_suggest_damerau": search_suggest_damerau,
         # rows-only (non-SQL-expressible: blake2b signatures / ANN internals)
         "simhash_docs": simhash_docs,
         "langid_docs": langid_docs,
@@ -2933,4 +2981,5 @@ def oracle_sql() -> dict:
         "search_fuzzy_damerau": SEARCH_FUZZY_DAMERAU_SQL,
         "search_suggest_completion": SEARCH_COMPLETION_SQL,
         "search_after_page2": SEARCH_AFTER_SQL,
+        "search_suggest_damerau": SEARCH_SUGGEST_DAMERAU_SQL,
     }

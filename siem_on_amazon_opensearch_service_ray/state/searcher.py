@@ -1828,24 +1828,30 @@ class Searcher:
     def suggest(self, text: str, field: str = "content", size: int = 5,
                 max_edits: int = 2, prefix_length: int = 1,
                 suggest_mode: str = "missing",
+                string_distance: str = "levenshtein",
                 analyzer: str | None = None
                 ) -> list[tuple[str, list[tuple[str, int, int]]]]:
         """OpenSearch term suggester (did-you-mean): per analyzed
-        token, dictionary candidates within ``max_edits`` plain
-        Levenshtein — the same metric as fuzzy expansion (Lucene
-        additionally counts transpositions as ONE edit; plain
-        distance is the documented divergence shared with
-        :meth:`fuzzy_search`, chosen for exact DuckDB
-        ``levenshtein()`` oracle parity) — sharing the first
-        ``prefix_length`` chars, ranked (distance asc, df desc, term
-        asc), top ``size``.  ``suggest_mode='missing'`` (the
-        OpenSearch default) returns no suggestions for tokens already
-        in the dictionary; ``'always'`` suggests regardless.  The
-        dictionary scan runs where each part lives (actor-side
-        match_terms); only candidate strings and dfs travel.
+        token, dictionary candidates within ``max_edits`` edits,
+        sharing the first ``prefix_length`` chars, ranked (distance
+        asc, df desc, term asc), top ``size``.
+        ``string_distance='levenshtein'`` (the default — exact DuckDB
+        ``levenshtein()`` oracle parity) or ``'damerau_levenshtein'``
+        (adjacent swap = one edit; OpenSearch's own default metric,
+        oracle-matched by DuckDB ``damerau_levenshtein``).
+        ``suggest_mode='missing'`` (the OpenSearch default) returns no
+        suggestions for tokens already in the dictionary; ``'always'``
+        suggests regardless.  The dictionary probe runs where each
+        part lives (actor-side match_terms); only candidate strings
+        and dfs travel.
         Returns [(token, [(candidate, distance, df), ...])]."""
         if suggest_mode not in ("missing", "always"):
             raise ValueError(f"unknown suggest_mode {suggest_mode!r}")
+        if string_distance not in ("levenshtein", "damerau_levenshtein"):
+            raise ValueError(f"unknown string_distance {string_distance!r}")
+        damerau = string_distance == "damerau_levenshtein"
+        from .shard import _damerau
+        dist = _damerau if damerau else _levenshtein
         an = ANALYZERS[self._analyzer_for(field, analyzer)]
         out: list[tuple[str, list[tuple[str, int, int]]]] = []
         for tok in dict.fromkeys(an(text)):
@@ -1855,11 +1861,11 @@ class Searcher:
                 continue
             cands = [c for c in self.expand_terms(
                          tok, field, "fuzzy", max_expansions=1 << 20,
-                         fuzziness=max_edits,
+                         fuzziness=max_edits, transpositions=damerau,
                          prefix=tok[:prefix_length])
                      if c != tok]
             dfs = self._term_dfs(field, cands)
-            scored = [(c, _levenshtein(tok, c), dfs[c])
+            scored = [(c, dist(tok, c), dfs[c])
                       for c in cands if dfs.get(c, 0) > 0]
             scored.sort(key=lambda s: (s[1], -s[2], s[0]))
             out.append((tok, scored[:size]))

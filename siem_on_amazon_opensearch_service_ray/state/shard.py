@@ -340,11 +340,17 @@ def _damerau_leq(a: str, b: str, d: int) -> bool:
     is the same family; the length/char-mask band filters applied
     before this DP remain valid (transpositions never change length
     or the character multiset)."""
-    la, lb = len(a), len(b)
-    if abs(la - lb) > d:
+    if abs(len(a) - len(b)) > d:
         return False
     if d == 0:
         return a == b
+    return _damerau(a, b) <= d
+
+
+def _damerau(a: str, b: str) -> int:
+    """Exact unrestricted Damerau-Levenshtein distance
+    (Lowrance-Wagner; == DuckDB ``damerau_levenshtein``)."""
+    la, lb = len(a), len(b)
     inf = la + lb
     # (la+2) x (lb+2) matrix with the -1 sentinel row/col
     h = [[inf] * (lb + 2) for _ in range(la + 2)]
@@ -370,7 +376,7 @@ def _damerau_leq(a: str, b: str, d: int) -> bool:
                 h[i][j + 1] + 1,                      # delete
                 h[k][l] + (i - k - 1) + 1 + (j - l - 1))  # transpose
         da[a[i - 1]] = i
-    return h[la + 1][lb + 1] <= d
+    return h[la + 1][lb + 1]
 
 
 def _char_mask(s: str) -> int:
