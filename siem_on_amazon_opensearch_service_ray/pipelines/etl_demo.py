@@ -166,7 +166,8 @@ def _project(batch: pa.Table, logtype: str) -> pa.Table:
     ROW (int64) so sums are order-independent at any parallelism."""
     uid = pc.cast(batch.column("user_id"), pa.int64())
     val = pc.cast(batch.column("value"), pa.float64())
-    v_e2 = pc.cast(pc.round(pc.multiply(val, 100.0)), pa.int64())
+    v_e2 = pc.cast(pc.round(pc.multiply(val, 100.0),
+                            round_mode="half_towards_infinity"), pa.int64())
     return pa.table({
         "logtype": pa.array([logtype] * batch.num_rows, pa.string()),
         "index_name": batch.column("__index"),

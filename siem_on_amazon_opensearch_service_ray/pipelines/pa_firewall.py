@@ -156,6 +156,15 @@ def carve_batch(batch: pa.Table, line_col: str = "message") -> pa.Table:
     Output schema is the summary-relevant union (route, serial_number,
     user_id, value, event_id) — per-route full tables are what
     :func:`carve_route_tables` returns for users who want them."""
+    if line_col not in batch.column_names:
+        # explode_json_records falls back to a lone 'record' column
+        # when a block held no parseable envelopes — yield zero rows
+        # instead of aborting the pipeline on one bad file
+        return pa.table({"route": pa.array([], pa.string()),
+                         "serial_number": pa.array([], pa.string()),
+                         "user_id": pa.array([], pa.int64()),
+                         "value": pa.array([], pa.float64()),
+                         "event_id": pa.array([], pa.int64())})
     routed = route_pan_messages(batch, line_col)
     mask = pc.not_equal(routed.column("__route"), "")
     routed = routed.filter(mask)
@@ -273,7 +282,8 @@ def pa_firewall_summary(fixture_dir: str) -> pd.DataFrame:
     ds = ds.map_batches(carve_batch, batch_format="pyarrow")
 
     def partial(b: pa.Table) -> pa.Table:
-        v_e2 = pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)),
+        v_e2 = pc.cast(pc.round(pc.multiply(b.column("value"), 100.0),
+                                round_mode="half_towards_infinity"),
                        pa.int64())
         return pa.table({"route": b.column("route"),
                          "serial_number": b.column("serial_number"),

@@ -79,6 +79,16 @@ def _t_ds(sf_dir: str, name: str, columns: list[str]) -> rd.Dataset:
                            override_num_blocks=blocks)
 
 
+
+def _round_away(x) -> np.ndarray:
+    """Half-away-from-zero rounding (DuckDB ``round()`` parity).
+    np.round/pc.round default to half-to-even, which diverges from the
+    SQL oracles exactly on .5 ties — none occur in the float fixtures
+    today, but the engine side should match the oracle metric by
+    construction, not by luck."""
+    x = np.asarray(x, np.float64)
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
 def _concurrency() -> int:
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     return max(2, cpus - 2)
@@ -94,9 +104,9 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        qty_e2 = np.round(df["l_quantity"].to_numpy() * 100).astype(np.int64)
-        price_e2 = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-        disc_e2 = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        qty_e2 = _round_away(df["l_quantity"].to_numpy() * 100).astype(np.int64)
+        price_e2 = _round_away(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_e2 = _round_away(df["l_discount"].to_numpy() * 100).astype(np.int64)
         df = pd.DataFrame({
             "l_returnflag": df["l_returnflag"], "l_linestatus": df["l_linestatus"],
             "sum_qty_e2": qty_e2, "sum_base_e2": price_e2,
@@ -138,7 +148,7 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
     def prep(batch: pa.Table) -> pa.Table:
         hours = pc.floor_temporal(batch.column("ts"), unit="hour")
         epoch = pc.divide(pc.cast(hours, pa.int64()), 1_000_000)
-        val_e2 = pc.round(pc.multiply(batch.column("value"), 100.0))
+        val_e2 = pc.round(pc.multiply(batch.column("value"), 100.0), round_mode="half_towards_infinity")
         return pa.table({
             "event_type": batch.column("event_type"),
             "hour_epoch": epoch,
@@ -1793,7 +1803,7 @@ def region_revenue(sf_dir: str) -> pd.DataFrame:
         lut = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         keys = batch.column("o_custkey").to_numpy()
         codes = lut[keys]
-        rev = np.round(
+        rev = _round_away(
             batch.column("o_totalprice").to_numpy() * 100).astype(np.int64)
         n_code = len(names)
         n_ord = np.bincount(codes, minlength=n_code)[:n_code]
@@ -1862,7 +1872,7 @@ def geoip_enrich_events(sf_dir: str) -> pd.DataFrame:
         ips = [f"10.{u % 200}.0.1" for u in uid]
         idx = interval_match_indices(tbl, ips)
         mask = idx >= 0
-        vals_e2 = np.round(
+        vals_e2 = _round_away(
             batch.column("value").to_numpy() * 100).astype(np.int64)
         labels = tbl["labels"]
         lab = np.where(mask, labels[np.maximum(idx, 0)], None)
@@ -2139,7 +2149,7 @@ def user_stats(sf_dir: str) -> pd.DataFrame:
 
     def prep(batch: pa.Table) -> pa.Table:
         ts_us = pc.cast(batch.column("ts"), pa.int64())
-        val_e2 = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)),
+        val_e2 = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0), round_mode="half_towards_infinity"),
                          pa.int64())
         return pa.table({"user_id": batch.column("user_id"),
                          "ts_us": ts_us, "value_e2": val_e2})
@@ -2383,7 +2393,7 @@ def events_sliding(sf_dir: str) -> pd.DataFrame:
 
     def prep(batch: pa.Table) -> pa.Table:
         ex = explode_sliding_windows(batch, "ts", 3600, 900)
-        val_e2 = pc.cast(pc.round(pc.multiply(ex.column("value"), 100.0)),
+        val_e2 = pc.cast(pc.round(pc.multiply(ex.column("value"), 100.0), round_mode="half_towards_infinity"),
                          pa.int64())
         return pa.table({"window_start": ex.column("window_start"),
                          "value_e2": val_e2})
@@ -2420,7 +2430,7 @@ def orders_monthly(sf_dir: str) -> pd.DataFrame:
         b = add_calendar_window(batch, "o_orderdate", "month", -9.0,
                                 "month_epoch")
         rev = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"),
-                                           100.0)), pa.int64())
+                                           100.0), round_mode="half_towards_infinity"), pa.int64())
         return pa.table({"month_epoch": b.column("month_epoch"),
                          "revenue_e2": rev})
 
@@ -2451,7 +2461,7 @@ def events_weekly(sf_dir: str) -> pd.DataFrame:
 
     def prep(batch: pa.Table) -> pa.Table:
         b = add_calendar_window(batch, "ts", "week", 5.5, "week_epoch")
-        val = pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)),
+        val = pc.cast(pc.round(pc.multiply(b.column("value"), 100.0), round_mode="half_towards_infinity"),
                       pa.int64())
         return pa.table({"event_type": b.column("event_type"),
                          "week_epoch": b.column("week_epoch"),
@@ -2785,7 +2795,7 @@ def knn_ivf(sf_dir: str) -> pd.DataFrame:
     q = np.asarray(tbl.column("embedding").to_pylist()[0], dtype=np.float32)
     out = knn_ops.ivf_topk(ds, q, cents, k=10, n_probe=4,
                            concurrency=_concurrency()).to_pandas()
-    out["cos_e6"] = np.round(out["cosine"] * 1e6).astype(np.int64)
+    out["cos_e6"] = _round_away(out["cosine"] * 1e6).astype(np.int64)
     return out[["vec_id", "cos_e6"]]
 
 

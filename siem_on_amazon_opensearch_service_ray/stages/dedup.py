@@ -417,7 +417,10 @@ def embedding_near_dup_pairs(ds: rd.Dataset, vec_col: str, id_col: str,
         return pa.table({
             "id_a": pa.array(a, pa.int64()),
             "id_b": pa.array(b, pa.int64()),
-            "cos_e6": pa.array(np.round(sims[ii[keep], jj[keep]] * 1e6)
+            # half-away rounding (DuckDB round() parity on .5 ties)
+            "cos_e6": pa.array((lambda s: np.sign(s)
+                                * np.floor(np.abs(s) + 0.5))(
+                                    sims[ii[keep], jj[keep]] * 1e6)
                                .astype(np.int64), pa.int64()),
         })
 

@@ -137,6 +137,14 @@ def decode_bmp(payload: bytes, meta: dict | None = None) -> np.ndarray:
     if bpp not in (24, 32) or comp not in (0, 3):
         raise NotImplementedError(f"{bpp}-bpp/compression-{comp} BMP "
                                   "needs a codec")
+    if comp == 3:
+        # BI_BITFIELDS: only the standard BGR(A) masks decode here —
+        # honoring arbitrary channel masks needs per-channel shifts
+        r_m, g_m, b_m = struct.unpack_from("<III", payload, 54)
+        if (r_m, g_m, b_m) != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            raise NotImplementedError(
+                f"BITFIELDS masks {(r_m, g_m, b_m)} are not the "
+                "standard BGR(A) layout; plug a codec")
     h = abs(h_signed)
     nb = bpp // 8
     stride = (w * nb + 3) & ~3

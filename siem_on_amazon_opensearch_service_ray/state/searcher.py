@@ -683,6 +683,27 @@ def _filter_value_rows(index_dir: str, agg_field: str) -> int:
                for fn in _os.listdir(fdir) if fn.endswith(".parquet"))
 
 
+def _filter_distinct_values(index_dir: str, agg_field: str) -> int:
+    """EXACT distinct-value count of a keyword field: reads only the
+    ``value`` column of its filter parts (no posting blobs).  The slow
+    half of the rare_terms guard — only consulted when the footer
+    bound trips, because the bound counts a value once PER PART it
+    appears in (a modest-cardinality field on a many-part
+    doc-partitioned index over-counts ~num_parts x)."""
+    import os as _os
+    import pyarrow.parquet as _pq
+    fdir = _os.path.join(index_dir, "filters", agg_field)
+    if not _os.path.isdir(fdir):
+        return 0
+    seen: set = set()
+    for fn in _os.listdir(fdir):
+        if fn.endswith(".parquet"):
+            col = _pq.read_table(_os.path.join(fdir, fn),
+                                 columns=["value"]).column("value")
+            seen.update(col.to_pylist())
+    return len(seen)
+
+
 def _count_filter_values(index_dir: str, agg_field: str, cand: np.ndarray,
                          dparts: list[int] | None = None
                          ) -> list[tuple[str, int]]:
@@ -3545,11 +3566,13 @@ class Searcher:
         ``cardinality_aggregation`` (HLL) or a terms-agg over a
         filtered match set for such fields."""
         bound = _filter_value_rows(self.index_dir, agg_field)
-        if bound > max_buckets:
+        if bound > max_buckets and \
+                _filter_distinct_values(self.index_dir,
+                                        agg_field) > max_buckets:
             raise ValueError(
-                f"rare_terms on {agg_field!r}: distinct-value upper bound "
-                f"{bound} exceeds max_buckets={max_buckets}; the exact "
-                "census would materialize every value — raise max_buckets "
+                f"rare_terms on {agg_field!r}: distinct-value count "
+                f"exceeds max_buckets={max_buckets}; the exact census "
+                "would materialize every value — raise max_buckets "
                 "explicitly or use cardinality_aggregation (HLL) instead")
         rows = self.terms_aggregation(query, agg_field, field, mode,
                                       analyzer)

@@ -129,6 +129,7 @@ class ShardReader:
         # per-field probe structures for multi-term rewrite, built
         # lazily on the first match_terms call: (sorted term list,
         # int32 lengths, uint64 char-class masks)
+        self._sorted: dict[str, list[str]] = {}
         self._dicts: dict[str, tuple[list[str], np.ndarray,
                                      np.ndarray]] = {}
 
@@ -209,17 +210,27 @@ class ShardReader:
         rows = self.terms.get((field, term))
         return sum(r[0] for r in rows) if rows else 0
 
+    def _sorted_terms(self, field: str) -> list[str]:
+        """One field's SORTED term list (binary-searchable), built
+        once per reader on the first multi-term rewrite — all a
+        prefix/completion probe needs."""
+        cached = self._sorted.get(field)
+        if cached is None:
+            cached = sorted(t for f, t in self.terms if f == field)
+            self._sorted[field] = cached
+        return cached
+
     def _field_dict(self, field: str
                     ) -> tuple[list[str], np.ndarray, np.ndarray]:
-        """Probe structures for one field's term dictionary, built
-        once per reader on the first multi-term rewrite: the SORTED
-        term list (binary-searchable), int32 lengths, and uint64
-        char-class masks (one bit per hashed character bucket) — the
-        loaded-dict analogue of Lucene's FST term index + automaton
+        """Fuzzy-probe structures for one field, built lazily on the
+        FIRST fuzzy probe (prefix-only workloads never pay this pass):
+        the sorted term list plus int32 lengths and uint64 char-class
+        masks (one bit per hashed character bucket) — the loaded-dict
+        analogue of Lucene's FST term index + automaton
         intersection."""
         cached = self._dicts.get(field)
         if cached is None:
-            terms = sorted(t for f, t in self.terms if f == field)
+            terms = self._sorted_terms(field)
             n = len(terms)
             lens = np.fromiter((len(t) for t in terms), np.int32, count=n)
             masks = np.fromiter((_char_mask(t) for t in terms),
@@ -231,7 +242,7 @@ class ShardReader:
     def _prefix_matches(self, field: str, prefix: str) -> list[str]:
         """O(log vocab + |result|): bisect to the prefix's sorted
         position, walk while the prefix holds."""
-        terms, _, _ = self._field_dict(field)
+        terms = self._sorted_terms(field)
         import bisect
         i = bisect.bisect_left(terms, prefix)
         out = []
@@ -269,7 +280,7 @@ class ShardReader:
             rx = re.compile(fnmatch.translate(pattern))
             lit = re.match(r"[^*?\[]*", pattern).group(0)
             cand = (self._prefix_matches(field, lit) if lit
-                    else self._field_dict(field)[0])
+                    else self._sorted_terms(field))
             return [t for t in cand if rx.match(t)]
         if kind == "fuzzy":
             if fuzziness <= 0:
@@ -298,7 +309,7 @@ class ShardReader:
             rx = re.compile(pattern)
             lit = _regex_literal_prefix(pattern)
             cand = (self._prefix_matches(field, lit) if lit
-                    else self._field_dict(field)[0])
+                    else self._sorted_terms(field))
             return [t for t in cand if rx.fullmatch(t)]
         raise ValueError(f"unknown match kind: {kind!r}")
 

@@ -898,6 +898,16 @@ def test_rare_terms_cardinality_guard(built):
     assert rows and rows == sorted(rows, key=lambda kv: (kv[1], kv[0]))
     with pytest.raises(ValueError, match="max_buckets"):
         s.rare_terms_aggregation("def", "lang", max_buckets=1)
+    # the footer bound counts a value once PER PART, so it over-counts
+    # low-cardinality fields on multi-part indexes — the guard must
+    # fall through to the exact distinct count, not raise spuriously
+    from siem_on_amazon_opensearch_service_ray.state.searcher import (
+        _filter_distinct_values, _filter_value_rows)
+    distinct = _filter_distinct_values(index_dir, "lang")
+    assert _filter_value_rows(index_dir, "lang") > distinct
+    rows2 = s.rare_terms_aggregation("def", "lang", max_doc_count=10**9,
+                                     max_buckets=distinct)
+    assert rows2 == rows
 
 
 def test_missing_filter_column_fails_fast(ray_session, small_corpus,

@@ -14,6 +14,7 @@ def _reader(vocab, field="content"):
     """A ShardReader with a synthetic dictionary (no parquet)."""
     r = sh.ShardReader.__new__(sh.ShardReader)
     r.terms = {(field, t): [(1, b"", b"", b"", b"", b"")] for t in vocab}
+    r._sorted = {}
     r._dicts = {}
     return r
 
