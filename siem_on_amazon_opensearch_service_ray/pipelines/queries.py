@@ -364,7 +364,7 @@ def bm25_topk(sf_dir: str) -> pd.DataFrame:
                          cfg=_docs_index_cfg(), field="content", k=BM25_K,
                          length_policy="lucene").to_pandas()
     out["score_e4"] = np.array(
-        [round(s * 10000) for s in out["score"]], dtype=np.int64)
+        [int(_round_away(s * 10000)) for s in out["score"]], dtype=np.int64)
     return out[["doc_id", "score_e4"]]
 
 
@@ -378,7 +378,7 @@ def search_topk(sf_dir: str) -> pd.DataFrame:
         s.close()
     return pd.DataFrame({
         "doc_id": [d for _, d in hits],
-        "score_e4": np.array([round(sc * 10000) for sc, _ in hits], dtype=np.int64),
+        "score_e4": np.array([int(_round_away(sc * 10000)) for sc, _ in hits], dtype=np.int64),
     })
 
 
@@ -400,7 +400,7 @@ def search_after_page2(sf_dir: str) -> pd.DataFrame:
         s.close()
     return pd.DataFrame({
         "doc_id": [d for _, d in page2],
-        "score_e4": np.array([round(sc * 10000) for sc, _ in page2],
+        "score_e4": np.array([int(_round_away(sc * 10000)) for sc, _ in page2],
                              dtype=np.int64),
     })
 
@@ -418,7 +418,7 @@ def search_and_topk(sf_dir: str) -> pd.DataFrame:
         s.close()
     return pd.DataFrame({
         "doc_id": [d for _, d in hits],
-        "score_e4": np.array([round(sc * 10000) for sc, _ in hits],
+        "score_e4": np.array([int(_round_away(sc * 10000)) for sc, _ in hits],
                              dtype=np.int64),
     })
 
@@ -439,7 +439,7 @@ def search_doc_sharded(sf_dir: str) -> pd.DataFrame:
         s.close()
     return pd.DataFrame({
         "doc_id": [d for _, d in hits],
-        "score_e4": np.array([round(sc * 10000) for sc, _ in hits],
+        "score_e4": np.array([int(_round_away(sc * 10000)) for sc, _ in hits],
                              dtype=np.int64),
     })
 
@@ -460,7 +460,7 @@ def _doc_sharded_index(sf_dir: str, positions: bool = False) -> str:
 def _score_frame(hits) -> pd.DataFrame:
     return pd.DataFrame({
         "doc_id": [d for _, d in hits],
-        "score_e4": np.array([round(sc * 10000) for sc, _ in hits],
+        "score_e4": np.array([int(_round_away(sc * 10000)) for sc, _ in hits],
                              dtype=np.int64),
     })
 
@@ -916,7 +916,7 @@ def search_suggest_phrase(sf_dir: str) -> pd.DataFrame:
         s.close()
     return pd.DataFrame({
         "phrase": [p for p, _ in phrases],
-        "score_e6": np.array([round(sc * 1e6) for _, sc in phrases],
+        "score_e6": np.array([int(_round_away(sc * 1e6)) for _, sc in phrases],
                              dtype=np.int64),
     })
 
@@ -976,7 +976,7 @@ def _multi_match_hits(sf_dir: str, sharded: bool) -> pd.DataFrame:
         s.close()
     return pd.DataFrame({
         "doc_id": [d for _, d in hits],
-        "score_e4": np.array([round(sc * 10000) for sc, _ in hits],
+        "score_e4": np.array([int(_round_away(sc * 10000)) for sc, _ in hits],
                              dtype=np.int64),
     })
 
@@ -1057,7 +1057,7 @@ def search_range_topk(sf_dir: str) -> pd.DataFrame:
         s.close()
     return pd.DataFrame({
         "doc_id": [d for _, d in hits],
-        "score_e4": np.array([round(sc * 10000) for sc, _ in hits],
+        "score_e4": np.array([int(_round_away(sc * 10000)) for sc, _ in hits],
                              dtype=np.int64),
     })
 
@@ -1077,7 +1077,7 @@ def search_bool_topk(sf_dir: str) -> pd.DataFrame:
         s.close()
     return pd.DataFrame({
         "doc_id": [d for _, d in hits],
-        "score_e4": np.array([round(sc * 10000) for sc, _ in hits],
+        "score_e4": np.array([int(_round_away(sc * 10000)) for sc, _ in hits],
                              dtype=np.int64),
     })
 
@@ -1166,7 +1166,7 @@ def search_prefix(sf_dir: str) -> pd.DataFrame:
         s.close()
     return pd.DataFrame({
         "doc_id": [d for _, d in hits],
-        "score_e4": np.array([round(sc * 10000) for sc, _ in hits],
+        "score_e4": np.array([int(_round_away(sc * 10000)) for sc, _ in hits],
                              dtype=np.int64),
     })
 
@@ -1183,7 +1183,7 @@ def search_wildcard(sf_dir: str) -> pd.DataFrame:
         s.close()
     return pd.DataFrame({
         "doc_id": [d for _, d in hits],
-        "score_e4": np.array([round(sc * 10000) for sc, _ in hits],
+        "score_e4": np.array([int(_round_away(sc * 10000)) for sc, _ in hits],
                              dtype=np.int64),
     })
 
@@ -1205,7 +1205,7 @@ def search_regexp(sf_dir: str) -> pd.DataFrame:
         s.close()
     return pd.DataFrame({
         "doc_id": [d for _, d in hits],
-        "score_e4": np.array([round(sc * 10000) for sc, _ in hits],
+        "score_e4": np.array([int(_round_away(sc * 10000)) for sc, _ in hits],
                              dtype=np.int64),
     })
 
@@ -1226,7 +1226,7 @@ def search_fuzzy(sf_dir: str) -> pd.DataFrame:
         s.close()
     return pd.DataFrame({
         "doc_id": [d for _, d in hits],
-        "score_e4": np.array([round(sc * 10000) for sc, _ in hits],
+        "score_e4": np.array([int(_round_away(sc * 10000)) for sc, _ in hits],
                              dtype=np.int64),
     })
 
@@ -1251,7 +1251,7 @@ def search_fuzzy_damerau(sf_dir: str) -> pd.DataFrame:
         s.close()
     return pd.DataFrame({
         "doc_id": [d for _, d in hits],
-        "score_e4": np.array([round(sc * 10000) for sc, _ in hits],
+        "score_e4": np.array([int(_round_away(sc * 10000)) for sc, _ in hits],
                              dtype=np.int64),
     })
 
@@ -1297,7 +1297,7 @@ def search_sigterms(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "value": [v for v, _, _ in rows],
         "fg_count": np.array([n for _, n, _ in rows], dtype=np.int64),
-        "score_e6": np.array([round(sc * 1_000_000) for _, _, sc in rows],
+        "score_e6": np.array([int(_round_away(sc * 1_000_000)) for _, _, sc in rows],
                              dtype=np.int64),
     })
 
@@ -1439,7 +1439,7 @@ def search_query_string(sf_dir: str) -> pd.DataFrame:
         s.close()
     return pd.DataFrame({
         "doc_id": [d for _, d in hits],
-        "score_e4": np.array([round(sc * 10000) for sc, _ in hits],
+        "score_e4": np.array([int(_round_away(sc * 10000)) for sc, _ in hits],
                              dtype=np.int64),
     })
 
@@ -1456,7 +1456,7 @@ def search_top_hits(sf_dir: str) -> pd.DataFrame:
                                          hits_per_bucket=2)
     finally:
         s.close()
-    recs = [(v, r + 1, d, round(sc * 10000))
+    recs = [(v, r + 1, d, int(_round_away(sc * 10000)))
             for v, hits in buckets
             for r, (sc, d) in enumerate(hits)]
     return pd.DataFrame({
@@ -1621,12 +1621,12 @@ def search_stats(sf_dir: str) -> pd.DataFrame:
         s.close()
     return pd.DataFrame({
         "n_docs": np.array([st["count"]], dtype=np.int64),
-        "min_c": np.array([round(st["min"])], dtype=np.int64),
-        "max_c": np.array([round(st["max"])], dtype=np.int64),
-        "sum_c": np.array([round(st["sum"])], dtype=np.int64),
-        "avg_e4": np.array([round(st["avg"] * 10000)], dtype=np.int64),
-        "p50_e4": np.array([round(st["p50"] * 10000)], dtype=np.int64),
-        "p90_e4": np.array([round(st["p90"] * 10000)], dtype=np.int64),
+        "min_c": np.array([int(_round_away(st["min"]))], dtype=np.int64),
+        "max_c": np.array([int(_round_away(st["max"]))], dtype=np.int64),
+        "sum_c": np.array([int(_round_away(st["sum"]))], dtype=np.int64),
+        "avg_e4": np.array([int(_round_away(st["avg"] * 10000))], dtype=np.int64),
+        "p50_e4": np.array([int(_round_away(st["p50"] * 10000))], dtype=np.int64),
+        "p90_e4": np.array([int(_round_away(st["p90"] * 10000))], dtype=np.int64),
     })
 
 
@@ -1650,12 +1650,12 @@ def search_stats_distributed(sf_dir: str) -> pd.DataFrame:
         s.close()
     return pd.DataFrame({
         "n_docs": np.array([st["count"]], dtype=np.int64),
-        "min_c": np.array([round(st["min"])], dtype=np.int64),
-        "max_c": np.array([round(st["max"])], dtype=np.int64),
-        "sum_c": np.array([round(st["sum"])], dtype=np.int64),
-        "avg_e4": np.array([round(st["avg"] * 10000)], dtype=np.int64),
-        "p50_e4": np.array([round(st["p50"] * 10000)], dtype=np.int64),
-        "p90_e4": np.array([round(st["p90"] * 10000)], dtype=np.int64),
+        "min_c": np.array([int(_round_away(st["min"]))], dtype=np.int64),
+        "max_c": np.array([int(_round_away(st["max"]))], dtype=np.int64),
+        "sum_c": np.array([int(_round_away(st["sum"]))], dtype=np.int64),
+        "avg_e4": np.array([int(_round_away(st["avg"] * 10000))], dtype=np.int64),
+        "p50_e4": np.array([int(_round_away(st["p50"] * 10000))], dtype=np.int64),
+        "p90_e4": np.array([int(_round_away(st["p90"] * 10000))], dtype=np.int64),
     })
 
 
@@ -1681,7 +1681,7 @@ def search_terms_stats(sf_dir: str) -> pd.DataFrame:
                           dtype=np.int64),
         "max_c": np.array([round(hi) for _, _, _, _, hi, _ in rows],
                           dtype=np.int64),
-        "avg_e4": np.array([round(av * 10000) for *_, av in rows],
+        "avg_e4": np.array([int(_round_away(av * 10000)) for *_, av in rows],
                            dtype=np.int64),
     })
 
@@ -2219,7 +2219,7 @@ def search_mlt(sf_dir: str) -> pd.DataFrame:
         s.close()
     return pd.DataFrame({
         "doc_id": [d for _, d in hits],
-        "score_e4": np.array([round(sc * 10000) for sc, _ in hits],
+        "score_e4": np.array([int(_round_away(sc * 10000)) for sc, _ in hits],
                              dtype=np.int64),
     })
 
