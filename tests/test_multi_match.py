@@ -36,11 +36,14 @@ def mm_indexes(ray_session, tmp_path_factory):
     root = tmp_path_factory.mktemp("mm")
     src = str(root / "docs.parquet")
     pq.write_table(t, src)
+    # pin the TERM layout explicitly (the config default is now doc):
+    # this fixture's whole point is comparing term vs doc execution
     cfg = IndexConfig(num_partitions=4,
                       fields=(("content", "text", "base"),
                               ("lbl", "label", "base")),
                       keyword_fields=(), id_cols=("doc_id",),
-                      doc_id_col="doc_id", sha_col="text", salting=False)
+                      doc_id_col="doc_id", sha_col="text", salting=False,
+                      partition_by="term")
     idx_t = str(root / "idx_term")
     build_index([src], idx_t, cfg)
     idx_d = str(root / "idx_doc")
