@@ -1337,6 +1337,44 @@ def span_near_docs(sf_dir: str) -> pd.DataFrame:
                                              dtype=np.int64)})
 
 
+def search_span_first(sf_dir: str) -> pd.DataFrame:
+    """Composable span algebra through the driver gate: span_first
+    (Lucene SpanFirstQuery — the match's END position within the
+    first N tokens) wrapping a span_or of two terms.  Exercises the
+    nested-expression normalizer + evaluator, not just the flat
+    span_near surface."""
+    idx = _docs_index_dir(sf_dir) + "_pos"
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg_pos(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.span_query(
+            {"span_first": {"match": {"span_or": {"clauses": [
+                {"span_term": "spark"}, {"span_term": "query"}]}},
+                "end": 3}},
+            field="content", k=1_000_000)
+    finally:
+        s.close()
+    return pd.DataFrame({"doc_id": [d for _, d in hits],
+                         "span_tf": np.array([n for n, _ in hits],
+                                             dtype=np.int64)})
+
+
+# engine positions are 0-based with span end exclusive (end <= 3 ==
+# pos in the first three tokens); the SQL pos is 1-based, so pos <= 3
+SPAN_FIRST_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1)
+           AS pos
+  FROM documents)
+SELECT doc_id, cast(count(*) AS BIGINT) AS span_tf
+FROM tok WHERE term IN ('spark', 'query') AND pos <= 3
+GROUP BY doc_id
+ORDER BY span_tf DESC, doc_id
+"""
+
+
 SPAN_NEAR_SQL = """
 WITH tok AS (
   SELECT doc_id,
@@ -2854,6 +2892,7 @@ def queries() -> dict:
         "search_suggest_completion": search_suggest_completion,
         "search_after_page2": search_after_page2,
         "search_suggest_damerau": search_suggest_damerau,
+        "search_span_first": search_span_first,
         # rows-only (non-SQL-expressible: blake2b signatures / ANN internals)
         "simhash_docs": simhash_docs,
         "langid_docs": langid_docs,
@@ -2992,4 +3031,5 @@ def oracle_sql() -> dict:
         "search_suggest_completion": SEARCH_COMPLETION_SQL,
         "search_after_page2": SEARCH_AFTER_SQL,
         "search_suggest_damerau": SEARCH_SUGGEST_DAMERAU_SQL,
+        "search_span_first": SPAN_FIRST_SQL,
     }
