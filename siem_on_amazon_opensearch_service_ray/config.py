@@ -109,6 +109,7 @@ def section_to_etl_config(logtype: str,
         index_rotation=sec.get("index_rotation", "monthly"),
         index_suffix=sec.get("index_suffix", ""),
         index_tz_hours=timestr_to_hours(sec.get("index_tz", "0")),
+        index_time=sec.get("index_time", "@timestamp"),
         json_delimiter=sec.get("json_delimiter") or None,
     )
 

@@ -371,6 +371,13 @@ class EtlConfig:
     index_rotation: str = "monthly"
     index_suffix: str = ""                # aws.ini index_suffix
     index_tz_hours: float = 0.0           # aws.ini index_tz
+    # aws.ini index_time: '@timestamp' (event time, the default) or
+    # 'event_ingested' — route by the pipeline's ingestion timestamp
+    # column instead of the event's own time (reference
+    # siem/__init__.py:639-640; the batch engine reads it from an
+    # 'event_ingested' column the ingest layer stamps, since a Lambda
+    # wall clock has no batch analogue)
+    index_time: str = "@timestamp"
     # envelope fan-out: explode the JSON array in this column into one
     # row per element BEFORE the per-record stages (reference
     # json_delimiter, aws.ini; fileformat_json.py:23-64)
@@ -397,6 +404,11 @@ def prepare_batch(batch: pa.Table, cfg: EtlConfig) -> pa.Table:
         batch = tf(batch)
     if "@timestamp" in batch.column_names or \
             cfg.index_rotation in ("aoss", "auto"):
+        if cfg.index_time == "event_ingested" and \
+                "event_ingested" in batch.column_names and \
+                "__index_dt" not in batch.column_names:
+            batch = batch.append_column("__index_dt",
+                                        batch.column("event_ingested"))
         batch = route_index(batch, cfg.index_name, cfg.index_rotation,
                             index_suffix=cfg.index_suffix,
                             index_tz_hours=cfg.index_tz_hours)

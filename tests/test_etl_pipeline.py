@@ -69,6 +69,26 @@ def test_rotation_suffix_tz_and_dt_override():
     assert "__index_dt" not in out.column_names
 
 
+def test_index_time_event_ingested():
+    """aws.ini index_time=event_ingested: routing uses the ingestion
+    timestamp column, not the event's own time."""
+    import datetime
+    batch = pa.table({
+        "ts": ["2020-03-03T12:00:00Z"],
+        "event_ingested": pa.array([datetime.datetime(2024, 7, 1)],
+                                   pa.timestamp("us")),
+    })
+    cfg = etl.EtlConfig(logtype="x", timestamp_col="ts",
+                        index_rotation="monthly",
+                        index_time="event_ingested")
+    out = etl.prepare_batch(batch, cfg)
+    assert out.column("__index").to_pylist() == ["log-2024-07"]
+    # default stays event time
+    out2 = etl.prepare_batch(batch, etl.EtlConfig(
+        logtype="x", timestamp_col="ts", index_rotation="monthly"))
+    assert out2.column("__index").to_pylist() == ["log-2020-03"]
+
+
 def test_protocol_transform():
     out = etl.get_transform("vpcflow_like")(pa.table({"protocol": [6, 17, 999]}))
     assert out.column("network_transport").to_pylist() == ["tcp", "udp", None]
