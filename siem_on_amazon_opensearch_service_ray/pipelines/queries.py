@@ -1742,6 +1742,42 @@ GROUP BY d.lang
 """
 
 
+def search_percentile_ranks(sf_dir: str) -> pd.DataFrame:
+    """percentile_ranks aggregation (exact, distributed): percent of
+    the 'spark join' match set's n_chars values <= each probe — the
+    inverse of the percentiles agg, via per-shard count-<= partials
+    (no matched value ships)."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        rows = s.percentile_ranks(BM25_QUERY, "n_chars",
+                                  [150.0, 300.0, 450.0], field="content")
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "value": np.array([v for v, _ in rows], dtype=np.int64),
+        "rank_e4": np.array([int(_round_away(p * 10000))
+                             for _, p in rows], dtype=np.int64),
+    })
+
+
+SEARCH_PERCENTILE_RANKS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT * FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM tok
+                       WHERE term IN ('spark', 'join')))
+SELECT cast(v.value AS BIGINT) AS value,
+       cast(round(10000 * 100.0
+                  * (SELECT count(*) FROM m WHERE n_chars <= v.value)
+                  / (SELECT count(*) FROM m)) AS BIGINT) AS rank_e4
+FROM (VALUES (150.0), (300.0), (450.0)) v(value)
+ORDER BY value
+"""
+
+
 SEARCH_STATS_SQL = """
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
@@ -2893,6 +2929,7 @@ def queries() -> dict:
         "search_after_page2": search_after_page2,
         "search_suggest_damerau": search_suggest_damerau,
         "search_span_first": search_span_first,
+        "search_percentile_ranks": search_percentile_ranks,
         # rows-only (non-SQL-expressible: blake2b signatures / ANN internals)
         "simhash_docs": simhash_docs,
         "langid_docs": langid_docs,
@@ -3032,4 +3069,5 @@ def oracle_sql() -> dict:
         "search_after_page2": SEARCH_AFTER_SQL,
         "search_suggest_damerau": SEARCH_SUGGEST_DAMERAU_SQL,
         "search_span_first": SPAN_FIRST_SQL,
+        "search_percentile_ranks": SEARCH_PERCENTILE_RANKS_SQL,
     }

@@ -2298,6 +2298,63 @@ class Searcher:
                 out[f"p{round(q * 100):02d}"] = float(np.quantile(v, q))
         return out
 
+    def percentile_ranks(self, query: str, range_field: str,
+                         values: list[float], field: str = "content",
+                         mode: str = "or", analyzer: str | None = None
+                         ) -> list[tuple[float, float]]:
+        """OpenSearch ``percentile_ranks`` (exact): for each probe
+        value, the percent of the match set's ``range_field`` values
+        <= it.  Runs on the distributed-exact machinery — each shard
+        answers count-<=-probe over its OWN matched values
+        (``count_le_local``, match set memoized shard-side); only
+        len(values)+1 ints per shard travel, never a data value.
+        Returns [(value, rank_pct)] in input order."""
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        q_terms = an(query)
+        if not q_terms or not values:
+            return []
+        probes = [float(v) for v in values] + [math.inf]
+        pr = np.asarray(probes, dtype=np.float64)
+        if self.manifest["config"].get("partition_by") == "doc":
+            # per-shard count-<= partials sum correctly: each doc's
+            # whole match decision is local to exactly one shard
+            if self.use_actors:
+                rows = ray.get([
+                    a.count_le_local.remote(field, list(q_terms), mode,
+                                            range_field, probes)
+                    for a in self.actors])
+                tot = np.sum(np.asarray(rows, dtype=np.int64), axis=0)
+            else:
+                tot = np.zeros(len(probes), dtype=np.int64)
+                for p, r in self.readers.items():
+                    v = _shard_range_values(r, p, self.tombstones, field,
+                                            q_terms, mode, range_field)
+                    if v.size:
+                        tot += np.searchsorted(np.sort(v), pr,
+                                               side="right")
+        else:
+            # term-partitioned: a part only sees the terms it owns, so
+            # per-part match sets overlap — compute the global match
+            # set once (driver-side, like stats_aggregation here) and
+            # probe the packed range tables
+            from .shard import load_range_pairs
+            cand = self._match_ids(field, q_terms, mode)
+            if cand.size == 0:
+                return []
+            tot = np.zeros(len(probes), dtype=np.int64)
+            for vals, ids in load_range_pairs(self.index_dir, range_field):
+                pos = np.minimum(np.searchsorted(cand, ids),
+                                 cand.size - 1)
+                hit = cand[pos] == ids
+                if hit.any():
+                    tot += np.searchsorted(np.sort(vals[hit]), pr,
+                                           side="right")
+        n = int(tot[-1])
+        if n == 0:
+            return []
+        return [(float(v), 100.0 * int(c) / n)
+                for v, c in zip(values, tot[:-1])]
+
     def _stats_exact_distributed(self, field: str, q_terms: list[str],
                                  mode: str, range_field: str,
                                  quantiles: tuple[float, ...]) -> dict:

@@ -79,7 +79,8 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "etl_raw_logs", "dashboard_monthly_panel",
               "pa_firewall_logs", "search_fuzzy_damerau",
               "search_suggest_completion", "search_after_page2",
-              "search_suggest_damerau", "search_span_first"]
+              "search_suggest_damerau", "search_span_first",
+              "search_percentile_ranks"]
 
 
 @pytest.mark.parametrize("name", SQL_BACKED)

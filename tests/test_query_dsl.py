@@ -645,3 +645,30 @@ def test_more_like_this(dsl_index, ref):
     # every candidate term below min_doc_freq -> no selectable terms
     assert s.more_like_this("zz_nope qq_nada") == []
     assert s.more_like_this("") == []
+
+
+def test_percentile_ranks_doc_layout_identity(ray_session):
+    """percentile_ranks on the doc-partitioned layout (per-shard
+    count-<= partials) must equal the term-partitioned computation
+    (global match set probing the range tables) — a doc matching both
+    query terms must be counted once, not once per owning part."""
+    from siem_on_amazon_opensearch_service_ray.pipelines import queries as q
+    from siem_on_amazon_opensearch_service_ray.state.searcher import Searcher
+    sf = "/root/testdata/sf0.001"
+    from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
+        build_index)
+    idx_t = q._docs_index_dir(sf)
+    build_index(q._docs_source(sf), idx_t, q._docs_index_cfg(), resume=True)
+    idx_d = q._doc_sharded_index(sf)
+    st = Searcher(idx_t, use_actors=False)
+    sd = Searcher(idx_d, use_actors=True)
+    try:
+        probes = [150.0, 300.0, 450.0]
+        want = st.percentile_ranks(q.BM25_QUERY, "n_chars", probes)
+        got = sd.percentile_ranks(q.BM25_QUERY, "n_chars", probes)
+        assert [v for v, _ in got] == [v for v, _ in want]
+        import numpy as np
+        np.testing.assert_allclose([p for _, p in got],
+                                   [p for _, p in want], rtol=1e-12)
+    finally:
+        sd.close()
