@@ -83,7 +83,9 @@ def main(argv: list[str] | None = None) -> int:
     ag.add_argument("query")
     ag.add_argument("--agg", required=True,
                     choices=["terms", "rare", "cardinality", "histogram",
-                             "stats", "sigterms"])
+                             "stats", "sigterms", "ranks"])
+    ag.add_argument("--values", default="",
+                    help="comma-separated probes (--agg ranks)")
     ag.add_argument("--max-doc-count", type=int, default=1,
                     help="rare_terms threshold (--agg rare)")
     ag.add_argument("--agg-field", required=True)
@@ -310,6 +312,12 @@ def main(argv: list[str] | None = None) -> int:
                            for v, n, sc in searcher.significant_terms(
                                args.query, args.agg_field, args.field,
                                args.mode, args.k)]
+                elif args.agg == "ranks":
+                    vals = [float(x) for x in args.values.split(",") if x]
+                    res = [{"value": v, "rank_pct": round(p, 6)}
+                           for v, p in searcher.percentile_ranks(
+                               args.query, args.agg_field, vals,
+                               args.field, args.mode)]
                 else:
                     qs = tuple(float(x) for x in args.quantiles.split(",")
                                if x)
