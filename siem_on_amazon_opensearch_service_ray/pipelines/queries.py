@@ -1742,6 +1742,44 @@ GROUP BY d.lang
 """
 
 
+def search_extended_stats(sf_dir: str) -> pd.DataFrame:
+    """extended_stats aggregation: population variance / std_dev /
+    sum_of_squares from the same mergeable per-shard moments the
+    stats agg ships (sum_sq rides along; derived on the
+    coordinator)."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        st = s.stats_aggregation(BM25_QUERY, "n_chars", field="content")
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "n_docs": np.array([st["count"]], dtype=np.int64),
+        "sum_sq": np.array([int(_round_away(st["sum_sq"]))],
+                           dtype=np.int64),
+        "var_e4": np.array([int(_round_away(st["variance"] * 10000))],
+                           dtype=np.int64),
+        "std_e4": np.array([int(_round_away(st["std_dev"] * 10000))],
+                           dtype=np.int64),
+    })
+
+
+SEARCH_EXTENDED_STATS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT * FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM tok
+                       WHERE term IN ('spark', 'join')))
+SELECT cast(count(*) AS BIGINT) AS n_docs,
+       cast(round(sum(n_chars * n_chars)) AS BIGINT) AS sum_sq,
+       cast(round(var_pop(n_chars) * 10000) AS BIGINT) AS var_e4,
+       cast(round(stddev_pop(n_chars) * 10000) AS BIGINT) AS std_e4
+FROM m
+"""
+
+
 def search_percentile_ranks(sf_dir: str) -> pd.DataFrame:
     """percentile_ranks aggregation (exact, distributed): percent of
     the 'spark join' match set's n_chars values <= each probe — the
@@ -2930,6 +2968,7 @@ def queries() -> dict:
         "search_suggest_damerau": search_suggest_damerau,
         "search_span_first": search_span_first,
         "search_percentile_ranks": search_percentile_ranks,
+        "search_extended_stats": search_extended_stats,
         # rows-only (non-SQL-expressible: blake2b signatures / ANN internals)
         "simhash_docs": simhash_docs,
         "langid_docs": langid_docs,
@@ -3070,4 +3109,5 @@ def oracle_sql() -> dict:
         "search_suggest_damerau": SEARCH_SUGGEST_DAMERAU_SQL,
         "search_span_first": SPAN_FIRST_SQL,
         "search_percentile_ranks": SEARCH_PERCENTILE_RANKS_SQL,
+        "search_extended_stats": SEARCH_EXTENDED_STATS_SQL,
     }

@@ -1120,8 +1120,11 @@ class PartActor:
             if any(x.size for x in vs) else np.zeros(0)
         if v.size == 0:
             return {"count": 0}
+        # sum_sq rides along for extended_stats (variance/std_dev are
+        # driver-derivable from the same mergeable moments)
         out = {"count": int(v.size), "min": float(v.min()),
-               "max": float(v.max()), "sum": float(v.sum())}
+               "max": float(v.max()), "sum": float(v.sum()),
+               "sum_sq": float(np.square(v).sum())}
         if quantile_mode == "exact":
             out["values"] = v
         elif quantile_mode == "tdigest":
@@ -2242,7 +2245,8 @@ class Searcher:
                         parts.append({"count": 0})
                         continue
                     d = {"count": int(v.size), "min": float(v.min()),
-                         "max": float(v.max()), "sum": float(v.sum())}
+                         "max": float(v.max()), "sum": float(v.sum()),
+                         "sum_sq": float(np.square(v).sum())}
                     if qmode == "exact":
                         d["values"] = v
                     elif qmode == "tdigest":
@@ -2257,8 +2261,10 @@ class Searcher:
             out = {"count": sum(d["count"] for d in live),
                    "min": min(d["min"] for d in live),
                    "max": max(d["max"] for d in live),
-                   "sum": float(sum(d["sum"] for d in live))}
+                   "sum": float(sum(d["sum"] for d in live)),
+                   "sum_sq": float(sum(d["sum_sq"] for d in live))}
             out["avg"] = out["sum"] / out["count"]
+            _extend_stats(out)
             if qmode == "exact":
                 v = np.concatenate([np.asarray(d["values"]) for d in live])
                 for q in quantiles:
@@ -2286,7 +2292,9 @@ class Searcher:
         v = np.concatenate(matched)
         out = {"count": int(v.size), "min": float(v.min()),
                "max": float(v.max()), "sum": float(v.sum()),
+               "sum_sq": float(np.square(v).sum()),
                "avg": float(v.mean())}
+        _extend_stats(out)
         if qmode == "tdigest":
             from ..stages.sketches import TDigest
             td = TDigest()
@@ -2396,7 +2404,8 @@ class Searcher:
                     parts.append({"count": int(v.size),
                                   "min": float(v.min()),
                                   "max": float(v.max()),
-                                  "sum": float(v.sum())})
+                                  "sum": float(v.sum()),
+                                  "sum_sq": float(np.square(v).sum())})
                     sorted_vals.append(np.sort(v))
                 else:
                     parts.append({"count": 0})
@@ -2413,8 +2422,10 @@ class Searcher:
         n = sum(d["count"] for d in live)
         out = {"count": n, "min": min(d["min"] for d in live),
                "max": max(d["max"] for d in live),
-               "sum": float(sum(d["sum"] for d in live))}
+               "sum": float(sum(d["sum"] for d in live)),
+               "sum_sq": float(sum(d["sum_sq"] for d in live))}
         out["avg"] = out["sum"] / n
+        _extend_stats(out)
         ranks = sorted({math.floor(q * (n - 1)) for q in quantiles} |
                        {math.ceil(q * (n - 1)) for q in quantiles})
         lo_ord, hi_ord = _f64_to_ord(out["min"]), _f64_to_ord(out["max"])
@@ -3822,6 +3833,18 @@ def pipeline_aggregations(buckets: list[tuple[float, int]],
                     "cumulative_sum": float(cum[i]),
                     "derivative": deriv, "moving_avg": mov})
     return out
+
+
+
+def _extend_stats(out: dict) -> None:
+    """extended_stats fields from the mergeable moments (OpenSearch
+    ``extended_stats``: population variance/std, sum_of_squares) —
+    derived on the coordinator, so every stats path (per-shard
+    partials, driver-gathered, count-probe) gets them for free."""
+    n = out["count"]
+    mean = out["sum"] / n
+    out["variance"] = max(0.0, out["sum_sq"] / n - mean * mean)
+    out["std_dev"] = math.sqrt(out["variance"])
 
 
 def _levenshtein(a: str, b: str) -> int:
