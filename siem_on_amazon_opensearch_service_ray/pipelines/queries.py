@@ -981,6 +981,100 @@ def _multi_match_hits(sf_dir: str, sharded: bool) -> pd.DataFrame:
     })
 
 
+def search_multi_match_cross(sf_dir: str) -> pd.DataFrame:
+    """multi_match type=cross_fields (Lucene BlendedTermQuery):
+    term-centric — each query term's df BLENDS across the fields (max,
+    so a term common in either field is cheap in both), per-term score
+    = best field + tie_breaker x rest, doc score = sum over terms.
+    'src3' is rare in content but common in src, so the blended idf
+    visibly diverges from the per-field idfs best_fields uses."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.multi_match(MULTI_MATCH_QUERY, MULTI_MATCH_FIELDS,
+                             k=BM25_K, match_type="cross_fields",
+                             tie_breaker=MULTI_MATCH_TIE)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d in hits],
+        "score_e4": np.array([int(_round_away(sc * 10000))
+                              for sc, _ in hits], dtype=np.int64),
+    })
+
+
+MULTI_MATCH_CROSS_SQL = f"""
+WITH q(term) AS (VALUES ('spark'), ('src3')),
+ctok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+cdl AS (SELECT d.doc_id, count(t.term) AS dl
+        FROM documents d LEFT JOIN ctok t ON d.doc_id = t.doc_id
+        GROUP BY d.doc_id),
+cdlq AS (SELECT doc_id,
+                CASE WHEN dl < 8 THEN dl
+                     ELSE (dl >> (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3))
+                          << (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3) END
+                  AS dl_quant
+         FROM cdl),
+cstats AS (SELECT avg(dl) AS avgdl FROM cdl),
+stok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(source), '[a-z0-9_]+')) AS term
+  FROM documents),
+sdl AS (SELECT d.doc_id, count(t.term) AS dl
+        FROM documents d LEFT JOIN stok t ON d.doc_id = t.doc_id
+        GROUP BY d.doc_id),
+sdlq AS (SELECT doc_id,
+                CASE WHEN dl < 8 THEN dl
+                     ELSE (dl >> (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3))
+                          << (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3) END
+                  AS dl_quant
+         FROM sdl),
+sstats AS (SELECT avg(dl) AS avgdl FROM sdl),
+ctf AS (SELECT t.doc_id, t.term, count(*) AS tf
+        FROM ctok t JOIN q USING(term) GROUP BY t.doc_id, t.term),
+stf AS (SELECT t.doc_id, t.term, count(*) AS tf
+        FROM stok t JOIN q USING(term) GROUP BY t.doc_id, t.term),
+cdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM ctf GROUP BY term),
+sdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM stf GROUP BY term),
+nn AS (SELECT count(*) AS n FROM documents),
+idf AS (
+  SELECT q.term,
+         ln(1 + (nn.n - greatest(coalesce(c.df, 0), coalesce(s.df, 0)) + 0.5)
+                / (greatest(coalesce(c.df, 0), coalesce(s.df, 0)) + 0.5))
+           AS idf
+  FROM q LEFT JOIN cdf c USING(term) LEFT JOIN sdf s USING(term)
+  CROSS JOIN nn
+  WHERE greatest(coalesce(c.df, 0), coalesce(s.df, 0)) > 0),
+cc AS (
+  SELECT tf.doc_id, tf.term,
+         i.idf * tf.tf * 2.2
+         / (tf.tf + 1.2*(1 - 0.75 + 0.75*dlq.dl_quant/st.avgdl)) AS sc
+  FROM ctf tf JOIN idf i USING(term) JOIN cdlq dlq USING(doc_id)
+  CROSS JOIN cstats st),
+sc2 AS (
+  SELECT tf.doc_id, tf.term,
+         i.idf * tf.tf * 2.2
+         / (tf.tf + 1.2*(1 - 0.75 + 0.75*dlq.dl_quant/st.avgdl)) AS sc
+  FROM stf tf JOIN idf i USING(term) JOIN sdlq dlq USING(doc_id)
+  CROSS JOIN sstats st),
+pt AS (
+  SELECT coalesce(c.doc_id, s.doc_id) AS doc_id,
+         coalesce(c.sc, 0) AS csc, coalesce(s.sc, 0) AS ssc
+  FROM cc c FULL OUTER JOIN sc2 s
+    ON c.doc_id = s.doc_id AND c.term = s.term),
+scored AS (
+  SELECT doc_id,
+         sum(greatest(csc, ssc)
+             + {MULTI_MATCH_TIE} * (csc + ssc - greatest(csc, ssc)))
+           AS score
+  FROM pt GROUP BY doc_id)
+SELECT doc_id, cast(round(score * 10000) AS BIGINT) AS score_e4
+FROM scored ORDER BY score DESC, doc_id LIMIT {BM25_K}
+"""
+
+
 def search_multi_match(sf_dir: str) -> pd.DataFrame:
     """multi_match best_fields over (content, src) with tie_breaker —
     Lucene DisjunctionMaxQuery parity: per-field BM25 scored over the
@@ -2969,6 +3063,7 @@ def queries() -> dict:
         "search_span_first": search_span_first,
         "search_percentile_ranks": search_percentile_ranks,
         "search_extended_stats": search_extended_stats,
+        "search_multi_match_cross": search_multi_match_cross,
         # rows-only (non-SQL-expressible: blake2b signatures / ANN internals)
         "simhash_docs": simhash_docs,
         "langid_docs": langid_docs,
@@ -3110,4 +3205,5 @@ def oracle_sql() -> dict:
         "search_span_first": SPAN_FIRST_SQL,
         "search_percentile_ranks": SEARCH_PERCENTILE_RANKS_SQL,
         "search_extended_stats": SEARCH_EXTENDED_STATS_SQL,
+        "search_multi_match_cross": MULTI_MATCH_CROSS_SQL,
     }

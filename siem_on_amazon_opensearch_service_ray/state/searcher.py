@@ -1469,7 +1469,7 @@ class Searcher:
         per doc shard via :meth:`multi_match_sharded` at scale.
         ``_idf_by_field`` injects global per-field idf on shard-local
         executions (the dfs round of dfs_query_then_fetch)."""
-        if match_type not in ("best_fields", "most_fields"):
+        if match_type not in ("best_fields", "most_fields", "cross_fields"):
             raise ValueError(f"unsupported multi_match type: {match_type!r}")
         if self._partition_by == "doc" and self._local_parts is None \
                 and self.use_actors and _idf_by_field is None \
@@ -1479,6 +1479,9 @@ class Searcher:
             return self.multi_match_sharded(
                 query, fields, k=k, match_type=match_type,
                 tie_breaker=tie_breaker, analyzer=analyzer, k1=k1, b=b)
+        if match_type == "cross_fields":
+            return self._multi_match_cross(query, fields, k, tie_breaker,
+                                           analyzer, k1, b, _idf_by_field)
         n_docs = int(self.stats["n_docs"])
         per_doc: dict[int, list[float]] = {}
         for spec in fields:
@@ -1506,6 +1509,75 @@ class Searcher:
                 sc = float(mx + tie_breaker * (sum(ss) - mx))
             combined.append((sc, d))
         combined.sort(key=lambda t: (-t[0], t[1]))
+        return combined[:k]
+
+    def _multi_match_cross(self, query: str, fields: list[str], k: int,
+                           tie_breaker: float, analyzer: str | None,
+                           k1: float, b: float,
+                           _idf_by_field: dict | None = None
+                           ) -> list[tuple[float, int]]:
+        """``multi_match`` type ``cross_fields`` — TERM-centric (Lucene
+        BlendedTermQuery): each query term's occurrences across the
+        fields behave as ONE pseudo-term with a BLENDED df (the max
+        across fields, so a term common in any field is cheap in all),
+        per-term score = best field's contribution + tie_breaker x the
+        rest, doc score = sum over terms.  Contrast best/most_fields,
+        which combine per-FIELD totals.  OpenSearch groups cross_fields
+        by analyzer; here the first field's analyzer tokenizes (the
+        fixture fields share one, the common case).  On shard-local
+        executions ``_idf_by_field`` carries the driver-blended idf."""
+        n_docs = int(self.stats["n_docs"])
+        specs = []
+        for spec in fields:
+            name, _, boost_s = spec.partition("^")
+            specs.append((name, float(boost_s) if boost_s else 1.0))
+        an0 = self._analyzer_for(specs[0][0], analyzer)
+        q_terms = ANALYZERS[an0](query)
+        uniq_terms = list(dict.fromkeys(q_terms))
+        if not uniq_terms:
+            return []
+        if _idf_by_field is not None:
+            # the driver already blended; every field carries the same dict
+            idf_t = next(iter(_idf_by_field.values()))
+        else:
+            per_field = {n: self._term_dfs(n, uniq_terms)
+                         for n in {n for n, _ in specs}}
+            idf_t = {t: float(idf_fn(
+                max(d.get(t, 0) for d in per_field.values()), n_docs))
+                for t in uniq_terms}
+        field_terms = []
+        for name, boost in specs:
+            rows = self._gather(name, q_terms)
+            avgdl = float(self.stats["avgdl"][name])
+            terms = prepare_terms(q_terms, rows, n_docs, avgdl, k1, b,
+                                  idf_by_term=idf_t,
+                                  exclude_ids=self.tombstones)
+            field_terms.append((terms, avgdl, boost))
+        totals: dict[int, float] = {}
+        for j in range(len(uniq_terms)):
+            ids_l, sc_l = [], []
+            for terms, avgdl, boost in field_terms:
+                td = terms[j]
+                if td.doc_ids.size == 0:
+                    continue
+                contrib = boost * td.weight * td.idf * \
+                    tf_norm(td.tfs, td.lens, avgdl, k1, b)
+                ids_l.append(td.doc_ids)
+                sc_l.append(contrib)
+            if not ids_l:
+                continue
+            ids = np.concatenate(ids_l)
+            sc = np.concatenate(sc_l)
+            uniq, inv = np.unique(ids, return_inverse=True)
+            ssum = np.zeros(uniq.size)
+            np.add.at(ssum, inv, sc)
+            smax = np.zeros(uniq.size)
+            np.maximum.at(smax, inv, sc)
+            cross = smax + tie_breaker * (ssum - smax)
+            for d, s in zip(uniq.tolist(), cross.tolist()):
+                totals[d] = totals.get(d, 0.0) + s
+        combined = sorted(((s, int(d)) for d, s in totals.items()),
+                          key=lambda t: (-t[0], t[1]))
         return combined[:k]
 
     def _term_dfs(self, field: str, terms: list[str]) -> dict[str, int]:
@@ -3281,15 +3353,27 @@ class Searcher:
         single-field ``_idf_overrides`` channel."""
         n_docs = int(self.stats["n_docs"])
         idf_by_field: dict[str, dict[str, float]] = {}
-        for spec in fields:
-            name = spec.partition("^")[0]
+        if match_type == "cross_fields":
+            # blended df (max across fields) -> ONE idf dict shipped
+            # for every field — the term-centric dfs round
+            names = [s.partition("^")[0] for s in fields]
             toks = list(dict.fromkeys(
-                ANALYZERS[self._analyzer_for(name, analyzer)](query)))
-            if not toks:
-                continue
-            dfs = self._term_dfs(name, toks)
-            idf_by_field[name] = {
-                t: float(idf_fn(dfs.get(t, 0), n_docs)) for t in toks}
+                ANALYZERS[self._analyzer_for(names[0], analyzer)](query)))
+            per_field = {n: self._term_dfs(n, toks) for n in set(names)}
+            blended = {t: float(idf_fn(
+                max(d.get(t, 0) for d in per_field.values()), n_docs))
+                for t in toks}
+            idf_by_field = {n: blended for n in set(names)}
+        else:
+            for spec in fields:
+                name = spec.partition("^")[0]
+                toks = list(dict.fromkeys(
+                    ANALYZERS[self._analyzer_for(name, analyzer)](query)))
+                if not toks:
+                    continue
+                dfs = self._term_dfs(name, toks)
+                idf_by_field[name] = {
+                    t: float(idf_fn(dfs.get(t, 0), n_docs)) for t in toks}
         return self._exec_doc_sharded(
             "multi_match",
             dict(query=query, fields=fields, k=k, match_type=match_type,

@@ -168,4 +168,53 @@ def test_explain_matches_search_scores(mm_indexes):
 def test_unknown_type_rejected(mm_indexes):
     st, _ = mm_indexes
     with pytest.raises(ValueError):
-        st.multi_match("x", ["content"], match_type="cross_fields")
+        st.multi_match("x", ["content"], match_type="bogus_fields")
+
+
+def test_cross_fields_blended_idf(mm_indexes):
+    """cross_fields semantics: per-term blended df (max across
+    fields), per-term best-field + tie_breaker combination, summed
+    over terms — and the sharded execution must match exactly."""
+    st, sd = mm_indexes
+    q = "spark gamma"
+    got = st.multi_match(q, ["content", "lbl"],
+                         match_type="cross_fields", tie_breaker=0.3,
+                         k=1 << 30)
+    assert got
+    # brute-force recompute from primitives
+    from siem_on_amazon_opensearch_service_ray.norms import (idf as idf_fn,
+                                                             tf_norm)
+    from siem_on_amazon_opensearch_service_ray.state.searcher import (
+        prepare_terms)
+    import numpy as np
+    n = int(st.stats["n_docs"])
+    toks = ["spark", "gamma"]
+    want: dict[int, float] = {}
+    bdf = {t: max(st._term_dfs(f, [t]).get(t, 0)
+                  for f in ("content", "lbl")) for t in toks}
+    idf_t = {t: float(idf_fn(d, n)) for t, d in bdf.items()}
+    for j, t in enumerate(toks):
+        per_doc: dict[int, list[float]] = {}
+        for f in ("content", "lbl"):
+            avgdl = float(st.stats["avgdl"][f])
+            td = prepare_terms(toks, st._gather(f, toks), n, avgdl,
+                               idf_by_term=idf_t,
+                               exclude_ids=st.tombstones)[j]
+            for d, c in zip(td.doc_ids.tolist(),
+                            (td.idf * tf_norm(td.tfs, td.lens, avgdl,
+                                              1.2, 0.75)).tolist()):
+                per_doc.setdefault(int(d), []).append(c)
+        for d, cs in per_doc.items():
+            mx = max(cs)
+            want[d] = want.get(d, 0.0) + mx + 0.3 * (sum(cs) - mx)
+    got_d = {d: s for s, d in got}
+    assert set(got_d) == set(want)
+    for d in want:
+        np.testing.assert_allclose(got_d[d], want[d], rtol=1e-12)
+    # sharded execution identical
+    sh = sd.multi_match_sharded(q, ["content", "lbl"],
+                                match_type="cross_fields",
+                                tie_breaker=0.3, k=1 << 30)
+    assert [d for _, d in sh] == [d for _, d in got]
+    np.testing.assert_allclose([s for s, _ in sh], [s for s, _ in got],
+                               rtol=1e-12)
