@@ -981,6 +981,55 @@ def _multi_match_hits(sf_dir: str, sharded: bool) -> pd.DataFrame:
     })
 
 
+def search_constant_score(sf_dir: str) -> pd.DataFrame:
+    """constant_score query: the filter-context match set with a fixed
+    boost score per hit (no BM25 evaluated), doc_id tie-break."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.constant_score(BM25_QUERY, field="content", boost=1.5,
+                                k=BM25_K)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d in hits],
+        "score_e4": np.array([int(_round_away(sc * 10000))
+                              for sc, _ in hits], dtype=np.int64),
+    })
+
+
+SEARCH_CONSTANT_SCORE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents)
+SELECT doc_id, cast(15000 AS BIGINT) AS score_e4
+FROM (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'join'))
+ORDER BY doc_id LIMIT {BM25_K}
+"""
+
+
+def search_boosting(sf_dir: str) -> pd.DataFrame:
+    """boosting query: positive BM25 over 'spark join', docs also
+    matching 'sort' demoted to 0.5x (rank candidacy kept — contrast
+    must_not's exclusion)."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.boosting_search(BM25_QUERY, "sort", negative_boost=0.5,
+                                 field="content", k=BM25_K)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d in hits],
+        "score_e4": np.array([int(_round_away(sc * 10000))
+                              for sc, _ in hits], dtype=np.int64),
+    })
+
+
+
+
 def search_multi_match_cross(sf_dir: str) -> pd.DataFrame:
     """multi_match type=cross_fields (Lucene BlendedTermQuery):
     term-centric — each query term's df BLENDS across the fields (max,
@@ -1118,6 +1167,19 @@ def _bm25_cte(prefix: str, text_expr: str, terms: list[str]) -> str:
   FROM {p}tf JOIN {p}df USING(term) JOIN {p}dlq USING(doc_id)
   CROSS JOIN {p}stats s
   GROUP BY {p}tf.doc_id)"""
+
+
+SEARCH_BOOSTING_SQL = f"""
+WITH {_bm25_cte('c', 'text', base_tokens(BM25_QUERY))},
+neg AS (SELECT DISTINCT doc_id FROM ctok WHERE term = 'sort'),
+demoted AS (
+  SELECT doc_id,
+         score * CASE WHEN doc_id IN (SELECT doc_id FROM neg)
+                      THEN 0.5 ELSE 1.0 END AS score
+  FROM cscore)
+SELECT doc_id, cast(round(score * 10000) AS BIGINT) AS score_e4
+FROM demoted ORDER BY score DESC, doc_id LIMIT {BM25_K}
+"""
 
 
 MULTI_MATCH_SQL = f"""
@@ -3064,6 +3126,8 @@ def queries() -> dict:
         "search_percentile_ranks": search_percentile_ranks,
         "search_extended_stats": search_extended_stats,
         "search_multi_match_cross": search_multi_match_cross,
+        "search_constant_score": search_constant_score,
+        "search_boosting": search_boosting,
         # rows-only (non-SQL-expressible: blake2b signatures / ANN internals)
         "simhash_docs": simhash_docs,
         "langid_docs": langid_docs,
@@ -3206,4 +3270,6 @@ def oracle_sql() -> dict:
         "search_percentile_ranks": SEARCH_PERCENTILE_RANKS_SQL,
         "search_extended_stats": SEARCH_EXTENDED_STATS_SQL,
         "search_multi_match_cross": MULTI_MATCH_CROSS_SQL,
+        "search_constant_score": SEARCH_CONSTANT_SCORE_SQL,
+        "search_boosting": SEARCH_BOOSTING_SQL,
     }

@@ -2180,6 +2180,51 @@ class Searcher:
                            exclude_ids=self.tombstones)
         return score_taat(td, k, "or", avgdl, None, k1, b)
 
+    def constant_score(self, query: str, field: str = "content",
+                       mode: str = "or", boost: float = 1.0, k: int = 10,
+                       analyzer: str | None = None
+                       ) -> list[tuple[float, int]]:
+        """OpenSearch ``constant_score``: filter-context match set,
+        every hit scores exactly ``boost`` (no BM25 evaluated — the
+        filter-cache shape); equal scores tie-break doc_id asc."""
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        q_terms = an(query)
+        if not q_terms:
+            return []
+        cand = self._match_ids(field, q_terms, mode)
+        return [(float(boost), int(d)) for d in cand[:k]]
+
+    def boosting_search(self, positive: str, negative: str,
+                        negative_boost: float = 0.5,
+                        field: str = "content", k: int = 10,
+                        analyzer: str | None = None,
+                        k1: float = K1, b: float = B
+                        ) -> list[tuple[float, int]]:
+        """OpenSearch ``boosting`` query: docs score the positive
+        clause's BM25; docs ALSO matching the negative clause keep
+        their rank candidacy but at ``negative_boost`` x the score
+        (demotion, not exclusion — contrast must_not).  Needs the full
+        positive match set (a demoted top doc may still out-rank the
+        tail), so the positive clause TAAT-scores completely and the
+        negative match set probes it as a sorted id array."""
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        pos_terms = an(positive)
+        if not pos_terms:
+            return []
+        hits = self._expanded_or(pos_terms, field, 1 << 31, k1, b)
+        neg_terms = an(negative)
+        neg = (self._match_ids(field, neg_terms, "or") if neg_terms
+               else np.zeros(0, np.uint64))
+        if neg.size and hits:
+            ids = np.fromiter((d for _, d in hits), np.uint64,
+                              count=len(hits))
+            pos_i = np.minimum(np.searchsorted(neg, ids), neg.size - 1)
+            demote = neg[pos_i] == ids
+            hits = [(s * negative_boost, d) if dm else (s, d)
+                    for (s, d), dm in zip(hits, demote.tolist())]
+        hits.sort(key=lambda t: (-t[0], t[1]))
+        return hits[:k]
+
     # --- match-set aggregations (dashboard parity beyond terms-agg) ---
 
     def _match_ids(self, field: str, q_terms: list[str],
