@@ -342,7 +342,8 @@ def main(argv: list[str] | None = None) -> int:
                     out = [{"phrase": p, "score": round(sc, 6)}
                            for p, sc in searcher.suggest_phrase(
                                args.text, field=args.field,
-                               size=args.size, max_edits=args.max_edits)]
+                               size=args.size, max_edits=args.max_edits,
+                               string_distance=args.distance)]
                 else:
                     res = searcher.suggest(args.text, field=args.field,
                                            size=args.size,

@@ -70,6 +70,20 @@ def effective_length(lengths: np.ndarray, length_policy: str = "lucene") -> np.n
 # BM25
 
 
+def round_half_away(x) -> np.ndarray:
+    """Half-away-from-zero rounding, EXACTLY DuckDB ``round()``'s
+    metric (np/python round are half-to-even).  The naive
+    ``floor(abs(x)+0.5)`` is wrong in float64 — ``0.49999999999999994
+    + 0.5`` rounds to 1.0, and magnitudes >= 2^52 gain spurious +1 —
+    so this uses nearest-integer rounding (all methods agree off
+    ties) and corrects only EXACT .5 remainders, which are the only
+    disagreement class and are exactly representable."""
+    x = np.asarray(x, np.float64)
+    r = np.round(x)
+    tie = np.abs(x - np.trunc(x)) == 0.5
+    return np.where(tie, np.trunc(x) + np.copysign(1.0, x), r)
+
+
 def idf(df: np.ndarray | float, n_docs: int) -> np.ndarray | float:
     return np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 

@@ -402,16 +402,26 @@ def prepare_batch(batch: pa.Table, cfg: EtlConfig) -> pa.Table:
     tf = get_transform(cfg.logtype)
     if tf is not None:
         batch = tf(batch)
-    if "@timestamp" in batch.column_names or \
-            cfg.index_rotation in ("aoss", "auto"):
-        if cfg.index_time == "event_ingested" and \
-                "event_ingested" in batch.column_names and \
-                "__index_dt" not in batch.column_names:
+    ingest_routed = (cfg.index_time == "event_ingested"
+                     and "event_ingested" in batch.column_names)
+    if "@timestamp" in batch.column_names or ingest_routed \
+            or cfg.index_rotation in ("aoss", "auto"):
+        if ingest_routed and "__index_dt" not in batch.column_names:
             batch = batch.append_column("__index_dt",
                                         batch.column("event_ingested"))
-        batch = route_index(batch, cfg.index_name, cfg.index_rotation,
-                            index_suffix=cfg.index_suffix,
-                            index_tz_hours=cfg.index_tz_hours)
+        if "@timestamp" not in batch.column_names and ingest_routed:
+            # routing purely by ingestion time (no parseable event
+            # time): route_index reads ts_col only for rows whose
+            # __index_dt is null, so give it the ingest column too
+            batch = route_index(batch, cfg.index_name,
+                                cfg.index_rotation,
+                                ts_col="event_ingested",
+                                index_suffix=cfg.index_suffix,
+                                index_tz_hours=cfg.index_tz_hours)
+        else:
+            batch = route_index(batch, cfg.index_name, cfg.index_rotation,
+                                index_suffix=cfg.index_suffix,
+                                index_tz_hours=cfg.index_tz_hours)
     if "__index_override" in batch.column_names:
         # sf transforms may re-route (reference __index_name override,
         # siem/__init__.py:627-633)

@@ -151,6 +151,16 @@ def carve_positional_csv(lines: list[str], columns: list[str]
                      for c in columns})
 
 
+def _empty_carve() -> pa.Table:
+    """The carve output schema, empty — single source of truth for the
+    zero-row branches so schema edits can't diverge."""
+    return pa.table({"route": pa.array([], pa.string()),
+                     "serial_number": pa.array([], pa.string()),
+                     "user_id": pa.array([], pa.int64()),
+                     "value": pa.array([], pa.float64()),
+                     "event_id": pa.array([], pa.int64())})
+
+
 def carve_batch(batch: pa.Table, line_col: str = "message") -> pa.Table:
     """map_batches stage: route + carve one batch of raw messages.
     Output schema is the summary-relevant union (route, serial_number,
@@ -160,11 +170,7 @@ def carve_batch(batch: pa.Table, line_col: str = "message") -> pa.Table:
         # explode_json_records falls back to a lone 'record' column
         # when a block held no parseable envelopes — yield zero rows
         # instead of aborting the pipeline on one bad file
-        return pa.table({"route": pa.array([], pa.string()),
-                         "serial_number": pa.array([], pa.string()),
-                         "user_id": pa.array([], pa.int64()),
-                         "value": pa.array([], pa.float64()),
-                         "event_id": pa.array([], pa.int64())})
+        return _empty_carve()
     routed = route_pan_messages(batch, line_col)
     mask = pc.not_equal(routed.column("__route"), "")
     routed = routed.filter(mask)
@@ -182,11 +188,7 @@ def carve_batch(batch: pa.Table, line_col: str = "message") -> pa.Table:
             "event_id": pc.cast(t.column("event_id"), pa.int64()),
         }))
     if not parts:
-        return pa.table({"route": pa.array([], pa.string()),
-                         "serial_number": pa.array([], pa.string()),
-                         "user_id": pa.array([], pa.int64()),
-                         "value": pa.array([], pa.float64()),
-                         "event_id": pa.array([], pa.int64())})
+        return _empty_carve()
     return pa.concat_tables(parts)
 
 

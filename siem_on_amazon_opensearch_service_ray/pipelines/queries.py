@@ -30,6 +30,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min, Sum
 
+from ..norms import round_half_away
 from ..analysis import base_tokens
 from ..stages import dedup as dedup_ops
 from ..stages import knn as knn_ops
@@ -81,13 +82,12 @@ def _t_ds(sf_dir: str, name: str, columns: list[str]) -> rd.Dataset:
 
 
 def _round_away(x) -> np.ndarray:
-    """Half-away-from-zero rounding (DuckDB ``round()`` parity).
-    np.round/pc.round default to half-to-even, which diverges from the
-    SQL oracles exactly on .5 ties — none occur in the float fixtures
-    today, but the engine side should match the oracle metric by
-    construction, not by luck."""
-    x = np.asarray(x, np.float64)
-    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+    """Half-away-from-zero rounding (DuckDB ``round()`` parity) —
+    np.round/python round are half-to-even, which diverges from the
+    SQL oracles exactly on .5 ties; the engine side must match the
+    oracle metric by construction, not by luck.  Shared exact-tie
+    implementation in norms.round_half_away."""
+    return round_half_away(x)
 
 def _concurrency() -> int:
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
@@ -1869,11 +1869,11 @@ def search_terms_stats(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "lang": [v for v, *_ in rows],
         "n_docs": np.array([n for _, n, *_ in rows], dtype=np.int64),
-        "sum_c": np.array([round(sm) for _, _, sm, *_ in rows],
+        "sum_c": np.array([int(_round_away(sm)) for _, _, sm, *_ in rows],
                           dtype=np.int64),
-        "min_c": np.array([round(lo) for _, _, _, lo, *_ in rows],
+        "min_c": np.array([int(_round_away(lo)) for _, _, _, lo, *_ in rows],
                           dtype=np.int64),
-        "max_c": np.array([round(hi) for _, _, _, _, hi, _ in rows],
+        "max_c": np.array([int(_round_away(hi)) for _, _, _, _, hi, _ in rows],
                           dtype=np.int64),
         "avg_e4": np.array([int(_round_away(av * 10000)) for *_, av in rows],
                            dtype=np.int64),
@@ -2013,7 +2013,7 @@ def knn_cosine_q(sf_dir: str) -> pd.DataFrame:
     out = (ds.map_batches(score, batch_format="pyarrow")
              .sort(["cosine", "vec_id"], descending=[True, False])
              .limit(10).to_pandas())
-    out["cos_e6"] = np.array([round(c * 1e6) for c in out["cosine"]],
+    out["cos_e6"] = np.array([int(_round_away(c * 1e6)) for c in out["cosine"]],
                              dtype=np.int64)
     return out[["vec_id", "cos_e6"]]
 
@@ -2184,7 +2184,7 @@ def top_events(sf_dir: str) -> pd.DataFrame:
     ds = _t_ds(sf_dir, "events", ["event_id", "value"])
     out = ds.sort(["value", "event_id"], descending=[True, False]) \
         .limit(100).to_pandas()
-    out["value_e2"] = np.array([round(v * 100) for v in out["value"]],
+    out["value_e2"] = np.array([int(_round_away(v * 100)) for v in out["value"]],
                                dtype=np.int64)
     return out[["event_id", "value_e2"]]
 

@@ -29,6 +29,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..norms import round_half_away
+
 _WORD_RE = re.compile(r"[a-z0-9_]+")
 
 # fixed random odd multipliers/addends for the universal-hash family
@@ -418,10 +420,9 @@ def embedding_near_dup_pairs(ds: rd.Dataset, vec_col: str, id_col: str,
             "id_a": pa.array(a, pa.int64()),
             "id_b": pa.array(b, pa.int64()),
             # half-away rounding (DuckDB round() parity on .5 ties)
-            "cos_e6": pa.array((lambda s: np.sign(s)
-                                * np.floor(np.abs(s) + 0.5))(
-                                    sims[ii[keep], jj[keep]] * 1e6)
-                               .astype(np.int64), pa.int64()),
+            "cos_e6": pa.array(round_half_away(
+                sims[ii[keep], jj[keep]] * 1e6).astype(np.int64),
+                pa.int64()),
         })
 
     return bucketed.groupby("lsh_bucket").map_groups(verify,

@@ -683,13 +683,17 @@ def _filter_value_rows(index_dir: str, agg_field: str) -> int:
                for fn in _os.listdir(fdir) if fn.endswith(".parquet"))
 
 
-def _filter_distinct_values(index_dir: str, agg_field: str) -> int:
+def _filter_distinct_values(index_dir: str, agg_field: str,
+                            stop_above: int | None = None) -> int:
     """EXACT distinct-value count of a keyword field: reads only the
     ``value`` column of its filter parts (no posting blobs).  The slow
     half of the rare_terms guard — only consulted when the footer
     bound trips, because the bound counts a value once PER PART it
     appears in (a modest-cardinality field on a many-part
-    doc-partitioned index over-counts ~num_parts x)."""
+    doc-partitioned index over-counts ~num_parts x).  ``stop_above``
+    short-circuits a genuinely high-cardinality field: once the
+    distinct set exceeds it, the answer is already 'too many' — no
+    need to materialize millions of strings just to raise."""
     import os as _os
     import pyarrow.parquet as _pq
     fdir = _os.path.join(index_dir, "filters", agg_field)
@@ -701,6 +705,8 @@ def _filter_distinct_values(index_dir: str, agg_field: str) -> int:
             col = _pq.read_table(_os.path.join(fdir, fn),
                                  columns=["value"]).column("value")
             seen.update(col.to_pylist())
+            if stop_above is not None and len(seen) > stop_above:
+                return len(seen)
     return len(seen)
 
 
@@ -1526,6 +1532,8 @@ class Searcher:
         by analyzer; here the first field's analyzer tokenizes (the
         fixture fields share one, the common case).  On shard-local
         executions ``_idf_by_field`` carries the driver-blended idf."""
+        if not fields:
+            return []
         n_docs = int(self.stats["n_docs"])
         specs = []
         for spec in fields:
@@ -2038,6 +2046,7 @@ class Searcher:
     def suggest_phrase(self, text: str, field: str = "content",
                        size: int = 3, max_edits: int = 2,
                        prefix_length: int = 1, per_token: int = 3,
+                       string_distance: str = "levenshtein",
                        analyzer: str | None = None
                        ) -> list[tuple[str, float]]:
         """Phrase suggester: whole-input corrections assembled from
@@ -2065,7 +2074,9 @@ class Searcher:
             sugg = dict(self.suggest(tok, field=field, size=per_token,
                                      max_edits=max_edits,
                                      prefix_length=prefix_length,
-                                     suggest_mode="always"))[tok]
+                                     suggest_mode="always",
+                                     string_distance=string_distance)
+                        )[tok]
             cand_lists.append(sugg or [(tok, 0, 0)])
         from itertools import product
         out: list[tuple[str, float]] = []
@@ -3398,7 +3409,7 @@ class Searcher:
         single-field ``_idf_overrides`` channel."""
         n_docs = int(self.stats["n_docs"])
         idf_by_field: dict[str, dict[str, float]] = {}
-        if match_type == "cross_fields":
+        if match_type == "cross_fields" and fields:
             # blended df (max across fields) -> ONE idf dict shipped
             # for every field — the term-centric dfs round
             names = [s.partition("^")[0] for s in fields]
@@ -3764,8 +3775,9 @@ class Searcher:
         filtered match set for such fields."""
         bound = _filter_value_rows(self.index_dir, agg_field)
         if bound > max_buckets and \
-                _filter_distinct_values(self.index_dir,
-                                        agg_field) > max_buckets:
+                _filter_distinct_values(self.index_dir, agg_field,
+                                        stop_above=max_buckets
+                                        ) > max_buckets:
             raise ValueError(
                 f"rare_terms on {agg_field!r}: distinct-value count "
                 f"exceeds max_buckets={max_buckets}; the exact census "

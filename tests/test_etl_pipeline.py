@@ -87,6 +87,17 @@ def test_index_time_event_ingested():
     out2 = etl.prepare_batch(batch, etl.EtlConfig(
         logtype="x", timestamp_col="ts", index_rotation="monthly"))
     assert out2.column("__index").to_pylist() == ["log-2020-03"]
+    # ingestion-time routing must also work with NO parseable event
+    # time at all (the exact use case: unparseable timestamps)
+    batch2 = pa.table({
+        "raw": ["x"],
+        "event_ingested": pa.array([datetime.datetime(2024, 7, 1)],
+                                   pa.timestamp("us")),
+    })
+    out3 = etl.prepare_batch(batch2, etl.EtlConfig(
+        logtype="x", index_rotation="monthly",
+        index_time="event_ingested"))
+    assert out3.column("__index").to_pylist() == ["log-2024-07"]
 
 
 def test_protocol_transform():

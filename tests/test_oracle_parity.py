@@ -138,8 +138,9 @@ def test_readme_inventory_counts_match_registry(registry):
     lagging the registry) — pin them to the live registry so drift
     fails loudly."""
     import re
+    from pathlib import Path
     qs, oracles = registry
-    text = open("/root/repo/README.md").read()
+    text = (Path(__file__).resolve().parents[1] / "README.md").read_text()
     m = re.search(r"driver: (\d+) operator pipelines, (\d+) with exact",
                   text)
     assert m, "README inventory sentence missing"

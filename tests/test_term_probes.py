@@ -132,3 +132,20 @@ def test_char_mask_missing_chars_bound():
     assert sh._popcount64(np.array([np.uint64(0)]))[0] == 0
     assert sh._popcount64(np.array([np.uint64(0xFFFFFFFFFFFFFFFF)]))[0] \
         == 64
+
+
+def test_round_half_away_exact_duckdb_parity():
+    """round_half_away must match DuckDB round() including the two
+    float traps the naive floor(abs+0.5) falls into: a value one ulp
+    BELOW a .5 tie (0.49999999999999994 rounds to 0, not 1) and
+    magnitudes >= 2^52 (already integers, unchanged)."""
+    import duckdb
+    from siem_on_amazon_opensearch_service_ray.norms import round_half_away
+    probes = [0.49999999999999994, -0.49999999999999994, 0.5, -0.5,
+              2.5, -2.5, 12.5, 4503599627370497.0, -4503599627370497.0,
+              0.0, 1.4999999999999998, 123.456]
+    con = duckdb.connect()
+    for x in probes:
+        want = float(con.execute("select round(?)", [x]).fetchone()[0])
+        got = float(round_half_away(np.array([x]))[0])
+        assert got == want, (x, got, want)
