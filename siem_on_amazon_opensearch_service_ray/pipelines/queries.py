@@ -1030,6 +1030,27 @@ def search_boosting(sf_dir: str) -> pd.DataFrame:
 
 
 
+def search_function_score(sf_dir: str) -> pd.DataFrame:
+    """function_score with field_value_factor (the dominant scoring
+    function): BM25 x log1p(n_chars * 0.01) — longer docs boosted;
+    the per-doc values come from the packed range tables (no stored
+    -field fetch)."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.function_score(BM25_QUERY, field="content",
+                                value_field="n_chars", factor=0.01,
+                                modifier="log1p", k=BM25_K)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d in hits],
+        "score_e4": np.array([int(_round_away(sc * 10000))
+                              for sc, _ in hits], dtype=np.int64),
+    })
+
+
 def search_multi_match_cross(sf_dir: str) -> pd.DataFrame:
     """multi_match type=cross_fields (Lucene BlendedTermQuery):
     term-centric — each query term's df BLENDS across the fields (max,
@@ -1179,6 +1200,17 @@ demoted AS (
   FROM cscore)
 SELECT doc_id, cast(round(score * 10000) AS BIGINT) AS score_e4
 FROM demoted ORDER BY score DESC, doc_id LIMIT {BM25_K}
+"""
+
+
+SEARCH_FUNCTION_SCORE_SQL = f"""
+WITH {_bm25_cte('c', 'text', base_tokens(BM25_QUERY))}
+SELECT s.doc_id,
+       cast(round(s.score * ln(1 + d.n_chars * 0.01) * 10000) AS BIGINT)
+         AS score_e4
+FROM cscore s JOIN documents d USING (doc_id)
+ORDER BY s.score * ln(1 + d.n_chars * 0.01) DESC, s.doc_id
+LIMIT {BM25_K}
 """
 
 
@@ -3128,6 +3160,7 @@ def queries() -> dict:
         "search_multi_match_cross": search_multi_match_cross,
         "search_constant_score": search_constant_score,
         "search_boosting": search_boosting,
+        "search_function_score": search_function_score,
         # rows-only (non-SQL-expressible: blake2b signatures / ANN internals)
         "simhash_docs": simhash_docs,
         "langid_docs": langid_docs,
@@ -3272,4 +3305,5 @@ def oracle_sql() -> dict:
         "search_multi_match_cross": MULTI_MATCH_CROSS_SQL,
         "search_constant_score": SEARCH_CONSTANT_SCORE_SQL,
         "search_boosting": SEARCH_BOOSTING_SQL,
+        "search_function_score": SEARCH_FUNCTION_SCORE_SQL,
     }

@@ -2236,6 +2236,59 @@ class Searcher:
         hits.sort(key=lambda t: (-t[0], t[1]))
         return hits[:k]
 
+    def function_score(self, query: str, field: str = "content",
+                       value_field: str | None = None,
+                       factor: float = 1.0, modifier: str = "none",
+                       boost_mode: str = "multiply", k: int = 10,
+                       analyzer: str | None = None,
+                       k1: float = K1, b: float = B
+                       ) -> list[tuple[float, int]]:
+        """OpenSearch ``function_score`` with ``field_value_factor``
+        (the dominant scoring-function shape): per-doc factor =
+        modifier(value_field * factor), combined with the query's BM25
+        via ``boost_mode`` multiply/sum.  modifiers: none / log1p /
+        sqrt (OpenSearch's spellings).  The doc values come from the
+        packed range tables the numeric-range filter already
+        maintains, so no stored-field fetch happens; docs missing the
+        value score factor 0 under multiply (OpenSearch: missing value
+        -> function not applied; here the range tables carry every doc
+        that has the field, the common case for derived metrics)."""
+        if modifier not in ("none", "log1p", "sqrt"):
+            raise ValueError(f"unsupported modifier {modifier!r}")
+        if boost_mode not in ("multiply", "sum"):
+            raise ValueError(f"unsupported boost_mode {boost_mode!r}")
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        q_terms = an(query)
+        if not q_terms or value_field is None:
+            return []
+        hits = self._expanded_or(q_terms, field, 1 << 31, k1, b)
+        if not hits:
+            return []
+        from .shard import load_range_pairs
+        ids = np.fromiter((d for _, d in hits), np.uint64,
+                          count=len(hits))
+        order = np.argsort(ids)
+        sorted_ids = ids[order]
+        vals = np.zeros(len(hits))
+        for rvals, rids in load_range_pairs(self.index_dir, value_field):
+            pos = np.searchsorted(sorted_ids, rids)
+            pos = np.minimum(pos, sorted_ids.size - 1)
+            hit = sorted_ids[pos] == rids
+            if hit.any():
+                vals[order[pos[hit]]] = rvals[hit]
+        fv = vals * factor
+        if modifier == "log1p":
+            fv = np.log1p(np.maximum(fv, 0.0))
+        elif modifier == "sqrt":
+            fv = np.sqrt(np.maximum(fv, 0.0))
+        scores = np.fromiter((s for s, _ in hits), np.float64,
+                             count=len(hits))
+        out_s = scores * fv if boost_mode == "multiply" else scores + fv
+        rescored = sorted(((float(s), int(d))
+                           for s, d in zip(out_s, ids)),
+                          key=lambda t: (-t[0], t[1]))
+        return rescored[:k]
+
     # --- match-set aggregations (dashboard parity beyond terms-agg) ---
 
     def _match_ids(self, field: str, q_terms: list[str],
