@@ -1030,6 +1030,26 @@ def search_boosting(sf_dir: str) -> pd.DataFrame:
 
 
 
+def search_collapse(sf_dir: str) -> pd.DataFrame:
+    """Field collapsing: the ranked 'spark join' result keeps only the
+    best-scoring doc per lang (full match set — a value's best doc may
+    sit beyond any top-k), then the top representatives."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        rows = s.collapse_search(BM25_QUERY, "lang", field="content",
+                                 k=BM25_K)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "value": [v for _, _, v in rows],
+        "doc_id": [d for _, d, _ in rows],
+        "score_e4": np.array([int(_round_away(sc * 10000))
+                              for sc, _, _ in rows], dtype=np.int64),
+    })
+
+
 def search_function_score(sf_dir: str) -> pd.DataFrame:
     """function_score with field_value_factor (the dominant scoring
     function): BM25 x log1p(n_chars * 0.01) — longer docs boosted;
@@ -1200,6 +1220,20 @@ demoted AS (
   FROM cscore)
 SELECT doc_id, cast(round(score * 10000) AS BIGINT) AS score_e4
 FROM demoted ORDER BY score DESC, doc_id LIMIT {BM25_K}
+"""
+
+
+SEARCH_COLLAPSE_SQL = f"""
+WITH {_bm25_cte('c', 'text', base_tokens(BM25_QUERY))},
+ranked AS (
+  SELECT s.doc_id, s.score, d.lang AS value,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.score DESC, s.doc_id) AS rn
+  FROM cscore s JOIN documents d USING (doc_id))
+SELECT value, doc_id,
+       cast(round(score * 10000) AS BIGINT) AS score_e4
+FROM ranked WHERE rn = 1
+ORDER BY score DESC, doc_id LIMIT {BM25_K}
 """
 
 
@@ -3161,6 +3195,7 @@ def queries() -> dict:
         "search_constant_score": search_constant_score,
         "search_boosting": search_boosting,
         "search_function_score": search_function_score,
+        "search_collapse": search_collapse,
         # rows-only (non-SQL-expressible: blake2b signatures / ANN internals)
         "simhash_docs": simhash_docs,
         "langid_docs": langid_docs,
@@ -3306,4 +3341,5 @@ def oracle_sql() -> dict:
         "search_constant_score": SEARCH_CONSTANT_SCORE_SQL,
         "search_boosting": SEARCH_BOOSTING_SQL,
         "search_function_score": SEARCH_FUNCTION_SCORE_SQL,
+        "search_collapse": SEARCH_COLLAPSE_SQL,
     }

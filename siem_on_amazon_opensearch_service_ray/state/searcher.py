@@ -2236,6 +2236,48 @@ class Searcher:
         hits.sort(key=lambda t: (-t[0], t[1]))
         return hits[:k]
 
+    def collapse_search(self, query: str, collapse_field: str,
+                        field: str = "content", k: int = 10,
+                        analyzer: str | None = None,
+                        k1: float = K1, b: float = B
+                        ) -> list[tuple[float, int, str]]:
+        """OpenSearch field collapsing (``collapse`` on a keyword
+        field): the ranked result keeps only the BEST-scoring doc per
+        collapse-field value (score desc, doc_id asc tie-break), then
+        the top ``k`` of those representatives.  Needs the full match
+        set (a value's best doc may sit beyond any per-shard top-k) —
+        TAAT over the match set, values probed from the packed filter
+        postings.  Returns [(score, doc_id, value)]."""
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        q_terms = an(query)
+        if not q_terms:
+            return []
+        hits = self._expanded_or(q_terms, field, 1 << 31, k1, b)
+        if not hits:
+            return []
+        ids = np.fromiter((d for _, d in hits), np.uint64,
+                          count=len(hits))
+        order = np.argsort(ids)
+        sorted_ids = ids[order]
+        val_of = np.full(len(hits), None, dtype=object)
+        for v, vids in _iter_filter_postings(self.index_dir,
+                                             collapse_field):
+            pos = np.minimum(np.searchsorted(sorted_ids, vids),
+                             sorted_ids.size - 1)
+            hit = sorted_ids[pos] == vids
+            if hit.any():
+                val_of[order[pos[hit]]] = v
+        best: dict[str, tuple[float, int]] = {}
+        for (s, d), v in zip(hits, val_of.tolist()):
+            if v is None:
+                continue           # OpenSearch: docs missing the field
+            cur = best.get(v)      # collapse into their own null group;
+            if cur is None or (s, -d) > (cur[0], -cur[1]):
+                best[v] = (s, d)   # here they are simply omitted
+        out = sorted(((s, d, v) for v, (s, d) in best.items()),
+                     key=lambda t: (-t[0], t[1]))
+        return out[:k]
+
     def function_score(self, query: str, field: str = "content",
                        value_field: str | None = None,
                        factor: float = 1.0, modifier: str = "none",
