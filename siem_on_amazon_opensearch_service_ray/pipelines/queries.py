@@ -1030,6 +1030,35 @@ def search_boosting(sf_dir: str) -> pd.DataFrame:
 
 
 
+def search_mad(sf_dir: str) -> pd.DataFrame:
+    """EXACT median absolute deviation over the match set's n_chars,
+    executed on the DOC-partitioned index so the fully-distributed
+    path (count-probe median, then deviation-median via
+    count(x<=med+d)-count(x<med-d) probes — no matched value ships)
+    sits under the driver gate.  DuckDB ``mad()`` is the oracle."""
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        mad = s.mad_aggregation(BM25_QUERY, "n_chars", field="content")
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "mad_e4": np.array([int(_round_away(mad * 10000))],
+                           dtype=np.int64),
+    })
+
+
+SEARCH_MAD_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT * FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM tok
+                       WHERE term IN ('spark', 'join')))
+SELECT cast(round(mad(n_chars) * 10000) AS BIGINT) AS mad_e4 FROM m
+"""
+
+
 def search_collapse(sf_dir: str) -> pd.DataFrame:
     """Field collapsing: the ranked 'spark join' result keeps only the
     best-scoring doc per lang (full match set — a value's best doc may
@@ -3196,6 +3225,7 @@ def queries() -> dict:
         "search_boosting": search_boosting,
         "search_function_score": search_function_score,
         "search_collapse": search_collapse,
+        "search_mad": search_mad,
         # rows-only (non-SQL-expressible: blake2b signatures / ANN internals)
         "simhash_docs": simhash_docs,
         "langid_docs": langid_docs,
@@ -3342,4 +3372,5 @@ def oracle_sql() -> dict:
         "search_boosting": SEARCH_BOOSTING_SQL,
         "search_function_score": SEARCH_FUNCTION_SCORE_SQL,
         "search_collapse": SEARCH_COLLAPSE_SQL,
+        "search_mad": SEARCH_MAD_SQL,
     }

@@ -2682,6 +2682,106 @@ class Searcher:
             out[f"p{round(q * 100):02d}"] = float(v0 + (h - k0) * (v1 - v0))
         return out
 
+    def mad_aggregation(self, query: str, range_field: str,
+                        field: str = "content", mode: str = "or",
+                        analyzer: str | None = None) -> float | None:
+        """EXACT median absolute deviation of the match set's
+        ``range_field`` values (OpenSearch ships an approximate
+        ``median_absolute_deviation``; this one is exact — DuckDB
+        ``mad()`` parity: median(|x - median(x)|), both medians
+        linearly interpolated).
+
+        On a doc-partitioned actor index this runs fully distributed:
+        the median comes from the count-probe bisection
+        (:meth:`_stats_exact_distributed`), then the deviation median
+        bisects over d using the identity
+        ``count(|x-med| <= d) = count(x <= med+d) - count(x < med-d)``
+        — two count_le probes per round, so no matched value ever
+        leaves its shard.  Other layouts compute driver-side from the
+        gathered values (their value pull is driver-local anyway)."""
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        q_terms = an(query)
+        if not q_terms:
+            return None
+        distributed = (self.manifest["config"].get("partition_by") == "doc"
+                       and self.use_actors)
+        if not distributed:
+            if self.manifest["config"].get("partition_by") == "doc":
+                vs = [
+                    _shard_range_values(r, p, self.tombstones, field,
+                                        q_terms, mode, range_field)
+                    for p, r in self.readers.items()]
+                live = [x for x in vs if x.size]
+                if not live:
+                    return None
+                v = np.concatenate(live)
+            else:
+                from .shard import load_range_pairs
+                cand = self._match_ids(field, q_terms, mode)
+                if cand.size == 0:
+                    return None
+                got = []
+                for vals, ids in load_range_pairs(self.index_dir,
+                                                  range_field):
+                    pos = np.minimum(np.searchsorted(cand, ids),
+                                     cand.size - 1)
+                    hit = cand[pos] == ids
+                    if hit.any():
+                        got.append(vals[hit])
+                if not got:
+                    return None
+                v = np.concatenate(got)
+            return float(np.median(np.abs(v - np.median(v))))
+        st = self._stats_exact_distributed(field, q_terms, mode,
+                                           range_field, (0.5,))
+        if not st.get("count"):
+            return None
+        n = int(st["count"])
+        med = float(st["p50"])
+
+        def count_le(probes: list[float]) -> np.ndarray:
+            rows = ray.get([
+                a.count_le_local.remote(field, list(q_terms), mode,
+                                        range_field, probes)
+                for a in self.actors])
+            return np.sum(np.asarray(rows, dtype=np.int64), axis=0)
+
+        def dev_count_le(ds: list[float]) -> np.ndarray:
+            ups = [med + d for d in ds]
+            downs = [float(np.nextafter(med - d, -np.inf)) for d in ds]
+            c = count_le(ups + downs)
+            return c[:len(ds)] - c[len(ds):]
+
+        max_dev = max(abs(float(st["min"]) - med),
+                      abs(float(st["max"]) - med))
+        ranks = sorted({math.floor(0.5 * (n - 1)),
+                        math.ceil(0.5 * (n - 1))})
+        state = {k: (_f64_to_ord(0.0), _f64_to_ord(max_dev))
+                 for k in ranks}
+        found: dict[int, float] = {}
+        for k, (lo, hi) in list(state.items()):
+            if lo >= hi:
+                found[k] = _ord_to_f64(lo)
+                del state[k]
+        while state:
+            mids = sorted({(lo + hi) // 2 for lo, hi in state.values()})
+            counts = dict(zip(mids, dev_count_le(
+                [_ord_to_f64(m) for m in mids])))
+            for k, (lo, hi) in list(state.items()):
+                m = (lo + hi) // 2
+                if counts[m] >= k + 1:
+                    hi = m
+                else:
+                    lo = m + 1
+                if lo >= hi:
+                    found[k] = _ord_to_f64(lo)
+                    del state[k]
+                else:
+                    state[k] = (lo, hi)
+        h = 0.5 * (n - 1)
+        k0, k1 = math.floor(h), math.ceil(h)
+        return float(found[k0] + (h - k0) * (found[k1] - found[k0]))
+
     def range_aggregation(self, query: str, range_field: str,
                           ranges: list[tuple[float | None, float | None]],
                           field: str = "content", mode: str = "or",

@@ -672,3 +672,28 @@ def test_percentile_ranks_doc_layout_identity(ray_session):
                                    [p for _, p in want], rtol=1e-12)
     finally:
         sd.close()
+
+
+def test_mad_distributed_matches_driver_side(ray_session):
+    """Distributed-exact MAD (count-probe median + deviation probes)
+    equals the driver-side np.median computation on both layouts."""
+    import numpy as np
+    from siem_on_amazon_opensearch_service_ray.pipelines import queries as q
+    from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
+        build_index)
+    from siem_on_amazon_opensearch_service_ray.state.searcher import Searcher
+    sf = "/root/testdata/sf0.001"
+    idx_t = q._docs_index_dir(sf)
+    build_index(q._docs_source(sf), idx_t, q._docs_index_cfg(), resume=True)
+    idx_d = q._doc_sharded_index(sf)
+    st = Searcher(idx_t, use_actors=False)
+    sd = Searcher(idx_d, use_actors=True)
+    sd_local = Searcher(idx_d, use_actors=False)
+    try:
+        want = st.mad_aggregation(q.BM25_QUERY, "n_chars")
+        got_dist = sd.mad_aggregation(q.BM25_QUERY, "n_chars")
+        got_local = sd_local.mad_aggregation(q.BM25_QUERY, "n_chars")
+        np.testing.assert_allclose(got_dist, want, rtol=1e-12)
+        np.testing.assert_allclose(got_local, want, rtol=1e-12)
+    finally:
+        sd.close()
