@@ -630,6 +630,38 @@ def _shard_range_values(r: ShardReader, p: int, tombstones: np.ndarray,
     return np.concatenate(out) if out else np.zeros(0)
 
 
+def _bisect_ranks(count_le, ranks: list[int], lo_ord: int, hi_ord: int
+                  ) -> dict[int, float]:
+    """Distributed-selection backbone shared by the exact percentile
+    and MAD paths: for each rank k, the minimal float (as ordinal)
+    whose cumulative count reaches k+1 — counts jump only at data
+    values, so the result IS the k-th order statistic.  ``count_le``
+    maps a list of float probes to their cumulative counts; <= 64
+    probe rounds, all ranks advanced per round."""
+    state = {k: (lo_ord, hi_ord) for k in ranks}
+    found: dict[int, float] = {}
+    for k, (lo, hi) in list(state.items()):
+        if lo >= hi:
+            found[k] = _ord_to_f64(lo)
+            del state[k]
+    while state:
+        mids = sorted({(lo + hi) // 2 for lo, hi in state.values()})
+        counts = dict(zip(mids, count_le([_ord_to_f64(m)
+                                          for m in mids])))
+        for k, (lo, hi) in list(state.items()):
+            m = (lo + hi) // 2
+            if counts[m] >= k + 1:
+                hi = m
+            else:
+                lo = m + 1
+            if lo >= hi:
+                found[k] = _ord_to_f64(lo)
+                del state[k]
+            else:
+                state[k] = (lo, hi)
+    return found
+
+
 def _f64_to_ord(x: float) -> int:
     """Monotone map of a float64 onto a uint64 ordinal (sign bit
     flipped for non-negatives, full complement for negatives), so the
@@ -1139,6 +1171,31 @@ class PartActor:
             td.add(v)
             out["digest"] = td.to_arrays()
         return out
+
+    def count_dev_le_local(self, field: str, q_terms: list[str],
+                           mode: str, range_field: str, center: float,
+                           probes: list[float]) -> list[int]:
+        """MAD partial: count of this actor's matched DEVIATIONS
+        ``fl(|x - center|)`` <= each probe — the transform happens
+        shard-side in the SAME float arithmetic the driver-side
+        reference (np.median of np.abs(v - med)) uses, so the
+        deviation-median bisection is exact by construction (probing
+        ``count(x <= fl(center+d))`` instead would quantize the answer
+        at ulp(center), wrong whenever |center| >> spread)."""
+        key = (field, tuple(q_terms), mode, range_field, float(center))
+        v = self._cle_memo.get(key)
+        if v is None:
+            vs = [_shard_range_values(r, p, self.tombstones, field,
+                                      q_terms, mode, range_field)
+                  for p, r in self.readers.items()]
+            live = [x for x in vs if x.size]
+            raw = np.concatenate(live) if live else np.zeros(0)
+            v = np.sort(np.abs(raw - center))
+            if len(self._cle_memo) >= 32:
+                self._cle_memo.clear()
+            self._cle_memo[key] = v
+        return np.searchsorted(v, np.asarray(probes, dtype=np.float64),
+                               side="right").tolist()
 
     def count_le_local(self, field: str, q_terms: list[str], mode: str,
                        range_field: str, probes: list[int]
@@ -2299,9 +2356,12 @@ class Searcher:
             raise ValueError(f"unsupported modifier {modifier!r}")
         if boost_mode not in ("multiply", "sum"):
             raise ValueError(f"unsupported boost_mode {boost_mode!r}")
+        if value_field is None:
+            raise ValueError("function_score field_value_factor needs "
+                             "value_field")
         an = ANALYZERS[self._analyzer_for(field, analyzer)]
         q_terms = an(query)
-        if not q_terms or value_field is None:
+        if not q_terms:
             return []
         hits = self._expanded_or(q_terms, field, 1 << 31, k1, b)
         if not hits:
@@ -2319,10 +2379,15 @@ class Searcher:
             if hit.any():
                 vals[order[pos[hit]]] = rvals[hit]
         fv = vals * factor
-        if modifier == "log1p":
-            fv = np.log1p(np.maximum(fv, 0.0))
-        elif modifier == "sqrt":
-            fv = np.sqrt(np.maximum(fv, 0.0))
+        if modifier in ("log1p", "sqrt"):
+            if (fv < 0).any():
+                # OpenSearch rejects negative field_value_factor inputs
+                # for these modifiers ("Must be a non-negative number")
+                # rather than silently zeroing docs
+                raise ValueError(
+                    f"{modifier} modifier requires non-negative "
+                    f"{value_field} * factor values")
+            fv = np.log1p(fv) if modifier == "log1p" else np.sqrt(fv)
         scores = np.fromiter((s for s, _ in hits), np.float64,
                              count=len(hits))
         out_s = scores * fv if boost_mode == "multiply" else scores + fv
@@ -2651,30 +2716,10 @@ class Searcher:
         _extend_stats(out)
         ranks = sorted({math.floor(q * (n - 1)) for q in quantiles} |
                        {math.ceil(q * (n - 1)) for q in quantiles})
-        lo_ord, hi_ord = _f64_to_ord(out["min"]), _f64_to_ord(out["max"])
         # per rank k: minimal ordinal m with count_le(f(m)) >= k+1;
         # counts jump only at data values, so f(m*) IS the k-th value
-        state = {k: (lo_ord, hi_ord) for k in ranks}
-        found: dict[int, float] = {}
-        for k, (lo, hi) in list(state.items()):
-            if lo >= hi:
-                found[k] = _ord_to_f64(lo)
-                del state[k]
-        while state:
-            mids = sorted({(lo + hi) // 2 for lo, hi in state.values()})
-            counts = dict(zip(mids, count_le([_ord_to_f64(m)
-                                              for m in mids])))
-            for k, (lo, hi) in list(state.items()):
-                m = (lo + hi) // 2
-                if counts[m] >= k + 1:
-                    hi = m
-                else:
-                    lo = m + 1
-                if lo >= hi:
-                    found[k] = _ord_to_f64(lo)
-                    del state[k]
-                else:
-                    state[k] = (lo, hi)
+        found = _bisect_ranks(count_le, ranks, _f64_to_ord(out["min"]),
+                              _f64_to_ord(out["max"]))
         for q in quantiles:
             h = q * (n - 1)
             k0, k1 = math.floor(h), math.ceil(h)
@@ -2694,9 +2739,11 @@ class Searcher:
         On a doc-partitioned actor index this runs fully distributed:
         the median comes from the count-probe bisection
         (:meth:`_stats_exact_distributed`), then the deviation median
-        bisects over d using the identity
-        ``count(|x-med| <= d) = count(x <= med+d) - count(x < med-d)``
-        — two count_le probes per round, so no matched value ever
+        bisects over shard-side TRANSFORMED values
+        (``count_dev_le_local`` counts ``fl(|x - med|) <= d`` — the
+        same float arithmetic the driver-side reference uses, so the
+        result is exact by construction; probing ``x <= fl(med+d)``
+        instead would quantize at ulp(med)).  No matched value ever
         leaves its shard.  Other layouts compute driver-side from the
         gathered values (their value pull is driver-local anyway)."""
         an = ANALYZERS[self._analyzer_for(field, analyzer)]
@@ -2739,45 +2786,24 @@ class Searcher:
         n = int(st["count"])
         med = float(st["p50"])
 
-        def count_le(probes: list[float]) -> np.ndarray:
+        def dev_count_le(ds: list[float]) -> np.ndarray:
             rows = ray.get([
-                a.count_le_local.remote(field, list(q_terms), mode,
-                                        range_field, probes)
+                a.count_dev_le_local.remote(field, list(q_terms), mode,
+                                            range_field, med, ds)
                 for a in self.actors])
             return np.sum(np.asarray(rows, dtype=np.int64), axis=0)
 
-        def dev_count_le(ds: list[float]) -> np.ndarray:
-            ups = [med + d for d in ds]
-            downs = [float(np.nextafter(med - d, -np.inf)) for d in ds]
-            c = count_le(ups + downs)
-            return c[:len(ds)] - c[len(ds):]
-
-        max_dev = max(abs(float(st["min"]) - med),
-                      abs(float(st["max"]) - med))
+        # fl(|x-med|) <= max(|min-med|, |max-med|) holds for every x
+        # (abs/sub round toward the true value, whose max is attained
+        # at an endpoint) — bisect deviations in [0, that bound]
+        max_dev = float(np.maximum(np.abs(float(st["min"]) - med),
+                                   np.abs(float(st["max"]) - med)))
         ranks = sorted({math.floor(0.5 * (n - 1)),
                         math.ceil(0.5 * (n - 1))})
-        state = {k: (_f64_to_ord(0.0), _f64_to_ord(max_dev))
-                 for k in ranks}
-        found: dict[int, float] = {}
-        for k, (lo, hi) in list(state.items()):
-            if lo >= hi:
-                found[k] = _ord_to_f64(lo)
-                del state[k]
-        while state:
-            mids = sorted({(lo + hi) // 2 for lo, hi in state.values()})
-            counts = dict(zip(mids, dev_count_le(
-                [_ord_to_f64(m) for m in mids])))
-            for k, (lo, hi) in list(state.items()):
-                m = (lo + hi) // 2
-                if counts[m] >= k + 1:
-                    hi = m
-                else:
-                    lo = m + 1
-                if lo >= hi:
-                    found[k] = _ord_to_f64(lo)
-                    del state[k]
-                else:
-                    state[k] = (lo, hi)
+        # +4 ordinals of slack: an interior fl(|x-med|) can exceed the
+        # endpoint-derived bound by an ulp or two of rounding
+        found = _bisect_ranks(dev_count_le, ranks, _f64_to_ord(0.0),
+                              _f64_to_ord(max_dev) + 4)
         h = 0.5 * (n - 1)
         k0, k1 = math.floor(h), math.ceil(h)
         return float(found[k0] + (h - k0) * (found[k1] - found[k0]))
