@@ -1059,6 +1059,38 @@ SELECT cast(round(mad(n_chars) * 10000) AS BIGINT) AS mad_e4 FROM m
 """
 
 
+def search_value_count(sf_dir: str) -> pd.DataFrame:
+    """value_count + missing aggs: docs in the match set carrying /
+    missing the lang keyword field (presence = the packed filter
+    postings; every fixture doc has lang, so missing must be exactly
+    0 — the arithmetic, not just the happy path, is checked)."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        n_with, n_missing = s.value_count_aggregation(
+            BM25_QUERY, "lang", field="content")
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "n_with": np.array([n_with], dtype=np.int64),
+        "n_missing": np.array([n_missing], dtype=np.int64),
+    })
+
+
+SEARCH_VALUE_COUNT_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT * FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM tok
+                       WHERE term IN ('spark', 'join')))
+SELECT cast(count(lang) AS BIGINT) AS n_with,
+       cast(count(*) - count(lang) AS BIGINT) AS n_missing
+FROM m
+"""
+
+
 def search_collapse(sf_dir: str) -> pd.DataFrame:
     """Field collapsing: the ranked 'spark join' result keeps only the
     best-scoring doc per lang (full match set — a value's best doc may
@@ -3226,6 +3258,7 @@ def queries() -> dict:
         "search_function_score": search_function_score,
         "search_collapse": search_collapse,
         "search_mad": search_mad,
+        "search_value_count": search_value_count,
         # rows-only (non-SQL-expressible: blake2b signatures / ANN internals)
         "simhash_docs": simhash_docs,
         "langid_docs": langid_docs,
@@ -3373,4 +3406,5 @@ def oracle_sql() -> dict:
         "search_function_score": SEARCH_FUNCTION_SCORE_SQL,
         "search_collapse": SEARCH_COLLAPSE_SQL,
         "search_mad": SEARCH_MAD_SQL,
+        "search_value_count": SEARCH_VALUE_COUNT_SQL,
     }

@@ -2727,6 +2727,26 @@ class Searcher:
             out[f"p{round(q * 100):02d}"] = float(v0 + (h - k0) * (v1 - v0))
         return out
 
+    def value_count_aggregation(self, query: str, agg_field: str,
+                                field: str = "content", mode: str = "or",
+                                analyzer: str | None = None
+                                ) -> tuple[int, int]:
+        """OpenSearch ``value_count`` + ``missing`` aggs in one pass:
+        (docs in the match set carrying ``agg_field``, docs missing
+        it).  Presence comes from the packed filter postings — the
+        keyword field's doc lists ARE the field-exists index."""
+        if analyzer is None:
+            analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
+                             if f == field), "code")
+        q_terms = ANALYZERS[analyzer](query)
+        if not q_terms:
+            return (0, 0)
+        rows = self.terms_aggregation(query, agg_field, field, mode,
+                                      analyzer)
+        with_field = sum(n for _, n in rows)
+        cand = self._match_ids(field, q_terms, mode)
+        return (int(with_field), int(cand.size) - int(with_field))
+
     def mad_aggregation(self, query: str, range_field: str,
                         field: str = "content", mode: str = "or",
                         analyzer: str | None = None) -> float | None:
