@@ -1204,10 +1204,20 @@ def _build_filter_part(row_batch: pa.Table, index_dir: str,
                 tbl = pq.read_table(path, columns=["doc_id"] + fields)
                 ids = tbl.column("doc_id").to_numpy(
                     zero_copy_only=False).astype(np.uint64)
-            vals = np.asarray([str(v) for v in tbl.column(fname).to_pylist()])
-            uniq, codes = np.unique(vals, return_inverse=True)
-            order = np.lexsort((ids, codes))
-            sc, si = codes[order], ids[order]
+            # null keyword values are NOT indexed (OpenSearch: a null
+            # field does not exist — exists queries, value_count and
+            # collapse all skip the doc), so drop them before coding
+            col_list = tbl.column(fname).to_pylist()
+            keep = np.fromiter((v is not None for v in col_list),
+                               dtype=bool, count=len(col_list))
+            vals = np.asarray([str(v) for v in col_list if v is not None],
+                              dtype=object)
+            f_ids = ids[keep]
+            uniq, codes = np.unique(vals, return_inverse=True) \
+                if vals.size else (np.empty(0, object),
+                                   np.empty(0, np.intp))
+            order = np.lexsort((f_ids, codes))
+            sc, si = codes[order], f_ids[order]
             boundary = np.ones(sc.size, dtype=bool)
             boundary[1:] = sc[1:] != sc[:-1]
             starts = np.flatnonzero(boundary)

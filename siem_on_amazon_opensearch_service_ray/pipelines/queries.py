@@ -983,13 +983,14 @@ def _multi_match_hits(sf_dir: str, sharded: bool) -> pd.DataFrame:
 
 def search_constant_score(sf_dir: str) -> pd.DataFrame:
     """constant_score query: the filter-context match set with a fixed
-    boost score per hit (no BM25 evaluated), doc_id tie-break."""
-    idx = _docs_index_dir(sf_dir)
-    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    boost score per hit (no BM25 evaluated), doc_id tie-break —
+    executed per DOC shard (each shard's first-k ids merge exactly;
+    nothing but P*k rows reaches the driver)."""
+    idx = _doc_sharded_index(sf_dir)
     s = Searcher(idx, use_actors=ray.is_initialized())
     try:
-        hits = s.constant_score(BM25_QUERY, field="content", boost=1.5,
-                                k=BM25_K)
+        hits = s.constant_score_sharded(BM25_QUERY, field="content",
+                                        boost=1.5, k=BM25_K)
     finally:
         s.close()
     return pd.DataFrame({
@@ -1012,13 +1013,15 @@ ORDER BY doc_id LIMIT {BM25_K}
 def search_boosting(sf_dir: str) -> pd.DataFrame:
     """boosting query: positive BM25 over 'spark join', docs also
     matching 'sort' demoted to 0.5x (rank candidacy kept — contrast
-    must_not's exclusion)."""
-    idx = _docs_index_dir(sf_dir)
-    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    must_not's exclusion) — executed per DOC shard: the full positive
+    match set is walked where it lives, demotion is doc-local, P*k
+    rows merge at the driver."""
+    idx = _doc_sharded_index(sf_dir)
     s = Searcher(idx, use_actors=ray.is_initialized())
     try:
-        hits = s.boosting_search(BM25_QUERY, "sort", negative_boost=0.5,
-                                 field="content", k=BM25_K)
+        hits = s.boosting_search_sharded(BM25_QUERY, "sort",
+                                         negative_boost=0.5,
+                                         field="content", k=BM25_K)
     finally:
         s.close()
     return pd.DataFrame({
@@ -1094,13 +1097,14 @@ FROM m
 def search_collapse(sf_dir: str) -> pd.DataFrame:
     """Field collapsing: the ranked 'spark join' result keeps only the
     best-scoring doc per lang (full match set — a value's best doc may
-    sit beyond any top-k), then the top representatives."""
-    idx = _docs_index_dir(sf_dir)
-    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    sit beyond any top-k), then the top representatives — executed per
+    DOC shard: each shard ships its best (score, doc) per value, the
+    driver max-merges (k*|values| tuples, never a posting)."""
+    idx = _doc_sharded_index(sf_dir)
     s = Searcher(idx, use_actors=ray.is_initialized())
     try:
-        rows = s.collapse_search(BM25_QUERY, "lang", field="content",
-                                 k=BM25_K)
+        rows = s.collapse_search_sharded(BM25_QUERY, "lang",
+                                         field="content", k=BM25_K)
     finally:
         s.close()
     return pd.DataFrame({
@@ -1115,14 +1119,15 @@ def search_function_score(sf_dir: str) -> pd.DataFrame:
     """function_score with field_value_factor (the dominant scoring
     function): BM25 x log1p(n_chars * 0.01) — longer docs boosted;
     the per-doc values come from the packed range tables (no stored
-    -field fetch)."""
-    idx = _docs_index_dir(sf_dir)
-    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    -field fetch) — executed per DOC shard: the rescore is a pure
+    per-doc transform, each shard's rescored top-k merges exactly."""
+    idx = _doc_sharded_index(sf_dir)
     s = Searcher(idx, use_actors=ray.is_initialized())
     try:
-        hits = s.function_score(BM25_QUERY, field="content",
-                                value_field="n_chars", factor=0.01,
-                                modifier="log1p", k=BM25_K)
+        hits = s.function_score_sharded(BM25_QUERY, field="content",
+                                        value_field="n_chars",
+                                        factor=0.01, modifier="log1p",
+                                        k=BM25_K)
     finally:
         s.close()
     return pd.DataFrame({

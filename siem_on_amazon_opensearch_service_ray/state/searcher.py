@@ -1091,6 +1091,24 @@ class PartActor:
             n += int(cand.size)
         return n
 
+    def presence_local(self, field: str, q_terms: list[str], mode: str,
+                       agg_field: str) -> tuple[int, int]:
+        """Doc-sharded value_count/missing partial: (matched docs
+        carrying ``agg_field``, matched docs total) over this actor's
+        shards — two ints travel per shard group, never a value
+        census or a doc id."""
+        w = n = 0
+        for p, r in self.readers.items():
+            cand = _candidate_ids(r, field, q_terms, mode)
+            if cand.size and self.tombstones.size:
+                cand = cand[_excl_mask(cand, self.tombstones)]
+            if cand.size == 0:
+                continue
+            n += int(cand.size)
+            w += sum(c for _, c in _count_filter_values(
+                r.index_dir, agg_field, cand, dparts=[p]))
+        return w, n
+
     def composite_local(self, sources: list[str], field: str,
                         q_terms: list[str] | None, mode: str
                         ) -> dict[tuple, int]:
@@ -2304,7 +2322,11 @@ class Searcher:
         the top ``k`` of those representatives.  Needs the full match
         set (a value's best doc may sit beyond any per-shard top-k) —
         TAAT over the match set, values probed from the packed filter
-        postings.  Returns [(score, doc_id, value)]."""
+        postings.  The per-value combine is a single lexsort +
+        first-per-group mask (no per-hit Python), so match-set size
+        only costs O(n log n) numpy.  Docs missing the collapse field
+        are omitted (OpenSearch collapses them into their own null
+        group).  Returns [(score, doc_id, value)]."""
         an = ANALYZERS[self._analyzer_for(field, analyzer)]
         q_terms = an(query)
         if not q_terms:
@@ -2316,49 +2338,167 @@ class Searcher:
                           count=len(hits))
         order = np.argsort(ids)
         sorted_ids = ids[order]
-        val_of = np.full(len(hits), None, dtype=object)
+        # value code per hit: -1 = field missing; codes index `values`
+        # (a value spans parts on multi-part layouts — one code per
+        # distinct value, not per (value, part) row)
+        code_of = np.full(len(hits), -1, dtype=np.int64)
+        values: list[str] = []
+        code_by_value: dict[str, int] = {}
         for v, vids in _iter_filter_postings(self.index_dir,
-                                             collapse_field):
+                                             collapse_field,
+                                             dparts=self._local_parts):
             pos = np.minimum(np.searchsorted(sorted_ids, vids),
                              sorted_ids.size - 1)
             hit = sorted_ids[pos] == vids
             if hit.any():
-                val_of[order[pos[hit]]] = v
-        best: dict[str, tuple[float, int]] = {}
-        for (s, d), v in zip(hits, val_of.tolist()):
-            if v is None:
-                continue           # OpenSearch: docs missing the field
-            cur = best.get(v)      # collapse into their own null group;
-            if cur is None or (s, -d) > (cur[0], -cur[1]):
-                best[v] = (s, d)   # here they are simply omitted
-        out = sorted(((s, d, v) for v, (s, d) in best.items()),
-                     key=lambda t: (-t[0], t[1]))
+                c = code_by_value.get(v)
+                if c is None:
+                    c = code_by_value[v] = len(values)
+                    values.append(v)
+                code_of[order[pos[hit]]] = c
+        valid = code_of >= 0
+        if not valid.any():
+            return []
+        scores = np.fromiter((s for s, _ in hits), np.float64,
+                             count=len(hits))[valid]
+        dids = ids[valid]
+        codes = code_of[valid]
+        # group by value code, best (score desc, doc asc) first in group
+        o = np.lexsort((dids, -scores, codes))
+        lead = np.ones(o.size, dtype=bool)
+        lead[1:] = codes[o][1:] != codes[o][:-1]
+        reps = o[lead]
+        out = sorted(((float(scores[i]), int(dids[i]), values[codes[i]])
+                      for i in reps), key=lambda t: (-t[0], t[1]))
         return out[:k]
+
+    def _doc_values(self, value_field: str, sorted_ids: np.ndarray,
+                    order: np.ndarray, n: int, default: float
+                    ) -> tuple[np.ndarray, np.ndarray]:
+        """Per-hit numeric ``value_field`` values (hit order) from the
+        packed range tables, plus a has-field mask; absent docs get
+        ``default``.  Shard-local searchers read only their own doc
+        parts' range files."""
+        from .shard import load_range_pairs
+        vals = np.full(n, default, dtype=np.float64)
+        have = np.zeros(n, dtype=bool)
+        for rvals, rids in load_range_pairs(self.index_dir, value_field,
+                                            dparts=self._local_parts):
+            pos = np.minimum(np.searchsorted(sorted_ids, rids),
+                             sorted_ids.size - 1)
+            hit = sorted_ids[pos] == rids
+            if hit.any():
+                at = order[pos[hit]]
+                vals[at] = rvals[hit]
+                have[at] = True
+        return vals, have
+
+    def _eval_score_function(self, fn: dict, sorted_ids: np.ndarray,
+                             order: np.ndarray, n: int
+                             ) -> tuple[np.ndarray, float]:
+        """One function_score function -> (per-hit unweighted values,
+        weight).  Shapes: ``weight`` (constant), ``field_value_factor``
+        (modifier(value * factor); missing docs take the spec's
+        ``missing``, default 0), and the numeric decay trio
+        ``gauss`` / ``exp`` / ``linear`` (OpenSearch's curves; docs
+        missing the field decay to 1.0, the OpenSearch rule)."""
+        typ = fn.get("type", "field_value_factor")
+        w = float(fn.get("weight", 1.0))
+        if typ == "weight":
+            return np.ones(n, dtype=np.float64), w
+        if typ == "field_value_factor":
+            factor = float(fn.get("factor", 1.0))
+            modifier = fn.get("modifier", "none")
+            if modifier not in ("none", "log1p", "sqrt"):
+                raise ValueError(f"unsupported modifier {modifier!r}")
+            value_field = fn.get("field")
+            if value_field is None:
+                raise ValueError("function_score field_value_factor "
+                                 "needs value_field")
+            vals, _ = self._doc_values(value_field, sorted_ids, order, n,
+                                       float(fn.get("missing", 0.0)))
+            fv = vals * factor
+            if modifier in ("log1p", "sqrt"):
+                if (fv < 0).any():
+                    # OpenSearch rejects negative field_value_factor
+                    # inputs for these modifiers ("Must be a
+                    # non-negative number") rather than zeroing docs
+                    raise ValueError(
+                        f"{modifier} modifier requires non-negative "
+                        f"{value_field} * factor values")
+                fv = np.log1p(fv) if modifier == "log1p" else np.sqrt(fv)
+            return fv, w
+        if typ in ("gauss", "exp", "linear"):
+            origin = float(fn["origin"])
+            scale = float(fn["scale"])
+            offset = float(fn.get("offset", 0.0))
+            decay = float(fn.get("decay", 0.5))
+            if scale <= 0:
+                raise ValueError("decay scale must be positive")
+            if not 0.0 < decay < 1.0:
+                raise ValueError("decay must be in (0, 1)")
+            value_field = fn.get("field")
+            if value_field is None:
+                raise ValueError(f"{typ} decay needs a numeric field")
+            vals, have = self._doc_values(value_field, sorted_ids, order,
+                                          n, 0.0)
+            dist = np.maximum(np.abs(vals - origin) - offset, 0.0)
+            if typ == "gauss":
+                sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+                out = np.exp(-(dist * dist) / (2.0 * sigma2))
+            elif typ == "exp":
+                out = np.exp((math.log(decay) / scale) * dist)
+            else:
+                s = scale / (1.0 - decay)
+                out = np.maximum((s - dist) / s, 0.0)
+            out[~have] = 1.0
+            return out, w
+        raise ValueError(f"unsupported function type {typ!r}")
 
     def function_score(self, query: str, field: str = "content",
                        value_field: str | None = None,
                        factor: float = 1.0, modifier: str = "none",
                        boost_mode: str = "multiply", k: int = 10,
                        analyzer: str | None = None,
-                       k1: float = K1, b: float = B
+                       k1: float = K1, b: float = B,
+                       functions: list[dict] | None = None,
+                       score_mode: str = "multiply"
                        ) -> list[tuple[float, int]]:
-        """OpenSearch ``function_score`` with ``field_value_factor``
-        (the dominant scoring-function shape): per-doc factor =
-        modifier(value_field * factor), combined with the query's BM25
-        via ``boost_mode`` multiply/sum.  modifiers: none / log1p /
-        sqrt (OpenSearch's spellings).  The doc values come from the
-        packed range tables the numeric-range filter already
-        maintains, so no stored-field fetch happens; docs missing the
-        value score factor 0 under multiply (OpenSearch: missing value
-        -> function not applied; here the range tables carry every doc
-        that has the field, the common case for derived metrics)."""
-        if modifier not in ("none", "log1p", "sqrt"):
-            raise ValueError(f"unsupported modifier {modifier!r}")
-        if boost_mode not in ("multiply", "sum"):
+        """OpenSearch ``function_score``.  ``functions`` is a list of
+        function specs (dicts): ``field_value_factor``
+        (modifier(value_field * factor), modifiers none/log1p/sqrt),
+        the numeric decay trio ``gauss``/``exp``/``linear``
+        (origin/scale/offset/decay — OpenSearch's curves: gauss
+        exp(-d'^2 / 2sigma^2) with sigma^2 = -scale^2/(2 ln decay),
+        exp exp(d' ln(decay)/scale), linear max((s-d')/s, 0) with
+        s = scale/(1-decay), d' = max(0, |x-origin|-offset)), and
+        bare ``weight``; every spec takes an optional ``weight``
+        multiplier.  ``score_mode`` combines the function values
+        (multiply / sum / avg [weighted, OpenSearch's rule] / min /
+        max over the WEIGHTED outputs), ``boost_mode`` combines that
+        with the query's BM25 (multiply / sum / avg / min / max /
+        replace).  The legacy single-function signature
+        (value_field/factor/modifier) still works and maps to one
+        field_value_factor spec.  Per-doc values come from the packed
+        range tables — no stored-field fetch; rescoring is per-doc
+        local, so this method doc-shards exactly (see
+        :meth:`function_score_sharded`)."""
+        if boost_mode not in ("multiply", "sum", "avg", "min", "max",
+                              "replace"):
             raise ValueError(f"unsupported boost_mode {boost_mode!r}")
-        if value_field is None:
-            raise ValueError("function_score field_value_factor needs "
-                             "value_field")
+        if score_mode not in ("multiply", "sum", "avg", "min", "max"):
+            raise ValueError(f"unsupported score_mode {score_mode!r}")
+        if functions is None:
+            if modifier not in ("none", "log1p", "sqrt"):
+                raise ValueError(f"unsupported modifier {modifier!r}")
+            if value_field is None:
+                raise ValueError("function_score field_value_factor "
+                                 "needs value_field")
+            functions = [{"type": "field_value_factor",
+                          "field": value_field, "factor": factor,
+                          "modifier": modifier}]
+        if not functions:
+            raise ValueError("function_score needs at least one function")
         an = ANALYZERS[self._analyzer_for(field, analyzer)]
         q_terms = an(query)
         if not q_terms:
@@ -2366,31 +2506,40 @@ class Searcher:
         hits = self._expanded_or(q_terms, field, 1 << 31, k1, b)
         if not hits:
             return []
-        from .shard import load_range_pairs
-        ids = np.fromiter((d for _, d in hits), np.uint64,
-                          count=len(hits))
+        n = len(hits)
+        ids = np.fromiter((d for _, d in hits), np.uint64, count=n)
         order = np.argsort(ids)
         sorted_ids = ids[order]
-        vals = np.zeros(len(hits))
-        for rvals, rids in load_range_pairs(self.index_dir, value_field):
-            pos = np.searchsorted(sorted_ids, rids)
-            pos = np.minimum(pos, sorted_ids.size - 1)
-            hit = sorted_ids[pos] == rids
-            if hit.any():
-                vals[order[pos[hit]]] = rvals[hit]
-        fv = vals * factor
-        if modifier in ("log1p", "sqrt"):
-            if (fv < 0).any():
-                # OpenSearch rejects negative field_value_factor inputs
-                # for these modifiers ("Must be a non-negative number")
-                # rather than silently zeroing docs
-                raise ValueError(
-                    f"{modifier} modifier requires non-negative "
-                    f"{value_field} * factor values")
-            fv = np.log1p(fv) if modifier == "log1p" else np.sqrt(fv)
-        scores = np.fromiter((s for s, _ in hits), np.float64,
-                             count=len(hits))
-        out_s = scores * fv if boost_mode == "multiply" else scores + fv
+        evaluated = [self._eval_score_function(fn, sorted_ids, order, n)
+                     for fn in functions]
+        weighted = [v * w for v, w in evaluated]
+        if score_mode == "multiply":
+            fv = weighted[0].copy()
+            for x in weighted[1:]:
+                fv *= x
+        elif score_mode == "sum":
+            fv = np.sum(weighted, axis=0)
+        elif score_mode == "avg":
+            wsum = sum(w for _, w in evaluated)
+            fv = (np.sum(weighted, axis=0) / wsum if wsum
+                  else np.zeros(n, dtype=np.float64))
+        elif score_mode == "min":
+            fv = np.min(weighted, axis=0)
+        else:
+            fv = np.max(weighted, axis=0)
+        scores = np.fromiter((s for s, _ in hits), np.float64, count=n)
+        if boost_mode == "multiply":
+            out_s = scores * fv
+        elif boost_mode == "sum":
+            out_s = scores + fv
+        elif boost_mode == "avg":
+            out_s = (scores + fv) / 2.0
+        elif boost_mode == "min":
+            out_s = np.minimum(scores, fv)
+        elif boost_mode == "max":
+            out_s = np.maximum(scores, fv)
+        else:
+            out_s = fv
         rescored = sorted(((float(s), int(d))
                            for s, d in zip(out_s, ids)),
                           key=lambda t: (-t[0], t[1]))
@@ -2734,17 +2883,43 @@ class Searcher:
         """OpenSearch ``value_count`` + ``missing`` aggs in one pass:
         (docs in the match set carrying ``agg_field``, docs missing
         it).  Presence comes from the packed filter postings — the
-        keyword field's doc lists ARE the field-exists index."""
+        keyword field's doc lists ARE the field-exists index.  On the
+        doc-partitioned layout both counts are additive per shard
+        (``presence_local`` — two ints travel per shard group; no
+        value census, no posting gather); term layout computes the
+        match set once driver-side and sums the filter intersections
+        without building the per-value dict."""
         if analyzer is None:
             analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
                              if f == field), "code")
         q_terms = ANALYZERS[analyzer](query)
         if not q_terms:
             return (0, 0)
-        rows = self.terms_aggregation(query, agg_field, field, mode,
-                                      analyzer)
-        with_field = sum(n for _, n in rows)
+        if self.manifest["config"].get("partition_by") == "doc":
+            if self.use_actors:
+                pairs = ray.get([
+                    a.presence_local.remote(field, q_terms, mode, agg_field)
+                    for a in self.actors])
+            else:
+                pairs = []
+                for p, r in self.readers.items():
+                    cand = _candidate_ids(r, field, q_terms, mode)
+                    if cand.size and self.tombstones.size:
+                        cand = cand[_excl_mask(cand, self.tombstones)]
+                    if cand.size == 0:
+                        continue
+                    pairs.append((
+                        sum(c for _, c in _count_filter_values(
+                            self.index_dir, agg_field, cand, dparts=[p])),
+                        int(cand.size)))
+            with_field = sum(w for w, _ in pairs)
+            total = sum(n for _, n in pairs)
+            return (int(with_field), int(total) - int(with_field))
         cand = self._match_ids(field, q_terms, mode)
+        if cand.size == 0:
+            return (0, 0)
+        with_field = sum(c for _, c in _count_filter_values(
+            self.index_dir, agg_field, cand))
         return (int(with_field), int(cand.size) - int(with_field))
 
     def mad_aggregation(self, query: str, range_field: str,
@@ -3772,6 +3947,117 @@ class Searcher:
         return self._exec_doc_sharded(
             "_expanded_or", dict(terms=terms, field=field, k=k, k1=k1, b=b),
             k, idf_terms=terms, field=field)
+
+    def constant_score_sharded(self, query: str, field: str = "content",
+                               mode: str = "or", boost: float = 1.0,
+                               k: int = 10, analyzer: str | None = None
+                               ) -> list[tuple[float, int]]:
+        """:meth:`constant_score` per doc shard: each shard returns
+        its first ``k`` matching live ids (a doc's whole match
+        decision is local to its shard), every score is the constant
+        ``boost``, so the generic (-score, doc_id) merge is exactly
+        the global first-k.  No dfs round — nothing is scored."""
+        return self._exec_doc_sharded(
+            "constant_score",
+            dict(query=query, field=field, mode=mode, boost=boost, k=k,
+                 analyzer=analyzer), k)
+
+    def boosting_search_sharded(self, positive: str, negative: str,
+                                negative_boost: float = 0.5,
+                                field: str = "content", k: int = 10,
+                                analyzer: str | None = None,
+                                k1: float = K1, b: float = B
+                                ) -> list[tuple[float, int]]:
+        """:meth:`boosting_search` per doc shard with global idf for
+        the positive clause.  Demotion is per-doc local (a doc and
+        its negative-clause postings live in the same shard), so each
+        shard's demoted top-k merges exactly — the full positive
+        match set is still walked, but only WHERE IT LIVES; P*k rows
+        reach the driver instead of every positive posting."""
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        return self._exec_doc_sharded(
+            "boosting_search",
+            dict(positive=positive, negative=negative,
+                 negative_boost=negative_boost, field=field, k=k,
+                 analyzer=analyzer, k1=k1, b=b),
+            k, idf_terms=an(positive), field=field)
+
+    def function_score_sharded(self, query: str, field: str = "content",
+                               value_field: str | None = None,
+                               factor: float = 1.0,
+                               modifier: str = "none",
+                               boost_mode: str = "multiply", k: int = 10,
+                               analyzer: str | None = None,
+                               k1: float = K1, b: float = B,
+                               functions: list[dict] | None = None,
+                               score_mode: str = "multiply"
+                               ) -> list[tuple[float, int]]:
+        """:meth:`function_score` per doc shard: rescoring is a pure
+        per-doc transform (BM25 with global idf x functions of the
+        doc's own range-table values), so each shard's rescored local
+        top-k merges exactly.  Spec errors are validated driver-side
+        first (an actor-side raise surfaces as a RayTaskError)."""
+        if boost_mode not in ("multiply", "sum", "avg", "min", "max",
+                              "replace"):
+            raise ValueError(f"unsupported boost_mode {boost_mode!r}")
+        if score_mode not in ("multiply", "sum", "avg", "min", "max"):
+            raise ValueError(f"unsupported score_mode {score_mode!r}")
+        if functions is None and value_field is None:
+            raise ValueError("function_score field_value_factor needs "
+                             "value_field")
+        if functions is not None and not functions:
+            raise ValueError("function_score needs at least one function")
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        return self._exec_doc_sharded(
+            "function_score",
+            dict(query=query, field=field, value_field=value_field,
+                 factor=factor, modifier=modifier, boost_mode=boost_mode,
+                 k=k, analyzer=analyzer, k1=k1, b=b, functions=functions,
+                 score_mode=score_mode),
+            k, idf_terms=an(query), field=field)
+
+    def collapse_search_sharded(self, query: str, collapse_field: str,
+                                field: str = "content", k: int = 10,
+                                analyzer: str | None = None,
+                                k1: float = K1, b: float = B
+                                ) -> list[tuple[float, int, str]]:
+        """:meth:`collapse_search` per doc shard: best-per-value is an
+        associative max under (score desc, doc_id asc), so each shard
+        ships its OWN best (score, doc) per collapse value (<= its
+        distinct-value count of tuples — k*|values| driver traffic,
+        never a posting) and the driver max-merges per value, then
+        ranks the representatives.  Scoring uses global idf, so the
+        result is identical to the driver-side term-layout run."""
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        q_terms = an(query)
+        if not q_terms:
+            return []
+        if self._partition_by != "doc":
+            raise ValueError("doc-sharded execution needs an index built "
+                             "with IndexConfig(partition_by='doc')")
+        kwargs = dict(query=query, collapse_field=collapse_field,
+                      field=field, k=1 << 31, analyzer=analyzer,
+                      k1=k1, b=b)
+        if not self.use_actors:
+            # all parts local: the driver path IS whole-corpus execution
+            return self.collapse_search(query, collapse_field, field, k,
+                                        analyzer, k1, b)
+        uniq = list(dict.fromkeys(q_terms))
+        n_docs = int(self.stats["n_docs"])
+        dfs = self._term_dfs(field, uniq)
+        idf = {t: float(idf_fn(dfs.get(t, 0), n_docs)) for t in uniq}
+        shard_rows = ray.get([a.exec_local.remote("collapse_search",
+                                                  kwargs, idf)
+                              for a in self.actors])
+        best: dict[str, tuple[float, int]] = {}
+        for rows in shard_rows:
+            for s, d, v in rows:
+                cur = best.get(v)
+                if cur is None or (s, -d) > (cur[0], -cur[1]):
+                    best[v] = (s, d)
+        out = sorted(((s, d, v) for v, (s, d) in best.items()),
+                     key=lambda t: (-t[0], t[1]))
+        return out[:k]
 
     def prefix_search_sharded(self, prefix: str, field: str = "content",
                               k: int = 10, max_expansions: int = 1024,

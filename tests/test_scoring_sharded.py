@@ -1,0 +1,216 @@
+"""Doc-sharded execution for the scoring operators that need the full
+match set (constant_score / boosting / function_score / collapse) plus
+the presence-count aggs: every *_sharded method must be rank-AND-score
+identical to the term-partitioned driver path, and function_score's
+decay / weight / score_mode surface is checked against a brute-force
+reference.  Reference parity: OpenSearch executes these per doc shard
+and merges shard-local partials (the collapse combine is an
+associative max per value; function_score rescoring is per-doc
+local)."""
+
+import dataclasses
+import math
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
+    IndexConfig, build_index)
+from siem_on_amazon_opensearch_service_ray.state.searcher import Searcher
+
+VOCAB = ["spark", "join", "shuffle", "sql", "table", "query", "index",
+         "merge", "sort", "scan", "filter", "group"]
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def pair(ray_session, tmp_path_factory):
+    """The SAME corpus indexed under both layouts: term (driver path,
+    the oracle twin) and doc (actor-sharded, the scale default)."""
+    rng = np.random.default_rng(11)
+    docs = []
+    for _ in range(N_DOCS):
+        n = int(rng.integers(5, 40))
+        docs.append(" ".join(VOCAB[int(j)]
+                             for j in rng.integers(0, len(VOCAB), n)))
+    t = pa.table({
+        "doc_id": pa.array(range(N_DOCS), pa.int64()),
+        "text": docs,
+        # every 11th doc has NO lang (collapse omission + missing agg)
+        "lang": [None if i % 11 == 3 else ["py", "go", "rs", "js"][i % 4]
+                 for i in range(N_DOCS)],
+        "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+    })
+    root = tmp_path_factory.mktemp("scoring")
+    src = str(root / "docs.parquet")
+    pq.write_table(t, src)
+    cfg = IndexConfig(num_partitions=4,
+                      fields=(("content", "text", "base"),),
+                      keyword_fields=("lang",), range_fields=("n_chars",),
+                      doc_id_col="doc_id", sha_col="text", salting=False,
+                      partition_by="term")
+    term_dir = str(root / "idx_term")
+    doc_dir = str(root / "idx_doc")
+    build_index([src], term_dir, cfg)
+    build_index([src], doc_dir,
+                dataclasses.replace(cfg, partition_by="doc"))
+    s_term = Searcher(term_dir, use_actors=False)
+    s_doc = Searcher(doc_dir, use_actors=True)
+    yield s_term, s_doc, docs, t
+    s_doc.close()
+
+
+def _same(got, want):
+    assert [d for _, d in got] == [d for _, d in want]
+    np.testing.assert_allclose([s for s, _ in got],
+                               [s for s, _ in want], rtol=1e-12)
+
+
+def test_constant_score_sharded(pair):
+    st, sd, _, _ = pair
+    for q, k in [("spark join", 25), ("needle", 5), ("sql", 400)]:
+        _same(sd.constant_score_sharded(q, boost=1.5, k=k),
+              st.constant_score(q, boost=1.5, k=k))
+    # AND mode narrows the filter set; scores stay the constant
+    _same(sd.constant_score_sharded("spark join", mode="and", k=50),
+          st.constant_score("spark join", mode="and", k=50))
+
+
+def test_boosting_sharded(pair):
+    st, sd, _, _ = pair
+    kw = dict(negative_boost=0.5, k=30)
+    _same(sd.boosting_search_sharded("spark join", "sort", **kw),
+          st.boosting_search("spark join", "sort", **kw))
+    # demote-nothing and demote-everything edges
+    _same(sd.boosting_search_sharded("spark", "zz_nope", k=20),
+          st.boosting_search("spark", "zz_nope", k=20))
+    _same(sd.boosting_search_sharded("spark", "spark", negative_boost=0.1,
+                                     k=20),
+          st.boosting_search("spark", "spark", negative_boost=0.1, k=20))
+
+
+def test_function_score_sharded_legacy(pair):
+    st, sd, _, _ = pair
+    kw = dict(value_field="n_chars", factor=0.01, modifier="log1p", k=25)
+    _same(sd.function_score_sharded("spark join", **kw),
+          st.function_score("spark join", **kw))
+    kw = dict(value_field="n_chars", factor=0.001, modifier="sqrt",
+              boost_mode="sum", k=25)
+    _same(sd.function_score_sharded("spark join", **kw),
+          st.function_score("spark join", **kw))
+
+
+def test_function_score_decay_modes_sharded(pair):
+    st, sd, _, _ = pair
+    fns = [
+        {"type": "gauss", "field": "n_chars", "origin": 120.0,
+         "scale": 60.0, "offset": 10.0, "decay": 0.5, "weight": 2.0},
+        {"type": "field_value_factor", "field": "n_chars",
+         "factor": 0.01, "modifier": "log1p"},
+        {"type": "weight", "weight": 0.7},
+    ]
+    for score_mode in ("multiply", "sum", "avg", "min", "max"):
+        for boost_mode in ("multiply", "sum", "replace"):
+            kw = dict(functions=fns, score_mode=score_mode,
+                      boost_mode=boost_mode, k=20)
+            _same(sd.function_score_sharded("spark join", **kw),
+                  st.function_score("spark join", **kw))
+    for typ in ("exp", "linear"):
+        fn = [{"type": typ, "field": "n_chars", "origin": 100.0,
+               "scale": 50.0, "decay": 0.3}]
+        _same(sd.function_score_sharded("spark join", functions=fn, k=20),
+              st.function_score("spark join", functions=fn, k=20))
+
+
+def test_decay_math_brute_force(pair):
+    """The decay curves match OpenSearch's published formulas exactly,
+    checked doc-by-doc against a pure-Python reference."""
+    st, _, docs, _ = pair
+    origin, scale, offset, decay = 120.0, 60.0, 10.0, 0.5
+    for typ in ("gauss", "exp", "linear"):
+        hits = st.function_score(
+            "spark join", functions=[{
+                "type": typ, "field": "n_chars", "origin": origin,
+                "scale": scale, "offset": offset, "decay": decay}],
+            boost_mode="replace", k=15)
+        for s, d in hits:
+            dist = max(0.0, abs(len(docs[d]) - origin) - offset)
+            if typ == "gauss":
+                sigma2 = -(scale ** 2) / (2.0 * math.log(decay))
+                want = math.exp(-(dist ** 2) / (2.0 * sigma2))
+            elif typ == "exp":
+                want = math.exp(math.log(decay) / scale * dist)
+            else:
+                sl = scale / (1.0 - decay)
+                want = max((sl - dist) / sl, 0.0)
+            assert s == pytest.approx(want, rel=1e-12)
+
+
+def test_function_score_spec_errors(pair):
+    _, sd, _, _ = pair
+    with pytest.raises(ValueError, match="boost_mode"):
+        sd.function_score_sharded("spark", value_field="n_chars",
+                                  boost_mode="xor")
+    with pytest.raises(ValueError, match="score_mode"):
+        sd.function_score_sharded("spark", value_field="n_chars",
+                                  score_mode="xor")
+    with pytest.raises(ValueError, match="value_field"):
+        sd.function_score_sharded("spark")
+    with pytest.raises(ValueError, match="at least one"):
+        sd.function_score_sharded("spark", functions=[])
+    st = pair[0]
+    with pytest.raises(ValueError, match="decay"):
+        st.function_score("spark", functions=[{
+            "type": "gauss", "field": "n_chars", "origin": 0.0,
+            "scale": 10.0, "decay": 1.5}])
+    with pytest.raises(ValueError, match="scale"):
+        st.function_score("spark", functions=[{
+            "type": "exp", "field": "n_chars", "origin": 0.0,
+            "scale": -1.0}])
+
+
+def test_collapse_sharded(pair):
+    st, sd, docs, t = pair
+    got = sd.collapse_search_sharded("spark join", "lang", k=10)
+    want = st.collapse_search("spark join", "lang", k=10)
+    assert [(d, v) for _, d, v in got] == [(d, v) for _, d, v in want]
+    np.testing.assert_allclose([s for s, _, _ in got],
+                               [s for s, _, _ in want], rtol=1e-12)
+    # brute-force shape checks: one rep per value, rep is that value's
+    # best (score desc, doc asc) hit, docs missing lang omitted
+    langs = t.column("lang").to_pylist()
+    assert len({v for _, _, v in got}) == len(got)
+    full = st.function_score("spark join", functions=[{"type": "weight",
+                                                       "weight": 1.0}],
+                             boost_mode="multiply", k=1 << 31)
+    by_val = {}
+    for s, d in full:
+        v = langs[d]
+        if v is None:
+            continue
+        cur = by_val.get(v)
+        if cur is None or (s, -d) > (cur[0], -cur[1]):
+            by_val[v] = (s, d)
+    for s, d, v in got:
+        assert by_val[v] == (pytest.approx(s), d)
+        assert langs[d] == v
+
+
+def test_value_count_sharded(pair):
+    """value_count/missing on the doc layout: additive per-shard
+    presence partials equal the term-layout driver computation and
+    the brute-force census."""
+    st, sd, docs, t = pair
+    langs = t.column("lang").to_pylist()
+    for q in ("spark join", "sql", "needle"):
+        a = st.value_count_aggregation(q, "lang")
+        b = sd.value_count_aggregation(q, "lang")
+        assert a == b
+        terms = set(re.findall(r"[a-z0-9_]+", q))
+        match = [i for i, d in enumerate(docs)
+                 if terms & set(d.split())]
+        want_with = sum(1 for i in match if langs[i] is not None)
+        assert a == (want_with, len(match) - want_with)
