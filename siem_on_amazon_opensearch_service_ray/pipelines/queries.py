@@ -1137,6 +1137,36 @@ def search_function_score(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def search_function_decay(sf_dir: str) -> pd.DataFrame:
+    """function_score with a gauss DECAY function (the most-used
+    function_score shape after field_value_factor) plus a bare
+    weight, combined with score_mode=sum: final = BM25 x
+    (2.0 x gauss(n_chars; origin=300, scale=150, offset=25,
+    decay=0.5) + 0.5).  gauss = exp(-d'^2 / 2 sigma^2) with
+    sigma^2 = -scale^2 / (2 ln decay), d' = max(0, |x-origin|-offset)
+    — OpenSearch's exact curve, SQL-expressible so the oracle is
+    exact.  Executed per DOC shard (per-doc-local rescore)."""
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.function_score_sharded(
+            BM25_QUERY, field="content", k=BM25_K,
+            functions=[
+                {"type": "gauss", "field": "n_chars", "origin": 300.0,
+                 "scale": 150.0, "offset": 25.0, "decay": 0.5,
+                 "weight": 2.0},
+                {"type": "weight", "weight": 0.5},
+            ],
+            score_mode="sum", boost_mode="multiply")
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d in hits],
+        "score_e4": np.array([int(_round_away(sc * 10000))
+                              for sc, _ in hits], dtype=np.int64),
+    })
+
+
 def search_multi_match_cross(sf_dir: str) -> pd.DataFrame:
     """multi_match type=cross_fields (Lucene BlendedTermQuery):
     term-centric — each query term's df BLENDS across the fields (max,
@@ -1300,6 +1330,22 @@ SELECT value, doc_id,
        cast(round(score * 10000) AS BIGINT) AS score_e4
 FROM ranked WHERE rn = 1
 ORDER BY score DESC, doc_id LIMIT {BM25_K}
+"""
+
+
+SEARCH_FUNCTION_DECAY_SQL = f"""
+WITH {_bm25_cte('c', 'text', base_tokens(BM25_QUERY))}
+SELECT s.doc_id,
+       cast(round(s.score * (2.0 * exp(
+               -pow(greatest(abs(d.n_chars - 300.0) - 25.0, 0.0), 2)
+               / (2.0 * (-(150.0 * 150.0) / (2.0 * ln(0.5))))) + 0.5)
+             * 10000) AS BIGINT) AS score_e4
+FROM cscore s JOIN documents d USING (doc_id)
+ORDER BY s.score * (2.0 * exp(
+           -pow(greatest(abs(d.n_chars - 300.0) - 25.0, 0.0), 2)
+           / (2.0 * (-(150.0 * 150.0) / (2.0 * ln(0.5))))) + 0.5)
+         DESC, s.doc_id
+LIMIT {BM25_K}
 """
 
 
@@ -3261,6 +3307,7 @@ def queries() -> dict:
         "search_constant_score": search_constant_score,
         "search_boosting": search_boosting,
         "search_function_score": search_function_score,
+        "search_function_decay": search_function_decay,
         "search_collapse": search_collapse,
         "search_mad": search_mad,
         "search_value_count": search_value_count,
@@ -3409,6 +3456,7 @@ def oracle_sql() -> dict:
         "search_constant_score": SEARCH_CONSTANT_SCORE_SQL,
         "search_boosting": SEARCH_BOOSTING_SQL,
         "search_function_score": SEARCH_FUNCTION_SCORE_SQL,
+        "search_function_decay": SEARCH_FUNCTION_DECAY_SQL,
         "search_collapse": SEARCH_COLLAPSE_SQL,
         "search_mad": SEARCH_MAD_SQL,
         "search_value_count": SEARCH_VALUE_COUNT_SQL,
