@@ -396,3 +396,62 @@ def execute_panel(searcher, spec: PanelSpec,
                                         quantiles=(0.5, 0.95))
         return [("p50", st["p50"]), ("p95", st["p95"])]
     return rows[:size]
+
+
+def execute_search(searcher, saved: dict, k: int = 500,
+                   text_field: str = "content",
+                   time_field: str = "@timestamp"):
+    """Execute a Discover saved search (the ``search`` saved objects
+    the reference ships alongside every dashboard,
+    source/saved_objects/each-dashboard/*.ndjson): kuery filter +
+    sort (``attributes.sort``, default ``time_field`` desc — the
+    Discover default) + docstore fetch of ``attributes.columns`` for
+    the top page (Discover's sample size, default 500).
+
+    Scale shape: the sort runs per doc shard (each shard ships k
+    (value, doc_id) rows via the value-sorted range tables — no
+    sort, no postings for match-all), and the docstore fetch reads
+    only the k result ids with a parquet IN filter.
+
+    Returns a pyarrow Table: doc_id, the sort field, then the saved
+    columns that exist in the docstore, rows in result order."""
+    import pyarrow as pa
+
+    query = saved.get("query") or ""
+    ff = fv = None
+    if query and saved.get("language", "kuery") == "kuery" \
+            and any(c in query for c in ':()"'):
+        m = _KUERY_KV.match(query)
+        if not m:
+            raise ValueError(
+                "saved-search kuery beyond bare terms / one "
+                "field:\"value\" is unsupported")
+        ff = m.group(1)
+        fv = m.group(2) if m.group(2) is not None else m.group(3)
+        query = ""
+    sort = saved.get("sort") or []
+    # exports spell sort as ['f','desc'] or [['f','desc'], ...]
+    if sort and not isinstance(sort[0], (list, tuple)):
+        sort = [sort]
+    sfield, sdir = (sort[0] if sort else (time_field, "desc"))
+    hits = searcher.field_sorted_search(
+        sfield, k=k, desc=(str(sdir).lower() != "asc"), query=query,
+        field=text_field, filter_field=ff, filter_value=fv)
+    if not hits:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    ids = [d for _, d in hits]
+    fetched = searcher.fetch_docs(ids)
+    have = set(fetched.column_names) if fetched is not None else set()
+    cols = [c for c in saved.get("columns") or [] if c in have]
+    # reorder fetched rows into result order
+    import numpy as np
+    fid = fetched.column("doc_id").to_numpy(zero_copy_only=False)
+    order = {int(d): i for i, d in enumerate(fid)}
+    take = [order[d] for d in ids if d in order]
+    fetched = fetched.take(pa.array(take, pa.int64()))
+    out = {"doc_id": fetched.column("doc_id"),
+           sfield: pa.array([v for v, d in hits if d in order])}
+    for c in cols:
+        if c not in out:
+            out[c] = fetched.column(c)
+    return pa.table(out)

@@ -457,6 +457,37 @@ def _doc_sharded_index(sf_dir: str, positions: bool = False) -> str:
     return idx
 
 
+def discover_saved_search(sf_dir: str) -> pd.DataFrame:
+    """A Discover saved search executed end-to-end (the reference
+    ships one `search` saved object with every dashboard —
+    source/saved_objects/each-dashboard/*.ndjson): kuery
+    source:"src3" + sort n_chars desc + docstore column fetch, top
+    20.  Runs per DOC shard — each shard ships 20 (value, doc_id)
+    rows selected by boundary bisect on its value-sorted range
+    tables; the docstore fetch reads only the 20 result ids."""
+    from .dashboards import execute_search
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        saved = {"title": "search - documents", "columns": ["lang"],
+                 "sort": [["n_chars", "desc"]],
+                 "query": 'source:"src3"', "language": "kuery"}
+        out = execute_search(s, saved, k=20).to_pandas()
+    finally:
+        s.close()
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    return out[["doc_id", "n_chars", "lang"]]
+
+
+DISCOVER_SAVED_SEARCH_SQL = """
+SELECT doc_id, n_chars, lang
+FROM documents
+WHERE source = 'src3'
+ORDER BY n_chars DESC, doc_id
+LIMIT 20
+"""
+
+
 def _score_frame(hits) -> pd.DataFrame:
     return pd.DataFrame({
         "doc_id": [d for _, d in hits],
@@ -3308,6 +3339,7 @@ def queries() -> dict:
         "search_boosting": search_boosting,
         "search_function_score": search_function_score,
         "search_function_decay": search_function_decay,
+        "discover_saved_search": discover_saved_search,
         "search_collapse": search_collapse,
         "search_mad": search_mad,
         "search_value_count": search_value_count,
@@ -3457,6 +3489,7 @@ def oracle_sql() -> dict:
         "search_boosting": SEARCH_BOOSTING_SQL,
         "search_function_score": SEARCH_FUNCTION_SCORE_SQL,
         "search_function_decay": SEARCH_FUNCTION_DECAY_SQL,
+        "discover_saved_search": DISCOVER_SAVED_SEARCH_SQL,
         "search_collapse": SEARCH_COLLAPSE_SQL,
         "search_mad": SEARCH_MAD_SQL,
         "search_value_count": SEARCH_VALUE_COUNT_SQL,

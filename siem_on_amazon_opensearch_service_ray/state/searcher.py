@@ -630,6 +630,57 @@ def _shard_range_values(r: ShardReader, p: int, tombstones: np.ndarray,
     return np.concatenate(out) if out else np.zeros(0)
 
 
+def _field_sort_partials(index_dir: str, sort_field: str, k: int,
+                         desc: bool, cand: np.ndarray | None,
+                         tombstones: np.ndarray,
+                         dparts: list[int] | None) -> list[tuple]:
+    """Per range part, the top ``k`` (value, doc_id) pairs of the
+    (optionally candidate-restricted) live rows under (value desc|asc,
+    doc_id asc) — the shard-local half of a field-sorted search
+    (Discover's sort).  The range tables are value-sorted with doc_id
+    asc within ties, so selection is a boundary bisect + two slices,
+    never a sort: rows strictly past the k-th value all qualify
+    (< k of them), and the boundary-value run is already doc-asc so
+    its prefix fills the remainder.  Docs missing the sort field are
+    omitted (OpenSearch sorts them last; Discover never pages that
+    far)."""
+    from .shard import load_range_pairs
+    out: list[tuple] = []
+    for vals, ids in load_range_pairs(index_dir, sort_field,
+                                      dparts=dparts):
+        keep = None
+        if tombstones.size:
+            keep = _excl_mask(ids, tombstones)
+        if cand is not None:
+            pos = np.minimum(np.searchsorted(cand, ids),
+                             max(cand.size - 1, 0))
+            m = (cand[pos] == ids) if cand.size else \
+                np.zeros(ids.size, dtype=bool)
+            keep = m if keep is None else (keep & m)
+        if keep is not None:
+            vals, ids = vals[keep], ids[keep]
+        n = vals.size
+        if n == 0:
+            continue
+        if n <= k:
+            out.extend(zip(vals.tolist(), ids.tolist()))
+            continue
+        if desc:
+            boundary = vals[n - k]
+            hi = int(np.searchsorted(vals, boundary, side="right"))
+            lo = int(np.searchsorted(vals, boundary, side="left"))
+            need = k - (n - hi)
+            out.extend(zip(vals[hi:].tolist(), ids[hi:].tolist()))
+            out.extend(zip(vals[lo:lo + need].tolist(),
+                           ids[lo:lo + need].tolist()))
+        else:
+            boundary = vals[k - 1]
+            lo = int(np.searchsorted(vals, boundary, side="left"))
+            out.extend(zip(vals[:lo].tolist(), ids[:lo].tolist()))
+            out.extend(zip(vals[lo:k].tolist(), ids[lo:k].tolist()))
+    return out
+
+
 def _bisect_ranks(count_le, ranks: list[int], lo_ord: int, hi_ord: int
                   ) -> dict[int, float]:
     """Distributed-selection backbone shared by the exact percentile
@@ -1108,6 +1159,35 @@ class PartActor:
             w += sum(c for _, c in _count_filter_values(
                 r.index_dir, agg_field, cand, dparts=[p]))
         return w, n
+
+    def sort_local(self, sort_field: str, k: int, desc: bool,
+                   field: str, q_terms: list[str] | None, mode: str,
+                   filter_field: str | None, filter_value: str | None
+                   ) -> list[tuple]:
+        """Doc-sharded field-sorted search partial (Discover's sort):
+        each shard's local top-k (value, doc_id) under the
+        (optionally kuery-filtered) match set — k rows travel per
+        shard group, selected by boundary bisect on the value-sorted
+        range tables, never a per-shard sort."""
+        out: list[tuple] = []
+        for p, r in self.readers.items():
+            cand = None
+            if q_terms is not None:
+                cand = _candidate_ids(r, field, q_terms, mode)
+                if cand.size == 0:
+                    continue
+            if filter_field is not None:
+                f = r.filter_docs(filter_field, filter_value, dparts=[p])
+                cand = f if cand is None else \
+                    cand[np.isin(cand, f, assume_unique=True)]
+                if cand.size == 0:
+                    continue
+            out.extend(_field_sort_partials(
+                r.index_dir, sort_field, k, desc, cand,
+                self.tombstones, dparts=[p]))
+        out.sort(key=(lambda t: (-t[0], t[1])) if desc
+                 else (lambda t: (t[0], t[1])))
+        return out[:k]
 
     def composite_local(self, sources: list[str], field: str,
                         q_terms: list[str] | None, mode: str
@@ -1729,6 +1809,62 @@ class Searcher:
         if not tables:
             return None
         return _pa.concat_tables(tables)
+
+    def field_sorted_search(self, sort_field: str, k: int = 500,
+                            desc: bool = True, query: str = "",
+                            field: str = "content", mode: str = "or",
+                            filter_field: str | None = None,
+                            filter_value: str | None = None,
+                            analyzer: str | None = None
+                            ) -> list[tuple]:
+        """Field-sorted top-k over the (optionally filtered) match set
+        — Discover's execution shape (saved searches: kuery filter +
+        ``@timestamp`` desc + page fetch; the reference ships one such
+        saved search with every dashboard,
+        source/saved_objects/each-dashboard/*.ndjson).  Returns
+        [(sort_value, doc_id)] under (value desc|asc, doc_id asc).
+
+        The sort values come from the doc-range-partitioned range
+        tables, which are value-sorted per part — so each part's local
+        top-k is a boundary bisect + two slices (no sort), and on the
+        doc layout each shard ships exactly k rows (``sort_local``).
+        Match-all (empty query, no filter) walks no postings at all.
+        Docs missing the sort field are omitted."""
+        q_terms: list[str] | None = None
+        if query:
+            an = ANALYZERS[self._analyzer_for(field, analyzer)]
+            q_terms = an(query)
+            if not q_terms:
+                return []
+        if self.use_actors and self._partition_by == "doc":
+            locs = ray.get([
+                a.sort_local.remote(sort_field, k, desc, field, q_terms,
+                                    mode, filter_field, filter_value)
+                for a in self.actors])
+            cands = [t for loc in locs for t in loc]
+        else:
+            cand: np.ndarray | None = None
+            if q_terms is not None:
+                if self._partition_by == "doc":
+                    parts = [c for c in (
+                        _candidate_ids(r, field, q_terms, mode)
+                        for r in self.readers.values()) if c.size]
+                    cand = (np.sort(np.concatenate(parts)) if parts
+                            else np.zeros(0, np.uint64))
+                else:
+                    cand = self._match_ids(field, q_terms, mode)
+            if filter_field is not None:
+                f = self._filter_ids(filter_field, filter_value)
+                cand = f if cand is None else \
+                    cand[np.isin(cand, f, assume_unique=True)]
+            if cand is not None and cand.size == 0:
+                return []
+            cands = _field_sort_partials(
+                self.index_dir, sort_field, k, desc, cand,
+                self.tombstones, dparts=self._local_parts)
+        cands.sort(key=(lambda t: (-t[0], t[1])) if desc
+                   else (lambda t: (t[0], t[1])))
+        return cands[:k]
 
     def more_like_this(self, like_text: str | None = None,
                        doc_id: int | None = None, field: str = "content",

@@ -279,3 +279,96 @@ def test_unsupported_panels_flagged():
          "params": {"field": "x", "size": 5}},
     ], query='a:"1" AND b:"2"')
     assert not kql.supported and "kuery" in kql.reason
+
+
+@pytest.fixture(scope="module")
+def discover_index(ray_session, tmp_path_factory):
+    """ECS-shaped fixture for Discover saved searches: @timestamp
+    epoch-micros range field + the threat_hunting columns' keyword
+    subset."""
+    root = tmp_path_factory.mktemp("discover")
+    n = 200
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": [f"event {'deny' if i % 5 else 'allow'} flow"
+                 for i in range(n)],
+        "@timestamp": pa.array(
+            [1_700_000_000_000_000 + (i * 7919) % 1_000_000_000
+             for i in range(n)], pa.int64()),
+        "user.name": [f"user{i % 7}" for i in range(n)],
+        "source.ip": [f"10.0.{i % 4}.{i % 250}" for i in range(n)],
+        "@log_type": [["vpcflowlogs", "cloudtrail"][i % 2]
+                      for i in range(n)],
+    })
+    src = str(root / "d.parquet")
+    pq.write_table(t, src)
+    idx = str(root / "idx")
+    build_index([src], idx, IndexConfig(
+        num_partitions=2, fields=(("content", "text", "base"),),
+        keyword_fields=("user.name", "@log_type"),
+        range_fields=("@timestamp",), doc_id_col="doc_id",
+        sha_col="text", salting=False))
+    s = Searcher(idx, use_actors=False)
+    yield s, t
+    s.close()
+
+
+REF_THREAT_HUNTING = ("/root/reference/source/saved_objects/"
+                      "each-dashboard/threat_hunting.ndjson")
+
+
+def test_execute_reference_saved_search_verbatim(discover_index):
+    """A VERBATIM reference saved search (threat_hunting's '_ECS
+    Fields': sort [['@timestamp','desc']], ECS column list, empty
+    kuery) executes end-to-end: kuery filter + @timestamp desc +
+    docstore column fetch."""
+    from siem_on_amazon_opensearch_service_ray.pipelines.dashboards import (
+        execute_search)
+    s, t = discover_index
+    so = parse_saved_objects(open(REF_THREAT_HUNTING).read())
+    saved = next(x for x in so.searches
+                 if x["sort"] == [["@timestamp", "desc"]])
+    out = execute_search(s, saved, k=50)
+    assert out.num_rows == 50
+    ts = out.column("@timestamp").to_pylist()
+    assert ts == sorted(ts, reverse=True)
+    # the saved columns that exist in the docstore ride along
+    assert {"user.name", "@log_type"} <= set(out.column_names)
+    # parity with a pandas reference over the source table
+    df = t.to_pandas().sort_values(
+        ["@timestamp", "doc_id"], ascending=[False, True]).head(50)
+    assert out.column("doc_id").to_pylist() == df["doc_id"].tolist()
+    assert out.column("user.name").to_pylist() == df["user.name"].tolist()
+
+
+def test_execute_saved_search_kuery_and_asc(discover_index):
+    from siem_on_amazon_opensearch_service_ray.pipelines.dashboards import (
+        execute_search)
+    s, t = discover_index
+    saved = {"title": "s", "columns": ["source.ip"],
+             "sort": [["@timestamp", "asc"]],
+             "query": '@log_type:"cloudtrail"', "language": "kuery"}
+    out = execute_search(s, saved, k=20)
+    df = t.to_pandas()
+    df = df[df["@log_type"] == "cloudtrail"].sort_values(
+        ["@timestamp", "doc_id"]).head(20)
+    assert out.column("doc_id").to_pylist() == df["doc_id"].tolist()
+    assert out.column("source.ip").to_pylist() == df["source.ip"].tolist()
+    # bare-term fulltext query path
+    saved = {"title": "s", "columns": [], "sort": [],
+             "query": "allow", "language": "kuery"}
+    out = execute_search(s, saved, k=10)
+    allow = df0 = t.to_pandas()
+    allow = allow[allow["text"].str.contains("allow")]
+    want = allow.sort_values(["@timestamp", "doc_id"],
+                             ascending=[False, True]).head(10)
+    assert out.column("doc_id").to_pylist() == want["doc_id"].tolist()
+
+
+def test_execute_saved_search_unsupported_kuery(discover_index):
+    from siem_on_amazon_opensearch_service_ray.pipelines.dashboards import (
+        execute_search)
+    s, _ = discover_index
+    with pytest.raises(ValueError, match="kuery"):
+        execute_search(s, {"query": 'a:"1" and b:"2"', "columns": [],
+                           "sort": []})
