@@ -2677,6 +2677,81 @@ GROUP BY d.lang
 """
 
 
+DOCS_TEMPLATE_CONSOLE = """
+PUT _component_template/component_template_log
+{
+  "template": {
+    "settings": {"index.mapping.ignore_malformed": true},
+    "mappings": {
+      "dynamic_templates": [{
+        "strings": {
+          "match_mapping_type": "string",
+          "mapping": {"type": "keyword"}
+        }
+      }],
+      "properties": {
+        "text": {"type": "text"},
+        "n_chars": {"type": "long"}
+      }
+    }
+  }
+}
+
+PUT _index_template/log-docs_aws
+{
+  "index_patterns": ["log-docs-*"],
+  "priority": 1,
+  "composed_of": ["component_template_log"],
+  "template": {}
+}
+"""
+
+
+def template_classified_agg(sf_dir: str) -> pd.DataFrame:
+    """Field classification driven by a reference-format component/
+    index template (deploy_es/command_index.txt shape: the dynamic
+    string->keyword rule, curated text properties, ignore_malformed
+    settings): the documents index is built from
+    ``index_config_from_template`` — ``text`` is the template's
+    curated text field, ``lang``/``source`` fall through the dynamic
+    string rule to keywords, ``n_chars`` is an explicit long -> range
+    field — then a terms aggregation groups the match set by the
+    DYNAMICALLY-classified ``source`` keyword.  Doc-partitioned:
+    per-shard partial counts sum at the driver."""
+    from .templates import TemplateStore, index_config_from_template
+    store = TemplateStore.from_console(DOCS_TEMPLATE_CONSOLE)
+    cfg, cl = index_config_from_template(
+        store, "log-docs-2026-01",
+        {"text": "string", "lang": "string", "source": "string",
+         "n_chars": "int64"},
+        doc_id_col="doc_id", num_partitions=4, partition_by="doc",
+        analyzer="base")
+    assert "source" in cl.keyword_fields and "n_chars" in cl.range_fields
+    idx = _docs_index_dir(sf_dir) + "_tmpl"
+    build_index(_docs_source(sf_dir), idx, cfg, resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        agg = s.terms_aggregation(BM25_QUERY, "source", field="text")
+    finally:
+        s.close()
+    return pd.DataFrame({"source": [v for v, _ in agg],
+                         "n": np.array([n for _, n in agg],
+                                       dtype=np.int64)})
+
+
+TEMPLATE_CLASSIFIED_AGG_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))}))
+SELECT d.source, count(*) AS n
+FROM documents d JOIN m USING(doc_id)
+GROUP BY d.source
+"""
+
+
 MLT_TEXT = "spark spark join window vector dup stream hash"
 MLT_MAX_TERMS = 6
 
@@ -3340,6 +3415,7 @@ def queries() -> dict:
         "search_function_score": search_function_score,
         "search_function_decay": search_function_decay,
         "discover_saved_search": discover_saved_search,
+        "template_classified_agg": template_classified_agg,
         "search_collapse": search_collapse,
         "search_mad": search_mad,
         "search_value_count": search_value_count,
@@ -3490,6 +3566,7 @@ def oracle_sql() -> dict:
         "search_function_score": SEARCH_FUNCTION_SCORE_SQL,
         "search_function_decay": SEARCH_FUNCTION_DECAY_SQL,
         "discover_saved_search": DISCOVER_SAVED_SEARCH_SQL,
+        "template_classified_agg": TEMPLATE_CLASSIFIED_AGG_SQL,
         "search_collapse": SEARCH_COLLAPSE_SQL,
         "search_mad": SEARCH_MAD_SQL,
         "search_value_count": SEARCH_VALUE_COUNT_SQL,

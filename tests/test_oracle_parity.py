@@ -84,6 +84,7 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "search_multi_match_cross", "search_constant_score",
               "search_boosting", "search_function_score",
               "search_function_decay", "discover_saved_search",
+              "template_classified_agg",
               "search_collapse", "search_mad", "search_value_count"]
 
 
