@@ -56,7 +56,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--type", dest="qtype", default="term",
                    choices=["term", "bool", "phrase", "phrase-prefix",
                             "prefix", "wildcard", "fuzzy", "span",
-                            "span-expr", "qs"])
+                            "span-expr", "qs", "constant-score",
+                            "boosting", "function-score", "collapse"])
     s.add_argument("--must", action="append", default=[])
     s.add_argument("--should", action="append", default=[])
     s.add_argument("--must-not", action="append", default=[])
@@ -74,6 +75,23 @@ def main(argv: list[str] | None = None) -> int:
                    metavar="FIELD:LO:HI")
     s.add_argument("--search-after", default=None, metavar="SCORE,DOC_ID",
                    help="previous page's last hit (deep paging)")
+    s.add_argument("--boost", type=float, default=1.0,
+                   help="constant-score: the fixed score per hit")
+    s.add_argument("--negative", default=None,
+                   help="boosting: the demotion clause text")
+    s.add_argument("--negative-boost", type=float, default=0.5)
+    s.add_argument("--value-field", default=None,
+                   help="function-score: numeric field for "
+                        "field_value_factor")
+    s.add_argument("--factor", type=float, default=1.0)
+    s.add_argument("--modifier", default="none",
+                   choices=["none", "log1p", "sqrt"])
+    s.add_argument("--boost-mode", default="multiply",
+                   choices=["multiply", "sum", "avg", "min", "max",
+                            "replace"])
+    s.add_argument("--collapse-field", default=None,
+                   help="collapse: keep the best hit per value of this "
+                        "keyword field")
     s.add_argument("--fetch", action="store_true",
                    help="fetch docstore metadata for the hits")
     s.add_argument("--num-cpus", type=int, default=None)
@@ -115,6 +133,15 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("--completion", action="store_true",
                     help="prefix autocomplete: top completions by doc "
                          "frequency")
+    sg.add_argument("--fuzziness", type=int, default=0,
+                    help="completion: allow this many edits in the "
+                         "typed prefix (fuzzy completion)")
+    sg.add_argument("--prefix-length", type=int, default=1,
+                    help="completion: literal prefix chars kept exact "
+                         "under --fuzziness")
+    sg.add_argument("--context", default=None, metavar="FIELD=VALUE",
+                    help="completion: rank by doc frequency within "
+                         "this keyword context (context suggester)")
     sg.add_argument("--num-cpus", type=int, default=None)
 
     ex = sub.add_parser("explain",
@@ -334,10 +361,16 @@ def main(argv: list[str] | None = None) -> int:
             searcher = Searcher(args.index_dir, use_actors=True)
             try:
                 if args.completion:
+                    cf = cv = None
+                    if args.context:
+                        cf, _, cv = args.context.partition("=")
                     out = [{"term": t, "df": n}
                            for t, n in searcher.suggest_completion(
                                args.text, field=args.field,
-                               size=args.size)]
+                               size=args.size,
+                               fuzziness=args.fuzziness,
+                               prefix_length=args.prefix_length,
+                               context_field=cf, context_value=cv)]
                 elif args.phrase:
                     out = [{"phrase": p, "score": round(sc, 6)}
                            for p, sc in searcher.suggest_phrase(
@@ -421,6 +454,53 @@ def main(argv: list[str] | None = None) -> int:
                     hits = [(float(n), d) for n, d in
                             searcher.span_query(json.loads(args.query),
                                                 args.field, args.k)]
+                elif qt in ("constant-score", "boosting",
+                            "function-score", "collapse"):
+                    # doc layout + actors -> the per-shard execution
+                    # path; anything else -> the driver path
+                    sharded = (searcher.use_actors and
+                               searcher._partition_by == "doc")
+                    if qt == "constant-score":
+                        fn = (searcher.constant_score_sharded if sharded
+                              else searcher.constant_score)
+                        hits = fn(args.query, field=args.field,
+                                  mode=args.mode, boost=args.boost,
+                                  k=args.k)
+                    elif qt == "boosting":
+                        if not args.negative:
+                            raise SystemExit(
+                                "--type boosting needs --negative")
+                        fn = (searcher.boosting_search_sharded if sharded
+                              else searcher.boosting_search)
+                        hits = fn(args.query, args.negative,
+                                  negative_boost=args.negative_boost,
+                                  field=args.field, k=args.k)
+                    elif qt == "function-score":
+                        if not args.value_field:
+                            raise SystemExit(
+                                "--type function-score needs "
+                                "--value-field")
+                        fn = (searcher.function_score_sharded if sharded
+                              else searcher.function_score)
+                        hits = fn(args.query, field=args.field,
+                                  value_field=args.value_field,
+                                  factor=args.factor,
+                                  modifier=args.modifier,
+                                  boost_mode=args.boost_mode, k=args.k)
+                    else:
+                        if not args.collapse_field:
+                            raise SystemExit(
+                                "--type collapse needs --collapse-field")
+                        fn = (searcher.collapse_search_sharded if sharded
+                              else searcher.collapse_search)
+                        rows = fn(args.query, args.collapse_field,
+                                  field=args.field, k=args.k)
+                        out = [{"rank": i, "doc_id": d,
+                                "score": round(sc, 4),
+                                args.collapse_field: v}
+                               for i, (sc, d, v) in enumerate(rows)]
+                        print(json.dumps(out, indent=2))
+                        return 0
                 else:
                     hits = searcher.search(
                         args.query, field=args.field, k=args.k,

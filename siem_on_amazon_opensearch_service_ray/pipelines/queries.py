@@ -1649,6 +1649,83 @@ def search_suggest_completion(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def search_suggest_fuzzy(sf_dir: str) -> pd.DataFrame:
+    """FUZZY completion suggester (Lucene FuzzyCompletionQuery): the
+    typo'd input 'sprt' still autocompletes — terms some prefix of
+    which is within 1 edit of the input (first char literal,
+    prefix_length=1), ranked df desc then term asc.  Executed on the
+    DOC-sharded index: each shard probes only its own dictionary
+    slice (prefix bisect, then the banded prefix-edit DP);
+    transpositions off so DuckDB's levenshtein() is the exact
+    oracle."""
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        rows = s.suggest_completion("sprt", field="content", size=5,
+                                    fuzziness=1, prefix_length=1,
+                                    transpositions=False)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "term": [t for t, _ in rows],
+        "df": np.array([n for _, n in rows], dtype=np.int64),
+    })
+
+
+SEARCH_SUGGEST_FUZZY_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+vocab AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+pd AS (
+  -- prefix-edit distance: min over prefixes; prefixes longer than
+  -- len(input)+fuzziness can't come under the budget, so j <= 5
+  -- suffices (substr clamps past the term end)
+  SELECT v.term, v.df,
+         min(levenshtein('sprt', substr(v.term, 1, g.j))) AS pdist
+  FROM vocab v CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS j) g
+  GROUP BY v.term, v.df)
+SELECT term, df FROM pd
+WHERE pdist <= 1 AND substr(term, 1, 1) = 's'
+ORDER BY df DESC, term
+LIMIT 5
+"""
+
+
+def search_suggest_context(sf_dir: str) -> pd.DataFrame:
+    """Context suggester: completions of 's' ranked by doc frequency
+    WITHIN the source="src1" category context (OpenSearch completion
+    contexts).  Doc-sharded: each shard intersects its candidates'
+    postings with its own filter part; (term, partial-count) pairs
+    travel."""
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        rows = s.suggest_completion("s", field="content", size=5,
+                                    context_field="source",
+                                    context_value="src1")
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "term": [t for t, _ in rows],
+        "df": np.array([n for _, n in rows], dtype=np.int64),
+    })
+
+
+SEARCH_SUGGEST_CONTEXT_SQL = """
+WITH tok AS (
+  SELECT d.doc_id, unnest(regexp_extract_all(lower(d.text), '[a-z0-9_]+'))
+           AS term
+  FROM documents d WHERE d.source = 'src1')
+SELECT term, cast(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM tok
+WHERE term LIKE 's%'
+GROUP BY term
+ORDER BY df DESC, term
+LIMIT 5
+"""
+
+
 def search_sigterms(sf_dir: str) -> pd.DataFrame:
     """Significant-terms aggregation (JLH) over lang: foreground =
     docs matching 'dup', background = the whole corpus."""
@@ -3416,6 +3493,8 @@ def queries() -> dict:
         "search_function_decay": search_function_decay,
         "discover_saved_search": discover_saved_search,
         "template_classified_agg": template_classified_agg,
+        "search_suggest_fuzzy": search_suggest_fuzzy,
+        "search_suggest_context": search_suggest_context,
         "search_collapse": search_collapse,
         "search_mad": search_mad,
         "search_value_count": search_value_count,
@@ -3567,6 +3646,8 @@ def oracle_sql() -> dict:
         "search_function_decay": SEARCH_FUNCTION_DECAY_SQL,
         "discover_saved_search": DISCOVER_SAVED_SEARCH_SQL,
         "template_classified_agg": TEMPLATE_CLASSIFIED_AGG_SQL,
+        "search_suggest_fuzzy": SEARCH_SUGGEST_FUZZY_SQL,
+        "search_suggest_context": SEARCH_SUGGEST_CONTEXT_SQL,
         "search_collapse": SEARCH_COLLAPSE_SQL,
         "search_mad": SEARCH_MAD_SQL,
         "search_value_count": SEARCH_VALUE_COUNT_SQL,

@@ -1160,6 +1160,32 @@ class PartActor:
                 r.index_dir, agg_field, cand, dparts=[p]))
         return w, n
 
+    def context_dfs_local(self, field: str, terms: list[str],
+                          context_field: str, context_value: str
+                          ) -> dict[str, int]:
+        """Context-suggester partial: per candidate term, this shard
+        group's live doc count within the keyword context — postings
+        meet the filter part where both live; only (term, count)
+        pairs travel."""
+        out: dict[str, int] = {}
+        for p, r in self.readers.items():
+            filt = r.filter_docs(context_field, context_value,
+                                 dparts=[p])
+            if filt.size == 0:
+                continue
+            for t in terms:
+                cand = _candidate_ids(r, field, [t], "or")
+                if cand.size and self.tombstones.size:
+                    cand = cand[_excl_mask(cand, self.tombstones)]
+                if cand.size == 0:
+                    continue
+                pos = np.minimum(np.searchsorted(filt, cand),
+                                 filt.size - 1)
+                n = int(np.count_nonzero(filt[pos] == cand))
+                if n:
+                    out[t] = out.get(t, 0) + n
+        return out
+
     def sort_local(self, sort_field: str, k: int, desc: bool,
                    field: str, q_terms: list[str] | None, mode: str,
                    filter_field: str | None, filter_value: str | None
@@ -2188,7 +2214,11 @@ class Searcher:
 
     def suggest_completion(self, prefix: str, field: str = "content",
                            size: int = 5,
-                           max_expansions: int = 1 << 20
+                           max_expansions: int = 1 << 20,
+                           fuzziness: int = 0, prefix_length: int = 1,
+                           transpositions: bool = True,
+                           context_field: str | None = None,
+                           context_value: str | None = None
                            ) -> list[tuple[str, int]]:
         """OpenSearch completion suggester (search-as-you-type
         autocomplete): dictionary terms extending ``prefix``, ranked
@@ -2198,14 +2228,75 @@ class Searcher:
         the FST analogue — each part bisects its own dictionary
         (O(log vocab + matches)) and only term strings + dfs travel —
         and df is the default weight (reference dashboards use the
-        suggester unweighted)."""
-        terms = self.expand_terms(prefix.lower(), field, "prefix",
-                                  max_expansions)
-        dfs = self._term_dfs(field, terms)
+        suggester unweighted).
+
+        ``fuzziness`` > 0 enables FUZZY completion (Lucene
+        FuzzyCompletionQuery): terms some prefix of which is within
+        ``fuzziness`` edits of the typed input (OSA transpositions
+        count one edit by default, Lucene's fuzzy-automaton rule);
+        candidates keep the first ``prefix_length`` chars literal
+        (the suggester default 1), so the dictionary probe stays a
+        bisected slice.
+
+        ``context_field``/``context_value`` is the category CONTEXT:
+        suggestions ranked by df WITHIN docs carrying that keyword
+        value (OpenSearch context suggester).  On the doc layout each
+        shard intersects its own candidates' postings with its own
+        filter part and ships (term, partial-count) pairs."""
+        p = prefix.lower()
+        if fuzziness > 0:
+            terms = self.expand_terms(
+                p, field, "completion_fuzzy", max_expansions,
+                fuzziness, transpositions, p[:prefix_length])
+        else:
+            terms = self.expand_terms(p, field, "prefix", max_expansions)
+        if context_field is None:
+            dfs = self._term_dfs(field, terms)
+        else:
+            dfs = self._context_dfs(field, terms, context_field,
+                                    context_value)
         ranked = sorted(((t, int(dfs.get(t, 0))) for t in terms
                          if dfs.get(t, 0) > 0),
                         key=lambda kv: (-kv[1], kv[0]))
         return ranked[:size]
+
+    def _context_dfs(self, field: str, terms: list[str],
+                     context_field: str, context_value: str
+                     ) -> dict[str, int]:
+        """Per-term live doc count WITHIN a keyword context — the
+        context suggester's ranking weight.  Doc layout: shard-local
+        postings ∩ shard-local filter part, (term, count) pairs
+        travel.  Term layout: each term's postings live in one part;
+        the (global, doc-partitioned) filter ids probe them there."""
+        if not terms:
+            return {}
+        if self.use_actors:
+            out: dict[str, int] = {}
+            for d in ray.get([
+                    a.context_dfs_local.remote(field, terms,
+                                               context_field,
+                                               context_value)
+                    for a in self.actors]):
+                for t, n in d.items():
+                    out[t] = out.get(t, 0) + n
+            return out
+        filt = self._filter_ids(context_field, context_value)
+        if filt.size == 0:
+            return {}
+        out = {}
+        for r in self.readers.values():
+            for t in terms:
+                cand = _candidate_ids(r, field, [t], "or")
+                if cand.size and self.tombstones.size:
+                    cand = cand[_excl_mask(cand, self.tombstones)]
+                if cand.size == 0:
+                    continue
+                pos = np.minimum(np.searchsorted(filt, cand),
+                                 filt.size - 1)
+                n = int(np.count_nonzero(filt[pos] == cand))
+                if n:
+                    out[t] = out.get(t, 0) + n
+        return out
 
     def explain(self, query: str, doc_id: int, field: str = "content",
                 analyzer: str | None = None,

@@ -302,6 +302,17 @@ class ShardReader:
             sel &= missing <= fuzziness
             return [terms[i] for i in np.nonzero(sel)[0]
                     if pred(pattern, terms[i], fuzziness)]
+        if kind == "completion_fuzzy":
+            # fuzzy completion (Lucene FuzzyCompletionQuery): terms
+            # whose SOME prefix is within `fuzziness` edits of the
+            # typed input; candidates restricted to the literal
+            # `prefix` (suggester prefix_length, default 1) so the
+            # probe bisects the dictionary slice first
+            cand = (self._prefix_matches(field, prefix) if prefix
+                    else self._sorted_terms(field))
+            return [t for t in cand
+                    if _prefix_edit_leq(pattern, t, fuzziness,
+                                        transpositions)]
         if kind == "regexp":
             # Lucene RegexpQuery semantics: the pattern is implicitly
             # anchored (must match the WHOLE term), hence fullmatch.
@@ -460,6 +471,40 @@ def _levenshtein_leq(a: str, b: str, d: int) -> bool:
             return False
         prev = cur
     return prev[-1] <= d
+
+
+def _prefix_edit_leq(q: str, t: str, d: int,
+                     transpositions: bool = True) -> bool:
+    """True when the edit distance from ``q`` to SOME PREFIX of ``t``
+    is <= ``d`` — the fuzzy-completion predicate (Lucene
+    FuzzyCompletionQuery: the typed input may contain up to d edits
+    and the suggestion still completes it).  min over the DP's last
+    row = distance to the best prefix; columns stop at len(q)+d
+    (distance >= |j - len(q)| beyond).  ``transpositions`` uses the
+    OSA recurrence (adjacent swap = 1 edit, Lucene's fuzzy-automaton
+    default)."""
+    if d == 0:
+        return t.startswith(q)
+    jmax = min(len(t), len(q) + d)
+    prev2: list[int] | None = None
+    prev = list(range(jmax + 1))     # D[0][j] = j
+    for i, cq in enumerate(q, 1):
+        cur = [i]
+        for j in range(1, jmax + 1):
+            ct = t[j - 1]
+            v = min(prev[j] + 1, cur[j - 1] + 1,
+                    prev[j - 1] + (cq != ct))
+            if (transpositions and prev2 is not None and i > 1 and
+                    j > 1 and cq == t[j - 2] and q[i - 2] == ct):
+                v = min(v, prev2[j - 2] + 1)
+            cur.append(v)
+        if min(cur) > d:
+            # row minima are non-decreasing (every recurrence term
+            # references an earlier row's cell), so no later row
+            # can come back under the budget
+            return False
+        prev2, prev = prev, cur
+    return min(prev) <= d
 
 
 def load_filter_value_counts(index_dir: str, field: str,

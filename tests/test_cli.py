@@ -119,3 +119,40 @@ def test_cli_training_ops(ray_session, tmp_path, capsys):
                              str(tmp_path / "dc"), "--ngram", "3"])
     assert out["docs"] == n and out["contaminated"] == n  # self-overlap
     assert (tmp_path / "packed").is_dir() and (tmp_path / "dc").is_dir()
+
+
+def test_cli_scoring_query_types(cli_index, capsys):
+    idx, docs = cli_index
+    out = _run_json(capsys, ["search", idx, "spark", "--type",
+                             "constant-score", "--boost", "2.5",
+                             "--k", "5"])
+    assert out and all(r["score"] == 2.5 for r in out)
+    out = _run_json(capsys, ["search", idx, "spark join", "--type",
+                             "boosting", "--negative", "sql",
+                             "--negative-boost", "0.4", "--k", "5"])
+    assert out
+    out = _run_json(capsys, ["search", idx, "spark join", "--type",
+                             "collapse", "--collapse-field", "lang",
+                             "--k", "5"])
+    assert out and all("lang" in r for r in out)
+    assert len({r["lang"] for r in out}) == len(out)
+    # no range fields in this index: every doc's value defaults to 0,
+    # boost_mode=sum keeps the BM25 ranking -> plain smoke
+    out = _run_json(capsys, ["search", idx, "spark", "--type",
+                             "function-score", "--value-field", "nope",
+                             "--boost-mode", "sum", "--k", "3"])
+    assert out
+
+
+def test_cli_completion_fuzzy_and_context(cli_index, capsys):
+    idx, _ = cli_index
+    out = _run_json(capsys, ["suggest", idx, "sp", "--completion"])
+    assert [r["term"] for r in out][:1] == ["spark"]
+    # fuzzy completion: 'sprk' (missing a) still completes to spark
+    out = _run_json(capsys, ["suggest", idx, "sprk", "--completion",
+                             "--fuzziness", "1"])
+    assert "spark" in [r["term"] for r in out]
+    # context: df counted within lang=py docs only
+    out = _run_json(capsys, ["suggest", idx, "sp", "--completion",
+                             "--context", "lang=py"])
+    assert out and out[0]["term"] == "spark"

@@ -84,7 +84,8 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "search_multi_match_cross", "search_constant_score",
               "search_boosting", "search_function_score",
               "search_function_decay", "discover_saved_search",
-              "template_classified_agg",
+              "template_classified_agg", "search_suggest_fuzzy",
+              "search_suggest_context",
               "search_collapse", "search_mad", "search_value_count"]
 
 

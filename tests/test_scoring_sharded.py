@@ -214,3 +214,73 @@ def test_value_count_sharded(pair):
                  if terms & set(d.split())]
         want_with = sum(1 for i in match if langs[i] is not None)
         assert a == (want_with, len(match) - want_with)
+
+
+def _prefix_edit_ref(q, t, transpositions=True):
+    """Reference prefix-edit distance: min edit distance from q to any
+    prefix of t (OSA transpositions)."""
+    best = len(q)
+    for j in range(len(t) + 1):
+        p = t[:j]
+        D = [[0] * (len(p) + 1) for _ in range(len(q) + 1)]
+        for i in range(len(q) + 1):
+            D[i][0] = i
+        for jj in range(len(p) + 1):
+            D[0][jj] = jj
+        for i in range(1, len(q) + 1):
+            for jj in range(1, len(p) + 1):
+                D[i][jj] = min(D[i - 1][jj] + 1, D[i][jj - 1] + 1,
+                               D[i - 1][jj - 1]
+                               + (q[i - 1] != p[jj - 1]))
+                if (transpositions and i > 1 and jj > 1
+                        and q[i - 1] == p[jj - 2]
+                        and q[i - 2] == p[jj - 1]):
+                    D[i][jj] = min(D[i][jj], D[i - 2][jj - 2] + 1)
+        best = min(best, D[len(q)][len(p)])
+    return best
+
+
+def test_completion_fuzzy(pair):
+    st, sd, docs, _ = pair
+    # 'sprk' with one edit completes to spark (and nothing else here)
+    got = sd.suggest_completion("sprk", fuzziness=1, size=10)
+    assert [t for t, _ in got] == ["spark"]
+    # expansion set == brute-force prefix-edit distance over the vocab,
+    # same on both layouts
+    for q, d in [("sprk", 1), ("sq", 1), ("tble", 1), ("xy", 2)]:
+        want = sorted(t for t in VOCAB
+                      if t[:1] == q[:1]
+                      and _prefix_edit_ref(q, t) <= d)
+        for s in (st, sd):
+            exp = s.expand_terms(q, "content", "completion_fuzzy",
+                                 1 << 20, d, True, q[:1])
+            assert exp == want, (q, d, exp, want)
+    # transposition counts one edit: 'jion' -> join
+    got = sd.suggest_completion("jion", fuzziness=1, size=5)
+    assert [t for t, _ in got] == ["join"]
+    got = sd.suggest_completion("jion", fuzziness=1, size=5,
+                                transpositions=False)
+    assert got == []
+
+
+def test_completion_context(pair):
+    st, sd, docs, t = pair
+    langs = t.column("lang").to_pylist()
+    # brute-force: df of each s-term within lang=py docs
+    want = {}
+    for term in VOCAB:
+        if not term.startswith("s"):
+            continue
+        n = sum(1 for i, d in enumerate(docs)
+                if langs[i] == "py" and term in d.split())
+        if n:
+            want[term] = n
+    for s in (st, sd):
+        got = s.suggest_completion("s", size=20, context_field="lang",
+                                   context_value="py")
+        assert dict(got) == want
+        # ranking: df desc, term asc
+        assert got == sorted(got, key=lambda kv: (-kv[1], kv[0]))
+    # empty context -> no suggestions
+    assert sd.suggest_completion("s", context_field="lang",
+                                 context_value="zz") == []
