@@ -3449,18 +3449,71 @@ def knn_lsh(sf_dir: str) -> pd.DataFrame:
 
 def queries() -> dict:
     # Ordered for driver CORRECTNESS coverage: the driver samples the FIRST
-    # 50 entries per round, so entries go never-driver-checked first (tier 1:
-    # no row in any CORRECTNESS_r*.json), then checked-but-not-in-r03
-    # (tier 2), then round-4 additions, then the r03-green remainder.
+    # 50 entries per round. Round-5 rotation: never-driver-checked round-5
+    # additions first, then the three scoring ops whose execution path was
+    # rewritten this round (doc-sharded partials), then every entry whose
+    # newest driver row is r03 (oldest-green-first), then the r04-green rest.
     return {
-        # --- tier 1: never driver-checked before round 4 ---
+        # --- never driver-checked (round-5 additions) ---
+        "search_function_decay": search_function_decay,
+        "discover_saved_search": discover_saved_search,
+        "template_classified_agg": template_classified_agg,
+        "search_suggest_fuzzy": search_suggest_fuzzy,
+        "search_suggest_context": search_suggest_context,
+        # --- execution path rewritten in round 5 (doc-sharded partials) ---
+        "search_collapse": search_collapse,
+        "search_function_score": search_function_score,
+        "search_value_count": search_value_count,
+        # --- newest driver row is r03 (oldest-green-first) ---
+        "phrase_docs": phrase_docs,
+        "phrase_prefix_docs": phrase_prefix_docs,
+        "phrase_prefix_sharded": phrase_prefix_sharded,
+        "phrase_sharded": phrase_sharded,
+        "search_and_topk": search_and_topk,
+        "search_bool_sharded": search_bool_sharded,
+        "search_bool_topk": search_bool_topk,
+        "search_cardinality": search_cardinality,
+        "search_composite": search_composite,
+        "search_doc_sharded": search_doc_sharded,
+        "search_filters_agg": search_filters_agg,
+        "search_fuzzy": search_fuzzy,
+        "search_fuzzy_sharded": search_fuzzy_sharded,
+        "search_histogram": search_histogram,
+        "search_histogram_empty_buckets": search_histogram_empty_buckets,
+        "search_histogram_pipeline": search_histogram_pipeline,
+        "search_lang_agg": search_lang_agg,
+        "search_mlt": search_mlt,
+        "search_mlt_sharded": search_mlt_sharded,
+        "search_multi_match": search_multi_match,
+        "search_multi_match_sharded": search_multi_match_sharded,
+        "search_prefix": search_prefix,
+        "search_query_string": search_query_string,
+        "search_query_string_sharded": search_query_string_sharded,
+        "search_range_agg": search_range_agg,
+        "search_range_topk": search_range_topk,
+        "search_rare_terms": search_rare_terms,
+        "search_regexp": search_regexp,
+        "search_sigterms": search_sigterms,
+        "search_stats": search_stats,
+        "search_stats_distributed": search_stats_distributed,
+        "search_suggest": search_suggest,
+        "search_suggest_phrase": search_suggest_phrase,
+        "search_terms_histogram": search_terms_histogram,
+        "search_terms_stats": search_terms_stats,
+        "search_top_hits": search_top_hits,
+        "search_topk": search_topk,
+        "search_wildcard": search_wildcard,
+        "search_wildcard_sharded": search_wildcard_sharded,
+        "span_near_docs": span_near_docs,
+        "span_near_sharded": span_near_sharded,
+        "span_unordered_docs": span_unordered_docs,
+        # --- r04-green remainder (rotate back in as slots allow) ---
         "geoip_enrich_events": geoip_enrich_events,
         "etl_raw_logs": etl_raw_logs,
         "simhash_planted": simhash_planted,
         "orders_monthly": orders_monthly,
         "events_weekly": events_weekly,
         "knn_ivf": knn_ivf,
-        # --- tier 2: driver-checked in r01/r02 but displaced from r03 ---
         "minhash_pairs": minhash_pairs,
         "region_revenue": region_revenue,
         "decontaminate_docs": decontaminate_docs,
@@ -3476,7 +3529,6 @@ def queries() -> dict:
         "events_routed": events_routed,
         "events_sliding": events_sliding,
         "user_stats": user_stats,
-        # --- round-4 additions ---
         "dashboard_monthly_panel": dashboard_monthly_panel,
         "pa_firewall_logs": pa_firewall_logs,
         "search_fuzzy_damerau": search_fuzzy_damerau,
@@ -3489,22 +3541,12 @@ def queries() -> dict:
         "search_multi_match_cross": search_multi_match_cross,
         "search_constant_score": search_constant_score,
         "search_boosting": search_boosting,
-        "search_function_score": search_function_score,
-        "search_function_decay": search_function_decay,
-        "discover_saved_search": discover_saved_search,
-        "template_classified_agg": template_classified_agg,
-        "search_suggest_fuzzy": search_suggest_fuzzy,
-        "search_suggest_context": search_suggest_context,
-        "search_collapse": search_collapse,
         "search_mad": search_mad,
-        "search_value_count": search_value_count,
-        # rows-only (non-SQL-expressible: blake2b signatures / ANN internals)
         "simhash_docs": simhash_docs,
         "langid_docs": langid_docs,
         "fingerprint_docs": fingerprint_docs,
         "knn_lsh": knn_lsh,
         "embedding_near_dups": embedding_near_dups,
-        # --- tier 3: r03-green entries (rotate back in as slots allow) ---
         "q1_pricing_summary": q1_pricing_summary,
         "events_hourly": events_hourly,
         "events_json_extract": events_json_extract,
@@ -3513,50 +3555,7 @@ def queries() -> dict:
         "df_terms": df_terms,
         "corpus_stats": corpus_stats,
         "bm25_topk": bm25_topk,
-        "search_topk": search_topk,
-        "search_and_topk": search_and_topk,
-        "search_doc_sharded": search_doc_sharded,
-        "search_bool_sharded": search_bool_sharded,
-        "search_mlt_sharded": search_mlt_sharded,
-        "search_fuzzy_sharded": search_fuzzy_sharded,
-        "search_wildcard_sharded": search_wildcard_sharded,
-        "search_query_string_sharded": search_query_string_sharded,
-        "phrase_sharded": phrase_sharded,
-        "span_near_sharded": span_near_sharded,
-        "phrase_prefix_sharded": phrase_prefix_sharded,
-        "search_lang_agg": search_lang_agg,
-        "search_range_agg": search_range_agg,
-        "search_filters_agg": search_filters_agg,
-        "search_composite": search_composite,
-        "search_mlt": search_mlt,
-        "search_range_topk": search_range_topk,
-        "search_bool_topk": search_bool_topk,
-        "search_prefix": search_prefix,
-        "search_wildcard": search_wildcard,
-        "search_fuzzy": search_fuzzy,
-        "search_sigterms": search_sigterms,
-        "span_near_docs": span_near_docs,
-        "span_unordered_docs": span_unordered_docs,
-        "search_regexp": search_regexp,
-        "phrase_prefix_docs": phrase_prefix_docs,
-        "search_query_string": search_query_string,
-        "search_top_hits": search_top_hits,
-        "search_cardinality": search_cardinality,
-        "search_histogram": search_histogram,
-        "search_histogram_pipeline": search_histogram_pipeline,
-        "search_multi_match": search_multi_match,
-        "search_multi_match_sharded": search_multi_match_sharded,
-        "search_suggest": search_suggest,
-        "search_suggest_phrase": search_suggest_phrase,
-        "search_rare_terms": search_rare_terms,
-        "search_terms_histogram": search_terms_histogram,
-        "search_histogram_empty_buckets": search_histogram_empty_buckets,
-        "search_stats": search_stats,
-        "search_stats_distributed": search_stats_distributed,
-        "search_terms_stats": search_terms_stats,
-        "phrase_docs": phrase_docs,
     }
-
 
 def oracle_sql() -> dict:
     return {
