@@ -486,3 +486,166 @@ def _tf_windows_event(batch: pa.Table) -> pa.Table:
             "cloud_instance_id", pa.array(_instance_ids(stream),
                                           pa.string()))
     return batch
+
+
+# ---------------------------------------------------------------------------
+# Trend Micro Deep Security over CEF (reference sf_deepsecurity.py:7-103)
+
+# ECS target <- CEF extension key (reference's deepsecurity_ecs_keys,
+# sf_deepsecurity.py:43-60), flattened to the engine's snake_case
+_DEEPSECURITY_ECS = [
+    ("destination_ip", "cef_dst", True),
+    ("destination_port", "cef_dpt", False),
+    ("destination_mac", "cef_dmac", False),
+    ("destination_bytes", "cef_out", False),
+    ("source_ip", "cef_src", True),
+    ("source_port", "cef_spt", False),
+    ("source_mac", "cef_smac", False),
+    ("source_bytes", "cef_in", False),
+    ("network_transport", "cef_proto", False),
+    ("event_action", "cef_act", False),
+    ("server_name", "cef_fluent_hostname", False),
+    ("file_path", "cef_fname", False),
+    ("event_count", "cef_cnt", False),
+    ("rule_category", "cef_cs1", False),
+    ("host_id", "cef_cn1", False),
+    ("event_original", "cef_msg", False),
+]
+
+_RE_DS_XFF = _re.compile(r"X-Forwarded-For: ([0-9.]+)")
+
+
+def _valid_ip_mask(vals: list) -> np.ndarray:
+    import ipaddress
+    out = np.zeros(len(vals), dtype=bool)
+    for i, v in enumerate(vals):
+        if v:
+            try:
+                ipaddress.ip_address(v)
+                out[i] = True
+            except ValueError:
+                pass
+    return out
+
+
+@register_transform("deepsecurity_like")
+def _tf_deepsecurity(batch: pa.Table) -> pa.Table:
+    """Deep Security CEF overlay on top of the CEF reader's ``cef_*``
+    columns (reference sf_deepsecurity.py):
+
+    - agent.name = vendor+product+version, rule.name =
+      signature_id+name, event.severity from the CEF header
+      (reference :12-18 joins the raw ``|`` fields; the CefExtract
+      stage has already split them);
+    - ``act`` "IDS:Reset" -> "DetectOnly:NotReset" (:37-40, an
+      alert-only action the raw string misrepresents);
+    - the ECS key map (:43-72) with ip-validity gating on ``.ip``
+      targets — invalid IPs keep the raw cef_ column and set nothing;
+    - source.ip falls back to ``dvc`` when unset (:75-80);
+    - TrendMicroDsPacketData: base64 decode, drop ``cookie`` header
+      lines, and an ``X-Forwarded-For`` hit overrides source.ip
+      (:82-99);
+    - the tenant columns are dropped (:101).
+    """
+    n = batch.num_rows
+
+    def col_or_nulls(name: str):
+        c = _col(batch, name)
+        return c if c is not None else pa.nulls(n, pa.string())
+
+    vendor = _col(batch, "cef_device_vendor")
+    if vendor is not None:
+        joined = pc.binary_join_element_wise(
+            pc.coalesce(vendor, ""),
+            pc.coalesce(col_or_nulls("cef_device_product"), ""),
+            pc.coalesce(col_or_nulls("cef_device_version"), ""),
+            " ")
+        batch = batch.append_column("agent_name", joined)
+    sid = _col(batch, "cef_signature_id")
+    if sid is not None:
+        rule = pc.binary_join_element_wise(
+            pc.coalesce(sid, ""),
+            pc.coalesce(col_or_nulls("cef_name"), ""),
+            " ")
+        batch = batch.append_column("rule_name", rule)
+    sev = _col(batch, "cef_severity")
+    if sev is not None:
+        batch = batch.append_column("event_severity", sev)
+
+    act = _col(batch, "cef_act")
+    if act is not None:
+        fixed = pc.replace_substring(act, "IDS:Reset",
+                                     "DetectOnly:NotReset")
+        batch = batch.set_column(
+            batch.column_names.index("cef_act"), "cef_act", fixed)
+
+    for ecs_key, cef_key, is_ip in _DEEPSECURITY_ECS:
+        src_col = _col(batch, cef_key)
+        if src_col is None:
+            continue
+        present = pc.fill_null(pc.not_equal(
+            pc.coalesce(src_col, ""), ""), False)
+        if is_ip:
+            ok = _valid_ip_mask(src_col.to_pylist())
+            present = pc.and_(present, pa.array(ok))
+        mapped = pc.if_else(present, src_col, pa.nulls(n, pa.string()))
+        batch = batch.append_column(ecs_key, mapped)
+        # reference deletes the source key after a successful merge;
+        # rows that failed ip validation keep their raw value
+        if is_ip:
+            kept = pc.if_else(present, pa.nulls(n, pa.string()), src_col)
+            batch = batch.set_column(
+                batch.column_names.index(cef_key), cef_key, kept)
+        else:
+            batch = batch.remove_column(
+                batch.column_names.index(cef_key))
+
+    dvc = _col(batch, "cef_dvc")
+    sip = _col(batch, "source_ip")
+    if dvc is not None:
+        if sip is None:
+            sip = pa.nulls(n, pa.string())
+        filled = pc.coalesce(sip, dvc)
+        if "source_ip" in batch.column_names:
+            batch = batch.set_column(
+                batch.column_names.index("source_ip"), "source_ip",
+                filled)
+        else:
+            batch = batch.append_column("source_ip", filled)
+
+    pkt = _col(batch, "cef_TrendMicroDsPacketData")
+    if pkt is not None:
+        import base64 as _b64
+        decoded: list[str | None] = []
+        xff: list[str | None] = []
+        for v in pkt.to_pylist():
+            if not v:
+                decoded.append(v)
+                xff.append(None)
+                continue
+            try:
+                text = _b64.b64decode(v).decode(
+                    "utf-8", errors="backslashreplace")
+            except Exception:
+                text = v
+            lines = [ln for ln in text.split("\n")
+                     if not ln.lower().startswith("cookie")]
+            text = "\n".join(lines)
+            decoded.append(text)
+            m = _RE_DS_XFF.search(text)
+            xff.append(m.group(1) if m else None)
+        batch = batch.set_column(
+            batch.column_names.index("cef_TrendMicroDsPacketData"),
+            "cef_TrendMicroDsPacketData",
+            pa.array(decoded, pa.string()))
+        if "source_ip" in batch.column_names:
+            cur = batch.column("source_ip")
+            over = pc.coalesce(pa.array(xff, pa.string()), cur)
+            batch = batch.set_column(
+                batch.column_names.index("source_ip"), "source_ip", over)
+
+    for tenant in ("cef_TrendMicroDsTenant", "cef_TrendMicroDsTenantId"):
+        if tenant in batch.column_names:
+            batch = batch.remove_column(
+                batch.column_names.index(tenant))
+    return batch

@@ -219,3 +219,77 @@ def test_transforms_tolerate_missing_columns():
                "windows_event_like"):
         out = get_transform(lt)(t)
         assert out.column("other").to_pylist() == [1, 2]
+
+
+def test_deepsecurity_cef_overlay():
+    import base64
+    tf = get_transform("deepsecurity_like")
+    pkt = base64.b64encode(
+        b"GET / HTTP/1.1\nCookie: secret=1\nX-Forwarded-For: 10.9.8.7\n"
+    ).decode()
+    t = pa.table({
+        "cef_device_vendor": ["Trend Micro", "Trend Micro"],
+        "cef_device_product": ["Deep Security Agent", "Deep Security Agent"],
+        "cef_device_version": ["20.0", "20.0"],
+        "cef_signature_id": ["123", "20"],
+        "cef_name": ["Out Of Allowed Policy", "Log Inspection"],
+        "cef_severity": ["6", "3"],
+        "cef_act": ["IDS:Reset", "Deny"],
+        "cef_src": ["192.0.2.1", "not-an-ip"],
+        "cef_dst": ["198.51.100.9", None],
+        "cef_dpt": ["443", None],
+        "cef_proto": ["TCP", "UDP"],
+        "cef_cs1": ["DPI", None],
+        "cef_msg": ["alert", None],
+        "cef_dvc": ["203.0.113.5", "203.0.113.6"],
+        "cef_TrendMicroDsPacketData": [pkt, None],
+        "cef_TrendMicroDsTenant": ["acme", "acme"],
+        "cef_TrendMicroDsTenantId": ["1", "1"],
+    })
+    out = tf(t)
+    # header joins (sf_deepsecurity.py:12-18)
+    assert out.column("agent_name").to_pylist() == \
+        ["Trend Micro Deep Security Agent 20.0"] * 2
+    assert out.column("rule_name").to_pylist() == \
+        ["123 Out Of Allowed Policy", "20 Log Inspection"]
+    assert out.column("event_severity").to_pylist() == ["6", "3"]
+    # IDS:Reset rewrite happens BEFORE the act -> event.action map
+    assert out.column("event_action").to_pylist() == \
+        ["DetectOnly:NotReset", "Deny"]
+    # mapped extension keys are dropped; ip-gated ones keep failures
+    assert "cef_act" not in out.column_names
+    assert "cef_proto" not in out.column_names
+    assert out.column("network_transport").to_pylist() == ["TCP", "UDP"]
+    assert out.column("destination_ip").to_pylist() == \
+        ["198.51.100.9", None]
+    # row 2's src is invalid: not mapped, raw column keeps the value
+    assert out.column("cef_src").to_pylist() == [None, "not-an-ip"]
+    # row 1: XFF from the decoded packet overrides src;
+    # row 2: invalid src -> dvc fallback
+    assert out.column("source_ip").to_pylist() == \
+        ["10.9.8.7", "203.0.113.6"]
+    # packet decode drops cookie lines
+    decoded = out.column("cef_TrendMicroDsPacketData").to_pylist()[0]
+    assert "Cookie" not in decoded and "X-Forwarded-For" in decoded
+    # tenant columns dropped (sf_deepsecurity.py:101)
+    assert "cef_TrendMicroDsTenant" not in out.column_names
+    assert "cef_TrendMicroDsTenantId" not in out.column_names
+
+
+def test_deepsecurity_invalid_b64_kept_and_rule_category():
+    tf = get_transform("deepsecurity_like")
+    t = pa.table({
+        "cef_cs1": ["Firewall Events"],
+        "cef_cn1": ["42"],
+        "cef_fname": ["/etc/passwd"],
+        "cef_cnt": ["3"],
+        "cef_TrendMicroDsPacketData": ["%%%not-base64"],
+    })
+    out = tf(t)
+    assert out.column("rule_category").to_pylist() == ["Firewall Events"]
+    assert out.column("host_id").to_pylist() == ["42"]
+    assert out.column("file_path").to_pylist() == ["/etc/passwd"]
+    assert out.column("event_count").to_pylist() == ["3"]
+    # decode failure keeps the raw value (reference try/except)
+    kept = out.column("cef_TrendMicroDsPacketData").to_pylist()[0]
+    assert kept == "%%%not-base64"
