@@ -45,6 +45,22 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--no-salting", action="store_true")
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--num-cpus", type=int, default=None)
+    b.add_argument("--text-field", action="append", default=[],
+                   metavar="NAME:COLUMN[:ANALYZER]",
+                   help="indexed text field (repeatable; replaces the "
+                        "code-corpus defaults)")
+    b.add_argument("--keyword-field", action="append", default=[],
+                   metavar="COLUMN",
+                   help="keyword filter field (repeatable; replaces "
+                        "defaults when any --text-field is given)")
+    b.add_argument("--range-field", action="append", default=[],
+                   metavar="COLUMN",
+                   help="numeric range field (repeatable)")
+    b.add_argument("--doc-id-col", default=None,
+                   help="explicit int64 doc-id column")
+    b.add_argument("--sha-col", default=None,
+                   help="column whose sha256 is the e2e invariant "
+                        "(defaults to the first text field's column)")
 
     s = sub.add_parser("search")
     s.add_argument("index_dir")
@@ -101,12 +117,21 @@ def main(argv: list[str] | None = None) -> int:
     ag.add_argument("query")
     ag.add_argument("--agg", required=True,
                     choices=["terms", "rare", "cardinality", "histogram",
-                             "stats", "sigterms", "ranks"])
+                             "stats", "sigterms", "ranks", "ip_range",
+                             "date_range", "weighted_avg",
+                             "matrix_stats"])
     ag.add_argument("--values", default="",
                     help="comma-separated probes (--agg ranks)")
+    ag.add_argument("--ranges", default="",
+                    help="comma-separated lo|hi buckets ('*' = open end; "
+                         "bare CIDR allowed for --agg ip_range)")
     ag.add_argument("--max-doc-count", type=int, default=1,
                     help="rare_terms threshold (--agg rare)")
     ag.add_argument("--agg-field", required=True)
+    ag.add_argument("--agg-field2", default=None,
+                    help="second field: the weight (--agg "
+                         "weighted_avg) or matrix partner (--agg "
+                         "matrix_stats)")
     ag.add_argument("--mode", default="or", choices=["or", "and"])
     ag.add_argument("--field", default="content")
     ag.add_argument("--interval", type=float, default=100.0)
@@ -294,9 +319,30 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.cmd == "build":
             from .pipelines.build_index import IndexConfig, build_index
+            overrides = {}
+            if args.text_field:
+                fields = []
+                for spec in args.text_field:
+                    parts = spec.split(":")
+                    if len(parts) == 1:
+                        parts = [parts[0], parts[0]]
+                    name, column = parts[0], parts[1]
+                    analyzer = parts[2] if len(parts) > 2 else "base"
+                    fields.append((name, column, analyzer))
+                overrides["fields"] = tuple(fields)
+                overrides["keyword_fields"] = tuple(args.keyword_field)
+                overrides["sha_col"] = args.sha_col or fields[0][1]
+            elif args.keyword_field:
+                overrides["keyword_fields"] = tuple(args.keyword_field)
+            if args.range_field:
+                overrides["range_fields"] = tuple(args.range_field)
+            if args.doc_id_col:
+                overrides["doc_id_col"] = args.doc_id_col
+            if args.sha_col:
+                overrides["sha_col"] = args.sha_col
             cfg = IndexConfig(num_partitions=args.partitions,
                               store_positions=args.positions,
-                              salting=not args.no_salting)
+                              salting=not args.no_salting, **overrides)
             man = build_index(args.corpus_dir, args.index_dir, cfg,
                               resume=not args.no_resume)
             print(json.dumps({"n_docs": man["stats"]["n_docs"],
@@ -339,6 +385,36 @@ def main(argv: list[str] | None = None) -> int:
                            for v, n, sc in searcher.significant_terms(
                                args.query, args.agg_field, args.field,
                                args.mode, args.k)]
+                elif args.agg in ("weighted_avg", "matrix_stats"):
+                    if not args.agg_field2:
+                        raise SystemExit(f"--agg {args.agg} needs "
+                                         "--agg-field2")
+                    if args.agg == "weighted_avg":
+                        res = searcher.weighted_avg(
+                            args.query, args.agg_field, args.agg_field2,
+                            args.field, args.mode)
+                    else:
+                        res = searcher.matrix_stats(
+                            args.query, (args.agg_field, args.agg_field2),
+                            args.field, args.mode)
+                elif args.agg in ("ip_range", "date_range"):
+                    ranges: list = []
+                    for part in args.ranges.split(","):
+                        part = part.strip()
+                        if not part:
+                            continue
+                        if "|" not in part:  # bare CIDR (ip_range)
+                            ranges.append(part)
+                            continue
+                        lo, hi = part.split("|", 1)
+                        ranges.append((None if lo == "*" else lo,
+                                       None if hi == "*" else hi))
+                    fn = (searcher.ip_range_aggregation
+                          if args.agg == "ip_range"
+                          else searcher.date_range_aggregation)
+                    res = [{"bucket": b_, "count": n} for b_, n in
+                           fn(args.query, args.agg_field, ranges,
+                              args.field, args.mode)]
                 elif args.agg == "ranks":
                     vals = [float(x) for x in args.values.split(",") if x]
                     res = [{"value": v, "rank_pct": round(p, 6)}

@@ -3444,6 +3444,263 @@ def knn_lsh(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ip_range / date_range aggregations over an events-derived index
+# (OpenSearch dashboards bucket firewall/VPC panels by source-ip CIDR
+# ranges and date windows constantly; the synthetic ip reuses the
+# geoip fixture's derivation 10.(user_id%200).0.1 so DuckDB can
+# recompute membership arithmetically)
+
+
+def _events_ip_fixture(sf_dir: str) -> str:
+    """Derived events parquet for the ip/date range aggs: doc_id =
+    event_id, content = event_type (the text field), ip =
+    10.(user_id%200).0.1 keyword, ts_epoch = epoch seconds (float64,
+    exactly us/1e6 so the oracle's arithmetic matches bit-for-bit).
+    Cached under /tmp via marker file."""
+    import pyarrow.parquet as pq
+    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    out_dir = f"/tmp/sosr_events_ip_{key}_v2"
+    marker = os.path.join(out_dir, ".done")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(_t(sf_dir, "events"),
+                      columns=["event_id", "ts", "user_id", "event_type",
+                               "value"])
+    uid = t.column("user_id").to_numpy()
+    ips = pa.array([f"10.{u % 200}.0.1" for u in uid], pa.string())
+    ts_us = t.column("ts").cast(pa.int64()).to_numpy()
+    # integer-valued metrics (exact float64 sums -> exact co-moment
+    # oracle parity): v1 = half-away(value*100) like the geoip
+    # fixture's value_e2; weight = (user_id % 5) + 1
+    v1 = round_half_away(t.column("value").to_numpy() * 100)
+    fixture = pa.table({
+        "doc_id": t.column("event_id"),
+        "content": t.column("event_type"),
+        "ip": ips,
+        "ts_epoch": pa.array(ts_us / 1e6, pa.float64()),
+        "v1": pa.array(v1.astype(np.float64), pa.float64()),
+        "weight": pa.array((uid % 5 + 1).astype(np.float64),
+                           pa.float64()),
+    })
+    pq.write_table(fixture, os.path.join(out_dir, "events_ip.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def _events_ip_index(sf_dir: str) -> str:
+    fx = _events_ip_fixture(sf_dir)
+    idx = fx + "_idx"
+    cfg = IndexConfig(num_partitions=4,
+                      fields=(("content", "content", "base"),),
+                      keyword_fields=("ip",),
+                      range_fields=("ts_epoch", "v1", "weight"),
+                      doc_id_col="doc_id", sha_col="content",
+                      sample_mod=16, hot_df_threshold=1000)
+    build_index([os.path.join(fx, "events_ip.parquet")], idx, cfg,
+                resume=True)
+    return idx
+
+
+_IP_RANGES = [(None, "10.50.0.0"), ("10.50.0.0", "10.100.0.0"),
+              "10.64.0.0/10", ("10.100.0.0", None)]
+
+
+def search_ip_range(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``ip_range`` aggregation (from-incl/to-excl pairs +
+    an overlapping CIDR mask bucket) over the docs matching
+    click OR purchase — per-shard (value, count) census partials on
+    the default doc layout, bucketed numerically driver-side."""
+    s = Searcher(_events_ip_index(sf_dir),
+                 use_actors=ray.is_initialized())
+    try:
+        agg = s.ip_range_aggregation("click purchase", "ip", _IP_RANGES)
+    finally:
+        s.close()
+    return pd.DataFrame({"bucket": [b for b, _ in agg],
+                         "n": np.array([n for _, n in agg], np.int64)})
+
+
+SEARCH_IP_RANGE_SQL = """
+WITH v AS (
+  SELECT 167772160 + (user_id % 200) * 65536 + 1 AS ip_int
+  FROM events WHERE event_type IN ('click', 'purchase')),
+r(bucket, lo, hi) AS (VALUES
+  ('*-10.50.0.0',            NULL,                 167772160 + 50*65536),
+  ('10.50.0.0-10.100.0.0',   167772160 + 50*65536, 167772160 + 100*65536),
+  ('10.64.0.0/10',           167772160 + 64*65536, 167772160 + 128*65536),
+  ('10.100.0.0-*',           167772160 + 100*65536, NULL))
+SELECT r.bucket, cast(count(v.ip_int) AS BIGINT) AS n
+FROM r LEFT JOIN v ON (r.lo IS NULL OR v.ip_int >= r.lo)
+                  AND (r.hi IS NULL OR v.ip_int < r.hi)
+GROUP BY r.bucket
+"""
+
+
+_DATE_RANGES = [(None, "2024-01-10"), ("2024-01-10", "2024-01-20"),
+                ("2024-01-20", None)]
+
+
+def search_date_range(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``date_range`` aggregation (ISO bounds, UTC,
+    from-incl/to-excl) over docs matching error OR signup — lowered
+    onto the layout-aware range aggregation (per-shard bucket partials
+    on the default doc layout)."""
+    s = Searcher(_events_ip_index(sf_dir),
+                 use_actors=ray.is_initialized())
+    try:
+        agg = s.date_range_aggregation("error signup", "ts_epoch",
+                                       _DATE_RANGES)
+    finally:
+        s.close()
+    return pd.DataFrame({"bucket": [b for b, _ in agg],
+                         "n": np.array([n for _, n in agg], np.int64)})
+
+
+SEARCH_DATE_RANGE_SQL = """
+WITH v AS (
+  SELECT CAST(epoch_us(ts) AS DOUBLE) / 1000000 AS x
+  FROM events WHERE event_type IN ('error', 'signup')),
+r(bucket, lo, hi) AS (VALUES
+  ('*-2024-01-10', NULL, 1704844800.0),
+  ('2024-01-10-2024-01-20', 1704844800.0, 1705708800.0),
+  ('2024-01-20-*', 1705708800.0, NULL))
+SELECT r.bucket, cast(count(v.x) AS BIGINT) AS n
+FROM r LEFT JOIN v ON (r.lo IS NULL OR v.x >= r.lo)
+                  AND (r.hi IS NULL OR v.x < r.hi)
+GROUP BY r.bucket
+"""
+
+
+def search_weighted_avg(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``weighted_avg`` (sum(v*w)/sum(w) over docs carrying
+    both fields) — six-sum co-moment shard partials on the default doc
+    layout; the integer-valued fixture fields make the sums exact."""
+    s = Searcher(_events_ip_index(sf_dir),
+                 use_actors=ray.is_initialized())
+    try:
+        wa = s.weighted_avg("click purchase", "v1", "weight")
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "n_docs": np.array([wa["count"]], np.int64),
+        "sum_vw": np.array([int(wa["sum_vw"])], np.int64),
+        "sum_w": np.array([int(wa["sum_w"])], np.int64),
+        "avg_e4": np.array([int(round_half_away(
+            wa["value"] * 10000))], np.int64),
+    })
+
+
+SEARCH_WEIGHTED_AVG_SQL = """
+WITH m AS (
+  SELECT cast(round(value * 100) AS DOUBLE) AS v,
+         cast((user_id % 5) + 1 AS DOUBLE) AS w
+  FROM events WHERE event_type IN ('click', 'purchase'))
+SELECT cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(v * w) AS BIGINT) AS sum_vw,
+       cast(sum(w) AS BIGINT) AS sum_w,
+       cast(round(sum(v * w) / sum(w) * 10000) AS BIGINT) AS avg_e4
+FROM m
+"""
+
+
+def search_matrix_stats(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``matrix_stats`` over (v1, weight) for the
+    error-OR-signup match set: exact-distributed co-moments (six
+    mergeable sums per shard — no value or doc id centralizes), the
+    covariance/correlation derived driver-side.  The raw integer sums
+    are part of the oracle contract; covariance and correlation are
+    pinned at e4/e6 with the formula mirrored verbatim in SQL."""
+    s = Searcher(_events_ip_index(sf_dir),
+                 use_actors=ray.is_initialized())
+    try:
+        ms = s.matrix_stats("error signup", ("v1", "weight"))
+    finally:
+        s.close()
+    sums = ms["sums"]
+    return pd.DataFrame({
+        "n_docs": np.array([ms["count"]], np.int64),
+        "sx": np.array([int(sums["sx"])], np.int64),
+        "sy": np.array([int(sums["sy"])], np.int64),
+        "sxx": np.array([int(sums["sxx"])], np.int64),
+        "syy": np.array([int(sums["syy"])], np.int64),
+        "sxy": np.array([int(sums["sxy"])], np.int64),
+        "covar_e4": np.array([int(round_half_away(
+            ms["covariance"] * 10000))], np.int64),
+        "corr_e6": np.array([int(round_half_away(
+            ms["correlation"] * 1000000))], np.int64),
+    })
+
+
+SEARCH_MATRIX_STATS_SQL = """
+WITH m AS (
+  SELECT cast(round(value * 100) AS DOUBLE) AS x,
+         cast((user_id % 5) + 1 AS DOUBLE) AS y
+  FROM events WHERE event_type IN ('error', 'signup')),
+s AS (SELECT cast(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy,
+             sum(x * y) AS sxy
+      FROM m)
+SELECT cast(n AS BIGINT) AS n_docs,
+       cast(sx AS BIGINT) AS sx, cast(sy AS BIGINT) AS sy,
+       cast(sxx AS BIGINT) AS sxx, cast(syy AS BIGINT) AS syy,
+       cast(sxy AS BIGINT) AS sxy,
+       cast(round((sxy - sx * sy / n) / n * 10000) AS BIGINT)
+           AS covar_e4,
+       cast(round(((sxy - sx * sy / n) / n)
+                  / sqrt(((sxx - sx * sx / n) / n)
+                         * ((syy - sy * sy / n) / n))
+                  * 1000000) AS BIGINT) AS corr_e6
+FROM s
+"""
+
+
+_BUCKET_PIPE_INTERVAL = 150.0
+_BUCKET_PIPE_MIN = 3
+
+
+def search_bucket_pipeline(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``bucket_selector`` + ``bucket_sort`` over a parent
+    histogram: keep n_chars buckets with count > 3, order by count
+    desc (bucket asc on ties), top 3 — coordinator-side
+    post-processing over the reduced buckets, the OpenSearch pipeline
+    shape."""
+    from ..state.searcher import bucket_selector, bucket_sort
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        buckets = s.histogram_aggregation(BM25_QUERY, "n_chars",
+                                          _BUCKET_PIPE_INTERVAL)
+    finally:
+        s.close()
+    kept = bucket_selector(buckets, "gt", _BUCKET_PIPE_MIN)
+    top = bucket_sort(kept, desc=True, size=3)
+    return pd.DataFrame({
+        "bucket": np.array([b for b, _ in top], np.int64),
+        "n": np.array([n for _, n in top], np.int64),
+    })
+
+
+SEARCH_BUCKET_PIPELINE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))})),
+b AS (SELECT cast(floor(d.n_chars / {_BUCKET_PIPE_INTERVAL})
+              * {_BUCKET_PIPE_INTERVAL} AS BIGINT) AS bucket,
+             cast(count(*) AS BIGINT) AS n
+      FROM documents d JOIN m USING(doc_id)
+      GROUP BY 1 HAVING count(*) > {_BUCKET_PIPE_MIN})
+SELECT bucket, n FROM b ORDER BY n DESC, bucket LIMIT 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -3455,17 +3712,17 @@ def queries() -> dict:
     # newest driver row is r03 (oldest-green-first), then the r04-green rest.
     return {
         # --- never driver-checked (round-5 additions) ---
+        "search_ip_range": search_ip_range,
+        "search_date_range": search_date_range,
+        "search_weighted_avg": search_weighted_avg,
+        "search_matrix_stats": search_matrix_stats,
+        "search_bucket_pipeline": search_bucket_pipeline,
         "search_function_decay": search_function_decay,
         "discover_saved_search": discover_saved_search,
         "template_classified_agg": template_classified_agg,
         "search_suggest_fuzzy": search_suggest_fuzzy,
         "search_suggest_context": search_suggest_context,
-        # --- execution path rewritten in round 5 (doc-sharded partials) ---
-        "search_collapse": search_collapse,
-        "search_function_score": search_function_score,
-        "search_value_count": search_value_count,
         # --- newest driver row is r03 (oldest-green-first) ---
-        "phrase_docs": phrase_docs,
         "phrase_prefix_docs": phrase_prefix_docs,
         "phrase_prefix_sharded": phrase_prefix_sharded,
         "phrase_sharded": phrase_sharded,
@@ -3496,7 +3753,6 @@ def queries() -> dict:
         "search_sigterms": search_sigterms,
         "search_stats": search_stats,
         "search_stats_distributed": search_stats_distributed,
-        "search_suggest": search_suggest,
         "search_suggest_phrase": search_suggest_phrase,
         "search_terms_histogram": search_terms_histogram,
         "search_terms_stats": search_terms_stats,
@@ -3508,6 +3764,11 @@ def queries() -> dict:
         "span_near_sharded": span_near_sharded,
         "span_unordered_docs": span_unordered_docs,
         # --- r04-green remainder (rotate back in as slots allow) ---
+        "search_collapse": search_collapse,
+        "search_function_score": search_function_score,
+        "phrase_docs": phrase_docs,
+        "search_value_count": search_value_count,
+        "search_suggest": search_suggest,
         "geoip_enrich_events": geoip_enrich_events,
         "etl_raw_logs": etl_raw_logs,
         "simhash_planted": simhash_planted,
@@ -3559,6 +3820,11 @@ def queries() -> dict:
 
 def oracle_sql() -> dict:
     return {
+        "search_ip_range": SEARCH_IP_RANGE_SQL,
+        "search_date_range": SEARCH_DATE_RANGE_SQL,
+        "search_weighted_avg": SEARCH_WEIGHTED_AVG_SQL,
+        "search_matrix_stats": SEARCH_MATRIX_STATS_SQL,
+        "search_bucket_pipeline": SEARCH_BUCKET_PIPELINE_SQL,
         "q1_pricing_summary": Q1_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_json_extract": EVENTS_JSON_SQL,

@@ -630,6 +630,60 @@ def _shard_range_values(r: ShardReader, p: int, tombstones: np.ndarray,
     return np.concatenate(out) if out else np.zeros(0)
 
 
+def _aligned_field_values(index_dir: str, cand: np.ndarray,
+                          fields: tuple[str, ...],
+                          dparts: list[int] | None
+                          ) -> tuple[np.ndarray, ...]:
+    """Doc-aligned numeric values for several range fields over a
+    sorted candidate-id array: per field, (values, have) of length
+    ``cand.size`` — the alignment behind co-moment partials
+    (matrix_stats / weighted_avg need the SAME doc's values for two
+    fields, which per-field value streams don't give)."""
+    from .shard import load_range_pairs
+    out: list[np.ndarray] = []
+    for fname in fields:
+        vals = np.zeros(cand.size, dtype=np.float64)
+        have = np.zeros(cand.size, dtype=bool)
+        for rvals, rids in load_range_pairs(index_dir, fname,
+                                            dparts=dparts):
+            pos = np.minimum(np.searchsorted(cand, rids),
+                             max(cand.size - 1, 0))
+            hit = (cand[pos] == rids) if cand.size else \
+                np.zeros(rids.size, dtype=bool)
+            if hit.any():
+                vals[pos[hit]] = rvals[hit]
+                have[pos[hit]] = True
+        out.append(vals)
+        out.append(have)
+    return tuple(out)
+
+
+def _comoments(x: np.ndarray, y: np.ndarray) -> dict:
+    """Mergeable co-moments over docs having BOTH fields (OpenSearch
+    matrix_stats skips docs missing any requested field)."""
+    return {"n": int(x.size),
+            "sx": float(x.sum()), "sy": float(y.sum()),
+            "sxx": float((x * x).sum()), "syy": float((y * y).sum()),
+            "sxy": float((x * y).sum())}
+
+
+def _shard_comoments(r: ShardReader, p: int, tombstones: np.ndarray,
+                     field: str, q_terms: list[str], mode: str,
+                     f1: str, f2: str) -> dict:
+    """One doc shard's co-moment partial — six numbers travel, never
+    a value or a doc id."""
+    cand = _candidate_ids(r, field, q_terms, mode)
+    if cand.size and tombstones.size:
+        cand = cand[_excl_mask(cand, tombstones)]
+    if cand.size == 0:
+        return {"n": 0, "sx": 0.0, "sy": 0.0,
+                "sxx": 0.0, "syy": 0.0, "sxy": 0.0}
+    v1, h1, v2, h2 = _aligned_field_values(r.index_dir, cand, (f1, f2),
+                                           dparts=[p])
+    m = h1 & h2
+    return _comoments(v1[m], v2[m])
+
+
 def _field_sort_partials(index_dir: str, sort_field: str, k: int,
                          desc: bool, cand: np.ndarray | None,
                          tombstones: np.ndarray,
@@ -1101,6 +1155,20 @@ class PartActor:
                     r.index_dir, agg_field, cand, dparts=[p]):
                 out[v] = out.get(v, 0) + n
         return out
+
+    def comoments_local(self, field: str, q_terms: list[str], mode: str,
+                        f1: str, f2: str) -> dict:
+        """Doc-sharded co-moment partial (matrix_stats /
+        weighted_avg): six mergeable sums per actor, computed over
+        this actor's own doc parts."""
+        tot = {"n": 0, "sx": 0.0, "sy": 0.0,
+               "sxx": 0.0, "syy": 0.0, "sxy": 0.0}
+        for p, r in self.readers.items():
+            part = _shard_comoments(r, p, self.tombstones, field,
+                                    q_terms, mode, f1, f2)
+            for k in tot:
+                tot[k] += part[k]
+        return tot
 
     def hist_local(self, field: str, q_terms: list[str], mode: str,
                    range_field: str, interval: float) -> dict[float, int]:
@@ -3280,6 +3348,182 @@ class Searcher:
                 totals[i] += n
         return list(zip(ranges, totals))
 
+    def date_range_aggregation(self, query: str, date_field: str,
+                               ranges: list[tuple], field: str = "content",
+                               mode: str = "or",
+                               analyzer: str | None = None
+                               ) -> list[tuple[str, int]]:
+        """OpenSearch ``date_range`` aggregation: each (from, to) bucket
+        counts matching docs whose epoch-valued ``date_field`` falls in
+        [from, to) — from inclusive, to exclusive, open ends via None,
+        every requested bucket returned (zeros included).  Bounds are
+        ISO-8601 date/datetime strings (interpreted UTC, OpenSearch's
+        default) or epoch-second floats.  Pure lowering onto
+        ``range_aggregation``, so it inherits its layout-awareness
+        (per-shard bucket partials on doc indexes)."""
+        def to_epoch(v):
+            if v is None or isinstance(v, (int, float)):
+                return None if v is None else float(v)
+            from datetime import datetime, timezone
+            s = str(v)
+            for fmt in ("%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S",
+                        "%Y-%m-%d"):
+                try:
+                    return datetime.strptime(s, fmt).replace(
+                        tzinfo=timezone.utc).timestamp()
+                except ValueError:
+                    continue
+            raise ValueError(f"unparseable date bound {v!r}")
+
+        edges = [(to_epoch(lo), to_epoch(hi)) for lo, hi in ranges]
+        counted = self.range_aggregation(query, date_field, edges,
+                                         field=field, mode=mode,
+                                         analyzer=analyzer)
+
+        def lab(lo, hi):
+            return (f"{'*' if lo is None else lo}"
+                    f"-{'*' if hi is None else hi}")
+        return [(lab(lo, hi), n)
+                for (lo, hi), (_, n) in zip(ranges, counted)]
+
+    def ip_range_aggregation(self, query: str, ip_field: str,
+                             ranges: list, field: str = "content",
+                             mode: str = "or",
+                             analyzer: str | None = None
+                             ) -> list[tuple[str, int]]:
+        """OpenSearch ``ip_range`` aggregation over a keyword ip field:
+        buckets are (from, to) ip-string pairs — from inclusive, to
+        exclusive, open ends via None — or CIDR mask strings
+        (``"10.0.0.0/9"``).  Buckets may overlap; every requested
+        bucket is returned, zeros included.
+
+        Execution reuses the terms-aggregation census (per-shard
+        (value, count) partials on doc indexes — the distinct-ip
+        census ships, never doc ids), then buckets the distinct values
+        numerically driver-side.  IPv4 and IPv6 compare in one
+        128-bit space, like the engine's interval enrich tables."""
+        import ipaddress
+
+        def ip_int(v) -> int | None:
+            try:
+                return int(ipaddress.ip_address(v))
+            except ValueError:
+                return None
+
+        spec = []  # (label, lo_int|None, hi_int|None)
+        for rg in ranges:
+            if isinstance(rg, str):  # CIDR mask
+                net = ipaddress.ip_network(rg, strict=False)
+                spec.append((rg, int(net.network_address),
+                             int(net.broadcast_address) + 1))
+                continue
+            lo, hi = rg
+            lo_i = None if lo is None else ip_int(lo)
+            hi_i = None if hi is None else ip_int(hi)
+            if (lo is not None and lo_i is None) or \
+               (hi is not None and hi_i is None):
+                raise ValueError(f"unparseable ip bound in {rg!r}")
+            spec.append((f"{'*' if lo is None else lo}"
+                         f"-{'*' if hi is None else hi}", lo_i, hi_i))
+
+        census = self.terms_aggregation(query, ip_field, field=field,
+                                        mode=mode, analyzer=analyzer)
+        vals = np.array([ip_int(v) for v, _ in census], dtype=object)
+        cnts = np.array([n for _, n in census], dtype=np.int64)
+        out: list[tuple[str, int]] = []
+        for label, lo_i, hi_i in spec:
+            total = 0
+            for v, n in zip(vals, cnts):
+                if v is None:
+                    continue
+                if lo_i is not None and v < lo_i:
+                    continue
+                if hi_i is not None and v >= hi_i:
+                    continue
+                total += int(n)
+            out.append((label, total))
+        return out
+
+    def _comoments_all(self, query: str, f1: str, f2: str, field: str,
+                       mode: str, analyzer: str | None) -> dict:
+        """Merged co-moments over the match set's docs having BOTH
+        numeric fields.  Doc layout: per-shard six-number partials
+        summed here; term layout: one driver-side alignment pass over
+        the doc-range-partitioned range tables."""
+        if analyzer is None:
+            analyzer = next((a for f, _, a in
+                             self.manifest["config"]["fields"]
+                             if f == field), "code")
+        q_terms = ANALYZERS[analyzer](query)
+        zero = {"n": 0, "sx": 0.0, "sy": 0.0,
+                "sxx": 0.0, "syy": 0.0, "sxy": 0.0}
+        if not q_terms:
+            return zero
+        if self.manifest["config"].get("partition_by") == "doc":
+            if self.use_actors:
+                parts = ray.get([a.comoments_local.remote(
+                    field, list(q_terms), mode, f1, f2)
+                    for a in self.actors])
+            else:
+                parts = [_shard_comoments(r, p, self.tombstones, field,
+                                          q_terms, mode, f1, f2)
+                         for p, r in self.readers.items()]
+            for part in parts:
+                for k in zero:
+                    zero[k] += part[k]
+            return zero
+        cand = self._match_ids(field, q_terms, mode)
+        if cand.size == 0:
+            return zero
+        v1, h1, v2, h2 = _aligned_field_values(self.index_dir, cand,
+                                               (f1, f2), dparts=None)
+        m = h1 & h2
+        return _comoments(v1[m], v2[m])
+
+    def matrix_stats(self, query: str, fields: tuple[str, str],
+                     field: str = "content", mode: str = "or",
+                     analyzer: str | None = None) -> dict:
+        """OpenSearch ``matrix_stats`` for a two-field matrix: doc
+        count, per-field mean/variance (population), covariance
+        (population) and Pearson correlation, over matching docs that
+        carry BOTH fields (OpenSearch skips docs missing any requested
+        field).  Exact-distributed: each shard ships six mergeable
+        sums; the driver derives the matrix — no value or doc id
+        centralizes, the OpenSearch shard-reduce shape."""
+        f1, f2 = fields
+        c = self._comoments_all(query, f1, f2, field, mode, analyzer)
+        n = c["n"]
+        if n == 0:
+            return {"count": 0}
+        mean_x, mean_y = c["sx"] / n, c["sy"] / n
+        var_x = (c["sxx"] - c["sx"] * c["sx"] / n) / n
+        var_y = (c["syy"] - c["sy"] * c["sy"] / n) / n
+        cov = (c["sxy"] - c["sx"] * c["sy"] / n) / n
+        denom = math.sqrt(var_x * var_y)
+        corr = cov / denom if denom > 0 else None
+        return {"count": n, "mean": {f1: mean_x, f2: mean_y},
+                "variance": {f1: var_x, f2: var_y},
+                "covariance": cov, "correlation": corr,
+                "sums": {"sx": c["sx"], "sy": c["sy"], "sxx": c["sxx"],
+                         "syy": c["syy"], "sxy": c["sxy"]}}
+
+    def weighted_avg(self, query: str, value_field: str,
+                     weight_field: str, field: str = "content",
+                     mode: str = "or",
+                     analyzer: str | None = None) -> dict:
+        """OpenSearch ``weighted_avg``: sum(value*weight)/sum(weight)
+        over matching docs carrying both fields (the OpenSearch
+        default skips docs missing either when no ``missing`` is
+        configured).  Rides the same six-sum co-moment partial as
+        matrix_stats — sxy IS sum(value*weight) and sy IS
+        sum(weight)."""
+        c = self._comoments_all(query, value_field, weight_field,
+                                field, mode, analyzer)
+        if c["n"] == 0 or c["sy"] == 0:
+            return {"count": c["n"], "value": None}
+        return {"count": c["n"], "value": c["sxy"] / c["sy"],
+                "sum_vw": c["sxy"], "sum_w": c["sy"]}
+
     def filters_aggregation(self, filters: dict[str, tuple[str, str]],
                             field: str = "content",
                             analyzer: str | None = None) -> dict[str, int]:
@@ -4728,6 +4972,29 @@ def pipeline_aggregations(buckets: list[tuple[float, int]],
                     "cumulative_sum": float(cum[i]),
                     "derivative": deriv, "moving_avg": mov})
     return out
+
+
+def bucket_selector(buckets: list[tuple], op: str, threshold: float
+                    ) -> list[tuple]:
+    """OpenSearch ``bucket_selector``: drop parent buckets whose
+    metric fails the predicate (the common
+    ``params.v > N``-script shape — ops gt/gte/lt/lte/eq/ne).
+    Coordinator-side over reduced buckets, like every pipeline agg."""
+    import operator as _op
+    fn = {"gt": _op.gt, "gte": _op.ge, "lt": _op.lt,
+          "lte": _op.le, "eq": _op.eq, "ne": _op.ne}[op]
+    return [(b, v) for b, v in buckets if fn(v, threshold)]
+
+
+def bucket_sort(buckets: list[tuple], desc: bool = True,
+                size: int | None = None, frm: int = 0) -> list[tuple]:
+    """OpenSearch ``bucket_sort``: order parent buckets by their
+    metric (ties broken by bucket key ascending, the stable
+    OpenSearch order) and apply from/size paging."""
+    ordered = sorted(buckets, key=lambda bv: ((-bv[1] if desc else bv[1]),
+                                              bv[0]))
+    end = None if size is None else frm + size
+    return ordered[frm:end]
 
 
 

@@ -156,3 +156,63 @@ def test_cli_completion_fuzzy_and_context(cli_index, capsys):
     out = _run_json(capsys, ["suggest", idx, "sp", "--completion",
                              "--context", "lang=py"])
     assert out and out[0]["term"] == "spark"
+
+
+def test_cli_agg_ip_and_date_range(ray_session, tmp_path, capsys):
+    """--agg ip_range / date_range over an index with an ip keyword
+    and an epoch range field; the ip buckets include a CIDR mask."""
+    root = tmp_path / "iprange"
+    corpus = root / "corpus"
+    corpus.mkdir(parents=True)
+    n = 60
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "content": [["click", "view"][i % 2] for i in range(n)],
+        "ip": [f"10.{(i * 7) % 200}.0.1" for i in range(n)],
+        "ts_epoch": pa.array([1704067200.0 + i * 86400 for i in range(n)],
+                             pa.float64()),
+        "val": pa.array([float((i * 13) % 100) for i in range(n)],
+                        pa.float64()),
+        "wt": pa.array([float(i % 4 + 1) for i in range(n)],
+                       pa.float64()),
+    })
+    pq.write_table(t, str(corpus / "part-0.parquet"))
+    idx = str(root / "idx")
+    rc = main(["build", str(corpus), idx, "--partitions", "2",
+               "--doc-id-col", "doc_id", "--sha-col", "content",
+               "--text-field", "content:content:base",
+               "--keyword-field", "ip", "--range-field", "ts_epoch",
+               "--range-field", "val", "--range-field", "wt",
+               "--no-salting"])
+    assert rc == 0
+    capsys.readouterr()  # drain the build summary
+    out = _run_json(capsys, [
+        "agg", idx, "click", "--agg", "ip_range", "--agg-field", "ip",
+        "--ranges", "*|10.50.0.0,10.50.0.0|10.100.0.0,10.128.0.0/9"])
+    got = {r["bucket"]: r["count"] for r in out}
+    clicks = [f"10.{(i * 7) % 200}.0.1" for i in range(0, n, 2)]
+    exp_lo = sum(1 for ip in clicks if int(ip.split(".")[1]) < 50)
+    exp_mid = sum(1 for ip in clicks if 50 <= int(ip.split(".")[1]) < 100)
+    exp_cidr = sum(1 for ip in clicks if int(ip.split(".")[1]) >= 128)
+    assert got == {"*-10.50.0.0": exp_lo,
+                   "10.50.0.0-10.100.0.0": exp_mid,
+                   "10.128.0.0/9": exp_cidr}
+    out = _run_json(capsys, [
+        "agg", idx, "click", "--agg", "date_range", "--agg-field",
+        "ts_epoch", "--ranges", "*|2024-01-11,2024-01-11|*"])
+    got = {r["bucket"]: r["count"] for r in out}
+    # clicks are even i; ts = 2024-01-01 + i days; 2024-01-11 = i 10
+    assert got == {"*-2024-01-11": 5, "2024-01-11-*": 25}
+    # weighted_avg / matrix_stats share the co-moment partial
+    out = _run_json(capsys, [
+        "agg", idx, "click", "--agg", "weighted_avg",
+        "--agg-field", "val", "--agg-field2", "wt"])
+    vals = [float((i * 13) % 100) for i in range(0, n, 2)]
+    wts = [float(i % 4 + 1) for i in range(0, n, 2)]
+    exp = sum(v * w for v, w in zip(vals, wts)) / sum(wts)
+    assert out["count"] == 30 and abs(out["value"] - exp) < 1e-9
+    out = _run_json(capsys, [
+        "agg", idx, "click", "--agg", "matrix_stats",
+        "--agg-field", "val", "--agg-field2", "wt"])
+    assert out["count"] == 30
+    assert out["sums"]["sxy"] == sum(v * w for v, w in zip(vals, wts))

@@ -86,7 +86,10 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "search_function_decay", "discover_saved_search",
               "template_classified_agg", "search_suggest_fuzzy",
               "search_suggest_context",
-              "search_collapse", "search_mad", "search_value_count"]
+              "search_collapse", "search_mad", "search_value_count",
+              "search_ip_range", "search_date_range",
+              "search_weighted_avg", "search_matrix_stats",
+              "search_bucket_pipeline"]
 
 
 @pytest.mark.parametrize("name", SQL_BACKED)

@@ -697,3 +697,86 @@ def test_mad_distributed_matches_driver_side(ray_session):
         np.testing.assert_allclose(got_local, want, rtol=1e-12)
     finally:
         sd.close()
+
+
+def test_bucket_selector_and_sort_pure():
+    from siem_on_amazon_opensearch_service_ray.state.searcher import (
+        bucket_selector, bucket_sort)
+    buckets = [(0.0, 5), (150.0, 2), (300.0, 9), (450.0, 5), (600.0, 1)]
+    kept = bucket_selector(buckets, "gt", 2)
+    assert kept == [(0.0, 5), (300.0, 9), (450.0, 5)]
+    assert bucket_selector(buckets, "lte", 2) == [(150.0, 2), (600.0, 1)]
+    # ties break by bucket key asc (OpenSearch stable order)
+    assert bucket_sort(kept, desc=True, size=2) == [(300.0, 9), (0.0, 5)]
+    assert bucket_sort(kept, desc=False, size=2, frm=1) == \
+        [(450.0, 5), (300.0, 9)]
+    assert bucket_sort([], desc=True, size=3) == []
+
+
+def test_matrix_stats_weighted_avg_cross_layout(ray_session, tmp_path):
+    """matrix_stats / weighted_avg: term layout (driver alignment) and
+    doc layout (per-shard six-sum partials, actors and local) all
+    equal the numpy reference; docs missing either field are skipped."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
+        IndexConfig, build_index)
+    from siem_on_amazon_opensearch_service_ray.state.searcher import Searcher
+
+    n = 200
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 1000, n).astype(np.float64)
+    w = rng.integers(1, 6, n).astype(np.float64)
+    # field presence gaps: drop x on i%17==0 rows, w on i%23==0 rows
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "content": [["alpha beta", "gamma alpha", "beta delta"][i % 3]
+                    for i in range(n)],
+        "x": pa.array([None if i % 17 == 0 else x[i] for i in range(n)],
+                      pa.float64()),
+        "w": pa.array([None if i % 23 == 0 else w[i] for i in range(n)],
+                      pa.float64()),
+    })
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    pq.write_table(t, str(corpus / "c.parquet"))
+
+    # docs matching 'alpha' = i%3 in (0,1); both fields present
+    match = np.array([i for i in range(n)
+                      if i % 3 in (0, 1) and i % 17 and i % 23])
+    mx, mw = x[match], w[match]
+    ref_wavg = float((mx * mw).sum() / mw.sum())
+    cov_ref = float((mx * mw).sum() / mx.size
+                    - mx.mean() * mw.mean())
+    corr_ref = cov_ref / float(np.sqrt(
+        ((mx * mx).sum() / mx.size - mx.mean() ** 2)
+        * ((mw * mw).sum() / mw.size - mw.mean() ** 2)))
+
+    results = []
+    for layout in ("term", "doc"):
+        cfg = IndexConfig(num_partitions=3, partition_by=layout,
+                          fields=(("content", "content", "base"),),
+                          keyword_fields=(), range_fields=("x", "w"),
+                          doc_id_col="doc_id", sha_col="content",
+                          salting=False)
+        idx = str(tmp_path / f"idx_{layout}")
+        build_index(str(corpus), idx, cfg)
+        searchers = [Searcher(idx, use_actors=False)]
+        if layout == "doc":
+            searchers.append(Searcher(idx, use_actors=True))
+        for s in searchers:
+            try:
+                ms = s.matrix_stats("alpha", ("x", "w"))
+                wa = s.weighted_avg("alpha", "x", "w")
+            finally:
+                s.close()
+            assert ms["count"] == match.size
+            np.testing.assert_allclose(ms["covariance"], cov_ref,
+                                       rtol=1e-12)
+            np.testing.assert_allclose(ms["correlation"], corr_ref,
+                                       rtol=1e-12)
+            np.testing.assert_allclose(wa["value"], ref_wavg, rtol=1e-12)
+            results.append((ms["sums"]["sxy"], ms["sums"]["sxx"]))
+    # exact integer sums identical across layouts and execution modes
+    assert len(set(results)) == 1
