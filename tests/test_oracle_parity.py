@@ -89,7 +89,9 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "search_collapse", "search_mad", "search_value_count",
               "search_ip_range", "search_date_range",
               "search_weighted_avg", "search_matrix_stats",
-              "search_bucket_pipeline"]
+              "search_bucket_pipeline", "search_bucket_metrics",
+              "search_top_metrics", "search_adjacency",
+              "search_auto_histogram"]
 
 
 @pytest.mark.parametrize("name", SQL_BACKED)

@@ -780,3 +780,45 @@ def test_matrix_stats_weighted_avg_cross_layout(ray_session, tmp_path):
             results.append((ms["sums"]["sxy"], ms["sums"]["sxx"]))
     # exact integer sums identical across layouts and execution modes
     assert len(set(results)) == 1
+
+
+def test_bucket_metrics_pure():
+    from siem_on_amazon_opensearch_service_ray.state.searcher import (
+        bucket_metrics)
+    bm = bucket_metrics([(0.0, 4), (150.0, 9), (300.0, 4), (450.0, 9)])
+    assert bm["count"] == 4 and bm["sum"] == 26.0 and bm["avg"] == 6.5
+    assert bm["min"] == 4.0 and bm["max"] == 9.0
+    # ties keep every tied key in bucket order (OpenSearch keys list)
+    assert bm["min_keys"] == [0.0, 300.0]
+    assert bm["max_keys"] == [150.0, 450.0]
+    empty = bucket_metrics([])
+    assert empty["count"] == 0 and empty["avg"] is None
+
+
+def test_adjacency_and_auto_histogram_cross_layout(ray_session):
+    """adjacency_matrix and auto_date_histogram produce identical
+    output on the term layout (driver gather) and the doc layout
+    (per-shard partials, actors and local)."""
+    from siem_on_amazon_opensearch_service_ray.pipelines import queries as q
+    from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
+        build_index)
+    from siem_on_amazon_opensearch_service_ray.state.searcher import Searcher
+    sf = "/root/testdata/sf0.001"
+    idx_t = q._docs_index_dir(sf)
+    build_index(q._docs_source(sf), idx_t, q._docs_index_cfg(), resume=True)
+    idx_d = q._doc_sharded_index(sf)
+    st = Searcher(idx_t, use_actors=False)
+    sd = Searcher(idx_d, use_actors=True)
+    sd_local = Searcher(idx_d, use_actors=False)
+    try:
+        want_adj = st.adjacency_matrix(q._ADJ_FILTERS)
+        want_ah = st.auto_date_histogram(q.BM25_QUERY, "n_chars",
+                                         target_buckets=8)
+        for s in (sd, sd_local):
+            assert s.adjacency_matrix(q._ADJ_FILTERS) == want_adj
+            assert s.auto_date_histogram(q.BM25_QUERY, "n_chars",
+                                         target_buckets=8) == want_ah
+        assert want_adj  # non-trivial fixture
+        assert want_ah[1]
+    finally:
+        st.close(); sd.close(); sd_local.close()
