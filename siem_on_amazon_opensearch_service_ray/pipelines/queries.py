@@ -3875,6 +3875,55 @@ FROM v GROUP BY 2 ORDER BY 2
 SEARCH_AUTO_HISTOGRAM_SQL = _auto_hist_sql()
 
 
+def search_normalize_pipeline(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``serial_diff`` (lag 1) + ``normalize``
+    (percent_of_sum) over the n_chars histogram parent — both
+    coordinator-side over the reduced buckets, SQL twin via window
+    functions."""
+    from ..state.searcher import normalize_buckets, serial_diff_buckets
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        buckets = s.histogram_aggregation(BM25_QUERY, "n_chars",
+                                          _BUCKET_PIPE_INTERVAL)
+    finally:
+        s.close()
+    diffs = serial_diff_buckets(buckets, lag=1)
+    pct = normalize_buckets(buckets, "percent_of_sum")
+    # rows where the lag exists (OpenSearch emits no serial_diff for
+    # the first bucket; keeping the output NULL-free also keeps the
+    # driver's dtype-sensitive value hash stable)
+    rows = [(int(b), n, int(d), int(round_half_away(p * 1000000)))
+            for ((b, n), (_, d), (_, p)) in zip(buckets, diffs, pct)
+            if d is not None]
+    return pd.DataFrame({
+        "bucket": np.array([r[0] for r in rows], np.int64),
+        "n": np.array([r[1] for r in rows], np.int64),
+        "diff": np.array([r[2] for r in rows], np.int64),
+        "pct_e6": np.array([r[3] for r in rows], np.int64),
+    })
+
+
+SEARCH_NORMALIZE_PIPELINE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))})),
+b AS (SELECT cast(floor(d.n_chars / {_BUCKET_PIPE_INTERVAL})
+              * {_BUCKET_PIPE_INTERVAL} AS BIGINT) AS bucket,
+             cast(count(*) AS BIGINT) AS n
+      FROM documents d JOIN m USING(doc_id) GROUP BY 1)
+SELECT bucket, n,
+       cast(n - lag(n) OVER (ORDER BY bucket) AS BIGINT) AS diff,
+       cast(round(CAST(n AS DOUBLE) / (sum(n) OVER ()) * 1000000)
+            AS BIGINT) AS pct_e6
+FROM b QUALIFY diff IS NOT NULL ORDER BY bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3896,6 +3945,7 @@ def queries() -> dict:
         "search_top_metrics": search_top_metrics,
         "search_adjacency": search_adjacency,
         "search_auto_histogram": search_auto_histogram,
+        "search_normalize_pipeline": search_normalize_pipeline,
         "search_function_decay": search_function_decay,
         "discover_saved_search": discover_saved_search,
         "template_classified_agg": template_classified_agg,
@@ -3915,7 +3965,6 @@ def queries() -> dict:
         "search_fuzzy": search_fuzzy,
         "search_histogram": search_histogram,
         "search_histogram_empty_buckets": search_histogram_empty_buckets,
-        "search_histogram_pipeline": search_histogram_pipeline,
         "search_lang_agg": search_lang_agg,
         "search_mlt": search_mlt,
         "search_mlt_sharded": search_mlt_sharded,
@@ -3946,6 +3995,7 @@ def queries() -> dict:
         "search_multi_match_sharded": search_multi_match_sharded,
         "search_fuzzy_sharded": search_fuzzy_sharded,
         "search_query_string_sharded": search_query_string_sharded,
+        "search_histogram_pipeline": search_histogram_pipeline,
         "search_collapse": search_collapse,
         "search_function_score": search_function_score,
         "phrase_docs": phrase_docs,
@@ -4011,6 +4061,7 @@ def oracle_sql() -> dict:
         "search_top_metrics": SEARCH_TOP_METRICS_SQL,
         "search_adjacency": SEARCH_ADJACENCY_SQL,
         "search_auto_histogram": SEARCH_AUTO_HISTOGRAM_SQL,
+        "search_normalize_pipeline": SEARCH_NORMALIZE_PIPELINE_SQL,
         "q1_pricing_summary": Q1_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
         "events_json_extract": EVENTS_JSON_SQL,

@@ -5151,6 +5151,45 @@ def bucket_sort(buckets: list[tuple], desc: bool = True,
     return ordered[frm:end]
 
 
+def serial_diff_buckets(buckets: list[tuple], lag: int = 1
+                        ) -> list[tuple]:
+    """OpenSearch ``serial_diff``: value minus the value ``lag``
+    buckets earlier; the first ``lag`` buckets emit None (OpenSearch
+    emits no value there).  Coordinator-side over reduced buckets."""
+    if lag < 1:
+        raise ValueError("serial_diff lag must be >= 1")
+    out = []
+    for i, (b, v) in enumerate(buckets):
+        prev = buckets[i - lag][1] if i >= lag else None
+        out.append((b, None if prev is None else float(v - prev)))
+    return out
+
+
+def normalize_buckets(buckets: list[tuple],
+                      method: str = "percent_of_sum") -> list[tuple]:
+    """OpenSearch ``normalize`` pipeline agg: rescale the parent's
+    metric values — ``percent_of_sum`` (v/sum), ``rescale_0_1``
+    ((v-min)/(max-min); all-equal buckets -> 0.0, the OpenSearch
+    degenerate case), ``z-score`` ((v-mean)/std_pop)."""
+    if not buckets:
+        return []
+    vals = np.asarray([v for _, v in buckets], dtype=np.float64)
+    if method == "percent_of_sum":
+        tot = vals.sum()
+        out = vals / tot if tot != 0 else np.zeros_like(vals)
+    elif method == "rescale_0_1":
+        span = vals.max() - vals.min()
+        out = (vals - vals.min()) / span if span != 0 \
+            else np.zeros_like(vals)
+    elif method == "z-score":
+        std = vals.std()
+        out = (vals - vals.mean()) / std if std != 0 \
+            else np.zeros_like(vals)
+    else:
+        raise ValueError(f"unsupported normalize method {method!r}")
+    return [(b, float(x)) for (b, _), x in zip(buckets, out)]
+
+
 def bucket_metrics(buckets: list[tuple]) -> dict:
     """OpenSearch sibling pipeline aggregations over a multi-bucket
     parent's metric values — ``avg_bucket`` / ``sum_bucket`` /

@@ -822,3 +822,28 @@ def test_adjacency_and_auto_histogram_cross_layout(ray_session):
         assert want_ah[1]
     finally:
         st.close(); sd.close(); sd_local.close()
+
+
+def test_serial_diff_and_normalize_pure():
+    from siem_on_amazon_opensearch_service_ray.state.searcher import (
+        normalize_buckets, serial_diff_buckets)
+    b = [(0.0, 4), (150.0, 10), (300.0, 6)]
+    assert serial_diff_buckets(b, lag=1) == \
+        [(0.0, None), (150.0, 6.0), (300.0, -4.0)]
+    assert serial_diff_buckets(b, lag=2) == \
+        [(0.0, None), (150.0, None), (300.0, 2.0)]
+    assert normalize_buckets(b, "percent_of_sum") == \
+        [(0.0, 0.2), (150.0, 0.5), (300.0, 0.3)]
+    r01 = normalize_buckets(b, "rescale_0_1")
+    assert r01[0][1] == 0.0 and r01[1][1] == 1.0
+    import numpy as np
+    z = normalize_buckets(b, "z-score")
+    np.testing.assert_allclose(sum(v for _, v in z), 0.0, atol=1e-12)
+    # degenerate all-equal buckets -> zeros, not NaN
+    flat = normalize_buckets([(0.0, 5), (1.0, 5)], "rescale_0_1")
+    assert [v for _, v in flat] == [0.0, 0.0]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        serial_diff_buckets(b, lag=0)
+    with _pytest.raises(ValueError):
+        normalize_buckets(b, "softmax")
