@@ -73,12 +73,16 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["term", "bool", "phrase", "phrase-prefix",
                             "prefix", "wildcard", "fuzzy", "span",
                             "span-expr", "qs", "constant-score",
-                            "boosting", "function-score", "collapse"])
+                            "boosting", "function-score", "collapse",
+                            "terms-set"])
     s.add_argument("--must", action="append", default=[])
     s.add_argument("--should", action="append", default=[])
     s.add_argument("--must-not", action="append", default=[])
     s.add_argument("--msm", type=int, default=None,
                    help="minimum_should_match (bool queries)")
+    s.add_argument("--msm-field", default=None,
+                   help="terms-set: numeric field holding each doc's "
+                        "own minimum_should_match")
     s.add_argument("--slop", type=int, default=0,
                    help="phrase/span slop")
     s.add_argument("--fuzziness", type=int, default=1)
@@ -117,9 +121,12 @@ def main(argv: list[str] | None = None) -> int:
     ag.add_argument("query")
     ag.add_argument("--agg", required=True,
                     choices=["terms", "rare", "cardinality", "histogram",
-                             "stats", "sigterms", "ranks", "ip_range",
-                             "date_range", "weighted_avg",
-                             "matrix_stats"])
+                             "stats", "sigterms", "sig_text", "ranks",
+                             "ip_range", "date_range", "weighted_avg",
+                             "matrix_stats", "multi_terms",
+                             "geo_distance"])
+    ag.add_argument("--origin", default="0,0", metavar="LAT,LON",
+                    help="geo_distance ring origin")
     ag.add_argument("--values", default="",
                     help="comma-separated probes (--agg ranks)")
     ag.add_argument("--ranges", default="",
@@ -385,6 +392,38 @@ def main(argv: list[str] | None = None) -> int:
                            for v, n, sc in searcher.significant_terms(
                                args.query, args.agg_field, args.field,
                                args.mode, args.k)]
+                elif args.agg == "sig_text":
+                    res = [{"term": t, "fg_count": n, "score": round(sc, 6)}
+                           for t, n, sc in searcher.significant_text(
+                               args.query, args.field,
+                               text_field=args.agg_field, mode=args.mode,
+                               k=args.k)]
+                elif args.agg == "multi_terms":
+                    if not args.agg_field2:
+                        raise SystemExit("--agg multi_terms needs "
+                                         "--agg-field2")
+                    res = [{"value_a": a_, "value_b": b_, "count": n}
+                           for a_, b_, n in searcher.multi_terms_aggregation(
+                               args.query, (args.agg_field, args.agg_field2),
+                               args.field, args.mode)]
+                elif args.agg == "geo_distance":
+                    if not args.agg_field2:
+                        raise SystemExit("--agg geo_distance needs "
+                                         "--agg-field2 (the lon field)")
+                    olat, _, olon = args.origin.partition(",")
+                    rngs = []
+                    for part in args.ranges.split(","):
+                        part = part.strip()
+                        if not part:
+                            continue
+                        lo, hi = part.split("|", 1)
+                        rngs.append((None if lo == "*" else float(lo),
+                                     None if hi == "*" else float(hi)))
+                    res = [{"bucket": b_, "count": n} for b_, n in
+                           searcher.geo_distance_aggregation(
+                               args.query, args.agg_field, args.agg_field2,
+                               (float(olat), float(olon or 0)), rngs,
+                               args.field, args.mode)]
                 elif args.agg in ("weighted_avg", "matrix_stats"):
                     if not args.agg_field2:
                         raise SystemExit(f"--agg {args.agg} needs "
@@ -530,6 +569,15 @@ def main(argv: list[str] | None = None) -> int:
                     hits = [(float(n), d) for n, d in
                             searcher.span_query(json.loads(args.query),
                                                 args.field, args.k)]
+                elif qt == "terms-set":
+                    terms = args.should or (args.query or "").split()
+                    sharded = (searcher.use_actors and
+                               searcher._partition_by == "doc")
+                    fn = (searcher.terms_set_search_sharded if sharded
+                          else searcher.terms_set_search)
+                    hits = fn(terms, field=args.field,
+                              msm_field=args.msm_field,
+                              minimum_should_match=args.msm, k=args.k)
                 elif qt in ("constant-score", "boosting",
                             "function-score", "collapse"):
                     # doc layout + actors -> the per-shard execution

@@ -3925,6 +3925,240 @@ FROM b QUALIFY diff IS NOT NULL ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# multi_terms / significant_text / terms_set / geo_distance — the
+# round-5 session-5 additions.  multi_terms and significant_text run
+# over the standard doc-sharded documents index; terms_set and
+# geo_distance need per-doc numeric companions (a per-doc
+# minimum_should_match field; geo coordinates), derived
+# deterministically from doc_id so DuckDB can recompute them.
+
+
+def _docs_aux_fixture(sf_dir: str) -> str:
+    """Documents-derived parquet with the numeric companions: msm =
+    (doc_id % 3) + 1 (the per-doc terms_set minimum), lat/lon = a
+    200-point deterministic grid (geo_point encoded as two numeric
+    range fields).  Cached under /tmp via marker file."""
+    import pyarrow.parquet as pq
+    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    out_dir = f"/tmp/sosr_docs_aux_{key}_v1"
+    marker = os.path.join(out_dir, ".done")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    did = t.column("doc_id").to_numpy()
+    g = (did % 200).astype(np.float64)
+    fixture = pa.table({
+        "doc_id": t.column("doc_id"),
+        "text": t.column("text"),
+        "msm": pa.array((did % 3 + 1).astype(np.float64), pa.float64()),
+        "lat": pa.array(-30.0 + g * 0.3, pa.float64()),
+        "lon": pa.array(-70.0 + g * 0.7, pa.float64()),
+    })
+    pq.write_table(fixture, os.path.join(out_dir, "docs_aux.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def _docs_aux_index(sf_dir: str) -> str:
+    fx = _docs_aux_fixture(sf_dir)
+    idx = fx + "_idx"
+    cfg = IndexConfig(num_partitions=4,
+                      fields=(("content", "text", "base"),),
+                      keyword_fields=(),
+                      range_fields=("msm", "lat", "lon"),
+                      doc_id_col="doc_id", sha_col="text",
+                      sample_mod=16, hot_df_threshold=1000)
+    build_index([os.path.join(fx, "docs_aux.parquet")], idx, cfg,
+                resume=True)
+    return idx
+
+
+def search_multi_terms(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``multi_terms`` aggregation: the match set bucketed
+    by the (lang, source) keyword-value PAIR — per-shard pair-census
+    partials on the default doc layout (one np.unique over combined
+    value codes per shard; only the tiny pair dict travels)."""
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        agg = s.multi_terms_aggregation(BM25_QUERY, ("lang", "source"),
+                                        field="content")
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "lang": [a for a, _, _ in agg],
+        "source": [b for _, b, _ in agg],
+        "n": np.array([n for _, _, n in agg], np.int64),
+    })
+
+
+SEARCH_MULTI_TERMS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))}))
+SELECT d.lang, d.source, cast(count(*) AS BIGINT) AS n
+FROM documents d JOIN m USING(doc_id)
+GROUP BY d.lang, d.source
+"""
+
+
+def search_sig_text(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``significant_text`` (JLH) over the analyzed content
+    terms: foreground = the query's match set, background = all live
+    docs.  Per-shard full-dictionary scans on the doc layout (each
+    shard scans only its OWN vocabulary slice and ships term→count
+    partials) — the expensive shape OpenSearch documents, guarded by
+    ``max_terms``.  k=50 covers every qualifying term of this corpus,
+    so the result is boundary-tie-free."""
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        rows = s.significant_text(BM25_QUERY, field="content", k=50)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "term": [t for t, _, _ in rows],
+        "fg": np.array([n for _, n, _ in rows], np.int64),
+        "score_e6": np.array(
+            [int(round_half_away(sc * 1000000)) for _, _, sc in rows],
+            np.int64),
+    })
+
+
+SEARCH_SIG_TEXT_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))})),
+fgt AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM m),
+bgt AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM documents),
+fg AS (SELECT t.term, count(DISTINCT t.doc_id) AS fg
+       FROM tok t JOIN m USING(doc_id) GROUP BY t.term),
+bg AS (SELECT term, count(DISTINCT doc_id) AS bg FROM tok GROUP BY term),
+s AS (SELECT fg.term, fg.fg,
+             (fg.fg/fgt.v - bg.bg/bgt.v) * ((fg.fg/fgt.v)/(bg.bg/bgt.v))
+               AS score
+      FROM fg JOIN bg USING(term) CROSS JOIN fgt CROSS JOIN bgt
+      WHERE fg.fg/fgt.v > bg.bg/bgt.v)
+SELECT term, cast(fg AS BIGINT) AS fg,
+       cast(round(score*1000000) AS BIGINT) AS score_e6
+FROM s ORDER BY score DESC, term LIMIT 50
+"""
+
+
+_TERMS_SET_TERMS = ["spark", "join", "hash"]
+
+
+def search_terms_set(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``terms_set`` query: docs matching at least
+    ``minimum_should_match_field`` of the given terms, where the
+    required count is a PER-DOC numeric field (msm = doc_id%3 + 1);
+    score = BM25 sum over the matching terms.  Doc-sharded: match
+    counts, per-doc minima and scoring are shard-local; global idf
+    via the dfs round; only P×k tuples travel."""
+    idx = _docs_aux_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.terms_set_search_sharded(_TERMS_SET_TERMS,
+                                          field="content",
+                                          msm_field="msm", k=BM25_K)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d in hits],
+        "score_e4": np.array([int(_round_away(sc * 10000))
+                              for sc, _ in hits], np.int64),
+    })
+
+
+SEARCH_TERMS_SET_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+dl AS (SELECT d.doc_id, count(t.term) AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+dlq AS (SELECT doc_id, dl,
+               CASE WHEN dl < 8 THEN dl
+                    ELSE (dl >> (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3))
+                         << (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3) END
+                 AS dl_quant
+        FROM dl),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in _TERMS_SET_TERMS)}),
+tf AS (SELECT t.doc_id, t.term, count(*) AS tf
+       FROM tok t JOIN q USING(term) GROUP BY t.doc_id, t.term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2*(1 - 0.75 + 0.75*dlq.dl_quant/s.avgdl)) )
+           AS score,
+         count(*) AS nmatch
+  FROM tf JOIN df USING(term) JOIN dlq USING(doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, cast(round(score*10000) AS BIGINT) AS score_e4
+FROM scores WHERE nmatch >= (doc_id % 3) + 1
+ORDER BY score DESC, doc_id LIMIT {BM25_K}
+"""
+
+
+_GEO_RANGES = [(None, 2000.0), (2000.0, 5000.0), (5000.0, None)]
+
+
+def search_geo_distance(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``geo_distance`` aggregation: concentric km rings
+    around the origin by haversine distance, geo_point encoded as two
+    numeric range fields.  Per-shard per-ring counts on the default
+    doc layout (len(ranges) ints per shard).  The fixture's 200 grid
+    points all sit ≥ 6.7 km from every ring edge, so IEEE-754 kernel
+    differences between numpy and DuckDB cannot flip a bucket."""
+    idx = _docs_aux_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        agg = s.geo_distance_aggregation(BM25_QUERY, "lat", "lon",
+                                         (0.0, 0.0), _GEO_RANGES,
+                                         field="content")
+    finally:
+        s.close()
+    return pd.DataFrame({"bucket": [b for b, _ in agg],
+                         "n": np.array([n for _, n in agg], np.int64)})
+
+
+SEARCH_GEO_DISTANCE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))})),
+g AS (SELECT -30.0 + (doc_id % 200) * 0.3 AS lat,
+             -70.0 + (doc_id % 200) * 0.7 AS lon
+      FROM documents JOIN m USING(doc_id)),
+d AS (SELECT 2*6371.0*asin(sqrt(
+        pow(sin(radians(lat - 0.0)/2), 2)
+        + cos(radians(0.0))*cos(radians(lat))
+          *pow(sin(radians(lon - 0.0)/2), 2))) AS km FROM g),
+r(bucket, lo, hi) AS (VALUES
+  ('*-2000.0', NULL, 2000.0),
+  ('2000.0-5000.0', 2000.0, 5000.0),
+  ('5000.0-*', 5000.0, NULL))
+SELECT r.bucket, cast(count(d.km) AS BIGINT) AS n
+FROM r LEFT JOIN d ON (r.lo IS NULL OR d.km >= r.lo)
+                  AND (r.hi IS NULL OR d.km < r.hi)
+GROUP BY r.bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -3936,6 +4170,10 @@ def queries() -> dict:
     # newest driver row is r03 (oldest-green-first), then the r04-green rest.
     return {
         # --- never driver-checked (round-5 additions) ---
+        "search_multi_terms": search_multi_terms,
+        "search_sig_text": search_sig_text,
+        "search_terms_set": search_terms_set,
+        "search_geo_distance": search_geo_distance,
         "search_ip_range": search_ip_range,
         "search_date_range": search_date_range,
         "search_weighted_avg": search_weighted_avg,
@@ -4052,6 +4290,10 @@ def queries() -> dict:
 
 def oracle_sql() -> dict:
     return {
+        "search_multi_terms": SEARCH_MULTI_TERMS_SQL,
+        "search_sig_text": SEARCH_SIG_TEXT_SQL,
+        "search_terms_set": SEARCH_TERMS_SET_SQL,
+        "search_geo_distance": SEARCH_GEO_DISTANCE_SQL,
         "search_ip_range": SEARCH_IP_RANGE_SQL,
         "search_date_range": SEARCH_DATE_RANGE_SQL,
         "search_weighted_avg": SEARCH_WEIGHTED_AVG_SQL,

@@ -993,6 +993,156 @@ def _range_bucket_counts(v: np.ndarray,
     return out
 
 
+def _value_code_map(index_dir: str, agg_field: str, cand: np.ndarray,
+                    dparts: list[int] | None
+                    ) -> tuple[np.ndarray, list[str]]:
+    """Per candidate doc, the integer code of its ``agg_field`` keyword
+    value (-1 = field missing), probed from the packed filter postings
+    — the doc→value alignment behind multi-field bucket aggs.  One code
+    per distinct VALUE (a value spanning parts keeps one code)."""
+    code_of = np.full(cand.size, -1, dtype=np.int64)
+    values: list[str] = []
+    by_value: dict[str, int] = {}
+    if cand.size == 0:
+        return code_of, values
+    for v, vids in _iter_filter_postings(index_dir, agg_field, dparts):
+        pos = np.minimum(np.searchsorted(cand, vids), cand.size - 1)
+        hit = cand[pos] == vids
+        if hit.any():
+            c = by_value.get(v)
+            if c is None:
+                c = by_value[v] = len(values)
+                values.append(v)
+            code_of[pos[hit]] = c
+    return code_of, values
+
+
+def _multi_terms_partial(index_dir: str, fa: str, fb: str,
+                         cand: np.ndarray,
+                         dparts: list[int] | None
+                         ) -> dict[tuple[str, str], int]:
+    """multi_terms-agg partial: per (fa value, fb value) pair, the
+    count of candidate docs carrying BOTH keyword fields (OpenSearch
+    ``multi_terms`` skips docs missing any source field).  Doc→value
+    maps align via one searchsorted probe per (value, part) row; the
+    pair census is a single np.unique over combined codes — no
+    per-doc Python."""
+    if cand.size == 0:
+        return {}
+    ca, va = _value_code_map(index_dir, fa, cand, dparts)
+    cb, vb = _value_code_map(index_dir, fb, cand, dparts)
+    m = (ca >= 0) & (cb >= 0)
+    if not m.any() or not vb:
+        return {}
+    comb = ca[m] * len(vb) + cb[m]
+    u, c = np.unique(comb, return_counts=True)
+    nb = len(vb)
+    return {(va[int(x) // nb], vb[int(x) % nb]): int(n)
+            for x, n in zip(u, c)}
+
+
+def _haversine_km(lat: np.ndarray, lon: np.ndarray,
+                  olat: float, olon: float) -> np.ndarray:
+    """Great-circle distance (km, R=6371.0) from (olat, olon) —
+    the OpenSearch geo_distance agg's ``arc`` distance.  The operation
+    order mirrors the SQL oracle expression exactly (sin²(Δφ/2) +
+    cosφ₀·cosφ·sin²(Δλ/2)) so both sides evaluate the same IEEE-754
+    kernel sequence."""
+    a = (np.sin(np.radians(lat - olat) / 2) ** 2
+         + np.cos(np.radians(olat)) * np.cos(np.radians(lat))
+         * np.sin(np.radians(lon - olon) / 2) ** 2)
+    return 2 * 6371.0 * np.arcsin(np.sqrt(a))
+
+
+def _geo_distance_partial(index_dir: str, cand: np.ndarray,
+                          lat_field: str, lon_field: str,
+                          olat: float, olon: float,
+                          ranges: list[tuple[float | None, float | None]],
+                          dparts: list[int] | None) -> list[int]:
+    """geo_distance-agg partial: per (from-incl, to-excl) km ring, the
+    count of candidate docs whose haversine distance from the origin
+    falls inside — docs missing either coordinate are skipped
+    (OpenSearch ignores docs without the geo field).  Only
+    len(ranges) ints travel."""
+    if cand.size == 0:
+        return [0] * len(ranges)
+    la, ha, lo_, hb = _aligned_field_values(index_dir, cand,
+                                            (lat_field, lon_field), dparts)
+    m = ha & hb
+    if not m.any():
+        return [0] * len(ranges)
+    dist = _haversine_km(la[m], lo_[m], olat, olon)
+    return _range_bucket_counts(dist, ranges)
+
+
+def _sig_text_scan(readers, tombstones: np.ndarray, text_field: str,
+                   cand: np.ndarray, max_terms: int
+                   ) -> tuple[dict[str, int], dict[str, int]]:
+    """Term-layout significant_text scan over a reader collection: a
+    term lives in exactly one term partition, so per-reader (fg, df)
+    dicts union without double counting.  ``cand`` is the centralized
+    candidate set (term layout centralizes ids by construction)."""
+    fg: dict[str, int] = {}
+    df: dict[str, int] = {}
+    for r in readers:
+        vocab = r._sorted_terms(text_field)
+        if len(vocab) > max_terms:
+            raise ValueError(
+                f"significant_text on {text_field!r}: partition has "
+                f"{len(vocab)} terms > max_terms={max_terms}")
+        for t in vocab:
+            ids = _candidate_ids(r, text_field, [t], "or")
+            if ids.size and tombstones.size:
+                ids = ids[_excl_mask(ids, tombstones)]
+            if ids.size == 0:
+                continue
+            df[t] = df.get(t, 0) + int(ids.size)
+            if cand.size:
+                pos = np.minimum(np.searchsorted(cand, ids),
+                                 cand.size - 1)
+                n = int(np.count_nonzero(cand[pos] == ids))
+                if n:
+                    fg[t] = fg.get(t, 0) + n
+    return fg, df
+
+
+def _sig_text_partial(r: "ShardReader", p: int, tombstones: np.ndarray,
+                      field: str, q_terms: list[str], mode: str,
+                      text_field: str, max_terms: int
+                      ) -> tuple[dict[str, int], dict[str, int], int]:
+    """significant_text partial over ONE doc shard: per term of the
+    analyzed ``text_field``, (foreground doc count, live doc freq),
+    plus the shard's foreground size.  This is a full-vocabulary scan
+    of the shard's own dictionary — the expensive shape OpenSearch
+    documents for significant_text (it recommends a sampler);
+    ``max_terms`` refuses a vocabulary that would materialize an
+    unbounded census.  Doc ids never leave the shard."""
+    vocab = r._sorted_terms(text_field)
+    if len(vocab) > max_terms:
+        raise ValueError(
+            f"significant_text on {text_field!r}: shard {p} has "
+            f"{len(vocab)} terms > max_terms={max_terms}; wrap the "
+            "query in a sampler/filter or raise max_terms explicitly")
+    cand = _candidate_ids(r, field, q_terms, mode)
+    if cand.size and tombstones.size:
+        cand = cand[_excl_mask(cand, tombstones)]
+    fg: dict[str, int] = {}
+    df: dict[str, int] = {}
+    for t in vocab:
+        ids = _candidate_ids(r, text_field, [t], "or")
+        if ids.size and tombstones.size:
+            ids = ids[_excl_mask(ids, tombstones)]
+        if ids.size == 0:
+            continue
+        df[t] = int(ids.size)
+        if cand.size:
+            pos = np.minimum(np.searchsorted(cand, ids), cand.size - 1)
+            n = int(np.count_nonzero(cand[pos] == ids))
+            if n:
+                fg[t] = n
+    return fg, df, int(cand.size)
+
+
 def _composite_partial(index_dir: str, sources: list[str],
                        cand: np.ndarray | None, tombstones: np.ndarray,
                        dparts: list[int] | None = None
@@ -1155,6 +1305,69 @@ class PartActor:
                     r.index_dir, agg_field, cand, dparts=[p]):
                 out[v] = out.get(v, 0) + n
         return out
+
+    def multi_terms_local(self, field: str, q_terms: list[str], mode: str,
+                          fa: str, fb: str) -> dict[tuple[str, str], int]:
+        """Doc-sharded multi_terms partial: per (fa, fb) value pair,
+        this actor's shard-local match counts — only the tiny pair
+        dict travels to the driver."""
+        out: dict[tuple[str, str], int] = {}
+        for p, r in self.readers.items():
+            cand = _candidate_ids(r, field, q_terms, mode)
+            if cand.size and self.tombstones.size:
+                cand = cand[_excl_mask(cand, self.tombstones)]
+            for kv, n in _multi_terms_partial(r.index_dir, fa, fb, cand,
+                                              dparts=[p]).items():
+                out[kv] = out.get(kv, 0) + n
+        return out
+
+    def geo_distance_local(self, field: str, q_terms: list[str], mode: str,
+                           lat_field: str, lon_field: str,
+                           olat: float, olon: float,
+                           ranges: list[tuple[float | None, float | None]]
+                           ) -> list[int]:
+        """Doc-sharded geo_distance partial: per-ring counts over this
+        actor's doc parts — len(ranges) ints travel."""
+        out = [0] * len(ranges)
+        for p, r in self.readers.items():
+            cand = _candidate_ids(r, field, q_terms, mode)
+            if cand.size and self.tombstones.size:
+                cand = cand[_excl_mask(cand, self.tombstones)]
+            for i, n in enumerate(_geo_distance_partial(
+                    r.index_dir, cand, lat_field, lon_field, olat, olon,
+                    ranges, dparts=[p])):
+                out[i] += n
+        return out
+
+    def sig_text_local(self, field: str, q_terms: list[str], mode: str,
+                       text_field: str, max_terms: int
+                       ) -> tuple[dict[str, int], dict[str, int], int]:
+        """Doc-sharded significant_text partial: merged (fg, df,
+        fg_size) over this actor's doc parts (each doc shard holds the
+        full postings of its own docs, so per-shard term scans sum
+        exactly)."""
+        fg: dict[str, int] = {}
+        df: dict[str, int] = {}
+        n_cand = 0
+        for p, r in self.readers.items():
+            f, d, n = _sig_text_partial(r, p, self.tombstones, field,
+                                        q_terms, mode, text_field,
+                                        max_terms)
+            n_cand += n
+            for t, x in f.items():
+                fg[t] = fg.get(t, 0) + x
+            for t, x in d.items():
+                df[t] = df.get(t, 0) + x
+        return fg, df, n_cand
+
+    def sig_text_scan(self, text_field: str, cand: np.ndarray,
+                      max_terms: int
+                      ) -> tuple[dict[str, int], dict[str, int]]:
+        """Term-layout significant_text scan: the driver ships the
+        (already centralized) candidate set; each actor scans its OWN
+        term-dictionary slice — see :func:`_sig_text_scan`."""
+        return _sig_text_scan(self.readers.values(), self.tombstones,
+                              text_field, cand, max_terms)
 
     def comoments_local(self, field: str, q_terms: list[str], mode: str,
                         f1: str, f2: str) -> dict:
@@ -2884,6 +3097,255 @@ class Searcher:
         if self.tombstones.size and cand.size:
             cand = cand[_excl_mask(cand, self.tombstones)]
         return cand
+
+    def multi_terms_aggregation(self, query: str,
+                                agg_fields: tuple[str, str],
+                                field: str = "content", mode: str = "or",
+                                analyzer: str | None = None
+                                ) -> list[tuple[str, str, int]]:
+        """OpenSearch ``multi_terms`` aggregation: bucket the match set
+        by the PAIR of two keyword fields' values (docs missing either
+        field are skipped — multi_terms semantics, unlike a nested
+        terms agg which would emit a bucket per present field).  On the
+        default doc layout each shard ships only its per-pair partial
+        counts; the driver sums — doc ids never centralize.  Returns
+        [(v_a, v_b, count)] sorted (count desc, v_a asc, v_b asc)."""
+        fa, fb = agg_fields
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        q_terms = an(query)
+        if not q_terms:
+            return []
+        merged: dict[tuple[str, str], int] = {}
+        if self.manifest["config"].get("partition_by") == "doc":
+            if self.use_actors:
+                parts = ray.get([
+                    a.multi_terms_local.remote(field, q_terms, mode, fa, fb)
+                    for a in self.actors])
+            else:
+                parts = []
+                for p, r in self.readers.items():
+                    cand = _candidate_ids(r, field, q_terms, mode)
+                    if cand.size and self.tombstones.size:
+                        cand = cand[_excl_mask(cand, self.tombstones)]
+                    parts.append(_multi_terms_partial(
+                        self.index_dir, fa, fb, cand, dparts=[p]))
+            for d in parts:
+                for kv, n in d.items():
+                    merged[kv] = merged.get(kv, 0) + n
+        else:
+            cand = self._match_ids(field, q_terms, mode)
+            merged = _multi_terms_partial(self.index_dir, fa, fb, cand,
+                                          dparts=None)
+        out = [(a_, b_, n) for (a_, b_), n in merged.items()]
+        out.sort(key=lambda t: (-t[2], t[0], t[1]))
+        return out
+
+    def geo_distance_aggregation(self, query: str,
+                                 lat_field: str, lon_field: str,
+                                 origin: tuple[float, float],
+                                 ranges: list[tuple[float | None,
+                                                    float | None]],
+                                 field: str = "content", mode: str = "or",
+                                 analyzer: str | None = None
+                                 ) -> list[tuple[str, int]]:
+        """OpenSearch ``geo_distance`` aggregation: concentric
+        (from-inclusive, to-exclusive) km rings around ``origin``,
+        counting matching docs by haversine (arc) distance.  Geo points
+        index as two numeric range fields (lat, lon) — the engine's
+        geo_point encoding; docs missing either coordinate are skipped.
+        Doc layout ships len(ranges) ints per shard; term layout probes
+        the range tables driver-side.  Returns [(label, count)] in the
+        given ring order with OpenSearch's ``*-to`` / ``from-to`` /
+        ``from-*`` key labels."""
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        q_terms = an(query)
+        if not q_terms:
+            return []
+        olat, olon = float(origin[0]), float(origin[1])
+        totals = [0] * len(ranges)
+        if self.manifest["config"].get("partition_by") == "doc":
+            if self.use_actors:
+                parts = ray.get([
+                    a.geo_distance_local.remote(field, q_terms, mode,
+                                                lat_field, lon_field,
+                                                olat, olon, ranges)
+                    for a in self.actors])
+            else:
+                parts = []
+                for p, r in self.readers.items():
+                    cand = _candidate_ids(r, field, q_terms, mode)
+                    if cand.size and self.tombstones.size:
+                        cand = cand[_excl_mask(cand, self.tombstones)]
+                    parts.append(_geo_distance_partial(
+                        self.index_dir, cand, lat_field, lon_field,
+                        olat, olon, ranges, dparts=[p]))
+            for row in parts:
+                for i, n in enumerate(row):
+                    totals[i] += n
+        else:
+            cand = self._match_ids(field, q_terms, mode)
+            totals = _geo_distance_partial(self.index_dir, cand,
+                                           lat_field, lon_field,
+                                           olat, olon, ranges, dparts=None)
+        labels = [f"{'*' if lo is None else lo}-"
+                  f"{'*' if hi is None else hi}" for lo, hi in ranges]
+        return list(zip(labels, totals))
+
+    def significant_text(self, query: str, field: str = "content",
+                         text_field: str | None = None, mode: str = "or",
+                         k: int = 10, analyzer: str | None = None,
+                         max_terms: int = 65536
+                         ) -> list[tuple[str, int, float]]:
+        """OpenSearch ``significant_text`` (JLH): significant_terms
+        over the ANALYZED terms of a text field instead of a keyword
+        field — foreground = the query's match-set docs, background =
+        all live docs, score = (fgPct - bgPct) * (fgPct / bgPct) with
+        doc-count percentages.  This is a full-vocabulary scan (the
+        expensive shape OpenSearch itself documents and recommends
+        wrapping in a sampler); ``max_terms`` refuses unbounded
+        censuses.  On the doc layout each shard scans only its own
+        dictionary and ships (term → fg, df) partials; on the term
+        layout the centralized candidate set ships to the dictionary
+        owners.  Returns [(term, fg_count, score)] sorted (score desc,
+        term asc), top ``k``."""
+        tf_field = text_field or field
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        q_terms = an(query)
+        if not q_terms:
+            return []
+        fg: dict[str, int] = {}
+        df: dict[str, int] = {}
+        if self.manifest["config"].get("partition_by") == "doc":
+            if self.use_actors:
+                parts = ray.get([
+                    a.sig_text_local.remote(field, q_terms, mode,
+                                            tf_field, max_terms)
+                    for a in self.actors])
+            else:
+                parts = []
+                for p, r in self.readers.items():
+                    parts.append(_sig_text_partial(
+                        r, p, self.tombstones, field, q_terms, mode,
+                        tf_field, max_terms))
+            fg_total = 0
+            for f, d, n in parts:
+                fg_total += n
+                for t, x in f.items():
+                    fg[t] = fg.get(t, 0) + x
+                for t, x in d.items():
+                    df[t] = df.get(t, 0) + x
+        else:
+            cand = self._match_ids(field, q_terms, mode)
+            fg_total = int(cand.size)
+            if self.use_actors:
+                parts2 = ray.get([
+                    a.sig_text_scan.remote(tf_field, cand, max_terms)
+                    for a in self.actors])
+            else:
+                parts2 = [_sig_text_scan(self.readers.values(),
+                                         self.tombstones, tf_field, cand,
+                                         max_terms)]
+            for f, d in parts2:
+                for t, x in f.items():
+                    fg[t] = fg.get(t, 0) + x
+                for t, x in d.items():
+                    df[t] = df.get(t, 0) + x
+        if not fg or fg_total == 0:
+            return []
+        bg_total = float(int(self.stats["n_docs"]) - self.tombstones.size)
+        out: list[tuple[str, int, float]] = []
+        for t, n in fg.items():
+            bgn = df.get(t, 0)
+            if not bgn:
+                continue
+            fg_pct = n / float(fg_total)
+            bg_pct = bgn / bg_total
+            if fg_pct <= bg_pct:
+                continue
+            out.append((t, n, (fg_pct - bg_pct) * (fg_pct / bg_pct)))
+        out.sort(key=lambda r: (-r[2], r[0]))
+        return out[:k]
+
+    def terms_set_search(self, terms: list[str], field: str = "content",
+                         msm_field: str | None = None,
+                         minimum_should_match: int | None = None,
+                         k: int = 10, k1: float = K1, b: float = B
+                         ) -> list[tuple[float, int]]:
+        """OpenSearch ``terms_set`` query: docs matching at least a
+        minimum number of the given (pre-analyzed) terms, where the
+        minimum is read PER DOC from a numeric field
+        (``minimum_should_match_field``) or given as a constant; the
+        score is the BM25 sum over the doc's matching terms (a bool
+        should under Lucene's MinShouldMatchSumScorer).  Docs missing
+        ``msm_field`` never match (no minimum to satisfy).  Needs the
+        full match set (TAAT), so at scale use
+        :meth:`terms_set_search_sharded` — per-doc match counts and
+        field minima are shard-local there.  Returns [(score, doc_id)]
+        sorted (score desc, doc_id asc), top ``k``."""
+        uniq = [t for t in dict.fromkeys(terms) if t]
+        if not uniq or (msm_field is None and minimum_should_match is None):
+            return []
+        rows = self._gather(field, uniq)
+        avgdl = float(self.stats["avgdl"][field])
+        n_docs = int(self.stats["n_docs"])
+        td = prepare_terms(uniq, rows, n_docs, avgdl, k1, b,
+                           idf_by_term=self._idf_overrides,
+                           exclude_ids=self.tombstones)
+        hits = score_taat(td, 1 << 31, "or", avgdl, None, k1, b)
+        if not hits:
+            return []
+        ids = np.fromiter((d for _, d in hits), np.uint64, count=len(hits))
+        order = np.argsort(ids)
+        sid = ids[order]
+        nmatch = np.zeros(len(hits), dtype=np.int64)
+        for t in uniq:
+            trows = rows.get(t) or []
+            if not trows:
+                continue
+            runs = [decode_postings(docs, tfs, norms, df).doc_ids
+                    for df, docs, tfs, norms, *_ in trows]
+            tids = (np.unique(np.concatenate(runs)) if len(runs) > 1
+                    else runs[0])
+            pos = np.minimum(np.searchsorted(sid, tids), sid.size - 1)
+            m = sid[pos] == tids
+            if m.any():
+                nmatch[order[pos[m]]] += 1
+        if msm_field is not None:
+            from .shard import load_range_pairs
+            req = np.zeros(len(hits), dtype=np.float64)
+            have = np.zeros(len(hits), dtype=bool)
+            for rvals, rids in load_range_pairs(self.index_dir, msm_field,
+                                                dparts=self._local_parts):
+                pos = np.minimum(np.searchsorted(sid, rids),
+                                 max(sid.size - 1, 0))
+                m = sid[pos] == rids
+                if m.any():
+                    req[order[pos[m]]] = rvals[m]
+                    have[order[pos[m]]] = True
+            keep = have & (nmatch >= req)
+        else:
+            keep = nmatch >= int(minimum_should_match)
+        out = [(float(s), int(d))
+               for (s, d), kp in zip(hits, keep) if kp]
+        out.sort(key=lambda t: (-t[0], t[1]))
+        return out[:k]
+
+    def terms_set_search_sharded(self, terms: list[str],
+                                 field: str = "content",
+                                 msm_field: str | None = None,
+                                 minimum_should_match: int | None = None,
+                                 k: int = 10, k1: float = K1, b: float = B
+                                 ) -> list[tuple[float, int]]:
+        """:meth:`terms_set_search` per doc shard with global idf (the
+        dfs round): match counts, per-doc minima and scoring are all
+        doc-local, so each shard returns its local top-k and only
+        P×k (score, doc) tuples travel."""
+        return self._exec_doc_sharded(
+            "terms_set_search",
+            dict(terms=terms, field=field, msm_field=msm_field,
+                 minimum_should_match=minimum_should_match, k=k,
+                 k1=k1, b=b),
+            k, idf_terms=list(terms), field=field)
 
     def cardinality_aggregation(self, query: str, agg_field: str,
                                 field: str = "content", mode: str = "or",

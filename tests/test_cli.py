@@ -216,3 +216,70 @@ def test_cli_agg_ip_and_date_range(ray_session, tmp_path, capsys):
         "--agg-field", "val", "--agg-field2", "wt"])
     assert out["count"] == 30
     assert out["sums"]["sxy"] == sum(v * w for v, w in zip(vals, wts))
+
+
+def test_cli_multi_terms_sig_text_terms_set_geo(ray_session, tmp_path,
+                                                capsys):
+    """--agg multi_terms / sig_text / geo_distance and --type terms-set
+    over one index carrying two keyword fields and msm/lat/lon range
+    fields."""
+    root = tmp_path / "s5cli"
+    corpus = root / "corpus"
+    corpus.mkdir(parents=True)
+    n = 48
+    texts = [("spark join" if i % 2 else "sql table scan")
+             + (" shuffle" if i % 3 == 0 else "")
+             for i in range(n)]
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "content": texts,
+        "lang": [["py", "go"][i % 2] for i in range(n)],
+        "repo": [f"r{i % 3}" for i in range(n)],
+        "msm": pa.array([(i % 2) + 1.0 for i in range(n)], pa.float64()),
+        "lat": pa.array([float(i % 20) for i in range(n)], pa.float64()),
+        "lon": pa.array([float((i % 20) * 2) for i in range(n)],
+                        pa.float64()),
+    })
+    pq.write_table(t, str(corpus / "part-0.parquet"))
+    idx = str(root / "idx")
+    rc = main(["build", str(corpus), idx, "--partitions", "2",
+               "--doc-id-col", "doc_id", "--sha-col", "content",
+               "--text-field", "content:content:base",
+               "--keyword-field", "lang", "--keyword-field", "repo",
+               "--range-field", "msm", "--range-field", "lat",
+               "--range-field", "lon", "--no-salting"])
+    assert rc == 0
+    capsys.readouterr()  # drain the build summary
+    out = _run_json(capsys, [
+        "agg", idx, "spark", "--agg", "multi_terms",
+        "--agg-field", "lang", "--agg-field2", "repo"])
+    # spark docs are the odd i -> lang always 'go'
+    assert all(r["value_a"] == "go" for r in out)
+    assert sum(r["count"] for r in out) == n // 2
+    out = _run_json(capsys, [
+        "agg", idx, "spark", "--agg", "sig_text",
+        "--agg-field", "content", "--k", "3"])
+    assert [r["term"] for r in out][:2] == ["join", "spark"] or \
+        [r["term"] for r in out][:2] == ["spark", "join"]
+    out = _run_json(capsys, [
+        "agg", idx, "spark", "--agg", "geo_distance",
+        "--agg-field", "lat", "--agg-field2", "lon",
+        "--origin", "0,0", "--ranges", "*|2000,2000|*"])
+    got = {r["bucket"]: r["count"] for r in out}
+    assert sum(got.values()) == n // 2
+    # terms-set: per-doc minimum from the msm field (odd i -> msm 2)
+    out = _run_json(capsys, [
+        "search", idx, "--type", "terms-set",
+        "--should", "spark", "--should", "join", "--should", "shuffle",
+        "--msm-field", "msm", "--k", "48"])
+    # every returned doc is odd (spark+join >= msm=2); even docs
+    # (msm=1) never contain any of the three terms except shuffle
+    ids = [r["doc_id"] for r in out]
+    assert ids and all(
+        (i % 2 == 1) or (i % 3 == 0 and i % 2 == 0) for i in ids)
+    # constant minimum via --msm
+    out = _run_json(capsys, [
+        "search", idx, "--type", "terms-set",
+        "--should", "spark", "--should", "join", "--should", "shuffle",
+        "--msm", "3", "--k", "48"])
+    assert all(r["doc_id"] % 6 == 3 for r in out) and out

@@ -91,7 +91,9 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "search_weighted_avg", "search_matrix_stats",
               "search_bucket_pipeline", "search_bucket_metrics",
               "search_top_metrics", "search_adjacency",
-              "search_auto_histogram", "search_normalize_pipeline"]
+              "search_auto_histogram", "search_normalize_pipeline",
+              "search_multi_terms", "search_sig_text",
+              "search_terms_set", "search_geo_distance"]
 
 
 @pytest.mark.parametrize("name", SQL_BACKED)

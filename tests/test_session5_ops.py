@@ -1,0 +1,190 @@
+"""multi_terms / significant_text / terms_set / geo_distance vs brute
+force, on BOTH index layouts (the doc-sharded default and the
+term-routed twin) — per-shard partials must reproduce the exact
+whole-corpus result.  Reference semantics: OpenSearch multi_terms
+(docs missing either field are skipped), significant_text JLH
+(doc-count percentages, full-dictionary scan), terms_set with
+minimum_should_match_field (per-doc minimum, BM25-sum scoring),
+geo_distance arc rings (from-incl/to-excl km, haversine R=6371)."""
+
+import math
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
+    IndexConfig, build_index)
+from siem_on_amazon_opensearch_service_ray.state.searcher import (
+    Searcher, _haversine_km)
+
+VOCAB = ["spark", "join", "shuffle", "sql", "table", "query", "index",
+         "merge", "sort", "scan", "filter", "group"]
+N = 240
+
+
+def _toks(x):
+    return re.findall(r"[a-z0-9_]+", x.lower())
+
+
+@pytest.fixture(scope="module")
+def corpora(ray_session, tmp_path_factory):
+    rng = np.random.default_rng(55)
+    docs = []
+    for _ in range(N):
+        n = int(rng.integers(5, 30))
+        docs.append(" ".join(VOCAB[int(j)]
+                             for j in rng.integers(0, len(VOCAB), n)))
+    grid = np.arange(N) % 40
+    t = pa.table({
+        "doc_id": pa.array(range(N), pa.int64()),
+        "text": docs,
+        "lang": [["py", "go", "rs"][i % 3] for i in range(N)],
+        "repo": [f"r{i % 4}" for i in range(N)],
+        "msm": pa.array([(i % 3) + 1.0 for i in range(N)], pa.float64()),
+        "lat": pa.array(-20.0 + grid * 0.9, pa.float64()),
+        "lon": pa.array(-50.0 + grid * 1.7, pa.float64()),
+    })
+    root = tmp_path_factory.mktemp("s5ops")
+    src = str(root / "docs.parquet")
+    pq.write_table(t, src)
+    out = {}
+    for layout in ("doc", "term"):
+        idx = str(root / f"idx_{layout}")
+        cfg = IndexConfig(num_partitions=4, partition_by=layout,
+                          fields=(("content", "text", "base"),),
+                          keyword_fields=("lang", "repo"),
+                          range_fields=("msm", "lat", "lon"),
+                          doc_id_col="doc_id", sha_col="text",
+                          salting=False)
+        build_index([src], idx, cfg)
+        out[layout] = Searcher(idx, use_actors=False)
+    yield out, docs
+
+
+def _match(docs, terms):
+    return [i for i, d in enumerate(docs)
+            if any(t in _toks(d) for t in terms)]
+
+
+def test_multi_terms(corpora):
+    searchers, docs = corpora
+    m = _match(docs, ["spark", "join"])
+    exp: dict = {}
+    for i in m:
+        key = (["py", "go", "rs"][i % 3], f"r{i % 4}")
+        exp[key] = exp.get(key, 0) + 1
+    want = sorted(((a, b, n) for (a, b), n in exp.items()),
+                  key=lambda t: (-t[2], t[0], t[1]))
+    for layout, s in searchers.items():
+        got = s.multi_terms_aggregation("spark join", ("lang", "repo"))
+        assert got == want, layout
+
+
+def test_significant_text_jlh(corpora):
+    searchers, docs = corpora
+    toksets = [set(_toks(d)) for d in docs]
+    m = set(_match(docs, ["spark", "join"]))
+    fgt, bgt = float(len(m)), float(N)
+    exp = []
+    for t in sorted(set().union(*toksets)):
+        fg = sum(1 for i in m if t in toksets[i])
+        bg = sum(1 for ts in toksets if t in ts)
+        if fg == 0 or bg == 0:
+            continue
+        fp, bp = fg / fgt, bg / bgt
+        if fp <= bp:
+            continue
+        exp.append((t, fg, (fp - bp) * (fp / bp)))
+    exp.sort(key=lambda r: (-r[2], r[0]))
+    for layout, s in searchers.items():
+        got = s.significant_text("spark join", field="content", k=20)
+        assert [(t, n) for t, n, _ in got] == \
+            [(t, n) for t, n, _ in exp[:20]], layout
+        for (_, _, a), (_, _, b) in zip(got, exp):
+            assert math.isclose(a, b, rel_tol=1e-12), layout
+
+
+def test_significant_text_max_terms_guard(corpora):
+    searchers, _ = corpora
+    with pytest.raises(ValueError, match="max_terms"):
+        searchers["doc"].significant_text("spark", field="content",
+                                          max_terms=3)
+
+
+def test_terms_set_per_doc_minimum(corpora):
+    searchers, docs = corpora
+    terms = ["spark", "join", "shuffle"]
+    # brute-force BM25 (Lucene norm quantization), as in test_query_dsl
+    tok_lists = [_toks(d) for d in docs]
+    dls = [len(tl) for tl in tok_lists]
+    avgdl = sum(dls) / N
+
+    def quant(dl):
+        if dl < 8:
+            return dl
+        sh = int(math.floor(math.log2(dl))) - 3
+        return (dl >> sh) << sh
+
+    def idf(t):
+        df = sum(1 for tl in tok_lists if t in tl)
+        return math.log(1 + (N - df + 0.5) / (df + 0.5))
+
+    exp = []
+    for i, tl in enumerate(tok_lists):
+        nmatch = sum(1 for t in terms if t in tl)
+        if nmatch < (i % 3) + 1:
+            continue
+        sc = 0.0
+        for t in terms:
+            tf = tl.count(t)
+            if tf:
+                dq = quant(dls[i])
+                sc += idf(t) * tf * 2.2 / (
+                    tf + 1.2 * (1 - 0.75 + 0.75 * dq / avgdl))
+        exp.append((sc, i))
+    exp.sort(key=lambda sd: (-sd[0], sd[1]))
+    for layout, s in searchers.items():
+        fn = (s.terms_set_search_sharded if layout == "doc"
+              else s.terms_set_search)
+        got = fn(terms, field="content", msm_field="msm", k=15)
+        assert [(round(a, 6), b) for a, b in got] == \
+            [(round(a, 6), b) for a, b in exp[:15]], layout
+    # constant minimum: msm=3 keeps only docs containing all three
+    got = searchers["doc"].terms_set_search_sharded(
+        terms, minimum_should_match=3, k=200)
+    want_ids = {i for i, tl in enumerate(tok_lists)
+                if all(t in tl for t in terms)}
+    assert {d for _, d in got} == want_ids
+    # no minimum given -> empty (OpenSearch requires one)
+    assert searchers["doc"].terms_set_search(terms, k=5) == []
+
+
+def test_geo_distance_rings(corpora):
+    searchers, docs = corpora
+    m = _match(docs, ["spark", "join"])
+    grid = np.arange(N) % 40
+    lat = -20.0 + grid * 0.9
+    lon = -50.0 + grid * 1.7
+    dist = _haversine_km(lat, lon, 0.0, 0.0)
+    ranges = [(None, 2500.0), (2500.0, 5500.0), (5500.0, None)]
+    want = []
+    for lo, hi in ranges:
+        n = sum(1 for i in m
+                if (lo is None or dist[i] >= lo)
+                and (hi is None or dist[i] < hi))
+        want.append(n)
+    labels = ["*-2500.0", "2500.0-5500.0", "5500.0-*"]
+    for layout, s in searchers.items():
+        got = s.geo_distance_aggregation("spark join", "lat", "lon",
+                                         (0.0, 0.0), ranges)
+        assert got == list(zip(labels, want)), layout
+        assert sum(n for _, n in got) <= len(m)
+
+
+def test_close(corpora):
+    searchers, _ = corpora
+    for s in searchers.values():
+        s.close()
