@@ -124,9 +124,17 @@ def main(argv: list[str] | None = None) -> int:
                              "stats", "sigterms", "sig_text", "ranks",
                              "ip_range", "date_range", "weighted_avg",
                              "matrix_stats", "multi_terms",
-                             "geo_distance"])
+                             "geo_distance", "sampler"])
     ag.add_argument("--origin", default="0,0", metavar="LAT,LON",
                     help="geo_distance ring origin")
+    ag.add_argument("--shard-size", type=int, default=100,
+                    help="sampler: best-scoring docs kept per shard")
+    ag.add_argument("--diversify-field", default=None,
+                    help="diversified_sampler: keyword field to "
+                         "de-duplicate the sample on")
+    ag.add_argument("--max-per-value", type=int, default=1,
+                    help="diversified_sampler: sample docs allowed per "
+                         "diversify-field value")
     ag.add_argument("--values", default="",
                     help="comma-separated probes (--agg ranks)")
     ag.add_argument("--ranges", default="",
@@ -398,6 +406,14 @@ def main(argv: list[str] | None = None) -> int:
                                args.query, args.field,
                                text_field=args.agg_field, mode=args.mode,
                                k=args.k)]
+                elif args.agg == "sampler":
+                    res = [{"value": v, "count": n} for v, n in
+                           searcher.sampler_aggregation(
+                               args.query, args.agg_field,
+                               shard_size=args.shard_size,
+                               field=args.field,
+                               diversify_field=args.diversify_field,
+                               max_docs_per_value=args.max_per_value)]
                 elif args.agg == "multi_terms":
                     if not args.agg_field2:
                         raise SystemExit("--agg multi_terms needs "

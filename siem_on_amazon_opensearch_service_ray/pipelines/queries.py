@@ -4158,6 +4158,69 @@ GROUP BY r.bucket
 """
 
 
+def search_sampler(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``diversified_sampler`` wrapping a terms sub-agg:
+    each doc shard keeps its best-scoring 40 docs (global-idf BM25,
+    score desc / doc asc), capped at 2 docs per ``source`` value, and
+    only the sample feeds the ``lang`` terms agg.  The sample is per
+    SHARD (OpenSearch semantics — results depend on sharding), which
+    stays SQL-checkable because doc partitions are doc_id %% P: the
+    oracle replays the two collection stages as QUALIFY
+    row_number() windows partitioned by doc_id %% 4."""
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        agg = s.sampler_aggregation(BM25_QUERY, "lang", shard_size=40,
+                                    field="content",
+                                    diversify_field="source",
+                                    max_docs_per_value=2)
+    finally:
+        s.close()
+    return pd.DataFrame({"lang": [v for v, _ in agg],
+                         "n": np.array([n for _, n in agg], np.int64)})
+
+
+SEARCH_SAMPLER_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+dl AS (SELECT d.doc_id, count(t.term) AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+dlq AS (SELECT doc_id, dl,
+               CASE WHEN dl < 8 THEN dl
+                    ELSE (dl >> (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3))
+                         << (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3) END
+                 AS dl_quant
+        FROM dl),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in
+                              dict.fromkeys(base_tokens(BM25_QUERY)))}),
+tf AS (SELECT t.doc_id, t.term, count(*) AS tf
+       FROM tok t JOIN q USING(term) GROUP BY t.doc_id, t.term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2*(1 - 0.75 + 0.75*dlq.dl_quant/s.avgdl)) )
+           AS score
+  FROM tf JOIN df USING(term) JOIN dlq USING(doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+elig AS (
+  SELECT sc.doc_id, sc.score FROM scores sc JOIN documents d USING(doc_id)
+  QUALIFY row_number() OVER (PARTITION BY sc.doc_id % 4, d.source
+                             ORDER BY sc.score DESC, sc.doc_id) <= 2),
+samp AS (
+  SELECT doc_id FROM elig
+  QUALIFY row_number() OVER (PARTITION BY doc_id % 4
+                             ORDER BY score DESC, doc_id) <= 40)
+SELECT d.lang, cast(count(*) AS BIGINT) AS n
+FROM documents d JOIN samp USING(doc_id)
+GROUP BY d.lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4170,6 +4233,7 @@ def queries() -> dict:
     # newest driver row is r03 (oldest-green-first), then the r04-green rest.
     return {
         # --- never driver-checked (round-5 additions) ---
+        "search_sampler": search_sampler,
         "search_multi_terms": search_multi_terms,
         "search_sig_text": search_sig_text,
         "search_terms_set": search_terms_set,
@@ -4290,6 +4354,7 @@ def queries() -> dict:
 
 def oracle_sql() -> dict:
     return {
+        "search_sampler": SEARCH_SAMPLER_SQL,
         "search_multi_terms": SEARCH_MULTI_TERMS_SQL,
         "search_sig_text": SEARCH_SIG_TEXT_SQL,
         "search_terms_set": SEARCH_TERMS_SET_SQL,

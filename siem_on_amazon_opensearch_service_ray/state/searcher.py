@@ -1075,6 +1075,75 @@ def _geo_distance_partial(index_dir: str, cand: np.ndarray,
     return _range_bucket_counts(dist, ranges)
 
 
+def _greedy_diversified(hits: list[tuple[float, int]],
+                        codes: np.ndarray, max_per_value: int,
+                        shard_size: int) -> np.ndarray:
+    """The diversified_sampler collection rule over a ranked hit list:
+    walk (score desc, doc asc), keep a doc unless its diversify-value
+    already has ``max_per_value`` keepers, stop at ``shard_size``.
+    Equivalent to rank-within-value <= max then top shard_size (every
+    better-ranked same-value doc precedes in the global order), which
+    is what the vectorized groupwise cumcount below computes — and
+    what a SQL twin expresses as two QUALIFY row_number() stages.
+    Docs missing the field (code -1) diversify as themselves (always
+    eligible — OpenSearch dedups only on present values).  Returns the
+    kept doc ids sorted."""
+    n = len(hits)
+    pos = np.arange(n)
+    o = np.lexsort((pos, codes))
+    sc = codes[o]
+    grp_new = np.ones(n, dtype=bool)
+    grp_new[1:] = sc[1:] != sc[:-1]
+    # cumcount within each code group (lexsort is stable, so group
+    # members stay in global rank order)
+    starts = np.flatnonzero(grp_new)
+    lens = np.diff(np.r_[starts, n])
+    cum = np.concatenate([np.arange(m) for m in lens]) if n else \
+        np.zeros(0, np.int64)
+    rank_in_value = np.empty(n, dtype=np.int64)
+    rank_in_value[o] = cum
+    eligible = (codes < 0) | (rank_in_value < max_per_value)
+    kept_idx = np.flatnonzero(eligible)[:shard_size]
+    return np.sort(np.fromiter((hits[i][1] for i in kept_idx),
+                               np.uint64, count=kept_idx.size))
+
+
+def _sampler_partial(r: "ShardReader", p: int, tombstones: np.ndarray,
+                     field: str, q_terms: list[str], shard_size: int,
+                     agg_field: str, diversify_field: str | None,
+                     max_per_value: int, idf: dict[str, float],
+                     n_docs: int, avgdl: float, k1: float, b: float
+                     ) -> dict[str, int]:
+    """sampler / diversified_sampler partial over ONE doc shard: the
+    shard's best-scoring ``shard_size`` docs (global idf, local
+    tf/norms — the dfs round), optionally capped per diversify-field
+    value, then the sub-agg's per-value counts over only the sample.
+    Only the tiny count dict travels."""
+    rows = {t: r.raw_rows(field, t) for t in q_terms}
+    td = prepare_terms(q_terms, rows, n_docs, avgdl, k1, b,
+                       idf_by_term=idf, exclude_ids=tombstones)
+    need = shard_size if diversify_field is None else (1 << 31)
+    hits = score_taat(td, need, "or", avgdl, None, k1, b)
+    if not hits:
+        return {}
+    if diversify_field is None:
+        sample = np.sort(np.fromiter((d for _, d in hits), np.uint64,
+                                     count=len(hits)))
+    else:
+        ids = np.fromiter((d for _, d in hits), np.uint64,
+                          count=len(hits))
+        order = np.argsort(ids)
+        sid = ids[order]
+        code_sorted, _vals = _value_code_map(r.index_dir, diversify_field,
+                                             sid, dparts=[p])
+        codes = np.empty(len(hits), dtype=np.int64)
+        codes[order] = code_sorted
+        sample = _greedy_diversified(hits, codes, max_per_value,
+                                     shard_size)
+    return dict(_count_filter_values(r.index_dir, agg_field, sample,
+                                     dparts=[p]))
+
+
 def _sig_text_scan(readers, tombstones: np.ndarray, text_field: str,
                    cand: np.ndarray, max_terms: int
                    ) -> tuple[dict[str, int], dict[str, int]]:
@@ -1337,6 +1406,23 @@ class PartActor:
                     r.index_dir, cand, lat_field, lon_field, olat, olon,
                     ranges, dparts=[p])):
                 out[i] += n
+        return out
+
+    def sampler_local(self, field: str, q_terms: list[str],
+                      shard_size: int, agg_field: str,
+                      diversify_field: str | None, max_per_value: int,
+                      idf: dict[str, float], n_docs: int, avgdl: float,
+                      k1: float, b: float) -> dict[str, int]:
+        """Doc-sharded sampler partial: per PART (not per actor — the
+        sample is a property of the shard, stable under pool size),
+        best-shard_size docs -> sub-agg counts, summed here."""
+        out: dict[str, int] = {}
+        for p, r in self.readers.items():
+            for v, n in _sampler_partial(
+                    r, p, self.tombstones, field, q_terms, shard_size,
+                    agg_field, diversify_field, max_per_value, idf,
+                    n_docs, avgdl, k1, b).items():
+                out[v] = out.get(v, 0) + n
         return out
 
     def sig_text_local(self, field: str, q_terms: list[str], mode: str,
@@ -3265,6 +3351,85 @@ class Searcher:
             out.append((t, n, (fg_pct - bg_pct) * (fg_pct / bg_pct)))
         out.sort(key=lambda r: (-r[2], r[0]))
         return out[:k]
+
+    def sampler_aggregation(self, query: str, agg_field: str,
+                            shard_size: int = 100,
+                            field: str = "content",
+                            diversify_field: str | None = None,
+                            max_docs_per_value: int = 1,
+                            analyzer: str | None = None,
+                            k1: float = K1, b: float = B
+                            ) -> list[tuple[str, int]]:
+        """OpenSearch ``sampler`` / ``diversified_sampler``: run the
+        sub-aggregation (a terms agg over ``agg_field``) over only
+        each shard's best-scoring ``shard_size`` docs — the
+        cost-bounding foreground OpenSearch recommends wrapping
+        significant/expensive aggs in.  ``diversify_field`` +
+        ``max_docs_per_value`` cap same-value docs in the sample
+        (diversified_sampler), collected in (score desc, doc asc)
+        order.  Like OpenSearch, the sample is per SHARD: a
+        doc-partitioned index samples each doc shard independently
+        (partial count dicts travel, never doc ids), a term-routed
+        index is one logical shard and samples globally.  Scoring uses
+        global idf (the dfs round) so the sample is stable across
+        shard counts of the same layout.  Returns [(value, count)]
+        sorted (count desc, value asc)."""
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        q_terms = [t for t in dict.fromkeys(an(query)) if t]
+        if not q_terms:
+            return []
+        n_docs = int(self.stats["n_docs"])
+        avgdl = float(self.stats["avgdl"][field])
+        dfs = self._term_dfs(field, q_terms)
+        idf = {t: float(idf_fn(dfs.get(t, 0), n_docs)) for t in q_terms}
+        merged: dict[str, int] = {}
+        if self.manifest["config"].get("partition_by") == "doc":
+            if self.use_actors:
+                parts = ray.get([
+                    a.sampler_local.remote(field, q_terms, shard_size,
+                                           agg_field, diversify_field,
+                                           max_docs_per_value, idf,
+                                           n_docs, avgdl, k1, b)
+                    for a in self.actors])
+            else:
+                parts = [_sampler_partial(r, p, self.tombstones, field,
+                                          q_terms, shard_size, agg_field,
+                                          diversify_field,
+                                          max_docs_per_value, idf,
+                                          n_docs, avgdl, k1, b)
+                         for p, r in self.readers.items()]
+            for d in parts:
+                for v, n in d.items():
+                    merged[v] = merged.get(v, 0) + n
+        else:
+            # term layout: one logical shard — the whole corpus
+            need = shard_size if diversify_field is None else (1 << 31)
+            self._idf_overrides = idf
+            try:
+                hits = self._expanded_or(q_terms, field, need, k1, b)
+            finally:
+                self._idf_overrides = None
+            if not hits:
+                return []
+            if diversify_field is None:
+                sample = np.sort(np.fromiter((d for _, d in hits),
+                                             np.uint64, count=len(hits)))
+            else:
+                ids = np.fromiter((d for _, d in hits), np.uint64,
+                                  count=len(hits))
+                order = np.argsort(ids)
+                code_sorted, _vals = _value_code_map(
+                    self.index_dir, diversify_field, ids[order],
+                    dparts=self._local_parts)
+                codes = np.empty(len(hits), dtype=np.int64)
+                codes[order] = code_sorted
+                sample = _greedy_diversified(hits, codes,
+                                             max_docs_per_value,
+                                             shard_size)
+            merged = dict(_count_filter_values(self.index_dir, agg_field,
+                                               sample,
+                                               dparts=self._local_parts))
+        return sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
 
     def terms_set_search(self, terms: list[str], field: str = "content",
                          msm_field: str | None = None,

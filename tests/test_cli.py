@@ -283,3 +283,19 @@ def test_cli_multi_terms_sig_text_terms_set_geo(ray_session, tmp_path,
         "--should", "spark", "--should", "join", "--should", "shuffle",
         "--msm", "3", "--k", "48"])
     assert all(r["doc_id"] % 6 == 3 for r in out) and out
+
+
+def test_cli_sampler(cli_index, capsys):
+    """--agg sampler: the sub-agg runs over only the per-shard
+    best-scoring sample; diversified cap shrinks it further."""
+    idx, _ = cli_index
+    out = _run_json(capsys, [
+        "agg", idx, "spark join", "--agg", "sampler",
+        "--agg-field", "lang", "--shard-size", "5"])
+    assert sum(r["count"] for r in out) <= 5 * 4  # <= shard_size * P
+    out2 = _run_json(capsys, [
+        "agg", idx, "spark join", "--agg", "sampler",
+        "--agg-field", "lang", "--shard-size", "5",
+        "--diversify-field", "repo", "--max-per-value", "1"])
+    # at most 1 doc per repo value per shard; 3 repos -> <= 3 * P docs
+    assert sum(r["count"] for r in out2) <= 3 * 4

@@ -62,6 +62,8 @@ def corpora(ray_session, tmp_path_factory):
         build_index([src], idx, cfg)
         out[layout] = Searcher(idx, use_actors=False)
     yield out, docs
+    for s in out.values():
+        s.close()
 
 
 def _match(docs, terms):
@@ -184,7 +186,72 @@ def test_geo_distance_rings(corpora):
         assert sum(n for _, n in got) <= len(m)
 
 
-def test_close(corpora):
-    searchers, _ = corpora
-    for s in searchers.values():
-        s.close()
+def test_sampler_and_diversified(corpora):
+    """sampler / diversified_sampler vs a brute-force replay of the
+    collection rule.  Doc layout: per doc shard (doc_id % 4); term
+    layout: one global shard."""
+    searchers, docs = corpora
+    terms = ["spark", "join"]
+    tok_lists = [_toks(d) for d in docs]
+    dls = [len(tl) for tl in tok_lists]
+    avgdl = sum(dls) / N
+
+    def quant(dl):
+        if dl < 8:
+            return dl
+        sh = int(math.floor(math.log2(dl))) - 3
+        return (dl >> sh) << sh
+
+    def idf(t):
+        df = sum(1 for tl in tok_lists if t in tl)
+        return math.log(1 + (N - df + 0.5) / (df + 0.5))
+
+    def score(i):
+        sc = 0.0
+        for t in terms:
+            tf = tok_lists[i].count(t)
+            if tf:
+                sc += idf(t) * tf * 2.2 / (
+                    tf + 1.2 * (1 - 0.75 + 0.75 * quant(dls[i]) / avgdl))
+        return sc
+
+    hits = sorted(((score(i), i) for i in range(N) if score(i) > 0),
+                  key=lambda sd: (-sd[0], sd[1]))
+
+    def collect(shard_ids, shard_size, diversify, max_per_value):
+        kept, cnt = [], {}
+        for sc, i in hits:
+            if i not in shard_ids:
+                continue
+            if diversify:
+                v = f"r{i % 4}"
+                if cnt.get(v, 0) >= max_per_value:
+                    continue
+                cnt[v] = cnt.get(v, 0) + 1
+            kept.append(i)
+            if len(kept) >= shard_size:
+                break
+        return kept
+
+    def expect(shards, shard_size, diversify, max_per_value):
+        out: dict = {}
+        for sh in shards:
+            for i in collect(sh, shard_size, diversify, max_per_value):
+                v = ["py", "go", "rs"][i % 3]
+                out[v] = out.get(v, 0) + 1
+        return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    doc_shards = [set(i for i in range(N) if i % 4 == p)
+                  for p in range(4)]
+    all_docs = [set(range(N))]
+    for dv in (False, True):
+        want_doc = expect(doc_shards, 10, dv, 2)
+        got_doc = searchers["doc"].sampler_aggregation(
+            "spark join", "lang", shard_size=10,
+            diversify_field="repo" if dv else None, max_docs_per_value=2)
+        assert got_doc == want_doc, f"doc dv={dv}"
+        want_term = expect(all_docs, 40, dv, 2)
+        got_term = searchers["term"].sampler_aggregation(
+            "spark join", "lang", shard_size=40,
+            diversify_field="repo" if dv else None, max_docs_per_value=2)
+        assert got_term == want_term, f"term dv={dv}"
