@@ -124,7 +124,9 @@ def main(argv: list[str] | None = None) -> int:
                              "stats", "sigterms", "sig_text", "ranks",
                              "ip_range", "date_range", "weighted_avg",
                              "matrix_stats", "multi_terms",
-                             "geo_distance", "sampler"])
+                             "geo_distance", "sampler", "geotile"])
+    ag.add_argument("--precision", type=int, default=7,
+                    help="geotile zoom level (tiles are z/x/y keys)")
     ag.add_argument("--origin", default="0,0", metavar="LAT,LON",
                     help="geo_distance ring origin")
     ag.add_argument("--shard-size", type=int, default=100,
@@ -406,6 +408,17 @@ def main(argv: list[str] | None = None) -> int:
                                args.query, args.field,
                                text_field=args.agg_field, mode=args.mode,
                                k=args.k)]
+                elif args.agg == "geotile":
+                    if not args.agg_field2:
+                        raise SystemExit("--agg geotile needs "
+                                         "--agg-field2 (the lon field)")
+                    res = [{"tile": t, "count": n} for t, n in
+                           searcher.geotile_grid_aggregation(
+                               args.query, args.agg_field,
+                               args.agg_field2,
+                               precision=args.precision,
+                               field=args.field, mode=args.mode,
+                               size=args.k)]
                 elif args.agg == "sampler":
                     res = [{"value": v, "count": n} for v, n in
                            searcher.sampler_aggregation(

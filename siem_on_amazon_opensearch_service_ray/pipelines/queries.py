@@ -4221,6 +4221,88 @@ GROUP BY d.lang
 """
 
 
+def search_geotile(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``geotile_grid`` at zoom 3: matching docs bucketed
+    into slippy-map "z/x/y" tiles (Web-Mercator y) — per-shard tile
+    dict partials on the default doc layout; the projection's
+    expression order is mirrored verbatim in the SQL oracle so both
+    sides run the same IEEE-754 sequence (the fixture's grid points
+    sit off every tile edge except exact-zero lat/lon, which both
+    engines compute exactly)."""
+    idx = _docs_aux_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        agg = s.geotile_grid_aggregation(BM25_QUERY, "lat", "lon",
+                                         precision=3, field="content")
+    finally:
+        s.close()
+    return pd.DataFrame({"tile": [k for k, _ in agg],
+                         "n": np.array([n for _, n in agg], np.int64)})
+
+
+SEARCH_GEOTILE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))})),
+g AS (SELECT -30.0 + (doc_id % 200) * 0.3 AS lat,
+             -70.0 + (doc_id % 200) * 0.7 AS lon
+      FROM documents JOIN m USING(doc_id)),
+t AS (SELECT cast(floor((lon + 180.0) / 360.0 * 8) AS BIGINT) AS x,
+             cast(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat)))
+                         / pi()) / 2.0 * 8) AS BIGINT) AS y
+      FROM g)
+SELECT '3/' || x || '/' || y AS tile, cast(count(*) AS BIGINT) AS n
+FROM t GROUP BY 1
+"""
+
+
+_PCT_BUCKET_PERCENTS = [25.0, 50.0, 90.0]
+
+
+def search_percentiles_bucket(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``percentiles_bucket`` pipeline agg: linear-
+    interpolation percentiles of the n_chars-histogram bucket counts
+    — pure coordinator-side post-processing (== DuckDB
+    quantile_cont)."""
+    from ..state.searcher import percentiles_bucket
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        buckets = s.histogram_aggregation(BM25_QUERY, "n_chars",
+                                          _BUCKET_PIPE_INTERVAL)
+    finally:
+        s.close()
+    rows = percentiles_bucket(buckets, _PCT_BUCKET_PERCENTS)
+    return pd.DataFrame({
+        "percent": np.array([p for p, _ in rows], np.int64),
+        "value_e4": np.array([int(round_half_away(v * 10000))
+                              for _, v in rows], np.int64),
+    })
+
+
+SEARCH_PCT_BUCKET_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))})),
+b AS (SELECT floor(d.n_chars / {_BUCKET_PIPE_INTERVAL})
+             * {_BUCKET_PIPE_INTERVAL} AS bucket,
+             cast(count(*) AS DOUBLE) AS n
+      FROM documents d JOIN m USING(doc_id) GROUP BY 1)
+{" UNION ALL ".join(
+    f"SELECT cast({int(p)} AS BIGINT) AS percent, "
+    f"cast(round(quantile_cont(n, {p / 100.0!r}) * 10000) AS BIGINT) "
+    f"AS value_e4 FROM b"
+    for p in _PCT_BUCKET_PERCENTS)}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4233,6 +4315,8 @@ def queries() -> dict:
     # newest driver row is r03 (oldest-green-first), then the r04-green rest.
     return {
         # --- never driver-checked (round-5 additions) ---
+        "search_geotile": search_geotile,
+        "search_percentiles_bucket": search_percentiles_bucket,
         "search_sampler": search_sampler,
         "search_multi_terms": search_multi_terms,
         "search_sig_text": search_sig_text,
@@ -4354,6 +4438,8 @@ def queries() -> dict:
 
 def oracle_sql() -> dict:
     return {
+        "search_geotile": SEARCH_GEOTILE_SQL,
+        "search_percentiles_bucket": SEARCH_PCT_BUCKET_SQL,
         "search_sampler": SEARCH_SAMPLER_SQL,
         "search_multi_terms": SEARCH_MULTI_TERMS_SQL,
         "search_sig_text": SEARCH_SIG_TEXT_SQL,

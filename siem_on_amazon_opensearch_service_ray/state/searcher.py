@@ -1144,6 +1144,64 @@ def _sampler_partial(r: "ShardReader", p: int, tombstones: np.ndarray,
                                      dparts=[p]))
 
 
+def _geotile_xy(lat: np.ndarray, lon: np.ndarray, precision: int
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Slippy-map tile coordinates at zoom ``precision`` (the
+    OpenSearch geotile_grid key scheme).  Expression order mirrors the
+    SQL oracle (Web-Mercator y via ln(tan φ + sec φ)) so both sides
+    run the same IEEE-754 sequence."""
+    n = float(1 << precision)
+    x = np.floor((lon + 180.0) / 360.0 * n)
+    rl = np.radians(lat)
+    y = np.floor((1.0 - np.log(np.tan(rl) + 1.0 / np.cos(rl)) / np.pi)
+                 / 2.0 * n)
+    # clamp the poles like OpenSearch (tiles exist only in [0, 2^z))
+    x = np.clip(x, 0, n - 1)
+    y = np.clip(y, 0, n - 1)
+    return x.astype(np.int64), y.astype(np.int64)
+
+
+def _geotile_partial(index_dir: str, cand: np.ndarray,
+                     lat_field: str, lon_field: str, precision: int,
+                     dparts: list[int] | None) -> dict[str, int]:
+    """geotile_grid partial: per "z/x/y" tile, the count of candidate
+    docs whose (lat, lon) projects into it — docs missing either
+    coordinate are skipped.  Only the tiny tile dict travels."""
+    if cand.size == 0:
+        return {}
+    la, ha, lo_, hb = _aligned_field_values(index_dir, cand,
+                                            (lat_field, lon_field), dparts)
+    m = ha & hb
+    if not m.any():
+        return {}
+    x, y = _geotile_xy(la[m], lo_[m], precision)
+    comb = x * (1 << precision) + y
+    u, c = np.unique(comb, return_counts=True)
+    z = 1 << precision
+    return {f"{precision}/{int(v) // z}/{int(v) % z}": int(n)
+            for v, n in zip(u, c)}
+
+
+def percentiles_bucket(buckets: list[tuple], percents: list[float],
+                       value_index: int = 1) -> list[tuple[float, float]]:
+    """OpenSearch ``percentiles_bucket`` pipeline agg: linear-
+    interpolation percentiles of a parent aggregation's bucket values
+    — pure coordinator-side post-processing over the (already
+    reduced) bucket list, like cumulative_sum/derivative.  Returns
+    [(percent, value)] in the given percent order."""
+    vals = np.sort(np.asarray([b[value_index] for b in buckets],
+                              dtype=np.float64))
+    if vals.size == 0:
+        return [(float(p), float("nan")) for p in percents]
+    out = []
+    for p in percents:
+        # numpy 'linear' == DuckDB quantile_cont == OpenSearch's
+        # interpolated percentiles_bucket
+        q = float(np.percentile(vals, float(p), method="linear"))
+        out.append((float(p), q))
+    return out
+
+
 def _sig_text_scan(readers, tombstones: np.ndarray, text_field: str,
                    cand: np.ndarray, max_terms: int
                    ) -> tuple[dict[str, int], dict[str, int]]:
@@ -1406,6 +1464,22 @@ class PartActor:
                     r.index_dir, cand, lat_field, lon_field, olat, olon,
                     ranges, dparts=[p])):
                 out[i] += n
+        return out
+
+    def geotile_local(self, field: str, q_terms: list[str], mode: str,
+                      lat_field: str, lon_field: str, precision: int
+                      ) -> dict[str, int]:
+        """Doc-sharded geotile_grid partial: per-tile counts over this
+        actor's doc parts."""
+        out: dict[str, int] = {}
+        for p, r in self.readers.items():
+            cand = _candidate_ids(r, field, q_terms, mode)
+            if cand.size and self.tombstones.size:
+                cand = cand[_excl_mask(cand, self.tombstones)]
+            for k, n in _geotile_partial(r.index_dir, cand, lat_field,
+                                         lon_field, precision,
+                                         dparts=[p]).items():
+                out[k] = out.get(k, 0) + n
         return out
 
     def sampler_local(self, field: str, q_terms: list[str],
@@ -3276,6 +3350,51 @@ class Searcher:
         labels = [f"{'*' if lo is None else lo}-"
                   f"{'*' if hi is None else hi}" for lo, hi in ranges]
         return list(zip(labels, totals))
+
+    def geotile_grid_aggregation(self, query: str,
+                                 lat_field: str, lon_field: str,
+                                 precision: int = 7,
+                                 field: str = "content", mode: str = "or",
+                                 size: int | None = None,
+                                 analyzer: str | None = None
+                                 ) -> list[tuple[str, int]]:
+        """OpenSearch ``geotile_grid``: bucket matching docs into
+        slippy-map tiles ("z/x/y" keys) at zoom ``precision``, counts
+        per tile.  Geo points are the engine's two-numeric-field
+        encoding; docs missing either coordinate are skipped.  Per-
+        shard tile-count partials on the doc layout (a tile dict per
+        shard travels, never coordinates); term layouts probe the
+        range tables driver-side.  Returns [(key, count)] sorted
+        (count desc, key asc), top ``size`` (None = all)."""
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        q_terms = an(query)
+        if not q_terms:
+            return []
+        merged: dict[str, int] = {}
+        if self.manifest["config"].get("partition_by") == "doc":
+            if self.use_actors:
+                parts = ray.get([
+                    a.geotile_local.remote(field, q_terms, mode,
+                                           lat_field, lon_field, precision)
+                    for a in self.actors])
+            else:
+                parts = []
+                for p, r in self.readers.items():
+                    cand = _candidate_ids(r, field, q_terms, mode)
+                    if cand.size and self.tombstones.size:
+                        cand = cand[_excl_mask(cand, self.tombstones)]
+                    parts.append(_geotile_partial(
+                        self.index_dir, cand, lat_field, lon_field,
+                        precision, dparts=[p]))
+            for d in parts:
+                for k, n in d.items():
+                    merged[k] = merged.get(k, 0) + n
+        else:
+            cand = self._match_ids(field, q_terms, mode)
+            merged = _geotile_partial(self.index_dir, cand, lat_field,
+                                      lon_field, precision, dparts=None)
+        out = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
+        return out if size is None else out[:size]
 
     def significant_text(self, query: str, field: str = "content",
                          text_field: str | None = None, mode: str = "or",

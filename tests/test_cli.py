@@ -299,3 +299,33 @@ def test_cli_sampler(cli_index, capsys):
         "--diversify-field", "repo", "--max-per-value", "1"])
     # at most 1 doc per repo value per shard; 3 repos -> <= 3 * P docs
     assert sum(r["count"] for r in out2) <= 3 * 4
+
+
+def test_cli_geotile(ray_session, tmp_path, capsys):
+    root = tmp_path / "geot"
+    corpus = root / "corpus"
+    corpus.mkdir(parents=True)
+    n = 24
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "content": ["click"] * n,
+        "lat": pa.array([10.0 if i % 2 else -10.0 for i in range(n)],
+                        pa.float64()),
+        "lon": pa.array([100.0 if i % 3 else -100.0 for i in range(n)],
+                        pa.float64()),
+    })
+    pq.write_table(t, str(corpus / "part-0.parquet"))
+    idx = str(root / "idx")
+    assert main(["build", str(corpus), idx, "--partitions", "2",
+                 "--doc-id-col", "doc_id", "--sha-col", "content",
+                 "--text-field", "content:content:base",
+                 "--range-field", "lat", "--range-field", "lon",
+                 "--no-salting"]) == 0
+    capsys.readouterr()
+    out = _run_json(capsys, [
+        "agg", idx, "click", "--agg", "geotile",
+        "--agg-field", "lat", "--agg-field2", "lon", "--precision", "1"])
+    # z=1: 2x2 tiles; four (lat,lon) combos -> four distinct tiles
+    got = {r["tile"]: r["count"] for r in out}
+    assert sum(got.values()) == n and len(got) == 4
+    assert all(k.startswith("1/") for k in got)

@@ -94,7 +94,8 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "search_auto_histogram", "search_normalize_pipeline",
               "search_multi_terms", "search_sig_text",
               "search_terms_set", "search_geo_distance",
-              "search_sampler"]
+              "search_sampler", "search_geotile",
+              "search_percentiles_bucket"]
 
 
 @pytest.mark.parametrize("name", SQL_BACKED)

@@ -255,3 +255,43 @@ def test_sampler_and_diversified(corpora):
             "spark join", "lang", shard_size=40,
             diversify_field="repo" if dv else None, max_docs_per_value=2)
         assert got_term == want_term, f"term dv={dv}"
+
+
+def test_geotile_grid(corpora):
+    searchers, docs = corpora
+    from siem_on_amazon_opensearch_service_ray.state.searcher import (
+        _geotile_xy)
+    m = _match(docs, ["spark", "join"])
+    grid = np.arange(N) % 40
+    lat = -20.0 + grid * 0.9
+    lon = -50.0 + grid * 1.7
+    x, y = _geotile_xy(lat, lon, 4)
+    exp: dict = {}
+    for i in m:
+        k = f"4/{x[i]}/{y[i]}"
+        exp[k] = exp.get(k, 0) + 1
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+    for layout, s in searchers.items():
+        got = s.geotile_grid_aggregation("spark join", "lat", "lon",
+                                         precision=4)
+        assert got == want, layout
+    # size truncates after the (count desc, key asc) sort
+    got3 = searchers["doc"].geotile_grid_aggregation(
+        "spark join", "lat", "lon", precision=4, size=3)
+    assert got3 == want[:3]
+    # known projections: (0,0) is the exact center tile corner
+    gx, gy = _geotile_xy(np.array([0.0]), np.array([0.0]), 1)
+    assert (gx[0], gy[0]) == (1, 1)
+
+
+def test_percentiles_bucket_interpolation():
+    from siem_on_amazon_opensearch_service_ray.state.searcher import (
+        percentiles_bucket)
+    buckets = [(0.0, 10), (1.0, 30), (2.0, 20), (3.0, 40)]
+    rows = percentiles_bucket(buckets, [0.0, 50.0, 100.0])
+    assert rows == [(0.0, 10.0), (50.0, 25.0), (100.0, 40.0)]
+    # matches numpy linear on an uneven spread
+    buckets = [(float(i), v) for i, v in enumerate([3, 1, 4, 1, 5, 9, 2])]
+    got = percentiles_bucket(buckets, [37.5])[0][1]
+    assert got == float(np.percentile([3, 1, 4, 1, 5, 9, 2], 37.5))
+    assert np.isnan(percentiles_bucket([], [50.0])[0][1])
