@@ -124,7 +124,8 @@ def main(argv: list[str] | None = None) -> int:
                              "stats", "sigterms", "sig_text", "ranks",
                              "ip_range", "date_range", "weighted_avg",
                              "matrix_stats", "multi_terms",
-                             "geo_distance", "sampler", "geotile"])
+                             "geo_distance", "sampler", "geotile",
+                             "geo_bounds", "boxplot"])
     ag.add_argument("--precision", type=int, default=7,
                     help="geotile zoom level (tiles are z/x/y keys)")
     ag.add_argument("--origin", default="0,0", metavar="LAT,LON",
@@ -408,6 +409,16 @@ def main(argv: list[str] | None = None) -> int:
                                args.query, args.field,
                                text_field=args.agg_field, mode=args.mode,
                                k=args.k)]
+                elif args.agg == "geo_bounds":
+                    if not args.agg_field2:
+                        raise SystemExit("--agg geo_bounds needs "
+                                         "--agg-field2 (the lon field)")
+                    res = searcher.geo_bounds_aggregation(
+                        args.query, args.agg_field, args.agg_field2,
+                        args.field, args.mode)
+                elif args.agg == "boxplot":
+                    res = searcher.boxplot_aggregation(
+                        args.query, args.agg_field, args.field, args.mode)
                 elif args.agg == "geotile":
                     if not args.agg_field2:
                         raise SystemExit("--agg geotile needs "

@@ -4303,6 +4303,102 @@ b AS (SELECT floor(d.n_chars / {_BUCKET_PIPE_INTERVAL})
 """
 
 
+def search_geo_bounds(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``geo_bounds`` + ``geo_centroid`` over the match
+    set: bounding box + coordinate-mean centroid from seven mergeable
+    per-shard numbers (count, sums, mins, maxes) — never a coordinate
+    list.  Coordinates pinned at e6 (the fixture grid's 0.3/0.7
+    multiples sum exactly enough for e6 parity in any order)."""
+    idx = _docs_aux_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        gb = s.geo_bounds_aggregation(BM25_QUERY, "lat", "lon",
+                                      field="content")
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "n_docs": np.array([gb["count"]], np.int64),
+        "top_e6": np.array([int(round_half_away(
+            gb["top_left"][0] * 1e6))], np.int64),
+        "left_e6": np.array([int(round_half_away(
+            gb["top_left"][1] * 1e6))], np.int64),
+        "bottom_e6": np.array([int(round_half_away(
+            gb["bottom_right"][0] * 1e6))], np.int64),
+        "right_e6": np.array([int(round_half_away(
+            gb["bottom_right"][1] * 1e6))], np.int64),
+        "centroid_lat_e6": np.array([int(round_half_away(
+            gb["centroid"][0] * 1e6))], np.int64),
+        "centroid_lon_e6": np.array([int(round_half_away(
+            gb["centroid"][1] * 1e6))], np.int64),
+    })
+
+
+SEARCH_GEO_BOUNDS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))})),
+g AS (SELECT -30.0 + (doc_id % 200) * 0.3 AS lat,
+             -70.0 + (doc_id % 200) * 0.7 AS lon
+      FROM documents JOIN m USING(doc_id))
+SELECT cast(count(*) AS BIGINT) AS n_docs,
+       cast(round(max(lat) * 1000000) AS BIGINT) AS top_e6,
+       cast(round(min(lon) * 1000000) AS BIGINT) AS left_e6,
+       cast(round(min(lat) * 1000000) AS BIGINT) AS bottom_e6,
+       cast(round(max(lon) * 1000000) AS BIGINT) AS right_e6,
+       cast(round(sum(lat) / count(*) * 1000000) AS BIGINT)
+         AS centroid_lat_e6,
+       cast(round(sum(lon) / count(*) * 1000000) AS BIGINT)
+         AS centroid_lon_e6
+FROM g
+"""
+
+
+def search_boxplot(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``boxplot`` (min/q1/q2/q3/max) over the match set's
+    n_chars — exact-distributed quantiles on the default doc layout
+    (count-probe bisection; no value leaves its shard) where
+    OpenSearch's TDigest boxplot is approximate."""
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        bp = s.boxplot_aggregation(BM25_QUERY, "n_chars")
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "n_docs": np.array([bp["count"]], np.int64),
+        "min_n": np.array([int(bp["min"])], np.int64),
+        "q1_e4": np.array([int(round_half_away(bp["q1"] * 10000))],
+                          np.int64),
+        "q2_e4": np.array([int(round_half_away(bp["q2"] * 10000))],
+                          np.int64),
+        "q3_e4": np.array([int(round_half_away(bp["q3"] * 10000))],
+                          np.int64),
+        "max_n": np.array([int(bp["max"])], np.int64),
+    })
+
+
+SEARCH_BOXPLOT_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))})),
+v AS (SELECT cast(d.n_chars AS DOUBLE) AS x
+      FROM documents d JOIN m USING(doc_id))
+SELECT cast(count(*) AS BIGINT) AS n_docs,
+       cast(min(x) AS BIGINT) AS min_n,
+       cast(round(quantile_cont(x, 0.25) * 10000) AS BIGINT) AS q1_e4,
+       cast(round(quantile_cont(x, 0.5) * 10000) AS BIGINT) AS q2_e4,
+       cast(round(quantile_cont(x, 0.75) * 10000) AS BIGINT) AS q3_e4,
+       cast(max(x) AS BIGINT) AS max_n
+FROM v
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4315,6 +4411,8 @@ def queries() -> dict:
     # newest driver row is r03 (oldest-green-first), then the r04-green rest.
     return {
         # --- never driver-checked (round-5 additions) ---
+        "search_geo_bounds": search_geo_bounds,
+        "search_boxplot": search_boxplot,
         "search_geotile": search_geotile,
         "search_percentiles_bucket": search_percentiles_bucket,
         "search_sampler": search_sampler,
@@ -4438,6 +4536,8 @@ def queries() -> dict:
 
 def oracle_sql() -> dict:
     return {
+        "search_geo_bounds": SEARCH_GEO_BOUNDS_SQL,
+        "search_boxplot": SEARCH_BOXPLOT_SQL,
         "search_geotile": SEARCH_GEOTILE_SQL,
         "search_percentiles_bucket": SEARCH_PCT_BUCKET_SQL,
         "search_sampler": SEARCH_SAMPLER_SQL,

@@ -1182,6 +1182,45 @@ def _geotile_partial(index_dir: str, cand: np.ndarray,
             for v, n in zip(u, c)}
 
 
+def _geo_bounds_partial(index_dir: str, cand: np.ndarray,
+                        lat_field: str, lon_field: str,
+                        dparts: list[int] | None) -> dict:
+    """geo_bounds + geo_centroid partial over one doc shard: seven
+    mergeable numbers (count, sum/min/max of each coordinate over
+    docs carrying BOTH) — never a coordinate list."""
+    zero = {"n": 0}
+    if cand.size == 0:
+        return zero
+    la, ha, lo_, hb = _aligned_field_values(index_dir, cand,
+                                            (lat_field, lon_field), dparts)
+    m = ha & hb
+    if not m.any():
+        return zero
+    la, lo_ = la[m], lo_[m]
+    return {"n": int(la.size),
+            "sum_lat": float(la.sum()), "sum_lon": float(lo_.sum()),
+            "min_lat": float(la.min()), "max_lat": float(la.max()),
+            "min_lon": float(lo_.min()), "max_lon": float(lo_.max())}
+
+
+def _merge_geo_bounds(parts: list[dict]) -> dict:
+    tot = {"n": 0}
+    for d in parts:
+        if not d.get("n"):
+            continue
+        if not tot["n"]:
+            tot = dict(d)
+            continue
+        tot["n"] += d["n"]
+        tot["sum_lat"] += d["sum_lat"]
+        tot["sum_lon"] += d["sum_lon"]
+        tot["min_lat"] = min(tot["min_lat"], d["min_lat"])
+        tot["max_lat"] = max(tot["max_lat"], d["max_lat"])
+        tot["min_lon"] = min(tot["min_lon"], d["min_lon"])
+        tot["max_lon"] = max(tot["max_lon"], d["max_lon"])
+    return tot
+
+
 def percentiles_bucket(buckets: list[tuple], percents: list[float],
                        value_index: int = 1) -> list[tuple[float, float]]:
     """OpenSearch ``percentiles_bucket`` pipeline agg: linear-
@@ -1465,6 +1504,18 @@ class PartActor:
                     ranges, dparts=[p])):
                 out[i] += n
         return out
+
+    def geo_bounds_local(self, field: str, q_terms: list[str], mode: str,
+                         lat_field: str, lon_field: str) -> dict:
+        """Doc-sharded geo_bounds/centroid partial (seven numbers)."""
+        parts = []
+        for p, r in self.readers.items():
+            cand = _candidate_ids(r, field, q_terms, mode)
+            if cand.size and self.tombstones.size:
+                cand = cand[_excl_mask(cand, self.tombstones)]
+            parts.append(_geo_bounds_partial(r.index_dir, cand, lat_field,
+                                             lon_field, dparts=[p]))
+        return _merge_geo_bounds(parts)
 
     def geotile_local(self, field: str, q_terms: list[str], mode: str,
                       lat_field: str, lon_field: str, precision: int
@@ -3395,6 +3446,71 @@ class Searcher:
                                       lon_field, precision, dparts=None)
         out = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
         return out if size is None else out[:size]
+
+    def geo_bounds_aggregation(self, query: str,
+                               lat_field: str, lon_field: str,
+                               field: str = "content", mode: str = "or",
+                               analyzer: str | None = None) -> dict:
+        """OpenSearch ``geo_bounds`` + ``geo_centroid`` in one pass:
+        the smallest lat/lon box containing every matching doc's point
+        and the arithmetic-mean centroid (OpenSearch computes the
+        centroid as the coordinate mean).  Seven mergeable numbers per
+        shard — count, coordinate sums, mins, maxes — never a
+        coordinate list.  Docs missing either coordinate are skipped.
+        Returns {count, top_left: (lat, lon), bottom_right: (lat,
+        lon), centroid: (lat, lon)} or {count: 0}."""
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        q_terms = an(query)
+        if not q_terms:
+            return {"count": 0}
+        if self.manifest["config"].get("partition_by") == "doc":
+            if self.use_actors:
+                parts = ray.get([
+                    a.geo_bounds_local.remote(field, q_terms, mode,
+                                              lat_field, lon_field)
+                    for a in self.actors])
+            else:
+                parts = []
+                for p, r in self.readers.items():
+                    cand = _candidate_ids(r, field, q_terms, mode)
+                    if cand.size and self.tombstones.size:
+                        cand = cand[_excl_mask(cand, self.tombstones)]
+                    parts.append(_geo_bounds_partial(
+                        self.index_dir, cand, lat_field, lon_field,
+                        dparts=[p]))
+            tot = _merge_geo_bounds(parts)
+        else:
+            cand = self._match_ids(field, q_terms, mode)
+            tot = _geo_bounds_partial(self.index_dir, cand, lat_field,
+                                      lon_field, dparts=None)
+        if not tot.get("n"):
+            return {"count": 0}
+        return {"count": tot["n"],
+                "top_left": (tot["max_lat"], tot["min_lon"]),
+                "bottom_right": (tot["min_lat"], tot["max_lon"]),
+                "centroid": (tot["sum_lat"] / tot["n"],
+                             tot["sum_lon"] / tot["n"])}
+
+    def boxplot_aggregation(self, query: str, range_field: str,
+                            field: str = "content", mode: str = "or",
+                            analyzer: str | None = None) -> dict:
+        """OpenSearch ``boxplot``: min / q1 / q2 / q3 / max of a
+        numeric field over the match set.  Lowered onto the exact
+        stats machinery — on the default doc layout the quantiles run
+        ``exact_distributed`` (count-probe bisection; no value leaves
+        its shard), which is EXACT where OpenSearch's TDigest boxplot
+        is approximate.  Returns {count, min, max, q1, q2, q3}."""
+        method = ("exact_distributed"
+                  if self.manifest["config"].get("partition_by") == "doc"
+                  else "exact")
+        st = self.stats_aggregation(query, range_field, field, mode,
+                                    quantiles=(0.25, 0.5, 0.75),
+                                    quantile_method=method,
+                                    analyzer=analyzer)
+        if not st.get("count"):
+            return {"count": 0}
+        return {"count": st["count"], "min": st["min"], "max": st["max"],
+                "q1": st["p25"], "q2": st["p50"], "q3": st["p75"]}
 
     def significant_text(self, query: str, field: str = "content",
                          text_field: str | None = None, mode: str = "or",

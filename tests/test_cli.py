@@ -329,3 +329,36 @@ def test_cli_geotile(ray_session, tmp_path, capsys):
     got = {r["tile"]: r["count"] for r in out}
     assert sum(got.values()) == n and len(got) == 4
     assert all(k.startswith("1/") for k in got)
+
+
+def test_cli_geo_bounds_and_boxplot(ray_session, tmp_path, capsys):
+    root = tmp_path / "gb"
+    corpus = root / "corpus"
+    corpus.mkdir(parents=True)
+    n = 20
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "content": ["click"] * n,
+        "lat": pa.array([float(i) for i in range(n)], pa.float64()),
+        "lon": pa.array([float(2 * i) for i in range(n)], pa.float64()),
+        "v": pa.array([float(i * 10) for i in range(n)], pa.float64()),
+    })
+    pq.write_table(t, str(corpus / "part-0.parquet"))
+    idx = str(root / "idx")
+    assert main(["build", str(corpus), idx, "--partitions", "2",
+                 "--doc-id-col", "doc_id", "--sha-col", "content",
+                 "--text-field", "content:content:base",
+                 "--range-field", "lat", "--range-field", "lon",
+                 "--range-field", "v", "--no-salting"]) == 0
+    capsys.readouterr()
+    out = _run_json(capsys, [
+        "agg", idx, "click", "--agg", "geo_bounds",
+        "--agg-field", "lat", "--agg-field2", "lon"])
+    assert out["count"] == n
+    assert out["top_left"] == [19.0, 0.0]
+    assert out["bottom_right"] == [0.0, 38.0]
+    assert out["centroid"] == [9.5, 19.0]
+    out = _run_json(capsys, [
+        "agg", idx, "click", "--agg", "boxplot", "--agg-field", "v"])
+    assert out == {"count": n, "min": 0.0, "max": 190.0,
+                   "q1": 47.5, "q2": 95.0, "q3": 142.5}

@@ -95,7 +95,8 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "search_multi_terms", "search_sig_text",
               "search_terms_set", "search_geo_distance",
               "search_sampler", "search_geotile",
-              "search_percentiles_bucket"]
+              "search_percentiles_bucket", "search_geo_bounds",
+              "search_boxplot"]
 
 
 @pytest.mark.parametrize("name", SQL_BACKED)

@@ -295,3 +295,29 @@ def test_percentiles_bucket_interpolation():
     got = percentiles_bucket(buckets, [37.5])[0][1]
     assert got == float(np.percentile([3, 1, 4, 1, 5, 9, 2], 37.5))
     assert np.isnan(percentiles_bucket([], [50.0])[0][1])
+
+
+def test_geo_bounds_and_boxplot(corpora):
+    searchers, docs = corpora
+    m = _match(docs, ["spark", "join"])
+    grid = np.arange(N) % 40
+    lat = -20.0 + grid * 0.9
+    lon = -50.0 + grid * 1.7
+    mlat = np.array([lat[i] for i in m])
+    mlon = np.array([lon[i] for i in m])
+    for layout, s in searchers.items():
+        gb = s.geo_bounds_aggregation("spark join", "lat", "lon")
+        assert gb["count"] == len(m), layout
+        assert gb["top_left"] == (mlat.max(), mlon.min()), layout
+        assert gb["bottom_right"] == (mlat.min(), mlon.max()), layout
+        assert math.isclose(gb["centroid"][0], mlat.mean(),
+                            rel_tol=1e-12), layout
+        bp = s.boxplot_aggregation("spark join", "msm")
+        vals = np.array([(i % 3) + 1.0 for i in m])
+        assert bp["count"] == len(m) and bp["min"] == 1.0 \
+            and bp["max"] == 3.0, layout
+        for q, p in (("q1", 25), ("q2", 50), ("q3", 75)):
+            assert bp[q] == float(np.percentile(vals, p)), (layout, q)
+    # empty match set
+    assert searchers["doc"].geo_bounds_aggregation(
+        "zzzmissing", "lat", "lon") == {"count": 0}
