@@ -125,7 +125,10 @@ def main(argv: list[str] | None = None) -> int:
                              "ip_range", "date_range", "weighted_avg",
                              "matrix_stats", "multi_terms",
                              "geo_distance", "sampler", "geotile",
-                             "geo_bounds", "boxplot"])
+                             "geo_bounds", "boxplot", "string_stats",
+                             "t_test"])
+    ag.add_argument("--t-test-type", default="paired",
+                    choices=["paired", "heteroscedastic"])
     ag.add_argument("--precision", type=int, default=7,
                     help="geotile zoom level (tiles are z/x/y keys)")
     ag.add_argument("--origin", default="0,0", metavar="LAT,LON",
@@ -409,6 +412,17 @@ def main(argv: list[str] | None = None) -> int:
                                args.query, args.field,
                                text_field=args.agg_field, mode=args.mode,
                                k=args.k)]
+                elif args.agg == "string_stats":
+                    res = searcher.string_stats(
+                        args.query, args.agg_field, args.field, args.mode)
+                elif args.agg == "t_test":
+                    if not args.agg_field2:
+                        raise SystemExit("--agg t_test needs "
+                                         "--agg-field2 (the b field)")
+                    res = searcher.t_test(
+                        args.query, args.agg_field, args.agg_field2,
+                        args.field, args.mode,
+                        test_type=args.t_test_type)
                 elif args.agg == "geo_bounds":
                     if not args.agg_field2:
                         raise SystemExit("--agg geo_bounds needs "

@@ -4399,6 +4399,101 @@ FROM v
 """
 
 
+def search_string_stats(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``string_stats`` over the match set's ``source``
+    keyword: count / min / max / avg length + Shannon entropy (log2)
+    of the character distribution.  Per-shard partials read only the
+    packed filter postings (O(values) not O(docs)) and ship length
+    sums + a char Counter; entropy reduces driver-side."""
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        st = s.string_stats(BM25_QUERY, "source", field="content")
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "n_docs": np.array([st["count"]], np.int64),
+        "min_len": np.array([st["min_length"]], np.int64),
+        "max_len": np.array([st["max_length"]], np.int64),
+        "avg_len_e6": np.array([int(round_half_away(
+            st["avg_length"] * 1e6))], np.int64),
+        "entropy_e6": np.array([int(round_half_away(
+            st["entropy"] * 1e6))], np.int64),
+    })
+
+
+SEARCH_STRING_STATS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))})),
+vals AS (SELECT d.source AS v FROM documents d JOIN m USING(doc_id)),
+lens AS (SELECT cast(count(*) AS BIGINT) AS n_docs,
+                cast(min(length(v)) AS BIGINT) AS min_len,
+                cast(max(length(v)) AS BIGINT) AS max_len,
+                cast(round(sum(length(v)) * 1.0 / count(*) * 1000000)
+                     AS BIGINT) AS avg_len_e6
+         FROM vals),
+chars AS (SELECT unnest(regexp_extract_all(v, '.')) AS ch FROM vals),
+cc AS (SELECT ch, cast(count(*) AS DOUBLE) AS c FROM chars GROUP BY ch),
+tot AS (SELECT sum(c) AS t FROM cc),
+ent AS (SELECT cast(round(-sum(c / t * ln(c / t) / ln(2)) * 1000000)
+               AS BIGINT) AS entropy_e6
+        FROM cc CROSS JOIN tot)
+SELECT lens.*, ent.entropy_e6 FROM lens CROSS JOIN ent
+"""
+
+
+def search_t_test(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``t_test``: paired and Welch t-values between the
+    v1/weight fields over the click-OR-purchase match set — both
+    derived ENTIRELY from the six mergeable co-moment sums the
+    matrix_stats shard partial already ships (integer-valued fixture
+    fields make the sums exact, so the SQL twin is bit-parity)."""
+    idx = _events_ip_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        tp = s.t_test("click purchase", "v1", "weight",
+                      test_type="paired")
+        tw = s.t_test("click purchase", "v1", "weight",
+                      test_type="heteroscedastic")
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "n_docs": np.array([tp["count"]], np.int64),
+        "t_paired_e6": np.array([int(round_half_away(
+            tp["t_value"] * 1e6))], np.int64),
+        "t_welch_e6": np.array([int(round_half_away(
+            tw["t_value"] * 1e6))], np.int64),
+    })
+
+
+SEARCH_T_TEST_SQL = """
+WITH m AS (
+  SELECT cast(round(value * 100) AS DOUBLE) AS x,
+         cast((user_id % 5) + 1 AS DOUBLE) AS y
+  FROM events WHERE event_type IN ('click', 'purchase')),
+s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+      FROM m),
+d AS (SELECT n, (sx - sy) / n AS mean_d,
+             ((sxx - 2*sxy + syy) - n * ((sx - sy)/n) * ((sx - sy)/n))
+               / (n - 1) AS var_d,
+             sx / n AS ma, sy / n AS mb,
+             (sxx - n * (sx/n) * (sx/n)) / (n - 1) AS va,
+             (syy - n * (sy/n) * (sy/n)) / (n - 1) AS vb
+      FROM s)
+SELECT cast(n AS BIGINT) AS n_docs,
+       cast(round(mean_d / sqrt(var_d / n) * 1000000) AS BIGINT)
+         AS t_paired_e6,
+       cast(round((ma - mb) / sqrt(va / n + vb / n) * 1000000) AS BIGINT)
+         AS t_welch_e6
+FROM d
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4411,6 +4506,8 @@ def queries() -> dict:
     # newest driver row is r03 (oldest-green-first), then the r04-green rest.
     return {
         # --- never driver-checked (round-5 additions) ---
+        "search_string_stats": search_string_stats,
+        "search_t_test": search_t_test,
         "search_geo_bounds": search_geo_bounds,
         "search_boxplot": search_boxplot,
         "search_geotile": search_geotile,
@@ -4536,6 +4633,8 @@ def queries() -> dict:
 
 def oracle_sql() -> dict:
     return {
+        "search_string_stats": SEARCH_STRING_STATS_SQL,
+        "search_t_test": SEARCH_T_TEST_SQL,
         "search_geo_bounds": SEARCH_GEO_BOUNDS_SQL,
         "search_boxplot": SEARCH_BOXPLOT_SQL,
         "search_geotile": SEARCH_GEOTILE_SQL,

@@ -1203,6 +1203,54 @@ def _geo_bounds_partial(index_dir: str, cand: np.ndarray,
             "min_lon": float(lo_.min()), "max_lon": float(lo_.max())}
 
 
+def _string_stats_partial(index_dir: str, agg_field: str,
+                          cand: np.ndarray,
+                          dparts: list[int] | None) -> dict:
+    """string_stats partial over one doc shard: per keyword value of
+    ``agg_field``, the match count weights its length into the
+    min/max/sum stats and its characters into the shard's character
+    Counter — the packed filter postings are the only thing read, so
+    cost is O(values), not O(docs).  Mergeable: counts, length sums
+    and char counters all add."""
+    n = 0
+    sum_len = 0
+    mn: int | None = None
+    mx: int | None = None
+    chars: Counter = Counter()
+    if cand.size:
+        for v, ids in _iter_filter_postings(index_dir, agg_field, dparts):
+            pos = np.minimum(np.searchsorted(cand, ids), cand.size - 1)
+            c = int(np.count_nonzero(cand[pos] == ids))
+            if not c:
+                continue
+            ln = len(v)
+            n += c
+            sum_len += ln * c
+            mn = ln if mn is None else min(mn, ln)
+            mx = ln if mx is None else max(mx, ln)
+            for ch in v:
+                chars[ch] += c
+    return {"n": n, "sum_len": sum_len, "min_len": mn, "max_len": mx,
+            "chars": dict(chars)}
+
+
+def _merge_string_stats(parts: list[dict]) -> dict:
+    tot = {"n": 0, "sum_len": 0, "min_len": None, "max_len": None,
+           "chars": {}}
+    for d in parts:
+        if not d["n"]:
+            continue
+        tot["n"] += d["n"]
+        tot["sum_len"] += d["sum_len"]
+        tot["min_len"] = (d["min_len"] if tot["min_len"] is None
+                          else min(tot["min_len"], d["min_len"]))
+        tot["max_len"] = (d["max_len"] if tot["max_len"] is None
+                          else max(tot["max_len"], d["max_len"]))
+        for ch, c in d["chars"].items():
+            tot["chars"][ch] = tot["chars"].get(ch, 0) + c
+    return tot
+
+
 def _merge_geo_bounds(parts: list[dict]) -> dict:
     tot = {"n": 0}
     for d in parts:
@@ -1504,6 +1552,19 @@ class PartActor:
                     ranges, dparts=[p])):
                 out[i] += n
         return out
+
+    def string_stats_local(self, field: str, q_terms: list[str],
+                           mode: str, agg_field: str) -> dict:
+        """Doc-sharded string_stats partial (length stats + char
+        counter, both mergeable)."""
+        parts = []
+        for p, r in self.readers.items():
+            cand = _candidate_ids(r, field, q_terms, mode)
+            if cand.size and self.tombstones.size:
+                cand = cand[_excl_mask(cand, self.tombstones)]
+            parts.append(_string_stats_partial(r.index_dir, agg_field,
+                                               cand, dparts=[p]))
+        return _merge_string_stats(parts)
 
     def geo_bounds_local(self, field: str, q_terms: list[str], mode: str,
                          lat_field: str, lon_field: str) -> dict:
@@ -3447,6 +3508,51 @@ class Searcher:
         out = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
         return out if size is None else out[:size]
 
+    def string_stats(self, query: str, agg_field: str,
+                     field: str = "content", mode: str = "or",
+                     analyzer: str | None = None) -> dict:
+        """OpenSearch ``string_stats`` over a keyword field: count,
+        min/max/avg length and Shannon entropy (log2) of the character
+        distribution across all matching docs' values.  Per-shard
+        partials read only the packed filter postings (O(values), not
+        O(docs)) and ship length sums + a character Counter; entropy
+        reduces driver-side over the merged distribution in sorted
+        char order (deterministic float sum).  Returns {count,
+        min_length, max_length, avg_length, entropy}."""
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        q_terms = an(query)
+        if not q_terms:
+            return {"count": 0}
+        if self.manifest["config"].get("partition_by") == "doc":
+            if self.use_actors:
+                parts = ray.get([
+                    a.string_stats_local.remote(field, q_terms, mode,
+                                                agg_field)
+                    for a in self.actors])
+            else:
+                parts = []
+                for p, r in self.readers.items():
+                    cand = _candidate_ids(r, field, q_terms, mode)
+                    if cand.size and self.tombstones.size:
+                        cand = cand[_excl_mask(cand, self.tombstones)]
+                    parts.append(_string_stats_partial(
+                        self.index_dir, agg_field, cand, dparts=[p]))
+            tot = _merge_string_stats(parts)
+        else:
+            cand = self._match_ids(field, q_terms, mode)
+            tot = _string_stats_partial(self.index_dir, agg_field, cand,
+                                        dparts=None)
+        if not tot["n"]:
+            return {"count": 0}
+        counts = np.array([tot["chars"][ch]
+                           for ch in sorted(tot["chars"])], np.float64)
+        p = counts / counts.sum()
+        entropy = float(-(p * np.log2(p)).sum())
+        return {"count": tot["n"], "min_length": tot["min_len"],
+                "max_length": tot["max_len"],
+                "avg_length": tot["sum_len"] / tot["n"],
+                "entropy": entropy}
+
     def geo_bounds_aggregation(self, query: str,
                                lat_field: str, lon_field: str,
                                field: str = "content", mode: str = "or",
@@ -4412,6 +4518,43 @@ class Searcher:
             return {"count": c["n"], "value": None}
         return {"count": c["n"], "value": c["sxy"] / c["sy"],
                 "sum_vw": c["sxy"], "sum_w": c["sy"]}
+
+    def t_test(self, query: str, field_a: str, field_b: str,
+               field: str = "content", mode: str = "or",
+               test_type: str = "paired",
+               analyzer: str | None = None) -> dict:
+        """OpenSearch ``t_test``: Student's t-value for the difference
+        between two numeric fields over matching docs carrying both.
+        ``paired`` (the a/b-fields form): t = mean(d) / (sd(d)/sqrt(n))
+        with d = a - b and the n-1 sample variance — derived ENTIRELY
+        from the same six mergeable co-moment sums matrix_stats ships
+        (var(d) sums sxx - 2sxy + syy), so no per-doc value travels.
+        ``heteroscedastic`` (Welch) treats the two fields as
+        independent samples over the same match set.  Returns {count,
+        t_value} (t_value None when n < 2 or the variance is 0)."""
+        c = self._comoments_all(query, field_a, field_b, field, mode,
+                                analyzer)
+        n = c["n"]
+        if n < 2:
+            return {"count": n, "t_value": None}
+        if test_type == "paired":
+            mean_d = (c["sx"] - c["sy"]) / n
+            # sum((a-b)^2) = sxx - 2 sxy + syy
+            ss_d = c["sxx"] - 2 * c["sxy"] + c["syy"]
+            var_d = (ss_d - n * mean_d * mean_d) / (n - 1)
+            if var_d <= 0:
+                return {"count": n, "t_value": None}
+            return {"count": n,
+                    "t_value": mean_d / math.sqrt(var_d / n)}
+        if test_type == "heteroscedastic":
+            ma, mb = c["sx"] / n, c["sy"] / n
+            va = (c["sxx"] - n * ma * ma) / (n - 1)
+            vb = (c["syy"] - n * mb * mb) / (n - 1)
+            denom = math.sqrt(va / n + vb / n)
+            if denom == 0:
+                return {"count": n, "t_value": None}
+            return {"count": n, "t_value": (ma - mb) / denom}
+        raise ValueError(f"unknown t_test type {test_type!r}")
 
     def top_metrics(self, sort_field: str, metrics: list[str],
                     desc: bool = True, size: int = 1, query: str = "",

@@ -362,3 +362,47 @@ def test_cli_geo_bounds_and_boxplot(ray_session, tmp_path, capsys):
         "agg", idx, "click", "--agg", "boxplot", "--agg-field", "v"])
     assert out == {"count": n, "min": 0.0, "max": 190.0,
                    "q1": 47.5, "q2": 95.0, "q3": 142.5}
+
+
+def test_cli_string_stats_and_t_test(ray_session, tmp_path, capsys):
+    root = tmp_path / "ss"
+    corpus = root / "corpus"
+    corpus.mkdir(parents=True)
+    n = 30
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "content": ["click"] * n,
+        "src": [f"s{i % 5}" for i in range(n)],
+        "a": pa.array([float(i) for i in range(n)], pa.float64()),
+        "b": pa.array([float(i % 7) for i in range(n)], pa.float64()),
+    })
+    pq.write_table(t, str(corpus / "part-0.parquet"))
+    idx = str(root / "idx")
+    assert main(["build", str(corpus), idx, "--partitions", "2",
+                 "--doc-id-col", "doc_id", "--sha-col", "content",
+                 "--text-field", "content:content:base",
+                 "--keyword-field", "src",
+                 "--range-field", "a", "--range-field", "b",
+                 "--no-salting"]) == 0
+    capsys.readouterr()
+    out = _run_json(capsys, [
+        "agg", idx, "click", "--agg", "string_stats",
+        "--agg-field", "src"])
+    assert out["count"] == n and out["min_length"] == 2 \
+        and out["max_length"] == 2
+    # uniform 5-char distribution over s,0..4 weighted 6 each:
+    # chars: 's' 30x, digits 6x each -> entropy known
+    import collections
+    chars = collections.Counter("".join(f"s{i % 5}" for i in range(n)))
+    tot = sum(chars.values())
+    p = np.array(sorted(chars.values()), float) / tot
+    assert abs(out["entropy"] - float(-(p * np.log2(p)).sum())) < 1e-9
+    out = _run_json(capsys, [
+        "agg", idx, "click", "--agg", "t_test",
+        "--agg-field", "a", "--agg-field2", "b"])
+    import math as _m
+    x = np.arange(n, dtype=float)
+    y = np.array([i % 7 for i in range(n)], float)
+    d = x - y
+    want = d.mean() / _m.sqrt(d.var(ddof=1) / n)
+    assert abs(out["t_value"] - want) < 1e-9 and out["count"] == n

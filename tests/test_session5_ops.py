@@ -321,3 +321,39 @@ def test_geo_bounds_and_boxplot(corpora):
     # empty match set
     assert searchers["doc"].geo_bounds_aggregation(
         "zzzmissing", "lat", "lon") == {"count": 0}
+
+
+def test_string_stats_and_t_test(corpora):
+    searchers, docs = corpora
+    m = _match(docs, ["spark", "join"])
+    # repo values: "r0".."r3" (len 2); lang "py"/"go"/"rs" (len 2)
+    vals = [f"r{i % 4}" for i in m]
+    from collections import Counter
+    chars = Counter("".join(vals))
+    tot = sum(chars.values())
+    p = np.array([chars[c] for c in sorted(chars)], np.float64) / tot
+    want_entropy = float(-(p * np.log2(p)).sum())
+    for layout, s in searchers.items():
+        st = s.string_stats("spark join", "repo")
+        assert st["count"] == len(m) and st["min_length"] == 2 \
+            and st["max_length"] == 2 and st["avg_length"] == 2.0, layout
+        assert math.isclose(st["entropy"], want_entropy,
+                            rel_tol=1e-12), layout
+        # t_test paired over (msm, lat): d derived from the same
+        # six co-moment sums
+        x = np.array([(i % 3) + 1.0 for i in m])
+        y = np.array([-20.0 + (i % 40) * 0.9 for i in m])
+        d = x - y
+        want_t = d.mean() / math.sqrt(d.var(ddof=1) / d.size)
+        tt = s.t_test("spark join", "msm", "lat", test_type="paired")
+        assert tt["count"] == len(m), layout
+        assert math.isclose(tt["t_value"], want_t, rel_tol=1e-9), layout
+        # welch matches scipy-style formula
+        want_w = (x.mean() - y.mean()) / math.sqrt(
+            x.var(ddof=1) / x.size + y.var(ddof=1) / y.size)
+        tw = s.t_test("spark join", "msm", "lat",
+                      test_type="heteroscedastic")
+        assert math.isclose(tw["t_value"], want_w, rel_tol=1e-9), layout
+    # identical fields -> zero variance of d -> None
+    assert searchers["doc"].t_test("spark join", "msm", "msm")[
+        "t_value"] is None
