@@ -126,7 +126,7 @@ def main(argv: list[str] | None = None) -> int:
                              "matrix_stats", "multi_terms",
                              "geo_distance", "sampler", "geotile",
                              "geo_bounds", "boxplot", "string_stats",
-                             "t_test"])
+                             "t_test", "geohash"])
     ag.add_argument("--t-test-type", default="paired",
                     choices=["paired", "heteroscedastic"])
     ag.add_argument("--precision", type=int, default=7,
@@ -433,9 +433,9 @@ def main(argv: list[str] | None = None) -> int:
                 elif args.agg == "boxplot":
                     res = searcher.boxplot_aggregation(
                         args.query, args.agg_field, args.field, args.mode)
-                elif args.agg == "geotile":
+                elif args.agg in ("geotile", "geohash"):
                     if not args.agg_field2:
-                        raise SystemExit("--agg geotile needs "
+                        raise SystemExit(f"--agg {args.agg} needs "
                                          "--agg-field2 (the lon field)")
                     res = [{"tile": t, "count": n} for t, n in
                            searcher.geotile_grid_aggregation(
@@ -443,7 +443,7 @@ def main(argv: list[str] | None = None) -> int:
                                args.agg_field2,
                                precision=args.precision,
                                field=args.field, mode=args.mode,
-                               size=args.k)]
+                               size=args.k, scheme=args.agg)]
                 elif args.agg == "sampler":
                     res = [{"value": v, "count": n} for v, n in
                            searcher.sampler_aggregation(

@@ -4494,6 +4494,54 @@ FROM d
 """
 
 
+def search_geohash(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``geohash_grid`` at precision 2: matching docs
+    bucketed into base32 geohash cells (standard lon-bit-first
+    interleave) — per-shard cell-dict partials on the default doc
+    layout.  The SQL twin replays the cell indices and the 10-bit
+    interleave with integer shift/mask arithmetic; every fixture
+    boundary case lands on exactly-representable doubles (e.g. lat
+    -22.5, lon 0.0), so floor() agrees bit-for-bit."""
+    idx = _docs_aux_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        agg = s.geohash_grid_aggregation(BM25_QUERY, "lat", "lon",
+                                         precision=2, field="content")
+    finally:
+        s.close()
+    return pd.DataFrame({"cell": [k for k, _ in agg],
+                         "n": np.array([n for _, n in agg], np.int64)})
+
+
+SEARCH_GEOHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))})),
+g AS (SELECT -30.0 + (doc_id % 200) * 0.3 AS lat,
+             -70.0 + (doc_id % 200) * 0.7 AS lon
+      FROM documents JOIN m USING(doc_id)),
+cells AS (
+  SELECT cast(floor((lon + 180.0) / 360.0 * 32) AS BIGINT) AS ix,
+         cast(floor((lat + 90.0) / 180.0 * 32) AS BIGINT) AS iy
+  FROM g),
+v AS (
+  SELECT (((ix >> 4) & 1) << 9) | (((iy >> 4) & 1) << 8)
+       | (((ix >> 3) & 1) << 7) | (((iy >> 3) & 1) << 6)
+       | (((ix >> 2) & 1) << 5) | (((iy >> 2) & 1) << 4)
+       | (((ix >> 1) & 1) << 3) | (((iy >> 1) & 1) << 2)
+       | ((ix & 1) << 1) | (iy & 1) AS val
+  FROM cells)
+SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz', cast(val >> 5 AS INTEGER) + 1, 1)
+       || substr('0123456789bcdefghjkmnpqrstuvwxyz', cast(val & 31 AS INTEGER) + 1, 1)
+         AS cell,
+       cast(count(*) AS BIGINT) AS n
+FROM v GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4506,6 +4554,7 @@ def queries() -> dict:
     # newest driver row is r03 (oldest-green-first), then the r04-green rest.
     return {
         # --- never driver-checked (round-5 additions) ---
+        "search_geohash": search_geohash,
         "search_string_stats": search_string_stats,
         "search_t_test": search_t_test,
         "search_geo_bounds": search_geo_bounds,
@@ -4633,6 +4682,7 @@ def queries() -> dict:
 
 def oracle_sql() -> dict:
     return {
+        "search_geohash": SEARCH_GEOHASH_SQL,
         "search_string_stats": SEARCH_STRING_STATS_SQL,
         "search_t_test": SEARCH_T_TEST_SQL,
         "search_geo_bounds": SEARCH_GEO_BOUNDS_SQL,

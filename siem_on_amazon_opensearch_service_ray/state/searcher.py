@@ -1161,6 +1161,54 @@ def _geotile_xy(lat: np.ndarray, lon: np.ndarray, precision: int
     return x.astype(np.int64), y.astype(np.int64)
 
 
+_GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_cells(lat: np.ndarray, lon: np.ndarray, precision: int
+                   ) -> list[str]:
+    """Standard geohash encode (base32, lon bit first) at ``precision``
+    chars.  The cell indices floor((lon+180)/360 * 2^lon_bits) /
+    ((lat+90)/180 * 2^lat_bits) mirror the SQL oracle expression; the
+    bit interleave runs vectorized over the whole array."""
+    nbits = 5 * precision
+    lon_bits = (nbits + 1) // 2
+    lat_bits = nbits // 2
+    ix = np.floor((lon + 180.0) / 360.0 * (1 << lon_bits)).astype(np.int64)
+    iy = np.floor((lat + 90.0) / 180.0 * (1 << lat_bits)).astype(np.int64)
+    ix = np.clip(ix, 0, (1 << lon_bits) - 1)
+    iy = np.clip(iy, 0, (1 << lat_bits) - 1)
+    val = np.zeros(lat.size, dtype=np.int64)
+    # MSB-first interleave: even output positions take lon bits
+    for k in range(lon_bits):
+        val |= ((ix >> (lon_bits - 1 - k)) & 1) << (nbits - 1 - 2 * k)
+    for k in range(lat_bits):
+        val |= ((iy >> (lat_bits - 1 - k)) & 1) << (nbits - 2 - 2 * k)
+    out = []
+    for v in val.tolist():
+        out.append("".join(_GEOHASH_B32[(v >> (5 * (precision - 1 - c)))
+                                        & 31] for c in range(precision)))
+    return out
+
+
+def _geohash_partial(index_dir: str, cand: np.ndarray,
+                     lat_field: str, lon_field: str, precision: int,
+                     dparts: list[int] | None) -> dict[str, int]:
+    """geohash_grid partial: per base32 cell, the count of candidate
+    docs whose point encodes into it."""
+    if cand.size == 0:
+        return {}
+    la, ha, lo_, hb = _aligned_field_values(index_dir, cand,
+                                            (lat_field, lon_field), dparts)
+    m = ha & hb
+    if not m.any():
+        return {}
+    cells = _geohash_cells(la[m], lo_[m], precision)
+    out: dict[str, int] = {}
+    for c in cells:
+        out[c] = out.get(c, 0) + 1
+    return out
+
+
 def _geotile_partial(index_dir: str, cand: np.ndarray,
                      lat_field: str, lon_field: str, precision: int,
                      dparts: list[int] | None) -> dict[str, int]:
@@ -1579,18 +1627,20 @@ class PartActor:
         return _merge_geo_bounds(parts)
 
     def geotile_local(self, field: str, q_terms: list[str], mode: str,
-                      lat_field: str, lon_field: str, precision: int
-                      ) -> dict[str, int]:
-        """Doc-sharded geotile_grid partial: per-tile counts over this
-        actor's doc parts."""
+                      lat_field: str, lon_field: str, precision: int,
+                      scheme: str = "geotile") -> dict[str, int]:
+        """Doc-sharded geotile_grid / geohash_grid partial: per-cell
+        counts over this actor's doc parts."""
+        part_fn = (_geotile_partial if scheme == "geotile"
+                   else _geohash_partial)
         out: dict[str, int] = {}
         for p, r in self.readers.items():
             cand = _candidate_ids(r, field, q_terms, mode)
             if cand.size and self.tombstones.size:
                 cand = cand[_excl_mask(cand, self.tombstones)]
-            for k, n in _geotile_partial(r.index_dir, cand, lat_field,
-                                         lon_field, precision,
-                                         dparts=[p]).items():
+            for k, n in part_fn(r.index_dir, cand, lat_field,
+                                lon_field, precision,
+                                dparts=[p]).items():
                 out[k] = out.get(k, 0) + n
         return out
 
@@ -3468,26 +3518,32 @@ class Searcher:
                                  precision: int = 7,
                                  field: str = "content", mode: str = "or",
                                  size: int | None = None,
-                                 analyzer: str | None = None
+                                 analyzer: str | None = None,
+                                 scheme: str = "geotile"
                                  ) -> list[tuple[str, int]]:
-        """OpenSearch ``geotile_grid``: bucket matching docs into
-        slippy-map tiles ("z/x/y" keys) at zoom ``precision``, counts
-        per tile.  Geo points are the engine's two-numeric-field
-        encoding; docs missing either coordinate are skipped.  Per-
-        shard tile-count partials on the doc layout (a tile dict per
-        shard travels, never coordinates); term layouts probe the
-        range tables driver-side.  Returns [(key, count)] sorted
-        (count desc, key asc), top ``size`` (None = all)."""
+        """OpenSearch ``geotile_grid`` (scheme="geotile": slippy-map
+        "z/x/y" keys via Web-Mercator) or ``geohash_grid``
+        (scheme="geohash": base32 cells, ``precision`` = chars):
+        bucket matching docs into grid cells, counts per cell.  Geo
+        points are the engine's two-numeric-field encoding; docs
+        missing either coordinate are skipped.  Per-shard cell-count
+        partials on the doc layout (a cell dict per shard travels,
+        never coordinates); term layouts probe the range tables
+        driver-side.  Returns [(key, count)] sorted (count desc, key
+        asc), top ``size`` (None = all)."""
         an = ANALYZERS[self._analyzer_for(field, analyzer)]
         q_terms = an(query)
         if not q_terms:
             return []
+        part_fn = (_geotile_partial if scheme == "geotile"
+                   else _geohash_partial)
         merged: dict[str, int] = {}
         if self.manifest["config"].get("partition_by") == "doc":
             if self.use_actors:
                 parts = ray.get([
                     a.geotile_local.remote(field, q_terms, mode,
-                                           lat_field, lon_field, precision)
+                                           lat_field, lon_field, precision,
+                                           scheme)
                     for a in self.actors])
             else:
                 parts = []
@@ -3495,7 +3551,7 @@ class Searcher:
                     cand = _candidate_ids(r, field, q_terms, mode)
                     if cand.size and self.tombstones.size:
                         cand = cand[_excl_mask(cand, self.tombstones)]
-                    parts.append(_geotile_partial(
+                    parts.append(part_fn(
                         self.index_dir, cand, lat_field, lon_field,
                         precision, dparts=[p]))
             for d in parts:
@@ -3503,10 +3559,24 @@ class Searcher:
                     merged[k] = merged.get(k, 0) + n
         else:
             cand = self._match_ids(field, q_terms, mode)
-            merged = _geotile_partial(self.index_dir, cand, lat_field,
-                                      lon_field, precision, dparts=None)
+            merged = part_fn(self.index_dir, cand, lat_field,
+                             lon_field, precision, dparts=None)
         out = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
         return out if size is None else out[:size]
+
+    def geohash_grid_aggregation(self, query: str,
+                                 lat_field: str, lon_field: str,
+                                 precision: int = 5,
+                                 field: str = "content", mode: str = "or",
+                                 size: int | None = None,
+                                 analyzer: str | None = None
+                                 ) -> list[tuple[str, int]]:
+        """OpenSearch ``geohash_grid``: :meth:`geotile_grid_aggregation`
+        with the base32 geohash cell scheme (standard lon-bit-first
+        interleave, ``precision`` characters)."""
+        return self.geotile_grid_aggregation(
+            query, lat_field, lon_field, precision, field, mode, size,
+            analyzer, scheme="geohash")
 
     def string_stats(self, query: str, agg_field: str,
                      field: str = "content", mode: str = "or",

@@ -357,3 +357,27 @@ def test_string_stats_and_t_test(corpora):
     # identical fields -> zero variance of d -> None
     assert searchers["doc"].t_test("spark join", "msm", "msm")[
         "t_value"] is None
+
+
+def test_geohash_grid(corpora):
+    from siem_on_amazon_opensearch_service_ray.state.searcher import (
+        _geohash_cells)
+    # canonical vectors
+    assert _geohash_cells(np.array([57.64911]),
+                          np.array([10.40744]), 11) == ["u4pruydqqvj"]
+    assert _geohash_cells(np.array([42.605]),
+                          np.array([-5.603]), 5) == ["ezs42"]
+    searchers, docs = corpora
+    m = _match(docs, ["spark", "join"])
+    grid = np.arange(N) % 40
+    lat = -20.0 + grid * 0.9
+    lon = -50.0 + grid * 1.7
+    cells = _geohash_cells(lat, lon, 3)
+    exp: dict = {}
+    for i in m:
+        exp[cells[i]] = exp.get(cells[i], 0) + 1
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+    for layout, s in searchers.items():
+        got = s.geohash_grid_aggregation("spark join", "lat", "lon",
+                                         precision=3)
+        assert got == want, layout
