@@ -4542,6 +4542,38 @@ FROM v GROUP BY 1
 """
 
 
+def search_rate(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``rate`` inside a date_histogram: daily event-count
+    buckets of the click-OR-purchase match set rescaled to a per-hour
+    rate (count * 3600/86400) — coordinator-side over the per-shard
+    histogram partials."""
+    from ..state.searcher import rate_buckets
+    idx = _events_ip_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        buckets = s.histogram_aggregation("click purchase", "ts_epoch",
+                                          86400.0)
+    finally:
+        s.close()
+    rows = rate_buckets(buckets, 86400.0, unit="hour")
+    return pd.DataFrame({
+        "bucket": np.array([int(b) for b, _ in rows], np.int64),
+        "rate_e6": np.array([int(round_half_away(r * 1e6))
+                             for _, r in rows], np.int64),
+    })
+
+
+SEARCH_RATE_SQL = """
+WITH v AS (
+  SELECT CAST(epoch_us(ts) AS DOUBLE) / 1000000 AS x
+  FROM events WHERE event_type IN ('click', 'purchase'))
+SELECT cast(floor(x / 86400) * 86400 AS BIGINT) AS bucket,
+       cast(round(count(*) * (3600.0 / 86400.0) * 1000000) AS BIGINT)
+         AS rate_e6
+FROM v GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4554,6 +4586,7 @@ def queries() -> dict:
     # newest driver row is r03 (oldest-green-first), then the r04-green rest.
     return {
         # --- never driver-checked (round-5 additions) ---
+        "search_rate": search_rate,
         "search_geohash": search_geohash,
         "search_string_stats": search_string_stats,
         "search_t_test": search_t_test,
@@ -4682,6 +4715,7 @@ def queries() -> dict:
 
 def oracle_sql() -> dict:
     return {
+        "search_rate": SEARCH_RATE_SQL,
         "search_geohash": SEARCH_GEOHASH_SQL,
         "search_string_stats": SEARCH_STRING_STATS_SQL,
         "search_t_test": SEARCH_T_TEST_SQL,

@@ -6226,6 +6226,28 @@ def bucket_sort(buckets: list[tuple], desc: bool = True,
     return ordered[frm:end]
 
 
+_RATE_UNIT_SEC = {"second": 1.0, "minute": 60.0, "hour": 3600.0,
+                  "day": 86400.0, "week": 604800.0}
+
+
+def rate_buckets(buckets: list[tuple], interval_sec: float,
+                 unit: str = "day", value_index: int = 1
+                 ) -> list[tuple[float, float]]:
+    """OpenSearch ``rate`` aggregation inside a date_histogram: each
+    bucket's value (doc count, or a sum sub-agg) rescaled to a
+    per-``unit`` rate — value * unit_sec / bucket_interval_sec.  Pure
+    coordinator-side post-processing over the reduced buckets, like
+    cumulative_sum/derivative (fixed-width units only; calendar
+    months follow the auto_date_histogram fixed-ladder divergence
+    documented in SURVEY §2.15).  Returns [(bucket_key, rate)]."""
+    u = _RATE_UNIT_SEC.get(unit)
+    if u is None:
+        raise ValueError(f"unsupported rate unit {unit!r}; "
+                         f"one of {sorted(_RATE_UNIT_SEC)}")
+    scale = u / float(interval_sec)
+    return [(b[0], b[value_index] * scale) for b in buckets]
+
+
 def serial_diff_buckets(buckets: list[tuple], lag: int = 1
                         ) -> list[tuple]:
     """OpenSearch ``serial_diff``: value minus the value ``lag``

@@ -381,3 +381,19 @@ def test_geohash_grid(corpora):
         got = s.geohash_grid_aggregation("spark join", "lat", "lon",
                                          precision=3)
         assert got == want, layout
+
+
+def test_rate_buckets():
+    from siem_on_amazon_opensearch_service_ray.state.searcher import (
+        rate_buckets)
+    buckets = [(0.0, 240), (86400.0, 480)]
+    assert rate_buckets(buckets, 86400.0, unit="hour") == \
+        [(0.0, 10.0), (86400.0, 20.0)]
+    assert rate_buckets(buckets, 3600.0, unit="minute") == \
+        [(0.0, 4.0), (86400.0, 8.0)]
+    # value_index picks a sub-agg column (e.g. a sum riding along)
+    b3 = [(0.0, 240, 1200.0)]
+    assert rate_buckets(b3, 86400.0, unit="day", value_index=2) == \
+        [(0.0, 1200.0)]
+    with pytest.raises(ValueError, match="unsupported rate unit"):
+        rate_buckets(buckets, 60.0, unit="fortnight")
