@@ -126,7 +126,15 @@ def main(argv: list[str] | None = None) -> int:
                              "matrix_stats", "multi_terms",
                              "geo_distance", "sampler", "geotile",
                              "geo_bounds", "boxplot", "string_stats",
-                             "t_test", "geohash"])
+                             "t_test", "geohash", "scripted"])
+    ag.add_argument("--map-expr", default=None,
+                    help="scripted: arithmetic map expression over "
+                         "--metric-field names")
+    ag.add_argument("--reduce-expr", default="state",
+                    help="scripted: reduce over state/count")
+    ag.add_argument("--metric-field", action="append", default=[],
+                    help="scripted: numeric field(s) the map "
+                         "expression reads (repeatable)")
     ag.add_argument("--t-test-type", default="paired",
                     choices=["paired", "heteroscedastic"])
     ag.add_argument("--precision", type=int, default=7,
@@ -148,7 +156,9 @@ def main(argv: list[str] | None = None) -> int:
                          "bare CIDR allowed for --agg ip_range)")
     ag.add_argument("--max-doc-count", type=int, default=1,
                     help="rare_terms threshold (--agg rare)")
-    ag.add_argument("--agg-field", required=True)
+    ag.add_argument("--agg-field", default=None,
+                    help="bucket/metric field (required for every "
+                         "--agg except scripted)")
     ag.add_argument("--agg-field2", default=None,
                     help="second field: the weight (--agg "
                          "weighted_avg) or matrix partner (--agg "
@@ -382,6 +392,8 @@ def main(argv: list[str] | None = None) -> int:
                               "fingerprint": man["fingerprint"]}, indent=2))
         elif args.cmd == "agg":
             from .state.searcher import Searcher
+            if args.agg != "scripted" and not args.agg_field:
+                raise SystemExit(f"--agg {args.agg} needs --agg-field")
             searcher = Searcher(args.index_dir, use_actors=True)
             try:
                 if args.agg == "terms":
@@ -412,6 +424,14 @@ def main(argv: list[str] | None = None) -> int:
                                args.query, args.field,
                                text_field=args.agg_field, mode=args.mode,
                                k=args.k)]
+                elif args.agg == "scripted":
+                    if not args.map_expr or not args.metric_field:
+                        raise SystemExit("--agg scripted needs "
+                                         "--map-expr and --metric-field")
+                    res = searcher.scripted_metric(
+                        args.query, tuple(args.metric_field),
+                        args.map_expr, args.reduce_expr,
+                        args.field, args.mode)
                 elif args.agg == "string_stats":
                     res = searcher.string_stats(
                         args.query, args.agg_field, args.field, args.mode)

@@ -4574,6 +4574,41 @@ FROM v GROUP BY 1
 """
 
 
+def search_scripted_metric(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``scripted_metric`` (restricted to the arithmetic
+    shape the reference's dashboards use): map = ``v1 * weight + 1``
+    per doc, combine = shard-local sum (two numbers travel per
+    shard), reduce = ``state / count`` driver-side.  The expression
+    compiler whitelists the AST — no calls/attributes/subscripts —
+    so scripts compute but never escape."""
+    idx = _events_ip_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        sm = s.scripted_metric("click purchase", ("v1", "weight"),
+                               "v1 * weight + 1", "state / count")
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "n_docs": np.array([sm["count"]], np.int64),
+        "state": np.array([int(sm["state"])], np.int64),
+        "value_e6": np.array([int(round_half_away(
+            sm["value"] * 1e6))], np.int64),
+    })
+
+
+SEARCH_SCRIPTED_METRIC_SQL = """
+WITH m AS (
+  SELECT cast(round(value * 100) AS DOUBLE) AS v,
+         cast((user_id % 5) + 1 AS DOUBLE) AS w
+  FROM events WHERE event_type IN ('click', 'purchase'))
+SELECT cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(v * w + 1) AS BIGINT) AS state,
+       cast(round(sum(v * w + 1) / count(*) * 1000000) AS BIGINT)
+         AS value_e6
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4586,6 +4621,7 @@ def queries() -> dict:
     # newest driver row is r03 (oldest-green-first), then the r04-green rest.
     return {
         # --- never driver-checked (round-5 additions) ---
+        "search_scripted_metric": search_scripted_metric,
         "search_rate": search_rate,
         "search_geohash": search_geohash,
         "search_string_stats": search_string_stats,
@@ -4715,6 +4751,7 @@ def queries() -> dict:
 
 def oracle_sql() -> dict:
     return {
+        "search_scripted_metric": SEARCH_SCRIPTED_METRIC_SQL,
         "search_rate": SEARCH_RATE_SQL,
         "search_geohash": SEARCH_GEOHASH_SQL,
         "search_string_stats": SEARCH_STRING_STATS_SQL,

@@ -1251,6 +1251,64 @@ def _geo_bounds_partial(index_dir: str, cand: np.ndarray,
             "min_lon": float(lo_.min()), "max_lon": float(lo_.max())}
 
 
+def compile_metric_expr(expr: str, allowed_names: tuple[str, ...]):
+    """Compile a scripted_metric arithmetic expression to a callable
+    over numpy arrays / floats.  The AST is whitelisted to pure
+    arithmetic (+ - * / % ** and unary signs) over numeric literals
+    and the ``allowed_names`` — no calls, attributes, subscripts or
+    comparisons, so a script can compute but never reach out (the
+    painless-script surface the reference's dashboards actually use
+    is exactly this arithmetic shape)."""
+    import ast
+    tree = ast.parse(expr, mode="eval")
+    ok = (ast.Expression, ast.BinOp, ast.UnaryOp, ast.Constant,
+          ast.Name, ast.Load, ast.Add, ast.Sub, ast.Mult, ast.Div,
+          ast.Pow, ast.Mod, ast.USub, ast.UAdd)
+    for node in ast.walk(tree):
+        if not isinstance(node, ok):
+            raise ValueError(
+                f"scripted_metric expression {expr!r}: disallowed "
+                f"construct {type(node).__name__} (pure arithmetic "
+                "over fields only)")
+        if isinstance(node, ast.Name) and node.id not in allowed_names:
+            raise ValueError(
+                f"scripted_metric expression {expr!r}: unknown name "
+                f"{node.id!r}; allowed: {sorted(allowed_names)}")
+        if isinstance(node, ast.Constant) and \
+                not isinstance(node.value, (int, float)):
+            raise ValueError(
+                f"scripted_metric expression {expr!r}: only numeric "
+                "literals allowed")
+    code = compile(tree, "<scripted_metric>", "eval")
+
+    def run(bindings: dict):
+        return eval(code, {"__builtins__": {}}, bindings)
+    return run
+
+
+def _scripted_partial(index_dir: str, cand: np.ndarray,
+                      fields: tuple[str, ...], map_expr: str,
+                      dparts: list[int] | None) -> tuple[int, float]:
+    """scripted_metric map+combine over one doc shard: evaluate the
+    (whitelisted-arithmetic) map expression vectorized over the
+    candidate docs carrying ALL named fields, combine = the shard-
+    local sum — two numbers travel, never a value vector."""
+    if cand.size == 0:
+        return 0, 0.0
+    aligned = _aligned_field_values(index_dir, cand, fields, dparts)
+    have = np.ones(cand.size, dtype=bool)
+    for j in range(len(fields)):
+        have &= aligned[2 * j + 1]
+    if not have.any():
+        return 0, 0.0
+    bindings = {f: aligned[2 * j][have] for j, f in enumerate(fields)}
+    vec = compile_metric_expr(map_expr, tuple(fields))(bindings)
+    arr = np.asarray(vec, dtype=np.float64)
+    if arr.shape == ():             # constant expression
+        arr = np.full(int(have.sum()), float(arr))
+    return int(have.sum()), float(arr.sum())
+
+
 def _string_stats_partial(index_dir: str, agg_field: str,
                           cand: np.ndarray,
                           dparts: list[int] | None) -> dict:
@@ -1600,6 +1658,22 @@ class PartActor:
                     ranges, dparts=[p])):
                 out[i] += n
         return out
+
+    def scripted_local(self, field: str, q_terms: list[str], mode: str,
+                       fields: tuple[str, ...], map_expr: str
+                       ) -> tuple[int, float]:
+        """Doc-sharded scripted_metric partial: (count, sum) over this
+        actor's doc parts."""
+        n_tot, s_tot = 0, 0.0
+        for p, r in self.readers.items():
+            cand = _candidate_ids(r, field, q_terms, mode)
+            if cand.size and self.tombstones.size:
+                cand = cand[_excl_mask(cand, self.tombstones)]
+            n, s = _scripted_partial(r.index_dir, cand, fields, map_expr,
+                                     dparts=[p])
+            n_tot += n
+            s_tot += s
+        return n_tot, s_tot
 
     def string_stats_local(self, field: str, q_terms: list[str],
                            mode: str, agg_field: str) -> dict:
@@ -3577,6 +3651,56 @@ class Searcher:
         return self.geotile_grid_aggregation(
             query, lat_field, lon_field, precision, field, mode, size,
             analyzer, scheme="geohash")
+
+    def scripted_metric(self, query: str, fields: tuple[str, ...],
+                        map_expr: str, reduce_expr: str = "state",
+                        field: str = "content", mode: str = "or",
+                        analyzer: str | None = None) -> dict:
+        """OpenSearch ``scripted_metric`` restricted to the shape the
+        reference's dashboards actually use: ``map`` is an arithmetic
+        expression over the doc's numeric fields (whitelisted AST —
+        no calls/attributes, so scripts compute but never escape),
+        ``combine`` is the shard-local SUM (the associative combine
+        every distributed painless script must provide anyway), and
+        ``reduce`` is an arithmetic expression over ``state`` (the
+        summed map values) and ``count`` (docs mapped).  Per shard
+        only (count, sum) travel.  Docs missing any named field are
+        skipped.  Returns {count, state, value}."""
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        q_terms = an(query)
+        # validate both scripts up front (driver-side, before scatter)
+        compile_metric_expr(map_expr, tuple(fields))
+        reduce_fn = compile_metric_expr(reduce_expr, ("state", "count"))
+        if not q_terms:
+            return {"count": 0, "state": 0.0, "value": None}
+        n_tot, s_tot = 0, 0.0
+        if self.manifest["config"].get("partition_by") == "doc":
+            if self.use_actors:
+                parts = ray.get([
+                    a.scripted_local.remote(field, q_terms, mode,
+                                            tuple(fields), map_expr)
+                    for a in self.actors])
+            else:
+                parts = []
+                for p, r in self.readers.items():
+                    cand = _candidate_ids(r, field, q_terms, mode)
+                    if cand.size and self.tombstones.size:
+                        cand = cand[_excl_mask(cand, self.tombstones)]
+                    parts.append(_scripted_partial(
+                        self.index_dir, cand, tuple(fields), map_expr,
+                        dparts=[p]))
+            for n, s in parts:
+                n_tot += n
+                s_tot += s
+        else:
+            cand = self._match_ids(field, q_terms, mode)
+            n_tot, s_tot = _scripted_partial(self.index_dir, cand,
+                                             tuple(fields), map_expr,
+                                             dparts=None)
+        if n_tot == 0:
+            return {"count": 0, "state": 0.0, "value": None}
+        value = float(reduce_fn({"state": s_tot, "count": float(n_tot)}))
+        return {"count": n_tot, "state": s_tot, "value": value}
 
     def string_stats(self, query: str, agg_field: str,
                      field: str = "content", mode: str = "or",

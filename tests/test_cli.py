@@ -406,3 +406,31 @@ def test_cli_string_stats_and_t_test(ray_session, tmp_path, capsys):
     d = x - y
     want = d.mean() / _m.sqrt(d.var(ddof=1) / n)
     assert abs(out["t_value"] - want) < 1e-9 and out["count"] == n
+
+
+def test_cli_scripted_metric(ray_session, tmp_path, capsys):
+    root = tmp_path / "sm"
+    corpus = root / "corpus"
+    corpus.mkdir(parents=True)
+    n = 20
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "content": ["click"] * n,
+        "a": pa.array([float(i) for i in range(n)], pa.float64()),
+        "b": pa.array([2.0] * n, pa.float64()),
+    })
+    pq.write_table(t, str(corpus / "part-0.parquet"))
+    idx = str(root / "idx")
+    assert main(["build", str(corpus), idx, "--partitions", "2",
+                 "--doc-id-col", "doc_id", "--sha-col", "content",
+                 "--text-field", "content:content:base",
+                 "--range-field", "a", "--range-field", "b",
+                 "--no-salting"]) == 0
+    capsys.readouterr()
+    out = _run_json(capsys, [
+        "agg", idx, "click", "--agg", "scripted",
+        "--metric-field", "a", "--metric-field", "b",
+        "--map-expr", "a * b", "--reduce-expr", "state / count"])
+    # sum(2i) = n*(n-1); mean = n-1
+    assert out == {"count": n, "state": float(n * (n - 1)),
+                   "value": float(n - 1)}

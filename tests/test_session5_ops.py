@@ -397,3 +397,30 @@ def test_rate_buckets():
         [(0.0, 1200.0)]
     with pytest.raises(ValueError, match="unsupported rate unit"):
         rate_buckets(buckets, 60.0, unit="fortnight")
+
+
+def test_scripted_metric(corpora):
+    from siem_on_amazon_opensearch_service_ray.state.searcher import (
+        compile_metric_expr)
+    searchers, docs = corpora
+    m = _match(docs, ["spark", "join"])
+    x = np.array([(i % 3) + 1.0 for i in m])          # msm
+    y = np.array([-20.0 + (i % 40) * 0.9 for i in m])  # lat
+    want_state = float((x * 2 - y).sum())
+    for layout, s in searchers.items():
+        sm = s.scripted_metric("spark join", ("msm", "lat"),
+                               "msm * 2 - lat", "state / count")
+        assert sm["count"] == len(m), layout
+        assert math.isclose(sm["state"], want_state, rel_tol=1e-12), \
+            layout
+        assert math.isclose(sm["value"], want_state / len(m),
+                            rel_tol=1e-12), layout
+    # escape attempts are rejected at compile time, driver-side
+    for bad in ("__import__('os').system('x')", "msm.real", "msm[0]",
+                "print(msm)", "lambda: 1", "'s'"):
+        with pytest.raises(ValueError):
+            compile_metric_expr(bad, ("msm",))
+    # unknown reduce name rejected before any scatter
+    with pytest.raises(ValueError, match="unknown name"):
+        searchers["doc"].scripted_metric("spark", ("msm",), "msm",
+                                         "state / bogus")
