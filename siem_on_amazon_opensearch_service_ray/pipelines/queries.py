@@ -4609,6 +4609,49 @@ FROM m
 """
 
 
+def search_moving_percentiles(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``moving_percentiles``: p50 of the trailing 3
+    bucket counts (excluding the current bucket) over the n_chars
+    histogram parent — coordinator-side, == DuckDB quantile_cont
+    over a ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING frame."""
+    from ..state.searcher import moving_percentiles_buckets
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        buckets = s.histogram_aggregation(BM25_QUERY, "n_chars",
+                                          _BUCKET_PIPE_INTERVAL)
+    finally:
+        s.close()
+    rows = [(b, v) for b, v in
+            moving_percentiles_buckets(buckets, 50.0, window=3)
+            if v is not None]
+    return pd.DataFrame({
+        "bucket": np.array([int(b) for b, _ in rows], np.int64),
+        "p50_e4": np.array([int(round_half_away(v * 10000))
+                            for _, v in rows], np.int64),
+    })
+
+
+SEARCH_MOVING_PCT_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))})),
+b AS (SELECT cast(floor(d.n_chars / {_BUCKET_PIPE_INTERVAL})
+              * {_BUCKET_PIPE_INTERVAL} AS BIGINT) AS bucket,
+             cast(count(*) AS DOUBLE) AS n
+      FROM documents d JOIN m USING(doc_id) GROUP BY 1)
+SELECT bucket,
+       cast(round(quantile_cont(n, 0.5) OVER
+                  (ORDER BY bucket ROWS BETWEEN 3 PRECEDING
+                   AND 1 PRECEDING) * 10000) AS BIGINT) AS p50_e4
+FROM b QUALIFY p50_e4 IS NOT NULL ORDER BY bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4616,11 +4659,15 @@ FROM m
 def queries() -> dict:
     # Ordered for driver CORRECTNESS coverage: the driver samples the FIRST
     # 50 entries per round. Round-5 rotation: never-driver-checked round-5
-    # additions first, then the three scoring ops whose execution path was
-    # rewritten this round (doc-sharded partials), then every entry whose
-    # newest driver row is r03 (oldest-green-first), then the r04-green rest.
+    # additions first (the late-session agg/query family — scripted_metric,
+    # rate, geohash/geotile, string_stats, t_test, geo_bounds, boxplot,
+    # sampler, percentiles_bucket, multi_terms, sig_text, terms_set,
+    # geo_distance — then the earlier-session adds), then the scoring ops
+    # whose execution path was rewritten this round (doc-sharded partials),
+    # then every entry whose newest driver row is r03 (oldest-green-first).
     return {
         # --- never driver-checked (round-5 additions) ---
+        "search_moving_percentiles": search_moving_percentiles,
         "search_scripted_metric": search_scripted_metric,
         "search_rate": search_rate,
         "search_geohash": search_geohash,
@@ -4751,6 +4798,7 @@ def queries() -> dict:
 
 def oracle_sql() -> dict:
     return {
+        "search_moving_percentiles": SEARCH_MOVING_PCT_SQL,
         "search_scripted_metric": SEARCH_SCRIPTED_METRIC_SQL,
         "search_rate": SEARCH_RATE_SQL,
         "search_geohash": SEARCH_GEOHASH_SQL,

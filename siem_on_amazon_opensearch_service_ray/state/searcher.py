@@ -6350,6 +6350,27 @@ def bucket_sort(buckets: list[tuple], desc: bool = True,
     return ordered[frm:end]
 
 
+def moving_percentiles_buckets(buckets: list[tuple], percent: float,
+                               window: int = 5, value_index: int = 1
+                               ) -> list[tuple[float, float | None]]:
+    """OpenSearch ``moving_percentiles``: the given percentile of the
+    TRAILING ``window`` bucket values EXCLUDING the current bucket
+    (the same frame convention as this engine's moving_avg /
+    OpenSearch ``moving_fn`` with shift=0) — None for the first
+    bucket, linear interpolation (== DuckDB quantile_cont OVER a
+    ``ROWS BETWEEN window PRECEDING AND 1 PRECEDING`` frame).  Pure
+    coordinator-side post-processing over reduced buckets."""
+    vals = [float(b[value_index]) for b in buckets]
+    out: list[tuple[float, float | None]] = []
+    for i, b in enumerate(buckets):
+        lo = max(0, i - window)
+        win = vals[lo:i]
+        out.append((b[0], None if not win else
+                    float(np.percentile(np.asarray(win), percent,
+                                        method="linear"))))
+    return out
+
+
 _RATE_UNIT_SEC = {"second": 1.0, "minute": 60.0, "hour": 3600.0,
                   "day": 86400.0, "week": 604800.0}
 

@@ -97,7 +97,8 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "search_sampler", "search_geotile",
               "search_percentiles_bucket", "search_geo_bounds",
               "search_boxplot", "search_string_stats", "search_t_test",
-              "search_geohash", "search_rate", "search_scripted_metric"]
+              "search_geohash", "search_rate", "search_scripted_metric",
+              "search_moving_percentiles"]
 
 
 @pytest.mark.parametrize("name", SQL_BACKED)

@@ -424,3 +424,18 @@ def test_scripted_metric(corpora):
     with pytest.raises(ValueError, match="unknown name"):
         searchers["doc"].scripted_metric("spark", ("msm",), "msm",
                                          "state / bogus")
+
+
+def test_moving_percentiles():
+    from siem_on_amazon_opensearch_service_ray.state.searcher import (
+        moving_percentiles_buckets)
+    buckets = [(0.0, 10), (1.0, 30), (2.0, 20), (3.0, 40), (4.0, 50)]
+    got = moving_percentiles_buckets(buckets, 50.0, window=3)
+    assert got[0] == (0.0, None)
+    assert got[1] == (1.0, 10.0)
+    assert got[2] == (2.0, 20.0)       # median of [10, 30]
+    assert got[3] == (3.0, 20.0)       # median of [10, 30, 20]
+    assert got[4] == (4.0, 30.0)       # median of [30, 20, 40]
+    # other percentiles use numpy linear interpolation
+    got = moving_percentiles_buckets(buckets, 25.0, window=4)
+    assert got[4][1] == float(np.percentile([10, 30, 20, 40], 25.0))
