@@ -74,7 +74,18 @@ def main(argv: list[str] | None = None) -> int:
                             "prefix", "wildcard", "fuzzy", "span",
                             "span-expr", "qs", "constant-score",
                             "boosting", "function-score", "collapse",
-                            "terms-set"])
+                            "terms-set", "script-score",
+                            "distance-feature"])
+    s.add_argument("--script-expr", default=None,
+                   help="script-score: arithmetic expression over "
+                        "_score and --script-field names")
+    s.add_argument("--script-field", action="append", default=[],
+                   help="script-score: numeric field(s) the expression "
+                        "reads (repeatable)")
+    s.add_argument("--feature-field", default=None,
+                   help="distance-feature: the numeric field")
+    s.add_argument("--origin-value", type=float, default=0.0)
+    s.add_argument("--pivot", type=float, default=1.0)
     s.add_argument("--must", action="append", default=[])
     s.add_argument("--should", action="append", default=[])
     s.add_argument("--must-not", action="append", default=[])
@@ -643,6 +654,30 @@ def main(argv: list[str] | None = None) -> int:
                     hits = [(float(n), d) for n, d in
                             searcher.span_query(json.loads(args.query),
                                                 args.field, args.k)]
+                elif qt == "script-score":
+                    if not args.script_expr:
+                        raise SystemExit("--type script-score needs "
+                                         "--script-expr")
+                    sharded = (searcher.use_actors and
+                               searcher._partition_by == "doc")
+                    fn = (searcher.script_score_search_sharded if sharded
+                          else searcher.script_score_search)
+                    hits = fn(args.query, args.script_expr,
+                              tuple(args.script_field),
+                              field=args.field, k=args.k)
+                elif qt == "distance-feature":
+                    if not args.feature_field:
+                        raise SystemExit("--type distance-feature needs "
+                                         "--feature-field")
+                    sharded = (searcher.use_actors and
+                               searcher._partition_by == "doc")
+                    fn = (searcher.distance_feature_search_sharded
+                          if sharded
+                          else searcher.distance_feature_search)
+                    hits = fn(args.query, args.feature_field,
+                              args.origin_value, args.pivot,
+                              boost=args.boost, field=args.field,
+                              k=args.k)
                 elif qt == "terms-set":
                     terms = args.should or (args.query or "").split()
                     sharded = (searcher.use_actors and

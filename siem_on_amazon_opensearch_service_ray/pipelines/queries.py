@@ -4652,6 +4652,96 @@ FROM b QUALIFY p50_e4 IS NOT NULL ORDER BY bucket
 """
 
 
+_BM25_SCORES_CTE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+dl AS (SELECT d.doc_id, count(t.term) AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+dlq AS (SELECT doc_id, dl,
+               CASE WHEN dl < 8 THEN dl
+                    ELSE (dl >> (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3))
+                         << (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3) END
+                 AS dl_quant
+        FROM dl),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in
+                              dict.fromkeys(base_tokens(BM25_QUERY)))}),
+tf AS (SELECT t.doc_id, t.term, count(*) AS tf
+       FROM tok t JOIN q USING(term) GROUP BY t.doc_id, t.term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2*(1 - 0.75 + 0.75*dlq.dl_quant/s.avgdl)) )
+           AS score
+  FROM tf JOIN df USING(term) JOIN dlq USING(doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id)"""
+
+
+def search_script_score(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``script_score``: each hit's BM25 replaced by
+    ``_score + msm * 0.1`` (a whitelisted-arithmetic script over the
+    doc's numeric field), rescored per doc shard with global idf —
+    docs missing the field are dropped (painless raises on
+    missing)."""
+    idx = _docs_aux_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.script_score_search_sharded(
+            BM25_QUERY, "_score + msm * 0.1", ("msm",), k=BM25_K)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d in hits],
+        "score_e4": np.array([int(_round_away(sc * 10000))
+                              for sc, _ in hits], np.int64),
+    })
+
+
+SEARCH_SCRIPT_SCORE_SQL = _BM25_SCORES_CTE + f"""
+SELECT doc_id,
+       cast(round((score + ((doc_id % 3) + 1) * 0.1) * 10000) AS BIGINT)
+         AS score_e4
+FROM scores
+ORDER BY score + ((doc_id % 3) + 1) * 0.1 DESC, doc_id LIMIT {BM25_K}
+"""
+
+
+def search_distance_feature(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``distance_feature`` (numeric form): BM25 plus
+    ``boost * pivot / (pivot + |lat - origin|)`` — proximity to the
+    origin boosts, missing-field docs keep their plain score; per-doc
+    local so the doc-sharded path is exact."""
+    idx = _docs_aux_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.distance_feature_search_sharded(
+            BM25_QUERY, "lat", 0.0, 10.0, boost=2.0, k=BM25_K)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d in hits],
+        "score_e4": np.array([int(_round_away(sc * 10000))
+                              for sc, _ in hits], np.int64),
+    })
+
+
+SEARCH_DISTANCE_FEATURE_SQL = _BM25_SCORES_CTE + f"""
+SELECT doc_id,
+       cast(round((score + 2.0 * 10.0 /
+                   (10.0 + abs((-30.0 + (doc_id % 200) * 0.3) - 0.0)))
+                  * 10000) AS BIGINT) AS score_e4
+FROM scores
+ORDER BY score + 2.0 * 10.0 /
+         (10.0 + abs((-30.0 + (doc_id % 200) * 0.3) - 0.0)) DESC,
+         doc_id
+LIMIT {BM25_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4667,6 +4757,8 @@ def queries() -> dict:
     # then every entry whose newest driver row is r03 (oldest-green-first).
     return {
         # --- never driver-checked (round-5 additions) ---
+        "search_script_score": search_script_score,
+        "search_distance_feature": search_distance_feature,
         "search_moving_percentiles": search_moving_percentiles,
         "search_scripted_metric": search_scripted_metric,
         "search_rate": search_rate,
@@ -4798,6 +4890,8 @@ def queries() -> dict:
 
 def oracle_sql() -> dict:
     return {
+        "search_script_score": SEARCH_SCRIPT_SCORE_SQL,
+        "search_distance_feature": SEARCH_DISTANCE_FEATURE_SQL,
         "search_moving_percentiles": SEARCH_MOVING_PCT_SQL,
         "search_scripted_metric": SEARCH_SCRIPTED_METRIC_SQL,
         "search_rate": SEARCH_RATE_SQL,

@@ -1251,38 +1251,60 @@ def _geo_bounds_partial(index_dir: str, cand: np.ndarray,
             "min_lon": float(lo_.min()), "max_lon": float(lo_.max())}
 
 
+_EXPR_FUNCS = {"abs": np.abs, "sqrt": np.sqrt, "log": np.log,
+               "log1p": np.log1p, "exp": np.exp,
+               "min": np.minimum, "max": np.maximum}
+
+
 def compile_metric_expr(expr: str, allowed_names: tuple[str, ...]):
-    """Compile a scripted_metric arithmetic expression to a callable
-    over numpy arrays / floats.  The AST is whitelisted to pure
-    arithmetic (+ - * / % ** and unary signs) over numeric literals
-    and the ``allowed_names`` — no calls, attributes, subscripts or
-    comparisons, so a script can compute but never reach out (the
-    painless-script surface the reference's dashboards actually use
-    is exactly this arithmetic shape)."""
+    """Compile a script expression to a callable over numpy arrays /
+    floats.  The AST is whitelisted to pure arithmetic (+ - * / % **
+    and unary signs) over numeric literals, the ``allowed_names``,
+    and a small elementwise math-function whitelist (abs / sqrt /
+    log / log1p / exp and two-arg min / max) — no other calls,
+    attributes, subscripts or comparisons, so a script can compute
+    but never reach out (the painless-script surface the reference's
+    dashboards actually use is exactly this arithmetic shape)."""
     import ast
     tree = ast.parse(expr, mode="eval")
     ok = (ast.Expression, ast.BinOp, ast.UnaryOp, ast.Constant,
           ast.Name, ast.Load, ast.Add, ast.Sub, ast.Mult, ast.Div,
-          ast.Pow, ast.Mod, ast.USub, ast.UAdd)
+          ast.Pow, ast.Mod, ast.USub, ast.UAdd, ast.Call)
+    func_names: set[str] = set()
     for node in ast.walk(tree):
         if not isinstance(node, ok):
             raise ValueError(
-                f"scripted_metric expression {expr!r}: disallowed "
+                f"script expression {expr!r}: disallowed "
                 f"construct {type(node).__name__} (pure arithmetic "
                 "over fields only)")
-        if isinstance(node, ast.Name) and node.id not in allowed_names:
+        if isinstance(node, ast.Call):
+            if (not isinstance(node.func, ast.Name)
+                    or node.func.id not in _EXPR_FUNCS
+                    or node.keywords):
+                raise ValueError(
+                    f"script expression {expr!r}: only "
+                    f"{sorted(_EXPR_FUNCS)} calls allowed")
+            want = 2 if node.func.id in ("min", "max") else 1
+            if len(node.args) != want:
+                raise ValueError(
+                    f"script expression {expr!r}: {node.func.id} takes "
+                    f"{want} argument(s)")
+            func_names.add(node.func.id)
+        elif isinstance(node, ast.Name) and node.id not in allowed_names \
+                and node.id not in _EXPR_FUNCS:
             raise ValueError(
-                f"scripted_metric expression {expr!r}: unknown name "
+                f"script expression {expr!r}: unknown name "
                 f"{node.id!r}; allowed: {sorted(allowed_names)}")
-        if isinstance(node, ast.Constant) and \
+        elif isinstance(node, ast.Constant) and \
                 not isinstance(node.value, (int, float)):
             raise ValueError(
-                f"scripted_metric expression {expr!r}: only numeric "
+                f"script expression {expr!r}: only numeric "
                 "literals allowed")
-    code = compile(tree, "<scripted_metric>", "eval")
+    code = compile(tree, "<script>", "eval")
+    funcs = {n: _EXPR_FUNCS[n] for n in func_names}
 
     def run(bindings: dict):
-        return eval(code, {"__builtins__": {}}, bindings)
+        return eval(code, {"__builtins__": {}}, {**funcs, **bindings})
     return run
 
 
@@ -3475,6 +3497,128 @@ class Searcher:
                            for s, d in zip(out_s, ids)),
                           key=lambda t: (-t[0], t[1]))
         return rescored[:k]
+
+    def script_score_search(self, query: str, expr: str,
+                            fields: tuple[str, ...] = (),
+                            field: str = "content", k: int = 10,
+                            analyzer: str | None = None,
+                            k1: float = K1, b: float = B
+                            ) -> list[tuple[float, int]]:
+        """OpenSearch ``script_score``: replace each hit's score with
+        a script over ``_score`` (the BM25 value) and the doc's
+        numeric fields — the whitelisted-arithmetic expression
+        compiler (:func:`compile_metric_expr`, + abs/sqrt/log/log1p/
+        exp/min/max), evaluated VECTORIZED over the whole match set.
+        Docs missing any named field are dropped (painless
+        ``doc['f'].value`` raises on missing).  Rescoring is
+        per-doc-local, so :meth:`script_score_search_sharded`
+        doc-shards exactly."""
+        fn = compile_metric_expr(expr, ("_score",) + tuple(fields))
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        q_terms = an(query)
+        if not q_terms:
+            return []
+        hits = self._expanded_or(q_terms, field, 1 << 31, k1, b)
+        if not hits:
+            return []
+        n = len(hits)
+        ids = np.fromiter((d for _, d in hits), np.uint64, count=n)
+        scores = np.fromiter((s for s, _ in hits), np.float64, count=n)
+        keep = np.ones(n, dtype=bool)
+        bindings: dict = {"_score": scores}
+        if fields:
+            order = np.argsort(ids)
+            aligned = _aligned_field_values(self.index_dir, ids[order],
+                                            tuple(fields),
+                                            dparts=self._local_parts)
+            for j, f in enumerate(fields):
+                vals = np.empty(n, dtype=np.float64)
+                have = np.empty(n, dtype=bool)
+                vals[order] = aligned[2 * j]
+                have[order] = aligned[2 * j + 1]
+                bindings[f] = vals
+                keep &= have
+        out_s = np.asarray(fn(bindings), dtype=np.float64)
+        if out_s.shape == ():
+            out_s = np.full(n, float(out_s))
+        rescored = sorted(((float(s), int(d))
+                           for s, d, kp in zip(out_s, ids, keep) if kp),
+                          key=lambda t: (-t[0], t[1]))
+        return rescored[:k]
+
+    def script_score_search_sharded(self, query: str, expr: str,
+                                    fields: tuple[str, ...] = (),
+                                    field: str = "content", k: int = 10,
+                                    analyzer: str | None = None,
+                                    k1: float = K1, b: float = B
+                                    ) -> list[tuple[float, int]]:
+        """:meth:`script_score_search` per doc shard with global idf
+        (the dfs round) — rescoring reads only shard-local range
+        tables, so P×k tuples travel."""
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        return self._exec_doc_sharded(
+            "script_score_search",
+            dict(query=query, expr=expr, fields=tuple(fields),
+                 field=field, k=k, analyzer=analyzer, k1=k1, b=b),
+            k, idf_terms=an(query), field=field)
+
+    def distance_feature_search(self, query: str, feature_field: str,
+                                origin: float, pivot: float,
+                                boost: float = 1.0,
+                                field: str = "content", k: int = 10,
+                                analyzer: str | None = None,
+                                k1: float = K1, b: float = B
+                                ) -> list[tuple[float, int]]:
+        """OpenSearch ``distance_feature`` (numeric/date form): add
+        ``boost * pivot / (pivot + |value - origin|)`` to each hit's
+        BM25 score — docs missing the feature field keep their plain
+        score (the query only BOOSTS docs carrying the field; it
+        never filters).  Per-doc-local, so
+        :meth:`distance_feature_search_sharded` doc-shards exactly."""
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        q_terms = an(query)
+        if not q_terms:
+            return []
+        hits = self._expanded_or(q_terms, field, 1 << 31, k1, b)
+        if not hits:
+            return []
+        n = len(hits)
+        ids = np.fromiter((d for _, d in hits), np.uint64, count=n)
+        scores = np.fromiter((s for s, _ in hits), np.float64, count=n)
+        order = np.argsort(ids)
+        vals_s, have_s = _aligned_field_values(
+            self.index_dir, ids[order], (feature_field,),
+            dparts=self._local_parts)
+        vals = np.empty(n, dtype=np.float64)
+        have = np.empty(n, dtype=bool)
+        vals[order] = vals_s
+        have[order] = have_s
+        feat = np.where(
+            have, boost * pivot / (pivot + np.abs(vals - origin)), 0.0)
+        out_s = scores + feat
+        rescored = sorted(((float(s), int(d))
+                           for s, d in zip(out_s, ids)),
+                          key=lambda t: (-t[0], t[1]))
+        return rescored[:k]
+
+    def distance_feature_search_sharded(self, query: str,
+                                        feature_field: str,
+                                        origin: float, pivot: float,
+                                        boost: float = 1.0,
+                                        field: str = "content",
+                                        k: int = 10,
+                                        analyzer: str | None = None,
+                                        k1: float = K1, b: float = B
+                                        ) -> list[tuple[float, int]]:
+        """:meth:`distance_feature_search` per doc shard with global
+        idf — P×k tuples travel."""
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        return self._exec_doc_sharded(
+            "distance_feature_search",
+            dict(query=query, feature_field=feature_field, origin=origin,
+                 pivot=pivot, boost=boost, field=field, k=k,
+                 analyzer=analyzer, k1=k1, b=b),
+            k, idf_terms=an(query), field=field)
 
     # --- match-set aggregations (dashboard parity beyond terms-agg) ---
 

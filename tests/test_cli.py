@@ -434,3 +434,35 @@ def test_cli_scripted_metric(ray_session, tmp_path, capsys):
     # sum(2i) = n*(n-1); mean = n-1
     assert out == {"count": n, "state": float(n * (n - 1)),
                    "value": float(n - 1)}
+
+
+def test_cli_script_score_and_distance_feature(ray_session, tmp_path,
+                                               capsys):
+    root = tmp_path / "scsc"
+    corpus = root / "corpus"
+    corpus.mkdir(parents=True)
+    n = 24
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "content": ["spark join"] * n,
+        "w": pa.array([float(i % 6) for i in range(n)], pa.float64()),
+    })
+    pq.write_table(t, str(corpus / "part-0.parquet"))
+    idx = str(root / "idx")
+    assert main(["build", str(corpus), idx, "--partitions", "2",
+                 "--doc-id-col", "doc_id", "--sha-col", "content",
+                 "--text-field", "content:content:base",
+                 "--range-field", "w", "--no-salting"]) == 0
+    capsys.readouterr()
+    out = _run_json(capsys, [
+        "search", idx, "spark", "--type", "script-score",
+        "--script-expr", "_score + w", "--script-field", "w",
+        "--k", "6"])
+    # identical BM25 everywhere -> ranking dominated by w desc
+    assert [r["doc_id"] % 6 for r in out] == [5] * 4 + [4, 4]
+    out = _run_json(capsys, [
+        "search", idx, "spark", "--type", "distance-feature",
+        "--feature-field", "w", "--origin-value", "2", "--pivot", "1",
+        "--boost", "5", "--k", "4"])
+    # docs with w == 2 get the full boost
+    assert all(r["doc_id"] % 6 == 2 for r in out)

@@ -439,3 +439,58 @@ def test_moving_percentiles():
     # other percentiles use numpy linear interpolation
     got = moving_percentiles_buckets(buckets, 25.0, window=4)
     assert got[4][1] == float(np.percentile([10, 30, 20, 40], 25.0))
+
+
+def test_script_score_and_distance_feature(corpora):
+    searchers, docs = corpora
+    terms = ["spark", "join"]
+    tok_lists = [_toks(d) for d in docs]
+    dls = [len(tl) for tl in tok_lists]
+    avgdl = sum(dls) / N
+
+    def quant(dl):
+        if dl < 8:
+            return dl
+        sh = int(math.floor(math.log2(dl))) - 3
+        return (dl >> sh) << sh
+
+    def idf(t):
+        df = sum(1 for tl in tok_lists if t in tl)
+        return math.log(1 + (N - df + 0.5) / (df + 0.5))
+
+    def bm25(i):
+        sc = 0.0
+        for t in terms:
+            tf = tok_lists[i].count(t)
+            if tf:
+                sc += idf(t) * tf * 2.2 / (
+                    tf + 1.2 * (1 - 0.75 + 0.75 * quant(dls[i]) / avgdl))
+        return sc
+
+    m = _match(docs, terms)
+    # script_score: _score * msm (msm = i%3 + 1)
+    exp = sorted(((bm25(i) * ((i % 3) + 1), i) for i in m),
+                 key=lambda sd: (-sd[0], sd[1]))
+    for layout, s in searchers.items():
+        fn = (s.script_score_search_sharded if layout == "doc"
+              else s.script_score_search)
+        got = fn("spark join", "_score * msm", ("msm",), k=12)
+        assert [(round(a, 6), b) for a, b in got] == \
+            [(round(a, 6), b) for a, b in exp[:12]], layout
+    # distance_feature on lat, origin 0, pivot 5, boost 3
+    lat = [-20.0 + (i % 40) * 0.9 for i in range(N)]
+    exp = sorted(((bm25(i) + 3.0 * 5.0 / (5.0 + abs(lat[i] - 0.0)), i)
+                  for i in m), key=lambda sd: (-sd[0], sd[1]))
+    for layout, s in searchers.items():
+        fn = (s.distance_feature_search_sharded if layout == "doc"
+              else s.distance_feature_search)
+        got = fn("spark join", "lat", 0.0, 5.0, boost=3.0, k=12)
+        assert [(round(a, 6), b) for a, b in got] == \
+            [(round(a, 6), b) for a, b in exp[:12]], layout
+    # functions whitelist: sqrt/log allowed, everything else blocked
+    got = searchers["doc"].script_score_search(
+        "spark join", "sqrt(_score) + log1p(msm)", ("msm",), k=3)
+    assert got
+    with pytest.raises(ValueError, match="calls allowed"):
+        searchers["doc"].script_score_search(
+            "spark", "open('/etc/passwd')", (), k=1)
