@@ -75,7 +75,13 @@ def main(argv: list[str] | None = None) -> int:
                             "span-expr", "qs", "constant-score",
                             "boosting", "function-score", "collapse",
                             "terms-set", "script-score",
-                            "distance-feature"])
+                            "distance-feature", "rank-feature",
+                            "exists", "ids", "pinned"])
+    s.add_argument("--feature-fn", default="saturation",
+                   choices=["saturation", "log", "sigmoid"],
+                   help="rank-feature curve")
+    s.add_argument("--ids", default="",
+                   help="comma-separated doc ids (ids / pinned)")
     s.add_argument("--script-expr", default=None,
                    help="script-score: arithmetic expression over "
                         "_score and --script-field names")
@@ -654,6 +660,28 @@ def main(argv: list[str] | None = None) -> int:
                     hits = [(float(n), d) for n, d in
                             searcher.span_query(json.loads(args.query),
                                                 args.field, args.k)]
+                elif qt == "rank-feature":
+                    if not args.feature_field:
+                        raise SystemExit("--type rank-feature needs "
+                                         "--feature-field")
+                    sharded = (searcher.use_actors and
+                               searcher._partition_by == "doc")
+                    fn = (searcher.rank_feature_search_sharded if sharded
+                          else searcher.rank_feature_search)
+                    hits = fn(args.query, args.feature_field,
+                              function=args.feature_fn,
+                              pivot=args.pivot, boost=args.boost,
+                              field=args.field, k=args.k)
+                elif qt == "exists":
+                    hits = searcher.exists_search(args.query, k=args.k)
+                elif qt == "ids":
+                    ids_ = [int(x) for x in args.ids.split(",") if x]
+                    hits = searcher.ids_search(ids_, k=args.k)
+                elif qt == "pinned":
+                    ids_ = [int(x) for x in args.ids.split(",") if x]
+                    hits = searcher.pinned_search(args.query, ids_,
+                                                  field=args.field,
+                                                  k=args.k)
                 elif qt == "script-score":
                     if not args.script_expr:
                         raise SystemExit("--type script-score needs "

@@ -3937,10 +3937,12 @@ def _docs_aux_fixture(sf_dir: str) -> str:
     """Documents-derived parquet with the numeric companions: msm =
     (doc_id % 3) + 1 (the per-doc terms_set minimum), lat/lon = a
     200-point deterministic grid (geo_point encoded as two numeric
-    range fields).  Cached under /tmp via marker file."""
+    range fields), opt = doc_id where doc_id % 5 < 3 else NULL
+    (nulls are never indexed, so ``exists`` has something to
+    distinguish).  Cached under /tmp via marker file."""
     import pyarrow.parquet as pq
     key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
-    out_dir = f"/tmp/sosr_docs_aux_{key}_v1"
+    out_dir = f"/tmp/sosr_docs_aux_{key}_v2"
     marker = os.path.join(out_dir, ".done")
     if os.path.exists(marker):
         return out_dir
@@ -3954,6 +3956,8 @@ def _docs_aux_fixture(sf_dir: str) -> str:
         "msm": pa.array((did % 3 + 1).astype(np.float64), pa.float64()),
         "lat": pa.array(-30.0 + g * 0.3, pa.float64()),
         "lon": pa.array(-70.0 + g * 0.7, pa.float64()),
+        "opt": pa.array([float(d) if d % 5 < 3 else None
+                         for d in did.tolist()], pa.float64()),
     })
     pq.write_table(fixture, os.path.join(out_dir, "docs_aux.parquet"))
     with open(marker, "w") as f:
@@ -3967,7 +3971,7 @@ def _docs_aux_index(sf_dir: str) -> str:
     cfg = IndexConfig(num_partitions=4,
                       fields=(("content", "text", "base"),),
                       keyword_fields=(),
-                      range_fields=("msm", "lat", "lon"),
+                      range_fields=("msm", "lat", "lon", "opt"),
                       doc_id_col="doc_id", sha_col="text",
                       sample_mod=16, hot_df_threshold=1000)
     build_index([os.path.join(fx, "docs_aux.parquet")], idx, cfg,
@@ -4742,6 +4746,116 @@ LIMIT {BM25_K}
 """
 
 
+def search_rank_feature(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``rank_feature`` (saturation curve): BM25 plus
+    ``boost * msm / (msm + pivot)`` — doc-sharded rescore with the
+    dfs round, missing-field docs unboosted."""
+    idx = _docs_aux_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.rank_feature_search_sharded(
+            BM25_QUERY, "msm", function="saturation", pivot=2.0,
+            boost=1.5, k=BM25_K)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d in hits],
+        "score_e4": np.array([int(_round_away(sc * 10000))
+                              for sc, _ in hits], np.int64),
+    })
+
+
+SEARCH_RANK_FEATURE_SQL = _BM25_SCORES_CTE + f"""
+SELECT doc_id,
+       cast(round((score + 1.5 * (((doc_id % 3) + 1)
+                   / (((doc_id % 3) + 1) + 2.0))) * 10000) AS BIGINT)
+         AS score_e4
+FROM scores
+ORDER BY score + 1.5 * (((doc_id % 3) + 1) / (((doc_id % 3) + 1) + 2.0))
+         DESC, doc_id
+LIMIT {BM25_K}
+"""
+
+
+def search_exists(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``exists`` query over the nullable ``opt`` field:
+    docs carrying the field (nulls are never indexed), constant score
+    1, doc_id ascending — reads only the presence lists."""
+    idx = _docs_aux_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.exists_search("opt", k=100)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": np.array([d for _, d in hits], np.int64)})
+
+
+SEARCH_EXISTS_SQL = """
+SELECT doc_id FROM documents WHERE doc_id % 5 < 3
+ORDER BY doc_id LIMIT 100
+"""
+
+
+_IDS_QUERY = [7, 3, 12, 999999937, 5]
+
+
+def search_ids(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``ids`` query: the given docs that exist and are
+    live (one docstore point-fetch per part, no postings), doc_id
+    ascending — the bogus id drops out."""
+    idx = _docs_aux_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.ids_search(_IDS_QUERY)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": np.array([d for _, d in hits], np.int64)})
+
+
+SEARCH_IDS_SQL = f"""
+SELECT doc_id FROM documents
+WHERE doc_id IN ({", ".join(str(d) for d in _IDS_QUERY)})
+ORDER BY doc_id
+"""
+
+
+_PINNED_IDS = [11, 4]
+
+
+def search_pinned(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``pinned`` query: the pinned ids first in the given
+    order (existing + live only), then the organic BM25 ranking with
+    pinned docs removed — compared by (rank, doc_id) since pinned
+    scores are synthetic by design."""
+    idx = _docs_aux_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.pinned_search(BM25_QUERY, _PINNED_IDS, k=BM25_K)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "rank": np.arange(len(hits), dtype=np.int64),
+        "doc_id": np.array([d for _, d in hits], np.int64),
+    })
+
+
+SEARCH_PINNED_SQL = _BM25_SCORES_CTE + f""",
+pin(doc_id, pr) AS (VALUES {", ".join(f"({d}, {i})" for i, d in
+                                      enumerate(_PINNED_IDS))}),
+pe AS (SELECT p.doc_id, p.pr FROM pin p JOIN documents d USING(doc_id)),
+org AS (SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS orn
+        FROM scores WHERE doc_id NOT IN (SELECT doc_id FROM pin)),
+u AS (SELECT doc_id, pr AS rank FROM pe
+      UNION ALL
+      SELECT doc_id, orn + (SELECT count(*) FROM pe) FROM org)
+SELECT cast(rank AS BIGINT) AS rank, doc_id
+FROM u ORDER BY rank LIMIT {BM25_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4757,6 +4871,10 @@ def queries() -> dict:
     # then every entry whose newest driver row is r03 (oldest-green-first).
     return {
         # --- never driver-checked (round-5 additions) ---
+        "search_rank_feature": search_rank_feature,
+        "search_exists": search_exists,
+        "search_ids": search_ids,
+        "search_pinned": search_pinned,
         "search_script_score": search_script_score,
         "search_distance_feature": search_distance_feature,
         "search_moving_percentiles": search_moving_percentiles,
@@ -4890,6 +5008,10 @@ def queries() -> dict:
 
 def oracle_sql() -> dict:
     return {
+        "search_rank_feature": SEARCH_RANK_FEATURE_SQL,
+        "search_exists": SEARCH_EXISTS_SQL,
+        "search_ids": SEARCH_IDS_SQL,
+        "search_pinned": SEARCH_PINNED_SQL,
         "search_script_score": SEARCH_SCRIPT_SCORE_SQL,
         "search_distance_feature": SEARCH_DISTANCE_FEATURE_SQL,
         "search_moving_percentiles": SEARCH_MOVING_PCT_SQL,

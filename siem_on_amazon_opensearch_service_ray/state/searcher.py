@@ -3620,6 +3620,140 @@ class Searcher:
                  analyzer=analyzer, k1=k1, b=b),
             k, idf_terms=an(query), field=field)
 
+    def rank_feature_search(self, query: str, feature_field: str,
+                            function: str = "saturation",
+                            pivot: float = 1.0, scaling: float = 1.0,
+                            exponent: float = 1.0, boost: float = 1.0,
+                            field: str = "content", k: int = 10,
+                            analyzer: str | None = None,
+                            k1: float = K1, b: float = B
+                            ) -> list[tuple[float, int]]:
+        """OpenSearch ``rank_feature``: add ``boost * S(x)`` to each
+        hit's BM25, with S the ``saturation`` (x/(x+pivot)), ``log``
+        (ln(scaling·x + 1)) or ``sigmoid`` (x^e/(x^e+pivot^e))
+        curve over the positive feature field.  Missing-field docs
+        keep their plain score (boost-only, like distance_feature).
+        Per-doc-local → :meth:`rank_feature_search_sharded` doc-shards
+        exactly."""
+        if function not in ("saturation", "log", "sigmoid"):
+            raise ValueError(f"unsupported rank_feature function "
+                             f"{function!r}")
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        q_terms = an(query)
+        if not q_terms:
+            return []
+        hits = self._expanded_or(q_terms, field, 1 << 31, k1, b)
+        if not hits:
+            return []
+        n = len(hits)
+        ids = np.fromiter((d for _, d in hits), np.uint64, count=n)
+        scores = np.fromiter((s for s, _ in hits), np.float64, count=n)
+        order = np.argsort(ids)
+        vals_s, have_s = _aligned_field_values(
+            self.index_dir, ids[order], (feature_field,),
+            dparts=self._local_parts)
+        vals = np.empty(n, dtype=np.float64)
+        have = np.empty(n, dtype=bool)
+        vals[order] = vals_s
+        have[order] = have_s
+        if function == "saturation":
+            s_of = vals / (vals + pivot)
+        elif function == "log":
+            s_of = np.log(scaling * vals + 1.0)
+        else:
+            xe = vals ** exponent
+            s_of = xe / (xe + pivot ** exponent)
+        out_s = scores + np.where(have, boost * s_of, 0.0)
+        rescored = sorted(((float(s), int(d))
+                           for s, d in zip(out_s, ids)),
+                          key=lambda t: (-t[0], t[1]))
+        return rescored[:k]
+
+    def rank_feature_search_sharded(self, query: str, feature_field: str,
+                                    function: str = "saturation",
+                                    pivot: float = 1.0,
+                                    scaling: float = 1.0,
+                                    exponent: float = 1.0,
+                                    boost: float = 1.0,
+                                    field: str = "content", k: int = 10,
+                                    analyzer: str | None = None,
+                                    k1: float = K1, b: float = B
+                                    ) -> list[tuple[float, int]]:
+        """:meth:`rank_feature_search` per doc shard (dfs round)."""
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        return self._exec_doc_sharded(
+            "rank_feature_search",
+            dict(query=query, feature_field=feature_field,
+                 function=function, pivot=pivot, scaling=scaling,
+                 exponent=exponent, boost=boost, field=field, k=k,
+                 analyzer=analyzer, k1=k1, b=b),
+            k, idf_terms=an(query), field=field)
+
+    def exists_search(self, field_name: str, k: int | None = None
+                      ) -> list[tuple[float, int]]:
+        """OpenSearch ``exists`` query: live docs carrying
+        ``field_name`` (an indexed keyword OR numeric range field —
+        nulls are never indexed, build-side), constant score 1.0,
+        doc_id ascending.  Reads only the presence lists (packed
+        filter postings / range tables), never postings or the
+        docstore."""
+        from .shard import load_range_pairs
+        chunks: list[np.ndarray] = []
+        for _v, ids in _iter_filter_postings(self.index_dir, field_name,
+                                             dparts=self._local_parts):
+            chunks.append(ids)
+        for _vals, ids in load_range_pairs(self.index_dir, field_name,
+                                           dparts=self._local_parts):
+            chunks.append(ids.astype(np.uint64))
+        if not chunks:
+            return []
+        ids = np.unique(np.concatenate(chunks))
+        if self.tombstones.size and ids.size:
+            ids = ids[_excl_mask(ids, self.tombstones)]
+        out = [(1.0, int(d)) for d in ids[:k]]
+        return out
+
+    def ids_search(self, doc_ids: list[int], k: int | None = None
+                   ) -> list[tuple[float, int]]:
+        """OpenSearch ``ids`` query: the given docs that exist and are
+        live, constant score 1.0, doc_id ascending — one docstore
+        point-fetch per part, no postings."""
+        from .docstore import fetch_docs
+        found = fetch_docs(self.index_dir,
+                           list(dict.fromkeys(int(d) for d in doc_ids)))
+        ids = sorted(found.column("doc_id").to_pylist())
+        return [(1.0, int(d)) for d in ids[:k]]
+
+    def pinned_search(self, query: str, pinned_ids: list[int],
+                      field: str = "content", k: int = 10,
+                      analyzer: str | None = None,
+                      k1: float = K1, b: float = B
+                      ) -> list[tuple[float, int]]:
+        """OpenSearch ``pinned`` query: the pinned ids first, in the
+        GIVEN order (only those that exist and are live), then the
+        organic ranking with pinned docs removed.  Scores are
+        OpenSearch-shaped: pinned docs get large synthetic scores
+        decreasing with pin position (Lucene pins via
+        Float.MAX_VALUE-derived constants); organic hits keep BM25.
+        The organic ranking auto-routes to the doc-sharded path on
+        doc layouts."""
+        from .docstore import fetch_docs
+        uniq = list(dict.fromkeys(int(d) for d in pinned_ids))
+        alive = set(fetch_docs(self.index_dir, uniq)
+                    .column("doc_id").to_pylist())
+        pinned = [d for d in uniq if d in alive][:k]
+        out: list[tuple[float, int]] = [
+            (float(2 ** 31 - i), d) for i, d in enumerate(pinned)]
+        need = k - len(pinned)
+        if need > 0:
+            organic = self.search(query, field=field,
+                                  k=k + len(uniq), analyzer=analyzer,
+                                  k1=k1, b=b)
+            pinned_set = set(uniq)
+            out.extend((s, d) for s, d in organic
+                       if d not in pinned_set)
+        return out[:k]
+
     # --- match-set aggregations (dashboard parity beyond terms-agg) ---
 
     def _match_ids(self, field: str, q_terms: list[str],

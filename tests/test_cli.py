@@ -466,3 +466,40 @@ def test_cli_script_score_and_distance_feature(ray_session, tmp_path,
         "--boost", "5", "--k", "4"])
     # docs with w == 2 get the full boost
     assert all(r["doc_id"] % 6 == 2 for r in out)
+
+
+def test_cli_rank_feature_exists_ids_pinned(ray_session, tmp_path,
+                                            capsys):
+    root = tmp_path / "rfq"
+    corpus = root / "corpus"
+    corpus.mkdir(parents=True)
+    n = 18
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "content": ["spark join"] * n,
+        "pop": pa.array([float(i) if i % 3 else None for i in range(n)],
+                        pa.float64()),
+    })
+    pq.write_table(t, str(corpus / "part-0.parquet"))
+    idx = str(root / "idx")
+    assert main(["build", str(corpus), idx, "--partitions", "2",
+                 "--doc-id-col", "doc_id", "--sha-col", "content",
+                 "--text-field", "content:content:base",
+                 "--range-field", "pop", "--no-salting"]) == 0
+    capsys.readouterr()
+    out = _run_json(capsys, [
+        "search", idx, "spark", "--type", "rank-feature",
+        "--feature-field", "pop", "--feature-fn", "saturation",
+        "--pivot", "2", "--boost", "4", "--k", "3"])
+    # identical BM25 -> highest pop wins (missing-pop docs unboosted)
+    assert [r["doc_id"] for r in out] == [17, 16, 14]
+    out = _run_json(capsys, [
+        "search", idx, "pop", "--type", "exists", "--k", "50"])
+    assert [r["doc_id"] for r in out] == [i for i in range(n) if i % 3]
+    out = _run_json(capsys, [
+        "search", idx, "--type", "ids", "--ids", "5,99,2"])
+    assert [r["doc_id"] for r in out] == [2, 5]
+    out = _run_json(capsys, [
+        "search", idx, "spark", "--type", "pinned", "--ids", "7,3",
+        "--k", "4"])
+    assert [r["doc_id"] for r in out][:2] == [7, 3]

@@ -99,7 +99,8 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "search_boxplot", "search_string_stats", "search_t_test",
               "search_geohash", "search_rate", "search_scripted_metric",
               "search_moving_percentiles", "search_script_score",
-              "search_distance_feature"]
+              "search_distance_feature", "search_rank_feature",
+              "search_exists", "search_ids", "search_pinned"]
 
 
 @pytest.mark.parametrize("name", SQL_BACKED)

@@ -494,3 +494,63 @@ def test_script_score_and_distance_feature(corpora):
     with pytest.raises(ValueError, match="calls allowed"):
         searchers["doc"].script_score_search(
             "spark", "open('/etc/passwd')", (), k=1)
+
+
+def test_rank_feature_exists_ids_pinned(corpora):
+    searchers, docs = corpora
+    terms = ["spark", "join"]
+    tok_lists = [_toks(d) for d in docs]
+    dls = [len(tl) for tl in tok_lists]
+    avgdl = sum(dls) / N
+
+    def quant(dl):
+        if dl < 8:
+            return dl
+        sh = int(math.floor(math.log2(dl))) - 3
+        return (dl >> sh) << sh
+
+    def idf(t):
+        df = sum(1 for tl in tok_lists if t in tl)
+        return math.log(1 + (N - df + 0.5) / (df + 0.5))
+
+    def bm25(i):
+        sc = 0.0
+        for t in terms:
+            tf = tok_lists[i].count(t)
+            if tf:
+                sc += idf(t) * tf * 2.2 / (
+                    tf + 1.2 * (1 - 0.75 + 0.75 * quant(dls[i]) / avgdl))
+        return sc
+
+    m = _match(docs, terms)
+    # rank_feature saturation over msm (i%3+1), pivot 1.5, boost 2
+    exp = sorted(
+        ((bm25(i) + 2.0 * (((i % 3) + 1) / (((i % 3) + 1) + 1.5)), i)
+         for i in m), key=lambda sd: (-sd[0], sd[1]))
+    for layout, s in searchers.items():
+        fn = (s.rank_feature_search_sharded if layout == "doc"
+              else s.rank_feature_search)
+        got = fn("spark join", "msm", function="saturation", pivot=1.5,
+                 boost=2.0, k=12)
+        assert [(round(a, 6), b) for a, b in got] == \
+            [(round(a, 6), b) for a, b in exp[:12]], layout
+        # exists: every doc carries msm -> first k ids ascending
+        got = s.exists_search("msm", k=7)
+        assert got == [(1.0, i) for i in range(7)], layout
+        assert s.exists_search("no_such_field") == [], layout
+        # ids: bogus ids drop, result doc-asc
+        got = s.ids_search([9, 200 + N, 3, 9])
+        assert got == [(1.0, 3), (1.0, 9)], layout
+        # pinned: given order first, organic (minus pinned) after
+        organic = [i for _, i in
+                   sorted(((bm25(i), i) for i in m),
+                          key=lambda sd: (-sd[0], sd[1]))]
+        pins = [organic[5], 999999, organic[0]]
+        got = s.pinned_search("spark join", pins, k=6)
+        ids = [d for _, d in got]
+        assert ids[:2] == [organic[5], organic[0]], layout
+        assert ids[2:] == [i for i in organic
+                           if i not in (organic[5], organic[0])][:4], \
+            layout
+        # pinned synthetic scores strictly decrease across the pins
+        assert got[0][0] > got[1][0] > got[2][0], layout
