@@ -76,7 +76,10 @@ def main(argv: list[str] | None = None) -> int:
                             "boosting", "function-score", "collapse",
                             "terms-set", "script-score",
                             "distance-feature", "rank-feature",
-                            "exists", "ids", "pinned"])
+                            "exists", "ids", "pinned", "simple-qs"])
+    s.add_argument("--default-operator", default="or",
+                   choices=["or", "and"],
+                   help="simple-qs: occurrence of bare terms")
     s.add_argument("--feature-fn", default="saturation",
                    choices=["saturation", "log", "sigmoid"],
                    help="rank-feature curve")
@@ -660,6 +663,13 @@ def main(argv: list[str] | None = None) -> int:
                     hits = [(float(n), d) for n, d in
                             searcher.span_query(json.loads(args.query),
                                                 args.field, args.k)]
+                elif qt == "simple-qs":
+                    sharded = (searcher.use_actors and
+                               searcher._partition_by == "doc")
+                    fn = (searcher.simple_query_string_sharded if sharded
+                          else searcher.simple_query_string)
+                    hits = fn(args.query, field=args.field, k=args.k,
+                              default_operator=args.default_operator)
                 elif qt == "rank-feature":
                     if not args.feature_field:
                         raise SystemExit("--type rank-feature needs "

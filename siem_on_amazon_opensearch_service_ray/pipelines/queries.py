@@ -4856,6 +4856,32 @@ FROM u ORDER BY rank LIMIT {BM25_K}
 """
 
 
+def search_simple_qs(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``simple_query_string``: the tolerant end-user
+    grammar — ``spark | join -sort mer*`` is two OR'd terms, a
+    negation and a prefix clause (expanding to ``merge`` against the
+    global dictionary); invalid syntax would degrade to literal text
+    instead of raising.  Executed per doc shard with the dfs round."""
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.simple_query_string_sharded("spark | join -sort mer*",
+                                             k=BM25_K)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d in hits],
+        "score_e4": np.array([int(_round_away(sc * 10000))
+                              for sc, _ in hits], np.int64),
+    })
+
+
+SEARCH_SIMPLE_QS_SQL = _bm25_sql(
+    ["spark", "join", "merge"], BM25_K,
+    final_where=("WHERE doc_id NOT IN "
+                 "(SELECT doc_id FROM tok WHERE term = 'sort')"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4871,6 +4897,7 @@ def queries() -> dict:
     # then every entry whose newest driver row is r03 (oldest-green-first).
     return {
         # --- never driver-checked (round-5 additions) ---
+        "search_simple_qs": search_simple_qs,
         "search_rank_feature": search_rank_feature,
         "search_exists": search_exists,
         "search_ids": search_ids,
@@ -5008,6 +5035,7 @@ def queries() -> dict:
 
 def oracle_sql() -> dict:
     return {
+        "search_simple_qs": SEARCH_SIMPLE_QS_SQL,
         "search_rank_feature": SEARCH_RANK_FEATURE_SQL,
         "search_exists": SEARCH_EXISTS_SQL,
         "search_ids": SEARCH_IDS_SQL,

@@ -149,6 +149,71 @@ def parse_query_string(qs: str) -> ParsedQuery:
     return out
 
 
+def parse_simple_query_string(qs: str, default_operator: str = "or"
+                              ) -> ParsedQuery:
+    """OpenSearch ``simple_query_string``: the TOLERANT grammar —
+    ``+`` (AND), ``|`` (OR), leading ``-`` (negate), quoted phrases
+    (``"..."~N`` = slop), trailing ``*`` (prefix), ``term~N``
+    (fuzzy; bare ``~`` = 2), and NOTHING else: no ``field:value``,
+    no ranges, no AND/OR/NOT words (they are literal terms).  Parens
+    are flattened and invalid syntax degrades to literal text —
+    this parser NEVER raises, the query type's defining contract.
+    ``default_operator`` sets the occurrence of bare terms."""
+    out = ParsedQuery()
+    default_and = default_operator.lower() == "and"
+    pending: str | None = None
+    for raw in re.findall(r'"[^"]*"(?:~\d+)?|\S+', qs):
+        tok = raw.strip("()")
+        if not tok or tok in ("-", "~", "*"):
+            pending = None
+            continue
+        if tok == "+":
+            pending = "AND"
+            continue
+        if tok == "|":
+            pending = "OR"
+            continue
+        occur_override = None
+        if tok.startswith("-"):
+            occur_override = MUST_NOT
+            tok = tok[1:]
+            if not tok:
+                continue
+        op = pending if pending is not None else \
+            ("AND" if default_and else None)
+        if tok.startswith('"'):
+            m = re.fullmatch(r'"([^"]*)"(?:~(\d+))?', tok)
+            if m is not None:
+                if m.group(1).strip():
+                    c = Clause(MUST, "phrase", m.group(1),
+                               slop=int(m.group(2) or 0))
+                    out.clauses.append(c)
+                    if occur_override is not None:
+                        c.occur = occur_override
+                pending = None
+                continue
+            tok = tok.strip('"')        # unbalanced quote: literal
+            if not tok:
+                pending = None
+                continue
+        fuzz = re.fullmatch(r"(.+?)~(\d*)", tok)
+        if fuzz:
+            c = Clause(SHOULD, "fuzzy", fuzz.group(1),
+                       fuzziness=int(fuzz.group(2) or 2))
+        elif tok.endswith("*") and "*" not in tok[:-1] \
+                and "?" not in tok and len(tok) > 1:
+            c = Clause(SHOULD, "prefix", tok[:-1])
+        else:
+            # any other wildcard char is LITERAL in simple syntax;
+            # the analyzer strips punctuation, degrading gracefully
+            c = Clause(SHOULD, "term", tok)
+        _attach(out, c, "AND" if op == "AND" else None)
+        if occur_override is not None:
+            c.occur = occur_override
+        pending = None
+    return out
+
+
 def _attach(out: ParsedQuery, c: Clause, pending_op: str | None) -> None:
     """Append a clause, applying the pending infix operator: AND
     promotes the clause AND its left scoring neighbour to MUST

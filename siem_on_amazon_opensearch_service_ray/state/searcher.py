@@ -2731,16 +2731,28 @@ class Searcher:
     def query_string(self, qs: str, field: str = "content", k: int = 10,
                      max_expansions: int = 1024,
                      analyzer: str | None = None,
-                     k1: float = K1, b: float = B
+                     k1: float = K1, b: float = B,
+                     parser: str = "qs"
                      ) -> list[tuple[float, int]]:
         """Execute a query-string expression (OpenSearch query_string /
         KQL subset — the reference's dashboard search box; grammar and
         semantics in ``state.querystring``): term / prefix / wildcard /
         fuzzy clauses score, quoted phrases and ``field:value`` /
         ``field:[lo TO hi]`` constrain.  AND/NOT/+/- set occurrence;
-        with no MUST clause at least one SHOULD clause must match."""
-        from .querystring import MUST, MUST_NOT, SHOULD, parse_query_string
-        parsed = parse_query_string(qs)
+        with no MUST clause at least one SHOULD clause must match.
+        ``parser="simple_or"/"simple_and"`` swaps in the TOLERANT
+        simple_query_string grammar (never raises; the suffix names
+        the default_operator)."""
+        from .querystring import (MUST, MUST_NOT, SHOULD,
+                                  parse_query_string,
+                                  parse_simple_query_string)
+        if parser == "qs":
+            parsed = parse_query_string(qs)
+        else:
+            parsed = parse_simple_query_string(
+                qs, "and" if parser == "simple_and" else "or")
+            if not parsed.clauses:
+                return []
         if analyzer is None:
             analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
                              if f == field), "code")
@@ -2803,6 +2815,8 @@ class Searcher:
             live = [ids for ids, _ in should_groups if ids.size]
             if not live:
                 if not has_required:
+                    if parser != "qs":
+                        return []   # simple grammar: degrade, never raise
                     raise ValueError(
                         "query_string: no scoring or filter clause")
                 base = None     # filters-only query: base from filters
@@ -6202,14 +6216,22 @@ class Searcher:
     def query_string_sharded(self, qs: str, field: str = "content",
                              k: int = 10, max_expansions: int = 1024,
                              analyzer: str | None = None,
-                             k1: float = K1, b: float = B
+                             k1: float = K1, b: float = B,
+                             parser: str = "qs"
                              ) -> list[tuple[float, int]]:
         """:meth:`query_string` per doc shard: the driver pre-expands
         pattern clauses against the GLOBAL dictionary to compute each
         scoring token's global idf; phrase clauses are filter-context
         (no idf) and evaluate on local positions."""
-        from .querystring import parse_query_string
-        parsed = parse_query_string(qs)
+        from .querystring import (parse_query_string,
+                                  parse_simple_query_string)
+        if parser == "qs":
+            parsed = parse_query_string(qs)
+        else:
+            parsed = parse_simple_query_string(
+                qs, "and" if parser == "simple_and" else "or")
+            if not parsed.clauses:
+                return []
         an = ANALYZERS[self._analyzer_for(field, analyzer)]
         toks: list[str] = []
         for c in parsed.clauses:
@@ -6228,8 +6250,35 @@ class Searcher:
         return self._exec_doc_sharded(
             "query_string",
             dict(qs=qs, field=field, k=k, max_expansions=max_expansions,
-                 analyzer=analyzer, k1=k1, b=b),
+                 analyzer=analyzer, k1=k1, b=b, parser=parser),
             k, idf_terms=toks, field=field)
+
+    def simple_query_string(self, qs: str, field: str = "content",
+                            k: int = 10,
+                            default_operator: str = "or",
+                            max_expansions: int = 1024,
+                            analyzer: str | None = None,
+                            k1: float = K1, b: float = B
+                            ) -> list[tuple[float, int]]:
+        """OpenSearch ``simple_query_string``: the tolerant grammar
+        (``+ | - "" * ~N``; everything else literal, NEVER raises —
+        end-user search boxes feed it unvalidated input).  Executes
+        through the query_string machinery with the simple parser."""
+        return self.query_string(
+            qs, field, k, max_expansions, analyzer, k1, b,
+            parser=f"simple_{default_operator.lower()}")
+
+    def simple_query_string_sharded(self, qs: str,
+                                    field: str = "content", k: int = 10,
+                                    default_operator: str = "or",
+                                    max_expansions: int = 1024,
+                                    analyzer: str | None = None,
+                                    k1: float = K1, b: float = B
+                                    ) -> list[tuple[float, int]]:
+        """:meth:`simple_query_string` per doc shard (dfs round)."""
+        return self.query_string_sharded(
+            qs, field, k, max_expansions, analyzer, k1, b,
+            parser=f"simple_{default_operator.lower()}")
 
     def search_multi(self, query: str,
                      fields: list[tuple[str, float]] | None = None,

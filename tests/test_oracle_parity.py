@@ -100,7 +100,8 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "search_geohash", "search_rate", "search_scripted_metric",
               "search_moving_percentiles", "search_script_score",
               "search_distance_feature", "search_rank_feature",
-              "search_exists", "search_ids", "search_pinned"]
+              "search_exists", "search_ids", "search_pinned",
+              "search_simple_qs"]
 
 
 @pytest.mark.parametrize("name", SQL_BACKED)

@@ -58,7 +58,7 @@ def corpora(ray_session, tmp_path_factory):
                           keyword_fields=("lang", "repo"),
                           range_fields=("msm", "lat", "lon"),
                           doc_id_col="doc_id", sha_col="text",
-                          salting=False)
+                          store_positions=True, salting=False)
         build_index([src], idx, cfg)
         out[layout] = Searcher(idx, use_actors=False)
     yield out, docs
@@ -554,3 +554,31 @@ def test_rank_feature_exists_ids_pinned(corpora):
             layout
         # pinned synthetic scores strictly decrease across the pins
         assert got[0][0] > got[1][0] > got[2][0], layout
+
+
+def test_simple_query_string_tolerance(corpora):
+    from siem_on_amazon_opensearch_service_ray.state.querystring import (
+        MUST, MUST_NOT, SHOULD, parse_simple_query_string)
+    searchers, docs = corpora
+    s = searchers["doc"]
+    # sane queries execute on both paths, identically across layouts
+    for q in ("spark | join", "spark join", '"spark join"~1 -sql',
+              "spar* +table"):
+        a = s.simple_query_string_sharded(q, k=8)
+        b = searchers["term"].simple_query_string(q, k=8)
+        assert [(round(x, 6), d) for x, d in a] == \
+            [(round(x, 6), d) for x, d in b], q
+    # garbage NEVER raises (the defining contract vs query_string)
+    for junk in ("AND (((", "a^2 /re/", '"unterminated', "~~~", "", "|",
+                 "+ - |", "field:value:weird", 'NOT NOT "', ")(("):
+        s.simple_query_string(junk, k=3)  # must not raise
+    # grammar lowering
+    p = parse_simple_query_string("a + b -c")
+    assert [c.occur for c in p.clauses] == [MUST, MUST, MUST_NOT]
+    p = parse_simple_query_string("a b", default_operator="and")
+    assert [c.occur for c in p.clauses] == [MUST, MUST]
+    p = parse_simple_query_string("a | b", default_operator="and")
+    assert [c.occur for c in p.clauses] == [MUST, SHOULD]
+    p = parse_simple_query_string('"x y"~2 z~ w*')
+    assert [(c.kind, c.slop, c.fuzziness) for c in p.clauses] == \
+        [("phrase", 2, 0), ("fuzzy", 0, 2), ("prefix", 0, 0)]
