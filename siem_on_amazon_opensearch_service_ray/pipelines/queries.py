@@ -4882,6 +4882,55 @@ SEARCH_SIMPLE_QS_SQL = _bm25_sql(
                  "(SELECT doc_id FROM tok WHERE term = 'sort')"))
 
 
+_PERCOLATE_RULES = [
+    ("r_sparkjoin", "spark AND join"),
+    ("r_table_nosql", "+table -sql"),
+    ("r_mergesort", '"merge sort"'),
+]
+
+
+def percolate_docs_rules(sf_dir: str) -> pd.DataFrame:
+    """Percolation (reverse search): three registered detection rules
+    evaluated against the documents STREAM — rules parse once
+    driver-side, broadcast via ray.put, each map_batches task builds
+    a term→doc incidence bitmap and every rule is a few numpy ops;
+    phrases match on the space-joined analyzed token stream.  A pure
+    streaming map stage: no shuffle, no state."""
+    from ..stages.percolate import percolate_docs
+    ds = _t_ds(sf_dir, "documents", ["doc_id", "text"])
+    out = percolate_docs(ds, _PERCOLATE_RULES, text_col="text",
+                         id_col="doc_id")
+    df = out.to_pandas().sort_values(["doc_id", "rule_id"]) \
+            .reset_index(drop=True)
+    return df
+
+
+PERCOLATE_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+js AS (SELECT doc_id,
+              ' ' || array_to_string(
+                regexp_extract_all(lower(text), '[a-z0-9_]+'), ' ')
+              || ' ' AS j
+       FROM documents)
+SELECT d.doc_id, 'r_sparkjoin' AS rule_id FROM documents d
+WHERE EXISTS(SELECT 1 FROM tok t WHERE t.doc_id = d.doc_id
+             AND t.term = 'spark')
+  AND EXISTS(SELECT 1 FROM tok t WHERE t.doc_id = d.doc_id
+             AND t.term = 'join')
+UNION ALL
+SELECT d.doc_id, 'r_table_nosql' FROM documents d
+WHERE EXISTS(SELECT 1 FROM tok t WHERE t.doc_id = d.doc_id
+             AND t.term = 'table')
+  AND NOT EXISTS(SELECT 1 FROM tok t WHERE t.doc_id = d.doc_id
+                 AND t.term = 'sql')
+UNION ALL
+SELECT doc_id, 'r_mergesort' FROM js WHERE j LIKE '% merge sort %'
+ORDER BY doc_id, rule_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4897,6 +4946,7 @@ def queries() -> dict:
     # then every entry whose newest driver row is r03 (oldest-green-first).
     return {
         # --- never driver-checked (round-5 additions) ---
+        "percolate_docs_rules": percolate_docs_rules,
         "search_simple_qs": search_simple_qs,
         "search_rank_feature": search_rank_feature,
         "search_exists": search_exists,
@@ -5035,6 +5085,7 @@ def queries() -> dict:
 
 def oracle_sql() -> dict:
     return {
+        "percolate_docs_rules": PERCOLATE_SQL,
         "search_simple_qs": SEARCH_SIMPLE_QS_SQL,
         "search_rank_feature": SEARCH_RANK_FEATURE_SQL,
         "search_exists": SEARCH_EXISTS_SQL,

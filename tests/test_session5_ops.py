@@ -582,3 +582,30 @@ def test_simple_query_string_tolerance(corpora):
     p = parse_simple_query_string('"x y"~2 z~ w*')
     assert [(c.kind, c.slop, c.fuzziness) for c in p.clauses] == \
         [("phrase", 2, 0), ("fuzzy", 0, 2), ("prefix", 0, 0)]
+
+
+def test_percolate(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from siem_on_amazon_opensearch_service_ray.stages.percolate import (
+        compile_rules, percolate_batch, percolate_docs)
+    texts = ["spark join shuffle", "table scan", "sql table",
+             "merge sort now", "sort merge", "spark Join!"]
+    rules = [("r1", "spark AND join"), ("r2", "+table -sql"),
+             ("r3", '"merge sort"'), ("r4", "shuffle | scan")]
+    comp = compile_rules(rules)
+    got = percolate_batch(texts, comp)
+    assert got == [["r1", "r4"], ["r2", "r4"], [], ["r3"], [],
+                   ["r1"]]
+    # invalid rules fail REGISTRATION, not silently never match
+    with pytest.raises(ValueError):
+        compile_rules([("bad", "lang:en spark")])
+    with pytest.raises(ValueError):
+        compile_rules([("bad", "spar*")])
+    # the Dataset stage emits one row per (doc, rule)
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": list(range(len(texts))), "text": texts}))
+    out = percolate_docs(ds, rules).to_pandas() \
+        .sort_values(["doc_id", "rule_id"]).reset_index(drop=True)
+    want = [(i, r) for i, rs in enumerate(got) for r in rs]
+    assert list(map(tuple, out.itertuples(index=False))) == want
