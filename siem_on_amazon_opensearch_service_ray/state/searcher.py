@@ -1266,7 +1266,12 @@ def compile_metric_expr(expr: str, allowed_names: tuple[str, ...]):
     but never reach out (the painless-script surface the reference's
     dashboards actually use is exactly this arithmetic shape)."""
     import ast
-    tree = ast.parse(expr, mode="eval")
+    try:
+        tree = ast.parse(expr, mode="eval")
+    except SyntaxError as ex:
+        raise ValueError(
+            f"script expression {expr!r}: invalid syntax ({ex.msg})"
+        ) from None
     ok = (ast.Expression, ast.BinOp, ast.UnaryOp, ast.Constant,
           ast.Name, ast.Load, ast.Add, ast.Sub, ast.Mult, ast.Div,
           ast.Pow, ast.Mod, ast.USub, ast.UAdd, ast.Call)

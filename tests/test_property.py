@@ -70,3 +70,41 @@ def test_analyzer_total_and_consistent(text):
         assert all(b >= a for a, b in zip(poss, poss[1:]))  # non-decreasing
     assert all(t == t.lower() for t in toks)   # lowercased
     assert all(len(t.encode()) <= 32766 for t in toks)
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_simple_query_string_parser_total(qs):
+    """The simple grammar's defining contract: ANY input parses —
+    unbalanced quotes, stray operators, parens, control chars —
+    and every produced clause is well-formed."""
+    from siem_on_amazon_opensearch_service_ray.state.querystring import (
+        MUST, MUST_NOT, SHOULD, parse_simple_query_string)
+    for op in ("or", "and"):
+        p = parse_simple_query_string(qs, op)
+        assert not p.filters and not p.ranges   # SQS has no field syntax
+        for c in p.clauses:
+            assert c.occur in (MUST, SHOULD, MUST_NOT)
+            assert c.kind in ("term", "prefix", "fuzzy", "phrase")
+            if c.kind != "phrase":
+                assert c.text != ""
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=80))
+def test_metric_expr_compiler_total(expr):
+    """compile_metric_expr either raises ValueError (never any other
+    exception type) or returns a callable whose evaluation over
+    benign bindings is a plain number/array — no escape hatch."""
+    import numpy as np
+    from siem_on_amazon_opensearch_service_ray.state.searcher import (
+        compile_metric_expr)
+    try:
+        fn = compile_metric_expr(expr, ("x", "y"))
+    except ValueError:
+        return
+    try:
+        out = fn({"x": np.array([1.0, 2.0]), "y": np.array([3.0, 4.0])})
+    except (ZeroDivisionError, OverflowError, FloatingPointError):
+        return                                   # arithmetic, not escape
+    assert isinstance(out, (int, float, complex, np.ndarray,
+                            np.floating, np.integer, np.complexfloating))
