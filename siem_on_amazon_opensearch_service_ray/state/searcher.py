@@ -1367,6 +1367,34 @@ def _string_stats_partial(index_dir: str, agg_field: str,
             "chars": dict(chars)}
 
 
+def _exists_ids(index_dir: str, field_name: str, k: int | None,
+                dparts: list[int] | None,
+                tombstones: np.ndarray) -> np.ndarray:
+    """Sorted live doc ids carrying ``field_name``, memory-bounded:
+    each (value, part) presence list merges into a rolling array
+    truncated to the smallest ``k`` after every part — O(k) resident
+    regardless of field density (k=None keeps everything)."""
+    from .shard import load_range_pairs
+    best: np.ndarray | None = None
+    cap = None if k is None else int(k)
+
+    def _fold(ids: np.ndarray):
+        nonlocal best
+        if ids.size == 0:
+            return
+        if tombstones.size:
+            ids = ids[_excl_mask(np.asarray(ids, np.uint64), tombstones)]
+        merged = ids if best is None else np.concatenate([best, ids])
+        merged = np.unique(merged)
+        best = merged if cap is None else merged[:cap]
+
+    for _v, ids in _iter_filter_postings(index_dir, field_name, dparts):
+        _fold(ids)
+    for _vals, ids in load_range_pairs(index_dir, field_name, dparts):
+        _fold(ids.astype(np.uint64))
+    return best if best is not None else np.zeros(0, np.uint64)
+
+
 def _merge_string_stats(parts: list[dict]) -> dict:
     tot = {"n": 0, "sum_len": 0, "min_len": None, "max_len": None,
            "chars": {}}
@@ -1701,6 +1729,15 @@ class PartActor:
             n_tot += n
             s_tot += s
         return n_tot, s_tot
+
+    def exists_local(self, field_name: str, k: int | None
+                     ) -> np.ndarray:
+        """Doc-sharded exists partial: this actor's own parts' first-k
+        live presence ids (doc ranges are disjoint across shards, so
+        the driver's sort-merge of P×k ids is the exact global
+        first-k)."""
+        return _exists_ids(self.index_dir, field_name, k,
+                           sorted(self.readers), self.tombstones)
 
     def string_stats_local(self, field: str, q_terms: list[str],
                            mode: str, agg_field: str) -> dict:
@@ -3714,23 +3751,24 @@ class Searcher:
         ``field_name`` (an indexed keyword OR numeric range field —
         nulls are never indexed, build-side), constant score 1.0,
         doc_id ascending.  Reads only the presence lists (packed
-        filter postings / range tables), never postings or the
-        docstore."""
-        from .shard import load_range_pairs
-        chunks: list[np.ndarray] = []
-        for _v, ids in _iter_filter_postings(self.index_dir, field_name,
-                                             dparts=self._local_parts):
-            chunks.append(ids)
-        for _vals, ids in load_range_pairs(self.index_dir, field_name,
-                                           dparts=self._local_parts):
-            chunks.append(ids.astype(np.uint64))
-        if not chunks:
-            return []
-        ids = np.unique(np.concatenate(chunks))
-        if self.tombstones.size and ids.size:
-            ids = ids[_excl_mask(ids, self.tombstones)]
-        out = [(1.0, int(d)) for d in ids[:k]]
-        return out
+        filter postings / range tables) — never postings or the
+        docstore — and, with ``k`` set, keeps a rolling merge
+        truncated to the k smallest ids per part, so driver memory is
+        O(k) no matter how dense the field (the scan itself is
+        O(field docs), the same doc-values walk OpenSearch does; on
+        the doc layout with an actor pool each shard ships only its
+        own first-k via :class:`PartActor.exists_local`)."""
+        if (self.manifest["config"].get("partition_by") == "doc"
+                and self.use_actors):
+            parts = ray.get([a.exists_local.remote(field_name, k)
+                             for a in self.actors])
+            ids = np.sort(np.concatenate(
+                [p for p in parts if p.size] or
+                [np.zeros(0, np.uint64)]))[:k]
+            return [(1.0, int(d)) for d in ids]
+        ids = _exists_ids(self.index_dir, field_name, k,
+                          self._local_parts, self.tombstones)
+        return [(1.0, int(d)) for d in ids[:k]]
 
     def ids_search(self, doc_ids: list[int], k: int | None = None
                    ) -> list[tuple[float, int]]:
