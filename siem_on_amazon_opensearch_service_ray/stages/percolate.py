@@ -69,15 +69,20 @@ def percolate_batch(texts: list[str], compiled, analyzer: str = "base"
     n = len(texts)
     tok_lists = [an(t) for t in texts]
     joined = [" " + " ".join(tl) + " " for tl in tok_lists]
-    # incidence bitmap for every distinct rule term
+    # incidence bitmap for every distinct rule term, built by walking
+    # each doc's token SET once and intersecting with the rule-term
+    # set (C-speed set ops) — O(Σ distinct tokens) instead of
+    # O(rule_terms × docs), which matters when the rule set is a real
+    # SIEM library (thousands of detections)
     need: set[str] = set()
     for _rid, _parsed, tpc in compiled:
         for ts in tpc:
             need.update(ts)
-    has: dict[str, np.ndarray] = {}
-    tok_sets = [set(tl) for tl in tok_lists]
-    for t in need:
-        has[t] = np.fromiter((t in s for s in tok_sets), bool, count=n)
+    has: dict[str, np.ndarray] = {t: np.zeros(n, dtype=bool)
+                                  for t in need}
+    for i, tl in enumerate(tok_lists):
+        for t in set(tl) & need:
+            has[t][i] = True
     matches: list[list[str]] = [[] for _ in range(n)]
     for rule_id, parsed, tpc in compiled:
         ok = np.ones(n, dtype=bool)
