@@ -193,6 +193,12 @@ def main(argv: list[str] | None = None) -> int:
     ag.add_argument("--k", type=int, default=10)
     ag.add_argument("--num-cpus", type=int, default=None)
 
+    dq = sub.add_parser("query", help="execute an OpenSearch JSON "
+                                      "_search request body")
+    dq.add_argument("index_dir")
+    dq.add_argument("body", help="JSON request body, or @file.json")
+    dq.add_argument("--num-cpus", type=int, default=None)
+
     sg = sub.add_parser("suggest", help="term suggester (did-you-mean)")
     sg.add_argument("index_dir")
     sg.add_argument("text")
@@ -563,6 +569,20 @@ def main(argv: list[str] | None = None) -> int:
                         quantile_method="tdigest" if args.tdigest
                         else "exact")
                 print(json.dumps(res, indent=2))
+            finally:
+                searcher.close()
+        elif args.cmd == "query":
+            from .state.dsl import execute_dsl
+            from .state.searcher import Searcher
+            raw = args.body
+            if raw.startswith("@"):
+                with open(raw[1:]) as f:
+                    raw = f.read()
+            body = json.loads(raw)
+            searcher = Searcher(args.index_dir, use_actors=True)
+            try:
+                print(json.dumps(execute_dsl(searcher, body), indent=2,
+                                 default=float))
             finally:
                 searcher.close()
         elif args.cmd == "suggest":

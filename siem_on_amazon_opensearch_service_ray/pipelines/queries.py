@@ -4931,6 +4931,70 @@ ORDER BY doc_id, rule_id
 """
 
 
+def dsl_request(sf_dir: str) -> pd.DataFrame:
+    """The OpenSearch JSON `_search` surface end-to-end: one request
+    body with a match query, a terms agg and a stats agg executes
+    through ``state.dsl.execute_dsl`` against the doc-sharded index —
+    the API shape a reference user's dashboards/SDKs emit.  The
+    flattened hits+agg response is SQL-checkable because every node
+    lowers onto an already-oracled engine method."""
+    from ..state.dsl import execute_dsl
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        resp = execute_dsl(s, {
+            "query": {"match": {"content": BM25_QUERY}},
+            "size": BM25_K,
+            "aggs": {
+                "by_lang": {"terms": {"field": "lang", "size": 100}},
+                "chars": {"stats": {"field": "n_chars"}},
+            },
+        })
+    finally:
+        s.close()
+    hits = resp["hits"]["hits"]
+    rows_h = [("hit", str(h["_id"]),
+               int(_round_away(h["_score"] * 10000))) for h in hits]
+    rows_a = [("lang", b["key"], int(b["doc_count"]))
+              for b in resp["aggregations"]["by_lang"]["buckets"]]
+    st = resp["aggregations"]["chars"]
+    rows_s = [("stats", "sum", int(st["sum"])),
+              ("stats", "count", int(st["count"]))]
+    rows = rows_h + rows_a + rows_s
+    return pd.DataFrame({
+        "kind": [r[0] for r in rows],
+        "key": [r[1] for r in rows],
+        "value": np.array([r[2] for r in rows], np.int64),
+    })
+
+
+DSL_REQUEST_SQL = _BM25_SCORES_CTE + f""",
+hits AS (
+  SELECT 'hit' AS kind, cast(doc_id AS VARCHAR) AS key,
+         cast(round(score * 10000) AS BIGINT) AS value,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+  FROM scores),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))})),
+langs AS (
+  SELECT 'lang' AS kind, d.lang AS key,
+         cast(count(*) AS BIGINT) AS value
+  FROM documents d JOIN m USING(doc_id) GROUP BY d.lang),
+st AS (
+  SELECT 'stats' AS kind, x.key,
+         CASE x.key WHEN 'sum'
+           THEN (SELECT cast(sum(d.n_chars) AS BIGINT)
+                 FROM documents d JOIN m USING(doc_id))
+           ELSE (SELECT cast(count(*) AS BIGINT)
+                 FROM documents d JOIN m USING(doc_id)) END AS value
+  FROM (VALUES ('sum'), ('count')) x(key))
+SELECT kind, key, value FROM hits WHERE rn <= {BM25_K}
+UNION ALL SELECT kind, key, value FROM langs
+UNION ALL SELECT kind, key, value FROM st
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4946,6 +5010,7 @@ def queries() -> dict:
     # then every entry whose newest driver row is r03 (oldest-green-first).
     return {
         # --- never driver-checked (round-5 additions) ---
+        "dsl_request": dsl_request,
         "percolate_docs_rules": percolate_docs_rules,
         "search_simple_qs": search_simple_qs,
         "search_rank_feature": search_rank_feature,
@@ -5085,6 +5150,7 @@ def queries() -> dict:
 
 def oracle_sql() -> dict:
     return {
+        "dsl_request": DSL_REQUEST_SQL,
         "percolate_docs_rules": PERCOLATE_SQL,
         "search_simple_qs": SEARCH_SIMPLE_QS_SQL,
         "search_rank_feature": SEARCH_RANK_FEATURE_SQL,

@@ -1,0 +1,618 @@
+"""OpenSearch JSON request-body execution: the `_search` API surface
+(reference users write this JSON against OpenSearch — dashboards,
+curl, SDKs; e.g. the reference's saved objects embed these bodies).
+``execute_dsl(searcher, body)`` translates a request body onto the
+engine's query/aggregation methods and returns an OpenSearch-shaped
+response dict: ``{"hits": {"total": {"value": N}, "hits": [{"_id",
+"_score"}]}, "aggregations": {...}}``.
+
+Supported query nodes: match_all, match, match_phrase,
+match_phrase_prefix, multi_match, term/terms (keyword filter-context
+via bool), range, prefix, wildcard, regexp, fuzzy, bool
+(must/should/must_not/filter, minimum_should_match), query_string,
+simple_query_string, terms_set, constant_score, boosting,
+function_score, script_score, distance_feature, rank_feature, exists,
+ids, pinned, span_* (the span algebra), more_like_this.
+
+Supported aggregations: terms, multi_terms, rare_terms,
+significant_terms, significant_text, sampler/diversified_sampler,
+cardinality, value_count, histogram, date_histogram
+(fixed_interval), range, date_range, ip_range, filters, composite,
+adjacency_matrix, auto_date_histogram, stats, extended_stats,
+percentiles, percentile_ranks, median_absolute_deviation, boxplot,
+string_stats, t_test, weighted_avg, matrix_stats, top_hits,
+top_metrics, geo_distance, geotile_grid, geohash_grid, geo_bounds,
+geo_centroid, scripted_metric — plus sibling/pipeline aggs over a
+histogram parent (cumulative_sum, derivative, moving_avg,
+serial_diff, rate, percentiles_bucket, moving_percentiles,
+bucket_selector, bucket_sort and the *_bucket family) expressed as
+sub-entries of the parent's spec.
+
+Unsupported constructs raise ``ValueError`` naming the node — never a
+silent wrong answer.  Aggregations run in the QUERY's context when
+the query is a ``match``/``match_all``/term-ish node (the engine's
+match-set aggs take analyzed terms + or/and mode); aggs under other
+query shapes raise.
+
+Doc-sharded auto-routing mirrors the CLI: on the default doc layout
+with an actor pool the *_sharded twin executes (per-shard partials,
+dfs round); everything else uses the driver path.  Cites: reference
+`deploy_es` console bodies (command_index.txt) and the dashboards'
+panel queries are exactly this JSON shape.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+__all__ = ["execute_dsl"]
+
+
+def _sharded(s) -> bool:
+    return s.use_actors and s._partition_by == "doc"
+
+
+def _pick(s, name: str):
+    """Engine method, preferring the doc-sharded twin when routing
+    applies."""
+    if _sharded(s) and hasattr(s, name + "_sharded"):
+        return getattr(s, name + "_sharded")
+    return getattr(s, name)
+
+
+def _one(node: dict, what: str) -> tuple[str, Any]:
+    if not isinstance(node, dict) or len(node) != 1:
+        raise ValueError(f"{what}: expected a single-key object, got "
+                         f"{node!r}")
+    return next(iter(node.items()))
+
+
+def _match_text(spec) -> tuple[str, str, str]:
+    """(field, text, operator) from a match node — accepts either the
+    full ``{"match": {field: ...}}`` wrapper or the inner
+    ``{field: ...}`` body (callers hold both shapes)."""
+    field, body = _one(spec, "match")
+    if field == "match" and isinstance(body, dict):
+        field, body = _one(body, "match")
+    elif field != "match" and field in ("match_all",):
+        raise ValueError("expected a match query")
+    if isinstance(body, dict):
+        return field, str(body.get("query", "")), \
+            str(body.get("operator", "or")).lower()
+    return field, str(body), "or"
+
+
+def _agg_context(query: dict | None) -> tuple[str, str, str]:
+    """(query_text, field, mode) for match-set aggregations.  The
+    engine's aggs take analyzed terms + or/and; translate the query
+    shapes that lower onto that, raise for the rest."""
+    if query is None or "match_all" in query:
+        raise ValueError(
+            "aggregations need a match/term query context (the "
+            "engine's match-set aggs take analyzed terms); match_all "
+            "aggs: query the corpus stats pipelines instead")
+    kind, _spec = _one(query, "query")
+    if kind == "match":
+        f, text, op = _match_text(query)
+        return text, f, "and" if op == "and" else "or"
+    raise ValueError(f"aggregation context query {kind!r} is not "
+                     "supported (use match)")
+
+
+def _exec_query(s, query: dict, size: int,
+                collapse: dict | None = None) -> list[tuple]:
+    kind, spec = _one(query, "query")
+    if kind == "match_all":
+        raise ValueError("match_all scoring: use exists/ids or an agg "
+                         "pipeline; the engine scores term queries")
+    if kind == "match":
+        field, text, op = _match_text(query)
+        if collapse is not None:
+            cf = collapse["field"]
+            fn = _pick(s, "collapse_search")
+            return fn(text, cf, field=field, k=size)
+        if _sharded(s):
+            return s.search_doc_sharded(text, field=field, k=size) \
+                if op == "or" else s.search_bool_sharded(
+                    must=text.split(), field=field, k=size)
+        return s.search(text, field=field, k=size, mode=op)
+    if kind == "match_phrase":
+        field, body = _one(spec, "match_phrase")
+        text = body["query"] if isinstance(body, dict) else str(body)
+        slop = body.get("slop", 0) if isinstance(body, dict) else 0
+        if slop:
+            # sloppy phrases rank by phrase_tf (the engine's slop path)
+            return [(float(tf), d) for tf, d in
+                    _pick(s, "phrase_search")(text, field=field,
+                                              k=size, slop=slop)]
+        return _pick(s, "phrase_search_scored")(text, field=field,
+                                                k=size)
+    if kind == "match_phrase_prefix":
+        field, body = _one(spec, "match_phrase_prefix")
+        text = body["query"] if isinstance(body, dict) else str(body)
+        return [(float(tf), d) for tf, d in
+                _pick(s, "match_phrase_prefix")(text, field=field,
+                                                k=size)]
+    if kind == "multi_match":
+        fn = _pick(s, "multi_match")
+        return fn(spec["query"], list(spec["fields"]), k=size,
+                  match_type=spec.get("type", "best_fields"),
+                  tie_breaker=float(spec.get("tie_breaker", 0.0)))
+    if kind == "bool":
+        def _texts(clauses):
+            out = []
+            for c in ([clauses] if isinstance(clauses, dict)
+                      else clauses or []):
+                ck, cs = _one(c, "bool clause")
+                if ck != "match":
+                    raise ValueError(
+                        f"bool sub-query {ck!r} unsupported (match "
+                        "clauses only; compose filters via filter)")
+                _f, text, _op = _match_text(c)
+                out.append(text)
+            return out
+        filt_field = filt_value = None
+        range_field = range_lo = range_hi = None
+        for c in ([spec["filter"]] if isinstance(spec.get("filter"), dict)
+                  else spec.get("filter") or []):
+            ck, cs = _one(c, "bool filter")
+            if ck == "term":
+                filt_field, filt_value = _one(cs, "term")
+                if isinstance(filt_value, dict):
+                    filt_value = filt_value["value"]
+            elif ck == "range":
+                range_field, b = _one(cs, "range")
+                range_lo = b.get("gte", b.get("gt"))
+                range_hi = b.get("lte", b.get("lt"))
+            else:
+                raise ValueError(f"bool filter {ck!r} unsupported "
+                                 "(term/range)")
+        fn = _pick(s, "search_bool")
+        return fn(must=_texts(spec.get("must")),
+                  should=_texts(spec.get("should")),
+                  must_not=_texts(spec.get("must_not")),
+                  minimum_should_match=spec.get("minimum_should_match"),
+                  filter_field=filt_field, filter_value=filt_value,
+                  range_field=range_field, range_lo=range_lo,
+                  range_hi=range_hi, k=size)
+    if kind in ("term", "terms"):
+        # keyword filter-context: constant_score over the filter
+        field, val = _one(spec, kind)
+        if isinstance(val, dict):
+            val = val.get("value", val)
+        raise ValueError(
+            f"{kind!r} at top level is filter-context; wrap it in "
+            "bool.filter with a match must, or use exists/ids")
+    if kind == "range":
+        field, b = _one(spec, "range")
+        return _range_only(s, field, b, size)
+    if kind == "prefix":
+        field, val = _one(spec, "prefix")
+        if isinstance(val, dict):
+            val = val["value"]
+        return _pick(s, "prefix_search")(val, field, size)
+    if kind == "wildcard":
+        field, val = _one(spec, "wildcard")
+        if isinstance(val, dict):
+            val = val["value"]
+        return _pick(s, "wildcard_search")(val, field, size)
+    if kind == "regexp":
+        field, val = _one(spec, "regexp")
+        if isinstance(val, dict):
+            val = val["value"]
+        return _pick(s, "regexp_search")(val, field, size)
+    if kind == "fuzzy":
+        field, val = _one(spec, "fuzzy")
+        fz = 1
+        if isinstance(val, dict):
+            fz = int(val.get("fuzziness", 1))
+            val = val["value"]
+        return _pick(s, "fuzzy_search")(val, field, fz, size)
+    if kind == "query_string":
+        return _pick(s, "query_string")(spec["query"],
+                                        spec.get("default_field",
+                                                 "content"), size)
+    if kind == "simple_query_string":
+        return _pick(s, "simple_query_string")(
+            spec["query"], spec.get("default_field", "content"), size,
+            default_operator=spec.get("default_operator", "or"))
+    if kind == "terms_set":
+        field, b = _one(spec, "terms_set")
+        return _pick(s, "terms_set_search")(
+            list(b["terms"]), field=field,
+            msm_field=b.get("minimum_should_match_field"),
+            minimum_should_match=b.get("minimum_should_match"),
+            k=size)
+    if kind == "constant_score":
+        inner = spec.get("filter", spec.get("query"))
+        _f, text, op = _match_text(inner)
+        return _pick(s, "constant_score")(
+            text, field=_f, mode=op,
+            boost=float(spec.get("boost", 1.0)), k=size)
+    if kind == "boosting":
+        _pf, ptext, _ = _match_text(spec["positive"])
+        _nf, ntext, _ = _match_text(spec["negative"])
+        return _pick(s, "boosting_search")(
+            ptext, ntext,
+            negative_boost=float(spec.get("negative_boost", 0.5)),
+            field=_pf, k=size)
+    if kind == "function_score":
+        _f, text, _op = _match_text(spec["query"])
+        functions = []
+        for fs in spec.get("functions", []):
+            fs = dict(fs)
+            for deck in ("gauss", "exp", "linear"):
+                if deck in fs:
+                    dfield, db = _one(fs[deck], deck)
+                    functions.append({"type": deck, "field": dfield,
+                                      **db,
+                                      "weight": fs.get("weight", 1.0)})
+                    break
+            else:
+                if "field_value_factor" in fs:
+                    fvf = fs["field_value_factor"]
+                    functions.append({
+                        "type": "field_value_factor",
+                        "field": fvf["field"],
+                        "factor": fvf.get("factor", 1.0),
+                        "modifier": fvf.get("modifier", "none"),
+                        "weight": fs.get("weight", 1.0)})
+                elif "weight" in fs:
+                    functions.append({"type": "weight",
+                                      "weight": fs["weight"]})
+                else:
+                    raise ValueError(f"function_score function {fs!r} "
+                                     "unsupported")
+        return _pick(s, "function_score")(
+            text, field=_f, functions=functions or None,
+            value_field=(None if functions else
+                         spec.get("field_value_factor", {}).get("field")),
+            score_mode=spec.get("score_mode", "multiply"),
+            boost_mode=spec.get("boost_mode", "multiply"), k=size)
+    if kind == "script_score":
+        _f, text, _op = _match_text(spec["query"])
+        script = spec["script"]
+        src = script["source"] if isinstance(script, dict) else script
+        fields = tuple(spec.get("fields", ()))
+        return _pick(s, "script_score_search")(text, src, fields,
+                                               field=_f, k=size)
+    if kind == "distance_feature":
+        return _pick(s, "distance_feature_search")(
+            spec["query_text"] if "query_text" in spec else
+            _match_text(spec["query"])[1],
+            spec["field"], float(spec["origin"]),
+            float(spec["pivot"]), boost=float(spec.get("boost", 1.0)),
+            k=size)
+    if kind == "rank_feature":
+        _f, text, _op = _match_text(spec["query"])
+        for fn_name in ("saturation", "log", "sigmoid"):
+            if fn_name in spec:
+                b = spec[fn_name] or {}
+                return _pick(s, "rank_feature_search")(
+                    text, spec["field"], function=fn_name,
+                    pivot=float(b.get("pivot", 1.0)),
+                    scaling=float(b.get("scaling_factor", 1.0)),
+                    exponent=float(b.get("exponent", 1.0)),
+                    boost=float(spec.get("boost", 1.0)), k=size)
+        return _pick(s, "rank_feature_search")(
+            text, spec["field"], boost=float(spec.get("boost", 1.0)),
+            k=size)
+    if kind == "exists":
+        return s.exists_search(spec["field"], k=size)
+    if kind == "ids":
+        return s.ids_search(list(spec["values"]), k=size)
+    if kind == "pinned":
+        _f, text, _op = _match_text(spec["organic"])
+        return s.pinned_search(text, list(spec["ids"]), field=_f,
+                               k=size)
+    if kind == "more_like_this":
+        fn = _pick(s, "more_like_this")
+        return fn(like_text=spec.get("like"), k=size)
+    if kind.startswith("span_"):
+        fn = _pick(s, "span_query")
+        return [(float(n), d) for n, d in fn(query, k=size)]
+    raise ValueError(f"unsupported query node {kind!r}")
+
+
+def _range_only(s, field: str, b: dict, size: int) -> list[tuple]:
+    from .shard import load_range_ids
+    lo = b.get("gte", b.get("gt"))
+    hi = b.get("lte", b.get("lt"))
+    ids = load_range_ids(s.index_dir, field, lo, hi)
+    if s.tombstones.size and ids.size:
+        from .searcher import _excl_mask
+        ids = ids[_excl_mask(ids, s.tombstones)]
+    import numpy as np
+    return [(1.0, int(d)) for d in np.sort(ids)[:size]]
+
+
+_PIPELINE_KEYS = {"cumulative_sum", "derivative", "moving_avg",
+                  "serial_diff", "rate", "percentiles_bucket",
+                  "moving_percentiles", "bucket_selector",
+                  "bucket_sort", "stats_bucket", "avg_bucket",
+                  "sum_bucket", "min_bucket", "max_bucket"}
+
+
+def _exec_agg(s, name: str, spec: dict, qctx: tuple[str, str, str]
+              ) -> Any:
+    from .searcher import (bucket_metrics, moving_percentiles_buckets,
+                           normalize_buckets, percentiles_bucket,
+                           pipeline_aggregations, rate_buckets,
+                           serial_diff_buckets)
+    text, qfield, mode = qctx
+    kind, body = _one({k: v for k, v in spec.items()
+                       if k not in ("aggs", "aggregations")},
+                      f"agg {name}")
+    sub = spec.get("aggs", spec.get("aggregations", {}))
+    if kind == "terms":
+        rows = s.terms_aggregation(text, body["field"], qfield, mode)
+        return {"buckets": [{"key": v, "doc_count": n}
+                            for v, n in rows[:body.get("size", 10)]]}
+    if kind == "multi_terms":
+        pair = tuple(t["field"] for t in body["terms"])
+        rows = s.multi_terms_aggregation(text, pair, qfield, mode)
+        return {"buckets": [{"key": [a, b], "doc_count": n}
+                            for a, b, n in rows[:body.get("size", 10)]]}
+    if kind == "rare_terms":
+        rows = s.rare_terms_aggregation(
+            text, body["field"], body.get("max_doc_count", 1),
+            qfield, mode)
+        return {"buckets": [{"key": v, "doc_count": n}
+                            for v, n in rows]}
+    if kind == "significant_terms":
+        rows = s.significant_terms(text, body["field"], qfield, mode,
+                                   body.get("size", 10))
+        return {"buckets": [{"key": v, "doc_count": n, "score": sc}
+                            for v, n, sc in rows]}
+    if kind == "significant_text":
+        rows = s.significant_text(text, qfield,
+                                  text_field=body.get("field"),
+                                  mode=mode, k=body.get("size", 10))
+        return {"buckets": [{"key": t, "doc_count": n, "score": sc}
+                            for t, n, sc in rows]}
+    if kind in ("sampler", "diversified_sampler"):
+        sk, sb = _one(sub, "sampler sub-agg") if sub else (None, None)
+        if sk != "terms":
+            raise ValueError("sampler: exactly one terms sub-agg "
+                             "supported")
+        rows = s.sampler_aggregation(
+            text, sb["field"], shard_size=body.get("shard_size", 100),
+            field=qfield,
+            diversify_field=body.get("field"),
+            max_docs_per_value=body.get("max_docs_per_value", 1)
+            ) if kind == "diversified_sampler" else \
+            s.sampler_aggregation(
+                text, sb["field"],
+                shard_size=body.get("shard_size", 100), field=qfield)
+        return {sk: {"buckets": [{"key": v, "doc_count": n}
+                                 for v, n in rows]}}
+    if kind == "cardinality":
+        return {"value": s.cardinality_aggregation(text, body["field"],
+                                                   qfield, mode)}
+    if kind == "value_count":
+        w, miss = s.value_count_aggregation(text, body["field"], qfield,
+                                            mode)
+        return {"value": w, "missing": miss}
+    if kind in ("histogram", "date_histogram"):
+        interval = float(body.get("interval",
+                                  body.get("fixed_interval_sec", 0))
+                         or body["interval"])
+        buckets = s.histogram_aggregation(
+            text, body["field"], interval, qfield, mode,
+            min_doc_count=body.get("min_doc_count", 1))
+        out = {"buckets": [{"key": b, "doc_count": n}
+                           for b, n in buckets]}
+        for pname, pspec in sub.items():
+            pk, pb = _one(pspec, f"pipeline agg {pname}")
+            if pk not in _PIPELINE_KEYS:
+                raise ValueError(f"histogram sub-agg {pk!r} unsupported")
+            if pk == "cumulative_sum":
+                rows = pipeline_aggregations(buckets)
+                out[pname] = [r["cumulative_sum"] for r in rows]
+            elif pk == "derivative":
+                rows = pipeline_aggregations(buckets)
+                out[pname] = [r["derivative"] for r in rows]
+            elif pk == "moving_avg":
+                rows = pipeline_aggregations(
+                    buckets, window=pb.get("window", 5))
+                out[pname] = [r["moving_avg"] for r in rows]
+            elif pk == "serial_diff":
+                out[pname] = [v for _, v in serial_diff_buckets(
+                    buckets, pb.get("lag", 1))]
+            elif pk == "rate":
+                out[pname] = [v for _, v in rate_buckets(
+                    buckets, interval, pb.get("unit", "day"))]
+            elif pk == "percentiles_bucket":
+                out[pname] = dict(percentiles_bucket(
+                    buckets, list(pb.get("percents", [25., 50., 75.]))))
+            elif pk == "moving_percentiles":
+                out[pname] = [v for _, v in moving_percentiles_buckets(
+                    buckets, pb.get("percent", 50.0),
+                    pb.get("window", 5))]
+            elif pk == "bucket_selector":
+                from .searcher import bucket_selector
+                out[pname] = [list(b) for b in bucket_selector(
+                    buckets, pb["op"], pb["threshold"])]
+            elif pk == "bucket_sort":
+                from .searcher import bucket_sort
+                out[pname] = [list(b) for b in bucket_sort(
+                    buckets, desc=pb.get("order", "desc") == "desc",
+                    size=pb.get("size"), frm=pb.get("from", 0))]
+            else:   # stats_bucket family
+                out[pname] = bucket_metrics(buckets)
+        return out
+    if kind == "range":
+        rngs = [(r.get("from"), r.get("to")) for r in body["ranges"]]
+        rows = s.range_aggregation(text, body["field"], rngs, qfield,
+                                   mode)
+        return {"buckets": [{"key": k, "doc_count": n}
+                            for k, n in rows]}
+    if kind == "date_range":
+        rngs = [(r.get("from"), r.get("to")) for r in body["ranges"]]
+        rows = s.date_range_aggregation(text, body["field"], rngs,
+                                        qfield, mode)
+        return {"buckets": [{"key": k, "doc_count": n}
+                            for k, n in rows]}
+    if kind == "ip_range":
+        rngs = [r["mask"] if "mask" in r else (r.get("from"), r.get("to"))
+                for r in body["ranges"]]
+        rows = s.ip_range_aggregation(text, body["field"], rngs,
+                                      qfield, mode)
+        return {"buckets": [{"key": k, "doc_count": n}
+                            for k, n in rows]}
+    if kind == "filters":
+        specs = {}
+        for fname, fq in body["filters"].items():
+            fk, fs = _one(fq, "filters entry")
+            if fk != "match":
+                raise ValueError("filters agg: match filters only")
+            _f, ftext, fop = _match_text(fq)
+            specs[fname] = (ftext, fop)
+        rows = s.filters_aggregation(specs, qfield)
+        return {"buckets": {k: {"doc_count": n}
+                            for k, n in rows.items()}}
+    if kind == "composite":
+        srcs = [_one(src, "composite source")[0] for src in
+                body["sources"]]
+        fields = [list(src.values())[0]["terms"]["field"]
+                  for src in body["sources"]]
+        buckets, after = s.composite_aggregation(
+            fields, query=text, field=qfield, mode=mode,
+            size=body.get("size", 10),
+            after=tuple(body["after"]) if "after" in body else None)
+        return {"buckets": [{"key": dict(zip(srcs, key)),
+                             "doc_count": n} for key, n in buckets],
+                "after_key": after}
+    if kind == "stats":
+        return s.stats_aggregation(text, body["field"], qfield, mode)
+    if kind == "extended_stats":
+        # variance/std_dev/sum_sq ride along on every stats path
+        return s.stats_aggregation(text, body["field"], qfield, mode)
+    if kind == "percentiles":
+        qs = tuple(p / 100.0 for p in body.get("percents",
+                                               [25., 50., 75.]))
+        st = s.stats_aggregation(
+            text, body["field"], qfield, mode, quantiles=qs,
+            quantile_method=("exact_distributed" if _sharded(s)
+                             else "exact"))
+        return {"values": {f"{p * 100:g}": st[f"p{int(p * 100)}"]
+                           for p in qs}}
+    if kind == "percentile_ranks":
+        rows = s.percentile_ranks(text, body["field"],
+                                  [float(v) for v in body["values"]],
+                                  qfield, mode)
+        return {"values": {f"{v:g}": r for v, r in rows}}
+    if kind == "median_absolute_deviation":
+        return {"value": s.mad_aggregation(text, body["field"], qfield,
+                                           mode)}
+    if kind == "boxplot":
+        return s.boxplot_aggregation(text, body["field"], qfield, mode)
+    if kind == "string_stats":
+        return s.string_stats(text, body["field"], qfield, mode)
+    if kind == "t_test":
+        return s.t_test(text, body["a"]["field"], body["b"]["field"],
+                        qfield, mode,
+                        test_type=body.get("type", "paired"))
+    if kind == "weighted_avg":
+        return s.weighted_avg(text, body["value"]["field"],
+                              body["weight"]["field"], qfield, mode)
+    if kind == "matrix_stats":
+        return s.matrix_stats(text, tuple(body["fields"]), qfield, mode)
+    if kind == "top_hits":
+        rows = s.top_hits_aggregation(
+            text, body["field"], qfield, mode,
+            hits_per_bucket=body.get("size", 3))
+        return rows
+    if kind == "top_metrics":
+        srt, order = _one(body["sort"], "top_metrics sort")
+        return s.top_metrics(
+            srt, [m["field"] for m in body["metrics"]],
+            desc=(order == "desc" if isinstance(order, str)
+                  else order.get("order", "desc") == "desc"),
+            size=body.get("size", 1), query=text, field=qfield,
+            mode=mode)
+    if kind == "adjacency_matrix":
+        specs = {}
+        for fname, fq in body["filters"].items():
+            _f, ftext, fop = _match_text(fq)
+            specs[fname] = (ftext, fop)
+        rows = s.adjacency_matrix(specs, qfield)
+        return {"buckets": [{"key": k, "doc_count": n}
+                            for k, n in rows.items()]}
+    if kind == "auto_date_histogram":
+        interval, buckets = s.auto_date_histogram(
+            text, body["field"], body.get("buckets", 10), qfield, mode)
+        return {"interval_sec": interval,
+                "buckets": [{"key": b, "doc_count": n}
+                            for b, n in buckets]}
+    if kind == "geo_distance":
+        rngs = [(r.get("from"), r.get("to")) for r in body["ranges"]]
+        origin = body["origin"]
+        rows = s.geo_distance_aggregation(
+            text, body["lat_field"], body["lon_field"],
+            (origin["lat"], origin["lon"]), rngs, qfield, mode)
+        return {"buckets": [{"key": k, "doc_count": n}
+                            for k, n in rows]}
+    if kind in ("geotile_grid", "geohash_grid"):
+        rows = s.geotile_grid_aggregation(
+            text, body["lat_field"], body["lon_field"],
+            body.get("precision", 7 if kind == "geotile_grid" else 5),
+            qfield, mode, size=body.get("size"),
+            scheme="geotile" if kind == "geotile_grid" else "geohash")
+        return {"buckets": [{"key": k, "doc_count": n}
+                            for k, n in rows]}
+    if kind in ("geo_bounds", "geo_centroid"):
+        gb = s.geo_bounds_aggregation(text, body["lat_field"],
+                                      body["lon_field"], qfield, mode)
+        if kind == "geo_centroid":
+            return ({"location": {"lat": gb["centroid"][0],
+                                  "lon": gb["centroid"][1]},
+                     "count": gb["count"]} if gb.get("count")
+                    else {"count": 0})
+        if not gb.get("count"):
+            return {"count": 0}
+        return {"bounds": {
+            "top_left": {"lat": gb["top_left"][0],
+                         "lon": gb["top_left"][1]},
+            "bottom_right": {"lat": gb["bottom_right"][0],
+                             "lon": gb["bottom_right"][1]}},
+            "count": gb["count"]}
+    if kind == "scripted_metric":
+        return s.scripted_metric(
+            text, tuple(body.get("fields", ())), body["map_script"],
+            body.get("reduce_script", "state"), qfield, mode)
+    raise ValueError(f"unsupported aggregation {kind!r}")
+
+
+def execute_dsl(searcher, body: dict) -> dict:
+    """Execute an OpenSearch `_search` request body against the
+    engine.  See the module docstring for the supported surface;
+    anything else raises ValueError naming the node."""
+    size = int(body.get("size", 10))
+    query = body.get("query")
+    resp: dict = {"hits": {"total": {"value": 0, "relation": "eq"},
+                           "hits": []}}
+    if query is not None and size > 0:
+        hits = _exec_query(searcher, query, size,
+                           collapse=body.get("collapse"))
+        out_hits = []
+        for h in hits:
+            if len(h) == 3:                  # collapse: (score, doc, val)
+                out_hits.append({"_id": int(h[1]),
+                                 "_score": float(h[0]),
+                                 "fields": {body["collapse"]["field"]:
+                                            [h[2]]}})
+            else:
+                out_hits.append({"_id": int(h[1]),
+                                 "_score": float(h[0])})
+        resp["hits"]["hits"] = out_hits
+        resp["hits"]["total"]["value"] = len(out_hits)
+        resp["hits"]["total"]["relation"] = \
+            "gte" if len(out_hits) == size else "eq"
+    aggs = body.get("aggs", body.get("aggregations"))
+    if aggs:
+        qctx = _agg_context(query)
+        resp["aggregations"] = {
+            name: _exec_agg(searcher, name, spec, qctx)
+            for name, spec in aggs.items()}
+    return resp

@@ -503,3 +503,17 @@ def test_cli_rank_feature_exists_ids_pinned(ray_session, tmp_path,
         "search", idx, "spark", "--type", "pinned", "--ids", "7,3",
         "--k", "4"])
     assert [r["doc_id"] for r in out][:2] == [7, 3]
+
+
+def test_cli_query_json_body(cli_index, capsys):
+    """The query subcommand executes a raw OpenSearch JSON request
+    body (hits + aggs) — what a reference user's saved request is."""
+    idx, _ = cli_index
+    body = {"query": {"match": {"content": "spark join"}}, "size": 3,
+            "aggs": {"by_lang": {"terms": {"field": "lang"}}}}
+    out = _run_json(capsys, ["query", idx, json.dumps(body)])
+    assert len(out["hits"]["hits"]) == 3
+    assert all({"_id", "_score"} <= set(h) for h in out["hits"]["hits"])
+    bl = out["aggregations"]["by_lang"]["buckets"]
+    assert {b["key"] for b in bl} <= {"py", "go"}
+    assert sum(b["doc_count"] for b in bl) > 0

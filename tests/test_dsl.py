@@ -1,0 +1,209 @@
+"""execute_dsl: OpenSearch JSON request bodies vs direct engine calls
+— every supported query node and a broad agg slice must produce
+byte-identical results to the method they lower onto, plus
+response-shape and unsupported-node contracts."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
+    IndexConfig, build_index)
+from siem_on_amazon_opensearch_service_ray.state.dsl import execute_dsl
+from siem_on_amazon_opensearch_service_ray.state.searcher import Searcher
+
+VOCAB = ["spark", "join", "shuffle", "sql", "table", "query", "merge",
+         "sort", "scan", "filter"]
+N = 200
+
+
+@pytest.fixture(scope="module")
+def dsl_s(ray_session, tmp_path_factory):
+    rng = np.random.default_rng(99)
+    docs = [" ".join(VOCAB[int(j)]
+                     for j in rng.integers(0, len(VOCAB),
+                                           int(rng.integers(5, 25))))
+            for _ in range(N)]
+    t = pa.table({
+        "doc_id": pa.array(range(N), pa.int64()),
+        "text": docs,
+        "lang": [["py", "go", "rs"][i % 3] for i in range(N)],
+        "repo": [f"r{i % 4}" for i in range(N)],
+        "msm": pa.array([(i % 3) + 1.0 for i in range(N)], pa.float64()),
+        "lat": pa.array([-10.0 + (i % 30) * 0.7 for i in range(N)],
+                        pa.float64()),
+        "lon": pa.array([5.0 + (i % 30) * 1.1 for i in range(N)],
+                        pa.float64()),
+    })
+    root = tmp_path_factory.mktemp("dsl_exec")
+    src = str(root / "d.parquet")
+    pq.write_table(t, src)
+    idx = str(root / "idx")
+    cfg = IndexConfig(num_partitions=4,
+                      fields=(("content", "text", "base"),),
+                      keyword_fields=("lang", "repo"),
+                      range_fields=("msm", "lat", "lon"),
+                      doc_id_col="doc_id", sha_col="text",
+                      store_positions=True, salting=False)
+    build_index([src], idx, cfg)
+    s = Searcher(idx, use_actors=False)
+    yield s
+    s.close()
+
+
+def _ids(resp):
+    return [(h["_score"], h["_id"]) for h in resp["hits"]["hits"]]
+
+
+def test_dsl_query_nodes(dsl_s):
+    s = dsl_s
+    # match (or / and)
+    r = execute_dsl(s, {"query": {"match": {"content": "spark join"}},
+                        "size": 7})
+    assert _ids(r) == s.search("spark join", k=7)
+    r = execute_dsl(s, {"query": {"match": {"content": {
+        "query": "spark join", "operator": "and"}}}, "size": 5})
+    assert _ids(r) == s.search("spark join", k=5, mode="and")
+    # match_phrase (scored + slop)
+    r = execute_dsl(s, {"query": {"match_phrase": {
+        "content": "spark join"}}, "size": 5})
+    assert _ids(r) == s.phrase_search_scored("spark join", k=5)
+    r = execute_dsl(s, {"query": {"match_phrase": {"content": {
+        "query": "spark join", "slop": 1}}}, "size": 5})
+    assert _ids(r) == [(float(tf), d) for tf, d in
+                       s.phrase_search("spark join", k=5, slop=1)]
+    # bool with filter + range
+    body = {"query": {"bool": {
+        "must": [{"match": {"content": "spark"}}],
+        "should": [{"match": {"content": "join"}}],
+        "must_not": [{"match": {"content": "sql"}}],
+        "filter": [{"term": {"lang": "py"}},
+                   {"range": {"msm": {"gte": 1, "lte": 2}}}]}},
+        "size": 10}
+    r = execute_dsl(s, body)
+    assert _ids(r) == s.search_bool(
+        must=["spark"], should=["join"], must_not=["sql"],
+        filter_field="lang", filter_value="py",
+        range_field="msm", range_lo=1, range_hi=2, k=10)
+    # terms_set / prefix / fuzzy / query_string family
+    r = execute_dsl(s, {"query": {"terms_set": {"content": {
+        "terms": ["spark", "join", "shuffle"],
+        "minimum_should_match_field": "msm"}}}, "size": 6})
+    assert _ids(r) == s.terms_set_search(
+        ["spark", "join", "shuffle"], msm_field="msm", k=6)
+    r = execute_dsl(s, {"query": {"prefix": {"content": "sh"}},
+                        "size": 4})
+    assert _ids(r) == s.prefix_search("sh", "content", 4)
+    r = execute_dsl(s, {"query": {"simple_query_string": {
+        "query": "spark | merge -sql"}}, "size": 6})
+    assert _ids(r) == s.simple_query_string("spark | merge -sql", k=6)
+    # scoring wrappers
+    r = execute_dsl(s, {"query": {"constant_score": {
+        "filter": {"match": {"content": "spark"}}, "boost": 2.0}},
+        "size": 4})
+    assert _ids(r) == s.constant_score("spark", boost=2.0, k=4)
+    r = execute_dsl(s, {"query": {"script_score": {
+        "query": {"match": {"content": "spark"}},
+        "script": {"source": "_score + msm"}, "fields": ["msm"]}},
+        "size": 5})
+    assert _ids(r) == s.script_score_search("spark", "_score + msm",
+                                            ("msm",), k=5)
+    r = execute_dsl(s, {"query": {"rank_feature": {
+        "query": {"match": {"content": "spark"}}, "field": "msm",
+        "saturation": {"pivot": 2.0}, "boost": 1.5}}, "size": 5})
+    assert _ids(r) == s.rank_feature_search(
+        "spark", "msm", pivot=2.0, boost=1.5, k=5)
+    # exists / ids / pinned / range
+    r = execute_dsl(s, {"query": {"exists": {"field": "msm"}},
+                        "size": 5})
+    assert _ids(r) == s.exists_search("msm", k=5)
+    r = execute_dsl(s, {"query": {"ids": {"values": [3, 999, 7]}}})
+    assert _ids(r) == s.ids_search([3, 999, 7], k=10)
+    r = execute_dsl(s, {"query": {"pinned": {
+        "ids": [9, 4], "organic": {"match": {"content": "spark"}}}},
+        "size": 5})
+    assert _ids(r) == s.pinned_search("spark", [9, 4], k=5)
+    r = execute_dsl(s, {"query": {"range": {"msm": {"gte": 3}}},
+                        "size": 5})
+    assert [d for _, d in _ids(r)] == [i for i in range(N)
+                                       if i % 3 == 2][:5]
+    # collapse rides the top-level key
+    r = execute_dsl(s, {"query": {"match": {"content": "spark join"}},
+                        "collapse": {"field": "lang"}, "size": 3})
+    direct = s.collapse_search("spark join", "lang", k=3)
+    assert [(h["_score"], h["_id"], h["fields"]["lang"][0])
+            for h in r["hits"]["hits"]] == direct
+
+
+def test_dsl_aggs(dsl_s):
+    s = dsl_s
+    body = {
+        "query": {"match": {"content": "spark join"}},
+        "size": 0,
+        "aggs": {
+            "by_lang": {"terms": {"field": "lang", "size": 5}},
+            "pairs": {"multi_terms": {
+                "terms": [{"field": "lang"}, {"field": "repo"}],
+                "size": 4}},
+            "nv": {"cardinality": {"field": "repo"}},
+            "msm_stats": {"extended_stats": {"field": "msm"}},
+            "msm_pct": {"percentiles": {"field": "msm",
+                                        "percents": [50.0]}},
+            "hist": {"histogram": {"field": "msm", "interval": 1.0},
+                     "aggs": {"cum": {"cumulative_sum": {}}}},
+            "rings": {"geo_distance": {
+                "lat_field": "lat", "lon_field": "lon",
+                "origin": {"lat": 0.0, "lon": 0.0},
+                "ranges": [{"to": 1500.0}, {"from": 1500.0}]}},
+            "sm": {"scripted_metric": {
+                "fields": ["msm"], "map_script": "msm * 2",
+                "reduce_script": "state / count"}},
+        },
+    }
+    r = execute_dsl(s, body)
+    assert r["hits"]["hits"] == []
+    a = r["aggregations"]
+    want_terms = s.terms_aggregation("spark join", "lang")
+    assert a["by_lang"]["buckets"] == [
+        {"key": v, "doc_count": n} for v, n in want_terms[:5]]
+    want_pairs = s.multi_terms_aggregation("spark join",
+                                           ("lang", "repo"))
+    assert a["pairs"]["buckets"] == [
+        {"key": [x, y], "doc_count": n} for x, y, n in want_pairs[:4]]
+    assert a["nv"]["value"] == s.cardinality_aggregation("spark join",
+                                                         "repo")
+    st = s.stats_aggregation("spark join", "msm")
+    assert a["msm_stats"]["variance"] == st["variance"]
+    stq = s.stats_aggregation("spark join", "msm", quantiles=(0.5,),
+                              quantile_method="exact")
+    assert a["msm_pct"]["values"]["50"] == stq["p50"]
+    hb = s.histogram_aggregation("spark join", "msm", 1.0)
+    assert a["hist"]["buckets"] == [
+        {"key": b, "doc_count": n} for b, n in hb]
+    assert a["hist"]["cum"] == list(np.cumsum([n for _, n in hb]))
+    assert sum(b["doc_count"] for b in a["rings"]["buckets"]) <= \
+        sum(n for _, n in want_terms)
+    sm = s.scripted_metric("spark join", ("msm",), "msm * 2",
+                           "state / count")
+    assert a["sm"] == sm
+
+
+def test_dsl_contracts(dsl_s):
+    s = dsl_s
+    with pytest.raises(ValueError, match="unsupported query node"):
+        execute_dsl(s, {"query": {"nested": {}}})
+    with pytest.raises(ValueError, match="filter-context"):
+        execute_dsl(s, {"query": {"term": {"lang": "py"}}})
+    with pytest.raises(ValueError, match="match/term query context"):
+        execute_dsl(s, {"query": {"match_all": {}}, "size": 0,
+                        "aggs": {"x": {"terms": {"field": "lang"}}}})
+    with pytest.raises(ValueError, match="unsupported aggregation"):
+        execute_dsl(s, {"query": {"match": {"content": "spark"}},
+                        "aggs": {"x": {"nope": {}}}})
+    # total relation: gte when the page filled, eq otherwise
+    r = execute_dsl(s, {"query": {"match": {"content": "spark"}},
+                        "size": 3})
+    assert r["hits"]["total"]["relation"] == "gte"
+    r = execute_dsl(s, {"query": {"ids": {"values": [1]}}, "size": 10})
+    assert r["hits"]["total"] == {"value": 1, "relation": "eq"}
