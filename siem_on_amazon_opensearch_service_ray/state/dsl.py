@@ -176,10 +176,6 @@ def _exec_query(s, query: dict, size: int,
                   range_field=range_field, range_lo=range_lo,
                   range_hi=range_hi, k=size)
     if kind in ("term", "terms"):
-        # keyword filter-context: constant_score over the filter
-        field, val = _one(spec, kind)
-        if isinstance(val, dict):
-            val = val.get("value", val)
         raise ValueError(
             f"{kind!r} at top level is filter-context; wrap it in "
             "bool.filter with a match must, or use exists/ids")
