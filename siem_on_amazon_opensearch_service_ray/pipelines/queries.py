@@ -488,6 +488,84 @@ LIMIT 20
 """
 
 
+def _hl_index(sf_dir: str) -> str:
+    """Doc-partitioned index with stored ``_source``
+    (store_source=True) — the fetch surface highlight and scroll
+    need.  Doc layout so the ranked query runs per shard."""
+    import dataclasses
+    cfg = dataclasses.replace(_docs_index_cfg(), partition_by="doc",
+                              store_source=True)
+    idx = _docs_index_dir(sf_dir) + "_hl"
+    build_index(_docs_source(sf_dir), idx, cfg, resume=True)
+    return idx
+
+
+def search_highlight(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``highlight`` (plain highlighter) on the flagship
+    BM25 ranking: per hit, fetch the stored _source, re-analyze it,
+    and emit the 8-token neighbourhood around the first query-term
+    occurrence with matched tokens wrapped in <em> tags.  The query
+    runs doc-sharded; only the k result docs' _source leaves the
+    docstore."""
+    s = Searcher(_hl_index(sf_dir), use_actors=ray.is_initialized())
+    try:
+        rows = s.highlight(BM25_QUERY, field="content", k=BM25_K, window=8)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d, _ in rows],
+        "score_e4": np.array([int(_round_away(sc * 10000))
+                              for sc, _, _ in rows], dtype=np.int64),
+        "fragment": [f for _, _, f in rows],
+    })
+
+
+# fragment = the engine's token-window definition, restated in SQL:
+# 1-based token positions, window [p-8, p+8] inclusive around the
+# first query-term position, matched tokens wrapped in <em> tags,
+# tokens joined by single spaces (list_position returns 0 for absent)
+SEARCH_HIGHLIGHT_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+dl AS (SELECT d.doc_id, count(t.term) AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+dlq AS (SELECT doc_id, dl,
+               CASE WHEN dl < 8 THEN dl
+                    ELSE (dl >> (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3))
+                         << (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3) END AS dl_quant
+        FROM dl),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+q(term) AS (VALUES ('spark'), ('join')),
+tf AS (SELECT t.doc_id, t.term, count(*) AS tf
+       FROM tok t JOIN q USING(term) GROUP BY t.doc_id, t.term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2*(1 - 0.75 + 0.75*dlq.dl_quant/s.avgdl)) ) AS score
+  FROM tf JOIN df USING(term) JOIN dlq USING(doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+top AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id LIMIT 20),
+tk AS (SELECT d.doc_id, regexp_extract_all(lower(d.text), '[a-z0-9_]+') AS toks
+       FROM documents d JOIN top USING(doc_id)),
+fp AS (SELECT doc_id, toks,
+       least(CASE WHEN list_position(toks, 'spark') = 0 THEN 1000000000
+                  ELSE list_position(toks, 'spark') END,
+             CASE WHEN list_position(toks, 'join') = 0 THEN 1000000000
+                  ELSE list_position(toks, 'join') END) AS p
+       FROM tk)
+SELECT t.doc_id, CAST(round(t.score*10000) AS BIGINT) AS score_e4,
+       array_to_string(list_transform(f.toks[greatest(1, f.p-8):f.p+8],
+          x -> CASE WHEN x IN ('spark', 'join')
+                    THEN '<em>' || x || '</em>' ELSE x END), ' ') AS fragment
+FROM top t JOIN fp f USING(doc_id)
+ORDER BY t.score DESC, t.doc_id
+"""
+
+
 def _score_frame(hits) -> pd.DataFrame:
     return pd.DataFrame({
         "doc_id": [d for _, d in hits],
@@ -5010,6 +5088,7 @@ def queries() -> dict:
     # then every entry whose newest driver row is r03 (oldest-green-first).
     return {
         # --- never driver-checked (round-5 additions) ---
+        "search_highlight": search_highlight,
         "dsl_request": dsl_request,
         "percolate_docs_rules": percolate_docs_rules,
         "search_simple_qs": search_simple_qs,
@@ -5150,6 +5229,7 @@ def queries() -> dict:
 
 def oracle_sql() -> dict:
     return {
+        "search_highlight": SEARCH_HIGHLIGHT_SQL,
         "dsl_request": DSL_REQUEST_SQL,
         "percolate_docs_rules": PERCOLATE_SQL,
         "search_simple_qs": SEARCH_SIMPLE_QS_SQL,

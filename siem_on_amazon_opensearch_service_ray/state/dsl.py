@@ -588,7 +588,32 @@ def execute_dsl(searcher, body: dict) -> dict:
     query = body.get("query")
     resp: dict = {"hits": {"total": {"value": 0, "relation": "eq"},
                            "hits": []}}
-    if query is not None and size > 0:
+    hl = body.get("highlight")
+    if hl is not None and query is not None and size > 0:
+        # highlight executes the ranked fetch itself (one search, one
+        # docstore fetch) — supported for match queries, whose field
+        # the fragments come from
+        if "match" not in query:
+            kind, _ = _one(query, "query")
+            raise ValueError(f"highlight under query {kind!r} is not "
+                             "supported (use match)")
+        f, text, op = _match_text(query)
+        want = list((hl.get("fields") or {f: {}}).keys())
+        if want != [f]:
+            raise ValueError("highlight: only the match query's field "
+                             f"({f!r}) is supported, got {want!r}")
+        pre = (hl.get("pre_tags") or ["<em>"])[0]
+        post = (hl.get("post_tags") or ["</em>"])[0]
+        rows = searcher.highlight(
+            text, field=f, k=size, mode="and" if op == "and" else "or",
+            pre_tag=pre, post_tag=post)
+        resp["hits"]["hits"] = [
+            {"_id": int(d), "_score": float(s), "highlight": {f: [fr]}}
+            for s, d, fr in rows]
+        resp["hits"]["total"]["value"] = len(rows)
+        resp["hits"]["total"]["relation"] = \
+            "gte" if len(rows) == size else "eq"
+    if hl is None and query is not None and size > 0:
         hits = _exec_query(searcher, query, size,
                            collapse=body.get("collapse"))
         out_hits = []

@@ -2604,6 +2604,64 @@ class Searcher:
             return None
         return _pa.concat_tables(tables)
 
+    def highlight(self, query: str, field: str = "content", k: int = 10,
+                  window: int = 8, pre_tag: str = "<em>",
+                  post_tag: str = "</em>", mode: str = "or",
+                  method: str = "auto", analyzer: str | None = None
+                  ) -> list[tuple[float, int, str]]:
+        """OpenSearch ``highlight`` (plain highlighter) over a match
+        query: run the ranked query, fetch each hit's stored
+        ``_source`` from the docstore (requires an index built with
+        ``store_source=True``), re-analyze it with the field's
+        analyzer — the plain highlighter's own strategy (it re-runs
+        the analyzer over _source text) — and emit ONE fragment per
+        hit: the ``window``-token neighbourhood each side of the
+        FIRST query-term occurrence, every matched token wrapped in
+        ``pre_tag``/``post_tag``.  Fragments are normalized token
+        text joined by single spaces (the analyzer does not preserve
+        original offsets; documented deviation from char-offset
+        fragments; ``pipelines/search.highlight`` is the
+        char-offset sibling that fetches from the source-of-record
+        parquet instead of the docstore).  Per-hit work is O(k) docs —
+        highlighting is inherently a per-hit presentation step
+        (OpenSearch does the same on the fetch phase), so the only
+        distributed cost is the docstore fetch, which prunes parts by
+        doc_id row-group filters.  Returns ``[(score, doc_id, fragment)]`` in rank
+        order; an empty fragment means no query term survived
+        re-analysis (cannot happen for OR/AND matches of the same
+        field).  Cites: reference users read highlights in Discover /
+        dashboards; es_loader stores ``_source`` for every doc
+        (reference source/lambda/es_loader/index.py bulk body)."""
+        hits = self.search(query, field=field, k=k, mode=mode,
+                           method=method, analyzer=analyzer)
+        if not hits:
+            return []
+        if not self.manifest["config"].get("store_source"):
+            raise ValueError("highlight requires an index built with "
+                             "store_source=True (no _source stored)")
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        qset = set(an(query))
+        src_col = self.manifest["config"].get("sha_col", "content")
+        tbl = self.fetch_docs([d for _, d in hits],
+                              columns=["doc_id", src_col])
+        texts: dict[int, str] = {}
+        if tbl is not None:
+            for i, t in zip(tbl.column("doc_id").to_pylist(),
+                            tbl.column(src_col).to_pylist()):
+                texts[int(i)] = t or ""
+        out: list[tuple[float, int, str]] = []
+        for score, d in hits:
+            toks = an(texts.get(int(d), ""))
+            fp = next((i for i, t in enumerate(toks) if t in qset), None)
+            if fp is None:
+                out.append((score, int(d), ""))
+                continue
+            seg = toks[max(0, fp - window):fp + window + 1]
+            frag = " ".join(pre_tag + t + post_tag if t in qset else t
+                            for t in seg)
+            out.append((score, int(d), frag))
+        return out
+
     def field_sorted_search(self, sort_field: str, k: int = 500,
                             desc: bool = True, query: str = "",
                             field: str = "content", mode: str = "or",

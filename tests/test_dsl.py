@@ -207,3 +207,65 @@ def test_dsl_contracts(dsl_s):
     assert r["hits"]["total"]["relation"] == "gte"
     r = execute_dsl(s, {"query": {"ids": {"values": [1]}}, "size": 10})
     assert r["hits"]["total"] == {"value": 1, "relation": "eq"}
+
+
+@pytest.fixture(scope="module")
+def hl_s(ray_session, tmp_path_factory):
+    """Tiny store_source index for the highlight fetch surface."""
+    docs = ["alpha beta spark gamma delta", "join the spark table now",
+            "nothing relevant here at all", "spark spark join end"]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": docs})
+    root = tmp_path_factory.mktemp("dsl_hl")
+    src = str(root / "d.parquet")
+    pq.write_table(t, src)
+    idx = str(root / "idx")
+    cfg = IndexConfig(num_partitions=2,
+                      fields=(("content", "text", "base"),),
+                      keyword_fields=(), range_fields=(),
+                      doc_id_col="doc_id", sha_col="text",
+                      store_source=True, salting=False)
+    build_index([src], idx, cfg)
+    s = Searcher(idx, use_actors=False)
+    yield s
+    s.close()
+
+
+def test_dsl_highlight(dsl_s, hl_s):
+    # success path: fragments wrap every matched token, rank order kept
+    r = execute_dsl(hl_s, {"query": {"match": {"content": "spark join"}},
+                           "highlight": {"fields": {"content": {}}},
+                           "size": 10})
+    assert r["hits"]["total"]["value"] == 3
+    by_id = {h["_id"]: h for h in r["hits"]["hits"]}
+    assert 2 not in by_id
+    frag3 = by_id[3]["highlight"]["content"][0]
+    assert frag3 == "<em>spark</em> <em>spark</em> <em>join</em> end"
+    frag0 = by_id[0]["highlight"]["content"][0]
+    assert "<em>spark</em>" in frag0 and "<em>" + "beta" not in frag0
+    # scores must equal the plain ranked query's
+    plain = execute_dsl(hl_s, {"query": {"match": {"content":
+                                                   "spark join"}},
+                               "size": 10})
+    assert [(h["_id"], h["_score"]) for h in r["hits"]["hits"]] == \
+        [(h["_id"], h["_score"]) for h in plain["hits"]["hits"]]
+    # direct method: window bounds clip at doc edges
+    rows = hl_s.highlight("spark", k=4, window=1)
+    assert all(f == "" or "<em>spark</em>" in f for _, _, f in rows)
+    # error contracts: no _source stored / non-match query / wrong field
+    with pytest.raises(ValueError, match="store_source"):
+        execute_dsl(dsl_s, {"query": {"match": {"content": "spark"}},
+                            "highlight": {"fields": {"content": {}}}})
+    with pytest.raises(ValueError, match="not.*supported|use match"):
+        execute_dsl(hl_s, {"query": {"ids": {"values": [1]}},
+                           "highlight": {"fields": {"content": {}}}})
+    with pytest.raises(ValueError, match="field"):
+        execute_dsl(hl_s, {"query": {"match": {"content": "spark"}},
+                           "highlight": {"fields": {"other": {}}}})
+    # custom tags pass through
+    r2 = execute_dsl(hl_s, {"query": {"match": {"content": "join"}},
+                            "highlight": {"fields": {"content": {}},
+                                          "pre_tags": ["**"],
+                                          "post_tags": ["**"]}})
+    assert all("**join**" in h["highlight"]["content"][0]
+               for h in r2["hits"]["hits"])

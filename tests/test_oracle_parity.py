@@ -101,7 +101,8 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "search_moving_percentiles", "search_script_score",
               "search_distance_feature", "search_rank_feature",
               "search_exists", "search_ids", "search_pinned",
-              "search_simple_qs", "percolate_docs_rules", "dsl_request"]
+              "search_simple_qs", "percolate_docs_rules", "dsl_request",
+              "search_highlight"]
 
 
 @pytest.mark.parametrize("name", SQL_BACKED)
