@@ -71,6 +71,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--field", default="content")
     s.add_argument("--type", dest="qtype", default="term",
                    choices=["term", "bool", "phrase", "phrase-prefix",
+                            "bool-prefix",
                             "prefix", "wildcard", "fuzzy", "span",
                             "span-expr", "qs", "constant-score",
                             "boosting", "function-score", "collapse",
@@ -660,6 +661,9 @@ def main(argv: list[str] | None = None) -> int:
                             searcher.match_phrase_prefix(
                                 args.query, args.field, args.k,
                                 args.max_expansions)]
+                elif qt == "bool-prefix":
+                    hits = searcher.match_bool_prefix(
+                        args.query, args.field, args.k, args.max_expansions)
                 elif qt == "prefix":
                     hits = searcher.prefix_search(
                         args.query, args.field, args.k, args.max_expansions)

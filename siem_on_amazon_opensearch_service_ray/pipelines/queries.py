@@ -1595,6 +1595,28 @@ FROM scores ORDER BY score DESC, doc_id LIMIT {k}
 
 SEARCH_PREFIX_SQL = _multi_term_sql("term LIKE 's%'", BM25_K)
 SEARCH_WILDCARD_SQL = _multi_term_sql("term LIKE 's_a%'", BM25_K)
+# match_bool_prefix "spark jo": literal term 'spark' OR any term with
+# prefix 'jo' — the union scores as one expanded OR (scoring-boolean)
+SEARCH_MATCH_BOOL_PREFIX_SQL = _multi_term_sql(
+    "term = 'spark' OR term LIKE 'jo%'", BM25_K)
+
+
+def search_match_bool_prefix(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``match_bool_prefix`` ("search as you type"):
+    query "spark jo" — 'spark' as a term clause, 'jo' as a prefix
+    clause, bool-should combined.  Runs doc-sharded: the dictionary
+    expansion happens actor-side, the union scores per shard with
+    global df."""
+    s = Searcher(_doc_sharded_index(sf_dir),
+                 use_actors=ray.is_initialized())
+    try:
+        hits = s.match_bool_prefix_sharded("spark jo", field="content",
+                                           k=BM25_K) \
+            if ray.is_initialized() else \
+            s.match_bool_prefix("spark jo", field="content", k=BM25_K)
+    finally:
+        s.close()
+    return _score_frame(hits)
 
 
 def search_prefix(sf_dir: str) -> pd.DataFrame:
@@ -5089,6 +5111,7 @@ def queries() -> dict:
     return {
         # --- never driver-checked (round-5 additions) ---
         "search_highlight": search_highlight,
+        "search_match_bool_prefix": search_match_bool_prefix,
         "dsl_request": dsl_request,
         "percolate_docs_rules": percolate_docs_rules,
         "search_simple_qs": search_simple_qs,
@@ -5230,6 +5253,7 @@ def queries() -> dict:
 def oracle_sql() -> dict:
     return {
         "search_highlight": SEARCH_HIGHLIGHT_SQL,
+        "search_match_bool_prefix": SEARCH_MATCH_BOOL_PREFIX_SQL,
         "dsl_request": DSL_REQUEST_SQL,
         "percolate_docs_rules": PERCOLATE_SQL,
         "search_simple_qs": SEARCH_SIMPLE_QS_SQL,

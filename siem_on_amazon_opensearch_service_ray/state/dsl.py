@@ -7,8 +7,9 @@ response dict: ``{"hits": {"total": {"value": N}, "hits": [{"_id",
 "_score"}]}, "aggregations": {...}}``.
 
 Supported query nodes: match_all, match, match_phrase,
-match_phrase_prefix, multi_match, term/terms (keyword filter-context
-via bool), range, prefix, wildcard, regexp, fuzzy, bool
+match_phrase_prefix, match_bool_prefix, multi_match, term/terms
+(keyword filter-context via bool), range, prefix, wildcard, regexp,
+fuzzy, bool
 (must/should/must_not/filter, minimum_should_match), query_string,
 simple_query_string, terms_set, constant_score, boosting,
 function_score, script_score, distance_feature, rank_feature, exists,
@@ -27,6 +28,9 @@ histogram parent (cumulative_sum, derivative, moving_avg,
 serial_diff, rate, percentiles_bucket, moving_percentiles,
 bucket_selector, bucket_sort and the *_bucket family) expressed as
 sub-entries of the parent's spec.
+
+A ``highlight`` body key (match queries) returns per-hit fragments
+from the stored ``_source`` via ``Searcher.highlight``.
 
 Unsupported constructs raise ``ValueError`` naming the node — never a
 silent wrong answer.  Aggregations run in the QUERY's context when
@@ -127,6 +131,10 @@ def _exec_query(s, query: dict, size: int,
                                               k=size, slop=slop)]
         return _pick(s, "phrase_search_scored")(text, field=field,
                                                 k=size)
+    if kind == "match_bool_prefix":
+        field, body = _one(spec, "match_bool_prefix")
+        text = body["query"] if isinstance(body, dict) else str(body)
+        return _pick(s, "match_bool_prefix")(text, field=field, k=size)
     if kind == "match_phrase_prefix":
         field, body = _one(spec, "match_phrase_prefix")
         text = body["query"] if isinstance(body, dict) else str(body)

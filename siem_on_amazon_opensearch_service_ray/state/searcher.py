@@ -3241,6 +3241,32 @@ class Searcher:
                                   max_expansions)
         return self._expanded_or(terms, field, k, k1, b)
 
+    def match_bool_prefix(self, query: str, field: str = "content",
+                          k: int = 10, max_expansions: int = 1024,
+                          analyzer: str | None = None,
+                          k1: float = K1, b: float = B
+                          ) -> list[tuple[float, int]]:
+        """OpenSearch ``match_bool_prefix``: analyze the query; every
+        token but the LAST becomes a term clause and the last a
+        prefix clause, combined as a bool should (type-ahead "as you
+        type" search — the user is mid-word on the final token).
+        The prefix clause expands with the engine's scoring-boolean
+        rewrite (each expansion keeps its own idf, consistent with
+        :meth:`prefix_search`; OpenSearch wraps the inner prefix in a
+        constant-score rewrite — documented deviation, same match
+        set).  The last token's own literal term is covered by its
+        expansion (a prefix matches itself)."""
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        toks = an(query)
+        if not toks:
+            return []
+        terms = list(dict.fromkeys(toks[:-1]))
+        seen = set(terms)
+        terms += [t for t in self.expand_terms(toks[-1], field, "prefix",
+                                               max_expansions)
+                  if t not in seen]
+        return self._expanded_or(terms, field, k, k1, b)
+
     def wildcard_search(self, pattern: str, field: str = "content",
                         k: int = 10, max_expansions: int = 1024,
                         k1: float = K1, b: float = B
@@ -6285,6 +6311,26 @@ class Searcher:
         with globally-summed df per expansion."""
         terms = self.expand_terms(prefix.lower(), field, "prefix",
                                   max_expansions)
+        return self._expanded_or_sharded(terms, field, k, k1, b)
+
+    def match_bool_prefix_sharded(self, query: str,
+                                  field: str = "content",
+                                  k: int = 10, max_expansions: int = 1024,
+                                  analyzer: str | None = None,
+                                  k1: float = K1, b: float = B
+                                  ) -> list[tuple[float, int]]:
+        """:meth:`match_bool_prefix` doc-sharded: dictionary expansion
+        runs actor-side, the union of literal + expanded terms scores
+        per shard with globally-summed df per clause."""
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        toks = an(query)
+        if not toks:
+            return []
+        terms = list(dict.fromkeys(toks[:-1]))
+        seen = set(terms)
+        terms += [t for t in self.expand_terms(toks[-1], field, "prefix",
+                                               max_expansions)
+                  if t not in seen]
         return self._expanded_or_sharded(terms, field, k, k1, b)
 
     def wildcard_search_sharded(self, pattern: str, field: str = "content",

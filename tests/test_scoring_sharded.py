@@ -284,3 +284,24 @@ def test_completion_context(pair):
     # empty context -> no suggestions
     assert sd.suggest_completion("s", context_field="lang",
                                  context_value="zz") == []
+
+
+def test_match_bool_prefix_cross_layout(pair):
+    """match_bool_prefix: term-layout driver path vs doc-sharded —
+    rank AND score identical, and equal to the hand-built expanded OR
+    (literal terms + prefix expansion of the last token)."""
+    s_term, s_doc, docs, _ = pair
+    got_t = s_term.match_bool_prefix("spark s", k=50)
+    got_d = s_doc.match_bool_prefix_sharded("spark s", k=50)
+    _same(got_d, got_t)
+    # reference: union of 'spark' and every vocab term starting 's'
+    exp = ["spark"] + sorted({w for w in VOCAB
+                              if w.startswith("s") and w != "spark"})
+    want = s_term._expanded_or(
+        list(dict.fromkeys(exp)), "content", 50, 1.2, 0.75)
+    assert {d for _, d in got_t} == {d for _, d in want}
+    # single-token query: pure prefix query
+    _same(s_term.match_bool_prefix("sq", k=20),
+          s_term.prefix_search("sq", k=20))
+    # empty analysis -> []
+    assert s_term.match_bool_prefix("!!!", k=5) == []
