@@ -100,6 +100,12 @@ class IndexConfig:
     # shuffle to the docstore sentinel parts and docstore bytes ~ the
     # corpus size — off by default.
     store_source: bool = False
+    # keep per-doc RAW token counts per text field in the docstore
+    # (columns __dl_<field>, int64) — the per-doc norms surface
+    # Lucene keeps natively.  Enables combined_fields (BM25F), whose
+    # combined length needs every field's dl even where tf = 0.
+    # Costs 8 B/doc/field riding the existing docstore exchange.
+    store_doclens: bool = False
     # "doc" (DEFAULT — the scale layout): postings partitioned by
     #   doc_id % P — every part is a complete mini-index over its doc
     #   range (OpenSearch doc-shard parity, SURVEY.md §7.1; reference
@@ -442,7 +448,7 @@ class TokenizeFlatten:
                 rows_live.append(i)
             if not per_doc:
                 z = np.zeros(0, dtype=np.int64)
-                return z, z, z, z, z, z, []
+                return z, z, z, z, z, z, [], dls
             lens = np.asarray([a.size for a in per_doc], dtype=np.int64)
             rows_cat = np.repeat(np.asarray(rows_live, dtype=np.int64),
                                  lens)
@@ -478,7 +484,7 @@ class TokenizeFlatten:
                 rows_live.append(i)
             if not per_doc:
                 z = np.zeros(0, dtype=np.int64)
-                return z, z, z, z, z, z, None
+                return z, z, z, z, z, z, None, dls
             lens_d = np.asarray([a.size for a in per_doc], dtype=np.int64)
             rows_cat = np.repeat(np.asarray(rows_live, dtype=np.int64),
                                  lens_d)
@@ -520,7 +526,7 @@ class TokenizeFlatten:
             parts = part_lut[tids]
             ns = nsalt_lut[tids]
             salts = np.where(ns > 1, dids % np.maximum(ns, 1), 0)
-        return tids, cnts, dids, nrm, parts, salts, pos_pack
+        return tids, cnts, dids, nrm, parts, salts, pos_pack, dls
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Emit COMBINED posting runs, not row-per-posting: one output
@@ -547,10 +553,12 @@ class TokenizeFlatten:
         r_np: list[int] = []
         r_pos: list[bytes] = []
         r_plens: list[bytes] = []
+        dl_by_field: dict[str, np.ndarray] = {}
         for fname, col, _ in cfg.fields:
             texts = batch.column(col).to_pylist()
-            tids, cnts, dids, nrm, parts, salts, pos_pack = \
+            tids, cnts, dids, nrm, parts, salts, pos_pack, dls = \
                 self._field_postings(fname, texts, ids)
+            dl_by_field[fname] = dls
             if tids.size == 0:
                 continue
             order = np.lexsort((tids, salts, parts))
@@ -596,7 +604,12 @@ class TokenizeFlatten:
         # P..2P-1 by doc range (content sha256 invariant computed here,
         # on the only pass that touches content)
         shas = content_shas(batch, cfg.sha_col)
-        meta_cols = [batch.column(c).to_pylist() for c in self.docstore_cols]
+        # __dl_<field> sidecar columns are synthesized here (per-doc
+        # raw token counts from this pass's tokenization), everything
+        # else comes from the source batch
+        meta_cols = [dl_by_field[c[5:]].tolist() if c.startswith("__dl_")
+                     else batch.column(c).to_pylist()
+                     for c in self.docstore_cols]
         ids64 = ids.astype(np.int64)
         r_part.extend((p + ids % p).tolist())
         r_salt.extend([0] * batch.num_rows)
@@ -987,6 +1000,10 @@ def build_postings(source, index_dir: str, cfg: IndexConfig, fp: str,
                      if c not in (cfg.sha_col, "doc_id", "content_sha256")]
     docstore_types = {n: str(t) for n, t in zip(schema.names, schema.types)
                       if n in docstore_cols}
+    if cfg.store_doclens:
+        for fname, _, _ in cfg.fields:
+            docstore_cols.append(f"__dl_{fname}")
+            docstore_types[f"__dl_{fname}"] = "int64"
     if cfg.tokenize_mode == "actors":
         flat = ds.map_batches(TokenizeFlatten,
                               fn_constructor_kwargs={"cfg": cfg, "hot": hot,
@@ -1118,6 +1135,10 @@ def _build_postings_direct(paths: list[str], index_dir: str,
                      if c not in (cfg.sha_col, "doc_id", "content_sha256")]
     docstore_types = {n: str(t) for n, t in zip(schema.names, schema.types)
                       if n in docstore_cols}
+    if cfg.store_doclens:
+        for fname, _, _ in cfg.fields:
+            docstore_cols.append(f"__dl_{fname}")
+            docstore_types[f"__dl_{fname}"] = "int64"
     cpus = int(_ray.cluster_resources().get("CPU", 4))
     splits = _input_splits(paths, cpus)
     n_slots = 2 * cfg.num_partitions

@@ -1601,6 +1601,86 @@ SEARCH_MATCH_BOOL_PREFIX_SQL = _multi_term_sql(
     "term = 'spark' OR term LIKE 'jo%'", BM25_K)
 
 
+def _cf_index(sf_dir: str) -> str:
+    """Doc-partitioned index with the per-doc length sidecar
+    (store_doclens=True) — combined_fields' BM25F needs every field's
+    dl even where tf = 0."""
+    import dataclasses
+    cfg = dataclasses.replace(_docs_index_cfg(), partition_by="doc",
+                              store_doclens=True)
+    idx = _docs_index_dir(sf_dir) + "_cf"
+    build_index(_docs_source(sf_dir), idx, cfg, resume=True)
+    return idx
+
+
+def search_combined_fields(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``combined_fields`` (BM25F): query "spark src3" over
+    content + src^2 as ONE combined field — tf' = tf_content +
+    2*tf_src, dl' = dl_quant_content + 2*dl_quant_src (per-doc sidecar
+    lengths), avgdl' = avgdl_content + 2*avgdl_src, idf over the
+    term's cross-field UNION df.  Runs doc-sharded: the union-df
+    partials sum exactly (doc shards partition the corpus), then each
+    shard scores its slice."""
+    s = Searcher(_cf_index(sf_dir), use_actors=ray.is_initialized())
+    try:
+        hits = s.combined_fields_sharded(
+            "spark src3", ["content", "src^2"], k=BM25_K) \
+            if ray.is_initialized() else s.combined_fields(
+                "spark src3", ["content", "src^2"], k=BM25_K)
+    finally:
+        s.close()
+    return _score_frame(hits)
+
+
+SEARCH_COMBINED_FIELDS_SQL = """
+WITH tokc AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+toksrc AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(source), '[a-z0-9_]+')) AS term
+  FROM documents),
+dlc AS (SELECT d.doc_id, count(t.term) AS dl
+        FROM documents d LEFT JOIN tokc t ON d.doc_id = t.doc_id
+        GROUP BY d.doc_id),
+dlsrc AS (SELECT d.doc_id, count(t.term) AS dl
+          FROM documents d LEFT JOIN toksrc t ON d.doc_id = t.doc_id
+          GROUP BY d.doc_id),
+dlq AS (SELECT c.doc_id,
+        (CASE WHEN c.dl < 8 THEN c.dl
+              ELSE (c.dl >> (CAST(FLOOR(LOG2(c.dl)) AS INTEGER) - 3))
+                   << (CAST(FLOOR(LOG2(c.dl)) AS INTEGER) - 3) END)
+        + 2 * (CASE WHEN s.dl < 8 THEN s.dl
+               ELSE (s.dl >> (CAST(FLOOR(LOG2(s.dl)) AS INTEGER) - 3))
+                    << (CAST(FLOOR(LOG2(s.dl)) AS INTEGER) - 3) END)
+          AS dl_quant
+        FROM dlc c JOIN dlsrc s USING(doc_id)),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT avg(dl) FROM dlc) + 2 * (SELECT avg(dl) FROM dlsrc)
+                   AS avgdl),
+q(term) AS (VALUES ('spark'), ('src3')),
+tfc AS (SELECT t.doc_id, t.term, count(*) AS tf
+        FROM tokc t JOIN q USING(term) GROUP BY t.doc_id, t.term),
+tfsrc AS (SELECT t.doc_id, t.term, count(*) AS tf
+          FROM toksrc t JOIN q USING(term) GROUP BY t.doc_id, t.term),
+tf AS (SELECT coalesce(c.doc_id, s.doc_id) AS doc_id,
+              coalesce(c.term, s.term) AS term,
+              coalesce(c.tf, 0) + 2 * coalesce(s.tf, 0) AS tf
+       FROM tfc c FULL JOIN tfsrc s
+         ON c.doc_id = s.doc_id AND c.term = s.term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2*(1 - 0.75 + 0.75*dlq.dl_quant/st.avgdl)) )
+           AS score
+  FROM tf JOIN df USING(term) JOIN dlq USING(doc_id) CROSS JOIN stats st
+  GROUP BY tf.doc_id)
+SELECT doc_id, cast(round(score*10000) AS BIGINT) AS score_e4
+FROM scores ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
 def search_match_bool_prefix(sf_dir: str) -> pd.DataFrame:
     """OpenSearch ``match_bool_prefix`` ("search as you type"):
     query "spark jo" — 'spark' as a term clause, 'jo' as a prefix
@@ -5112,6 +5192,7 @@ def queries() -> dict:
         # --- never driver-checked (round-5 additions) ---
         "search_highlight": search_highlight,
         "search_match_bool_prefix": search_match_bool_prefix,
+        "search_combined_fields": search_combined_fields,
         "dsl_request": dsl_request,
         "percolate_docs_rules": percolate_docs_rules,
         "search_simple_qs": search_simple_qs,
@@ -5254,6 +5335,7 @@ def oracle_sql() -> dict:
     return {
         "search_highlight": SEARCH_HIGHLIGHT_SQL,
         "search_match_bool_prefix": SEARCH_MATCH_BOOL_PREFIX_SQL,
+        "search_combined_fields": SEARCH_COMBINED_FIELDS_SQL,
         "dsl_request": DSL_REQUEST_SQL,
         "percolate_docs_rules": PERCOLATE_SQL,
         "search_simple_qs": SEARCH_SIMPLE_QS_SQL,

@@ -7,9 +7,9 @@ response dict: ``{"hits": {"total": {"value": N}, "hits": [{"_id",
 "_score"}]}, "aggregations": {...}}``.
 
 Supported query nodes: match_all, match, match_phrase,
-match_phrase_prefix, match_bool_prefix, multi_match, term/terms
-(keyword filter-context via bool), range, prefix, wildcard, regexp,
-fuzzy, bool
+match_phrase_prefix, match_bool_prefix, multi_match, combined_fields
+(BM25F — needs store_doclens), term/terms (keyword filter-context via
+bool), range, prefix, wildcard, regexp, fuzzy, bool
 (must/should/must_not/filter, minimum_should_match), query_string,
 simple_query_string, terms_set, constant_score, boosting,
 function_score, script_score, distance_feature, rank_feature, exists,
@@ -146,6 +146,9 @@ def _exec_query(s, query: dict, size: int,
         return fn(spec["query"], list(spec["fields"]), k=size,
                   match_type=spec.get("type", "best_fields"),
                   tie_breaker=float(spec.get("tie_breaker", 0.0)))
+    if kind == "combined_fields":
+        fn = _pick(s, "combined_fields")
+        return fn(spec["query"], list(spec["fields"]), k=size)
     if kind == "bool":
         def _texts(clauses):
             out = []

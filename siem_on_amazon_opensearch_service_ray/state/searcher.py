@@ -2173,6 +2173,9 @@ class Searcher:
         # per-query global-idf injection for doc-sharded execution
         # (dfs_query_then_fetch round 2 — see _exec_doc_sharded)
         self._idf_overrides: dict[str, float] | None = None
+        # per-field (sorted doc_ids, raw dl) from the __dl sidecar
+        # (store_doclens=True builds) — loaded lazily, once
+        self._doclen_cache: dict[str, tuple] = {}
         if _readers is not None:
             # shard-LOCAL searcher living inside a PartActor: adopts the
             # actor's warm readers and executes the full query DSL over
@@ -2537,6 +2540,121 @@ class Searcher:
                           key=lambda t: (-t[0], t[1]))
         return combined[:k]
 
+    @staticmethod
+    def _cf_specs(fields: list[str]) -> list[tuple[str, float]]:
+        specs = []
+        for spec in fields:
+            name, _, boost_s = spec.partition("^")
+            w = float(boost_s) if boost_s else 1.0
+            if w < 1.0:
+                raise ValueError("combined_fields field weights must be "
+                                 ">= 1 (OpenSearch contract)")
+            specs.append((name, w))
+        return specs
+
+    def combined_fields(self, query: str, fields: list[str], k: int = 10,
+                        analyzer: str | None = None,
+                        k1: float = K1, b: float = B,
+                        _idf_override: dict[str, float] | None = None
+                        ) -> list[tuple[float, int]]:
+        """OpenSearch ``combined_fields`` (Lucene CombinedFieldQuery —
+        BM25F): the fields behave as ONE combined field.  Per term,
+        tf' = sum_f w_f*tf_f; per doc, dl' = sum_f w_f*dl_quant_f
+        using EVERY field's quantized length whether or not the term
+        occurs there (the ``__dl`` sidecar — requires an index built
+        with ``store_doclens=True``); avgdl' = sum_f w_f*avgdl_f;
+        df' = the term's UNION doc frequency across fields over live
+        docs (exact — Lucene blends per-field stats instead, a
+        documented deviation); score = sum over distinct terms of
+        idf(df') * BM25(tf', dl', avgdl').  Field weights (``"f^w"``)
+        must be >= 1; duplicate query terms dedup (the q-CTE oracle
+        convention).  ``_idf_override`` carries the globally-summed
+        union-df idf on shard-local executions."""
+        from ..norms import decode_norm, encode_norm
+        specs = self._cf_specs(fields)
+        if not specs:
+            return []
+        an0 = self._analyzer_for(specs[0][0], analyzer)
+        uniq = list(dict.fromkeys(ANALYZERS[an0](query)))
+        if not uniq:
+            return []
+        n_docs = int(self.stats["n_docs"])
+        avgdl_c = float(sum(w * float(self.stats["avgdl"][n])
+                            for n, w in specs))
+        ones = {t: 1.0 for t in uniq}
+        field_terms = {}
+        for name, _w in specs:
+            rows = self._gather(name, uniq)
+            field_terms[name] = prepare_terms(
+                uniq, rows, n_docs, avgdl_c, k1, b, idf_by_term=ones,
+                exclude_ids=self.tombstones)
+        # weighted quantized per-doc lengths per field (same SmallFloat
+        # round-trip the posting norms carry)
+        dl_tab = []
+        for name, w in specs:
+            ids_s, raw = self._doclens(name)
+            dl_tab.append((ids_s,
+                           decode_norm(encode_norm(raw)).astype(
+                               np.float64) * w))
+        score_ids: list[np.ndarray] = []
+        score_vals: list[np.ndarray] = []
+        for j, t in enumerate(uniq):
+            ids_l, tf_l = [], []
+            for name, w in specs:
+                td = field_terms[name][j]
+                if td.doc_ids.size:
+                    ids_l.append(td.doc_ids.astype(np.int64))
+                    tf_l.append(td.tfs.astype(np.float64) * w)
+            if not ids_l:
+                continue
+            ids = np.concatenate(ids_l)
+            tfv = np.concatenate(tf_l)
+            u, inv = np.unique(ids, return_inverse=True)
+            tfc = np.zeros(u.size)
+            np.add.at(tfc, inv, tfv)
+            idf = (float(_idf_override[t]) if _idf_override is not None
+                   else float(idf_fn(int(u.size), n_docs)))
+            dlc = np.zeros(u.size)
+            for ids_s, qw in dl_tab:
+                pos = np.searchsorted(ids_s, u)
+                pos_c = np.minimum(pos, max(ids_s.size - 1, 0))
+                ok = (pos < ids_s.size) & (ids_s[pos_c] == u) \
+                    if ids_s.size else np.zeros(u.size, bool)
+                dlc[ok] += qw[pos_c[ok]]
+            score_ids.append(u)
+            score_vals.append(
+                idf * tfc * (k1 + 1.0)
+                / (tfc + k1 * (1.0 - b + b * dlc / avgdl_c)))
+        if not score_ids:
+            return []
+        ids = np.concatenate(score_ids)
+        vals = np.concatenate(score_vals)
+        u, inv = np.unique(ids, return_inverse=True)
+        tot = np.zeros(u.size)
+        np.add.at(tot, inv, vals)
+        order = np.lexsort((u, -tot))[:k]
+        return [(float(tot[i]), int(u[i])) for i in order]
+
+    def combined_union_df(self, terms: list[str], fields: list[str]
+                          ) -> dict[str, int]:
+        """Per-term UNION doc frequency across ``fields`` over this
+        searcher's live doc slice — additive across doc shards (they
+        partition the corpus), so shard partials sum exactly."""
+        names = list(dict.fromkeys(s.partition("^")[0] for s in fields))
+        uniq = list(dict.fromkeys(terms))
+        ones = {t: 1.0 for t in uniq}
+        per = {n: prepare_terms(uniq, self._gather(n, uniq), 1, 1.0,
+                                idf_by_term=ones,
+                                exclude_ids=self.tombstones)
+               for n in names}
+        out: dict[str, int] = {}
+        for j, t in enumerate(uniq):
+            sets = [per[n][j].doc_ids for n in names
+                    if per[n][j].doc_ids.size]
+            out[t] = (int(np.unique(np.concatenate(sets)).size)
+                      if sets else 0)
+        return out
+
     def _term_dfs(self, field: str, terms: list[str]) -> dict[str, int]:
         """Global df per term (sums across parts — correct on both the
         term-partitioned layout, where a term lives in one part plus
@@ -2603,6 +2721,47 @@ class Searcher:
         if not tables:
             return None
         return _pa.concat_tables(tables)
+
+    def _doclens(self, field: str) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted doc_ids int64, raw dl int64) for ``field`` from the
+        ``__dl_<field>`` docstore sidecar (store_doclens=True builds),
+        restricted to this searcher's local doc parts — the Lucene
+        norms-in-RAM equivalent (8 B/doc/field per shard), loaded once
+        and cached.  First-wins on duplicate ids (generations)."""
+        cached = self._doclen_cache.get(field)
+        if cached is not None:
+            return cached
+        import os as _os
+        import pyarrow.parquet as _pq
+        from .shard import match_part_files
+        col = f"__dl_{field}"
+        dsdir = _os.path.join(self.index_dir, "docstore")
+        names = sorted(f for f in _os.listdir(dsdir)
+                       if f.endswith(".parquet"))
+        if self._local_parts is not None:
+            names = match_part_files(names, self._local_parts)
+        ids_l, dl_l = [], []
+        for fn in names:
+            path = _os.path.join(dsdir, fn)
+            if col not in _pq.read_schema(path).names:
+                raise ValueError(
+                    f"no per-doc length sidecar for field {field!r} — "
+                    "build the index with store_doclens=True")
+            t = _pq.read_table(path, columns=["doc_id", col])
+            ids_l.append(t.column("doc_id").to_numpy(zero_copy_only=False))
+            dl_l.append(t.column(col).to_numpy(zero_copy_only=False))
+        ids = (np.concatenate(ids_l) if ids_l
+               else np.zeros(0, np.int64)).astype(np.int64)
+        dls = (np.concatenate(dl_l) if dl_l
+               else np.zeros(0, np.int64)).astype(np.int64)
+        o = np.argsort(ids, kind="stable")
+        ids, dls = ids[o], dls[o]
+        if ids.size:
+            keep = np.ones(ids.size, dtype=bool)
+            keep[1:] = ids[1:] != ids[:-1]
+            ids, dls = ids[keep], dls[keep]
+        self._doclen_cache[field] = (ids, dls)
+        return ids, dls
 
     def highlight(self, query: str, field: str = "content", k: int = 10,
                   window: int = 8, pre_tag: str = "<em>",
@@ -6095,6 +6254,40 @@ class Searcher:
                  tie_breaker=tie_breaker, analyzer=analyzer, k1=k1, b=b,
                  _idf_by_field=idf_by_field),
             k)
+
+    def combined_fields_sharded(self, query: str, fields: list[str],
+                                k: int = 10, analyzer: str | None = None,
+                                k1: float = K1, b: float = B
+                                ) -> list[tuple[float, int]]:
+        """:meth:`combined_fields` per doc shard.  The dfs round ships
+        the per-shard UNION df partials (one int per term per shard —
+        exact, since doc shards partition the corpus), sums them into
+        global idf, then every shard scores its slice with the
+        combined quantities; only P*k (score, doc_id) rows return."""
+        specs = self._cf_specs(fields)
+        if not specs:
+            return []
+        an0 = self._analyzer_for(specs[0][0], analyzer)
+        uniq = list(dict.fromkeys(ANALYZERS[an0](query)))
+        if not uniq:
+            return []
+        if self.use_actors:
+            partials = ray.get([
+                a.exec_local.remote("combined_union_df",
+                                    dict(terms=uniq, fields=fields), None)
+                for a in self.actors])
+            dfs: dict[str, int] = {}
+            for p in partials:
+                for t, n in p.items():
+                    dfs[t] = dfs.get(t, 0) + int(n)
+        else:
+            dfs = self.combined_union_df(uniq, fields)
+        n_docs = int(self.stats["n_docs"])
+        idf = {t: float(idf_fn(dfs.get(t, 0), n_docs)) for t in uniq}
+        return self._exec_doc_sharded(
+            "combined_fields",
+            dict(query=query, fields=fields, k=k, analyzer=analyzer,
+                 k1=k1, b=b, _idf_override=idf), k)
 
     def phrase_search_sharded(self, query: str, field: str = "content",
                               k: int = 10, analyzer: str | None = None,

@@ -102,7 +102,8 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "search_distance_feature", "search_rank_feature",
               "search_exists", "search_ids", "search_pinned",
               "search_simple_qs", "percolate_docs_rules", "dsl_request",
-              "search_highlight", "search_match_bool_prefix"]
+              "search_highlight", "search_match_bool_prefix",
+              "search_combined_fields"]
 
 
 @pytest.mark.parametrize("name", SQL_BACKED)

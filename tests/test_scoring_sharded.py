@@ -305,3 +305,84 @@ def test_match_bool_prefix_cross_layout(pair):
           s_term.prefix_search("sq", k=20))
     # empty analysis -> []
     assert s_term.match_bool_prefix("!!!", k=5) == []
+
+
+@pytest.fixture(scope="module")
+def cf_pair(ray_session, tmp_path_factory):
+    """Two-text-field corpus with per-doc length sidecars under both
+    layouts (combined_fields needs store_doclens)."""
+    rng = np.random.default_rng(23)
+    docs, titles = [], []
+    for i in range(200):
+        n = int(rng.integers(3, 30))
+        docs.append(" ".join(VOCAB[int(j)]
+                             for j in rng.integers(0, len(VOCAB), n)))
+        titles.append(" ".join(VOCAB[int(j)]
+                               for j in rng.integers(0, len(VOCAB), 3)))
+    t = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                  "text": docs, "title": titles})
+    root = tmp_path_factory.mktemp("cf")
+    src = str(root / "d.parquet")
+    pq.write_table(t, src)
+    cfg = IndexConfig(num_partitions=4,
+                      fields=(("content", "text", "base"),
+                              ("title", "title", "base")),
+                      keyword_fields=(), range_fields=(),
+                      doc_id_col="doc_id", sha_col="text", salting=False,
+                      store_doclens=True, partition_by="term")
+    term_dir, doc_dir = str(root / "t"), str(root / "d")
+    build_index([src], term_dir, cfg)
+    build_index([src], doc_dir,
+                dataclasses.replace(cfg, partition_by="doc"))
+    s_term = Searcher(term_dir, use_actors=False)
+    s_doc = Searcher(doc_dir, use_actors=True)
+    yield s_term, s_doc, docs, titles
+    s_doc.close()
+
+
+def test_combined_fields_cross_layout_and_reference(cf_pair):
+    """combined_fields: term-layout driver path vs doc-sharded — rank
+    AND score identical — and equal to a brute-force BM25F reference
+    (weighted tf, sidecar quantized dl, union df)."""
+    import math
+    from siem_on_amazon_opensearch_service_ray.norms import (
+        decode_norm, encode_norm)
+    s_term, s_doc, docs, titles = cf_pair
+    q, flds = "spark sort", ["content", "title^3"]
+    got_t = s_term.combined_fields(q, flds, k=300)
+    got_d = s_doc.combined_fields_sharded(q, flds, k=300)
+    _same(got_d, got_t)
+    # brute force
+    N = len(docs)
+    dlc = [len(d.split()) for d in docs]
+    dlt = [len(t.split()) for t in titles]
+    qz = lambda v: float(decode_norm(encode_norm(
+        np.array([v]))).astype(float)[0])
+    avg = sum(dlc) / N + 3 * sum(dlt) / N
+    scores = {}
+    for term in ["spark", "sort"]:
+        tf = {}
+        for i in range(N):
+            v = docs[i].split().count(term) + 3 * titles[i].split().count(term)
+            if v:
+                tf[i] = float(v)
+        idf = math.log(1 + (N - len(tf) + 0.5) / (len(tf) + 0.5))
+        for i, v in tf.items():
+            dl = qz(dlc[i]) + 3 * qz(dlt[i])
+            scores[i] = scores.get(i, 0.0) + \
+                idf * v * 2.2 / (v + 1.2 * (1 - 0.75 + 0.75 * dl / avg))
+    want = sorted(((sc, d) for d, sc in scores.items()),
+                  key=lambda t: (-t[0], t[1]))[:300]
+    _same(got_t, want)
+    # weight < 1 rejected; empty query/fields -> []
+    with pytest.raises(ValueError, match=">= 1"):
+        s_term.combined_fields("spark", ["content^0.5"])
+    assert s_term.combined_fields("", flds) == []
+    assert s_term.combined_fields("zz_not_there", flds) == []
+
+
+def test_combined_fields_requires_sidecar(pair):
+    """An index built WITHOUT store_doclens raises a named error."""
+    s_term, _, _, _ = pair
+    with pytest.raises(ValueError, match="store_doclens"):
+        s_term.combined_fields("spark", ["content"], k=5)
