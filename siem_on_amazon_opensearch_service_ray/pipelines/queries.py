@@ -488,6 +488,43 @@ LIMIT 20
 """
 
 
+def search_intervals(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``intervals`` query — any_of of two ordered
+    adjacent-pair matches ("spark join" | "merge sort", max_gaps=0) —
+    lowered onto the span algebra and executed per doc shard over the
+    positional index (positions decode where they live)."""
+    idx = _doc_sharded_index(sf_dir, positions=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        rule = {"any_of": {"intervals": [
+            {"match": {"query": "spark join", "max_gaps": 0,
+                       "ordered": True}},
+            {"match": {"query": "merge sort", "max_gaps": 0,
+                       "ordered": True}}]}}
+        hits = s.intervals_query_sharded("content", rule, k=1_000_000) \
+            if ray.is_initialized() else \
+            s.intervals_query("content", rule, k=1_000_000)
+    finally:
+        s.close()
+    return pd.DataFrame({"doc_id": [d for _, d in hits],
+                         "span_tf": np.array([n for n, _ in hits],
+                                             dtype=np.int64)})
+
+
+SEARCH_INTERVALS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1)
+           AS pos
+  FROM documents)
+SELECT a.doc_id, cast(count(*) AS BIGINT) AS span_tf
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE (a.term = 'spark' AND b.term = 'join')
+   OR (a.term = 'merge' AND b.term = 'sort')
+GROUP BY a.doc_id ORDER BY span_tf DESC, a.doc_id
+"""
+
+
 def _hl_index(sf_dir: str) -> str:
     """Doc-partitioned index with stored ``_source``
     (store_source=True) — the fetch surface highlight and scroll
@@ -5193,6 +5230,7 @@ def queries() -> dict:
         "search_highlight": search_highlight,
         "search_match_bool_prefix": search_match_bool_prefix,
         "search_combined_fields": search_combined_fields,
+        "search_intervals": search_intervals,
         "dsl_request": dsl_request,
         "percolate_docs_rules": percolate_docs_rules,
         "search_simple_qs": search_simple_qs,
@@ -5336,6 +5374,7 @@ def oracle_sql() -> dict:
         "search_highlight": SEARCH_HIGHLIGHT_SQL,
         "search_match_bool_prefix": SEARCH_MATCH_BOOL_PREFIX_SQL,
         "search_combined_fields": SEARCH_COMBINED_FIELDS_SQL,
+        "search_intervals": SEARCH_INTERVALS_SQL,
         "dsl_request": DSL_REQUEST_SQL,
         "percolate_docs_rules": PERCOLATE_SQL,
         "search_simple_qs": SEARCH_SIMPLE_QS_SQL,

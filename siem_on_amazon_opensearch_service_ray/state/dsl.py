@@ -13,7 +13,8 @@ bool), range, prefix, wildcard, regexp, fuzzy, bool
 (must/should/must_not/filter, minimum_should_match), query_string,
 simple_query_string, terms_set, constant_score, boosting,
 function_score, script_score, distance_feature, rank_feature, exists,
-ids, pinned, span_* (the span algebra), more_like_this.
+ids, pinned, span_* (the span algebra), intervals (match / any_of /
+all_of lowered onto the span algebra), more_like_this.
 
 Supported aggregations: terms, multi_terms, rare_terms,
 significant_terms, significant_text, sampler/diversified_sampler,
@@ -131,6 +132,10 @@ def _exec_query(s, query: dict, size: int,
                                               k=size, slop=slop)]
         return _pick(s, "phrase_search_scored")(text, field=field,
                                                 k=size)
+    if kind == "intervals":
+        field, rule = _one(spec, "intervals")
+        return [(float(n), d) for n, d in
+                _pick(s, "intervals_query")(field, rule, k=size)]
     if kind == "match_bool_prefix":
         field, body = _one(spec, "match_bool_prefix")
         text = body["query"] if isinstance(body, dict) else str(body)

@@ -5869,6 +5869,75 @@ class Searcher:
         out.sort(key=lambda cd: (-cd[0], cd[1]))
         return out[:k]
 
+    _INTERVALS_UNBOUNDED = 1 << 30
+
+    @classmethod
+    def _intervals_to_span(cls, rule: dict, an) -> dict:
+        """Translate an OpenSearch ``intervals`` rule onto the span
+        algebra.  ``match`` (query / max_gaps, default -1 = unbounded /
+        ordered, default False) becomes span_term or span_near;
+        ``any_of`` becomes span_or; ``all_of`` becomes span_near over
+        its translated sub-intervals.  Unsupported rule kinds (prefix,
+        wildcard, fuzzy, regexp sources; filters) raise ValueError."""
+        if not isinstance(rule, dict) or len(rule) != 1:
+            raise ValueError(f"intervals: expected a single-rule object, "
+                             f"got {rule!r}")
+        kind, spec = next(iter(rule.items()))
+        if kind == "match":
+            toks = an(str(spec.get("query", "")))
+            if not toks:
+                raise ValueError("intervals.match: empty query after "
+                                 "analysis")
+            if len(toks) == 1:
+                return {"span_term": toks[0]}
+            g = int(spec.get("max_gaps", -1))
+            return {"span_near": {
+                "clauses": [{"span_term": t} for t in toks],
+                "slop": cls._INTERVALS_UNBOUNDED if g < 0 else g,
+                "in_order": bool(spec.get("ordered", False))}}
+        if kind == "any_of":
+            subs = spec.get("intervals") or []
+            if not subs:
+                raise ValueError("intervals.any_of requires intervals")
+            return {"span_or": {"clauses": [
+                cls._intervals_to_span(r, an) for r in subs]}}
+        if kind == "all_of":
+            subs = spec.get("intervals") or []
+            if not subs:
+                raise ValueError("intervals.all_of requires intervals")
+            g = int(spec.get("max_gaps", -1))
+            return {"span_near": {
+                "clauses": [cls._intervals_to_span(r, an) for r in subs],
+                "slop": cls._INTERVALS_UNBOUNDED if g < 0 else g,
+                "in_order": bool(spec.get("ordered", False))}}
+        raise ValueError(f"intervals rule {kind!r} is not supported "
+                         "(match / any_of / all_of)")
+
+    def intervals_query(self, field: str, rule: dict, k: int = 10,
+                        analyzer: str | None = None
+                        ) -> list[tuple[int, int]]:
+        """OpenSearch ``intervals`` query (match / any_of / all_of with
+        max_gaps + ordered) lowered onto the composable span algebra —
+        returns [(interval_count, doc_id)] sorted (count desc, doc_id
+        asc).  Counts enumerate matching position tuples (the span
+        evaluator's semantics) rather than Lucene's minimal-interval
+        algebra — the matched DOC SET coincides for these rule shapes
+        (documented deviation).  Requires a positional index."""
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        node = self._intervals_to_span(rule, an)
+        return self.span_query(node, field=field, k=k, analyzer=analyzer)
+
+    def intervals_query_sharded(self, field: str, rule: dict, k: int = 10,
+                                analyzer: str | None = None
+                                ) -> list[tuple[int, int]]:
+        """:meth:`intervals_query` per doc shard (pure position counts
+        — no dfs round needed)."""
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        node = self._intervals_to_span(rule, an)
+        return self._exec_doc_sharded(
+            "span_query",
+            dict(expr=node, field=field, k=k, analyzer=analyzer), k)
+
     @staticmethod
     def _sloppy_count(shifted: list[np.ndarray], slop: int) -> int:
         """Number of windows where one position per term fits in a

@@ -386,3 +386,29 @@ def test_combined_fields_requires_sidecar(pair):
     s_term, _, _, _ = pair
     with pytest.raises(ValueError, match="store_doclens"):
         s_term.combined_fields("spark", ["content"], k=5)
+
+
+def test_intervals_translation_contracts(pair):
+    """intervals -> span translation: single-token match = span_term;
+    unbounded max_gaps; unsupported kinds raise named errors."""
+    s_term, _, _, _ = pair
+    an = lambda t: t.split()
+    one = Searcher._intervals_to_span({"match": {"query": "spark"}}, an)
+    assert one == {"span_term": "spark"}
+    near = Searcher._intervals_to_span(
+        {"match": {"query": "spark join", "ordered": True}}, an)
+    assert near["span_near"]["slop"] == Searcher._INTERVALS_UNBOUNDED
+    assert near["span_near"]["in_order"] is True
+    allof = Searcher._intervals_to_span(
+        {"all_of": {"intervals": [{"match": {"query": "spark"}},
+                                  {"any_of": {"intervals": [
+                                      {"match": {"query": "join"}},
+                                      {"match": {"query": "sort"}}]}}],
+                    "max_gaps": 1, "ordered": True}}, an)
+    assert allof["span_near"]["clauses"][1]["span_or"]
+    with pytest.raises(ValueError, match="not supported"):
+        Searcher._intervals_to_span({"prefix": {"prefix": "sp"}}, an)
+    with pytest.raises(ValueError, match="empty query"):
+        Searcher._intervals_to_span({"match": {"query": ""}}, an)
+    with pytest.raises(ValueError, match="requires intervals"):
+        Searcher._intervals_to_span({"any_of": {"intervals": []}}, an)
