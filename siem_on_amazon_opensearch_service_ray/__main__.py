@@ -143,7 +143,8 @@ def main(argv: list[str] | None = None) -> int:
     ag.add_argument("--agg", required=True,
                     choices=["terms", "rare", "cardinality", "histogram",
                              "stats", "sigterms", "sig_text", "ranks",
-                             "ip_range", "date_range", "weighted_avg",
+                             "ip_range", "ip_prefix", "date_range",
+                             "weighted_avg",
                              "matrix_stats", "multi_terms",
                              "geo_distance", "sampler", "geotile",
                              "geo_bounds", "boxplot", "string_stats",
@@ -158,6 +159,8 @@ def main(argv: list[str] | None = None) -> int:
                          "expression reads (repeatable)")
     ag.add_argument("--t-test-type", default="paired",
                     choices=["paired", "heteroscedastic"])
+    ag.add_argument("--prefix-length", type=int, default=24,
+                    help="ip_prefix: network prefix bits (default 24)")
     ag.add_argument("--precision", type=int, default=7,
                     help="geotile zoom level (tiles are z/x/y keys)")
     ag.add_argument("--origin", default="0,0", metavar="LAT,LON",
@@ -537,6 +540,12 @@ def main(argv: list[str] | None = None) -> int:
                         res = searcher.matrix_stats(
                             args.query, (args.agg_field, args.agg_field2),
                             args.field, args.mode)
+                elif args.agg == "ip_prefix":
+                    res = [{"bucket": b_, "count": n} for b_, n in
+                           searcher.ip_prefix_aggregation(
+                               args.query, args.agg_field,
+                               args.prefix_length, args.field,
+                               args.mode)]
                 elif args.agg in ("ip_range", "date_range"):
                     ranges: list = []
                     for part in args.ranges.split(","):

@@ -3755,6 +3755,37 @@ GROUP BY r.bucket
 """
 
 
+def search_ip_prefix(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``ip_prefix`` aggregation (/12 buckets) over the
+    docs matching click OR purchase — the per-shard distinct-ip census
+    ships, masking + bucket sum run driver-side over distinct values."""
+    s = Searcher(_events_ip_index(sf_dir),
+                 use_actors=ray.is_initialized())
+    try:
+        agg = s.ip_prefix_aggregation("click purchase", "ip", 12)
+    finally:
+        s.close()
+    return pd.DataFrame({"bucket": [b for b, _ in agg],
+                         "n": np.array([n for _, n in agg], np.int64)})
+
+
+# /12 mask keeps the top 12 bits: shift 20 — the fixture ips are
+# 10.X.0.1 (X = user_id % 200), so buckets are 10.(16*(X//16)).0.0
+SEARCH_IP_PREFIX_SQL = """
+WITH v AS (
+  SELECT 167772160 + (user_id % 200) * 65536 + 1 AS ip_int
+  FROM events WHERE event_type IN ('click', 'purchase')),
+b AS (SELECT (ip_int >> 20) << 20 AS net, count(*) AS n
+      FROM v GROUP BY 1)
+SELECT concat(cast(net >> 24 AS VARCHAR), '.',
+              cast((net >> 16) & 255 AS VARCHAR), '.',
+              cast((net >> 8) & 255 AS VARCHAR), '.',
+              cast(net & 255 AS VARCHAR)) AS bucket,
+       cast(n AS BIGINT) AS n
+FROM b ORDER BY net
+"""
+
+
 _DATE_RANGES = [(None, "2024-01-10"), ("2024-01-10", "2024-01-20"),
                 ("2024-01-20", None)]
 
@@ -5231,6 +5262,7 @@ def queries() -> dict:
         "search_match_bool_prefix": search_match_bool_prefix,
         "search_combined_fields": search_combined_fields,
         "search_intervals": search_intervals,
+        "search_ip_prefix": search_ip_prefix,
         "dsl_request": dsl_request,
         "percolate_docs_rules": percolate_docs_rules,
         "search_simple_qs": search_simple_qs,
@@ -5375,6 +5407,7 @@ def oracle_sql() -> dict:
         "search_match_bool_prefix": SEARCH_MATCH_BOOL_PREFIX_SQL,
         "search_combined_fields": SEARCH_COMBINED_FIELDS_SQL,
         "search_intervals": SEARCH_INTERVALS_SQL,
+        "search_ip_prefix": SEARCH_IP_PREFIX_SQL,
         "dsl_request": DSL_REQUEST_SQL,
         "percolate_docs_rules": PERCOLATE_SQL,
         "search_simple_qs": SEARCH_SIMPLE_QS_SQL,

@@ -19,7 +19,8 @@ all_of lowered onto the span algebra), more_like_this.
 Supported aggregations: terms, multi_terms, rare_terms,
 significant_terms, significant_text, sampler/diversified_sampler,
 cardinality, value_count, histogram, date_histogram
-(fixed_interval), range, date_range, ip_range, filters, composite,
+(fixed_interval), range, date_range, ip_range, ip_prefix, filters,
+composite,
 adjacency_matrix, auto_date_histogram, stats, extended_stats,
 percentiles, percentile_ranks, median_absolute_deviation, boxplot,
 string_stats, t_test, weighted_avg, matrix_stats, top_hits,
@@ -470,6 +471,13 @@ def _exec_agg(s, name: str, spec: dict, qctx: tuple[str, str, str]
                 for r in body["ranges"]]
         rows = s.ip_range_aggregation(text, body["field"], rngs,
                                       qfield, mode)
+        return {"buckets": [{"key": k, "doc_count": n}
+                            for k, n in rows]}
+    if kind == "ip_prefix":
+        rows = s.ip_prefix_aggregation(
+            text, body["field"], int(body["prefix_length"]), qfield, mode,
+            is_ipv6=bool(body.get("is_ipv6", False)),
+            min_doc_count=int(body.get("min_doc_count", 1)))
         return {"buckets": [{"key": k, "doc_count": n}
                             for k, n in rows]}
     if kind == "filters":

@@ -5211,6 +5211,44 @@ class Searcher:
             out.append((label, total))
         return out
 
+    def ip_prefix_aggregation(self, query: str, ip_field: str,
+                              prefix_length: int, field: str = "content",
+                              mode: str = "or",
+                              analyzer: str | None = None,
+                              is_ipv6: bool = False,
+                              min_doc_count: int = 1
+                              ) -> list[tuple[str, int]]:
+        """OpenSearch ``ip_prefix`` aggregation over a keyword ip
+        field: bucket the match set by the ``prefix_length``-bit
+        network prefix; bucket key = the masked network address
+        string, buckets ordered by key ascending, buckets under
+        ``min_doc_count`` omitted (OpenSearch default 1).  Mixed
+        families are filtered by ``is_ipv6`` (the OpenSearch
+        parameter).  Execution reuses the terms-aggregation census
+        (per-shard (value, count) partials on doc layouts — the
+        distinct-ip census ships, never doc ids); masking and the
+        bucket sum are a driver-side pass over distinct values."""
+        import ipaddress
+        bits = 128 if is_ipv6 else 32
+        if not 0 <= int(prefix_length) <= bits:
+            raise ValueError(f"prefix_length must be in [0, {bits}]")
+        shift = bits - int(prefix_length)
+        census = self.terms_aggregation(query, ip_field, field=field,
+                                        mode=mode, analyzer=analyzer)
+        agg: dict[int, int] = {}
+        for v, n in census:
+            try:
+                a = ipaddress.ip_address(v)
+            except ValueError:
+                continue
+            if (a.version == 6) != bool(is_ipv6):
+                continue
+            key = (int(a) >> shift) << shift
+            agg[key] = agg.get(key, 0) + int(n)
+        return [(str(ipaddress.ip_address(ki)
+                     if not is_ipv6 else ipaddress.IPv6Address(ki)), n)
+                for ki, n in sorted(agg.items()) if n >= min_doc_count]
+
     def _comoments_all(self, query: str, f1: str, f2: str, field: str,
                        mode: str, analyzer: str | None) -> dict:
         """Merged co-moments over the match set's docs having BOTH
