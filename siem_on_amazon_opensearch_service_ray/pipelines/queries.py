@@ -3786,6 +3786,41 @@ FROM b ORDER BY net
 """
 
 
+def search_categorize_text(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``categorize_text``: log-template clustering over a
+    deterministic syslog-like message derived from the events table
+    (same derivation restated in the oracle).  Templating is one
+    vectorized map stage (lowercase, separator collapse, digit-token
+    -> <n> mask, 10-token head); counts pre-aggregate per block before
+    the small category groupby — only (category, partial_count) rows
+    shuffle."""
+    from ..stages.textops import categorize_text
+
+    ds = _t_ds(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        et = batch.column("event_type").to_pylist()
+        msg = [f"User {u} did {t}, sess s{u % 5}x code {e % 7}!"
+               for u, t, e in zip(uid, et, eid)]
+        return pa.table({"text": pa.array(msg, pa.string())})
+
+    out = categorize_text(ds.map_batches(mk, batch_format="pyarrow"),
+                          "text").to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["n", "category"],
+                           ascending=[False, True],
+                           kind="mergesort").reset_index(drop=True)
+
+
+SEARCH_CATEGORIZE_SQL = """
+SELECT 'user <n> did ' || event_type || ' sess <n> code <n>' AS category,
+       cast(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type ORDER BY n DESC, category
+"""
+
+
 _DATE_RANGES = [(None, "2024-01-10"), ("2024-01-10", "2024-01-20"),
                 ("2024-01-20", None)]
 
@@ -5263,6 +5298,7 @@ def queries() -> dict:
         "search_combined_fields": search_combined_fields,
         "search_intervals": search_intervals,
         "search_ip_prefix": search_ip_prefix,
+        "search_categorize_text": search_categorize_text,
         "dsl_request": dsl_request,
         "percolate_docs_rules": percolate_docs_rules,
         "search_simple_qs": search_simple_qs,
@@ -5408,6 +5444,7 @@ def oracle_sql() -> dict:
         "search_combined_fields": SEARCH_COMBINED_FIELDS_SQL,
         "search_intervals": SEARCH_INTERVALS_SQL,
         "search_ip_prefix": SEARCH_IP_PREFIX_SQL,
+        "search_categorize_text": SEARCH_CATEGORIZE_SQL,
         "dsl_request": DSL_REQUEST_SQL,
         "percolate_docs_rules": PERCOLATE_SQL,
         "search_simple_qs": SEARCH_SIMPLE_QS_SQL,

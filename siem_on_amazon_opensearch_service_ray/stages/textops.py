@@ -149,3 +149,53 @@ class Fingerprint:
             sketches.append([int(x) for x in smallest.astype(np.int64)])
         return batch.append_column(
             "fingerprint", pa.array(sketches, pa.list_(pa.int64())))
+
+
+# categorize_text masking: a token containing any digit collapses to
+# <n> (OpenSearch's categorize_text masks numbers the same way before
+# its token-tree clustering; the deterministic variant here IS the
+# category definition, so a SQL oracle can restate it exactly)
+_CAT_SEP_RE = re.compile(r"[^a-z0-9_]+")
+_CAT_NUM_RE = re.compile(r"(?<![a-z0-9_])[a-z0-9_]*[0-9][a-z0-9_]*"
+                         r"(?![a-z0-9_])")
+
+
+def categorize_template(batch: pa.Table, text_col: str = "text",
+                        out_col: str = "category",
+                        max_tokens: int = 10) -> pa.Table:
+    """Per-row log template (the deterministic core of OpenSearch
+    ``categorize_text``): lowercase, collapse separators, mask every
+    digit-bearing token to ``<n>``, keep the first ``max_tokens``
+    tokens.  Vectorized pandas str kernels over compiled regexes —
+    one map_batches stage, no shuffle."""
+    import pandas as pd
+    s = pd.Series(batch.column(text_col).to_pylist(), dtype="object")
+    s = s.fillna("").str.lower()
+    s = s.str.replace(_CAT_SEP_RE, " ", regex=True).str.strip()
+    s = s.str.replace(_CAT_NUM_RE, "<n>", regex=True)
+    if max_tokens > 0:
+        trunc = re.compile(r"^((?:\S+ ){0,%d}\S+).*$" % (max_tokens - 1))
+        s = s.str.replace(trunc, r"\1", regex=True)
+    return batch.append_column(out_col, pa.array(s.tolist(), pa.string()))
+
+
+def categorize_text(ds, text_col: str = "text", max_tokens: int = 10):
+    """OpenSearch ``categorize_text`` aggregation, Ray-Data-shaped:
+    template each row (one vectorized map stage), then count per
+    category with a partial pre-aggregation inside each block before
+    the small groupby — at 100 TB only (category, partial_count) rows
+    enter the shuffle, bounded by the distinct-template count per
+    block.  Returns a Dataset[(category, n)]."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = categorize_template(batch, text_col, "category", max_tokens)
+        g = t.group_by("category").aggregate([("category", "count")])
+        return pa.table({"category": g.column("category"),
+                         "n": pc.cast(g.column("category_count"),
+                                      pa.int64())})
+
+    from ray.data.aggregate import Sum
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("category").aggregate(Sum("n", alias_name="n")))
+    return out

@@ -358,3 +358,25 @@ def test_mixture_sampler_epochs(ray_session):
     assert 60 <= len(out3) <= 140
     with pytest.raises(ValueError, match="non-negative"):
         mixture_sample(ds, {"a": -1})
+
+
+def test_categorize_text_masks_and_counts(ray_session):
+    """categorize_text: digit-bearing tokens mask to <n>, separators
+    collapse, 10-token head truncates, counts sum across blocks."""
+    import ray.data as rd
+    from siem_on_amazon_opensearch_service_ray.stages.textops import (
+        categorize_template, categorize_text)
+    rows = (["ERROR 503 at /api/v2/users: retry 4"] * 7
+            + ["ERROR 404 at /api/v2/items: retry 9"] * 7
+            + ["disk sda1 healthy"] * 3)
+    ds = rd.from_items([{"text": t} for t in rows]).repartition(4)
+    got = {r["category"]: r["n"] for r in categorize_text(ds, "text").take_all()}
+    assert got == {"error <n> at api <n> users retry <n>": 7,
+                   "error <n> at api <n> items retry <n>": 7,
+                   "disk <n> healthy": 3}
+    # truncation + null handling at the template level
+    import pyarrow as pa
+    b = pa.table({"text": [" ".join(f"t{i}" if i == 0 else f"w{chr(97+i)}x"
+                                    for i in range(15)), None]})
+    out = categorize_template(b, max_tokens=4).column("category").to_pylist()
+    assert out[0].count(" ") == 3 and out[1] == ""
