@@ -5214,6 +5214,114 @@ ORDER BY doc_id, rule_id
 """
 
 
+def dsl_count(sf_dir: str) -> pd.DataFrame:
+    """The OpenSearch ``_count`` API surface: or-match, and-match and
+    match_all counts through ``execute_count`` against the doc-sharded
+    index — match counts travel as one int per shard, never ids."""
+    from ..state.dsl import execute_count
+    s = Searcher(_doc_sharded_index(sf_dir), use_actors=ray.is_initialized())
+    try:
+        n_or = execute_count(s, {"query": {"match": {
+            "content": BM25_QUERY}}})["count"]
+        n_and = execute_count(s, {"query": {"match": {"content": {
+            "query": BM25_QUERY, "operator": "and"}}}})["count"]
+        n_all = execute_count(s, {})["count"]
+    finally:
+        s.close()
+    return pd.DataFrame({"which": ["all", "and", "or"],
+                         "n": np.array([n_all, n_and, n_or], np.int64)})
+
+
+DSL_COUNT_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+o AS (SELECT count(DISTINCT doc_id) AS n FROM tok
+      WHERE term IN ('spark', 'join')),
+a AS (SELECT count(*) AS n FROM (
+        SELECT doc_id FROM tok WHERE term IN ('spark', 'join')
+        GROUP BY doc_id HAVING count(DISTINCT term) = 2)),
+al AS (SELECT count(*) AS n FROM documents)
+SELECT 'all' AS which, cast(al.n AS BIGINT) AS n FROM al
+UNION ALL SELECT 'and', cast(a.n AS BIGINT) FROM a
+UNION ALL SELECT 'or', cast(o.n AS BIGINT) FROM o
+ORDER BY which
+"""
+
+
+def dsl_msearch(sf_dir: str) -> pd.DataFrame:
+    """The OpenSearch ``_msearch`` surface: NDJSON-style header+body
+    pairs execute in order, and a failing body yields a per-item
+    error slot instead of failing the batch."""
+    from ..state.dsl import execute_msearch
+    s = Searcher(_doc_sharded_index(sf_dir), use_actors=ray.is_initialized())
+    try:
+        resp = execute_msearch(s, [
+            {"index": "docs"},
+            {"query": {"match": {"content": "window"}}, "size": 5},
+            {},
+            {"query": {"match": {"content": "customer"}}, "size": 5},
+            {},
+            {"query": {"unsupported_node": {}}, "size": 1},
+        ])
+    finally:
+        s.close()
+    rows = []
+    for i, r in enumerate(resp["responses"]):
+        if "error" in r:
+            rows.append((i, "error", -1))
+        else:
+            rows.extend((i, str(h["_id"]),
+                         int(_round_away(h["_score"] * 10000)))
+                        for h in r["hits"]["hits"])
+    out = pd.DataFrame({"req": np.array([r[0] for r in rows], np.int64),
+                        "key": [r[1] for r in rows],
+                        "value": np.array([r[2] for r in rows], np.int64)})
+    return out.sort_values(["req", "value", "key"],
+                           ascending=[True, False, True],
+                           kind="mergesort").reset_index(drop=True)
+
+
+DSL_MSEARCH_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+dl AS (SELECT d.doc_id, count(t.term) AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+dlq AS (SELECT doc_id, dl,
+               CASE WHEN dl < 8 THEN dl
+                    ELSE (dl >> (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3))
+                         << (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3) END AS dl_quant
+        FROM dl),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf1 AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'window'
+        GROUP BY doc_id),
+df1 AS (SELECT count(*) AS df FROM tf1),
+s1 AS (SELECT doc_id,
+              ln(1 + (st.n - df1.df + 0.5)/(df1.df + 0.5)) * tf * 2.2
+              / (tf + 1.2*(1 - 0.75 + 0.75*dlq.dl_quant/st.avgdl)) AS score
+       FROM tf1 JOIN dlq USING(doc_id) CROSS JOIN stats st CROSS JOIN df1),
+t1 AS (SELECT 0 AS req, cast(doc_id AS VARCHAR) AS key,
+              cast(round(score*10000) AS BIGINT) AS value
+       FROM s1 ORDER BY score DESC, doc_id LIMIT 5),
+tf2 AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'customer'
+        GROUP BY doc_id),
+df2 AS (SELECT count(*) AS df FROM tf2),
+s2 AS (SELECT doc_id,
+              ln(1 + (st.n - df2.df + 0.5)/(df2.df + 0.5)) * tf * 2.2
+              / (tf + 1.2*(1 - 0.75 + 0.75*dlq.dl_quant/st.avgdl)) AS score
+       FROM tf2 JOIN dlq USING(doc_id) CROSS JOIN stats st CROSS JOIN df2),
+t2 AS (SELECT 1 AS req, cast(doc_id AS VARCHAR) AS key,
+              cast(round(score*10000) AS BIGINT) AS value
+       FROM s2 ORDER BY score DESC, doc_id LIMIT 5)
+SELECT * FROM t1
+UNION ALL SELECT * FROM t2
+UNION ALL SELECT 2, 'error', -1
+ORDER BY req, value DESC, key
+"""
+
+
 def dsl_request(sf_dir: str) -> pd.DataFrame:
     """The OpenSearch JSON `_search` surface end-to-end: one request
     body with a match query, a terms agg and a stats agg executes
@@ -5299,6 +5407,8 @@ def queries() -> dict:
         "search_intervals": search_intervals,
         "search_ip_prefix": search_ip_prefix,
         "search_categorize_text": search_categorize_text,
+        "dsl_count": dsl_count,
+        "dsl_msearch": dsl_msearch,
         "dsl_request": dsl_request,
         "percolate_docs_rules": percolate_docs_rules,
         "search_simple_qs": search_simple_qs,
@@ -5445,6 +5555,8 @@ def oracle_sql() -> dict:
         "search_intervals": SEARCH_INTERVALS_SQL,
         "search_ip_prefix": SEARCH_IP_PREFIX_SQL,
         "search_categorize_text": SEARCH_CATEGORIZE_SQL,
+        "dsl_count": DSL_COUNT_SQL,
+        "dsl_msearch": DSL_MSEARCH_SQL,
         "dsl_request": DSL_REQUEST_SQL,
         "percolate_docs_rules": PERCOLATE_SQL,
         "search_simple_qs": SEARCH_SIMPLE_QS_SQL,

@@ -51,7 +51,7 @@ from __future__ import annotations
 
 from typing import Any
 
-__all__ = ["execute_dsl"]
+__all__ = ["execute_dsl", "execute_count", "execute_msearch"]
 
 
 def _sharded(s) -> bool:
@@ -133,6 +133,12 @@ def _exec_query(s, query: dict, size: int,
                                               k=size, slop=slop)]
         return _pick(s, "phrase_search_scored")(text, field=field,
                                                 k=size)
+    if kind == "wrapper":
+        import base64
+        import json as _json
+        b64 = spec["query"] if isinstance(spec, dict) else spec
+        inner = _json.loads(base64.b64decode(b64))
+        return _exec_query(s, inner, size, collapse)
     if kind == "intervals":
         field, rule = _one(spec, "intervals")
         return [(float(n), d) for n, d in
@@ -602,6 +608,41 @@ def _exec_agg(s, name: str, spec: dict, qctx: tuple[str, str, str]
             text, tuple(body.get("fields", ())), body["map_script"],
             body.get("reduce_script", "state"), qfield, mode)
     raise ValueError(f"unsupported aggregation {kind!r}")
+
+
+def execute_count(searcher, body: dict) -> dict:
+    """OpenSearch ``_count`` API: ``{"query": {...}}`` ->
+    ``{"count": N}``.  Match queries count per shard (one int per
+    shard travels — see Searcher.match_count); every other supported
+    node counts its executed match set."""
+    query = body.get("query")
+    if query is None or "match_all" in query:
+        return {"count": int(searcher.stats["n_docs"])
+                - int(searcher.tombstones.size)}
+    if "match" in query:
+        f, text, op = _match_text(query)
+        return {"count": int(searcher.match_count(
+            text, field=f, mode="and" if op == "and" else "or"))}
+    return {"count": len(_exec_query(searcher, query, 1 << 31))}
+
+
+def execute_msearch(searcher, lines: list[dict]) -> dict:
+    """OpenSearch ``_msearch``: a list of request bodies (NDJSON-style
+    header lines — ``{}`` or ``{"index": ...}`` — are accepted and
+    skipped) -> ``{"responses": [...]}`` in request order.  A failing
+    body becomes ``{"error": ...}`` in its slot instead of failing the
+    batch (OpenSearch per-item error parity)."""
+    bodies = [ln for ln in lines
+              if isinstance(ln, dict)
+              and not set(ln) <= {"index", "preference", "routing"}]
+    out = []
+    for b in bodies:
+        try:
+            out.append(execute_dsl(searcher, b))
+        except ValueError as exc:
+            out.append({"error": {"type": "illegal_argument_exception",
+                                  "reason": str(exc)}})
+    return {"responses": out}
 
 
 def execute_dsl(searcher, body: dict) -> dict:

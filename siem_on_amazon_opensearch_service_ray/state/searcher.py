@@ -2722,6 +2722,30 @@ class Searcher:
             return None
         return _pa.concat_tables(tables)
 
+    def _local_match_count(self, field: str, q_terms: list[str],
+                           mode: str) -> int:
+        """Live match-set size over this searcher's doc slice."""
+        return int(self._match_ids(field, q_terms, mode).size)
+
+    def match_count(self, query: str, field: str = "content",
+                    mode: str = "or", analyzer: str | None = None) -> int:
+        """OpenSearch ``_count`` for a match query: the match-set size,
+        never the matches.  Doc layout with actors: per-shard local
+        counts (one int per shard) summed here — match ids never leave
+        their shard; otherwise one driver-side set-algebra pass."""
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        q_terms = an(query)
+        if not q_terms:
+            return 0
+        if self._partition_by == "doc" and self._local_parts is None \
+                and self.use_actors:
+            return sum(ray.get([
+                a.exec_local.remote("_local_match_count",
+                                    dict(field=field, q_terms=q_terms,
+                                         mode=mode), None)
+                for a in self.actors]))
+        return self._local_match_count(field, q_terms, mode)
+
     def _doclens(self, field: str) -> tuple[np.ndarray, np.ndarray]:
         """(sorted doc_ids int64, raw dl int64) for ``field`` from the
         ``__dl_<field>`` docstore sidecar (store_doclens=True builds),

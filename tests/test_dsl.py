@@ -269,3 +269,38 @@ def test_dsl_highlight(dsl_s, hl_s):
                                           "post_tags": ["**"]}})
     assert all("**join**" in h["highlight"]["content"][0]
                for h in r2["hits"]["hits"])
+
+
+def test_dsl_count_msearch_wrapper(dsl_s):
+    """_count / _msearch / wrapper surfaces against direct engine calls."""
+    import base64
+    import json
+    s = dsl_s
+    from siem_on_amazon_opensearch_service_ray.state.dsl import (
+        execute_count, execute_msearch)
+    n = execute_count(s, {"query": {"match": {"content": "spark"}}})
+    assert n["count"] == s.match_count("spark")
+    assert execute_count(s, {})["count"] == int(s.stats["n_docs"])
+    both = execute_count(s, {"query": {"match": {"content": {
+        "query": "spark join", "operator": "and"}}}})["count"]
+    assert both == s.match_count("spark join", mode="and") <= \
+        s.match_count("spark join")
+    # non-match nodes count their executed match set
+    ids_n = execute_count(s, {"query": {"ids": {"values": [1, 2, 999999]}}})
+    assert ids_n["count"] == 2
+    # msearch: order kept, headers skipped, per-item error isolation
+    r = execute_msearch(s, [
+        {"index": "x"}, {"query": {"match": {"content": "spark"}}, "size": 3},
+        {}, {"query": {"bogus": {}}},
+        {"query": {"match": {"content": "join"}}, "size": 2},
+    ])
+    assert len(r["responses"]) == 3
+    assert len(r["responses"][0]["hits"]["hits"]) == 3
+    assert "error" in r["responses"][1]
+    assert len(r["responses"][2]["hits"]["hits"]) == 2
+    # wrapper: base64 body executes as the inner node
+    inner = {"match": {"content": "spark join"}}
+    b64 = base64.b64encode(json.dumps(inner).encode()).decode()
+    rw = execute_dsl(s, {"query": {"wrapper": {"query": b64}}, "size": 5})
+    rp = execute_dsl(s, {"query": inner, "size": 5})
+    assert rw["hits"] == rp["hits"]

@@ -104,7 +104,8 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "search_simple_qs", "percolate_docs_rules", "dsl_request",
               "search_highlight", "search_match_bool_prefix",
               "search_combined_fields", "search_intervals", "search_ip_prefix",
-              "search_categorize_text"]
+              "search_categorize_text",
+              "dsl_count", "dsl_msearch"]
 
 
 @pytest.mark.parametrize("name", SQL_BACKED)
