@@ -4401,6 +4401,60 @@ ORDER BY score DESC, doc_id LIMIT {BM25_K}
 _GEO_RANGES = [(None, 2000.0), (2000.0, 5000.0), (5000.0, None)]
 
 
+def search_geo_bbox(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``geo_bounding_box`` query (filter context around a
+    match): BM25 over docs whose grid point lies inside the box — two
+    binary-search probes into each shard's value-sorted range tables,
+    global idf untouched by the filter.  Box edges sit off the 0.3/0.7
+    coordinate grid so float boundary ties cannot occur."""
+    s = Searcher(_docs_aux_index(sf_dir), use_actors=ray.is_initialized())
+    try:
+        args = (BM25_QUERY, "lat", "lon", (20.05, -50.05),
+                (-10.05, 30.05))
+        hits = s.geo_bounding_box_search_sharded(*args, k=BM25_K) \
+            if ray.is_initialized() else \
+            s.geo_bounding_box_search(*args, k=BM25_K)
+    finally:
+        s.close()
+    return _score_frame(hits)
+
+
+SEARCH_GEO_BBOX_SQL = _bm25_sql(
+    base_tokens(BM25_QUERY), BM25_K,
+    final_where=("WHERE doc_id IN (SELECT doc_id FROM documents WHERE "
+                 "-30.0 + (doc_id % 200) * 0.3 BETWEEN -10.05 AND 20.05 "
+                 "AND -70.0 + (doc_id % 200) * 0.7 "
+                 "BETWEEN -50.05 AND 30.05)"))
+
+
+def search_geo_distance_query(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``geo_distance`` query (filter context): BM25 over
+    docs within 2,000 km (haversine arc) of the origin — a latitude
+    -band range probe prefilters, the exact kernel runs on the band.
+    2,000 km is a ring edge of the agg fixture, inheriting its
+    >= 6.7 km grid-to-edge safety margin."""
+    s = Searcher(_docs_aux_index(sf_dir), use_actors=ray.is_initialized())
+    try:
+        args = (BM25_QUERY, "lat", "lon", (0.0, 0.0), 2000.0)
+        hits = s.geo_distance_search_sharded(*args, k=BM25_K) \
+            if ray.is_initialized() else \
+            s.geo_distance_search(*args, k=BM25_K)
+    finally:
+        s.close()
+    return _score_frame(hits)
+
+
+SEARCH_GEO_DIST_QUERY_SQL = _bm25_sql(
+    base_tokens(BM25_QUERY), BM25_K,
+    final_where=("WHERE doc_id IN (SELECT doc_id FROM ("
+                 "SELECT doc_id, 2*6371.0*asin(sqrt("
+                 "pow(sin(radians((-30.0 + (doc_id % 200) * 0.3) - 0.0)/2), 2)"
+                 " + cos(radians(0.0))"
+                 "*cos(radians(-30.0 + (doc_id % 200) * 0.3))"
+                 "*pow(sin(radians((-70.0 + (doc_id % 200) * 0.7) - 0.0)/2), 2)"
+                 ")) AS km FROM documents) WHERE km <= 2000.0)"))
+
+
 def search_geo_distance(sf_dir: str) -> pd.DataFrame:
     """OpenSearch ``geo_distance`` aggregation: concentric km rings
     around the origin by haversine distance, geo_point encoded as two
@@ -5407,6 +5461,8 @@ def queries() -> dict:
         "search_intervals": search_intervals,
         "search_ip_prefix": search_ip_prefix,
         "search_categorize_text": search_categorize_text,
+        "search_geo_bbox": search_geo_bbox,
+        "search_geo_distance_query": search_geo_distance_query,
         "dsl_count": dsl_count,
         "dsl_msearch": dsl_msearch,
         "dsl_request": dsl_request,
@@ -5555,6 +5611,8 @@ def oracle_sql() -> dict:
         "search_intervals": SEARCH_INTERVALS_SQL,
         "search_ip_prefix": SEARCH_IP_PREFIX_SQL,
         "search_categorize_text": SEARCH_CATEGORIZE_SQL,
+        "search_geo_bbox": SEARCH_GEO_BBOX_SQL,
+        "search_geo_distance_query": SEARCH_GEO_DIST_QUERY_SQL,
         "dsl_count": DSL_COUNT_SQL,
         "dsl_msearch": DSL_MSEARCH_SQL,
         "dsl_request": DSL_REQUEST_SQL,

@@ -187,9 +187,32 @@ def _exec_query(s, query: dict, size: int,
                 range_field, b = _one(cs, "range")
                 range_lo = b.get("gte", b.get("gt"))
                 range_hi = b.get("lte", b.get("lt"))
+            elif ck in ("geo_bounding_box", "geo_distance"):
+                # geo filters pair with a single match must — route to
+                # the dedicated geo query methods
+                musts = spec.get("must")
+                musts = [musts] if isinstance(musts, dict) else musts or []
+                if len(musts) != 1 or "match" not in musts[0] \
+                        or spec.get("should") or spec.get("must_not"):
+                    raise ValueError(f"bool {ck} filter needs exactly "
+                                     "one match must and no other "
+                                     "clauses")
+                _f, text, _op = _match_text(musts[0])
+                lat_f = cs.get("lat_field", "lat")
+                lon_f = cs.get("lon_field", "lon")
+                if ck == "geo_bounding_box":
+                    fn = _pick(s, "geo_bounding_box_search")
+                    return fn(text, lat_f, lon_f,
+                              tuple(cs["top_left"]),
+                              tuple(cs["bottom_right"]),
+                              field=_f, k=size)
+                fn = _pick(s, "geo_distance_search")
+                return fn(text, lat_f, lon_f, tuple(cs["origin"]),
+                          float(cs["distance_km"]), field=_f, k=size)
             else:
                 raise ValueError(f"bool filter {ck!r} unsupported "
-                                 "(term/range)")
+                                 "(term/range/geo_bounding_box/"
+                                 "geo_distance)")
         fn = _pick(s, "search_bool")
         return fn(must=_texts(spec.get("must")),
                   should=_texts(spec.get("should")),

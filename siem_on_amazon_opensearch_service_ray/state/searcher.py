@@ -4138,6 +4138,77 @@ class Searcher:
         out.sort(key=lambda t: (-t[2], t[0], t[1]))
         return out
 
+    def _filtered_match(self, query: str, field: str, k: int, mode: str,
+                        filt: np.ndarray, analyzer: str | None,
+                        k1: float, b: float) -> list[tuple[float, int]]:
+        """BM25 over the match set restricted to ``filt`` doc ids —
+        the shared tail of the geo filter queries (filters never touch
+        stats, like search()'s range/keyword filters)."""
+        an = self._analyzer_for(field, analyzer)
+        q_terms = ANALYZERS[an](query)
+        if not q_terms or filt.size == 0:
+            return []
+        rows = self._gather(field, q_terms)
+        avgdl = float(self.stats["avgdl"][field])
+        n_docs = int(self.stats["n_docs"])
+        terms = prepare_terms(q_terms, rows, n_docs, avgdl, k1, b,
+                              idf_by_term=self._idf_overrides,
+                              exclude_ids=self.tombstones)
+        return _dispatch("auto", terms, k, mode, avgdl, filt, k1, b, None)
+
+    def geo_bounding_box_search(self, query: str, lat_field: str,
+                                lon_field: str,
+                                top_left: tuple[float, float],
+                                bottom_right: tuple[float, float],
+                                field: str = "content", k: int = 10,
+                                mode: str = "or",
+                                analyzer: str | None = None,
+                                k1: float = K1, b: float = B
+                                ) -> list[tuple[float, int]]:
+        """OpenSearch ``geo_bounding_box`` query in filter context
+        around a match query: BM25-score only docs whose (lat, lon)
+        point lies inside the box.  The box probes the value-sorted
+        range tables by binary search (two probes) — no distance math,
+        no stats perturbation (filters never touch idf/avgdl)."""
+        tl_lat, tl_lon = float(top_left[0]), float(top_left[1])
+        br_lat, br_lon = float(bottom_right[0]), float(bottom_right[1])
+        rl = self._range_ids(lat_field, br_lat, tl_lat)
+        rg = self._range_ids(lon_field, tl_lon, br_lon)
+        filt = np.intersect1d(rl, rg, assume_unique=True)
+        return self._filtered_match(query, field, k, mode, filt,
+                                    analyzer, k1, b)
+
+    def geo_distance_search(self, query: str, lat_field: str,
+                            lon_field: str, origin: tuple[float, float],
+                            distance_km: float, field: str = "content",
+                            k: int = 10, mode: str = "or",
+                            analyzer: str | None = None,
+                            k1: float = K1, b: float = B
+                            ) -> list[tuple[float, int]]:
+        """OpenSearch ``geo_distance`` query in filter context: BM25
+        over docs within ``distance_km`` (haversine arc, R=6371) of
+        ``origin``.  A latitude-band range probe prefilters (|Δφ| <=
+        d/111.195 km-per-degree), then the exact haversine runs on the
+        band's aligned values only — the same kernel order as the
+        geo_distance aggregation so engine and SQL agree bitwise."""
+        olat, olon = float(origin[0]), float(origin[1])
+        dlat = float(distance_km) / 111.195
+        band = self._range_ids(lat_field, olat - dlat, olat + dlat)
+        if band.size == 0:
+            return []
+        cand = np.sort(band.astype(np.uint64))
+        la, ha, lo_, hb = _aligned_field_values(
+            self.index_dir, cand, (lat_field, lon_field),
+            self._local_parts)
+        m = ha & hb
+        if m.any():
+            dist = _haversine_km(la[m], lo_[m], olat, olon)
+            filt = cand[m][dist <= float(distance_km)]
+        else:
+            filt = np.zeros(0, np.uint64)
+        return self._filtered_match(query, field, k, mode, filt,
+                                    analyzer, k1, b)
+
     def geo_distance_aggregation(self, query: str,
                                  lat_field: str, lon_field: str,
                                  origin: tuple[float, float],
@@ -6385,6 +6456,39 @@ class Searcher:
                  tie_breaker=tie_breaker, analyzer=analyzer, k1=k1, b=b,
                  _idf_by_field=idf_by_field),
             k)
+
+    def geo_bounding_box_search_sharded(
+            self, query: str, lat_field: str, lon_field: str,
+            top_left: tuple[float, float],
+            bottom_right: tuple[float, float], field: str = "content",
+            k: int = 10, mode: str = "or", analyzer: str | None = None,
+            k1: float = K1, b: float = B) -> list[tuple[float, int]]:
+        """:meth:`geo_bounding_box_search` per doc shard: each shard
+        probes only its own range tables and scores with global idf."""
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        return self._exec_doc_sharded(
+            "geo_bounding_box_search",
+            dict(query=query, lat_field=lat_field, lon_field=lon_field,
+                 top_left=top_left, bottom_right=bottom_right,
+                 field=field, k=k, mode=mode, analyzer=analyzer,
+                 k1=k1, b=b),
+            k, idf_terms=an(query), field=field)
+
+    def geo_distance_search_sharded(
+            self, query: str, lat_field: str, lon_field: str,
+            origin: tuple[float, float], distance_km: float,
+            field: str = "content", k: int = 10, mode: str = "or",
+            analyzer: str | None = None,
+            k1: float = K1, b: float = B) -> list[tuple[float, int]]:
+        """:meth:`geo_distance_search` per doc shard — the haversine
+        runs on each shard's own latitude band."""
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        return self._exec_doc_sharded(
+            "geo_distance_search",
+            dict(query=query, lat_field=lat_field, lon_field=lon_field,
+                 origin=origin, distance_km=distance_km, field=field,
+                 k=k, mode=mode, analyzer=analyzer, k1=k1, b=b),
+            k, idf_terms=an(query), field=field)
 
     def combined_fields_sharded(self, query: str, fields: list[str],
                                 k: int = 10, analyzer: str | None = None,

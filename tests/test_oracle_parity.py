@@ -105,7 +105,8 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "search_highlight", "search_match_bool_prefix",
               "search_combined_fields", "search_intervals", "search_ip_prefix",
               "search_categorize_text",
-              "dsl_count", "dsl_msearch"]
+              "dsl_count", "dsl_msearch",
+              "search_geo_bbox", "search_geo_distance_query"]
 
 
 @pytest.mark.parametrize("name", SQL_BACKED)

@@ -412,3 +412,68 @@ def test_intervals_translation_contracts(pair):
         Searcher._intervals_to_span({"match": {"query": ""}}, an)
     with pytest.raises(ValueError, match="requires intervals"):
         Searcher._intervals_to_span({"any_of": {"intervals": []}}, an)
+
+
+def test_geo_queries_cross_layout(pair, tmp_path_factory, ray_session):
+    """geo_bounding_box / geo_distance queries: doc-sharded equals the
+    term-layout driver path, equals a brute-force filtered BM25."""
+    rng = np.random.default_rng(7)
+    docs = [" ".join(VOCAB[int(j)]
+                     for j in rng.integers(0, len(VOCAB),
+                                           int(rng.integers(5, 25))))
+            for _ in range(300)]
+    t = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                  "text": docs,
+                  "lat": pa.array([-40.0 + (i % 100) * 0.9
+                                   for i in range(300)], pa.float64()),
+                  "lon": pa.array([-90.0 + (i % 100) * 1.7
+                                   for i in range(300)], pa.float64())})
+    root = tmp_path_factory.mktemp("geoq")
+    src = str(root / "d.parquet")
+    pq.write_table(t, src)
+    cfg = IndexConfig(num_partitions=4,
+                      fields=(("content", "text", "base"),),
+                      keyword_fields=(), range_fields=("lat", "lon"),
+                      doc_id_col="doc_id", sha_col="text", salting=False,
+                      partition_by="term")
+    term_dir, doc_dir = str(root / "t"), str(root / "d")
+    build_index([src], term_dir, cfg)
+    build_index([src], doc_dir,
+                dataclasses.replace(cfg, partition_by="doc"))
+    s_t = Searcher(term_dir, use_actors=False)
+    s_d = Searcher(doc_dir, use_actors=True)
+    try:
+        box = (("spark join", "lat", "lon", (20.05, -50.05),
+                (-10.05, 30.05)))
+        bt = s_t.geo_bounding_box_search(*box, k=300)
+        bd = s_d.geo_bounding_box_search_sharded(*box, k=300)
+        _same(bd, bt)
+        inside = {i for i in range(300)
+                  if -10.05 <= -40.0 + (i % 100) * 0.9 <= 20.05
+                  and -50.05 <= -90.0 + (i % 100) * 1.7 <= 30.05}
+        ref = [(sc, d) for sc, d in s_t.search("spark join", k=300)
+               if d in inside]
+        _same(bt, ref)
+        dq = ("spark join", "lat", "lon", (0.0, 0.0), 2000.0)
+        dt = s_t.geo_distance_search(*dq, k=300)
+        dd = s_d.geo_distance_search_sharded(*dq, k=300)
+        _same(dd, dt)
+        import math
+        def hav(la, lo):
+            a = (math.sin(math.radians(la) / 2) ** 2
+                 + math.cos(0.0) * math.cos(math.radians(la))
+                 * math.sin(math.radians(lo) / 2) ** 2)
+            return 2 * 6371.0 * math.asin(math.sqrt(a))
+        near = {i for i in range(300)
+                if hav(-40.0 + (i % 100) * 0.9,
+                       -90.0 + (i % 100) * 1.7) <= 2000.0}
+        ref_d = [(sc, d) for sc, d in s_t.search("spark join", k=300)
+                 if d in near]
+        _same(dt, ref_d)
+        # empty band / empty box
+        assert s_t.geo_distance_search("spark", "lat", "lon",
+                                       (89.0, 0.0), 10.0) == []
+        assert s_t.geo_bounding_box_search("spark", "lat", "lon",
+                                           (89.9, 0.0), (89.8, 0.1)) == []
+    finally:
+        s_d.close()
