@@ -5268,6 +5268,36 @@ ORDER BY doc_id, rule_id
 """
 
 
+def dsl_termvectors(sf_dir: str) -> pd.DataFrame:
+    """The OpenSearch ``_termvectors`` API (realtime — computed from
+    the stored ``_source``): term / term_freq / first position for one
+    doc; a single docstore point-read."""
+    s = Searcher(_hl_index(sf_dir), use_actors=ray.is_initialized())
+    try:
+        rows = s.term_vectors(42, field="content")
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "term": [t for t, _, _ in rows],
+        "term_freq": np.array([tf for _, tf, _ in rows], np.int64),
+        "first_pos": np.array([p for _, _, p in rows], np.int64),
+    })
+
+
+# engine positions are 0-based; SQL generate_subscripts is 1-based
+DSL_TERMVECTORS_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1)
+           AS pos
+  FROM documents WHERE doc_id = 42)
+SELECT term, cast(count(*) AS BIGINT) AS term_freq,
+       cast(min(pos) - 1 AS BIGINT) AS first_pos
+FROM tok GROUP BY term ORDER BY term
+"""
+
+
 def dsl_count(sf_dir: str) -> pd.DataFrame:
     """The OpenSearch ``_count`` API surface: or-match, and-match and
     match_all counts through ``execute_count`` against the doc-sharded
@@ -5465,6 +5495,7 @@ def queries() -> dict:
         "search_geo_distance_query": search_geo_distance_query,
         "dsl_count": dsl_count,
         "dsl_msearch": dsl_msearch,
+        "dsl_termvectors": dsl_termvectors,
         "dsl_request": dsl_request,
         "percolate_docs_rules": percolate_docs_rules,
         "search_simple_qs": search_simple_qs,
@@ -5615,6 +5646,7 @@ def oracle_sql() -> dict:
         "search_geo_distance_query": SEARCH_GEO_DIST_QUERY_SQL,
         "dsl_count": DSL_COUNT_SQL,
         "dsl_msearch": DSL_MSEARCH_SQL,
+        "dsl_termvectors": DSL_TERMVECTORS_SQL,
         "dsl_request": DSL_REQUEST_SQL,
         "percolate_docs_rules": PERCOLATE_SQL,
         "search_simple_qs": SEARCH_SIMPLE_QS_SQL,

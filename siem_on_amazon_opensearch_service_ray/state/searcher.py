@@ -2722,6 +2722,31 @@ class Searcher:
             return None
         return _pa.concat_tables(tables)
 
+    def term_vectors(self, doc_id: int, field: str = "content",
+                     analyzer: str | None = None
+                     ) -> list[tuple[str, int, int]]:
+        """OpenSearch ``_termvectors`` (realtime semantics: computed
+        from ``_source`` at request time — requires an index built
+        with ``store_source=True``): fetch the doc, re-analyze with
+        the field's positional analyzer, return
+        ``[(term, term_freq, first_position)]`` sorted by term.
+        One docstore point-read; nothing else moves."""
+        if not self.manifest["config"].get("store_source"):
+            raise ValueError("term_vectors requires an index built with "
+                             "store_source=True (no _source stored)")
+        src_col = self.manifest["config"].get("sha_col", "content")
+        tbl = self.fetch_docs([int(doc_id)], columns=["doc_id", src_col])
+        if tbl is None or tbl.num_rows == 0:
+            return []
+        text = tbl.column(src_col)[0].as_py() or ""
+        an = POSITIONAL_ANALYZERS[self._analyzer_for(field, analyzer)]
+        toks, poss = an(text)
+        stats: dict[str, tuple[int, int]] = {}
+        for t, p in zip(toks, poss):
+            tf, first = stats.get(t, (0, int(p)))
+            stats[t] = (tf + 1, min(first, int(p)))
+        return [(t, tf, first) for t, (tf, first) in sorted(stats.items())]
+
     def _local_match_count(self, field: str, q_terms: list[str],
                            mode: str) -> int:
         """Live match-set size over this searcher's doc slice."""

@@ -304,3 +304,13 @@ def test_dsl_count_msearch_wrapper(dsl_s):
     rw = execute_dsl(s, {"query": {"wrapper": {"query": b64}}, "size": 5})
     rp = execute_dsl(s, {"query": inner, "size": 5})
     assert rw["hits"] == rp["hits"]
+
+
+def test_term_vectors(hl_s, dsl_s):
+    """_termvectors: realtime from _source; tf + first position; guards."""
+    rows = hl_s.term_vectors(3)      # "spark spark join end"
+    assert rows == [("end", 1, 3), ("join", 1, 2), ("spark", 2, 0)]
+    assert hl_s.term_vectors(999999) == []
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="store_source"):
+        dsl_s.term_vectors(0)

@@ -106,7 +106,8 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "search_combined_fields", "search_intervals", "search_ip_prefix",
               "search_categorize_text",
               "dsl_count", "dsl_msearch",
-              "search_geo_bbox", "search_geo_distance_query"]
+              "search_geo_bbox", "search_geo_distance_query",
+              "dsl_termvectors"]
 
 
 @pytest.mark.parametrize("name", SQL_BACKED)
