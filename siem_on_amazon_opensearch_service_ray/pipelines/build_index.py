@@ -106,6 +106,12 @@ class IndexConfig:
     # combined length needs every field's dl even where tf = 0.
     # Costs 8 B/doc/field riding the existing docstore exchange.
     store_doclens: bool = False
+    # source columns holding list<float> embeddings: packed to
+    # float32-LE bytes per doc and stored in the docstore
+    # (``vec_<name>`` large_binary column, riding the same single-read
+    # exchange) — the exact-kNN surface (Searcher.knn_search scores
+    # per doc shard against its own slice).
+    vector_fields: tuple = ()
     # "doc" (DEFAULT — the scale layout): postings partitioned by
     #   doc_id % P — every part is a complete mini-index over its doc
     #   range (OpenSearch doc-shard parity, SURVEY.md §7.1; reference
@@ -645,6 +651,14 @@ class TokenizeFlatten:
             cols["src"] = pa.array(
                 [""] * n_runs + [("\x00N" if s is None else s)
                                  for s in srcs], pa.large_string())
+        for vf in cfg.vector_fields:
+            # embeddings pack to float32-LE bytes (None -> b"")
+            vecs = batch.column(vf).to_pylist()
+            cols[f"vec_{vf}"] = pa.array(
+                [b""] * n_runs
+                + [b"" if v is None else
+                   np.asarray(v, np.float32).tobytes() for v in vecs],
+                pa.large_binary())
         return pa.table(cols)
 
 
@@ -736,6 +750,9 @@ def _write_docstore_group(group: pa.Table, index_dir: str, fp: str,
         arrays[cfg.sha_col] = pa.array(
             [None if s == "\x00N" else s
              for s in group.column("src").to_pylist()], pa.large_string())
+    for vf in cfg.vector_fields:
+        arrays[f"vec_{vf}"] = pa.array(
+            group.column(f"vec_{vf}").to_pylist(), pa.large_binary())
     tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), **arrays})
     idx = pa.compute.sort_indices(tbl, sort_keys=[
         ("doc_id", "ascending"), ("content_sha256", "ascending")])
@@ -997,7 +1014,8 @@ def build_postings(source, index_dir: str, cfg: IndexConfig, fp: str,
     # the new build recomputes the sha — carrying the old column would
     # collide with it
     docstore_cols = [c for c in schema.names
-                     if c not in (cfg.sha_col, "doc_id", "content_sha256")]
+                     if c not in (cfg.sha_col, "doc_id", "content_sha256")
+                     and c not in cfg.vector_fields]
     docstore_types = {n: str(t) for n, t in zip(schema.names, schema.types)
                       if n in docstore_cols}
     if cfg.store_doclens:
@@ -1132,7 +1150,8 @@ def _build_postings_direct(paths: list[str], index_dir: str,
     import ray as _ray
     schema = pq.read_schema(paths[0])
     docstore_cols = [c for c in schema.names
-                     if c not in (cfg.sha_col, "doc_id", "content_sha256")]
+                     if c not in (cfg.sha_col, "doc_id", "content_sha256")
+                     and c not in cfg.vector_fields]
     docstore_types = {n: str(t) for n, t in zip(schema.names, schema.types)
                       if n in docstore_cols}
     if cfg.store_doclens:

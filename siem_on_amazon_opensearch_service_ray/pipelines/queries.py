@@ -5268,6 +5268,78 @@ ORDER BY doc_id, rule_id
 """
 
 
+def _vec_index(sf_dir: str) -> str:
+    """Doc-partitioned index with the float32 vector sidecar: the
+    documents corpus joined to its embeddings (doc_id = vec_id),
+    ``vector_fields=("emb",)`` — the in-index exact-kNN surface."""
+    import dataclasses
+    import pyarrow.parquet as pq
+    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    fx = f"/tmp/sosr_vec_{key}"
+    marker = os.path.join(fx, ".done")
+    if not os.path.exists(marker):
+        os.makedirs(fx, exist_ok=True)
+        d = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        e = pq.read_table(_t(sf_dir, "embeddings"),
+                          columns=["vec_id", "embedding"])
+        emb_of = dict(zip(e.column("vec_id").to_pylist(),
+                          e.column("embedding").to_pylist()))
+        ids = d.column("doc_id").to_pylist()
+        joined = pa.table({
+            "doc_id": d.column("doc_id"), "text": d.column("text"),
+            "emb": pa.array([emb_of.get(i) for i in ids],
+                            pa.list_(pa.float32()))})
+        pq.write_table(joined, os.path.join(fx, "docs_vec.parquet"))
+        open(marker, "w").close()
+    cfg = IndexConfig(num_partitions=4,
+                      fields=(("content", "text", "base"),),
+                      keyword_fields=(), range_fields=(),
+                      doc_id_col="doc_id", sha_col="text",
+                      vector_fields=("emb",), salting=False)
+    idx = fx + "_idx"
+    build_index([os.path.join(fx, "docs_vec.parquet")], idx, cfg,
+                resume=True)
+    return idx
+
+
+def search_knn_index(sf_dir: str) -> pd.DataFrame:
+    """Exact kNN INSIDE the index (the OpenSearch knn plugin's exact
+    mode): cosine top-10 against the float32 vector sidecar — one
+    matvec per doc shard over its own cached vectors, P*k rows merge
+    driver-side."""
+    import pyarrow.parquet as pq
+    qv = pq.read_table(_t(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "=", 0)]) \
+        .column("embedding")[0].as_py()
+    s = Searcher(_vec_index(sf_dir), use_actors=ray.is_initialized())
+    try:
+        hits = s.knn_search("emb", qv, k=10)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d in hits],
+        "cos_e6": np.array([int(_round_away(c * 1_000_000))
+                            for c, _ in hits], np.int64)})
+
+
+SEARCH_KNN_INDEX_SQL = """
+WITH j AS (
+  SELECT e.vec_id AS doc_id, e.embedding
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT j.doc_id,
+       cast(round(list_cosine_similarity(
+           cast(j.embedding AS DOUBLE[]),
+           cast(q.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS cos_e6
+FROM j, q
+ORDER BY list_cosine_similarity(cast(j.embedding AS DOUBLE[]),
+                                cast(q.embedding AS DOUBLE[])) DESC,
+         j.doc_id
+LIMIT 10
+"""
+
+
 def dsl_termvectors(sf_dir: str) -> pd.DataFrame:
     """The OpenSearch ``_termvectors`` API (realtime — computed from
     the stored ``_source``): term / term_freq / first position for one
@@ -5496,6 +5568,7 @@ def queries() -> dict:
         "dsl_count": dsl_count,
         "dsl_msearch": dsl_msearch,
         "dsl_termvectors": dsl_termvectors,
+        "search_knn_index": search_knn_index,
         "dsl_request": dsl_request,
         "percolate_docs_rules": percolate_docs_rules,
         "search_simple_qs": search_simple_qs,
@@ -5647,6 +5720,7 @@ def oracle_sql() -> dict:
         "dsl_count": DSL_COUNT_SQL,
         "dsl_msearch": DSL_MSEARCH_SQL,
         "dsl_termvectors": DSL_TERMVECTORS_SQL,
+        "search_knn_index": SEARCH_KNN_INDEX_SQL,
         "dsl_request": DSL_REQUEST_SQL,
         "percolate_docs_rules": PERCOLATE_SQL,
         "search_simple_qs": SEARCH_SIMPLE_QS_SQL,

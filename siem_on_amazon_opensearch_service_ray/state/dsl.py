@@ -133,6 +133,10 @@ def _exec_query(s, query: dict, size: int,
                                               k=size, slop=slop)]
         return _pick(s, "phrase_search_scored")(text, field=field,
                                                 k=size)
+    if kind == "knn":
+        field, body = _one(spec, "knn")
+        return s.knn_search(field, body["vector"],
+                            k=int(body.get("k", size)))
     if kind == "wrapper":
         import base64
         import json as _json

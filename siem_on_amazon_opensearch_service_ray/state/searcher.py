@@ -2812,6 +2812,97 @@ class Searcher:
         self._doclen_cache[field] = (ids, dls)
         return ids, dls
 
+    def _vectors(self, field: str
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_ids int64, float64 matrix, row L2 norms) from the
+        ``vec_<field>`` docstore sidecar (vector_fields builds),
+        restricted to this searcher's local doc parts — loaded once
+        per shard and cached (the vector analogue of Lucene's
+        doc-values-in-RAM).  Docs with empty/missing vectors are
+        skipped; float32 storage upcasts to float64 once so the
+        cosine kernel matches the SQL oracle's DOUBLE math."""
+        cached = self._doclen_cache.get(("__vec__", field))
+        if cached is not None:
+            return cached
+        import os as _os
+        import pyarrow.parquet as _pq
+        from .shard import match_part_files
+        col = f"vec_{field}"
+        dsdir = _os.path.join(self.index_dir, "docstore")
+        names = sorted(f for f in _os.listdir(dsdir)
+                       if f.endswith(".parquet"))
+        if self._local_parts is not None:
+            names = match_part_files(names, self._local_parts)
+        ids_l, vec_l = [], []
+        for fn in names:
+            path = _os.path.join(dsdir, fn)
+            if col not in _pq.read_schema(path).names:
+                raise ValueError(
+                    f"no vector sidecar for field {field!r} — build the "
+                    "index with vector_fields=(...)")
+            t = _pq.read_table(path, columns=["doc_id", col])
+            for i, b in zip(t.column("doc_id").to_pylist(),
+                            t.column(col).to_pylist()):
+                if b:
+                    ids_l.append(int(i))
+                    vec_l.append(np.frombuffer(b, np.float32))
+        if not ids_l:
+            out = (np.zeros(0, np.int64), np.zeros((0, 0)),
+                   np.zeros(0))
+        else:
+            ids = np.asarray(ids_l, np.int64)
+            mat = np.stack(vec_l).astype(np.float64)
+            o = np.argsort(ids, kind="stable")
+            ids, mat = ids[o], mat[o]
+            keep = np.ones(ids.size, dtype=bool)
+            keep[1:] = ids[1:] != ids[:-1]
+            ids, mat = ids[keep], mat[keep]
+            out = (ids, mat, np.linalg.norm(mat, axis=1))
+        self._doclen_cache[("__vec__", field)] = out
+        return out
+
+    def knn_local(self, field: str, query_vec, k: int = 10
+                  ) -> list[tuple[float, int]]:
+        """Exact cosine top-k over this searcher's doc slice — one
+        matvec against the cached vector sidecar."""
+        ids, mat, norms = self._vectors(field)
+        if ids.size == 0:
+            return []
+        if self.tombstones.size:
+            keep = _excl_mask(ids.astype(np.uint64), self.tombstones)
+            ids, mat, norms = ids[keep], mat[keep], norms[keep]
+            if ids.size == 0:
+                return []
+        q = np.asarray(query_vec, np.float64)
+        qn = float(np.linalg.norm(q))
+        denom = norms * qn
+        denom[denom == 0.0] = np.inf
+        sims = (mat @ q) / denom
+        kk = min(int(k), ids.size)
+        sel = np.lexsort((ids, -sims))[:kk]
+        return [(float(sims[i]), int(ids[i])) for i in sel]
+
+    def knn_search(self, field: str, query_vec, k: int = 10
+                   ) -> list[tuple[float, int]]:
+        """Exact kNN over the index's vector sidecar (the OpenSearch
+        knn plugin's exact mode): per doc shard, one matvec over the
+        shard's own cached vectors and a local top-k; the driver
+        merges P*k (cosine, doc_id) rows.  Bucketed/ANN variants live
+        in stages/knn.py (LSH, IVF) — this is the in-index exact
+        path.  Requires an index built with vector_fields."""
+        if self._partition_by == "doc" and self._local_parts is None \
+                and self.use_actors:
+            q = np.asarray(query_vec, np.float64).tolist()
+            shard_hits = ray.get([
+                a.exec_local.remote("knn_local",
+                                    dict(field=field, query_vec=q, k=k),
+                                    None)
+                for a in self.actors])
+            merged = [h for hs in shard_hits for h in hs]
+            merged.sort(key=lambda t: (-t[0], t[1]))
+            return merged[:int(k)]
+        return self.knn_local(field, query_vec, k)
+
     def highlight(self, query: str, field: str = "content", k: int = 10,
                   window: int = 8, pre_tag: str = "<em>",
                   post_tag: str = "</em>", mode: str = "or",

@@ -477,3 +477,50 @@ def test_geo_queries_cross_layout(pair, tmp_path_factory, ray_session):
                                            (89.9, 0.0), (89.8, 0.1)) == []
     finally:
         s_d.close()
+
+
+def test_knn_index_sidecar(ray_session, tmp_path_factory):
+    """In-index exact kNN: per-shard matvec top-k equals brute force;
+    empty vectors skipped; missing-sidecar guard raises."""
+    rng = np.random.default_rng(5)
+    n, dim = 120, 16
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    emb = [None if i == 7 else vecs[i].tolist() for i in range(n)]
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": [f"doc number {i}" for i in range(n)],
+                  "emb": pa.array(emb, pa.list_(pa.float32()))})
+    root = tmp_path_factory.mktemp("knnidx")
+    src = str(root / "d.parquet")
+    pq.write_table(t, src)
+    cfg = IndexConfig(num_partitions=4,
+                      fields=(("content", "text", "base"),),
+                      keyword_fields=(), range_fields=(),
+                      doc_id_col="doc_id", sha_col="text",
+                      vector_fields=("emb",), salting=False)
+    idx = str(root / "idx")
+    build_index([src], idx, cfg)
+    s = Searcher(idx, use_actors=True)
+    try:
+        q = vecs[3].astype(np.float64)
+        got = s.knn_search("emb", q.tolist(), k=10)
+        m = vecs.astype(np.float64)
+        sims = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+        sims[7] = -np.inf                       # doc 7 has no vector
+        want_ids = np.lexsort((np.arange(n), -sims))[:10]
+        assert [d for _, d in got] == [int(i) for i in want_ids]
+        np.testing.assert_allclose([c for c, _ in got],
+                                   sims[want_ids], rtol=1e-12)
+        assert got[0][1] == 3 and abs(got[0][0] - 1.0) < 1e-12
+        # DSL knn node
+        from siem_on_amazon_opensearch_service_ray.state.dsl import (
+            execute_dsl)
+        r = execute_dsl(s, {"query": {"knn": {"emb": {
+            "vector": q.tolist(), "k": 5}}}})
+        assert [h["_id"] for h in r["hits"]["hits"]] == \
+            [d for _, d in got[:5]]
+    finally:
+        s.close()
+    # guard: no sidecar
+    s2 = Searcher(idx, use_actors=False)
+    with pytest.raises(ValueError, match="vector sidecar"):
+        s2._vectors("other")
