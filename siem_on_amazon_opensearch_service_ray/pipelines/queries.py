@@ -1313,6 +1313,35 @@ def search_function_decay(sf_dir: str) -> pd.DataFrame:
     })
 
 
+RESCORE_QUERY = "merge sort"
+RESCORE_WINDOW = 50
+RESCORE_RQW = 1.5
+
+
+def search_rescore(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``rescore`` (score_mode=total): the primary
+    'spark join' query's global top window_size=50 hits are re-ranked
+    by ``1.0 x primary + 1.5 x BM25('merge sort')`` where the
+    secondary BM25 is scored ONLY on the window docs.  Doc-sharded:
+    the 50 window ids travel to every shard, each shard scores the
+    secondary against its own postings slice (global idf from one
+    (term, df) round) — secondary postings never leave their shard."""
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.rescore_search(
+            BM25_QUERY, RESCORE_QUERY, k=BM25_K,
+            window_size=RESCORE_WINDOW, query_weight=1.0,
+            rescore_query_weight=RESCORE_RQW, field="content")
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d in hits],
+        "score_e4": np.array([int(_round_away(sc * 10000))
+                              for sc, _ in hits], dtype=np.int64),
+    })
+
+
 def search_multi_match_cross(sf_dir: str) -> pd.DataFrame:
     """multi_match type=cross_fields (Lucene BlendedTermQuery):
     term-centric — each query term's df BLENDS across the fields (max,
@@ -1492,6 +1521,20 @@ ORDER BY s.score * (2.0 * exp(
            / (2.0 * (-(150.0 * 150.0) / (2.0 * ln(0.5))))) + 0.5)
          DESC, s.doc_id
 LIMIT {BM25_K}
+"""
+
+
+SEARCH_RESCORE_SQL = f"""
+WITH {_bm25_cte('p', 'text', base_tokens(BM25_QUERY))},
+{_bm25_cte('r', 'text', base_tokens(RESCORE_QUERY))},
+win AS (SELECT doc_id, score FROM pscore
+        ORDER BY score DESC, doc_id LIMIT {RESCORE_WINDOW}),
+comb AS (SELECT w.doc_id,
+                1.0 * w.score + {RESCORE_RQW} * coalesce(r.score, 0)
+                  AS score
+         FROM win w LEFT JOIN rscore r USING (doc_id))
+SELECT doc_id, cast(round(score * 10000) AS BIGINT) AS score_e4
+FROM comb ORDER BY score DESC, doc_id LIMIT {BM25_K}
 """
 
 
@@ -5557,6 +5600,7 @@ def queries() -> dict:
     # then every entry whose newest driver row is r03 (oldest-green-first).
     return {
         # --- never driver-checked (round-5 additions) ---
+        "search_rescore": search_rescore,
         "search_highlight": search_highlight,
         "search_match_bool_prefix": search_match_bool_prefix,
         "search_combined_fields": search_combined_fields,
@@ -5838,6 +5882,7 @@ def oracle_sql() -> dict:
         "search_constant_score": SEARCH_CONSTANT_SCORE_SQL,
         "search_boosting": SEARCH_BOOSTING_SQL,
         "search_function_score": SEARCH_FUNCTION_SCORE_SQL,
+        "search_rescore": SEARCH_RESCORE_SQL,
         "search_function_decay": SEARCH_FUNCTION_DECAY_SQL,
         "discover_saved_search": DISCOVER_SAVED_SEARCH_SQL,
         "template_classified_agg": TEMPLATE_CLASSIFIED_AGG_SQL,

@@ -680,6 +680,36 @@ def execute_dsl(searcher, body: dict) -> dict:
     query = body.get("query")
     resp: dict = {"hits": {"total": {"value": 0, "relation": "eq"},
                            "hits": []}}
+    resc = body.get("rescore")
+    if resc is not None and query is not None and size > 0:
+        if "match" not in query:
+            raise ValueError("rescore: only match primary queries are "
+                             "supported")
+        rq = (resc.get("query") or {})
+        rnode = rq.get("rescore_query") or {}
+        if "match" not in rnode:
+            raise ValueError("rescore_query: only match is supported")
+        f, text, op = _match_text(query)
+        _f2, rtext, _op2 = _match_text(rnode)
+        hits = searcher.rescore_search(
+            text, rtext, k=size,
+            window_size=int(resc.get("window_size", 10)),
+            query_weight=float(rq.get("query_weight", 1.0)),
+            rescore_query_weight=float(
+                rq.get("rescore_query_weight", 1.0)),
+            field=f, mode="and" if op == "and" else "or")
+        resp["hits"]["hits"] = [{"_id": int(d), "_score": float(s)}
+                                for s, d in hits]
+        resp["hits"]["total"]["value"] = len(hits)
+        resp["hits"]["total"]["relation"] = \
+            "gte" if len(hits) == size else "eq"
+        aggs0 = body.get("aggs", body.get("aggregations"))
+        if aggs0:
+            qctx = _agg_context(query)
+            resp["aggregations"] = {
+                name: _exec_agg(searcher, name, spec, qctx)
+                for name, spec in aggs0.items()}
+        return resp
     hl = body.get("highlight")
     if hl is not None and query is not None and size > 0:
         # highlight executes the ranked fetch itself (one search, one

@@ -2812,6 +2812,83 @@ class Searcher:
         self._doclen_cache[field] = (ids, dls)
         return ids, dls
 
+    def _rescore_local(self, doc_ids: list[int], query: str,
+                       field: str, idf: dict,
+                       k1: float = K1, b: float = B
+                       ) -> list[tuple[int, float]]:
+        """Secondary-query BM25 contributions for exactly ``doc_ids``
+        over this searcher's postings slice — global idf arrives in
+        ``idf``.  Only (doc_id, score) pairs for window docs return."""
+        an = ANALYZERS[self._analyzer_for(field, None)]
+        q_terms = an(query)
+        if not q_terms or not doc_ids:
+            return []
+        want = np.asarray(sorted({int(d) for d in doc_ids}), np.uint64)
+        rows = self._gather(field, q_terms)
+        avgdl = float(self.stats["avgdl"][field])
+        n_docs = int(self.stats["n_docs"])
+        terms = prepare_terms(q_terms, rows, n_docs, avgdl, k1, b,
+                              idf_by_term=idf,
+                              exclude_ids=self.tombstones)
+        out: dict[int, float] = {}
+        for td in terms:
+            if td.doc_ids.size == 0:
+                continue
+            pos = np.minimum(np.searchsorted(want, td.doc_ids),
+                             max(want.size - 1, 0))
+            hit = (want[pos] == td.doc_ids) if want.size else \
+                np.zeros(td.doc_ids.size, dtype=bool)
+            if not hit.any():
+                continue
+            contrib = td.weight * td.idf * tf_norm(
+                td.tfs[hit], td.lens[hit], avgdl, k1, b)
+            for d, c in zip(td.doc_ids[hit].tolist(), contrib.tolist()):
+                out[int(d)] = out.get(int(d), 0.0) + float(c)
+        return list(out.items())
+
+    def rescore_search(self, query: str, rescore_query: str,
+                       k: int = 10, window_size: int = 50,
+                       query_weight: float = 1.0,
+                       rescore_query_weight: float = 1.0,
+                       field: str = "content", mode: str = "or",
+                       analyzer: str | None = None,
+                       k1: float = K1, b: float = B
+                       ) -> list[tuple[float, int]]:
+        """OpenSearch ``rescore`` (score_mode=total): the primary
+        query's GLOBAL top ``window_size`` hits are re-ranked by
+        ``query_weight * primary + rescore_query_weight * secondary``,
+        where the secondary BM25 runs ONLY on the window docs.  On the
+        doc layout each shard scores the secondary for the window ids
+        against its own postings (global idf from one (term, df)
+        round) — window ids travel, postings never do."""
+        primary = self.search(query, field=field, k=window_size,
+                              mode=mode, analyzer=analyzer, k1=k1, b=b)
+        if not primary:
+            return []
+        win = [d for _, d in primary]
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        sec_terms = list(dict.fromkeys(an(rescore_query)))
+        n_docs = int(self.stats["n_docs"])
+        dfs = self._term_dfs(field, sec_terms) if sec_terms else {}
+        idf = {t: float(idf_fn(dfs.get(t, 0), n_docs)) for t in sec_terms}
+        if self._partition_by == "doc" and self._local_parts is None \
+                and self.use_actors:
+            parts = ray.get([
+                a.exec_local.remote(
+                    "_rescore_local",
+                    dict(doc_ids=win, query=rescore_query, field=field,
+                         idf=idf, k1=k1, b=b), None)
+                for a in self.actors])
+            sec = {d: c for p in parts for d, c in p}
+        else:
+            sec = dict(self._rescore_local(win, rescore_query, field,
+                                           idf, k1, b))
+        combined = [(query_weight * sc
+                     + rescore_query_weight * sec.get(int(d), 0.0),
+                     int(d)) for sc, d in primary]
+        combined.sort(key=lambda t: (-t[0], t[1]))
+        return combined[:int(k)]
+
     def _vectors(self, field: str
                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(doc_ids int64, float64 matrix, row L2 norms) from the

@@ -271,6 +271,45 @@ def test_dsl_highlight(dsl_s, hl_s):
                for h in r2["hits"]["hits"])
 
 
+def test_dsl_rescore(dsl_s):
+    """rescore body: lowers onto rescore_search with the body's
+    window/weights; hits match the direct call, aggs still execute."""
+    s = dsl_s
+    body = {"query": {"match": {"content": "spark join"}},
+            "rescore": {"window_size": 30,
+                        "query": {"rescore_query":
+                                  {"match": {"content": "merge sort"}},
+                                  "query_weight": 0.9,
+                                  "rescore_query_weight": 1.3}},
+            "size": 8,
+            "aggs": {"langs": {"terms": {"field": "lang"}}}}
+    r = execute_dsl(s, body)
+    want = s.rescore_search("spark join", "merge sort", k=8,
+                            window_size=30, query_weight=0.9,
+                            rescore_query_weight=1.3, field="content")
+    assert _ids(r) == [(sc, d) for sc, d in want]
+    assert r["hits"]["total"]["value"] == 8
+    assert "langs" in r["aggregations"]
+    # defaults: window_size 10, weights 1.0
+    r2 = execute_dsl(s, {"query": {"match": {"content": "spark"}},
+                         "rescore": {"query": {"rescore_query":
+                                     {"match": {"content": "sort"}}}},
+                         "size": 5})
+    want2 = s.rescore_search("spark", "sort", k=5, window_size=10)
+    assert _ids(r2) == [(sc, d) for sc, d in want2]
+    # contract: only match primaries / match rescore queries
+    with pytest.raises(ValueError, match="match"):
+        execute_dsl(s, {"query": {"ids": {"values": [1]}},
+                        "rescore": {"query": {"rescore_query":
+                                    {"match": {"content": "x"}}}},
+                        "size": 3})
+    with pytest.raises(ValueError, match="rescore_query"):
+        execute_dsl(s, {"query": {"match": {"content": "spark"}},
+                        "rescore": {"query": {"rescore_query":
+                                    {"ids": {"values": [1]}}}},
+                        "size": 3})
+
+
 def test_dsl_count_msearch_wrapper(dsl_s):
     """_count / _msearch / wrapper surfaces against direct engine calls."""
     import base64

@@ -92,6 +92,45 @@ def test_boosting_sharded(pair):
           st.boosting_search("spark", "spark", negative_boost=0.1, k=20))
 
 
+def test_rescore_cross_layout(pair):
+    """rescore (score_mode=total): doc-sharded secondary scoring must
+    be rank-and-score identical to the single-process path, and the
+    combine must match a brute-force primary+secondary blend."""
+    st, sd, _, _ = pair
+    kw = dict(k=15, window_size=40, query_weight=1.0,
+              rescore_query_weight=2.0)
+    got = sd.rescore_search("spark join", "merge sort", **kw)
+    want = st.rescore_search("spark join", "merge sort", **kw)
+    _same(got, want)
+
+    # brute force: blend the two standalone searches over the window
+    prim = st.search("spark join", k=40)
+    sec = dict((d, s) for s, d in st.search("merge sort", k=N_DOCS))
+    ref = sorted(((1.0 * s + 2.0 * sec.get(d, 0.0), d)
+                  for s, d in prim), key=lambda t: (-t[0], t[1]))[:15]
+    _same(got, ref)
+
+    # a doc OUTSIDE the top-window_size primary hits must never enter,
+    # even if the secondary would promote it: shrink the window to 5
+    small = st.rescore_search("spark join", "merge sort", k=5,
+                              window_size=5)
+    win_ids = {d for _, d in st.search("spark join", k=5)}
+    assert {d for _, d in small} <= win_ids
+    _same(sd.rescore_search("spark join", "merge sort", k=5,
+                            window_size=5), small)
+
+    # no-secondary-match edge: combined == query_weight * primary
+    noop = st.rescore_search("spark", "zz_nope", k=10, window_size=20,
+                             query_weight=0.7)
+    base = st.search("spark", k=20)
+    ref2 = sorted(((0.7 * s, d) for s, d in base),
+                  key=lambda t: (-t[0], t[1]))[:10]
+    _same(noop, ref2)
+    _same(sd.rescore_search("spark", "zz_nope", k=10, window_size=20,
+                            query_weight=0.7), noop)
+    assert st.rescore_search("zz_nope", "spark", k=5) == []
+
+
 def test_function_score_sharded_legacy(pair):
     st, sd, _, _ = pair
     kw = dict(value_field="n_chars", factor=0.01, modifier="log1p", k=25)
