@@ -5585,6 +5585,77 @@ UNION ALL SELECT kind, key, value FROM st
 """
 
 
+def dsl_paginated(sf_dir: str) -> pd.DataFrame:
+    """The `_search` pagination/fetch body keys end-to-end: ``sort``
+    (field sort, per-shard boundary bisect over the value-sorted range
+    tables), ``from`` (offset into the sorted page) and ``_source``
+    (ONE bulk docstore fetch for the page) in a single JSON request —
+    the exact shape Discover emits when a user pages a saved search
+    (reference ships one per dashboard,
+    source/saved_objects/each-dashboard/*.ndjson)."""
+    from ..state.dsl import execute_dsl
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        resp = execute_dsl(s, {
+            "sort": [{"n_chars": {"order": "desc"}}],
+            "from": 5, "size": 20,
+            "_source": ["lang"],
+        })
+    finally:
+        s.close()
+    hits = resp["hits"]["hits"]
+    return pd.DataFrame({
+        "doc_id": np.array([h["_id"] for h in hits], np.int64),
+        "n_chars": np.array([h["sort"][0] for h in hits], np.int64),
+        "lang": [h["_source"]["lang"] for h in hits],
+    })
+
+
+DSL_PAGINATED_SQL = """
+SELECT doc_id, n_chars, lang
+FROM documents
+ORDER BY n_chars DESC, doc_id
+LIMIT 20 OFFSET 5
+"""
+
+
+def dsl_mget(sf_dir: str) -> pd.DataFrame:
+    """The ``_mget`` API surface: bulk stored-document fetch in
+    request order with found flags — ONE ``fetch_docs`` round trip
+    (parquet row-group pruned) covers every id, including the
+    guaranteed-missing one."""
+    from ..state.dsl import execute_mget
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        resp = execute_mget(s, {"docs": [
+            {"_id": 7, "_source": ["lang"]},
+            {"_id": 0, "_source": ["lang"]},
+            {"_id": 123, "_source": ["lang"]},
+            {"_id": 10**9, "_source": ["lang"]},
+            {"_id": 42, "_source": ["lang"]},
+        ]})
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "slot": np.arange(len(resp["docs"]), dtype=np.int64),
+        "doc_id": np.array([d["_id"] for d in resp["docs"]], np.int64),
+        "found": [bool(d["found"]) for d in resp["docs"]],
+        "lang": [(d["_source"] or {}).get("lang") for d in resp["docs"]],
+    })
+
+
+DSL_MGET_SQL = """
+WITH req(slot, doc_id) AS (
+  VALUES (0, 7), (1, 0), (2, 123), (3, 1000000000), (4, 42))
+SELECT req.slot, req.doc_id,
+       d.doc_id IS NOT NULL AS found, d.lang
+FROM req LEFT JOIN documents d USING (doc_id)
+ORDER BY req.slot
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5614,6 +5685,8 @@ def queries() -> dict:
         "dsl_termvectors": dsl_termvectors,
         "search_knn_index": search_knn_index,
         "dsl_request": dsl_request,
+        "dsl_paginated": dsl_paginated,
+        "dsl_mget": dsl_mget,
         "percolate_docs_rules": percolate_docs_rules,
         "search_simple_qs": search_simple_qs,
         "search_rank_feature": search_rank_feature,
@@ -5766,6 +5839,8 @@ def oracle_sql() -> dict:
         "dsl_termvectors": DSL_TERMVECTORS_SQL,
         "search_knn_index": SEARCH_KNN_INDEX_SQL,
         "dsl_request": DSL_REQUEST_SQL,
+        "dsl_paginated": DSL_PAGINATED_SQL,
+        "dsl_mget": DSL_MGET_SQL,
         "percolate_docs_rules": PERCOLATE_SQL,
         "search_simple_qs": SEARCH_SIMPLE_QS_SQL,
         "search_rank_feature": SEARCH_RANK_FEATURE_SQL,

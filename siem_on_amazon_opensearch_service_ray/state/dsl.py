@@ -34,6 +34,18 @@ sub-entries of the parent's spec.
 A ``highlight`` body key (match queries) returns per-hit fragments
 from the stored ``_source`` via ``Searcher.highlight``.
 
+Pagination / fetch body keys: ``from`` (offset paging), ``sort`` (ONE
+field, asc/desc — Discover's saved-search shape, executed as per-shard
+boundary bisects over the value-sorted range tables), ``search_after``
+(score-sorted cursor paging, ``[last_score, last_doc_id]``), and
+``_source`` (``true`` or a field list — ONE bulk docstore fetch for
+the whole page, row-group pruned), and ``track_total_hits: true``
+(exact match-set total via the ``_count`` path — one int per shard).
+
+Sibling API surfaces in this module: ``execute_count`` (`_count`),
+``execute_msearch`` (`_msearch`), ``execute_explain`` (`_explain/<id>`),
+``execute_analyze`` (`_analyze`), ``execute_mget`` (`_mget`).
+
 Unsupported constructs raise ``ValueError`` naming the node — never a
 silent wrong answer.  Aggregations run in the QUERY's context when
 the query is a ``match``/``match_all``/term-ish node (the engine's
@@ -51,7 +63,8 @@ from __future__ import annotations
 
 from typing import Any
 
-__all__ = ["execute_dsl", "execute_count", "execute_msearch"]
+__all__ = ["execute_dsl", "execute_count", "execute_msearch",
+           "execute_explain", "execute_analyze", "execute_mget"]
 
 
 def _sharded(s) -> bool:
@@ -672,15 +685,119 @@ def execute_msearch(searcher, lines: list[dict]) -> dict:
     return {"responses": out}
 
 
+def _sort_spec(srt) -> tuple[str, bool]:
+    """Normalize a ``sort`` body key: ONE field + order (asc default).
+    Accepts "field", {"field": "desc"}, {"field": {"order": ...}} and
+    a one-element list of any of those."""
+    if isinstance(srt, list):
+        if len(srt) != 1:
+            raise ValueError("sort: exactly one sort key is supported")
+        srt = srt[0]
+    if isinstance(srt, str):
+        return srt, False
+    fld, spec = _one(srt, "sort")
+    if isinstance(spec, str):
+        return fld, spec == "desc"
+    return fld, str(spec.get("order", "asc")) == "desc"
+
+
+def _py(v):
+    return v.item() if hasattr(v, "item") else v
+
+
+def _attach_source(searcher, hits: list[dict], spec) -> None:
+    """OpenSearch ``_source`` fetch: ``true`` = every stored docstore
+    column, a list = that subset; ids the docstore doesn't hold get
+    ``_source: None``.  ONE bulk ``fetch_docs`` covers all hit ids
+    (parquet row-group pruned) — never a per-hit read."""
+    if not hits or spec in (None, False):
+        return
+    cols = None
+    if spec is not True:
+        if isinstance(spec, str):
+            spec = [spec]
+        if not isinstance(spec, list):
+            raise ValueError("_source: expected true or a list of "
+                             f"fields, got {spec!r}")
+        cols = list(dict.fromkeys(["doc_id", *spec]))
+    t = searcher.fetch_docs([h["_id"] for h in hits], columns=cols)
+    by_id: dict[int, dict] = {}
+    if t is not None:
+        for r in t.to_pylist():
+            by_id[int(r["doc_id"])] = r
+    for h in hits:
+        row = by_id.get(int(h["_id"]))
+        h["_source"] = None if row is None else {
+            k: v for k, v in row.items() if spec is True or k in spec}
+
+
+def _apply_tth(searcher, resp: dict, query, tth) -> None:
+    """``track_total_hits: true`` — replace the page-derived total
+    with the EXACT match-set size via the ``_count`` path (match
+    queries: one int per shard travels, never ids)."""
+    if tth in (None, False):
+        return
+    if tth is not True:
+        raise ValueError("track_total_hits: expected true/false, got "
+                         f"{tth!r}")
+    n = execute_count(searcher, {} if query is None
+                      else {"query": query})["count"]
+    resp["hits"]["total"] = {"value": int(n), "relation": "eq"}
+
+
 def execute_dsl(searcher, body: dict) -> dict:
     """Execute an OpenSearch `_search` request body against the
     engine.  See the module docstring for the supported surface;
     anything else raises ValueError naming the node."""
     size = int(body.get("size", 10))
+    frm = int(body.get("from", 0))
+    if frm < 0:
+        raise ValueError("from: must be >= 0")
     query = body.get("query")
     resp: dict = {"hits": {"total": {"value": 0, "relation": "eq"},
                            "hits": []}}
     resc = body.get("rescore")
+    srt = body.get("sort")
+    if srt in ("_score", ["_score"]):
+        srt = None
+    sa = body.get("search_after")
+    if (frm or srt is not None or sa is not None) and (
+            resc is not None or body.get("highlight") is not None):
+        raise ValueError("from/sort/search_after cannot be combined "
+                         "with rescore or highlight")
+    if srt is not None and size > 0:
+        # field sort (the Discover execution shape): per-shard
+        # boundary bisect over value-sorted range tables
+        if sa is not None:
+            raise ValueError("search_after: not supported with a "
+                             "field sort")
+        sfld, desc = _sort_spec(srt)
+        text, f, mode = "", "content", "or"
+        if query is not None and "match" in query:
+            f, text, op = _match_text(query)
+            mode = "and" if op == "and" else "or"
+        elif query is not None and "match_all" not in query:
+            kind, _ = _one(query, "query")
+            raise ValueError(f"sort: query {kind!r} is not supported "
+                             "(use match / match_all)")
+        rows = searcher.field_sorted_search(
+            sfld, k=frm + size, desc=desc, query=text, field=f,
+            mode=mode)
+        hits = [{"_id": int(d), "_score": None, "sort": [_py(v)]}
+                for v, d in rows[frm:frm + size]]
+        resp["hits"]["hits"] = hits
+        resp["hits"]["total"]["value"] = len(hits)
+        resp["hits"]["total"]["relation"] = \
+            "gte" if len(hits) == size else "eq"
+        _attach_source(searcher, hits, body.get("_source"))
+        _apply_tth(searcher, resp, query, body.get("track_total_hits"))
+        aggs0 = body.get("aggs", body.get("aggregations"))
+        if aggs0:
+            qctx = _agg_context(query)
+            resp["aggregations"] = {
+                name: _exec_agg(searcher, name, spec, qctx)
+                for name, spec in aggs0.items()}
+        return resp
     if resc is not None and query is not None and size > 0:
         if "match" not in query:
             raise ValueError("rescore: only match primary queries are "
@@ -703,6 +820,9 @@ def execute_dsl(searcher, body: dict) -> dict:
         resp["hits"]["total"]["value"] = len(hits)
         resp["hits"]["total"]["relation"] = \
             "gte" if len(hits) == size else "eq"
+        _attach_source(searcher, resp["hits"]["hits"],
+                       body.get("_source"))
+        _apply_tth(searcher, resp, query, body.get("track_total_hits"))
         aggs0 = body.get("aggs", body.get("aggregations"))
         if aggs0:
             qctx = _agg_context(query)
@@ -736,22 +856,46 @@ def execute_dsl(searcher, body: dict) -> dict:
         resp["hits"]["total"]["relation"] = \
             "gte" if len(rows) == size else "eq"
     if hl is None and query is not None and size > 0:
-        hits = _exec_query(searcher, query, size,
-                           collapse=body.get("collapse"))
-        out_hits = []
-        for h in hits:
-            if len(h) == 3:                  # collapse: (score, doc, val)
-                out_hits.append({"_id": int(h[1]),
-                                 "_score": float(h[0]),
-                                 "fields": {body["collapse"]["field"]:
-                                            [h[2]]}})
-            else:
-                out_hits.append({"_id": int(h[1]),
-                                 "_score": float(h[0])})
+        if sa is not None:
+            # score-sorted cursor paging: resume strictly after the
+            # previous page's (score, doc_id) — no offset cost
+            if "match" not in query:
+                kind, _ = _one(query, "query")
+                raise ValueError(f"search_after: query {kind!r} is not "
+                                 "supported (use match)")
+            if body.get("collapse") is not None:
+                raise ValueError("search_after: not supported with "
+                                 "collapse")
+            if not (isinstance(sa, (list, tuple)) and len(sa) == 2):
+                raise ValueError("search_after: expected "
+                                 "[last_score, last_doc_id], got "
+                                 f"{sa!r}")
+            f, text, op = _match_text(query)
+            hits = searcher.search(
+                text, field=f, k=size, mode="and" if op == "and"
+                else "or", search_after=(float(sa[0]), int(sa[1])))
+            out_hits = [{"_id": int(d), "_score": float(s),
+                         "sort": [float(s), int(d)]}
+                        for s, d in hits]
+        else:
+            hits = _exec_query(searcher, query, frm + size,
+                               collapse=body.get("collapse"))
+            out_hits = []
+            for h in hits[frm:frm + size]:
+                if len(h) == 3:              # collapse: (score, doc, val)
+                    out_hits.append({"_id": int(h[1]),
+                                     "_score": float(h[0]),
+                                     "fields": {body["collapse"]["field"]:
+                                                [h[2]]}})
+                else:
+                    out_hits.append({"_id": int(h[1]),
+                                     "_score": float(h[0])})
         resp["hits"]["hits"] = out_hits
         resp["hits"]["total"]["value"] = len(out_hits)
         resp["hits"]["total"]["relation"] = \
             "gte" if len(out_hits) == size else "eq"
+    _attach_source(searcher, resp["hits"]["hits"], body.get("_source"))
+    _apply_tth(searcher, resp, query, body.get("track_total_hits"))
     aggs = body.get("aggs", body.get("aggregations"))
     if aggs:
         qctx = _agg_context(query)
@@ -759,3 +903,115 @@ def execute_dsl(searcher, body: dict) -> dict:
             name: _exec_agg(searcher, name, spec, qctx)
             for name, spec in aggs.items()}
     return resp
+
+
+def execute_explain(searcher, doc_id: int, body: dict) -> dict:
+    """OpenSearch ``GET <index>/_explain/<id>`` parity: the per-term
+    BM25 breakdown for ONE document under a match query, shaped like
+    the REST response (``matched`` + a nested ``explanation`` whose
+    value sums exactly to what ``_search`` would score — pinned by
+    :meth:`Searcher.explain`'s tests).  Reference users read this to
+    debug detection-rule rankings."""
+    query = body.get("query")
+    if query is None or "match" not in query:
+        raise ValueError("_explain: a match query is required")
+    f, text, _op = _match_text(query)
+    ex = searcher.explain(text, int(doc_id), field=f)
+    details = [
+        {"value": float(d.get("score", 0.0)),
+         "description": (f"weight({f}:{d['term']}) "
+                         f"[df={d['df']}, idf={d['idf']:.6g}"
+                         + (f", tf={d['tf']}, dl={d['dl']}]"
+                            if d["matched"] else ", no match]")),
+         "details": []}
+        for d in ex["details"]]
+    return {"_id": int(doc_id),
+            "matched": ex["matched_terms"] > 0,
+            "explanation": {
+                "value": float(ex["score"]),
+                "description": f"sum of BM25 term scores on {f!r} "
+                               f"(n_docs={ex['n_docs']}, "
+                               f"avgdl={ex['avgdl']:.6g})",
+                "details": details}}
+
+
+def execute_analyze(body: dict, searcher=None) -> dict:
+    """OpenSearch ``POST _analyze`` parity: run one of the engine's
+    analyzers over ``text`` (a string or a list of strings) and return
+    ``{"tokens": [{"token", "position", "start_offset"?}]}``.  With a
+    ``field`` key and a searcher, the field's configured analyzer is
+    used (GET <index>/_analyze semantics); otherwise ``analyzer``
+    names one of base/code/path/unicode (default code).  Pure driver
+    work — nothing distributed moves."""
+    from ..analysis import ANALYZERS, POSITIONAL_ANALYZERS
+    texts = body.get("text")
+    if texts is None:
+        raise ValueError("_analyze: 'text' is required")
+    if isinstance(texts, str):
+        texts = [texts]
+    if "field" in body:
+        if searcher is None:
+            raise ValueError("_analyze: 'field' needs an index "
+                             "(searcher) to resolve the analyzer")
+        an = searcher._analyzer_for(str(body["field"]),
+                                    body.get("analyzer"))
+    else:
+        an = str(body.get("analyzer", "code"))
+    if an not in ANALYZERS:
+        raise ValueError(f"_analyze: unknown analyzer {an!r} "
+                         f"(have {sorted(ANALYZERS)})")
+    out, base = [], 0
+    pos_an = POSITIONAL_ANALYZERS.get(an)
+    for chunk in texts:
+        if pos_an is not None:
+            toks, poss = pos_an(str(chunk))
+        else:
+            toks = ANALYZERS[an](str(chunk))
+            poss = list(range(len(toks)))
+        for t, p in zip(toks, poss):
+            out.append({"token": t, "position": base + int(p)})
+        # OpenSearch's position_increment_gap between array elements
+        base += (max((int(p) for p in poss), default=-1) + 1 + 100)
+    return {"tokens": out}
+
+
+def execute_mget(searcher, body: dict) -> dict:
+    """OpenSearch ``_mget`` parity: bulk stored-document fetch.
+    Accepts ``{"ids": [...]}`` or ``{"docs": [{"_id": ...,
+    "_source"?: true|[fields]}]}`` and returns ``{"docs": [{"_id",
+    "found", "_source"}]}`` in request order (duplicates allowed,
+    like OpenSearch).  ONE ``fetch_docs`` round trip covers every id
+    — parquet row-group pruned, tombstones excluded — never a
+    per-document read."""
+    if "ids" in body:
+        ids = [int(i) for i in body["ids"]]
+        per_doc_cols: list[Any] = [True] * len(ids)
+    elif "docs" in body:
+        ids, per_doc_cols = [], []
+        for d in body["docs"]:
+            ids.append(int(d["_id"]))
+            per_doc_cols.append(d.get("_source", True))
+    else:
+        raise ValueError("_mget: expected 'ids' or 'docs'")
+    # fetch the union of requested columns once; project per doc
+    cols = None
+    if all(isinstance(c, list) for c in per_doc_cols) and per_doc_cols:
+        union: list[str] = ["doc_id"]
+        for c in per_doc_cols:
+            union.extend(x for x in c if x not in union)
+        cols = union
+    t = searcher.fetch_docs(ids, columns=cols) if ids else None
+    by_id: dict[int, dict] = {}
+    if t is not None:
+        for r in t.to_pylist():
+            by_id[int(r["doc_id"])] = r
+    docs = []
+    for i, spec in zip(ids, per_doc_cols):
+        row = by_id.get(i)
+        src = None
+        if row is not None and spec is not False:
+            src = {k: v for k, v in row.items()
+                   if spec is True or k in spec}
+        docs.append({"_id": i, "found": row is not None,
+                     "_source": src})
+    return {"docs": docs}

@@ -353,3 +353,175 @@ def test_term_vectors(hl_s, dsl_s):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="store_source"):
         dsl_s.term_vectors(0)
+
+
+def test_dsl_from_and_search_after(dsl_s):
+    """Offset paging (`from`) and score-sorted cursor paging
+    (`search_after`) both reproduce slices of the full ranking."""
+    s = dsl_s
+    full = execute_dsl(s, {"query": {"match": {"content": "spark join"}},
+                           "size": 12})["hits"]["hits"]
+    page2 = execute_dsl(s, {"query": {"match": {"content": "spark join"}},
+                            "from": 4, "size": 4})["hits"]["hits"]
+    assert [(h["_id"], h["_score"]) for h in page2] == \
+        [(h["_id"], h["_score"]) for h in full[4:8]]
+    # cursor paging: resume after page-1's last (score, doc_id)
+    p1 = execute_dsl(s, {"query": {"match": {"content": "spark join"}},
+                         "size": 4})["hits"]["hits"]
+    cursor = [p1[-1]["_score"], p1[-1]["_id"]]
+    p2 = execute_dsl(s, {"query": {"match": {"content": "spark join"}},
+                         "search_after": cursor, "size": 4})["hits"]["hits"]
+    assert [(h["_id"], h["_score"]) for h in p2] == \
+        [(h["_id"], h["_score"]) for h in full[4:8]]
+    assert p2[0]["sort"] == [p2[0]["_score"], p2[0]["_id"]]
+    # error contracts
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="from"):
+        execute_dsl(s, {"query": {"match": {"content": "spark"}},
+                        "from": -1})
+    with _pytest.raises(ValueError, match="search_after"):
+        execute_dsl(s, {"query": {"ids": {"values": [1]}},
+                        "search_after": [1.0, 1]})
+    with _pytest.raises(ValueError, match="rescore|highlight"):
+        execute_dsl(s, {"query": {"match": {"content": "spark"}},
+                        "from": 2,
+                        "rescore": {"query": {"rescore_query":
+                                              {"match": {"content":
+                                                         "join"}}}}})
+
+
+def test_dsl_field_sort(dsl_s):
+    """`sort` body key: per-shard boundary bisect over the range
+    tables — asc/desc, match filter, from-offset, one-key contract."""
+    s = dsl_s
+    r = execute_dsl(s, {"sort": [{"msm": "desc"}], "size": 5})
+    vals = [h["sort"][0] for h in r["hits"]["hits"]]
+    assert vals == sorted(vals, reverse=True) and vals[0] == 3.0
+    direct = s.field_sorted_search("msm", k=5, desc=True)
+    assert [(h["sort"][0], h["_id"]) for h in r["hits"]["hits"]] == \
+        [(float(v), int(d)) for v, d in direct]
+    # asc default; string / dict / order forms agree
+    a1 = execute_dsl(s, {"sort": "msm", "size": 4})
+    a2 = execute_dsl(s, {"sort": [{"msm": {"order": "asc"}}], "size": 4})
+    assert a1["hits"]["hits"] == a2["hits"]["hits"]
+    # match query filters the sorted set
+    rm = execute_dsl(s, {"query": {"match": {"content": "spark"}},
+                         "sort": [{"msm": "desc"}], "size": 6})
+    dm = s.field_sorted_search("msm", k=6, desc=True, query="spark")
+    assert [h["_id"] for h in rm["hits"]["hits"]] == \
+        [int(d) for _, d in dm]
+    # from-offset slices the sorted page
+    off = execute_dsl(s, {"sort": [{"msm": "desc"}], "from": 2,
+                          "size": 3})
+    allr = execute_dsl(s, {"sort": [{"msm": "desc"}], "size": 5})
+    assert off["hits"]["hits"] == allr["hits"]["hits"][2:]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="one sort key"):
+        execute_dsl(s, {"sort": [{"msm": "asc"}, {"lat": "asc"}]})
+    with _pytest.raises(ValueError, match="sort.*not supported|query"):
+        execute_dsl(s, {"query": {"ids": {"values": [1]}},
+                        "sort": [{"msm": "asc"}]})
+
+
+def test_dsl_source_fetch(hl_s):
+    """`_source` body key: one bulk docstore fetch; true = all stored
+    columns, list = subset; works on every hit-producing path."""
+    r = execute_dsl(hl_s, {"query": {"match": {"content": "spark join"}},
+                           "_source": True, "size": 10})
+    assert all(h["_source"]["text"] for h in r["hits"]["hits"])
+    ids = {h["_id"] for h in r["hits"]["hits"]}
+    r2 = execute_dsl(hl_s, {"query": {"match": {"content": "spark join"}},
+                            "_source": ["text"], "size": 10})
+    for h in r2["hits"]["hits"]:
+        assert set(h["_source"]) == {"text"}
+    # default: no _source key -> hits carry no _source
+    r3 = execute_dsl(hl_s, {"query": {"match": {"content": "spark"}},
+                            "size": 3})
+    assert all("_source" not in h for h in r3["hits"]["hits"])
+    assert ids == {h["_id"] for h in r2["hits"]["hits"]}
+
+
+def test_execute_mget(hl_s):
+    """_mget: one fetch_docs round trip, request order kept, found
+    flags, per-doc _source projection."""
+    from siem_on_amazon_opensearch_service_ray.state.dsl import (
+        execute_mget)
+    r = execute_mget(hl_s, {"ids": [3, 0, 999999, 3]})
+    assert [d["_id"] for d in r["docs"]] == [3, 0, 999999, 3]
+    assert [d["found"] for d in r["docs"]] == [True, True, False, True]
+    assert r["docs"][0]["_source"]["text"] == "spark spark join end"
+    assert r["docs"][2]["_source"] is None
+    r2 = execute_mget(hl_s, {"docs": [
+        {"_id": 1, "_source": ["text"]},
+        {"_id": 2, "_source": False},
+        {"_id": 0}]})
+    assert set(r2["docs"][0]["_source"]) == {"text"}
+    assert r2["docs"][1]["found"] and r2["docs"][1]["_source"] is None
+    assert "doc_id" in r2["docs"][2]["_source"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="ids.*docs|docs.*ids"):
+        execute_mget(hl_s, {})
+
+
+def test_execute_analyze(dsl_s):
+    """_analyze: tokens + true positions; array text gets the
+    position_increment_gap; field resolves the index analyzer."""
+    from siem_on_amazon_opensearch_service_ray.state.dsl import (
+        execute_analyze)
+    r = execute_analyze({"analyzer": "base", "text": "Spark JOIN spark"})
+    assert [(t["token"], t["position"]) for t in r["tokens"]] == \
+        [("spark", 0), ("join", 1), ("spark", 2)]
+    # array text: positions continue across elements with a 100 gap
+    r2 = execute_analyze({"analyzer": "base", "text": ["a b", "c"]})
+    assert [(t["token"], t["position"]) for t in r2["tokens"]] == \
+        [("a", 0), ("b", 1), ("c", 102)]
+    # field form resolves the configured analyzer from the index
+    r3 = execute_analyze({"field": "content", "text": "spark join"},
+                         searcher=dsl_s)
+    assert [t["token"] for t in r3["tokens"]] == ["spark", "join"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown analyzer"):
+        execute_analyze({"analyzer": "nope", "text": "x"})
+    with _pytest.raises(ValueError, match="text"):
+        execute_analyze({"analyzer": "base"})
+    with _pytest.raises(ValueError, match="field"):
+        execute_analyze({"field": "content", "text": "x"})
+
+
+def test_execute_explain(dsl_s):
+    """_explain: the explanation value equals the doc's _search score
+    exactly; unmatched docs report matched=False."""
+    from siem_on_amazon_opensearch_service_ray.state.dsl import (
+        execute_explain)
+    top = execute_dsl(dsl_s, {"query": {"match": {"content":
+                                                  "spark join"}},
+                              "size": 1})["hits"]["hits"][0]
+    ex = execute_explain(dsl_s, top["_id"],
+                         {"query": {"match": {"content": "spark join"}}})
+    assert ex["matched"] and ex["_id"] == top["_id"]
+    assert ex["explanation"]["value"] == pytest.approx(top["_score"])
+    assert len(ex["explanation"]["details"]) == 2
+    assert all("weight(content:" in d["description"]
+               for d in ex["explanation"]["details"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="match"):
+        execute_explain(dsl_s, 0, {"query": {"ids": {"values": [0]}}})
+
+
+def test_dsl_track_total_hits(dsl_s):
+    """track_total_hits: true — exact match-set total regardless of
+    page size, on the ranked, sorted and match_all paths."""
+    s = dsl_s
+    exact = s.match_count("spark")
+    r = execute_dsl(s, {"query": {"match": {"content": "spark"}},
+                        "size": 2, "track_total_hits": True})
+    assert r["hits"]["total"] == {"value": exact, "relation": "eq"}
+    assert len(r["hits"]["hits"]) == 2
+    r2 = execute_dsl(s, {"sort": [{"msm": "desc"}], "size": 3,
+                         "track_total_hits": True})
+    assert r2["hits"]["total"] == {"value": int(s.stats["n_docs"]),
+                                   "relation": "eq"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="track_total_hits"):
+        execute_dsl(s, {"query": {"match": {"content": "spark"}},
+                        "track_total_hits": 10000})
