@@ -5656,6 +5656,39 @@ ORDER BY req.slot
 """
 
 
+def dsl_sorted_cursor(sf_dir: str) -> pd.DataFrame:
+    """search_after on a FIELD sort: fetch page 1, feed its last
+    hit's ``sort`` key back as the cursor, return page 2 — each shard
+    bisects to the cursor in its value-sorted range tables, so page
+    1000 costs the same as page 1 and still ships only k rows per
+    shard (the scale path for Discover deep paging; offset `from`
+    grows linearly, this does not)."""
+    from ..state.dsl import execute_dsl
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        p1 = execute_dsl(s, {"sort": [{"n_chars": "desc"}],
+                             "size": 10})["hits"]["hits"]
+        p2 = execute_dsl(s, {"sort": [{"n_chars": "desc"}],
+                             "size": 10,
+                             "search_after": p1[-1]["sort"]})
+    finally:
+        s.close()
+    hits = p2["hits"]["hits"]
+    return pd.DataFrame({
+        "doc_id": np.array([h["_id"] for h in hits], np.int64),
+        "n_chars": np.array([h["sort"][0] for h in hits], np.int64),
+    })
+
+
+DSL_SORTED_CURSOR_SQL = """
+SELECT doc_id, n_chars
+FROM documents
+ORDER BY n_chars DESC, doc_id
+LIMIT 10 OFFSET 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5687,6 +5720,7 @@ def queries() -> dict:
         "dsl_request": dsl_request,
         "dsl_paginated": dsl_paginated,
         "dsl_mget": dsl_mget,
+        "dsl_sorted_cursor": dsl_sorted_cursor,
         "percolate_docs_rules": percolate_docs_rules,
         "search_simple_qs": search_simple_qs,
         "search_rank_feature": search_rank_feature,
@@ -5841,6 +5875,7 @@ def oracle_sql() -> dict:
         "dsl_request": DSL_REQUEST_SQL,
         "dsl_paginated": DSL_PAGINATED_SQL,
         "dsl_mget": DSL_MGET_SQL,
+        "dsl_sorted_cursor": DSL_SORTED_CURSOR_SQL,
         "percolate_docs_rules": PERCOLATE_SQL,
         "search_simple_qs": SEARCH_SIMPLE_QS_SQL,
         "search_rank_feature": SEARCH_RANK_FEATURE_SQL,

@@ -37,7 +37,9 @@ from the stored ``_source`` via ``Searcher.highlight``.
 Pagination / fetch body keys: ``from`` (offset paging), ``sort`` (ONE
 field, asc/desc — Discover's saved-search shape, executed as per-shard
 boundary bisects over the value-sorted range tables), ``search_after``
-(score-sorted cursor paging, ``[last_score, last_doc_id]``), and
+(cursor paging on the score order ``[last_score, last_doc_id]`` or on
+a field sort ``[last_sort_value, last_doc_id]`` — deep pages cost the
+same as page 1), and
 ``_source`` (``true`` or a field list — ONE bulk docstore fetch for
 the whole page, row-group pruned), and ``track_total_hits: true``
 (exact match-set total via the ``_count`` path — one int per shard).
@@ -768,9 +770,17 @@ def execute_dsl(searcher, body: dict) -> dict:
     if srt is not None and size > 0:
         # field sort (the Discover execution shape): per-shard
         # boundary bisect over value-sorted range tables
+        after = None
         if sa is not None:
-            raise ValueError("search_after: not supported with a "
-                             "field sort")
+            # cursor paging on the field sort: each shard bisects to
+            # the cursor — deep pages cost the same as page 1
+            if frm:
+                raise ValueError("search_after: 'from' must be 0")
+            if not (isinstance(sa, (list, tuple)) and len(sa) == 2):
+                raise ValueError("search_after: expected "
+                                 "[last_sort_value, last_doc_id], "
+                                 f"got {sa!r}")
+            after = (sa[0], int(sa[1]))
         sfld, desc = _sort_spec(srt)
         text, f, mode = "", "content", "or"
         if query is not None and "match" in query:
@@ -782,8 +792,8 @@ def execute_dsl(searcher, body: dict) -> dict:
                              "(use match / match_all)")
         rows = searcher.field_sorted_search(
             sfld, k=frm + size, desc=desc, query=text, field=f,
-            mode=mode)
-        hits = [{"_id": int(d), "_score": None, "sort": [_py(v)]}
+            mode=mode, after=after)
+        hits = [{"_id": int(d), "_score": None, "sort": [_py(v), int(d)]}
                 for v, d in rows[frm:frm + size]]
         resp["hits"]["hits"] = hits
         resp["hits"]["total"]["value"] = len(hits)

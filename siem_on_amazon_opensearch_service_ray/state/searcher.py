@@ -687,7 +687,8 @@ def _shard_comoments(r: ShardReader, p: int, tombstones: np.ndarray,
 def _field_sort_partials(index_dir: str, sort_field: str, k: int,
                          desc: bool, cand: np.ndarray | None,
                          tombstones: np.ndarray,
-                         dparts: list[int] | None) -> list[tuple]:
+                         dparts: list[int] | None,
+                         after: tuple | None = None) -> list[tuple]:
     """Per range part, the top ``k`` (value, doc_id) pairs of the
     (optionally candidate-restricted) live rows under (value desc|asc,
     doc_id asc) — the shard-local half of a field-sorted search
@@ -697,11 +698,32 @@ def _field_sort_partials(index_dir: str, sort_field: str, k: int,
     (< k of them), and the boundary-value run is already doc-asc so
     its prefix fills the remainder.  Docs missing the sort field are
     omitted (OpenSearch sorts them last; Discover never pages that
-    far)."""
+    far).
+
+    ``after=(value, doc_id)`` — the previous page's last sort key —
+    restricts each part to rows STRICTLY after the cursor under the
+    output order (search_after deep paging: per-part it is two
+    bisects + a slice, so page 1000 costs the same as page 1 — no
+    offset accumulates and still only k rows leave the part)."""
     from .shard import load_range_pairs
     out: list[tuple] = []
     for vals, ids in load_range_pairs(index_dir, sort_field,
                                       dparts=dparts):
+        if after is not None and vals.size:
+            av, ad = after
+            lo = int(np.searchsorted(vals, av, side="left"))
+            hi_t = int(np.searchsorted(vals, av, side="right"))
+            # ties are doc-asc within the value run: the >cursor part
+            # of the run is its suffix
+            j = lo + int(np.searchsorted(ids[lo:hi_t], ad,
+                                         side="right"))
+            if desc:
+                # keep values < av (ASC prefix) + the tie-run suffix
+                vals = np.concatenate((vals[:lo], vals[j:hi_t]))
+                ids = np.concatenate((ids[:lo], ids[j:hi_t]))
+            else:
+                # keep the tie-run suffix + values > av — contiguous
+                vals, ids = vals[j:], ids[j:]
         keep = None
         if tombstones.size:
             keep = _excl_mask(ids, tombstones)
@@ -1956,8 +1978,8 @@ class PartActor:
 
     def sort_local(self, sort_field: str, k: int, desc: bool,
                    field: str, q_terms: list[str] | None, mode: str,
-                   filter_field: str | None, filter_value: str | None
-                   ) -> list[tuple]:
+                   filter_field: str | None, filter_value: str | None,
+                   after: tuple | None = None) -> list[tuple]:
         """Doc-sharded field-sorted search partial (Discover's sort):
         each shard's local top-k (value, doc_id) under the
         (optionally kuery-filtered) match set — k rows travel per
@@ -1978,7 +2000,7 @@ class PartActor:
                     continue
             out.extend(_field_sort_partials(
                 r.index_dir, sort_field, k, desc, cand,
-                self.tombstones, dparts=[p]))
+                self.tombstones, dparts=[p], after=after))
         out.sort(key=(lambda t: (-t[0], t[1])) if desc
                  else (lambda t: (t[0], t[1])))
         return out[:k]
@@ -3043,7 +3065,8 @@ class Searcher:
                             field: str = "content", mode: str = "or",
                             filter_field: str | None = None,
                             filter_value: str | None = None,
-                            analyzer: str | None = None
+                            analyzer: str | None = None,
+                            after: tuple | None = None
                             ) -> list[tuple]:
         """Field-sorted top-k over the (optionally filtered) match set
         — Discover's execution shape (saved searches: kuery filter +
@@ -3057,7 +3080,13 @@ class Searcher:
         top-k is a boundary bisect + two slices (no sort), and on the
         doc layout each shard ships exactly k rows (``sort_local``).
         Match-all (empty query, no filter) walks no postings at all.
-        Docs missing the sort field are omitted."""
+        Docs missing the sort field are omitted.
+
+        ``after=(last_value, last_doc_id)`` resumes STRICTLY after the
+        cursor (OpenSearch search_after on a field sort): each shard
+        bisects to the cursor position in its value-sorted range
+        tables, so deep pages cost the same as page 1 and still only
+        k rows travel per shard."""
         q_terms: list[str] | None = None
         if query:
             an = ANALYZERS[self._analyzer_for(field, analyzer)]
@@ -3067,7 +3096,8 @@ class Searcher:
         if self.use_actors and self._partition_by == "doc":
             locs = ray.get([
                 a.sort_local.remote(sort_field, k, desc, field, q_terms,
-                                    mode, filter_field, filter_value)
+                                    mode, filter_field, filter_value,
+                                    after)
                 for a in self.actors])
             cands = [t for loc in locs for t in loc]
         else:
@@ -3089,7 +3119,7 @@ class Searcher:
                 return []
             cands = _field_sort_partials(
                 self.index_dir, sort_field, k, desc, cand,
-                self.tombstones, dparts=self._local_parts)
+                self.tombstones, dparts=self._local_parts, after=after)
         cands.sort(key=(lambda t: (-t[0], t[1])) if desc
                    else (lambda t: (t[0], t[1])))
         return cands[:k]

@@ -525,3 +525,92 @@ def test_dsl_track_total_hits(dsl_s):
     with _pytest.raises(ValueError, match="track_total_hits"):
         execute_dsl(s, {"query": {"match": {"content": "spark"}},
                         "track_total_hits": 10000})
+
+
+def test_dsl_field_sort_search_after(dsl_s):
+    """search_after on a field sort: per-shard cursor bisect — pages
+    chain to exactly the full sorted list, including through the big
+    tie runs (msm has three values over 200 docs)."""
+    s = dsl_s
+    full = execute_dsl(s, {"sort": [{"msm": "desc"}],
+                           "size": 200})["hits"]["hits"]
+    assert len(full) == 200
+    paged, cursor = [], None
+    for _ in range(60):
+        body = {"sort": [{"msm": "desc"}], "size": 7}
+        if cursor is not None:
+            body["search_after"] = cursor
+        page = execute_dsl(s, body)["hits"]["hits"]
+        if not page:
+            break
+        paged.extend(page)
+        cursor = page[-1]["sort"]
+    assert [(h["sort"][0], h["_id"]) for h in paged] == \
+        [(h["sort"][0], h["_id"]) for h in full]
+    # asc too, and under a match filter
+    fa = execute_dsl(s, {"query": {"match": {"content": "spark"}},
+                         "sort": [{"msm": "asc"}],
+                         "size": 100})["hits"]["hits"]
+    p1 = execute_dsl(s, {"query": {"match": {"content": "spark"}},
+                         "sort": [{"msm": "asc"}],
+                         "size": 5})["hits"]["hits"]
+    p2 = execute_dsl(s, {"query": {"match": {"content": "spark"}},
+                         "sort": [{"msm": "asc"}], "size": 5,
+                         "search_after": p1[-1]["sort"]})["hits"]["hits"]
+    assert [h["_id"] for h in p1 + p2] == [h["_id"] for h in fa[:10]]
+    # direct-method cursor equivalence on the boundary bisect
+    rows = s.field_sorted_search("msm", k=200, desc=True)
+    av, ad = rows[9]
+    rest = s.field_sorted_search("msm", k=5, desc=True,
+                                 after=(av, int(ad)))
+    assert [(float(v), int(d)) for v, d in rest] == \
+        [(float(v), int(d)) for v, d in rows[10:15]]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="from"):
+        execute_dsl(s, {"sort": [{"msm": "desc"}], "from": 3,
+                        "search_after": [2.0, 5], "size": 5})
+    with _pytest.raises(ValueError, match="search_after"):
+        execute_dsl(s, {"sort": [{"msm": "desc"}],
+                        "search_after": [2.0], "size": 5})
+
+
+def test_field_sort_after_doc_sharded(dsl_s, tmp_path_factory):
+    """The cursor bisect on the ACTOR path (sort_local): doc-sharded
+    pages must equal the local-path pages exactly — k rows per shard,
+    cursor applied inside each shard's bisect."""
+    import dataclasses
+    rng = np.random.default_rng(99)
+    docs = [" ".join(VOCAB[int(j)]
+                     for j in rng.integers(0, len(VOCAB),
+                                           int(rng.integers(5, 25))))
+            for _ in range(N)]
+    t = pa.table({
+        "doc_id": pa.array(range(N), pa.int64()),
+        "text": docs,
+        "msm": pa.array([(i % 3) + 1.0 for i in range(N)], pa.float64()),
+    })
+    root = tmp_path_factory.mktemp("dsl_sort_doc")
+    src = str(root / "d.parquet")
+    pq.write_table(t, src)
+    idx = str(root / "idx")
+    cfg = IndexConfig(num_partitions=4,
+                      fields=(("content", "text", "base"),),
+                      keyword_fields=(), range_fields=("msm",),
+                      doc_id_col="doc_id", sha_col="text",
+                      partition_by="doc", salting=False)
+    build_index([src], idx, cfg)
+    s = Searcher(idx, use_actors=True)
+    try:
+        full = s.field_sorted_search("msm", k=40, desc=True)
+        av, ad = full[12]
+        rest = s.field_sorted_search("msm", k=8, desc=True,
+                                     after=(float(av), int(ad)))
+        assert [(float(v), int(d)) for v, d in rest] == \
+            [(float(v), int(d)) for v, d in full[13:21]]
+        # matches the driver-path fixture exactly (same data/seed)
+        loc = dsl_s.field_sorted_search("msm", k=8, desc=True,
+                                        after=(float(av), int(ad)))
+        assert [(float(v), int(d)) for v, d in rest] == \
+            [(float(v), int(d)) for v, d in loc]
+    finally:
+        s.close()
