@@ -5689,6 +5689,53 @@ LIMIT 10 OFFSET 10
 """
 
 
+def dsl_delete_by_query(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``_delete_by_query`` — the retention operation (the
+    reference expires old log indexes on a schedule; reference
+    index-lifecycle docs): a keyword delete (lang=de) then a range
+    delete (n_chars >= 400) tombstone matching docs, the live actor
+    pool refreshes in one broadcast round, and the post-delete counts
+    are SQL-exact.  Runs on a PRIVATE index copy (deletes mutate);
+    the tombstone file resets per run so the entry is idempotent."""
+    import dataclasses
+    import os as _os
+    from ..state.dsl import execute_count, execute_delete_by_query
+    cfg = dataclasses.replace(_docs_index_cfg(), partition_by="doc")
+    idx = _docs_index_dir(sf_dir) + "_dbq"
+    build_index(_docs_source(sf_dir), idx, cfg, resume=True)
+    tomb = _os.path.join(idx, "tombstones.parquet")
+    if _os.path.exists(tomb):
+        _os.remove(tomb)          # start from the full corpus each run
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        r1 = execute_delete_by_query(
+            s, {"query": {"term": {"lang": "de"}}})
+        r2 = execute_delete_by_query(
+            s, {"query": {"range": {"n_chars": {"gte": 400}}}})
+        live = execute_count(s, {})["count"]
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "metric": ["deleted_lang_de", "deleted_long_docs",
+                   "live_total"],
+        "value": np.array([r1["deleted"], r2["deleted"], live],
+                          np.int64),
+    })
+
+
+DSL_DELETE_BY_QUERY_SQL = """
+SELECT 'deleted_lang_de' AS metric,
+       cast(count(*) AS BIGINT) AS value
+FROM documents WHERE lang = 'de'
+UNION ALL
+SELECT 'deleted_long_docs', cast(count(*) AS BIGINT)
+FROM documents WHERE lang <> 'de' AND n_chars >= 400
+UNION ALL
+SELECT 'live_total', cast(count(*) AS BIGINT)
+FROM documents WHERE lang <> 'de' AND n_chars < 400
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5721,6 +5768,7 @@ def queries() -> dict:
         "dsl_paginated": dsl_paginated,
         "dsl_mget": dsl_mget,
         "dsl_sorted_cursor": dsl_sorted_cursor,
+        "dsl_delete_by_query": dsl_delete_by_query,
         "percolate_docs_rules": percolate_docs_rules,
         "search_simple_qs": search_simple_qs,
         "search_rank_feature": search_rank_feature,
@@ -5876,6 +5924,7 @@ def oracle_sql() -> dict:
         "dsl_paginated": DSL_PAGINATED_SQL,
         "dsl_mget": DSL_MGET_SQL,
         "dsl_sorted_cursor": DSL_SORTED_CURSOR_SQL,
+        "dsl_delete_by_query": DSL_DELETE_BY_QUERY_SQL,
         "percolate_docs_rules": PERCOLATE_SQL,
         "search_simple_qs": SEARCH_SIMPLE_QS_SQL,
         "search_rank_feature": SEARCH_RANK_FEATURE_SQL,

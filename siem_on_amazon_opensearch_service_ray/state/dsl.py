@@ -46,7 +46,9 @@ the whole page, row-group pruned), and ``track_total_hits: true``
 
 Sibling API surfaces in this module: ``execute_count`` (`_count`),
 ``execute_msearch`` (`_msearch`), ``execute_explain`` (`_explain/<id>`),
-``execute_analyze`` (`_analyze`), ``execute_mget`` (`_mget`).
+``execute_analyze`` (`_analyze`), ``execute_mget`` (`_mget`),
+``execute_delete_by_query`` (`_delete_by_query` — tombstone + live
+refresh; the retention op).
 
 Unsupported constructs raise ``ValueError`` naming the node — never a
 silent wrong answer.  Aggregations run in the QUERY's context when
@@ -66,7 +68,8 @@ from __future__ import annotations
 from typing import Any
 
 __all__ = ["execute_dsl", "execute_count", "execute_msearch",
-           "execute_explain", "execute_analyze", "execute_mget"]
+           "execute_explain", "execute_analyze", "execute_mget",
+           "execute_delete_by_query"]
 
 
 def _sharded(s) -> bool:
@@ -1025,3 +1028,79 @@ def execute_mget(searcher, body: dict) -> dict:
         docs.append({"_id": i, "found": row is not None,
                      "_source": src})
     return {"docs": docs}
+
+
+def _dbq_ids(searcher, query: dict):
+    """LIVE doc ids matching a delete-by-query body.  match / term /
+    range nodes collect ids per shard (each shard walks only its own
+    postings / filter / range tables); any other supported node falls
+    back to the scored executor.  Returns a sorted unique uint64
+    array with already-tombstoned ids excluded."""
+    import numpy as np
+
+    def _per_shard(method: str, kw: dict) -> list:
+        if _sharded(searcher):
+            import ray as _ray
+            parts = _ray.get([a.exec_local.remote(method, kw, None)
+                              for a in searcher.actors])
+            return [int(x) for p in parts for x in p]
+        return [int(x) for x in getattr(searcher, method)(**kw)]
+
+    kind, spec = _one(query, "query")
+    if kind == "match":
+        from ..analysis import ANALYZERS
+        f, text, op = _match_text(query)
+        an = ANALYZERS[searcher._analyzer_for(f, None)]
+        q_terms = an(text)
+        ids = [] if not q_terms else _per_shard(
+            "_match_ids", dict(field=f, q_terms=q_terms,
+                               mode="and" if op == "and" else "or"))
+    elif kind == "term":
+        f, v = _one(spec, "term")
+        if isinstance(v, dict):
+            v = v["value"]
+        ids = _per_shard("_filter_ids", dict(field=f, value=str(v)))
+    elif kind == "range":
+        f, bounds = _one(spec, "range")
+        if not set(bounds) <= {"gte", "lte"}:
+            raise ValueError("_delete_by_query range: only gte/lte "
+                             f"bounds are supported, got {bounds!r}")
+        ids = _per_shard("_range_ids", dict(field=f,
+                                            lo=bounds.get("gte"),
+                                            hi=bounds.get("lte")))
+    else:
+        ids = [int(d) for h in [_exec_query(searcher, query, 1 << 31)]
+               for _s, d, *_rest in h]
+    arr = np.unique(np.asarray(ids, np.uint64)) if ids else \
+        np.zeros(0, np.uint64)
+    if arr.size and searcher.tombstones.size:
+        arr = arr[~np.isin(arr, searcher.tombstones)]
+    return arr
+
+
+def execute_delete_by_query(searcher, body: dict) -> dict:
+    """OpenSearch ``_delete_by_query`` parity — THE retention
+    operation (the reference expires old log indexes on a schedule;
+    here a range delete on the time field is the same act).  Matching
+    LIVE docs are tombstoned (Lucene deleted-doc semantics: excluded
+    from every query/fetch immediately, physically removed at the
+    next ``compact_index``, df/N keep counting them until then), and
+    the live Searcher — driver and every shard actor — refreshes in
+    one broadcast round.  Returns ``{"deleted": N, "total": N,
+    "tombstones": M}``.  ``match_all`` refuses: dropping the whole
+    index is directory removal, not a query."""
+    from ..pipelines.build_index import delete_docs
+    query = body.get("query")
+    if query is None or "match_all" in query:
+        raise ValueError("_delete_by_query: match_all would drop the "
+                         "whole index — remove the index directory "
+                         "instead")
+    ids = _dbq_ids(searcher, query)
+    before = int(searcher.tombstones.size)
+    if ids.size:
+        after = delete_docs(searcher.index_dir, ids.tolist())
+    else:
+        after = before
+    searcher.refresh_tombstones()
+    return {"deleted": int(after - before), "total": int(ids.size),
+            "tombstones": int(after)}

@@ -1629,6 +1629,19 @@ class PartActor:
         # count_le probe round of a selection
         self._cle_memo: dict[tuple, np.ndarray] = {}
 
+    def refresh_tombstones(self) -> int:
+        """Reload tombstones from disk after a delete (the
+        delete-by-query refresh): the warm readers stay, only the
+        exclusion set and the match-set memos reset."""
+        from .shard import load_tombstones
+        self.tombstones = load_tombstones(self.index_dir)
+        self._cle_memo.clear()
+        if self._local is not None:
+            self._local.tombstones = self.tombstones
+            self._local._filter_cache.clear()
+            self._local._rows_cache.clear()
+        return int(self.tombstones.size)
+
     def get_terms(self, field: str, terms_by_part: dict[int, list[str]]
                   ) -> dict[str, list[tuple]]:
         out: dict[str, list[tuple]] = {}
@@ -2240,6 +2253,19 @@ class Searcher:
         if self.use_actors:
             for a in self.actors:
                 ray.kill(a)
+
+    def refresh_tombstones(self) -> int:
+        """Reload the tombstone set from disk on the driver AND every
+        shard actor (one broadcast round) — call after
+        ``delete_docs`` / ``execute_delete_by_query`` so a live
+        Searcher stops matching the deleted docs.  The warm readers
+        and postings caches survive; only the exclusion set moves."""
+        from .shard import load_tombstones
+        self.tombstones = load_tombstones(self.index_dir)
+        self._filter_cache.clear()
+        if self.use_actors:
+            ray.get([a.refresh_tombstones.remote() for a in self.actors])
+        return int(self.tombstones.size)
 
     def _gather(self, field: str, terms: list[str]) -> dict[str, list[tuple]]:
         """Fetch raw postings rows for terms; a bounded per-searcher

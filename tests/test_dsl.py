@@ -614,3 +614,81 @@ def test_field_sort_after_doc_sharded(dsl_s, tmp_path_factory):
             [(float(v), int(d)) for v, d in loc]
     finally:
         s.close()
+
+
+def test_delete_by_query(ray_session, tmp_path_factory):
+    """_delete_by_query: term / match / range deletes tombstone live
+    docs, the live Searcher (driver + actor pool) refreshes in place,
+    re-delete is a no-op, match_all refuses."""
+    from siem_on_amazon_opensearch_service_ray.state.dsl import (
+        execute_count, execute_delete_by_query)
+    rng = np.random.default_rng(7)
+    n = 120
+    docs = [" ".join(VOCAB[int(j)]
+                     for j in rng.integers(0, len(VOCAB),
+                                           int(rng.integers(5, 20))))
+            for _ in range(n)]
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": docs,
+        "lang": [["py", "go", "rs"][i % 3] for i in range(n)],
+        "age": pa.array([float(i) for i in range(n)], pa.float64()),
+    })
+    root = tmp_path_factory.mktemp("dbq")
+    src = str(root / "d.parquet")
+    pq.write_table(t, src)
+    idx = str(root / "idx")
+    cfg = IndexConfig(num_partitions=4,
+                      fields=(("content", "text", "base"),),
+                      keyword_fields=("lang",), range_fields=("age",),
+                      doc_id_col="doc_id", sha_col="text",
+                      partition_by="doc", salting=False)
+    build_index([src], idx, cfg)
+    s = Searcher(idx, use_actors=True)
+    try:
+        live0 = execute_count(s, {})["count"]
+        assert live0 == n
+        # term delete: all lang=py docs (40 of 120)
+        r = execute_delete_by_query(s, {"query": {"term":
+                                                  {"lang": "py"}}})
+        assert r["deleted"] == 40 and r["tombstones"] == 40
+        assert execute_count(s, {})["count"] == n - 40
+        # the live searcher no longer matches the deleted docs
+        # (actor pool refreshed in the same call)
+        hits = s.search_doc_sharded("spark", k=200)
+        assert all(int(d) % 3 != 0 for _, d in hits)
+        # re-delete: idempotent, nothing newly dead
+        r2 = execute_delete_by_query(s, {"query": {"term":
+                                                   {"lang": "py"}}})
+        assert r2["deleted"] == 0 and r2["total"] == 0
+        # range delete (retention shape): age <= 9 — the live ones
+        # are the non-py ids 1,2,4,5,7,8 (6 docs)
+        r3 = execute_delete_by_query(s, {"query": {"range":
+                                                   {"age": {"lte": 9}}}})
+        assert r3["deleted"] == 6
+        assert execute_count(s, {})["count"] == n - 46
+        # match delete on a token
+        tok = "shuffle"
+        m = s.match_count(tok)
+        r4 = execute_delete_by_query(s, {"query": {"match":
+                                                   {"content": tok}}})
+        assert r4["deleted"] == m
+        assert execute_count(
+            s, {"query": {"match": {"content": tok}}})["count"] == 0
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="match_all"):
+            execute_delete_by_query(s, {"query": {"match_all": {}}})
+        with _pytest.raises(ValueError, match="gte/lte"):
+            execute_delete_by_query(s, {"query": {"range":
+                                                  {"age": {"gt": 3}}}})
+    finally:
+        s.close()
+    # the local (no-actor) layout sees the same final state and
+    # supports the same surface
+    s2 = Searcher(idx, use_actors=False)
+    final = execute_count(s2, {})["count"]
+    assert final == n - 46 - m
+    r5 = execute_delete_by_query(s2, {"query": {"term": {"lang": "go"}}})
+    assert r5["deleted"] == r5["total"] > 0
+    assert execute_count(s2, {"query": {"match_all": {}}})["count"] == \
+        final - r5["deleted"]
