@@ -712,11 +712,20 @@ def _py(v):
 
 def _attach_source(searcher, hits: list[dict], spec) -> None:
     """OpenSearch ``_source`` fetch: ``true`` = every stored docstore
-    column, a list = that subset; ids the docstore doesn't hold get
+    column, a list = that subset, ``{"includes": [...], "excludes":
+    [...]}`` = the filtered object form (excludes-only projects every
+    stored column minus those); ids the docstore doesn't hold get
     ``_source: None``.  ONE bulk ``fetch_docs`` covers all hit ids
     (parquet row-group pruned) — never a per-hit read."""
     if not hits or spec in (None, False):
         return
+    excludes: list[str] = []
+    if isinstance(spec, dict):
+        if not set(spec) <= {"includes", "excludes"}:
+            raise ValueError("_source: object form takes includes/"
+                             f"excludes, got {sorted(spec)!r}")
+        excludes = list(spec.get("excludes") or [])
+        spec = spec.get("includes") or True
     cols = None
     if spec is not True:
         if isinstance(spec, str):
@@ -724,6 +733,7 @@ def _attach_source(searcher, hits: list[dict], spec) -> None:
         if not isinstance(spec, list):
             raise ValueError("_source: expected true or a list of "
                              f"fields, got {spec!r}")
+        spec = [c for c in spec if c not in excludes]
         cols = list(dict.fromkeys(["doc_id", *spec]))
     t = searcher.fetch_docs([h["_id"] for h in hits], columns=cols)
     by_id: dict[int, dict] = {}
@@ -733,7 +743,8 @@ def _attach_source(searcher, hits: list[dict], spec) -> None:
     for h in hits:
         row = by_id.get(int(h["_id"]))
         h["_source"] = None if row is None else {
-            k: v for k, v in row.items() if spec is True or k in spec}
+            k: v for k, v in row.items()
+            if (spec is True or k in spec) and k not in excludes}
 
 
 def _apply_tth(searcher, resp: dict, query, tth) -> None:

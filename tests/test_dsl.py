@@ -692,3 +692,27 @@ def test_delete_by_query(ray_session, tmp_path_factory):
     assert r5["deleted"] == r5["total"] > 0
     assert execute_count(s2, {"query": {"match_all": {}}})["count"] == \
         final - r5["deleted"]
+
+
+def test_dsl_source_object_form(hl_s):
+    """_source object form: includes/excludes filtering, excludes-only
+    projects everything minus the listed columns."""
+    r = execute_dsl(hl_s, {"query": {"match": {"content": "spark"}},
+                           "_source": {"includes": ["text"]},
+                           "size": 3})
+    assert all(set(h["_source"]) == {"text"} for h in r["hits"]["hits"])
+    r2 = execute_dsl(hl_s, {"query": {"match": {"content": "spark"}},
+                            "_source": {"excludes": ["text"]},
+                            "size": 3})
+    for h in r2["hits"]["hits"]:
+        assert "text" not in h["_source"] and "doc_id" in h["_source"]
+    r3 = execute_dsl(hl_s, {"query": {"match": {"content": "spark"}},
+                            "_source": {"includes": ["text", "doc_id"],
+                                        "excludes": ["text"]},
+                            "size": 2})
+    assert all(set(h["_source"]) == {"doc_id"}
+               for h in r3["hits"]["hits"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="includes"):
+        execute_dsl(hl_s, {"query": {"match": {"content": "spark"}},
+                           "_source": {"fields": ["text"]}})
