@@ -5736,6 +5736,55 @@ FROM documents WHERE lang <> 'de' AND n_chars < 400
 """
 
 
+def dsl_bulk(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``_bulk`` — the reference's WRITE path (its
+    es-loader ships every parsed batch as one `_bulk` request): three
+    new docs land as ONE content-addressed incremental generation
+    (extend_index), two existing docs are deleted, and the post-state
+    counts are SQL-exact.  Runs on a PRIVATE index copy; replaying
+    converges (generation no-op, deletes already dead), so the entry
+    is idempotent without any reset."""
+    import dataclasses
+    from ..state.dsl import execute_bulk, execute_count
+    cfg = dataclasses.replace(_docs_index_cfg(), partition_by="doc")
+    idx = _docs_index_dir(sf_dir) + "_bulk"
+    build_index(_docs_source(sf_dir), idx, cfg, resume=True)
+    newdoc = {"source": "src9", "lang": "xx", "n_chars": 20}
+    execute_bulk(idx, [
+        {"index": {"_id": 1_000_001}},
+        {"text": "zebraqx quokka spark", **newdoc},
+        {"index": {"_id": 1_000_002}},
+        {"text": "zebraqx zebraqx join", **newdoc},
+        {"create": {"_id": 1_000_003}},
+        {"text": "zebraqx merge sort", **newdoc},
+        {"delete": {"_id": 11}},
+        {"delete": {"_id": 23}},
+    ])
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        live = execute_count(s, {})["count"]
+        de = execute_count(s, {"query": {"term": {"lang": "de"}}})["count"]
+        zeb = execute_count(
+            s, {"query": {"match": {"content": "zebraqx"}}})["count"]
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "metric": ["live_total", "live_de", "zebraqx_hits"],
+        "value": np.array([live, de, zeb], np.int64),
+    })
+
+
+DSL_BULK_SQL = """
+SELECT 'live_total' AS metric,
+       cast(count(*) + 3 - 2 AS BIGINT) AS value FROM documents
+UNION ALL
+SELECT 'live_de', cast(count(*) AS BIGINT)
+FROM documents WHERE lang = 'de' AND doc_id NOT IN (11, 23)
+UNION ALL
+SELECT 'zebraqx_hits', cast(3 AS BIGINT)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5769,6 +5818,7 @@ def queries() -> dict:
         "dsl_mget": dsl_mget,
         "dsl_sorted_cursor": dsl_sorted_cursor,
         "dsl_delete_by_query": dsl_delete_by_query,
+        "dsl_bulk": dsl_bulk,
         "percolate_docs_rules": percolate_docs_rules,
         "search_simple_qs": search_simple_qs,
         "search_rank_feature": search_rank_feature,
@@ -5925,6 +5975,7 @@ def oracle_sql() -> dict:
         "dsl_mget": DSL_MGET_SQL,
         "dsl_sorted_cursor": DSL_SORTED_CURSOR_SQL,
         "dsl_delete_by_query": DSL_DELETE_BY_QUERY_SQL,
+        "dsl_bulk": DSL_BULK_SQL,
         "percolate_docs_rules": PERCOLATE_SQL,
         "search_simple_qs": SEARCH_SIMPLE_QS_SQL,
         "search_rank_feature": SEARCH_RANK_FEATURE_SQL,

@@ -48,7 +48,9 @@ Sibling API surfaces in this module: ``execute_count`` (`_count`),
 ``execute_msearch`` (`_msearch`), ``execute_explain`` (`_explain/<id>`),
 ``execute_analyze`` (`_analyze`), ``execute_mget`` (`_mget`),
 ``execute_delete_by_query`` (`_delete_by_query` — tombstone + live
-refresh; the retention op).
+refresh; the retention op), ``execute_bulk`` (`_bulk` — the
+reference's write path: index actions become one incremental
+generation via extend_index, deletes tombstone).
 
 Unsupported constructs raise ``ValueError`` naming the node — never a
 silent wrong answer.  Aggregations run in the QUERY's context when
@@ -69,7 +71,7 @@ from typing import Any
 
 __all__ = ["execute_dsl", "execute_count", "execute_msearch",
            "execute_explain", "execute_analyze", "execute_mget",
-           "execute_delete_by_query"]
+           "execute_delete_by_query", "execute_bulk"]
 
 
 def _sharded(s) -> bool:
@@ -668,6 +670,10 @@ def execute_count(searcher, body: dict) -> dict:
         f, text, op = _match_text(query)
         return {"count": int(searcher.match_count(
             text, field=f, mode="and" if op == "and" else "or"))}
+    if "term" in query or "range" in query:
+        # keyword/range filter counts: live ids collected per shard
+        # from the filter / range tables, no postings walked
+        return {"count": int(_dbq_ids(searcher, query).size)}
     return {"count": len(_exec_query(searcher, query, 1 << 31))}
 
 
@@ -1115,3 +1121,126 @@ def execute_delete_by_query(searcher, body: dict) -> dict:
     searcher.refresh_tombstones()
     return {"deleted": int(after - before), "total": int(ids.size),
             "tombstones": int(after)}
+
+
+def execute_bulk(index_dir: str, lines: list[dict]) -> dict:
+    """OpenSearch ``_bulk`` parity — THE reference write path (its
+    es-loader ships every parsed log batch as one `_bulk` request,
+    reference siem/index.py bulk loop).  ``lines`` is the parsed
+    NDJSON stream: ``{"index"|"create": {"_id": N}}`` followed by the
+    document source object, or a standalone ``{"delete": {"_id": N}}``.
+
+    Index actions become ONE new content-addressed GENERATION
+    (``extend_index``: postings built by the distributed Ray Data
+    passes, read back through the existing multi-run merge — query
+    paths unchanged), so a 10k-doc bulk costs one incremental build,
+    never 10k point writes.  The staging parquet is named by content
+    hash and never rewritten, so replaying the same bulk is a no-op
+    (``result: "noop"``).  Delete actions tombstone (Lucene
+    deleted-doc semantics).  Same-id index+delete in one request
+    raises — the engine's upsert flow is explicit (delete ->
+    compact -> extend), there is no last-writer-wins.  A live
+    Searcher sees the new generation on reopen (the OpenSearch
+    refresh analogue); deletes alone can be re-armed in place with
+    ``Searcher.refresh_tombstones``.
+
+    Returns ``{"errors": bool, "items": [...]}`` in request order."""
+    import hashlib
+    import json as _json
+    import os as _os
+
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    docs: list[tuple[int, dict]] = []
+    dels: list[int] = []
+    order: list[tuple[str, int]] = []      # (kind, id) per action
+    i = 0
+    while i < len(lines):
+        ln = lines[i]
+        kind, meta = _one(ln, "_bulk action")
+        if kind in ("index", "create"):
+            if i + 1 >= len(lines) or not isinstance(lines[i + 1], dict):
+                raise ValueError(f"_bulk: {kind} action at line {i} "
+                                 "has no source line")
+            if "_id" not in meta:
+                raise ValueError("_bulk: index/create need an explicit "
+                                 "_id (content-derived ids come from "
+                                 "the build pipeline, not _bulk)")
+            did = int(meta["_id"])
+            docs.append((did, dict(lines[i + 1])))
+            order.append(("index", did))
+            i += 2
+        elif kind == "delete":
+            did = int(meta["_id"])
+            dels.append(did)
+            order.append(("delete", did))
+            i += 1
+        else:
+            raise ValueError(f"_bulk: unsupported action {kind!r} "
+                             "(index/create/delete)")
+    both = {d for d, _ in docs} & set(dels)
+    if both:
+        raise ValueError(f"_bulk: ids {sorted(both)} appear in both "
+                         "index and delete actions — upsert is the "
+                         "explicit delete -> compact_index -> "
+                         "extend_index flow")
+
+    from ..pipelines.build_index import (IndexConfig, delete_docs,
+                                         extend_index)
+    with open(_os.path.join(index_dir, "INDEX_MANIFEST.json")) as f:
+        man = _json.load(f)
+    cfg_d = man["config"]
+    id_col = cfg_d["doc_id_col"]
+
+    noop = False
+    if docs:
+        rows = [{id_col: did, **src} for did, src in docs]
+        cols = sorted({k for r in rows for k in r})
+        tbl = _pa.table({c: [r.get(c) for r in rows] for c in cols})
+        payload = _json.dumps(rows, sort_keys=True).encode()
+        tag = hashlib.sha256(payload).hexdigest()[:16]
+        gdir = _os.path.join(index_dir, "bulk_staging")
+        _os.makedirs(gdir, exist_ok=True)
+        path = _os.path.join(gdir, f"bulk-{tag}.parquet")
+        if not _os.path.exists(path):
+            # content-addressed: never rewritten, so the mtime-keyed
+            # generation fingerprint stays stable across replays
+            _pq.write_table(tbl, path)
+        else:
+            noop = True
+        gens_before = set(man.get("generations", {}))
+        man2 = extend_index([path], index_dir)
+        noop = noop and set(man2.get("generations", {})) == gens_before
+
+    found: set[int] = set()
+    if dels:
+        from .shard import load_tombstones
+        tombs = load_tombstones(index_dir)
+        live = [d for d in sorted(set(dels))
+                if not (tombs.size
+                        and np.isin(np.uint64(d), tombs))]
+        if live:
+            dsdir = _os.path.join(index_dir, "docstore")
+            for fn in sorted(_os.listdir(dsdir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                t = _pq.read_table(
+                    _os.path.join(dsdir, fn), columns=["doc_id"],
+                    filters=[("doc_id", "in", live)])
+                found.update(int(x) for x in t.column("doc_id").to_pylist())
+        if found:
+            delete_docs(index_dir, sorted(found))
+
+    items = []
+    for kind, did in order:
+        if kind == "index":
+            items.append({"index": {"_id": did,
+                                    "result": "noop" if noop
+                                    else "created"}})
+        else:
+            items.append({"delete": {"_id": did,
+                                     "result": "deleted" if did in found
+                                     else "not_found"}})
+    return {"errors": False, "items": items}

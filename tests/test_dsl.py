@@ -716,3 +716,66 @@ def test_dsl_source_object_form(hl_s):
     with _pytest.raises(ValueError, match="includes"):
         execute_dsl(hl_s, {"query": {"match": {"content": "spark"}},
                            "_source": {"fields": ["text"]}})
+
+
+def test_execute_bulk(ray_session, tmp_path_factory):
+    """_bulk: index actions land as ONE incremental generation, a
+    reopened Searcher sees them; deletes tombstone with found flags;
+    replay is a no-op; index+delete of one id refuses."""
+    from siem_on_amazon_opensearch_service_ray.state.dsl import (
+        execute_bulk, execute_count)
+    n = 60
+    rng = np.random.default_rng(3)
+    docs = [" ".join(VOCAB[int(j)]
+                     for j in rng.integers(0, len(VOCAB), 8))
+            for _ in range(n)]
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": docs,
+        "lang": [["py", "go"][i % 2] for i in range(n)],
+    })
+    root = tmp_path_factory.mktemp("bulk")
+    src = str(root / "d.parquet")
+    pq.write_table(t, src)
+    idx = str(root / "idx")
+    cfg = IndexConfig(num_partitions=4,
+                      fields=(("content", "text", "base"),),
+                      keyword_fields=("lang",), range_fields=(),
+                      doc_id_col="doc_id", sha_col="text",
+                      partition_by="doc", salting=False)
+    build_index([src], idx, cfg)
+    lines = [
+        {"index": {"_id": 1000}},
+        {"text": "zebra quokka spark", "lang": "py"},
+        {"create": {"_id": 1001}},
+        {"text": "zebra zebra join", "lang": "go"},
+        {"delete": {"_id": 5}},
+        {"delete": {"_id": 999999}},
+    ]
+    r = execute_bulk(idx, lines)
+    assert not r["errors"]
+    assert r["items"][0]["index"]["result"] == "created"
+    assert r["items"][2]["delete"]["result"] == "deleted"
+    assert r["items"][3]["delete"]["result"] == "not_found"
+    # a reopened Searcher sees the generation and the tombstone
+    s = Searcher(idx, use_actors=False)
+    hits = s.search("zebra", k=10)
+    assert {int(d) for _, d in hits} == {1000, 1001}
+    assert execute_count(s, {})["count"] == n + 2 - 1
+    assert s.ids_search([5], k=5) == []
+    s.close()
+    # replay: content-addressed no-op, delete already dead
+    r2 = execute_bulk(idx, lines)
+    assert r2["items"][0]["index"]["result"] == "noop"
+    assert r2["items"][2]["delete"]["result"] == "not_found"
+    s = Searcher(idx, use_actors=False)
+    assert execute_count(s, {})["count"] == n + 2 - 1
+    s.close()
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="both"):
+        execute_bulk(idx, [{"index": {"_id": 7}}, {"text": "x"},
+                           {"delete": {"_id": 7}}])
+    with _pytest.raises(ValueError, match="_id"):
+        execute_bulk(idx, [{"index": {}}, {"text": "x"}])
+    with _pytest.raises(ValueError, match="source line"):
+        execute_bulk(idx, [{"index": {"_id": 9}}])
