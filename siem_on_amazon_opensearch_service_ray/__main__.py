@@ -254,6 +254,20 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("index_dir")
     d.add_argument("doc_ids", nargs="+", type=int)
 
+    bk = sub.add_parser("bulk", help="OpenSearch _bulk NDJSON: "
+                                     "index/create/delete actions")
+    bk.add_argument("index_dir")
+    bk.add_argument("ndjson", help="NDJSON file of action/source "
+                                   "lines, or - for stdin")
+    bk.add_argument("--num-cpus", type=int, default=None)
+
+    dbq = sub.add_parser("delete-by-query",
+                         help="tombstone every live doc matching a "
+                              "match/term/range query body")
+    dbq.add_argument("index_dir")
+    dbq.add_argument("body", help="JSON query body, or @file.json")
+    dbq.add_argument("--num-cpus", type=int, default=None)
+
     dc = sub.add_parser("decontam",
                         help="flag docs sharing n-grams with a benchmark")
     dc.add_argument("corpus", help="parquet file/dir with text docs")
@@ -415,6 +429,30 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"n_docs": man["stats"]["n_docs"],
                               "generations": list(man.get("generations", {}))},
                              indent=2))
+        elif args.cmd == "bulk":
+            import sys as _sys
+            from .state.dsl import execute_bulk
+            fh = _sys.stdin if args.ndjson == "-" else open(args.ndjson)
+            try:
+                lines = [json.loads(ln) for ln in fh if ln.strip()]
+            finally:
+                if fh is not _sys.stdin:
+                    fh.close()
+            print(json.dumps(execute_bulk(args.index_dir, lines),
+                             indent=2))
+        elif args.cmd == "delete-by-query":
+            from .state.dsl import execute_delete_by_query
+            from .state.searcher import Searcher
+            raw = args.body
+            if raw.startswith("@"):
+                with open(raw[1:]) as f:
+                    raw = f.read()
+            searcher = Searcher(args.index_dir, use_actors=True)
+            try:
+                print(json.dumps(execute_delete_by_query(
+                    searcher, json.loads(raw))))
+            finally:
+                searcher.close()
         elif args.cmd == "compact":
             from .pipelines.build_index import compact_index
             man = compact_index(args.index_dir)

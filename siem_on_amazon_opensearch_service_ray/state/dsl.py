@@ -1144,6 +1144,12 @@ def execute_bulk(index_dir: str, lines: list[dict]) -> dict:
     refresh analogue); deletes alone can be re-armed in place with
     ``Searcher.refresh_tombstones``.
 
+    Ids follow the INDEX's identity scheme: an explicit-id index
+    (``doc_id_col``) requires ``_id`` on every index/create action; a
+    content-addressed index (``doc_id_col=None``) REFUSES ``_id`` and
+    derives the id from the doc's ``id_cols`` exactly as the build
+    does (the M10 invariant), reporting the derived ``_id`` back.
+
     Returns ``{"errors": bool, "items": [...]}`` in request order."""
     import hashlib
     import json as _json
@@ -1152,6 +1158,13 @@ def execute_bulk(index_dir: str, lines: list[dict]) -> dict:
     import numpy as np
     import pyarrow as _pa
     import pyarrow.parquet as _pq
+
+    from ..pipelines.build_index import delete_docs, extend_index
+    with open(_os.path.join(index_dir, "INDEX_MANIFEST.json")) as f:
+        man = _json.load(f)
+    cfg_d = man["config"]
+    id_col = cfg_d["doc_id_col"]
+    id_cols = tuple(cfg_d.get("id_cols") or ())
 
     docs: list[tuple[int, dict]] = []
     dels: list[int] = []
@@ -1164,12 +1177,26 @@ def execute_bulk(index_dir: str, lines: list[dict]) -> dict:
             if i + 1 >= len(lines) or not isinstance(lines[i + 1], dict):
                 raise ValueError(f"_bulk: {kind} action at line {i} "
                                  "has no source line")
-            if "_id" not in meta:
-                raise ValueError("_bulk: index/create need an explicit "
-                                 "_id (content-derived ids come from "
-                                 "the build pipeline, not _bulk)")
-            did = int(meta["_id"])
-            docs.append((did, dict(lines[i + 1])))
+            src = dict(lines[i + 1])
+            if id_col is not None:
+                if "_id" not in meta:
+                    raise ValueError("_bulk: this index uses an "
+                                     f"explicit id column ({id_col!r})"
+                                     " — index/create need an _id")
+                did = int(meta["_id"])
+            else:
+                if "_id" in meta:
+                    raise ValueError("_bulk: this index derives "
+                                     "content-addressed ids from "
+                                     f"id_cols {id_cols} — omit _id")
+                missing = [c for c in id_cols if c not in src]
+                if missing:
+                    raise ValueError("_bulk: source is missing id_cols "
+                                     f"{missing}")
+                from ..stages.docprep import _doc_id_from_key
+                did = _doc_id_from_key(tuple(str(src[c])
+                                             for c in id_cols))
+            docs.append((did, src))
             order.append(("index", did))
             i += 2
         elif kind == "delete":
@@ -1187,16 +1214,10 @@ def execute_bulk(index_dir: str, lines: list[dict]) -> dict:
                          "explicit delete -> compact_index -> "
                          "extend_index flow")
 
-    from ..pipelines.build_index import (IndexConfig, delete_docs,
-                                         extend_index)
-    with open(_os.path.join(index_dir, "INDEX_MANIFEST.json")) as f:
-        man = _json.load(f)
-    cfg_d = man["config"]
-    id_col = cfg_d["doc_id_col"]
-
     noop = False
     if docs:
-        rows = [{id_col: did, **src} for did, src in docs]
+        rows = [({id_col: did, **src} if id_col is not None else src)
+                for did, src in docs]
         cols = sorted({k for r in rows for k in r})
         tbl = _pa.table({c: [r.get(c) for r in rows] for c in cols})
         payload = _json.dumps(rows, sort_keys=True).encode()

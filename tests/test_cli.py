@@ -517,3 +517,53 @@ def test_cli_query_json_body(cli_index, capsys):
     bl = out["aggregations"]["by_lang"]["buckets"]
     assert {b["key"] for b in bl} <= {"py", "go"}
     assert sum(b["doc_count"] for b in bl) > 0
+
+
+def test_cli_bulk_and_delete_by_query(ray_session, tmp_path, capsys):
+    """`bulk` (NDJSON index/delete actions) and `delete-by-query`
+    subcommands end-to-end on a private index."""
+    rng = np.random.default_rng(5)
+    docs = [" ".join(VOCAB[int(j)]
+                     for j in rng.integers(0, len(VOCAB), 10))
+            for _ in range(80)]
+    t = pa.table({
+        "content": docs,
+        "path": [f"src/m_{i % 7}.py" for i in range(80)],
+        "lang": [["py", "go"][i % 2] for i in range(80)],
+        "repo": [f"r{i % 3}" for i in range(80)],
+        "commit": [f"{i:08x}" for i in range(80)],
+    })
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    pq.write_table(t, str(corpus / "chunk-0.parquet"))
+    idx = str(tmp_path / "idx")
+    assert main(["build", str(corpus), idx, "--partitions", "4",
+                 "--no-salting"]) == 0
+    capsys.readouterr()
+    # this index derives content-addressed ids from (repo, path,
+    # commit) — the bulk response reports the derived _id back
+    nd = tmp_path / "req.ndjson"
+    nd.write_text("\n".join(json.dumps(x) for x in [
+        {"index": {}},
+        {"content": "qwertyzx spark", "path": "new/a.py", "lang": "py",
+         "repo": "r9", "commit": "ffffffff"},
+        {"index": {}},
+        {"content": "qwertyzx join", "path": "new/b.py", "lang": "go",
+         "repo": "r9", "commit": "fffffffe"},
+    ]))
+    out = _run_json(capsys, ["bulk", idx, str(nd)])
+    assert [it["index"]["result"] for it in out["items"]] == \
+        ["created", "created"]
+    new_ids = {it["index"]["_id"] for it in out["items"]}
+    from siem_on_amazon_opensearch_service_ray.stages.docprep import (
+        doc_ids_for)
+    want = set(doc_ids_for(["r9", "r9"], ["new/a.py", "new/b.py"],
+                           ["ffffffff", "fffffffe"]).tolist())
+    assert new_ids == want
+    hits = _run_json(capsys, ["search", idx, "qwertyzx", "--k", "5"])
+    assert {h["doc_id"] for h in hits} == new_ids
+    out2 = _run_json(capsys, ["delete-by-query", idx,
+                              '{"query": {"term": {"repo": "r9"}}}'])
+    assert out2["deleted"] == 2
+    hits2 = _run_json(capsys, ["search", idx, "qwertyzx", "--k", "5"])
+    assert hits2 == []
