@@ -5785,6 +5785,52 @@ SELECT 'zebraqx_hits', cast(3 AS BIGINT)
 """
 
 
+def search_dis_max(sf_dir: str) -> pd.DataFrame:
+    """``dis_max`` over ARBITRARY sub-queries — each clause carries
+    its own text AND field (content:"spark join" vs src:"src2 src3"),
+    unlike multi_match which runs one text everywhere.  Lucene
+    DisjunctionMaxQuery combination: max clause score + tie_breaker ×
+    sum of the rest, over the FULL per-clause match sets (a doc
+    outside one clause's top-k can win combined), doc-sharded clause
+    execution with the global-idf dfs round."""
+    from ..state.dsl import execute_dsl
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        resp = execute_dsl(s, {"query": {"dis_max": {
+            "queries": [
+                {"match": {"content": BM25_QUERY}},
+                {"match": {"src": "src2 src3"}},
+            ],
+            "tie_breaker": 0.4}}, "size": BM25_K})
+    finally:
+        s.close()
+    hits = resp["hits"]["hits"]
+    return pd.DataFrame({
+        "doc_id": np.array([h["_id"] for h in hits], np.int64),
+        "score_e4": np.array(
+            [int(_round_away(h["_score"] * 10000)) for h in hits],
+            np.int64),
+    })
+
+
+SEARCH_DIS_MAX_SQL = f"""
+WITH {_bm25_cte('a', 'text', base_tokens(BM25_QUERY))},
+{_bm25_cte('b', 'source', ['src2', 'src3'])},
+pt AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(a.score, 0) AS asc_, coalesce(b.score, 0) AS bsc
+  FROM ascore a FULL OUTER JOIN bscore b USING (doc_id)),
+scored AS (
+  SELECT doc_id,
+         greatest(asc_, bsc)
+           + 0.4 * (asc_ + bsc - greatest(asc_, bsc)) AS score
+  FROM pt)
+SELECT doc_id, cast(round(score * 10000) AS BIGINT) AS score_e4
+FROM scored ORDER BY score DESC, doc_id LIMIT {BM25_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5819,6 +5865,7 @@ def queries() -> dict:
         "dsl_sorted_cursor": dsl_sorted_cursor,
         "dsl_delete_by_query": dsl_delete_by_query,
         "dsl_bulk": dsl_bulk,
+        "search_dis_max": search_dis_max,
         "percolate_docs_rules": percolate_docs_rules,
         "search_simple_qs": search_simple_qs,
         "search_rank_feature": search_rank_feature,
@@ -5976,6 +6023,7 @@ def oracle_sql() -> dict:
         "dsl_sorted_cursor": DSL_SORTED_CURSOR_SQL,
         "dsl_delete_by_query": DSL_DELETE_BY_QUERY_SQL,
         "dsl_bulk": DSL_BULK_SQL,
+        "search_dis_max": SEARCH_DIS_MAX_SQL,
         "percolate_docs_rules": PERCOLATE_SQL,
         "search_simple_qs": SEARCH_SIMPLE_QS_SQL,
         "search_rank_feature": SEARCH_RANK_FEATURE_SQL,

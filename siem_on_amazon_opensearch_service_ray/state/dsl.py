@@ -7,7 +7,8 @@ response dict: ``{"hits": {"total": {"value": N}, "hits": [{"_id",
 "_score"}]}, "aggregations": {...}}``.
 
 Supported query nodes: match_all, match, match_phrase,
-match_phrase_prefix, match_bool_prefix, multi_match, combined_fields
+match_phrase_prefix, match_bool_prefix, multi_match, dis_max
+(arbitrary sub-queries, tie_breaker), combined_fields
 (BM25F — needs store_doclens), term/terms (keyword filter-context via
 bool), range, prefix, wildcard, regexp, fuzzy, bool
 (must/should/must_not/filter, minimum_should_match), query_string,
@@ -182,6 +183,24 @@ def _exec_query(s, query: dict, size: int,
         return fn(spec["query"], list(spec["fields"]), k=size,
                   match_type=spec.get("type", "best_fields"),
                   tie_breaker=float(spec.get("tie_breaker", 0.0)))
+    if kind == "dis_max":
+        # Lucene DisjunctionMaxQuery over ARBITRARY sub-queries (each
+        # with its own text/field — the same-text special case is
+        # multi_match best_fields, which keeps sets on shards; this
+        # general node combines full per-clause score maps on the
+        # driver, the exactness multi_match's docstring argues for)
+        clauses = spec.get("queries")
+        if not clauses:
+            raise ValueError("dis_max: 'queries' is required")
+        tb = float(spec.get("tie_breaker", 0.0))
+        per_doc: dict[int, list[float]] = {}
+        for c in clauses:
+            for h in _exec_query(s, c, 1 << 31):
+                per_doc.setdefault(int(h[1]), []).append(float(h[0]))
+        scored = [(max(v) + tb * (sum(v) - max(v)), d)
+                  for d, v in per_doc.items()]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        return scored[:size]
     if kind == "combined_fields":
         fn = _pick(s, "combined_fields")
         return fn(spec["query"], list(spec["fields"]), k=size)

@@ -779,3 +779,35 @@ def test_execute_bulk(ray_session, tmp_path_factory):
         execute_bulk(idx, [{"index": {}}, {"text": "x"}])
     with _pytest.raises(ValueError, match="source line"):
         execute_bulk(idx, [{"index": {"_id": 9}}])
+
+
+def test_dsl_dis_max(dsl_s):
+    """dis_max: max clause score + tie_breaker * rest over the full
+    per-clause match sets — verified against the combination computed
+    from the raw per-clause searches."""
+    s = dsl_s
+    tb = 0.35
+    r = execute_dsl(s, {"query": {"dis_max": {
+        "queries": [{"match": {"content": "spark"}},
+                    {"match": {"content": "join shuffle"}}],
+        "tie_breaker": tb}}, "size": 15})
+    a = {d: sc for sc, d in s.search("spark", k=1 << 31)}
+    b = {d: sc for sc, d in s.search("join shuffle", k=1 << 31)}
+    comb = []
+    for d in set(a) | set(b):
+        v = [x for x in (a.get(d), b.get(d)) if x is not None]
+        comb.append((max(v) + tb * (sum(v) - max(v)), d))
+    comb.sort(key=lambda t: (-t[0], t[1]))
+    got = [(h["_score"], h["_id"]) for h in r["hits"]["hits"]]
+    assert [d for _, d in got] == [d for _, d in comb[:15]]
+    np.testing.assert_allclose([sc for sc, _ in got],
+                               [sc for sc, _ in comb[:15]], rtol=1e-12)
+    # tie_breaker 0 = pure max; mixed clause kinds execute
+    r0 = execute_dsl(s, {"query": {"dis_max": {
+        "queries": [{"match": {"content": "spark"}},
+                    {"match_phrase": {"content": "spark join"}}]}},
+        "size": 5})
+    assert r0["hits"]["hits"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="queries"):
+        execute_dsl(s, {"query": {"dis_max": {"tie_breaker": 0.5}}})
