@@ -43,7 +43,10 @@ a field sort ``[last_sort_value, last_doc_id]`` — deep pages cost the
 same as page 1), and
 ``_source`` (``true`` or a field list — ONE bulk docstore fetch for
 the whole page, row-group pruned), and ``track_total_hits: true``
-(exact match-set total via the ``_count`` path — one int per shard).
+(exact match-set total via the ``_count`` path — one int per shard);
+also ``fields`` (docvalue-style list retrieval from the docstore) and
+``explain: true`` (per-hit ``_explanation``, one cached gather per
+page).
 
 Sibling API surfaces in this module: ``execute_count`` (`_count`),
 ``execute_msearch`` (`_msearch`), ``execute_explain`` (`_explain/<id>`),
@@ -786,6 +789,44 @@ def _apply_tth(searcher, resp: dict, query, tth) -> None:
     resp["hits"]["total"] = {"value": int(n), "relation": "eq"}
 
 
+def _attach_fields(searcher, hits: list[dict], names) -> None:
+    """``fields`` body key (docvalue-style retrieval): each hit gains
+    ``fields: {name: [value]}`` from the stored docstore columns —
+    ONE bulk fetch for the page, like ``_source``.  Null/missing
+    columns are omitted per hit (OpenSearch fields semantics)."""
+    if not hits or not names:
+        return
+    if isinstance(names, str):
+        names = [names]
+    cols = list(dict.fromkeys(["doc_id", *names]))
+    t = searcher.fetch_docs([h["_id"] for h in hits], columns=cols)
+    by_id: dict[int, dict] = {}
+    if t is not None:
+        for r in t.to_pylist():
+            by_id[int(r["doc_id"])] = r
+    for h in hits:
+        row = by_id.get(int(h["_id"])) or {}
+        vals = {n: [row[n]] for n in names
+                if n in row and row[n] is not None}
+        if vals:
+            h.setdefault("fields", {}).update(vals)
+
+
+def _attach_explanations(searcher, hits: list[dict], query) -> None:
+    """``explain: true`` body key: every hit gains ``_explanation``
+    (the `_explain` API's breakdown).  Per-hit calls reuse the
+    searcher's postings-row cache, so the page costs ONE gather."""
+    if not hits or query is None:
+        return
+    if "match" not in query:
+        kind, _ = _one(query, "query")
+        raise ValueError(f"explain: query {kind!r} is not supported "
+                         "(use match)")
+    for h in hits:
+        h["_explanation"] = execute_explain(
+            searcher, int(h["_id"]), {"query": query})["explanation"]
+
+
 def execute_dsl(searcher, body: dict) -> dict:
     """Execute an OpenSearch `_search` request body against the
     engine.  See the module docstring for the supported surface;
@@ -839,6 +880,7 @@ def execute_dsl(searcher, body: dict) -> dict:
         resp["hits"]["total"]["relation"] = \
             "gte" if len(hits) == size else "eq"
         _attach_source(searcher, hits, body.get("_source"))
+        _attach_fields(searcher, hits, body.get("fields"))
         _apply_tth(searcher, resp, query, body.get("track_total_hits"))
         aggs0 = body.get("aggs", body.get("aggregations"))
         if aggs0:
@@ -871,6 +913,8 @@ def execute_dsl(searcher, body: dict) -> dict:
             "gte" if len(hits) == size else "eq"
         _attach_source(searcher, resp["hits"]["hits"],
                        body.get("_source"))
+        _attach_fields(searcher, resp["hits"]["hits"],
+                       body.get("fields"))
         _apply_tth(searcher, resp, query, body.get("track_total_hits"))
         aggs0 = body.get("aggs", body.get("aggregations"))
         if aggs0:
@@ -944,6 +988,9 @@ def execute_dsl(searcher, body: dict) -> dict:
         resp["hits"]["total"]["relation"] = \
             "gte" if len(out_hits) == size else "eq"
     _attach_source(searcher, resp["hits"]["hits"], body.get("_source"))
+    _attach_fields(searcher, resp["hits"]["hits"], body.get("fields"))
+    if body.get("explain"):
+        _attach_explanations(searcher, resp["hits"]["hits"], query)
     _apply_tth(searcher, resp, query, body.get("track_total_hits"))
     aggs = body.get("aggs", body.get("aggregations"))
     if aggs:

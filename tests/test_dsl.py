@@ -811,3 +811,26 @@ def test_dsl_dis_max(dsl_s):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="queries"):
         execute_dsl(s, {"query": {"dis_max": {"tie_breaker": 0.5}}})
+
+
+def test_dsl_fields_and_explain_keys(hl_s, dsl_s):
+    """`fields` (docvalue lists) and `explain: true` (per-hit
+    _explanation summing to _score) body keys."""
+    r = execute_dsl(hl_s, {"query": {"match": {"content": "spark"}},
+                           "fields": ["text"], "size": 3})
+    for h in r["hits"]["hits"]:
+        assert isinstance(h["fields"]["text"], list)
+    r2 = execute_dsl(dsl_s, {"query": {"match": {"content":
+                                                 "spark join"}},
+                             "explain": True, "size": 4})
+    for h in r2["hits"]["hits"]:
+        assert h["_explanation"]["value"] == pytest.approx(h["_score"])
+    # sorted pages can carry fields too
+    r3 = execute_dsl(dsl_s, {"sort": [{"msm": "desc"}], "size": 3,
+                             "fields": ["msm"]})
+    for h in r3["hits"]["hits"]:
+        assert h["fields"]["msm"] == [h["sort"][0]]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="explain"):
+        execute_dsl(dsl_s, {"query": {"ids": {"values": [1]}},
+                            "explain": True})
