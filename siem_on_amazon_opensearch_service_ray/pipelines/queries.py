@@ -5785,6 +5785,68 @@ SELECT 'zebraqx_hits', cast(3 AS BIGINT)
 """
 
 
+def dsl_filter_metrics(sf_dir: str) -> pd.DataFrame:
+    """The `_search` agg surface OpenSearch dashboards lean on most:
+    a singular ``filter`` bucket agg carrying its own context under a
+    ``match_all`` query, with avg/sum/min/max single-metric sub-aggs
+    (riding the per-shard stats partials — no value travels on the
+    doc layout) and a ``missing`` sub-agg over the nullable ``opt``
+    field (the second half of the two-int presence partial).  Every
+    number is integer-derived, so the SQL twin is exact."""
+    from ..state.dsl import execute_dsl
+    idx = _docs_aux_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        resp = execute_dsl(s, {
+            "query": {"match_all": {}}, "size": 0,
+            "aggs": {"narrow": {
+                "filter": {"match": {"content": BM25_QUERY}},
+                "aggs": {
+                    "avg_msm": {"avg": {"field": "msm"}},
+                    "sum_msm": {"sum": {"field": "msm"}},
+                    "min_msm": {"min": {"field": "msm"}},
+                    "max_msm": {"max": {"field": "msm"}},
+                    "no_opt": {"missing": {"field": "opt"}},
+                }}}})
+    finally:
+        s.close()
+    nw = resp["aggregations"]["narrow"]
+    rows = [
+        ("doc_count", int(nw["doc_count"])),
+        ("avg_msm_e4", int(_round_away(nw["avg_msm"]["value"] * 1e4))),
+        ("sum_msm", int(nw["sum_msm"]["value"])),
+        ("min_msm", int(nw["min_msm"]["value"])),
+        ("max_msm", int(nw["max_msm"]["value"])),
+        ("missing_opt", int(nw["no_opt"]["doc_count"])),
+    ]
+    return pd.DataFrame({
+        "key": [k for k, _ in rows],
+        "value": np.array([v for _, v in rows], np.int64)})
+
+
+DSL_FILTER_METRICS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))})),
+v AS (SELECT d.doc_id, cast(d.doc_id % 3 + 1 AS DOUBLE) AS msm,
+             d.doc_id % 5 < 3 AS has_opt
+      FROM documents d JOIN m USING(doc_id))
+SELECT key, value FROM (VALUES
+  ('doc_count', (SELECT cast(count(*) AS BIGINT) FROM v)),
+  ('avg_msm_e4',
+   (SELECT cast(round(sum(msm) / count(*) * 10000) AS BIGINT) FROM v)),
+  ('sum_msm', (SELECT cast(sum(msm) AS BIGINT) FROM v)),
+  ('min_msm', (SELECT cast(min(msm) AS BIGINT) FROM v)),
+  ('max_msm', (SELECT cast(max(msm) AS BIGINT) FROM v)),
+  ('missing_opt', (SELECT cast(count(*) FILTER (WHERE NOT has_opt)
+                               AS BIGINT) FROM v))
+) t(key, value)
+"""
+
+
 def search_dis_max(sf_dir: str) -> pd.DataFrame:
     """``dis_max`` over ARBITRARY sub-queries — each clause carries
     its own text AND field (content:"spark join" vs src:"src2 src3"),
@@ -5846,6 +5908,7 @@ def queries() -> dict:
     # then every entry whose newest driver row is r03 (oldest-green-first).
     return {
         # --- never driver-checked (round-5 additions) ---
+        "dsl_filter_metrics": dsl_filter_metrics,
         "search_rescore": search_rescore,
         "search_highlight": search_highlight,
         "search_match_bool_prefix": search_match_bool_prefix,
@@ -6005,6 +6068,7 @@ def queries() -> dict:
 
 def oracle_sql() -> dict:
     return {
+        "dsl_filter_metrics": DSL_FILTER_METRICS_SQL,
         "search_highlight": SEARCH_HIGHLIGHT_SQL,
         "search_match_bool_prefix": SEARCH_MATCH_BOOL_PREFIX_SQL,
         "search_combined_fields": SEARCH_COMBINED_FIELDS_SQL,

@@ -19,7 +19,10 @@ all_of lowered onto the span algebra), more_like_this.
 
 Supported aggregations: terms, multi_terms, rare_terms,
 significant_terms, significant_text, sampler/diversified_sampler,
-cardinality, value_count, histogram, date_histogram
+cardinality, value_count, avg/sum/min/max (single-metric, riding the
+stats partials), missing, filter (singular — carries its own context,
+the supported way to aggregate under match_all), histogram,
+date_histogram
 (fixed_interval), range, date_range, ip_range, ip_prefix, filters,
 composite,
 adjacency_matrix, auto_date_histogram, stats, extended_stats,
@@ -44,9 +47,10 @@ same as page 1), and
 ``_source`` (``true`` or a field list — ONE bulk docstore fetch for
 the whole page, row-group pruned), and ``track_total_hits: true``
 (exact match-set total via the ``_count`` path — one int per shard);
-also ``fields`` (docvalue-style list retrieval from the docstore) and
+also ``fields`` (docvalue-style list retrieval from the docstore),
 ``explain: true`` (per-hit ``_explanation``, one cached gather per
-page).
+page) and ``min_score`` (exact post-rank cutoff — docs below it form
+a suffix of the descending ranking, so a top-k filter loses nothing).
 
 Sibling API surfaces in this module: ``execute_count`` (`_count`),
 ``execute_msearch`` (`_msearch`), ``execute_explain`` (`_explain/<id>`),
@@ -127,6 +131,49 @@ def _agg_context(query: dict | None) -> tuple[str, str, str]:
         return text, f, "and" if op == "and" else "or"
     raise ValueError(f"aggregation context query {kind!r} is not "
                      "supported (use match)")
+
+
+def _run_aggs(s, aggs: dict, query: dict | None) -> dict:
+    """Execute a request's aggregations.  A singular ``filter`` agg
+    carries its own context (and is the supported way to aggregate
+    under ``match_all`` — OpenSearch users narrow a global query this
+    way constantly); everything else runs in the query's context."""
+    out: dict = {}
+    qctx: tuple[str, str, str] | None = None
+    for name, spec in aggs.items():
+        kind, _ = _one({k: v for k, v in spec.items()
+                        if k not in ("aggs", "aggregations")},
+                       f"agg {name}")
+        if kind == "filter":
+            out[name] = _exec_filter_agg(s, name, spec, query)
+            continue
+        if qctx is None:
+            qctx = _agg_context(query)
+        out[name] = _exec_agg(s, name, spec, qctx)
+    return out
+
+
+def _exec_filter_agg(s, name: str, spec: dict, query: dict | None
+                     ) -> dict:
+    """Singular ``filter`` bucket agg: ``doc_count`` of the filter's
+    match set (one int per shard via ``match_count`` — ids never
+    travel) plus sub-aggs executed in the NARROWED context.  Outer
+    query must be match_all/absent: the engine's match-set aggs take
+    one term context, so a filter-within-match intersection is not
+    expressible — raising beats silently aggregating the wrong set."""
+    if query is not None and "match_all" not in query:
+        kind, _ = _one(query, "query")
+        raise ValueError(
+            "filter agg: outer query must be match_all/absent (got "
+            f"{kind!r}); put the narrowing query in the filter itself")
+    fctx = _agg_context(spec["filter"])
+    text, f, mode = fctx
+    out: dict = {"doc_count": int(s.match_count(text, field=f,
+                                                mode=mode))}
+    for sname, sspec in (spec.get("aggs",
+                                  spec.get("aggregations")) or {}).items():
+        out[sname] = _exec_agg(s, sname, sspec, fctx)
+    return out
 
 
 def _exec_query(s, query: dict, size: int,
@@ -578,6 +625,17 @@ def _exec_agg(s, name: str, spec: dict, qctx: tuple[str, str, str]
         return {"buckets": [{"key": dict(zip(srcs, key)),
                              "doc_count": n} for key, n in buckets],
                 "after_key": after}
+    if kind in ("avg", "sum", "min", "max"):
+        # single-metric aggs ride the stats partials (per-shard
+        # count/min/max/sum — no values travel on the doc layout)
+        st = s.stats_aggregation(text, body["field"], qfield, mode)
+        return {"value": (float(st[kind]) if st.get("count") else None)}
+    if kind == "missing":
+        # docs in the match set lacking the field — the second half of
+        # the two-int value_count/missing presence partial
+        _have, miss = s.value_count_aggregation(text, body["field"],
+                                                qfield, mode)
+        return {"doc_count": int(miss)}
     if kind == "stats":
         return s.stats_aggregation(text, body["field"], qfield, mode)
     if kind == "extended_stats":
@@ -847,6 +905,11 @@ def execute_dsl(searcher, body: dict) -> dict:
             resc is not None or body.get("highlight") is not None):
         raise ValueError("from/sort/search_after cannot be combined "
                          "with rescore or highlight")
+    ms = body.get("min_score")
+    if ms is not None and (srt is not None or resc is not None
+                           or body.get("track_total_hits")):
+        raise ValueError("min_score cannot be combined with sort, "
+                         "rescore or track_total_hits")
     if srt is not None and size > 0:
         # field sort (the Discover execution shape): per-shard
         # boundary bisect over value-sorted range tables
@@ -884,10 +947,7 @@ def execute_dsl(searcher, body: dict) -> dict:
         _apply_tth(searcher, resp, query, body.get("track_total_hits"))
         aggs0 = body.get("aggs", body.get("aggregations"))
         if aggs0:
-            qctx = _agg_context(query)
-            resp["aggregations"] = {
-                name: _exec_agg(searcher, name, spec, qctx)
-                for name, spec in aggs0.items()}
+            resp["aggregations"] = _run_aggs(searcher, aggs0, query)
         return resp
     if resc is not None and query is not None and size > 0:
         if "match" not in query:
@@ -918,10 +978,7 @@ def execute_dsl(searcher, body: dict) -> dict:
         _apply_tth(searcher, resp, query, body.get("track_total_hits"))
         aggs0 = body.get("aggs", body.get("aggregations"))
         if aggs0:
-            qctx = _agg_context(query)
-            resp["aggregations"] = {
-                name: _exec_agg(searcher, name, spec, qctx)
-                for name, spec in aggs0.items()}
+            resp["aggregations"] = _run_aggs(searcher, aggs0, query)
         return resp
     hl = body.get("highlight")
     if hl is not None and query is not None and size > 0:
@@ -987,6 +1044,19 @@ def execute_dsl(searcher, body: dict) -> dict:
         resp["hits"]["total"]["value"] = len(out_hits)
         resp["hits"]["total"]["relation"] = \
             "gte" if len(out_hits) == size else "eq"
+    if ms is not None:
+        # exact on a score-ranked page: docs below min_score form a
+        # SUFFIX of the descending ranking, so slice-then-filter ==
+        # filter-then-slice
+        kept = [h for h in resp["hits"]["hits"]
+                if h["_score"] is not None
+                and float(h["_score"]) >= float(ms)]
+        resp["hits"]["hits"] = kept
+        resp["hits"]["total"]["value"] = len(kept)
+        # a full page may hide more qualifying hits below rank k; any
+        # truncation proves the remainder is below min_score
+        resp["hits"]["total"]["relation"] = \
+            "gte" if len(kept) == size else "eq"
     _attach_source(searcher, resp["hits"]["hits"], body.get("_source"))
     _attach_fields(searcher, resp["hits"]["hits"], body.get("fields"))
     if body.get("explain"):
@@ -994,10 +1064,7 @@ def execute_dsl(searcher, body: dict) -> dict:
     _apply_tth(searcher, resp, query, body.get("track_total_hits"))
     aggs = body.get("aggs", body.get("aggregations"))
     if aggs:
-        qctx = _agg_context(query)
-        resp["aggregations"] = {
-            name: _exec_agg(searcher, name, spec, qctx)
-            for name, spec in aggs.items()}
+        resp["aggregations"] = _run_aggs(searcher, aggs, query)
     return resp
 
 

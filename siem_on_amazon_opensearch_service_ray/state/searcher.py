@@ -883,6 +883,26 @@ def _count_filter_values(index_dir: str, agg_field: str, cand: np.ndarray,
     return list(counts.items())
 
 
+def _count_presence(index_dir: str, agg_field: str, cand: np.ndarray,
+                    dparts: list[int] | None = None,
+                    is_range: bool = False) -> int:
+    """|cand ∩ docs carrying agg_field| — keyword fields read the
+    packed filter postings (their doc lists ARE the exists bitmap);
+    range fields read the value-sorted range-table ids (nulls never
+    enter either structure, so value_count/missing work on numerics
+    exactly like OpenSearch's)."""
+    if is_range:
+        from .shard import load_range_pairs
+        n = 0
+        for _vals, ids in load_range_pairs(index_dir, agg_field,
+                                           dparts=dparts):
+            pos = np.minimum(np.searchsorted(cand, ids), cand.size - 1)
+            n += int(np.count_nonzero(cand[pos] == ids))
+        return n
+    return sum(c for _, c in _count_filter_values(index_dir, agg_field,
+                                                  cand, dparts=dparts))
+
+
 def _group_stats_partial(index_dir: str, agg_field: str, range_field: str,
                          cand: np.ndarray,
                          dparts: list[int] | None = None
@@ -1946,11 +1966,13 @@ class PartActor:
         return out
 
     def presence_local(self, field: str, q_terms: list[str], mode: str,
-                       agg_field: str) -> tuple[int, int]:
+                       agg_field: str, is_range: bool = False
+                       ) -> tuple[int, int]:
         """Doc-sharded value_count/missing partial: (matched docs
         carrying ``agg_field``, matched docs total) over this actor's
         shards — two ints travel per shard group, never a value
-        census or a doc id."""
+        census or a doc id.  ``is_range`` selects the range-table
+        presence read (numeric fields) over the filter postings."""
         w = n = 0
         for p, r in self.readers.items():
             cand = _candidate_ids(r, field, q_terms, mode)
@@ -1959,8 +1981,8 @@ class PartActor:
             if cand.size == 0:
                 continue
             n += int(cand.size)
-            w += sum(c for _, c in _count_filter_values(
-                r.index_dir, agg_field, cand, dparts=[p]))
+            w += _count_presence(r.index_dir, agg_field, cand,
+                                 dparts=[p], is_range=is_range)
         return w, n
 
     def context_dfs_local(self, field: str, terms: list[str],
@@ -5288,23 +5310,27 @@ class Searcher:
                                 ) -> tuple[int, int]:
         """OpenSearch ``value_count`` + ``missing`` aggs in one pass:
         (docs in the match set carrying ``agg_field``, docs missing
-        it).  Presence comes from the packed filter postings — the
-        keyword field's doc lists ARE the field-exists index.  On the
-        doc-partitioned layout both counts are additive per shard
-        (``presence_local`` — two ints travel per shard group; no
-        value census, no posting gather); term layout computes the
-        match set once driver-side and sums the filter intersections
-        without building the per-value dict."""
+        it).  Presence comes from the packed filter postings for
+        keyword fields (their doc lists ARE the field-exists index)
+        and from the range-table ids for numeric fields (nulls never
+        enter either structure).  On the doc-partitioned layout both
+        counts are additive per shard (``presence_local`` — two ints
+        travel per shard group; no value census, no posting gather);
+        term layout computes the match set once driver-side and sums
+        the intersections without building the per-value dict."""
         if analyzer is None:
             analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
                              if f == field), "code")
         q_terms = ANALYZERS[analyzer](query)
         if not q_terms:
             return (0, 0)
+        is_range = agg_field in tuple(
+            self.manifest["config"].get("range_fields") or ())
         if self.manifest["config"].get("partition_by") == "doc":
             if self.use_actors:
                 pairs = ray.get([
-                    a.presence_local.remote(field, q_terms, mode, agg_field)
+                    a.presence_local.remote(field, q_terms, mode,
+                                            agg_field, is_range)
                     for a in self.actors])
             else:
                 pairs = []
@@ -5315,8 +5341,8 @@ class Searcher:
                     if cand.size == 0:
                         continue
                     pairs.append((
-                        sum(c for _, c in _count_filter_values(
-                            self.index_dir, agg_field, cand, dparts=[p])),
+                        _count_presence(self.index_dir, agg_field, cand,
+                                        dparts=[p], is_range=is_range),
                         int(cand.size)))
             with_field = sum(w for w, _ in pairs)
             total = sum(n for _, n in pairs)
@@ -5324,8 +5350,8 @@ class Searcher:
         cand = self._match_ids(field, q_terms, mode)
         if cand.size == 0:
             return (0, 0)
-        with_field = sum(c for _, c in _count_filter_values(
-            self.index_dir, agg_field, cand))
+        with_field = _count_presence(self.index_dir, agg_field, cand,
+                                     is_range=is_range)
         return (int(with_field), int(cand.size) - int(with_field))
 
     def mad_aggregation(self, query: str, range_field: str,

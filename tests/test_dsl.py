@@ -834,3 +834,115 @@ def test_dsl_fields_and_explain_keys(hl_s, dsl_s):
     with _pytest.raises(ValueError, match="explain"):
         execute_dsl(dsl_s, {"query": {"ids": {"values": [1]}},
                             "explain": True})
+
+
+def test_dsl_metric_missing_aggs(dsl_s):
+    """avg/sum/min/max single-metric aggs equal the stats agg's keys;
+    missing equals the value_count presence partial's second half."""
+    s = dsl_s
+    st = s.stats_aggregation("spark join", "msm")
+    r = execute_dsl(s, {"query": {"match": {"content": "spark join"}},
+                        "size": 0,
+                        "aggs": {k: {k: {"field": "msm"}}
+                                 for k in ("avg", "sum", "min", "max")}})
+    for k in ("avg", "sum", "min", "max"):
+        assert r["aggregations"][k]["value"] == pytest.approx(st[k])
+    _have, miss = s.value_count_aggregation("spark join", "lang")
+    rm = execute_dsl(s, {"query": {"match": {"content": "spark join"}},
+                         "size": 0,
+                         "aggs": {"m": {"missing": {"field": "lang"}}}})
+    assert rm["aggregations"]["m"]["doc_count"] == miss == 0
+
+
+def test_dsl_filter_agg(dsl_s):
+    """Singular filter agg under match_all: doc_count == match_count,
+    sub-aggs run in the narrowed context; under a real query it
+    raises (the intersection context is not expressible)."""
+    s = dsl_s
+    r = execute_dsl(s, {"query": {"match_all": {}}, "size": 0,
+                        "aggs": {"narrow": {
+                            "filter": {"match": {"content": "spark"}},
+                            "aggs": {"by_lang": {"terms": {
+                                "field": "lang", "size": 10}},
+                                "st": {"stats": {"field": "msm"}}}}}})
+    nw = r["aggregations"]["narrow"]
+    assert nw["doc_count"] == s.match_count("spark")
+    direct = s.terms_aggregation("spark", "lang")
+    assert [(b["key"], b["doc_count"]) for b in
+            nw["by_lang"]["buckets"]] == [(v, n) for v, n in direct[:10]]
+    assert nw["st"]["count"] == nw["doc_count"]
+    # absent query works too (treated as match_all)
+    r2 = execute_dsl(s, {"size": 0, "aggs": {"n2": {
+        "filter": {"match": {"content": "spark"}}}}})
+    assert r2["aggregations"]["n2"]["doc_count"] == nw["doc_count"]
+    with pytest.raises(ValueError, match="filter agg"):
+        execute_dsl(s, {"query": {"match": {"content": "join"}},
+                        "aggs": {"f": {"filter": {
+                            "match": {"content": "spark"}}}}})
+
+
+def test_dsl_min_score(dsl_s):
+    """min_score: exact post-rank cutoff (docs below it are a suffix
+    of the descending ranking); rejected with sort / rescore /
+    track_total_hits."""
+    s = dsl_s
+    full = execute_dsl(s, {"query": {"match": {"content":
+                                               "spark join"}},
+                           "size": 60})
+    cut = full["hits"]["hits"][7]["_score"]
+    r = execute_dsl(s, {"query": {"match": {"content": "spark join"}},
+                        "size": 60, "min_score": cut})
+    want = [h for h in full["hits"]["hits"] if h["_score"] >= cut]
+    assert [(h["_id"], h["_score"]) for h in r["hits"]["hits"]] == \
+        [(h["_id"], h["_score"]) for h in want]
+    assert r["hits"]["total"] == {"value": len(want), "relation": "eq"}
+    # a full page proves nothing about the remainder -> gte
+    r2 = execute_dsl(s, {"query": {"match": {"content": "spark join"}},
+                         "size": 3, "min_score": 0.0})
+    assert r2["hits"]["total"]["relation"] == "gte"
+    for bad in ({"sort": [{"msm": "desc"}]},
+                {"track_total_hits": True}):
+        with pytest.raises(ValueError, match="min_score"):
+            execute_dsl(s, {"query": {"match": {"content": "spark"}},
+                            "min_score": 1.0, **bad})
+
+
+def test_value_count_missing_range_field(ray_session, tmp_path_factory):
+    """value_count/missing on a RANGE (numeric) field: presence reads
+    the range-table ids (nulls never index), identical on both
+    layouts and on the actor path."""
+    rng = np.random.default_rng(5)
+    n = 120
+    docs = [" ".join(VOCAB[int(j)] for j in rng.integers(0, 10, 8))
+            for _ in range(n)]
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": docs,
+        "opt": pa.array([float(i) if i % 4 < 2 else None
+                         for i in range(n)], pa.float64()),
+    })
+    root = tmp_path_factory.mktemp("vc_range")
+    src = str(root / "d.parquet")
+    pq.write_table(t, src)
+    import re as _re
+    tokens = set("spark".split())
+    match = [i for i, d in enumerate(docs)
+             if tokens & set(_re.findall(r"[a-z0-9_]+", d))]
+    want_have = sum(1 for i in match if i % 4 < 2)
+    want_miss = len(match) - want_have
+    for layout in ("term", "doc"):
+        cfg = IndexConfig(num_partitions=3, partition_by=layout,
+                          fields=(("content", "text", "base"),),
+                          keyword_fields=(), range_fields=("opt",),
+                          doc_id_col="doc_id", sha_col="text",
+                          salting=False)
+        idx = str(root / f"idx_{layout}")
+        build_index([src], idx, cfg)
+        for actors in ((False, True) if layout == "doc" else (False,)):
+            s = Searcher(idx, use_actors=actors)
+            try:
+                have, miss = s.value_count_aggregation("spark", "opt")
+            finally:
+                s.close()
+            assert (have, miss) == (want_have, want_miss), \
+                (layout, actors)
