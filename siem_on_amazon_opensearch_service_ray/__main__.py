@@ -23,6 +23,7 @@ Usage:
   python -m siem_on_amazon_opensearch_service_ray decontam <corpus> <benchmark> <out> [--ngram N]
   python -m siem_on_amazon_opensearch_service_ray pack     <corpus> <out> [--budget N]
   python -m siem_on_amazon_opensearch_service_ray sample   <corpus> <out> --rates '{"en":60,...}'
+  python -m siem_on_amazon_opensearch_service_ray query    <index_dir> '<json body>'|@file.json [--scroll [--max-pages N]]
 """
 
 from __future__ import annotations
@@ -201,6 +202,11 @@ def main(argv: list[str] | None = None) -> int:
                                       "_search request body")
     dq.add_argument("index_dir")
     dq.add_argument("body", help="JSON request body, or @file.json")
+    dq.add_argument("--scroll", action="store_true",
+                    help="open a scroll and drain it: one JSON line "
+                         "per page (stateless search_after cursor)")
+    dq.add_argument("--max-pages", type=int, default=0,
+                    help="with --scroll: stop after N pages (0 = all)")
     dq.add_argument("--num-cpus", type=int, default=None)
 
     sg = sub.add_parser("suggest", help="term suggester (did-you-mean)")
@@ -629,8 +635,21 @@ def main(argv: list[str] | None = None) -> int:
             body = json.loads(raw)
             searcher = Searcher(args.index_dir, use_actors=True)
             try:
-                print(json.dumps(execute_dsl(searcher, body), indent=2,
-                                 default=float))
+                if args.scroll:
+                    from .state.dsl import (execute_scroll,
+                                            execute_scroll_search)
+                    r = execute_scroll_search(searcher, body)
+                    page = 0
+                    while r["hits"]["hits"] and (
+                            not args.max_pages
+                            or page < args.max_pages):
+                        print(json.dumps(r, default=float))
+                        page += 1
+                        r = execute_scroll(
+                            searcher, {"scroll_id": r["_scroll_id"]})
+                else:
+                    print(json.dumps(execute_dsl(searcher, body),
+                                     indent=2, default=float))
             finally:
                 searcher.close()
         elif args.cmd == "suggest":

@@ -5847,6 +5847,49 @@ SELECT key, value FROM (VALUES
 """
 
 
+_SCROLL_PAGE = 50
+
+
+def dsl_scroll(sf_dir: str) -> pd.DataFrame:
+    """The scroll API drained end-to-end: a score-ordered scroll over
+    the FULL match set in 50-hit pages.  The ``_scroll_id`` is a
+    stateless base64 cursor over the ``search_after`` machinery —
+    every page is a per-shard strictly-after resume (deep pages cost
+    the same as page 1, nothing pinned server-side), which is why the
+    whole drain is SQL-checkable as one ORDER BY with page numbers
+    derived from rank."""
+    from ..state.dsl import execute_scroll, execute_scroll_search
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    rows = []
+    try:
+        r = execute_scroll_search(s, {
+            "query": {"match": {"content": BM25_QUERY}},
+            "size": _SCROLL_PAGE})
+        page = 0
+        while r["hits"]["hits"]:
+            rows += [(int(h["_id"]),
+                      int(_round_away(h["_score"] * 1e4)), page)
+                     for h in r["hits"]["hits"]]
+            page += 1
+            r = execute_scroll(s, {"scroll_id": r["_scroll_id"]})
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": np.array([d for d, _, _ in rows], np.int64),
+        "score_e4": np.array([v for _, v, _ in rows], np.int64),
+        "page": np.array([p for _, _, p in rows], np.int64)})
+
+
+DSL_SCROLL_SQL = _BM25_SCORES_CTE + f"""
+SELECT doc_id, cast(round(score * 10000) AS BIGINT) AS score_e4,
+       cast((row_number() OVER (ORDER BY score DESC, doc_id) - 1)
+            // {_SCROLL_PAGE} AS BIGINT) AS page
+FROM scores
+ORDER BY score DESC, doc_id
+"""
+
+
 def search_dis_max(sf_dir: str) -> pd.DataFrame:
     """``dis_max`` over ARBITRARY sub-queries — each clause carries
     its own text AND field (content:"spark join" vs src:"src2 src3"),
@@ -5909,6 +5952,7 @@ def queries() -> dict:
     return {
         # --- never driver-checked (round-5 additions) ---
         "dsl_filter_metrics": dsl_filter_metrics,
+        "dsl_scroll": dsl_scroll,
         "search_rescore": search_rescore,
         "search_highlight": search_highlight,
         "search_match_bool_prefix": search_match_bool_prefix,
@@ -6069,6 +6113,7 @@ def queries() -> dict:
 def oracle_sql() -> dict:
     return {
         "dsl_filter_metrics": DSL_FILTER_METRICS_SQL,
+        "dsl_scroll": DSL_SCROLL_SQL,
         "search_highlight": SEARCH_HIGHLIGHT_SQL,
         "search_match_bool_prefix": SEARCH_MATCH_BOOL_PREFIX_SQL,
         "search_combined_fields": SEARCH_COMBINED_FIELDS_SQL,

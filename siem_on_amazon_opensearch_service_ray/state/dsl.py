@@ -52,6 +52,12 @@ also ``fields`` (docvalue-style list retrieval from the docstore),
 page) and ``min_score`` (exact post-rank cutoff — docs below it form
 a suffix of the descending ranking, so a top-k filter loses nothing).
 
+Scroll: ``execute_scroll_search`` opens a scroll (first page +
+``_scroll_id``) and ``execute_scroll`` continues one.  The id is a
+STATELESS base64 cursor over the ``search_after`` machinery — every
+page costs the same as page 1, nothing is pinned server-side, any
+coordinator can serve any page.
+
 Sibling API surfaces in this module: ``execute_count`` (`_count`),
 ``execute_msearch`` (`_msearch`), ``execute_explain`` (`_explain/<id>`),
 ``execute_analyze`` (`_analyze`), ``execute_mget`` (`_mget`),
@@ -79,7 +85,8 @@ from typing import Any
 
 __all__ = ["execute_dsl", "execute_count", "execute_msearch",
            "execute_explain", "execute_analyze", "execute_mget",
-           "execute_delete_by_query", "execute_bulk"]
+           "execute_delete_by_query", "execute_bulk",
+           "execute_scroll_search", "execute_scroll"]
 
 
 def _sharded(s) -> bool:
@@ -1398,3 +1405,83 @@ def execute_bulk(index_dir: str, lines: list[dict]) -> dict:
                                      "result": "deleted" if did in found
                                      else "not_found"}})
     return {"errors": False, "items": items}
+
+
+def _scroll_token(state: dict) -> str:
+    import base64
+    import json
+    return base64.urlsafe_b64encode(
+        json.dumps(state, separators=(",", ":")).encode()).decode()
+
+
+def _scroll_state(token: str) -> dict:
+    import base64
+    import json
+    try:
+        st = json.loads(base64.urlsafe_b64decode(token.encode()))
+    except Exception as exc:
+        raise ValueError(f"invalid scroll_id: {exc}") from None
+    if not isinstance(st, dict) or "b" not in st:
+        raise ValueError("invalid scroll_id: not a scroll state")
+    return st
+
+
+def execute_scroll_search(searcher, body: dict) -> dict:
+    """Open a scroll (`_search?scroll=...`): the first page plus a
+    ``_scroll_id``.  The id is a STATELESS cursor — a base64 token
+    carrying the original body and the last hit's sort key — so a
+    continuation lowers onto the ``search_after`` machinery: every
+    page costs the same as page 1 (per-shard bisect / strictly-after
+    resume), nothing is pinned server-side, and any coordinator can
+    serve any page (the multi-node property OpenSearch's stateful
+    scroll contexts famously lack; OpenSearch itself now recommends
+    exactly this search_after shape for deep paging).
+
+    Supported openings: a ``match`` query (score-ordered scroll) or
+    any ``sort``-carrying body the `_search` path accepts (match /
+    match_all + ONE field sort).  ``aggs``/``from``/``search_after``
+    in the opening body raise — OpenSearch ignores them on
+    continuations, which is a silent-wrong-answer shape."""
+    if body.get("from") or body.get("search_after") is not None \
+            or body.get("aggs") or body.get("aggregations"):
+        raise ValueError("scroll: from/search_after/aggs are not "
+                         "supported in a scroll body")
+    srt = body.get("sort")
+    if srt in ("_score", ["_score"]):
+        srt = None
+    query = body.get("query")
+    if srt is None and (query is None or "match" not in query):
+        kind = "match_all" if query is None else _one(query, "query")[0]
+        raise ValueError(
+            f"scroll: score-ordered scroll needs a match query (got "
+            f"{kind!r}); scroll match_all with an explicit sort")
+    resp = execute_dsl(searcher, body)
+    return _scroll_attach(resp, {"b": body})
+
+
+def execute_scroll(searcher, body: dict) -> dict:
+    """Continue a scroll (`_search/scroll`):
+    ``{"scroll_id": token}`` -> the next page + a fresh token.  A page
+    past the end returns empty hits with a terminal token (the client
+    stop condition, as in OpenSearch)."""
+    token = body["scroll_id"] if isinstance(body, dict) else body
+    st = _scroll_state(token)
+    if "after" not in st:            # terminal: previous page ended
+        resp = {"hits": {"total": {"value": 0, "relation": "eq"},
+                         "hits": []}}
+        resp["_scroll_id"] = token
+        return resp
+    nxt = dict(st["b"])
+    nxt["search_after"] = st["after"]
+    resp = execute_dsl(searcher, nxt)
+    return _scroll_attach(resp, {"b": st["b"]})
+
+
+def _scroll_attach(resp: dict, state: dict) -> dict:
+    hits = resp["hits"]["hits"]
+    if hits:
+        last = hits[-1]
+        state["after"] = (last["sort"] if "sort" in last
+                          else [last["_score"], last["_id"]])
+    resp["_scroll_id"] = _scroll_token(state)
+    return resp

@@ -567,3 +567,23 @@ def test_cli_bulk_and_delete_by_query(ray_session, tmp_path, capsys):
     assert out2["deleted"] == 2
     hits2 = _run_json(capsys, ["search", idx, "qwertyzx", "--k", "5"])
     assert hits2 == []
+
+
+def test_cli_query_scroll(cli_index, capsys):
+    """`query --scroll` drains the stateless cursor: one JSON line per
+    page, pages concatenate to the single-big-page ranking."""
+    idx, _ = cli_index
+    body = {"query": {"match": {"content": "spark join"}}, "size": 4}
+    assert main(["query", idx, json.dumps(body), "--scroll"]) == 0
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert all(ln["_scroll_id"] for ln in lines)
+    drained = [h["_id"] for ln in lines for h in ln["hits"]["hits"]]
+    out = _run_json(capsys, ["query", idx, json.dumps(
+        {"query": {"match": {"content": "spark join"}}, "size": 1000})])
+    assert drained == [h["_id"] for h in out["hits"]["hits"]]
+    # --max-pages caps the drain
+    assert main(["query", idx, json.dumps(body), "--scroll",
+                 "--max-pages", "2"]) == 0
+    lines2 = capsys.readouterr().out.strip().splitlines()
+    assert len(lines2) == 2

@@ -946,3 +946,48 @@ def test_value_count_missing_range_field(ray_session, tmp_path_factory):
                 s.close()
             assert (have, miss) == (want_have, want_miss), \
                 (layout, actors)
+
+
+def test_dsl_scroll(dsl_s):
+    """scroll: stateless base64 cursor over the search_after
+    machinery.  Draining score-ordered and field-sorted scrolls
+    reproduces the single-big-page order exactly; terminal tokens
+    stay terminal; garbage ids raise."""
+    from siem_on_amazon_opensearch_service_ray.state.dsl import (
+        execute_scroll, execute_scroll_search)
+    s = dsl_s
+    full = execute_dsl(s, {"query": {"match": {"content":
+                                               "spark join"}},
+                           "size": 1000})
+    want = [(h["_id"], h["_score"]) for h in full["hits"]["hits"]]
+    got = []
+    r = execute_scroll_search(s, {"query": {"match": {
+        "content": "spark join"}}, "size": 13})
+    pages = 0
+    while r["hits"]["hits"]:
+        got += [(h["_id"], h["_score"]) for h in r["hits"]["hits"]]
+        pages += 1
+        r = execute_scroll(s, {"scroll_id": r["_scroll_id"]})
+    assert got == want and pages == -(-len(want) // 13)
+    # terminal token stays terminal
+    assert not execute_scroll(s, {"scroll_id":
+                                  r["_scroll_id"]})["hits"]["hits"]
+    # field-sort scroll under match_all, _source flows through pages
+    fullb = execute_dsl(s, {"sort": [{"msm": "asc"}], "size": 1000})
+    wantb = [(h["_id"], h["sort"][0]) for h in fullb["hits"]["hits"]]
+    gotb = []
+    r = execute_scroll_search(s, {"sort": [{"msm": "asc"}], "size": 17,
+                                  "_source": ["lang"]})
+    while r["hits"]["hits"]:
+        assert all("lang" in h["_source"] for h in r["hits"]["hits"])
+        gotb += [(h["_id"], h["sort"][0]) for h in r["hits"]["hits"]]
+        r = execute_scroll(s, {"scroll_id": r["_scroll_id"]})
+    assert gotb == wantb
+    for bad in ({"query": {"match_all": {}}, "size": 5},
+                {"query": {"match": {"content": "x"}},
+                 "aggs": {"a": {"avg": {"field": "msm"}}}},
+                {"query": {"match": {"content": "x"}}, "from": 3}):
+        with pytest.raises(ValueError):
+            execute_scroll_search(s, bad)
+    with pytest.raises(ValueError, match="scroll_id"):
+        execute_scroll(s, {"scroll_id": "garbage!!"})
