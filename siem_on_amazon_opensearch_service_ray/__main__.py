@@ -207,7 +207,20 @@ def main(argv: list[str] | None = None) -> int:
                          "per page (stateless search_after cursor)")
     dq.add_argument("--max-pages", type=int, default=0,
                     help="with --scroll: stop after N pages (0 = all)")
+    dq.add_argument("--params", default=None,
+                    help="JSON params: treat body as a mustache "
+                         "_search/template source and render first")
+    dq.add_argument("--validate", action="store_true",
+                    help="_validate/query: probe the body instead of "
+                         "returning hits")
     dq.add_argument("--num-cpus", type=int, default=None)
+
+    fc = sub.add_parser("field-caps", help="_field_caps: per-field "
+                        "type/searchable/aggregatable from the "
+                        "manifest")
+    fc.add_argument("index_dir")
+    fc.add_argument("fields", nargs="*",
+                    help="optional field name patterns (* wildcards)")
 
     sg = sub.add_parser("suggest", help="term suggester (did-you-mean)")
     sg.add_argument("index_dir")
@@ -392,7 +405,8 @@ def main(argv: list[str] | None = None) -> int:
 
     import ray
     if not ray.is_initialized():
-        kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
+        ncpu = getattr(args, "num_cpus", None)
+        kw = {"num_cpus": ncpu} if ncpu else {}
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR", **kw)
     from ray.data import DataContext
@@ -632,10 +646,19 @@ def main(argv: list[str] | None = None) -> int:
             if raw.startswith("@"):
                 with open(raw[1:]) as f:
                     raw = f.read()
-            body = json.loads(raw)
             searcher = Searcher(args.index_dir, use_actors=True)
             try:
-                if args.scroll:
+                if args.params is not None:
+                    from .state.dsl import render_search_template
+                    body = render_search_template(
+                        raw, json.loads(args.params))
+                else:
+                    body = json.loads(raw)
+                if args.validate:
+                    from .state.dsl import execute_validate
+                    print(json.dumps(execute_validate(
+                        searcher, dict(body, explain=True))))
+                elif args.scroll:
                     from .state.dsl import (execute_scroll,
                                             execute_scroll_search)
                     r = execute_scroll_search(searcher, body)
@@ -650,6 +673,15 @@ def main(argv: list[str] | None = None) -> int:
                 else:
                     print(json.dumps(execute_dsl(searcher, body),
                                      indent=2, default=float))
+            finally:
+                searcher.close()
+        elif args.cmd == "field-caps":
+            from .state.dsl import execute_field_caps
+            from .state.searcher import Searcher
+            searcher = Searcher(args.index_dir, use_actors=False)
+            try:
+                print(json.dumps(execute_field_caps(
+                    searcher, args.fields or None), indent=2))
             finally:
                 searcher.close()
         elif args.cmd == "suggest":

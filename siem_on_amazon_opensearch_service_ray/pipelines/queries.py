@@ -5890,6 +5890,46 @@ ORDER BY score DESC, doc_id
 """
 
 
+_TEMPLATE_SRC = (
+    '{"query": {"bool": {"must": [{"match": {"content": "{{q}}"}}], '
+    '"filter": [{"terms": {"lang": {{#toJson}}langs{{/toJson}}}}]}}, '
+    '"size": {{n}}}')
+
+
+def dsl_template(sf_dir: str) -> pd.DataFrame:
+    """The `_search/template` API end-to-end: an inline mustache
+    template (scalar ``{{q}}``/``{{n}}`` + ``{{#toJson}}langs`` params)
+    renders to a bool body with a multi-value ``terms`` keyword filter
+    — filter context never scores, so the SQL twin is the global BM25
+    scores restricted to the filtered langs.  The terms filter reads
+    the union of the values' packed doc lists per shard."""
+    from ..state.dsl import execute_search_template
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        resp = execute_search_template(s, {
+            "source": _TEMPLATE_SRC,
+            "params": {"q": BM25_QUERY, "langs": ["en", "de"],
+                       "n": BM25_K}})
+    finally:
+        s.close()
+    hits = resp["hits"]["hits"]
+    return pd.DataFrame({
+        "doc_id": np.array([h["_id"] for h in hits], np.int64),
+        "score_e4": np.array(
+            [int(_round_away(h["_score"] * 1e4)) for h in hits],
+            np.int64)})
+
+
+DSL_TEMPLATE_SQL = _BM25_SCORES_CTE + f"""
+SELECT s.doc_id, cast(round(s.score * 10000) AS BIGINT) AS score_e4
+FROM scores s JOIN documents d USING(doc_id)
+WHERE d.lang IN ('en', 'de')
+ORDER BY s.score DESC, s.doc_id
+LIMIT {BM25_K}
+"""
+
+
 def search_dis_max(sf_dir: str) -> pd.DataFrame:
     """``dis_max`` over ARBITRARY sub-queries — each clause carries
     its own text AND field (content:"spark join" vs src:"src2 src3"),
@@ -5953,6 +5993,7 @@ def queries() -> dict:
         # --- never driver-checked (round-5 additions) ---
         "dsl_filter_metrics": dsl_filter_metrics,
         "dsl_scroll": dsl_scroll,
+        "dsl_template": dsl_template,
         "search_rescore": search_rescore,
         "search_highlight": search_highlight,
         "search_match_bool_prefix": search_match_bool_prefix,
@@ -6114,6 +6155,7 @@ def oracle_sql() -> dict:
     return {
         "dsl_filter_metrics": DSL_FILTER_METRICS_SQL,
         "dsl_scroll": DSL_SCROLL_SQL,
+        "dsl_template": DSL_TEMPLATE_SQL,
         "search_highlight": SEARCH_HIGHLIGHT_SQL,
         "search_match_bool_prefix": SEARCH_MATCH_BOOL_PREFIX_SQL,
         "search_combined_fields": SEARCH_COMBINED_FIELDS_SQL,

@@ -86,7 +86,9 @@ from typing import Any
 __all__ = ["execute_dsl", "execute_count", "execute_msearch",
            "execute_explain", "execute_analyze", "execute_mget",
            "execute_delete_by_query", "execute_bulk",
-           "execute_scroll_search", "execute_scroll"]
+           "execute_scroll_search", "execute_scroll",
+           "execute_field_caps", "execute_validate",
+           "execute_search_template", "render_search_template"]
 
 
 def _sharded(s) -> bool:
@@ -283,6 +285,11 @@ def _exec_query(s, query: dict, size: int,
                 filt_field, filt_value = _one(cs, "term")
                 if isinstance(filt_value, dict):
                     filt_value = filt_value["value"]
+            elif ck == "terms":
+                # multi-value keyword filter: union of the values'
+                # packed doc lists (_filter_ids takes the list)
+                filt_field, filt_value = _one(cs, "terms")
+                filt_value = list(filt_value)
             elif ck == "range":
                 range_field, b = _one(cs, "range")
                 range_lo = b.get("gte", b.get("gt"))
@@ -1485,3 +1492,104 @@ def _scroll_attach(resp: dict, state: dict) -> dict:
                           else [last["_score"], last["_id"]])
     resp["_scroll_id"] = _scroll_token(state)
     return resp
+
+
+def execute_field_caps(searcher, fields: list[str] | None = None
+                       ) -> dict:
+    """The ``_field_caps`` API: per-field type / searchable /
+    aggregatable from the index manifest — one metadata read, never
+    touches postings.  Types mirror the engine's storage classes:
+    text fields carry postings (searchable, not aggregatable),
+    keyword fields carry packed filter postings (both), range fields
+    are value-sorted numeric tables (both; reported ``double``),
+    vector fields are the exact-kNN sidecar.  ``fields`` filters with
+    ``*`` wildcards like OpenSearch."""
+    cfg = searcher.manifest["config"]
+    caps: dict[str, dict] = {}
+
+    def put(name: str, typ: str, agg: bool) -> None:
+        caps.setdefault(name, {})[typ] = {
+            "type": typ, "searchable": True, "aggregatable": agg}
+    for name, _col, _an in (cfg.get("fields") or ()):
+        put(name, "text", False)
+    for name in (cfg.get("keyword_fields") or ()):
+        put(name, "keyword", True)
+    for name in (cfg.get("range_fields") or ()):
+        put(name, "double", True)
+    for name in (cfg.get("vector_fields") or ()):
+        put(name, "knn_vector", False)
+    if fields:
+        import fnmatch
+        keep = sorted(f for f in caps
+                      if any(fnmatch.fnmatchcase(f, pat)
+                             for pat in fields))
+        caps = {f: caps[f] for f in keep}
+    return {"fields": caps}
+
+
+def execute_validate(searcher, body: dict) -> dict:
+    """The ``_validate/query`` API.  The engine interleaves query
+    translation with execution, so validation probes the body at
+    ``size: 1`` — every unsupported or malformed construct surfaces
+    as the same ValueError the real request would raise (the
+    never-a-silent-wrong-answer contract doubles as the validator).
+    ``explain: true`` carries the error text back."""
+    query = body.get("query")
+    if query is None:
+        return {"valid": True}
+    try:
+        execute_dsl(searcher, {"query": query, "size": 1})
+        return {"valid": True}
+    except (ValueError, KeyError, TypeError) as exc:
+        out: dict = {"valid": False}
+        if body.get("explain"):
+            out["error"] = f"{type(exc).__name__}: {exc}"
+        return out
+
+
+def render_search_template(source, params: dict | None) -> dict:
+    """Mustache-subset render for `_search/template`:
+    ``{{var}}`` substitutes a scalar (strings JSON-escaped, numbers /
+    bools bare — so ``"size": {{n}}`` works in a raw-string template)
+    and ``{{#toJson}}var{{/toJson}}`` substitutes any JSON value.
+    Missing variables render empty — the mustache contract OpenSearch
+    inherits.  ``source`` may be a raw template string or an object
+    (serialized first, as OpenSearch does)."""
+    import json as _json
+    import re as _re
+    raw = source if isinstance(source, str) else _json.dumps(source)
+    p = params or {}
+
+    def _tojson(m):
+        return _json.dumps(p.get(m.group(1)))
+
+    def _scalar(m):
+        v = p.get(m.group(1))
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return _json.dumps(v)
+        return _json.dumps(str(v))[1:-1]
+    raw = _re.sub(r"\{\{#toJson\}\}\s*([\w.]+)\s*\{\{/toJson\}\}",
+                  _tojson, raw)
+    raw = _re.sub(r"\{\{([\w.]+)\}\}", _scalar, raw)
+    try:
+        return _json.loads(raw)
+    except Exception as exc:
+        raise ValueError(
+            f"search template did not render to JSON: {exc}") from None
+
+
+def execute_search_template(searcher, body: dict) -> dict:
+    """The ``_search/template`` API: render the inline mustache
+    ``source`` with ``params``, then execute the rendered body as a
+    normal `_search` request.  Stored-script ids raise (no script
+    store in this engine — inline source only)."""
+    if "id" in body:
+        raise ValueError("search template: stored-script ids are not "
+                         "supported (inline source only)")
+    return execute_dsl(searcher,
+                       render_search_template(body["source"],
+                                              body.get("params")))

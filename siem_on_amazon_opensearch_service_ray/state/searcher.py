@@ -2350,7 +2350,17 @@ class Searcher:
                 rows[t] = hit
         return rows
 
-    def _filter_ids(self, field: str, value: str) -> np.ndarray:
+    def _filter_ids(self, field: str, value) -> np.ndarray:
+        """Live doc ids carrying ``value`` in keyword ``field``.  A
+        list/tuple value is the OpenSearch ``terms`` filter: the union
+        of each value's packed doc list (each list read once, cached
+        individually so single-value filters share the cache)."""
+        if isinstance(value, (list, tuple)):
+            parts = [self._filter_ids(field, v) for v in value]
+            live = [p for p in parts if p.size]
+            if not live:
+                return np.zeros(0, np.int64)
+            return np.unique(np.concatenate(live))
         key = (field, value)
         if key not in self._filter_cache:
             from .shard import load_filter_ids

@@ -587,3 +587,24 @@ def test_cli_query_scroll(cli_index, capsys):
                  "--max-pages", "2"]) == 0
     lines2 = capsys.readouterr().out.strip().splitlines()
     assert len(lines2) == 2
+
+
+def test_cli_field_caps_validate_template(cli_index, capsys):
+    """field-caps, query --validate and query --params (mustache
+    template render) CLI surfaces."""
+    idx, _ = cli_index
+    out = _run_json(capsys, ["field-caps", idx])
+    assert out["fields"]["content"]["text"]["searchable"]
+    out2 = _run_json(capsys, ["field-caps", idx, "la*"])
+    assert "lang" in out2["fields"] and "content" not in out2["fields"]
+    ok = _run_json(capsys, ["query", idx,
+                            '{"query": {"match": {"content": "x"}}}',
+                            "--validate"])
+    assert ok == {"valid": True}
+    bad = _run_json(capsys, ["query", idx, '{"query": {"nope": {}}}',
+                             "--validate"])
+    assert not bad["valid"] and "nope" in bad["error"]
+    tpl = '{"query": {"match": {"content": "{{q}}"}}, "size": {{n}}}'
+    out3 = _run_json(capsys, ["query", idx, tpl, "--params",
+                              '{"q": "spark join", "n": 2}'])
+    assert len(out3["hits"]["hits"]) == 2

@@ -991,3 +991,101 @@ def test_dsl_scroll(dsl_s):
             execute_scroll_search(s, bad)
     with pytest.raises(ValueError, match="scroll_id"):
         execute_scroll(s, {"scroll_id": "garbage!!"})
+
+
+def test_dsl_field_caps_validate_template(dsl_s):
+    """_field_caps (manifest-only metadata), _validate/query
+    (translate-by-probe) and _search/template (mustache subset)."""
+    from siem_on_amazon_opensearch_service_ray.state.dsl import (
+        execute_field_caps, execute_search_template, execute_validate,
+        render_search_template)
+    s = dsl_s
+    caps = execute_field_caps(s)["fields"]
+    assert caps["content"]["text"] == {
+        "type": "text", "searchable": True, "aggregatable": False}
+    assert caps["lang"]["keyword"]["aggregatable"]
+    assert caps["msm"]["double"]["aggregatable"]
+    only = execute_field_caps(s, ["l*", "msm"])["fields"]
+    assert sorted(only) == ["lang", "lat", "lon", "msm"]
+    # validate: good body true, bad node false with explain text
+    assert execute_validate(s, {"query": {"match": {
+        "content": "spark"}}})["valid"]
+    bad = execute_validate(s, {"query": {"knnn": {}}, "explain": True})
+    assert not bad["valid"] and "knnn" in bad["error"]
+    # template: raw-string source with scalar + toJson params
+    tpl = ('{"query": {"bool": {"must": [{"match": {"content": '
+           '"{{q}}"}}], "filter": [{"terms": {"lang": '
+           '{{#toJson}}langs{{/toJson}}}}]}}, "size": {{n}}}')
+    rendered = render_search_template(
+        tpl, {"q": "spark join", "langs": ["py", "go"], "n": 5})
+    assert rendered["size"] == 5
+    assert rendered["query"]["bool"]["filter"][0]["terms"]["lang"] == \
+        ["py", "go"]
+    r = execute_search_template(s, {"source": tpl, "params": {
+        "q": "spark join", "langs": ["py", "go"], "n": 5}})
+    assert r["hits"]["hits"] == execute_dsl(s, rendered)["hits"]["hits"]
+    # object-form source; missing param renders empty -> empty match
+    r2 = execute_search_template(s, {"source": {
+        "query": {"match": {"content": "{{missing}}"}}, "size": 3}})
+    assert r2["hits"]["hits"] == []
+    with pytest.raises(ValueError, match="stored-script"):
+        execute_search_template(s, {"id": "tpl1"})
+    with pytest.raises(ValueError, match="render"):
+        render_search_template('{"size": {{n}}}', {})
+
+
+def test_bool_terms_filter_cross_layout(ray_session, tmp_path_factory):
+    """bool.filter terms (multi-value keyword filter): union of the
+    values' packed doc lists — equals the merged single-term filters,
+    identical across layouts and on the actor path."""
+    rng = np.random.default_rng(11)
+    n = 150
+    docs = [" ".join(VOCAB[int(j)] for j in rng.integers(0, 10, 10))
+            for _ in range(n)]
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": docs,
+        "lang": [["py", "go", "rs", "ts"][i % 4] for i in range(n)],
+    })
+    root = tmp_path_factory.mktemp("terms_filter")
+    src = str(root / "d.parquet")
+    pq.write_table(t, src)
+    want = None
+    for layout in ("term", "doc"):
+        cfg = IndexConfig(num_partitions=3, partition_by=layout,
+                          fields=(("content", "text", "base"),),
+                          keyword_fields=("lang",), range_fields=(),
+                          doc_id_col="doc_id", sha_col="text",
+                          salting=False)
+        idx = str(root / f"idx_{layout}")
+        build_index([src], idx, cfg)
+        for actors in ((False, True) if layout == "doc" else (False,)):
+            s = Searcher(idx, use_actors=actors)
+            try:
+                r = execute_dsl(s, {"query": {"bool": {
+                    "must": [{"match": {"content": "spark"}}],
+                    "filter": [{"terms": {"lang": ["py", "ts"]}}]}},
+                    "size": 1000})
+                got = [(h["_id"], round(h["_score"], 9))
+                       for h in r["hits"]["hits"]]
+                # equals the union of the two single-term filters
+                a = execute_dsl(s, {"query": {"bool": {
+                    "must": [{"match": {"content": "spark"}}],
+                    "filter": [{"term": {"lang": "py"}}]}},
+                    "size": 1000})["hits"]["hits"]
+                b = execute_dsl(s, {"query": {"bool": {
+                    "must": [{"match": {"content": "spark"}}],
+                    "filter": [{"term": {"lang": "ts"}}]}},
+                    "size": 1000})["hits"]["hits"]
+                merged = sorted(
+                    [(round(h["_score"], 9), h["_id"])
+                     for h in a + b], key=lambda x: (-x[0], x[1]))
+                assert got == [(d, sc) for sc, d in merged]
+                assert got and all(
+                    lid % 4 in (0, 3) for lid, _ in got)
+            finally:
+                s.close()
+            if want is None:
+                want = got
+            else:
+                assert got == want, (layout, actors)

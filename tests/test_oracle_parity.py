@@ -109,7 +109,8 @@ SQL_BACKED = ["q1_pricing_summary", "events_hourly", "events_json_extract",
               "search_geo_bbox", "search_geo_distance_query",
               "dsl_termvectors", "search_knn_index", "search_rescore",
               "dsl_paginated", "dsl_mget", "dsl_sorted_cursor",
-              "dsl_delete_by_query", "dsl_bulk", "search_dis_max"]
+              "dsl_delete_by_query", "dsl_bulk", "search_dis_max",
+              "dsl_filter_metrics", "dsl_scroll", "dsl_template"]
 
 
 @pytest.mark.parametrize("name", SQL_BACKED)
