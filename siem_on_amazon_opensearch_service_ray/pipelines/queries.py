@@ -5930,6 +5930,111 @@ LIMIT {BM25_K}
 """
 
 
+def dsl_post_filter(sf_dir: str) -> pd.DataFrame:
+    """``post_filter`` end-to-end (the faceted-navigation contract):
+    the hit page is the top-k of (match AND term filter) while the
+    terms agg and track_total_hits keep the UNFILTERED match set —
+    exactly what a dashboard filter pill does.  The hits side rides
+    the bool machinery (packed doc-list intersection per doc shard);
+    the agg side is per-shard partial counts.  One table carries all
+    three sections so the oracle pins hits, buckets AND total."""
+    from ..state.dsl import execute_dsl
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        resp = execute_dsl(s, {
+            "query": {"match": {"content": BM25_QUERY}},
+            "size": BM25_K,
+            "post_filter": {"term": {"lang": "en"}},
+            "aggs": {"by_lang": {"terms": {"field": "lang",
+                                           "size": 10}}},
+            "track_total_hits": True})
+    finally:
+        s.close()
+    rows = [("hit", str(int(h["_id"])),
+             int(_round_away(h["_score"] * 1e4)))
+            for h in resp["hits"]["hits"]]
+    rows += [("agg", str(b["key"]), int(b["doc_count"]))
+             for b in resp["aggregations"]["by_lang"]["buckets"]]
+    rows.append(("total", "", int(resp["hits"]["total"]["value"])))
+    df = pd.DataFrame({
+        "section": [r[0] for r in rows],
+        "k": [r[1] for r in rows],
+        "v": np.array([r[2] for r in rows], np.int64)})
+    return df.sort_values(["section", "k", "v"]).reset_index(drop=True)
+
+
+DSL_POST_FILTER_SQL = _BM25_SCORES_CTE + f"""
+SELECT section, k, v FROM (
+  SELECT 'hit' AS section, cast(doc_id AS VARCHAR) AS k,
+         cast(round(score * 10000) AS BIGINT) AS v
+  FROM (SELECT s.doc_id, s.score FROM scores s
+        JOIN documents d USING(doc_id) WHERE d.lang = 'en'
+        ORDER BY s.score DESC, s.doc_id LIMIT {BM25_K})
+  UNION ALL
+  SELECT 'agg', d.lang, cast(count(*) AS BIGINT)
+  FROM scores s JOIN documents d USING(doc_id) GROUP BY d.lang
+  UNION ALL
+  SELECT 'total', '', cast(count(*) AS BIGINT) FROM scores
+) ORDER BY section, k, v
+"""
+
+
+def dsl_suggest(sf_dir: str) -> pd.DataFrame:
+    """The ``suggest`` body key through `_search`: a term suggester
+    over two misspelled tokens, OpenSearch response shape flattened
+    to (probe, offset, candidate, score, freq) rows.  Option score is
+    the normalized edit similarity ``1 - dist/max(len)`` — exact in
+    DuckDB.  Probes are absent from the corpus, so suggest_mode
+    missing/always coincide (mode contract pinned in pytest)."""
+    from ..state.dsl import execute_dsl
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(),
+                resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        resp = execute_dsl(s, {"size": 0, "suggest": {
+            "fix": {"text": "sprak jion",
+                    "term": {"field": "content", "size": 5}}}})
+    finally:
+        s.close()
+    rows = [(e["text"], e["offset"], o["text"],
+             int(_round_away(o["score"] * 1e6)), o["freq"])
+            for e in resp["suggest"]["fix"] for o in e["options"]]
+    return pd.DataFrame({
+        "probe": [r[0] for r in rows],
+        "off": np.array([r[1] for r in rows], np.int64),
+        "term": [r[2] for r in rows],
+        "score_e6": np.array([r[3] for r in rows], np.int64),
+        "freq": np.array([r[4] for r in rows], np.int64)})
+
+
+DSL_SUGGEST_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+probes(probe, off) AS (VALUES ('sprak', 0), ('jion', 6)),
+cand AS (
+  SELECT p.probe, p.off, d.term, levenshtein(p.probe, d.term) AS dist,
+         d.df
+  FROM probes p JOIN df d
+    ON substr(d.term, 1, 1) = substr(p.probe, 1, 1)
+   AND d.term <> p.probe
+   AND levenshtein(p.probe, d.term) <= 2)
+SELECT probe, cast(off AS BIGINT) AS off, term,
+       cast(round((1.0 - cast(dist AS DOUBLE)
+                   / greatest(length(probe), length(term)))
+                  * 1000000) AS BIGINT) AS score_e6,
+       cast(df AS BIGINT) AS freq
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY probe ORDER BY dist, df DESC, term) AS rn
+      FROM cand)
+WHERE rn <= 5
+ORDER BY probe, dist, df DESC, term
+"""
+
+
 def search_dis_max(sf_dir: str) -> pd.DataFrame:
     """``dis_max`` over ARBITRARY sub-queries — each clause carries
     its own text AND field (content:"spark join" vs src:"src2 src3"),
@@ -5991,6 +6096,8 @@ def queries() -> dict:
     # then every entry whose newest driver row is r03 (oldest-green-first).
     return {
         # --- never driver-checked (round-5 additions) ---
+        "dsl_post_filter": dsl_post_filter,
+        "dsl_suggest": dsl_suggest,
         "dsl_filter_metrics": dsl_filter_metrics,
         "dsl_scroll": dsl_scroll,
         "dsl_template": dsl_template,
@@ -6156,6 +6263,8 @@ def oracle_sql() -> dict:
         "dsl_filter_metrics": DSL_FILTER_METRICS_SQL,
         "dsl_scroll": DSL_SCROLL_SQL,
         "dsl_template": DSL_TEMPLATE_SQL,
+        "dsl_post_filter": DSL_POST_FILTER_SQL,
+        "dsl_suggest": DSL_SUGGEST_SQL,
         "search_highlight": SEARCH_HIGHLIGHT_SQL,
         "search_match_bool_prefix": SEARCH_MATCH_BOOL_PREFIX_SQL,
         "search_combined_fields": SEARCH_COMBINED_FIELDS_SQL,

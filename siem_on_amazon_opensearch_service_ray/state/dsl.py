@@ -52,6 +52,12 @@ also ``fields`` (docvalue-style list retrieval from the docstore),
 page) and ``min_score`` (exact post-rank cutoff — docs below it form
 a suffix of the descending ranking, so a top-k filter loses nothing).
 
+``post_filter`` narrows the returned hits to (query AND filter)
+while aggregations and track_total_hits keep the unfiltered query —
+the faceted-navigation contract.  ``suggest`` runs named term /
+phrase / completion suggesters alongside (or instead of) the hits,
+OpenSearch response shape.
+
 Scroll: ``execute_scroll_search`` opens a scroll (first page +
 ``_scroll_id``) and ``execute_scroll`` continues one.  The id is a
 STATELESS base64 cursor over the ``search_after`` machinery — every
@@ -281,6 +287,12 @@ def _exec_query(s, query: dict, size: int,
         for c in ([spec["filter"]] if isinstance(spec.get("filter"), dict)
                   else spec.get("filter") or []):
             ck, cs = _one(c, "bool filter")
+            if ck in ("term", "terms") and filt_field is not None:
+                raise ValueError("bool filter: at most one term/terms "
+                                 "filter is supported")
+            if ck == "range" and range_field is not None:
+                raise ValueError("bool filter: at most one range "
+                                 "filter is supported")
             if ck == "term":
                 filt_field, filt_value = _one(cs, "term")
                 if isinstance(filt_value, dict):
@@ -899,6 +911,132 @@ def _attach_explanations(searcher, hits: list[dict], query) -> None:
             searcher, int(h["_id"]), {"query": query})["explanation"]
 
 
+def _with_post_filter(query, pf: dict) -> dict:
+    """Compose the hits-side query for ``post_filter``: the returned
+    page is the top-k of (query AND post_filter) while aggregations
+    and track_total_hits keep seeing the UNFILTERED query — the
+    faceted-navigation contract (reference dashboards' filter pills:
+    the terms agg shows every bucket, the hit list narrows).
+    Rewrites into the bool machinery, so the filter executes as
+    packed doc-list intersection per shard — never a rescan."""
+    ck, _ = _one(pf, "post_filter")
+    if ck not in ("term", "terms", "range"):
+        raise ValueError(f"post_filter: {ck!r} unsupported "
+                         "(term/terms/range)")
+    if query is not None and "bool" in query:
+        spec = dict(query["bool"])
+        filt = spec.get("filter") or []
+        spec["filter"] = ([filt] if isinstance(filt, dict)
+                          else list(filt)) + [pf]
+        return {"bool": spec}
+    if query is not None and "match" in query:
+        return {"bool": {"must": [query], "filter": [pf]}}
+    kind = "match_all" if query is None or "match_all" in query \
+        else _one(query, "query")[0]
+    raise ValueError(f"post_filter: query {kind!r} is not supported "
+                     "(needs a scoring match/bool query)")
+
+
+def _run_suggest(s, sg: dict) -> dict:
+    """``suggest`` body key: named term / phrase / completion
+    suggesters, OpenSearch response shape (one entry per analyzed
+    token for term, one per input for phrase/completion, each with an
+    ``options`` list).  All three ride the layout-aware suggester
+    methods — the dictionary probes run where each part lives, only
+    candidate strings and dfs travel.  Term-option ``score`` is the
+    normalized edit similarity ``1 - distance/max(len)`` (the
+    OpenSearch term-suggester scoring shape)."""
+    if not isinstance(sg, dict):
+        raise ValueError("suggest: expected an object of named "
+                         "suggesters")
+    g_text = sg.get("text")
+    out: dict[str, list[dict]] = {}
+    for name, spec in sg.items():
+        if name == "text":
+            continue
+        if not isinstance(spec, dict):
+            raise ValueError(f"suggest {name!r}: expected an object")
+        kinds = [k for k in ("term", "phrase", "completion")
+                 if k in spec]
+        if len(kinds) != 1:
+            raise ValueError(f"suggest {name!r}: exactly one of "
+                             "term/phrase/completion required, got "
+                             f"{sorted(set(spec) - {'text', 'prefix'})!r}")
+        kind = kinds[0]
+        b = spec[kind] or {}
+        field = b.get("field", "content")
+        size = int(b.get("size", 5))
+        if kind == "term":
+            text = spec.get("text", g_text)
+            if text is None:
+                raise ValueError(f"suggest {name!r}: missing text")
+            rows = s.suggest(
+                text, field=field, size=size,
+                max_edits=int(b.get("max_edits", 2)),
+                prefix_length=int(b.get("prefix_length", 1)),
+                suggest_mode=b.get("suggest_mode", "missing"),
+                string_distance=b.get("string_distance",
+                                      "levenshtein"))
+            entries, pos, low = [], 0, text.lower()
+            for tok, opts in rows:
+                off = low.find(tok, pos)
+                if off < 0:
+                    off = max(low.find(tok), 0)
+                pos = off + len(tok)
+                entries.append({
+                    "text": tok, "offset": off, "length": len(tok),
+                    "options": [
+                        {"text": c,
+                         "score": round(
+                             1.0 - d / max(len(tok), len(c)), 6),
+                         "freq": int(df)} for c, d, df in opts]})
+            out[name] = entries
+        elif kind == "completion":
+            prefix = spec.get("prefix", g_text)
+            if prefix is None:
+                raise ValueError(f"suggest {name!r}: missing prefix")
+            kw: dict = {}
+            fz = b.get("fuzzy")
+            if fz:
+                if fz is True:
+                    fz = {}
+                kw.update(
+                    fuzziness=int(fz.get("fuzziness", 1)),
+                    prefix_length=int(fz.get("prefix_length", 1)),
+                    transpositions=bool(fz.get("transpositions",
+                                               True)))
+            ctx = b.get("contexts")
+            if ctx:
+                (cf, cv), = ctx.items()
+                if isinstance(cv, list):
+                    if len(cv) != 1:
+                        raise ValueError("suggest contexts: exactly "
+                                         "one value per context")
+                    cv = cv[0]
+                kw.update(context_field=cf, context_value=cv)
+            rows = s.suggest_completion(prefix, field=field,
+                                        size=size, **kw)
+            out[name] = [{
+                "text": prefix, "offset": 0, "length": len(prefix),
+                "options": [{"text": t, "score": float(df)}
+                            for t, df in rows]}]
+        else:
+            text = spec.get("text", g_text)
+            if text is None:
+                raise ValueError(f"suggest {name!r}: missing text")
+            rows = s.suggest_phrase(
+                text, field=field, size=size,
+                max_edits=int(b.get("max_edits", 2)),
+                prefix_length=int(b.get("prefix_length", 1)),
+                string_distance=b.get("string_distance",
+                                      "levenshtein"))
+            out[name] = [{
+                "text": text, "offset": 0, "length": len(text),
+                "options": [{"text": p, "score": float(sc)}
+                            for p, sc in rows]}]
+    return out
+
+
 def execute_dsl(searcher, body: dict) -> dict:
     """Execute an OpenSearch `_search` request body against the
     engine.  See the module docstring for the supported surface;
@@ -924,6 +1062,23 @@ def execute_dsl(searcher, body: dict) -> dict:
                            or body.get("track_total_hits")):
         raise ValueError("min_score cannot be combined with sort, "
                          "rescore or track_total_hits")
+    sg = body.get("suggest")
+
+    def _finish(r: dict) -> dict:
+        if sg:
+            r["suggest"] = _run_suggest(searcher, sg)
+        return r
+
+    pf = body.get("post_filter")
+    hit_query = query
+    if pf is not None:
+        if (srt is not None or resc is not None or sa is not None
+                or body.get("highlight") is not None
+                or ms is not None or body.get("explain")):
+            raise ValueError("post_filter cannot be combined with "
+                             "sort, rescore, search_after, highlight, "
+                             "min_score or explain")
+        hit_query = _with_post_filter(query, pf)
     if srt is not None and size > 0:
         # field sort (the Discover execution shape): per-shard
         # boundary bisect over value-sorted range tables
@@ -962,7 +1117,7 @@ def execute_dsl(searcher, body: dict) -> dict:
         aggs0 = body.get("aggs", body.get("aggregations"))
         if aggs0:
             resp["aggregations"] = _run_aggs(searcher, aggs0, query)
-        return resp
+        return _finish(resp)
     if resc is not None and query is not None and size > 0:
         if "match" not in query:
             raise ValueError("rescore: only match primary queries are "
@@ -993,7 +1148,7 @@ def execute_dsl(searcher, body: dict) -> dict:
         aggs0 = body.get("aggs", body.get("aggregations"))
         if aggs0:
             resp["aggregations"] = _run_aggs(searcher, aggs0, query)
-        return resp
+        return _finish(resp)
     hl = body.get("highlight")
     if hl is not None and query is not None and size > 0:
         # highlight executes the ranked fetch itself (one search, one
@@ -1019,7 +1174,7 @@ def execute_dsl(searcher, body: dict) -> dict:
         resp["hits"]["total"]["value"] = len(rows)
         resp["hits"]["total"]["relation"] = \
             "gte" if len(rows) == size else "eq"
-    if hl is None and query is not None and size > 0:
+    if hl is None and hit_query is not None and size > 0:
         if sa is not None:
             # score-sorted cursor paging: resume strictly after the
             # previous page's (score, doc_id) — no offset cost
@@ -1042,7 +1197,7 @@ def execute_dsl(searcher, body: dict) -> dict:
                          "sort": [float(s), int(d)]}
                         for s, d in hits]
         else:
-            hits = _exec_query(searcher, query, frm + size,
+            hits = _exec_query(searcher, hit_query, frm + size,
                                collapse=body.get("collapse"))
             out_hits = []
             for h in hits[frm:frm + size]:
@@ -1079,7 +1234,7 @@ def execute_dsl(searcher, body: dict) -> dict:
     aggs = body.get("aggs", body.get("aggregations"))
     if aggs:
         resp["aggregations"] = _run_aggs(searcher, aggs, query)
-    return resp
+    return _finish(resp)
 
 
 def execute_explain(searcher, doc_id: int, body: dict) -> dict:

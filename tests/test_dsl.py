@@ -1089,3 +1089,105 @@ def test_bool_terms_filter_cross_layout(ray_session, tmp_path_factory):
                 want = got
             else:
                 assert got == want, (layout, actors)
+
+
+def test_dsl_post_filter(dsl_s):
+    """post_filter: hits narrow to (query AND filter), aggregations
+    and track_total_hits keep the UNFILTERED query — byte-identical
+    to the explicit bool composition on the hits side and to the
+    plain query on the agg side."""
+    s = dsl_s
+    q = {"match": {"content": "spark join"}}
+    agg = {"by_lang": {"terms": {"field": "lang", "size": 5}}}
+    base = execute_dsl(s, {"query": q, "size": 50, "aggs": agg,
+                           "track_total_hits": True})
+    pf = execute_dsl(s, {"query": q, "size": 50, "aggs": agg,
+                         "post_filter": {"term": {"lang": "py"}},
+                         "track_total_hits": True})
+    composed = execute_dsl(s, {"query": {"bool": {
+        "must": [q], "filter": [{"term": {"lang": "py"}}]}},
+        "size": 50})
+    assert _ids(pf) == _ids(composed)
+    assert len(_ids(pf)) < len(_ids(base))
+    assert pf["aggregations"] == base["aggregations"]
+    # exact total rides the unfiltered query
+    assert pf["hits"]["total"] == base["hits"]["total"]
+
+    # terms + range post_filter shapes; bool primary gains the filter
+    pf2 = execute_dsl(s, {"query": q, "size": 50,
+                          "post_filter": {"terms": {"lang": ["py",
+                                                             "go"]}}})
+    c2 = execute_dsl(s, {"query": {"bool": {
+        "must": [q],
+        "filter": [{"terms": {"lang": ["py", "go"]}}]}}, "size": 50})
+    assert _ids(pf2) == _ids(c2)
+    pf3 = execute_dsl(s, {
+        "query": {"bool": {"must": [q],
+                           "filter": [{"term": {"lang": "py"}}]}},
+        "post_filter": {"range": {"msm": {"gte": 2.0}}}, "size": 50})
+    c3 = execute_dsl(s, {"query": {"bool": {
+        "must": [q], "filter": [{"term": {"lang": "py"}},
+                                {"range": {"msm": {"gte": 2.0}}}]}},
+        "size": 50})
+    assert _ids(pf3) == _ids(c3)
+
+    with pytest.raises(ValueError, match="post_filter"):
+        execute_dsl(s, {"query": q, "sort": [{"msm": "asc"}],
+                        "post_filter": {"term": {"lang": "py"}}})
+    with pytest.raises(ValueError, match="post_filter"):
+        execute_dsl(s, {"query": {"match_all": {}},
+                        "post_filter": {"term": {"lang": "py"}}})
+    with pytest.raises(ValueError, match="at most one"):
+        execute_dsl(s, {"query": {"bool": {
+            "must": [q], "filter": [{"term": {"lang": "py"}},
+                                    {"terms": {"repo": ["r1"]}}]}}})
+
+
+def test_dsl_suggest(dsl_s):
+    """suggest body key: named term/phrase/completion suggesters in
+    the OpenSearch response shape, option lists byte-identical to the
+    direct suggester methods."""
+    s = dsl_s
+    resp = execute_dsl(s, {"size": 0, "suggest": {
+        "fix": {"text": "sprak", "term": {"field": "content",
+                                          "size": 3}},
+        "auto": {"prefix": "s", "completion": {"field": "content",
+                                               "size": 4}},
+        "rephrase": {"text": "sprak jion",
+                     "phrase": {"field": "content", "size": 2}},
+    }})
+    assert resp["hits"]["hits"] == []
+    sg = resp["suggest"]
+    # term: one entry per analyzed token, options == direct method
+    direct = s.suggest("sprak", field="content", size=3)
+    ent = sg["fix"]
+    assert [e["text"] for e in ent] == ["sprak"]
+    assert ent[0]["offset"] == 0 and ent[0]["length"] == 5
+    assert [o["text"] for o in ent[0]["options"]] == \
+        [c for c, _, _ in direct[0][1]]
+    assert [o["freq"] for o in ent[0]["options"]] == \
+        [df for _, _, df in direct[0][1]]
+    for o, (c, d, _) in zip(ent[0]["options"], direct[0][1]):
+        assert o["score"] == round(1.0 - d / max(5, len(c)), 6)
+    # completion: prefix expansion ranked by df
+    comp = s.suggest_completion("s", field="content", size=4)
+    assert [o["text"] for o in sg["auto"][0]["options"]] == \
+        [t for t, _ in comp]
+    # phrase: whole-input corrections
+    ph = s.suggest_phrase("sprak jion", field="content", size=2)
+    assert [o["text"] for o in sg["rephrase"][0]["options"]] == \
+        [p for p, _ in ph]
+
+    # global text + coexistence with a scoring query; token offsets
+    both = execute_dsl(s, {
+        "query": {"match": {"content": "spark"}}, "size": 3,
+        "suggest": {"text": "mrege sprak",
+                    "fix": {"term": {"field": "content"}}}})
+    assert len(both["hits"]["hits"]) == 3
+    toks = both["suggest"]["fix"]
+    assert [(e["text"], e["offset"], e["length"]) for e in toks] == \
+        [("mrege", 0, 5), ("sprak", 6, 5)]
+    with pytest.raises(ValueError, match="exactly one"):
+        execute_dsl(s, {"suggest": {"bad": {"text": "x"}}})
+    with pytest.raises(ValueError, match="missing text"):
+        execute_dsl(s, {"suggest": {"bad": {"term": {}}}})
