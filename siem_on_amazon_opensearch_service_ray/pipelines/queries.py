@@ -6035,6 +6035,52 @@ ORDER BY probe, dist, df DESC, term
 """
 
 
+def dsl_script_fields(sf_dir: str) -> pd.DataFrame:
+    """``script_fields`` body key: per-hit computed values from the
+    stored numeric columns through the whitelisted-arithmetic script
+    compiler — ``boosted`` always present, ``opt_sq`` omitted where
+    the nullable ``opt`` field is NULL (painless ``doc[...]`` raises
+    on missing, OpenSearch drops the field).  The page costs ONE
+    docstore fetch pruned to the referenced columns.  Missing fields
+    surface as -1 so the oracle hashes stay integer-typed."""
+    from ..state.dsl import execute_dsl
+    idx = _docs_aux_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        resp = execute_dsl(s, {
+            "query": {"match": {"content": BM25_QUERY}},
+            "size": BM25_K,
+            "script_fields": {
+                "boosted": {"script": {"source": "msm * 2 + 1"}},
+                "opt_sq": {"script": {"source": "sqrt(opt)"}},
+            }})
+    finally:
+        s.close()
+    hits = resp["hits"]["hits"]
+    rows = [(int(h["_id"]), int(_round_away(h["_score"] * 1e4)),
+             int(_round_away(h["fields"]["boosted"][0] * 1e4)),
+             int(_round_away(h["fields"]["opt_sq"][0] * 1e4))
+             if "opt_sq" in h.get("fields", {}) else -1)
+            for h in hits]
+    return pd.DataFrame({
+        "doc_id": np.array([r[0] for r in rows], np.int64),
+        "score_e4": np.array([r[1] for r in rows], np.int64),
+        "boosted_e4": np.array([r[2] for r in rows], np.int64),
+        "opt_sq_e4": np.array([r[3] for r in rows], np.int64)})
+
+
+DSL_SCRIPT_FIELDS_SQL = _BM25_SCORES_CTE + f"""
+SELECT doc_id, cast(round(score * 10000) AS BIGINT) AS score_e4,
+       cast(round((((doc_id % 3) + 1) * 2 + 1) * 10000) AS BIGINT)
+         AS boosted_e4,
+       CASE WHEN doc_id % 5 < 3
+            THEN cast(round(sqrt(doc_id) * 10000) AS BIGINT)
+            ELSE -1 END AS opt_sq_e4
+FROM scores
+ORDER BY score DESC, doc_id LIMIT {BM25_K}
+"""
+
+
 def search_dis_max(sf_dir: str) -> pd.DataFrame:
     """``dis_max`` over ARBITRARY sub-queries — each clause carries
     its own text AND field (content:"spark join" vs src:"src2 src3"),
@@ -6098,6 +6144,7 @@ def queries() -> dict:
         # --- never driver-checked (round-5 additions) ---
         "dsl_post_filter": dsl_post_filter,
         "dsl_suggest": dsl_suggest,
+        "dsl_script_fields": dsl_script_fields,
         "dsl_filter_metrics": dsl_filter_metrics,
         "dsl_scroll": dsl_scroll,
         "dsl_template": dsl_template,
@@ -6265,6 +6312,7 @@ def oracle_sql() -> dict:
         "dsl_template": DSL_TEMPLATE_SQL,
         "dsl_post_filter": DSL_POST_FILTER_SQL,
         "dsl_suggest": DSL_SUGGEST_SQL,
+        "dsl_script_fields": DSL_SCRIPT_FIELDS_SQL,
         "search_highlight": SEARCH_HIGHLIGHT_SQL,
         "search_match_bool_prefix": SEARCH_MATCH_BOOL_PREFIX_SQL,
         "search_combined_fields": SEARCH_COMBINED_FIELDS_SQL,

@@ -48,6 +48,8 @@ same as page 1), and
 the whole page, row-group pruned), and ``track_total_hits: true``
 (exact match-set total via the ``_count`` path — one int per shard);
 also ``fields`` (docvalue-style list retrieval from the docstore),
+``script_fields`` (per-hit whitelisted-arithmetic values computed
+from stored columns — ONE pruned docstore fetch per page),
 ``explain: true`` (per-hit ``_explanation``, one cached gather per
 page) and ``min_score`` (exact post-rank cutoff — docs below it form
 a suffix of the descending ranking, so a top-k filter loses nothing).
@@ -896,6 +898,72 @@ def _attach_fields(searcher, hits: list[dict], names) -> None:
             h.setdefault("fields", {}).update(vals)
 
 
+def _expr_fields(expr: str) -> tuple[str, ...]:
+    """Field names a whitelisted-arithmetic script reads (every bare
+    identifier that isn't a whitelisted function) — OpenSearch
+    scripts name fields as ``doc['f'].value``; this engine's painless
+    subset names them directly, so the referenced-column set is
+    statically known and the docstore fetch can prune to it."""
+    import ast
+
+    from .searcher import _EXPR_FUNCS
+    try:
+        tree = ast.parse(expr, mode="eval")
+    except SyntaxError as ex:
+        raise ValueError(f"script {expr!r}: invalid syntax "
+                         f"({ex.msg})") from None
+    names = tuple(dict.fromkeys(
+        n.id for n in ast.walk(tree)
+        if isinstance(n, ast.Name) and n.id not in _EXPR_FUNCS))
+    bad = [n for n in names if n.startswith("_")]
+    if bad:
+        raise ValueError(f"script {expr!r}: {bad[0]!r} is not a "
+                         "stored field (underscore names are "
+                         "reserved)")
+    return names
+
+
+def _attach_script_fields(searcher, hits: list[dict], spec) -> None:
+    """``script_fields`` body key: per-hit computed values from the
+    stored docstore columns through the whitelisted-arithmetic script
+    compiler (the same painless subset ``script_score`` uses).  The
+    page costs ONE bulk docstore fetch pruned to the union of every
+    script's referenced columns.  Hits missing any referenced field
+    omit that script field (painless ``doc[...]`` raises on missing
+    — OpenSearch drops the field from the hit)."""
+    if not hits or not spec:
+        return
+    from .searcher import compile_metric_expr
+    scripts: list[tuple[str, tuple[str, ...], Any]] = []
+    for name, b in spec.items():
+        sc = (b or {}).get("script")
+        if isinstance(sc, str):
+            src = sc
+        elif isinstance(sc, dict):
+            src = sc.get("source")
+        else:
+            src = None
+        if not src:
+            raise ValueError(f"script_fields {name!r}: needs "
+                             "script.source")
+        flds = _expr_fields(src)
+        scripts.append((name, flds, compile_metric_expr(src, flds)))
+    cols = list(dict.fromkeys(
+        ["doc_id", *(f for _, flds, _ in scripts for f in flds)]))
+    t = searcher.fetch_docs([h["_id"] for h in hits], columns=cols)
+    by_id: dict[int, dict] = {}
+    if t is not None:
+        for r in t.to_pylist():
+            by_id[int(r["doc_id"])] = r
+    for h in hits:
+        row = by_id.get(int(h["_id"])) or {}
+        for name, flds, fn in scripts:
+            if any(row.get(f) is None for f in flds):
+                continue
+            val = fn({f: float(row[f]) for f in flds})
+            h.setdefault("fields", {})[name] = [float(val)]
+
+
 def _attach_explanations(searcher, hits: list[dict], query) -> None:
     """``explain: true`` body key: every hit gains ``_explanation``
     (the `_explain` API's breakdown).  Per-hit calls reuse the
@@ -1113,6 +1181,7 @@ def execute_dsl(searcher, body: dict) -> dict:
             "gte" if len(hits) == size else "eq"
         _attach_source(searcher, hits, body.get("_source"))
         _attach_fields(searcher, hits, body.get("fields"))
+        _attach_script_fields(searcher, hits, body.get("script_fields"))
         _apply_tth(searcher, resp, query, body.get("track_total_hits"))
         aggs0 = body.get("aggs", body.get("aggregations"))
         if aggs0:
@@ -1144,6 +1213,8 @@ def execute_dsl(searcher, body: dict) -> dict:
                        body.get("_source"))
         _attach_fields(searcher, resp["hits"]["hits"],
                        body.get("fields"))
+        _attach_script_fields(searcher, resp["hits"]["hits"],
+                              body.get("script_fields"))
         _apply_tth(searcher, resp, query, body.get("track_total_hits"))
         aggs0 = body.get("aggs", body.get("aggregations"))
         if aggs0:
@@ -1228,6 +1299,8 @@ def execute_dsl(searcher, body: dict) -> dict:
             "gte" if len(kept) == size else "eq"
     _attach_source(searcher, resp["hits"]["hits"], body.get("_source"))
     _attach_fields(searcher, resp["hits"]["hits"], body.get("fields"))
+    _attach_script_fields(searcher, resp["hits"]["hits"],
+                          body.get("script_fields"))
     if body.get("explain"):
         _attach_explanations(searcher, resp["hits"]["hits"], query)
     _apply_tth(searcher, resp, query, body.get("track_total_hits"))

@@ -1191,3 +1191,30 @@ def test_dsl_suggest(dsl_s):
         execute_dsl(s, {"suggest": {"bad": {"text": "x"}}})
     with pytest.raises(ValueError, match="missing text"):
         execute_dsl(s, {"suggest": {"bad": {"term": {}}}})
+
+
+def test_dsl_script_fields(dsl_s):
+    """script_fields: whitelisted-arithmetic per-hit values from the
+    stored columns; missing referenced fields drop the script field
+    from that hit; bad scripts raise naming the problem."""
+    s = dsl_s
+    resp = execute_dsl(s, {
+        "query": {"match": {"content": "spark join"}}, "size": 5,
+        "script_fields": {"m2": {"script": {"source": "msm * 2"}},
+                          "c": {"script": "min(msm, 2) + 1"}}})
+    assert len(resp["hits"]["hits"]) == 5
+    src = execute_dsl(s, {
+        "query": {"match": {"content": "spark join"}}, "size": 5,
+        "_source": ["msm"]})
+    by_id = {h["_id"]: h["_source"]["msm"] for h in src["hits"]["hits"]}
+    for h in resp["hits"]["hits"]:
+        msm = by_id[h["_id"]]
+        assert h["fields"]["m2"] == [msm * 2]
+        assert h["fields"]["c"] == [min(msm, 2) + 1]
+    with pytest.raises(ValueError, match="reserved"):
+        execute_dsl(s, {"query": {"match": {"content": "spark"}},
+                        "script_fields": {"x": {"script": {
+                            "source": "__import__('os')"}}}})
+    with pytest.raises(ValueError, match="script_fields"):
+        execute_dsl(s, {"query": {"match": {"content": "spark"}},
+                        "script_fields": {"x": {}}})
