@@ -44,6 +44,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--positions", action="store_true",
                    help="store term positions (phrase/span queries)")
     b.add_argument("--no-salting", action="store_true")
+    b.add_argument("--store-source", action="store_true",
+                   help="keep the source text in the docstore "
+                        "(enables reindex / update-by-query)")
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--num-cpus", type=int, default=None)
     b.add_argument("--text-field", action="append", default=[],
@@ -287,6 +290,15 @@ def main(argv: list[str] | None = None) -> int:
     dbq.add_argument("body", help="JSON query body, or @file.json")
     dbq.add_argument("--num-cpus", type=int, default=None)
 
+    ubq = sub.add_parser("update-by-query",
+                         help="rewrite a scripted field on every doc "
+                              "matching a query (delete -> compact -> "
+                              "extend upsert flow)")
+    ubq.add_argument("index_dir")
+    ubq.add_argument("body", help="JSON {query, script} body, or "
+                                  "@file.json")
+    ubq.add_argument("--num-cpus", type=int, default=None)
+
     dc = sub.add_parser("decontam",
                         help="flag docs sharing n-grams with a benchmark")
     dc.add_argument("corpus", help="parquet file/dir with text docs")
@@ -435,6 +447,8 @@ def main(argv: list[str] | None = None) -> int:
                 overrides["doc_id_col"] = args.doc_id_col
             if args.sha_col:
                 overrides["sha_col"] = args.sha_col
+            if args.store_source:
+                overrides["store_source"] = True
             cfg = IndexConfig(num_partitions=args.partitions,
                               store_positions=args.positions,
                               salting=not args.no_salting, **overrides)
@@ -473,6 +487,14 @@ def main(argv: list[str] | None = None) -> int:
                     searcher, json.loads(raw))))
             finally:
                 searcher.close()
+        elif args.cmd == "update-by-query":
+            from .state.dsl import execute_update_by_query
+            raw = args.body
+            if raw.startswith("@"):
+                with open(raw[1:]) as f:
+                    raw = f.read()
+            print(json.dumps(execute_update_by_query(
+                args.index_dir, json.loads(raw))))
         elif args.cmd == "compact":
             from .pipelines.build_index import compact_index
             man = compact_index(args.index_dir)

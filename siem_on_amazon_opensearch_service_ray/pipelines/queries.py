@@ -6081,6 +6081,62 @@ ORDER BY score DESC, doc_id LIMIT {BM25_K}
 """
 
 
+def dsl_update_by_query(sf_dir: str) -> pd.DataFrame:
+    """``_update_by_query`` end-to-end on a PRIVATE store_source index
+    copy: docs matching ``match content:'spark'`` get ``n_chars``
+    recomputed to ``doc_id % 7 + 100`` (an absolute, doc_id-derived
+    assignment — replay converges), rewritten through the documented
+    upsert flow (delete → compact → extend as ONE content-addressed
+    generation).  Post-state is SQL-exact: live total unchanged,
+    updated count, the n_chars sum over the whole index, and a range
+    probe over the rewritten values."""
+    import dataclasses
+    from ..state.dsl import execute_count, execute_update_by_query
+    cfg = dataclasses.replace(_docs_index_cfg(), partition_by="doc",
+                              store_source=True)
+    idx = _docs_index_dir(sf_dir) + "_ubq"
+    build_index(_docs_source(sf_dir), idx, cfg, resume=True)
+    res = execute_update_by_query(idx, {
+        "query": {"match": {"content": "spark"}},
+        "script": {"source": "n_chars = doc_id % 7 + 100"}})
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        live = execute_count(s, {})["count"]
+        # the rewritten values, read back through the stats agg
+        st = s.stats_aggregation("spark", "n_chars", field="content")
+        probe = execute_count(s, {"query": {"range": {
+            "n_chars": {"gte": 100, "lte": 106}}}})["count"]
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "metric": ["updated", "live_total", "matched_sum_nchars",
+                   "range_probe"],
+        "value": np.array([res["updated"], live,
+                           int(_round_away(st["sum"])), probe],
+                          np.int64)})
+
+
+DSL_UPDATE_BY_QUERY_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+upd AS (SELECT d.doc_id,
+               CASE WHEN m.doc_id IS NOT NULL
+                    THEN d.doc_id % 7 + 100 ELSE d.n_chars END AS n_chars,
+               m.doc_id IS NOT NULL AS hit
+        FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id)
+SELECT metric, value FROM (VALUES
+  ('updated', (SELECT cast(count(*) AS BIGINT) FROM m)),
+  ('live_total', (SELECT cast(count(*) AS BIGINT) FROM upd)),
+  ('matched_sum_nchars',
+   (SELECT cast(sum(n_chars) AS BIGINT) FROM upd WHERE hit)),
+  ('range_probe', (SELECT cast(count(*) AS BIGINT) FROM upd
+                   WHERE n_chars BETWEEN 100 AND 106))
+) t(metric, value)
+"""
+
+
 def search_dis_max(sf_dir: str) -> pd.DataFrame:
     """``dis_max`` over ARBITRARY sub-queries — each clause carries
     its own text AND field (content:"spark join" vs src:"src2 src3"),
@@ -6145,6 +6201,7 @@ def queries() -> dict:
         "dsl_post_filter": dsl_post_filter,
         "dsl_suggest": dsl_suggest,
         "dsl_script_fields": dsl_script_fields,
+        "dsl_update_by_query": dsl_update_by_query,
         "dsl_filter_metrics": dsl_filter_metrics,
         "dsl_scroll": dsl_scroll,
         "dsl_template": dsl_template,
@@ -6313,6 +6370,7 @@ def oracle_sql() -> dict:
         "dsl_post_filter": DSL_POST_FILTER_SQL,
         "dsl_suggest": DSL_SUGGEST_SQL,
         "dsl_script_fields": DSL_SCRIPT_FIELDS_SQL,
+        "dsl_update_by_query": DSL_UPDATE_BY_QUERY_SQL,
         "search_highlight": SEARCH_HIGHLIGHT_SQL,
         "search_match_bool_prefix": SEARCH_MATCH_BOOL_PREFIX_SQL,
         "search_combined_fields": SEARCH_COMBINED_FIELDS_SQL,

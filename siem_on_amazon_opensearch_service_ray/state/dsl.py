@@ -70,8 +70,10 @@ Sibling API surfaces in this module: ``execute_count`` (`_count`),
 ``execute_msearch`` (`_msearch`), ``execute_explain`` (`_explain/<id>`),
 ``execute_analyze`` (`_analyze`), ``execute_mget`` (`_mget`),
 ``execute_delete_by_query`` (`_delete_by_query` — tombstone + live
-refresh; the retention op), ``execute_bulk`` (`_bulk` — the
-reference's write path: index actions become one incremental
+refresh; the retention op), ``execute_update_by_query``
+(`_update_by_query` — scripted field rewrite of the match set through
+the delete → compact → extend upsert flow), ``execute_bulk`` (`_bulk`
+— the reference's write path: index actions become one incremental
 generation via extend_index, deletes tombstone).
 
 Unsupported constructs raise ``ValueError`` naming the node — never a
@@ -93,7 +95,8 @@ from typing import Any
 
 __all__ = ["execute_dsl", "execute_count", "execute_msearch",
            "execute_explain", "execute_analyze", "execute_mget",
-           "execute_delete_by_query", "execute_bulk",
+           "execute_delete_by_query", "execute_update_by_query",
+           "execute_bulk",
            "execute_scroll_search", "execute_scroll",
            "execute_field_caps", "execute_validate",
            "execute_search_template", "render_search_template"]
@@ -1496,6 +1499,135 @@ def execute_delete_by_query(searcher, body: dict) -> dict:
     searcher.refresh_tombstones()
     return {"deleted": int(after - before), "total": int(ids.size),
             "tombstones": int(after)}
+
+
+def execute_update_by_query(index_dir: str, body: dict) -> dict:
+    """OpenSearch ``_update_by_query`` parity — the bulk-mutation API
+    (reference operators run it to backfill/correct fields on already
+    indexed logs).  ``{"query": ..., "script": {"source": "field =
+    <arithmetic>"}}``: matching LIVE docs get ``field`` recomputed by
+    the whitelisted-arithmetic compiler over their stored numeric
+    columns, then the matched docs are rewritten through the
+    documented upsert flow — ``delete_docs`` → ``compact_index`` →
+    ``extend_index`` with the updated rows as ONE content-addressed
+    generation (exactly what OpenSearch does per doc: delete + fresh
+    version; here it's batched, distributed, and replay-convergent).
+
+    Requirements mirror :func:`~..pipelines.build_index.reindex`:
+    the index must be built with ``store_source=True`` (the docstore
+    is the rebuild source) and an explicit ``doc_id_col``; the target
+    must be an existing stored column and never the id/source column.
+    Docs where a referenced field is NULL keep their old value and
+    count as ``noops`` (painless raises per doc; OpenSearch reports
+    them).  Open Searchers are STALE afterwards — reopen.
+
+    Scale note: compact + extend fan out one Ray task per partition;
+    cost is proportional to index size, which is intrinsic to the
+    operation (every updated doc is a new immutable version), not to
+    the match-set size alone."""
+    import hashlib
+    import json as _json
+    import os as _os
+    import re as _re
+
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from ..pipelines.build_index import (compact_index, delete_docs,
+                                         extend_index)
+    from .searcher import Searcher, compile_metric_expr
+    sc = body.get("script")
+    src = sc if isinstance(sc, str) else (sc or {}).get("source")
+    if not src:
+        raise ValueError("_update_by_query: needs script.source")
+    m = _re.match(r"^\s*([A-Za-z]\w*)\s*=(?!=)\s*(.+)$", src)
+    if not m:
+        raise ValueError("_update_by_query: script must be ONE "
+                         "assignment 'field = <arithmetic>', got "
+                         f"{src!r}")
+    target, expr = m.group(1), m.group(2)
+    flds = _expr_fields(expr)
+    query = body.get("query")
+    if query is None or "match_all" in query:
+        raise ValueError("_update_by_query: match_all would rewrite "
+                         "the whole index — use reindex")
+
+    with open(_os.path.join(index_dir, "INDEX_MANIFEST.json")) as f:
+        man = _json.load(f)
+    cfg_d = man["config"]
+    if not cfg_d.get("store_source"):
+        raise ValueError("_update_by_query needs the index built with "
+                         "store_source=True (the docstore is the "
+                         "rebuild source)")
+    id_col = cfg_d.get("doc_id_col")
+    if id_col is None:
+        raise ValueError("_update_by_query needs an explicit "
+                         "doc_id_col index (content-addressed ids "
+                         "would change under mutation)")
+    protected = {id_col, "doc_id", cfg_d["sha_col"], "content_sha256"}
+    if target in protected:
+        raise ValueError(f"_update_by_query: target {target!r} is an "
+                         "identity/source column")
+
+    s = Searcher(index_dir, use_actors=False)
+    try:
+        ids = _dbq_ids(s, query)
+        if ids.size == 0:
+            return {"updated": 0, "noops": 0, "total": 0}
+        t = s.fetch_docs(ids.tolist())
+    finally:
+        s.close()
+    if t is None or target not in t.schema.names:
+        raise ValueError(f"_update_by_query: target {target!r} is not "
+                         "a stored docstore column")
+    missing = [f for f in flds if f not in t.schema.names]
+    if missing:
+        raise ValueError("_update_by_query: script references "
+                         f"unstored columns {missing}")
+
+    n = t.num_rows
+    have = np.ones(n, dtype=bool)
+    bindings: dict = {}
+    for f in flds:
+        col = t.column(f).to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=True)
+        have &= ~np.isnan(col)
+        bindings[f] = col
+    fn = compile_metric_expr(expr, flds)
+    new_vals = np.asarray(fn(bindings), dtype=np.float64)
+    if new_vals.shape == ():
+        new_vals = np.full(n, float(new_vals))
+    old = t.column(target).to_numpy(zero_copy_only=False).astype(
+        np.float64, copy=True)
+    out_vals = np.where(have, new_vals, old)
+    # preserve the stored dtype (an int column stays int)
+    tgt_type = t.schema.field(target).type
+    if _pa.types.is_integer(tgt_type):
+        upd = _pa.array(np.round(out_vals).astype(np.int64), tgt_type)
+    else:
+        upd = _pa.array(out_vals, tgt_type)
+    t = t.set_column(t.schema.get_field_index(target), target, upd)
+    if id_col not in t.schema.names:
+        t = t.append_column(id_col, t.column("doc_id"))
+
+    delete_docs(index_dir, ids.tolist())
+    man2 = compact_index(index_dir)
+    # the tag folds in the POST-compact lineage hash: a replayed
+    # update deletes first, so its (content-identical) generation must
+    # re-ingest rather than hit the compacted_from no-op dedup
+    payload = hashlib.sha256(
+        b"ubq|" + man2["fingerprint"].encode() + _json.dumps(
+            {"ids": ids.tolist(), "script": src},
+            sort_keys=True).encode()).hexdigest()[:16]
+    gdir = _os.path.join(index_dir, "bulk_staging")
+    _os.makedirs(gdir, exist_ok=True)
+    path = _os.path.join(gdir, f"ubq-{payload}.parquet")
+    if not _os.path.exists(path):
+        _pq.write_table(t, path)
+    extend_index([path], index_dir)
+    noops = int(n - int(have.sum()))
+    return {"updated": int(n - noops), "noops": noops, "total": int(n)}
 
 
 def execute_bulk(index_dir: str, lines: list[dict]) -> dict:

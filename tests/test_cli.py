@@ -608,3 +608,35 @@ def test_cli_field_caps_validate_template(cli_index, capsys):
     out3 = _run_json(capsys, ["query", idx, tpl, "--params",
                               '{"q": "spark join", "n": 2}'])
     assert len(out3["hits"]["hits"]) == 2
+
+
+def test_cli_update_by_query(ray_session, tmp_path, capsys):
+    """build --store-source + update-by-query: the scripted rewrite
+    lands and is visible to a subsequent agg CLI call."""
+    root = tmp_path / "ubq"
+    corpus = root / "corpus"
+    corpus.mkdir(parents=True)
+    n = 40
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "content": [["alpha beta", "gamma delta"][i % 2]
+                    for i in range(n)],
+        "val": pa.array([float(i) for i in range(n)], pa.float64()),
+    })
+    pq.write_table(t, str(corpus / "part-0.parquet"))
+    idx = str(root / "idx")
+    rc = main(["build", str(corpus), idx, "--partitions", "2",
+               "--doc-id-col", "doc_id", "--sha-col", "content",
+               "--text-field", "content:content:base",
+               "--range-field", "val", "--no-salting",
+               "--store-source"])
+    assert rc == 0
+    capsys.readouterr()
+    body = json.dumps({"query": {"match": {"content": "alpha"}},
+                       "script": {"source": "val = doc_id % 3 + 50"}})
+    out = _run_json(capsys, ["update-by-query", idx, body])
+    assert out == {"updated": 20, "noops": 0, "total": 20}
+    agg = _run_json(capsys, ["agg", idx, "alpha", "--agg", "stats",
+                             "--agg-field", "val"])
+    stats = agg["stats"] if "stats" in agg else agg
+    assert float(stats["min"]) == 50.0 and float(stats["max"]) == 52.0

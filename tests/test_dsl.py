@@ -1218,3 +1218,75 @@ def test_dsl_script_fields(dsl_s):
     with pytest.raises(ValueError, match="script_fields"):
         execute_dsl(s, {"query": {"match": {"content": "spark"}},
                         "script_fields": {"x": {}}})
+
+
+def test_update_by_query(ray_session, tmp_path_factory):
+    """_update_by_query: matching docs get the scripted field
+    recomputed and are rewritten through delete -> compact -> extend;
+    non-matching docs keep their values; replay converges; contract
+    errors raise."""
+    from siem_on_amazon_opensearch_service_ray.state.dsl import (
+        execute_count, execute_update_by_query)
+    rng = np.random.default_rng(7)
+    n = 120
+    docs = [" ".join(VOCAB[int(j)]
+                     for j in rng.integers(0, len(VOCAB), 8))
+            for _ in range(n)]
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": docs,
+        "lang": [["py", "go"][i % 2] for i in range(n)],
+        "msm": pa.array([float(i % 5) for i in range(n)], pa.float64()),
+    })
+    root = tmp_path_factory.mktemp("ubq")
+    src = str(root / "d.parquet")
+    pq.write_table(t, src)
+    idx = str(root / "idx")
+    cfg = IndexConfig(num_partitions=2, partition_by="doc",
+                      fields=(("content", "text", "base"),),
+                      keyword_fields=("lang",),
+                      range_fields=("msm",),
+                      doc_id_col="doc_id", sha_col="text",
+                      store_source=True, salting=False)
+    build_index([src], idx, cfg)
+
+    body = {"query": {"term": {"lang": "py"}},
+            "script": {"source": "doc_id % 5 + 100"}}
+    with pytest.raises(ValueError, match="ONE assignment"):
+        execute_update_by_query(idx, body)
+    # absolute (doc_id-derived) assignment -> replay converges
+    body["script"]["source"] = "msm = doc_id % 5 + 100"
+    res = execute_update_by_query(idx, body)
+    assert res == {"updated": 60, "noops": 0, "total": 60}
+
+    s = Searcher(idx, use_actors=False)
+    try:
+        tbl = s.fetch_docs(list(range(n)), columns=["doc_id", "msm"])
+        got = dict(zip(tbl.column("doc_id").to_pylist(),
+                       tbl.column("msm").to_pylist()))
+        for i in range(n):
+            want = (i % 5) + 100.0 if i % 2 == 0 else float(i % 5)
+            assert got[i] == want, (i, got[i], want)
+        assert execute_count(s, {})["count"] == n
+        # postings rebuilt: text unchanged -> same match behavior
+        assert s.search("spark", k=5)
+    finally:
+        s.close()
+
+    # replay converges (same ids, same values)
+    res2 = execute_update_by_query(idx, body)
+    assert res2["total"] == 60
+    s = Searcher(idx, use_actors=False)
+    try:
+        assert execute_count(s, {})["count"] == n
+    finally:
+        s.close()
+
+    with pytest.raises(ValueError, match="identity/source"):
+        execute_update_by_query(idx, {
+            "query": {"term": {"lang": "py"}},
+            "script": {"source": "doc_id = msm"}})
+    with pytest.raises(ValueError, match="match_all"):
+        execute_update_by_query(idx, {
+            "query": {"match_all": {}},
+            "script": {"source": "msm = 1"}})
