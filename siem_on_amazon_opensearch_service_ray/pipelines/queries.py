@@ -6137,6 +6137,56 @@ SELECT metric, value FROM (VALUES
 """
 
 
+def dsl_terms_metric(sf_dir: str) -> pd.DataFrame:
+    """terms agg with metric SUB-aggregations through `_search` (the
+    dashboard split-series shape: bucket the match set by ``lang``,
+    then sum/avg/value_count ``n_chars`` per bucket) — per-shard
+    mergeable moments on the doc layout, one pass per numeric field,
+    bucket doc_count from the plain terms census."""
+    from ..state.dsl import execute_dsl
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        resp = execute_dsl(s, {
+            "query": {"match": {"content": BM25_QUERY}}, "size": 0,
+            "aggs": {"by_lang": {
+                "terms": {"field": "lang", "size": 10},
+                "aggs": {
+                    "sum_nc": {"sum": {"field": "n_chars"}},
+                    "avg_nc": {"avg": {"field": "n_chars"}},
+                    "n_nc": {"value_count": {"field": "n_chars"}},
+                }}}})
+    finally:
+        s.close()
+    b = resp["aggregations"]["by_lang"]["buckets"]
+    return pd.DataFrame({
+        "lang": [x["key"] for x in b],
+        "doc_count": np.array([x["doc_count"] for x in b], np.int64),
+        "sum_nc": np.array([int(_round_away(x["sum_nc"]["value"]))
+                            for x in b], np.int64),
+        "avg_nc_e4": np.array(
+            [int(_round_away(x["avg_nc"]["value"] * 1e4))
+             for x in b], np.int64),
+        "n_nc": np.array([x["n_nc"]["value"] for x in b], np.int64)})
+
+
+DSL_TERMS_METRIC_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))}))
+SELECT d.lang, cast(count(*) AS BIGINT) AS doc_count,
+       cast(round(sum(d.n_chars)) AS BIGINT) AS sum_nc,
+       cast(round(sum(d.n_chars) / count(*) * 10000) AS BIGINT)
+         AS avg_nc_e4,
+       cast(count(d.n_chars) AS BIGINT) AS n_nc
+FROM documents d JOIN m USING(doc_id)
+GROUP BY d.lang
+"""
+
+
 def search_dis_max(sf_dir: str) -> pd.DataFrame:
     """``dis_max`` over ARBITRARY sub-queries — each clause carries
     its own text AND field (content:"spark join" vs src:"src2 src3"),
@@ -6202,6 +6252,7 @@ def queries() -> dict:
         "dsl_suggest": dsl_suggest,
         "dsl_script_fields": dsl_script_fields,
         "dsl_update_by_query": dsl_update_by_query,
+        "dsl_terms_metric": dsl_terms_metric,
         "dsl_filter_metrics": dsl_filter_metrics,
         "dsl_scroll": dsl_scroll,
         "dsl_template": dsl_template,
@@ -6371,6 +6422,7 @@ def oracle_sql() -> dict:
         "dsl_suggest": DSL_SUGGEST_SQL,
         "dsl_script_fields": DSL_SCRIPT_FIELDS_SQL,
         "dsl_update_by_query": DSL_UPDATE_BY_QUERY_SQL,
+        "dsl_terms_metric": DSL_TERMS_METRIC_SQL,
         "search_highlight": SEARCH_HIGHLIGHT_SQL,
         "search_match_bool_prefix": SEARCH_MATCH_BOOL_PREFIX_SQL,
         "search_combined_fields": SEARCH_COMBINED_FIELDS_SQL,

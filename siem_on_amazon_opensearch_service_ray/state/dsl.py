@@ -17,7 +17,9 @@ function_score, script_score, distance_feature, rank_feature, exists,
 ids, pinned, span_* (the span algebra), intervals (match / any_of /
 all_of lowered onto the span algebra), more_like_this.
 
-Supported aggregations: terms, multi_terms, rare_terms,
+Supported aggregations: terms (with avg/sum/min/max/stats/value_count
+metric sub-aggs — the dashboard split-series shape), multi_terms,
+rare_terms,
 significant_terms, significant_text, sampler/diversified_sampler,
 cardinality, value_count, avg/sum/min/max (single-metric, riding the
 stats partials), missing, filter (singular — carries its own context,
@@ -512,8 +514,48 @@ def _exec_agg(s, name: str, spec: dict, qctx: tuple[str, str, str]
     sub = spec.get("aggs", spec.get("aggregations", {}))
     if kind == "terms":
         rows = s.terms_aggregation(text, body["field"], qfield, mode)
-        return {"buckets": [{"key": v, "doc_count": n}
-                            for v, n in rows[:body.get("size", 10)]]}
+        buckets = [{"key": v, "doc_count": n}
+                   for v, n in rows[:body.get("size", 10)]]
+        if sub:
+            # metric sub-aggs (the dashboard split-series shape):
+            # one terms_stats pass per distinct numeric field — each
+            # shard ships only per-bucket mergeable moments
+            metrics: dict[str, tuple[str, str]] = {}
+            for sname, sspec in sub.items():
+                sk, sb = _one(sspec, f"terms sub-agg {sname}")
+                if sk not in ("avg", "sum", "min", "max", "stats",
+                              "value_count"):
+                    raise ValueError(
+                        f"terms sub-agg {sname!r}: {sk!r} unsupported "
+                        "(avg/sum/min/max/stats/value_count)")
+                metrics[sname] = (sk, sb["field"])
+            by_field = {
+                rf: {v: (n, su, lo, hi)
+                     for v, n, su, lo, hi, _ in
+                     s.terms_stats_aggregation(text, body["field"], rf,
+                                               qfield, mode)}
+                for rf in {rf for _, rf in metrics.values()}}
+            for b in buckets:
+                for sname, (sk, rf) in metrics.items():
+                    st = by_field[rf].get(b["key"])
+                    n, su, lo, hi = st if st else (0, 0.0, None, None)
+                    if sk == "value_count":
+                        b[sname] = {"value": int(n)}
+                    elif sk == "sum":
+                        b[sname] = {"value": float(su)}
+                    elif sk == "min":
+                        b[sname] = {"value": lo}
+                    elif sk == "max":
+                        b[sname] = {"value": hi}
+                    elif sk == "avg":
+                        b[sname] = {"value": float(su) / n if n
+                                    else None}
+                    else:
+                        b[sname] = {
+                            "count": int(n), "sum": float(su),
+                            "min": lo, "max": hi,
+                            "avg": float(su) / n if n else None}
+        return {"buckets": buckets}
     if kind == "multi_terms":
         pair = tuple(t["field"] for t in body["terms"])
         rows = s.multi_terms_aggregation(text, pair, qfield, mode)

@@ -1290,3 +1290,34 @@ def test_update_by_query(ray_session, tmp_path_factory):
         execute_update_by_query(idx, {
             "query": {"match_all": {}},
             "script": {"source": "msm = 1"}})
+
+
+def test_dsl_terms_metric_subaggs(dsl_s):
+    """terms + metric sub-aggs: per-bucket sum/avg/min/max/stats/
+    value_count match a hand computation over the match set."""
+    s = dsl_s
+    resp = execute_dsl(s, {
+        "query": {"match": {"content": "spark"}}, "size": 0,
+        "aggs": {"by_lang": {"terms": {"field": "lang", "size": 5},
+                 "aggs": {"mu": {"avg": {"field": "msm"}},
+                          "hi": {"max": {"field": "msm"}},
+                          "st": {"stats": {"field": "msm"}}}}}})
+    hits = execute_dsl(s, {"query": {"match": {"content": "spark"}},
+                           "size": 1000, "_source": ["lang", "msm"]})
+    per = {}
+    for h in hits["hits"]["hits"]:
+        per.setdefault(h["_source"]["lang"], []).append(
+            h["_source"]["msm"])
+    for b in resp["aggregations"]["by_lang"]["buckets"]:
+        vals = per[b["key"]]
+        assert b["doc_count"] == len(vals)
+        assert b["mu"]["value"] == pytest.approx(sum(vals) / len(vals))
+        assert b["hi"]["value"] == max(vals)
+        assert b["st"]["count"] == len(vals)
+        assert b["st"]["sum"] == pytest.approx(sum(vals))
+    with pytest.raises(ValueError, match="unsupported"):
+        execute_dsl(s, {"query": {"match": {"content": "spark"}},
+                        "size": 0,
+                        "aggs": {"x": {"terms": {"field": "lang"},
+                                       "aggs": {"y": {"percentiles": {
+                                           "field": "msm"}}}}}})
