@@ -6187,6 +6187,62 @@ GROUP BY d.lang
 """
 
 
+def dsl_hist_metric(sf_dir: str) -> pd.DataFrame:
+    """date_histogram/histogram with metric SUB-aggregations through
+    `_search` — the avg-over-time dashboard panel: bin the match set
+    by ``msm`` (interval 1), then avg(lat) / sum(lon) /
+    value_count(opt) per bin.  Per-shard mergeable moments on the doc
+    layout, one pass per metric field; nullable ``opt`` exercises the
+    per-bin value_count < doc_count case."""
+    from ..state.dsl import execute_dsl
+    idx = _docs_aux_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        resp = execute_dsl(s, {
+            "query": {"match": {"content": BM25_QUERY}}, "size": 0,
+            "aggs": {"h": {
+                "histogram": {"field": "msm", "interval": 1.0},
+                "aggs": {
+                    "mu_lat": {"avg": {"field": "lat"}},
+                    "s_lon": {"sum": {"field": "lon"}},
+                    "n_opt": {"value_count": {"field": "opt"}},
+                }}}})
+    finally:
+        s.close()
+    b = resp["aggregations"]["h"]["buckets"]
+    return pd.DataFrame({
+        "bin": np.array([x["key"] for x in b], np.int64),
+        "doc_count": np.array([x["doc_count"] for x in b], np.int64),
+        "avg_lat_e4": np.array(
+            [int(_round_away(x["mu_lat"]["value"] * 1e4)) for x in b],
+            np.int64),
+        "sum_lon_e4": np.array(
+            [int(_round_away(x["s_lon"]["value"] * 1e4)) for x in b],
+            np.int64),
+        "n_opt": np.array([x["n_opt"]["value"] for x in b], np.int64)})
+
+
+DSL_HIST_METRIC_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))})),
+v AS (SELECT d.doc_id, cast(d.doc_id % 3 + 1 AS DOUBLE) AS msm,
+             -30.0 + cast(d.doc_id % 200 AS DOUBLE) * 0.3 AS lat,
+             -70.0 + cast(d.doc_id % 200 AS DOUBLE) * 0.7 AS lon,
+             d.doc_id % 5 < 3 AS has_opt
+      FROM documents d JOIN m USING(doc_id))
+SELECT cast(floor(msm / 1.0) AS BIGINT) AS bin,
+       cast(count(*) AS BIGINT) AS doc_count,
+       cast(round(sum(lat) / count(*) * 10000) AS BIGINT) AS avg_lat_e4,
+       cast(round(sum(lon) * 10000) AS BIGINT) AS sum_lon_e4,
+       cast(count(*) FILTER (WHERE has_opt) AS BIGINT) AS n_opt
+FROM v GROUP BY 1 ORDER BY 1
+"""
+
+
 def search_dis_max(sf_dir: str) -> pd.DataFrame:
     """``dis_max`` over ARBITRARY sub-queries — each clause carries
     its own text AND field (content:"spark join" vs src:"src2 src3"),
@@ -6253,6 +6309,7 @@ def queries() -> dict:
         "dsl_script_fields": dsl_script_fields,
         "dsl_update_by_query": dsl_update_by_query,
         "dsl_terms_metric": dsl_terms_metric,
+        "dsl_hist_metric": dsl_hist_metric,
         "dsl_filter_metrics": dsl_filter_metrics,
         "dsl_scroll": dsl_scroll,
         "dsl_template": dsl_template,
@@ -6423,6 +6480,7 @@ def oracle_sql() -> dict:
         "dsl_script_fields": DSL_SCRIPT_FIELDS_SQL,
         "dsl_update_by_query": DSL_UPDATE_BY_QUERY_SQL,
         "dsl_terms_metric": DSL_TERMS_METRIC_SQL,
+        "dsl_hist_metric": DSL_HIST_METRIC_SQL,
         "search_highlight": SEARCH_HIGHLIGHT_SQL,
         "search_match_bool_prefix": SEARCH_MATCH_BOOL_PREFIX_SQL,
         "search_combined_fields": SEARCH_COMBINED_FIELDS_SQL,

@@ -610,8 +610,42 @@ def _exec_agg(s, name: str, spec: dict, qctx: tuple[str, str, str]
             min_doc_count=body.get("min_doc_count", 1))
         out = {"buckets": [{"key": b, "doc_count": n}
                            for b, n in buckets]}
+        _METRIC_KEYS = ("avg", "sum", "min", "max", "stats",
+                        "value_count")
+        hist_stats: dict[str, dict] = {}   # metric field -> bin moments
         for pname, pspec in sub.items():
             pk, pb = _one(pspec, f"pipeline agg {pname}")
+            if pk in _METRIC_KEYS:
+                # per-bin metric sub-agg (the avg-over-time panel):
+                # per-shard mergeable moments, one pass per field
+                rf = pb["field"]
+                if rf not in hist_stats:
+                    hist_stats[rf] = {
+                        k: (n, su, lo, hi)
+                        for k, n, su, lo, hi, _ in
+                        s.histogram_stats_aggregation(
+                            text, body["field"], interval, rf,
+                            qfield, mode)}
+                for b in out["buckets"]:
+                    st = hist_stats[rf].get(b["key"])
+                    n, su, lo, hi = st if st else (0, 0.0, None, None)
+                    if pk == "value_count":
+                        b[pname] = {"value": int(n)}
+                    elif pk == "sum":
+                        b[pname] = {"value": float(su)}
+                    elif pk == "min":
+                        b[pname] = {"value": lo}
+                    elif pk == "max":
+                        b[pname] = {"value": hi}
+                    elif pk == "avg":
+                        b[pname] = {"value": float(su) / n if n
+                                    else None}
+                    else:
+                        b[pname] = {
+                            "count": int(n), "sum": float(su),
+                            "min": lo, "max": hi,
+                            "avg": float(su) / n if n else None}
+                continue
             if pk not in _PIPELINE_KEYS:
                 raise ValueError(f"histogram sub-agg {pk!r} unsupported")
             if pk == "cumulative_sum":

@@ -946,6 +946,61 @@ def _group_stats_partial(index_dir: str, agg_field: str, range_field: str,
     return out
 
 
+def _hist_stats_partial(index_dir: str, bucket_field: str,
+                        interval: float, metric_field: str,
+                        cand: np.ndarray,
+                        dparts: list[int] | None = None
+                        ) -> dict[float, tuple[int, float, float, float]]:
+    """Histogram-bucket + stats-sub-agg partial: per
+    ``floor(bucket_field/interval)*interval`` bin, mergeable
+    (count, sum, min, max) of ``metric_field`` over the candidate
+    docs carrying BOTH fields — the shard-local half of a
+    date_histogram with a metric sub-agg (the avg-over-time panel).
+    Vectorized: one searchsorted alignment per field, np.bincount /
+    ufunc.at grouping; only the tiny per-bin moment dict travels."""
+    from .shard import load_range_pairs
+    if cand.size == 0:
+        return {}
+
+    def _cat(fname):
+        ids_all, vals_all = [], []
+        for vals, ids in load_range_pairs(index_dir, fname,
+                                          dparts=dparts):
+            ids_all.append(ids)
+            vals_all.append(vals)
+        if not ids_all:
+            return None, None
+        ids = np.concatenate(ids_all)
+        order = np.argsort(ids)
+        return ids[order], np.concatenate(vals_all)[order]
+
+    b_ids, b_vals = _cat(bucket_field)
+    if b_ids is None or b_ids.size == 0:
+        return {}
+    pos = np.minimum(np.searchsorted(cand, b_ids), cand.size - 1)
+    sel = cand[pos] == b_ids
+    doc = b_ids[sel]
+    keys = np.floor(b_vals[sel] / interval) * interval
+    m_ids, m_vals = _cat(metric_field)
+    if m_ids is None or m_ids.size == 0 or doc.size == 0:
+        return {}
+    mp = np.minimum(np.searchsorted(m_ids, doc), m_ids.size - 1)
+    ok = m_ids[mp] == doc
+    keys = keys[ok]
+    mv = m_vals[mp[ok]]
+    if keys.size == 0:
+        return {}
+    u, inv = np.unique(keys, return_inverse=True)
+    n = np.bincount(inv)
+    s = np.bincount(inv, weights=mv)
+    mn = np.full(u.size, np.inf)
+    mx = np.full(u.size, -np.inf)
+    np.minimum.at(mn, inv, mv)
+    np.maximum.at(mx, inv, mv)
+    return {float(k): (int(n[i]), float(s[i]), float(mn[i]),
+                       float(mx[i])) for i, k in enumerate(u)}
+
+
 def _hist_fill(buckets: list[tuple[float, int]], interval: float,
                min_doc_count: int) -> list[tuple[float, int]]:
     """min_doc_count=0: insert zero-count buckets between the first
@@ -2090,6 +2145,29 @@ class PartActor:
                     dparts=[p]).items():
                 prev = out.get(v)
                 out[v] = cur if prev is None else (
+                    prev[0] + cur[0], prev[1] + cur[1],
+                    min(prev[2], cur[2]), max(prev[3], cur[3]))
+        return out
+
+    def hist_stats_local(self, field: str, q_terms: list[str],
+                         mode: str, bucket_field: str, interval: float,
+                         metric_field: str
+                         ) -> dict[float, tuple[int, float, float,
+                                                float]]:
+        """Doc-sharded histogram+metric partial: per shard, per
+        ``floor(bucket_field/interval)`` bin, mergeable (count, sum,
+        min, max) of ``metric_field`` — only the per-bin moment dict
+        travels to the driver."""
+        out: dict[float, tuple[int, float, float, float]] = {}
+        for p, r in self.readers.items():
+            cand = _candidate_ids(r, field, q_terms, mode)
+            if cand.size and self.tombstones.size:
+                cand = cand[_excl_mask(cand, self.tombstones)]
+            for k, cur in _hist_stats_partial(
+                    r.index_dir, bucket_field, interval, metric_field,
+                    cand, dparts=[p]).items():
+                prev = out.get(k)
+                out[k] = cur if prev is None else (
                     prev[0] + cur[0], prev[1] + cur[1],
                     min(prev[2], cur[2]), max(prev[3], cur[3]))
         return out
@@ -7378,6 +7456,59 @@ class Searcher:
                for v, (n, s, lo, hi) in merged.items()]
         out.sort(key=lambda r: (-r[1], r[0]))
         return out
+
+    def histogram_stats_aggregation(self, query: str,
+                                    bucket_field: str, interval: float,
+                                    metric_field: str,
+                                    field: str = "content",
+                                    mode: str = "or",
+                                    analyzer: str | None = None
+                                    ) -> list[tuple[float, int, float,
+                                                    float, float,
+                                                    float]]:
+        """histogram / date_histogram with a metric SUB-aggregation
+        (the avg-over-time dashboard panel: bin the match set by one
+        numeric field, then count/sum/min/max/avg a second numeric
+        field per bin).  On a doc-partitioned index each shard ships
+        only per-bin mergeable moments; term-partitioned probes the
+        range tables driver-side.  Returns [(bin_lo, count, sum, min,
+        max, avg)] sorted by bin."""
+        if analyzer is None:
+            analyzer = next((a for f, _, a in
+                             self.manifest["config"]["fields"]
+                             if f == field), "code")
+        q_terms = ANALYZERS[analyzer](query)
+        if not q_terms:
+            return []
+        merged: dict[float, tuple[int, float, float, float]] = {}
+        if self.manifest["config"].get("partition_by") == "doc":
+            if self.use_actors:
+                parts = ray.get([
+                    a.hist_stats_local.remote(field, q_terms, mode,
+                                              bucket_field, interval,
+                                              metric_field)
+                    for a in self.actors])
+            else:
+                parts = []
+                for p, r in self.readers.items():
+                    cand = _candidate_ids(r, field, q_terms, mode)
+                    if cand.size and self.tombstones.size:
+                        cand = cand[_excl_mask(cand, self.tombstones)]
+                    parts.append(_hist_stats_partial(
+                        self.index_dir, bucket_field, interval,
+                        metric_field, cand, dparts=[p]))
+            for d in parts:
+                for k, cur in d.items():
+                    prev = merged.get(k)
+                    merged[k] = cur if prev is None else (
+                        prev[0] + cur[0], prev[1] + cur[1],
+                        min(prev[2], cur[2]), max(prev[3], cur[3]))
+        else:
+            cand = self._match_ids(field, q_terms, mode)
+            merged = _hist_stats_partial(self.index_dir, bucket_field,
+                                         interval, metric_field, cand)
+        return [(k, n, s, lo, hi, s / n)
+                for k, (n, s, lo, hi) in sorted(merged.items())]
 
     def top_hits_aggregation(self, query: str, agg_field: str,
                              field: str = "content", mode: str = "or",

