@@ -523,11 +523,28 @@ def _exec_agg(s, name: str, spec: dict, qctx: tuple[str, str, str]
             metrics: dict[str, tuple[str, str]] = {}
             for sname, sspec in sub.items():
                 sk, sb = _one(sspec, f"terms sub-agg {sname}")
+                if sk in ("histogram", "date_histogram"):
+                    # terms x date_histogram (the split-series
+                    # area/line chart): per-(value, bin) counts
+                    iv = float(sb.get("interval",
+                                      sb.get("fixed_interval_sec", 0))
+                               or sb["interval"])
+                    rows3 = s.terms_histogram_aggregation(
+                        text, body["field"], sb["field"], iv, qfield,
+                        mode)
+                    per_v: dict[str, list[dict]] = {}
+                    for v, bk, n in rows3:
+                        per_v.setdefault(v, []).append(
+                            {"key": bk, "doc_count": n})
+                    for b in buckets:
+                        b[sname] = {"buckets": per_v.get(b["key"], [])}
+                    continue
                 if sk not in ("avg", "sum", "min", "max", "stats",
                               "value_count"):
                     raise ValueError(
                         f"terms sub-agg {sname!r}: {sk!r} unsupported "
-                        "(avg/sum/min/max/stats/value_count)")
+                        "(avg/sum/min/max/stats/value_count/"
+                        "histogram/date_histogram)")
                 metrics[sname] = (sk, sb["field"])
             by_field = {
                 rf: {v: (n, su, lo, hi)

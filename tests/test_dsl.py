@@ -1352,3 +1352,19 @@ def test_dsl_histogram_metric_subaggs(dsl_s):
         assert b["s_lon"]["value"] == pytest.approx(
             sum(v for _, v in vals))
     assert len(agg["cum"]) == len(agg["buckets"])
+
+
+def test_dsl_terms_histogram_subagg(dsl_s):
+    """terms x date_histogram sub-bucket agg (the split-series area
+    chart): DSL wiring is byte-identical to the direct method."""
+    s = dsl_s
+    resp = execute_dsl(s, {
+        "query": {"match": {"content": "spark"}}, "size": 0,
+        "aggs": {"by_lang": {"terms": {"field": "lang", "size": 5},
+                 "aggs": {"tl": {"histogram": {
+                     "field": "msm", "interval": 1.0}}}}}})
+    direct = s.terms_histogram_aggregation("spark", "lang", "msm", 1.0)
+    got = [(b["key"], sb["key"], sb["doc_count"])
+           for b in resp["aggregations"]["by_lang"]["buckets"]
+           for sb in b["tl"]["buckets"]]
+    assert sorted(got) == sorted(direct)
