@@ -6243,6 +6243,72 @@ FROM v GROUP BY 1 ORDER BY 1
 """
 
 
+def _split_index_dirs(sf_dir: str) -> tuple[str, str]:
+    """The documents corpus split into two rotated-index halves
+    (uneven 40/60 by doc_id — different df/avgdl per half, so the
+    cross-index stats round actually matters), each built as its own
+    doc-partitioned index.  Cached under /tmp via marker files."""
+    import dataclasses
+    import pyarrow.parquet as _pq
+    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    root = f"/tmp/sosr_split_{key}"
+    os.makedirs(root, exist_ok=True)
+    t = _pq.read_table(_t(sf_dir, "documents"))
+    n = t.num_rows
+    cut = int(n * 0.4)
+    marker = os.path.join(root, ".done-src")
+    if not os.path.exists(marker):
+        did = t.column("doc_id").to_numpy()
+        _pq.write_table(t.filter(pa.array(did < cut)),
+                        os.path.join(root, "a.parquet"))
+        _pq.write_table(t.filter(pa.array(did >= cut)),
+                        os.path.join(root, "b.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    cfg = dataclasses.replace(_docs_index_cfg(), partition_by="doc",
+                              num_partitions=2)
+    ia = os.path.join(root, "log-docs-2024-01")
+    ib = os.path.join(root, "log-docs-2024-02")
+    build_index([os.path.join(root, "a.parquet")], ia, cfg, resume=True)
+    build_index([os.path.join(root, "b.parquet")], ib, cfg, resume=True)
+    return ia, ib
+
+
+def search_index_pattern(sf_dir: str) -> pd.DataFrame:
+    """Index-pattern federation (`log-docs-*` — the reference's
+    dashboards always query patterns spanning rotated indexes, never
+    one index): MultiSearcher over two uneven corpus halves, one
+    cross-index dfs/stats round (summed df/n_docs, blended avgdl),
+    per-index doc-sharded execution, coordinator merges index-local
+    top-k.  Scores are BIT-IDENTICAL to one flat index over the
+    union, so the oracle is the plain flat-corpus BM25 SQL twin."""
+    from ..state.multisearch import MultiSearcher, resolve_pattern
+    ia, ib = _split_index_dirs(sf_dir)
+    dirs = resolve_pattern(os.path.dirname(ia), "log-docs-*")
+    assert dirs == [ia, ib]
+    ms = MultiSearcher(dirs, use_actors=ray.is_initialized())
+    try:
+        hits = ms.search(BM25_QUERY, field="content", k=BM25_K)
+    finally:
+        ms.close()
+    return pd.DataFrame({
+        "doc_id": np.array([d for _, _, d in hits], np.int64),
+        "score_e4": np.array([int(_round_away(s * 1e4))
+                              for s, _, _ in hits], np.int64),
+        "index_name": [i for _, i, _ in hits]})
+
+
+SEARCH_INDEX_PATTERN_SQL = _BM25_SCORES_CTE + f"""
+SELECT s.doc_id, cast(round(s.score * 10000) AS BIGINT) AS score_e4,
+       CASE WHEN s.doc_id < (SELECT cast(floor(count(*) * 0.4) AS BIGINT)
+                             FROM documents)
+            THEN 'log-docs-2024-01' ELSE 'log-docs-2024-02' END
+         AS index_name
+FROM scores s
+ORDER BY s.score DESC, s.doc_id LIMIT {BM25_K}
+"""
+
+
 def search_dis_max(sf_dir: str) -> pd.DataFrame:
     """``dis_max`` over ARBITRARY sub-queries — each clause carries
     its own text AND field (content:"spark join" vs src:"src2 src3"),
@@ -6310,6 +6376,7 @@ def queries() -> dict:
         "dsl_update_by_query": dsl_update_by_query,
         "dsl_terms_metric": dsl_terms_metric,
         "dsl_hist_metric": dsl_hist_metric,
+        "search_index_pattern": search_index_pattern,
         "dsl_filter_metrics": dsl_filter_metrics,
         "dsl_scroll": dsl_scroll,
         "dsl_template": dsl_template,
@@ -6481,6 +6548,7 @@ def oracle_sql() -> dict:
         "dsl_update_by_query": DSL_UPDATE_BY_QUERY_SQL,
         "dsl_terms_metric": DSL_TERMS_METRIC_SQL,
         "dsl_hist_metric": DSL_HIST_METRIC_SQL,
+        "search_index_pattern": SEARCH_INDEX_PATTERN_SQL,
         "search_highlight": SEARCH_HIGHLIGHT_SQL,
         "search_match_bool_prefix": SEARCH_MATCH_BOOL_PREFIX_SQL,
         "search_combined_fields": SEARCH_COMBINED_FIELDS_SQL,

@@ -1,0 +1,163 @@
+"""Federated search over SEVERAL index directories — OpenSearch
+index-pattern parity (the reference's dashboards all query patterns
+like ``log-aws-*`` that span daily/monthly rotated indexes; every
+saved object names an index-pattern, not an index:
+source/saved_objects/*/each-indexpattern-*.ndjson).
+
+``MultiSearcher([dirA, dirB, ...])`` is exactly the engine's
+doc-shard contract lifted one level: each index scores only its own
+documents, but with PATTERN-GLOBAL statistics — one dfs round sums
+per-term df and n_docs over every index, and avgdl blends from the
+summed total_tf, so scores are bit-identical to a single flat index
+over the union corpus (asserted by the ``search_index_pattern``
+oracle against the flat SQL twin).  Only each index's top-k rows
+travel to the coordinator; an index's own doc-sharded actor pool
+keeps working underneath (stats/idf ride the ``exec_local`` override
+channel), so the execution tree is pattern → index → shard with
+partial results merging at each level — the OpenSearch
+coordinator/data-node shape.
+
+Aggregations federate by partial-merge (counts and histogram bins
+sum; no statistics round needed).  ``resolve_pattern`` expands a
+glob like ``log-2024-*`` against a root directory, accepting only
+directories that carry an ``INDEX_MANIFEST.json``.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import os
+
+__all__ = ["MultiSearcher", "resolve_pattern"]
+
+
+def resolve_pattern(root: str, pattern: str) -> list[str]:
+    """Expand an index pattern against ``root``: sorted directories
+    whose basename matches ``pattern`` (fnmatch: ``*``/``?``) and
+    that contain an ``INDEX_MANIFEST.json`` (i.e. are indexes)."""
+    out = []
+    for name in sorted(os.listdir(root)):
+        p = os.path.join(root, name)
+        if fnmatch.fnmatch(name, pattern) and os.path.isfile(
+                os.path.join(p, "INDEX_MANIFEST.json")):
+            out.append(p)
+    return out
+
+
+class MultiSearcher:
+    """See module docstring.  ``use_actors`` passes through to each
+    per-index Searcher (doc-partitioned indexes then keep their shard
+    actor pools; the federation only adds one merge level)."""
+
+    def __init__(self, index_dirs: list[str], use_actors: bool = False):
+        from .searcher import Searcher
+        if not index_dirs:
+            raise ValueError("MultiSearcher needs at least one index")
+        self.searchers: dict[str, "Searcher"] = {}
+        for d in index_dirs:
+            name = os.path.basename(d.rstrip("/"))
+            if name in self.searchers:
+                raise ValueError(f"duplicate index basename {name!r}")
+            self.searchers[name] = Searcher(d, use_actors=use_actors)
+
+    def close(self) -> None:
+        for s in self.searchers.values():
+            s.close()
+
+    # -- pattern-global statistics (the cross-index dfs round) -------
+
+    def _global(self, field: str, terms: list[str]
+                ) -> tuple[int, float, dict[str, float]]:
+        """(n_docs, avgdl, idf-by-term) over the WHOLE pattern: df and
+        n_docs sum across indexes, avgdl = summed total_tf / summed
+        n_docs — one metadata round, no postings move."""
+        from .searcher import idf_fn
+        uniq = list(dict.fromkeys(terms))
+        n = 0
+        tf = 0.0
+        dfs: dict[str, int] = {t: 0 for t in uniq}
+        for s in self.searchers.values():
+            n += int(s.stats["n_docs"])
+            tf += float(s.stats["total_tf"].get(field, 0.0))
+            if uniq:
+                for t, df in s._term_dfs(field, uniq).items():
+                    dfs[t] += int(df)
+        avgdl = tf / n if n else 0.0
+        idf = {t: float(idf_fn(dfs[t], n)) for t in uniq}
+        return n, avgdl, idf
+
+    def _scored(self, method: str, kwargs: dict, k: int, field: str,
+                terms: list[str]) -> list[tuple[float, str, int]]:
+        """Run a scoring method per index under pattern-global stats
+        and merge: returns [(score, index_name, doc_id)] sorted
+        (score desc, doc_id asc, index asc) top-k."""
+        n, avgdl, idf = self._global(field, terms)
+        rows: list[tuple[float, str, int]] = []
+        for name, s in self.searchers.items():
+            ov = {"n_docs": n,
+                  "avgdl": {**s.stats["avgdl"], field: avgdl}}
+            if s._partition_by == "doc" and s.use_actors:
+                hits = s._exec_doc_sharded(method, kwargs, k, idf=idf,
+                                           stats_override=ov,
+                                           field=field)
+            else:
+                old_stats = s.stats
+                s._idf_overrides = idf
+                s.stats = {**old_stats, **ov}
+                try:
+                    hits = getattr(s, method)(**kwargs)
+                finally:
+                    s._idf_overrides = None
+                    s.stats = old_stats
+            rows.extend((float(sc), name, int(d)) for sc, d in hits)
+        rows.sort(key=lambda t: (-t[0], t[2], t[1]))
+        return rows[:k]
+
+    # -- query surface ------------------------------------------------
+
+    def search(self, query: str, field: str = "content", k: int = 10,
+               mode: str = "or") -> list[tuple[float, str, int]]:
+        """Pattern-wide BM25 top-k: [(score, index, doc_id)] — scores
+        bit-identical to one flat index over the union corpus."""
+        from ..analysis import ANALYZERS
+        s0 = next(iter(self.searchers.values()))
+        terms = ANALYZERS[s0._analyzer_for(field, None)](query)
+        if not terms:
+            return []
+        return self._scored(
+            "search", dict(query=query, field=field, k=k, mode=mode),
+            k, field, terms)
+
+    def match_count(self, query: str, field: str = "content",
+                    mode: str = "or") -> int:
+        """Exact pattern-wide match count — one int per index."""
+        return sum(int(s.match_count(query, field=field, mode=mode))
+                   for s in self.searchers.values())
+
+    def terms_aggregation(self, query: str, agg_field: str,
+                          field: str = "content", mode: str = "or"
+                          ) -> list[tuple[str, int]]:
+        """Pattern-wide terms agg: per-index bucket counts sum (counts
+        need no statistics round), sorted (count desc, value asc)."""
+        merged: dict[str, int] = {}
+        for s in self.searchers.values():
+            for v, c in s.terms_aggregation(query, agg_field, field,
+                                            mode):
+                merged[v] = merged.get(v, 0) + int(c)
+        return sorted(merged.items(), key=lambda t: (-t[1], t[0]))
+
+    def histogram_aggregation(self, query: str, range_field: str,
+                              interval: float, field: str = "content",
+                              mode: str = "or",
+                              min_doc_count: int = 1
+                              ) -> list[tuple[float, int]]:
+        """Pattern-wide histogram: per-index bins sum."""
+        from .searcher import _hist_fill
+        merged: dict[float, int] = {}
+        for s in self.searchers.values():
+            for b, c in s.histogram_aggregation(
+                    query, range_field, interval, field, mode,
+                    min_doc_count=1):
+                merged[b] = merged.get(b, 0) + int(c)
+        return _hist_fill(sorted(merged.items()), interval,
+                          min_doc_count)

@@ -1742,21 +1742,30 @@ class PartActor:
         return out
 
     def exec_local(self, method: str, kwargs: dict,
-                   idf_by_term: dict[str, float] | None = None):
+                   idf_by_term: dict[str, float] | None = None,
+                   stats_override: dict | None = None):
         """Run any Searcher query method against ONLY this actor's doc
         shards (doc-partitioned layout): a shard-local Searcher adopts
         the warm readers, global n_docs/avgdl come from the shared
         manifest, and globally-summed idf arrives via
-        ``idf_by_term`` (dfs_query_then_fetch round 2).  Postings
-        never leave the actor — only the local top-k rows return."""
+        ``idf_by_term`` (dfs_query_then_fetch round 2).
+        ``stats_override`` replaces n_docs/avgdl for the call — the
+        cross-INDEX federation channel (MultiSearcher blends stats
+        over every index of a pattern, so each index's shards score
+        with pattern-global norms).  Postings never leave the actor —
+        only the local top-k rows return."""
         if self._local is None:
             self._local = Searcher(self.index_dir, _readers=self.readers)
         ls = self._local
         ls._idf_overrides = idf_by_term
+        old_stats = ls.stats
+        if stats_override:
+            ls.stats = {**old_stats, **stats_override}
         try:
             return getattr(ls, method)(**kwargs)
         finally:
             ls._idf_overrides = None
+            ls.stats = old_stats
 
     def ping(self) -> bool:
         return True
@@ -6721,33 +6730,43 @@ class Searcher:
 
     def _exec_doc_sharded(self, method: str, kwargs: dict, k: int,
                           idf_terms: list[str] | None = None,
-                          field: str = "content") -> list[tuple]:
+                          field: str = "content",
+                          idf: dict[str, float] | None = None,
+                          stats_override: dict | None = None
+                          ) -> list[tuple]:
         """Scatter ``method(**kwargs)`` to every shard group and merge
         the local top-k lists by (rank-key desc, doc_id asc) — exact
         because doc shards partition the corpus.  ``idf_terms`` adds
         the dfs round: global df -> idf, injected into each shard's
-        prepare_terms/phrase scoring via _idf_overrides."""
+        prepare_terms/phrase scoring via _idf_overrides.  A preset
+        ``idf`` / ``stats_override`` skips the dfs round — the
+        cross-index federation channel (MultiSearcher computes them
+        over the whole pattern)."""
         if self._partition_by != "doc":
             raise ValueError("doc-sharded execution needs an index built "
                              "with IndexConfig(partition_by='doc')")
-        idf: dict[str, float] | None = None
-        if idf_terms:
+        if idf is None and idf_terms:
             uniq = list(dict.fromkeys(idf_terms))
             n_docs = int(self.stats["n_docs"])
             dfs = self._term_dfs(field, uniq)
             idf = {t: float(idf_fn(dfs.get(t, 0), n_docs)) for t in uniq}
         if self.use_actors:
-            shard_hits = ray.get([a.exec_local.remote(method, kwargs, idf)
-                                  for a in self.actors])
+            shard_hits = ray.get([
+                a.exec_local.remote(method, kwargs, idf, stats_override)
+                for a in self.actors])
         else:
             # non-actor fallback: all parts live in this process, so the
             # plain driver path (gather merges every shard's runs) IS
             # the whole-corpus execution — overrides are consistent
             self._idf_overrides = idf
+            old_stats = self.stats
+            if stats_override:
+                self.stats = {**old_stats, **stats_override}
             try:
                 return getattr(self, method)(**kwargs)
             finally:
                 self._idf_overrides = None
+                self.stats = old_stats
         merged = [h for hs in shard_hits for h in hs]
         merged.sort(key=lambda t: (-t[0], t[1]))
         return merged[:k]

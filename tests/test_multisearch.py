@@ -1,0 +1,100 @@
+"""MultiSearcher (index-pattern federation): pattern-wide search must
+be BIT-IDENTICAL to a single flat index over the union corpus — the
+cross-index dfs/stats round is what makes that hold.  Aggregations
+federate by partial merge."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
+    IndexConfig, build_index)
+from siem_on_amazon_opensearch_service_ray.state.multisearch import (
+    MultiSearcher, resolve_pattern)
+from siem_on_amazon_opensearch_service_ray.state.searcher import Searcher
+
+VOCAB = ["spark", "join", "shuffle", "sql", "table", "query", "merge",
+         "sort", "scan", "filter", "index", "batch"]
+N = 300
+
+
+def _cfg(parts=2, by="doc"):
+    return IndexConfig(num_partitions=parts, partition_by=by,
+                       fields=(("content", "text", "base"),),
+                       keyword_fields=("lang",),
+                       range_fields=("msm",),
+                       doc_id_col="doc_id", sha_col="text",
+                       salting=False)
+
+
+@pytest.fixture(scope="module")
+def split_indexes(ray_session, tmp_path_factory):
+    rng = np.random.default_rng(4242)
+    docs = [" ".join(VOCAB[int(j)]
+                     for j in rng.integers(0, len(VOCAB),
+                                           int(rng.integers(4, 30))))
+            for _ in range(N)]
+    t = pa.table({
+        "doc_id": pa.array(range(N), pa.int64()),
+        "text": docs,
+        "lang": [["en", "de", "fr"][i % 3] for i in range(N)],
+        "msm": pa.array([float(i % 6) for i in range(N)], pa.float64()),
+    })
+    root = tmp_path_factory.mktemp("msearch")
+    flat_src = str(root / "all.parquet")
+    pq.write_table(t, flat_src)
+    # uneven split (different df/avgdl per half -> the stats round
+    # actually matters)
+    a = t.filter(pa.compute.less(t.column("doc_id"), 100))
+    b = t.filter(pa.compute.greater_equal(t.column("doc_id"), 100))
+    pq.write_table(a, str(root / "a.parquet"))
+    pq.write_table(b, str(root / "b.parquet"))
+    flat_idx = str(root / "flat")
+    build_index([flat_src], flat_idx, _cfg(4))
+    ia = str(root / "log-2024-01")
+    ib = str(root / "log-2024-02")
+    build_index([str(root / "a.parquet")], ia, _cfg(2))
+    build_index([str(root / "b.parquet")], ib, _cfg(2))
+    return str(root), flat_idx, ia, ib
+
+
+@pytest.mark.parametrize("use_actors", [False, True])
+def test_pattern_search_identical_to_flat(split_indexes, use_actors):
+    root, flat_idx, ia, ib = split_indexes
+    flat = Searcher(flat_idx, use_actors=use_actors)
+    ms = MultiSearcher([ia, ib], use_actors=use_actors)
+    try:
+        for q in ["spark join", "shuffle", "sql merge sort", "batch"]:
+            want = flat.search(q, k=15)
+            got = ms.search(q, k=15)
+            assert [(round(s, 9), d) for s, d in want] == \
+                [(round(s, 9), d) for s, _, d in got], q
+            # hits route to the right index
+            for _, name, d in got:
+                assert (d < 100) == (name == "log-2024-01")
+            assert ms.match_count(q) == len(flat.search(q, k=10 ** 6))
+    finally:
+        flat.close()
+        ms.close()
+
+
+def test_pattern_aggs_and_resolve(split_indexes):
+    root, flat_idx, ia, ib = split_indexes
+    assert resolve_pattern(root, "log-2024-*") == [ia, ib]
+    assert resolve_pattern(root, "log-*-01") == [ia]
+    assert resolve_pattern(root, "nope-*") == []
+    flat = Searcher(flat_idx, use_actors=False)
+    ms = MultiSearcher([ia, ib], use_actors=False)
+    try:
+        assert ms.terms_aggregation("spark", "lang") == \
+            flat.terms_aggregation("spark", "lang")
+        assert ms.histogram_aggregation("spark", "msm", 2.0) == \
+            flat.histogram_aggregation("spark", "msm", 2.0)
+    finally:
+        flat.close()
+        ms.close()
+    with pytest.raises(ValueError, match="at least one"):
+        MultiSearcher([])
+    with pytest.raises(ValueError, match="duplicate"):
+        MultiSearcher([ia, ia])
