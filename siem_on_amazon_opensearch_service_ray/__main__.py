@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -68,6 +69,10 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("search")
     s.add_argument("index_dir")
+    s.add_argument("--pattern", default=None,
+                   help="treat index_dir as a ROOT of indexes and "
+                        "search federated across the alias / glob "
+                        "pattern / index named here (term queries)")
     s.add_argument("query", nargs="?", default=None,
                    help="query string (omit for --type bool)")
     s.add_argument("--k", type=int, default=10)
@@ -290,6 +295,15 @@ def main(argv: list[str] | None = None) -> int:
     dbq.add_argument("body", help="JSON query body, or @file.json")
     dbq.add_argument("--num-cpus", type=int, default=None)
 
+    al = sub.add_parser("aliases",
+                        help="OpenSearch _aliases: GET the registry "
+                             "or POST add/remove actions over a root "
+                             "directory of indexes")
+    al.add_argument("root")
+    al.add_argument("body", nargs="?", default=None,
+                    help="JSON {actions:[...]} or @file.json; omit "
+                         "to print the registry")
+
     ubq = sub.add_parser("update-by-query",
                          help="rewrite a scripted field on every doc "
                               "matching a query (delete -> compact -> "
@@ -487,6 +501,19 @@ def main(argv: list[str] | None = None) -> int:
                     searcher, json.loads(raw))))
             finally:
                 searcher.close()
+        elif args.cmd == "aliases":
+            from .state.multisearch import execute_aliases, get_aliases
+            if args.body is None:
+                print(json.dumps(get_aliases(args.root), indent=2,
+                                 sort_keys=True))
+            else:
+                raw = args.body
+                if raw.startswith("@"):
+                    with open(raw[1:]) as f:
+                        raw = f.read()
+                print(json.dumps(execute_aliases(args.root,
+                                                 json.loads(raw)),
+                                 indent=2))
         elif args.cmd == "update-by-query":
             from .state.dsl import execute_update_by_query
             raw = args.body
@@ -748,6 +775,27 @@ def main(argv: list[str] | None = None) -> int:
                     args.query, args.doc_id, field=args.field), indent=2))
             finally:
                 searcher.close()
+        elif args.cmd == "search" and args.pattern is not None:
+            from .state.multisearch import MultiSearcher, resolve_alias
+            if args.qtype != "term":
+                raise SystemExit("--pattern supports term queries")
+            dirs = resolve_alias(args.index_dir, args.pattern)
+            if not dirs:
+                raise SystemExit(f"--pattern {args.pattern!r}: no "
+                                 "matching index/alias under "
+                                 f"{args.index_dir}")
+            ms = MultiSearcher(dirs, use_actors=True)
+            try:
+                rows = ms.search(args.query, field=args.field,
+                                 k=args.k, mode=args.mode)
+            finally:
+                ms.close()
+            print(json.dumps({"indices": [os.path.basename(d)
+                                          for d in dirs],
+                              "hits": [{"_index": ix, "_id": d,
+                                        "_score": round(sc, 6)}
+                                       for sc, ix, d in rows]},
+                             indent=2))
         elif args.cmd == "search":
             from .state.searcher import Searcher
             searcher = Searcher(args.index_dir, use_actors=True)

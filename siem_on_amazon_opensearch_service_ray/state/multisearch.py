@@ -28,7 +28,8 @@ from __future__ import annotations
 import fnmatch
 import os
 
-__all__ = ["MultiSearcher", "resolve_pattern"]
+__all__ = ["MultiSearcher", "resolve_pattern", "execute_aliases",
+           "get_aliases", "resolve_alias"]
 
 
 def resolve_pattern(root: str, pattern: str) -> list[str]:
@@ -42,6 +43,84 @@ def resolve_pattern(root: str, pattern: str) -> list[str]:
                 os.path.join(p, "INDEX_MANIFEST.json")):
             out.append(p)
     return out
+
+
+_ALIASES_FILE = "aliases.json"
+
+
+def get_aliases(root: str) -> dict[str, list[str]]:
+    """The alias registry of ``root`` (a directory of indexes):
+    ``{alias: [index_basename, ...]}``.  Stored as ``aliases.json``
+    next to the indexes — O(1) metadata, the OpenSearch `_aliases`
+    GET shape."""
+    import json
+    path = os.path.join(root, _ALIASES_FILE)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def execute_aliases(root: str, body: dict) -> dict:
+    """OpenSearch ``POST _aliases`` parity: atomic add/remove actions
+    over the registry.  ``add`` accepts an exact index basename or a
+    pattern (expanded against the live indexes AT ADD TIME, the
+    OpenSearch wildcard-add snapshot semantics); ``remove`` drops the
+    named index from the alias (missing pair raises — OpenSearch
+    404s).  The rollover pattern is exactly this: add the new index,
+    remove the old, one atomic action list."""
+    import json
+    aliases = get_aliases(root)
+    for act in body.get("actions", []):
+        if len(act) != 1:
+            raise ValueError("_aliases: each action is one "
+                             "add/remove object")
+        kind, spec = next(iter(act.items()))
+        alias = spec["alias"]
+        idx = spec["index"]
+        if kind == "add":
+            if any(ch in idx for ch in "*?"):
+                names = [os.path.basename(p) for p in
+                         resolve_pattern(root, idx)]
+                if not names:
+                    raise ValueError(f"_aliases add: pattern {idx!r} "
+                                     "matches no index")
+            else:
+                if not os.path.isfile(os.path.join(
+                        root, idx, "INDEX_MANIFEST.json")):
+                    raise ValueError(f"_aliases add: no index {idx!r} "
+                                     f"under {root}")
+                names = [idx]
+            cur = aliases.setdefault(alias, [])
+            cur.extend(n for n in names if n not in cur)
+        elif kind == "remove":
+            if alias not in aliases or idx not in aliases[alias]:
+                raise ValueError(f"_aliases remove: {idx!r} is not in "
+                                 f"alias {alias!r}")
+            aliases[alias].remove(idx)
+            if not aliases[alias]:
+                del aliases[alias]
+        else:
+            raise ValueError(f"_aliases: unknown action {kind!r}")
+    tmp = os.path.join(root, _ALIASES_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(aliases, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(root, _ALIASES_FILE))
+    return {"acknowledged": True, "aliases": aliases}
+
+
+def resolve_alias(root: str, name: str) -> list[str]:
+    """Index directories behind ``name``: an alias from the registry,
+    else a pattern, else the bare index directory."""
+    aliases = get_aliases(root)
+    if name in aliases:
+        return [os.path.join(root, n) for n in aliases[name]]
+    if any(ch in name for ch in "*?"):
+        return resolve_pattern(root, name)
+    p = os.path.join(root, name)
+    if os.path.isfile(os.path.join(p, "INDEX_MANIFEST.json")):
+        return [p]
+    return []
 
 
 class MultiSearcher:

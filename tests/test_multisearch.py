@@ -98,3 +98,45 @@ def test_pattern_aggs_and_resolve(split_indexes):
         MultiSearcher([])
     with pytest.raises(ValueError, match="duplicate"):
         MultiSearcher([ia, ia])
+
+
+def test_aliases_and_cli_pattern(split_indexes, capsys):
+    """_aliases add/remove (wildcard add snapshots at add time),
+    resolve_alias fallbacks, and the CLI federated search path."""
+    import json
+
+    from siem_on_amazon_opensearch_service_ray.__main__ import main
+    from siem_on_amazon_opensearch_service_ray.state.multisearch import (
+        execute_aliases, get_aliases, resolve_alias)
+    root, flat_idx, ia, ib = split_indexes
+    res = execute_aliases(root, {"actions": [
+        {"add": {"index": "log-2024-*", "alias": "logs"}}]})
+    assert res["aliases"]["logs"] == ["log-2024-01", "log-2024-02"]
+    assert get_aliases(root)["logs"] == ["log-2024-01", "log-2024-02"]
+    assert resolve_alias(root, "logs") == [ia, ib]
+    assert resolve_alias(root, "log-2024-0?") == [ia, ib]
+    assert resolve_alias(root, "log-2024-02") == [ib]
+    assert resolve_alias(root, "missing") == []
+    execute_aliases(root, {"actions": [
+        {"remove": {"index": "log-2024-01", "alias": "logs"}}]})
+    assert get_aliases(root)["logs"] == ["log-2024-02"]
+    with pytest.raises(ValueError, match="not in alias"):
+        execute_aliases(root, {"actions": [
+            {"remove": {"index": "log-2024-01", "alias": "logs"}}]})
+    with pytest.raises(ValueError, match="matches no index"):
+        execute_aliases(root, {"actions": [
+            {"add": {"index": "zz-*", "alias": "x"}}]})
+    # restore both members, then drive the CLI federated search
+    execute_aliases(root, {"actions": [
+        {"add": {"index": "log-2024-01", "alias": "logs"}}]})
+    assert main(["search", root, "spark join", "--pattern", "logs",
+                 "--k", "5"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert set(out["indices"]) == {"log-2024-01", "log-2024-02"}
+    flat = Searcher(flat_idx, use_actors=False)
+    try:
+        want = flat.search("spark join", k=5)
+    finally:
+        flat.close()
+    assert [(h["_id"], round(h["_score"], 6)) for h in out["hits"]] == \
+        [(d, round(s, 6)) for s, d in want]
