@@ -6309,6 +6309,57 @@ ORDER BY s.score DESC, s.doc_id LIMIT {BM25_K}
 """
 
 
+def search_collapse_inner(sf_dir: str) -> pd.DataFrame:
+    """``collapse`` + ``inner_hits`` through `_search` (the grouped
+    results UI): top-3 lang groups ranked by their best hit, each
+    carrying its top-2 docs.  One top_hits pass scores the match set
+    once; only (value, score, doc) tuples assemble the groups.  The
+    SQL twin is a double row_number: groups by best-(score, doc),
+    inner ranks within each lang."""
+    from ..state.dsl import execute_dsl
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        resp = execute_dsl(s, {
+            "query": {"match": {"content": BM25_QUERY}}, "size": 3,
+            "collapse": {"field": "lang",
+                         "inner_hits": {"name": "grp", "size": 2}}})
+    finally:
+        s.close()
+    rows = []
+    for gi, h in enumerate(resp["hits"]["hits"]):
+        for ri, ih in enumerate(
+                h["inner_hits"]["grp"]["hits"]["hits"]):
+            rows.append((h["fields"]["lang"][0], gi, ri,
+                         int(ih["_id"]),
+                         int(_round_away(ih["_score"] * 1e4))))
+    return pd.DataFrame({
+        "lang": [r[0] for r in rows],
+        "grp": np.array([r[1] for r in rows], np.int64),
+        "rank": np.array([r[2] for r in rows], np.int64),
+        "doc_id": np.array([r[3] for r in rows], np.int64),
+        "score_e4": np.array([r[4] for r in rows], np.int64)})
+
+
+SEARCH_COLLAPSE_INNER_SQL = _BM25_SCORES_CTE + """
+, ranked AS (
+  SELECT d.lang, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.score DESC, s.doc_id) AS rn
+  FROM scores s JOIN documents d USING(doc_id)),
+grp AS (
+  SELECT lang, row_number() OVER (ORDER BY score DESC, doc_id) - 1
+           AS grp
+  FROM ranked WHERE rn = 1
+  ORDER BY score DESC, doc_id LIMIT 3)
+SELECT r.lang, g.grp, cast(r.rn - 1 AS BIGINT) AS rank, r.doc_id,
+       cast(round(r.score * 10000) AS BIGINT) AS score_e4
+FROM ranked r JOIN grp g USING(lang)
+WHERE r.rn <= 2
+ORDER BY g.grp, r.rn
+"""
+
+
 def search_dis_max(sf_dir: str) -> pd.DataFrame:
     """``dis_max`` over ARBITRARY sub-queries — each clause carries
     its own text AND field (content:"spark join" vs src:"src2 src3"),
@@ -6377,6 +6428,7 @@ def queries() -> dict:
         "dsl_terms_metric": dsl_terms_metric,
         "dsl_hist_metric": dsl_hist_metric,
         "search_index_pattern": search_index_pattern,
+        "search_collapse_inner": search_collapse_inner,
         "dsl_filter_metrics": dsl_filter_metrics,
         "dsl_scroll": dsl_scroll,
         "dsl_template": dsl_template,
@@ -6549,6 +6601,7 @@ def oracle_sql() -> dict:
         "dsl_terms_metric": DSL_TERMS_METRIC_SQL,
         "dsl_hist_metric": DSL_HIST_METRIC_SQL,
         "search_index_pattern": SEARCH_INDEX_PATTERN_SQL,
+        "search_collapse_inner": SEARCH_COLLAPSE_INNER_SQL,
         "search_highlight": SEARCH_HIGHLIGHT_SQL,
         "search_match_bool_prefix": SEARCH_MATCH_BOOL_PREFIX_SQL,
         "search_combined_fields": SEARCH_COMBINED_FIELDS_SQL,

@@ -201,6 +201,9 @@ def _exec_filter_agg(s, name: str, spec: dict, query: dict | None
 def _exec_query(s, query: dict, size: int,
                 collapse: dict | None = None) -> list[tuple]:
     kind, spec = _one(query, "query")
+    if collapse is not None and kind not in ("match", "wrapper"):
+        raise ValueError(f"collapse: query {kind!r} is not supported "
+                         "(use match)")
     if kind == "match_all":
         raise ValueError("match_all scoring: use exists/ids or an agg "
                          "pipeline; the engine scores term queries")
@@ -903,10 +906,25 @@ def execute_msearch(searcher, lines: list[dict]) -> dict:
 def _sort_spec(srt) -> tuple[str, bool]:
     """Normalize a ``sort`` body key: ONE field + order (asc default).
     Accepts "field", {"field": "desc"}, {"field": {"order": ...}} and
-    a one-element list of any of those."""
+    a one- or two-element list of those — a trailing ``_doc`` /
+    ``_id`` tiebreak key (what Discover actually sends:
+    ``[{"@timestamp": "desc"}, {"_doc": "asc"}]``) is accepted and
+    folded away, because the engine's field sort ALREADY tiebreaks by
+    ascending doc id.  Two arbitrary field keys raise."""
     if isinstance(srt, list):
+        if len(srt) == 2:
+            tie = srt[1]
+            tf = tie if isinstance(tie, str) else _one(tie, "sort")[0]
+            if tf not in ("_doc", "_id", "doc_id"):
+                raise ValueError(
+                    "sort: a second sort key must be the _doc/_id "
+                    f"tiebreak (got {tf!r}); the field sort already "
+                    "orders ties by ascending doc id")
+            srt = [srt[0]]
         if len(srt) != 1:
-            raise ValueError("sort: exactly one sort key is supported")
+            raise ValueError("sort: exactly one field sort key is "
+                             "supported (plus an optional _doc "
+                             "tiebreak)")
         srt = srt[0]
     if isinstance(srt, str):
         return srt, False
@@ -1376,6 +1394,28 @@ def execute_dsl(searcher, body: dict) -> dict:
                 else:
                     out_hits.append({"_id": int(h[1]),
                                      "_score": float(h[0])})
+            cl = body.get("collapse")
+            if cl and cl.get("inner_hits") and out_hits:
+                # inner_hits: top-N docs per collapsed value (the
+                # grouped-results UI).  ONE top_hits pass scores the
+                # match set once per value; values on this page pick
+                # their group out of it.
+                ih = cl["inner_hits"]
+                if "match" not in hit_query:
+                    raise ValueError("collapse inner_hits: match "
+                                     "queries only")
+                name = ih.get("name", "inner")
+                per = int(ih.get("size", 3))
+                f, text, op = _match_text(hit_query)
+                groups = dict(_pick(searcher, "top_hits_aggregation")(
+                    text, cl["field"], field=f,
+                    mode="and" if op == "and" else "or",
+                    hits_per_bucket=per))
+                for h in out_hits:
+                    val = h["fields"][cl["field"]][0]
+                    h["inner_hits"] = {name: {"hits": {"hits": [
+                        {"_id": int(d), "_score": float(sc)}
+                        for sc, d in groups.get(val, [])]}}}
         resp["hits"]["hits"] = out_hits
         resp["hits"]["total"]["value"] = len(out_hits)
         resp["hits"]["total"]["relation"] = \

@@ -1368,3 +1368,28 @@ def test_dsl_terms_histogram_subagg(dsl_s):
            for b in resp["aggregations"]["by_lang"]["buckets"]
            for sb in b["tl"]["buckets"]]
     assert sorted(got) == sorted(direct)
+
+
+def test_dsl_collapse_inner_hits(dsl_s):
+    """collapse + inner_hits: each collapsed group carries its top-N
+    docs; group best == the collapsed hit; non-match collapse raises."""
+    s = dsl_s
+    resp = execute_dsl(s, {
+        "query": {"match": {"content": "spark join"}}, "size": 3,
+        "collapse": {"field": "lang",
+                     "inner_hits": {"name": "grp", "size": 2}}})
+    hits = resp["hits"]["hits"]
+    assert len(hits) == 3
+    groups = dict(s.top_hits_aggregation("spark join", "lang",
+                                         hits_per_bucket=2))
+    for h in hits:
+        val = h["fields"]["lang"][0]
+        inner = h["inner_hits"]["grp"]["hits"]["hits"]
+        assert [(x["_score"], x["_id"]) for x in inner] == \
+            [(sc, d) for sc, d in groups[val]]
+        # the collapsed hit IS the group's best inner hit
+        assert inner[0]["_id"] == h["_id"]
+        assert inner[0]["_score"] == h["_score"]
+    with pytest.raises(ValueError, match="collapse"):
+        execute_dsl(s, {"query": {"prefix": {"content": "spa"}},
+                        "collapse": {"field": "lang"}})
