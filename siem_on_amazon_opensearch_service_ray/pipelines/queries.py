@@ -6360,6 +6360,69 @@ ORDER BY g.grp, r.rn
 """
 
 
+def dsl_rank_eval(sf_dir: str) -> pd.DataFrame:
+    """``_rank_eval`` end-to-end: the BM25 top-10 ranking evaluated
+    against rule-derived ratings (docs with doc_id % 4 == 0 rated
+    doc_id % 3) — precision@10 / recall@10 / MRR / NDCG@10, each
+    SQL-exact from the flat scores CTE + the same rating rule."""
+    import pyarrow.parquet as _pq
+
+    from ..state.dsl import execute_rank_eval
+    idx = _doc_sharded_index(sf_dir)
+    did = _pq.read_table(_t(sf_dir, "documents"),
+                         columns=["doc_id"]).column("doc_id").to_numpy()
+    ratings = [{"_id": int(d), "rating": int(d % 3)}
+               for d in did if d % 4 == 0]
+    req = {"id": "q", "request": {
+        "query": {"match": {"content": BM25_QUERY}}}, "ratings": ratings}
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    rows = []
+    try:
+        for name, metric in [
+                ("precision", {"precision": {"k": 10}}),
+                ("recall", {"recall": {"k": 10}}),
+                ("mrr", {"mean_reciprocal_rank": {"k": 10}}),
+                ("ndcg", {"dcg": {"k": 10, "normalize": True}})]:
+            out = execute_rank_eval(
+                s, {"requests": [req], "metric": metric})
+            rows.append((name,
+                         int(_round_away(out["metric_score"] * 1e6))))
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "metric": [m for m, _ in rows],
+        "value_e6": np.array([v for _, v in rows], np.int64)})
+
+
+DSL_RANK_EVAL_SQL = _BM25_SCORES_CTE + """
+, page AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS i
+  FROM scores ORDER BY score DESC, doc_id LIMIT 10),
+rated AS (SELECT doc_id, doc_id % 3 AS rating FROM documents
+          WHERE doc_id % 4 = 0),
+j AS (SELECT p.i, coalesce(r.rating, 0) AS rating,
+             r.doc_id IS NOT NULL AS is_rated
+      FROM page p LEFT JOIN rated r USING(doc_id)),
+ideal AS (
+  SELECT rating, row_number() OVER (ORDER BY rating DESC) AS i
+  FROM rated ORDER BY rating DESC LIMIT 10)
+SELECT metric, cast(round(v * 1000000) AS BIGINT) AS value_e6
+FROM (VALUES
+  ('precision', (SELECT count(*) FILTER (WHERE rating >= 1) / 10.0
+                 FROM j)),
+  ('recall', (SELECT (SELECT cast(count(*) FILTER (WHERE rating >= 1)
+                             AS DOUBLE) FROM j)
+              / (SELECT count(*) FROM rated WHERE rating >= 1))),
+  ('mrr', (SELECT coalesce(1.0 / min(i) FILTER (WHERE rating >= 1),
+                           0.0) FROM j)),
+  ('ndcg', (SELECT (SELECT sum((pow(2, rating) - 1) / log2(i + 1))
+                    FROM j)
+            / (SELECT sum((pow(2, rating) - 1) / log2(i + 1))
+               FROM ideal)))
+) t(metric, v)
+"""
+
+
 def search_dis_max(sf_dir: str) -> pd.DataFrame:
     """``dis_max`` over ARBITRARY sub-queries — each clause carries
     its own text AND field (content:"spark join" vs src:"src2 src3"),
@@ -6429,6 +6492,7 @@ def queries() -> dict:
         "dsl_hist_metric": dsl_hist_metric,
         "search_index_pattern": search_index_pattern,
         "search_collapse_inner": search_collapse_inner,
+        "dsl_rank_eval": dsl_rank_eval,
         "dsl_filter_metrics": dsl_filter_metrics,
         "dsl_scroll": dsl_scroll,
         "dsl_template": dsl_template,
@@ -6602,6 +6666,7 @@ def oracle_sql() -> dict:
         "dsl_hist_metric": DSL_HIST_METRIC_SQL,
         "search_index_pattern": SEARCH_INDEX_PATTERN_SQL,
         "search_collapse_inner": SEARCH_COLLAPSE_INNER_SQL,
+        "dsl_rank_eval": DSL_RANK_EVAL_SQL,
         "search_highlight": SEARCH_HIGHLIGHT_SQL,
         "search_match_bool_prefix": SEARCH_MATCH_BOOL_PREFIX_SQL,
         "search_combined_fields": SEARCH_COMBINED_FIELDS_SQL,

@@ -74,7 +74,8 @@ Sibling API surfaces in this module: ``execute_count`` (`_count`),
 ``execute_delete_by_query`` (`_delete_by_query` — tombstone + live
 refresh; the retention op), ``execute_update_by_query``
 (`_update_by_query` — scripted field rewrite of the match set through
-the delete → compact → extend upsert flow), ``execute_bulk`` (`_bulk`
+the delete → compact → extend upsert flow), ``execute_rank_eval``
+(`_rank_eval` — precision/recall@k, MRR, DCG/NDCG over rated docs), ``execute_bulk`` (`_bulk`
 — the reference's write path: index actions become one incremental
 generation via extend_index, deletes tombstone).
 
@@ -98,7 +99,7 @@ from typing import Any
 __all__ = ["execute_dsl", "execute_count", "execute_msearch",
            "execute_explain", "execute_analyze", "execute_mget",
            "execute_delete_by_query", "execute_update_by_query",
-           "execute_bulk",
+           "execute_bulk", "execute_rank_eval",
            "execute_scroll_search", "execute_scroll",
            "execute_field_caps", "execute_validate",
            "execute_search_template", "render_search_template"]
@@ -1632,6 +1633,70 @@ def execute_delete_by_query(searcher, body: dict) -> dict:
     searcher.refresh_tombstones()
     return {"deleted": int(after - before), "total": int(ids.size),
             "tombstones": int(after)}
+
+
+def execute_rank_eval(searcher, body: dict) -> dict:
+    """OpenSearch ``_rank_eval`` parity: score ranked requests against
+    human ratings.  ``requests`` each carry a `_search` request and a
+    ``ratings`` list (``{"_id": doc, "rating": int}``); ``metric`` is
+    ONE of ``precision`` / ``recall`` (@k with
+    ``relevant_rating_threshold``), ``mean_reciprocal_rank``, or
+    ``dcg`` (``normalize: true`` = NDCG against the ideal ordering of
+    the RATED docs — the OpenSearch definition).  Each request
+    executes through the normal `_search` path (per-shard scoring on
+    the doc layout); the evaluation itself is O(k) driver arithmetic.
+    Returns ``{"metric_score": mean, "details": {id: {"metric_score",
+    "unrated_docs"}}}``."""
+    import math
+    reqs = body.get("requests") or []
+    if not reqs:
+        raise ValueError("_rank_eval: needs requests")
+    metric = body.get("metric") or {"precision": {}}
+    mk, mb = _one(metric, "_rank_eval metric")
+    if mk not in ("precision", "recall", "mean_reciprocal_rank",
+                  "dcg"):
+        raise ValueError(f"_rank_eval: unknown metric {mk!r}")
+    k = int(mb.get("k", 10))
+    thr = int(mb.get("relevant_rating_threshold", 1))
+    details: dict[str, dict] = {}
+    scores: list[float] = []
+    for req in reqs:
+        rid = req.get("id")
+        if not rid:
+            raise ValueError("_rank_eval: every request needs an id")
+        ratings = {int(r["_id"]): int(r["rating"])
+                   for r in req.get("ratings", [])}
+        resp = execute_dsl(searcher, {**req["request"], "size": k})
+        ranked = [int(h["_id"]) for h in resp["hits"]["hits"]]
+        unrated = [d for d in ranked if d not in ratings]
+        if mk == "precision":
+            rel = sum(1 for d in ranked if ratings.get(d, 0) >= thr)
+            sc = rel / len(ranked) if ranked else 0.0
+        elif mk == "recall":
+            rel = sum(1 for d in ranked if ratings.get(d, 0) >= thr)
+            total = sum(1 for v in ratings.values() if v >= thr)
+            sc = rel / total if total else 0.0
+        elif mk == "mean_reciprocal_rank":
+            sc = 0.0
+            for i, d in enumerate(ranked, start=1):
+                if ratings.get(d, 0) >= thr:
+                    sc = 1.0 / i
+                    break
+        else:
+            dcg = sum((2 ** ratings.get(d, 0) - 1)
+                      / math.log2(i + 1)
+                      for i, d in enumerate(ranked, start=1))
+            if mb.get("normalize"):
+                ideal = sorted(ratings.values(), reverse=True)[:k]
+                idcg = sum((2 ** r - 1) / math.log2(i + 1)
+                           for i, r in enumerate(ideal, start=1))
+                sc = dcg / idcg if idcg else 0.0
+            else:
+                sc = dcg
+        scores.append(sc)
+        details[rid] = {"metric_score": sc, "unrated_docs": unrated}
+    return {"metric_score": sum(scores) / len(scores),
+            "details": details}
 
 
 def execute_update_by_query(index_dir: str, body: dict) -> dict:

@@ -1393,3 +1393,48 @@ def test_dsl_collapse_inner_hits(dsl_s):
     with pytest.raises(ValueError, match="collapse"):
         execute_dsl(s, {"query": {"prefix": {"content": "spa"}},
                         "collapse": {"field": "lang"}})
+
+
+def test_rank_eval(dsl_s):
+    """_rank_eval: precision/recall@k, MRR and NDCG over rated docs
+    match hand computations against the live ranking."""
+    import math
+
+    from siem_on_amazon_opensearch_service_ray.state.dsl import (
+        execute_rank_eval)
+    s = dsl_s
+    base = execute_dsl(s, {"query": {"match": {"content": "spark join"}},
+                           "size": 5})
+    ranked = [h["_id"] for h in base["hits"]["hits"]]
+    # rate the 1st and 4th hits relevant, 2nd irrelevant, rest unrated
+    ratings = [{"_id": ranked[0], "rating": 2},
+               {"_id": ranked[1], "rating": 0},
+               {"_id": ranked[3], "rating": 1},
+               {"_id": 999999, "rating": 3}]
+    req = [{"id": "q1",
+            "request": {"query": {"match": {"content": "spark join"}}},
+            "ratings": ratings}]
+    p = execute_rank_eval(s, {"requests": req,
+                              "metric": {"precision": {"k": 5}}})
+    assert p["metric_score"] == pytest.approx(2 / 5)
+    assert p["details"]["q1"]["unrated_docs"] == [ranked[2], ranked[4]]
+    r = execute_rank_eval(s, {"requests": req,
+                              "metric": {"recall": {"k": 5}}})
+    assert r["metric_score"] == pytest.approx(2 / 3)
+    mrr = execute_rank_eval(s, {
+        "requests": req,
+        "metric": {"mean_reciprocal_rank": {
+            "k": 5, "relevant_rating_threshold": 1}}})
+    assert mrr["metric_score"] == 1.0
+    nd = execute_rank_eval(s, {"requests": req,
+                               "metric": {"dcg": {"k": 5,
+                                                  "normalize": True}}})
+    gains = {ranked[0]: 2, ranked[3]: 1}
+    dcg = sum((2 ** gains.get(d, 0) - 1) / math.log2(i + 1)
+              for i, d in enumerate(ranked, start=1))
+    idcg = sum((2 ** g - 1) / math.log2(i + 1)
+               for i, g in enumerate([3, 2, 1, 0], start=1))
+    assert nd["metric_score"] == pytest.approx(dcg / idcg)
+    with pytest.raises(ValueError, match="unknown metric"):
+        execute_rank_eval(s, {"requests": req,
+                              "metric": {"err": {}}})
