@@ -295,6 +295,13 @@ def main(argv: list[str] | None = None) -> int:
     dbq.add_argument("body", help="JSON query body, or @file.json")
     dbq.add_argument("--num-cpus", type=int, default=None)
 
+    ci = sub.add_parser("cat-indices",
+                        help="_cat/indices over a root of indexes: "
+                             "live counts, sizes, aliases (metadata "
+                             "only)")
+    ci.add_argument("root")
+    ci.add_argument("--pattern", default="*")
+
     al = sub.add_parser("aliases",
                         help="OpenSearch _aliases: GET the registry "
                              "or POST add/remove actions over a root "
@@ -501,6 +508,10 @@ def main(argv: list[str] | None = None) -> int:
                     searcher, json.loads(raw))))
             finally:
                 searcher.close()
+        elif args.cmd == "cat-indices":
+            from .state.multisearch import cat_indices
+            print(json.dumps(cat_indices(args.root, args.pattern),
+                             indent=2))
         elif args.cmd == "aliases":
             from .state.multisearch import execute_aliases, get_aliases
             if args.body is None:

@@ -29,7 +29,44 @@ import fnmatch
 import os
 
 __all__ = ["MultiSearcher", "resolve_pattern", "execute_aliases",
-           "get_aliases", "resolve_alias"]
+           "get_aliases", "resolve_alias", "cat_indices"]
+
+
+def cat_indices(root: str, pattern: str = "*") -> list[dict]:
+    """OpenSearch ``_cat/indices`` over a root of indexes: one row
+    per index with docs.count (live = n_docs - tombstones),
+    docs.deleted, store.size bytes, pri (partition count) and the
+    aliases pointing at it — pure manifest/metadata reads, no data
+    touched."""
+    import json
+    rows = []
+    aliases = get_aliases(root)
+    for p in resolve_pattern(root, pattern):
+        name = os.path.basename(p)
+        with open(os.path.join(p, "INDEX_MANIFEST.json")) as f:
+            man = json.load(f)
+        tomb = os.path.join(p, "tombstones.parquet")
+        deleted = 0
+        if os.path.exists(tomb):
+            import pyarrow.parquet as pq
+            deleted = pq.read_metadata(tomb).num_rows
+        size = 0
+        for sub in ("segments", "docstore", "filters"):
+            d = os.path.join(p, sub)
+            if os.path.isdir(d):
+                size += sum(os.path.getsize(os.path.join(d, fn))
+                            for fn in os.listdir(d)
+                            if os.path.isfile(os.path.join(d, fn)))
+        rows.append({
+            "index": name,
+            "docs.count": int(man["stats"]["n_docs"]) - deleted,
+            "docs.deleted": int(deleted),
+            "store.size": int(size),
+            "pri": int(man["config"]["num_partitions"]),
+            "aliases": sorted(a for a, ixs in aliases.items()
+                              if name in ixs),
+        })
+    return rows
 
 
 def resolve_pattern(root: str, pattern: str) -> list[str]:

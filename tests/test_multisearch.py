@@ -140,3 +140,24 @@ def test_aliases_and_cli_pattern(split_indexes, capsys):
         flat.close()
     assert [(h["_id"], round(h["_score"], 6)) for h in out["hits"]] == \
         [(d, round(s, 6)) for s, d in want]
+
+
+def test_cat_indices(split_indexes, capsys):
+    """_cat/indices: per-index live counts, sizes, partitions and
+    alias membership from metadata only; CLI prints it."""
+    import json
+
+    from siem_on_amazon_opensearch_service_ray.__main__ import main
+    from siem_on_amazon_opensearch_service_ray.state.multisearch import (
+        cat_indices)
+    root, flat_idx, ia, ib = split_indexes
+    rows = cat_indices(root, "log-2024-*")
+    assert [r["index"] for r in rows] == ["log-2024-01", "log-2024-02"]
+    assert rows[0]["docs.count"] == 100
+    assert rows[1]["docs.count"] == 200
+    assert all(r["docs.deleted"] == 0 for r in rows)
+    assert all(r["store.size"] > 0 and r["pri"] == 2 for r in rows)
+    assert "logs" in rows[0]["aliases"]  # added by the aliases test
+    assert main(["cat-indices", root]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert {r["index"] for r in out} >= {"log-2024-01", "log-2024-02"}
