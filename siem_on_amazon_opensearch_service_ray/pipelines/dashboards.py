@@ -267,14 +267,13 @@ def execute_panel(searcher, spec: PanelSpec,
     bucket = next((b for b in spec.buckets
                    if b["type"] in _SUPPORTED_BUCKETS), None)
     if bucket is None and mtype in ("count", "cardinality"):
-        # metric-only panel over the whole match set
-        from ..state.shard import load_filter_value_counts
+        # metric-only panel over the whole match set (works against a
+        # single index or a MultiSearcher pattern — counts federate)
         f = spec.metric.get("field")
         if f is None:
             raise ValueError("metric-only count panel needs a field "
                              "to count over in this engine")
-        counts = load_filter_value_counts(searcher.index_dir, f,
-                                          exclude=searcher.tombstones)
+        counts = searcher.filter_value_counts(f)
         n = (len(counts) if mtype == "cardinality"
              else sum(counts.values()))
         return [(spec.title or mtype, n)]
@@ -329,23 +328,16 @@ def execute_panel(searcher, spec: PanelSpec,
     if spec.filter_field is not None:
         # kuery 'field:"value"' -> keyword-filter match set, counted
         # per agg value via the packed filter postings
-        from ..state.searcher import _count_filter_values, _excl_mask
-        from ..state.shard import load_filter_ids
-        cand = load_filter_ids(searcher.index_dir, spec.filter_field,
-                               spec.filter_value)
-        if cand.size and searcher.tombstones.size:
-            cand = cand[_excl_mask(cand, searcher.tombstones)]
         rows = sorted(
-            dict(_count_filter_values(searcher.index_dir, agg_field,
-                                      cand)).items(),
+            searcher.filtered_value_counts(spec.filter_field,
+                                           spec.filter_value,
+                                           agg_field).items(),
             key=lambda kv: (-kv[1], kv[0]))
     elif spec.query:
         rows = searcher.terms_aggregation(spec.query, agg_field,
                                           field=text_field)
     else:
-        from ..state.shard import load_filter_value_counts
-        counts = load_filter_value_counts(searcher.index_dir, agg_field,
-                                          exclude=searcher.tombstones)
+        counts = searcher.filter_value_counts(agg_field)
         rows = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
     if mtype == "cardinality":
         return [(agg_field, len(rows))]

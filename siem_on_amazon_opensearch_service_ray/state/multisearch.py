@@ -262,6 +262,73 @@ class MultiSearcher:
                 merged[v] = merged.get(v, 0) + int(c)
         return sorted(merged.items(), key=lambda t: (-t[1], t[0]))
 
+    def terms_stats_aggregation(self, query: str, agg_field: str,
+                                range_field: str,
+                                field: str = "content",
+                                mode: str = "or"
+                                ) -> list[tuple[str, int, float, float,
+                                                float, float]]:
+        """Pattern-wide terms+stats: per-index mergeable moments sum
+        (count/sum add, min/max fold), avg recomputed at the end."""
+        merged: dict[str, tuple[int, float, float, float]] = {}
+        for s in self.searchers.values():
+            for v, n, su, lo, hi, _ in s.terms_stats_aggregation(
+                    query, agg_field, range_field, field, mode):
+                prev = merged.get(v)
+                merged[v] = (n, su, lo, hi) if prev is None else (
+                    prev[0] + n, prev[1] + su, min(prev[2], lo),
+                    max(prev[3], hi))
+        out = [(v, n, s_, lo, hi, s_ / n)
+               for v, (n, s_, lo, hi) in merged.items()]
+        out.sort(key=lambda r: (-r[1], r[0]))
+        return out
+
+    def terms_histogram_aggregation(self, query: str, agg_field: str,
+                                    range_field: str, interval: float,
+                                    field: str = "content",
+                                    mode: str = "or"
+                                    ) -> list[tuple[str, float, int]]:
+        """Pattern-wide terms x histogram: (value, bin, count)
+        triples sum across indexes."""
+        merged: dict[tuple[str, float], int] = {}
+        for s in self.searchers.values():
+            for v, b, n in s.terms_histogram_aggregation(
+                    query, agg_field, range_field, interval, field,
+                    mode):
+                merged[(v, b)] = merged.get((v, b), 0) + int(n)
+        return [(v, b, n)
+                for (v, b), n in sorted(merged.items())]
+
+    def filters_aggregation(self, filters: dict[str, tuple[str, str]],
+                            field: str = "content") -> dict[str, int]:
+        """Pattern-wide filters agg: named-bucket counts sum."""
+        merged: dict[str, int] = {}
+        for s in self.searchers.values():
+            for name, n in s.filters_aggregation(filters,
+                                                 field=field).items():
+                merged[name] = merged.get(name, 0) + int(n)
+        return merged
+
+    def filter_value_counts(self, field: str) -> dict[str, int]:
+        """Pattern-wide match-all per-value counts (doc ids are
+        disjoint across indexes, so counts add)."""
+        merged: dict[str, int] = {}
+        for s in self.searchers.values():
+            for v, n in s.filter_value_counts(field).items():
+                merged[v] = merged.get(v, 0) + int(n)
+        return merged
+
+    def filtered_value_counts(self, filter_field: str,
+                              filter_value: str, agg_field: str
+                              ) -> dict[str, int]:
+        """Pattern-wide kuery-filtered per-value counts."""
+        merged: dict[str, int] = {}
+        for s in self.searchers.values():
+            for v, n in s.filtered_value_counts(
+                    filter_field, filter_value, agg_field).items():
+                merged[v] = merged.get(v, 0) + int(n)
+        return merged
+
     def histogram_aggregation(self, query: str, range_field: str,
                               interval: float, field: str = "content",
                               mode: str = "or",

@@ -7476,6 +7476,28 @@ class Searcher:
         out.sort(key=lambda r: (-r[1], r[0]))
         return out
 
+    def filter_value_counts(self, field: str) -> dict[str, int]:
+        """Live per-value doc counts of a keyword field over the WHOLE
+        index (the dashboards' match-all terms shape) — packed filter
+        postings only, tombstones excluded."""
+        from .shard import load_filter_value_counts
+        return load_filter_value_counts(self.index_dir, field,
+                                        exclude=self.tombstones)
+
+    def filtered_value_counts(self, filter_field: str,
+                              filter_value: str, agg_field: str
+                              ) -> dict[str, int]:
+        """Per-value counts of ``agg_field`` over the docs where
+        ``filter_field == filter_value`` (the kuery-filtered terms
+        panel): packed doc-list intersection, no postings walked."""
+        from .shard import load_filter_ids
+        cand = load_filter_ids(self.index_dir, filter_field,
+                               filter_value)
+        if cand.size and self.tombstones.size:
+            cand = cand[_excl_mask(cand, self.tombstones)]
+        return dict(_count_filter_values(self.index_dir, agg_field,
+                                         cand))
+
     def histogram_stats_aggregation(self, query: str,
                                     bucket_field: str, interval: float,
                                     metric_field: str,

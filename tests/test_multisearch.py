@@ -161,3 +161,47 @@ def test_cat_indices(split_indexes, capsys):
     assert main(["cat-indices", root]) == 0
     out = json.loads(capsys.readouterr().out)
     assert {r["index"] for r in out} >= {"log-2024-01", "log-2024-02"}
+
+
+def test_panels_over_pattern(split_indexes):
+    """Dashboard panels execute against a MultiSearcher identically
+    to the flat index (the reference's panels always target an index
+    PATTERN)."""
+    from siem_on_amazon_opensearch_service_ray.pipelines.dashboards import (
+        PanelSpec, execute_panel)
+    root, flat_idx, ia, ib = split_indexes
+    flat = Searcher(flat_idx, use_actors=False)
+    ms = MultiSearcher([ia, ib], use_actors=False)
+    specs = [
+        PanelSpec(title="by-lang", vis_type="pie",
+                  metric={"type": "count"},
+                  buckets=[{"type": "terms", "field": "lang",
+                            "size": 5}], query="spark"),
+        PanelSpec(title="match-all", vis_type="pie",
+                  metric={"type": "count"},
+                  buckets=[{"type": "terms", "field": "lang",
+                            "size": 5}]),
+        PanelSpec(title="sum", vis_type="table",
+                  metric={"type": "sum", "field": "msm"},
+                  buckets=[{"type": "terms", "field": "lang",
+                            "size": 5}], query="spark"),
+        PanelSpec(title="filters", vis_type="pie",
+                  metric={"type": "count"},
+                  buckets=[{"type": "filters",
+                            "filters": ["spark", "shuffle"]}]),
+        PanelSpec(title="kuery", vis_type="pie",
+                  metric={"type": "count"},
+                  buckets=[{"type": "terms", "field": "lang",
+                            "size": 5}],
+                  filter_field="lang", filter_value="en"),
+        PanelSpec(title="cardinality", vis_type="metric",
+                  metric={"type": "cardinality", "field": "lang"}),
+    ]
+    try:
+        for spec in specs:
+            want = execute_panel(flat, spec)
+            got = execute_panel(ms, spec)
+            assert got == want, spec.title
+    finally:
+        flat.close()
+        ms.close()
