@@ -99,7 +99,7 @@ from typing import Any
 __all__ = ["execute_dsl", "execute_count", "execute_msearch",
            "execute_explain", "execute_analyze", "execute_mget",
            "execute_delete_by_query", "execute_update_by_query",
-           "execute_bulk", "execute_rank_eval",
+           "execute_bulk", "execute_rank_eval", "execute_pattern_dsl",
            "execute_scroll_search", "execute_scroll",
            "execute_field_caps", "execute_validate",
            "execute_search_template", "render_search_template"]
@@ -1633,6 +1633,54 @@ def execute_delete_by_query(searcher, body: dict) -> dict:
     searcher.refresh_tombstones()
     return {"deleted": int(after - before), "total": int(ids.size),
             "tombstones": int(after)}
+
+
+def execute_pattern_dsl(ms, body: dict) -> dict:
+    """`_search` against an INDEX PATTERN (a
+    :class:`~..state.multisearch.MultiSearcher`): the dashboard slice
+    of the request surface — ``match`` / ``match_all`` queries,
+    ``size``, ``track_total_hits``, and the aggregation family the
+    federation layer merges exactly (terms with metric /
+    date_histogram sub-aggs, histogram/date_histogram with metric and
+    pipeline sub-aggs, filters).  Hits carry ``_index`` (which
+    rotated index each doc lives in).  Anything the pattern layer
+    cannot merge exactly raises naming the node — never a silent
+    wrong answer."""
+    size = int(body.get("size", 10))
+    query = body.get("query")
+    resp: dict = {"hits": {"total": {"value": 0, "relation": "eq"},
+                           "hits": []}}
+    if query is not None and "match" in query and size > 0:
+        f, text, op = _match_text(query)
+        rows = ms.search(text, field=f, k=size,
+                         mode="and" if op == "and" else "or")
+        resp["hits"]["hits"] = [
+            {"_index": ix, "_id": int(d), "_score": float(sc)}
+            for sc, ix, d in rows]
+        resp["hits"]["total"]["value"] = len(rows)
+        resp["hits"]["total"]["relation"] = \
+            "gte" if len(rows) == size else "eq"
+    elif query is not None and "match" not in query \
+            and "match_all" not in query:
+        kind, _ = _one(query, "query")
+        raise ValueError(f"pattern search: query {kind!r} is not "
+                         "supported (match / match_all)")
+    if body.get("track_total_hits") and query is not None \
+            and "match" in query:
+        f, text, op = _match_text(query)
+        resp["hits"]["total"] = {
+            "value": int(ms.match_count(
+                text, field=f, mode="and" if op == "and" else "or")),
+            "relation": "eq"}
+    aggs = body.get("aggs", body.get("aggregations"))
+    if aggs:
+        try:
+            resp["aggregations"] = _run_aggs(ms, aggs, query)
+        except AttributeError as exc:
+            raise ValueError(
+                "pattern search: aggregation not supported by the "
+                f"federation layer ({exc})") from None
+    return resp
 
 
 def execute_rank_eval(searcher, body: dict) -> dict:

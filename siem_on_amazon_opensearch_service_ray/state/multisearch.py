@@ -165,6 +165,11 @@ class MultiSearcher:
     per-index Searcher (doc-partitioned indexes then keep their shard
     actor pools; the federation only adds one merge level)."""
 
+    # duck-compat with the DSL layer's routing probes: the federation
+    # coordinator itself is never doc-sharded (each member index is)
+    use_actors = False
+    _partition_by = None
+
     def __init__(self, index_dirs: list[str], use_actors: bool = False):
         from .searcher import Searcher
         if not index_dirs:
@@ -298,6 +303,27 @@ class MultiSearcher:
                 merged[(v, b)] = merged.get((v, b), 0) + int(n)
         return [(v, b, n)
                 for (v, b), n in sorted(merged.items())]
+
+    def histogram_stats_aggregation(self, query: str,
+                                    bucket_field: str, interval: float,
+                                    metric_field: str,
+                                    field: str = "content",
+                                    mode: str = "or"
+                                    ) -> list[tuple[float, int, float,
+                                                    float, float,
+                                                    float]]:
+        """Pattern-wide histogram+metric: per-bin moments merge."""
+        merged: dict[float, tuple[int, float, float, float]] = {}
+        for s in self.searchers.values():
+            for k, n, su, lo, hi, _ in s.histogram_stats_aggregation(
+                    query, bucket_field, interval, metric_field,
+                    field, mode):
+                prev = merged.get(k)
+                merged[k] = (n, su, lo, hi) if prev is None else (
+                    prev[0] + n, prev[1] + su, min(prev[2], lo),
+                    max(prev[3], hi))
+        return [(k, n, s_, lo, hi, s_ / n)
+                for k, (n, s_, lo, hi) in sorted(merged.items())]
 
     def filters_aggregation(self, filters: dict[str, tuple[str, str]],
                             field: str = "content") -> dict[str, int]:

@@ -205,3 +205,44 @@ def test_panels_over_pattern(split_indexes):
     finally:
         flat.close()
         ms.close()
+
+
+def test_pattern_dsl(split_indexes):
+    """execute_pattern_dsl: the dashboard _search slice over a
+    pattern — hits carry _index, aggs (terms + metric subs,
+    histogram + pipeline subs, filters) merge exactly to the flat
+    index's execute_dsl output."""
+    from siem_on_amazon_opensearch_service_ray.state.dsl import (
+        execute_dsl, execute_pattern_dsl)
+    root, flat_idx, ia, ib = split_indexes
+    flat = Searcher(flat_idx, use_actors=False)
+    ms = MultiSearcher([ia, ib], use_actors=False)
+    body = {
+        "query": {"match": {"content": "spark join"}}, "size": 8,
+        "track_total_hits": True,
+        "aggs": {
+            "by_lang": {"terms": {"field": "lang", "size": 5},
+                        "aggs": {"mu": {"avg": {"field": "msm"}}}},
+            "h": {"histogram": {"field": "msm", "interval": 2.0},
+                  "aggs": {"cum": {"cumulative_sum": {}},
+                           "s": {"sum": {"field": "msm"}}}},
+            "f": {"filters": {"filters": {
+                "a": {"match": {"content": "spark"}},
+                "b": {"match": {"content": "shuffle"}}}}},
+        }}
+    try:
+        want = execute_dsl(flat, body)
+        got = execute_pattern_dsl(ms, body)
+        assert [(h["_id"], round(h["_score"], 9))
+                for h in got["hits"]["hits"]] == \
+            [(h["_id"], round(h["_score"], 9))
+             for h in want["hits"]["hits"]]
+        assert all("_index" in h for h in got["hits"]["hits"])
+        assert got["hits"]["total"] == want["hits"]["total"]
+        assert got["aggregations"] == want["aggregations"]
+        with pytest.raises(ValueError, match="not supported"):
+            execute_pattern_dsl(ms, {"query": {"prefix": {
+                "content": "spa"}}})
+    finally:
+        flat.close()
+        ms.close()
