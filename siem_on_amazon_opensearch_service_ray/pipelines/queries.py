@@ -6423,6 +6423,56 @@ FROM (VALUES
 """
 
 
+def dsl_pattern_aggs(sf_dir: str) -> pd.DataFrame:
+    """`_search` against an index PATTERN (execute_pattern_dsl over
+    the two rotated halves): terms buckets with an avg sub-agg merge
+    per-index mergeable moments, totals ride one count per index —
+    exact against the flat union corpus, which is the whole point of
+    the federation layer."""
+    from ..state.dsl import execute_pattern_dsl
+    from ..state.multisearch import MultiSearcher, resolve_pattern
+    ia, ib = _split_index_dirs(sf_dir)
+    ms = MultiSearcher(resolve_pattern(os.path.dirname(ia),
+                                       "log-docs-*"),
+                       use_actors=ray.is_initialized())
+    try:
+        resp = execute_pattern_dsl(ms, {
+            "query": {"match": {"content": BM25_QUERY}}, "size": 0,
+            "track_total_hits": True,
+            "aggs": {"by_lang": {
+                "terms": {"field": "lang", "size": 10},
+                "aggs": {"mu": {"avg": {"field": "n_chars"}}}}}})
+    finally:
+        ms.close()
+    b = resp["aggregations"]["by_lang"]["buckets"]
+    rows = [(x["key"], int(x["doc_count"]),
+             int(_round_away(x["mu"]["value"] * 1e4))) for x in b]
+    rows.append(("__total__",
+                 int(resp["hits"]["total"]["value"]), -1))
+    return pd.DataFrame({
+        "key": [r[0] for r in rows],
+        "doc_count": np.array([r[1] for r in rows], np.int64),
+        "avg_nc_e4": np.array([r[2] for r in rows], np.int64)})
+
+
+DSL_PATTERN_AGGS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))}))
+SELECT key, doc_count, avg_nc_e4 FROM (
+  SELECT d.lang AS key, cast(count(*) AS BIGINT) AS doc_count,
+         cast(round(sum(d.n_chars) / count(*) * 10000) AS BIGINT)
+           AS avg_nc_e4
+  FROM documents d JOIN m USING(doc_id) GROUP BY d.lang
+  UNION ALL
+  SELECT '__total__', (SELECT cast(count(*) AS BIGINT) FROM m),
+         cast(-1 AS BIGINT))
+"""
+
+
 def search_dis_max(sf_dir: str) -> pd.DataFrame:
     """``dis_max`` over ARBITRARY sub-queries — each clause carries
     its own text AND field (content:"spark join" vs src:"src2 src3"),
@@ -6493,6 +6543,7 @@ def queries() -> dict:
         "search_index_pattern": search_index_pattern,
         "search_collapse_inner": search_collapse_inner,
         "dsl_rank_eval": dsl_rank_eval,
+        "dsl_pattern_aggs": dsl_pattern_aggs,
         "dsl_filter_metrics": dsl_filter_metrics,
         "dsl_scroll": dsl_scroll,
         "dsl_template": dsl_template,
@@ -6667,6 +6718,7 @@ def oracle_sql() -> dict:
         "search_index_pattern": SEARCH_INDEX_PATTERN_SQL,
         "search_collapse_inner": SEARCH_COLLAPSE_INNER_SQL,
         "dsl_rank_eval": DSL_RANK_EVAL_SQL,
+        "dsl_pattern_aggs": DSL_PATTERN_AGGS_SQL,
         "search_highlight": SEARCH_HIGHLIGHT_SQL,
         "search_match_bool_prefix": SEARCH_MATCH_BOOL_PREFIX_SQL,
         "search_combined_fields": SEARCH_COMBINED_FIELDS_SQL,

@@ -47,7 +47,7 @@ def _to_df(res) -> pd.DataFrame:
 SQL_BACKED = ["dsl_post_filter", "dsl_suggest", "dsl_script_fields",
               "dsl_update_by_query", "dsl_terms_metric", "dsl_hist_metric",
               "search_index_pattern", "search_collapse_inner",
-              "dsl_rank_eval",
+              "dsl_rank_eval", "dsl_pattern_aggs",
               "q1_pricing_summary", "events_hourly", "events_json_extract",
               "dedup_exact_docs", "tf_top_terms", "df_terms", "corpus_stats",
               "bm25_topk", "search_topk", "search_and_topk",
