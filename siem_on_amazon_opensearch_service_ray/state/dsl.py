@@ -102,7 +102,8 @@ __all__ = ["execute_dsl", "execute_count", "execute_msearch",
            "execute_bulk", "execute_rank_eval", "execute_pattern_dsl",
            "execute_scroll_search", "execute_scroll",
            "execute_field_caps", "execute_validate",
-           "execute_search_template", "render_search_template"]
+           "execute_search_template", "render_search_template",
+           "put_script", "get_script"]
 
 
 def _sharded(s) -> bool:
@@ -2188,14 +2189,57 @@ def render_search_template(source, params: dict | None) -> dict:
             f"search template did not render to JSON: {exc}") from None
 
 
+def _scripts_path(index_dir: str) -> str:
+    import os
+    return os.path.join(index_dir, "scripts.json")
+
+
+def put_script(index_dir: str, script_id: str, source: str) -> dict:
+    """``PUT _scripts/<id>`` parity: store a mustache search template
+    next to the index (atomic JSON registry write — O(1) metadata).
+    The stored source is validated by rendering it with empty
+    params-tolerant parsing at read time, not here (OpenSearch also
+    stores templates unrendered)."""
+    import json
+    import os
+    path = _scripts_path(index_dir)
+    scripts: dict[str, str] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            scripts = json.load(f)
+    scripts[script_id] = source
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(scripts, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+    return {"acknowledged": True}
+
+
+def get_script(index_dir: str, script_id: str) -> str:
+    """``GET _scripts/<id>``: the stored template source; missing ids
+    raise (OpenSearch 404s)."""
+    import json
+    import os
+    path = _scripts_path(index_dir)
+    if os.path.exists(path):
+        with open(path) as f:
+            scripts = json.load(f)
+        if script_id in scripts:
+            return scripts[script_id]
+    raise ValueError(f"stored script {script_id!r} not found")
+
+
 def execute_search_template(searcher, body: dict) -> dict:
-    """The ``_search/template`` API: render the inline mustache
-    ``source`` with ``params``, then execute the rendered body as a
-    normal `_search` request.  Stored-script ids raise (no script
-    store in this engine — inline source only)."""
+    """The ``_search/template`` API: render the mustache template —
+    inline ``source`` or a stored-script ``id`` (PUT via
+    :func:`put_script`, registry next to the index) — with
+    ``params``, then execute the rendered body as a normal `_search`
+    request."""
     if "id" in body:
-        raise ValueError("search template: stored-script ids are not "
-                         "supported (inline source only)")
+        if "source" in body:
+            raise ValueError("search template: give source OR id")
+        src = get_script(searcher.index_dir, body["id"])
+    else:
+        src = body["source"]
     return execute_dsl(searcher,
-                       render_search_template(body["source"],
-                                              body.get("params")))
+                       render_search_template(src, body.get("params")))

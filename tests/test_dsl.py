@@ -1028,8 +1028,8 @@ def test_dsl_field_caps_validate_template(dsl_s):
     r2 = execute_search_template(s, {"source": {
         "query": {"match": {"content": "{{missing}}"}}, "size": 3}})
     assert r2["hits"]["hits"] == []
-    with pytest.raises(ValueError, match="stored-script"):
-        execute_search_template(s, {"id": "tpl1"})
+    with pytest.raises(ValueError, match="not found"):
+        execute_search_template(s, {"id": "tpl-never-stored"})
     with pytest.raises(ValueError, match="render"):
         render_search_template('{"size": {{n}}}', {})
 
@@ -1438,3 +1438,27 @@ def test_rank_eval(dsl_s):
     with pytest.raises(ValueError, match="unknown metric"):
         execute_rank_eval(s, {"requests": req,
                               "metric": {"err": {}}})
+
+
+def test_stored_search_templates(dsl_s):
+    """PUT/GET _scripts + _search/template by id: stored template
+    renders and executes identically to the inline source."""
+    from siem_on_amazon_opensearch_service_ray.state.dsl import (
+        execute_search_template, get_script, put_script)
+    s = dsl_s
+    src = ('{"query": {"match": {"content": "{{q}}"}}, '
+           '"size": {{n}}}')
+    assert put_script(s.index_dir, "find", src) == \
+        {"acknowledged": True}
+    assert get_script(s.index_dir, "find") == src
+    params = {"q": "spark join", "n": 4}
+    by_id = execute_search_template(s, {"id": "find",
+                                        "params": params})
+    inline = execute_search_template(s, {"source": src,
+                                         "params": params})
+    assert _ids(by_id) == _ids(inline) and len(_ids(by_id)) == 4
+    put_script(s.index_dir, "find", src.replace("match", "match"))
+    with pytest.raises(ValueError, match="not found"):
+        get_script(s.index_dir, "nope")
+    with pytest.raises(ValueError, match="source OR id"):
+        execute_search_template(s, {"id": "find", "source": src})
