@@ -1352,15 +1352,29 @@ def execute_dsl(searcher, body: dict) -> dict:
                              f"({f!r}) is supported, got {want!r}")
         pre = (hl.get("pre_tags") or ["<em>"])[0]
         post = (hl.get("post_tags") or ["</em>"])[0]
-        rows = searcher.highlight(
-            text, field=f, k=size, mode="and" if op == "and" else "or",
-            pre_tag=pre, post_tag=post)
-        resp["hits"]["hits"] = [
-            {"_id": int(d), "_score": float(s), "highlight": {f: [fr]}}
-            for s, d, fr in rows]
-        resp["hits"]["total"]["value"] = len(rows)
+        nf = int(hl.get("number_of_fragments", 1))
+        if nf > 1:
+            frows = searcher.highlight_fragments(
+                text, field=f, k=size,
+                mode="and" if op == "and" else "or",
+                pre_tag=pre, post_tag=post, num_fragments=nf)
+            resp["hits"]["hits"] = [
+                {"_id": int(d), "_score": float(s),
+                 "highlight": {f: frs}}
+                for s, d, frs in frows]
+        else:
+            rows = searcher.highlight(
+                text, field=f, k=size,
+                mode="and" if op == "and" else "or",
+                pre_tag=pre, post_tag=post)
+            resp["hits"]["hits"] = [
+                {"_id": int(d), "_score": float(s),
+                 "highlight": {f: [fr]}}
+                for s, d, fr in rows]
+        n_hl = len(resp["hits"]["hits"])
+        resp["hits"]["total"]["value"] = n_hl
         resp["hits"]["total"]["relation"] = \
-            "gte" if len(rows) == size else "eq"
+            "gte" if n_hl == size else "eq"
     if hl is None and hit_query is not None and size > 0:
         if sa is not None:
             # score-sorted cursor paging: resume strictly after the

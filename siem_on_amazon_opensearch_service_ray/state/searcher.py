@@ -3193,17 +3193,67 @@ class Searcher:
                             tbl.column(src_col).to_pylist()):
                 texts[int(i)] = t or ""
         out: list[tuple[float, int, str]] = []
+        for score, d, frags in self._fragments(hits, texts, an, qset,
+                                               window, pre_tag,
+                                               post_tag, 1):
+            out.append((score, d, frags[0] if frags else ""))
+        return out
+
+    @staticmethod
+    def _fragments(hits, texts, an, qset, window, pre_tag, post_tag,
+                   num_fragments):
+        """Up to ``num_fragments`` NON-OVERLAPPING window-token
+        fragments per hit, one around each successive query-term
+        occurrence past the previous fragment's end (the plain
+        highlighter's multi-fragment behavior)."""
+        out = []
         for score, d in hits:
             toks = an(texts.get(int(d), ""))
-            fp = next((i for i, t in enumerate(toks) if t in qset), None)
-            if fp is None:
-                out.append((score, int(d), ""))
-                continue
-            seg = toks[max(0, fp - window):fp + window + 1]
-            frag = " ".join(pre_tag + t + post_tag if t in qset else t
-                            for t in seg)
-            out.append((score, int(d), frag))
+            frags: list[str] = []
+            i = 0
+            while len(frags) < num_fragments and i < len(toks):
+                fp = next((j for j in range(i, len(toks))
+                           if toks[j] in qset), None)
+                if fp is None:
+                    break
+                lo, hi = max(0, fp - window), fp + window + 1
+                frags.append(" ".join(
+                    pre_tag + t + post_tag if t in qset else t
+                    for t in toks[lo:hi]))
+                i = hi
+            out.append((score, int(d), frags))
         return out
+
+    def highlight_fragments(self, query: str, field: str = "content",
+                            k: int = 10, window: int = 8,
+                            pre_tag: str = "<em>",
+                            post_tag: str = "</em>", mode: str = "or",
+                            num_fragments: int = 3,
+                            analyzer: str | None = None
+                            ) -> list[tuple[float, int, list[str]]]:
+        """:meth:`highlight` returning up to ``num_fragments``
+        non-overlapping fragments per hit (OpenSearch
+        ``number_of_fragments``) — [(score, doc_id, [fragment, ...])]
+        in rank order."""
+        hits = self.search(query, field=field, k=k, mode=mode,
+                           analyzer=analyzer)
+        if not hits:
+            return []
+        if not self.manifest["config"].get("store_source"):
+            raise ValueError("highlight requires an index built with "
+                             "store_source=True (no _source stored)")
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        qset = set(an(query))
+        src_col = self.manifest["config"].get("sha_col", "content")
+        tbl = self.fetch_docs([d for _, d in hits],
+                              columns=["doc_id", src_col])
+        texts: dict[int, str] = {}
+        if tbl is not None:
+            for i, t in zip(tbl.column("doc_id").to_pylist(),
+                            tbl.column(src_col).to_pylist()):
+                texts[int(i)] = t or ""
+        return self._fragments(hits, texts, an, qset, window, pre_tag,
+                               post_tag, num_fragments)
 
     def field_sorted_search(self, sort_field: str, k: int = 500,
                             desc: bool = True, query: str = "",

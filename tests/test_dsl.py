@@ -1462,3 +1462,24 @@ def test_stored_search_templates(dsl_s):
         get_script(s.index_dir, "nope")
     with pytest.raises(ValueError, match="source OR id"):
         execute_search_template(s, {"id": "find", "source": src})
+
+
+def test_highlight_number_of_fragments(hl_s):
+    """number_of_fragments > 1: non-overlapping windows around
+    successive occurrences, each fragment tagged; single-fragment
+    path unchanged."""
+    s = hl_s
+    one = execute_dsl(s, {"query": {"match": {"content": "spark"}},
+                          "size": 3, "highlight": {
+                              "fields": {"content": {}}}})
+    multi = execute_dsl(s, {"query": {"match": {"content": "spark"}},
+                            "size": 3, "highlight": {
+                                "fields": {"content": {}},
+                                "number_of_fragments": 3}})
+    for h1, hm in zip(one["hits"]["hits"], multi["hits"]["hits"]):
+        assert h1["_id"] == hm["_id"]
+        frs = hm["highlight"]["content"]
+        assert 1 <= len(frs) <= 3
+        assert frs[0] == h1["highlight"]["content"][0]
+        for fr in frs:
+            assert "<em>spark</em>" in fr
