@@ -544,6 +544,26 @@ def _exec_agg(s, name: str, spec: dict, qctx: tuple[str, str, str]
                     for b in buckets:
                         b[sname] = {"buckets": per_v.get(b["key"], [])}
                     continue
+                if sk == "terms":
+                    # terms -> terms (two keyword levels): the pair
+                    # census IS multi_terms, regrouped under the
+                    # parent buckets; sub-buckets keep the terms
+                    # order (count desc, value asc), truncated to the
+                    # sub-agg's size
+                    ssize = sb.get("size", 10)
+                    pairs = s.multi_terms_aggregation(
+                        text, (body["field"], sb["field"]), qfield,
+                        mode)
+                    per_p: dict[str, list[dict]] = {}
+                    for a, b2, n in pairs:
+                        per_p.setdefault(a, []).append(
+                            {"key": b2, "doc_count": n})
+                    for b in buckets:
+                        subs = sorted(per_p.get(b["key"], []),
+                                      key=lambda x: (-x["doc_count"],
+                                                     x["key"]))
+                        b[sname] = {"buckets": subs[:ssize]}
+                    continue
                 if sk not in ("avg", "sum", "min", "max", "stats",
                               "value_count"):
                     raise ValueError(

@@ -1483,3 +1483,23 @@ def test_highlight_number_of_fragments(hl_s):
         assert frs[0] == h1["highlight"]["content"][0]
         for fr in frs:
             assert "<em>spark</em>" in fr
+
+
+def test_dsl_terms_terms_subagg(dsl_s):
+    """terms -> terms sub-buckets regroup the multi_terms pair
+    census; sub-bucket counts sum to the parent doc_count."""
+    s = dsl_s
+    resp = execute_dsl(s, {
+        "query": {"match": {"content": "spark"}}, "size": 0,
+        "aggs": {"by_lang": {"terms": {"field": "lang", "size": 5},
+                 "aggs": {"rep": {"terms": {"field": "repo",
+                                            "size": 10}}}}}})
+    pairs = dict(((a, b), n) for a, b, n in
+                 s.multi_terms_aggregation("spark", ("lang", "repo")))
+    for b in resp["aggregations"]["by_lang"]["buckets"]:
+        subs = b["rep"]["buckets"]
+        assert sum(x["doc_count"] for x in subs) == b["doc_count"]
+        for x in subs:
+            assert pairs[(b["key"], x["key"])] == x["doc_count"]
+        counts = [x["doc_count"] for x in subs]
+        assert counts == sorted(counts, reverse=True)
