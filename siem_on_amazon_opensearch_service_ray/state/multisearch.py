@@ -355,6 +355,41 @@ class MultiSearcher:
                 merged[v] = merged.get(v, 0) + int(n)
         return merged
 
+    def field_sorted_search(self, sort_field: str, k: int = 500,
+                            desc: bool = True, query: str = "",
+                            field: str = "content", mode: str = "or",
+                            filter_field: str | None = None,
+                            filter_value: str | None = None,
+                            after=None) -> list[tuple]:
+        """Pattern-wide field sort (the Discover shape): each index
+        ships its own top-k (value, doc_id) rows via per-shard
+        boundary bisects; the coordinator merges — exact because
+        indexes partition the docs.  No statistics round (sorting
+        never scores)."""
+        rows: list[tuple] = []
+        for s in self.searchers.values():
+            rows.extend(s.field_sorted_search(
+                sort_field, k=k, desc=desc, query=query, field=field,
+                mode=mode, filter_field=filter_field,
+                filter_value=filter_value, after=after))
+        rows.sort(key=(lambda t: (-t[0], t[1])) if desc
+                  else (lambda t: (t[0], t[1])))
+        return rows[:k]
+
+    def fetch_docs(self, doc_ids, columns: list[str] | None = None):
+        """Pattern-wide docstore fetch: each index reads only its own
+        ids (parquet row-group pruned; foreign ids simply miss), the
+        coordinator concatenates."""
+        import pyarrow as pa
+        parts = []
+        for s in self.searchers.values():
+            t = s.fetch_docs(doc_ids, columns=columns)
+            if t is not None and t.num_rows:
+                parts.append(t)
+        if not parts:
+            return None
+        return pa.concat_tables(parts, promote_options="default")
+
     def histogram_aggregation(self, query: str, range_field: str,
                               interval: float, field: str = "content",
                               mode: str = "or",

@@ -246,3 +246,34 @@ def test_pattern_dsl(split_indexes):
     finally:
         flat.close()
         ms.close()
+
+
+def test_discover_saved_search_over_pattern(split_indexes):
+    """A Discover saved search executes against the pattern with the
+    same rows as the flat index (field sort merges exactly; docstore
+    fetch concatenates per-index reads)."""
+    from siem_on_amazon_opensearch_service_ray.pipelines.dashboards import (
+        execute_search)
+    root, flat_idx, ia, ib = split_indexes
+    flat = Searcher(flat_idx, use_actors=False)
+    ms = MultiSearcher([ia, ib], use_actors=False)
+    saved = {"title": "s", "columns": ["lang"],
+             "sort": [["msm", "desc"]],
+             "query": "spark", "language": "kuery"}
+    try:
+        want = execute_search(flat, saved, k=25,
+                              time_field="msm").to_pandas()
+        got = execute_search(ms, saved, k=25,
+                             time_field="msm").to_pandas()
+        assert want.equals(got)
+        saved2 = {"title": "s2", "columns": ["msm"],
+                  "sort": ["msm", "asc"],
+                  "query": 'lang:"en"', "language": "kuery"}
+        want2 = execute_search(flat, saved2, k=25,
+                               time_field="msm").to_pandas()
+        got2 = execute_search(ms, saved2, k=25,
+                              time_field="msm").to_pandas()
+        assert want2.equals(got2)
+    finally:
+        flat.close()
+        ms.close()
