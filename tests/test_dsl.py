@@ -416,7 +416,7 @@ def test_dsl_field_sort(dsl_s):
     allr = execute_dsl(s, {"sort": [{"msm": "desc"}], "size": 5})
     assert off["hits"]["hits"] == allr["hits"]["hits"][2:]
     import pytest as _pytest
-    with _pytest.raises(ValueError, match="one sort key"):
+    with _pytest.raises(ValueError, match="tiebreak"):
         execute_dsl(s, {"sort": [{"msm": "asc"}, {"lat": "asc"}]})
     with _pytest.raises(ValueError, match="sort.*not supported|query"):
         execute_dsl(s, {"query": {"ids": {"values": [1]}},
