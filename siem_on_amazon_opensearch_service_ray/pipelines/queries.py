@@ -4026,6 +4026,211 @@ SELECT bucket, n FROM b ORDER BY n DESC, bucket LIMIT 3
 """
 
 
+def dsl_bucket_script(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``bucket_script`` through `_search`: a
+    whitelisted-arithmetic script over SIBLING metric values per
+    parent histogram bucket (here avg-chars-per-doc =
+    sum(n_chars)/_count — the ratio panel every dashboard has).
+    Metric values arrive as per-shard mergeable moments; the script
+    runs coordinator-side over the reduced buckets
+    (`state/searcher.py bucket_script_buckets`)."""
+    from ..state.dsl import execute_dsl
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        resp = execute_dsl(s, {
+            "query": {"match": {"content": BM25_QUERY}}, "size": 0,
+            "aggs": {"h": {
+                "histogram": {"field": "n_chars", "interval": 200.0},
+                "aggs": {
+                    "s_chars": {"sum": {"field": "n_chars"}},
+                    "ratio": {"bucket_script": {
+                        "buckets_path": {"a": "s_chars", "b": "_count"},
+                        "script": "params.a / params.b"}},
+                }}}})
+    finally:
+        s.close()
+    agg = resp["aggregations"]["h"]
+    b = agg["buckets"]
+    return pd.DataFrame({
+        "bucket": np.array([x["key"] for x in b], np.int64),
+        "n": np.array([x["doc_count"] for x in b], np.int64),
+        "ratio_e4": np.array([int(_round_away(r * 1e4))
+                              for r in agg["ratio"]], np.int64)})
+
+
+DSL_BUCKET_SCRIPT_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))}))
+SELECT cast(floor(d.n_chars / 200.0) * 200 AS BIGINT) AS bucket,
+       cast(count(*) AS BIGINT) AS n,
+       cast(round(sum(d.n_chars)::DOUBLE / count(*) * 10000) AS BIGINT)
+           AS ratio_e4
+FROM documents d JOIN m USING(doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def dsl_moving_fn(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``moving_fn`` through `_search`: MovingFunctions.max
+    and .sum over the trailing-3 window EXCLUDING the current bucket
+    (shift=0) of the histogram doc counts; the first bucket (empty
+    window) emits no value and is dropped from the frame — == a SQL
+    ``ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING`` window."""
+    from ..state.dsl import execute_dsl
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        resp = execute_dsl(s, {
+            "query": {"match": {"content": BM25_QUERY}}, "size": 0,
+            "aggs": {"h": {
+                "histogram": {"field": "n_chars", "interval": 200.0},
+                "aggs": {
+                    "mx": {"moving_fn": {
+                        "buckets_path": "_count", "window": 3,
+                        "script": "MovingFunctions.max(values)"}},
+                    "sm": {"moving_fn": {
+                        "buckets_path": "_count", "window": 3,
+                        "script": "MovingFunctions.sum(values)"}},
+                }}}})
+    finally:
+        s.close()
+    agg = resp["aggregations"]["h"]
+    rows = [(x["key"], x["doc_count"], mx, sm) for x, mx, sm in
+            zip(agg["buckets"], agg["mx"], agg["sm"])
+            if mx is not None]
+    return pd.DataFrame({
+        "bucket": np.array([r[0] for r in rows], np.int64),
+        "n": np.array([r[1] for r in rows], np.int64),
+        "mov_max": np.array([int(r[2]) for r in rows], np.int64),
+        "mov_sum": np.array([int(r[3]) for r in rows], np.int64)})
+
+
+DSL_MOVING_FN_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))})),
+b AS (SELECT cast(floor(d.n_chars / 200.0) * 200 AS BIGINT) AS bucket,
+             cast(count(*) AS BIGINT) AS n
+      FROM documents d JOIN m USING(doc_id) GROUP BY 1),
+w AS (SELECT bucket, n,
+             max(n) OVER (ORDER BY bucket
+                          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                 AS mov_max,
+             sum(n) OVER (ORDER BY bucket
+                          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                 AS mov_sum
+      FROM b)
+SELECT bucket, n, cast(mov_max AS BIGINT) AS mov_max,
+       cast(mov_sum AS BIGINT) AS mov_sum
+FROM w WHERE mov_max IS NOT NULL ORDER BY bucket
+"""
+
+
+def dsl_cumulative_cardinality(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``cumulative_cardinality`` (+ per-bucket
+    ``cardinality`` sub-agg) through `_search`: running distinct
+    ``source`` values across histogram buckets in key order — the
+    new-users-over-time panel.  Exact where OpenSearch merges HLL
+    sketches: only the distinct (value, bin) census travels
+    (`terms_histogram` partials), the cumulative union reduces
+    driver-side (`cumulative_cardinality_buckets`)."""
+    from ..state.dsl import execute_dsl
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        resp = execute_dsl(s, {
+            "query": {"match": {"content": BM25_QUERY}}, "size": 0,
+            "aggs": {"h": {
+                "histogram": {"field": "n_chars", "interval": 200.0},
+                "aggs": {
+                    "src": {"cardinality": {"field": "source"}},
+                    "cum": {"cumulative_cardinality": {
+                        "buckets_path": "src"}},
+                }}}})
+    finally:
+        s.close()
+    agg = resp["aggregations"]["h"]
+    b = agg["buckets"]
+    return pd.DataFrame({
+        "bucket": np.array([x["key"] for x in b], np.int64),
+        "n": np.array([x["doc_count"] for x in b], np.int64),
+        "n_src": np.array([x["src"]["value"] for x in b], np.int64),
+        "cum_src": np.array(agg["cum"], np.int64)})
+
+
+DSL_CUM_CARD_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))})),
+p AS (SELECT cast(floor(d.n_chars / 200.0) * 200 AS BIGINT) AS bucket,
+             d.source, count(*) AS n
+      FROM documents d JOIN m USING(doc_id) GROUP BY 1, 2)
+SELECT bucket, cast(sum(n) AS BIGINT) AS n,
+       cast(count(DISTINCT source) AS BIGINT) AS n_src,
+       cast((SELECT count(DISTINCT p2.source) FROM p p2
+             WHERE p2.bucket <= p.bucket) AS BIGINT) AS cum_src
+FROM p GROUP BY bucket ORDER BY bucket
+"""
+
+
+def dsl_terms_order(sf_dir: str) -> pd.DataFrame:
+    """``terms`` agg ordered by a METRIC sub-agg (``order``:
+    ``{"m.avg": "desc"}`` — the top-N-by-average dashboard table).
+    Exact: the full per-value census reduces driver-side before the
+    truncate, so there is no shard_size approximation to tune — only
+    distinct values and their mergeable moments travelled."""
+    from ..state.dsl import execute_dsl
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        resp = execute_dsl(s, {
+            "query": {"match": {"content": BM25_QUERY}}, "size": 0,
+            "aggs": {"t": {
+                "terms": {"field": "lang", "size": 3,
+                          "order": {"m.avg": "desc"}},
+                "aggs": {"m": {"stats": {"field": "n_chars"}}},
+            }}})
+    finally:
+        s.close()
+    b = resp["aggregations"]["t"]["buckets"]
+    return pd.DataFrame({
+        "lang": [x["key"] for x in b],
+        "n": np.array([x["doc_count"] for x in b], np.int64),
+        "avg_e4": np.array([int(_round_away(x["m"]["avg"] * 1e4))
+                            for x in b], np.int64)})
+
+
+DSL_TERMS_ORDER_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))}))
+SELECT d.lang, cast(count(*) AS BIGINT) AS n,
+       cast(round(sum(d.n_chars)::DOUBLE / count(*) * 10000) AS BIGINT)
+           AS avg_e4
+FROM documents d JOIN m USING(doc_id)
+GROUP BY d.lang
+ORDER BY sum(d.n_chars)::DOUBLE / count(*) DESC, d.lang LIMIT 3
+"""
+
+
 def search_bucket_metrics(sf_dir: str) -> pd.DataFrame:
     """OpenSearch sibling pipeline aggs (stats_bucket = the superset of
     avg/sum/min/max_bucket) over the n_chars histogram parent — one
@@ -6534,6 +6739,10 @@ def queries() -> dict:
     # then every entry whose newest driver row is r03 (oldest-green-first).
     return {
         # --- never driver-checked (round-5 additions) ---
+        "dsl_bucket_script": dsl_bucket_script,
+        "dsl_moving_fn": dsl_moving_fn,
+        "dsl_cumulative_cardinality": dsl_cumulative_cardinality,
+        "dsl_terms_order": dsl_terms_order,
         "dsl_post_filter": dsl_post_filter,
         "dsl_suggest": dsl_suggest,
         "dsl_script_fields": dsl_script_fields,
@@ -6706,6 +6915,10 @@ def queries() -> dict:
 
 def oracle_sql() -> dict:
     return {
+        "dsl_bucket_script": DSL_BUCKET_SCRIPT_SQL,
+        "dsl_moving_fn": DSL_MOVING_FN_SQL,
+        "dsl_cumulative_cardinality": DSL_CUM_CARD_SQL,
+        "dsl_terms_order": DSL_TERMS_ORDER_SQL,
         "dsl_filter_metrics": DSL_FILTER_METRICS_SQL,
         "dsl_scroll": DSL_SCROLL_SQL,
         "dsl_template": DSL_TEMPLATE_SQL,

@@ -94,6 +94,8 @@ panel queries are exactly this JSON shape.
 
 from __future__ import annotations
 
+import re
+
 from typing import Any
 
 __all__ = ["execute_dsl", "execute_count", "execute_msearch",
@@ -503,7 +505,9 @@ _PIPELINE_KEYS = {"cumulative_sum", "derivative", "moving_avg",
                   "serial_diff", "rate", "percentiles_bucket",
                   "moving_percentiles", "bucket_selector",
                   "bucket_sort", "stats_bucket", "avg_bucket",
-                  "sum_bucket", "min_bucket", "max_bucket"}
+                  "sum_bucket", "min_bucket", "max_bucket",
+                  "bucket_script", "moving_fn",
+                  "cumulative_cardinality", "normalize"}
 
 
 def _exec_agg(s, name: str, spec: dict, qctx: tuple[str, str, str]
@@ -519,8 +523,16 @@ def _exec_agg(s, name: str, spec: dict, qctx: tuple[str, str, str]
     sub = spec.get("aggs", spec.get("aggregations", {}))
     if kind == "terms":
         rows = s.terms_aggregation(text, body["field"], qfield, mode)
-        buckets = [{"key": v, "doc_count": n}
-                   for v, n in rows[:body.get("size", 10)]]
+        size = body.get("size", 10)
+        order = body.get("order")
+        okey, odir = (next(iter(order.items())) if order
+                      else ("_count", "desc"))
+        if okey == "_count" and odir == "desc":
+            # the census arrives count-desc/key-asc already; truncate
+            # BEFORE attaching metrics (one stats pass over the kept
+            # values only)
+            rows = rows[:size]
+        buckets = [{"key": v, "doc_count": n} for v, n in rows]
         if sub:
             # metric sub-aggs (the dashboard split-series shape):
             # one terms_stats pass per distinct numeric field — each
@@ -597,7 +609,31 @@ def _exec_agg(s, name: str, spec: dict, qctx: tuple[str, str, str]
                             "count": int(n), "sum": float(su),
                             "min": lo, "max": hi,
                             "avg": float(su) / n if n else None}
-        return {"buckets": buckets}
+        if okey == "_key":
+            buckets.sort(key=lambda b: b["key"],
+                         reverse=(odir == "desc"))
+        elif okey != "_count":
+            # order by a metric sub-agg ("m1" or "m1.avg"): exact —
+            # the full per-value census reduced driver-side before
+            # the truncate (OpenSearch's shard_size approximation
+            # doesn't apply; only distinct values travelled)
+            mname, _, stat = okey.partition(".")
+
+            def _mv(b: dict):
+                node = b.get(mname)
+                if not isinstance(node, dict):
+                    raise ValueError(
+                        f"terms order {okey!r}: no metric sub-agg "
+                        f"named {mname!r}")
+                return node.get(stat or "value")
+            have = [b for b in buckets if _mv(b) is not None]
+            rest = [b for b in buckets if _mv(b) is None]
+            have.sort(key=lambda b: b["key"])
+            have.sort(key=_mv, reverse=(odir == "desc"))
+            buckets = have + rest
+        elif odir == "asc":
+            buckets.sort(key=lambda b: (b["doc_count"], b["key"]))
+        return {"buckets": buckets[:size]}
     if kind == "multi_terms":
         pair = tuple(t["field"] for t in body["terms"])
         rows = s.multi_terms_aggregation(text, pair, qfield, mode)
@@ -655,8 +691,32 @@ def _exec_agg(s, name: str, spec: dict, qctx: tuple[str, str, str]
         _METRIC_KEYS = ("avg", "sum", "min", "max", "stats",
                         "value_count")
         hist_stats: dict[str, dict] = {}   # metric field -> bin moments
+        kw_census: dict[str, list] = {}    # keyword field -> (v, bin, n)
+        pipeline_specs: list[tuple[str, str, dict]] = []
+        # two passes: metric sub-aggs attach to the buckets FIRST so a
+        # pipeline agg's buckets_path ("m1", "m1.avg", "_count") can
+        # resolve regardless of body key order (OpenSearch resolves
+        # sibling paths after the reduce, not in declaration order)
         for pname, pspec in sub.items():
             pk, pb = _one(pspec, f"pipeline agg {pname}")
+            if pk == "cardinality":
+                # per-bin distinct keyword values: the terms×histogram
+                # census (only distinct (value, bin) pairs travel)
+                # reduced to per-bin set sizes — exact where
+                # OpenSearch's per-bucket HLL is approximate
+                rf = pb["field"]
+                if rf not in kw_census:
+                    kw_census[rf] = s.terms_histogram_aggregation(
+                        text, rf, body["field"], interval, qfield, mode)
+                per_bin: dict = {}
+                for _v, bk, _n in kw_census[rf]:
+                    per_bin[bk] = per_bin.get(bk, 0) + 1
+                for b in out["buckets"]:
+                    b[pname] = {"value": int(per_bin.get(b["key"], 0))}
+                continue
+            if pk not in _METRIC_KEYS:
+                pipeline_specs.append((pname, pk, pb))
+                continue
             if pk in _METRIC_KEYS:
                 # per-bin metric sub-agg (the avg-over-time panel):
                 # per-shard mergeable moments, one pass per field
@@ -687,9 +747,78 @@ def _exec_agg(s, name: str, spec: dict, qctx: tuple[str, str, str]
                             "count": int(n), "sum": float(su),
                             "min": lo, "max": hi,
                             "avg": float(su) / n if n else None}
-                continue
+        def _bpath_values(path: str) -> list:
+            """Resolve an OpenSearch buckets_path ("_count", "m1",
+            "m1.avg") to one value per parent bucket, in key order."""
+            if path == "_count":
+                return [float(n) for _, n in buckets]
+            mname, _, stat = path.partition(".")
+            vals = []
+            for b in out["buckets"]:
+                node = b.get(mname)
+                if not isinstance(node, dict):
+                    raise ValueError(
+                        f"buckets_path {path!r}: no metric sub-agg "
+                        f"named {mname!r} on the histogram parent")
+                vals.append(node.get(stat or "value"))
+            return vals
+
+        for pname, pk, pb in pipeline_specs:
             if pk not in _PIPELINE_KEYS:
                 raise ValueError(f"histogram sub-agg {pk!r} unsupported")
+            if pk == "bucket_script":
+                from .searcher import bucket_script_buckets
+                paths = pb["buckets_path"]
+                if not isinstance(paths, dict):
+                    raise ValueError("bucket_script: buckets_path must "
+                                     "be a {name: path} object")
+                named = {k: _bpath_values(p) for k, p in paths.items()}
+                out[pname] = bucket_script_buckets(named, pb["script"])
+                continue
+            if pk == "moving_fn":
+                from .searcher import moving_fn_buckets
+                script = pb.get("script", "")
+                m = re.search(r"MovingFunctions\.(\w+)\s*\(", script)
+                if not m:
+                    raise ValueError(
+                        "moving_fn: script must call a MovingFunctions."
+                        "{max,min,sum,unweightedAvg,stdDev,"
+                        "linearWeightedAvg,ewma} builtin")
+                mvals = _bpath_values(pb.get("buckets_path", "_count"))
+                mb = [(b["key"], v) for b, v in zip(out["buckets"],
+                                                    mvals)]
+                out[pname] = [v for _, v in moving_fn_buckets(
+                    mb, int(pb["window"]), m.group(1),
+                    shift=int(pb.get("shift", 0)),
+                    alpha=float(pb.get("alpha", 0.3)))]
+                continue
+            if pk == "cumulative_cardinality":
+                from .searcher import cumulative_cardinality_buckets
+                # buckets_path names a sibling cardinality sub-agg;
+                # its field drives the (value, bin) census
+                ref = sub.get(pb["buckets_path"], {})
+                rk, rb = _one(ref, "cumulative_cardinality target") \
+                    if ref else (None, None)
+                if rk != "cardinality":
+                    raise ValueError(
+                        "cumulative_cardinality: buckets_path must "
+                        "name a sibling cardinality sub-agg")
+                rf = rb["field"]
+                if rf not in kw_census:
+                    kw_census[rf] = s.terms_histogram_aggregation(
+                        text, rf, body["field"], interval, qfield, mode)
+                cum = dict(cumulative_cardinality_buckets(kw_census[rf]))
+                run = 0
+                vals = []
+                for b in out["buckets"]:
+                    run = cum.get(b["key"], run)
+                    vals.append(int(run))
+                out[pname] = vals
+                continue
+            if pk == "normalize":
+                out[pname] = [v for _, v in normalize_buckets(
+                    buckets, pb.get("method", "percent_of_sum"))]
+                continue
             if pk == "cumulative_sum":
                 rows = pipeline_aggregations(buckets)
                 out[pname] = [r["cumulative_sum"] for r in rows]

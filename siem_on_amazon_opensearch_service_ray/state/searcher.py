@@ -7861,6 +7861,114 @@ def bucket_metrics(buckets: list[tuple]) -> dict:
 
 
 
+_MOVING_FNS = ("max", "min", "sum", "unweightedAvg", "stdDev",
+               "linearWeightedAvg", "ewma")
+
+
+def moving_fn_buckets(buckets: list[tuple], window: int, fn: str,
+                      shift: int = 0, alpha: float = 0.3
+                      ) -> list[tuple[float, float | None]]:
+    """OpenSearch ``moving_fn`` with the built-in ``MovingFunctions.*``
+    library: for each parent bucket, apply ``fn`` to the window of
+    ``window`` values ENDING JUST BEFORE the current bucket
+    (``shift=0``, OpenSearch's default frame [i-window+shift,
+    i+shift)); an empty window emits None.  Functions: max / min /
+    sum / unweightedAvg / stdDev (population) / linearWeightedAvg
+    (weights 1..n, newest heaviest) / ewma (factor ``alpha``, applied
+    oldest→newest).  Pure coordinator-side post-processing over
+    reduced buckets, like cumulative_sum / moving_avg
+    (``pipeline_aggregations`` above)."""
+    if fn not in _MOVING_FNS:
+        raise ValueError(f"moving_fn: unsupported function {fn!r}; "
+                         f"one of {list(_MOVING_FNS)}")
+    vals = np.asarray([float(v) for _, v in buckets], dtype=np.float64)
+    out: list[tuple[float, float | None]] = []
+    for i, (b, _) in enumerate(buckets):
+        lo = max(0, i - window + shift)
+        hi = max(lo, i + shift)
+        win = vals[lo:min(hi, len(vals))]
+        if win.size == 0:
+            out.append((b, None))
+            continue
+        if fn == "max":
+            r = win.max()
+        elif fn == "min":
+            r = win.min()
+        elif fn == "sum":
+            r = win.sum()
+        elif fn == "unweightedAvg":
+            r = win.mean()
+        elif fn == "stdDev":
+            r = win.std()
+        elif fn == "linearWeightedAvg":
+            w = np.arange(1, win.size + 1, dtype=np.float64)
+            r = float((win * w).sum() / w.sum())
+        else:   # ewma
+            r = win[0]
+            for v in win[1:]:
+                r = alpha * v + (1.0 - alpha) * r
+        out.append((b, float(r)))
+    return out
+
+
+def bucket_script_buckets(named: dict[str, list], expr: str
+                          ) -> list[float | None]:
+    """OpenSearch ``bucket_script``: evaluate a whitelisted-arithmetic
+    script over ALIGNED sibling-metric value lists (one value per
+    parent bucket; ``buckets_path`` resolution happens in the DSL
+    layer).  ``params.x`` painless references are rewritten to bare
+    names before compilation; a bucket where ANY referenced metric is
+    None (empty bucket / no values) emits None, OpenSearch's
+    skip-gap behaviour.  Division by zero emits None rather than
+    raising (OpenSearch skips the bucket).  Coordinator-side over
+    reduced buckets — the metric values already travelled as
+    mergeable per-shard moments."""
+    import re as _re
+    expr = _re.sub(r"\bparams\.([A-Za-z_]\w*)", r"\1", expr)
+    names = tuple(named)
+    run = compile_metric_expr(expr, names)
+    if not named:
+        return []
+    n = len(next(iter(named.values())))
+    for k, v in named.items():
+        if len(v) != n:
+            raise ValueError(
+                f"bucket_script: metric {k!r} has {len(v)} values, "
+                f"expected {n} (misaligned parent buckets)")
+    out: list[float | None] = []
+    for i in range(n):
+        row = {k: named[k][i] for k in names}
+        if any(v is None for v in row.values()):
+            out.append(None)
+            continue
+        try:
+            out.append(float(run(row)))
+        except ZeroDivisionError:
+            out.append(None)
+    return out
+
+
+def cumulative_cardinality_buckets(pairs: list[tuple]
+                                   ) -> list[tuple[float, int]]:
+    """OpenSearch ``cumulative_cardinality``: the running count of
+    DISTINCT keyword values seen in bucket order.  Input is the
+    (value, bucket_key, count) census the terms×histogram partial
+    already ships (only distinct (value, bin) pairs travel — never
+    doc ids), so the cumulative union reduces driver-side exactly,
+    where OpenSearch merges HLL sketches approximately.  Returns
+    [(bucket_key, cumulative_distinct)] over every bucket present in
+    the census, key-ascending."""
+    per_bucket: dict[float, set] = {}
+    for v, bk, _n in pairs:
+        per_bucket.setdefault(bk, set()).add(v)
+    seen: set = set()
+    out: list[tuple[float, int]] = []
+    for bk in sorted(per_bucket):
+        seen |= per_bucket[bk]
+        out.append((bk, len(seen)))
+    return out
+
+
 def _extend_stats(out: dict) -> None:
     """extended_stats fields from the mergeable moments (OpenSearch
     ``extended_stats``: population variance/std, sum_of_squares) —

@@ -1503,3 +1503,156 @@ def test_dsl_terms_terms_subagg(dsl_s):
             assert pairs[(b["key"], x["key"])] == x["doc_count"]
         counts = [x["doc_count"] for x in subs]
         assert counts == sorted(counts, reverse=True)
+
+
+def test_dsl_bucket_script(dsl_s):
+    """bucket_script: params.x painless refs over sibling metric
+    values, aligned per parent bucket; missing metrics raise; a
+    zero-denominator bucket emits None instead of raising."""
+    s = dsl_s
+    resp = execute_dsl(s, {
+        "query": {"match": {"content": "spark"}}, "size": 0,
+        "aggs": {"h": {"histogram": {"field": "msm", "interval": 1.0},
+                 "aggs": {"sl": {"sum": {"field": "lat"}},
+                          "r": {"bucket_script": {
+                              "buckets_path": {"a": "sl",
+                                               "b": "_count"},
+                              "script": "params.a / params.b"}}}}}})
+    agg = resp["aggregations"]["h"]
+    for b, r in zip(agg["buckets"], agg["r"]):
+        assert r == pytest.approx(b["sl"]["value"] / b["doc_count"])
+    with pytest.raises(ValueError, match="no metric sub-agg"):
+        execute_dsl(s, {
+            "query": {"match": {"content": "spark"}}, "size": 0,
+            "aggs": {"h": {"histogram": {"field": "msm",
+                                         "interval": 1.0},
+                     "aggs": {"r": {"bucket_script": {
+                         "buckets_path": {"a": "nope"},
+                         "script": "params.a"}}}}}})
+
+
+def test_bucket_script_units():
+    from siem_on_amazon_opensearch_service_ray.state.searcher import \
+        bucket_script_buckets
+    # zero division -> None; None input -> None (gap skip)
+    assert bucket_script_buckets(
+        {"a": [1.0, 2.0, None], "b": [0.0, 2.0, 4.0]},
+        "params.a / params.b") == [None, 1.0, None]
+    with pytest.raises(ValueError, match="misaligned"):
+        bucket_script_buckets({"a": [1.0], "b": [1.0, 2.0]}, "a + b")
+    with pytest.raises(ValueError, match="calls allowed"):
+        bucket_script_buckets({"a": [1.0]}, "__import__('os')")
+
+
+def test_dsl_moving_fn(dsl_s):
+    """moving_fn: MovingFunctions.{max,sum,ewma} over the trailing
+    window EXCLUDING the current bucket; first bucket None."""
+    s = dsl_s
+    resp = execute_dsl(s, {
+        "query": {"match": {"content": "spark"}}, "size": 0,
+        "aggs": {"h": {"histogram": {"field": "msm", "interval": 1.0},
+                 "aggs": {"mx": {"moving_fn": {
+                     "buckets_path": "_count", "window": 2,
+                     "script": "MovingFunctions.max(values)"}}}}}})
+    agg = resp["aggregations"]["h"]
+    counts = [b["doc_count"] for b in agg["buckets"]]
+    want = [None] + [max(counts[max(0, i - 2):i])
+                     for i in range(1, len(counts))]
+    assert agg["mx"] == want
+    with pytest.raises(ValueError, match="MovingFunctions"):
+        execute_dsl(s, {
+            "query": {"match": {"content": "spark"}}, "size": 0,
+            "aggs": {"h": {"histogram": {"field": "msm",
+                                         "interval": 1.0},
+                     "aggs": {"m": {"moving_fn": {
+                         "buckets_path": "_count", "window": 2,
+                         "script": "values.sum()"}}}}}})
+
+
+def test_moving_fn_units():
+    from siem_on_amazon_opensearch_service_ray.state.searcher import \
+        moving_fn_buckets
+    b = [(0.0, 2.0), (1.0, 4.0), (2.0, 6.0), (3.0, 8.0)]
+    assert moving_fn_buckets(b, 2, "linearWeightedAvg") == \
+        [(0.0, None), (1.0, 2.0), (2.0, (2 * 1 + 4 * 2) / 3),
+         (3.0, (4 * 1 + 6 * 2) / 3)]
+    # ewma oldest->newest with alpha
+    got = moving_fn_buckets(b, 3, "ewma", alpha=0.5)
+    assert got[3][1] == pytest.approx(
+        0.5 * 6 + 0.5 * (0.5 * 4 + 0.5 * 2))
+    assert moving_fn_buckets(b, 2, "stdDev")[2][1] == \
+        pytest.approx(np.std([2.0, 4.0]))
+    with pytest.raises(ValueError, match="unsupported function"):
+        moving_fn_buckets(b, 2, "median")
+
+
+def test_dsl_cumulative_cardinality(dsl_s):
+    """cumulative_cardinality: running distinct keyword values in
+    bucket order — monotone nondecreasing, final value == the match
+    set's total cardinality; per-bucket cardinality sub-agg exact."""
+    s = dsl_s
+    resp = execute_dsl(s, {
+        "query": {"match": {"content": "spark"}}, "size": 0,
+        "aggs": {"h": {"histogram": {"field": "msm", "interval": 1.0},
+                 "aggs": {"c": {"cardinality": {"field": "repo"}},
+                          "cc": {"cumulative_cardinality": {
+                              "buckets_path": "c"}}}}}})
+    agg = resp["aggregations"]["h"]
+    cc = agg["cc"]
+    assert all(a <= b for a, b in zip(cc, cc[1:]))
+    assert cc[-1] == s.cardinality_aggregation("spark", "repo")
+    assert all(b["c"]["value"] <= cc[i]
+               for i, b in enumerate(agg["buckets"]))
+    with pytest.raises(ValueError, match="sibling cardinality"):
+        execute_dsl(s, {
+            "query": {"match": {"content": "spark"}}, "size": 0,
+            "aggs": {"h": {"histogram": {"field": "msm",
+                                         "interval": 1.0},
+                     "aggs": {"cc": {"cumulative_cardinality": {
+                         "buckets_path": "zzz"}}}}}})
+
+
+def test_dsl_terms_order(dsl_s):
+    """terms order: by metric sub-agg (full census, exact), by _key,
+    and _count asc — key-asc tiebreak in every mode."""
+    s = dsl_s
+    resp = execute_dsl(s, {
+        "query": {"match": {"content": "spark"}}, "size": 0,
+        "aggs": {"t": {"terms": {"field": "repo", "size": 2,
+                                 "order": {"m.avg": "desc"}},
+                 "aggs": {"m": {"stats": {"field": "lat"}}}}}})
+    got = [(b["key"], b["m"]["avg"]) for b in
+           resp["aggregations"]["t"]["buckets"]]
+    full = {v: (su / n) for v, n, su, *_ in
+            s.terms_stats_aggregation("spark", "repo", "lat")}
+    want = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert [(k, pytest.approx(v)) for k, v in want] == got
+    rk = execute_dsl(s, {
+        "query": {"match": {"content": "spark"}}, "size": 0,
+        "aggs": {"t": {"terms": {"field": "repo", "size": 3,
+                                 "order": {"_key": "desc"}}}}})
+    keys = [b["key"] for b in rk["aggregations"]["t"]["buckets"]]
+    assert keys == sorted(keys, reverse=True)
+    ra = execute_dsl(s, {
+        "query": {"match": {"content": "spark"}}, "size": 0,
+        "aggs": {"t": {"terms": {"field": "repo", "size": 3,
+                                 "order": {"_count": "asc"}}}}})
+    cnts = [b["doc_count"] for b in ra["aggregations"]["t"]["buckets"]]
+    assert cnts == sorted(cnts)
+    with pytest.raises(ValueError, match="no metric sub-agg"):
+        execute_dsl(s, {
+            "query": {"match": {"content": "spark"}}, "size": 0,
+            "aggs": {"t": {"terms": {"field": "repo", "size": 2,
+                                     "order": {"zzz": "desc"}}}}})
+
+
+def test_dsl_normalize_pipeline(dsl_s):
+    """normalize through the DSL: percent_of_sum over histogram doc
+    counts sums to 1."""
+    s = dsl_s
+    resp = execute_dsl(s, {
+        "query": {"match": {"content": "spark"}}, "size": 0,
+        "aggs": {"h": {"histogram": {"field": "msm", "interval": 1.0},
+                 "aggs": {"pct": {"normalize": {
+                     "method": "percent_of_sum"}}}}}})
+    assert sum(resp["aggregations"]["h"]["pct"]) == pytest.approx(1.0)
