@@ -6342,6 +6342,67 @@ SELECT metric, value FROM (VALUES
 """
 
 
+def dsl_reindex(sf_dir: str) -> pd.DataFrame:
+    """``_reindex`` end-to-end: copy the docs matching ``term
+    lang:'fr'`` out of a PRIVATE ``store_source`` index into a fresh
+    destination index (the copy-an-incident's-docs-to-a-case-index
+    runbook op the reference runs through OpenSearch `_reindex`),
+    then verify the destination THROUGH its own search surface —
+    live total, n_chars sum (range-field agg), a content-match
+    count — plus replay convergence: a second identical ``_reindex``
+    lands the same content-addressed generation, so the destination
+    fingerprint is unchanged (``conflicts: proceed`` by
+    construction)."""
+    import dataclasses
+    import shutil
+    from ..state.dsl import execute_count, execute_dsl, execute_reindex
+    cfg = dataclasses.replace(_docs_index_cfg(), partition_by="doc",
+                              store_source=True)
+    idx = _docs_index_dir(sf_dir) + "_ri"
+    build_index(_docs_source(sf_dir), idx, cfg, resume=True)
+    dest = _docs_index_dir(sf_dir) + "_ri_dest"
+    shutil.rmtree(dest, ignore_errors=True)
+    body = {"source": {"query": {"term": {"lang": "fr"}}}}
+    res = execute_reindex(idx, dest, body)
+    res2 = execute_reindex(idx, dest, body)  # replay -> extend no-op
+    s = Searcher(dest, use_actors=ray.is_initialized())
+    try:
+        live = execute_count(s, {})["count"]
+        spark = execute_count(
+            s, {"query": {"match": {"content": "spark"}}})["count"]
+        resp = execute_dsl(s, {
+            "query": {"match": {"content": "spark"}}, "size": 0,
+            "aggs": {"nc": {"sum": {"field": "n_chars"}}}})
+        nc = int(_round_away(resp["aggregations"]["nc"]["value"]))
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "metric": ["copied", "dest_live", "spark_sum_nchars",
+                   "spark_docs", "replay_stable"],
+        "value": np.array(
+            [res["total"], live, nc, spark,
+             int(res2["dest_fingerprint"] == res["dest_fingerprint"])],
+            np.int64)})
+
+
+DSL_REINDEX_SQL = """
+WITH fr AS (SELECT * FROM documents WHERE lang = 'fr'),
+tok AS (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+        FROM fr)
+SELECT metric, value FROM (VALUES
+  ('copied', (SELECT cast(count(*) AS BIGINT) FROM fr)),
+  ('dest_live', (SELECT cast(count(*) AS BIGINT) FROM fr)),
+  ('spark_sum_nchars',
+   (SELECT cast(coalesce(sum(n_chars), 0) AS BIGINT) FROM fr
+    WHERE doc_id IN (SELECT doc_id FROM tok WHERE term = 'spark'))),
+  ('spark_docs', (SELECT cast(count(DISTINCT doc_id) AS BIGINT)
+                  FROM tok WHERE term = 'spark')),
+  ('replay_stable', cast(1 AS BIGINT))
+) t(metric, value)
+"""
+
+
 def dsl_terms_metric(sf_dir: str) -> pd.DataFrame:
     """terms agg with metric SUB-aggregations through `_search` (the
     dashboard split-series shape: bucket the match set by ``lang``,
@@ -6747,6 +6808,7 @@ def queries() -> dict:
         "dsl_suggest": dsl_suggest,
         "dsl_script_fields": dsl_script_fields,
         "dsl_update_by_query": dsl_update_by_query,
+        "dsl_reindex": dsl_reindex,
         "dsl_terms_metric": dsl_terms_metric,
         "dsl_hist_metric": dsl_hist_metric,
         "search_index_pattern": search_index_pattern,
@@ -6926,6 +6988,7 @@ def oracle_sql() -> dict:
         "dsl_suggest": DSL_SUGGEST_SQL,
         "dsl_script_fields": DSL_SCRIPT_FIELDS_SQL,
         "dsl_update_by_query": DSL_UPDATE_BY_QUERY_SQL,
+        "dsl_reindex": DSL_REINDEX_SQL,
         "dsl_terms_metric": DSL_TERMS_METRIC_SQL,
         "dsl_hist_metric": DSL_HIST_METRIC_SQL,
         "search_index_pattern": SEARCH_INDEX_PATTERN_SQL,

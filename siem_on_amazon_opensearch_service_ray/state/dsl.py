@@ -2040,6 +2040,149 @@ def execute_update_by_query(index_dir: str, body: dict) -> dict:
     return {"updated": int(n - noops), "noops": noops, "total": int(n)}
 
 
+def execute_reindex(src_index_dir: str, dest_index_dir: str,
+                    body: dict | None = None) -> dict:
+    """OpenSearch ``_reindex`` parity — the query-filtered SLICE copy
+    (``{"source": {"query": ...}, "dest": {...}}``, the
+    copy-an-incident's-docs-to-a-case-index op): matching LIVE docs
+    are fetched from the source docstore (one bulk row-group-pruned
+    read) and land in the destination as ONE content-addressed
+    generation via ``extend_index`` — or, when the destination does
+    not exist yet, as a fresh ``build_index`` under the source's own
+    config (``doc_id_col`` forced to ``"doc_id"`` so identities
+    survive, exactly like :func:`~..pipelines.build_index.reindex`).
+    Replay converges: the staging parquet is content-hash named and
+    an identical generation re-ingest is a no-op, so OpenSearch's
+    ``conflicts: proceed`` semantics hold by construction.
+
+    The FULL-corpus remap-under-a-new-mapping form stays
+    ``pipelines.build_index.reindex`` — it streams the docstore
+    parquet files as build input and never materializes ids
+    driver-side; this API form materializes the match set's ids (and
+    only ids + the k result rows), sized for the bounded slice copies
+    dashboards and ops runbooks actually issue.  ``script`` is
+    refused — mutation is ``_update_by_query``'s job.
+
+    Destination collisions follow OpenSearch's default ``op_type:
+    index`` (overwrite): already-live incoming ids are upserted
+    through the documented delete -> compact -> extend flow and
+    reported as ``updated``.
+
+    Requires the source index built with ``store_source=True`` (the
+    docstore is the rebuild source).  Returns ``{"total", "created",
+    "updated", "dest_fingerprint"}``."""
+    import hashlib
+    import json as _json
+    import os as _os
+
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from ..pipelines.build_index import (IndexConfig, build_index,
+                                         extend_index)
+    from .searcher import Searcher
+    body = body or {}
+    if "script" in body:
+        raise ValueError("_reindex: script is not supported — "
+                         "mutation is _update_by_query's job")
+    with open(_os.path.join(src_index_dir, "INDEX_MANIFEST.json")) as f:
+        man = _json.load(f)
+    cfg_d = man["config"]
+    if not cfg_d.get("store_source"):
+        raise ValueError("_reindex needs the source index built with "
+                         "store_source=True (the docstore keeps only "
+                         "content_sha256 otherwise)")
+    query = (body.get("source") or {}).get("query")
+    s = Searcher(src_index_dir, use_actors=False)
+    try:
+        if query is None or "match_all" in (query or {}):
+            # full live-id listing: ONE pruned doc_id column read per
+            # docstore file, tombstones excluded (ids only — the
+            # streaming full-remap path is pipelines.reindex)
+            import glob as _glob
+            parts = [_pq.read_table(p, columns=["doc_id"])
+                     .column("doc_id").to_numpy(zero_copy_only=False)
+                     for p in sorted(_glob.glob(_os.path.join(
+                         src_index_dir, "docstore", "*.parquet")))]
+            ids = np.unique(np.concatenate(parts).astype(np.uint64)) \
+                if parts else np.zeros(0, np.uint64)
+            if ids.size and s.tombstones.size:
+                ids = ids[~np.isin(ids, s.tombstones)]
+        else:
+            ids = _dbq_ids(s, query)
+        if ids.size == 0:
+            return {"total": 0, "created": 0, "dest_fingerprint": None}
+        t = s.fetch_docs(ids.tolist())
+    finally:
+        s.close()
+
+    payload = hashlib.sha256(
+        b"reindex|" + man["fingerprint"].encode() +
+        _json.dumps(sorted(int(i) for i in ids)).encode()
+    ).hexdigest()[:16]
+    gdir = _os.path.join(src_index_dir, "reindex_staging")
+    _os.makedirs(gdir, exist_ok=True)
+    path = _os.path.join(gdir, f"ri-{payload}.parquet")
+    if not _os.path.exists(path):
+        _pq.write_table(t, path)
+
+    updated = 0
+    if _os.path.exists(_os.path.join(dest_index_dir,
+                                     "INDEX_MANIFEST.json")):
+        with open(_os.path.join(dest_index_dir,
+                                "INDEX_MANIFEST.json")) as f:
+            dman = _json.load(f)
+        if dman["config"].get("doc_id_col") is None:
+            raise ValueError("_reindex: destination derives "
+                             "content-addressed ids — identities "
+                             "would not survive; reindex into an "
+                             "explicit-id (doc_id_col) index")
+        # OpenSearch _reindex default op_type is "index" (overwrite):
+        # incoming ids that are already live (or tombstoned) in the
+        # destination go through the documented upsert flow —
+        # delete colliders -> compact (physical removal, clears
+        # tombstones) -> extend.  Skipped entirely when the staging
+        # generation was already ingested (replay no-op).
+        from ..pipelines.build_index import (compact_index, delete_docs,
+                                             input_fingerprint)
+        dcfg = IndexConfig(**{k: (tuple(tuple(x) if isinstance(x, list)
+                                        else x for x in v)
+                                  if isinstance(v, list) else v)
+                              for k, v in dman["config"].items()})
+        genfp = input_fingerprint([path], dcfg)
+        seen = ({dman["fingerprint"]} | set(dman.get("generations", {}))
+                | set(dman.get("compacted_from", [])))
+        if genfp not in seen:
+            d = Searcher(dest_index_dir, use_actors=False)
+            try:
+                live = d.fetch_docs([int(i) for i in ids],
+                                    columns=["doc_id"])
+                collide = [] if live is None else \
+                    [int(x) for x in live.column("doc_id").to_pylist()]
+                had_tombs = bool(d.tombstones.size and np.isin(
+                    ids, d.tombstones).any())
+            finally:
+                d.close()
+            if collide:
+                delete_docs(dest_index_dir, collide)
+            if collide or had_tombs:
+                compact_index(dest_index_dir)
+            updated = len(collide)
+        dest_man = extend_index([path], dest_index_dir)
+    else:
+        import dataclasses
+        cfg = IndexConfig(**{k: (tuple(tuple(x) if isinstance(x, list)
+                                       else x for x in v)
+                                 if isinstance(v, list) else v)
+                             for k, v in cfg_d.items()})
+        cfg = dataclasses.replace(cfg, doc_id_col="doc_id")
+        dest_man = build_index([path], dest_index_dir, cfg,
+                               resume=True)
+    n = int(ids.size)
+    return {"total": n, "created": n - updated, "updated": updated,
+            "dest_fingerprint": dest_man.get("fingerprint")}
+
+
 def execute_bulk(index_dir: str, lines: list[dict]) -> dict:
     """OpenSearch ``_bulk`` parity — THE reference write path (its
     es-loader ships every parsed log batch as one `_bulk` request,

@@ -159,3 +159,109 @@ def test_tombstoned_doc_excluded_from_fetch(ray_session, tmp_path):
         assert {r["doc_id"] for r in t.to_pylist()} == {5}
     finally:
         s.close()
+
+
+# --- the _reindex API form (query-filtered slice copy, dsl.execute_reindex) --
+
+
+def test_execute_reindex_filtered_copy(src_index, tmp_path):
+    from siem_on_amazon_opensearch_service_ray.state.dsl import (
+        execute_count, execute_reindex)
+    _, docs, idx, _ = src_index
+    dest = str(tmp_path / "ri_dest")
+    res = execute_reindex(idx, dest,
+                          {"source": {"query": {"term": {"lang": "py"}}}})
+    assert res["total"] == res["created"] == N_DOCS // 2
+    s2 = Searcher(dest, use_actors=False)
+    try:
+        assert execute_count(s2, {})["count"] == N_DOCS // 2
+        # only even (lang=py) ids landed
+        t = s2.fetch_docs(list(range(N_DOCS)))
+        got = sorted(r["doc_id"] for r in t.select(["doc_id"]).to_pylist())
+        assert got == [i for i in range(N_DOCS) if i % 2 == 0]
+    finally:
+        s2.close()
+
+
+def test_execute_reindex_replay_converges(src_index, tmp_path):
+    from siem_on_amazon_opensearch_service_ray.state.dsl import (
+        execute_count, execute_reindex)
+    _, _, idx, _ = src_index
+    dest = str(tmp_path / "ri_replay")
+    body = {"source": {"query": {"match": {"content": "spark"}}}}
+    r1 = execute_reindex(idx, dest, body)
+    r2 = execute_reindex(idx, dest, body)  # identical generation: no-op
+    assert r1["dest_fingerprint"] == r2["dest_fingerprint"]
+    s2 = Searcher(dest, use_actors=False)
+    try:
+        assert execute_count(s2, {})["count"] == r1["total"]
+    finally:
+        s2.close()
+
+
+def test_execute_reindex_match_all_extends_existing(src_index, tmp_path):
+    from siem_on_amazon_opensearch_service_ray.state.dsl import (
+        execute_count, execute_reindex)
+    _, _, idx, _ = src_index
+    dest = str(tmp_path / "ri_grow")
+    execute_reindex(idx, dest,
+                    {"source": {"query": {"term": {"lang": "go"}}}})
+    # second, wider reindex into the EXISTING dest: extend path; the
+    # overlap (go docs) upserts to identical content, py docs are new
+    res = execute_reindex(idx, dest, {"source": {"query": {"match_all": {}}}})
+    assert res["total"] == N_DOCS
+    assert res["updated"] == N_DOCS // 2  # the go docs were overwritten
+    assert res["created"] == N_DOCS // 2
+    s2 = Searcher(dest, use_actors=False)
+    try:
+        assert execute_count(s2, {})["count"] == N_DOCS
+    finally:
+        s2.close()
+
+
+def test_execute_reindex_excludes_tombstones(ray_session, tmp_path):
+    from siem_on_amazon_opensearch_service_ray.state.dsl import (
+        execute_reindex)
+    docs = _corpus(30, seed=7)
+    src = _write(tmp_path, docs)
+    idx = str(tmp_path / "ri_tomb")
+    build_index([src], idx, _cfg())
+    delete_docs(idx, [2, 8])
+    res = execute_reindex(idx, str(tmp_path / "ri_tomb_dest"))
+    assert res["total"] == 28
+    s2 = Searcher(str(tmp_path / "ri_tomb_dest"), use_actors=False)
+    try:
+        assert s2.fetch_docs([2, 8]) is None
+    finally:
+        s2.close()
+
+
+def test_execute_reindex_refusals(src_index, tmp_path):
+    from siem_on_amazon_opensearch_service_ray.state.dsl import (
+        execute_reindex)
+    _, _, idx, root = src_index
+    with pytest.raises(ValueError, match="script"):
+        execute_reindex(idx, str(tmp_path / "x"),
+                        {"script": {"source": "noop"}})
+    # a source without stored _source cannot be sliced
+    docs = _corpus(10, seed=2)
+    src = _write(tmp_path, docs, name="nosrc.parquet")
+    bare = str(tmp_path / "ri_bare")
+    build_index([src], bare, _cfg(store_source=False))
+    with pytest.raises(ValueError, match="store_source"):
+        execute_reindex(bare, str(tmp_path / "y"))
+    # a dest with derived (content-addressed) ids would lose identities
+    noid = str(tmp_path / "ri_noid")
+    build_index([src], noid, _cfg(doc_id_col=None, id_cols=("text",),
+                                  sha_col="text"))
+    with pytest.raises(ValueError, match="doc_id_col"):
+        execute_reindex(idx, noid)
+
+
+def test_execute_reindex_empty_match(src_index, tmp_path):
+    from siem_on_amazon_opensearch_service_ray.state.dsl import (
+        execute_reindex)
+    _, _, idx, _ = src_index
+    res = execute_reindex(idx, str(tmp_path / "ri_none"),
+                          {"source": {"query": {"term": {"lang": "zz"}}}})
+    assert res == {"total": 0, "created": 0, "dest_fingerprint": None}
