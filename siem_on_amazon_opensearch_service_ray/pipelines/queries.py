@@ -6403,6 +6403,77 @@ SELECT metric, value FROM (VALUES
 """
 
 
+def dsl_filtered_aggs(sf_dir: str) -> pd.DataFrame:
+    """Bool-FILTERED aggregation context through `_search` — THE
+    dashboard request shape (query + keyword filter + numeric window,
+    then aggregate): ``bool {must: match content 'spark', filter:
+    [terms lang in (fr, es), range n_chars 100..900]}`` with a terms
+    agg (+ sum sub-metric), stats, cardinality and value_count.  The
+    filters install once per request as ambient context (ONE
+    broadcast round to the shard actors) and every agg's match set
+    intersects them shard-locally against its own filter/range parts
+    — ids never centralize on the doc layout."""
+    from ..state.dsl import execute_dsl
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        resp = execute_dsl(s, {
+            "query": {"bool": {
+                "must": [{"match": {"content": "spark"}}],
+                "filter": [{"terms": {"lang": ["fr", "es"]}},
+                           {"range": {"n_chars": {"gte": 100,
+                                                  "lte": 900}}}]}},
+            "size": 0,
+            "aggs": {
+                "by_lang": {"terms": {"field": "lang", "size": 10},
+                            "aggs": {"snc": {"sum":
+                                             {"field": "n_chars"}}}},
+                "st": {"stats": {"field": "n_chars"}},
+                "card": {"cardinality": {"field": "source"}},
+                "vc": {"value_count": {"field": "n_chars"}}}})
+    finally:
+        s.close()
+    a = resp["aggregations"]
+    rows = [(f"lang:{b['key']}", b["doc_count"],
+             int(_round_away(b["snc"]["value"])))
+            for b in a["by_lang"]["buckets"]]
+    st = a["st"]
+    rows += [("stats", st["count"], int(_round_away(st["sum"]))),
+             ("minmax", int(st["min"]), int(st["max"])),
+             ("card_src", a["card"]["value"], a["vc"]["value"])]
+    return pd.DataFrame({
+        "metric": [r[0] for r in rows],
+        "n": np.array([r[1] for r in rows], np.int64),
+        "value": np.array([r[2] for r in rows], np.int64)})
+
+
+DSL_FILTERED_AGGS_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (
+  SELECT d.* FROM documents d
+  WHERE d.lang IN ('fr', 'es') AND d.n_chars BETWEEN 100 AND 900
+    AND d.doc_id IN (SELECT doc_id FROM tok WHERE term = 'spark')),
+by_lang AS (
+  SELECT 'lang:' || lang AS metric,
+         cast(count(*) AS BIGINT) AS n,
+         cast(round(sum(n_chars)) AS BIGINT) AS value
+  FROM m GROUP BY lang)
+SELECT metric, n, value FROM by_lang
+UNION ALL
+SELECT 'stats', cast(count(*) AS BIGINT),
+       cast(round(sum(n_chars)) AS BIGINT) FROM m
+UNION ALL
+SELECT 'minmax', cast(min(n_chars) AS BIGINT),
+       cast(max(n_chars) AS BIGINT) FROM m
+UNION ALL
+SELECT 'card_src', cast(count(DISTINCT source) AS BIGINT),
+       cast(count(*) AS BIGINT) FROM m
+"""
+
+
 def dsl_terms_metric(sf_dir: str) -> pd.DataFrame:
     """terms agg with metric SUB-aggregations through `_search` (the
     dashboard split-series shape: bucket the match set by ``lang``,
@@ -6809,6 +6880,7 @@ def queries() -> dict:
         "dsl_script_fields": dsl_script_fields,
         "dsl_update_by_query": dsl_update_by_query,
         "dsl_reindex": dsl_reindex,
+        "dsl_filtered_aggs": dsl_filtered_aggs,
         "dsl_terms_metric": dsl_terms_metric,
         "dsl_hist_metric": dsl_hist_metric,
         "search_index_pattern": search_index_pattern,
@@ -6989,6 +7061,7 @@ def oracle_sql() -> dict:
         "dsl_script_fields": DSL_SCRIPT_FIELDS_SQL,
         "dsl_update_by_query": DSL_UPDATE_BY_QUERY_SQL,
         "dsl_reindex": DSL_REINDEX_SQL,
+        "dsl_filtered_aggs": DSL_FILTERED_AGGS_SQL,
         "dsl_terms_metric": DSL_TERMS_METRIC_SQL,
         "dsl_hist_metric": DSL_HIST_METRIC_SQL,
         "search_index_pattern": SEARCH_INDEX_PATTERN_SQL,

@@ -142,40 +142,99 @@ def _match_text(spec) -> tuple[str, str, str]:
     return field, str(body), "or"
 
 
-def _agg_context(query: dict | None) -> tuple[str, str, str]:
-    """(query_text, field, mode) for match-set aggregations.  The
-    engine's aggs take analyzed terms + or/and; translate the query
-    shapes that lower onto that, raise for the rest."""
+def _agg_context(query: dict | None) -> tuple[str, str, str, tuple]:
+    """(query_text, field, mode, filters) for match-set aggregations.
+    The engine's aggs take analyzed terms + or/and, optionally
+    narrowed by context filters: a ``bool`` with exactly one `match`
+    must and any number of term/terms/range filter clauses lowers to
+    the match context plus hashable filter specs (("kw", field,
+    value|values-tuple) / ("range", field, lo, hi)) that every shard
+    intersects against its own filter parts.  Raise for the rest."""
     if query is None or "match_all" in query:
         raise ValueError(
-            "aggregations need a match/term query context (the "
+            "aggregations need a match/bool query context (the "
             "engine's match-set aggs take analyzed terms); match_all "
-            "aggs: query the corpus stats pipelines instead")
-    kind, _spec = _one(query, "query")
+            "aggs: use a singular filter agg or the corpus stats "
+            "pipelines")
+    kind, spec = _one(query, "query")
     if kind == "match":
         f, text, op = _match_text(query)
-        return text, f, "and" if op == "and" else "or"
+        return text, f, "and" if op == "and" else "or", ()
+    if kind == "bool":
+        musts = spec.get("must")
+        musts = [musts] if isinstance(musts, dict) else musts or []
+        if len(musts) != 1 or "match" not in musts[0] \
+                or spec.get("should") or spec.get("must_not"):
+            raise ValueError(
+                "bool aggregation context needs exactly one match "
+                "must (+ term/terms/range filters) and no "
+                "should/must_not")
+        f, text, op = _match_text(musts[0])
+        filters = []
+        for c in ([spec["filter"]] if isinstance(spec.get("filter"), dict)
+                  else spec.get("filter") or []):
+            ck, cs = _one(c, "bool filter")
+            if ck == "term":
+                ff, v = _one(cs, "term")
+                if isinstance(v, dict):
+                    v = v["value"]
+                filters.append(("kw", ff, str(v)))
+            elif ck == "terms":
+                ff, vs = _one(cs, "terms")
+                filters.append(("kw", ff, tuple(str(v) for v in vs)))
+            elif ck == "range":
+                ff, b = _one(cs, "range")
+                if not set(b) <= {"gte", "lte"}:
+                    raise ValueError("bool agg-context range filter: "
+                                     "only gte/lte bounds are "
+                                     f"supported, got {sorted(b)}")
+                filters.append(("range", ff, b.get("gte"), b.get("lte")))
+            else:
+                raise ValueError(f"bool agg-context filter {ck!r} "
+                                 "unsupported (term/terms/range)")
+        return text, f, "and" if op == "and" else "or", tuple(filters)
     raise ValueError(f"aggregation context query {kind!r} is not "
-                     "supported (use match)")
+                     "supported (use match or bool)")
+
+
+# Agg kinds verified to honor the bool-filtered context (their match
+# sets flow through the _candidate_ids/_match_ids chokepoints where
+# the ambient filters intersect).  The rest raise rather than risk
+# silently aggregating the unfiltered set.
+_CTX_FILTER_OK = frozenset({
+    "terms", "multi_terms", "rare_terms", "cardinality", "value_count",
+    "missing", "histogram", "date_histogram", "range", "date_range",
+    "stats", "extended_stats", "avg", "sum", "min", "max",
+    "percentiles", "percentile_ranks", "median_absolute_deviation",
+    "boxplot", "string_stats", "weighted_avg"})
 
 
 def _run_aggs(s, aggs: dict, query: dict | None) -> dict:
     """Execute a request's aggregations.  A singular ``filter`` agg
     carries its own context (and is the supported way to aggregate
     under ``match_all`` — OpenSearch users narrow a global query this
-    way constantly); everything else runs in the query's context."""
+    way constantly); everything else runs in the query's context.  A
+    ``bool`` context's term/range filters are installed ONCE for the
+    whole request (one broadcast round to the shard actors) and every
+    agg's match set intersects them shard-locally."""
+    from contextlib import ExitStack
+
+    from .searcher import ctx_filters
     out: dict = {}
-    qctx: tuple[str, str, str] | None = None
-    for name, spec in aggs.items():
-        kind, _ = _one({k: v for k, v in spec.items()
-                        if k not in ("aggs", "aggregations")},
-                       f"agg {name}")
-        if kind == "filter":
-            out[name] = _exec_filter_agg(s, name, spec, query)
-            continue
-        if qctx is None:
-            qctx = _agg_context(query)
-        out[name] = _exec_agg(s, name, spec, qctx)
+    qctx: tuple[str, str, str, tuple] | None = None
+    with ExitStack() as stack:
+        for name, spec in aggs.items():
+            kind, _ = _one({k: v for k, v in spec.items()
+                            if k not in ("aggs", "aggregations")},
+                           f"agg {name}")
+            if kind == "filter":
+                out[name] = _exec_filter_agg(s, name, spec, query)
+                continue
+            if qctx is None:
+                qctx = _agg_context(query)
+                if qctx[3]:
+                    stack.enter_context(ctx_filters(s, qctx[3]))
+            out[name] = _exec_agg(s, name, spec, qctx)
     return out
 
 
@@ -192,13 +251,16 @@ def _exec_filter_agg(s, name: str, spec: dict, query: dict | None
         raise ValueError(
             "filter agg: outer query must be match_all/absent (got "
             f"{kind!r}); put the narrowing query in the filter itself")
+    from .searcher import ctx_filters
     fctx = _agg_context(spec["filter"])
-    text, f, mode = fctx
-    out: dict = {"doc_count": int(s.match_count(text, field=f,
-                                                mode=mode))}
-    for sname, sspec in (spec.get("aggs",
-                                  spec.get("aggregations")) or {}).items():
-        out[sname] = _exec_agg(s, sname, sspec, fctx)
+    text, f, mode, ctxf = fctx
+    with ctx_filters(s, ctxf):
+        out: dict = {"doc_count": int(s.match_count(text, field=f,
+                                                    mode=mode))}
+        for sname, sspec in (spec.get("aggs",
+                                      spec.get("aggregations"))
+                             or {}).items():
+            out[sname] = _exec_agg(s, sname, sspec, fctx)
     return out
 
 
@@ -516,10 +578,15 @@ def _exec_agg(s, name: str, spec: dict, qctx: tuple[str, str, str]
                            normalize_buckets, percentiles_bucket,
                            pipeline_aggregations, rate_buckets,
                            serial_diff_buckets)
-    text, qfield, mode = qctx
+    text, qfield, mode, _ctxf = qctx
     kind, body = _one({k: v for k, v in spec.items()
                        if k not in ("aggs", "aggregations")},
                       f"agg {name}")
+    if _ctxf and kind not in _CTX_FILTER_OK:
+        raise ValueError(
+            f"agg {name!r}: {kind!r} does not support a bool-filtered "
+            "context (its match set bypasses the filter chokepoints); "
+            f"supported: {sorted(_CTX_FILTER_OK)}")
     sub = spec.get("aggs", spec.get("aggregations", {}))
     if kind == "terms":
         rows = s.terms_aggregation(text, body["field"], qfield, mode)

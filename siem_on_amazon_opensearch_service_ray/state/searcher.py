@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import heapq
 import math
+import contextlib
 from collections import Counter
 from dataclasses import dataclass
 
@@ -582,10 +583,111 @@ def _dispatch(method: str, terms: list[TermData], k: int, mode: str,
     return score_taat(terms, k, mode, avgdl, filt, k1, b, search_after)
 
 
+# --- aggregation-context filters (the `bool` filtered agg context) ---
+# Per-PROCESS ambient state, set for the duration of one aggregation
+# request (the DSL's `bool {must: match, filter: [term/range...]}`
+# shape) and mirrored into every shard actor's process before the agg
+# dispatch — the same broadcast discipline as refresh_tombstones.
+# Chosen over threading a parameter through ~30 agg entry points: the
+# ONLY interpreters are the two match-set chokepoints below
+# (_candidate_ids for shard-side sets, Searcher._match_ids for the
+# term-layout driver set), so filters compose with every agg whose
+# match set flows through them.  Filter specs are hashable tuples —
+# ("kw", field, value | (values...)) or ("range", field, lo, hi) —
+# so they can ride memo keys (count_le_local) unchanged.
+_CTX_FILTERS: tuple = ()
+_CTX_ID_CACHE: dict = {}     # (index_dir, spec, dparts) -> sorted ids
+
+
+def _set_ctx_filters(filters) -> tuple:
+    """Install the ambient context filters in THIS process; returns
+    the previous value (restore discipline).  Shard actors receive it
+    via PartActor.set_ctx_filters."""
+    global _CTX_FILTERS
+    prev = _CTX_FILTERS
+    _CTX_FILTERS = tuple(tuple(f) for f in (filters or ()))
+    _CTX_ID_CACHE.clear()
+    return prev
+
+
+@contextlib.contextmanager
+def ctx_filters(s, filters):
+    """Install aggregation-context filters on a Searcher (or every
+    member of a MultiSearcher) for the duration of one agg request:
+    the driver-process global plus ONE broadcast round to each
+    doc-shard actor pool (postings never move; each shard intersects
+    its own match set with its own filter parts)."""
+    if not filters:
+        yield
+        return
+    subs = (list(s.searchers.values()) if hasattr(s, "searchers")
+            else [s])
+    pools = [x.actors for x in subs
+             if getattr(x, "use_actors", False)
+             and getattr(x, "actors", None)]
+    prev = _set_ctx_filters(filters)
+    try:
+        for pool in pools:
+            ray.get([a.set_ctx_filters.remote(_CTX_FILTERS)
+                     for a in pool])
+        yield
+    finally:
+        _set_ctx_filters(prev)
+        for pool in pools:
+            ray.get([a.set_ctx_filters.remote(prev or None)
+                     for a in pool])
+
+
+def _ctx_filter_ids(index_dir: str, spec: tuple,
+                    dparts: list[int] | None) -> np.ndarray:
+    """Sorted live-or-not doc ids for ONE context filter spec within
+    the given doc parts (None = all).  Cached per process — per-term
+    probe loops inside an agg re-intersect against the same filter."""
+    from .shard import load_filter_ids, load_range_ids
+    key = (index_dir, spec, tuple(dparts) if dparts is not None else None)
+    ids = _CTX_ID_CACHE.get(key)
+    if ids is None:
+        if spec[0] == "kw":
+            vals = spec[2] if isinstance(spec[2], tuple) else (spec[2],)
+            parts = [load_filter_ids(index_dir, spec[1], str(v),
+                                     dparts=dparts) for v in vals]
+            live = [p for p in parts if p.size]
+            ids = (np.unique(np.concatenate(live)) if live
+                   else np.zeros(0, np.uint64))
+        elif spec[0] == "range":
+            ids = load_range_ids(index_dir, spec[1], spec[2], spec[3],
+                                 dparts=dparts)
+        else:
+            raise ValueError(f"unknown context filter kind {spec[0]!r}")
+        if len(_CTX_ID_CACHE) >= 64:
+            _CTX_ID_CACHE.clear()
+        _CTX_ID_CACHE[key] = ids
+    return ids
+
+
+def _ctx_intersect(cand: np.ndarray, index_dir: str,
+                   dparts: list[int] | None) -> np.ndarray:
+    """Intersect a sorted candidate-id array with every ambient
+    context filter (no-op when none are installed)."""
+    for spec in _CTX_FILTERS:
+        if cand.size == 0:
+            return cand
+        ids = _ctx_filter_ids(index_dir, spec, dparts)
+        if not ids.size:
+            return cand[:0]
+        pos = np.minimum(np.searchsorted(ids, cand), ids.size - 1)
+        cand = cand[ids[pos] == cand]
+    return cand
+
+
 def _candidate_ids(reader: ShardReader, field: str, q_terms: list[str],
                    mode: str) -> np.ndarray:
     """Sorted unique doc ids matching the query terms in one shard
-    (union for ``or``, intersection for ``and``)."""
+    (union for ``or``, intersection for ``and``), intersected with
+    the ambient aggregation-context filters when installed (real
+    ShardReaders only — the _RowsReader adapter inside
+    Searcher._match_ids has no part identity; _match_ids applies the
+    filters itself over its own parts)."""
     doc_sets = []
     for t in dict.fromkeys(q_terms):
         rows = reader.raw_rows(field, t)
@@ -605,8 +707,11 @@ def _candidate_ids(reader: ShardReader, field: str, q_terms: list[str],
             pos = np.minimum(np.searchsorted(ds_, cand),
                              max(ds_.size - 1, 0))
             cand = cand[ds_[pos] == cand] if ds_.size else cand[:0]
-        return cand
-    return np.unique(np.concatenate(doc_sets))
+    else:
+        cand = np.unique(np.concatenate(doc_sets))
+    if _CTX_FILTERS and isinstance(reader, ShardReader):
+        cand = _ctx_intersect(cand, reader.index_dir, [reader.part])
+    return cand
 
 
 def _shard_range_values(r: ShardReader, p: int, tombstones: np.ndarray,
@@ -1770,6 +1875,15 @@ class PartActor:
     def ping(self) -> bool:
         return True
 
+    def set_ctx_filters(self, filters) -> bool:
+        """Install (or clear, with None) the aggregation-context
+        filters in this actor's process — broadcast by the driver
+        around one filtered-agg request (same discipline as
+        refresh_tombstones).  count_le memo keys carry the filters,
+        so no memo invalidation is needed."""
+        _set_ctx_filters(filters)
+        return True
+
     def match_terms(self, field: str, pattern: str, kind: str,
                     fuzziness: int = 0,
                     transpositions: bool = False,
@@ -2218,7 +2332,8 @@ class PartActor:
         deviation-median bisection is exact by construction (probing
         ``count(x <= fl(center+d))`` instead would quantize the answer
         at ulp(center), wrong whenever |center| >> spread)."""
-        key = (field, tuple(q_terms), mode, range_field, float(center))
+        key = (field, tuple(q_terms), mode, range_field, float(center),
+               _CTX_FILTERS)
         v = self._cle_memo.get(key)
         if v is None:
             vs = [_shard_range_values(r, p, self.tombstones, field,
@@ -2242,7 +2357,7 @@ class PartActor:
         driver's O(log value_range) probe rounds cost one match-set
         computation here and each round ships only len(probes) ints —
         no matched value ever leaves the shard."""
-        key = (field, tuple(q_terms), mode, range_field)
+        key = (field, tuple(q_terms), mode, range_field, _CTX_FILTERS)
         v = self._cle_memo.get(key)
         if v is None:
             vs = [_shard_range_values(r, p, self.tombstones, field,
@@ -4512,6 +4627,11 @@ class Searcher:
         cand = _candidate_ids(_RowsReader(), field, q_terms, mode)
         if self.tombstones.size and cand.size:
             cand = cand[_excl_mask(cand, self.tombstones)]
+        if _CTX_FILTERS and cand.size:
+            # the adapter has no part identity; apply the ambient
+            # context filters here over this searcher's own parts
+            # (None = the whole index on the driver)
+            cand = _ctx_intersect(cand, self.index_dir, self._local_parts)
         return cand
 
     def multi_terms_aggregation(self, query: str,

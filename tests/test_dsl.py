@@ -195,7 +195,7 @@ def test_dsl_contracts(dsl_s):
         execute_dsl(s, {"query": {"nested": {}}})
     with pytest.raises(ValueError, match="filter-context"):
         execute_dsl(s, {"query": {"term": {"lang": "py"}}})
-    with pytest.raises(ValueError, match="match/term query context"):
+    with pytest.raises(ValueError, match="match/bool query context"):
         execute_dsl(s, {"query": {"match_all": {}}, "size": 0,
                         "aggs": {"x": {"terms": {"field": "lang"}}}})
     with pytest.raises(ValueError, match="unsupported aggregation"):
