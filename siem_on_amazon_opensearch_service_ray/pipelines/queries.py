@@ -6474,6 +6474,66 @@ SELECT 'card_src', cast(count(DISTINCT source) AS BIGINT),
 """
 
 
+def dsl_pure_filter_aggs(sf_dir: str) -> pd.DataFrame:
+    """PURE filter-context aggregations — ``bool {filter: [range,
+    terms]}`` with NO match clause (the time-window / keyword-only
+    dashboard request): the first filter's sorted id list is the base
+    match set (read straight from the value-sorted range tables, no
+    term lookup at all), the rest intersect shard-locally.  Verified
+    through terms + stats + cardinality aggs on the doc layout."""
+    from ..state.dsl import execute_dsl
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        resp = execute_dsl(s, {
+            "query": {"bool": {"filter": [
+                {"range": {"n_chars": {"gte": 200, "lte": 700}}},
+                {"terms": {"lang": ["en", "de", "zh"]}}]}},
+            "size": 0,
+            "aggs": {
+                "by_lang": {"terms": {"field": "lang", "size": 10},
+                            "aggs": {"snc": {"sum":
+                                             {"field": "n_chars"}}}},
+                "st": {"stats": {"field": "n_chars"}},
+                "card": {"cardinality": {"field": "source"}}}})
+    finally:
+        s.close()
+    a = resp["aggregations"]
+    rows = [(f"lang:{b['key']}", b["doc_count"],
+             int(_round_away(b["snc"]["value"])))
+            for b in a["by_lang"]["buckets"]]
+    st = a["st"]
+    rows += [("stats", st["count"], int(_round_away(st["sum"]))),
+             ("minmax", int(st["min"]), int(st["max"])),
+             ("card_src", a["card"]["value"], 1)]
+    return pd.DataFrame({
+        "metric": [r[0] for r in rows],
+        "n": np.array([r[1] for r in rows], np.int64),
+        "value": np.array([r[2] for r in rows], np.int64)})
+
+
+DSL_PURE_FILTER_AGGS_SQL = """
+WITH m AS (
+  SELECT * FROM documents
+  WHERE n_chars BETWEEN 200 AND 700 AND lang IN ('en', 'de', 'zh')),
+by_lang AS (
+  SELECT 'lang:' || lang AS metric,
+         cast(count(*) AS BIGINT) AS n,
+         cast(round(sum(n_chars)) AS BIGINT) AS value
+  FROM m GROUP BY lang)
+SELECT metric, n, value FROM by_lang
+UNION ALL
+SELECT 'stats', cast(count(*) AS BIGINT),
+       cast(round(sum(n_chars)) AS BIGINT) FROM m
+UNION ALL
+SELECT 'minmax', cast(min(n_chars) AS BIGINT),
+       cast(max(n_chars) AS BIGINT) FROM m
+UNION ALL
+SELECT 'card_src', cast(count(DISTINCT source) AS BIGINT),
+       cast(1 AS BIGINT) FROM m
+"""
+
+
 def dsl_terms_metric(sf_dir: str) -> pd.DataFrame:
     """terms agg with metric SUB-aggregations through `_search` (the
     dashboard split-series shape: bucket the match set by ``lang``,
@@ -6881,6 +6941,7 @@ def queries() -> dict:
         "dsl_update_by_query": dsl_update_by_query,
         "dsl_reindex": dsl_reindex,
         "dsl_filtered_aggs": dsl_filtered_aggs,
+        "dsl_pure_filter_aggs": dsl_pure_filter_aggs,
         "dsl_terms_metric": dsl_terms_metric,
         "dsl_hist_metric": dsl_hist_metric,
         "search_index_pattern": search_index_pattern,
@@ -7062,6 +7123,7 @@ def oracle_sql() -> dict:
         "dsl_update_by_query": DSL_UPDATE_BY_QUERY_SQL,
         "dsl_reindex": DSL_REINDEX_SQL,
         "dsl_filtered_aggs": DSL_FILTERED_AGGS_SQL,
+        "dsl_pure_filter_aggs": DSL_PURE_FILTER_AGGS_SQL,
         "dsl_terms_metric": DSL_TERMS_METRIC_SQL,
         "dsl_hist_metric": DSL_HIST_METRIC_SQL,
         "search_index_pattern": SEARCH_INDEX_PATTERN_SQL,

@@ -163,13 +163,20 @@ def _agg_context(query: dict | None) -> tuple[str, str, str, tuple]:
     if kind == "bool":
         musts = spec.get("must")
         musts = [musts] if isinstance(musts, dict) else musts or []
-        if len(musts) != 1 or "match" not in musts[0] \
+        if len(musts) > 1 or (musts and "match" not in musts[0]) \
                 or spec.get("should") or spec.get("must_not"):
             raise ValueError(
                 "bool aggregation context needs exactly one match "
-                "must (+ term/terms/range filters) and no "
-                "should/must_not")
-        f, text, op = _match_text(musts[0])
+                "must — or none, with filters only — "
+                "(+ term/terms/range filters) and no should/must_not")
+        if musts:
+            f, text, op = _match_text(musts[0])
+        else:
+            # PURE filter context (the time-window / keyword-only
+            # dashboard shape): the filters define the match set;
+            # text=None signals _run_aggs to install pure mode
+            f = text = None
+            op = "or"
         filters = []
         for c in ([spec["filter"]] if isinstance(spec.get("filter"), dict)
                   else spec.get("filter") or []):
@@ -192,9 +199,29 @@ def _agg_context(query: dict | None) -> tuple[str, str, str, tuple]:
             else:
                 raise ValueError(f"bool agg-context filter {ck!r} "
                                  "unsupported (term/terms/range)")
+        if text is None and not filters:
+            raise ValueError("bool aggregation context needs a match "
+                             "must or at least one filter")
         return text, f, "and" if op == "and" else "or", tuple(filters)
     raise ValueError(f"aggregation context query {kind!r} is not "
                      "supported (use match or bool)")
+
+
+def _default_text_field(s) -> str:
+    """The index's first text field — the analyzer carrier for
+    pure-filter contexts (the match set never consults it)."""
+    sub = (next(iter(s.searchers.values())) if hasattr(s, "searchers")
+           else s)
+    return sub.manifest["config"]["fields"][0][0]
+
+
+def _resolve_pure(s, ctx: tuple) -> tuple[tuple, bool]:
+    """(qctx, pure): substitute the sentinel text/field for a pure
+    filter context (text=None) so agg entry methods analyze a benign
+    token; the chokepoints ignore it in pure mode."""
+    if ctx[0] is not None:
+        return ctx, False
+    return ("ctxpure", _default_text_field(s), ctx[2], ctx[3]), True
 
 
 # Agg kinds verified to honor the bool-filtered context (their match
@@ -231,9 +258,9 @@ def _run_aggs(s, aggs: dict, query: dict | None) -> dict:
                 out[name] = _exec_filter_agg(s, name, spec, query)
                 continue
             if qctx is None:
-                qctx = _agg_context(query)
+                qctx, pure = _resolve_pure(s, _agg_context(query))
                 if qctx[3]:
-                    stack.enter_context(ctx_filters(s, qctx[3]))
+                    stack.enter_context(ctx_filters(s, qctx[3], pure))
             out[name] = _exec_agg(s, name, spec, qctx)
     return out
 
@@ -252,9 +279,9 @@ def _exec_filter_agg(s, name: str, spec: dict, query: dict | None
             "filter agg: outer query must be match_all/absent (got "
             f"{kind!r}); put the narrowing query in the filter itself")
     from .searcher import ctx_filters
-    fctx = _agg_context(spec["filter"])
+    fctx, pure = _resolve_pure(s, _agg_context(spec["filter"]))
     text, f, mode, ctxf = fctx
-    with ctx_filters(s, ctxf):
+    with ctx_filters(s, ctxf, pure):
         out: dict = {"doc_count": int(s.match_count(text, field=f,
                                                     mode=mode))}
         for sname, sspec in (spec.get("aggs",

@@ -596,27 +596,35 @@ def _dispatch(method: str, terms: list[TermData], k: int, mode: str,
 # ("kw", field, value | (values...)) or ("range", field, lo, hi) —
 # so they can ride memo keys (count_le_local) unchanged.
 _CTX_FILTERS: tuple = ()
+_CTX_PURE = False            # True: the filters ARE the match set
 _CTX_ID_CACHE: dict = {}     # (index_dir, spec, dparts) -> sorted ids
+_CTX_PURE_SENTINEL = "\x00ctxpure"   # placeholder query text for pure
+#                                      contexts (never hits a term)
 
 
-def _set_ctx_filters(filters) -> tuple:
+def _set_ctx_filters(filters, pure: bool = False) -> tuple:
     """Install the ambient context filters in THIS process; returns
-    the previous value (restore discipline).  Shard actors receive it
-    via PartActor.set_ctx_filters."""
-    global _CTX_FILTERS
-    prev = _CTX_FILTERS
+    the previous (filters, pure) value (restore discipline).  Shard
+    actors receive it via PartActor.set_ctx_filters.  ``pure=True``
+    means the query carries NO match clause: the base match set is
+    the first filter's ids (term lookups are skipped entirely) — the
+    time-window/keyword-only dashboard context."""
+    global _CTX_FILTERS, _CTX_PURE
+    prev = (_CTX_FILTERS, _CTX_PURE)
     _CTX_FILTERS = tuple(tuple(f) for f in (filters or ()))
+    _CTX_PURE = bool(pure) and bool(_CTX_FILTERS)
     _CTX_ID_CACHE.clear()
     return prev
 
 
 @contextlib.contextmanager
-def ctx_filters(s, filters):
+def ctx_filters(s, filters, pure: bool = False):
     """Install aggregation-context filters on a Searcher (or every
     member of a MultiSearcher) for the duration of one agg request:
     the driver-process global plus ONE broadcast round to each
     doc-shard actor pool (postings never move; each shard intersects
-    its own match set with its own filter parts)."""
+    its own match set with its own filter parts).  ``pure=True``
+    drops the match clause entirely — the filters define the set."""
     if not filters:
         yield
         return
@@ -625,16 +633,16 @@ def ctx_filters(s, filters):
     pools = [x.actors for x in subs
              if getattr(x, "use_actors", False)
              and getattr(x, "actors", None)]
-    prev = _set_ctx_filters(filters)
+    prev = _set_ctx_filters(filters, pure)
     try:
         for pool in pools:
-            ray.get([a.set_ctx_filters.remote(_CTX_FILTERS)
+            ray.get([a.set_ctx_filters.remote(_CTX_FILTERS, _CTX_PURE)
                      for a in pool])
         yield
     finally:
-        _set_ctx_filters(prev)
+        _set_ctx_filters(*prev)
         for pool in pools:
-            ray.get([a.set_ctx_filters.remote(prev or None)
+            ray.get([a.set_ctx_filters.remote(prev[0] or None, prev[1])
                      for a in pool])
 
 
@@ -666,10 +674,11 @@ def _ctx_filter_ids(index_dir: str, spec: tuple,
 
 
 def _ctx_intersect(cand: np.ndarray, index_dir: str,
-                   dparts: list[int] | None) -> np.ndarray:
+                   dparts: list[int] | None,
+                   specs: tuple | None = None) -> np.ndarray:
     """Intersect a sorted candidate-id array with every ambient
     context filter (no-op when none are installed)."""
-    for spec in _CTX_FILTERS:
+    for spec in (_CTX_FILTERS if specs is None else specs):
         if cand.size == 0:
             return cand
         ids = _ctx_filter_ids(index_dir, spec, dparts)
@@ -680,6 +689,14 @@ def _ctx_intersect(cand: np.ndarray, index_dir: str,
     return cand
 
 
+def _ctx_intersect_rest(cand: np.ndarray, index_dir: str,
+                        dparts: list[int] | None) -> np.ndarray:
+    """Pure-context second step: intersect the first filter's base
+    set with the remaining filters."""
+    return _ctx_intersect(cand, index_dir, dparts,
+                          specs=_CTX_FILTERS[1:])
+
+
 def _candidate_ids(reader: ShardReader, field: str, q_terms: list[str],
                    mode: str) -> np.ndarray:
     """Sorted unique doc ids matching the query terms in one shard
@@ -688,6 +705,13 @@ def _candidate_ids(reader: ShardReader, field: str, q_terms: list[str],
     ShardReaders only — the _RowsReader adapter inside
     Searcher._match_ids has no part identity; _match_ids applies the
     filters itself over its own parts)."""
+    if _CTX_PURE and _CTX_FILTERS and isinstance(reader, ShardReader):
+        # pure filter context: the first filter's ids ARE the base
+        # set (no match clause to look up), the rest intersect
+        cand = _ctx_filter_ids(reader.index_dir, _CTX_FILTERS[0],
+                               [reader.part])
+        return _ctx_intersect_rest(cand, reader.index_dir,
+                                   [reader.part])
     doc_sets = []
     for t in dict.fromkeys(q_terms):
         rows = reader.raw_rows(field, t)
@@ -1875,13 +1899,13 @@ class PartActor:
     def ping(self) -> bool:
         return True
 
-    def set_ctx_filters(self, filters) -> bool:
+    def set_ctx_filters(self, filters, pure: bool = False) -> bool:
         """Install (or clear, with None) the aggregation-context
         filters in this actor's process — broadcast by the driver
         around one filtered-agg request (same discipline as
         refresh_tombstones).  count_le memo keys carry the filters,
         so no memo invalidation is needed."""
-        _set_ctx_filters(filters)
+        _set_ctx_filters(filters, pure)
         return True
 
     def match_terms(self, field: str, pattern: str, kind: str,
@@ -2333,7 +2357,7 @@ class PartActor:
         ``count(x <= fl(center+d))`` instead would quantize the answer
         at ulp(center), wrong whenever |center| >> spread)."""
         key = (field, tuple(q_terms), mode, range_field, float(center),
-               _CTX_FILTERS)
+               _CTX_FILTERS, _CTX_PURE)
         v = self._cle_memo.get(key)
         if v is None:
             vs = [_shard_range_values(r, p, self.tombstones, field,
@@ -2357,7 +2381,8 @@ class PartActor:
         driver's O(log value_range) probe rounds cost one match-set
         computation here and each round ships only len(probes) ints —
         no matched value ever leaves the shard."""
-        key = (field, tuple(q_terms), mode, range_field, _CTX_FILTERS)
+        key = (field, tuple(q_terms), mode, range_field,
+               _CTX_FILTERS, _CTX_PURE)
         v = self._cle_memo.get(key)
         if v is None:
             vs = [_shard_range_values(r, p, self.tombstones, field,
@@ -4619,6 +4644,16 @@ class Searcher:
         (union for ``or``, intersection for ``and``) on a
         term-partitioned index — the shared candidate set behind the
         full-match-set aggregations."""
+        if _CTX_PURE and _CTX_FILTERS:
+            # pure filter context — filters only (no term gather),
+            # over this searcher's own parts (None = whole index)
+            cand = _ctx_filter_ids(self.index_dir, _CTX_FILTERS[0],
+                                   self._local_parts)
+            cand = _ctx_intersect_rest(cand, self.index_dir,
+                                       self._local_parts)
+            if self.tombstones.size and cand.size:
+                cand = cand[_excl_mask(cand, self.tombstones)]
+            return cand
         rows = self._gather(field, q_terms)
 
         class _RowsReader:              # adapt gathered rows to the helper

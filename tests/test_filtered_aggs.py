@@ -187,7 +187,9 @@ def test_unsupported_kind_raises(searcher):
 def test_bad_bool_context_raises(searcher):
     s, _ = searcher
     with pytest.raises(ValueError, match="exactly one match"):
-        execute_dsl(s, {"query": {"bool": {"filter": BODY_FILTER}},
+        execute_dsl(s, {"query": {"bool": {
+                            "must_not": [{"match": {"content": "sql"}}],
+                            "filter": BODY_FILTER}},
                         "size": 0,
                         "aggs": {"vc": {"value_count":
                                         {"field": "n_chars"}}}})
@@ -211,3 +213,47 @@ def test_filter_agg_takes_bool_context(searcher):
         "aggregations"]["f"]
     assert out["doc_count"] == len(ref)
     assert out["st"]["sum"] == float(ref.n_chars.sum())
+
+
+def test_pure_filter_context(searcher):
+    """bool {filter: [...]} with NO match must — the time-window /
+    keyword-only dashboard context: the first filter's ids are the
+    base set, the rest intersect; no term lookup happens."""
+    s, df = searcher
+    ref = df[df.lang.isin(["py", "go"])
+             & (df.n_chars >= 50) & (df.n_chars <= 300)]
+    a = execute_dsl(s, {
+        "query": {"bool": {"filter": BODY_FILTER}}, "size": 0,
+        "aggs": {"by_src": {"terms": {"field": "source", "size": 10}},
+                 "st": {"stats": {"field": "n_chars"}},
+                 "vc": {"value_count": {"field": "n_chars"}}}})[
+        "aggregations"]
+    exp = (ref.groupby("source").size().reset_index(name="n")
+           .sort_values(["n", "source"], ascending=[False, True]))
+    assert [(b["key"], b["doc_count"]) for b in a["by_src"]["buckets"]] \
+        == [(r.source, r.n) for r in exp.itertuples()]
+    assert a["st"]["count"] == len(ref)
+    assert a["st"]["sum"] == float(ref.n_chars.sum())
+    assert a["vc"]["value"] == len(ref)
+
+
+def test_pure_filter_agg_context(searcher):
+    """The singular filter agg with a filters-only bool — pure
+    OpenSearch filter-context aggregation under match_all."""
+    s, df = searcher
+    ref = df[(df.n_chars >= 50) & (df.n_chars <= 300)]
+    out = execute_dsl(s, {"size": 0, "aggs": {"f": {
+        "filter": {"bool": {"filter": [
+            {"range": {"n_chars": {"gte": 50, "lte": 300}}}]}},
+        "aggs": {"mx": {"max": {"field": "n_chars"}}}}}})[
+        "aggregations"]["f"]
+    assert out["doc_count"] == len(ref)
+    assert out["mx"]["value"] == float(ref.n_chars.max())
+
+
+def test_empty_bool_context_raises(searcher):
+    s, _ = searcher
+    with pytest.raises(ValueError, match="at least one filter"):
+        execute_dsl(s, {"query": {"bool": {}}, "size": 0,
+                        "aggs": {"vc": {"value_count":
+                                        {"field": "n_chars"}}}})
