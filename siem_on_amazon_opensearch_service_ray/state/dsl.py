@@ -1126,6 +1126,19 @@ def execute_count(searcher, body: dict) -> dict:
         # keyword/range filter counts: live ids collected per shard
         # from the filter / range tables, no postings walked
         return {"count": int(_dbq_ids(searcher, query).size)}
+    if "bool" in query:
+        # bool counts ride the agg-context machinery when the shape
+        # lowers (match must + term/range filters, or filters only):
+        # per-shard set algebra, one int per shard — no scoring
+        try:
+            ctx, pure = _resolve_pure(searcher, _agg_context(query))
+        except ValueError:
+            return {"count": len(_exec_query(searcher, query, 1 << 31))}
+        from .searcher import ctx_filters
+        text, f, mode, filters = ctx
+        with ctx_filters(searcher, filters, pure):
+            return {"count": int(searcher.match_count(text, field=f,
+                                                      mode=mode))}
     return {"count": len(_exec_query(searcher, query, 1 << 31))}
 
 

@@ -257,3 +257,61 @@ def test_empty_bool_context_raises(searcher):
         execute_dsl(s, {"query": {"bool": {}}, "size": 0,
                         "aggs": {"vc": {"value_count":
                                         {"field": "n_chars"}}}})
+
+
+def test_count_with_bool(searcher):
+    from siem_on_amazon_opensearch_service_ray.state.dsl import (
+        execute_count)
+    s, df = searcher
+    ref = _matches(df)
+    n = execute_count(s, {"query": {"bool": {
+        "must": [{"match": {"content": "spark"}}],
+        "filter": BODY_FILTER}}})["count"]
+    assert n == len(ref)
+    pure = df[df.lang.isin(["py", "go"])
+              & (df.n_chars >= 50) & (df.n_chars <= 300)]
+    n2 = execute_count(s, {"query": {"bool":
+                                     {"filter": BODY_FILTER}}})["count"]
+    assert n2 == len(pure)
+
+
+def test_remaining_whitelist_kinds(searcher):
+    """The whitelisted kinds not covered above: multi_terms,
+    rare_terms, date_range, weighted_avg, string_stats, boxplot —
+    each against the pandas reference under the filtered context."""
+    s, df = searcher
+    ref = _matches(df)
+    a = execute_dsl(s, _body({
+        "mt": {"multi_terms": {"terms": [{"field": "lang"},
+                                         {"field": "source"}],
+                               "size": 100}},
+        "rare": {"rare_terms": {"field": "source",
+                                "max_doc_count": 1000}},
+        "dr": {"date_range": {"field": "n_chars",
+                              "ranges": [{"to": 150},
+                                         {"from": 150}]}},
+        "wa": {"weighted_avg": {"value": {"field": "n_chars"},
+                                "weight": {"field": "n_chars"}}},
+        "ss": {"string_stats": {"field": "source"}},
+        "bx": {"boxplot": {"field": "n_chars"}}}))["aggregations"]
+    exp_mt = (ref.groupby(["lang", "source"]).size()
+              .reset_index(name="n")
+              .sort_values(["n", "lang", "source"],
+                           ascending=[False, True, True]))
+    assert [(tuple(b["key"]), b["doc_count"])
+            for b in a["mt"]["buckets"]] \
+        == [((r.lang, r.source), r.n) for r in exp_mt.itertuples()]
+    exp_rare = ref.groupby("source").size()
+    assert {b["key"]: b["doc_count"] for b in a["rare"]["buckets"]} \
+        == {k: int(v) for k, v in exp_rare.items() if v <= 1000}
+    lo = int((ref.n_chars < 150).sum())
+    assert [b["doc_count"] for b in a["dr"]["buckets"]] \
+        == [lo, len(ref) - lo]
+    v = ref.n_chars.values.astype(np.float64)
+    assert a["wa"]["value"] == pytest.approx(
+        float((v * v).sum() / v.sum()))
+    assert a["ss"]["count"] == len(ref)
+    assert a["ss"]["min_length"] == 3 and a["ss"]["max_length"] == 3
+    assert a["bx"]["min"] == float(v.min())
+    assert a["bx"]["max"] == float(v.max())
+    assert a["bx"]["q2"] in v
