@@ -6474,6 +6474,48 @@ SELECT 'card_src', cast(count(DISTINCT source) AS BIGINT),
 """
 
 
+def dsl_terms_cardinality(sf_dir: str) -> pd.DataFrame:
+    """terms -> cardinality sub-agg (the "unique count by category"
+    dashboard metric: per lang bucket, the number of DISTINCT source
+    values among the matching docs) — reduced from the multi_terms
+    pair census, so only distinct (lang, source) pairs travel from
+    the shards; exact where OpenSearch merges per-bucket HLL."""
+    from ..state.dsl import execute_dsl
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        resp = execute_dsl(s, {
+            "query": {"match": {"content": BM25_QUERY}}, "size": 0,
+            "aggs": {"by_lang": {
+                "terms": {"field": "lang", "size": 100},
+                "aggs": {"usrc": {"cardinality":
+                                  {"field": "source"}}}}}})
+    finally:
+        s.close()
+    b = resp["aggregations"]["by_lang"]["buckets"]
+    return pd.DataFrame({
+        "lang": [x["key"] for x in b],
+        "n": np.array([x["doc_count"] for x in b], np.int64),
+        "usrc": np.array([x["usrc"]["value"] for x in b], np.int64)})
+
+
+DSL_TERMS_CARDINALITY_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (
+  SELECT d.* FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM tok
+                     WHERE term IN ('spark', 'join'))),
+agg AS (
+  SELECT lang, cast(count(*) AS BIGINT) AS n,
+         cast(count(DISTINCT source) AS BIGINT) AS usrc
+  FROM m GROUP BY lang)
+SELECT lang, n, usrc FROM agg ORDER BY n DESC, lang
+"""
+
+
 def dsl_pure_filter_aggs(sf_dir: str) -> pd.DataFrame:
     """PURE filter-context aggregations — ``bool {filter: [range,
     terms]}`` with NO match clause (the time-window / keyword-only
@@ -6942,6 +6984,7 @@ def queries() -> dict:
         "dsl_reindex": dsl_reindex,
         "dsl_filtered_aggs": dsl_filtered_aggs,
         "dsl_pure_filter_aggs": dsl_pure_filter_aggs,
+        "dsl_terms_cardinality": dsl_terms_cardinality,
         "dsl_terms_metric": dsl_terms_metric,
         "dsl_hist_metric": dsl_hist_metric,
         "search_index_pattern": search_index_pattern,
@@ -7124,6 +7167,7 @@ def oracle_sql() -> dict:
         "dsl_reindex": DSL_REINDEX_SQL,
         "dsl_filtered_aggs": DSL_FILTERED_AGGS_SQL,
         "dsl_pure_filter_aggs": DSL_PURE_FILTER_AGGS_SQL,
+        "dsl_terms_cardinality": DSL_TERMS_CARDINALITY_SQL,
         "dsl_terms_metric": DSL_TERMS_METRIC_SQL,
         "dsl_hist_metric": DSL_HIST_METRIC_SQL,
         "search_index_pattern": SEARCH_INDEX_PATTERN_SQL,

@@ -670,12 +670,28 @@ def _exec_agg(s, name: str, spec: dict, qctx: tuple[str, str, str]
                                                      x["key"]))
                         b[sname] = {"buckets": subs[:ssize]}
                     continue
+                if sk == "cardinality":
+                    # per-bucket distinct keyword values (the "unique
+                    # count by category" dashboard metric): the
+                    # multi_terms pair census — only distinct
+                    # (bucket, value) pairs travel — reduced to
+                    # per-bucket set sizes; exact where OpenSearch
+                    # merges per-bucket HLL sketches
+                    pairs = s.multi_terms_aggregation(
+                        text, (body["field"], sb["field"]), qfield,
+                        mode)
+                    per_a: dict[str, int] = {}
+                    for a2, _b2, _n in pairs:
+                        per_a[a2] = per_a.get(a2, 0) + 1
+                    for b in buckets:
+                        b[sname] = {"value": per_a.get(b["key"], 0)}
+                    continue
                 if sk not in ("avg", "sum", "min", "max", "stats",
                               "value_count"):
                     raise ValueError(
                         f"terms sub-agg {sname!r}: {sk!r} unsupported "
                         "(avg/sum/min/max/stats/value_count/"
-                        "histogram/date_histogram)")
+                        "cardinality/histogram/date_histogram)")
                 metrics[sname] = (sk, sb["field"])
             by_field = {
                 rf: {v: (n, su, lo, hi)
