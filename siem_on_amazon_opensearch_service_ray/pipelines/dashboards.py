@@ -37,6 +37,10 @@ class PanelSpec:
     # single-clause kuery 'field:"value"' lowers to a keyword filter
     filter_field: str | None = None
     filter_value: str | None = None
+    # searchSourceJSON filter PILLS (phrase/phrases/exists, negatable)
+    # lowered to aggregation-context filter specs — the reference's
+    # dashboards narrow almost every panel this way
+    pill_filters: tuple = ()
     supported: bool = True
     reason: str = ""
 
@@ -89,6 +93,47 @@ _BUCKET_PIPELINE = {"max_bucket", "min_bucket", "avg_bucket", "sum_bucket"}
 _SUPPORTED_BUCKETS = {"terms", "filters", "date_histogram"}
 
 
+def _parse_pills(ss: dict):
+    """searchSourceJSON ``filter`` pills -> context filter specs
+    (("kw"/"kw_not", field, value|values), ("exists"/"exists_not",
+    field), ("range", field, lo, hi)).  Returns None when any enabled
+    pill has a shape the engine can't lower — the panel is then
+    marked unsupported instead of silently ignoring the pill."""
+    out = []
+    for p in ss.get("filter") or []:
+        m = p.get("meta", {})
+        if m.get("disabled"):
+            continue
+        typ = m.get("type")
+        neg = bool(m.get("negate"))
+        key = m.get("key")
+        if not key and typ != "custom":
+            return None
+        if typ == "phrase":
+            v = (m.get("params") or {}).get("query")
+            if v is None:
+                return None
+            out.append(("kw_not" if neg else "kw", key, str(v)))
+        elif typ == "phrases":
+            vs = m.get("params") or []
+            if not isinstance(vs, list) or not vs:
+                return None
+            out.append(("kw_not" if neg else "kw", key,
+                        tuple(str(v) for v in vs)))
+        elif typ == "exists":
+            out.append(("exists_not" if neg else "exists", key))
+        elif typ == "range":
+            prm = m.get("params") or {}
+            if neg or not set(prm) <= {"gte", "lte"}:
+                return None
+            out.append(("range", key, prm.get("gte"), prm.get("lte")))
+        else:
+            return None
+    # positives first: the pure execution path bases the match set on
+    # the first spec
+    return tuple(sorted(out, key=lambda s_: s_[0].endswith("_not")))
+
+
 def _parse_vis(attrs: dict) -> PanelSpec:
     title = attrs.get("title", "")
     try:
@@ -104,6 +149,12 @@ def _parse_vis(attrs: dict) -> PanelSpec:
         spec.query = (q.get("query") or "") if isinstance(q, dict) else ""
         spec.query_language = (q.get("language", "kuery")
                                if isinstance(q, dict) else "kuery")
+        pills = _parse_pills(ss)
+        if pills is None:
+            spec.supported = False
+            spec.reason = "unsupported filter pill shape"
+        else:
+            spec.pill_filters = pills
     except (KeyError, ValueError):
         pass
     if spec.vis_type in ("markdown", "timelion", "input_control_vis"):
@@ -264,6 +315,45 @@ def execute_panel(searcher, spec: PanelSpec,
     if not spec.supported:
         raise ValueError(f"unsupported panel: {spec.reason}")
     mtype = spec.metric["type"]
+    if spec.pill_filters:
+        # filter PILLS: install as ambient aggregation context (the
+        # same machinery the DSL's bool-filtered contexts use), fold
+        # the single kuery filter in as one more pill, and re-enter
+        # with a query that routes every branch through the
+        # chokepoint-honoring agg paths (pure sentinel when the panel
+        # has no text query)
+        from dataclasses import replace
+
+        from ..state.searcher import ctx_filters
+        pills = tuple(spec.pill_filters)
+        if spec.filter_field is not None:
+            pills = (("kw", spec.filter_field, spec.filter_value),) \
+                + pills
+        pills = tuple(sorted(pills,
+                             key=lambda s_: s_[0].endswith("_not")))
+        pure = not spec.query
+        if pure and pills[0][0].endswith("_not"):
+            raise ValueError("panel filter pills need at least one "
+                             "positive filter when the panel has no "
+                             "query")
+        inner = replace(spec, pill_filters=(), filter_field=None,
+                        filter_value=None,
+                        query=spec.query or "ctxpure")
+        with ctx_filters(searcher, pills, pure):
+            bucket0 = next((b for b in spec.buckets
+                            if b["type"] in _SUPPORTED_BUCKETS), None)
+            if bucket0 is None and mtype == "count":
+                return [(spec.title or "count",
+                         int(searcher.match_count(inner.query,
+                                                  field=text_field)))]
+            if bucket0 is None and mtype == "cardinality":
+                f = spec.metric.get("field")
+                if f is None:
+                    raise ValueError("cardinality panel needs a field")
+                return [(f, int(searcher.cardinality_aggregation(
+                    inner.query, f, text_field)))]
+            return execute_panel(searcher, inner, text_field, dataset,
+                                 tz_offset_hours)
     bucket = next((b for b in spec.buckets
                    if b["type"] in _SUPPORTED_BUCKETS), None)
     if bucket is None and mtype in ("count", "cardinality"):

@@ -6516,6 +6516,58 @@ SELECT lang, n, usrc FROM agg ORDER BY n DESC, lang
 """
 
 
+def dashboard_pill_panel(sf_dir: str) -> pd.DataFrame:
+    """A terms/count panel with FILTER PILLS executed end to end
+    through the saved-object runner: the ndjson carries the exact
+    searchSourceJSON ``filter`` shapes the reference's dashboards use
+    (a ``phrases`` multi-value pill + a negated ``phrase`` pill —
+    e.g. the Security-Hub 'Workflow.Status NEW/NOTIFIED' +
+    'NOT event.module: security hub' combination), lowered to
+    aggregation-context filter specs and run as a PURE filter context
+    against the doc-sharded index."""
+    import json as _json
+
+    from ..pipelines.dashboards import execute_panel, parse_saved_objects
+    panel_ndjson = _json.dumps({
+        "type": "visualization",
+        "attributes": {
+            "title": "Docs by Lang (filtered)",
+            "visState": _json.dumps({"type": "pie", "aggs": [
+                {"schema": "metric", "type": "count", "params": {}},
+                {"schema": "segment", "type": "terms",
+                 "params": {"field": "lang", "size": 20}},
+            ]}),
+            "kibanaSavedObjectMeta": {"searchSourceJSON": _json.dumps({
+                "query": {"query": "", "language": "kuery"},
+                "filter": [
+                    {"meta": {"type": "phrases", "key": "lang",
+                              "params": ["en", "fr", "es", "de"],
+                              "negate": False}},
+                    {"meta": {"type": "phrase", "key": "lang",
+                              "params": {"query": "de"},
+                              "negate": True}},
+                ]})},
+        }})
+    spec = parse_saved_objects(panel_ndjson).panels[0]
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        rows = execute_panel(s, spec)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "lang": [v for v, _ in rows],
+        "n": np.array([n for _, n in rows], np.int64)})
+
+
+DASHBOARD_PILL_PANEL_SQL = """
+SELECT lang, cast(count(*) AS BIGINT) AS n
+FROM documents
+WHERE lang IN ('en', 'fr', 'es', 'de') AND lang <> 'de'
+GROUP BY lang ORDER BY n DESC, lang
+"""
+
+
 def dsl_pure_filter_aggs(sf_dir: str) -> pd.DataFrame:
     """PURE filter-context aggregations — ``bool {filter: [range,
     terms]}`` with NO match clause (the time-window / keyword-only
@@ -6984,6 +7036,7 @@ def queries() -> dict:
         "dsl_reindex": dsl_reindex,
         "dsl_filtered_aggs": dsl_filtered_aggs,
         "dsl_pure_filter_aggs": dsl_pure_filter_aggs,
+        "dashboard_pill_panel": dashboard_pill_panel,
         "dsl_terms_cardinality": dsl_terms_cardinality,
         "dsl_terms_metric": dsl_terms_metric,
         "dsl_hist_metric": dsl_hist_metric,
@@ -7167,6 +7220,7 @@ def oracle_sql() -> dict:
         "dsl_reindex": DSL_REINDEX_SQL,
         "dsl_filtered_aggs": DSL_FILTERED_AGGS_SQL,
         "dsl_pure_filter_aggs": DSL_PURE_FILTER_AGGS_SQL,
+        "dashboard_pill_panel": DASHBOARD_PILL_PANEL_SQL,
         "dsl_terms_cardinality": DSL_TERMS_CARDINALITY_SQL,
         "dsl_terms_metric": DSL_TERMS_METRIC_SQL,
         "dsl_hist_metric": DSL_HIST_METRIC_SQL,

@@ -164,11 +164,12 @@ def _agg_context(query: dict | None) -> tuple[str, str, str, tuple]:
         musts = spec.get("must")
         musts = [musts] if isinstance(musts, dict) else musts or []
         if len(musts) > 1 or (musts and "match" not in musts[0]) \
-                or spec.get("should") or spec.get("must_not"):
+                or spec.get("should"):
             raise ValueError(
                 "bool aggregation context needs exactly one match "
                 "must — or none, with filters only — "
-                "(+ term/terms/range filters) and no should/must_not")
+                "(+ term/terms/range/exists filters, must_not "
+                "term/terms/exists) and no should")
         if musts:
             f, text, op = _match_text(musts[0])
         else:
@@ -177,31 +178,51 @@ def _agg_context(query: dict | None) -> tuple[str, str, str, tuple]:
             # text=None signals _run_aggs to install pure mode
             f = text = None
             op = "or"
-        filters = []
-        for c in ([spec["filter"]] if isinstance(spec.get("filter"), dict)
-                  else spec.get("filter") or []):
+
+        def _clause(c, neg: bool):
+            suf = "_not" if neg else ""
             ck, cs = _one(c, "bool filter")
             if ck == "term":
                 ff, v = _one(cs, "term")
                 if isinstance(v, dict):
                     v = v["value"]
-                filters.append(("kw", ff, str(v)))
-            elif ck == "terms":
+                return ("kw" + suf, ff, str(v))
+            if ck == "terms":
                 ff, vs = _one(cs, "terms")
-                filters.append(("kw", ff, tuple(str(v) for v in vs)))
-            elif ck == "range":
+                return ("kw" + suf, ff, tuple(str(v) for v in vs))
+            if ck == "exists":
+                return ("exists" + suf, cs["field"])
+            if ck == "range" and not neg:
                 ff, b = _one(cs, "range")
                 if not set(b) <= {"gte", "lte"}:
                     raise ValueError("bool agg-context range filter: "
                                      "only gte/lte bounds are "
                                      f"supported, got {sorted(b)}")
-                filters.append(("range", ff, b.get("gte"), b.get("lte")))
-            else:
-                raise ValueError(f"bool agg-context filter {ck!r} "
-                                 "unsupported (term/terms/range)")
+                return ("range", ff, b.get("gte"), b.get("lte"))
+            raise ValueError(
+                f"bool agg-context {'must_not' if neg else 'filter'} "
+                f"{ck!r} unsupported "
+                f"({'term/terms/exists' if neg else 'term/terms/range/exists'})")
+
+        filters = [_clause(c, False) for c in
+                   ([spec["filter"]]
+                    if isinstance(spec.get("filter"), dict)
+                    else spec.get("filter") or [])]
+        negs = [_clause(c, True) for c in
+                ([spec["must_not"]]
+                 if isinstance(spec.get("must_not"), dict)
+                 else spec.get("must_not") or [])]
+        # positives first: the pure path bases the match set on the
+        # first spec, which must be a real id list, not a subtraction
+        filters = sorted(filters + negs,
+                         key=lambda s_: s_[0].endswith("_not"))
         if text is None and not filters:
             raise ValueError("bool aggregation context needs a match "
                              "must or at least one filter")
+        if text is None and filters and filters[0][0].endswith("_not"):
+            raise ValueError("pure filter context needs at least one "
+                             "POSITIVE filter (must_not alone has no "
+                             "base set)")
         return text, f, "and" if op == "and" else "or", tuple(filters)
     raise ValueError(f"aggregation context query {kind!r} is not "
                      "supported (use match or bool)")

@@ -655,7 +655,7 @@ def _ctx_filter_ids(index_dir: str, spec: tuple,
     key = (index_dir, spec, tuple(dparts) if dparts is not None else None)
     ids = _CTX_ID_CACHE.get(key)
     if ids is None:
-        if spec[0] == "kw":
+        if spec[0] in ("kw", "kw_not"):
             vals = spec[2] if isinstance(spec[2], tuple) else (spec[2],)
             parts = [load_filter_ids(index_dir, spec[1], str(v),
                                      dparts=dparts) for v in vals]
@@ -665,6 +665,8 @@ def _ctx_filter_ids(index_dir: str, spec: tuple,
         elif spec[0] == "range":
             ids = load_range_ids(index_dir, spec[1], spec[2], spec[3],
                                  dparts=dparts)
+        elif spec[0] in ("exists", "exists_not"):
+            ids = _exists_ctx_ids(index_dir, spec[1], dparts)
         else:
             raise ValueError(f"unknown context filter kind {spec[0]!r}")
         if len(_CTX_ID_CACHE) >= 64:
@@ -677,16 +679,42 @@ def _ctx_intersect(cand: np.ndarray, index_dir: str,
                    dparts: list[int] | None,
                    specs: tuple | None = None) -> np.ndarray:
     """Intersect a sorted candidate-id array with every ambient
-    context filter (no-op when none are installed)."""
+    context filter; ``*_not`` specs subtract instead (the negated
+    filter pill / bool must_not clause)."""
     for spec in (_CTX_FILTERS if specs is None else specs):
         if cand.size == 0:
             return cand
         ids = _ctx_filter_ids(index_dir, spec, dparts)
+        if spec[0].endswith("_not"):
+            if not ids.size:
+                continue
+            pos = np.minimum(np.searchsorted(ids, cand), ids.size - 1)
+            cand = cand[ids[pos] != cand]
+            continue
         if not ids.size:
             return cand[:0]
         pos = np.minimum(np.searchsorted(ids, cand), ids.size - 1)
         cand = cand[ids[pos] == cand]
     return cand
+
+
+def _exists_ctx_ids(index_dir: str, field: str,
+                    dparts: list[int] | None) -> np.ndarray:
+    """Sorted doc ids carrying ``field`` within the given doc parts:
+    keyword fields are the union of their packed filter postings,
+    numeric fields the full id list of their value-sorted range
+    tables.  Presence semantics match OpenSearch `exists` (a doc
+    missing the column — or NULL — was never written to either
+    table)."""
+    import os as _os
+
+    from .shard import load_range_ids
+    if _os.path.isdir(_os.path.join(index_dir, "filters", field)):
+        chunks = [ids for _v, ids in
+                  _iter_filter_postings(index_dir, field, dparts)]
+        return (np.unique(np.concatenate(chunks)) if chunks
+                else np.zeros(0, np.uint64))
+    return load_range_ids(index_dir, field, None, None, dparts=dparts)
 
 
 def _ctx_intersect_rest(cand: np.ndarray, index_dir: str,

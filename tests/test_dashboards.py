@@ -42,13 +42,26 @@ def test_parse_reference_dashboards_supported_majority():
     assert total > 100
     assert supported / total > 0.9, f"{supported}/{total}"
     # every unsupported remainder must be a non-data panel type
-    # (markdown / controls / timelion) — the agg vocabulary itself is
+    # (markdown / controls / timelion) or a raw-DSL "custom" filter
+    # pill (2 panels in the reference carry one; refusing beats
+    # silently ignoring the pill) — the agg vocabulary itself is
     # fully covered
     data_unsupported = [
         p.reason for f in REF_DASHBOARDS
         for p in parse_saved_objects(open(f).read()).panels
         if not p.supported and not p.reason.startswith("non-data")]
-    assert data_unsupported == [], data_unsupported
+    assert all(r == "unsupported filter pill shape"
+               for r in data_unsupported), data_unsupported
+    assert len(data_unsupported) <= 2, data_unsupported
+    # the pills themselves parse into executable context specs on the
+    # majority of filtered panels
+    with_pills = [
+        p for f in REF_DASHBOARDS
+        for p in parse_saved_objects(open(f).read()).panels
+        if p.pill_filters]
+    assert len(with_pills) >= 60
+    kinds = {s[0] for p in with_pills for s in p.pill_filters}
+    assert kinds >= {"kw", "kw_not"}
 
 
 def test_parse_tolerates_garbage():
@@ -372,3 +385,95 @@ def test_execute_saved_search_unsupported_kuery(discover_index):
     with pytest.raises(ValueError, match="kuery"):
         execute_search(s, {"query": 'a:"1" and b:"2"', "columns": [],
                            "sort": []})
+
+
+def _vis_pills(vis_type, aggs, pills, query=""):
+    attrs = {
+        "title": "t",
+        "visState": json.dumps({"type": vis_type, "aggs": aggs}),
+        "kibanaSavedObjectMeta": {"searchSourceJSON": json.dumps(
+            {"query": {"query": query, "language": "kuery"},
+             "filter": pills})},
+    }
+    line = json.dumps({"type": "visualization", "attributes": attrs})
+    return parse_saved_objects(line).panels[0]
+
+
+def test_execute_panel_with_phrase_pill(panel_index):
+    """Reference-shaped phrase pill (meta.type=phrase, params.query)
+    narrowing a terms/count panel — the dominant dashboard filter."""
+    p = _vis_pills("pie", [
+        {"schema": "metric", "type": "count", "params": {}},
+        {"schema": "segment", "type": "terms",
+         "params": {"field": "event_name", "size": 5}}],
+        [{"meta": {"type": "phrase", "key": "region",
+                   "params": {"query": "us-east-1"}, "negate": False}}])
+    assert p.supported and p.pill_filters == (("kw", "region",
+                                               "us-east-1"),)
+    rows = execute_panel(panel_index, p)
+    # region us-east-1 = even doc ids; event_name cycles mod 3
+    assert dict(rows) == {"ConsoleLogin": 20, "RunInstances": 20,
+                          "PutObject": 20}
+
+
+def test_execute_panel_with_negated_and_phrases_pills(panel_index):
+    p = _vis_pills("table", [
+        {"schema": "metric", "type": "count", "params": {}},
+        {"schema": "segment", "type": "terms",
+         "params": {"field": "region", "size": 5}}],
+        [{"meta": {"type": "phrases", "key": "event_name",
+                   "params": ["ConsoleLogin", "RunInstances"],
+                   "negate": False}},
+         {"meta": {"type": "phrase", "key": "region",
+                   "params": {"query": "eu-west-1"}, "negate": True}}])
+    assert p.supported
+    rows = execute_panel(panel_index, p)
+    # ConsoleLogin/RunInstances docs (i%3 in {0,1}) in us-east-1 (even)
+    assert dict(rows) == {"us-east-1": 40}
+
+
+def test_execute_pill_with_query_and_metric(panel_index):
+    """Pills compose with a fulltext panel query and a sum metric —
+    the reference's 'Accept Src Bytes'-style panel."""
+    p = _vis_pills("table", [
+        {"schema": "metric", "type": "sum",
+         "params": {"field": "n_chars"}},
+        {"schema": "segment", "type": "terms",
+         "params": {"field": "event_name", "size": 5}}],
+        [{"meta": {"type": "phrase", "key": "region",
+                   "params": {"query": "us-east-1"}, "negate": False}}],
+        query="login")
+    assert p.supported
+    rows = dict(execute_panel(panel_index, p))
+    # login docs = i%3 != 0; us-east-1 = even i -> i%6 in {2,4};
+    # event_name cycles [ConsoleLogin, RunInstances, PutObject][i%3]
+    exp_ri = sum(20 + i for i in range(120) if i % 6 == 4)   # i%3==1 even
+    exp_po = sum(20 + i for i in range(120) if i % 6 == 2)   # i%3==2 even
+    assert rows == {"RunInstances": exp_ri, "PutObject": exp_po}
+
+
+def test_execute_metric_only_count_with_pill(panel_index):
+    p = _vis_pills("metric", [
+        {"schema": "metric", "type": "count", "params": {}}],
+        [{"meta": {"type": "phrase", "key": "region",
+                   "params": {"query": "eu-west-1"}, "negate": False}}])
+    assert p.supported
+    rows = execute_panel(panel_index, p)
+    assert rows == [("t", 60)]
+
+
+def test_disabled_and_custom_pills(panel_index):
+    base = [{"schema": "metric", "type": "count", "params": {}},
+            {"schema": "segment", "type": "terms",
+             "params": {"field": "event_name", "size": 5}}]
+    # a disabled pill is skipped entirely
+    p = _vis_pills("pie", base,
+                   [{"meta": {"type": "phrase", "key": "region",
+                              "params": {"query": "us-east-1"},
+                              "negate": False, "disabled": True}}])
+    assert p.supported and p.pill_filters == ()
+    # a raw-DSL custom pill marks the panel unsupported (refuse, not
+    # silently ignore)
+    p2 = _vis_pills("pie", base,
+                    [{"meta": {"type": "custom", "key": "query"}}])
+    assert not p2.supported and "pill" in p2.reason

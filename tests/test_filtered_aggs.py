@@ -186,13 +186,70 @@ def test_unsupported_kind_raises(searcher):
 
 def test_bad_bool_context_raises(searcher):
     s, _ = searcher
-    with pytest.raises(ValueError, match="exactly one match"):
+    # a must_not MATCH clause is not a filter-table op — refuse
+    with pytest.raises(ValueError, match="must_not 'match' unsupported"):
         execute_dsl(s, {"query": {"bool": {
                             "must_not": [{"match": {"content": "sql"}}],
                             "filter": BODY_FILTER}},
                         "size": 0,
                         "aggs": {"vc": {"value_count":
                                         {"field": "n_chars"}}}})
+    # should clauses have no filter-context meaning
+    with pytest.raises(ValueError, match="no should"):
+        execute_dsl(s, {"query": {"bool": {
+                            "should": [{"match": {"content": "sql"}}],
+                            "filter": BODY_FILTER}},
+                        "size": 0,
+                        "aggs": {"vc": {"value_count":
+                                        {"field": "n_chars"}}}})
+
+
+def test_must_not_and_exists_context(searcher):
+    """Negated filter pills (must_not term/terms) and exists filters
+    — the reference dashboards' searchSourceJSON filter shapes."""
+    s, df = searcher
+    base = df[df.text.map(lambda t: "spark" in set(
+        re.findall(r"[a-z0-9_]+", t.lower())))]
+    ref = base[base.lang != "rs"]
+    a = execute_dsl(s, {
+        "query": {"bool": {
+            "must": [{"match": {"content": "spark"}}],
+            "must_not": [{"term": {"lang": "rs"}}]}},
+        "size": 0,
+        "aggs": {"vc": {"value_count": {"field": "n_chars"}}}})
+    assert a["aggregations"]["vc"]["value"] == len(ref)
+    # exists on a keyword field present everywhere: no-op narrowing
+    a2 = execute_dsl(s, {
+        "query": {"bool": {
+            "must": [{"match": {"content": "spark"}}],
+            "filter": [{"exists": {"field": "source"}}]}},
+        "size": 0,
+        "aggs": {"vc": {"value_count": {"field": "n_chars"}}}})
+    assert a2["aggregations"]["vc"]["value"] == len(base)
+    # exists on an unknown field: empty set
+    a3 = execute_dsl(s, {
+        "query": {"bool": {
+            "must": [{"match": {"content": "spark"}}],
+            "filter": [{"exists": {"field": "nope"}}]}},
+        "size": 0,
+        "aggs": {"vc": {"value_count": {"field": "n_chars"}}}})
+    assert a3["aggregations"]["vc"]["value"] == 0
+    # pure context with only a must_not: no base set — refuse
+    with pytest.raises(ValueError, match="POSITIVE"):
+        execute_dsl(s, {
+            "query": {"bool": {"must_not": [{"term": {"lang": "rs"}}]}},
+            "size": 0,
+            "aggs": {"vc": {"value_count": {"field": "n_chars"}}}})
+    # pure positive + negated: range base minus one lang
+    pure = df[(df.n_chars >= 50) & (df.n_chars <= 300)
+              & (df.lang != "rs")]
+    a4 = execute_dsl(s, {
+        "query": {"bool": {
+            "filter": [{"range": {"n_chars": {"gte": 50, "lte": 300}}}],
+            "must_not": [{"term": {"lang": "rs"}}]}},
+        "size": 0,
+        "aggs": {"vc": {"value_count": {"field": "n_chars"}}}})
+    assert a4["aggregations"]["vc"]["value"] == len(pure)
     with pytest.raises(ValueError, match="gte/lte"):
         execute_dsl(s, _body({"vc": {"value_count":
                                      {"field": "n_chars"}}})
