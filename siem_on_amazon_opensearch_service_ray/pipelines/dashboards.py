@@ -233,6 +233,7 @@ def parse_saved_objects(text: str) -> SavedObjects:
                     a["kibanaSavedObjectMeta"]["searchSourceJSON"])
             except (KeyError, ValueError):
                 ss = {}
+            pills = _parse_pills(ss)
             out.searches.append({
                 "title": a.get("title", ""),
                 "columns": a.get("columns", []),
@@ -240,6 +241,9 @@ def parse_saved_objects(text: str) -> SavedObjects:
                 "query": (ss.get("query") or {}).get("query", ""),
                 "language": (ss.get("query") or {}).get("language",
                                                         "kuery"),
+                # None = a pill shape the engine can't lower;
+                # execute_search refuses instead of ignoring it
+                "filters": pills,
             })
         elif t == "visualization":
             out.panels.append(_parse_vis(a))
@@ -516,9 +520,32 @@ def execute_search(searcher, saved: dict, k: int = 500,
     if sort and not isinstance(sort[0], (list, tuple)):
         sort = [sort]
     sfield, sdir = (sort[0] if sort else (time_field, "desc"))
-    hits = searcher.field_sorted_search(
-        sfield, k=k, desc=(str(sdir).lower() != "asc"), query=query,
-        field=text_field, filter_field=ff, filter_value=fv)
+    pills = saved.get("filters", ())
+    if pills is None:
+        raise ValueError("saved search carries a filter pill shape "
+                         "the engine can't lower (custom raw-DSL?)")
+    if pills:
+        # filter PILLS: the same ambient-context lowering panels use —
+        # fold the kuery filter in, base on the pure sentinel when
+        # there is no text query (field_sorted_search's match-set
+        # computation flows through the context chokepoints)
+        from ..state.searcher import ctx_filters
+        if ff is not None:
+            pills = (("kw", ff, fv),) + tuple(pills)
+        pills = tuple(sorted(pills,
+                             key=lambda s_: s_[0].endswith("_not")))
+        pure = not query
+        if pure and pills[0][0].endswith("_not"):
+            raise ValueError("saved-search filter pills need at least "
+                             "one positive filter without a query")
+        with ctx_filters(searcher, pills, pure):
+            hits = searcher.field_sorted_search(
+                sfield, k=k, desc=(str(sdir).lower() != "asc"),
+                query=query or "ctxpure", field=text_field)
+    else:
+        hits = searcher.field_sorted_search(
+            sfield, k=k, desc=(str(sdir).lower() != "asc"), query=query,
+            field=text_field, filter_field=ff, filter_value=fv)
     if not hits:
         return pa.table({"doc_id": pa.array([], pa.int64())})
     ids = [d for _, d in hits]

@@ -477,3 +477,58 @@ def test_disabled_and_custom_pills(panel_index):
     p2 = _vis_pills("pie", base,
                     [{"meta": {"type": "custom", "key": "query"}}])
     assert not p2.supported and "pill" in p2.reason
+
+
+def test_execute_saved_search_with_pills(discover_index):
+    """Saved search carrying reference-shaped filter pills (phrase +
+    negated phrase), no text query: pure filter context + @timestamp
+    desc sort + docstore fetch."""
+    from siem_on_amazon_opensearch_service_ray.pipelines.dashboards import (
+        execute_search)
+    s, t = discover_index
+    saved = {"title": "s", "columns": ["user.name"],
+             "sort": [["@timestamp", "desc"]], "query": "",
+             "language": "kuery",
+             "filters": (("kw", "@log_type", "vpcflowlogs"),
+                         ("kw_not", "user.name", "user3"))}
+    out = execute_search(s, saved, k=500)
+    ids = out.column("doc_id").to_pylist()
+    # expected: even ids (vpcflowlogs) with i%7 != 3
+    exp = [i for i in range(200) if i % 2 == 0 and i % 7 != 3]
+    assert sorted(ids) == exp
+    # @timestamp desc order
+    ts = out.column("@timestamp").to_pylist()
+    assert ts == sorted(ts, reverse=True)
+    # pills compose with a text query too
+    saved2 = {"title": "s2", "columns": [], "sort": [["@timestamp",
+                                                      "asc"]],
+              "query": "allow", "language": "kuery",
+              "filters": (("kw", "@log_type", "vpcflowlogs"),)}
+    out2 = execute_search(s, saved2, k=500)
+    # allow docs = i%5==0; vpcflowlogs = even
+    exp2 = [i for i in range(200) if i % 5 == 0 and i % 2 == 0]
+    assert sorted(out2.column("doc_id").to_pylist()) == exp2
+    # an unlowerable pill set refuses
+    with pytest.raises(ValueError, match="pill"):
+        execute_search(s, {"title": "x", "columns": [], "sort": [],
+                           "query": "", "filters": None})
+
+
+def test_parse_reference_search_pills():
+    """The reference's saved searches with pills parse into context
+    specs (e.g. the OCSF/Security-Lake searches filter on phrase
+    pills)."""
+    import glob as _glob
+    n_with = 0
+    for f in _glob.glob("/root/reference/source/saved_objects/"
+                        "each-indexpattern-search/*.ndjson") + \
+            _glob.glob("/root/reference/source/saved_objects/"
+                       "each-dashboard/*.ndjson"):
+        so = parse_saved_objects(open(f).read())
+        for srch in so.searches:
+            if srch.get("filters"):
+                n_with += 1
+                assert all(p[0] in ("kw", "kw_not", "exists",
+                                    "exists_not", "range")
+                           for p in srch["filters"])
+    assert n_with >= 5
