@@ -6568,6 +6568,68 @@ GROUP BY lang ORDER BY n DESC, lang
 """
 
 
+def search_bool_multi_filter(sf_dir: str) -> pd.DataFrame:
+    """Scored bool with a FULL filter list — multiple term/terms/
+    range/exists clauses composing by per-shard intersection (the
+    round-5 lift of the old one-term+one-range limit): must=spark
+    scored by BM25 (global df — filters never affect idf, OpenSearch
+    filter-context semantics), filters = terms lang in (fr, es) +
+    range n_chars 100..900 + exists source.  Runs through the JSON
+    `_search` executor against the doc-sharded index."""
+    from ..state.dsl import execute_dsl
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        resp = execute_dsl(s, {
+            "query": {"bool": {
+                "must": [{"match": {"content": "spark"}}],
+                "filter": [{"terms": {"lang": ["fr", "es"]}},
+                           {"range": {"n_chars": {"gte": 100,
+                                                  "lte": 900}}},
+                           {"exists": {"field": "source"}}]}},
+            "size": BM25_K})
+    finally:
+        s.close()
+    hits = resp["hits"]["hits"]
+    return pd.DataFrame({
+        "doc_id": np.array([int(h["_id"]) for h in hits], np.int64),
+        "score_e4": np.array(
+            [int(_round_away(h["_score"] * 10000)) for h in hits],
+            np.int64)})
+
+
+SEARCH_BOOL_MULTI_FILTER_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+dl AS (SELECT d.doc_id, count(t.term) AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+dlq AS (SELECT doc_id, dl,
+               CASE WHEN dl < 8 THEN dl
+                    ELSE (dl >> (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3))
+                         << (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3)
+               END AS dl_quant
+        FROM dl),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, count(*) AS tf FROM tok
+       WHERE term = 'spark' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf),
+scores AS (
+  SELECT tf.doc_id,
+         ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2*(1 - 0.75 + 0.75*dlq.dl_quant/s.avgdl))
+           AS score
+  FROM tf CROSS JOIN df JOIN dlq USING(doc_id) CROSS JOIN stats s)
+SELECT sc.doc_id, cast(round(sc.score*10000) AS BIGINT) AS score_e4
+FROM scores sc JOIN documents d ON sc.doc_id = d.doc_id
+WHERE d.lang IN ('fr', 'es') AND d.n_chars BETWEEN 100 AND 900
+  AND d.source IS NOT NULL
+ORDER BY sc.score DESC, sc.doc_id LIMIT 20
+"""
+
+
 def dsl_pure_filter_aggs(sf_dir: str) -> pd.DataFrame:
     """PURE filter-context aggregations — ``bool {filter: [range,
     terms]}`` with NO match clause (the time-window / keyword-only
@@ -7037,6 +7099,7 @@ def queries() -> dict:
         "dsl_filtered_aggs": dsl_filtered_aggs,
         "dsl_pure_filter_aggs": dsl_pure_filter_aggs,
         "dashboard_pill_panel": dashboard_pill_panel,
+        "search_bool_multi_filter": search_bool_multi_filter,
         "dsl_terms_cardinality": dsl_terms_cardinality,
         "dsl_terms_metric": dsl_terms_metric,
         "dsl_hist_metric": dsl_hist_metric,
@@ -7221,6 +7284,7 @@ def oracle_sql() -> dict:
         "dsl_filtered_aggs": DSL_FILTERED_AGGS_SQL,
         "dsl_pure_filter_aggs": DSL_PURE_FILTER_AGGS_SQL,
         "dashboard_pill_panel": DASHBOARD_PILL_PANEL_SQL,
+        "search_bool_multi_filter": SEARCH_BOOL_MULTI_FILTER_SQL,
         "dsl_terms_cardinality": DSL_TERMS_CARDINALITY_SQL,
         "dsl_terms_metric": DSL_TERMS_METRIC_SQL,
         "dsl_hist_metric": DSL_HIST_METRIC_SQL,

@@ -142,6 +142,34 @@ def _match_text(spec) -> tuple[str, str, str]:
     return field, str(body), "or"
 
 
+def _filter_clause(c: dict, neg: bool, who: str) -> tuple:
+    """Lower ONE bool filter/must_not clause to a context filter spec
+    (("kw"/"kw_not", f, v|vs), ("range", f, lo, hi),
+    ("exists"/"exists_not", f)) — shared by the agg-context and
+    scored-bool lowerings."""
+    suf = "_not" if neg else ""
+    ck, cs = _one(c, "bool filter")
+    if ck == "term":
+        ff, v = _one(cs, "term")
+        if isinstance(v, dict):
+            v = v["value"]
+        return ("kw" + suf, ff, str(v))
+    if ck == "terms":
+        ff, vs = _one(cs, "terms")
+        return ("kw" + suf, ff, tuple(str(v) for v in vs))
+    if ck == "exists":
+        return ("exists" + suf, cs["field"])
+    if ck == "range" and not neg:
+        ff, b = _one(cs, "range")
+        if not set(b) <= {"gte", "lte"}:
+            raise ValueError(f"{who} range filter: only gte/lte "
+                             f"bounds are supported, got {sorted(b)}")
+        return ("range", ff, b.get("gte"), b.get("lte"))
+    raise ValueError(
+        f"{who} {'must_not' if neg else 'filter'} {ck!r} unsupported "
+        f"({'term/terms/exists' if neg else 'term/terms/range/exists'})")
+
+
 def _agg_context(query: dict | None) -> tuple[str, str, str, tuple]:
     """(query_text, field, mode, filters) for match-set aggregations.
     The engine's aggs take analyzed terms + or/and, optionally
@@ -179,36 +207,11 @@ def _agg_context(query: dict | None) -> tuple[str, str, str, tuple]:
             f = text = None
             op = "or"
 
-        def _clause(c, neg: bool):
-            suf = "_not" if neg else ""
-            ck, cs = _one(c, "bool filter")
-            if ck == "term":
-                ff, v = _one(cs, "term")
-                if isinstance(v, dict):
-                    v = v["value"]
-                return ("kw" + suf, ff, str(v))
-            if ck == "terms":
-                ff, vs = _one(cs, "terms")
-                return ("kw" + suf, ff, tuple(str(v) for v in vs))
-            if ck == "exists":
-                return ("exists" + suf, cs["field"])
-            if ck == "range" and not neg:
-                ff, b = _one(cs, "range")
-                if not set(b) <= {"gte", "lte"}:
-                    raise ValueError("bool agg-context range filter: "
-                                     "only gte/lte bounds are "
-                                     f"supported, got {sorted(b)}")
-                return ("range", ff, b.get("gte"), b.get("lte"))
-            raise ValueError(
-                f"bool agg-context {'must_not' if neg else 'filter'} "
-                f"{ck!r} unsupported "
-                f"({'term/terms/exists' if neg else 'term/terms/range/exists'})")
-
-        filters = [_clause(c, False) for c in
+        filters = [_filter_clause(c, False, "bool agg-context") for c in
                    ([spec["filter"]]
                     if isinstance(spec.get("filter"), dict)
                     else spec.get("filter") or [])]
-        negs = [_clause(c, True) for c in
+        negs = [_filter_clause(c, True, "bool agg-context") for c in
                 ([spec["must_not"]]
                  if isinstance(spec.get("must_not"), dict)
                  else spec.get("must_not") or [])]
@@ -406,30 +409,14 @@ def _exec_query(s, query: dict, size: int,
                 _f, text, _op = _match_text(c)
                 out.append(text)
             return out
-        filt_field = filt_value = None
-        range_field = range_lo = range_hi = None
+        fspecs: list[tuple] = []
         for c in ([spec["filter"]] if isinstance(spec.get("filter"), dict)
                   else spec.get("filter") or []):
             ck, cs = _one(c, "bool filter")
-            if ck in ("term", "terms") and filt_field is not None:
-                raise ValueError("bool filter: at most one term/terms "
-                                 "filter is supported")
-            if ck == "range" and range_field is not None:
-                raise ValueError("bool filter: at most one range "
-                                 "filter is supported")
-            if ck == "term":
-                filt_field, filt_value = _one(cs, "term")
-                if isinstance(filt_value, dict):
-                    filt_value = filt_value["value"]
-            elif ck == "terms":
-                # multi-value keyword filter: union of the values'
-                # packed doc lists (_filter_ids takes the list)
-                filt_field, filt_value = _one(cs, "terms")
-                filt_value = list(filt_value)
-            elif ck == "range":
-                range_field, b = _one(cs, "range")
-                range_lo = b.get("gte", b.get("gt"))
-                range_hi = b.get("lte", b.get("lt"))
+            if ck in ("term", "terms", "range", "exists"):
+                # any number of term/terms/range/exists filters lower
+                # to filter specs (positives intersect per shard)
+                fspecs.append(_filter_clause(c, False, "bool"))
             elif ck in ("geo_bounding_box", "geo_distance"):
                 # geo filters pair with a single match must — route to
                 # the dedicated geo query methods
@@ -461,9 +448,7 @@ def _exec_query(s, query: dict, size: int,
                   should=_texts(spec.get("should")),
                   must_not=_texts(spec.get("must_not")),
                   minimum_should_match=spec.get("minimum_should_match"),
-                  filter_field=filt_field, filter_value=filt_value,
-                  range_field=range_field, range_lo=range_lo,
-                  range_hi=range_hi, k=size)
+                  filters=tuple(fspecs) or None, k=size)
     if kind in ("term", "terms"):
         raise ValueError(
             f"{kind!r} at top level is filter-context; wrap it in "

@@ -2685,6 +2685,34 @@ class Searcher:
         return _dispatch(method, terms, k, mode, avgdl, filt, k1, b,
                          search_after)
 
+    def _filters_to_sets(self, filters):
+        """(inclusion ids | None, exclusion ids | None) from context
+        filter specs (("kw"/"kw_not", f, v|vs), ("range", f, lo, hi),
+        ("exists"/"exists_not", f)) over this searcher's own parts —
+        the scored-query twin of the ambient agg-context machinery:
+        positives intersect into one inclusion set, negatives union
+        into one exclusion set (score never sees either)."""
+        filt = excl = None
+        for spec in filters or ():
+            kind = spec[0]
+            if kind in ("kw", "kw_not"):
+                v = (list(spec[2]) if isinstance(spec[2], (tuple, list))
+                     else spec[2])
+                ids = self._filter_ids(spec[1], v)
+            elif kind == "range":
+                ids = self._range_ids(spec[1], spec[2], spec[3])
+            elif kind in ("exists", "exists_not"):
+                ids = _exists_ctx_ids(self.index_dir, spec[1],
+                                      self._local_parts)
+            else:
+                raise ValueError(f"unknown filter spec kind {kind!r}")
+            if kind.endswith("_not"):
+                excl = ids if excl is None else np.union1d(excl, ids)
+            else:
+                filt = ids if filt is None else \
+                    np.intersect1d(filt, ids, assume_unique=True)
+        return filt, excl
+
     def search_bool(self, must: list[str] | None = None,
                     should: list[str] | None = None,
                     must_not: list[str] | None = None,
@@ -2694,6 +2722,7 @@ class Searcher:
                     filter_value: str | None = None,
                     range_field: str | None = None,
                     range_lo=None, range_hi=None,
+                    filters=None,
                     analyzer: str | None = None,
                     k1: float = K1, b: float = B) -> list[tuple[float, int]]:
         """Boolean query (OpenSearch ``bool`` DSL parity — the
@@ -2739,6 +2768,16 @@ class Searcher:
             rids = self._range_ids(range_field, range_lo, range_hi)
             filt = rids if filt is None else \
                 np.intersect1d(filt, rids, assume_unique=True)
+        if filters:
+            # full filter-spec list (multiple term/terms/range/exists,
+            # each negatable) — the DSL bool's filter clauses
+            f2, excl = self._filters_to_sets(filters)
+            if f2 is not None:
+                filt = f2 if filt is None else \
+                    np.intersect1d(filt, f2, assume_unique=True)
+            if excl is not None and excl.size:
+                mn_ids = excl if mn_ids is None else \
+                    np.union1d(mn_ids, excl)
         return score_bool(must_td, should_td, k, avgdl, msm, mn_ids,
                           filt, k1, b)
 
@@ -7013,6 +7052,7 @@ class Searcher:
                             filter_value: str | None = None,
                             range_field: str | None = None,
                             range_lo=None, range_hi=None,
+                            filters=None,
                             analyzer: str | None = None,
                             k1: float = K1, b: float = B
                             ) -> list[tuple[float, int]]:
@@ -7027,7 +7067,8 @@ class Searcher:
                  k=k, minimum_should_match=minimum_should_match,
                  filter_field=filter_field, filter_value=filter_value,
                  range_field=range_field, range_lo=range_lo,
-                 range_hi=range_hi, analyzer=analyzer, k1=k1, b=b),
+                 range_hi=range_hi, filters=filters,
+                 analyzer=analyzer, k1=k1, b=b),
             k, idf_terms=toks, field=field)
 
     def multi_match_sharded(self, query: str, fields: list[str],

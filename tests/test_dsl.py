@@ -1137,10 +1137,13 @@ def test_dsl_post_filter(dsl_s):
     with pytest.raises(ValueError, match="post_filter"):
         execute_dsl(s, {"query": {"match_all": {}},
                         "post_filter": {"term": {"lang": "py"}}})
-    with pytest.raises(ValueError, match="at most one"):
-        execute_dsl(s, {"query": {"bool": {
-            "must": [q], "filter": [{"term": {"lang": "py"}},
-                                    {"terms": {"repo": ["r1"]}}]}}})
+    # two keyword filters now compose (intersection) instead of
+    # raising — the round-5 multi-filter scored bool
+    both = execute_dsl(s, {"query": {"bool": {
+        "must": [q], "filter": [{"term": {"lang": "py"}},
+                                {"terms": {"lang": ["py", "go"]}}]}},
+        "size": 50})
+    assert _ids(both) == _ids(composed)
 
 
 def test_dsl_suggest(dsl_s):
