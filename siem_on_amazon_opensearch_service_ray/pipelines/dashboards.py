@@ -93,6 +93,49 @@ _BUCKET_PIPELINE = {"max_bucket", "min_bucket", "avg_bucket", "sum_bucket"}
 _SUPPORTED_BUCKETS = {"terms", "filters", "date_histogram"}
 
 
+_KUERY_CLAUSE = _re.compile(
+    r'^\s*(not\s+)?([\w.@-]+)\s*(:|>=|<=)\s*'
+    r'(?:"([^"]*)"|\(([^()]*)\)|([\w.:-]+))\s*$', _re.IGNORECASE)
+
+
+def parse_kuery_filters(query: str):
+    """Lower a CONJUNCTIVE kuery string to context filter specs:
+    ``a:"x" and not b:y and c >= 5 and d:(v1 or v2)`` ->
+    (("kw","a","x"), ("kw_not","b","y"), ("range","c",5.0,None),
+    ("kw","d",("v1","v2"))).  Returns None when any clause is beyond
+    the conjunctive field-op grammar (top-level ``or``, bare text
+    mixed with field clauses, nested groups) — callers then refuse
+    or fall back to the bare-term text path."""
+    parts = _re.split(r'\s+and\s+', query.strip(), flags=_re.IGNORECASE)
+    out = []
+    for part in parts:
+        m = _KUERY_CLAUSE.match(part)
+        if not m:
+            return None
+        neg, field, op, quoted, grouped, bare = m.groups()
+        if op in (">=", "<="):
+            if neg or grouped is not None or quoted is not None:
+                return None
+            try:
+                v = float(bare)
+            except ValueError:
+                return None
+            out.append(("range", field, v if op == ">=" else None,
+                        v if op == "<=" else None))
+            continue
+        suf = "_not" if neg else ""
+        if grouped is not None:
+            vals = [v.strip().strip('"') for v in
+                    _re.split(r'\s+or\s+', grouped, flags=_re.IGNORECASE)]
+            if not all(vals):
+                return None
+            out.append(("kw" + suf, field, tuple(vals)))
+        else:
+            out.append(("kw" + suf, field,
+                        quoted if quoted is not None else bare))
+    return tuple(sorted(out, key=lambda s_: s_[0].endswith("_not")))
+
+
 def _parse_pills(ss: dict):
     """searchSourceJSON ``filter`` pills -> context filter specs
     (("kw"/"kw_not", field, value|values), ("exists"/"exists_not",
@@ -205,8 +248,18 @@ def _parse_vis(attrs: dict) -> PanelSpec:
                                  else m.group(3))
             spec.query = ""
         else:
-            spec.supported = False
-            spec.reason = "kuery beyond bare terms / one field:\"value\""
+            # compound conjunctive kuery lowers to filter pills
+            # (a:"x" and not b:y and c >= 5 and d:(v1 or v2))
+            kf = parse_kuery_filters(spec.query)
+            if kf:
+                spec.pill_filters = tuple(sorted(
+                    spec.pill_filters + kf,
+                    key=lambda s_: s_[0].endswith("_not")))
+                spec.query = ""
+            else:
+                spec.supported = False
+                spec.reason = ("kuery beyond conjunctive field "
+                               "clauses / bare terms")
     return spec
 
 
@@ -505,15 +558,20 @@ def execute_search(searcher, saved: dict, k: int = 500,
 
     query = saved.get("query") or ""
     ff = fv = None
+    kuery_pills: tuple = ()
     if query and saved.get("language", "kuery") == "kuery" \
             and any(c in query for c in ':()"'):
         m = _KUERY_KV.match(query)
-        if not m:
-            raise ValueError(
-                "saved-search kuery beyond bare terms / one "
-                "field:\"value\" is unsupported")
-        ff = m.group(1)
-        fv = m.group(2) if m.group(2) is not None else m.group(3)
+        if m:
+            ff = m.group(1)
+            fv = m.group(2) if m.group(2) is not None else m.group(3)
+        else:
+            kf = parse_kuery_filters(query)
+            if not kf:
+                raise ValueError(
+                    "saved-search kuery beyond conjunctive field "
+                    "clauses / bare terms is unsupported")
+            kuery_pills = kf
         query = ""
     sort = saved.get("sort") or []
     # exports spell sort as ['f','desc'] or [['f','desc'], ...]
@@ -524,6 +582,7 @@ def execute_search(searcher, saved: dict, k: int = 500,
     if pills is None:
         raise ValueError("saved search carries a filter pill shape "
                          "the engine can't lower (custom raw-DSL?)")
+    pills = tuple(pills) + kuery_pills
     if pills:
         # filter PILLS: the same ambient-context lowering panels use —
         # fold the kuery filter in, base on the pure sentinel when

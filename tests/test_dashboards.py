@@ -286,12 +286,21 @@ def test_unsupported_panels_flagged():
     assert not p.supported
     with pytest.raises(ValueError):
         execute_panel(None, p)
+    # conjunctive compound kuery lowers to pills now; disjunctive
+    # stays refused
     kql = _vis("pie", [
         {"schema": "metric", "type": "count", "params": {}},
         {"schema": "segment", "type": "terms",
          "params": {"field": "x", "size": 5}},
     ], query='a:"1" AND b:"2"')
-    assert not kql.supported and "kuery" in kql.reason
+    assert kql.supported and kql.pill_filters == (("kw", "a", "1"),
+                                                  ("kw", "b", "2"))
+    kql2 = _vis("pie", [
+        {"schema": "metric", "type": "count", "params": {}},
+        {"schema": "segment", "type": "terms",
+         "params": {"field": "x", "size": 5}},
+    ], query='a:"1" OR b:"2"')
+    assert not kql2.supported and "kuery" in kql2.reason
 
 
 @pytest.fixture(scope="module")
@@ -382,8 +391,10 @@ def test_execute_saved_search_unsupported_kuery(discover_index):
     from siem_on_amazon_opensearch_service_ray.pipelines.dashboards import (
         execute_search)
     s, _ = discover_index
+    # conjunctive compound kuery now lowers to pills; disjunctive
+    # (top-level or) stays refused
     with pytest.raises(ValueError, match="kuery"):
-        execute_search(s, {"query": 'a:"1" and b:"2"', "columns": [],
+        execute_search(s, {"query": 'a:"1" or b:"2"', "columns": [],
                            "sort": []})
 
 
@@ -532,3 +543,47 @@ def test_parse_reference_search_pills():
                                     "exists_not", "range")
                            for p in srch["filters"])
     assert n_with >= 5
+
+
+def test_compound_kuery_panel(panel_index):
+    """Conjunctive compound kuery — `region:"us-east-1" and not
+    event_name:PutObject and n_chars >= 80` — lowers to pills and
+    executes."""
+    p = _vis("pie", [
+        {"schema": "metric", "type": "count", "params": {}},
+        {"schema": "segment", "type": "terms",
+         "params": {"field": "event_name", "size": 5}},
+    ], query='region:"us-east-1" and not event_name:PutObject '
+             'and n_chars >= 80')
+    assert p.supported
+    rows = dict(execute_panel(panel_index, p))
+    # even ids (us-east-1), i%3 != 2 (not PutObject), 20+i >= 80
+    exp = {}
+    for i in range(120):
+        if i % 2 == 0 and i % 3 != 2 and 20 + i >= 80:
+            name = ["ConsoleLogin", "RunInstances", "PutObject"][i % 3]
+            exp[name] = exp.get(name, 0) + 1
+    assert rows == exp
+
+
+def test_compound_kuery_multivalue_group(panel_index):
+    p = _vis("pie", [
+        {"schema": "metric", "type": "count", "params": {}},
+        {"schema": "segment", "type": "terms",
+         "params": {"field": "region", "size": 5}},
+    ], query='event_name:(ConsoleLogin or RunInstances)')
+    assert p.supported
+    rows = dict(execute_panel(panel_index, p))
+    assert rows == {"us-east-1": 40, "eu-west-1": 40}
+
+
+def test_compound_kuery_saved_search(discover_index):
+    from siem_on_amazon_opensearch_service_ray.pipelines.dashboards import (
+        execute_search)
+    s, _ = discover_index
+    out = execute_search(
+        s, {"query": '@log_type:vpcflowlogs and not user.name:user3',
+            "columns": ["user.name"], "sort": [["@timestamp", "desc"]],
+            "language": "kuery"}, k=500)
+    ids = sorted(out.column("doc_id").to_pylist())
+    assert ids == [i for i in range(200) if i % 2 == 0 and i % 7 != 3]
