@@ -6630,6 +6630,36 @@ ORDER BY sc.score DESC, sc.doc_id LIMIT 20
 """
 
 
+def discover_kuery_search(sf_dir: str) -> pd.DataFrame:
+    """A Discover saved search with a COMPOUND conjunctive kuery —
+    ``lang:(fr or es) and not source:src3 and n_chars >= 200`` —
+    lowered to context filter pills (multi-value keyword + negated
+    keyword + range) and executed as a pure filter context: per-shard
+    boundary bisect on the value-sorted range tables + docstore
+    column fetch of the top 30 by n_chars desc."""
+    from .dashboards import execute_search
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        saved = {"title": "kuery search", "columns": ["lang", "source"],
+                 "sort": [["n_chars", "desc"]],
+                 "query": ("lang:(fr or es) and not source:src3 "
+                           "and n_chars >= 200"),
+                 "language": "kuery"}
+        out = execute_search(s, saved, k=30).to_pandas()
+    finally:
+        s.close()
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    return out[["doc_id", "n_chars", "lang", "source"]]
+
+
+DISCOVER_KUERY_SEARCH_SQL = """
+SELECT doc_id, n_chars, lang, source FROM documents
+WHERE lang IN ('fr', 'es') AND source <> 'src3' AND n_chars >= 200
+ORDER BY n_chars DESC, doc_id LIMIT 30
+"""
+
+
 def dsl_pure_filter_aggs(sf_dir: str) -> pd.DataFrame:
     """PURE filter-context aggregations — ``bool {filter: [range,
     terms]}`` with NO match clause (the time-window / keyword-only
@@ -7100,6 +7130,7 @@ def queries() -> dict:
         "dsl_pure_filter_aggs": dsl_pure_filter_aggs,
         "dashboard_pill_panel": dashboard_pill_panel,
         "search_bool_multi_filter": search_bool_multi_filter,
+        "discover_kuery_search": discover_kuery_search,
         "dsl_terms_cardinality": dsl_terms_cardinality,
         "dsl_terms_metric": dsl_terms_metric,
         "dsl_hist_metric": dsl_hist_metric,
@@ -7285,6 +7316,7 @@ def oracle_sql() -> dict:
         "dsl_pure_filter_aggs": DSL_PURE_FILTER_AGGS_SQL,
         "dashboard_pill_panel": DASHBOARD_PILL_PANEL_SQL,
         "search_bool_multi_filter": SEARCH_BOOL_MULTI_FILTER_SQL,
+        "discover_kuery_search": DISCOVER_KUERY_SEARCH_SQL,
         "dsl_terms_cardinality": DSL_TERMS_CARDINALITY_SQL,
         "dsl_terms_metric": DSL_TERMS_METRIC_SQL,
         "dsl_hist_metric": DSL_HIST_METRIC_SQL,
