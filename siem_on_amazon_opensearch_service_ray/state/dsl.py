@@ -1954,10 +1954,15 @@ def execute_pattern_dsl(ms, body: dict) -> dict:
         resp["hits"]["total"]["relation"] = \
             "gte" if len(rows) == size else "eq"
     elif query is not None and "match" not in query \
-            and "match_all" not in query:
+            and "match_all" not in query \
+            and not ("bool" in query and size == 0):
+        # bool contexts are fine for aggs-only bodies (size=0): the
+        # filter specs install once and every member intersects
+        # shard-locally; scored pattern bool stays unsupported
         kind, _ = _one(query, "query")
         raise ValueError(f"pattern search: query {kind!r} is not "
-                         "supported (match / match_all)")
+                         "supported (match / match_all; bool with "
+                         "size=0 aggs)")
     if body.get("track_total_hits") and query is not None \
             and "match" in query:
         f, text, op = _match_text(query)

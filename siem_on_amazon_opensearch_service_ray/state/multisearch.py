@@ -288,6 +288,58 @@ class MultiSearcher:
         out.sort(key=lambda r: (-r[1], r[0]))
         return out
 
+    def stats_aggregation(self, query: str, range_field: str,
+                          field: str = "content", mode: str = "or",
+                          quantiles: tuple = (),
+                          quantile_method: str = "exact") -> dict:
+        """Pattern-wide stats: per-index mergeable moments
+        (count/sum/sum_sq add, min/max fold), avg/variance re-derived
+        at the end.  Quantiles are refused — a cross-index exact
+        selection would need the value pull the per-index protocols
+        deliberately avoid."""
+        if quantiles:
+            raise ValueError("pattern stats: quantiles do not "
+                             "federate exactly; query one index")
+        from .searcher import _extend_stats
+        live = [d for d in (s.stats_aggregation(query, range_field,
+                                                field, mode)
+                            for s in self.searchers.values())
+                if d.get("count")]
+        if not live:
+            return {"count": 0}
+        out = {"count": sum(d["count"] for d in live),
+               "min": min(d["min"] for d in live),
+               "max": max(d["max"] for d in live),
+               "sum": float(sum(d["sum"] for d in live)),
+               "sum_sq": float(sum(d["sum_sq"] for d in live))}
+        out["avg"] = out["sum"] / out["count"]
+        _extend_stats(out)
+        return out
+
+    def value_count_aggregation(self, query: str, agg_field: str,
+                                field: str = "content",
+                                mode: str = "or") -> tuple[int, int]:
+        """Pattern-wide value_count/missing: the two ints add."""
+        w = m = 0
+        for s in self.searchers.values():
+            wi, mi = s.value_count_aggregation(query, agg_field,
+                                               field, mode)
+            w += int(wi)
+            m += int(mi)
+        return w, m
+
+    def cardinality_aggregation(self, query: str, agg_field: str,
+                                field: str = "content",
+                                mode: str = "or") -> int:
+        """Pattern-wide distinct count: the union of the per-index
+        value CENSUSES (only distinct values travel — exact where
+        OpenSearch merges HLL across indexes)."""
+        vals: set[str] = set()
+        for s in self.searchers.values():
+            vals.update(v for v, _ in s.terms_aggregation(
+                query, agg_field, field, mode))
+        return len(vals)
+
     def terms_histogram_aggregation(self, query: str, agg_field: str,
                                     range_field: str, interval: float,
                                     field: str = "content",

@@ -277,3 +277,46 @@ def test_discover_saved_search_over_pattern(split_indexes):
     finally:
         flat.close()
         ms.close()
+
+
+def test_pattern_filtered_aggs(split_indexes):
+    """Bool-filtered (and pure-filter) agg contexts federate over an
+    index pattern: the ambient context installs once (driver global
+    covers every member searcher; each member's actor pool gets the
+    broadcast) and the per-index partials merge identically to the
+    flat union index."""
+    from siem_on_amazon_opensearch_service_ray.state.dsl import (
+        execute_dsl, execute_pattern_dsl)
+    from siem_on_amazon_opensearch_service_ray.state.multisearch import (
+        MultiSearcher)
+    from siem_on_amazon_opensearch_service_ray.state.searcher import (
+        Searcher)
+    root, flat_idx, ia, ib = split_indexes
+    body = {"query": {"bool": {
+                "must": [{"match": {"content": "spark"}}],
+                "filter": [{"terms": {"lang": ["en", "de"]}},
+                           {"range": {"msm": {"gte": 1.0,
+                                              "lte": 4.0}}}]}},
+            "size": 0,
+            "aggs": {"by_lang": {"terms": {"field": "lang",
+                                           "size": 10}},
+                     "st": {"stats": {"field": "msm"}}}}
+    ms = MultiSearcher([ia, ib])
+    flat = Searcher(flat_idx, use_actors=False)
+    try:
+        got = execute_pattern_dsl(ms, body)["aggregations"]
+        exp = execute_dsl(flat, body)["aggregations"]
+        assert got["by_lang"] == exp["by_lang"]
+        assert got["st"]["count"] == exp["st"]["count"]
+        assert got["st"]["sum"] == exp["st"]["sum"]
+        # pure filter context over the pattern
+        pure = {"query": {"bool": {"filter": [
+                    {"term": {"lang": "fr"}}]}},
+                "size": 0,
+                "aggs": {"vc": {"value_count": {"field": "msm"}}}}
+        g2 = execute_pattern_dsl(ms, pure)["aggregations"]
+        e2 = execute_dsl(flat, pure)["aggregations"]
+        assert g2 == e2
+    finally:
+        ms.close()
+        flat.close()
