@@ -334,6 +334,42 @@ def _execute_calendar_panel(dataset, spec: PanelSpec, hist_b: dict,
         ds = ds.map_batches(
             lambda b: b.filter(pc.equal(b.column(ff), fv)),
             batch_format="pyarrow")
+    if spec.pill_filters:
+        # filter pills apply as ONE vectorized Arrow mask per batch
+        # (Dataset side — calendar panels never touch the index)
+        pills = tuple(spec.pill_filters)
+
+        def _apply_pills(b):
+            import pyarrow as _pa
+            mask = None
+            for sp in pills:
+                kind = sp[0]
+                if kind in ("kw", "kw_not"):
+                    vals = (sp[2] if isinstance(sp[2], tuple)
+                            else (sp[2],))
+                    m = pc.is_in(b.column(sp[1]),
+                                 value_set=_pa.array(list(vals)))
+                elif kind == "range":
+                    col = b.column(sp[1])
+                    m = None
+                    if sp[2] is not None:
+                        m = pc.greater_equal(col, sp[2])
+                    if sp[3] is not None:
+                        m2 = pc.less_equal(col, sp[3])
+                        m = m2 if m is None else pc.and_(m, m2)
+                    if m is None:
+                        m = pc.is_valid(col)
+                elif kind in ("exists", "exists_not"):
+                    m = pc.is_valid(b.column(sp[1]))
+                else:
+                    raise ValueError(f"pill kind {kind!r}")
+                if kind.endswith("_not"):
+                    # a doc missing the field never matches the
+                    # positive form, so it SURVIVES the negation
+                    m = pc.invert(pc.fill_null(m, False))
+                mask = m if mask is None else pc.and_(mask, m)
+            return b.filter(mask)
+        ds = ds.map_batches(_apply_pills, batch_format="pyarrow")
     win = ds.map_batches(
         lambda b: add_calendar_window(b, ts_col, unit, tz_offset_hours),
         batch_format="pyarrow")
@@ -382,6 +418,16 @@ def execute_panel(searcher, spec: PanelSpec,
         from dataclasses import replace
 
         from ..state.searcher import ctx_filters
+        hist_b0 = next((b for b in spec.buckets
+                        if b["type"] == "date_histogram"), None)
+        if hist_b0 is not None and \
+                _calendar_unit(hist_b0.get("interval")) is not None:
+            # calendar panels run Dataset-side; the pills apply there
+            # as vectorized Arrow masks (no index context needed)
+            terms_b0 = next((b for b in spec.buckets
+                             if b["type"] == "terms"), None)
+            return _execute_calendar_panel(dataset, spec, hist_b0,
+                                           terms_b0, tz_offset_hours)
         pills = tuple(spec.pill_filters)
         if spec.filter_field is not None:
             pills = (("kw", spec.filter_field, spec.filter_value),) \

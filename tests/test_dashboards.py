@@ -587,3 +587,41 @@ def test_compound_kuery_saved_search(discover_index):
             "language": "kuery"}, k=500)
     ids = sorted(out.column("doc_id").to_pylist())
     assert ids == [i for i in range(200) if i % 2 == 0 and i % 7 != 3]
+
+
+def test_calendar_panel_with_pills(ray_session):
+    """Calendar (monthly) panel with filter pills: the pills apply
+    Dataset-side as vectorized Arrow masks (negation keeps
+    missing-field rows — must_not semantics)."""
+    import ray.data as rd
+    n = 180
+    t = pa.table({
+        "ts": pa.array([1_700_000_000_000_000 + i * 86_400_000_000
+                        for i in range(n)], pa.int64()),
+        "event_type": [["click", "view", "buy"][i % 3]
+                       for i in range(n)],
+        "region": [["us", "eu", None][i % 3] for i in range(n)],
+        "amount": pa.array([float(i) for i in range(n)], pa.float64()),
+    })
+    ds = rd.from_arrow(t)
+    p = _vis_pills("line", [
+        {"schema": "metric", "type": "count", "params": {}},
+        {"schema": "segment", "type": "date_histogram",
+         "params": {"field": "ts", "interval": "1M"}}],
+        [{"meta": {"type": "phrases", "key": "event_type",
+                   "params": ["click", "view"], "negate": False}},
+         {"meta": {"type": "phrase", "key": "region",
+                   "params": {"query": "eu"}, "negate": True}}])
+    assert p.supported
+    rows = execute_panel(None, p, dataset=ds)
+    # reference: pandas over the same predicate (not-eu keeps nulls)
+    import pandas as pd
+    df = t.to_pandas()
+    keep = df.event_type.isin(["click", "view"]) & (
+        df.region.isna() | (df.region != "eu"))
+    ref = df[keep]
+    months = pd.to_datetime(ref.ts, unit="us").dt.to_period("M")
+    exp = months.value_counts().sort_index()
+    got_total = sum(v for _, v in rows)
+    assert got_total == len(ref)
+    assert len(rows) == len(exp)
