@@ -257,7 +257,11 @@ _CTX_FILTER_OK = frozenset({
     "missing", "histogram", "date_histogram", "range", "date_range",
     "stats", "extended_stats", "avg", "sum", "min", "max",
     "percentiles", "percentile_ranks", "median_absolute_deviation",
-    "boxplot", "string_stats", "weighted_avg"})
+    "boxplot", "string_stats", "weighted_avg",
+    # foreground = the filtered match set (chokepoint-honoring),
+    # background stays the whole corpus — OpenSearch sig-terms
+    # semantics ("what is anomalous WITHIN this window")
+    "significant_terms"})
 
 
 def _run_aggs(s, aggs: dict, query: dict | None) -> dict:

@@ -372,3 +372,30 @@ def test_remaining_whitelist_kinds(searcher):
     assert a["bx"]["min"] == float(v.min())
     assert a["bx"]["max"] == float(v.max())
     assert a["bx"]["q2"] in v
+
+
+def test_significant_terms_filtered_context(searcher):
+    """sig_terms under a filtered context: foreground = the narrowed
+    match set, background = the whole corpus (OpenSearch
+    'anomalous within this window' semantics) — JLH recomputed
+    against the pandas reference."""
+    s, df = searcher
+    ref = _matches(df)
+    a = execute_dsl(s, _body({
+        "sig": {"significant_terms": {"field": "lang",
+                                      "size": 10}}}))[
+        "aggregations"]["sig"]["buckets"]
+    fg = ref.groupby("lang").size()
+    bg = df.groupby("lang").size()
+    fg_t, bg_t = float(fg.sum()), float(bg.sum())
+    exp = []
+    for v, n in fg.items():
+        fg_pct, bg_pct = n / fg_t, bg[v] / bg_t
+        if fg_pct > bg_pct:
+            exp.append((v, int(n),
+                        (fg_pct - bg_pct) * (fg_pct / bg_pct)))
+    exp.sort(key=lambda t: (-t[2], t[0]))
+    got = [(b["key"], b["doc_count"]) for b in a]
+    assert got == [(v, n) for v, n, _ in exp]
+    for b, (_, _, sc) in zip(a, exp):
+        assert b["score"] == pytest.approx(sc)
