@@ -95,7 +95,7 @@ _SUPPORTED_BUCKETS = {"terms", "filters", "date_histogram"}
 
 _KUERY_CLAUSE = _re.compile(
     r'^\s*(not\s+)?([\w.@-]+)\s*(:|>=|<=)\s*'
-    r'(?:"([^"]*)"|\(([^()]*)\)|([\w.:-]+))\s*$', _re.IGNORECASE)
+    r'(?:"([^"]*)"|\(([^()]*)\)|([\w.:*?-]+))\s*$', _re.IGNORECASE)
 
 
 def parse_kuery_filters(query: str):
@@ -130,6 +130,10 @@ def parse_kuery_filters(query: str):
             if not all(vals):
                 return None
             out.append(("kw" + suf, field, tuple(vals)))
+        elif bare is not None and ("*" in bare or "?" in bare):
+            # unquoted wildcard value (Kibana `field:val*`) — the
+            # value dictionary matches shard-side, doc lists union
+            out.append(("kw_like" + suf, field, bare))
         else:
             out.append(("kw" + suf, field,
                         quoted if quoted is not None else bare))
@@ -361,6 +365,10 @@ def _execute_calendar_panel(dataset, spec: PanelSpec, hist_b: dict,
                         m = pc.is_valid(col)
                 elif kind in ("exists", "exists_not"):
                     m = pc.is_valid(b.column(sp[1]))
+                elif kind in ("kw_like", "kw_like_not"):
+                    import fnmatch as _fn
+                    m = pc.match_substring_regex(
+                        b.column(sp[1]), _fn.translate(sp[2]))
                 else:
                     raise ValueError(f"pill kind {kind!r}")
                 if kind.endswith("_not"):

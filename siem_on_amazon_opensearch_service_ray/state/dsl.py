@@ -159,6 +159,11 @@ def _filter_clause(c: dict, neg: bool, who: str) -> tuple:
         return ("kw" + suf, ff, tuple(str(v) for v in vs))
     if ck == "exists":
         return ("exists" + suf, cs["field"])
+    if ck == "wildcard":
+        ff, v = _one(cs, "wildcard")
+        if isinstance(v, dict):
+            v = v.get("value", v.get("wildcard"))
+        return ("kw_like" + suf, ff, str(v))
     if ck == "range" and not neg:
         ff, b = _one(cs, "range")
         if not set(b) <= {"gte", "lte"}:

@@ -667,6 +667,8 @@ def _ctx_filter_ids(index_dir: str, spec: tuple,
                                  dparts=dparts)
         elif spec[0] in ("exists", "exists_not"):
             ids = _exists_ctx_ids(index_dir, spec[1], dparts)
+        elif spec[0] in ("kw_like", "kw_like_not"):
+            ids = _like_ctx_ids(index_dir, spec[1], spec[2], dparts)
         else:
             raise ValueError(f"unknown context filter kind {spec[0]!r}")
         if len(_CTX_ID_CACHE) >= 64:
@@ -696,6 +698,21 @@ def _ctx_intersect(cand: np.ndarray, index_dir: str,
         pos = np.minimum(np.searchsorted(ids, cand), ids.size - 1)
         cand = cand[ids[pos] == cand]
     return cand
+
+
+def _like_ctx_ids(index_dir: str, field: str, pattern: str,
+                  dparts: list[int] | None) -> np.ndarray:
+    """Sorted doc ids whose keyword ``field`` matches the wildcard
+    ``pattern`` (``*``/``?`` — Kibana's `field:val*`) within the
+    given doc parts: the VALUE dictionary is matched driver/shard
+    -side (values only), then the matching values' packed doc lists
+    union — no per-doc work."""
+    import fnmatch
+    chunks = [ids for v, ids in
+              _iter_filter_postings(index_dir, field, dparts)
+              if fnmatch.fnmatchcase(v, pattern)]
+    return (np.unique(np.concatenate(chunks)) if chunks
+            else np.zeros(0, np.uint64))
 
 
 def _exists_ctx_ids(index_dir: str, field: str,
@@ -2704,6 +2721,9 @@ class Searcher:
             elif kind in ("exists", "exists_not"):
                 ids = _exists_ctx_ids(self.index_dir, spec[1],
                                       self._local_parts)
+            elif kind in ("kw_like", "kw_like_not"):
+                ids = _like_ctx_ids(self.index_dir, spec[1], spec[2],
+                                    self._local_parts)
             else:
                 raise ValueError(f"unknown filter spec kind {kind!r}")
             if kind.endswith("_not"):

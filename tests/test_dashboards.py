@@ -625,3 +625,15 @@ def test_calendar_panel_with_pills(ray_session):
     got_total = sum(v for _, v in rows)
     assert got_total == len(ref)
     assert len(rows) == len(exp)
+
+
+def test_kuery_wildcard_value(panel_index):
+    p = _vis("pie", [
+        {"schema": "metric", "type": "count", "params": {}},
+        {"schema": "segment", "type": "terms",
+         "params": {"field": "region", "size": 5}},
+    ], query='event_name:Console*')
+    assert p.supported and p.pill_filters == (("kw_like", "event_name",
+                                               "Console*"),)
+    rows = dict(execute_panel(panel_index, p))
+    assert rows == {"us-east-1": 20, "eu-west-1": 20}

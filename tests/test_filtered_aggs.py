@@ -399,3 +399,28 @@ def test_significant_terms_filtered_context(searcher):
     assert got == [(v, n) for v, n, _ in exp]
     for b, (_, _, sc) in zip(a, exp):
         assert b["score"] == pytest.approx(sc)
+
+
+def test_wildcard_filter_context(searcher):
+    """`wildcard` bool filter clause (kw_like): the value dictionary
+    matches shard-side, the doc lists union — here lang p* = py."""
+    s, df = searcher
+    base = df[df.text.map(lambda t: "spark" in set(
+        re.findall(r"[a-z0-9_]+", t.lower())))]
+    ref = base[base.lang.str.match(r"p.*")]
+    a = execute_dsl(s, {
+        "query": {"bool": {
+            "must": [{"match": {"content": "spark"}}],
+            "filter": [{"wildcard": {"lang": "p*"}}]}},
+        "size": 0,
+        "aggs": {"vc": {"value_count": {"field": "n_chars"}}}})
+    assert a["aggregations"]["vc"]["value"] == len(ref)
+    # negated wildcard
+    ref2 = base[~base.lang.str.match(r"p.*")]
+    a2 = execute_dsl(s, {
+        "query": {"bool": {
+            "must": [{"match": {"content": "spark"}}],
+            "must_not": [{"wildcard": {"lang": "p*"}}]}},
+        "size": 0,
+        "aggs": {"vc": {"value_count": {"field": "n_chars"}}}})
+    assert a2["aggregations"]["vc"]["value"] == len(ref2)
