@@ -1006,14 +1006,29 @@ def _exec_agg(s, name: str, spec: dict, qctx: tuple[str, str, str]
         return {"buckets": [{"key": k, "doc_count": n}
                             for k, n in rows]}
     if kind == "filters":
+        from .searcher import ctx_filters
         specs = {}
+        bools = {}
         for fname, fq in body["filters"].items():
             fk, fs = _one(fq, "filters entry")
-            if fk != "match":
-                raise ValueError("filters agg: match filters only")
-            _f, ftext, fop = _match_text(fq)
-            specs[fname] = (ftext, fop)
-        rows = s.filters_aggregation(specs, qfield)
+            if fk == "match":
+                _f, ftext, fop = _match_text(fq)
+                specs[fname] = (ftext, fop)
+            elif fk == "bool" and not _ctxf:
+                # named bool bucket: its own filter context, counted
+                # by per-shard set algebra (one int per shard)
+                bools[fname] = fq
+            else:
+                raise ValueError("filters agg: match (or bool, under "
+                                 "an unfiltered outer query) filters "
+                                 "only")
+        rows = dict(s.filters_aggregation(specs, qfield)) if specs \
+            else {}
+        for fname, fq in bools.items():
+            fctx, pure = _resolve_pure(s, _agg_context(fq))
+            t2, f2, m2, cf = fctx
+            with ctx_filters(s, cf, pure):
+                rows[fname] = int(s.match_count(t2, field=f2, mode=m2))
         return {"buckets": {k: {"doc_count": n}
                             for k, n in rows.items()}}
     if kind == "composite":

@@ -424,3 +424,25 @@ def test_wildcard_filter_context(searcher):
         "size": 0,
         "aggs": {"vc": {"value_count": {"field": "n_chars"}}}})
     assert a2["aggregations"]["vc"]["value"] == len(ref2)
+
+
+def test_filters_agg_with_bool_entries(searcher):
+    """Named `filters` agg buckets may be bool shapes — each bucket
+    counts its own filter context by per-shard set algebra."""
+    s, df = searcher
+    spark = df[df.text.map(lambda t: "spark" in set(
+        re.findall(r"[a-z0-9_]+", t.lower())))]
+    out = execute_dsl(s, {
+        "query": {"match": {"content": "spark"}}, "size": 0,
+        "aggs": {"f": {"filters": {"filters": {
+            "py_small": {"bool": {
+                "must": [{"match": {"content": "spark"}}],
+                "filter": [{"term": {"lang": "py"}},
+                           {"range": {"n_chars": {"lte": 250}}}]}},
+            "any_go": {"bool": {"filter": [{"term": {"lang": "go"}}]}},
+            "sql_docs": {"match": {"content": "sql"}},
+        }}}}})["aggregations"]["f"]["buckets"]
+    exp_py = len(spark[(spark.lang == "py") & (spark.n_chars <= 250)])
+    assert out["py_small"]["doc_count"] == exp_py
+    assert out["any_go"]["doc_count"] == len(df[df.lang == "go"])
+    assert out["sql_docs"]["doc_count"] > 0
