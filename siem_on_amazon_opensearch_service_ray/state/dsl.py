@@ -1977,16 +1977,45 @@ def execute_pattern_dsl(ms, body: dict) -> dict:
         resp["hits"]["total"]["value"] = len(rows)
         resp["hits"]["total"]["relation"] = \
             "gte" if len(rows) == size else "eq"
+    elif query is not None and "bool" in query and size > 0:
+        # scored pattern bool: pattern-global dfs round + per-index
+        # scoring; filter clauses lower to specs applied inside each
+        # index (bit-identical to the flat union index)
+        spec = query["bool"]
+
+        def _texts(clauses):
+            out = []
+            for c in ([clauses] if isinstance(clauses, dict)
+                      else clauses or []):
+                ck, _cs = _one(c, "bool clause")
+                if ck != "match":
+                    raise ValueError(f"pattern bool sub-query {ck!r} "
+                                     "unsupported (match only)")
+                _f, t2, _op = _match_text(c)
+                out.append(t2)
+            return out
+        fspecs = tuple(_filter_clause(c, False, "pattern bool") for c in
+                       ([spec["filter"]]
+                        if isinstance(spec.get("filter"), dict)
+                        else spec.get("filter") or []))
+        rows = ms.search_bool(
+            must=_texts(spec.get("must")),
+            should=_texts(spec.get("should")),
+            must_not=_texts(spec.get("must_not")),
+            minimum_should_match=spec.get("minimum_should_match"),
+            filters=fspecs or None, k=size)
+        resp["hits"]["hits"] = [
+            {"_index": ix, "_id": int(d), "_score": float(sc)}
+            for sc, ix, d in rows]
+        resp["hits"]["total"]["value"] = len(rows)
+        resp["hits"]["total"]["relation"] = \
+            "gte" if len(rows) == size else "eq"
     elif query is not None and "match" not in query \
             and "match_all" not in query \
             and not ("bool" in query and size == 0):
-        # bool contexts are fine for aggs-only bodies (size=0): the
-        # filter specs install once and every member intersects
-        # shard-locally; scored pattern bool stays unsupported
         kind, _ = _one(query, "query")
         raise ValueError(f"pattern search: query {kind!r} is not "
-                         "supported (match / match_all; bool with "
-                         "size=0 aggs)")
+                         "supported (match / match_all / bool)")
     if body.get("track_total_hits") and query is not None \
             and "match" in query:
         f, text, op = _match_text(query)

@@ -249,6 +249,31 @@ class MultiSearcher:
             "search", dict(query=query, field=field, k=k, mode=mode),
             k, field, terms)
 
+    def search_bool(self, must=None, should=None, must_not=None,
+                    field: str = "content", k: int = 10,
+                    minimum_should_match: int | None = None,
+                    filters=None) -> list[tuple[float, str, int]]:
+        """Pattern-wide scored bool (+ optional filter specs): each
+        index scores under pattern-global stats (one dfs round over
+        the must/should terms), filters/must_not apply inside each
+        index against its own filter tables — [(score, index,
+        doc_id)], bit-identical to one flat union index."""
+        from ..analysis import ANALYZERS
+        s0 = next(iter(self.searchers.values()))
+        an = ANALYZERS[s0._analyzer_for(field, None)]
+        terms = [t for s_ in (must or []) + (should or [])
+                 for t in an(s_)]
+        if not terms:
+            raise ValueError("bool query needs at least one scoring "
+                             "(must/should) clause")
+        return self._scored(
+            "search_bool",
+            dict(must=must, should=should, must_not=must_not,
+                 field=field, k=k,
+                 minimum_should_match=minimum_should_match,
+                 filters=filters),
+            k, field, terms)
+
     def match_count(self, query: str, field: str = "content",
                     mode: str = "or") -> int:
         """Exact pattern-wide match count — one int per index."""

@@ -320,3 +320,35 @@ def test_pattern_filtered_aggs(split_indexes):
     finally:
         ms.close()
         flat.close()
+
+
+def test_pattern_scored_bool_identical_to_flat(split_indexes):
+    """Scored bool over a pattern (must/should/must_not + filter
+    specs): rank AND score identical to one flat union index."""
+    from siem_on_amazon_opensearch_service_ray.state.dsl import (
+        execute_dsl, execute_pattern_dsl)
+    from siem_on_amazon_opensearch_service_ray.state.multisearch import (
+        MultiSearcher)
+    from siem_on_amazon_opensearch_service_ray.state.searcher import (
+        Searcher)
+    root, flat_idx, ia, ib = split_indexes
+    body = {"query": {"bool": {
+                "must": [{"match": {"content": "spark"}}],
+                "should": [{"match": {"content": "join"}}],
+                "must_not": [{"match": {"content": "shuffle"}}],
+                "filter": [{"terms": {"lang": ["en", "de"]}},
+                           {"range": {"msm": {"gte": 1.0,
+                                              "lte": 5.0}}}]}},
+            "size": 25}
+    ms = MultiSearcher([ia, ib])
+    flat = Searcher(flat_idx, use_actors=False)
+    try:
+        got = execute_pattern_dsl(ms, body)["hits"]["hits"]
+        exp = execute_dsl(flat, body)["hits"]["hits"]
+        assert [(h["_id"], round(h["_score"], 9)) for h in got] \
+            == [(h["_id"], round(h["_score"], 9)) for h in exp]
+        assert all(h["_index"] in ("log-2024-01", "log-2024-02")
+                   for h in got)
+    finally:
+        ms.close()
+        flat.close()
