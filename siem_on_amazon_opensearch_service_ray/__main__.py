@@ -320,6 +320,18 @@ def main(argv: list[str] | None = None) -> int:
                                   "@file.json")
     ubq.add_argument("--num-cpus", type=int, default=None)
 
+    ri = sub.add_parser("reindex",
+                        help="_reindex: copy the docs matching a "
+                             "query from a store_source index into a "
+                             "destination index (op_type:index "
+                             "overwrite; replay-convergent)")
+    ri.add_argument("src_index_dir")
+    ri.add_argument("dest_index_dir")
+    ri.add_argument("--body", default=None,
+                    help="JSON {source: {query: ...}} body, or "
+                         "@file.json (default: match_all)")
+    ri.add_argument("--num-cpus", type=int, default=None)
+
     dc = sub.add_parser("decontam",
                         help="flag docs sharing n-grams with a benchmark")
     dc.add_argument("corpus", help="parquet file/dir with text docs")
@@ -533,6 +545,15 @@ def main(argv: list[str] | None = None) -> int:
                     raw = f.read()
             print(json.dumps(execute_update_by_query(
                 args.index_dir, json.loads(raw))))
+        elif args.cmd == "reindex":
+            from .state.dsl import execute_reindex
+            raw = args.body
+            if raw and raw.startswith("@"):
+                with open(raw[1:]) as f:
+                    raw = f.read()
+            print(json.dumps(execute_reindex(
+                args.src_index_dir, args.dest_index_dir,
+                json.loads(raw) if raw else None)))
         elif args.cmd == "compact":
             from .pipelines.build_index import compact_index
             man = compact_index(args.index_dir)

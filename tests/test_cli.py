@@ -640,3 +640,34 @@ def test_cli_update_by_query(ray_session, tmp_path, capsys):
                              "--agg-field", "val"])
     stats = agg["stats"] if "stats" in agg else agg
     assert float(stats["min"]) == 50.0 and float(stats["max"]) == 52.0
+
+
+def test_cli_reindex(ray_session, tmp_path, capsys):
+    """build --store-source + reindex: the query-filtered slice copy
+    lands in the destination and is searchable via the CLI."""
+    root = tmp_path / "ri"
+    corpus = root / "corpus"
+    corpus.mkdir(parents=True)
+    n = 30
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "content": [["alpha beta", "gamma delta"][i % 2]
+                    for i in range(n)],
+        "val": pa.array([float(i) for i in range(n)], pa.float64()),
+    })
+    pq.write_table(t, str(corpus / "part-0.parquet"))
+    idx = str(root / "idx")
+    assert main(["build", str(corpus), idx, "--partitions", "2",
+                 "--doc-id-col", "doc_id", "--sha-col", "content",
+                 "--text-field", "content:content:base",
+                 "--range-field", "val", "--no-salting",
+                 "--store-source"]) == 0
+    capsys.readouterr()
+    body = json.dumps({"source": {"query": {"match":
+                                            {"content": "alpha"}}}})
+    dest = str(root / "dest")
+    out = _run_json(capsys, ["reindex", idx, dest, "--body", body])
+    assert out["total"] == out["created"] == 15
+    st = _run_json(capsys, ["stats", dest])
+    n_docs = st.get("n_docs") or st.get("stats", {}).get("n_docs")
+    assert int(n_docs) == 15
