@@ -266,7 +266,11 @@ _CTX_FILTER_OK = frozenset({
     # foreground = the filtered match set (chokepoint-honoring),
     # background stays the whole corpus — OpenSearch sig-terms
     # semantics ("what is anomalous WITHIN this window")
-    "significant_terms"})
+    "significant_terms",
+    # composite's per-part tuple censuses compute over the
+    # chokepoint-provided candidate set (the pure sentinel supplies
+    # the query context filters-only bodies need)
+    "composite"})
 
 
 def _run_aggs(s, aggs: dict, query: dict | None) -> dict:

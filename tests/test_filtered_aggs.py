@@ -446,3 +446,34 @@ def test_filters_agg_with_bool_entries(searcher):
     assert out["py_small"]["doc_count"] == exp_py
     assert out["any_go"]["doc_count"] == len(df[df.lang == "go"])
     assert out["sql_docs"]["doc_count"] > 0
+
+
+def test_composite_filtered_context(searcher):
+    """composite paging under filtered AND pure filter contexts."""
+    s, df = searcher
+    ref = _matches(df)
+    a = execute_dsl(s, _body({
+        "c": {"composite": {
+            "size": 100,
+            "sources": [{"l": {"terms": {"field": "lang"}}},
+                        {"s": {"terms": {"field": "source"}}}]}}}))[
+        "aggregations"]["c"]
+    exp = (ref.groupby(["lang", "source"]).size()
+           .reset_index(name="n")
+           .sort_values(["lang", "source"]))
+    assert [(b["key"]["l"], b["key"]["s"], b["doc_count"])
+            for b in a["buckets"]] \
+        == [(r.lang, r.source, r.n) for r in exp.itertuples()]
+    # pure context
+    pref = df[(df.n_chars >= 50) & (df.n_chars <= 300)]
+    a2 = execute_dsl(s, {
+        "query": {"bool": {"filter": [
+            {"range": {"n_chars": {"gte": 50, "lte": 300}}}]}},
+        "size": 0,
+        "aggs": {"c": {"composite": {
+            "size": 100,
+            "sources": [{"l": {"terms": {"field": "lang"}}}]}}}})[
+        "aggregations"]["c"]
+    exp2 = pref.groupby("lang").size().sort_index()
+    assert [(b["key"]["l"], b["doc_count"]) for b in a2["buckets"]] \
+        == [(k, int(v)) for k, v in exp2.items()]
