@@ -6660,6 +6660,51 @@ ORDER BY n_chars DESC, doc_id LIMIT 30
 """
 
 
+def dsl_wildcard_filter(sf_dir: str) -> pd.DataFrame:
+    """Wildcard keyword filter context (`wildcard` bool filter —
+    Kibana's `field:val*`): the value DICTIONARY matches shard-side
+    (values only), the matching values' packed doc lists union, then
+    intersect the match set.  ``source: src1*`` unions src1, src10,
+    src11... — a real multi-value wildcard."""
+    from ..state.dsl import execute_dsl
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        resp = execute_dsl(s, {
+            "query": {"bool": {
+                "must": [{"match": {"content": "spark"}}],
+                "filter": [{"wildcard": {"source": "src1*"}}]}},
+            "size": 0,
+            "aggs": {"by_src": {"terms": {"field": "source",
+                                          "size": 100}},
+                     "vc": {"value_count": {"field": "n_chars"}}}})
+    finally:
+        s.close()
+    a = resp["aggregations"]
+    rows = [(f"src:{b['key']}", b["doc_count"])
+            for b in a["by_src"]["buckets"]]
+    rows.append(("total", a["vc"]["value"]))
+    return pd.DataFrame({
+        "metric": [r[0] for r in rows],
+        "n": np.array([r[1] for r in rows], np.int64)})
+
+
+DSL_WILDCARD_FILTER_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (
+  SELECT d.* FROM documents d
+  WHERE d.source LIKE 'src1%'
+    AND d.doc_id IN (SELECT doc_id FROM tok WHERE term = 'spark'))
+SELECT 'src:' || source AS metric, cast(count(*) AS BIGINT) AS n
+FROM m GROUP BY source
+UNION ALL
+SELECT 'total', cast(count(*) AS BIGINT) FROM m
+"""
+
+
 def dsl_pure_filter_aggs(sf_dir: str) -> pd.DataFrame:
     """PURE filter-context aggregations — ``bool {filter: [range,
     terms]}`` with NO match clause (the time-window / keyword-only
@@ -7131,6 +7176,7 @@ def queries() -> dict:
         "dashboard_pill_panel": dashboard_pill_panel,
         "search_bool_multi_filter": search_bool_multi_filter,
         "discover_kuery_search": discover_kuery_search,
+        "dsl_wildcard_filter": dsl_wildcard_filter,
         "dsl_terms_cardinality": dsl_terms_cardinality,
         "dsl_terms_metric": dsl_terms_metric,
         "dsl_hist_metric": dsl_hist_metric,
@@ -7317,6 +7363,7 @@ def oracle_sql() -> dict:
         "dashboard_pill_panel": DASHBOARD_PILL_PANEL_SQL,
         "search_bool_multi_filter": SEARCH_BOOL_MULTI_FILTER_SQL,
         "discover_kuery_search": DISCOVER_KUERY_SEARCH_SQL,
+        "dsl_wildcard_filter": DSL_WILDCARD_FILTER_SQL,
         "dsl_terms_cardinality": DSL_TERMS_CARDINALITY_SQL,
         "dsl_terms_metric": DSL_TERMS_METRIC_SQL,
         "dsl_hist_metric": DSL_HIST_METRIC_SQL,
