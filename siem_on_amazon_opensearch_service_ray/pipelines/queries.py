@@ -3528,6 +3528,70 @@ def minhash_pairs(sf_dir: str) -> pd.DataFrame:
     return out[["doc_a", "doc_b", "jaccard_e6"]]
 
 
+def near_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """END-TO-END near-dup removal (the training-data op the pair
+    finder feeds): MinHash-LSH candidates → distributed exact-Jaccard
+    verify → union-find clusters → keep each cluster's MIN doc_id.
+    Oracle: the pair twin's exact shingle-Jaccard self-join extended
+    with a RECURSIVE connected-components CTE — a doc is dropped iff
+    some transitively-connected ≥-threshold neighbor has a smaller
+    id."""
+    ds = _t_ds(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup_ops.near_dedup_keep(
+        ds, "text", "doc_id", num_perm=64, bands=16, threshold=0.8,
+        concurrency=_concurrency())
+    df = out.to_pandas()[["doc_id"]].sort_values("doc_id")
+    return df.reset_index(drop=True)
+
+
+NEAR_DEDUP_DOCS_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos
+  FROM toks
+),
+grams AS (
+  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+short AS (
+  SELECT doc_id, array_to_string(t, ' ') AS g
+  FROM toks WHERE len(t) BETWEEN 1 AND 2
+),
+gset AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT * FROM grams UNION ALL SELECT * FROM short)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM gset GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+  FROM gset x JOIN gset y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT a AS s, b AS t FROM e
+  UNION
+  SELECT r.s, e.b FROM reach r JOIN e ON e.a = r.t
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT s FROM reach WHERE t < s)
+ORDER BY doc_id
+"""
+
+
 # Exact n-gram-Jaccard ground truth for the MinHash-LSH pipeline:
 # tokenize like dedup._WORD_RE ([a-z0-9_]+ on lowercased text), build
 # DISTINCT word 3-shingles (docs with 1-2 tokens contribute the whole
@@ -7177,6 +7241,7 @@ def queries() -> dict:
         "search_bool_multi_filter": search_bool_multi_filter,
         "discover_kuery_search": discover_kuery_search,
         "dsl_wildcard_filter": dsl_wildcard_filter,
+        "near_dedup_docs": near_dedup_docs,
         "dsl_terms_cardinality": dsl_terms_cardinality,
         "dsl_terms_metric": dsl_terms_metric,
         "dsl_hist_metric": dsl_hist_metric,
@@ -7364,6 +7429,7 @@ def oracle_sql() -> dict:
         "search_bool_multi_filter": SEARCH_BOOL_MULTI_FILTER_SQL,
         "discover_kuery_search": DISCOVER_KUERY_SEARCH_SQL,
         "dsl_wildcard_filter": DSL_WILDCARD_FILTER_SQL,
+        "near_dedup_docs": NEAR_DEDUP_DOCS_SQL,
         "dsl_terms_cardinality": DSL_TERMS_CARDINALITY_SQL,
         "dsl_terms_metric": DSL_TERMS_METRIC_SQL,
         "dsl_hist_metric": DSL_HIST_METRIC_SQL,

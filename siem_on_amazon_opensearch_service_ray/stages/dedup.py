@@ -298,6 +298,65 @@ def verify_pairs_jaccard(pairs_df: pd.DataFrame, texts_by_id: dict[int, str],
     return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
 
+def resolve_dup_clusters(pairs_df: pd.DataFrame) -> dict[int, int]:
+    """Union-find over verified near-dup pairs -> ``{doc_id:
+    canonical}`` for every doc that appears in a pair, canonical =
+    the connected component's MIN doc_id (deterministic keep-first
+    policy).  Pairs are the tiny residue of LSH + verification, so
+    the driver-side union-find is O(|pairs| α) over kilobytes — the
+    corpus itself never moves."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:        # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs_df["doc_a"], pairs_df["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo                 # min-id root wins
+    return {d: find(d) for d in
+            set(map(int, pairs_df["doc_a"]))
+            | set(map(int, pairs_df["doc_b"]))}
+
+
+def near_dedup_keep(ds: rd.Dataset, text_col: str, id_col: str,
+                    num_perm: int = 64, bands: int = 16,
+                    threshold: float = 0.8, shingle_k: int = 3,
+                    concurrency: int = 4) -> rd.Dataset:
+    """END-TO-END near-duplicate removal: MinHash-LSH candidates →
+    distributed exact-Jaccard verification → union-find cluster
+    resolution → keep each cluster's MIN id, drop the rest.  The drop
+    set (cluster members minus canonicals — tiny) broadcasts via
+    ``ray.put`` and every batch filters locally; the corpus streams
+    once."""
+    import ray as _ray
+    pairs = minhash_verified_pairs(
+        ds, text_col, id_col, num_perm=num_perm, bands=bands,
+        threshold=threshold, shingle_k=shingle_k,
+        concurrency=concurrency).to_pandas()
+    clusters = resolve_dup_clusters(pairs)
+    drop = np.array(sorted(d for d, c in clusters.items() if d != c),
+                    dtype=np.int64)
+    drop_ref = _ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dr = _ray.get(drop_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(dr, ids),
+                         max(dr.size - 1, 0))
+        mask = ~(dr[pos] == ids) if dr.size else \
+            np.ones(ids.size, dtype=bool)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 
