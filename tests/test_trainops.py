@@ -380,3 +380,32 @@ def test_categorize_text_masks_and_counts(ray_session):
                                     for i in range(15)), None]})
     out = categorize_template(b, max_tokens=4).column("category").to_pylist()
     assert out[0].count(" ") == 3 and out[1] == ""
+
+
+def test_resolve_dup_clusters_chain():
+    """Union-find transitivity: a-b + b-c is ONE cluster with the min
+    id canonical, even though (a, c) was never a direct pair."""
+    import pandas as pd
+    pairs = pd.DataFrame({"doc_a": [5, 3, 10], "doc_b": [3, 7, 11]})
+    cl = dedup.resolve_dup_clusters(pairs)
+    assert cl == {3: 3, 5: 3, 7: 3, 10: 10, 11: 10}
+
+
+def test_near_dedup_keep_end_to_end(docs_ds):
+    """near_dedup_keep drops every non-canonical cluster member and
+    keeps everything else untouched."""
+    ds, texts = docs_ds
+    out = dedup.near_dedup_keep(ds, "text", "doc_id", num_perm=64,
+                                bands=16, threshold=0.5,
+                                concurrency=2).to_pandas()
+    kept = set(out["doc_id"].astype(int))
+    assert 0 in kept                 # cluster canonical survives
+    assert 1 not in kept             # exact dup dropped (J = 1.0)
+    assert 2 not in kept             # near dup dropped (J = 0.538)
+    assert 3 in kept and len(kept) == len(texts) - 2
+    # a tighter threshold keeps the near dup, still drops the exact
+    out2 = dedup.near_dedup_keep(ds, "text", "doc_id", num_perm=64,
+                                 bands=16, threshold=0.8,
+                                 concurrency=2).to_pandas()
+    kept2 = set(out2["doc_id"].astype(int))
+    assert 1 not in kept2 and 2 in kept2
