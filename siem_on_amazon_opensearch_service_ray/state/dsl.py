@@ -636,6 +636,16 @@ def _exec_agg(s, name: str, spec: dict, qctx: tuple[str, str, str]
     sub = spec.get("aggs", spec.get("aggregations", {}))
     if kind == "terms":
         rows = s.terms_aggregation(text, body["field"], qfield, mode)
+        if "missing" in body:
+            # OpenSearch terms `missing` param: docs in the match set
+            # LACKING the field bucket under the given key — the
+            # count is the presence partial's second int (no extra
+            # pass), merged into the census order
+            _w, miss = s.value_count_aggregation(text, body["field"],
+                                                 qfield, mode)
+            if miss:
+                rows = sorted(rows + [(str(body["missing"]), int(miss))],
+                              key=lambda t: (-t[1], t[0]))
         size = body.get("size", 10)
         order = body.get("order")
         okey, odir = (next(iter(order.items())) if order

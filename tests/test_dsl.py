@@ -1659,3 +1659,39 @@ def test_dsl_normalize_pipeline(dsl_s):
                  "aggs": {"pct": {"normalize": {
                      "method": "percent_of_sum"}}}}}})
     assert sum(resp["aggregations"]["h"]["pct"]) == pytest.approx(1.0)
+
+
+def test_terms_missing_param(ray_session, tmp_path):
+    """terms agg `missing` parameter: docs in the match set lacking
+    the keyword field bucket under the given key, merged into census
+    order (count desc, key asc)."""
+    import pyarrow.parquet as _pq
+    n = 60
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": ["alpha beta"] * n,
+        "team": pa.array([None if i % 3 == 0
+                          else ["red", "blue"][i % 2]
+                          for i in range(n)], pa.string()),
+    })
+    src = str(tmp_path / "m.parquet")
+    _pq.write_table(t, src)
+    idx = str(tmp_path / "m_idx")
+    build_index([src], idx, IndexConfig(
+        num_partitions=2, fields=(("content", "text", "base"),),
+        keyword_fields=("team",), doc_id_col="doc_id",
+        sha_col="text", salting=False))
+    s = Searcher(idx, use_actors=False)
+    try:
+        a = execute_dsl(s, {
+            "query": {"match": {"content": "alpha"}}, "size": 0,
+            "aggs": {"by_team": {"terms": {"field": "team",
+                                           "missing": "N/A",
+                                           "size": 10}}}})
+    finally:
+        s.close()
+    buckets = {b["key"]: b["doc_count"]
+               for b in a["aggregations"]["by_team"]["buckets"]}
+    df = t.to_pandas()
+    exp = df.team.fillna("N/A").value_counts().to_dict()
+    assert buckets == exp
