@@ -2829,6 +2829,64 @@ FROM t
 """
 
 
+def repetition_docs(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition signals (stages/textops.RepetitionSignals):
+    per-doc top-bigram fraction, duplicated-trigram fraction, and
+    duplicate-line character fraction — the quality filters a 100 TB
+    curation pipeline runs before training.  One map_batches stage,
+    no shuffle; exact integer-ratio oracle."""
+    ds = _t_ds(sf_dir, "documents", ["doc_id", "text"])
+    sig = textops.RepetitionSignals(text_col="text")
+
+    def run(batch: pa.Table) -> pa.Table:
+        out = sig(batch)
+        return out.drop_columns(["text"])
+
+    return ds.map_batches(run, batch_format="pyarrow").to_pandas()
+
+
+REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+') AS toks
+  FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS g
+  FROM t WHERE len(toks) >= 2),
+bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+btop AS (SELECT doc_id, max(c) AS mx FROM bgc GROUP BY doc_id),
+tg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+  FROM t WHERE len(toks) >= 3),
+tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g),
+tdup AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+         FROM tgc GROUP BY doc_id),
+ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM t),
+lnc AS (SELECT doc_id, line, count(*) AS c, length(line) AS l
+        FROM ln GROUP BY doc_id, line),
+ld AS (SELECT doc_id, sum(l * c) AS total,
+              sum(CASE WHEN c >= 2 THEN l * c ELSE 0 END) AS dup
+       FROM lnc GROUP BY doc_id)
+SELECT t.doc_id,
+  cast(len(t.toks) AS BIGINT) AS n_tokens,
+  cast(CASE WHEN len(t.toks) >= 2
+       THEN coalesce(btop.mx, 0) * 1000000 // (len(t.toks) - 1)
+       ELSE 0 END AS BIGINT) AS top2_e6,
+  cast(CASE WHEN len(t.toks) >= 3
+       THEN coalesce(tdup.dup, 0) * 1000000 // (len(t.toks) - 2)
+       ELSE 0 END AS BIGINT) AS dup3_e6,
+  cast(CASE WHEN coalesce(ld.total, 0) > 0
+       THEN coalesce(ld.dup, 0) * 1000000 // ld.total
+       ELSE 0 END AS BIGINT) AS dupline_e6
+FROM t
+LEFT JOIN btop USING (doc_id)
+LEFT JOIN tdup USING (doc_id)
+LEFT JOIN ld USING (doc_id)
+"""
+
+
 def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
     """Benchmark decontamination (stages/decontam): docs whose doc_id
     is divisible by 50 stand in for the eval set; every doc reports
@@ -7242,6 +7300,7 @@ def queries() -> dict:
         "discover_kuery_search": discover_kuery_search,
         "dsl_wildcard_filter": dsl_wildcard_filter,
         "near_dedup_docs": near_dedup_docs,
+        "repetition_docs": repetition_docs,
         "dsl_terms_cardinality": dsl_terms_cardinality,
         "dsl_terms_metric": dsl_terms_metric,
         "dsl_hist_metric": dsl_hist_metric,
@@ -7547,6 +7606,7 @@ def oracle_sql() -> dict:
         "filter_project": FILTER_PROJECT_SQL,
         "token_count_docs": TOKEN_COUNT_SQL,
         "quality_docs": QUALITY_SQL,
+        "repetition_docs": REPETITION_SQL,
         "decontaminate_docs": DECONTAM_SQL,
         "pack_docs": PACK_SQL,
         "mixture_docs": MIXTURE_SQL,

@@ -151,6 +151,72 @@ class Fingerprint:
             "fingerprint", pa.array(sketches, pa.list_(pa.int64())))
 
 
+class RepetitionSignals:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models: Methods, Analysis & Insights from
+    Training Gopher", App. A1.1 repetition filters), restated as
+    integer-ratio deterministic functions so a DuckDB oracle can
+    compute them exactly:
+
+    - ``top2_e6``  — fraction of token-bigram positions held by the
+      single most frequent bigram: ``max_bigram_count * 1e6 // (n-1)``
+      (0 when n < 2).  Gopher's "fraction of characters in the most
+      common 2-gram", token-position flavour.
+    - ``dup3_e6``  — fraction of token-trigram positions whose trigram
+      occurs at least twice in the doc:
+      ``sum(c for trigram counts c >= 2) * 1e6 // (n-2)`` (0 when
+      n < 3).  Gopher's "fraction of characters in duplicated
+      3-grams", token-position flavour.
+    - ``dupline_e6`` — fraction of line characters that sit inside a
+      line whose exact text repeats within the doc:
+      ``sum(len(l)*c for line counts c >= 2) * 1e6 // total_line_chars``
+      (newlines excluded from both sides; 0 when the doc has no line
+      characters).  Gopher's "fraction of characters in duplicate
+      lines".
+
+    Pure per-doc map — one ``map_batches`` stage, no shuffle; at
+    100 TB this is embarrassingly parallel and the downstream filter
+    (drop docs above a threshold) composes as a vectorized
+    ``pc.less`` mask."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    @staticmethod
+    def _signals(text: str) -> tuple[int, int, int, int]:
+        from collections import Counter
+        toks = TOKEN_RE.findall(text.lower())
+        n = len(toks)
+        top2 = 0
+        if n >= 2:
+            bc = Counter(zip(toks, toks[1:]))
+            top2 = (max(bc.values()) * 1_000_000) // (n - 1)
+        dup3 = 0
+        if n >= 3:
+            tc = Counter(zip(toks, toks[1:], toks[2:]))
+            dup = sum(c for c in tc.values() if c >= 2)
+            dup3 = (dup * 1_000_000) // (n - 2)
+        lines = Counter(text.split("\n"))
+        total = sum(len(ln) * c for ln, c in lines.items())
+        dupl = sum(len(ln) * c for ln, c in lines.items() if c >= 2)
+        dupline = (dupl * 1_000_000) // total if total else 0
+        return n, top2, dup3, dupline
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_tok, top2, dup3, dupline = [], [], [], []
+        for t in batch.column(self.text_col).to_pylist():
+            a, b, c, d = self._signals(t or "")
+            n_tok.append(a)
+            top2.append(b)
+            dup3.append(c)
+            dupline.append(d)
+        return (batch
+                .append_column("n_tokens", pa.array(n_tok, pa.int64()))
+                .append_column("top2_e6", pa.array(top2, pa.int64()))
+                .append_column("dup3_e6", pa.array(dup3, pa.int64()))
+                .append_column("dupline_e6", pa.array(dupline, pa.int64())))
+
+
 # categorize_text masking: a token containing any digit collapses to
 # <n> (OpenSearch's categorize_text masks numbers the same way before
 # its token-tree clustering; the deterministic variant here IS the

@@ -409,3 +409,32 @@ def test_near_dedup_keep_end_to_end(docs_ds):
                                  concurrency=2).to_pandas()
     kept2 = set(out2["doc_id"].astype(int))
     assert 1 not in kept2 and 2 in kept2
+
+
+def test_repetition_signals_planted():
+    """Gopher repetition signals on hand-computable docs: a pure
+    repeat maximizes all ratios; distinct text zeroes the dup ones;
+    short/empty docs hit the guard branches."""
+    import pyarrow as pa
+    from siem_on_amazon_opensearch_service_ray.stages.textops import (
+        RepetitionSignals)
+    docs = [
+        "a b a b a b",           # bigrams: (a,b)x3 (b,a)x2 -> top2 3/5
+        "one two three four",    # no repetition at all
+        "x\ny\nx\nz",            # line 'x' repeats: 2 of 4 chars dup
+        "w",                     # n=1: bigram/trigram guards
+        "",                      # empty: everything 0
+    ]
+    out = RepetitionSignals()(pa.table({"text": docs}))
+    n = out.column("n_tokens").to_pylist()
+    top2 = out.column("top2_e6").to_pylist()
+    dup3 = out.column("dup3_e6").to_pylist()
+    dupl = out.column("dupline_e6").to_pylist()
+    assert n == [6, 4, 4, 1, 0]
+    assert top2[0] == 3 * 1_000_000 // 5
+    # trigrams of doc0: (a,b,a)x2 (b,a,b)x2 -> all 4 of 4 positions dup
+    assert dup3[0] == 1_000_000
+    assert top2[1] == 1_000_000 // 3 and dup3[1] == 0 and dupl[1] == 0
+    assert dupl[2] == 2 * 1_000_000 // 4
+    assert top2[3] == 0 and dup3[3] == 0
+    assert (n[4], top2[4], dup3[4], dupl[4]) == (0, 0, 0, 0)
