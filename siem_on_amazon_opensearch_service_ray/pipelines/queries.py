@@ -2887,6 +2887,59 @@ LEFT JOIN ld USING (doc_id)
 """
 
 
+def scrub_pii_docs(sf_dir: str) -> pd.DataFrame:
+    """PII scrubbing (stages/textops.PIIScrub) over deterministically
+    PLANTED addresses (the synthetic corpus carries none, so every
+    7th doc gets an email + an IPv4 appended before the scrub — the
+    same construction the SQL oracle applies): emails -> <email>,
+    IPv4 -> <ip>, per-doc match counts.  One map_batches stage."""
+    ds = _t_ds(sf_dir, "documents", ["doc_id", "text"])
+    scrub = textops.PIIScrub(text_col="text", out_col="masked")
+
+    def plant_and_scrub(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        planted = [
+            (t or "") + (f" contact user{i}@example.com via"
+                         f" 10.{i % 256}.0.{i % 100}"
+                         if i % 7 == 0 else "")
+            for i, t in zip(ids, texts)]
+        b = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(planted, pa.string())})
+        out = scrub(b)
+        return out.drop_columns(["text"])
+
+    return ds.map_batches(plant_and_scrub, batch_format="pyarrow").to_pandas()
+
+
+SCRUB_PII_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+         coalesce(text, '') ||
+         CASE WHEN doc_id % 7 = 0
+              THEN ' contact user' || doc_id ||
+                   '@example.com via 10.' || (doc_id % 256) ||
+                   '.0.' || (doc_id % 100)
+              ELSE '' END AS text
+  FROM documents),
+m AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+         regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+             '<email>', 'g') AS t2
+  FROM planted)
+SELECT doc_id,
+       regexp_replace(t2, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<ip>', 'g')
+         AS masked,
+       cast(n_emails AS BIGINT) AS n_emails,
+       cast(len(regexp_extract_all(t2,
+            '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ips
+FROM m
+"""
+
+
 def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
     """Benchmark decontamination (stages/decontam): docs whose doc_id
     is divisible by 50 stand in for the eval set; every doc reports
@@ -7301,6 +7354,7 @@ def queries() -> dict:
         "dsl_wildcard_filter": dsl_wildcard_filter,
         "near_dedup_docs": near_dedup_docs,
         "repetition_docs": repetition_docs,
+        "scrub_pii_docs": scrub_pii_docs,
         "dsl_terms_cardinality": dsl_terms_cardinality,
         "dsl_terms_metric": dsl_terms_metric,
         "dsl_hist_metric": dsl_hist_metric,
@@ -7607,6 +7661,7 @@ def oracle_sql() -> dict:
         "token_count_docs": TOKEN_COUNT_SQL,
         "quality_docs": QUALITY_SQL,
         "repetition_docs": REPETITION_SQL,
+        "scrub_pii_docs": SCRUB_PII_SQL,
         "decontaminate_docs": DECONTAM_SQL,
         "pack_docs": PACK_SQL,
         "mixture_docs": MIXTURE_SQL,

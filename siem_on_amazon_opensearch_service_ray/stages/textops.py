@@ -217,6 +217,38 @@ class RepetitionSignals:
                 .append_column("dupline_e6", pa.array(dupline, pa.int64())))
 
 
+# PII scrubbing: both patterns are RE2-compatible (no lookaround) so
+# a DuckDB regexp_replace oracle can restate the masking exactly
+EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+IPV4_RE = re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b")
+
+
+class PIIScrub:
+    """PII scrubbing for pre-training curation: mask email addresses
+    to ``<email>`` and IPv4 literals to ``<ip>`` (emails first, so a
+    dotted-numeric mail domain can't be half-eaten by the ip pass),
+    and report per-doc match counts.  Pure per-doc map — one
+    ``map_batches`` stage, no shuffle; patterns avoid lookaround so
+    the DuckDB (RE2) oracle applies the identical replacement."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "masked"):
+        self.text_col, self.out_col = text_col, out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        masked, n_em, n_ip = [], [], []
+        for t in batch.column(self.text_col).to_pylist():
+            t = t or ""
+            t2, k_em = EMAIL_RE.subn("<email>", t)
+            t3, k_ip = IPV4_RE.subn("<ip>", t2)
+            masked.append(t3)
+            n_em.append(k_em)
+            n_ip.append(k_ip)
+        return (batch
+                .append_column(self.out_col, pa.array(masked, pa.string()))
+                .append_column("n_emails", pa.array(n_em, pa.int64()))
+                .append_column("n_ips", pa.array(n_ip, pa.int64())))
+
+
 # categorize_text masking: a token containing any digit collapses to
 # <n> (OpenSearch's categorize_text masks numbers the same way before
 # its token-tree clustering; the deterministic variant here IS the

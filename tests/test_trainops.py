@@ -438,3 +438,26 @@ def test_repetition_signals_planted():
     assert dupl[2] == 2 * 1_000_000 // 4
     assert top2[3] == 0 and dup3[3] == 0
     assert (n[4], top2[4], dup3[4], dupl[4]) == (0, 0, 0, 0)
+
+
+def test_pii_scrub_adversarial():
+    """Email-first ordering, multiple matches per doc, boundary \\b
+    behaviour, and the no-PII identity path."""
+    import pyarrow as pa
+    from siem_on_amazon_opensearch_service_ray.stages.textops import PIIScrub
+    docs = [
+        "mail a.b+c@x-y.co and 192.168.0.1 then d@e.io",
+        "no pii here at all",
+        "version 1.2.3.4 ships",         # bare dotted quad masks (by design)
+        "not-an-ip 1.2.3 and 1.2.3.4.5",  # 3 octets no; 5 -> first 4 match
+        "",
+    ]
+    out = PIIScrub()(pa.table({"text": docs}))
+    m = out.column("masked").to_pylist()
+    assert m[0] == "mail <email> and <ip> then <email>"
+    assert m[1] == docs[1]
+    assert m[2] == "version <ip> ships"
+    assert m[3] == "not-an-ip 1.2.3 and <ip>.5"
+    assert m[4] == ""
+    assert out.column("n_emails").to_pylist() == [2, 0, 0, 0, 0]
+    assert out.column("n_ips").to_pylist() == [1, 0, 1, 1, 0]
