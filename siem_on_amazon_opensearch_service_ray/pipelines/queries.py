@@ -2940,6 +2940,44 @@ FROM m
 """
 
 
+def dup_ngram_docs(sf_dir: str) -> pd.DataFrame:
+    """Exact-substring dedup exposure (Lee et al. 2022 restated over
+    fixed token 5-grams — stages/dedup.dup_ngram_positions): per doc,
+    how many 5-gram positions are covered by a gram that also appears
+    in >= 1 other doc.  Pass 1 censuses grams with per-block partials
+    (singletons never leave the groupby), pass 2 broadcasts the
+    surviving duplicated set once and streams the corpus through a
+    task-mode map_batches.  Exact SQL twin: per-position gram explode
+    + distinct-doc census join."""
+    ds = _t_ds(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup_ops.dup_ngram_positions(ds, "text", "doc_id",
+                                        n=5, min_docs=2)
+    df = out.to_pandas().sort_values("doc_id")
+    return df.reset_index(drop=True)
+
+
+DUP_NGRAM_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+              toks[i+3] || ' ' || toks[i+4])) AS gram
+  FROM t WHERE len(toks) >= 5),
+c AS (SELECT gram, count(DISTINCT doc_id) AS ndocs FROM g GROUP BY gram),
+p AS (SELECT doc_id, count(*) AS n_pos,
+             sum(CASE WHEN c.ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup
+      FROM g JOIN c USING (gram) GROUP BY doc_id)
+SELECT d.doc_id,
+       cast(coalesce(p.n_pos, 0) AS BIGINT) AS n_pos,
+       cast(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_pos
+FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
     """Benchmark decontamination (stages/decontam): docs whose doc_id
     is divisible by 50 stand in for the eval set; every doc reports
@@ -7355,6 +7393,7 @@ def queries() -> dict:
         "near_dedup_docs": near_dedup_docs,
         "repetition_docs": repetition_docs,
         "scrub_pii_docs": scrub_pii_docs,
+        "dup_ngram_docs": dup_ngram_docs,
         "dsl_terms_cardinality": dsl_terms_cardinality,
         "dsl_terms_metric": dsl_terms_metric,
         "dsl_hist_metric": dsl_hist_metric,
@@ -7662,6 +7701,7 @@ def oracle_sql() -> dict:
         "quality_docs": QUALITY_SQL,
         "repetition_docs": REPETITION_SQL,
         "scrub_pii_docs": SCRUB_PII_SQL,
+        "dup_ngram_docs": DUP_NGRAM_SQL,
         "decontaminate_docs": DECONTAM_SQL,
         "pack_docs": PACK_SQL,
         "mixture_docs": MIXTURE_SQL,

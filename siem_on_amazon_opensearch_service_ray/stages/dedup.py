@@ -540,3 +540,102 @@ def exact_dedup(ds: rd.Dataset, text_col: str | None = None,
     if text_col is not None:
         out = out.drop_columns(["_content_hash"])
     return out
+
+
+def duplicated_ngram_census(ds: rd.Dataset, text_col: str = "text",
+                            n: int = 5, min_docs: int = 2) -> rd.Dataset:
+    """Cross-document duplicated token n-gram census — the discovery
+    half of exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": their suffix-array
+    substring scan, restated over fixed-length token n-grams so the
+    result is set-semantic and SQL-checkable).
+
+    Per block: tokenize (lowercase ``[a-z0-9_]+``, the same stream the
+    repetition signals use), census each doc's n-grams, and emit ONE
+    partial row per distinct (gram) with the number of block-local
+    docs containing it and its occurrence count.  A doc lives in
+    exactly one row, so doc counts are additive across blocks:
+    ``groupby(gram).sum`` yields exact corpus-wide
+    (n_docs, n_occurrences) without a per-position shuffle — only the
+    per-block distinct-gram census enters the exchange.
+
+    Returns Dataset[(gram, n_docs, n_occ)] filtered to
+    ``n_docs >= min_docs`` (the cross-doc duplicated set).
+    """
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nd: Counter = Counter()
+        nocc: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            toks = _WORD_RE.findall((t or "").lower())
+            if len(toks) < n:
+                continue
+            c = Counter(" ".join(toks[i:i + n])
+                        for i in range(len(toks) - n + 1))
+            for g, k in c.items():
+                nd[g] += 1
+                nocc[g] += k
+        grams = sorted(nd)
+        return pa.table({
+            "gram": pa.array(grams, pa.string()),
+            "n_docs": pa.array([nd[g] for g in grams], pa.int64()),
+            "n_occ": pa.array([nocc[g] for g in grams], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("gram")
+             .aggregate(Sum("n_docs", alias_name="n_docs"),
+                        Sum("n_occ", alias_name="n_occ")))
+    return out.filter(expr=f"n_docs >= {int(min_docs)}")
+
+
+def dup_ngram_positions(ds: rd.Dataset, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 5,
+                        min_docs: int = 2) -> rd.Dataset:
+    """Per-doc duplicated-span exposure: for every doc, how many of
+    its n-gram positions are covered by an n-gram that also appears
+    in at least ``min_docs - 1`` OTHER docs (the per-doc flagging half
+    of exact-substring dedup; a curation pipeline drops or trims docs
+    whose ``n_dup_pos / n_pos`` exceeds a threshold).
+
+    Two passes: (1) the duplicated-gram census above — only grams
+    seen in >= min_docs docs survive, a set that is small relative to
+    the corpus because singleton grams (the overwhelming majority in
+    natural text and code) never leave the groupby; (2) broadcast the
+    surviving grams once via ``ray.put`` and stream the corpus through
+    a task-mode ``map_batches`` that counts covered positions per doc.
+    At 100 TB the broadcast set becomes a hash/bloom filter or the
+    count becomes a hash-partitioned join of (gram_hash, doc) against
+    the census — documented trade-off, same semantics.
+
+    Returns Dataset[(id_col, n_pos, n_dup_pos)] over ALL input docs
+    (docs shorter than n tokens report 0/0).
+    """
+    import ray
+
+    dup = duplicated_ngram_census(ds, text_col, n, min_docs)
+    dup_set = frozenset(
+        r["gram"] for r in dup.select_columns(["gram"]).take_all())
+    ref = ray.put(dup_set)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        s = ray.get(ref)
+        ids = batch.column(id_col)
+        n_pos = np.zeros(len(ids), np.int64)
+        n_dup = np.zeros(len(ids), np.int64)
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            toks = _WORD_RE.findall((t or "").lower())
+            if len(toks) < n:
+                continue
+            c = Counter(" ".join(toks[j:j + n])
+                        for j in range(len(toks) - n + 1))
+            n_pos[i] = len(toks) - n + 1
+            n_dup[i] = sum(k for g, k in c.items() if g in s)
+        return pa.table({id_col: ids,
+                         "n_pos": pa.array(n_pos),
+                         "n_dup_pos": pa.array(n_dup)})
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -461,3 +461,32 @@ def test_pii_scrub_adversarial():
     assert m[4] == ""
     assert out.column("n_emails").to_pylist() == [2, 0, 0, 0, 0]
     assert out.column("n_ips").to_pylist() == [1, 0, 1, 1, 0]
+
+
+def test_duplicated_ngram_census_planted(docs_ds):
+    ds, texts = docs_ds
+    # docs 0/1 are identical, doc 2 shares long runs with them; use
+    # 5-grams: every gram of doc 0 appears in >= 2 docs
+    census = dedup.duplicated_ngram_census(ds, "text", n=5,
+                                           min_docs=2).to_pandas()
+    assert (census["n_docs"] >= 2).all()
+    assert "the quick brown fox jumps" in set(census["gram"])
+    # a gram only in the unique docs never survives
+    assert "completely different content about spark" not in set(
+        census["gram"])
+
+
+def test_dup_ngram_positions_exposure(docs_ds):
+    ds, texts = docs_ds
+    out = (dedup.dup_ngram_positions(ds, "text", "doc_id", n=5,
+                                     min_docs=2)
+           .to_pandas().set_index("doc_id").sort_index())
+    n0 = len(texts[0].split()) - 4
+    # exact dups: fully covered
+    assert out.loc[0, "n_pos"] == n0 and out.loc[0, "n_dup_pos"] == n0
+    assert out.loc[1, "n_dup_pos"] == n0
+    # near dup shares its prefix/suffix runs but not the 'leaps' window
+    assert 0 < out.loc[2, "n_dup_pos"] < out.loc[2, "n_pos"]
+    # unique docs: zero coverage
+    assert out.loc[3, "n_dup_pos"] == 0
+    assert out.loc[4, "n_dup_pos"] == 0
