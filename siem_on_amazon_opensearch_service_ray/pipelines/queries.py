@@ -2952,7 +2952,8 @@ def dup_ngram_docs(sf_dir: str) -> pd.DataFrame:
     ds = _t_ds(sf_dir, "documents", ["doc_id", "text"])
     out = dedup_ops.dup_ngram_positions(ds, "text", "doc_id",
                                         n=5, min_docs=2)
-    df = out.to_pandas().sort_values("doc_id")
+    df = (out.select_columns(["doc_id", "n_pos", "n_dup_pos"])
+             .to_pandas().sort_values("doc_id"))
     return df.reset_index(drop=True)
 
 
@@ -2975,6 +2976,89 @@ SELECT d.doc_id,
        cast(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_pos
 FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
 ORDER BY d.doc_id
+"""
+
+
+def curate_docs(sf_dir: str) -> pd.DataFrame:
+    """END-TO-END curation pass — the chained pre-training pipeline
+    the individual operators exist for, composed as ONE lazy Dataset:
+    exact dedup (content-hash groupby, min-doc survivor) → quality +
+    repetition gate (n_tokens >= 20, top-bigram < 9%, duplicated
+    trigrams < 20% — Gopher-style integer-ratio signals) → cross-doc
+    duplicated-5-gram exposure computed over the SURVIVOR set, docs
+    with >= 20% covered positions dropped.  Every stage streams; the
+    only shuffles are the dedup hash groupby and the n-gram census
+    partials.  Exact SQL twin restates the whole chain."""
+    ds = _t_ds(sf_dir, "documents", ["doc_id", "text"])
+    ds = dedup_ops.exact_dedup(ds, text_col="text")
+    ds = ds.map_batches(textops.RepetitionSignals(text_col="text"),
+                        batch_format="pyarrow")
+
+    def gate(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(batch.column("n_tokens"), 20),
+                    pc.less(batch.column("top2_e6"), 90000)),
+            pc.less(batch.column("dup3_e6"), 200000))
+        return batch.filter(keep)
+
+    ds = ds.map_batches(gate, batch_format="pyarrow")
+    ds = dedup_ops.dup_ngram_positions(ds, "text", "doc_id",
+                                       n=5, min_docs=2)
+
+    def final(batch: pa.Table) -> pa.Table:
+        keep = pc.less(pc.multiply(batch.column("n_dup_pos"),
+                                   pa.scalar(5, pa.int64())),
+                       batch.column("n_pos"))
+        return batch.filter(keep).select(["doc_id", "n_tokens"])
+
+    df = ds.map_batches(final, batch_format="pyarrow").to_pandas()
+    if df.empty:    # all docs curated away: keep the schema stable
+        df = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                           "n_tokens": pd.Series([], dtype="int64")})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+CURATE_SQL = """
+WITH dedup AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+') AS toks
+  FROM documents
+  QUALIFY row_number() OVER (PARTITION BY coalesce(text, '')
+                             ORDER BY doc_id) = 1),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS g
+  FROM dedup WHERE len(toks) >= 2),
+bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+btop AS (SELECT doc_id, max(c) AS mx FROM bgc GROUP BY doc_id),
+tg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+  FROM dedup WHERE len(toks) >= 3),
+tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g),
+tdup AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+         FROM tgc GROUP BY doc_id),
+surv AS (
+  SELECT d.doc_id, d.toks, len(d.toks) AS n_tokens
+  FROM dedup d
+  LEFT JOIN btop USING (doc_id)
+  LEFT JOIN tdup USING (doc_id)
+  WHERE len(d.toks) >= 20
+    AND coalesce(btop.mx, 0) * 1000000 // (len(d.toks) - 1) < 90000
+    AND coalesce(tdup.dup, 0) * 1000000 // (len(d.toks) - 2) < 200000),
+g5 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+              toks[i+3] || ' ' || toks[i+4])) AS gram
+  FROM surv),
+c5 AS (SELECT gram, count(DISTINCT doc_id) AS ndocs FROM g5 GROUP BY gram),
+p5 AS (SELECT doc_id, count(*) AS n_pos,
+              sum(CASE WHEN c5.ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup
+       FROM g5 JOIN c5 USING (gram) GROUP BY doc_id)
+SELECT s.doc_id, cast(s.n_tokens AS BIGINT) AS n_tokens
+FROM surv s JOIN p5 USING (doc_id)
+WHERE p5.n_dup * 5 < p5.n_pos
+ORDER BY s.doc_id
 """
 
 
@@ -7394,6 +7478,7 @@ def queries() -> dict:
         "repetition_docs": repetition_docs,
         "scrub_pii_docs": scrub_pii_docs,
         "dup_ngram_docs": dup_ngram_docs,
+        "curate_docs": curate_docs,
         "dsl_terms_cardinality": dsl_terms_cardinality,
         "dsl_terms_metric": dsl_terms_metric,
         "dsl_hist_metric": dsl_hist_metric,
@@ -7702,6 +7787,7 @@ def oracle_sql() -> dict:
         "repetition_docs": REPETITION_SQL,
         "scrub_pii_docs": SCRUB_PII_SQL,
         "dup_ngram_docs": DUP_NGRAM_SQL,
+        "curate_docs": CURATE_SQL,
         "decontaminate_docs": DECONTAM_SQL,
         "pack_docs": PACK_SQL,
         "mixture_docs": MIXTURE_SQL,

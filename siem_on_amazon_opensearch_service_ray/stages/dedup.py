@@ -610,8 +610,9 @@ def dup_ngram_positions(ds: rd.Dataset, text_col: str = "text",
     count becomes a hash-partitioned join of (gram_hash, doc) against
     the census — documented trade-off, same semantics.
 
-    Returns Dataset[(id_col, n_pos, n_dup_pos)] over ALL input docs
-    (docs shorter than n tokens report 0/0).
+    Returns the input Dataset with ``n_pos`` / ``n_dup_pos`` appended
+    (docs shorter than n tokens report 0/0), so the stage composes
+    inside a curation chain.
     """
     import ray
 
@@ -623,9 +624,8 @@ def dup_ngram_positions(ds: rd.Dataset, text_col: str = "text",
     def flag(batch: pa.Table) -> pa.Table:
         from collections import Counter
         s = ray.get(ref)
-        ids = batch.column(id_col)
-        n_pos = np.zeros(len(ids), np.int64)
-        n_dup = np.zeros(len(ids), np.int64)
+        n_pos = np.zeros(batch.num_rows, np.int64)
+        n_dup = np.zeros(batch.num_rows, np.int64)
         for i, t in enumerate(batch.column(text_col).to_pylist()):
             toks = _WORD_RE.findall((t or "").lower())
             if len(toks) < n:
@@ -634,8 +634,7 @@ def dup_ngram_positions(ds: rd.Dataset, text_col: str = "text",
                         for j in range(len(toks) - n + 1))
             n_pos[i] = len(toks) - n + 1
             n_dup[i] = sum(k for g, k in c.items() if g in s)
-        return pa.table({id_col: ids,
-                         "n_pos": pa.array(n_pos),
-                         "n_dup_pos": pa.array(n_dup)})
+        return (batch.append_column("n_pos", pa.array(n_pos))
+                     .append_column("n_dup_pos", pa.array(n_dup)))
 
     return ds.map_batches(flag, batch_format="pyarrow")

@@ -490,3 +490,35 @@ def test_dup_ngram_positions_exposure(docs_ds):
     # unique docs: zero coverage
     assert out.loc[3, "n_dup_pos"] == 0
     assert out.loc[4, "n_dup_pos"] == 0
+
+
+def test_curate_chain_drops_planted_junk(ray_session):
+    from siem_on_amazon_opensearch_service_ray.pipelines import queries as q
+    base = ("many distinct tokens " +
+            " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12)))
+    texts = [
+        base + " unique tail one here now",          # clean -> kept
+        base + " unique tail one here now",          # exact dup -> dropped
+        "tiny doc",                                  # n_tokens < 20 -> dropped
+        "spam spam " * 30,                           # top-bigram -> dropped
+        base + " entirely different ending galore",  # shares most 5-grams
+    ]
+    import tempfile, os
+    import pyarrow.parquet as pq
+    d = tempfile.mkdtemp()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    out = q.curate_docs(d)
+    # doc 0 survives dedup (min id) but doc 0 and 4 share >= 20% of
+    # 5-gram positions with each other -> both dropped by exposure;
+    # the chain's survivors are exactly the empty set here
+    assert set(out["doc_id"]) == set()
+    # relax the exposure stage by removing the shared-run doc: 0 stays
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 2, 3], pa.int64()),
+        "text": pa.array([texts[0], texts[2], texts[3]], pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    out2 = q.curate_docs(d)
+    assert set(out2["doc_id"]) == {0}
