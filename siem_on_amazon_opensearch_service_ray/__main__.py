@@ -342,6 +342,24 @@ def main(argv: list[str] | None = None) -> int:
     dc.add_argument("--ngram", type=int, default=5)
     dc.add_argument("--num-cpus", type=int, default=None)
 
+    cu = sub.add_parser("curate",
+                        help="end-to-end curation chain: exact dedup "
+                             "-> quality/repetition gate -> duplicated-"
+                             "n-gram exposure filter")
+    cu.add_argument("corpus", help="parquet file/dir with text docs")
+    cu.add_argument("out", help="output parquet path (survivors + "
+                                "signal columns)")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--min-tokens", type=int, default=20)
+    cu.add_argument("--max-top2-e6", type=int, default=90000)
+    cu.add_argument("--max-dup3-e6", type=int, default=200000)
+    cu.add_argument("--max-dup-cover", default="1/5",
+                    help="duplicated-5-gram position coverage bound "
+                         "as NUM/DEN (strictly below survives)")
+    cu.add_argument("--ngram", type=int, default=5)
+    cu.add_argument("--num-cpus", type=int, default=None)
+
     pk = sub.add_parser("pack",
                         help="pack docs into fixed token-budget sequences")
     pk.add_argument("corpus")
@@ -1029,6 +1047,22 @@ def main(argv: list[str] | None = None) -> int:
             res.write_parquet(args.out)
             print(json.dumps({"docs": n, "contaminated": n_bad,
                               "out": args.out}))
+        elif args.cmd == "curate":
+            import ray.data as rd
+            from .stages.curate import curate
+            num, den = (int(x) for x in args.max_dup_cover.split("/"))
+            ds = rd.read_parquet(args.corpus)
+            n_in = ds.count()
+            res = curate(ds, text_col=args.text_col, id_col=args.id_col,
+                         min_tokens=args.min_tokens,
+                         max_top2_e6=args.max_top2_e6,
+                         max_dup3_e6=args.max_dup3_e6,
+                         dup_cover_num=num, dup_cover_den=den,
+                         n=args.ngram).materialize()
+            n_out = res.count()
+            res.write_parquet(args.out)
+            print(json.dumps({"docs_in": n_in, "docs_out": n_out,
+                              "dropped": n_in - n_out, "out": args.out}))
         elif args.cmd == "pack":
             import ray.data as rd
             from .stages.packing import pack_sequences

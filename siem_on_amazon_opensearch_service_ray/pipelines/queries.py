@@ -2989,29 +2989,10 @@ def curate_docs(sf_dir: str) -> pd.DataFrame:
     with >= 20% covered positions dropped.  Every stage streams; the
     only shuffles are the dedup hash groupby and the n-gram census
     partials.  Exact SQL twin restates the whole chain."""
+    from ..stages.curate import curate
     ds = _t_ds(sf_dir, "documents", ["doc_id", "text"])
-    ds = dedup_ops.exact_dedup(ds, text_col="text")
-    ds = ds.map_batches(textops.RepetitionSignals(text_col="text"),
-                        batch_format="pyarrow")
-
-    def gate(batch: pa.Table) -> pa.Table:
-        keep = pc.and_(
-            pc.and_(pc.greater_equal(batch.column("n_tokens"), 20),
-                    pc.less(batch.column("top2_e6"), 90000)),
-            pc.less(batch.column("dup3_e6"), 200000))
-        return batch.filter(keep)
-
-    ds = ds.map_batches(gate, batch_format="pyarrow")
-    ds = dedup_ops.dup_ngram_positions(ds, "text", "doc_id",
-                                       n=5, min_docs=2)
-
-    def final(batch: pa.Table) -> pa.Table:
-        keep = pc.less(pc.multiply(batch.column("n_dup_pos"),
-                                   pa.scalar(5, pa.int64())),
-                       batch.column("n_pos"))
-        return batch.filter(keep).select(["doc_id", "n_tokens"])
-
-    df = ds.map_batches(final, batch_format="pyarrow").to_pandas()
+    out = curate(ds, text_col="text", id_col="doc_id")
+    df = out.select_columns(["doc_id", "n_tokens"]).to_pandas()
     if df.empty:    # all docs curated away: keep the schema stable
         df = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                            "n_tokens": pd.Series([], dtype="int64")})

@@ -119,6 +119,13 @@ def test_cli_training_ops(ray_session, tmp_path, capsys):
                              str(tmp_path / "dc"), "--ngram", "3"])
     assert out["docs"] == n and out["contaminated"] == n  # self-overlap
     assert (tmp_path / "packed").is_dir() and (tmp_path / "dc").is_dir()
+    # curate: with the default 20-token minimum every 20-token doc
+    # stays unless its duplicated-5-gram coverage crosses 1/5
+    out = _run_json(capsys, ["curate", str(corpus),
+                             str(tmp_path / "cur")])
+    assert out["docs_in"] == n
+    assert out["docs_in"] == out["docs_out"] + out["dropped"]
+    assert (tmp_path / "cur").is_dir()
 
 
 def test_cli_scoring_query_types(cli_index, capsys):
