@@ -3043,6 +3043,67 @@ ORDER BY s.doc_id
 """
 
 
+def strip_boilerplate_docs(sf_dir: str) -> pd.DataFrame:
+    """Boilerplate LINE stripping (stages/curate.strip_boilerplate_lines)
+    over deterministically PLANTED headers/footers (the synthetic docs
+    are single-line, so every 3rd doc gets a license-header line
+    prepended and every 4th a generated-banner line appended — the
+    same construction the SQL twin applies): lines appearing in >= 2
+    distinct docs are removed, docs rebuilt from their kept lines in
+    original order.  Census partials + one broadcast set — the same
+    scale shape as the n-gram variant."""
+    from ..stages.curate import strip_boilerplate_lines
+    ds = _t_ds(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        planted = [
+            ("// SPDX-License-Identifier: MIT\n" if i % 3 == 0 else "")
+            + (t or "")
+            + ("\n// generated; do not edit" if i % 4 == 0 else "")
+            for i, t in zip(ids, texts)]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(planted, pa.string())})
+
+    out = strip_boilerplate_lines(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        text_col="text", min_docs=2)
+    df = (out.select_columns(["doc_id", "cleaned", "n_lines",
+                              "n_removed"])
+             .to_pandas().sort_values("doc_id"))
+    return df.reset_index(drop=True)
+
+
+STRIP_BOILERPLATE_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN '// SPDX-License-Identifier: MIT' || chr(10)
+              ELSE '' END ||
+         coalesce(text, '') ||
+         CASE WHEN doc_id % 4 = 0
+              THEN chr(10) || '// generated; do not edit'
+              ELSE '' END AS text
+  FROM documents),
+ln AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS i
+  FROM planted),
+c AS (SELECT line, count(DISTINCT doc_id) AS nd FROM ln GROUP BY line)
+SELECT ln.doc_id,
+       coalesce(string_agg(CASE WHEN c.nd < 2 THEN ln.line END,
+                           chr(10) ORDER BY ln.i), '') AS cleaned,
+       cast(count(*) AS BIGINT) AS n_lines,
+       cast(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed
+FROM ln JOIN c USING (line)
+GROUP BY ln.doc_id
+ORDER BY ln.doc_id
+"""
+
+
 def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
     """Benchmark decontamination (stages/decontam): docs whose doc_id
     is divisible by 50 stand in for the eval set; every doc reports
@@ -7460,6 +7521,7 @@ def queries() -> dict:
         "scrub_pii_docs": scrub_pii_docs,
         "dup_ngram_docs": dup_ngram_docs,
         "curate_docs": curate_docs,
+        "strip_boilerplate_docs": strip_boilerplate_docs,
         "dsl_terms_cardinality": dsl_terms_cardinality,
         "dsl_terms_metric": dsl_terms_metric,
         "dsl_hist_metric": dsl_hist_metric,
@@ -7769,6 +7831,7 @@ def oracle_sql() -> dict:
         "scrub_pii_docs": SCRUB_PII_SQL,
         "dup_ngram_docs": DUP_NGRAM_SQL,
         "curate_docs": CURATE_SQL,
+        "strip_boilerplate_docs": STRIP_BOILERPLATE_SQL,
         "decontaminate_docs": DECONTAM_SQL,
         "pack_docs": PACK_SQL,
         "mixture_docs": MIXTURE_SQL,

@@ -52,7 +52,7 @@ SQL_BACKED = ["dsl_bucket_script", "dsl_moving_fn",
               "dashboard_pill_panel", "search_bool_multi_filter",
               "discover_kuery_search", "dsl_wildcard_filter",
               "near_dedup_docs", "repetition_docs", "scrub_pii_docs",
-              "dup_ngram_docs", "curate_docs",
+              "dup_ngram_docs", "curate_docs", "strip_boilerplate_docs",
               "dsl_terms_metric", "dsl_hist_metric",
               "search_index_pattern", "search_collapse_inner",
               "dsl_rank_eval", "dsl_pattern_aggs",

@@ -522,3 +522,30 @@ def test_curate_chain_drops_planted_junk(ray_session):
     }), os.path.join(d, "documents.parquet"))
     out2 = q.curate_docs(d)
     assert set(out2["doc_id"]) == {0}
+
+
+def test_strip_boilerplate_lines(ray_session):
+    from siem_on_amazon_opensearch_service_ray.stages.curate import (
+        duplicated_line_census, strip_boilerplate_lines)
+    header = "// SPDX-License-Identifier: MIT"
+    texts = [
+        header + "\nunique body zero\nshared middle",
+        header + "\nunique body one\nshared middle",
+        "unique body two only",
+        header,                       # doc that is ALL boilerplate
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    census = duplicated_line_census(ds, "text").to_pandas()
+    assert set(census["line"]) == {header, "shared middle"}
+    assert census.set_index("line").loc[header, "n_docs"] == 3
+    out = (strip_boilerplate_lines(ds, "text")
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[0, "cleaned"] == "unique body zero"
+    assert out.loc[1, "cleaned"] == "unique body one"
+    assert out.loc[1, "n_removed"] == 2 and out.loc[1, "n_lines"] == 3
+    assert out.loc[2, "cleaned"] == "unique body two only"
+    assert out.loc[2, "n_removed"] == 0
+    assert out.loc[3, "cleaned"] == "" and out.loc[3, "n_removed"] == 1
