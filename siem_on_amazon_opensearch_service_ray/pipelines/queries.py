@@ -3510,6 +3510,55 @@ FROM tok WHERE term IN ('sort', 'scan')
 """
 
 
+def search_filters_other(sf_dir: str) -> pd.DataFrame:
+    """``filters`` aggregation with OpenSearch's ``other_bucket``:
+    named match filters each counted over their full match set PLUS
+    the ``_other_`` bucket — live docs matching NONE of them.  Runs
+    through the JSON ``_search`` executor on the doc-sharded index:
+    per-shard union partials (doc ranges disjoint), one int per shard
+    travels; the oracle counts the complement directly."""
+    from ..state.dsl import execute_dsl
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        resp = execute_dsl(s, {
+            "size": 0,
+            "aggs": {"kinds": {"filters": {
+                "filters": {
+                    "has_spark": {"match": {"content": "spark"}},
+                    "hash_and_merge": {"match": {
+                        "content": {"query": "hash merge",
+                                    "operator": "and"}}},
+                },
+                "other_bucket": True,
+            }}},
+        })
+    finally:
+        s.close()
+    rows = resp["aggregations"]["kinds"]["buckets"]
+    names = sorted(rows)
+    return pd.DataFrame({
+        "name": names,
+        "n": np.array([rows[k]["doc_count"] for k in names], np.int64)})
+
+
+SEARCH_FILTERS_OTHER_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+a AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+b AS (SELECT doc_id FROM tok WHERE term IN ('hash', 'merge')
+      GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+SELECT 'has_spark' AS name, cast(count(*) AS BIGINT) AS n FROM a
+UNION ALL
+SELECT 'hash_and_merge', cast(count(*) AS BIGINT) FROM b
+UNION ALL
+SELECT '_other_', cast(count(*) AS BIGINT) FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM a)
+  AND d.doc_id NOT IN (SELECT doc_id FROM b)
+"""
+
+
 def search_composite(sf_dir: str) -> pd.DataFrame:
     """OpenSearch ``composite`` aggregation paged to exhaustion:
     (lang, source) key tuples over the match set, 8 buckets per page
@@ -7522,6 +7571,7 @@ def queries() -> dict:
         "dup_ngram_docs": dup_ngram_docs,
         "curate_docs": curate_docs,
         "strip_boilerplate_docs": strip_boilerplate_docs,
+        "search_filters_other": search_filters_other,
         "dsl_terms_cardinality": dsl_terms_cardinality,
         "dsl_terms_metric": dsl_terms_metric,
         "dsl_hist_metric": dsl_hist_metric,
@@ -7832,6 +7882,7 @@ def oracle_sql() -> dict:
         "dup_ngram_docs": DUP_NGRAM_SQL,
         "curate_docs": CURATE_SQL,
         "strip_boilerplate_docs": STRIP_BOILERPLATE_SQL,
+        "search_filters_other": SEARCH_FILTERS_OTHER_SQL,
         "decontaminate_docs": DECONTAM_SQL,
         "pack_docs": PACK_SQL,
         "mixture_docs": MIXTURE_SQL,

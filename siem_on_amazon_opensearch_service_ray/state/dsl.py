@@ -294,6 +294,15 @@ def _run_aggs(s, aggs: dict, query: dict | None) -> dict:
             if kind == "filter":
                 out[name] = _exec_filter_agg(s, name, spec, query)
                 continue
+            if kind == "filters" and (query is None
+                                      or "match_all" in query):
+                # like the singular filter agg, the named buckets carry
+                # their own match contexts — a match_all outer query is
+                # the natural request shape
+                out[name] = _exec_agg(
+                    s, name, spec,
+                    (None, _default_text_field(s), "or", ()))
+                continue
             if qctx is None:
                 qctx, pure = _resolve_pure(s, _agg_context(query))
                 if qctx[3]:
@@ -1036,8 +1045,16 @@ def _exec_agg(s, name: str, spec: dict, qctx: tuple[str, str, str]
                 raise ValueError("filters agg: match (or bool, under "
                                  "an unfiltered outer query) filters "
                                  "only")
-        rows = dict(s.filters_aggregation(specs, qfield)) if specs \
-            else {}
+        obk = None
+        if body.get("other_bucket") or "other_bucket_key" in body:
+            obk = str(body.get("other_bucket_key", "_other_"))
+            if bools or not specs:
+                raise ValueError(
+                    "filters agg: other_bucket needs match-filter "
+                    "entries only (bool buckets carry their own "
+                    "contexts; their union is not expressible)")
+        rows = dict(s.filters_aggregation(
+            specs, qfield, other_bucket_key=obk)) if specs else {}
         for fname, fq in bools.items():
             fctx, pure = _resolve_pure(s, _agg_context(fq))
             t2, f2, m2, cf = fctx

@@ -742,6 +742,22 @@ def _ctx_intersect_rest(cand: np.ndarray, index_dir: str,
                           specs=_CTX_FILTERS[1:])
 
 
+def _filters_union_size(reader: ShardReader, field: str,
+                        specs: list[tuple[list[str], str]],
+                        tombstones: np.ndarray) -> int:
+    """Size of the union of the named filters' live match sets in
+    one shard (the other_bucket partial)."""
+    u: np.ndarray | None = None
+    for q_terms, mode in specs:
+        cand = _candidate_ids(reader, field, q_terms, mode)
+        u = cand if u is None else np.union1d(u, cand)
+    if u is None:
+        return 0
+    if u.size and tombstones.size:
+        u = u[_excl_mask(u, tombstones)]
+    return int(u.size)
+
+
 def _candidate_ids(reader: ShardReader, field: str, q_terms: list[str],
                    mode: str) -> np.ndarray:
     """Sorted unique doc ids matching the query terms in one shard
@@ -2184,6 +2200,14 @@ class PartActor:
                 cand = cand[_excl_mask(cand, self.tombstones)]
             n += int(cand.size)
         return n
+
+    def filters_union_local(self, field: str,
+                            specs: list[tuple[list[str], str]]) -> int:
+        """Doc-sharded other_bucket partial: size of the UNION of the
+        named filters' live match sets within this actor's doc parts
+        (disjoint doc ranges — the driver just sums the ints)."""
+        return sum(_filters_union_size(r, field, specs, self.tombstones)
+                   for r in self.readers.values())
 
     def adjacency_local(self, field: str,
                         specs: list[tuple[str, list[str], str]]
@@ -6157,18 +6181,29 @@ class Searcher:
 
     def filters_aggregation(self, filters: dict[str, tuple[str, str]],
                             field: str = "content",
-                            analyzer: str | None = None) -> dict[str, int]:
+                            analyzer: str | None = None,
+                            other_bucket_key: str | None = None
+                            ) -> dict[str, int]:
         """OpenSearch ``filters`` aggregation: named sub-queries, each
         counted over its own full match set — ``filters`` maps bucket
         name → (query, mode).  Doc-sharded indexes sum per-shard
-        count partials (doc ids never centralize)."""
+        count partials (doc ids never centralize).
+
+        ``other_bucket_key`` adds OpenSearch's ``other_bucket``: live
+        docs matching NONE of the named filters, computed as
+        global-live minus the union of the match sets — per shard on
+        doc layouts (doc ranges are disjoint, so shard-local unions
+        sum exactly; one int per shard travels), one driver-side
+        union of the already-gathered id sets on term layouts."""
         if analyzer is None:
             analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
                              if f == field), "code")
         out: dict[str, int] = {}
         doc_sharded = self.manifest["config"].get("partition_by") == "doc"
+        specs = {name: ANALYZERS[analyzer](query)
+                 for name, (query, _mode) in filters.items()}
         for name, (query, mode) in filters.items():
-            q_terms = ANALYZERS[analyzer](query)
+            q_terms = specs[name]
             if not q_terms:
                 out[name] = 0
                 continue
@@ -6187,6 +6222,25 @@ class Searcher:
                     out[name] = n
             else:
                 out[name] = int(self._match_ids(field, q_terms, mode).size)
+        if other_bucket_key is not None:
+            live = [(list(specs[name]), mode)
+                    for name, (_q, mode) in filters.items() if specs[name]]
+            n_live = int(self.stats["n_docs"]) - int(self.tombstones.size)
+            if doc_sharded:
+                if self.use_actors:
+                    union = sum(ray.get(
+                        [a.filters_union_local.remote(field, live)
+                         for a in self.actors]))
+                else:
+                    union = sum(
+                        _filters_union_size(r, field, live, self.tombstones)
+                        for r in self.readers.values())
+            else:
+                ids = [self._match_ids(field, t, m) for t, m in live]
+                ids = [x for x in ids if x.size]
+                union = int(np.unique(np.concatenate(ids)).size) \
+                    if ids else 0
+            out[other_bucket_key] = n_live - union
         return out
 
     def adjacency_matrix(self, filters: dict[str, tuple[str, str]],

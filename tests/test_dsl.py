@@ -1695,3 +1695,62 @@ def test_terms_missing_param(ray_session, tmp_path):
     df = t.to_pandas()
     exp = df.team.fillna("N/A").value_counts().to_dict()
     assert buckets == exp
+
+
+def test_filters_agg_other_bucket_cross_layout(ray_session,
+                                               tmp_path_factory):
+    """filters agg other_bucket: live docs matching NONE of the named
+    filters — brute-forced from the generated docs, identical across
+    layouts and on the actor path; bool entries + other_bucket refuse."""
+    rng = np.random.default_rng(23)
+    n = 120
+    docs = [" ".join(VOCAB[int(j)] for j in rng.integers(0, 10, 8))
+            for _ in range(n)]
+    in_a = {i for i, d in enumerate(docs) if "spark" in d.split()}
+    in_b = {i for i, d in enumerate(docs)
+            if {"merge", "sort"} <= set(d.split())}
+    want = {"a": len(in_a), "b": len(in_b),
+            "_other_": n - len(in_a | in_b)}
+    body = {"size": 0, "aggs": {"kinds": {"filters": {
+        "filters": {
+            "a": {"match": {"content": "spark"}},
+            "b": {"match": {"content": {"query": "merge sort",
+                                        "operator": "and"}}},
+        },
+        "other_bucket": True,
+    }}}}
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": docs})
+    root = tmp_path_factory.mktemp("filters_other")
+    src = str(root / "d.parquet")
+    pq.write_table(t, src)
+    for layout in ("term", "doc"):
+        cfg = IndexConfig(num_partitions=3, partition_by=layout,
+                          fields=(("content", "text", "base"),),
+                          keyword_fields=(), range_fields=(),
+                          doc_id_col="doc_id", sha_col="text",
+                          salting=False)
+        idx = str(root / f"idx_{layout}")
+        build_index([src], idx, cfg)
+        for actors in ((False, True) if layout == "doc" else (False,)):
+            s = Searcher(idx, use_actors=actors)
+            try:
+                r = execute_dsl(s, body)
+                got = {k: v["doc_count"] for k, v in
+                       r["aggregations"]["kinds"]["buckets"].items()}
+                assert got == want, (layout, actors)
+                # custom key name
+                body2 = {"size": 0, "aggs": {"kinds": {"filters": {
+                    "filters": body["aggs"]["kinds"]["filters"]["filters"],
+                    "other_bucket_key": "rest"}}}}
+                r2 = execute_dsl(s, body2)
+                assert (r2["aggregations"]["kinds"]["buckets"]["rest"]
+                        ["doc_count"]) == want["_other_"]
+                # bool entries cannot carry an other bucket
+                with pytest.raises(ValueError, match="other_bucket"):
+                    execute_dsl(s, {"size": 0, "aggs": {"k": {"filters": {
+                        "filters": {"x": {"bool": {"filter": [
+                            {"term": {"lang": "py"}}]}}},
+                        "other_bucket": True}}}})
+            finally:
+                s.close()
