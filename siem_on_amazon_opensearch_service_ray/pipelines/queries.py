@@ -869,6 +869,56 @@ def search_histogram_empty_buckets(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def search_histogram_offset(sf_dir: str) -> pd.DataFrame:
+    """histogram with OpenSearch's ``offset`` (shifted bucket grid:
+    floor((v-offset)/interval)*interval + offset) and
+    ``extended_bounds`` (dashboard axis pinning: the min_doc_count=0
+    zero fill widens to the given bounds even past the data extent),
+    through the JSON ``_search`` executor on the doc-sharded index —
+    per-shard bucket partials, grid arithmetic mirrored in SQL."""
+    from ..state.dsl import execute_dsl
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        resp = execute_dsl(s, {
+            "query": {"match": {"content": BM25_QUERY}},
+            "size": 0,
+            "aggs": {"h": {"histogram": {
+                "field": "n_chars", "interval": 100, "offset": 37,
+                "min_doc_count": 0,
+                "extended_bounds": {"min": -63, "max": 937},
+            }}},
+        })
+    finally:
+        s.close()
+    rows = resp["aggregations"]["h"]["buckets"]
+    return pd.DataFrame({
+        "bucket": np.array([b["key"] for b in rows], np.int64),
+        "n_docs": np.array([b["doc_count"] for b in rows], np.int64)})
+
+
+SEARCH_HISTOGRAM_OFFSET_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))})),
+h AS (
+  SELECT cast(floor((n_chars - 37) / 100.0) * 100 + 37 AS BIGINT) AS bucket,
+         cast(count(*) AS BIGINT) AS n_docs
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM m)
+  GROUP BY bucket),
+grid AS (
+  SELECT unnest(generate_series(
+      least((SELECT min(bucket) FROM h), -63),
+      greatest((SELECT max(bucket) FROM h), 937), 100)) AS bucket)
+SELECT g.bucket, cast(coalesce(h.n_docs, 0) AS BIGINT) AS n_docs
+FROM grid g LEFT JOIN h ON g.bucket = h.bucket
+ORDER BY g.bucket
+"""
+
+
 SEARCH_HISTOGRAM_EMPTY_SQL = """
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
@@ -7572,6 +7622,7 @@ def queries() -> dict:
         "curate_docs": curate_docs,
         "strip_boilerplate_docs": strip_boilerplate_docs,
         "search_filters_other": search_filters_other,
+        "search_histogram_offset": search_histogram_offset,
         "dsl_terms_cardinality": dsl_terms_cardinality,
         "dsl_terms_metric": dsl_terms_metric,
         "dsl_hist_metric": dsl_hist_metric,
@@ -7883,6 +7934,7 @@ def oracle_sql() -> dict:
         "curate_docs": CURATE_SQL,
         "strip_boilerplate_docs": STRIP_BOILERPLATE_SQL,
         "search_filters_other": SEARCH_FILTERS_OTHER_SQL,
+        "search_histogram_offset": SEARCH_HISTOGRAM_OFFSET_SQL,
         "decontaminate_docs": DECONTAM_SQL,
         "pack_docs": PACK_SQL,
         "mixture_docs": MIXTURE_SQL,

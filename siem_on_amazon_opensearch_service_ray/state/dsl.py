@@ -831,9 +831,13 @@ def _exec_agg(s, name: str, spec: dict, qctx: tuple[str, str, str]
         interval = float(body.get("interval",
                                   body.get("fixed_interval_sec", 0))
                          or body["interval"])
+        _eb = body.get("extended_bounds")
         buckets = s.histogram_aggregation(
             text, body["field"], interval, qfield, mode,
-            min_doc_count=body.get("min_doc_count", 1))
+            min_doc_count=body.get("min_doc_count", 1),
+            offset=float(body.get("offset", 0.0)),
+            extended_bounds=((float(_eb["min"]), float(_eb["max"]))
+                             if _eb else None))
         out = {"buckets": [{"key": b, "doc_count": n}
                            for b, n in buckets]}
         _METRIC_KEYS = ("avg", "sum", "min", "max", "stats",

@@ -1192,29 +1192,45 @@ def _hist_stats_partial(index_dir: str, bucket_field: str,
 
 
 def _hist_fill(buckets: list[tuple[float, int]], interval: float,
-               min_doc_count: int) -> list[tuple[float, int]]:
+               min_doc_count: int, offset: float = 0.0,
+               extended_bounds: tuple[float, float] | None = None
+               ) -> list[tuple[float, int]]:
     """min_doc_count=0: insert zero-count buckets between the first
     and last non-empty one (OpenSearch date_histogram gap fill —
-    coordinator-side, bounded by the data's own extent)."""
-    if min_doc_count > 0 or len(buckets) < 2:
+    coordinator-side, bounded by the data's own extent), widened to
+    ``extended_bounds`` (the dashboard axis-pinning parameter) when
+    given.  ``offset`` shifts the bucket grid (keys are
+    floor((v-offset)/interval)*interval + offset)."""
+    if min_doc_count > 0 or (len(buckets) < 2
+                             and extended_bounds is None):
         return buckets
+
+    def align(x: float) -> float:
+        return float(np.floor((x - offset) / interval) * interval
+                     + offset)
+
+    if not buckets and extended_bounds is None:
+        return buckets
+    lo = buckets[0][0] if buckets else align(extended_bounds[0])
+    hi = buckets[-1][0] if buckets else align(extended_bounds[1])
+    if extended_bounds is not None:
+        lo = min(lo, align(extended_bounds[0]))
+        hi = max(hi, align(extended_bounds[1]))
     out: list[tuple[float, int]] = []
     have = dict(buckets)
-    b = buckets[0][0]
-    last = buckets[-1][0]
     # integer stepping avoids float accumulation drift
-    steps = int(round((last - b) / interval))
+    steps = int(round((hi - lo) / interval))
     for i in range(steps + 1):
-        key = buckets[0][0] + i * interval
+        key = lo + i * interval
         # snap to an existing bucket key when float rounding is close
         n = have.get(key)
         if n is None:
-            # always emit the snapped canonical key (round(k/i)*i) for
-            # gap buckets — the accumulated float key can drift at the
-            # ulp level from the floor(v/interval)*interval convention
+            # always emit the snapped canonical key (round((k-off)/i)*
+            # i + off) for gap buckets — the accumulated float key can
+            # drift at the ulp level from the floor convention
             # non-empty buckets use, breaking exact-match consumers on
             # fractional intervals
-            kr = round(key / interval) * interval
+            kr = round((key - offset) / interval) * interval + offset
             n = have.get(kr, 0)
             key = kr
         out.append((key, n))
@@ -2162,7 +2178,8 @@ class PartActor:
         return tot
 
     def hist_local(self, field: str, q_terms: list[str], mode: str,
-                   range_field: str, interval: float) -> dict[float, int]:
+                   range_field: str, interval: float,
+                   offset: float = 0.0) -> dict[float, int]:
         """Doc-sharded histogram partial: per-shard bucket counts —
         only the tiny bucket dict travels to the driver."""
         out: dict[float, int] = {}
@@ -2170,7 +2187,7 @@ class PartActor:
             v = _shard_range_values(r, p, self.tombstones, field, q_terms,
                                     mode, range_field)
             if v.size:
-                b = np.floor(v / interval) * interval
+                b = np.floor((v - offset) / interval) * interval + offset
                 u, c = np.unique(b, return_counts=True)
                 for bv, n in zip(u, c):
                     out[float(bv)] = out.get(float(bv), 0) + int(n)
@@ -5419,10 +5436,14 @@ class Searcher:
                               interval: float, field: str = "content",
                               mode: str = "or",
                               analyzer: str | None = None,
-                              min_doc_count: int = 1
+                              min_doc_count: int = 1,
+                              offset: float = 0.0,
+                              extended_bounds: tuple[float, float]
+                              | None = None
                               ) -> list[tuple[float, int]]:
         """Numeric histogram over the full match set (OpenSearch
-        ``histogram`` agg): bucket = floor(value/interval)*interval,
+        ``histogram`` agg): bucket =
+        floor((value-offset)/interval)*interval + offset,
         counted via the doc-range-partitioned range tables — per part,
         one membership probe of the part's doc ids against the sorted
         candidate set.  ``min_doc_count=0`` fills the gaps between the
@@ -5443,38 +5464,45 @@ class Searcher:
             # ids never leave their shard
             if self.use_actors:
                 parts = ray.get([a.hist_local.remote(field, q_terms, mode,
-                                                     range_field, interval)
+                                                     range_field, interval,
+                                                     offset)
                                  for a in self.actors])
             else:
                 parts = [dict(self._hist_one(r, p, field, q_terms, mode,
-                                             range_field, interval))
+                                             range_field, interval,
+                                             offset))
                          for p, r in self.readers.items()]
             for d in parts:
                 for bv, n in d.items():
                     counts[bv] = counts.get(bv, 0) + n
             return _hist_fill(sorted(counts.items()), interval,
-                              min_doc_count)
+                              min_doc_count, offset, extended_bounds)
         cand = self._match_ids(field, q_terms, mode)
-        if cand.size == 0:
+        if cand.size == 0 and extended_bounds is None:
             return []
         from .shard import load_range_pairs
-        for vals, ids in load_range_pairs(self.index_dir, range_field):
-            pos = np.minimum(np.searchsorted(cand, ids), cand.size - 1)
-            hit = cand[pos] == ids
-            if not hit.any():
-                continue
-            buckets = np.floor(vals[hit] / interval) * interval
-            u, c = np.unique(buckets, return_counts=True)
-            for bv, n in zip(u, c):
-                counts[float(bv)] = counts.get(float(bv), 0) + int(n)
-        return _hist_fill(sorted(counts.items()), interval, min_doc_count)
+        if cand.size:
+            for vals, ids in load_range_pairs(self.index_dir, range_field):
+                pos = np.minimum(np.searchsorted(cand, ids),
+                                 cand.size - 1)
+                hit = cand[pos] == ids
+                if not hit.any():
+                    continue
+                buckets = (np.floor((vals[hit] - offset) / interval)
+                           * interval + offset)
+                u, c = np.unique(buckets, return_counts=True)
+                for bv, n in zip(u, c):
+                    counts[float(bv)] = counts.get(float(bv), 0) + int(n)
+        return _hist_fill(sorted(counts.items()), interval,
+                          min_doc_count, offset, extended_bounds)
 
-    def _hist_one(self, r, p, field, q_terms, mode, range_field, interval):
+    def _hist_one(self, r, p, field, q_terms, mode, range_field, interval,
+                  offset=0.0):
         v = _shard_range_values(r, p, self.tombstones, field, q_terms,
                                 mode, range_field)
         if v.size == 0:
             return []
-        b = np.floor(v / interval) * interval
+        b = np.floor((v - offset) / interval) * interval + offset
         u, c = np.unique(b, return_counts=True)
         return [(float(bv), int(n)) for bv, n in zip(u, c)]
 

@@ -1754,3 +1754,59 @@ def test_filters_agg_other_bucket_cross_layout(ray_session,
                         "other_bucket": True}}}})
             finally:
                 s.close()
+
+
+def test_histogram_offset_extended_bounds_cross_layout(ray_session,
+                                                       tmp_path_factory):
+    """histogram offset + extended_bounds: shifted bucket grid
+    (floor((v-off)/i)*i + off) brute-forced from the generated values;
+    min_doc_count=0 zero fill widens to the bounds, identical across
+    layouts and on the actor path."""
+    rng = np.random.default_rng(31)
+    n = 90
+    vals = [int(rng.integers(40, 400)) for _ in range(n)]
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": ["spark join" if i % 2 else "merge scan"
+                 for i in range(n)],
+        "v": pa.array([float(x) for x in vals], pa.float64()),
+    })
+    root = tmp_path_factory.mktemp("hist_offset")
+    src = str(root / "d.parquet")
+    pq.write_table(t, src)
+    import math
+    matched = [vals[i] for i in range(n) if i % 2]   # "spark" docs
+    key = lambda v: math.floor((v - 25) / 50) * 50 + 25
+    from collections import Counter
+    cnt = Counter(key(v) for v in matched)
+    lo = min(min(cnt), key(-75))
+    hi = max(max(cnt), key(975))
+    want = [(float(k), cnt.get(k, 0)) for k in range(int(lo), int(hi) + 1, 50)]
+    body = {"query": {"match": {"content": "spark"}}, "size": 0,
+            "aggs": {"h": {"histogram": {
+                "field": "v", "interval": 50, "offset": 25,
+                "min_doc_count": 0,
+                "extended_bounds": {"min": -75, "max": 975}}}}}
+    for layout in ("term", "doc"):
+        cfg = IndexConfig(num_partitions=3, partition_by=layout,
+                          fields=(("content", "text", "base"),),
+                          keyword_fields=(), range_fields=("v",),
+                          doc_id_col="doc_id", sha_col="text",
+                          salting=False)
+        idx = str(root / f"idx_{layout}")
+        build_index([src], idx, cfg)
+        for actors in ((False, True) if layout == "doc" else (False,)):
+            s = Searcher(idx, use_actors=actors)
+            try:
+                r = execute_dsl(s, body)
+                got = [(b["key"], b["doc_count"]) for b in
+                       r["aggregations"]["h"]["buckets"]]
+                assert got == want, (layout, actors)
+                # plain offset without bounds: non-empty buckets only
+                r2 = execute_dsl(s, {**body, "aggs": {"h": {"histogram": {
+                    "field": "v", "interval": 50, "offset": 25}}}})
+                got2 = {b["key"]: b["doc_count"] for b in
+                        r2["aggregations"]["h"]["buckets"]}
+                assert got2 == {float(k): v for k, v in cnt.items()}
+            finally:
+                s.close()

@@ -53,7 +53,7 @@ SQL_BACKED = ["dsl_bucket_script", "dsl_moving_fn",
               "discover_kuery_search", "dsl_wildcard_filter",
               "near_dedup_docs", "repetition_docs", "scrub_pii_docs",
               "dup_ngram_docs", "curate_docs", "strip_boilerplate_docs",
-              "search_filters_other",
+              "search_filters_other", "search_histogram_offset",
               "dsl_terms_metric", "dsl_hist_metric",
               "search_index_pattern", "search_collapse_inner",
               "dsl_rank_eval", "dsl_pattern_aggs",
