@@ -3609,6 +3609,63 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM a)
 """
 
 
+def search_global_agg(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``global`` bucket aggregation: a narrowed query
+    ("spark" docs, bucketed by lang) with a sibling ``global`` agg
+    whose sub-agg buckets the WHOLE corpus by lang — the
+    "window-vs-everything" dashboard comparison shape.  Runs on the
+    doc-sharded index: the global bucket's match set is each shard's
+    own docstore doc-id census (column-pruned ``doc_id`` scan —
+    ids never leave their shard), so both scopes execute as the same
+    per-shard terms partials.  Rows: (scope, lang, n) plus a
+    ``(global_total, _all_, N)`` row for the bucket's doc_count."""
+    from ..state.dsl import execute_dsl
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        resp = execute_dsl(s, {
+            "size": 0,
+            "query": {"match": {"content": "spark"}},
+            "aggs": {
+                "in_query": {"terms": {"field": "lang", "size": 100}},
+                "everything": {"global": {}, "aggs": {
+                    "by_lang": {"terms": {"field": "lang",
+                                          "size": 100}}}},
+            },
+        })
+    finally:
+        s.close()
+    rows: list[tuple[str, str, int]] = []
+    for b in resp["aggregations"]["in_query"]["buckets"]:
+        rows.append(("query", b["key"], int(b["doc_count"])))
+    g = resp["aggregations"]["everything"]
+    for b in g["by_lang"]["buckets"]:
+        rows.append(("global", b["key"], int(b["doc_count"])))
+    rows.append(("global_total", "_all_", int(g["doc_count"])))
+    rows.sort()
+    return pd.DataFrame({"scope": [r[0] for r in rows],
+                         "lang": [r[1] for r in rows],
+                         "n": np.array([r[2] for r in rows], np.int64)})
+
+
+SEARCH_GLOBAL_AGG_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
+SELECT * FROM (
+  SELECT 'query' AS scope, d.lang, cast(count(*) AS BIGINT) AS n
+  FROM documents d JOIN m USING(doc_id) GROUP BY d.lang
+  UNION ALL
+  SELECT 'global', lang, cast(count(*) AS BIGINT)
+  FROM documents GROUP BY lang
+  UNION ALL
+  SELECT 'global_total', '_all_', cast(count(*) AS BIGINT)
+  FROM documents)
+ORDER BY scope, lang
+"""
+
+
 def search_composite(sf_dir: str) -> pd.DataFrame:
     """OpenSearch ``composite`` aggregation paged to exhaustion:
     (lang, source) key tuples over the match set, 8 buckets per page
@@ -7600,6 +7657,7 @@ def queries() -> dict:
     # then every entry whose newest driver row is r03 (oldest-green-first).
     return {
         # --- never driver-checked (round-5 additions) ---
+        "search_global_agg": search_global_agg,
         "dsl_bucket_script": dsl_bucket_script,
         "dsl_moving_fn": dsl_moving_fn,
         "dsl_cumulative_cardinality": dsl_cumulative_cardinality,
@@ -7934,6 +7992,7 @@ def oracle_sql() -> dict:
         "curate_docs": CURATE_SQL,
         "strip_boilerplate_docs": STRIP_BOILERPLATE_SQL,
         "search_filters_other": SEARCH_FILTERS_OTHER_SQL,
+        "search_global_agg": SEARCH_GLOBAL_AGG_SQL,
         "search_histogram_offset": SEARCH_HISTOGRAM_OFFSET_SQL,
         "decontaminate_docs": DECONTAM_SQL,
         "pack_docs": PACK_SQL,

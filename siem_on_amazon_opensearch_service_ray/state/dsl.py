@@ -187,8 +187,8 @@ def _agg_context(query: dict | None) -> tuple[str, str, str, tuple]:
         raise ValueError(
             "aggregations need a match/bool query context (the "
             "engine's match-set aggs take analyzed terms); match_all "
-            "aggs: use a singular filter agg or the corpus stats "
-            "pipelines")
+            "aggs: use a singular filter agg, a global agg, or the "
+            "corpus stats pipelines")
     kind, spec = _one(query, "query")
     if kind == "match":
         f, text, op = _match_text(query)
@@ -294,6 +294,9 @@ def _run_aggs(s, aggs: dict, query: dict | None) -> dict:
             if kind == "filter":
                 out[name] = _exec_filter_agg(s, name, spec, query)
                 continue
+            if kind == "global":
+                out[name] = _exec_global_agg(s, name, spec)
+                continue
             if kind == "filters" and (query is None
                                       or "match_all" in query):
                 # like the singular filter agg, the named buckets carry
@@ -308,6 +311,33 @@ def _run_aggs(s, aggs: dict, query: dict | None) -> dict:
                 if qctx[3]:
                     stack.enter_context(ctx_filters(s, qctx[3], pure))
             out[name] = _exec_agg(s, name, spec, qctx)
+    return out
+
+
+def _exec_global_agg(s, name: str, spec: dict) -> dict:
+    """``global`` bucket agg: ignores the surrounding query entirely
+    (OpenSearch semantics — the "compare my narrowed window against
+    the whole index" dashboard shape).  ``doc_count`` is every live
+    doc; sub-aggs execute over the full corpus via the ``("all",)``
+    pure context, whose base set is each shard's OWN docstore doc-id
+    census (``shard.load_all_doc_ids`` — column-pruned ``doc_id``
+    scan; ids never leave their shard on doc layouts, exactly like
+    every other context filter).  Reference parity: OpenSearch global
+    aggregation (the reference's dashboards delegate it to
+    OpenSearch)."""
+    body = spec["global"]
+    if body:
+        raise ValueError("global agg takes an empty body ({}); put "
+                         "sub-aggregations under 'aggs'")
+    from .searcher import ctx_filters
+    gctx = ("ctxpure", _default_text_field(s), "or", (("all",),))
+    with ctx_filters(s, gctx[3], True):
+        out: dict = {"doc_count": int(s.match_count(
+            gctx[0], field=gctx[1], mode=gctx[2]))}
+        for sname, sspec in (spec.get("aggs",
+                                      spec.get("aggregations"))
+                             or {}).items():
+            out[sname] = _exec_agg(s, sname, sspec, gctx)
     return out
 
 

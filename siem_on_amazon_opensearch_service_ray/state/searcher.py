@@ -651,11 +651,17 @@ def _ctx_filter_ids(index_dir: str, spec: tuple,
     """Sorted live-or-not doc ids for ONE context filter spec within
     the given doc parts (None = all).  Cached per process — per-term
     probe loops inside an agg re-intersect against the same filter."""
-    from .shard import load_filter_ids, load_range_ids
+    from .shard import (load_all_doc_ids, load_filter_ids,
+                        load_range_ids)
     key = (index_dir, spec, tuple(dparts) if dparts is not None else None)
     ids = _CTX_ID_CACHE.get(key)
     if ids is None:
-        if spec[0] in ("kw", "kw_not"):
+        if spec[0] == "all":
+            # the global agg's match-everything base set: the docstore
+            # doc-id census of THESE parts (shard-side callers pass
+            # their own part, so ids never leave their shard)
+            ids = load_all_doc_ids(index_dir, dparts=dparts)
+        elif spec[0] in ("kw", "kw_not"):
             vals = spec[2] if isinstance(spec[2], tuple) else (spec[2],)
             parts = [load_filter_ids(index_dir, spec[1], str(v),
                                      dparts=dparts) for v in vals]

@@ -56,6 +56,33 @@ def match_part_files(names: list[str], dparts) -> list[str]:
     return out
 
 
+def load_all_doc_ids(index_dir: str,
+                     dparts: list[int] | None = None) -> np.ndarray:
+    """Sorted doc ids of EVERY document (live or tombstoned) in the
+    given docstore parts (None = the whole index) — the census behind
+    the ``global`` aggregation's ``("all",)`` context spec.  Reads the
+    ``doc_id`` column only (column-pruned parquet scan of the
+    doc-range-partitioned docstore, build_index PASS A); extend_index
+    generation files for the part are included, matching fetch_docs.
+    Tombstones are NOT subtracted here — the chokepoints that consume
+    context match sets exclude them, same as every other filter
+    loader."""
+    store = os.path.join(index_dir, "docstore")
+    if not os.path.isdir(store):
+        return np.zeros(0, dtype=np.uint64)
+    names = sorted(f for f in os.listdir(store) if f.endswith(".parquet"))
+    if dparts is not None:
+        names = match_part_files(names, dparts)
+    chunks = [pq.read_table(os.path.join(store, fn), columns=["doc_id"])
+              .column("doc_id").to_numpy(zero_copy_only=False)
+              .astype(np.uint64)
+              for fn in names]
+    if not chunks:
+        return np.zeros(0, dtype=np.uint64)
+    # parts are doc_id % P buckets, not contiguous ranges — re-sort
+    return np.sort(np.concatenate(chunks))
+
+
 def load_filter_ids(index_dir: str, field: str, value: str,
                     dparts: list[int] | None = None) -> np.ndarray:
     """Sorted doc ids with keyword ``field == value`` from the

@@ -1810,3 +1810,67 @@ def test_histogram_offset_extended_bounds_cross_layout(ray_session,
                 assert got2 == {float(k): v for k, v in cnt.items()}
             finally:
                 s.close()
+
+
+def test_global_agg_cross_layout(ray_session, tmp_path_factory):
+    """global agg: ignores the outer query (doc_count = every live
+    doc; sub-aggs over the whole corpus) while a sibling agg stays in
+    the narrowed query context — brute-forced from the generated
+    docs, identical across layouts and on the actor path."""
+    rng = np.random.default_rng(47)
+    n = 150
+    docs = [" ".join(VOCAB[int(j)] for j in rng.integers(0, 10, 8))
+            for _ in range(n)]
+    langs = [["py", "go", "rs"][i % 3] for i in range(n)]
+    vals = [float((i * 7) % 50) for i in range(n)]
+    matched = [i for i, d in enumerate(docs) if "spark" in d.split()]
+    want_all_avg = sum(vals) / n
+    want_all_by_lang = {}
+    for lg in langs:
+        want_all_by_lang[lg] = want_all_by_lang.get(lg, 0) + 1
+    want_q_by_lang = {}
+    for i in matched:
+        want_q_by_lang[langs[i]] = want_q_by_lang.get(langs[i], 0) + 1
+    body = {"size": 0,
+            "query": {"match": {"content": "spark"}},
+            "aggs": {
+                "in_query": {"terms": {"field": "lang", "size": 10}},
+                "everything": {"global": {}, "aggs": {
+                    "by_lang": {"terms": {"field": "lang", "size": 10}},
+                    "v_avg": {"avg": {"field": "v"}},
+                }},
+            }}
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": docs, "lang": langs,
+                  "v": pa.array(vals, pa.float64())})
+    root = tmp_path_factory.mktemp("global_agg")
+    src = str(root / "d.parquet")
+    pq.write_table(t, src)
+    for layout in ("term", "doc"):
+        cfg = IndexConfig(num_partitions=3, partition_by=layout,
+                          fields=(("content", "text", "base"),),
+                          keyword_fields=("lang",), range_fields=("v",),
+                          doc_id_col="doc_id", sha_col="text",
+                          salting=False)
+        idx = str(root / f"idx_{layout}")
+        build_index([src], idx, cfg)
+        for actors in ((False, True) if layout == "doc" else (False,)):
+            s = Searcher(idx, use_actors=actors)
+            try:
+                r = execute_dsl(s, body)
+                g = r["aggregations"]["everything"]
+                assert g["doc_count"] == n, (layout, actors)
+                got_all = {b["key"]: b["doc_count"]
+                           for b in g["by_lang"]["buckets"]}
+                assert got_all == want_all_by_lang, (layout, actors)
+                assert g["v_avg"]["value"] == pytest.approx(
+                    want_all_avg), (layout, actors)
+                got_q = {b["key"]: b["doc_count"] for b in
+                         r["aggregations"]["in_query"]["buckets"]}
+                assert got_q == want_q_by_lang, (layout, actors)
+                # non-empty global body refuses
+                with pytest.raises(ValueError, match="empty body"):
+                    execute_dsl(s, {"size": 0, "aggs": {"g": {
+                        "global": {"x": 1}}}})
+            finally:
+                s.close()

@@ -44,7 +44,8 @@ def _to_df(res) -> pd.DataFrame:
     raise TypeError(type(res))
 
 
-SQL_BACKED = ["dsl_bucket_script", "dsl_moving_fn",
+SQL_BACKED = ["search_global_agg",
+              "dsl_bucket_script", "dsl_moving_fn",
               "dsl_cumulative_cardinality", "dsl_terms_order",
               "dsl_post_filter", "dsl_suggest", "dsl_script_fields",
               "dsl_update_by_query", "dsl_reindex", "dsl_filtered_aggs",
