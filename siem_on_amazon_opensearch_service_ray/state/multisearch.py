@@ -403,12 +403,18 @@ class MultiSearcher:
                 for k, (n, s_, lo, hi) in sorted(merged.items())]
 
     def filters_aggregation(self, filters: dict[str, tuple[str, str]],
-                            field: str = "content") -> dict[str, int]:
-        """Pattern-wide filters agg: named-bucket counts sum."""
+                            field: str = "content",
+                            other_bucket_key: str | None = None
+                            ) -> dict[str, int]:
+        """Pattern-wide filters agg: named-bucket counts sum.  The
+        other bucket (docs matching none of the named filters) sums
+        too — indexes partition the doc space, so per-index
+        live-minus-union counts add exactly."""
         merged: dict[str, int] = {}
         for s in self.searchers.values():
-            for name, n in s.filters_aggregation(filters,
-                                                 field=field).items():
+            for name, n in s.filters_aggregation(
+                    filters, field=field,
+                    other_bucket_key=other_bucket_key).items():
                 merged[name] = merged.get(name, 0) + int(n)
         return merged
 
@@ -470,15 +476,22 @@ class MultiSearcher:
     def histogram_aggregation(self, query: str, range_field: str,
                               interval: float, field: str = "content",
                               mode: str = "or",
-                              min_doc_count: int = 1
+                              min_doc_count: int = 1,
+                              offset: float = 0.0,
+                              extended_bounds: tuple[float, float]
+                              | None = None
                               ) -> list[tuple[float, int]]:
-        """Pattern-wide histogram: per-index bins sum."""
+        """Pattern-wide histogram: per-index bins sum (every index
+        buckets on the same ``offset``-shifted grid, so keys align);
+        gap fill / ``extended_bounds`` widening runs ONCE over the
+        merged buckets, not per index."""
         from .searcher import _hist_fill
         merged: dict[float, int] = {}
         for s in self.searchers.values():
             for b, c in s.histogram_aggregation(
                     query, range_field, interval, field, mode,
-                    min_doc_count=1):
+                    min_doc_count=1, offset=offset):
                 merged[b] = merged.get(b, 0) + int(c)
         return _hist_fill(sorted(merged.items()), interval,
-                          min_doc_count)
+                          min_doc_count, offset=offset,
+                          extended_bounds=extended_bounds)

@@ -228,7 +228,10 @@ def test_pattern_dsl(split_indexes):
                            "s": {"sum": {"field": "msm"}}}},
             "f": {"filters": {"filters": {
                 "a": {"match": {"content": "spark"}},
-                "b": {"match": {"content": "shuffle"}}}}},
+                "b": {"match": {"content": "shuffle"}}},
+                "other_bucket": True}},
+            "g": {"global": {}, "aggs": {
+                "all_lang": {"terms": {"field": "lang", "size": 5}}}},
         }}
     try:
         want = execute_dsl(flat, body)
