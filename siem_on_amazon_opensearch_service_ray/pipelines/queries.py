@@ -4631,6 +4631,68 @@ FROM w WHERE mov_max IS NOT NULL ORDER BY bucket
 """
 
 
+def dsl_extended_stats_bucket(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``extended_stats_bucket`` through `_search`:
+    extended stats (count/sum/min/max/avg + sum_of_squares +
+    population variance/std_deviation + ±2σ bounds) over the
+    histogram's per-bucket doc counts — a coordinator-side reduce of
+    already-reduced buckets, like the rest of the sibling pipeline
+    family.  Floats ship on the ×10⁴ integer grid so the driver's
+    value hash is byte-stable (the extended_stats oracle pattern)."""
+    from ..state.dsl import execute_dsl
+    idx = _docs_index_dir(sf_dir)
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        resp = execute_dsl(s, {
+            "query": {"match": {"content": BM25_QUERY}}, "size": 0,
+            "aggs": {"h": {
+                "histogram": {"field": "n_chars", "interval": 200.0},
+                "aggs": {"xs": {"extended_stats_bucket": {
+                    "buckets_path": "_count"}}},
+            }}})
+    finally:
+        s.close()
+    xs = resp["aggregations"]["h"]["xs"]
+    b = xs["std_deviation_bounds"]
+    return pd.DataFrame({
+        "n_buckets": np.array([xs["count"]], np.int64),
+        "sum_n": np.array([int(xs["sum"])], np.int64),
+        "min_n": np.array([int(xs["min"])], np.int64),
+        "max_n": np.array([int(xs["max"])], np.int64),
+        "sum_sq": np.array([int(round(xs["sum_of_squares"]))], np.int64),
+        "avg_e4": np.array([int(round(xs["avg"] * 1e4))], np.int64),
+        "var_e4": np.array([int(round(xs["variance"] * 1e4))], np.int64),
+        "std_e4": np.array([int(round(xs["std_deviation"] * 1e4))],
+                           np.int64),
+        "hi_e4": np.array([int(round(b["upper"] * 1e4))], np.int64),
+        "lo_e4": np.array([int(round(b["lower"] * 1e4))], np.int64)})
+
+
+DSL_EXTENDED_STATS_BUCKET_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))})),
+b AS (SELECT cast(floor(d.n_chars / 200.0) * 200 AS BIGINT) AS bucket,
+             count(*) AS n
+      FROM documents d JOIN m USING(doc_id) GROUP BY 1)
+SELECT cast(count(*) AS BIGINT) AS n_buckets,
+       cast(sum(n) AS BIGINT) AS sum_n,
+       cast(min(n) AS BIGINT) AS min_n,
+       cast(max(n) AS BIGINT) AS max_n,
+       cast(round(sum(n * n)) AS BIGINT) AS sum_sq,
+       cast(round(avg(n) * 10000) AS BIGINT) AS avg_e4,
+       cast(round(var_pop(n) * 10000) AS BIGINT) AS var_e4,
+       cast(round(stddev_pop(n) * 10000) AS BIGINT) AS std_e4,
+       cast(round((avg(n) + 2 * stddev_pop(n)) * 10000) AS BIGINT) AS hi_e4,
+       cast(round((avg(n) - 2 * stddev_pop(n)) * 10000) AS BIGINT) AS lo_e4
+FROM b
+"""
+
+
 def dsl_cumulative_cardinality(sf_dir: str) -> pd.DataFrame:
     """OpenSearch ``cumulative_cardinality`` (+ per-bucket
     ``cardinality`` sub-agg) through `_search`: running distinct
@@ -7658,6 +7720,7 @@ def queries() -> dict:
     return {
         # --- never driver-checked (round-5 additions) ---
         "search_global_agg": search_global_agg,
+        "dsl_extended_stats_bucket": dsl_extended_stats_bucket,
         "dsl_bucket_script": dsl_bucket_script,
         "dsl_moving_fn": dsl_moving_fn,
         "dsl_cumulative_cardinality": dsl_cumulative_cardinality,
@@ -7993,6 +8056,7 @@ def oracle_sql() -> dict:
         "strip_boilerplate_docs": STRIP_BOILERPLATE_SQL,
         "search_filters_other": SEARCH_FILTERS_OTHER_SQL,
         "search_global_agg": SEARCH_GLOBAL_AGG_SQL,
+        "dsl_extended_stats_bucket": DSL_EXTENDED_STATS_BUCKET_SQL,
         "search_histogram_offset": SEARCH_HISTOGRAM_OFFSET_SQL,
         "decontaminate_docs": DECONTAM_SQL,
         "pack_docs": PACK_SQL,

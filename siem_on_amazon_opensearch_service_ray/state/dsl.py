@@ -654,7 +654,8 @@ _PIPELINE_KEYS = {"cumulative_sum", "derivative", "moving_avg",
                   "bucket_sort", "stats_bucket", "avg_bucket",
                   "sum_bucket", "min_bucket", "max_bucket",
                   "bucket_script", "moving_fn",
-                  "cumulative_cardinality", "normalize"}
+                  "cumulative_cardinality", "normalize",
+                  "extended_stats_bucket"}
 
 
 def _exec_agg(s, name: str, spec: dict, qctx: tuple[str, str, str]
@@ -1033,6 +1034,10 @@ def _exec_agg(s, name: str, spec: dict, qctx: tuple[str, str, str]
                 out[pname] = [list(b) for b in bucket_sort(
                     buckets, desc=pb.get("order", "desc") == "desc",
                     size=pb.get("size"), frm=pb.get("from", 0))]
+            elif pk == "extended_stats_bucket":
+                from .searcher import extended_bucket_metrics
+                out[pname] = extended_bucket_metrics(
+                    buckets, float(pb.get("sigma", 2.0)))
             else:   # stats_bucket family
                 out[pname] = bucket_metrics(buckets)
         return out

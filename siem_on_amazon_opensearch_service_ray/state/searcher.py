@@ -8193,6 +8193,33 @@ def bucket_metrics(buckets: list[tuple]) -> dict:
 
 
 
+def extended_bucket_metrics(buckets: list[tuple],
+                            sigma: float = 2.0) -> dict:
+    """OpenSearch ``extended_stats_bucket``: the ``extended_stats``
+    shape over a multi-bucket parent's metric values —
+    ``bucket_metrics``'s count/sum/avg/min/max plus sum_of_squares,
+    POPULATION variance/std_deviation and the ±``sigma``
+    std_deviation_bounds.  Same coordinator-side reduce as the rest
+    of the sibling pipeline family (the parent's buckets are already
+    reduced; nothing extra travels)."""
+    if not buckets:
+        return {"count": 0, "sum": 0.0, "avg": None, "min": None,
+                "max": None, "sum_of_squares": 0.0, "variance": None,
+                "std_deviation": None,
+                "std_deviation_bounds": {"upper": None, "lower": None}}
+    vals = np.asarray([float(v) for _, v in buckets], dtype=np.float64)
+    avg = float(vals.mean())
+    var = float(vals.var())
+    std = float(np.sqrt(var))
+    return {"count": int(vals.size), "sum": float(vals.sum()),
+            "avg": avg, "min": float(vals.min()),
+            "max": float(vals.max()),
+            "sum_of_squares": float(np.dot(vals, vals)),
+            "variance": var, "std_deviation": std,
+            "std_deviation_bounds": {"upper": avg + sigma * std,
+                                     "lower": avg - sigma * std}}
+
+
 _MOVING_FNS = ("max", "min", "sum", "unweightedAvg", "stdDev",
                "linearWeightedAvg", "ewma")
 

@@ -795,6 +795,22 @@ def test_bucket_metrics_pure():
     assert empty["count"] == 0 and empty["avg"] is None
 
 
+def test_extended_bucket_metrics_pure():
+    from siem_on_amazon_opensearch_service_ray.state.searcher import (
+        extended_bucket_metrics)
+    vals = [4.0, 9.0, 4.0, 9.0]
+    xs = extended_bucket_metrics(list(zip([0., 1., 2., 3.], vals)),
+                                 sigma=3.0)
+    assert xs["count"] == 4 and xs["sum"] == 26.0 and xs["avg"] == 6.5
+    assert xs["sum_of_squares"] == sum(v * v for v in vals)
+    assert xs["variance"] == pytest.approx(6.25)     # population
+    assert xs["std_deviation"] == pytest.approx(2.5)
+    assert xs["std_deviation_bounds"]["upper"] == pytest.approx(14.0)
+    assert xs["std_deviation_bounds"]["lower"] == pytest.approx(-1.0)
+    empty = extended_bucket_metrics([])
+    assert empty["count"] == 0 and empty["variance"] is None
+
+
 def test_adjacency_and_auto_histogram_cross_layout(ray_session):
     """adjacency_matrix and auto_date_histogram produce identical
     output on the term layout (driver gather) and the doc layout
