@@ -2143,6 +2143,52 @@ ORDER BY span_tf DESC, a.doc_id
 """
 
 
+def search_span_containing(sf_dir: str) -> pd.DataFrame:
+    """``span_containing`` (Lucene SpanContainingQuery): big spans —
+    ordered spark..join within slop 8 — that ENCLOSE a little span
+    (the term 'table'); count per doc.  Exercises the containment
+    node over the nested span evaluator; the SQL twin checks position
+    BETWEEN on the (a, b) pair grid."""
+    idx = _docs_index_dir(sf_dir) + "_pos"
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg_pos(), resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.span_query(
+            {"span_containing": {
+                "big": {"span_near": {"clauses": [
+                    {"span_term": "spark"}, {"span_term": "join"}],
+                    "slop": 8, "in_order": True}},
+                "little": {"span_term": "table"}}},
+            field="content", k=1_000_000)
+    finally:
+        s.close()
+    return pd.DataFrame({"doc_id": np.array([d for _, d in hits],
+                                            dtype=np.int64),
+                         "span_tf": np.array([n for n, _ in hits],
+                                             dtype=np.int64)})
+
+
+SPAN_CONTAINING_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1)
+           AS pos
+  FROM documents),
+big AS (
+  SELECT a.doc_id, a.pos AS s, b.pos AS e
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 1 + 8
+  WHERE a.term = 'spark' AND b.term = 'join')
+SELECT doc_id, cast(count(*) AS BIGINT) AS span_tf
+FROM big
+WHERE EXISTS (SELECT 1 FROM tok c WHERE c.doc_id = big.doc_id
+              AND c.term = 'table' AND c.pos BETWEEN big.s AND big.e)
+GROUP BY doc_id
+ORDER BY span_tf DESC, doc_id
+"""
+
+
 def span_unordered_docs(sf_dir: str) -> pd.DataFrame:
     """Unordered span-near (spark / join within a 2+2 window, any
     order, distinct positions — OpenSearch ``span_near`` with
@@ -7721,6 +7767,7 @@ def queries() -> dict:
         # --- never driver-checked (round-5 additions) ---
         "search_global_agg": search_global_agg,
         "dsl_extended_stats_bucket": dsl_extended_stats_bucket,
+        "search_span_containing": search_span_containing,
         "dsl_bucket_script": dsl_bucket_script,
         "dsl_moving_fn": dsl_moving_fn,
         "dsl_cumulative_cardinality": dsl_cumulative_cardinality,
@@ -8057,6 +8104,7 @@ def oracle_sql() -> dict:
         "search_filters_other": SEARCH_FILTERS_OTHER_SQL,
         "search_global_agg": SEARCH_GLOBAL_AGG_SQL,
         "dsl_extended_stats_bucket": DSL_EXTENDED_STATS_BUCKET_SQL,
+        "search_span_containing": SPAN_CONTAINING_SQL,
         "search_histogram_offset": SEARCH_HISTOGRAM_OFFSET_SQL,
         "decontaminate_docs": DECONTAM_SQL,
         "pack_docs": PACK_SQL,

@@ -6589,7 +6589,9 @@ class Searcher:
         a bare string, {"span_term": s}, {"span_near": {"clauses":
         [...], "slop": n, "in_order": b}}, {"span_or": {"clauses":
         [...]}}, {"span_first": {"match": e, "end": n}},
-        {"span_not": {"include": e, "exclude": e}}."""
+        {"span_not": {"include": e, "exclude": e}},
+        {"span_containing": {"big": e, "little": e}},
+        {"span_within": {"little": e, "big": e}}."""
         if isinstance(expr, str):
             t = an(expr)
             if len(t) != 1:
@@ -6619,6 +6621,12 @@ class Searcher:
         if kind == "span_not":
             return ("not", self._span_normalize(body["include"], an),
                     self._span_normalize(body["exclude"], an))
+        if kind == "span_containing":
+            return ("containing", self._span_normalize(body["big"], an),
+                    self._span_normalize(body["little"], an))
+        if kind == "span_within":
+            return ("within", self._span_normalize(body["little"], an),
+                    self._span_normalize(body["big"], an))
         raise ValueError(f"unknown span clause kind {kind!r}")
 
     @staticmethod
@@ -6658,6 +6666,14 @@ class Searcher:
                 else Searcher._span_docs(node[1][0], pterms)
         if node[0] == "first":
             return Searcher._span_docs(node[1], pterms)
+        if node[0] in ("containing", "within"):
+            # both sides must produce spans in the doc — intersect
+            base = Searcher._span_docs(node[1], pterms)
+            docs = Searcher._span_docs(node[2], pterms)
+            if base.size == 0 or docs.size == 0:
+                return base[:0]
+            pos = np.minimum(np.searchsorted(docs, base), docs.size - 1)
+            return base[docs[pos] == base]
         return Searcher._span_docs(node[1], pterms)
 
     @staticmethod
@@ -6689,6 +6705,22 @@ class Searcher:
             exc = Searcher._span_eval(node[2], d, pterms)
             return [(s, e) for s, e in inc
                     if not any(s < xe and xs < e for xs, xe in exc)]
+        if node[0] == "containing":
+            # big spans that ENCLOSE at least one little span
+            big = Searcher._span_eval(node[1], d, pterms)
+            if not big:
+                return []
+            little = Searcher._span_eval(node[2], d, pterms)
+            return [(s, e) for s, e in big
+                    if any(s <= ls and le <= e for ls, le in little)]
+        if node[0] == "within":
+            # little spans enclosed by at least one big span
+            little = Searcher._span_eval(node[1], d, pterms)
+            if not little:
+                return []
+            big = Searcher._span_eval(node[2], d, pterms)
+            return [(ls, le) for ls, le in little
+                    if any(s <= ls and le <= e for s, e in big)]
         # near: one span per clause; in_order chains each clause's
         # span strictly after the previous (start >= prev end), else
         # any arrangement with pairwise-disjoint spans; Lucene slack

@@ -212,6 +212,16 @@ def _bf_spans(tl, expr):
         exc = _bf_spans(tl, body["exclude"])
         return [(s, e) for s, e in inc
                 if not any(s < xe and xs < e for xs, xe in exc)]
+    if kind == "span_containing":
+        big = _bf_spans(tl, body["big"])
+        little = _bf_spans(tl, body["little"])
+        return [(s, e) for s, e in big
+                if any(s <= ls and le <= e for ls, le in little)]
+    if kind == "span_within":
+        little = _bf_spans(tl, body["little"])
+        big = _bf_spans(tl, body["big"])
+        return [(ls, le) for ls, le in little
+                if any(s <= ls and le <= e for s, e in big)]
     assert kind == "span_near"
     cl = [_bf_spans(tl, c) for c in body["clauses"]]
     slop, in_order = body.get("slop", 0), body.get("in_order", True)
@@ -246,6 +256,10 @@ def _bf_spans(tl, expr):
     {"span_near": {"clauses": [
         {"span_near": {"clauses": ["spark", "sql"], "slop": 1}},
         "join"], "slop": 3}},
+    {"span_containing": {"big": {"span_near": {
+        "clauses": ["spark", "join"], "slop": 3}}, "little": "sql"}},
+    {"span_within": {"little": "sql", "big": {"span_near": {
+        "clauses": ["spark", "join"], "slop": 3}}}},
 ])
 def test_span_query_algebra(dsl_index, ref, expr):
     s, _ = dsl_index
