@@ -6583,7 +6583,7 @@ class Searcher:
     # --- span algebra (span_term / span_near / span_or / span_first /
     #     span_not), reference: OpenSearch span query family ---
 
-    def _span_normalize(self, expr, an) -> tuple:
+    def _span_normalize(self, expr, an, field: str = "content") -> tuple:
         """Normalize a nested span expression into tuple nodes,
         analyzing each leaf to exactly one token.  Accepted input:
         a bare string, {"span_term": s}, {"span_near": {"clauses":
@@ -6591,7 +6591,12 @@ class Searcher:
         [...]}}, {"span_first": {"match": e, "end": n}},
         {"span_not": {"include": e, "exclude": e}},
         {"span_containing": {"big": e, "little": e}},
-        {"span_within": {"little": e, "big": e}}."""
+        {"span_within": {"little": e, "big": e}},
+        {"span_multi": {"match": {"prefix"|"wildcard"|"regexp"|
+        "fuzzy": {field: pattern}}}} (Lucene SpanMultiTermQuery-
+        Wrapper — the pattern expands against the term dictionary
+        into a span_or of term leaves, same sublinear probes as the
+        flat multi-term queries)."""
         if isinstance(expr, str):
             t = an(expr)
             if len(t) != 1:
@@ -6603,30 +6608,57 @@ class Searcher:
             raise ValueError(f"bad span expression: {expr!r}")
         kind, body = next(iter(expr.items()))
         if kind == "span_term":
-            return self._span_normalize(body, an)
+            return self._span_normalize(body, an, field)
         if kind == "span_near":
-            cl = [self._span_normalize(c, an) for c in body["clauses"]]
+            cl = [self._span_normalize(c, an, field)
+                  for c in body["clauses"]]
             if not cl:
                 raise ValueError("span_near requires clauses")
             return ("near", cl, int(body.get("slop", 0)),
                     bool(body.get("in_order", True)))
         if kind == "span_or":
-            cl = [self._span_normalize(c, an) for c in body["clauses"]]
+            cl = [self._span_normalize(c, an, field)
+                  for c in body["clauses"]]
             if not cl:
                 raise ValueError("span_or requires clauses")
             return ("or", cl)
         if kind == "span_first":
-            return ("first", self._span_normalize(body["match"], an),
+            return ("first", self._span_normalize(body["match"], an, field),
                     int(body["end"]))
         if kind == "span_not":
-            return ("not", self._span_normalize(body["include"], an),
-                    self._span_normalize(body["exclude"], an))
+            return ("not",
+                    self._span_normalize(body["include"], an, field),
+                    self._span_normalize(body["exclude"], an, field))
         if kind == "span_containing":
-            return ("containing", self._span_normalize(body["big"], an),
-                    self._span_normalize(body["little"], an))
+            return ("containing",
+                    self._span_normalize(body["big"], an, field),
+                    self._span_normalize(body["little"], an, field))
         if kind == "span_within":
-            return ("within", self._span_normalize(body["little"], an),
-                    self._span_normalize(body["big"], an))
+            return ("within",
+                    self._span_normalize(body["little"], an, field),
+                    self._span_normalize(body["big"], an, field))
+        if kind == "span_multi":
+            mk, mb = next(iter(body["match"].items()))
+            if mk not in ("prefix", "wildcard", "regexp", "fuzzy"):
+                raise ValueError(f"span_multi: {mk!r} unsupported "
+                                 "(prefix/wildcard/regexp/fuzzy)")
+            mf, v = next(iter(mb.items()))
+            if mf != field:
+                raise ValueError(
+                    f"span_multi field {mf!r} != span query field "
+                    f"{field!r} (span queries are single-field)")
+            fz = 0
+            if isinstance(v, dict):
+                fz = int(v.get("fuzziness", 2)) if mk == "fuzzy" else 0
+                v = v.get("value", v.get(mk))
+            elif mk == "fuzzy":
+                fz = 2
+            terms = self.expand_terms(str(v), field, mk, fuzziness=fz)
+            if not terms:
+                # a dictionary miss matches nothing; the sentinel term
+                # can never exist (terms are lowercase-analyzed)
+                return ("term", "\x00span_multi_no_match")
+            return ("or", [("term", t) for t in terms])
         raise ValueError(f"unknown span clause kind {kind!r}")
 
     @staticmethod
@@ -6660,10 +6692,12 @@ class Searcher:
                 base = base[docs[pos] == base] if docs.size else base[:0]
             return base
         if node[0] == "or":
-            return np.union1d(
-                *[Searcher._span_docs(c, pterms) for c in node[1]]) \
-                if len(node[1]) > 1 \
-                else Searcher._span_docs(node[1][0], pterms)
+            sets = [Searcher._span_docs(c, pterms) for c in node[1]]
+            if len(sets) == 1:
+                return sets[0]
+            # union1d is binary; a span_or fans out arbitrarily wide
+            # (span_multi expansions especially)
+            return np.unique(np.concatenate(sets))
         if node[0] == "first":
             return Searcher._span_docs(node[1], pterms)
         if node[0] in ("containing", "within"):
@@ -6771,7 +6805,7 @@ class Searcher:
         if analyzer is None:
             analyzer = next((a for f, _, a in self.manifest["config"]["fields"]
                              if f == field), "code")
-        node = self._span_normalize(expr, ANALYZERS[analyzer])
+        node = self._span_normalize(expr, ANALYZERS[analyzer], field)
         toks = list(dict.fromkeys(self._span_tokens(node)))
         rows = self._gather(field, toks)
         pterms = {t: _PhraseTerm(0, rows[t]) for t in toks if rows.get(t)}

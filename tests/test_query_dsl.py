@@ -285,6 +285,41 @@ def test_span_query_matches_span_near(dsl_index):
         == []
 
 
+def test_span_multi(dsl_index, ref):
+    """span_multi: the wrapped prefix/wildcard/fuzzy pattern expands
+    against the term dictionary into a span_or of term leaves —
+    identical to writing the expansion out by hand; field mismatch
+    and dictionary misses follow the contracts."""
+    s, _ = dsl_index
+    exp_terms = s.expand_terms("s", "content", "prefix")
+    assert exp_terms  # corpus has s-words (spark, sql, ...)
+    by_multi = s.span_query(
+        {"span_near": {"clauses": [
+            {"span_multi": {"match": {"prefix": {"content": "s"}}}},
+            {"span_term": "join"}], "slop": 2}}, k=10**6)
+    by_hand = s.span_query(
+        {"span_near": {"clauses": [
+            {"span_or": {"clauses": [
+                {"span_term": t} for t in exp_terms]}},
+            {"span_term": "join"}], "slop": 2}}, k=10**6)
+    assert by_multi == by_hand and by_multi
+    # wildcard + fuzzy kinds route through the same expansion
+    assert s.span_query({"span_multi": {"match": {
+        "wildcard": {"content": "sp*"}}}}, k=10**6) == \
+        s.span_query({"span_or": {"clauses": [
+            {"span_term": t} for t in
+            s.expand_terms("sp*", "content", "wildcard")]}}, k=10**6)
+    # a dictionary miss matches nothing
+    assert s.span_query({"span_multi": {"match": {
+        "prefix": {"content": "zzzznope"}}}}, k=10**6) == []
+    with pytest.raises(ValueError, match="single-field"):
+        s.span_query({"span_multi": {"match": {
+            "prefix": {"other_field": "s"}}}}, k=10**6)
+    with pytest.raises(ValueError, match="unsupported"):
+        s.span_query({"span_multi": {"match": {
+            "terms": {"content": ["a"]}}}}, k=10**6)
+
+
 def test_regexp_search(dsl_index, ref):
     s, _ = dsl_index
     pattern = "s[a-z]*"
