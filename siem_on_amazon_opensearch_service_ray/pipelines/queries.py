@@ -2925,6 +2925,42 @@ FROM t
 """
 
 
+def charlm_docs(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style character-LM quality scoring (Wenzek et al. 2020
+    filter text by LM score; here the "LM" is the corpus's own
+    trigram frequency table so every signal stays integer-exact):
+    corpus-wide char-trigram census (additive per-block partials →
+    small groupby), ONE `ray.put` broadcast of the bounded frequency
+    table (~alphabet³ entries at any corpus size), then a streaming
+    scoring pass — per doc: trigram positions, summed corpus-wide
+    trigram counts (the typicality score), and rare-trigram hits.
+    `stages/textops.char_trigram_census` / `charlm_typicality`."""
+    ds = _t_ds(sf_dir, "documents", ["doc_id", "text"])
+    out = textops.charlm_typicality(ds, text_col="text")
+    df = (out.select_columns(["doc_id", "n_tri", "typicality", "n_rare"])
+             .to_pandas())
+    return df[df.n_tri > 0].sort_values("doc_id").reset_index(drop=True)
+
+
+CHARLM_SQL = """
+WITH base AS (SELECT doc_id, lower(text) AS txt FROM documents),
+tri AS (
+  SELECT doc_id, substr(txt, i, 3) AS g
+  FROM (SELECT doc_id, txt,
+               unnest(range(1, greatest(length(txt) - 1, 1))) AS i
+        FROM base)),
+census AS (SELECT g, count(*) AS c FROM tri GROUP BY g)
+SELECT t.doc_id,
+       cast(count(*) AS BIGINT) AS n_tri,
+       cast(sum(census.c) AS BIGINT) AS typicality,
+       cast(sum(CASE WHEN census.c <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rare
+FROM tri t JOIN census USING(g)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 def repetition_docs(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition signals (stages/textops.RepetitionSignals):
     per-doc top-bigram fraction, duplicated-trigram fraction, and
@@ -7768,6 +7804,7 @@ def queries() -> dict:
         "search_global_agg": search_global_agg,
         "dsl_extended_stats_bucket": dsl_extended_stats_bucket,
         "search_span_containing": search_span_containing,
+        "charlm_docs": charlm_docs,
         "dsl_bucket_script": dsl_bucket_script,
         "dsl_moving_fn": dsl_moving_fn,
         "dsl_cumulative_cardinality": dsl_cumulative_cardinality,
@@ -8105,6 +8142,7 @@ def oracle_sql() -> dict:
         "search_global_agg": SEARCH_GLOBAL_AGG_SQL,
         "dsl_extended_stats_bucket": DSL_EXTENDED_STATS_BUCKET_SQL,
         "search_span_containing": SPAN_CONTAINING_SQL,
+        "charlm_docs": CHARLM_SQL,
         "search_histogram_offset": SEARCH_HISTOGRAM_OFFSET_SQL,
         "decontaminate_docs": DECONTAM_SQL,
         "pack_docs": PACK_SQL,

@@ -297,3 +297,80 @@ def categorize_text(ds, text_col: str = "text", max_tokens: int = 10):
     out = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby("category").aggregate(Sum("n", alias_name="n")))
     return out
+
+
+def char_trigram_census(ds, text_col: str = "text"):
+    """Corpus-wide character-trigram occurrence census (the model
+    half of CCNet-style character-LM quality filtering — Wenzek et
+    al. 2020 score text under a corpus LM; here the "LM" is the raw
+    trigram frequency table, which keeps every count integer-exact
+    and the SQL twin byte-stable).  Per block, one row per distinct
+    trigram with its block-local OCCURRENCE count (not doc count);
+    ``groupby(g).sum`` is exact because occurrences are additive.
+    Text is lowercased; trigrams are overlapping codepoint windows.
+    Returns Dataset[(g, c)]."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            t = (t or "").lower()
+            for i in range(len(t) - 2):
+                c[t[i:i + 3]] += 1
+        grams = sorted(c)
+        return pa.table({"g": pa.array(grams, pa.string()),
+                         "c": pa.array([c[x] for x in grams],
+                                       pa.int64())})
+
+    from ray.data.aggregate import Sum
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("g").aggregate(Sum("c", alias_name="c")))
+
+
+def charlm_typicality(ds, text_col: str = "text", rare_max: int = 1):
+    """Character-LM typicality scoring: census -> one broadcast of
+    the trigram frequency table (`ray.put`, read per actor/task, not
+    re-shipped per batch) -> stream the corpus through a map that
+    scores each doc with integer-exact signals:
+
+    - ``n_tri``: trigram positions (len-2, floored at 0),
+    - ``typicality``: sum over positions of the corpus-wide count of
+      that trigram (high = the doc looks like the corpus; the
+      integer-exact stand-in for summed log-probability),
+    - ``n_rare``: positions whose trigram occurs <= ``rare_max``
+      times corpus-wide (garbled/binary-ish text lights this up).
+
+    The character-trigram vocabulary is bounded (~alphabet^3), so the
+    broadcast table stays small at any corpus size — unlike the
+    token-n-gram censuses, no hash-partitioned join fallback is ever
+    needed."""
+    import ray
+
+    import pyarrow as pa
+
+    rows = char_trigram_census(ds, text_col).take_all()
+    ref = ray.put({r["g"]: int(r["c"]) for r in rows})
+
+    def score(batch: pa.Table) -> pa.Table:
+        freq = ray.get(ref)
+        n_tri, typ, rare = [], [], []
+        for t in batch.column(text_col).to_pylist():
+            t = (t or "").lower()
+            n = max(len(t) - 2, 0)
+            s = r = 0
+            for i in range(n):
+                c = freq.get(t[i:i + 3], 0)
+                s += c
+                if c <= rare_max:
+                    r += 1
+            n_tri.append(n)
+            typ.append(s)
+            rare.append(r)
+        return (batch
+                .append_column("n_tri", pa.array(n_tri, pa.int64()))
+                .append_column("typicality", pa.array(typ, pa.int64()))
+                .append_column("n_rare", pa.array(rare, pa.int64())))
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -549,3 +549,38 @@ def test_strip_boilerplate_lines(ray_session):
     assert out.loc[2, "cleaned"] == "unique body two only"
     assert out.loc[2, "n_removed"] == 0
     assert out.loc[3, "cleaned"] == "" and out.loc[3, "n_removed"] == 1
+
+
+def test_charlm_typicality(ray_session):
+    """Char-trigram census + typicality scoring: counts brute-forced
+    from the planted corpus; garbled text lights up n_rare while
+    corpus-typical text scores high."""
+    from collections import Counter
+    texts = [
+        "the spark join runs the spark join",   # typical, repeated
+        "the spark join",                       # typical, shorter
+        "qzxvkw#7@!pq",                         # planted garble
+        "ab",                                   # too short: no trigrams
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    census = textops.char_trigram_census(ds, "text").to_pandas()
+    want = Counter(t[i:i + 3] for t in texts
+                   for i in range(len(t) - 2))
+    assert dict(zip(census["g"], census["c"])) == dict(want)
+    out = (textops.charlm_typicality(ds, "text")
+           .to_pandas().set_index("doc_id").sort_index())
+    for i, t in enumerate(texts):
+        n = max(len(t) - 2, 0)
+        assert out.loc[i, "n_tri"] == n
+        assert out.loc[i, "typicality"] == sum(
+            want[t[j:j + 3]] for j in range(n))
+        assert out.loc[i, "n_rare"] == sum(
+            1 for j in range(n) if want[t[j:j + 3]] <= 1)
+    # the garble doc is ALL-rare; the repeated typical doc is mostly
+    # shared (only its unique middle words contribute rare positions)
+    assert out.loc[2, "n_rare"] == out.loc[2, "n_tri"] > 0
+    assert out.loc[0, "n_rare"] < out.loc[0, "n_tri"]
+    assert out.loc[3, "n_tri"] == 0 and out.loc[3, "typicality"] == 0
