@@ -3748,6 +3748,49 @@ ORDER BY scope, lang
 """
 
 
+def search_vwh(sf_dir: str) -> pd.DataFrame:
+    """``variable_width_histogram`` (deterministic-exact ntile
+    variant — `searcher.variable_width_histogram` docstring argues
+    the substitution) over the BM25 match set's n_chars: 6
+    equal-frequency clusters, each with doc_count/min/max/sum.  Runs
+    on the doc-sharded index via the distributed-selection protocol:
+    boundary ranks by count-probe bisection + ONE count_le/sum_le
+    round — no matched value leaves its shard.  The oracle is SQL
+    ntile(6), whose first-tiles-get-extras split matches the
+    engine's."""
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        rows = s.variable_width_histogram(BM25_QUERY, "n_chars",
+                                          buckets=6)
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "bucket": np.arange(1, len(rows) + 1, dtype=np.int64),
+        "doc_count": np.array([r["doc_count"] for r in rows], np.int64),
+        "vmin": np.array([int(r["min"]) for r in rows], np.int64),
+        "vmax": np.array([int(r["max"]) for r in rows], np.int64),
+        "vsum": np.array([int(round(r["sum"])) for r in rows],
+                         np.int64)})
+
+
+SEARCH_VWH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))})),
+t AS (SELECT d.n_chars AS val, ntile(6) OVER (ORDER BY d.n_chars) AS b
+      FROM documents d JOIN m USING(doc_id))
+SELECT b AS bucket, cast(count(*) AS BIGINT) AS doc_count,
+       cast(min(val) AS BIGINT) AS vmin,
+       cast(max(val) AS BIGINT) AS vmax,
+       cast(sum(val) AS BIGINT) AS vsum
+FROM t GROUP BY b ORDER BY b
+"""
+
+
 def search_composite(sf_dir: str) -> pd.DataFrame:
     """OpenSearch ``composite`` aggregation paged to exhaustion:
     (lang, source) key tuples over the match set, 8 buckets per page
@@ -7805,6 +7848,7 @@ def queries() -> dict:
         "dsl_extended_stats_bucket": dsl_extended_stats_bucket,
         "search_span_containing": search_span_containing,
         "charlm_docs": charlm_docs,
+        "search_vwh": search_vwh,
         "dsl_bucket_script": dsl_bucket_script,
         "dsl_moving_fn": dsl_moving_fn,
         "dsl_cumulative_cardinality": dsl_cumulative_cardinality,
@@ -8143,6 +8187,7 @@ def oracle_sql() -> dict:
         "dsl_extended_stats_bucket": DSL_EXTENDED_STATS_BUCKET_SQL,
         "search_span_containing": SPAN_CONTAINING_SQL,
         "charlm_docs": CHARLM_SQL,
+        "search_vwh": SEARCH_VWH_SQL,
         "search_histogram_offset": SEARCH_HISTOGRAM_OFFSET_SQL,
         "decontaminate_docs": DECONTAM_SQL,
         "pack_docs": PACK_SQL,

@@ -263,6 +263,9 @@ _CTX_FILTER_OK = frozenset({
     "stats", "extended_stats", "avg", "sum", "min", "max",
     "percentiles", "percentile_ranks", "median_absolute_deviation",
     "boxplot", "string_stats", "weighted_avg",
+    # rides the same matched-values machinery as stats/percentiles
+    # (the count_le/sum_le memo keys carry the ambient filters)
+    "variable_width_histogram",
     # foreground = the filtered match set (chokepoint-honoring),
     # background stays the whole corpus — OpenSearch sig-terms
     # semantics ("what is anomalous WITHIN this window")
@@ -1041,6 +1044,11 @@ def _exec_agg(s, name: str, spec: dict, qctx: tuple[str, str, str]
             else:   # stats_bucket family
                 out[pname] = bucket_metrics(buckets)
         return out
+    if kind == "variable_width_histogram":
+        rows = s.variable_width_histogram(
+            text, body["field"], int(body.get("buckets", 10)),
+            qfield, mode)
+        return {"buckets": rows}
     if kind == "range":
         rngs = [(r.get("from"), r.get("to")) for r in body["ranges"]]
         rows = s.range_aggregation(text, body["field"], rngs, qfield,

@@ -1913,8 +1913,10 @@ class PartActor:
         self._local: "Searcher | None" = None
         # sorted matched-values memo for the distributed-exact
         # percentile protocol: one match-set computation serves every
-        # count_le probe round of a selection
+        # count_le probe round of a selection (+ prefix sums for the
+        # sum_le companion)
         self._cle_memo: dict[tuple, np.ndarray] = {}
+        self._sle_memo: dict[tuple, np.ndarray] = {}
 
     def refresh_tombstones(self) -> int:
         """Reload tombstones from disk after a delete (the
@@ -1923,6 +1925,7 @@ class PartActor:
         from .shard import load_tombstones
         self.tombstones = load_tombstones(self.index_dir)
         self._cle_memo.clear()
+        self._sle_memo.clear()
         if self._local is not None:
             self._local.tombstones = self.tombstones
             self._local._filter_cache.clear()
@@ -2464,15 +2467,12 @@ class PartActor:
         return np.searchsorted(v, np.asarray(probes, dtype=np.float64),
                                side="right").tolist()
 
-    def count_le_local(self, field: str, q_terms: list[str], mode: str,
-                       range_field: str, probes: list[int]
-                       ) -> list[int]:
-        """Distributed-exact percentile partial: count of this actor's
-        MATCHED values <= each probe.  The sorted matched-values array
-        is memoized per (field, terms, mode, range_field), so the
-        driver's O(log value_range) probe rounds cost one match-set
-        computation here and each round ships only len(probes) ints —
-        no matched value ever leaves the shard."""
+    def _matched_sorted(self, field: str, q_terms: list[str], mode: str,
+                        range_field: str) -> np.ndarray:
+        """Sorted matched values of ``range_field`` over this actor's
+        shards, memoized per (field, terms, mode, range_field, ambient
+        filters): one match-set computation serves every probe round
+        of a distributed selection."""
         key = (field, tuple(q_terms), mode, range_field,
                _CTX_FILTERS, _CTX_PURE)
         v = self._cle_memo.get(key)
@@ -2485,8 +2485,40 @@ class PartActor:
             if len(self._cle_memo) >= 32:
                 self._cle_memo.clear()
             self._cle_memo[key] = v
+        return v
+
+    def count_le_local(self, field: str, q_terms: list[str], mode: str,
+                       range_field: str, probes: list[int]
+                       ) -> list[int]:
+        """Distributed-exact percentile partial: count of this actor's
+        MATCHED values <= each probe.  The sorted matched-values array
+        is memoized (``_matched_sorted``), so the driver's
+        O(log value_range) probe rounds cost one match-set computation
+        here and each round ships only len(probes) ints — no matched
+        value ever leaves the shard."""
+        v = self._matched_sorted(field, q_terms, mode, range_field)
         return np.searchsorted(v, np.asarray(probes, dtype=np.float64),
                                side="right").tolist()
+
+    def sum_le_local(self, field: str, q_terms: list[str], mode: str,
+                     range_field: str, probes: list[float]
+                     ) -> list[float]:
+        """Companion partial for range-sum selections (the
+        variable_width_histogram cluster sums): SUM of this actor's
+        matched values <= each probe.  Rides the same memoized sorted
+        array; the prefix-sum array is memoized alongside it."""
+        v = self._matched_sorted(field, q_terms, mode, range_field)
+        key = (field, tuple(q_terms), mode, range_field,
+               _CTX_FILTERS, _CTX_PURE)
+        cs = self._sle_memo.get(key)
+        if cs is None:
+            cs = np.concatenate(([0.0], np.cumsum(v)))
+            if len(self._sle_memo) >= 32:
+                self._sle_memo.clear()
+            self._sle_memo[key] = cs
+        idx = np.searchsorted(v, np.asarray(probes, dtype=np.float64),
+                              side="right")
+        return cs[idx].tolist()
 
     # --- doc-sharded execution (dfs_query_then_fetch; SURVEY §7.1) ---
 
@@ -5191,6 +5223,147 @@ class Searcher:
             return {"count": 0}
         return {"count": st["count"], "min": st["min"], "max": st["max"],
                 "q1": st["p25"], "q2": st["p50"], "q3": st["p75"]}
+
+    def variable_width_histogram(self, query: str, range_field: str,
+                                 buckets: int = 10,
+                                 field: str = "content", mode: str = "or",
+                                 analyzer: str | None = None
+                                 ) -> list[dict]:
+        """OpenSearch ``variable_width_histogram``, DETERMINISTIC-
+        exact variant: where OpenSearch clusters the values
+        approximately (streaming nearest-centroid with a shard-level
+        cache), this engine defines the ``buckets`` clusters as the
+        EQUAL-FREQUENCY (ntile) partition of the sorted matched
+        values — reproducible across runs and layouts, SQL-twinnable,
+        and distribution-adaptive like the original's intent (narrow
+        buckets where values crowd, wide where they spread).  Per
+        cluster: ``key`` (centroid = sum/count, OpenSearch's bucket
+        key), ``min``, ``max``, ``doc_count``, ``sum``.
+
+        Execution is the distributed-selection protocol: boundary
+        ranks resolve via count-probe bisection (``_bisect_ranks``),
+        then ONE extra probe round of count_le + sum_le at the
+        boundary values yields every cluster sum through the tie
+        correction ``T(r) = S(v_r) - (C(v_r) - r - 1)·v_r`` (the
+        values above rank r that equal v_r are interchangeable with
+        the ones below, so rank-range sums are well-defined even when
+        ties straddle a boundary).  No matched value ever leaves its
+        shard on the doc layout."""
+        if buckets < 1:
+            raise ValueError("variable_width_histogram: buckets >= 1")
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        q_terms = an(query)
+        if not q_terms:
+            return []
+        if self.manifest["config"].get("partition_by") != "doc":
+            # term layout: the matched-value pull is driver-local
+            # anyway (quantile_method='exact' stance) — sort once and
+            # slice the ntile ranges directly
+            cand = self._match_ids(field, q_terms, mode)
+            if cand.size == 0:
+                return []
+            from .shard import load_range_pairs
+            matched = []
+            for vals, ids in load_range_pairs(self.index_dir, range_field):
+                pos = np.minimum(np.searchsorted(cand, ids),
+                                 cand.size - 1)
+                hit = cand[pos] == ids
+                if hit.any():
+                    matched.append(vals[hit])
+            if not matched:
+                return []
+            v = np.sort(np.concatenate(matched))
+            b = min(int(buckets), v.size)
+            base, extra = divmod(v.size, b)
+            out: list[dict] = []
+            pos = 0
+            for k in range(b):
+                sz = base + (1 if k < extra else 0)
+                chunk = v[pos:pos + sz]
+                pos += sz
+                s = float(chunk.sum())
+                out.append({"key": s / sz, "min": float(chunk[0]),
+                            "max": float(chunk[-1]),
+                            "doc_count": int(sz), "sum": s})
+            return out
+        if self.use_actors:
+            def count_le(probes: list[float]) -> np.ndarray:
+                rows = ray.get([
+                    a.count_le_local.remote(field, list(q_terms), mode,
+                                            range_field, probes)
+                    for a in self.actors])
+                return np.sum(np.asarray(rows, dtype=np.int64), axis=0)
+
+            def sum_le(probes: list[float]) -> np.ndarray:
+                rows = ray.get([
+                    a.sum_le_local.remote(field, list(q_terms), mode,
+                                          range_field, probes)
+                    for a in self.actors])
+                return np.sum(np.asarray(rows, dtype=np.float64), axis=0)
+
+            st = self.stats_aggregation(query, range_field, field, mode,
+                                        analyzer=analyzer)
+        else:
+            sorted_vals: list[np.ndarray] = []
+            for p, r in self.readers.items():
+                v = _shard_range_values(r, p, self.tombstones, field,
+                                        q_terms, mode, range_field)
+                if v.size:
+                    sorted_vals.append(np.sort(v))
+            if not sorted_vals:
+                return []
+            cums = [np.concatenate(([0.0], np.cumsum(sv)))
+                    for sv in sorted_vals]
+
+            def count_le(probes: list[float]) -> np.ndarray:
+                pr = np.asarray(probes, dtype=np.float64)
+                tot = np.zeros(pr.size, dtype=np.int64)
+                for sv in sorted_vals:
+                    tot += np.searchsorted(sv, pr, side="right")
+                return tot
+
+            def sum_le(probes: list[float]) -> np.ndarray:
+                pr = np.asarray(probes, dtype=np.float64)
+                tot = np.zeros(pr.size, dtype=np.float64)
+                for sv, cs in zip(sorted_vals, cums):
+                    tot += cs[np.searchsorted(sv, pr, side="right")]
+                return tot
+
+            st = {"count": int(sum(sv.size for sv in sorted_vals)),
+                  "min": float(min(sv[0] for sv in sorted_vals)),
+                  "max": float(max(sv[-1] for sv in sorted_vals))}
+        n = int(st.get("count") or 0)
+        if n == 0:
+            return []
+        b = min(int(buckets), n)
+        base, extra = divmod(n, b)
+        sizes = [base + (1 if k < extra else 0) for k in range(b)]
+        ends = np.cumsum(sizes)                       # 1-based end ranks
+        starts = ends - np.asarray(sizes)             # 0-based start ranks
+        ranks = sorted({int(r) for r in ends - 1} |
+                       {int(r) for r in starts})
+        found = _bisect_ranks(count_le, ranks, _f64_to_ord(st["min"]),
+                              _f64_to_ord(st["max"]))
+        bvals = sorted({found[int(e) - 1] for e in ends})
+        cnts = dict(zip(bvals, count_le(bvals).tolist()))
+        sums = dict(zip(bvals, sum_le(bvals).tolist()))
+
+        def T(r: int) -> float:          # sum of values at ranks [0, r]
+            v = found[r]
+            return sums[v] - (cnts[v] - r - 1) * v
+
+        out: list[dict] = []
+        prev_t = 0.0
+        for k in range(b):
+            t = T(int(ends[k]) - 1)
+            s = t - prev_t
+            prev_t = t
+            out.append({"key": s / sizes[k],
+                        "min": found[int(starts[k])],
+                        "max": found[int(ends[k]) - 1],
+                        "doc_count": int(sizes[k]),
+                        "sum": float(s)})
+        return out
 
     def significant_text(self, query: str, field: str = "content",
                          text_field: str | None = None, mode: str = "or",

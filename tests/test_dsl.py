@@ -1874,3 +1874,68 @@ def test_global_agg_cross_layout(ray_session, tmp_path_factory):
                         "global": {"x": 1}}}})
             finally:
                 s.close()
+
+
+def test_variable_width_histogram_cross_layout(ray_session,
+                                               tmp_path_factory):
+    """variable_width_histogram (deterministic ntile variant):
+    clusters brute-forced from the generated values — the first
+    n%B clusters take the extra value (DuckDB ntile split), tie
+    correction keeps rank-range sums exact when equal values
+    straddle a boundary; identical across layouts and on the actor
+    path, through execute_dsl too."""
+    rng = np.random.default_rng(53)
+    n = 140
+    docs = ["spark join" if i % 2 else "merge scan" for i in range(n)]
+    # heavy ties: values from a tiny grid so boundaries straddle
+    vals = [float(rng.integers(0, 9) * 10) for _ in range(n)]
+    matched = sorted(vals[i] for i in range(n) if i % 2)
+    B = 6
+    base, extra = divmod(len(matched), B)
+    sizes = [base + (1 if k < extra else 0) for k in range(B)]
+    want = []
+    pos = 0
+    for sz in sizes:
+        chunk = matched[pos:pos + sz]
+        pos += sz
+        want.append((sz, chunk[0], chunk[-1], sum(chunk)))
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": docs,
+                  "v": pa.array(vals, pa.float64())})
+    root = tmp_path_factory.mktemp("vwh")
+    src = str(root / "d.parquet")
+    pq.write_table(t, src)
+    for layout in ("term", "doc"):
+        cfg = IndexConfig(num_partitions=3, partition_by=layout,
+                          fields=(("content", "text", "base"),),
+                          keyword_fields=(), range_fields=("v",),
+                          doc_id_col="doc_id", sha_col="text",
+                          salting=False)
+        idx = str(root / f"idx_{layout}")
+        build_index([src], idx, cfg)
+        for actors in ((False, True) if layout == "doc" else (False,)):
+            s = Searcher(idx, use_actors=actors)
+            try:
+                rows = s.variable_width_histogram("spark", "v",
+                                                  buckets=B)
+                got = [(r["doc_count"], r["min"], r["max"], r["sum"])
+                       for r in rows]
+                assert got == [(sz, mn, mx, float(sm))
+                               for sz, mn, mx, sm in want], \
+                    (layout, actors)
+                # key = centroid
+                for r, (sz, _, _, sm) in zip(rows, want):
+                    assert r["key"] == pytest.approx(sm / sz)
+                # through the JSON executor
+                r2 = execute_dsl(s, {"size": 0,
+                    "query": {"match": {"content": "spark"}},
+                    "aggs": {"vw": {"variable_width_histogram": {
+                        "field": "v", "buckets": B}}}})
+                assert r2["aggregations"]["vw"]["buckets"] == rows
+                # B > n collapses to one cluster per value position
+                one = s.variable_width_histogram("spark", "v",
+                                                 buckets=10**6)
+                assert len(one) == len(matched)
+                assert [r["min"] for r in one] == matched
+            finally:
+                s.close()

@@ -45,7 +45,7 @@ def _to_df(res) -> pd.DataFrame:
 
 
 SQL_BACKED = ["search_global_agg", "dsl_extended_stats_bucket",
-              "search_span_containing", "charlm_docs",
+              "search_span_containing", "charlm_docs", "search_vwh",
               "dsl_bucket_script", "dsl_moving_fn",
               "dsl_cumulative_cardinality", "dsl_terms_order",
               "dsl_post_filter", "dsl_suggest", "dsl_script_fields",
