@@ -89,9 +89,15 @@ def _round_away(x) -> np.ndarray:
     implementation in norms.round_half_away."""
     return round_half_away(x)
 
-def _concurrency() -> int:
+def _concurrency() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds for the stateful map stages.
+    A FIXED pool of cpus-2 actors pays ~30 worker spawns up front
+    even when the input is 16 small blocks (measured: LangId at
+    sf0.01 drops 4.9 s -> 1.6 s with (1, n)); the (1, max) tuple
+    starts one actor and scales with demand, so small inputs stay
+    cheap and a 100-TB run still fills the pool."""
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return max(2, cpus - 2)
+    return (1, max(2, cpus - 2))
 
 
 # ---------------------------------------------------------------------------
@@ -4236,7 +4242,7 @@ def simhash_planted(sf_dir: str) -> pd.DataFrame:
                            batch_format="pyarrow",
                            # pool never larger than the 8 blocks above
                            # (a wider pool just idles and warns)
-                           concurrency=min(8, _concurrency()))
+                           concurrency=(1, min(8, _concurrency()[1])))
               .select_columns(["doc_id", "simhash"]).to_pandas())
     by_id = dict(zip(sigs["doc_id"], sigs["simhash"]))
     orig = sorted(i for i in by_id if i < 1_000_000_000 and i % 20 == 0)
