@@ -5391,6 +5391,46 @@ SEARCH_GEO_DIST_QUERY_SQL = _bm25_sql(
                  ")) AS km FROM documents) WHERE km <= 2000.0)"))
 
 
+# convex CCW quadrilateral in the (lon, lat) plane; every grid point
+# sits >= 3.66 cross-product units from every edge (111 of the 200
+# grid points inside), so IEEE-754 evaluation-order differences
+# between numpy and DuckDB cannot flip a membership sign.
+_GEO_POLY_LATLON = [(-27.01, -55.03), (-29.07, 5.09),
+                    (10.03, 25.01), (22.09, -35.07)]
+
+
+def search_geo_polygon(sf_dir: str) -> pd.DataFrame:
+    """OpenSearch ``geo_polygon`` query (filter context around a
+    match): BM25 over docs whose grid point lies strictly inside a
+    convex ring — a latitude-band range probe prefilters, then the
+    half-plane cross-product tests run on the band's aligned values
+    only (convex-only is the engine's documented restriction; it
+    keeps the membership test SQL-reproducible bitwise)."""
+    s = Searcher(_docs_aux_index(sf_dir), use_actors=ray.is_initialized())
+    try:
+        args = (BM25_QUERY, "lat", "lon", _GEO_POLY_LATLON)
+        hits = s.geo_polygon_search_sharded(*args, k=BM25_K) \
+            if ray.is_initialized() else \
+            s.geo_polygon_search(*args, k=BM25_K)
+    finally:
+        s.close()
+    return _score_frame(hits)
+
+
+_GEO_POLY_EDGES_SQL = " AND ".join(
+    f"(({x2} - {x1})*(lat - {y1}) - ({y2} - {y1})*(lon - {x1})) > 0"
+    for (y1, x1), (y2, x2) in zip(
+        _GEO_POLY_LATLON,
+        _GEO_POLY_LATLON[1:] + _GEO_POLY_LATLON[:1]))
+
+SEARCH_GEO_POLYGON_SQL = _bm25_sql(
+    base_tokens(BM25_QUERY), BM25_K,
+    final_where=("WHERE doc_id IN (SELECT doc_id FROM ("
+                 "SELECT doc_id, -30.0 + (doc_id % 200) * 0.3 AS lat, "
+                 "-70.0 + (doc_id % 200) * 0.7 AS lon FROM documents) "
+                 f"WHERE {_GEO_POLY_EDGES_SQL})"))
+
+
 def search_geo_distance(sf_dir: str) -> pd.DataFrame:
     """OpenSearch ``geo_distance`` aggregation: concentric km rings
     around the origin by haversine distance, geo_point encoded as two
@@ -7850,6 +7890,7 @@ def queries() -> dict:
     # then every entry whose newest driver row is r03 (oldest-green-first).
     return {
         # --- never driver-checked (round-5 additions) ---
+        "search_geo_polygon": search_geo_polygon,
         "search_global_agg": search_global_agg,
         "dsl_extended_stats_bucket": dsl_extended_stats_bucket,
         "search_span_containing": search_span_containing,
@@ -8081,6 +8122,7 @@ def oracle_sql() -> dict:
         "search_categorize_text": SEARCH_CATEGORIZE_SQL,
         "search_geo_bbox": SEARCH_GEO_BBOX_SQL,
         "search_geo_distance_query": SEARCH_GEO_DIST_QUERY_SQL,
+        "search_geo_polygon": SEARCH_GEO_POLYGON_SQL,
         "dsl_count": DSL_COUNT_SQL,
         "dsl_msearch": DSL_MSEARCH_SQL,
         "dsl_termvectors": DSL_TERMVECTORS_SQL,

@@ -472,7 +472,8 @@ def _exec_query(s, query: dict, size: int,
                 # any number of term/terms/range/exists filters lower
                 # to filter specs (positives intersect per shard)
                 fspecs.append(_filter_clause(c, False, "bool"))
-            elif ck in ("geo_bounding_box", "geo_distance"):
+            elif ck in ("geo_bounding_box", "geo_distance",
+                        "geo_polygon"):
                 # geo filters pair with a single match must — route to
                 # the dedicated geo query methods
                 musts = spec.get("must")
@@ -491,13 +492,18 @@ def _exec_query(s, query: dict, size: int,
                               tuple(cs["top_left"]),
                               tuple(cs["bottom_right"]),
                               field=_f, k=size)
+                if ck == "geo_polygon":
+                    fn = _pick(s, "geo_polygon_search")
+                    return fn(text, lat_f, lon_f,
+                              [tuple(p) for p in cs["points"]],
+                              field=_f, k=size)
                 fn = _pick(s, "geo_distance_search")
                 return fn(text, lat_f, lon_f, tuple(cs["origin"]),
                           float(cs["distance_km"]), field=_f, k=size)
             else:
                 raise ValueError(f"bool filter {ck!r} unsupported "
                                  "(term/range/geo_bounding_box/"
-                                 "geo_distance)")
+                                 "geo_distance/geo_polygon)")
         fn = _pick(s, "search_bool")
         return fn(must=_texts(spec.get("must")),
                   should=_texts(spec.get("should")),

@@ -4948,6 +4948,63 @@ class Searcher:
         return self._filtered_match(query, field, k, mode, filt,
                                     analyzer, k1, b)
 
+    def geo_polygon_search(self, query: str, lat_field: str,
+                           lon_field: str,
+                           points: list[tuple[float, float]],
+                           field: str = "content", k: int = 10,
+                           mode: str = "or",
+                           analyzer: str | None = None,
+                           k1: float = K1, b: float = B
+                           ) -> list[tuple[float, int]]:
+        """OpenSearch ``geo_polygon`` query in filter context: BM25
+        over docs whose (lat, lon) point lies strictly inside a CONVEX
+        polygon given as ``[(lat, lon), ...]`` vertices (the engine
+        validates convexity and orientation; CW rings are reversed to
+        CCW).  The polygon's bounding box prefilters via two
+        range-table probes — the half-plane cross-product tests then
+        run only on the box band's aligned values.  Convex-only is a
+        documented restriction (OpenSearch accepts arbitrary rings);
+        it keeps the membership test a short AND of sign tests that an
+        SQL oracle reproduces bitwise.  Reference: es_loader stores
+        geo_point as lat/lon pairs (siem/sf_*.py GeoIP enrichment);
+        the polygon filter itself is OpenSearch Query-DSL surface."""
+        if len(points) < 3:
+            raise ValueError("geo_polygon needs >= 3 vertices")
+        # vertices arrive (lat, lon); work in the (x=lon, y=lat) plane
+        vx = np.asarray([float(p[1]) for p in points], np.float64)
+        vy = np.asarray([float(p[0]) for p in points], np.float64)
+        # signed area > 0 means CCW; reverse CW input
+        area2 = float(np.sum(vx * np.roll(vy, -1) - np.roll(vx, -1) * vy))
+        if area2 < 0:
+            vx, vy = vx[::-1], vy[::-1]
+        ex, ey = np.roll(vx, -1), np.roll(vy, -1)
+        # convexity: every consecutive edge pair turns left
+        tx, ty = np.roll(ex, -1) - ex, np.roll(ey, -1) - ey
+        if not np.all((ex - vx) * ty - (ey - vy) * tx > 0):
+            raise ValueError("geo_polygon: ring is not strictly convex "
+                             "(convex rings only — documented "
+                             "restriction)")
+        band = self._range_ids(lat_field, float(vy.min()), float(vy.max()))
+        if band.size == 0:
+            return []
+        cand = np.sort(band.astype(np.uint64))
+        la, ha, lo_, hb = _aligned_field_values(
+            self.index_dir, cand, (lat_field, lon_field),
+            self._local_parts)
+        m = ha & hb
+        if m.any():
+            px, py = lo_[m], la[m]
+            inside = np.ones(px.size, bool)
+            for i in range(vx.size):
+                cross = ((ex[i] - vx[i]) * (py - vy[i])
+                         - (ey[i] - vy[i]) * (px - vx[i]))
+                inside &= cross > 0.0
+            filt = cand[m][inside]
+        else:
+            filt = np.zeros(0, np.uint64)
+        return self._filtered_match(query, field, k, mode, filt,
+                                    analyzer, k1, b)
+
     def geo_distance_aggregation(self, query: str,
                                  lat_field: str, lon_field: str,
                                  origin: tuple[float, float],
@@ -7491,6 +7548,22 @@ class Searcher:
             dict(query=query, lat_field=lat_field, lon_field=lon_field,
                  origin=origin, distance_km=distance_km, field=field,
                  k=k, mode=mode, analyzer=analyzer, k1=k1, b=b),
+            k, idf_terms=an(query), field=field)
+
+    def geo_polygon_search_sharded(
+            self, query: str, lat_field: str, lon_field: str,
+            points: list[tuple[float, float]], field: str = "content",
+            k: int = 10, mode: str = "or", analyzer: str | None = None,
+            k1: float = K1, b: float = B) -> list[tuple[float, int]]:
+        """:meth:`geo_polygon_search` per doc shard — each shard runs
+        the half-plane tests on its own latitude band and scores with
+        global idf; only P×k (score, doc) tuples reach the driver."""
+        an = ANALYZERS[self._analyzer_for(field, analyzer)]
+        return self._exec_doc_sharded(
+            "geo_polygon_search",
+            dict(query=query, lat_field=lat_field, lon_field=lon_field,
+                 points=points, field=field, k=k, mode=mode,
+                 analyzer=analyzer, k1=k1, b=b),
             k, idf_terms=an(query), field=field)
 
     def combined_fields_sharded(self, query: str, fields: list[str],

@@ -514,6 +514,41 @@ def test_geo_queries_cross_layout(pair, tmp_path_factory, ray_session):
                                        (89.0, 0.0), 10.0) == []
         assert s_t.geo_bounding_box_search("spark", "lat", "lon",
                                            (89.9, 0.0), (89.8, 0.1)) == []
+        # geo_polygon: convex ring, cross-layout identical, equals the
+        # brute-force half-plane census; CW input auto-reverses
+        ring = [(-35.01, -80.03), (-37.07, 40.09),
+                (15.03, 55.01), (25.09, -60.07)]  # (lat, lon), CCW
+        pq_args = ("spark join", "lat", "lon", ring)
+        pt = s_t.geo_polygon_search(*pq_args, k=300)
+        pd_ = s_d.geo_polygon_search_sharded(*pq_args, k=300)
+        _same(pd_, pt)
+        vx = [lo for _la, lo in ring]
+        vy = [la for la, _lo in ring]
+        def _inside(la, lo):
+            n = len(ring)
+            for i in range(n):
+                j = (i + 1) % n
+                if ((vx[j] - vx[i]) * (la - vy[i])
+                        - (vy[j] - vy[i]) * (lo - vx[i])) <= 0:
+                    return False
+            return True
+        poly_in = {i for i in range(300)
+                   if _inside(-40.0 + (i % 100) * 0.9,
+                              -90.0 + (i % 100) * 1.7)}
+        assert poly_in, "fixture ring should contain grid points"
+        ref_p = [(sc, d) for sc, d in s_t.search("spark join", k=300)
+                 if d in poly_in]
+        _same(pt, ref_p)
+        cw = s_t.geo_polygon_search("spark join", "lat", "lon",
+                                    ring[::-1], k=300)
+        _same(cw, pt)
+        with pytest.raises(ValueError, match="convex"):
+            s_t.geo_polygon_search("spark", "lat", "lon",
+                                   [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0),
+                                    (9.0, 9.0)])
+        with pytest.raises(ValueError, match=">= 3"):
+            s_t.geo_polygon_search("spark", "lat", "lon",
+                                   [(0.0, 0.0), (1.0, 1.0)])
     finally:
         s_d.close()
 
