@@ -3242,6 +3242,110 @@ ORDER BY ln.doc_id
 """
 
 
+def url_canon_docs(sf_dir: str) -> pd.DataFrame:
+    """URL extraction + canonicalization + canonical-URL dedup flags
+    (stages/urls) over deterministically PLANTED URLs: even docs get a
+    mixed-case tracking-laden URL (``HTTP://WWW.Example{a}.COM:80/…
+    ?utm_source=…&id=…&utm_medium=…#frag``), odd docs a clean https
+    one, every 17th doc none at all.  The whole canonical chain is
+    RE2 kernels (pyarrow and DuckDB share RE2 semantics, so the SQL
+    twin is exact); ``keep`` = min-doc_id survivor within each
+    canonical-URL group (hash-partition groupby; no-URL docs bypass
+    the exchange and are all kept)."""
+    from ..stages.urls import canonicalize_urls, split_by_null
+    ds = _t_ds(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            if i % 17 == 0:
+                out.append(t or "")
+            elif i % 2 == 0:
+                out.append(
+                    f"{t or ''} See HTTP://WWW.Example{i % 23}.COM:80"
+                    f"/Path{i % 7}/?utm_source=s{i % 5}&id={i % 13}"
+                    f"&utm_medium=m#Sec{i % 3}")
+            else:
+                out.append(f"{t or ''} see https://Site{i % 19}.org"
+                           f"/p{i % 11}/")
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(out, pa.string())})
+
+    ds = canonicalize_urls(ds.map_batches(plant, batch_format="pyarrow"))
+    with_url, without = split_by_null(ds, "canon")
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["keep"] = (g["doc_id"] == g["doc_id"].min()).astype("int64")
+        return g
+
+    flagged = with_url.groupby("canon").map_groups(
+        flag, batch_format="pandas")
+
+    def keep_all(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "keep", pa.array([1] * batch.num_rows, pa.int64()))
+
+    out = flagged.union(without.map_batches(keep_all,
+                                            batch_format="pyarrow"))
+    df = (out.select_columns(["doc_id", "url", "canon", "keep"])
+             .to_pandas().sort_values("doc_id"))
+    return df.reset_index(drop=True)
+
+
+_URL_PARTS_SQL_RE = ("^([A-Za-z][A-Za-z0-9+.\\-]*)://([^/:?#]+)"
+                     "((?::[0-9]+)?)(.*)$")
+
+URL_CANON_SQL = f"""
+WITH planted AS (
+  SELECT doc_id, coalesce(text, '') ||
+    CASE WHEN doc_id % 17 = 0 THEN ''
+         WHEN doc_id % 2 = 0 THEN
+           ' See HTTP://WWW.Example' || (doc_id % 23) || '.COM:80/Path'
+           || (doc_id % 7) || '/?utm_source=s' || (doc_id % 5)
+           || '&id=' || (doc_id % 13) || '&utm_medium=m#Sec'
+           || (doc_id % 3)
+         ELSE ' see https://Site' || (doc_id % 19) || '.org/p'
+              || (doc_id % 11) || '/' END AS text
+  FROM documents),
+u AS (SELECT doc_id,
+             nullif(regexp_extract(text, '(?i)(https?://[^ ]+)', 1), '')
+               AS url
+      FROM planted),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '{_URL_PARTS_SQL_RE}', 1)) AS scheme,
+         regexp_replace(lower(regexp_extract(url,
+                        '{_URL_PARTS_SQL_RE}', 2)), '^www\\.', '')
+           AS host,
+         regexp_extract(url, '{_URL_PARTS_SQL_RE}', 3) AS port,
+         regexp_extract(url, '{_URL_PARTS_SQL_RE}', 4) AS rest
+  FROM u),
+canon AS (
+  SELECT doc_id, url,
+         CASE WHEN url IS NULL THEN NULL ELSE
+           scheme || '://' || host ||
+           CASE WHEN (scheme = 'http' AND port = ':80')
+                  OR (scheme = 'https' AND port = ':443')
+                THEN '' ELSE port END ||
+           regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(rest, '#.*$', '', 'g'),
+             'utm_[^&#]*&', '', 'g'),
+             '[?&]utm_[^&#]*$', '', 'g'),
+             '^/$', '', 'g')
+         END AS canon
+  FROM parts)
+SELECT doc_id, url, canon,
+       CASE WHEN canon IS NULL THEN 1
+            WHEN doc_id = min(doc_id) OVER (PARTITION BY canon)
+            THEN 1 ELSE 0 END AS keep
+FROM canon
+ORDER BY doc_id
+"""
+
+
 def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
     """Benchmark decontamination (stages/decontam): docs whose doc_id
     is divisible by 50 stand in for the eval set; every doc reports
@@ -7890,6 +7994,7 @@ def queries() -> dict:
     # then every entry whose newest driver row is r03 (oldest-green-first).
     return {
         # --- never driver-checked (round-5 additions) ---
+        "url_canon_docs": url_canon_docs,
         "search_geo_polygon": search_geo_polygon,
         "search_global_agg": search_global_agg,
         "dsl_extended_stats_bucket": dsl_extended_stats_bucket,
@@ -8123,6 +8228,7 @@ def oracle_sql() -> dict:
         "search_geo_bbox": SEARCH_GEO_BBOX_SQL,
         "search_geo_distance_query": SEARCH_GEO_DIST_QUERY_SQL,
         "search_geo_polygon": SEARCH_GEO_POLYGON_SQL,
+        "url_canon_docs": URL_CANON_SQL,
         "dsl_count": DSL_COUNT_SQL,
         "dsl_msearch": DSL_MSEARCH_SQL,
         "dsl_termvectors": DSL_TERMVECTORS_SQL,

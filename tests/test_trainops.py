@@ -584,3 +584,36 @@ def test_charlm_typicality(ray_session):
     assert out.loc[2, "n_rare"] == out.loc[2, "n_tri"] > 0
     assert out.loc[0, "n_rare"] < out.loc[0, "n_tri"]
     assert out.loc[3, "n_tri"] == 0 and out.loc[3, "typicality"] == 0
+
+
+def test_url_canonicalize_and_dedup(ray_session):
+    """URL canonicalization: case/port/www/fragment/utm steps each
+    verified; url_dedup keeps min-id per canonical URL and passes
+    no-URL docs through untouched."""
+    from siem_on_amazon_opensearch_service_ray.stages import urls
+
+    texts = [
+        "a HTTP://WWW.Ex.COM:80/A/?utm_source=s&id=3&utm_medium=m#f",
+        "b http://ex.com/A/?id=3",            # same canon as doc 0
+        "c https://Ex.COM:443/",              # root path normalizes away
+        "d https://ex.com",                   # …to match this one
+        "e http://ex.com:8080/A",             # non-default port KEPT
+        "no url at all",
+        "f https://other.org/x?utm_a=1",      # lone utm → bare path
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    out = (urls.canonicalize_urls(ds).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[0, "canon"] == "http://ex.com/A/?id=3"
+    assert out.loc[1, "canon"] == "http://ex.com/A/?id=3"
+    assert out.loc[2, "canon"] == "https://ex.com"
+    assert out.loc[3, "canon"] == "https://ex.com"
+    assert out.loc[4, "canon"] == "http://ex.com:8080/A"
+    assert out.loc[5, "canon"] is None
+    assert out.loc[6, "canon"] == "https://other.org/x"
+
+    kept = sorted(urls.url_dedup(ds).to_pandas()["doc_id"])
+    assert kept == [0, 2, 4, 5, 6]
