@@ -1369,6 +1369,34 @@ def search_function_decay(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def search_function_random(sf_dir: str) -> pd.DataFrame:
+    """function_score with ``random_score`` (deterministic per-doc
+    hash: two modular multiplies, (doc_id·100003 mod 2^32)·m mod 2^32
+    over 2^32 with the seed folded into the odd multiplier m — the
+    spirit of OpenSearch's seed-deterministic random_score with a
+    hash both numpy and DuckDB compute bit-identically) blended with
+    a bare weight via score_mode=sum: final = BM25 x
+    (random(seed=7) + 0.25).  Executed per DOC shard (the hash is
+    per-doc-local, so shard-local rescored top-k merges exactly)."""
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.function_score_sharded(
+            BM25_QUERY, field="content", k=BM25_K,
+            functions=[
+                {"type": "random_score", "seed": 7, "weight": 1.0},
+                {"type": "weight", "weight": 0.25},
+            ],
+            score_mode="sum", boost_mode="multiply")
+    finally:
+        s.close()
+    return pd.DataFrame({
+        "doc_id": [d for _, d in hits],
+        "score_e4": np.array([int(_round_away(sc * 10000))
+                              for sc, _ in hits], dtype=np.int64),
+    })
+
+
 RESCORE_QUERY = "merge sort"
 RESCORE_WINDOW = 50
 RESCORE_RQW = 1.5
@@ -1576,6 +1604,23 @@ ORDER BY s.score * (2.0 * exp(
            -pow(greatest(abs(d.n_chars - 300.0) - 25.0, 0.0), 2)
            / (2.0 * (-(150.0 * 150.0) / (2.0 * ln(0.5))))) + 0.5)
          DESC, s.doc_id
+LIMIT {BM25_K}
+"""
+
+
+_RANDOM_SQL = ("((((doc_id % 4294967296) * 100003 % 4294967296)"
+               " * 209167 % 4294967296)"
+               " / 4294967296.0 + 0.25)")
+# 209167 = 69069 + 2*((7*10007) % 2^20) — the seed-7 multiplier
+
+SEARCH_FUNCTION_RANDOM_SQL = f"""
+WITH {_bm25_cte('c', 'text', base_tokens(BM25_QUERY))}
+SELECT s.doc_id,
+       cast(round(s.score * {_RANDOM_SQL.replace('doc_id', 's.doc_id')}
+                  * 10000) AS BIGINT) AS score_e4
+FROM cscore s
+ORDER BY s.score * {_RANDOM_SQL.replace('doc_id', 's.doc_id')} DESC,
+         s.doc_id
 LIMIT {BM25_K}
 """
 
@@ -7996,6 +8041,7 @@ def queries() -> dict:
         # --- never driver-checked (round-5 additions) ---
         "url_canon_docs": url_canon_docs,
         "search_geo_polygon": search_geo_polygon,
+        "search_function_random": search_function_random,
         "search_global_agg": search_global_agg,
         "dsl_extended_stats_bucket": dsl_extended_stats_bucket,
         "search_span_containing": search_span_containing,
@@ -8229,6 +8275,7 @@ def oracle_sql() -> dict:
         "search_geo_distance_query": SEARCH_GEO_DIST_QUERY_SQL,
         "search_geo_polygon": SEARCH_GEO_POLYGON_SQL,
         "url_canon_docs": URL_CANON_SQL,
+        "search_function_random": SEARCH_FUNCTION_RANDOM_SQL,
         "dsl_count": DSL_COUNT_SQL,
         "dsl_msearch": DSL_MSEARCH_SQL,
         "dsl_termvectors": DSL_TERMVECTORS_SQL,

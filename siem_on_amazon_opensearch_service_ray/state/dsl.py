@@ -588,6 +588,12 @@ def _exec_query(s, query: dict, size: int,
                         "factor": fvf.get("factor", 1.0),
                         "modifier": fvf.get("modifier", "none"),
                         "weight": fs.get("weight", 1.0)})
+                elif "random_score" in fs:
+                    rs = fs["random_score"] or {}
+                    functions.append({
+                        "type": "random_score",
+                        "seed": rs.get("seed", 0),
+                        "weight": fs.get("weight", 1.0)})
                 elif "weight" in fs:
                     functions.append({"type": "weight",
                                       "weight": fs["weight"]})

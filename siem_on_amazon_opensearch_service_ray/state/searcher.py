@@ -4406,6 +4406,30 @@ class Searcher:
         w = float(fn.get("weight", 1.0))
         if typ == "weight":
             return np.ones(n, dtype=np.float64), w
+        if typ == "random_score":
+            # deterministic per-doc "random" in [0, 1): two modular
+            # multiplies over the 32-bit id —
+            #   x = (doc_id % 2^32) * 100003 % 2^32       (pre-scale)
+            #   m = 69069 + 2*((seed * 10007) % 2^20)     (odd, seeded)
+            #   v = (x * m % 2^32) / 2^32
+            # The pre-scale pushes x*m past 2^32 even for tiny ids
+            # (one unwrapped multiply is monotone in id — not random),
+            # and the seed enters MULTIPLICATIVELY with a 10007 spread
+            # so adjacent seeds genuinely reorder (any affine seed mix
+            # shifts every doc by a near-constant and preserves
+            # order).  All intermediates < 2^53, so the DuckDB twin
+            # computes the identical bits in int64.  OpenSearch's
+            # random_score is likewise hash-deterministic given
+            # (seed, field).
+            seed = int(fn.get("seed", 0)) & 0xFFFFFFFF
+            mult = np.uint64(69069 + 2 * ((seed * 10007) % 1048576))
+            mask = np.uint64(0xFFFFFFFF)
+            x = ((sorted_ids.astype(np.uint64) & mask)
+                 * np.uint64(100003)) & mask
+            h = (x * mult) & mask
+            vals = np.empty(n, dtype=np.float64)
+            vals[order] = h.astype(np.float64) / 4294967296.0
+            return vals, w
         if typ == "field_value_factor":
             factor = float(fn.get("factor", 1.0))
             modifier = fn.get("modifier", "none")

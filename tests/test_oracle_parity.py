@@ -44,7 +44,9 @@ def _to_df(res) -> pd.DataFrame:
     raise TypeError(type(res))
 
 
-SQL_BACKED = ["search_global_agg", "dsl_extended_stats_bucket",
+SQL_BACKED = ["search_geo_polygon", "url_canon_docs",
+              "search_function_random",
+              "search_global_agg", "dsl_extended_stats_bucket",
               "search_span_containing", "charlm_docs", "search_vwh",
               "dsl_bucket_script", "dsl_moving_fn",
               "dsl_cumulative_cardinality", "dsl_terms_order",

@@ -162,6 +162,24 @@ def test_function_score_decay_modes_sharded(pair):
                "scale": 50.0, "decay": 0.3}]
         _same(sd.function_score_sharded("spark join", functions=fn, k=20),
               st.function_score("spark join", functions=fn, k=20))
+    # random_score: per-doc-local hash -> cross-layout identical,
+    # deterministic across calls, seed changes the order
+    fn = [{"type": "random_score", "seed": 11}]
+    r1 = st.function_score("spark join", functions=fn, k=20)
+    _same(sd.function_score_sharded("spark join", functions=fn, k=20), r1)
+    _same(st.function_score("spark join", functions=fn, k=20), r1)
+    base = {d for _, d in st.search("spark join", k=20)}
+    assert {d for _, d in r1} <= {d for _, d in
+                                  st.search("spark join", k=1 << 31)}
+    fn2 = [{"type": "random_score", "seed": 12}]
+    r2 = st.function_score("spark join", functions=fn2, k=20)
+    assert [d for _, d in r2] != [d for _, d in r1] or base == set()
+    # DSL body parse for random_score routes to the same execution
+    from siem_on_amazon_opensearch_service_ray.state.dsl import execute_dsl
+    resp = execute_dsl(st, {"query": {"function_score": {
+        "query": {"match": {"content": "spark join"}},
+        "functions": [{"random_score": {"seed": 11}}]}}, "size": 20})
+    assert [h["_id"] for h in resp["hits"]["hits"]] == [d for _, d in r1]
 
 
 def test_decay_math_brute_force(pair):
