@@ -311,6 +311,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="JSON {actions:[...]} or @file.json; omit "
                          "to print the registry")
 
+    pt = sub.add_parser("pit", help="point-in-time contexts: 'open' "
+                        "prints the id; pass {'pit': {'id': …}} in a "
+                        "query body to search under it; 'close' frees")
+    pt.add_argument("action", choices=["open", "close"])
+    pt.add_argument("index_dir")
+    pt.add_argument("pit_id", nargs="?")
+
     ubq = sub.add_parser("update-by-query",
                          help="rewrite a scripted field on every doc "
                               "matching a query (delete -> compact -> "
@@ -555,6 +562,17 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps(execute_aliases(args.root,
                                                  json.loads(raw)),
                                  indent=2))
+        elif args.cmd == "pit":
+            from .state.pit import close_pit, open_pit
+            if args.action == "open":
+                print(json.dumps({"pit_id": open_pit(args.index_dir)}))
+            else:
+                if not args.pit_id:
+                    raise SystemExit("pit close needs a pit id")
+                print(json.dumps({
+                    "succeeded": True,
+                    "num_freed": int(close_pit(args.index_dir,
+                                               args.pit_id))}))
         elif args.cmd == "update-by-query":
             from .state.dsl import execute_update_by_query
             raw = args.body

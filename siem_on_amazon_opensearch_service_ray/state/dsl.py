@@ -1617,6 +1617,18 @@ def execute_dsl(searcher, body: dict) -> dict:
     """Execute an OpenSearch `_search` request body against the
     engine.  See the module docstring for the supported surface;
     anything else raises ValueError naming the node."""
+    pit = body.get("pit")
+    if pit is not None:
+        # "pit": {"id": …} — run the whole request under the pinned
+        # point-in-time view (state/pit.py): docs ingested after the
+        # PIT opened are invisible, docs deleted after it are still
+        # returned.  The swap is one broadcast in, one out.
+        from .pit import pit_view
+        inner = {k: v for k, v in body.items() if k != "pit"}
+        with pit_view(searcher, pit["id"]):
+            resp = execute_dsl(searcher, inner)
+        resp["pit_id"] = pit["id"]
+        return resp
     size = int(body.get("size", 10))
     frm = int(body.get("from", 0))
     if frm < 0:
@@ -2682,6 +2694,24 @@ def _scroll_attach(resp: dict, state: dict) -> dict:
                           else [last["_score"], last["_id"]])
     resp["_scroll_id"] = _scroll_token(state)
     return resp
+
+
+def execute_open_pit(searcher) -> dict:
+    """``POST /<index>/_search/point_in_time`` — open a PIT over the
+    searcher's index and return its id (server-side state under
+    ``<index>/pits/``; see `state/pit.py`)."""
+    from .pit import open_pit
+    return {"pit_id": open_pit(searcher.index_dir)}
+
+
+def execute_close_pit(searcher, body: dict) -> dict:
+    """``DELETE /_search/point_in_time`` — body ``{"pit_id": id}`` or
+    ``{"pit_id": [ids…]}``; reports how many were actually freed."""
+    from .pit import close_pit
+    ids = body.get("pit_id")
+    ids = [ids] if isinstance(ids, str) else list(ids or [])
+    freed = sum(close_pit(searcher.index_dir, p) for p in ids)
+    return {"succeeded": True, "num_freed": int(freed)}
 
 
 def execute_field_caps(searcher, fields: list[str] | None = None

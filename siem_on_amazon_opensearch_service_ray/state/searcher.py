@@ -1923,7 +1923,12 @@ class PartActor:
         delete-by-query refresh): the warm readers stay, only the
         exclusion set and the match-set memos reset."""
         from .shard import load_tombstones
-        self.tombstones = load_tombstones(self.index_dir)
+        return self.set_tombstones(load_tombstones(self.index_dir))
+
+    def set_tombstones(self, ids: np.ndarray) -> int:
+        """Install an explicit exclusion set (the Searcher-side PIT
+        broadcast); same cache hygiene as a disk refresh."""
+        self.tombstones = np.asarray(ids, dtype=np.uint64)
         self._cle_memo.clear()
         self._sle_memo.clear()
         if self._local is not None:
@@ -2639,6 +2644,18 @@ class Searcher:
         if self.use_actors:
             ray.get([a.refresh_tombstones.remote() for a in self.actors])
         return int(self.tombstones.size)
+
+    def set_tombstones_override(self, ids: np.ndarray) -> int:
+        """Swap an explicit exclusion set in place of the on-disk
+        tombstones (driver + one actor broadcast round) — the PIT
+        view mechanism (`state/pit.pit_view`).  Restore with
+        :meth:`refresh_tombstones`."""
+        ids = np.sort(np.asarray(ids, dtype=np.uint64))
+        self.tombstones = ids
+        self._filter_cache.clear()
+        if self.use_actors:
+            ray.get([a.set_tombstones.remote(ids) for a in self.actors])
+        return int(ids.size)
 
     def _gather(self, field: str, terms: list[str]) -> dict[str, list[tuple]]:
         """Fetch raw postings rows for terms; a bounded per-searcher

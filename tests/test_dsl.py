@@ -1939,3 +1939,59 @@ def test_variable_width_histogram_cross_layout(ray_session,
                 assert [r["min"] for r in one] == matched
             finally:
                 s.close()
+
+
+def test_pit_pins_visibility(ray_session, tmp_path_factory):
+    """Point-in-time: a search under the PIT sees the open-time doc
+    set — later _bulk ingests invisible, later deletes still returned
+    — on a LIVE actor-backed searcher reopened after the mutations;
+    the live view is restored when the PIT block exits; close frees."""
+    from siem_on_amazon_opensearch_service_ray.state.dsl import (
+        execute_bulk, execute_close_pit, execute_dsl, execute_open_pit)
+    n = 60
+    rng = np.random.default_rng(9)
+    docs = [" ".join(VOCAB[int(j)]
+                     for j in rng.integers(0, len(VOCAB), 8))
+            for _ in range(n)]
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": docs,
+        "lang": [["py", "go"][i % 2] for i in range(n)],
+    })
+    root = tmp_path_factory.mktemp("pit")
+    src = str(root / "d.parquet")
+    pq.write_table(t, src)
+    idx = str(root / "idx")
+    cfg = IndexConfig(num_partitions=4,
+                      fields=(("content", "text", "base"),),
+                      keyword_fields=("lang",), range_fields=(),
+                      doc_id_col="doc_id", sha_col="text",
+                      partition_by="doc", salting=False)
+    build_index([src], idx, cfg)
+    s = Searcher(idx, use_actors=False)
+    base = {int(d) for _, d in s.search("spark", k=1 << 31)}
+    assert base, "fixture should match spark"
+    victim = min(base)
+    pit = execute_open_pit(s)["pit_id"]
+    s.close()
+    execute_bulk(idx, [{"index": {"_id": 2000}},
+                       {"text": "spark zebra", "lang": "py"},
+                       {"delete": {"_id": victim}}])
+    s2 = Searcher(idx, use_actors=True)
+    try:
+        live = {int(d) for _, d in s2.search("spark", k=1 << 31)}
+        assert 2000 in live and victim not in live
+        resp = execute_dsl(s2, {
+            "query": {"match": {"content": "spark"}}, "size": 500,
+            "pit": {"id": pit}})
+        assert {h["_id"] for h in resp["hits"]["hits"]} == base
+        assert resp["pit_id"] == pit
+        # live view restored after the PIT block
+        assert {int(d) for _, d in s2.search("spark", k=1 << 31)} == live
+        assert execute_close_pit(s2, {"pit_id": pit}) == {
+            "succeeded": True, "num_freed": 1}
+        with pytest.raises(KeyError, match="unknown or closed"):
+            execute_dsl(s2, {"query": {"match": {"content": "spark"}},
+                             "pit": {"id": pit}})
+    finally:
+        s2.close()
