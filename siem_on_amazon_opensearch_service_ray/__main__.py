@@ -302,6 +302,20 @@ def main(argv: list[str] | None = None) -> int:
     ci.add_argument("root")
     ci.add_argument("--pattern", default="*")
 
+    ca = sub.add_parser("cat-aliases", help="_cat/aliases: one row "
+                        "per (alias, index) pair")
+    ca.add_argument("root")
+
+    cc = sub.add_parser("cat-count", help="_cat/count: total live "
+                        "docs across the pattern's indexes")
+    cc.add_argument("root")
+    cc.add_argument("--pattern", default="*")
+
+    mp = sub.add_parser("mapping", help="GET _mapping (default) or "
+                        "--settings for an index")
+    mp.add_argument("index_dir")
+    mp.add_argument("--settings", action="store_true")
+
     al = sub.add_parser("aliases",
                         help="OpenSearch _aliases: GET the registry "
                              "or POST add/remove actions over a root "
@@ -549,6 +563,16 @@ def main(argv: list[str] | None = None) -> int:
             from .state.multisearch import cat_indices
             print(json.dumps(cat_indices(args.root, args.pattern),
                              indent=2))
+        elif args.cmd == "cat-aliases":
+            from .state.multisearch import cat_aliases
+            print(json.dumps(cat_aliases(args.root), indent=2))
+        elif args.cmd == "cat-count":
+            from .state.multisearch import cat_count
+            print(json.dumps(cat_count(args.root, args.pattern)))
+        elif args.cmd == "mapping":
+            from .state.stats import get_mapping, get_settings
+            fn = get_settings if args.settings else get_mapping
+            print(json.dumps(fn(args.index_dir), indent=2))
         elif args.cmd == "aliases":
             from .state.multisearch import execute_aliases, get_aliases
             if args.body is None:

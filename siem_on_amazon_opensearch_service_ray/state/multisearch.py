@@ -98,6 +98,25 @@ def get_aliases(root: str) -> dict[str, list[str]]:
         return json.load(f)
 
 
+def cat_aliases(root: str) -> list[dict]:
+    """OpenSearch ``_cat/aliases``: one flat row per (alias, index)
+    pair, alias-then-index sorted — the tabular view of the registry
+    ``get_aliases`` returns nested."""
+    return [{"alias": a, "index": i}
+            for a in sorted(get_aliases(root))
+            for i in sorted(get_aliases(root)[a])]
+
+
+def cat_count(root: str, pattern: str = "*") -> dict:
+    """OpenSearch ``_cat/count`` / ``GET <pattern>/_count`` without a
+    query: total LIVE docs (n_docs - tombstones) across every index
+    the pattern resolves to — pure manifest/metadata reads."""
+    total = 0
+    for row in cat_indices(root, pattern):
+        total += int(row["docs.count"])
+    return {"count": int(total)}
+
+
 def execute_aliases(root: str, body: dict) -> dict:
     """OpenSearch ``POST _aliases`` parity: atomic add/remove actions
     over the registry.  ``add`` accepts an exact index basename or a

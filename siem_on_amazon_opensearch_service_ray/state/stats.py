@@ -64,3 +64,54 @@ def build_summary(index_dir: str) -> dict:
         "build_wall_sec": man["metrics"].get("build_wall_sec"),
         "fingerprint": man["fingerprint"],
     }
+
+
+def get_mapping(index_dir: str) -> dict:
+    """``GET /<index>/_mapping`` — the OpenSearch mapping document
+    derived from the build config: analyzed fields map to ``text``
+    (with their analyzer), keyword_fields to ``keyword``, range_fields
+    to ``double`` (the engine's numeric range-table encoding),
+    vector_fields to ``knn_vector`` with their dimension.  The
+    reference declares the same split in its component templates
+    (deploy_es/command_index.txt: dynamic string->keyword, curated
+    text list); here the mapping IS the config, exported back in
+    OpenSearch shape."""
+    with open(os.path.join(index_dir, "INDEX_MANIFEST.json")) as f:
+        man = json.load(f)
+    cfg = man["config"]
+    props: dict = {}
+    for fname, _src, analyzer in cfg.get("fields", ()):
+        props[fname] = {"type": "text", "analyzer": analyzer}
+    for kf in cfg.get("keyword_fields", ()):
+        props[kf] = {"type": "keyword"}
+    for rf in cfg.get("range_fields", ()):
+        props[rf] = {"type": "double"}
+    for spec in cfg.get("vector_fields", ()) or ():
+        vname, dim = (spec[0], spec[1]) if isinstance(
+            spec, (list, tuple)) else (spec, None)
+        props[vname] = {"type": "knn_vector",
+                        **({"dimension": int(dim)}
+                           if dim is not None else {})}
+    name = os.path.basename(os.path.normpath(index_dir))
+    return {name: {"mappings": {"properties": props}}}
+
+
+def get_settings(index_dir: str) -> dict:
+    """``GET /<index>/_settings`` — number_of_shards = the partition
+    count, plus the engine-level build knobs OpenSearch would keep in
+    index settings (partition layout, positions/doclens/source
+    storage, salting)."""
+    with open(os.path.join(index_dir, "INDEX_MANIFEST.json")) as f:
+        man = json.load(f)
+    cfg = man["config"]
+    name = os.path.basename(os.path.normpath(index_dir))
+    return {name: {"settings": {"index": {
+        "number_of_shards": int(cfg["num_partitions"]),
+        "number_of_replicas": 0,
+        "partition_by": cfg.get("partition_by", "term"),
+        "store_positions": bool(cfg.get("store_positions", False)),
+        "store_doclens": bool(cfg.get("store_doclens", False)),
+        "store_source": bool(cfg.get("store_source", False)),
+        "salting": bool(cfg.get("salting", False)),
+        "uuid": man["fingerprint"],
+    }}}}

@@ -355,3 +355,39 @@ def test_pattern_scored_bool_identical_to_flat(split_indexes):
     finally:
         ms.close()
         flat.close()
+
+
+def test_cat_aliases_count_mapping_settings(split_indexes, capsys):
+    """_cat/aliases (flat alias->index rows), _cat/count (live total
+    across a pattern), GET _mapping / _settings (config exported back
+    in OpenSearch shape); each also through the CLI."""
+    import json
+
+    from siem_on_amazon_opensearch_service_ray.__main__ import main
+    from siem_on_amazon_opensearch_service_ray.state.multisearch import (
+        cat_aliases, cat_count, get_aliases)
+    from siem_on_amazon_opensearch_service_ray.state.stats import (
+        get_mapping, get_settings)
+    root, flat_idx, ia, ib = split_indexes
+    rows = cat_aliases(root)
+    reg = get_aliases(root)
+    assert rows == [{"alias": a, "index": i}
+                    for a in sorted(reg) for i in sorted(reg[a])]
+    assert cat_count(root, "log-2024-*") == {"count": 300}
+    m = get_mapping(ia)
+    props = m["log-2024-01"]["mappings"]["properties"]
+    assert props["content"] == {"type": "text", "analyzer": "base"}
+    assert props["lang"] == {"type": "keyword"}
+    assert props["msm"] == {"type": "double"}
+    st = get_settings(ia)["log-2024-01"]["settings"]["index"]
+    assert st["number_of_shards"] == 2
+    assert st["partition_by"] == "doc"
+    assert st["number_of_replicas"] == 0 and st["uuid"]
+    assert main(["cat-aliases", root]) == 0
+    assert json.loads(capsys.readouterr().out) == rows
+    assert main(["cat-count", root, "--pattern", "log-2024-*"]) == 0
+    assert json.loads(capsys.readouterr().out) == {"count": 300}
+    assert main(["mapping", ia]) == 0
+    assert json.loads(capsys.readouterr().out) == m
+    assert main(["mapping", ia, "--settings"]) == 0
+    assert json.loads(capsys.readouterr().out) == get_settings(ia)
