@@ -353,6 +353,16 @@ def main(argv: list[str] | None = None) -> int:
                          "@file.json (default: match_all)")
     ri.add_argument("--num-cpus", type=int, default=None)
 
+    for _nm, _hp in (("split", "_split: re-shard to MORE partitions "
+                               "(a multiple of the source's)"),
+                     ("shrink", "_shrink: re-shard to FEWER "
+                                "partitions (a factor of the "
+                                "source's)")):
+        sp = sub.add_parser(_nm, help=_hp)
+        sp.add_argument("index_dir")
+        sp.add_argument("out_dir")
+        sp.add_argument("shards", type=int)
+
     dc = sub.add_parser("decontam",
                         help="flag docs sharing n-grams with a benchmark")
     dc.add_argument("corpus", help="parquet file/dir with text docs")
@@ -614,6 +624,15 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(execute_reindex(
                 args.src_index_dir, args.dest_index_dir,
                 json.loads(raw) if raw else None)))
+        elif args.cmd in ("split", "shrink"):
+            from .pipelines.build_index import shrink_index, split_index
+            fn = split_index if args.cmd == "split" else shrink_index
+            man = fn(args.index_dir, args.out_dir, args.shards)
+            print(json.dumps({"acknowledged": True,
+                              "shards_acknowledged": True,
+                              "n_docs": man["stats"]["n_docs"],
+                              "num_partitions":
+                                  man["config"]["num_partitions"]}))
         elif args.cmd == "compact":
             from .pipelines.build_index import compact_index
             man = compact_index(args.index_dir)

@@ -1909,3 +1909,55 @@ def _docstore_schema_names(index_dir: str) -> list[str]:
         return []
     return pq.read_schema(files[0]).names
 
+
+
+def config_from_manifest(index_dir: str) -> IndexConfig:
+    """The IndexConfig an index was built with, reconstructed from its
+    manifest (lists re-tupled — JSON round-trip loses tuple-ness)."""
+    with open(os.path.join(index_dir, "INDEX_MANIFEST.json")) as f:
+        cfg = json.load(f)["config"]
+    return IndexConfig(**{k: (tuple(tuple(x) if isinstance(x, list)
+                                    else x for x in v)
+                              if isinstance(v, list) else v)
+                          for k, v in cfg.items()})
+
+
+def split_index(index_dir: str, out_dir: str, num_partitions: int,
+                resume: bool = True) -> dict:
+    """OpenSearch ``_split``: re-shard an index to MORE partitions.
+    The target count must be a multiple of the source's (the
+    OpenSearch split-factor rule); everything else about the config is
+    preserved, doc identities survive (reindex from the docstore), and
+    search results are identical — partition count is a layout
+    property, not a semantic one (regression-tested)."""
+    old = config_from_manifest(index_dir)
+    if num_partitions <= old.num_partitions \
+            or num_partitions % old.num_partitions:
+        raise ValueError(
+            f"_split target shards ({num_partitions}) must be a "
+            f"multiple of and greater than the source's "
+            f"({old.num_partitions})")
+    import dataclasses
+    return reindex(index_dir, out_dir,
+                   dataclasses.replace(old,
+                                       num_partitions=num_partitions),
+                   resume=resume)
+
+
+def shrink_index(index_dir: str, out_dir: str, num_partitions: int,
+                 resume: bool = True) -> dict:
+    """OpenSearch ``_shrink``: re-shard an index to FEWER partitions.
+    The target count must be a factor of the source's (the OpenSearch
+    shrink rule); same preservation guarantees as :func:`split_index`."""
+    old = config_from_manifest(index_dir)
+    if num_partitions >= old.num_partitions or num_partitions < 1 \
+            or old.num_partitions % num_partitions:
+        raise ValueError(
+            f"_shrink target shards ({num_partitions}) must be a "
+            f"factor of and smaller than the source's "
+            f"({old.num_partitions})")
+    import dataclasses
+    return reindex(index_dir, out_dir,
+                   dataclasses.replace(old,
+                                       num_partitions=num_partitions),
+                   resume=resume)

@@ -265,3 +265,35 @@ def test_execute_reindex_empty_match(src_index, tmp_path):
     res = execute_reindex(idx, str(tmp_path / "ri_none"),
                           {"source": {"query": {"term": {"lang": "zz"}}}})
     assert res == {"total": 0, "created": 0, "dest_fingerprint": None}
+
+
+def test_split_shrink_identity(src_index):
+    """_split / _shrink: re-sharding via the docstore preserves doc
+    identities and search results EXACTLY (partition count is layout,
+    not semantics); factor rules enforced."""
+    from siem_on_amazon_opensearch_service_ray.pipelines.build_index import (
+        shrink_index, split_index)
+    s, docs, idx, root = src_index
+    base = s.search("spark join", k=60)
+    basef = s.search("spark", filter_field="lang", filter_value="py",
+                     k=60)
+    out8 = str(root / "split8")
+    man8 = split_index(idx, out8, 8)
+    assert man8["config"]["num_partitions"] == 8
+    s8 = Searcher(out8, use_actors=False)
+    assert s8.search("spark join", k=60) == base
+    assert s8.search("spark", filter_field="lang", filter_value="py",
+                     k=60) == basef
+    out2 = str(root / "shrink2")
+    man2 = shrink_index(idx, out2, 2)
+    assert man2["config"]["num_partitions"] == 2
+    s2 = Searcher(out2, use_actors=False)
+    assert s2.search("spark join", k=60) == base
+    with pytest.raises(ValueError, match="multiple"):
+        split_index(idx, str(root / "bad"), 6)
+    with pytest.raises(ValueError, match="multiple"):
+        split_index(idx, str(root / "bad"), 4)
+    with pytest.raises(ValueError, match="factor"):
+        shrink_index(idx, str(root / "bad"), 3)
+    with pytest.raises(ValueError, match="factor"):
+        shrink_index(idx, str(root / "bad"), 4)
