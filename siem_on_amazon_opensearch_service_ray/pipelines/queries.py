@@ -4463,6 +4463,30 @@ def knn_ivf(sf_dir: str) -> pd.DataFrame:
     return out[["vec_id", "cos_e6"]]
 
 
+def knn_pq(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization ANN (stages/knn.train_pq_codebooks /
+    PqEncodeStage / pq_topk): vectors compressed to m=4 uint8 codes
+    (4 bytes vs dim×4 — the 100-TB memory path), queries scan codes
+    with one ADC lookup table.  Rows-only by design (approximate);
+    cluster-level recall + determinism are pytest-asserted."""
+    import pyarrow.parquet as pq
+    ds = _t_ds(sf_dir, "embeddings", ["vec_id", "embedding"])
+    books = knn_ops.train_pq_codebooks(ds, "embedding", m=4, n_codes=32)
+    ref = ray.put(books) if ray.is_initialized() else books
+    enc = ds.map_batches(knn_ops.PqEncodeStage,
+                         fn_constructor_kwargs={"books_ref": ref},
+                         batch_format="pyarrow",
+                         concurrency=_concurrency())
+    tbl = pq.read_table(_t(sf_dir, "embeddings"), columns=["embedding"],
+                        filters=[("vec_id", "=", 0)])
+    q = np.asarray(tbl.column("embedding").to_pylist()[0],
+                   dtype=np.float32)
+    out = knn_ops.pq_topk(enc, q, books, k=10,
+                          concurrency=_concurrency()).to_pandas()
+    out["adc_e6"] = _round_away(out["adc"] * 1e6).astype(np.int64)
+    return out[["vec_id", "adc_e6"]]
+
+
 def knn_lsh(sf_dir: str) -> pd.DataFrame:
     """LSH-bucketed ANN scale path (rows-only: bucket histogram)."""
     import pyarrow.parquet as pq
@@ -8194,6 +8218,7 @@ def queries() -> dict:
         "orders_monthly": orders_monthly,
         "events_weekly": events_weekly,
         "knn_ivf": knn_ivf,
+        "knn_pq": knn_pq,
         "minhash_pairs": minhash_pairs,
         "region_revenue": region_revenue,
         "decontaminate_docs": decontaminate_docs,

@@ -237,3 +237,136 @@ def ivf_topk(ds: rd.Dataset, query: np.ndarray, centroids: np.ndarray,
         batch_format="pyarrow", concurrency=concurrency)
     return partial.sort(["cosine", "vec_id"],
                         descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# PQ (product quantization) ANN: the memory-compressed scale path —
+# each vector stored as m uint8 codes (m bytes) instead of dim float32
+# (dim*4 bytes); queries scan codes with an ADC lookup table.  At
+# 100 TB this is the difference between vectors fitting in cluster RAM
+# or not; compose with IVF (encode per cell) for the classic IVF-PQ.
+
+
+def train_pq_codebooks(ds: rd.Dataset, vec_col: str = "embedding",
+                       m: int = 4, n_codes: int = 16, n_iter: int = 5,
+                       sample_rows: int = 4096, seed: int = 17
+                       ) -> np.ndarray:
+    """Deterministic per-subspace Lloyd over a bounded driver-side
+    sample (the same sampling contract as ``train_ivf_centroids``:
+    codebooks are tiny — (m, n_codes, dim/m) — and broadcast; the full
+    dataset never reaches the driver).  Vectors are unit-normalized
+    first so ADC inner products approximate cosine.  ``dim`` must be
+    divisible by ``m``."""
+    sample = pa.concat_tables(
+        ds.limit(sample_rows).iter_batches(batch_format="pyarrow"))
+    x = _as_matrix(sample.column(vec_col)).astype(np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms == 0, 1, norms)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_codes, dsub), dtype=np.float64)
+    for j in range(m):
+        xs = x[:, j * dsub:(j + 1) * dsub]
+        cents = xs[rng.choice(xs.shape[0],
+                              size=min(n_codes, xs.shape[0]),
+                              replace=False)]
+        if cents.shape[0] < n_codes:           # tiny-sample degenerate
+            reps = -(-n_codes // cents.shape[0])
+            cents = np.tile(cents, (reps, 1))[:n_codes]
+        for _ in range(n_iter):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_codes):
+                members = xs[assign == c]
+                if members.shape[0]:
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books.astype(np.float32)
+
+
+class PqEncodeStage:
+    """map_batches stage: append ``pq_code`` — m uint8 codes packed as
+    an m-byte binary per vector (the compressed representation you
+    would persist instead of the float vectors)."""
+
+    def __init__(self, books_ref, vec_col: str = "embedding",
+                 out_col: str = "pq_code"):
+        b = ray.get(books_ref) if isinstance(books_ref, ray.ObjectRef) \
+            else books_ref
+        self.books = np.asarray(b, dtype=np.float32)   # (m, K, dsub)
+        self.vec_col, self.out_col = vec_col, out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mx = _as_matrix(batch.column(self.vec_col))
+        m, _K, dsub = self.books.shape
+        if mx.shape[0] == 0:
+            return batch.append_column(self.out_col,
+                                       pa.array([], pa.binary()))
+        norms = np.linalg.norm(mx, axis=1, keepdims=True)
+        xn = mx / np.where(norms == 0, 1, norms)
+        codes = np.empty((xn.shape[0], m), dtype=np.uint8)
+        for j in range(m):
+            xs = xn[:, j * dsub:(j + 1) * dsub]
+            d2 = ((xs[:, None, :].astype(np.float64)
+                   - self.books[j][None, :, :].astype(np.float64)) ** 2
+                  ).sum(axis=2)
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        return batch.append_column(
+            self.out_col, pa.array([c.tobytes() for c in codes],
+                                   pa.binary()))
+
+
+def pq_topk(ds: rd.Dataset, query: np.ndarray, books: np.ndarray,
+            k: int = 10, id_col: str = "vec_id",
+            code_col: str = "pq_code", concurrency: int = 4
+            ) -> rd.Dataset:
+    """ADC (asymmetric distance computation) top-k over PQ codes: ONE
+    (m, K) lookup table per query — LUT[j, c] = <q_sub_j, book[j][c]>
+    — then each row's approximate cosine is a sum of m table lookups,
+    fully vectorized (no float vectors are read).  Per-batch partial
+    top-k + tiny global sort, the brute-force/IVF shape."""
+    q = np.asarray(query, dtype=np.float64).reshape(-1)
+    qn = np.linalg.norm(q)
+    qu = q / (qn or 1)
+    b = np.asarray(books, dtype=np.float64)            # (m, K, dsub)
+    m, _K, dsub = b.shape
+    lut = np.einsum("mkd,md->mk", b,
+                    qu.reshape(m, dsub))               # (m, K)
+    lut_ref = ray.put(lut) if ray.is_initialized() else lut
+
+    class AdcScore:
+        def __init__(self, lut_ref, id_col, code_col, k):
+            lt = ray.get(lut_ref) if isinstance(lut_ref, ray.ObjectRef) \
+                else lut_ref
+            self.lut = np.asarray(lt, np.float64)
+            self.id_col, self.code_col, self.k = id_col, code_col, k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            if n == 0:
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "adc": pa.array([], pa.float64())})
+            m = self.lut.shape[0]
+            raw = b"".join(batch.column(self.code_col).to_pylist())
+            codes = np.frombuffer(raw, np.uint8).reshape(n, m)
+            scores = self.lut[np.arange(m)[None, :], codes].sum(axis=1)
+            ids = batch.column(self.id_col).to_numpy(
+                zero_copy_only=False)
+            kk = min(self.k, n)
+            top = np.argpartition(-scores, kk - 1)[:kk]
+            return pa.table({
+                "vec_id": pa.array(ids[top].astype(np.int64),
+                                   pa.int64()),
+                "adc": pa.array(scores[top], pa.float64()),
+            })
+
+    partial = ds.map_batches(
+        AdcScore,
+        fn_constructor_kwargs=dict(lut_ref=lut_ref, id_col=id_col,
+                                   code_col=code_col, k=k),
+        batch_format="pyarrow", concurrency=concurrency)
+    return partial.sort(["adc", "vec_id"],
+                        descending=[True, False]).limit(k)

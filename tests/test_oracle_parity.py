@@ -155,7 +155,7 @@ def test_sql_parity(registry, con, name):
 
 
 ROWS_ONLY = ["simhash_docs", "langid_docs",
-             "fingerprint_docs", "knn_lsh", "knn_ivf",
+             "fingerprint_docs", "knn_lsh", "knn_ivf", "knn_pq",
              "embedding_near_dups"]
 
 

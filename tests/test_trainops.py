@@ -617,3 +617,49 @@ def test_url_canonicalize_and_dedup(ray_session):
 
     kept = sorted(urls.url_dedup(ds).to_pandas()["doc_id"])
     assert kept == [0, 2, 4, 5, 6]
+
+
+def test_pq_adc_recall_and_determinism(ray_session):
+    """Product quantization: 4-byte codes per 16-dim vector, ADC
+    lookup-table scan — every returned id lands in the query's
+    cluster (no cross-cluster confusion) and inside the exact top-60;
+    codebooks/codes/results are deterministic across runs."""
+    rng = np.random.RandomState(21)
+    n, dim = 400, 16
+    cents = rng.normal(size=(8, dim))
+    assign = rng.randint(0, 8, n)
+    mat = (cents[assign] + 0.05 * rng.normal(size=(n, dim))
+           ).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    }))
+    books = knn.train_pq_codebooks(ds, m=4, n_codes=32, sample_rows=n)
+    assert books.shape == (4, 32, 4)
+    books2 = knn.train_pq_codebooks(ds, m=4, n_codes=32, sample_rows=n)
+    assert np.array_equal(books, books2)
+    import ray
+    ref = ray.put(books)
+    enc = ds.map_batches(knn.PqEncodeStage,
+                         fn_constructor_kwargs=dict(books_ref=ref),
+                         batch_format="pyarrow", concurrency=2)
+    sample = next(iter(enc.iter_batches(batch_format="pyarrow",
+                                        batch_size=16)))
+    assert all(len(c) == 4 for c in sample["pq_code"].to_pylist())
+    q = mat[3]
+    got = knn.pq_topk(enc, q, books, k=10, concurrency=2).to_pandas()
+    # PQ cells are coarser than the 0.05 within-cluster noise, so fine
+    # rank inside the cluster is quantized away (by design — 4 bytes
+    # per vector); the meaningful ANN properties: every returned id is
+    # in the query's cluster, and all 10 sit inside the exact top-60
+    # (≈ the cluster) — i.e. no cross-cluster confusion.
+    assert all(assign[int(v)] == assign[3] for v in got["vec_id"])
+    un = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = un @ (q / np.linalg.norm(q))
+    exact60 = set(np.argsort(-sims, kind="stable")[:60].tolist())
+    assert set(int(v) for v in got["vec_id"]) <= exact60
+    got2 = knn.pq_topk(enc, q, books, k=10, concurrency=2).to_pandas()
+    assert got.equals(got2)
+    with pytest.raises(ValueError, match="divisible"):
+        knn.train_pq_codebooks(ds, m=5, n_codes=8, sample_rows=64)
