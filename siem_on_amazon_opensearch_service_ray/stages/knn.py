@@ -321,13 +321,18 @@ class PqEncodeStage:
 
 def pq_topk(ds: rd.Dataset, query: np.ndarray, books: np.ndarray,
             k: int = 10, id_col: str = "vec_id",
-            code_col: str = "pq_code", concurrency: int = 4
-            ) -> rd.Dataset:
+            code_col: str = "pq_code", concurrency: int = 4,
+            probe_cells: set[int] | None = None,
+            cell_col: str = "ivf_cell") -> rd.Dataset:
     """ADC (asymmetric distance computation) top-k over PQ codes: ONE
     (m, K) lookup table per query — LUT[j, c] = <q_sub_j, book[j][c]>
     — then each row's approximate cosine is a sum of m table lookups,
     fully vectorized (no float vectors are read).  Per-batch partial
-    top-k + tiny global sort, the brute-force/IVF shape."""
+    top-k + tiny global sort, the brute-force/IVF shape.
+
+    ``probe_cells`` turns this into IVF-PQ: rows whose ``cell_col``
+    (an `IvfAssignStage` column) is outside the probed set are skipped
+    before any lookup — the classic compressed probed-cell scan."""
     q = np.asarray(query, dtype=np.float64).reshape(-1)
     qn = np.linalg.norm(q)
     qu = q / (qn or 1)
@@ -338,17 +343,27 @@ def pq_topk(ds: rd.Dataset, query: np.ndarray, books: np.ndarray,
     lut_ref = ray.put(lut) if ray.is_initialized() else lut
 
     class AdcScore:
-        def __init__(self, lut_ref, id_col, code_col, k):
+        def __init__(self, lut_ref, id_col, code_col, k, probe,
+                     cell_col):
             lt = ray.get(lut_ref) if isinstance(lut_ref, ray.ObjectRef) \
                 else lut_ref
             self.lut = np.asarray(lt, np.float64)
             self.id_col, self.code_col, self.k = id_col, code_col, k
+            self.probe = (np.array(sorted(probe), dtype=np.int64)
+                          if probe is not None else None)
+            self.cell_col = cell_col
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                              "adc": pa.array([], pa.float64())})
+            if self.probe is not None:
+                cells = batch.column(self.cell_col).to_numpy(
+                    zero_copy_only=False)
+                batch = batch.filter(
+                    pa.array(np.isin(cells, self.probe)))
             n = batch.num_rows
             if n == 0:
-                return pa.table({"vec_id": pa.array([], pa.int64()),
-                                 "adc": pa.array([], pa.float64())})
+                return empty
             m = self.lut.shape[0]
             raw = b"".join(batch.column(self.code_col).to_pylist())
             codes = np.frombuffer(raw, np.uint8).reshape(n, m)
@@ -366,7 +381,8 @@ def pq_topk(ds: rd.Dataset, query: np.ndarray, books: np.ndarray,
     partial = ds.map_batches(
         AdcScore,
         fn_constructor_kwargs=dict(lut_ref=lut_ref, id_col=id_col,
-                                   code_col=code_col, k=k),
+                                   code_col=code_col, k=k,
+                                   probe=probe_cells, cell_col=cell_col),
         batch_format="pyarrow", concurrency=concurrency)
     return partial.sort(["adc", "vec_id"],
                         descending=[True, False]).limit(k)

@@ -663,3 +663,20 @@ def test_pq_adc_recall_and_determinism(ray_session):
     assert got.equals(got2)
     with pytest.raises(ValueError, match="divisible"):
         knn.train_pq_codebooks(ds, m=5, n_codes=8, sample_rows=64)
+    # IVF-PQ composition: assign coarse cells, probe the query's top
+    # cells, ADC only inside them — equal to full-scan ADC when the
+    # query's whole cluster lives in the probed cells
+    cents8 = knn.train_ivf_centroids(ds, n_cells=8, sample_rows=n)
+    enc_cells = enc.map_batches(
+        knn.IvfAssignStage,
+        fn_constructor_kwargs=dict(centroids_ref=ray.put(cents8)),
+        batch_format="pyarrow", concurrency=2)
+    qu = q / np.linalg.norm(q)
+    probe = set(np.argsort(-(cents8 @ qu))[:3].tolist())
+    ivfpq = knn.pq_topk(enc_cells, q, books, k=10, concurrency=2,
+                        probe_cells=probe).to_pandas()
+    assert all(assign[int(v)] == assign[3] for v in ivfpq["vec_id"])
+    # probing EVERY cell degenerates to the full-scan ADC exactly
+    full = knn.pq_topk(enc_cells, q, books, k=10, concurrency=2,
+                       probe_cells=set(range(8))).to_pandas()
+    assert full[["vec_id", "adc"]].equals(got[["vec_id", "adc"]])
