@@ -7304,6 +7304,63 @@ SELECT metric, value FROM (VALUES
 """
 
 
+def dsl_terms_include(sf_dir: str) -> pd.DataFrame:
+    """terms agg ``include`` / ``exclude`` through `_search`:
+    anchored-regex include (`e.*` keeps en/es — Lucene full-match
+    semantics), value-list exclude, and a combined list include +
+    exclude — all applied to the reduced census BEFORE size
+    truncation (coordinator work over |values| buckets; the per-shard
+    partials are untouched)."""
+    from ..state.dsl import execute_dsl
+    idx = _doc_sharded_index(sf_dir)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        resp = execute_dsl(s, {
+            "query": {"match": {"content": BM25_QUERY}}, "size": 0,
+            "aggs": {
+                "inc": {"terms": {"field": "lang", "size": 20,
+                                  "include": "e.*"}},
+                "exc": {"terms": {"field": "lang", "size": 20,
+                                  "exclude": ["en"]}},
+                "lst": {"terms": {"field": "lang", "size": 20,
+                                  "include": ["de", "fr", "zh"],
+                                  "exclude": ["fr"]}}}})
+    finally:
+        s.close()
+    rows = [(name, b["key"], b["doc_count"])
+            for name in ("inc", "exc", "lst")
+            for b in resp["aggregations"][name]["buckets"]]
+    return pd.DataFrame({
+        "agg": [r[0] for r in rows],
+        "lang": [r[1] for r in rows],
+        "n": np.array([r[2] for r in rows], np.int64),
+    })
+
+
+DSL_TERMS_INCLUDE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+         AS term
+  FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok
+      WHERE term IN ({", ".join(repr(t) for t in
+                                dict.fromkeys(base_tokens(BM25_QUERY)))})),
+c AS (SELECT d.lang, count(*) AS n
+      FROM documents d JOIN m USING (doc_id) GROUP BY d.lang),
+u AS (
+  SELECT 'inc' AS agg, lang, n FROM c WHERE regexp_full_match(lang, 'e.*')
+  UNION ALL
+  SELECT 'exc', lang, n FROM c WHERE lang <> 'en'
+  UNION ALL
+  SELECT 'lst', lang, n FROM c
+  WHERE lang IN ('de', 'fr', 'zh') AND lang <> 'fr')
+SELECT agg, lang, cast(n AS BIGINT) AS n
+FROM u
+ORDER BY CASE agg WHEN 'inc' THEN 0 WHEN 'exc' THEN 1 ELSE 2 END,
+         n DESC, lang
+"""
+
+
 def dsl_filtered_aggs(sf_dir: str) -> pd.DataFrame:
     """Bool-FILTERED aggregation context through `_search` — THE
     dashboard request shape (query + keyword filter + numeric window,
@@ -8066,6 +8123,7 @@ def queries() -> dict:
         "url_canon_docs": url_canon_docs,
         "search_geo_polygon": search_geo_polygon,
         "search_function_random": search_function_random,
+        "dsl_terms_include": dsl_terms_include,
         "search_global_agg": search_global_agg,
         "dsl_extended_stats_bucket": dsl_extended_stats_bucket,
         "search_span_containing": search_span_containing,
@@ -8301,6 +8359,7 @@ def oracle_sql() -> dict:
         "search_geo_polygon": SEARCH_GEO_POLYGON_SQL,
         "url_canon_docs": URL_CANON_SQL,
         "search_function_random": SEARCH_FUNCTION_RANDOM_SQL,
+        "dsl_terms_include": DSL_TERMS_INCLUDE_SQL,
         "dsl_count": DSL_COUNT_SQL,
         "dsl_msearch": DSL_MSEARCH_SQL,
         "dsl_termvectors": DSL_TERMVECTORS_SQL,

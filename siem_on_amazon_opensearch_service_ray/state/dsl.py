@@ -691,6 +691,25 @@ def _exec_agg(s, name: str, spec: dict, qctx: tuple[str, str, str]
     sub = spec.get("aggs", spec.get("aggregations", {}))
     if kind == "terms":
         rows = s.terms_aggregation(text, body["field"], qfield, mode)
+        inc, exc = body.get("include"), body.get("exclude")
+        if inc is not None or exc is not None:
+            # OpenSearch terms include/exclude: exact-value lists or
+            # ANCHORED regex (Lucene full-match semantics) applied to
+            # the census values BEFORE size truncation — coordinator
+            # work over the reduced buckets, size |values|
+            import re as _re
+
+            def _keep(v: str) -> bool:
+                if isinstance(inc, list):
+                    if v not in inc:
+                        return False
+                elif inc is not None and _re.fullmatch(inc, v) is None:
+                    return False
+                if isinstance(exc, list):
+                    return v not in exc
+                return exc is None or _re.fullmatch(exc, v) is None
+
+            rows = [(v, n) for v, n in rows if _keep(v)]
         if "missing" in body:
             # OpenSearch terms `missing` param: docs in the match set
             # LACKING the field bucket under the given key — the
