@@ -1995,3 +1995,71 @@ def test_pit_pins_visibility(ray_session, tmp_path_factory):
                              "pit": {"id": pit}})
     finally:
         s2.close()
+
+
+def test_pit_stable_deep_pagination(ray_session, tmp_path_factory):
+    """THE PIT use case: field-sorted search_after paging stays
+    consistent when docs are ingested mid-pagination — the remaining
+    pages reproduce exactly the open-time snapshot, no duplicates or
+    skips; the same pagination WITHOUT the pit surfaces the new doc.
+    (Score-sorted cursors are NOT stats-stable across ingests — the
+    documented PIT deviation — so deep paging sorts on a field, the
+    OpenSearch timestamp+tiebreak pattern.)"""
+    from siem_on_amazon_opensearch_service_ray.state.dsl import (
+        execute_bulk, execute_dsl, execute_open_pit)
+    n = 50
+    rng = np.random.default_rng(31)
+    docs = [" ".join(VOCAB[int(j)]
+                     for j in rng.integers(0, len(VOCAB), 8))
+            for _ in range(n)]
+    root = tmp_path_factory.mktemp("pitpage")
+    src = str(root / "d.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": docs,
+        "lang": [["py", "go"][i % 2] for i in range(n)],
+        "ord": pa.array([float(i) for i in range(n)], pa.float64()),
+    }), src)
+    idx = str(root / "idx")
+    cfg = IndexConfig(num_partitions=2,
+                      fields=(("content", "text", "base"),),
+                      keyword_fields=("lang",), range_fields=("ord",),
+                      doc_id_col="doc_id", sha_col="text",
+                      partition_by="doc", salting=False)
+    build_index([src], idx, cfg)
+    s = Searcher(idx, use_actors=False)
+    pit = execute_open_pit(s)["pit_id"]
+    first = execute_dsl(s, {"sort": [{"ord": "asc"}], "size": 7,
+                            "pit": {"id": pit}})
+    s.close()
+    execute_bulk(idx, [{"index": {"_id": 3000}},
+                       {"text": "spark spark spark spark",
+                        "lang": "py", "ord": 7.5}])
+    s2 = Searcher(idx, use_actors=False)
+    try:
+        ids = [h["_id"] for h in first["hits"]["hits"]]
+        cursor = first["hits"]["hits"][-1]["sort"]
+        while True:
+            page = execute_dsl(s2, {"sort": [{"ord": "asc"}],
+                                    "size": 7, "pit": {"id": pit},
+                                    "search_after": cursor})
+            hits = page["hits"]["hits"]
+            if not hits:
+                break
+            ids += [h["_id"] for h in hits]
+            cursor = hits[-1]["sort"]
+        assert ids == list(range(n))        # exact open-time snapshot
+        # the same drain WITHOUT the pit picks up the new doc at 7.5
+        live, cursor = [], None
+        while True:
+            body = {"sort": [{"ord": "asc"}], "size": 7}
+            if cursor is not None:
+                body["search_after"] = cursor
+            hits = execute_dsl(s2, body)["hits"]["hits"]
+            if not hits:
+                break
+            live += [h["_id"] for h in hits]
+            cursor = hits[-1]["sort"]
+        assert live == list(range(8)) + [3000] + list(range(8, n))
+    finally:
+        s2.close()
