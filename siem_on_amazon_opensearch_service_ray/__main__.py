@@ -316,6 +316,20 @@ def main(argv: list[str] | None = None) -> int:
     mp.add_argument("index_dir")
     mp.add_argument("--settings", action="store_true")
 
+    cs = sub.add_parser("cat-shards", help="_cat/shards: one row per "
+                        "(index, partition) from build manifests")
+    cs.add_argument("root")
+    cs.add_argument("--pattern", default="*")
+
+    rx = sub.add_parser("resolve-index", help="_resolve/index: which "
+                        "indexes + aliases an expression names")
+    rx.add_argument("root")
+    rx.add_argument("expression", nargs="?", default="*")
+
+    ch = sub.add_parser("cluster-health", help="_cluster/health over "
+                        "a root of indexes")
+    ch.add_argument("root")
+
     al = sub.add_parser("aliases",
                         help="OpenSearch _aliases: GET the registry "
                              "or POST add/remove actions over a root "
@@ -583,6 +597,17 @@ def main(argv: list[str] | None = None) -> int:
             from .state.stats import get_mapping, get_settings
             fn = get_settings if args.settings else get_mapping
             print(json.dumps(fn(args.index_dir), indent=2))
+        elif args.cmd == "cat-shards":
+            from .state.multisearch import cat_shards
+            print(json.dumps(cat_shards(args.root, args.pattern),
+                             indent=2))
+        elif args.cmd == "resolve-index":
+            from .state.multisearch import resolve_index
+            print(json.dumps(resolve_index(args.root, args.expression),
+                             indent=2))
+        elif args.cmd == "cluster-health":
+            from .state.multisearch import cluster_health
+            print(json.dumps(cluster_health(args.root), indent=2))
         elif args.cmd == "aliases":
             from .state.multisearch import execute_aliases, get_aliases
             if args.body is None:

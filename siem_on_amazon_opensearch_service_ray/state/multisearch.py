@@ -117,6 +117,71 @@ def cat_count(root: str, pattern: str = "*") -> dict:
     return {"count": int(total)}
 
 
+def resolve_index(root: str, expression: str = "*") -> dict:
+    """OpenSearch ``GET _resolve/index/<expression>``: which concrete
+    indexes and aliases the expression names — metadata only."""
+    import fnmatch
+    names = sorted(os.path.basename(p)
+                   for p in resolve_pattern(root, expression))
+    aliases = get_aliases(root)
+    return {
+        "indices": [{"name": n, "attributes": ["open"]} for n in names],
+        "aliases": [{"name": a, "indices": sorted(ixs)}
+                    for a, ixs in sorted(aliases.items())
+                    if fnmatch.fnmatch(a, expression)],
+        "data_streams": [],
+    }
+
+
+def cat_shards(root: str, pattern: str = "*") -> list[dict]:
+    """OpenSearch ``_cat/shards``: one row per (index, partition) with
+    its doc count and store bytes — read from the per-partition build
+    manifests (`state/stats`), no data touched.  Every shard reports
+    ``prirep='p'`` / ``state='STARTED'`` (the engine has no replicas;
+    durability is the object store's job at scale)."""
+    from .stats import docstore_stats, index_stats
+    rows: list[dict] = []
+    for p in resolve_pattern(root, pattern):
+        name = os.path.basename(p)
+        seg = index_stats(p).set_index("part")
+        docs_by_part: dict[int, int] = {}
+        store = docstore_stats(p)
+        if len(store):
+            for path, nrows in zip(store["path"], store["rows"]):
+                base = os.path.basename(str(path))
+                try:
+                    part = int(base.split("-")[1].split(".")[0].
+                               split("-")[0])
+                except (IndexError, ValueError):
+                    continue
+                docs_by_part[part] = docs_by_part.get(part, 0) \
+                    + int(nrows)
+        for part in sorted(set(seg.index) | set(docs_by_part)):
+            b = int(seg.loc[part, "bytes"]) if part in seg.index else 0
+            rows.append({"index": name, "shard": int(part),
+                         "prirep": "p", "state": "STARTED",
+                         "docs": int(docs_by_part.get(part, 0)),
+                         "store": b})
+    return rows
+
+
+def cluster_health(root: str) -> dict:
+    """OpenSearch ``_cluster/health`` over a root of indexes: always
+    green (every shard of every index is a readable parquet layout or
+    the build would have failed), with the active-shard census."""
+    idx = resolve_pattern(root, "*")
+    shards = cat_shards(root, "*")
+    return {
+        "status": "green",
+        "number_of_indices": len(idx),
+        "active_primary_shards": len(shards),
+        "active_shards": len(shards),
+        "unassigned_shards": 0,
+        "relocating_shards": 0,
+        "initializing_shards": 0,
+    }
+
+
 def execute_aliases(root: str, body: dict) -> dict:
     """OpenSearch ``POST _aliases`` parity: atomic add/remove actions
     over the registry.  ``add`` accepts an exact index basename or a

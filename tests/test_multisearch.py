@@ -391,3 +391,35 @@ def test_cat_aliases_count_mapping_settings(split_indexes, capsys):
     assert json.loads(capsys.readouterr().out) == m
     assert main(["mapping", ia, "--settings"]) == 0
     assert json.loads(capsys.readouterr().out) == get_settings(ia)
+
+
+def test_resolve_index_shards_health(split_indexes, capsys):
+    """_resolve/index (pattern -> indexes + aliases), _cat/shards
+    (per-partition doc/byte rows from build manifests), and
+    _cluster/health (always-green census); CLI round-trips."""
+    import json
+
+    from siem_on_amazon_opensearch_service_ray.__main__ import main
+    from siem_on_amazon_opensearch_service_ray.state.multisearch import (
+        cat_shards, cluster_health, resolve_index)
+    root, flat_idx, ia, ib = split_indexes
+    r = resolve_index(root, "log-2024-*")
+    assert [i["name"] for i in r["indices"]] == ["log-2024-01",
+                                                 "log-2024-02"]
+    assert r["data_streams"] == []
+    r2 = resolve_index(root, "logs")
+    assert any(a["name"] == "logs" for a in r2["aliases"])
+    sh = cat_shards(root, "log-2024-01")
+    assert [s["shard"] for s in sh] == [0, 1]
+    assert sum(s["docs"] for s in sh) == 100
+    assert all(s["prirep"] == "p" and s["state"] == "STARTED"
+               and s["store"] > 0 for s in sh)
+    h = cluster_health(root)
+    assert h["status"] == "green" and h["unassigned_shards"] == 0
+    assert h["active_shards"] == len(cat_shards(root))
+    assert main(["cat-shards", root, "--pattern", "log-2024-01"]) == 0
+    assert json.loads(capsys.readouterr().out) == sh
+    assert main(["resolve-index", root, "log-2024-*"]) == 0
+    assert json.loads(capsys.readouterr().out) == r
+    assert main(["cluster-health", root]) == 0
+    assert json.loads(capsys.readouterr().out) == h
