@@ -330,6 +330,15 @@ def main(argv: list[str] | None = None) -> int:
                         "a root of indexes")
     ch.add_argument("root")
 
+    sn = sub.add_parser("snapshot", help="_snapshot: create/restore/"
+                        "status over a repository directory")
+    sn.add_argument("action", choices=["create", "restore", "status"])
+    sn.add_argument("repo_dir")
+    sn.add_argument("name", nargs="?")
+    sn.add_argument("path", nargs="?",
+                    help="create: the index dir; restore: the "
+                         "destination dir")
+
     al = sub.add_parser("aliases",
                         help="OpenSearch _aliases: GET the registry "
                              "or POST add/remove actions over a root "
@@ -608,6 +617,27 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "cluster-health":
             from .state.multisearch import cluster_health
             print(json.dumps(cluster_health(args.root), indent=2))
+        elif args.cmd == "snapshot":
+            from .pipelines.lifecycle import (snapshot_create,
+                                              snapshot_restore,
+                                              snapshot_status)
+            if args.action == "status":
+                print(json.dumps(snapshot_status(args.repo_dir),
+                                 indent=2))
+            elif args.action == "create":
+                if not (args.name and args.path):
+                    raise SystemExit("snapshot create <repo> <name> "
+                                     "<index_dir>")
+                print(json.dumps(snapshot_create(args.path,
+                                                 args.repo_dir,
+                                                 args.name)))
+            else:
+                if not (args.name and args.path):
+                    raise SystemExit("snapshot restore <repo> <name> "
+                                     "<dest_dir>")
+                print(json.dumps(snapshot_restore(args.repo_dir,
+                                                  args.name,
+                                                  args.path)))
         elif args.cmd == "aliases":
             from .state.multisearch import execute_aliases, get_aliases
             if args.body is None:

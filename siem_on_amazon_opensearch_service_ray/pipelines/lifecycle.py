@@ -123,3 +123,95 @@ def rollover_partitions(out_dir: str, max_bytes: int,
                                os.path.join(new_dir, f))
             report.setdefault(fam, []).extend(made)
     return report
+
+
+# ---------------------------------------------------------------------------
+# _snapshot (create / restore / status) — OpenSearch snapshot-repository
+# parity over inverted-index directories.  The reference registers an
+# S3 snapshot repository and relies on OpenSearch snapshots for backup
+# (deploy_es advanced setup); here a snapshot is a verified copy of the
+# index directory into a repository directory.  Driver-side file I/O by
+# design — at 100 TB you would fan the per-file copies out as Ray tasks
+# against the object store, but the CONTROL flow (census, manifest,
+# verify) stays exactly this.
+
+
+def _file_census(root: str) -> dict[str, int]:
+    """{relative_path: size} over every regular file under root."""
+    out: dict[str, int] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            p = os.path.join(dirpath, fn)
+            out[os.path.relpath(p, root)] = os.path.getsize(p)
+    return out
+
+
+def snapshot_create(index_dir: str, repo_dir: str, name: str) -> dict:
+    """``PUT _snapshot/<repo>/<name>``: copy the index (postings,
+    docstore, filters, manifests, tombstones, pits — the whole
+    queryable state) into the repository under ``name`` with a
+    SNAPSHOT.json recording the file census and the index fingerprint.
+    An existing snapshot name refuses (OpenSearch 400s on collision)."""
+    import json
+    dest = os.path.join(repo_dir, name)
+    if os.path.exists(dest):
+        raise ValueError(f"snapshot {name!r} already exists in the "
+                         "repository")
+    with open(os.path.join(index_dir, "INDEX_MANIFEST.json")) as f:
+        man = json.load(f)
+    os.makedirs(repo_dir, exist_ok=True)
+    shutil.copytree(index_dir, dest)
+    census = _file_census(dest)
+    meta = {"snapshot": name, "state": "SUCCESS",
+            "fingerprint": man["fingerprint"],
+            "n_docs": int(man["stats"]["n_docs"]),
+            "n_files": len(census),
+            "total_bytes": int(sum(census.values())),
+            "files": census}
+    with open(os.path.join(repo_dir, f"{name}.SNAPSHOT.json"),
+              "w") as f:
+        json.dump(meta, f)
+    return {k: v for k, v in meta.items() if k != "files"}
+
+
+def snapshot_restore(repo_dir: str, name: str, dest_dir: str) -> dict:
+    """``POST _snapshot/<repo>/<name>/_restore``: copy the snapshot to
+    ``dest_dir`` (which must not exist — restoring over a live index
+    refuses, the OpenSearch open-index rule) and VERIFY the restored
+    file census byte-for-byte against the snapshot manifest before
+    reporting success."""
+    import json
+    src = os.path.join(repo_dir, name)
+    meta_path = os.path.join(repo_dir, f"{name}.SNAPSHOT.json")
+    if not os.path.isdir(src) or not os.path.exists(meta_path):
+        raise KeyError(f"unknown snapshot {name!r}")
+    if os.path.exists(dest_dir):
+        raise ValueError("restore destination exists — close/remove "
+                         "the live index first")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    shutil.copytree(src, dest_dir)
+    got = _file_census(dest_dir)
+    if got != meta["files"]:
+        raise RuntimeError(
+            f"restore verification failed: {len(got)} files vs "
+            f"{meta['n_files']} in the snapshot manifest")
+    return {"snapshot": name, "state": "RESTORED",
+            "n_files": len(got),
+            "total_bytes": int(sum(got.values()))}
+
+
+def snapshot_status(repo_dir: str) -> list[dict]:
+    """``GET _snapshot/<repo>/_all``: every snapshot's summary row."""
+    import json
+    out = []
+    if not os.path.isdir(repo_dir):
+        return out
+    for fn in sorted(os.listdir(repo_dir)):
+        if fn.endswith(".SNAPSHOT.json"):
+            with open(os.path.join(repo_dir, fn)) as f:
+                meta = json.load(f)
+            out.append({k: meta[k] for k in
+                        ("snapshot", "state", "fingerprint", "n_docs",
+                         "n_files", "total_bytes")})
+    return out

@@ -297,3 +297,33 @@ def test_split_shrink_identity(src_index):
         shrink_index(idx, str(root / "bad"), 3)
     with pytest.raises(ValueError, match="factor"):
         shrink_index(idx, str(root / "bad"), 4)
+
+
+def test_snapshot_create_restore(src_index):
+    """_snapshot: create copies the full queryable state with a file
+    census; restore verifies byte-for-byte and the restored index
+    answers queries identically; collisions and live-dest refuse."""
+    from siem_on_amazon_opensearch_service_ray.pipelines.lifecycle import (
+        snapshot_create, snapshot_restore, snapshot_status)
+    s, docs, idx, root = src_index
+    repo = str(root / "snaprepo")
+    meta = snapshot_create(idx, repo, "snap1")
+    assert meta["state"] == "SUCCESS" and meta["n_docs"] == N_DOCS
+    assert meta["n_files"] > 0 and meta["total_bytes"] > 0
+    with pytest.raises(ValueError, match="already exists"):
+        snapshot_create(idx, repo, "snap1")
+    dest = str(root / "restored")
+    r = snapshot_restore(repo, "snap1", dest)
+    assert r["state"] == "RESTORED" and r["n_files"] == meta["n_files"]
+    s2 = Searcher(dest, use_actors=False)
+    assert s2.search("spark join", k=40) == s.search("spark join", k=40)
+    assert s2.search("spark", filter_field="lang", filter_value="py",
+                     k=40) == s.search("spark", filter_field="lang",
+                                       filter_value="py", k=40)
+    rows = snapshot_status(repo)
+    assert [x["snapshot"] for x in rows] == ["snap1"]
+    assert rows[0]["fingerprint"] == meta["fingerprint"]
+    with pytest.raises(KeyError, match="unknown snapshot"):
+        snapshot_restore(repo, "nope", str(root / "never"))
+    with pytest.raises(ValueError, match="destination exists"):
+        snapshot_restore(repo, "snap1", dest)
