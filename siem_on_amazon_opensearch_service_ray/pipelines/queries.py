@@ -7884,6 +7884,55 @@ def search_index_pattern(sf_dir: str) -> pd.DataFrame:
         "index_name": [i for _, i, _ in hits]})
 
 
+def search_indices_boost(sf_dir: str) -> pd.DataFrame:
+    """``indices_boost`` over an index pattern (boost recent rotated
+    indexes over old ones — THE retention-weighting request): each
+    index's flat-identical scores multiply by its boost factor before
+    the coordinator merge.  The boost is a per-index monotone
+    transform, so merging per-index top-k stays exact; the SQL twin
+    applies the same CASE multiplier to the flat-union BM25 scores."""
+    from ..state.dsl import execute_pattern_dsl
+    from ..state.multisearch import MultiSearcher, resolve_pattern
+    ia, ib = _split_index_dirs(sf_dir)
+    ms = MultiSearcher(resolve_pattern(os.path.dirname(ia),
+                                       "log-docs-*"),
+                       use_actors=ray.is_initialized())
+    try:
+        resp = execute_pattern_dsl(ms, {
+            "query": {"match": {"content": BM25_QUERY}},
+            "size": BM25_K,
+            "indices_boost": [{"log-docs-2024-01": 2.0},
+                              {"log-docs-2024-02": 0.5}]})
+    finally:
+        ms.close()
+    hits = resp["hits"]["hits"]
+    return pd.DataFrame({
+        "doc_id": np.array([h["_id"] for h in hits], np.int64),
+        "score_e4": np.array([int(_round_away(h["_score"] * 1e4))
+                              for h in hits], np.int64),
+        "index_name": [h["_index"] for h in hits]})
+
+
+SEARCH_INDICES_BOOST_SQL = _BM25_SCORES_CTE + f"""
+, boosted AS (
+  SELECT s.doc_id,
+         s.score * CASE WHEN s.doc_id <
+                        (SELECT cast(floor(count(*) * 0.4) AS BIGINT)
+                         FROM documents)
+                   THEN 2.0 ELSE 0.5 END AS score,
+         CASE WHEN s.doc_id <
+              (SELECT cast(floor(count(*) * 0.4) AS BIGINT)
+               FROM documents)
+              THEN 'log-docs-2024-01' ELSE 'log-docs-2024-02' END
+           AS index_name
+  FROM scores s)
+SELECT doc_id, cast(round(score * 10000) AS BIGINT) AS score_e4,
+       index_name
+FROM boosted
+ORDER BY score DESC, doc_id LIMIT {BM25_K}
+"""
+
+
 SEARCH_INDEX_PATTERN_SQL = _BM25_SCORES_CTE + f"""
 SELECT s.doc_id, cast(round(s.score * 10000) AS BIGINT) AS score_e4,
        CASE WHEN s.doc_id < (SELECT cast(floor(count(*) * 0.4) AS BIGINT)
@@ -8124,6 +8173,7 @@ def queries() -> dict:
         "search_geo_polygon": search_geo_polygon,
         "search_function_random": search_function_random,
         "dsl_terms_include": dsl_terms_include,
+        "search_indices_boost": search_indices_boost,
         "search_global_agg": search_global_agg,
         "dsl_extended_stats_bucket": dsl_extended_stats_bucket,
         "search_span_containing": search_span_containing,
@@ -8360,6 +8410,7 @@ def oracle_sql() -> dict:
         "url_canon_docs": URL_CANON_SQL,
         "search_function_random": SEARCH_FUNCTION_RANDOM_SQL,
         "dsl_terms_include": DSL_TERMS_INCLUDE_SQL,
+        "search_indices_boost": SEARCH_INDICES_BOOST_SQL,
         "dsl_count": DSL_COUNT_SQL,
         "dsl_msearch": DSL_MSEARCH_SQL,
         "dsl_termvectors": DSL_TERMVECTORS_SQL,

@@ -2088,10 +2088,23 @@ def execute_pattern_dsl(ms, body: dict) -> dict:
     query = body.get("query")
     resp: dict = {"hits": {"total": {"value": 0, "relation": "eq"},
                            "hits": []}}
+    ib = body.get("indices_boost")
+    if ib is not None:
+        # modern list-of-single-pair form or the legacy dict form
+        if isinstance(ib, list):
+            boosts: dict[str, float] = {}
+            for ent in ib:
+                (name, factor), = ent.items()
+                boosts[name] = float(factor)
+        else:
+            boosts = {k_: float(v_) for k_, v_ in ib.items()}
+    else:
+        boosts = None
     if query is not None and "match" in query and size > 0:
         f, text, op = _match_text(query)
         rows = ms.search(text, field=f, k=size,
-                         mode="and" if op == "and" else "or")
+                         mode="and" if op == "and" else "or",
+                         indices_boost=boosts)
         resp["hits"]["hits"] = [
             {"_index": ix, "_id": int(d), "_score": float(sc)}
             for sc, ix, d in rows]
@@ -2124,7 +2137,7 @@ def execute_pattern_dsl(ms, body: dict) -> dict:
             should=_texts(spec.get("should")),
             must_not=_texts(spec.get("must_not")),
             minimum_should_match=spec.get("minimum_should_match"),
-            filters=fspecs or None, k=size)
+            filters=fspecs or None, k=size, indices_boost=boosts)
         resp["hits"]["hits"] = [
             {"_index": ix, "_id": int(d), "_score": float(sc)}
             for sc, ix, d in rows]

@@ -292,10 +292,15 @@ class MultiSearcher:
         return n, avgdl, idf
 
     def _scored(self, method: str, kwargs: dict, k: int, field: str,
-                terms: list[str]) -> list[tuple[float, str, int]]:
+                terms: list[str],
+                boosts: dict[str, float] | None = None
+                ) -> list[tuple[float, str, int]]:
         """Run a scoring method per index under pattern-global stats
         and merge: returns [(score, index_name, doc_id)] sorted
-        (score desc, doc_id asc, index asc) top-k."""
+        (score desc, doc_id asc, index asc) top-k.  ``boosts``
+        (OpenSearch ``indices_boost``) multiplies each index's scores
+        before the merge — a per-index monotone transform, so merging
+        the per-index (unboosted-rank) top-k stays exact."""
         n, avgdl, idf = self._global(field, terms)
         rows: list[tuple[float, str, int]] = []
         for name, s in self.searchers.items():
@@ -314,29 +319,41 @@ class MultiSearcher:
                 finally:
                     s._idf_overrides = None
                     s.stats = old_stats
-            rows.extend((float(sc), name, int(d)) for sc, d in hits)
+            bf = float(boosts.get(name, 1.0)) if boosts else 1.0
+            rows.extend((float(sc) * bf, name, int(d))
+                        for sc, d in hits)
         rows.sort(key=lambda t: (-t[0], t[2], t[1]))
         return rows[:k]
 
     # -- query surface ------------------------------------------------
 
     def search(self, query: str, field: str = "content", k: int = 10,
-               mode: str = "or") -> list[tuple[float, str, int]]:
+               mode: str = "or",
+               indices_boost: dict[str, float] | None = None
+               ) -> list[tuple[float, str, int]]:
         """Pattern-wide BM25 top-k: [(score, index, doc_id)] — scores
-        bit-identical to one flat index over the union corpus."""
+        bit-identical to one flat index over the union corpus (then
+        per-index ``indices_boost`` multipliers, when given)."""
         from ..analysis import ANALYZERS
         s0 = next(iter(self.searchers.values()))
         terms = ANALYZERS[s0._analyzer_for(field, None)](query)
         if not terms:
             return []
+        if indices_boost:
+            unknown = set(indices_boost) - set(self.searchers)
+            if unknown:
+                raise ValueError(f"indices_boost names unknown "
+                                 f"indexes: {sorted(unknown)}")
         return self._scored(
             "search", dict(query=query, field=field, k=k, mode=mode),
-            k, field, terms)
+            k, field, terms, boosts=indices_boost)
 
     def search_bool(self, must=None, should=None, must_not=None,
                     field: str = "content", k: int = 10,
                     minimum_should_match: int | None = None,
-                    filters=None) -> list[tuple[float, str, int]]:
+                    filters=None,
+                    indices_boost: dict[str, float] | None = None
+                    ) -> list[tuple[float, str, int]]:
         """Pattern-wide scored bool (+ optional filter specs): each
         index scores under pattern-global stats (one dfs round over
         the must/should terms), filters/must_not apply inside each
@@ -350,13 +367,18 @@ class MultiSearcher:
         if not terms:
             raise ValueError("bool query needs at least one scoring "
                              "(must/should) clause")
+        if indices_boost:
+            unknown = set(indices_boost) - set(self.searchers)
+            if unknown:
+                raise ValueError(f"indices_boost names unknown "
+                                 f"indexes: {sorted(unknown)}")
         return self._scored(
             "search_bool",
             dict(must=must, should=should, must_not=must_not,
                  field=field, k=k,
                  minimum_should_match=minimum_should_match,
                  filters=filters),
-            k, field, terms)
+            k, field, terms, boosts=indices_boost)
 
     def match_count(self, query: str, field: str = "content",
                     mode: str = "or") -> int:
