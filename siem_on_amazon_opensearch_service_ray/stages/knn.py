@@ -314,9 +314,12 @@ class PqEncodeStage:
                    - self.books[j][None, :, :].astype(np.float64)) ** 2
                   ).sum(axis=2)
             codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
-        return batch.append_column(
-            self.out_col, pa.array([c.tobytes() for c in codes],
-                                   pa.binary()))
+        # pack all rows in one buffer copy (FixedSizeBinary(m)) —
+        # no per-row Python in the encode hot path
+        arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(m), codes.shape[0],
+            [None, pa.py_buffer(np.ascontiguousarray(codes).tobytes())])
+        return batch.append_column(self.out_col, arr)
 
 
 def pq_topk(ds: rd.Dataset, query: np.ndarray, books: np.ndarray,
@@ -365,8 +368,17 @@ def pq_topk(ds: rd.Dataset, query: np.ndarray, books: np.ndarray,
             if n == 0:
                 return empty
             m = self.lut.shape[0]
-            raw = b"".join(batch.column(self.code_col).to_pylist())
-            codes = np.frombuffer(raw, np.uint8).reshape(n, m)
+            col = batch.column(self.code_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if pa.types.is_fixed_size_binary(col.type):
+                # zero-copy view straight off the Arrow buffer
+                raw = np.frombuffer(col.buffers()[1], np.uint8)
+                codes = raw[col.offset * m:
+                            (col.offset + n) * m].reshape(n, m)
+            else:
+                codes = np.frombuffer(b"".join(col.to_pylist()),
+                                      np.uint8).reshape(n, m)
             scores = self.lut[np.arange(m)[None, :], codes].sum(axis=1)
             ids = batch.column(self.id_col).to_numpy(
                 zero_copy_only=False)
