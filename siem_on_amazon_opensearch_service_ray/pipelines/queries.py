@@ -3391,6 +3391,56 @@ ORDER BY doc_id
 """
 
 
+def shuffle_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic seeded global shuffle (stages/ordering): hash
+    column appended in a streaming map, ONE all-to-all sort by
+    (hash, id) — the reproducible ordering a training-data prep job
+    needs before sharding to data-loader files (``random_shuffle`` is
+    nondeterministic across runs/cluster shapes).  Output: the first
+    80 docs in shuffled order with their rank — exact SQL twin via
+    the same integer hash."""
+    from ..stages.ordering import deterministic_shuffle
+    ds = _t_ds(sf_dir, "documents", ["doc_id"])
+    out = deterministic_shuffle(ds, seed=42).limit(80).to_pandas()
+    out["rank"] = np.arange(len(out), dtype=np.int64)
+    return out[["rank", "doc_id", "_shuffle_key"]]
+
+
+SHUFFLE_DOCS_SQL = """
+SELECT (row_number() OVER (ORDER BY
+          ((doc_id % 4294967296) * 100003 % 4294967296)
+          * 909657 % 4294967296, doc_id) - 1) AS rank,
+       doc_id,
+       ((doc_id % 4294967296) * 100003 % 4294967296)
+         * 909657 % 4294967296 AS _shuffle_key
+FROM documents
+ORDER BY _shuffle_key, doc_id
+LIMIT 80
+"""
+# 909657 = 69069 + 2*((42*10007) % 2^20) — the seed-42 multiplier
+
+
+def split_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test assignment (stages/ordering):
+    row-local hash-bucket membership against integer thresholds —
+    no shuffle, stable under re-runs and re-partitioning; per-split
+    counts land within ~1% of the 90/5/5 fractions."""
+    from ..stages.ordering import assign_splits
+    ds = _t_ds(sf_dir, "documents", ["doc_id"])
+    out = assign_splits(
+        ds, fractions={"train": 0.9, "val": 0.05, "test": 0.05},
+        seed=7).to_pandas().sort_values("doc_id")
+    return out.reset_index(drop=True)
+
+
+def _split_docs_sql() -> str:
+    from ..stages.ordering import split_sql_case
+    case = split_sql_case("doc_id", {"train": 0.9, "val": 0.05,
+                                     "test": 0.05}, seed=7)
+    return (f"SELECT doc_id, {case} AS split FROM documents "
+            "ORDER BY doc_id")
+
+
 def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
     """Benchmark decontamination (stages/decontam): docs whose doc_id
     is divisible by 50 stand in for the eval set; every doc reports
@@ -8174,6 +8224,8 @@ def queries() -> dict:
         "search_function_random": search_function_random,
         "dsl_terms_include": dsl_terms_include,
         "search_indices_boost": search_indices_boost,
+        "shuffle_docs": shuffle_docs,
+        "split_docs": split_docs,
         "search_global_agg": search_global_agg,
         "dsl_extended_stats_bucket": dsl_extended_stats_bucket,
         "search_span_containing": search_span_containing,
@@ -8411,6 +8463,8 @@ def oracle_sql() -> dict:
         "search_function_random": SEARCH_FUNCTION_RANDOM_SQL,
         "dsl_terms_include": DSL_TERMS_INCLUDE_SQL,
         "search_indices_boost": SEARCH_INDICES_BOOST_SQL,
+        "shuffle_docs": SHUFFLE_DOCS_SQL,
+        "split_docs": _split_docs_sql(),
         "dsl_count": DSL_COUNT_SQL,
         "dsl_msearch": DSL_MSEARCH_SQL,
         "dsl_termvectors": DSL_TERMVECTORS_SQL,

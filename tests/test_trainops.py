@@ -680,3 +680,40 @@ def test_pq_adc_recall_and_determinism(ray_session):
     full = knn.pq_topk(enc_cells, q, books, k=10, concurrency=2,
                        probe_cells=set(range(8))).to_pandas()
     assert full[["vec_id", "adc"]].equals(got[["vec_id", "adc"]])
+
+
+def test_ordering_shuffle_and_splits(ray_session):
+    """Deterministic shuffle: same seed -> same total order on any
+    partitioning, different seed -> different order; split assignment:
+    row-local, fraction-accurate, deterministic; the hash formula
+    matches the searcher's random_score mix (seed folded into the odd
+    multiplier)."""
+    from siem_on_amazon_opensearch_service_ray.stages import ordering
+
+    n = 1000
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64())}))
+    o1 = ordering.deterministic_shuffle(ds, seed=3).to_pandas()
+    o2 = ordering.deterministic_shuffle(
+        ds.repartition(7), seed=3).to_pandas()
+    assert o1["doc_id"].tolist() == o2["doc_id"].tolist()
+    o3 = ordering.deterministic_shuffle(ds, seed=4).to_pandas()
+    assert o3["doc_id"].tolist() != o1["doc_id"].tolist()
+    assert sorted(o1["doc_id"]) == list(range(n))
+    # hash parity with the seed-7 random_score constant (209167)
+    assert ordering.order_hash(np.array([5], np.uint64), 7)[0] == \
+        (5 * 100003 % 2**32) * 209167 % 2**32
+    sp = ordering.assign_splits(
+        ds, fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=11).to_pandas()
+    counts = sp["split"].value_counts().to_dict()
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] - 800) < 60
+    sp2 = ordering.assign_splits(
+        ds.repartition(5),
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=11).to_pandas().sort_values("doc_id")
+    assert sp.sort_values("doc_id")["split"].tolist() == \
+        sp2["split"].tolist()
+    with pytest.raises(ValueError, match="sum to 1"):
+        ordering.assign_splits(ds, fractions={"a": 0.5, "b": 0.4})
