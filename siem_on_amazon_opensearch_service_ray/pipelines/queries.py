@@ -777,6 +777,72 @@ def _docs_index_cfg_pos() -> IndexConfig:
     return dataclasses.replace(_docs_index_cfg(), store_positions=True)
 
 
+def search_multi_match_phrase(sf_dir: str) -> pd.DataFrame:
+    """``multi_match`` type ``phrase`` over [content, src^2]: the
+    phrase is BM25-scored per field (Lucene PhraseQuery shape — idf
+    summed over the phrase tokens × tf_norm(phrase_tf)) and combined
+    dis-max with tie_breaker.  The ``src`` field's values are single
+    labels, so the two-token phrase provably never matches there and
+    the SQL twin is the content-side scored-phrase formula verbatim —
+    the two-field COMBINE arithmetic is pytest-verified on a fixture
+    where both fields genuinely match (test_multi_match)."""
+    idx = _docs_index_dir(sf_dir) + "_pos"
+    build_index(_docs_source(sf_dir), idx, _docs_index_cfg_pos(),
+                resume=True)
+    s = Searcher(idx, use_actors=ray.is_initialized())
+    try:
+        hits = s.multi_match(BM25_QUERY, ["content", "src^2"],
+                             k=BM25_K, match_type="phrase",
+                             tie_breaker=0.2)
+    finally:
+        s.close()
+    return _score_frame(hits)
+
+
+SEARCH_MM_PHRASE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text),
+                                                '[a-z0-9_]+'), 1) AS pos
+  FROM documents),
+dl AS (SELECT d.doc_id, count(t.term) AS dl
+       FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+       GROUP BY d.doc_id),
+dlq AS (SELECT doc_id,
+               CASE WHEN dl < 8 THEN dl
+                    ELSE (dl >> (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3))
+                         << (CAST(FLOOR(LOG2(dl)) AS INTEGER) - 3) END
+                 AS dl_quant
+        FROM dl),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT
+          (SELECT count(DISTINCT doc_id) FROM tok
+           WHERE term = 'spark') AS df_a,
+          (SELECT count(DISTINCT doc_id) FROM tok
+           WHERE term = 'join') AS df_b),
+pt AS (SELECT a.doc_id, count(*) AS ptf
+       FROM tok a JOIN tok b
+         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.term = 'spark' AND b.term = 'join'
+       GROUP BY a.doc_id)
+SELECT pt.doc_id,
+       cast(round((ln(1 + (s.n - d.df_a + 0.5)/(d.df_a + 0.5))
+                   + ln(1 + (s.n - d.df_b + 0.5)/(d.df_b + 0.5)))
+                  * pt.ptf * 2.2
+                  / (pt.ptf + 1.2*(1 - 0.75
+                                   + 0.75*q.dl_quant/s.avgdl))
+                  * 10000) AS BIGINT) AS score_e4
+FROM pt JOIN dlq q USING (doc_id) CROSS JOIN stats s CROSS JOIN dfs d
+ORDER BY (ln(1 + (s.n - d.df_a + 0.5)/(d.df_a + 0.5))
+          + ln(1 + (s.n - d.df_b + 0.5)/(d.df_b + 0.5)))
+         * pt.ptf * 2.2
+         / (pt.ptf + 1.2*(1 - 0.75 + 0.75*q.dl_quant/s.avgdl))
+         DESC, pt.doc_id
+LIMIT {BM25_K}
+"""
+
+
 def phrase_docs(sf_dir: str) -> pd.DataFrame:
     """Exact phrase query ("spark join") over a positional index —
     every matching doc with its phrase frequency."""
@@ -8226,6 +8292,7 @@ def queries() -> dict:
         "search_indices_boost": search_indices_boost,
         "shuffle_docs": shuffle_docs,
         "split_docs": split_docs,
+        "search_multi_match_phrase": search_multi_match_phrase,
         "search_global_agg": search_global_agg,
         "dsl_extended_stats_bucket": dsl_extended_stats_bucket,
         "search_span_containing": search_span_containing,
@@ -8465,6 +8532,7 @@ def oracle_sql() -> dict:
         "search_indices_boost": SEARCH_INDICES_BOOST_SQL,
         "shuffle_docs": SHUFFLE_DOCS_SQL,
         "split_docs": _split_docs_sql(),
+        "search_multi_match_phrase": SEARCH_MM_PHRASE_SQL,
         "dsl_count": DSL_COUNT_SQL,
         "dsl_msearch": DSL_MSEARCH_SQL,
         "dsl_termvectors": DSL_TERMVECTORS_SQL,

@@ -2917,8 +2917,39 @@ class Searcher:
         per doc shard via :meth:`multi_match_sharded` at scale.
         ``_idf_by_field`` injects global per-field idf on shard-local
         executions (the dfs round of dfs_query_then_fetch)."""
-        if match_type not in ("best_fields", "most_fields", "cross_fields"):
+        if match_type not in ("best_fields", "most_fields",
+                              "cross_fields", "phrase", "phrase_prefix"):
             raise ValueError(f"unsupported multi_match type: {match_type!r}")
+        if match_type in ("phrase", "phrase_prefix"):
+            # per-field phrase matching combined dis-max (max +
+            # tie_breaker * rest — the multi_match phrase combine).
+            # phrase: BM25-weighted (phrase_search_scored's Lucene
+            # PhraseQuery shape); phrase_prefix ranks by phrase_tf
+            # (the engine's match_phrase_prefix contract).  Exactness
+            # needs FULL per-field phrase sets, and the phrase
+            # machinery already gathers/decodes per layout, so this
+            # path serves both layouts unchanged.
+            per_doc: dict[int, list[float]] = {}
+            for spec in fields:
+                name, _, boost_s = spec.partition("^")
+                boost = float(boost_s) if boost_s else 1.0
+                if match_type == "phrase":
+                    hits = self.phrase_search_scored(
+                        query, field=name, k=1 << 31,
+                        analyzer=analyzer, k1=k1, b=b)
+                else:
+                    hits = self.match_phrase_prefix(
+                        query, field=name, k=1 << 31, analyzer=analyzer)
+                for sc, d in hits:
+                    per_doc.setdefault(int(d), []).append(
+                        boost * float(sc))
+            combined = []
+            for d, ss in per_doc.items():
+                mx = max(ss)
+                combined.append(
+                    (float(mx + tie_breaker * (sum(ss) - mx)), d))
+            combined.sort(key=lambda t: (-t[0], t[1]))
+            return combined[:k]
         if self._partition_by == "doc" and self._local_parts is None \
                 and self.use_actors and _idf_by_field is None \
                 and self._idf_overrides is None:
@@ -7527,7 +7558,15 @@ class Searcher:
         FIELD (the same term can carry different dfs in different
         fields), so the dfs round here builds one idf dict per field
         and ships the bundle through the method kwargs rather than the
-        single-field ``_idf_overrides`` channel."""
+        single-field ``_idf_overrides`` channel.  Phrase types route
+        back to the full-set combine path (phrase exactness needs the
+        complete per-field match sets; the phrase machinery gathers
+        per layout underneath)."""
+        if match_type in ("phrase", "phrase_prefix"):
+            return self.multi_match(query, fields, k=k,
+                                    match_type=match_type,
+                                    tie_breaker=tie_breaker,
+                                    analyzer=analyzer, k1=k1, b=b)
         n_docs = int(self.stats["n_docs"])
         idf_by_field: dict[str, dict[str, float]] = {}
         if match_type == "cross_fields" and fields:

@@ -218,3 +218,69 @@ def test_cross_fields_blended_idf(mm_indexes):
     assert [d for _, d in sh] == [d for _, d in got]
     np.testing.assert_allclose([s for s, _ in sh], [s for s, _ in got],
                                rtol=1e-12)
+
+
+@pytest.fixture(scope="module")
+def mm_pos_indexes(ray_session, tmp_path_factory):
+    """Positional two-text-field fixture: the phrase 'spark join'
+    genuinely matches BOTH fields (planted in label every 5th doc)."""
+    rng = np.random.default_rng(17)
+    texts = [" ".join(WORDS[int(j)]
+                      for j in rng.integers(0, len(WORDS),
+                                            int(rng.integers(4, 30))))
+             for _ in range(N)]
+    t = pa.table({
+        "doc_id": pa.array(range(N), pa.int64()),
+        "text": texts,
+        "label": [LABELS[i % 3] + (" spark join" if i % 5 == 0 else "")
+                  for i in range(N)],
+    })
+    root = tmp_path_factory.mktemp("mmpos")
+    src = str(root / "docs.parquet")
+    pq.write_table(t, src)
+    cfg = IndexConfig(num_partitions=4,
+                      fields=(("content", "text", "base"),
+                              ("lbl", "label", "base")),
+                      keyword_fields=(), id_cols=("doc_id",),
+                      doc_id_col="doc_id", sha_col="text", salting=False,
+                      partition_by="term", store_positions=True)
+    idx_t = str(root / "idx_term")
+    build_index([src], idx_t, cfg)
+    idx_d = str(root / "idx_doc")
+    build_index([src], idx_d,
+                dataclasses.replace(cfg, partition_by="doc"))
+    st = Searcher(idx_t, use_actors=False)
+    sd = Searcher(idx_d, use_actors=False)
+    yield st, sd
+
+
+def test_multi_match_phrase_types(mm_pos_indexes):
+    """multi_match type=phrase / phrase_prefix: per-field phrase
+    matching combined dis-max (max + tie_breaker * rest), field
+    boosts honored, both layouts identical, and equal to the
+    hand-combined per-field phrase searches."""
+    st, sd = mm_pos_indexes
+    q, tb = "spark join", 0.3
+    for typ, meth in (("phrase",
+                       lambda s, f: s.phrase_search_scored(
+                           q, field=f, k=1 << 31)),
+                      ("phrase_prefix",
+                       lambda s, f: s.match_phrase_prefix(
+                           q, field=f, k=1 << 31))):
+        got = st.multi_match(q, ["content", "lbl^2"], k=50,
+                             match_type=typ, tie_breaker=tb)
+        per_doc = {}
+        for fname, boost in (("content", 1.0), ("lbl", 2.0)):
+            for sc, d in meth(st, fname):
+                per_doc.setdefault(int(d), []).append(
+                    boost * float(sc))
+        want = sorted(((max(v) + tb * (sum(v) - max(v)), d)
+                       for d, v in per_doc.items()),
+                      key=lambda t: (-t[0], t[1]))[:50]
+        assert [(pytest.approx(sc), d) for sc, d in want] == got
+        # some doc must combine BOTH fields or the fixture is moot
+        assert any(len(v) == 2 for v in per_doc.values())
+        dgot = sd.multi_match(q, ["content", "lbl^2"], k=50,
+                              match_type=typ, tie_breaker=tb)
+        assert [d for _, d in dgot] == [d for _, d in got]
+        assert np.allclose([s for s, _ in dgot], [s for s, _ in got])

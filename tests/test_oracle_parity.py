@@ -47,6 +47,7 @@ def _to_df(res) -> pd.DataFrame:
 SQL_BACKED = ["search_geo_polygon", "url_canon_docs",
               "search_function_random", "dsl_terms_include",
               "search_indices_boost", "shuffle_docs", "split_docs",
+              "search_multi_match_phrase",
               "search_global_agg", "dsl_extended_stats_bucket",
               "search_span_containing", "charlm_docs", "search_vwh",
               "dsl_bucket_script", "dsl_moving_fn",
