@@ -436,6 +436,17 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--hash-mod", action="store_true")
     sm.add_argument("--num-cpus", type=int, default=None)
 
+    sh = sub.add_parser("shards", help="training-prep terminal write: "
+                        "deterministic split + shard assignment -> "
+                        "split=…/shard=… hive parquet (resumable)")
+    sh.add_argument("source", help="parquet file/dir with an id column")
+    sh.add_argument("out_dir")
+    sh.add_argument("--id-col", default="doc_id")
+    sh.add_argument("--fractions", default="train=0.9,val=0.05,test=0.05")
+    sh.add_argument("--shards", type=int, default=4)
+    sh.add_argument("--seed", type=int, default=0)
+    sh.add_argument("--num-cpus", type=int, default=None)
+
     rt = sub.add_parser("retention",
                         help="delete routed partitions older than the "
                              "newest N periods per index family (ISM "
@@ -1206,6 +1217,19 @@ def main(argv: list[str] | None = None) -> int:
             res.write_parquet(args.out)
             print(json.dumps({"rows_in": n_in, "rows_out": n_out,
                               "out": args.out}))
+        elif args.cmd == "shards":
+            import ray.data as rd
+            from .stages.ordering import write_training_shards
+            fracs = {}
+            for pairstr in args.fractions.split(","):
+                nm, _, val = pairstr.partition("=")
+                fracs[nm.strip()] = float(val)
+            meta = write_training_shards(
+                rd.read_parquet(args.source), args.out_dir,
+                id_col=args.id_col, fractions=fracs,
+                shards_per_split=args.shards, seed=args.seed)
+            print(json.dumps({"splits": meta["splits"],
+                              "out": args.out_dir}))
     finally:
         ray.shutdown()
     return 0

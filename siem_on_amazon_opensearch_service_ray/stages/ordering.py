@@ -118,3 +118,62 @@ def split_sql_case(col: str, fractions: dict[str, float],
         cum += float(fractions[n])
         arms.append(f"WHEN {h} < {int(cum * 4294967296)} THEN '{n}'")
     return f"CASE {' '.join(arms)} ELSE '{names[-1]}' END"
+
+
+def write_training_shards(ds: rd.Dataset, out_dir: str,
+                          id_col: str = "doc_id",
+                          fractions: dict[str, float] | None = None,
+                          shards_per_split: int = 4, seed: int = 0
+                          ) -> dict:
+    """The terminal training-prep stage: assign splits, shuffle-key
+    every row, and write partitioned parquet
+    ``out_dir/split=<name>/shard=<k>/…`` — one directory per
+    (split, shard) so a failed run resumes by skipping the finished
+    directories (the marker file records the input seed/fractions)
+    and a data loader reads one shard directory per worker.
+
+    Shard assignment rides a SECOND seed of the same hash (seed+1),
+    so shard membership is independent of the split hash; within a
+    shard, rows carry their shuffle key for the loader to order by —
+    a global sorted-by-hash write would serialize on one writer, so
+    ordering is delegated to the (small) per-shard read side.
+    Returns {"marker": path, "splits": {...}} counts."""
+    import json
+    import os
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    marker = os.path.join(out_dir, "_TRAINING_SHARDS.json")
+    spec = {"fractions": fractions, "seed": seed,
+            "shards_per_split": shards_per_split, "id_col": id_col}
+    if os.path.exists(marker):
+        with open(marker) as f:
+            prev = json.load(f)
+        if prev.get("spec") == spec:
+            return prev        # finished run — resume is a no-op
+        raise ValueError("out_dir holds shards written under a "
+                         "DIFFERENT spec — refusing to mix")
+    ds = assign_splits(ds, id_col=id_col, fractions=fractions,
+                       seed=seed)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = order_hash(ids.astype(np.uint64), seed + 1)
+        shard = (h % np.uint64(shards_per_split)).astype(np.int64)
+        key = order_hash(ids.astype(np.uint64), seed)
+        batch = batch.append_column("shard",
+                                    pa.array(shard, pa.int64()))
+        return batch.append_column("_shuffle_key",
+                                   pa.array(key.astype(np.int64),
+                                            pa.int64()))
+
+    ds = ds.map_batches(add_shard, batch_format="pyarrow")
+    ds.write_parquet(out_dir, partition_cols=["split", "shard"])
+    counts: dict[str, int] = {}
+    import pyarrow.dataset as pads
+    dset = pads.dataset(out_dir, partitioning="hive")
+    for name in fractions:
+        counts[name] = dset.count_rows(
+            filter=pads.field("split") == name)
+    meta = {"spec": spec, "splits": counts, "marker": marker}
+    with open(marker, "w") as f:
+        json.dump(meta, f)
+    return meta

@@ -717,3 +717,45 @@ def test_ordering_shuffle_and_splits(ray_session):
         sp2["split"].tolist()
     with pytest.raises(ValueError, match="sum to 1"):
         ordering.assign_splits(ds, fractions={"a": 0.5, "b": 0.4})
+
+
+def test_write_training_shards(ray_session, tmp_path_factory):
+    """Terminal training-prep writer: split=…/shard=… hive layout,
+    every row lands exactly once, split membership matches
+    assign_splits, finished runs resume as a no-op, and a different
+    spec refuses."""
+    import pyarrow.dataset as pads
+
+    from siem_on_amazon_opensearch_service_ray.stages import ordering
+
+    n = 600
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array([f"doc {i}" for i in range(n)], pa.string()),
+    }))
+    out = str(tmp_path_factory.mktemp("shards") / "out")
+    meta = ordering.write_training_shards(
+        ds, out, fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+        shards_per_split=3, seed=5)
+    assert sum(meta["splits"].values()) == n
+    dset = pads.dataset(out, partitioning="hive")
+    tbl = dset.to_table()
+    assert tbl.num_rows == n
+    assert sorted(tbl.column("doc_id").to_pylist()) == list(range(n))
+    want = ordering.assign_splits(
+        ds, fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=5).to_pandas().set_index("doc_id")["split"]
+    got = tbl.to_pandas().set_index("doc_id")["split"]
+    assert got.sort_index().astype(str).tolist() == \
+        want.sort_index().tolist()
+    shards = set(tbl.column("shard").to_pylist())
+    assert shards == {0, 1, 2}
+    # resume: same spec returns the recorded meta without rewriting
+    again = ordering.write_training_shards(
+        ds, out, fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+        shards_per_split=3, seed=5)
+    assert again["splits"] == meta["splits"]
+    with pytest.raises(ValueError, match="DIFFERENT spec"):
+        ordering.write_training_shards(
+            ds, out, fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+            shards_per_split=4, seed=5)
