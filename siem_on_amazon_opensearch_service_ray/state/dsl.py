@@ -2728,6 +2728,31 @@ def _scroll_attach(resp: dict, state: dict) -> dict:
     return resp
 
 
+def execute_mtermvectors(searcher, body: dict) -> dict:
+    """OpenSearch ``_mtermvectors``: ``{"ids": […]}`` or
+    ``{"docs": [{"_id": …}, …]}`` (+ optional ``"fields": [one]``) —
+    term vectors for many docs via ONE batched docstore read."""
+    if "ids" in body:
+        ids = [int(x) for x in body["ids"]]
+    else:
+        ids = [int(d["_id"]) for d in body.get("docs", [])]
+    fields = body.get("fields") or ["content"]
+    if len(fields) != 1:
+        raise ValueError("_mtermvectors: exactly one field supported")
+    field = fields[0]
+    vecs = searcher.multi_term_vectors(ids, field=field)
+    docs = []
+    for i in ids:
+        rows = vecs.get(i)
+        entry: dict = {"_id": i, "found": rows is not None}
+        if rows is not None:
+            entry["term_vectors"] = {field: {"terms": {
+                t: {"term_freq": tf, "positions": [first]}
+                for t, tf, first in rows}}}
+        docs.append(entry)
+    return {"docs": docs}
+
+
 def execute_open_pit(searcher) -> dict:
     """``POST /<index>/_search/point_in_time`` — open a PIT over the
     searcher's index and return its id (server-side state under

@@ -3268,6 +3268,35 @@ class Searcher:
             stats[t] = (tf + 1, min(first, int(p)))
         return [(t, tf, first) for t, (tf, first) in sorted(stats.items())]
 
+    def multi_term_vectors(self, doc_ids: list[int],
+                           field: str = "content",
+                           analyzer: str | None = None
+                           ) -> dict[int, list[tuple[str, int, int]]]:
+        """OpenSearch ``_mtermvectors``: term vectors for MANY docs
+        with ONE batched docstore read (the point of the API —
+        _termvectors in a loop pays one point-read per id).  Missing
+        ids are absent from the result dict."""
+        if not self.manifest["config"].get("store_source"):
+            raise ValueError("term_vectors requires an index built with "
+                             "store_source=True (no _source stored)")
+        src_col = self.manifest["config"].get("sha_col", "content")
+        tbl = self.fetch_docs([int(d) for d in doc_ids],
+                              columns=["doc_id", src_col])
+        if tbl is None or tbl.num_rows == 0:
+            return {}
+        an = POSITIONAL_ANALYZERS[self._analyzer_for(field, analyzer)]
+        out: dict[int, list[tuple[str, int, int]]] = {}
+        for did, text in zip(tbl.column("doc_id").to_pylist(),
+                             tbl.column(src_col).to_pylist()):
+            toks, poss = an(text or "")
+            stats: dict[str, tuple[int, int]] = {}
+            for t, pp in zip(toks, poss):
+                tf, first = stats.get(t, (0, int(pp)))
+                stats[t] = (tf + 1, min(first, int(pp)))
+            out[int(did)] = [(t, tf, first)
+                             for t, (tf, first) in sorted(stats.items())]
+        return out
+
     def _local_match_count(self, field: str, q_terms: list[str],
                            mode: str) -> int:
         """Live match-set size over this searcher's doc slice."""

@@ -327,3 +327,26 @@ def test_snapshot_create_restore(src_index):
         snapshot_restore(repo, "nope", str(root / "never"))
     with pytest.raises(ValueError, match="destination exists"):
         snapshot_restore(repo, "snap1", dest)
+
+
+def test_mtermvectors(src_index):
+    """_mtermvectors: many docs in ONE batched docstore read, entries
+    in request order, per-doc parity with single-doc _termvectors,
+    missing ids flagged not-found."""
+    from siem_on_amazon_opensearch_service_ray.state.dsl import (
+        execute_mtermvectors)
+    s, docs, idx, root = src_index
+    r = execute_mtermvectors(s, {"ids": [0, 7, 999999],
+                                 "fields": ["content"]})
+    assert [d["_id"] for d in r["docs"]] == [0, 7, 999999]
+    assert r["docs"][2]["found"] is False
+    assert "term_vectors" not in r["docs"][2]
+    for pos, did in ((0, 0), (1, 7)):
+        tv = s.term_vectors(did, field="content")
+        got = r["docs"][pos]["term_vectors"]["content"]["terms"]
+        assert got == {t: {"term_freq": tf, "positions": [p]}
+                       for t, tf, p in tv}
+    r2 = execute_mtermvectors(s, {"docs": [{"_id": 3}]})
+    assert r2["docs"][0]["found"] is True
+    with pytest.raises(ValueError, match="one field"):
+        execute_mtermvectors(s, {"ids": [0], "fields": ["a", "b"]})
