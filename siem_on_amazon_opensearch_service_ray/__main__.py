@@ -330,6 +330,11 @@ def main(argv: list[str] | None = None) -> int:
                         "a root of indexes")
     ch.add_argument("root")
 
+    cl = sub.add_parser("clone", help="_clone: verified copy of an "
+                        "index to a new directory")
+    cl.add_argument("index_dir")
+    cl.add_argument("dest_dir")
+
     sn = sub.add_parser("snapshot", help="_snapshot: create/restore/"
                         "status over a repository directory")
     sn.add_argument("action", choices=["create", "restore", "status"])
@@ -628,6 +633,10 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "cluster-health":
             from .state.multisearch import cluster_health
             print(json.dumps(cluster_health(args.root), indent=2))
+        elif args.cmd == "clone":
+            from .pipelines.lifecycle import clone_index
+            print(json.dumps(clone_index(args.index_dir,
+                                         args.dest_dir)))
         elif args.cmd == "snapshot":
             from .pipelines.lifecycle import (snapshot_create,
                                               snapshot_restore,

@@ -215,3 +215,25 @@ def snapshot_status(repo_dir: str) -> list[dict]:
                         ("snapshot", "state", "fingerprint", "n_docs",
                          "n_files", "total_bytes")})
     return out
+
+
+def clone_index(index_dir: str, dest_dir: str) -> dict:
+    """OpenSearch ``_clone``: copy an index to a new name (same
+    config, same docs — the cheap pre-reshard/retention-fork step).
+    A direct verified copy (byte census compared after the copy, the
+    snapshot machinery without a repository); the destination must
+    not exist.  The clone answers queries identically — the layout IS
+    the index."""
+    if os.path.exists(dest_dir):
+        raise ValueError("clone destination exists")
+    if not os.path.isfile(os.path.join(index_dir,
+                                       "INDEX_MANIFEST.json")):
+        raise KeyError(f"{index_dir!r} is not an index")
+    shutil.copytree(index_dir, dest_dir)
+    want = _file_census(index_dir)
+    got = _file_census(dest_dir)
+    if got != want:
+        raise RuntimeError("clone verification failed: file census "
+                           "mismatch after copy")
+    return {"acknowledged": True, "n_files": len(got),
+            "total_bytes": int(sum(got.values()))}

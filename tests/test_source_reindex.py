@@ -350,3 +350,20 @@ def test_mtermvectors(src_index):
     assert r2["docs"][0]["found"] is True
     with pytest.raises(ValueError, match="one field"):
         execute_mtermvectors(s, {"ids": [0], "fields": ["a", "b"]})
+
+
+def test_clone_index(src_index):
+    """_clone: verified copy answers queries identically; existing
+    destination and non-index source refuse."""
+    from siem_on_amazon_opensearch_service_ray.pipelines.lifecycle import (
+        clone_index)
+    s, docs, idx, root = src_index
+    dest = str(root / "cloned")
+    r = clone_index(idx, dest)
+    assert r["acknowledged"] and r["n_files"] > 0
+    s2 = Searcher(dest, use_actors=False)
+    assert s2.search("spark join", k=30) == s.search("spark join", k=30)
+    with pytest.raises(ValueError, match="destination exists"):
+        clone_index(idx, dest)
+    with pytest.raises(KeyError, match="not an index"):
+        clone_index(str(root / "nothing"), str(root / "x"))
