@@ -6923,6 +6923,9 @@ class Searcher:
         {"span_not": {"include": e, "exclude": e}},
         {"span_containing": {"big": e, "little": e}},
         {"span_within": {"little": e, "big": e}},
+        {"field_masking_span": {"query": e, "field": f}} (Lucene
+        SpanFieldMaskingQuery — the inner span evaluates against
+        another field's postings/positions and composes here),
         {"span_multi": {"match": {"prefix"|"wildcard"|"regexp"|
         "fuzzy": {field: pattern}}}} (Lucene SpanMultiTermQuery-
         Wrapper — the pattern expands against the term dictionary
@@ -6968,6 +6971,19 @@ class Searcher:
             return ("within",
                     self._span_normalize(body["little"], an, field),
                     self._span_normalize(body["big"], an, field))
+        if kind == "field_masking_span":
+            # Lucene SpanFieldMaskingQuery: evaluate the inner span
+            # against ANOTHER field's postings/positions while letting
+            # it compose with this field's spans (the classic use:
+            # one text analyzed into sibling fields with aligned
+            # positions).  Term leaves remap to masked tokens carrying
+            # their field, so the gather step pulls each leaf from the
+            # right field and the position algebra composes unchanged
+            # — Lucene's exact semantics (positions compare raw).
+            alt = body["field"]
+            an2 = ANALYZERS[self._analyzer_for(alt, None)]
+            inner = self._span_normalize(body["query"], an2, alt)
+            return self._mask_span_node(inner, alt)
         if kind == "span_multi":
             mk, mb = next(iter(body["match"].items()))
             if mk not in ("prefix", "wildcard", "regexp", "fuzzy"):
@@ -6991,6 +7007,26 @@ class Searcher:
                 return ("term", "\x00span_multi_no_match")
             return ("or", [("term", t) for t in terms])
         raise ValueError(f"unknown span clause kind {kind!r}")
+
+    _MASK_PREFIX = "\x00mask\x1f"
+
+    @classmethod
+    def _mask_span_node(cls, node: tuple, alt: str) -> tuple:
+        """Rewrite every term leaf of a normalized span node to the
+        masked token ``\\x00mask\\x1f<field>\\x1f<term>`` (the gather
+        step decodes it back to (field, term))."""
+        if node[0] == "term":
+            return ("term", f"{cls._MASK_PREFIX}{alt}\x1f{node[1]}")
+        if node[0] == "near":
+            return ("near", [cls._mask_span_node(c, alt)
+                             for c in node[1]], node[2], node[3])
+        if node[0] == "or":
+            return ("or", [cls._mask_span_node(c, alt)
+                           for c in node[1]])
+        if node[0] == "first":
+            return ("first", cls._mask_span_node(node[1], alt), node[2])
+        return (node[0], cls._mask_span_node(node[1], alt),
+                cls._mask_span_node(node[2], alt))
 
     @staticmethod
     def _span_tokens(node: tuple) -> list[str]:
@@ -7138,8 +7174,16 @@ class Searcher:
                              if f == field), "code")
         node = self._span_normalize(expr, ANALYZERS[analyzer], field)
         toks = list(dict.fromkeys(self._span_tokens(node)))
-        rows = self._gather(field, toks)
-        pterms = {t: _PhraseTerm(0, rows[t]) for t in toks if rows.get(t)}
+        plain = [t for t in toks if not t.startswith(self._MASK_PREFIX)]
+        rows = self._gather(field, plain)
+        pterms = {t: _PhraseTerm(0, rows[t]) for t in plain
+                  if rows.get(t)}
+        for t in toks:
+            if t.startswith(self._MASK_PREFIX):
+                _, alt, term = t.split("\x1f", 2)
+                r2 = self._gather(alt, [term]).get(term)
+                if r2:
+                    pterms[t] = _PhraseTerm(0, r2)
         docs = self._span_docs(node, pterms)
         if self.tombstones.size and docs.size:
             docs = docs[_excl_mask(docs, self.tombstones)]

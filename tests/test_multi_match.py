@@ -251,7 +251,8 @@ def mm_pos_indexes(ray_session, tmp_path_factory):
                 dataclasses.replace(cfg, partition_by="doc"))
     st = Searcher(idx_t, use_actors=False)
     sd = Searcher(idx_d, use_actors=False)
-    yield st, sd
+    labels = t.column("label").to_pylist()
+    yield st, sd, texts, labels
 
 
 def test_multi_match_phrase_types(mm_pos_indexes):
@@ -259,7 +260,7 @@ def test_multi_match_phrase_types(mm_pos_indexes):
     matching combined dis-max (max + tie_breaker * rest), field
     boosts honored, both layouts identical, and equal to the
     hand-combined per-field phrase searches."""
-    st, sd = mm_pos_indexes
+    st, sd, _texts, _labels = mm_pos_indexes
     q, tb = "spark join", 0.3
     for typ, meth in (("phrase",
                        lambda s, f: s.phrase_search_scored(
@@ -284,3 +285,46 @@ def test_multi_match_phrase_types(mm_pos_indexes):
                               match_type=typ, tie_breaker=tb)
         assert [d for _, d in dgot] == [d for _, d in got]
         assert np.allclose([s for s, _ in dgot], [s for s, _ in got])
+
+
+def test_field_masking_span(mm_pos_indexes):
+    """field_masking_span: (1) masking to the SAME field is the
+    identity; (2) a masked leaf alone reads the alternate field's
+    positions (doc set + per-doc tf match the planted labels);
+    (3) a cross-field span_near composes content positions with lbl
+    positions — doc set = spark-in-text ∩ join-in-label; both
+    layouts identical throughout."""
+    st, sd, texts, labels = mm_pos_indexes
+    plain = {"span_near": {"clauses": [{"span_term": "spark"},
+                                       {"span_term": "alpha"}],
+                           "slop": 6, "in_order": False}}
+    masked_same = {"span_near": {"clauses": [
+        {"span_term": "spark"},
+        {"field_masking_span": {"query": {"span_term": "alpha"},
+                                "field": "content"}}],
+        "slop": 6, "in_order": False}}
+    assert st.span_query(masked_same, field="content", k=1 << 31) == \
+        st.span_query(plain, field="content", k=1 << 31)
+    # a lone masked leaf = the alt field's positions
+    leaf = {"field_masking_span": {"query": {"span_term": "join"},
+                                   "field": "lbl"}}
+    got = st.span_query(leaf, field="content", k=1 << 31)
+    want = sorted(((lbl.split().count("join"), i)
+                   for i, lbl in enumerate(labels)
+                   if "join" in lbl.split()),
+                  key=lambda t: (-t[0], t[1]))
+    assert got == want
+    # cross-field near: spark (content) within 1000 of join (lbl)
+    cross = {"span_near": {"clauses": [
+        {"span_term": "spark"},
+        {"field_masking_span": {"query": {"span_term": "join"},
+                                "field": "lbl"}}],
+        "slop": 1000, "in_order": False}}
+    got_x = st.span_query(cross, field="content", k=1 << 31)
+    expect_docs = {i for i in range(len(texts))
+                   if "spark" in texts[i].split()
+                   and "join" in labels[i].split()}
+    assert {d for _, d in got_x} == expect_docs and expect_docs
+    for expr in (leaf, cross):
+        assert sd.span_query(expr, field="content", k=1 << 31) == \
+            st.span_query(expr, field="content", k=1 << 31)
