@@ -108,3 +108,28 @@ def test_metric_expr_compiler_total(expr):
         return                                   # arithmetic, not escape
     assert isinstance(out, (int, float, complex, np.ndarray,
                             np.floating, np.integer, np.complexfloating))
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=33,
+                                      max_codepoint=126),
+               min_size=0, max_size=40),
+       st.sampled_from(["http", "HTTP", "https", "HtTpS"]),
+       st.sampled_from(["", ":80", ":443", ":8080"]),
+       st.booleans())
+@settings(max_examples=200, deadline=None)
+def test_url_canonicalize_idempotent(tail, scheme, port, www):
+    """canonicalize(canonicalize(u)) == canonicalize(u): every step
+    (case fold, www strip, default-port drop, fragment strip, utm
+    removal, root normalize) is a projection, so the chain must be
+    idempotent for any URL the extractor accepts."""
+    import pyarrow as pa
+
+    from siem_on_amazon_opensearch_service_ray.stages.urls import (
+        canonicalize)
+    host = ("WWW.Ex-Ample.COM" if www else "Ex-Ample.COM")
+    url = f"{scheme}://{host}{port}/{tail}"
+    c1 = canonicalize(pa.array([url], pa.string()))[0].as_py()
+    if c1 is None:
+        return        # extractor-rejected shape — nothing to check
+    c2 = canonicalize(pa.array([c1], pa.string()))[0].as_py()
+    assert c2 == c1, (url, c1, c2)
