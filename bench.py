@@ -110,6 +110,21 @@ def run_suite() -> dict:
         build_times.append(time.monotonic() - t0)
     timings["index_build"] = min(build_times)
     n_docs = manifest["stats"]["n_docs"]
+    # steady-state build: ONE warm rebuild timed outside the suite
+    # total — the first Dataset execution of a session pays a fixed
+    # streaming-executor/shuffle setup (~1.5-3 s on this host, varying
+    # with kernel state across rounds) that a long-lived cluster
+    # amortizes away; reporting both keeps the round-over-round
+    # continuity number AND the engine number in every BENCH record
+    # (see BASELINE.md "Round-4 ask 7 resolved").  Skipped in the
+    # build-only (scaling) mode: at 3.2M docs the setup constant is
+    # already negligible and a second build would double the wall.
+    warm_build = None
+    if os.environ.get("GRAFT_BENCH_SECTIONS") != "build":
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        t0 = time.monotonic()
+        manifest = build_index(CORPUS_DIR, idx_dir, cfg, resume=False)
+        warm_build = time.monotonic() - t0
 
     if os.environ.get("GRAFT_BENCH_SECTIONS") == "build":
         content_hash = index_content_hash(idx_dir)
@@ -185,6 +200,8 @@ def run_suite() -> dict:
         "num_cpus": NUM_CPUS,
         "corpus_docs": CORPUS_DOCS,
         "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "index_build_warm_sec": round(warm_build, 3),
+        "index_docs_per_sec_warm": round(n_docs / warm_build, 1),
         "index_postings": manifest["metrics"]["n_postings"],
         "index_bytes": manifest["metrics"]["bytes"],
         "query_p50_sec": round(p50, 4),
